@@ -1,0 +1,614 @@
+"""Relational core operators (SURVEY.md §2B).
+
+Every query here is declarative DataFrame API — Catalyst handles predicate
+pushdown, column pruning, partial aggregation (the reference's hand-written
+Combiners), broadcast joins (the reference's DistributedCache map-side joins),
+and join reordering. See SURVEY.md §4.1 for the idiom-by-idiom mapping.
+
+Float-determinism policy (SURVEY.md §5.2.3):
+- per-row scalar arithmetic is bit-identical across engines → no rounding;
+- multi-row double aggregates are summation-order dependent → both the Spark
+  query and the DuckDB oracle round to a fixed precision (money: 2, ratios: 6);
+- integer-valued doubles (l_quantity) and int counts are exact → no rounding.
+
+Scale notes (100 TB posture): filters precede joins so pushdown reaches the
+Parquet scan; dimension tables (region/nation/supplier/part/customer) are
+broadcast — at TPC-H-like ratios they stay O(GB) while fact tables grow;
+top-k uses orderBy+limit which Spark plans as TakeOrderedAndProject (no global
+sort materialization); all aggregates are hash-based with map-side partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+
+# ---------------------------------------------------------------- scan/filter
+
+def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet scan + projection with per-row scalar expressions.
+
+    Column pruning: only 4 of part's 6 columns reach the scan (ReadSchema).
+    """
+    t = load_tables(spark, sf_dir)
+    return t.part.select(
+        F.col("p_partkey"),
+        F.upper(F.col("p_name")).alias("name_upper"),
+        (F.col("p_retailprice") * 1.1).alias("price_infl"),
+        F.length("p_type").alias("type_len"),
+    )
+
+
+def q_filter_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Compound predicates: AND/OR/IN/BETWEEN/LIKE — all pushdown-eligible."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.filter(
+        (F.col("o_orderstatus") == "O")
+        & F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        & (F.col("o_totalprice").between(1000.0, 200000.0) | (F.col("o_custkey") < 10))
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+
+def q_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: range + BETWEEN predicates → one global sum."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+    )
+
+
+def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: 2-key grouped multi-aggregate.
+
+    Catalyst plans this as partial+final HashAggregate — the reference's
+    hand-written Combiner for free (SURVEY.md §2A).
+    """
+    t = load_tables(spark, sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        t.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),  # integral doubles: exact
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# ---------------------------------------------------------------------- joins
+
+def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi hash join customer⋈orders; grouped to keep output compact."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, t.customer.c_custkey == t.orders.o_custkey, "inner")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+        )
+    )
+
+
+def q_join_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-side join: the reference ships small tables via DistributedCache
+    (SURVEY.md §2A); Spark's equivalent is an explicit broadcast hint.
+    part/supplier stay small relative to lineitem at any scale factor."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.join(F.broadcast(t.part), t.lineitem.l_partkey == t.part.p_partkey)
+        .join(F.broadcast(t.supplier), t.lineitem.l_suppkey == t.supplier.s_suppkey)
+        .groupBy("p_brand")
+        .agg(
+            F.count("*").alias("n_items"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.countDistinct("s_suppkey").alias("n_suppliers"),
+        )
+    )
+
+
+def q_join3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + agg + deterministic top-10.
+
+    Tie-break on l_orderkey makes LIMIT deterministic across engines
+    (SURVEY.md §5.2.2). Spark plans TakeOrderedAndProject — no global sort.
+    """
+    t = load_tables(spark, sf_dir)
+    cutoff = F.lit("1998-06-01").cast("timestamp")
+    return (
+        t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t.orders, t.customer.c_custkey == t.orders.o_custkey)
+        .filter(F.col("o_orderdate") < cutoff)
+        .join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
+        .filter(F.col("l_shipdate") > cutoff)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+def q_join5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-way join over the full FK chain, grouped by nation.
+
+    The flagship query (wired into entry()). Catalyst broadcast-joins every
+    dimension (region/nation/supplier tiny at all SFs) and shuffles only
+    lineitem⋈orders⋈customer on their keys.
+    """
+    t = load_tables(spark, sf_dir)
+    return (
+        t.region.filter(F.col("r_name") == "ASIA")
+        .join(t.nation, t.region.r_regionkey == t.nation.n_regionkey)
+        .join(t.customer, t.nation.n_nationkey == t.customer.c_nationkey)
+        .join(t.orders, t.customer.c_custkey == t.orders.o_custkey)
+        .filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
+        .join(t.supplier, (t.lineitem.l_suppkey == t.supplier.s_suppkey)
+              & (t.customer.c_nationkey == t.supplier.s_nationkey))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join: every customer, with 0 for the order-less."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.customer.join(t.orders, t.customer.c_custkey == t.orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def q_join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers that placed an urgent order."""
+    t = load_tables(spark, sf_dir)
+    urgent = t.orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        t.customer.join(urgent, t.customer.c_custkey == urgent.o_custkey, "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def q_join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no open ('P') order."""
+    t = load_tables(spark, sf_dir)
+    pending = t.orders.filter(F.col("o_orderstatus") == "P")
+    return (
+        t.customer.join(pending, t.customer.c_custkey == pending.o_custkey, "left_anti")
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+
+
+def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (non-equi): for each purchase event, the latest prior
+    'click' of the same user. Spark lacks a native as-of join; expressed as a
+    single ordered window pass (last non-null carried value) — one shuffle on
+    user_id, no range cross-product, scales linearly (SURVEY.md §2B
+    q_join_asof_theta).
+    """
+    t = load_tables(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    return (
+        t.events.withColumn("prior_click_id", F.last(click_id, ignorenulls=True).over(w))
+        .withColumn("prior_click_ts", F.last(click_ts, ignorenulls=True).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "prior_click_id", "prior_click_ts")
+    )
+
+
+# --------------------------------------------------------- distinct/grouping
+
+def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct count per group (Catalyst: expand + two-phase agg)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+    )
+
+
+def q_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct — the 100 TB path where exact
+    distinct would shuffle every key. rows-only check (sketches differ
+    across engines by design)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"))
+    )
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): multi-granularity aggregates in
+    one pass (Catalyst Expand operator) instead of the reference's one job
+    per granularity."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(F.count("*").alias("n_rows"), F.sum("l_quantity").alias("sum_qty"))
+    )
+
+
+# -------------------------------------------------------------------- windows
+
+def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer by price — the reference's 'secondary sort'
+    idiom (SURVEY.md §2A) as a ranking window."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        t.orders.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+def q_window_analytic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: lag/lead + running sum with an explicit row frame.
+
+    Running measure is l_quantity (integral) so the cumulative sum is exact
+    across engines regardless of aggregation tree shape.
+    """
+    t = load_tables(spark, sf_dir)
+    # (l_orderkey, l_linenumber) is NOT unique in the fixtures; the full
+    # (linenumber, partkey, suppkey) triple is — required for deterministic
+    # lag/lead/running values (SURVEY.md §5.2.2).
+    w = W.partitionBy("l_orderkey").orderBy("l_linenumber", "l_partkey", "l_suppkey")
+    wrun = w.rowsBetween(W.unboundedPreceding, 0)
+    return t.lineitem.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_partkey",
+        "l_quantity",
+        F.lag("l_quantity", 1).over(w).alias("prev_qty"),
+        F.lead("l_quantity", 1).over(w).alias("next_qty"),
+        F.sum("l_quantity").over(wrun).alias("running_qty"),
+        F.row_number().over(w).alias("line_seq"),
+    )
+
+
+def q_sort_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-k: planned as TakeOrderedAndProject (per-partition top-k +
+    merge on driver), never a full global sort. Tie-break on the key."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(25)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# --------------------------------------------------------------------- setops
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over customer-key sets from two years."""
+    t = load_tables(spark, sf_dir)
+    y95 = (
+        t.orders.filter(F.year("o_orderdate") == 1995).select("o_custkey").distinct()
+    )
+    y96 = (
+        t.orders.filter(F.year("o_orderdate") == 1996).select("o_custkey").distinct()
+    )
+    both = y95.intersect(y96).withColumn("set_kind", F.lit("both"))
+    only95 = y95.exceptAll(y96).withColumn("set_kind", F.lit("only_1995"))
+    only96 = y96.exceptAll(y95).withColumn("set_kind", F.lit("only_1996"))
+    return both.unionByName(only95).unionByName(only96)
+
+
+# ------------------------------------------------------------------- scalars
+
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar expression surface: string/date/math/conditional, all JVM-side
+    (whole-stage codegen) — per-row arithmetic is bit-identical to DuckDB so
+    only log() (libm vs Math.log ulp drift) is rounded."""
+    t = load_tables(spark, sf_dir)
+    return t.orders.select(
+        "o_orderkey",
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.lower("o_orderstatus").alias("status_lower"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_trunc("quarter", "o_orderdate").alias("order_quarter"),
+        F.datediff(F.lit("2002-01-01").cast("timestamp"), F.col("o_orderdate")).alias("days_to_2002"),
+        F.round(F.col("o_totalprice"), 0).alias("price_round"),
+        F.abs(F.col("o_totalprice") - 100000.0).alias("price_dev"),
+        F.round(F.log(F.col("o_totalprice")), 6).alias("price_ln"),
+        F.sqrt("o_totalprice").alias("price_sqrt"),
+        F.when(F.col("o_totalprice") > 150000, "high")
+        .when(F.col("o_totalprice") > 50000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access: JSON path extraction from a string column."""
+    t = load_tables(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        t.events.select("event_id", k.alias("k_val"))
+        .filter(F.col("k_val").isNotNull())
+        .groupBy("k_val")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions over embeddings: size / element_at /
+    slice / transform / aggregate / zip_with. Folds run sequentially over
+    the array in both engines → bit-identical doubles, no rounding."""
+    t = load_tables(spark, sf_dir)
+    emb = F.col("embedding")
+    as_dbl = F.transform(emb, lambda x: x.cast("double"))
+    return t.embeddings.select(
+        "vec_id",
+        F.size(emb).alias("dim"),
+        F.element_at(emb, 1).cast("double").alias("first_coord"),
+        F.aggregate(as_dbl, F.lit(0.0), lambda acc, x: acc + x).alias("coord_sum"),
+        F.aggregate(
+            F.zip_with(as_dbl, as_dbl, lambda a, b: a * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("sq_norm"),
+        F.aggregate(
+            F.transform(F.slice(emb, 1, 8), lambda x: x.cast("double") * 2.0),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ).alias("head8_doubled_sum"),
+    )
+
+
+QUERIES = {
+    "q_scan_project": q_scan_project,
+    "q_filter_pred": q_filter_pred,
+    "q_filter_agg": q_filter_agg,
+    "q_pricing_summary": q_pricing_summary,
+    "q_join_inner": q_join_inner,
+    "q_join_broadcast": q_join_broadcast,
+    "q_join3_topk": q_join3_topk,
+    "q_join5_region": q_join5_region,
+    "q_join_left": q_join_left,
+    "q_join_semi": q_join_semi,
+    "q_join_anti": q_join_anti,
+    "q_join_asof": q_join_asof,
+    "q_distinct_users": q_distinct_users,
+    "q_distinct_users_approx": q_distinct_users_approx,
+    "q_grouping_sets": q_grouping_sets,
+    "q_window_rank": q_window_rank,
+    "q_window_analytic": q_window_analytic,
+    "q_sort_limit": q_sort_limit,
+    "q_set_ops": q_set_ops,
+    "q_scalar_funcs": q_scalar_funcs,
+    "q_json_extract": q_json_extract,
+    "q_array_ops": q_array_ops,
+}
+
+ORACLES = {
+    "q_scan_project": """
+        SELECT p_partkey,
+               upper(p_name) AS name_upper,
+               p_retailprice * 1.1 AS price_infl,
+               CAST(length(p_type) AS INTEGER) AS type_len
+        FROM part
+    """,
+    "q_filter_pred": """
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders
+        WHERE o_orderstatus = 'O'
+          AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+          AND (o_totalprice BETWEEN 1000.0 AND 200000.0 OR o_custkey < 10)
+    """,
+    "q_filter_agg": """
+        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+    """,
+    "q_pricing_summary": """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity) AS sum_qty,
+               round(sum(l_extendedprice), 2) AS sum_base_price,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+               round(avg(l_quantity), 6) AS avg_qty,
+               round(avg(l_extendedprice), 6) AS avg_price,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem
+        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        GROUP BY l_returnflag, l_linestatus
+        ORDER BY l_returnflag, l_linestatus
+    """,
+    "q_join_inner": """
+        SELECT c_custkey, c_name,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_spent
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_name
+    """,
+    "q_join_broadcast": """
+        SELECT p_brand,
+               count(*) AS n_items,
+               sum(l_quantity) AS sum_qty,
+               count(DISTINCT s_suppkey) AS n_suppliers
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY p_brand
+    """,
+    "q_join3_topk": """
+        SELECT l_orderkey, o_orderdate, o_orderpriority,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        WHERE c_mktsegment = 'BUILDING'
+          AND o_orderdate < TIMESTAMP '1998-06-01'
+          AND l_shipdate  > TIMESTAMP '1998-06-01'
+        GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderdate, l_orderkey
+        LIMIT 10
+    """,
+    "q_join5_region": """
+        SELECT n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM region
+        JOIN nation   ON r_regionkey = n_regionkey
+        JOIN customer ON n_nationkey = c_nationkey
+        JOIN orders   ON c_custkey = o_custkey
+        JOIN lineitem ON o_orderkey = l_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1998-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name
+    """,
+    "q_join_left": """
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    """,
+    "q_join_semi": """
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM customer
+        WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    """,
+    "q_join_anti": """
+        SELECT c_custkey, c_name, c_acctbal
+        FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+    "q_join_asof": """
+        SELECT event_id, user_id, ts, prior_click_id, prior_click_ts
+        FROM (
+            SELECT event_id, user_id, ts, event_type,
+                   last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click_id,
+                   last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                     OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_click_ts
+            FROM events
+        )
+        WHERE event_type = 'purchase'
+    """,
+    "q_distinct_users": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users,
+               count(*) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+    "q_grouping_sets": """
+        SELECT l_returnflag, l_linestatus,
+               count(*) AS n_rows,
+               sum(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_window_rank": """
+        SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+            SELECT o_custkey, o_orderkey, o_totalprice,
+                   CAST(row_number() OVER (PARTITION BY o_custkey
+                        ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+            FROM orders
+        ) WHERE rn <= 3
+    """,
+    "q_window_analytic": """
+        SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+               lag(l_quantity, 1)  OVER w AS prev_qty,
+               lead(l_quantity, 1) OVER w AS next_qty,
+               sum(l_quantity) OVER (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_suppkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty,
+               CAST(row_number() OVER w AS INTEGER) AS line_seq
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_suppkey)
+    """,
+    "q_sort_limit": """
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM orders
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 25
+    """,
+    "q_set_ops": """
+        WITH y95 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1995),
+             y96 AS (SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        SELECT o_custkey, 'both' AS set_kind FROM (SELECT * FROM y95 INTERSECT SELECT * FROM y96)
+        UNION ALL
+        SELECT o_custkey, 'only_1995' AS set_kind FROM (SELECT * FROM y95 EXCEPT SELECT * FROM y96)
+        UNION ALL
+        SELECT o_custkey, 'only_1996' AS set_kind FROM (SELECT * FROM y96 EXCEPT SELECT * FROM y95)
+    """,
+    "q_scalar_funcs": """
+        SELECT o_orderkey,
+               substring(o_orderpriority, 1, 1) AS prio_code,
+               lower(o_orderstatus) AS status_lower,
+               concat_ws('-', o_orderstatus, o_orderpriority) AS status_prio,
+               CAST(year(o_orderdate) AS INTEGER) AS order_year,
+               CAST(month(o_orderdate) AS INTEGER) AS order_month,
+               CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS order_quarter,
+               CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01') AS INTEGER) AS days_to_2002,
+               round(o_totalprice, 0) AS price_round,
+               abs(o_totalprice - 100000.0) AS price_dev,
+               round(ln(o_totalprice), 6) AS price_ln,
+               sqrt(o_totalprice) AS price_sqrt,
+               CASE WHEN o_totalprice > 150000 THEN 'high'
+                    WHEN o_totalprice > 50000 THEN 'mid'
+                    ELSE 'low' END AS price_band
+        FROM orders
+    """,
+    "q_json_extract": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_val,
+               count(*) AS n
+        FROM events
+        WHERE json_extract_string(props, '$.k') IS NOT NULL
+        GROUP BY 1
+    """,
+    "q_array_ops": """
+        SELECT vec_id,
+               CAST(len(embedding) AS INTEGER) AS dim,
+               CAST(embedding[1] AS DOUBLE) AS first_coord,
+               list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS coord_sum,
+               list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS sq_norm,
+               list_sum(list_transform(list_slice(embedding, 1, 8), x -> CAST(x AS DOUBLE) * 2.0)) AS head8_doubled_sum
+        FROM embeddings
+    """,
+}

@@ -1,0 +1,54 @@
+"""Assembles the driver contract: queries() and oracle_sql().
+
+Each operator module exposes QUERIES (name → callable(spark, sf_dir) →
+DataFrame) and ORACLES (name → ANSI SQL for DuckDB). Names missing from
+ORACLES get the driver's weaker rows-only check (SURVEY.md §2 'Oracle'
+column) — reserved for genuinely non-SQL-expressible ops (MLlib fits,
+approximate sketches).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_MODULES = (
+    "machinelearningalgomapreduce_spark.operators.relational",
+    "machinelearningalgomapreduce_spark.operators.events",
+    "machinelearningalgomapreduce_spark.operators.text",
+    "machinelearningalgomapreduce_spark.operators.dedup",
+    "machinelearningalgomapreduce_spark.operators.similarity",
+    "machinelearningalgomapreduce_spark.operators.ml",
+    "machinelearningalgomapreduce_spark.operators.graph",
+    "machinelearningalgomapreduce_spark.multimodal.pipeline",
+)
+
+
+def _collect() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
+    import importlib
+
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+    for modname in _MODULES:
+        try:
+            mod = importlib.import_module(modname)
+        except ModuleNotFoundError:
+            continue  # module not built yet in this round
+        for name, fn in getattr(mod, "QUERIES", {}).items():
+            if name in queries:
+                raise ValueError(f"duplicate query name {name} in {modname}")
+            queries[name] = fn
+        oracles.update(getattr(mod, "ORACLES", {}))
+    unknown = set(oracles) - set(queries)
+    if unknown:
+        raise ValueError(f"oracles without queries: {sorted(unknown)}")
+    return queries, oracles
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return _collect()[0]
+
+
+def oracle_sql() -> dict[str, str]:
+    return {k: " ".join(v.split()) for k, v in _collect()[1].items()}

@@ -1,0 +1,49 @@
+"""SparkSession factory with the engine's default tuning.
+
+Defaults are chosen for correctness-vs-DuckDB (UTC session timezone, ANSI on)
+and for scale (AQE on, skew-join handling on). ``shuffle_partitions`` is a
+local-mode knob only — on a real cluster AQE coalescing makes the initial
+number mostly irrelevant.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "mlmr_spark_engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_query_conf(spark: SparkSession) -> None:
+    """Runtime-settable confs the oracle comparison depends on.
+
+    Safe to call on a driver-provided session: only touches runtime SQL confs.
+    UTC pins timestamp rendering so wall-clock values match DuckDB's naive
+    timestamps (guide: 'Spark timestamps are session-TZ').
+    """
+    spark.conf.set("spark.sql.session.timeZone", "UTC")

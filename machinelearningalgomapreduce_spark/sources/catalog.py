@@ -1,0 +1,82 @@
+"""Parquet scan layer: typed table loading with a per-(session, dir) cache.
+
+The reference reads HDFS text files and re-parses every record in every job
+(SURVEY.md §1.1). Here the scan layer is ``spark.read.parquet`` — columnar,
+vectorized, with predicate pushdown and column pruning done by Catalyst.
+
+``load_tables`` memoizes DataFrames per (SparkSession, sf_dir) so a harness
+running many queries plans against the same scan nodes (shared-scan reuse,
+and ``cache()``-friendly). Caching the *DataFrame object* costs nothing at
+100 TB — it is only the logical plan; we deliberately do NOT ``.cache()``
+table data by default (at 100 TB the inputs don't fit in cluster memory; the
+bench harness opts in for the small fixed-overhead tiers).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, fields
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from machinelearningalgomapreduce_spark.sources.schemas import SCHEMAS
+
+TABLES = tuple(SCHEMAS)
+
+
+@dataclass
+class Catalog:
+    region: DataFrame
+    nation: DataFrame
+    customer: DataFrame
+    supplier: DataFrame
+    part: DataFrame
+    orders: DataFrame
+    lineitem: DataFrame
+    events: DataFrame
+    documents: DataFrame
+    embeddings: DataFrame
+
+    def __getitem__(self, name: str) -> DataFrame:
+        return getattr(self, name)
+
+    def names(self) -> tuple[str, ...]:
+        return tuple(f.name for f in fields(self))
+
+
+_cache: dict[tuple[int, str], Catalog] = {}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one table, validating the declared schema's columns exist."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    # Fixture parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
+    # rejects; read nanos as INT64 and convert to TimestampType below with
+    # exact integer division (never via double — 1e18 ns exceeds 2^53).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(path)
+    declared = {f.name for f in SCHEMAS[name].fields}
+    missing = declared - set(df.columns)
+    if missing:
+        raise ValueError(f"table {name} at {path} missing columns {sorted(missing)}")
+    actual = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for field in SCHEMAS[name].fields:
+        if isinstance(field.dataType, T.TimestampType) and isinstance(actual[field.name], T.LongType):
+            cols.append(F.timestamp_micros(F.expr(f"`{field.name}` div 1000")).alias(field.name))
+        else:
+            cols.append(F.col(field.name))
+    # Project to the declared column order: stable schema regardless of file layout.
+    return df.select(*cols)
+
+
+def load_tables(spark: SparkSession, sf_dir: str, cached: bool = False) -> Catalog:
+    key = (id(spark), os.path.abspath(sf_dir), cached)
+    if key not in _cache:
+        t = {name: load_table(spark, sf_dir, name) for name in TABLES}
+        if cached:
+            t = {name: df.cache() for name, df in t.items()}
+        _cache[key] = Catalog(**t)
+    return _cache[key]

@@ -1,0 +1,116 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB over the same parquet dir, then compares row count, column names,
+and values (order-insensitive, bit-exact on doubles — stricter than any
+plausible driver hasher, so passing here should pass the driver).
+
+Usage: python tools/check.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import struct
+import sys
+import time
+import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return struct.pack("<d", v).hex()
+    if isinstance(v, bool):
+        return f"b:{v}"
+    if isinstance(v, int):
+        return f"i:{v}"
+    if hasattr(v, "isoformat"):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(canon_cell(x) for x in v) + "]"
+    return f"s:{v}"
+
+
+def canon_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    return sorted("|".join(canon_cell(r[i]) for i in order) for r in rows)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as E
+    from machinelearningalgomapreduce_spark.session import get_spark
+
+    spark = get_spark(app_name="check")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs, oracles = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in sorted(qs.items()):
+        if only and name not in only:
+            continue
+        t0 = time.perf_counter()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception:
+            print(f"FAIL {name}: spark error\n{traceback.format_exc()}")
+            failures.append(name)
+            continue
+        dt = time.perf_counter() - t0
+        if name not in oracles:
+            print(f"ok?  {name}: rows-only ({len(srows)} rows, {dt:.1f}s)")
+            if len(srows) == 0:
+                print(f"WARN {name}: zero rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            dcols = [d[0] for d in res.description]
+            drows = res.fetchall()
+        except Exception:
+            print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
+            failures.append(name)
+            continue
+        problems = []
+        if len(srows) != len(drows):
+            problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
+        if sorted(scols) != sorted(dcols):
+            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+        if not problems:
+            cs, cd = canon_rows(scols, srows), canon_rows(dcols, drows)
+            if cs != cd:
+                bad = sum(1 for a, b in zip(cs, cd) if a != b) + abs(len(cs) - len(cd))
+                problems.append(f"values differ in {bad}/{len(cs)} rows")
+                for a, b in list(zip(cs, cd))[:2000]:
+                    if a != b:
+                        problems.append(f"  spark : {a[:300]}")
+                        problems.append(f"  duckdb: {b[:300]}")
+                        break
+        if problems:
+            print(f"FAIL {name} ({dt:.1f}s): " + "; ".join(problems))
+            failures.append(name)
+        else:
+            print(f"PASS {name} ({len(srows)} rows, {dt:.1f}s)")
+
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
