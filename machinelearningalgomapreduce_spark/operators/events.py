@@ -1,0 +1,205 @@
+"""Streaming-flavored operators over the events table (SURVEY.md §2E).
+
+Batch-first: each operator is a plain DataFrame query (SQL-expressible, hence
+oracle-checkable); `streaming/windows.py` wraps the same expressions as
+Structured Streaming for the real-time path.
+
+Scale: all windowed aggregations group on (bucket, type) — high cardinality,
+well distributed; sessionization shuffles once on user_id then does a single
+ordered pass per user (no iteration, no driver collect). Watermark semantics
+are expressed as a max(ts)-relative filter, the batch analog of
+`withWatermark` late-data dropping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+SESSION_GAP_MIN = 30
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-hour tumbling window: counts, distinct users, value sum."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding window (1 h length, 15 min slide): each event belongs to 4
+    windows → explode the 4 aligned starts, then one hash aggregate.
+
+    Same expansion Structured Streaming's `window(ts, '1 hour', '15 minutes')`
+    performs internally; written out explicitly so the shape is ANSI-SQL.
+    """
+    t = load_tables(spark, sf_dir)
+    # window starts containing ts: floor(ts to 15min) - k*15min for k in 0..3
+    base = F.date_trunc("minute", F.col("ts")) - F.make_interval(mins=(F.minute("ts") % 15))
+    starts = F.transform(F.sequence(F.lit(0), F.lit(3)), lambda k: base - F.make_interval(mins=k * 15))
+    return (
+        t.events.select(F.explode(starts).alias("window_start"), "event_type", "value")
+        .groupBy("window_start", "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+    )
+
+
+def sessionize(events: DataFrame, gap_minutes: int = SESSION_GAP_MIN) -> DataFrame:
+    """Assign session ids: a session breaks after `gap_minutes` of inactivity.
+
+    One shuffle (user_id), one ordered pass: lag → gap flag → running sum.
+    The reference would need a secondary-sort MapReduce job for this
+    (SURVEY.md §2A); here it is two window expressions.
+    """
+    # exact integer microseconds: Spark's cast-to-long floors while DuckDB's
+    # epoch() rounds — unix_micros/epoch_us agree bit-for-bit (sub-second ts!)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap_flag = F.when(
+        us - F.lag(us).over(w) > gap_minutes * 60 * 1_000_000,
+        1,
+    ).otherwise(0)
+    return (
+        events.withColumn("is_new_session", gap_flag)
+        .withColumn(
+            "session_seq",
+            F.sum("is_new_session").over(w.rowsBetween(W.unboundedPreceding, 0)) + 1,
+        )
+    )
+
+
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir)
+    return sessionize(t.events).select(
+        "event_id", "user_id", "ts", "is_new_session", "session_seq"
+    )
+
+
+def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session rollup: length, event count, value sum per (user, session)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        sessionize(t.events)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.count("*").alias("n_events"),
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("duration_us"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + dedup semantics in batch: drop events older than
+    (max ts − 7 days), collapse duplicate deliveries (events ∪ events) by
+    keying on event_id. Batch analog of withWatermark + dropDuplicates."""
+    t = load_tables(spark, sf_dir)
+    doubled = t.events.unionByName(t.events)  # simulate at-least-once delivery
+    watermark = doubled.agg(
+        (F.max(F.unix_micros("ts")) - 7 * 24 * 3600 * 1_000_000).alias("wm")
+    )
+    w = W.partitionBy("event_id").orderBy("ts")
+    return (
+        doubled.join(F.broadcast(watermark))
+        .filter(F.unix_micros("ts") >= F.col("wm"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+    )
+
+
+QUERIES = {
+    "q_events_tumbling": q_events_tumbling,
+    "q_events_sliding": q_events_sliding,
+    "q_sessionize": q_sessionize,
+    "q_session_stats": q_session_stats,
+    "q_late_data": q_late_data,
+}
+
+ORACLES = {
+    "q_events_tumbling": """
+        SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
+               event_type,
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY 1, 2
+    """,
+    "q_events_sliding": """
+        WITH expanded AS (
+            SELECT CAST(date_trunc('minute', ts)
+                        - to_minutes(CAST(minute(ts) % 15 AS BIGINT))
+                        - to_minutes(CAST(k * 15 AS BIGINT)) AS TIMESTAMP) AS window_start,
+                   event_type, value
+            FROM events, (SELECT unnest(range(4)) AS k)
+        )
+        SELECT window_start, event_type,
+               count(*) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM expanded
+        GROUP BY 1, 2
+    """,
+    "q_sessionize": """
+        WITH flagged AS (
+            SELECT event_id, user_id, ts,
+                   CASE WHEN epoch_us(ts)
+                             - lag(epoch_us(ts))
+                               OVER (PARTITION BY user_id ORDER BY ts, event_id) > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS is_new_session
+            FROM events
+        )
+        SELECT event_id, user_id, ts,
+               CAST(is_new_session AS INTEGER) AS is_new_session,
+               CAST(sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS BIGINT) AS session_seq
+        FROM flagged
+    """,
+    "q_session_stats": """
+        WITH flagged AS (
+            SELECT user_id, ts, event_id, value,
+                   CASE WHEN epoch_us(ts)
+                             - lag(epoch_us(ts))
+                               OVER (PARTITION BY user_id ORDER BY ts, event_id) > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS is_new
+            FROM events
+        ), sessions AS (
+            SELECT user_id, ts, value,
+                   CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS BIGINT) AS session_seq
+            FROM flagged
+        )
+        SELECT user_id, session_seq,
+               count(*) AS n_events,
+               max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
+               round(sum(value), 2) AS sum_value
+        FROM sessions
+        GROUP BY user_id, session_seq
+    """,
+    "q_late_data": """
+        WITH doubled AS (
+            SELECT * FROM events UNION ALL SELECT * FROM events
+        ), wm AS (
+            SELECT max(epoch_us(ts)) - 7 * 24 * 3600 * CAST(1000000 AS BIGINT) AS wm FROM doubled
+        )
+        SELECT event_id, ts, user_id, event_type, value
+        FROM (
+            SELECT d.*, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+            FROM doubled d, wm
+            WHERE epoch_us(d.ts) >= wm.wm
+        )
+        WHERE rn = 1
+    """,
+}
