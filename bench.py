@@ -1,0 +1,101 @@
+"""Benchmark harness: times the headline queries and prints ONE JSON line.
+
+Contract (driver): run at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS]; emit a single stdout line
+``{"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}``.
+
+Methodology (BASELINE.md caveat): one shared SparkSession, base tables
+cached once (the 17.6 MB bench tier fits trivially in memory; at 100 TB you
+would NOT cache inputs — the flag exists precisely so the posture differs per
+tier), one warm-up execution per query to absorb JVM/codegen/plan costs, then
+best-of-2 timed runs. Timing executes the full physical plan via a count-ish
+no-op action (``noop`` datasource write) so nothing is materialized on the
+driver. All diagnostics go to stderr; stdout carries only the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Queries timed for the headline metric, mirroring BASELINE.md's table.
+HEADLINE = [
+    "q_pricing_summary",
+    "q_join3_topk",
+    "q_join5_region",
+    "q_filter_agg",
+    "q_window_rank",
+    "q_events_tumbling",
+    "q_distinct_users",
+    "q_wordcount",
+    "q_dedup_exact",
+    "q_sessionize",
+    "q_knn",
+    "q_kmeans_assign",
+]
+TIMED_RUNS = 2
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_once(df) -> float:
+    t0 = time.perf_counter()
+    df.write.format("noop").mode("overwrite").save()
+    return time.perf_counter() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+
+    from machinelearningalgomapreduce_spark import registry
+    from machinelearningalgomapreduce_spark.session import ensure_query_conf, get_spark
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    spark = get_spark(app_name="bench")
+    ensure_query_conf(spark)
+
+    qs = registry.queries()
+    names = [n for n in HEADLINE if n in qs]
+    missing = [n for n in HEADLINE if n not in qs]
+    if missing:
+        log(f"bench: headline queries not yet implemented: {missing}")
+
+    # Materialize the table cache once, outside any per-query timing.
+    t0 = time.perf_counter()
+    tables = load_tables(spark, sf_dir, cached=True)
+    for name in tables.names():
+        tables[name].count()
+    log(f"bench: cached base tables in {time.perf_counter() - t0:.2f}s")
+
+    times: dict[str, float] = {}
+    for name in names:
+        try:
+            df = qs[name](spark, sf_dir)
+            warm = run_once(df)  # absorbs planning + codegen + broadcast build
+            best = min(run_once(qs[name](spark, sf_dir)) for _ in range(TIMED_RUNS))
+            times[name] = round(best, 4)
+            log(f"bench: {name} warm={warm:.3f}s best={best:.3f}s")
+        except Exception as exc:  # noqa: BLE001 — one bad query must not kill the run
+            log(f"bench: {name} FAILED: {exc}")
+
+    result = {
+        "metric": "headline_total_best",
+        "value": round(sum(times.values()), 4),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "n_queries": len(times),
+        "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,8 +33,13 @@ def _collect() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
     for modname in _MODULES:
         try:
             mod = importlib.import_module(modname)
-        except ModuleNotFoundError:
-            continue  # module not built yet in this round
+        except ModuleNotFoundError as e:
+            # Only skip when the operator module ITSELF is absent; a missing
+            # dependency inside an existing module must fail loudly, or the
+            # driver would silently check fewer queries.
+            if e.name == modname:
+                continue
+            raise
         for name, fn in getattr(mod, "QUERIES", {}).items():
             if name in queries:
                 raise ValueError(f"duplicate query name {name} in {modname}")

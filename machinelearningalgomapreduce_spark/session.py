@@ -44,6 +44,10 @@ def ensure_query_conf(spark: SparkSession) -> None:
 
     Safe to call on a driver-provided session: only touches runtime SQL confs.
     UTC pins timestamp rendering so wall-clock values match DuckDB's naive
-    timestamps (guide: 'Spark timestamps are session-TZ').
+    timestamps (guide: 'Spark timestamps are session-TZ'). nanosAsLong is a
+    session invariant the scan layer depends on (fixture parquet stores
+    TIMESTAMP(NANOS)); re-asserted here so driver-side execution self-heals
+    if anything flipped it between load and action.
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
