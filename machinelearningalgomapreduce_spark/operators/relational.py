@@ -241,12 +241,27 @@ def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approximate distinct — the 100 TB path where exact
-    distinct would shuffle every key. rows-only check (sketches differ
-    across engines by design)."""
+    distinct would shuffle every key.
+
+    Sketch values differ across engines by design, so the checked output is
+    an accuracy ASSERTION: the exact count plus a boolean that the HLL
+    estimate landed within 5% (or ±1). The oracle emits the same exact count
+    with a literal TRUE — the hash matches iff the sketch is actually close.
+    """
     t = load_tables(spark, sf_dir)
+    exact = F.countDistinct("user_id")
+    approx = F.approx_count_distinct("user_id", 0.01)
     return (
         t.events.groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", 0.01).alias("n_users_approx"))
+        .agg(exact.alias("n_users_exact"), approx.alias("_approx"))
+        .select(
+            "event_type",
+            "n_users_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_users_exact"))
+                <= F.greatest(F.lit(1.0), F.col("n_users_exact") * 0.05)
+            ).alias("approx_ok"),
+        )
     )
 
 
@@ -533,6 +548,13 @@ ORACLES = {
         SELECT event_type,
                count(DISTINCT user_id) AS n_users,
                count(*) AS n_events
+        FROM events
+        GROUP BY event_type
+    """,
+    "q_distinct_users_approx": """
+        SELECT event_type,
+               count(DISTINCT user_id) AS n_users_exact,
+               TRUE AS approx_ok
         FROM events
         GROUP BY event_type
     """,

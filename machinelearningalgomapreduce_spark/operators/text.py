@@ -1,0 +1,273 @@
+"""Text operators: wordcount, TF-IDF, and LLM-pipeline text analysis
+(SURVEY.md §2C q_wordcount/q_tfidf, §2D q_text_stats + north-star text ops).
+
+Wordcount is the MapReduce hello-world (map=emit(word,1), combine,
+reduce=sum — SURVEY.md §2A); here it is explode + one hash aggregate with
+map-side partials supplied by Catalyst. TF-IDF is the reference's canonical
+chained-job pipeline (tf job → df job → idf join); here the chain is a lazy
+DAG of three aggregations the optimizer pipelines.
+
+Scale notes (100 TB posture):
+- explode(split) multiplies rows ~55× (measured avg tokens/doc) BEFORE the
+  shuffle, but partial aggregation collapses each partition to its distinct
+  (doc, token) pairs pre-shuffle — shuffled bytes are bounded by vocabulary,
+  not corpus size.
+- Every per-doc stat (lang-id, quality, token counts, fingerprints) is a
+  narrow projection: no shuffle at all, pure codegen'd map work.
+- doc-count N is a 1-row aggregate broadcast into the idf join — the
+  reference ships it via Configuration/DistributedCache (SURVEY.md §2A).
+
+Float policy: ratios/idf are rounded to 6 in BOTH engines (SURVEY.md §5.2.3);
+counts stay exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from machinelearningalgomapreduce_spark.functions.hashing import shingles
+from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+# Tiny function-word lexicon for the language-ID heuristic. The fixture
+# vocabulary is shared across langs (measured: all 5 langs draw the same 31
+# tokens), so the checked contract is "both engines score identically", not
+# "the guess recovers the hidden label".
+STOPWORDS = ("the", "a", "of", "is", "and")
+LANG_STOP_THRESHOLD = 0.08
+
+
+def _tokens(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic wordcount + document frequency per token."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select("doc_id", F.explode(_tokens()).alias("token"))
+    return tok.groupBy("token").agg(
+        F.count("*").alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+
+
+def q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF per (doc, token): tf * ln(N / df).
+
+    Three chained aggregations (tf, df, N) — the reference's three MapReduce
+    jobs — fused into one DAG; N is a broadcast 1-row join.
+    """
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select("doc_id", F.explode(_tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = t.documents.agg(F.count("*").alias("n_docs"))
+    return (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tf_idf"),
+        )
+    )
+
+
+def q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus rollup: doc counts, token/char statistics, langs."""
+    t = load_tables(spark, sf_dir)
+    toks = _tokens()
+    per_doc = t.documents.select(
+        "source",
+        "lang",
+        F.size(toks).alias("n_tokens"),
+        F.length("text").alias("text_chars"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("sum_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.round(F.avg("text_chars"), 6).alias("avg_chars"),
+        F.round(F.avg(F.col("n_distinct_tokens") / F.col("n_tokens").cast("double")), 6).alias(
+            "avg_distinct_ratio"
+        ),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting two ways per doc: whitespace split and a BPE-ish
+    regex ([a-z]+ runs — digits/punct become their own units)."""
+    t = load_tables(spark, sf_dir)
+    return t.documents.select(
+        "doc_id",
+        F.size(_tokens()).alias("n_ws_tokens"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit("[a-z]+"), 0)).alias("n_re_tokens"),
+        F.length("text").alias("n_text_chars"),
+        "n_chars",
+    )
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: function-word density → 'en' / 'unk'."""
+    t = load_tables(spark, sf_dir)
+    toks = _tokens()
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    frac = F.size(F.filter(toks, lambda x: F.array_contains(stop, x))) / F.size(toks).cast(
+        "double"
+    )
+    return t.documents.select(
+        "doc_id",
+        "lang",
+        F.round(frac, 6).alias("stopword_frac"),
+        F.when(frac >= LANG_STOP_THRESHOLD, F.lit("en")).otherwise(F.lit("unk")).alias(
+            "lang_pred"
+        ),
+    )
+
+
+def q_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality heuristics (pretraining-filter style): length band,
+    lexical diversity, function-word density → composite score in [0, 1]."""
+    t = load_tables(spark, sf_dir)
+    toks = _tokens()
+    n = F.size(toks).cast("double")
+    stop = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_frac = F.size(F.filter(toks, lambda x: F.array_contains(stop, x))) / n
+    diversity = F.size(F.array_distinct(toks)) / n
+    len_ok = F.when((n >= 20) & (n <= 80), 1.0).otherwise(0.0)
+    score = 0.4 * len_ok + 0.4 * diversity + 0.2 * F.least(stop_frac * 5, F.lit(1.0))
+    return t.documents.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.round(diversity, 6).alias("diversity"),
+        F.round(stop_frac, 6).alias("stop_frac"),
+        F.round(score, 6).alias("quality_score"),
+        (F.round(score, 6) >= 0.5).alias("keep"),
+    )
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprints: exact content hash + min-shingle hash (the
+    1-permutation MinHash — robust to local edits, cf. functions/hashing.py)."""
+    t = load_tables(spark, sf_dir)
+    sh = shingles(F.col("text"), k=3)
+    return t.documents.select(
+        "doc_id",
+        F.md5("text").alias("fp_exact"),
+        F.array_min(F.transform(sh, F.md5)).alias("fp_shingle"),
+    )
+
+
+QUERIES = {
+    "q_wordcount": q_wordcount,
+    "q_tfidf": q_tfidf,
+    "q_text_stats": q_text_stats,
+    "q_token_count": q_token_count,
+    "q_lang_id": q_lang_id,
+    "q_quality_score": q_quality_score,
+    "q_doc_fingerprint": q_doc_fingerprint,
+}
+
+_STOP_SQL = "['the','a','of','is','and']"
+
+ORACLES = {
+    "q_wordcount": """
+        SELECT token,
+               count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        GROUP BY token
+    """,
+    "q_tfidf": """
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+        ), df AS (
+            SELECT token, count(*) AS df FROM tf GROUP BY token
+        )
+        SELECT tf.doc_id, tf.token, tf.tf, df.df,
+               round(tf.tf * ln(CAST((SELECT count(*) FROM documents) AS DOUBLE) / df.df), 6)
+                   AS tf_idf
+        FROM tf JOIN df USING (token)
+    """,
+    "q_text_stats": """
+        WITH per_doc AS (
+            SELECT source, lang,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   length(text) AS text_chars,
+                   len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+               round(avg(n_tokens), 6) AS avg_tokens,
+               round(avg(text_chars), 6) AS avg_chars,
+               round(avg(CAST(n_distinct_tokens AS DOUBLE) / n_tokens), 6) AS avg_distinct_ratio,
+               count(DISTINCT lang) AS n_langs
+        FROM per_doc
+        GROUP BY source
+    """,
+    "q_token_count": """
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS INTEGER) AS n_ws_tokens,
+               CAST(len(regexp_extract_all(text, '[a-z]+')) AS INTEGER) AS n_re_tokens,
+               CAST(length(text) AS INTEGER) AS n_text_chars,
+               n_chars
+        FROM documents
+    """,
+    "q_lang_id": f"""
+        WITH scored AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(string_split(text, ' '),
+                                        t -> list_contains({_STOP_SQL}, t))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS frac
+            FROM documents
+        )
+        SELECT doc_id, lang,
+               round(frac, 6) AS stopword_frac,
+               CASE WHEN frac >= 0.08 THEN 'en' ELSE 'unk' END AS lang_pred
+        FROM scored
+    """,
+    "q_quality_score": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   string_split(text, ' ') AS toks,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+            FROM documents
+        ), feat AS (
+            SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
+                   len(list_distinct(toks)) / n AS diversity,
+                   len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) / n AS stop_frac,
+                   CASE WHEN n >= 20 AND n <= 80 THEN 1.0 ELSE 0.0 END AS len_ok
+            FROM base
+        )
+        SELECT doc_id, n_tokens,
+               round(diversity, 6) AS diversity,
+               round(stop_frac, 6) AS stop_frac,
+               round(0.4 * len_ok + 0.4 * diversity + 0.2 * least(stop_frac * 5, 1.0), 6)
+                   AS quality_score,
+               round(0.4 * len_ok + 0.4 * diversity + 0.2 * least(stop_frac * 5, 1.0), 6) >= 0.5
+                   AS keep
+        FROM feat
+    """,
+    "q_doc_fingerprint": """
+        WITH base AS (
+            SELECT doc_id, text, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        )
+        SELECT doc_id,
+               md5(text) AS fp_exact,
+               list_min(list_transform(
+                   range(1, greatest(n - 2, 1) + 1),
+                   i -> md5(array_to_string(toks[i:i+2], ' '))
+               )) AS fp_shingle
+        FROM base
+    """,
+}
