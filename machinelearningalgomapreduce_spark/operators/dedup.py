@@ -1,0 +1,303 @@
+"""Deduplication operators (SURVEY.md §2D; north-star LLM-pipeline surface).
+
+Four families over the documents table plus one over embeddings:
+- exact:      content-hash groups (one shuffle on md5(text)).
+- minhash:    shingle → 16 MinHash sigs → 4 LSH band keys → band-bucket
+              join → Jaccard verify. The shuffle moves BAND KEYS, not
+              documents — at 100 TB candidate generation is O(corpus), not
+              O(corpus²); only verified candidates pay the pairwise cost
+              (functions/hashing.py holds the deterministic primitives).
+- simhash:    32-bit fingerprint from per-token md5 bit votes, computed as
+              32 aggregate expressions in ONE hash aggregate (no 32× row
+              blowup), then a fingerprint-equality self-grouping.
+- ngram:      word-bigram Jaccard, blocked on the min-shingle fingerprint
+              (1-permutation MinHash LSH: same-block probability equals the
+              Jaccard itself, so ≥0.5-similar pairs are mostly retained and
+              the candidate set stays near-linear).
+- embedding:  cosine near-dup. Brute self-join here (fixture scale);
+              the LSH-bucketed scale path lives in operators/similarity.py.
+
+Every hash is md5-over-string, identical in Spark and DuckDB, so all five
+are exact sql-oracle checks. Thresholds were calibrated on the fixtures:
+near-dup clusters sit at Jaccard ≥ 0.7 with a clean gap below (measured
+25 pairs at sf0.01, 256 at sf0.1).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from machinelearningalgomapreduce_spark.functions.hashing import (
+    BAND_ROWS,
+    LSH_BANDS,
+    N_MINHASH,
+    band_key,
+    minhash_sig,
+    shingles,
+    tokens,
+)
+from machinelearningalgomapreduce_spark.functions.vectors import cosine
+from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+JACCARD_THRESHOLD = 0.7
+NGRAM_JACCARD_THRESHOLD = 0.5
+EMBEDDING_COSINE_THRESHOLD = 0.45
+SIMHASH_BITS = 32
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: md5 content groups; the survivor is the min doc_id."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.documents.groupBy(F.md5("text").alias("content_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count("*").alias("n_copies"))
+    )
+
+
+def _shingle_sets(documents: DataFrame) -> DataFrame:
+    return documents.select(
+        "doc_id", F.array_distinct(shingles(F.col("text"), k=3)).alias("sh")
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup: candidates from band buckets, then exact
+    Jaccard verification on the shingle sets (≥ 0.7 keeps true near-dups)."""
+    t = load_tables(spark, sf_dir)
+    base = _shingle_sets(t.documents)
+    sigs = base.select(
+        "doc_id",
+        *[minhash_sig(F.col("sh"), seed).alias(f"sig{seed}") for seed in range(N_MINHASH)],
+    )
+    band_cols = [
+        band_key([F.col(f"sig{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]).alias(f"band{b}")
+        for b in range(LSH_BANDS)
+    ]
+    melted = sigs.select(
+        "doc_id",
+        F.posexplode(F.array(*band_cols)).alias("band_id", "bkey"),
+    )
+    a, b = melted.alias("a"), melted.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", F.round(inter.cast("double") / union, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def _simhash_bit_vote(token_hash: Column, bit: int) -> Column:
+    """±1 vote for one fingerprint bit, extracted from the token's md5 hex."""
+    hex_val = F.instr(F.lit("0123456789abcdef"), F.substring(token_hash, bit // 4 + 1, 1)) - 1
+    return F.shiftright(hex_val, bit % 4).bitwiseAND(F.lit(1)) * 2 - 1
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dedup: 32-bit fingerprint = sign of per-bit votes over
+    the doc's distinct tokens; docs sharing a fingerprint form a cluster."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
+    ).withColumn("th", F.md5("token"))
+    votes = tok.groupBy("doc_id").agg(
+        *[F.sum(_simhash_bit_vote(F.col("th"), bit)).alias(f"v{bit}") for bit in range(SIMHASH_BITS)]
+    )
+    fingerprint = F.concat(
+        *[F.when(F.col(f"v{bit}") >= 0, "1").otherwise("0") for bit in range(SIMHASH_BITS)]
+    )
+    per_doc = votes.select("doc_id", fingerprint.alias("simhash"))
+    w = W.partitionBy("simhash")
+    return per_doc.select(
+        "doc_id",
+        "simhash",
+        F.count("*").over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.min("doc_id").over(w)).alias("keep"),
+    )
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-bigram Jaccard near-dedup, blocked on the min-shingle hash
+    (1-perm MinHash LSH) so candidate generation never goes all-pairs."""
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select(
+        "doc_id",
+        F.array_min(F.transform(shingles(F.col("text"), k=3), F.md5)).alias("block"),
+        F.array_distinct(shingles(F.col("text"), k=2)).alias("ng"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect("a.ng", "b.ng"))
+    union = F.size("a.ng") + F.size("b.ng") - inter
+    return (
+        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(inter.cast("double") / union, 6).alias("bigram_jaccard"),
+        )
+        .filter(F.col("bigram_jaccard") >= NGRAM_JACCARD_THRESHOLD)
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Brute-force pairwise at fixture
+    scale; at 100 TB use the LSH-bucketed candidate path
+    (operators/similarity.py::q_sim_ann) before the exact verify."""
+    t = load_tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= EMBEDDING_COSINE_THRESHOLD)
+    )
+
+
+QUERIES = {
+    "q_dedup_exact": q_dedup_exact,
+    "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_simhash": q_dedup_simhash,
+    "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_embedding": q_dedup_embedding,
+}
+
+# --- Oracle SQL. Shingle/hash expressions mirror functions/hashing.py
+# byte-for-byte (md5 hex is identical across engines).
+
+_SHINGLE3 = """list_distinct(list_transform(
+    range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+    i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))"""
+
+_SHINGLE2 = """list_distinct(list_transform(
+    range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+    i -> array_to_string((string_split(text, ' '))[i:i+1], ' ')))"""
+
+_SIGS = ",\n               ".join(
+    f"list_min(list_transform(sh, x -> md5('{seed}:' || x))) AS sig{seed}"
+    for seed in range(N_MINHASH)
+)
+_BAND_CASE = " ".join(
+    f"WHEN {b} THEN md5(concat_ws('|', "
+    + ", ".join(f"sig{b * BAND_ROWS + r}" for r in range(BAND_ROWS))
+    + "))"
+    for b in range(LSH_BANDS)
+)
+
+_VOTES = ",\n               ".join(
+    f"sum((((instr('0123456789abcdef', substr(th, {bit // 4 + 1}, 1)) - 1)"
+    f" >> {bit % 4}) & 1) * 2 - 1) AS v{bit}"
+    for bit in range(SIMHASH_BITS)
+)
+_FP = " || ".join(f"CASE WHEN v{bit} >= 0 THEN '1' ELSE '0' END" for bit in range(SIMHASH_BITS))
+
+ORACLES = {
+    "q_dedup_exact": """
+        SELECT md5(text) AS content_hash,
+               min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    "q_dedup_minhash": f"""
+        WITH base AS (
+            SELECT doc_id, {_SHINGLE3} AS sh FROM documents
+        ), sig AS (
+            SELECT doc_id,
+               {_SIGS}
+            FROM base
+        ), bands AS (
+            SELECT doc_id, band_id,
+                   CASE band_id {_BAND_CASE} END AS bkey
+            FROM sig, (SELECT unnest(range({LSH_BANDS})) AS band_id)
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM bands a JOIN bands b
+              ON a.band_id = b.band_id AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+        ), verified AS (
+            SELECT c.doc_a, c.doc_b,
+                   round(CAST(len(list_filter(sa.sh, x -> list_contains(sb.sh, x))) AS DOUBLE)
+                         / (len(sa.sh) + len(sb.sh)
+                            - len(list_filter(sa.sh, x -> list_contains(sb.sh, x)))), 6)
+                       AS jaccard
+            FROM cand c
+            JOIN base sa ON sa.doc_id = c.doc_a
+            JOIN base sb ON sb.doc_id = c.doc_b
+        )
+        SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "q_dedup_simhash": f"""
+        WITH tok AS (
+            SELECT doc_id, md5(token) AS th
+            FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+                  FROM documents)
+        ), votes AS (
+            SELECT doc_id,
+               {_VOTES}
+            FROM tok GROUP BY doc_id
+        ), fp AS (
+            SELECT doc_id, {_FP} AS simhash FROM votes
+        )
+        SELECT doc_id, simhash,
+               count(*) OVER (PARTITION BY simhash) AS cluster_size,
+               doc_id = min(doc_id) OVER (PARTITION BY simhash) AS keep
+        FROM fp
+    """,
+    "q_dedup_ngram_jaccard": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_min(list_transform({_SHINGLE3.replace('list_distinct(', '(', 1)}, x -> md5(x))) AS block,
+                   {_SHINGLE2} AS ng
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               round(CAST(len(list_filter(a.ng, x -> list_contains(b.ng, x))) AS DOUBLE)
+                     / (len(a.ng) + len(b.ng)
+                        - len(list_filter(a.ng, x -> list_contains(b.ng, x)))), 6)
+                   AS bigram_jaccard
+        FROM base a JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id
+        WHERE round(CAST(len(list_filter(a.ng, x -> list_contains(b.ng, x))) AS DOUBLE)
+                    / (len(a.ng) + len(b.ng)
+                       - len(list_filter(a.ng, x -> list_contains(b.ng, x)))), 6)
+              >= {NGRAM_JACCARD_THRESHOLD}
+    """,
+    "q_dedup_embedding": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               round(
+                 list_sum(list_transform(range(1, 65),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, 65),
+                        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+                 6) AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE round(
+                 list_sum(list_transform(range(1, 65),
+                     i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(range(1, 65),
+                        i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                  * sqrt(list_sum(list_transform(range(1, 65),
+                        i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+                 6) >= {EMBEDDING_COSINE_THRESHOLD}
+    """,
+}
