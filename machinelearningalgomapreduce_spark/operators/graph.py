@@ -1,0 +1,216 @@
+"""Graph / itemset algorithms (SURVEY.md §2C q_pagerank, q_apriori).
+
+PageRank is the reference class's canonical iterative MapReduce job
+(map: distribute rank/out-degree along edges; reduce: sum + damping).
+One iteration is SQL-expressible and oracle-checked here; the multi-
+iteration driver loop is `pagerank_iterate` (library API, pytest-verified)
+— it caches the invariant edge/degree frame and re-joins ranks each pass,
+replacing the reference's job-per-iteration HDFS round-trip.
+
+Apriori's candidate counting is support counting over baskets: 1- and
+2-itemset supports are plain aggregates; the scale path for deeper itemsets
+is MLlib FPGrowth (`fpgrowth_fit`).
+
+Scale notes: the edge list shuffles once on dst for the contribution sum;
+rank state is O(nodes) and never collected to the driver inside the loop.
+Basket self-joins are bounded by per-basket item count (≤ brand count),
+not corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+DAMPING = 0.85
+MIN_SUPPORT = 5
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bipartite customer→supplier edges from the order/lineitem graph."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.orders.join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+        )
+        .distinct()
+    )
+
+
+def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One PageRank iteration from uniform ranks over the cust→supp graph.
+
+    new_rank(v) = (1−d)/N + d · Σ_{u→v} rank(u)/outdeg(u), rank(u) = 1/N.
+    Dangling mass (suppliers have no out-edges) is dropped — the standard
+    simplification for a single checked iteration.
+    """
+    edges = _edges(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    n = nodes.agg(F.count("*").alias("n"))
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    contrib = (
+        edges.join(outdeg, "src")
+        .crossJoin(F.broadcast(n))
+        .groupBy("dst")
+        .agg(F.sum((1.0 / F.col("n")) / F.col("outdeg")).alias("in_sum"))
+    )
+    return (
+        nodes.crossJoin(F.broadcast(n))
+        .join(contrib, nodes.node == contrib.dst, "left")
+        .select(
+            "node",
+            F.round(
+                (1 - DAMPING) / F.col("n") + DAMPING * F.coalesce(F.col("in_sum"), F.lit(0.0)),
+                8,
+            ).alias("rank"),
+        )
+    )
+
+
+def pagerank_iterate(spark: SparkSession, sf_dir: str, n_iter: int = 10) -> DataFrame:
+    """Multi-iteration PageRank driver loop (library API).
+
+    The edge/degree frame is cached once (loop-invariant); ranks are
+    re-derived per pass and localCheckpoint'ed every few iterations to
+    truncate lineage (SURVEY.md §3.2).
+    """
+    edges = _edges(spark, sf_dir)
+    nodes = edges.select(F.col("src").alias("node")).union(
+        edges.select(F.col("dst").alias("node"))
+    ).distinct()
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).cache()
+    n_nodes = nodes.count()
+    ranks = nodes.select("node", F.lit(1.0 / n_nodes).alias("rank"))
+    for i in range(n_iter):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks, edges.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("in_sum"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1 - DAMPING) / n_nodes)
+                    + DAMPING * F.coalesce(F.col("in_sum"), F.lit(0.0))
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % 3 == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def _baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order → distinct brand items (lineitem ⋈ broadcast(part))."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.join(F.broadcast(t.part), t.lineitem.l_partkey == t.part.p_partkey)
+        .select(F.col("l_orderkey").alias("basket"), F.col("p_brand").alias("item"))
+        .distinct()
+    )
+
+
+def q_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent 2-itemsets with confidence and lift over brand baskets —
+    Apriori's candidate-counting pass as one self-join + aggregates."""
+    baskets = _baskets(spark, sf_dir)
+    n_baskets = baskets.select("basket").distinct().agg(F.count("*").alias("n_baskets"))
+    item_sup = baskets.groupBy("item").agg(F.count("*").alias("sup"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair_sup = (
+        a.join(b, (F.col("a.basket") == F.col("b.basket")) & (F.col("a.item") < F.col("b.item")))
+        .groupBy(F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b"))
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= MIN_SUPPORT)
+    )
+    sup_a = item_sup.select(F.col("item").alias("item_a"), F.col("sup").alias("sup_a"))
+    sup_b = item_sup.select(F.col("item").alias("item_b"), F.col("sup").alias("sup_b"))
+    return (
+        pair_sup.join(F.broadcast(sup_a), "item_a")
+        .join(F.broadcast(sup_b), "item_b")
+        .crossJoin(F.broadcast(n_baskets))
+        .select(
+            "item_a",
+            "item_b",
+            "support",
+            F.round(F.col("support") / F.col("sup_a").cast("double"), 6).alias("confidence"),
+            F.round(
+                (F.col("support") / F.col("sup_a").cast("double"))
+                / (F.col("sup_b") / F.col("n_baskets").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+def fpgrowth_fit(spark: SparkSession, sf_dir: str, min_support: float = 0.05):
+    """Deeper itemsets via MLlib FPGrowth (library API, pytest-verified)."""
+    from pyspark.ml.fpm import FPGrowth
+
+    baskets = _baskets(spark, sf_dir)
+    data = baskets.groupBy("basket").agg(F.collect_set("item").alias("items"))
+    return FPGrowth(itemsCol="items", minSupport=min_support, minConfidence=0.1).fit(data)
+
+
+QUERIES = {
+    "q_pagerank": q_pagerank,
+    "q_apriori": q_apriori,
+}
+
+ORACLES = {
+    "q_pagerank": f"""
+        WITH edges AS (
+            SELECT DISTINCT 'c:' || o_custkey AS src, 's:' || l_suppkey AS dst
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), nodes AS (
+            SELECT DISTINCT node FROM (
+                SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+        ), n AS (
+            SELECT count(*) AS n FROM nodes
+        ), outdeg AS (
+            SELECT src, count(*) AS outdeg FROM edges GROUP BY src
+        ), contrib AS (
+            SELECT e.dst, sum((1.0 / n.n) / o.outdeg) AS in_sum
+            FROM edges e JOIN outdeg o USING (src) CROSS JOIN n
+            GROUP BY e.dst
+        )
+        SELECT nodes.node,
+               round((1 - {DAMPING}) / n.n
+                     + {DAMPING} * coalesce(contrib.in_sum, 0.0), 8) AS rank
+        FROM nodes CROSS JOIN n
+        LEFT JOIN contrib ON contrib.dst = nodes.node
+    """,
+    "q_apriori": f"""
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey AS basket, p_brand AS item
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+        ), n AS (
+            SELECT count(DISTINCT basket) AS n_baskets FROM baskets
+        ), item_sup AS (
+            SELECT item, count(*) AS sup FROM baskets GROUP BY item
+        ), pair_sup AS (
+            SELECT a.item AS item_a, b.item AS item_b, count(*) AS support
+            FROM baskets a JOIN baskets b
+              ON a.basket = b.basket AND a.item < b.item
+            GROUP BY 1, 2
+            HAVING count(*) >= {MIN_SUPPORT}
+        )
+        SELECT p.item_a, p.item_b, p.support,
+               round(p.support / CAST(sa.sup AS DOUBLE), 6) AS confidence,
+               round((p.support / CAST(sa.sup AS DOUBLE))
+                     / (sb.sup / CAST(n.n_baskets AS DOUBLE)), 6) AS lift
+        FROM pair_sup p
+        JOIN item_sup sa ON sa.item = p.item_a
+        JOIN item_sup sb ON sb.item = p.item_b
+        CROSS JOIN n
+    """,
+}

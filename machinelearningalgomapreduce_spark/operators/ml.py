@@ -1,0 +1,422 @@
+"""ML algorithms as declarative DataFrame queries (SURVEY.md §2C).
+
+The reference repo class implements these as hand-written MapReduce jobs
+(mapper emits partial statistics, reducer folds them, driver loops);
+here every one is a Catalyst plan: partial aggregation replaces Combiners,
+broadcast joins replace DistributedCache model shipping, and the iterative
+loop body (one k-means/logreg step) is a pure SQL-expressible query so the
+DuckDB oracle can hash-check it. Full multi-iteration fits via MLlib are
+library API (`kmeans_fit`, `logreg_fit`) exercised from pytest — sketch
+internals are not cross-engine hashable.
+
+Scale notes (100 TB posture):
+- Model state (centroids, gradients, NB likelihoods) is O(k·d) — always the
+  broadcast side; the data side is never collected.
+- k-means assign is data ⋈ broadcast(centroids): embarrassingly parallel,
+  no shuffle of the fact table; the only shuffle is the O(k·d) centroid
+  recompute aggregate with map-side partials.
+- kNN brute-force is queries × corpus — kept for oracle checking; the
+  scale path is cell-pruned search (operators/similarity.py::q_sim_ann).
+- Float policy: centroid/gradient aggregates are rounded to 6 in both
+  engines BEFORE downstream use, so argmin/ordering decisions never depend
+  on summation order (SURVEY.md §5.2.3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from machinelearningalgomapreduce_spark.functions.vectors import as_double, cosine, fsum
+from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
+
+KNN_K = 10
+KNN_QUERY_STRIDE = 50  # vec_id % stride == 0 → query point
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Seeded centroids: per-label dimension means (label = seed cluster),
+    rounded to 6 so both engines agree bit-for-bit on the model.
+
+    Returns (label, centroid: array<double> ordered by dimension).
+    """
+    per_dim = (
+        embeddings.select("label", F.posexplode("embedding").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+    )
+    return (
+        per_dim.groupBy("label")
+        .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+        .select("label", F.transform("dc", lambda s: s["c"]).alias("centroid"))
+    )
+
+
+def assign_nearest(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Assign each vector to its nearest centroid (squared L2, rounded;
+    ties break on centroid id). centroids is broadcast — the
+    DistributedCache idiom (SURVEY.md §2A)."""
+    sq = F.zip_with(
+        as_double(F.col("embedding")), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+    )
+    dist2 = F.round(fsum(sq), 6)
+    scored = embeddings.crossJoin(
+        F.broadcast(centroids.select(F.col("label").alias("cluster"), "centroid"))
+    ).select("vec_id", "label", "cluster", dist2.alias("dist2"))
+    w = W.partitionBy("vec_id").orderBy("dist2", "cluster")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means iteration, assign step: nearest of the 10 label-seeded
+    centroids for every vector (the reference's per-iteration map phase)."""
+    t = load_tables(spark, sf_dir)
+    return assign_nearest(t.embeddings, label_centroids(t.embeddings))
+
+
+def q_kmeans_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One k-means iteration, update step: recompute centroids from the
+    fresh assignments (the reference's reduce phase). Output is the new
+    model — (cluster, dimension, coordinate)."""
+    t = load_tables(spark, sf_dir)
+    assigned = assign_nearest(t.embeddings, label_centroids(t.embeddings))
+    return (
+        assigned.join(t.embeddings.select("vec_id", "embedding"), "vec_id")
+        .select("cluster", F.posexplode("embedding").alias("d0", "x"))
+        .select("cluster", (F.col("d0") + 1).cast("bigint").alias("d"), "x")  # 1-based dims
+        .groupBy("cluster", "d")
+        .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"), F.count("*").alias("n"))
+    )
+
+
+def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN classifier: for each query vector (every 50th id), the majority
+    label among its 10 nearest neighbors by cosine. Brute-force scoring
+    (oracle-checkable); cell-pruned ANN is the 100 TB path."""
+    t = load_tables(spark, sf_dir)
+    e = t.embeddings
+    q = e.filter(F.col("vec_id") % KNN_QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("query_label"),
+        F.col("embedding").alias("qv"),
+    )
+    cos = F.round(cosine(F.col("qv"), F.col("embedding")), 6)
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    neighbors = (
+        q.join(e, F.col("query_id") != F.col("vec_id"))
+        .select("query_id", "query_label", "vec_id", "label", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= KNN_K)
+    )
+    vote_w = W.partitionBy("query_id").orderBy(F.desc("n_votes"), "label")
+    return (
+        neighbors.groupBy("query_id", "query_label", "label")
+        .agg(F.count("*").alias("n_votes"))
+        .withColumn("vr", F.row_number().over(vote_w))
+        .filter(F.col("vr") == 1)
+        .select("query_id", "query_label", F.col("label").alias("pred_label"), "n_votes")
+    )
+
+
+def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multinomial Naive Bayes model over documents (class = source):
+    log-priors and Laplace-smoothed per-token log-likelihoods — the
+    reference's two counting jobs fused into one aggregation DAG."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select("source", F.explode(F.split("text", " ")).alias("token"))
+    class_tokens = tok.groupBy("source").agg(F.count("*").alias("class_total"))
+    token_counts = tok.groupBy("source", "token").agg(F.count("*").alias("n_tok"))
+    vocab = tok.agg(F.countDistinct("token").alias("v"))
+    n_docs = t.documents.agg(F.count("*").alias("n_docs"))
+    priors = (
+        t.documents.groupBy("source")
+        .agg(F.count("*").alias("n_class_docs"))
+        .crossJoin(F.broadcast(n_docs))
+        .select("source", F.round(F.log(F.col("n_class_docs") / F.col("n_docs")), 6).alias("log_prior"))
+    )
+    return (
+        token_counts.join(class_tokens, "source")
+        .crossJoin(F.broadcast(vocab))
+        .join(F.broadcast(priors), "source")
+        .select(
+            "source",
+            "token",
+            "n_tok",
+            "log_prior",
+            F.round(
+                F.log((F.col("n_tok") + 1) / (F.col("class_total") + F.col("v")).cast("double")), 6
+            ).alias("log_likelihood"),
+        )
+    )
+
+
+def q_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form simple linear regression per l_returnflag:
+    l_extendedprice ~ l_quantity. Slope/intercept/r² from the five sufficient
+    statistics (Σx, Σy, Σxy, Σx², Σy², n) — the exact partial sums the
+    reference's mapper would emit; identical formula in the oracle so no
+    engine-internal regr_* implementation differences leak in."""
+    t = load_tables(spark, sf_dir)
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    stats = t.lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return stats.select(
+        "l_returnflag",
+        "n",
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r * r, 6).alias("r2"),
+    )
+
+
+def q_logreg_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One logistic-regression gradient step from β = 0 on the embeddings
+    (binary target: label ≥ 5). At β=0 the prediction is 0.5 everywhere, so
+    grad_d = Σ (0.5 − y)·x_d — one per-dimension aggregate, the reference's
+    map(gradient)+reduce(sum) iteration body."""
+    t = load_tables(spark, sf_dir)
+    y = (F.col("label") >= 5).cast("double")
+    per_dim = t.embeddings.select(
+        y.alias("y"), F.posexplode("embedding").alias("d0", "x")
+    ).select(
+        (F.col("d0") + 1).cast("bigint").alias("d"),  # 1-based to match the oracle
+        ((F.lit(0.5) - F.col("y")) * F.col("x").cast("double")).alias("g"),
+    )
+    n = t.embeddings.agg(F.count("*").alias("n"))
+    return (
+        per_dim.groupBy("d")
+        .agg(F.sum("g").alias("grad_sum"))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "d",
+            F.round(F.col("grad_sum") / F.col("n"), 6).alias("grad"),
+            F.round(-0.1 * F.col("grad_sum") / F.col("n"), 6).alias("beta_new"),
+        )
+    )
+
+
+def q_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COO sparse matrix multiply C = A·B — the classic two-job MapReduce
+    algorithm as one join + aggregate. A: lineitem quantities bucketed to
+    50×20; B: part prices bucketed to 20×10; join on the shared k index,
+    group by output cell. Catalyst gives map-side partial sums; the single
+    shuffle is on (i, j)."""
+    t = load_tables(spark, sf_dir)
+    a = (
+        t.lineitem.select(
+            (F.col("l_orderkey") % 50).alias("i"),
+            (F.col("l_partkey") % 20).alias("k"),
+            F.col("l_quantity").alias("va"),
+        )
+        .groupBy("i", "k")
+        .agg(F.sum("va").alias("va"))  # integral doubles: exact
+    )
+    b = (
+        t.part.select(
+            (F.col("p_partkey") % 20).alias("k"),
+            (F.col("p_size") % 10).alias("j"),
+            F.col("p_retailprice").alias("vb"),
+        )
+        .groupBy("k", "j")
+        .agg(F.round(F.sum("vb"), 2).alias("vb"))
+    )
+    return (
+        a.join(b, "k")
+        .groupBy("i", "j")
+        .agg(F.round(F.sum(F.col("va") * F.col("vb")), 2).alias("c_val"))
+    )
+
+
+# ------------------------------------------------------- MLlib-backed fits
+# Library API only (pytest-verified): sketch/optimizer internals are not
+# cross-engine hashable, so these stay out of the driver contract.
+
+def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = 10, seed: int = 42):
+    """Full k-means fit via MLlib on the embeddings. Returns (model, cost)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    t = load_tables(spark, sf_dir)
+    data = t.embeddings.select(
+        "vec_id", array_to_vector(as_double(F.col("embedding"))).alias("features")
+    )
+    model = KMeans(k=k, seed=seed, maxIter=20).fit(data)
+    return model, model.summary.trainingCost
+
+
+def logreg_fit(spark: SparkSession, sf_dir: str, max_iter: int = 10):
+    """Binary logistic regression fit via MLlib (target: label ≥ 5)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    t = load_tables(spark, sf_dir)
+    data = t.embeddings.select(
+        array_to_vector(as_double(F.col("embedding"))).alias("features"),
+        (F.col("label") >= 5).cast("double").alias("label"),
+    )
+    return LogisticRegression(maxIter=max_iter, regParam=0.01).fit(data)
+
+
+QUERIES = {
+    "q_kmeans_assign": q_kmeans_assign,
+    "q_kmeans_recompute": q_kmeans_recompute,
+    "q_knn": q_knn,
+    "q_naive_bayes": q_naive_bayes,
+    "q_linreg": q_linreg,
+    "q_logreg_step": q_logreg_step,
+    "q_matmul": q_matmul,
+}
+
+_DIMS = f"range(1, {EMBEDDING_DIM + 1})"
+
+# Shared oracle CTE: label-seeded centroids as ordered lists, then nearest-
+# centroid assignment with the same rounded-distance + id tie-break.
+_ASSIGN_CTES = f"""
+        cent_dims AS (
+            SELECT label, d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS c
+            FROM embeddings, (SELECT unnest({_DIMS}) AS d)
+            GROUP BY label, d
+        ), cent AS (
+            SELECT label AS cluster, list(c ORDER BY d) AS centroid
+            FROM cent_dims GROUP BY label
+        ), scored AS (
+            SELECT e.vec_id, e.label, c.cluster,
+                   round(list_sum(list_transform({_DIMS},
+                       i -> (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i])
+                          * (CAST(e.embedding[i] AS DOUBLE) - c.centroid[i]))), 6) AS dist2
+            FROM embeddings e CROSS JOIN cent c
+        ), assigned AS (
+            SELECT vec_id, label, cluster, dist2
+            FROM (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY dist2, cluster) AS rn
+                  FROM scored)
+            WHERE rn = 1
+        )"""
+
+_COS = """round(
+    list_sum(list_transform({dims}, i -> CAST(q.qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform({dims}, i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform({dims}, i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
+    6)""".format(dims=_DIMS)
+
+ORACLES = {
+    "q_kmeans_assign": f"""
+        WITH {_ASSIGN_CTES}
+        SELECT vec_id, label, cluster, dist2 FROM assigned
+    """,
+    "q_kmeans_recompute": f"""
+        WITH {_ASSIGN_CTES}
+        SELECT a.cluster, d.d,
+               round(avg(CAST(e.embedding[d.d] AS DOUBLE)), 6) AS c,
+               count(*) AS n
+        FROM assigned a
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        CROSS JOIN (SELECT unnest({_DIMS}) AS d) d
+        GROUP BY a.cluster, d.d
+    """,
+    "q_knn": f"""
+        WITH q AS (
+            SELECT vec_id AS query_id, label AS query_label, embedding AS qv
+            FROM embeddings WHERE vec_id % {KNN_QUERY_STRIDE} = 0
+        ), scored AS (
+            SELECT q.query_id, q.query_label, e.vec_id, e.label,
+                   {_COS} AS cos_sim
+            FROM q JOIN embeddings e ON q.query_id <> e.vec_id
+        ), topk AS (
+            SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                                             ORDER BY cos_sim DESC, vec_id) AS rn
+                FROM scored)
+            WHERE rn <= {KNN_K}
+        ), votes AS (
+            SELECT query_id, query_label, label, count(*) AS n_votes
+            FROM topk GROUP BY query_id, query_label, label
+        )
+        SELECT query_id, query_label, label AS pred_label, n_votes
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY n_votes DESC, label) AS vr
+              FROM votes)
+        WHERE vr = 1
+    """,
+    "q_naive_bayes": """
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+        ), class_tokens AS (
+            SELECT source, count(*) AS class_total FROM tok GROUP BY source
+        ), token_counts AS (
+            SELECT source, token, count(*) AS n_tok FROM tok GROUP BY source, token
+        ), priors AS (
+            SELECT source,
+                   round(ln(CAST(count(*) AS DOUBLE)
+                            / (SELECT count(*) FROM documents)), 6) AS log_prior
+            FROM documents GROUP BY source
+        )
+        SELECT tc.source, tc.token, tc.n_tok, p.log_prior,
+               round(ln((tc.n_tok + 1)
+                        / CAST(ct.class_total + (SELECT count(DISTINCT token) FROM tok)
+                               AS DOUBLE)), 6) AS log_likelihood
+        FROM token_counts tc
+        JOIN class_tokens ct USING (source)
+        JOIN priors p ON p.source = tc.source
+    """,
+    "q_linreg": """
+        WITH stats AS (
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   sum(l_quantity) AS sx,
+                   sum(l_extendedprice) AS sy,
+                   sum(l_quantity * l_extendedprice) AS sxy,
+                   sum(l_quantity * l_quantity) AS sxx,
+                   sum(l_extendedprice * l_extendedprice) AS syy
+            FROM lineitem GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+               round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n, 6) AS intercept,
+               round(((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)))
+                     * ((n * sxy - sx * sy) / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))),
+                     6) AS r2
+        FROM stats
+    """,
+    "q_logreg_step": f"""
+        WITH per_dim AS (
+            SELECT d.d,
+                   sum((0.5 - CAST(label >= 5 AS DOUBLE)) * CAST(embedding[d.d] AS DOUBLE))
+                       AS grad_sum
+            FROM embeddings, (SELECT unnest({_DIMS}) AS d) d
+            GROUP BY d.d
+        )
+        SELECT d,
+               round(grad_sum / (SELECT count(*) FROM embeddings), 6) AS grad,
+               round(-0.1 * grad_sum / (SELECT count(*) FROM embeddings), 6) AS beta_new
+        FROM per_dim
+    """,
+    "q_matmul": """
+        WITH a AS (
+            SELECT l_orderkey % 50 AS i, l_partkey % 20 AS k, sum(l_quantity) AS va
+            FROM lineitem GROUP BY 1, 2
+        ), b AS (
+            SELECT p_partkey % 20 AS k, p_size % 10 AS j, round(sum(p_retailprice), 2) AS vb
+            FROM part GROUP BY 1, 2
+        )
+        SELECT a.i, b.j, round(sum(a.va * b.vb), 2) AS c_val
+        FROM a JOIN b USING (k)
+        GROUP BY a.i, b.j
+    """,
+}

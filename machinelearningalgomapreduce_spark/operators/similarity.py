@@ -1,0 +1,134 @@
+"""Similarity search over the embeddings table (SURVEY.md §2D q_sim_topk;
+north-star ANN surface).
+
+Two paths, same semantics:
+- q_sim_topk — brute-force global top-k cosine pairs. Exact, quadratic:
+  this is the oracle-checkable baseline and the verify stage of every
+  approximate pipeline. Ranking uses the ROUNDED cosine with a total id
+  tie-break, so the top-k set is engine-independent.
+- q_sim_ann — IVF-style cell-pruned search: vectors are bucketed to their
+  nearest seeded centroid (the coarse quantizer; reuses the k-means
+  assignment), queries probe ONLY their own cell. At 100 TB the centroid
+  set is broadcast, the corpus is hash-partitioned by cell, and each probe
+  touches 1/k of the data — candidate generation is linear, never
+  all-pairs. (The same shape backs q_dedup_embedding at scale.)
+
+Both are exact sql-oracle checks — the IVF pruning is deterministic
+because the quantizer (rounded centroids, rounded distances, id
+tie-breaks) is bit-identical in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from machinelearningalgomapreduce_spark.functions.vectors import cosine
+from machinelearningalgomapreduce_spark.operators.ml import (
+    _ASSIGN_CTES,
+    assign_nearest,
+    label_centroids,
+)
+from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
+
+TOPK_PAIRS = 20
+ANN_QUERY_STRIDE = 100
+ANN_K = 3
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 most-similar embedding pairs by cosine (brute force)."""
+    t = load_tables(spark, sf_dir)
+    e = t.embeddings.select("vec_id", "embedding")
+    a, b = e.alias("a"), e.alias("b")
+    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "id_a", "id_b")
+        .limit(TOPK_PAIRS)
+    )
+
+
+def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pruned ANN: top-3 neighbors per query (every 100th id), searching
+    only the query's own coarse cell instead of the full corpus."""
+    t = load_tables(spark, sf_dir)
+    cells = assign_nearest(t.embeddings, label_centroids(t.embeddings)).select(
+        "vec_id", "cluster"
+    )
+    e = t.embeddings.join(cells, "vec_id").select("vec_id", "embedding", "cluster")
+    q = e.filter(F.col("vec_id") % ANN_QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("cluster").alias("qcell"),
+    )
+    cos = F.round(cosine(F.col("qv"), F.col("embedding")), 6)
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        q.join(e, (F.col("qcell") == F.col("cluster")) & (F.col("query_id") != F.col("vec_id")))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("qcell").alias("cell"),
+            cos.alias("cos_sim"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+    )
+
+
+QUERIES = {
+    "q_sim_topk": q_sim_topk,
+    "q_sim_ann": q_sim_ann,
+}
+
+_DIMS = f"range(1, {EMBEDDING_DIM + 1})"
+
+_PAIR_COS = f"""round(
+    list_sum(list_transform({_DIMS}, i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform({_DIMS}, i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform({_DIMS}, i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+    6)"""
+
+ORACLES = {
+    "q_sim_topk": f"""
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_PAIR_COS} AS cos_sim
+        FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        ORDER BY cos_sim DESC, id_a, id_b
+        LIMIT {TOPK_PAIRS}
+    """,
+    "q_sim_ann": f"""
+        WITH {_ASSIGN_CTES},
+        cells AS (
+            SELECT e.vec_id, e.embedding, a.cluster
+            FROM embeddings e JOIN assigned a USING (vec_id)
+        ), q AS (
+            SELECT vec_id AS query_id, embedding AS qv, cluster AS qcell
+            FROM cells WHERE vec_id % {ANN_QUERY_STRIDE} = 0
+        ), probe AS (
+            SELECT q.query_id, b.vec_id AS neighbor_id, q.qcell AS cell,
+                   round(
+                     list_sum(list_transform({_DIMS},
+                         i -> CAST(q.qv[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform({_DIMS},
+                            i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform({_DIMS},
+                            i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+                     6) AS cos_sim
+            FROM q JOIN cells b
+              ON q.qcell = b.cluster AND q.query_id <> b.vec_id
+        )
+        SELECT query_id, neighbor_id, cell, cos_sim, CAST(rank AS INTEGER) AS rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos_sim DESC, neighbor_id) AS rank
+              FROM probe)
+        WHERE rank <= {ANN_K}
+    """,
+}
