@@ -38,7 +38,7 @@ from machinelearningalgomapreduce_spark.functions.hashing import (
     shingles,
     tokens,
 )
-from machinelearningalgomapreduce_spark.functions.vectors import cosine
+from machinelearningalgomapreduce_spark.functions.vectors import dot, norm
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
 JACCARD_THRESHOLD = 0.7
@@ -159,9 +159,14 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale; at 100 TB use the LSH-bucketed candidate path
     (operators/similarity.py::q_sim_ann) before the exact verify."""
     t = load_tables(spark, sf_dir)
-    e = t.embeddings.select("vec_id", "embedding")
+    # Per-vector norms precomputed; each candidate pair pays only the dot.
+    e = t.embeddings.select("vec_id", "embedding", norm(F.col("embedding")).alias("vnorm"))
     a, b = e.alias("a"), e.alias("b")
-    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    cos = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.vnorm") * F.col("b.vnorm")),
+        6,
+    )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(

@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from machinelearningalgomapreduce_spark.functions.vectors import as_double, cosine, fsum
+from machinelearningalgomapreduce_spark.functions.vectors import as_double, dot, fsum, norm
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
 
@@ -100,13 +100,17 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     label among its 10 nearest neighbors by cosine. Brute-force scoring
     (oracle-checkable); cell-pruned ANN is the 100 TB path."""
     t = load_tables(spark, sf_dir)
-    e = t.embeddings
+    # Precompute each vector's norm BEFORE the pairwise join: per pair only
+    # the dot product remains (the norm column is computed once per input
+    # row and reused across all its join matches in the codegen'd loop).
+    e = t.embeddings.withColumn("vnorm", norm(F.col("embedding")))
     q = e.filter(F.col("vec_id") % KNN_QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
         F.col("embedding").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
     )
-    cos = F.round(cosine(F.col("qv"), F.col("embedding")), 6)
+    cos = F.round(dot(F.col("qv"), F.col("embedding")) / (F.col("qnorm") * F.col("vnorm")), 6)
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
     neighbors = (
         q.join(e, F.col("query_id") != F.col("vec_id"))

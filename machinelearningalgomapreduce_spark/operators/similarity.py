@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from machinelearningalgomapreduce_spark.functions.vectors import cosine
+from machinelearningalgomapreduce_spark.functions.vectors import dot, norm
 from machinelearningalgomapreduce_spark.operators.ml import (
     _ASSIGN_CTES,
     assign_nearest,
@@ -41,9 +41,14 @@ ANN_K = 3
 def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-20 most-similar embedding pairs by cosine (brute force)."""
     t = load_tables(spark, sf_dir)
-    e = t.embeddings.select("vec_id", "embedding")
+    # Norms precomputed per vector; the pairwise loop pays only the dot.
+    e = t.embeddings.select("vec_id", "embedding", norm(F.col("embedding")).alias("vnorm"))
     a, b = e.alias("a"), e.alias("b")
-    cos = F.round(cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    cos = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.vnorm") * F.col("b.vnorm")),
+        6,
+    )
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -63,13 +68,16 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = assign_nearest(t.embeddings, label_centroids(t.embeddings)).select(
         "vec_id", "cluster"
     )
-    e = t.embeddings.join(cells, "vec_id").select("vec_id", "embedding", "cluster")
+    e = t.embeddings.join(cells, "vec_id").select(
+        "vec_id", "embedding", "cluster", norm(F.col("embedding")).alias("vnorm")
+    )
     q = e.filter(F.col("vec_id") % ANN_QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("cluster").alias("qcell"),
+        F.col("vnorm").alias("qnorm"),
     )
-    cos = F.round(cosine(F.col("qv"), F.col("embedding")), 6)
+    cos = F.round(dot(F.col("qv"), F.col("embedding")) / (F.col("qnorm") * F.col("vnorm")), 6)
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         q.join(e, (F.col("qcell") == F.col("cluster")) & (F.col("query_id") != F.col("vec_id")))
