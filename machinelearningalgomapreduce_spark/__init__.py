@@ -11,8 +11,8 @@ reference file:line. The reference's surface is reconstructed in SURVEY.md §2.
 Layout:
     sources/    — table schemas + loaders (Parquet scan layer)
     operators/  — the query surface (relational, ML, LLM-ops, events)
-    functions/  — reusable column expressions (vector math, hashing)
-    plans/      — tuning/diagnostics helpers (broadcast, salting, explain)
+    functions/  — reusable column expressions (vector math, hashing, UDFs)
+    plans/      — physical-plan inspection (pushdown/broadcast/shuffle checks)
     streaming/  — Structured Streaming wrappers over the batch operators
     multimodal/ — binary-column (image/audio) plumbing with stubbed decoders
     registry.py — assembles queries() / oracle_sql() for the driver harness

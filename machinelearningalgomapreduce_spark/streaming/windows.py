@@ -1,0 +1,111 @@
+"""Structured Streaming wrappers (SURVEY.md §2E stretch surface).
+
+The oracle-checked batch operators in operators/events.py define the
+semantics; these wrappers run the SAME aggregation expressions as a
+Structured Streaming job (readStream → watermark → windowed agg), so a
+deployment can move from backfill (batch) to live (stream) without
+changing the query logic. Not oracle-checkable (the driver's DuckDB
+harness is batch-only) — pytest drives them with trigger(availableNow)
+into a memory sink and diffs against the batch results.
+
+Scale notes: watermark + windowed aggregation is incremental state in the
+state store, keyed by (window, event_type) / session key — state size is
+bounded by open windows × key cardinality, not stream length. The
+sessionization uses F.session_window (native gap-based session windows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# Raw schema of the events fixture as Spark reads it with nanosAsLong on:
+# ts arrives as INT64 nanoseconds; converted to a proper timestamp below
+# exactly as sources/catalog.py::load_table does for batch.
+_RAW_EVENTS = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the batch-identical ns→µs
+    timestamp conversion."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The fixture is a single file and FileStreamSource requires a
+    # directory: stream the parent dir filtered to just events.parquet.
+    raw = (
+        spark.readStream.schema(_RAW_EVENTS)
+        .format("parquet")
+        .option("pathGlobFilter", "events.parquet")
+        .load(sf_dir)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of operators/events.py::q_events_tumbling."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of q_events_sliding (1 h window, 15 min slide)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
+    )
+
+
+def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Native gap-based session windows (streaming analog of q_sessionize's
+    session assignment; state = one open session per user)."""
+    return (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def dedup_late_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of q_late_data: watermark + dropDuplicates on
+    event_id (state bounded by the watermark horizon)."""
+    return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
+
+
+def run_to_memory(stream_df: DataFrame, table_name: str, output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming query to completion with trigger(availableNow)
+    into a memory sink; returns the result as a batch DataFrame.
+    Use output_mode='append' for non-aggregating streams (e.g. dedup)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(table_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(table_name)

@@ -1,0 +1,52 @@
+"""Physical-plan assertions: the 100 TB posture rules hold in the actual
+plans, not just in docstrings (SURVEY.md §4.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from machinelearningalgomapreduce_spark import registry
+from machinelearningalgomapreduce_spark.plans import inspect as P
+
+
+@pytest.fixture(scope="module")
+def queries():
+    return registry.queries()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir, queries):
+    assert P.has_pushed_filters(queries["q_filter_pred"](spark, sf_dir))
+    assert P.has_pushed_filters(queries["q_filter_agg"](spark, sf_dir))
+
+
+def test_column_pruning_scan_project(spark, sf_dir, queries):
+    [cols] = P.scan_read_columns(queries["q_scan_project"](spark, sf_dir))
+    # part has 6 columns; the query touches exactly 4.
+    assert sorted(cols) == ["p_name", "p_partkey", "p_retailprice", "p_type"]
+
+
+def test_dimension_joins_broadcast(spark, sf_dir, queries):
+    assert P.count_broadcast_joins(queries["q_join_broadcast"](spark, sf_dir)) >= 2
+    assert P.count_broadcast_joins(queries["q_join5_region"](spark, sf_dir)) >= 3
+
+
+def test_topk_plans_take_ordered(spark, sf_dir, queries):
+    assert P.uses_take_ordered(queries["q_sort_limit"](spark, sf_dir))
+    assert P.uses_take_ordered(queries["q_join3_topk"](spark, sf_dir))
+
+
+def test_whole_stage_codegen_on_hot_paths(spark, sf_dir, queries):
+    for name in ("q_pricing_summary", "q_filter_agg", "q_wordcount"):
+        assert P.has_whole_stage_codegen(queries[name](spark, sf_dir)), name
+
+
+def test_sessionize_single_shuffle(spark, sf_dir, queries):
+    # One hash-partitioning exchange on user_id; lag + running sum reuse it.
+    assert P.count_exchanges(queries["q_sessionize"](spark, sf_dir)) <= 1
+
+
+def test_kmeans_assign_no_fact_shuffle(spark, sf_dir, queries):
+    # Centroids are broadcast; the embeddings side must not shuffle for the
+    # assignment itself (exchanges only inside the tiny centroid aggregate).
+    plan = P.formatted_plan(queries["q_kmeans_assign"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

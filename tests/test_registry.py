@@ -1,0 +1,54 @@
+"""Driver-contract invariants: queries()/oracle_sql() stay in sync."""
+
+from __future__ import annotations
+
+from machinelearningalgomapreduce_spark import registry
+
+
+def test_every_query_has_an_oracle():
+    # The driver ERRORS on oracle-less queries (round-1 q_distinct_users_approx
+    # lesson) — every declared query must carry a SQL oracle.
+    q, o = registry.queries(), registry.oracle_sql()
+    assert set(q) == set(o), f"out of sync: {set(q) ^ set(o)}"
+
+
+def test_oracles_are_nonempty_single_statements():
+    for name, sql in registry.oracle_sql().items():
+        assert sql.strip(), name
+        assert ";" not in sql, f"{name}: oracle must be a single statement"
+
+
+def test_queries_are_callables_with_uniform_signature():
+    import inspect
+
+    for name, fn in registry.queries().items():
+        params = list(inspect.signature(fn).parameters)
+        assert params[:2] == ["spark", "sf_dir"], name
+
+
+def test_survey_contract_names_present():
+    # SURVEY.md §2 names the declared surface; the registry must cover it.
+    required = {
+        # §2B relational core
+        "q_scan_project", "q_filter_pred", "q_filter_agg", "q_pricing_summary",
+        "q_join_inner", "q_join_broadcast", "q_join3_topk", "q_join5_region",
+        "q_join_left", "q_join_semi", "q_join_anti", "q_join_asof",
+        "q_distinct_users", "q_distinct_users_approx", "q_grouping_sets",
+        "q_window_rank", "q_window_analytic", "q_sort_limit", "q_set_ops",
+        "q_scalar_funcs", "q_json_extract", "q_array_ops",
+        # §2C ML
+        "q_wordcount", "q_tfidf", "q_kmeans_assign", "q_kmeans_recompute",
+        "q_knn", "q_naive_bayes", "q_linreg", "q_logreg_step", "q_matmul",
+        "q_pagerank", "q_apriori",
+        # §2D LLM pipeline
+        "q_dedup_exact", "q_dedup_minhash", "q_dedup_simhash",
+        "q_dedup_ngram_jaccard", "q_dedup_embedding", "q_sim_topk", "q_sim_ann",
+        "q_text_stats", "q_token_count", "q_lang_id", "q_quality_score",
+        "q_doc_fingerprint", "q_multimodal", "q_multimodal_features",
+        # §2E streaming-flavored
+        "q_events_tumbling", "q_events_sliding", "q_sessionize",
+        "q_session_stats", "q_late_data",
+    }
+    have = set(registry.queries())
+    missing = required - have
+    assert not missing, f"missing contract queries: {sorted(missing)}"

@@ -1,0 +1,40 @@
+"""Structured Streaming wrappers agree with their oracle-checked batch
+twins when driven to completion with trigger(availableNow)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from machinelearningalgomapreduce_spark.operators.events import q_events_tumbling
+from machinelearningalgomapreduce_spark.streaming import windows as sw
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir):
+    stream = sw.tumbling_counts(sw.stream_events(spark, sf_dir))
+    got = sw.run_to_memory(stream, "t_tumbling")
+    batch = q_events_tumbling(spark, sf_dir).select(
+        "window_start", "event_type", "n_events", "sum_value"
+    )
+    g = {(r.window_start, r.event_type): (r.n_events, r.sum_value) for r in got.collect()}
+    b = {(r.window_start, r.event_type): (r.n_events, r.sum_value) for r in batch.collect()}
+    assert g == b
+
+
+def test_session_stream_counts(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.events import q_session_stats
+
+    stream = sw.session_counts(sw.stream_events(spark, sf_dir))
+    got = sw.run_to_memory(stream, "t_sessions")
+    batch = q_session_stats(spark, sf_dir)
+    # Same session partitioning → same number of sessions and same total events.
+    assert got.count() == batch.count()
+    assert (
+        got.agg(F.sum("n_events")).first()[0] == batch.agg(F.sum("n_events")).first()[0]
+    )
+
+
+def test_stream_dedup_drops_duplicates(spark, sf_dir):
+    stream = sw.dedup_late_events(sw.stream_events(spark, sf_dir))
+    got = sw.run_to_memory(stream, "t_dedup", output_mode="append")
+    n_ids = got.select("event_id").distinct().count()
+    assert got.count() == n_ids

@@ -1,0 +1,58 @@
+"""§2F UDF surface: the Arrow paths agree with their built-in equivalents."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from machinelearningalgomapreduce_spark.functions import udfs
+from machinelearningalgomapreduce_spark.functions.vectors import norm
+from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+
+def test_pandas_udf_norm_matches_builtin(spark, sf_dir):
+    emb = load_tables(spark, sf_dir).embeddings.limit(50)
+    got = emb.select(
+        udfs.l2_norm_udf("embedding").alias("u"), norm(F.col("embedding")).alias("b")
+    ).collect()
+    for r in got:
+        assert math.isclose(r.u, r.b, rel_tol=1e-9)
+
+
+def test_token_entropy_bounds(spark, sf_dir):
+    docs = load_tables(spark, sf_dir).documents.limit(20)
+    rows = docs.select(
+        udfs.token_entropy_udf("text").alias("h"),
+        F.log2(F.size(F.split("text", " ")).cast("double")).alias("hmax"),
+    ).collect()
+    for r in rows:
+        assert -1e-9 <= r.h <= r.hmax + 1e-9  # 0 ≤ H ≤ log2(n_tokens)
+
+
+def test_applyinpandas_zscore_matches_window_builtin(spark, sf_dir):
+    events = load_tables(spark, sf_dir).events
+    got = {r.event_id: r.zscore for r in udfs.zscore_per_user(events).collect()}
+    w = W.partitionBy("user_id")
+    expected = {
+        r.event_id: r.z
+        for r in events.select(
+            "event_id",
+            (
+                (F.col("value") - F.avg("value").over(w))
+                / F.stddev_pop("value").over(w)
+            ).alias("z"),
+        ).collect()
+    }
+    assert set(got) == set(expected)
+    for k, v in expected.items():
+        assert math.isclose(got[k], v, rel_tol=1e-9, abs_tol=1e-12), k
+
+
+def test_explode_tokens_shape(spark, sf_dir):
+    docs = load_tables(spark, sf_dir).documents
+    out = udfs.explode_tokens(docs)
+    n_tokens = docs.select(F.sum(F.size(F.split("text", " ")))).first()[0]
+    assert out.count() == n_tokens
+    assert out.columns == ["doc_id", "pos", "token"]
