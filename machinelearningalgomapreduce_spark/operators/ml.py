@@ -247,6 +247,64 @@ def q_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+CANOPY_STRIDE = 25
+CANOPY_T1 = 2.0
+
+
+def q_canopy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canopy clustering pre-pass: seeded centers (every 25th vector),
+    every point joins all canopies within the loose threshold T1 (squared
+    L2). The cheap overlapping partitioning that prefilters expensive
+    clustering — centers broadcast, no fact shuffle."""
+    t = load_tables(spark, sf_dir)
+    centers = t.embeddings.filter(F.col("vec_id") % CANOPY_STRIDE == 0).select(
+        F.col("vec_id").alias("canopy_id"), F.col("embedding").alias("cv")
+    )
+    dist2 = F.round(
+        fsum(F.zip_with(as_double(F.col("embedding")), as_double(F.col("cv")),
+                        lambda x, y: (x - y) * (x - y))),
+        6,
+    )
+    return (
+        t.embeddings.crossJoin(F.broadcast(centers))
+        .select("vec_id", "canopy_id", dist2.alias("dist2"))
+        .filter(F.col("dist2") <= CANOPY_T1)
+    )
+
+
+def kmeans_iterate(spark: SparkSession, sf_dir: str, n_iter: int = 5) -> DataFrame:
+    """Multi-iteration pure-DataFrame k-means driver loop (library API).
+
+    Per iteration: broadcast centroids → assign → recompute. The
+    embeddings are cached once (loop-invariant); centroids are the only
+    state crossing iterations and stay O(k·d). localCheckpoint every few
+    iterations truncates the growing plan lineage — the Spark replacement
+    for the reference's job-per-iteration HDFS round-trip (SURVEY.md §3.2).
+    """
+    t = load_tables(spark, sf_dir)
+    data = t.embeddings.select("vec_id", "embedding").cache()
+    cents = label_centroids(t.embeddings)
+    for i in range(n_iter):
+        assigned = assign_nearest(
+            data.withColumn("label", F.lit(0)), cents
+        ).select("vec_id", "cluster")
+        cents = (
+            assigned.join(data, "vec_id")
+            .select("cluster", F.posexplode("embedding").alias("d", "x"))
+            .groupBy("cluster", "d")
+            .agg(F.round(F.avg(F.col("x").cast("double")), 6).alias("c"))
+            .groupBy("cluster")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+            .select(
+                F.col("cluster").alias("label"),
+                F.transform("dc", lambda s: s["c"]).alias("centroid"),
+            )
+        )
+        if (i + 1) % 2 == 0:
+            cents = cents.localCheckpoint()
+    return cents
+
+
 # ------------------------------------------------------- MLlib-backed fits
 # Library API only (pytest-verified): sketch/optimizer internals are not
 # cross-engine hashable, so these stay out of the driver contract.
@@ -285,6 +343,7 @@ QUERIES = {
     "q_linreg": q_linreg,
     "q_logreg_step": q_logreg_step,
     "q_matmul": q_matmul,
+    "q_canopy": q_canopy,
 }
 
 _DIMS = f"range(1, {EMBEDDING_DIM + 1})"
@@ -410,6 +469,22 @@ ORACLES = {
                round(grad_sum / (SELECT count(*) FROM embeddings), 6) AS grad,
                round(-0.1 * grad_sum / (SELECT count(*) FROM embeddings), 6) AS beta_new
         FROM per_dim
+    """,
+    "q_canopy": f"""
+        WITH centers AS (
+            SELECT vec_id AS canopy_id, embedding AS cv
+            FROM embeddings WHERE vec_id % {CANOPY_STRIDE} = 0
+        )
+        SELECT e.vec_id, c.canopy_id,
+               round(list_sum(list_transform({_DIMS},
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                      * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))), 6)
+                   AS dist2
+        FROM embeddings e CROSS JOIN centers c
+        WHERE round(list_sum(list_transform({_DIMS},
+                   i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE))
+                      * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))), 6)
+              <= {CANOPY_T1}
     """,
     "q_matmul": """
         WITH a AS (

@@ -162,8 +162,37 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index — the classic MapReduce textbook job after wordcount:
+    token → sorted posting list of doc ids (+ df). Postings are built with
+    collect_set + array_sort after the same one-shuffle token aggregate."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select("doc_id", F.explode(_tokens()).alias("token")).distinct()
+    return tok.groupBy("token").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("postings"),
+        F.count("*").alias("df"),
+    )
+
+
+def q_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grep (the original MapReduce paper's example): regex
+    match over the corpus with match counts — a pure scan-side filter, no
+    shuffle at all until the tiny per-source rollup."""
+    t = load_tables(spark, sf_dir)
+    pattern = "(scan|merge) (slow|fast)"
+    hits = t.documents.filter(F.col("text").rlike(pattern)).select(
+        "doc_id",
+        "source",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(pattern), 0)).alias("n_matches"),
+        F.regexp_extract(F.col("text"), pattern, 0).alias("first_match"),
+    )
+    return hits
+
+
 QUERIES = {
     "q_wordcount": q_wordcount,
+    "q_inverted_index": q_inverted_index,
+    "q_grep": q_grep,
     "q_tfidf": q_tfidf,
     "q_text_stats": q_text_stats,
     "q_token_count": q_token_count,
@@ -181,6 +210,22 @@ ORACLES = {
                count(DISTINCT doc_id) AS n_docs
         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
         GROUP BY token
+    """,
+    "q_inverted_index": """
+        SELECT token,
+               list_sort(list(DISTINCT doc_id)) AS postings,
+               count(*) AS df
+        FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+              FROM documents)
+        GROUP BY token
+    """,
+    "q_grep": """
+        SELECT doc_id, source,
+               CAST(len(regexp_extract_all(text, '(scan|merge) (slow|fast)')) AS INTEGER)
+                   AS n_matches,
+               regexp_extract(text, '(scan|merge) (slow|fast)', 0) AS first_match
+        FROM documents
+        WHERE regexp_matches(text, '(scan|merge) (slow|fast)')
     """,
     "q_tfidf": """
         WITH tok AS (

@@ -20,6 +20,7 @@ _MODULES = (
     "machinelearningalgomapreduce_spark.operators.dedup",
     "machinelearningalgomapreduce_spark.operators.similarity",
     "machinelearningalgomapreduce_spark.operators.ml",
+    "machinelearningalgomapreduce_spark.operators.stats",
     "machinelearningalgomapreduce_spark.operators.graph",
     "machinelearningalgomapreduce_spark.multimodal.pipeline",
 )

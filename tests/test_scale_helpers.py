@@ -1,0 +1,74 @@
+"""Scale-path helpers: salted join equivalence, iterative k-means loop,
+approx-percentile twin, canopy coverage."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from machinelearningalgomapreduce_spark.functions.joins import salted_join
+from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    big = t.orders.withColumnRenamed("o_custkey", "c_custkey")
+    small = t.customer
+    plain = big.join(small, "c_custkey").count()
+    salted = salted_join(big, small, "c_custkey", n_salts=4).count()
+    assert salted == plain
+
+
+def test_salted_join_skewed_key(spark):
+    # One hot key with 1000 rows — exactly the case AQE/salting exists for.
+    big = spark.range(1000).select(F.lit(1).alias("k"), F.col("id"))
+    small = spark.createDataFrame([Row(k=1, name="hot"), Row(k=2, name="cold")])
+    out = salted_join(big, small, "k", n_salts=8)
+    assert out.count() == 1000
+    assert out.columns == ["k", "id", "name"]
+
+
+def test_salted_join_left_keeps_unmatched(spark):
+    big = spark.createDataFrame([Row(k=1, v=10), Row(k=3, v=30)])
+    small = spark.createDataFrame([Row(k=1, name="a")])
+    rows = {r.k: r.name for r in salted_join(big, small, "k", n_salts=4, how="left").collect()}
+    assert rows == {1: "a", 3: None}
+
+
+def test_kmeans_iterate_converges_shape(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.ml import kmeans_iterate
+
+    cents = kmeans_iterate(spark, sf_dir, n_iter=3).collect()
+    assert 1 <= len(cents) <= 10  # clusters may empty out, never exceed k
+    for r in cents:
+        assert len(r.centroid) == 64
+
+
+def test_percentiles_approx_close_to_exact(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.stats import (
+        percentiles_approx,
+        q_percentiles,
+    )
+
+    exact = {r.event_type: r.p50 for r in q_percentiles(spark, sf_dir).collect()}
+    approx = {
+        r.event_type: r.p50
+        for r in percentiles_approx(load_tables(spark, sf_dir).events).collect()
+    }
+    for k, v in exact.items():
+        assert abs(approx[k] - v) <= max(0.05 * abs(v), 0.5), k
+
+
+def test_canopy_every_center_covers_itself(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.ml import CANOPY_STRIDE, q_canopy
+
+    out = q_canopy(spark, sf_dir)
+    self_rows = out.filter(
+        (F.col("vec_id") == F.col("canopy_id")) & (F.col("dist2") == 0.0)
+    ).count()
+    n_centers = (
+        load_tables(spark, sf_dir)
+        .embeddings.filter(F.col("vec_id") % CANOPY_STRIDE == 0)
+        .count()
+    )
+    assert self_rows == n_centers
