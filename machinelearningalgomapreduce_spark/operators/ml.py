@@ -322,6 +322,36 @@ def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = 10, seed: int = 42):
     return model, model.summary.trainingCost
 
 
+def naive_bayes_fit(spark: SparkSession, sf_dir: str):
+    """MLlib NaiveBayes variant over hashed token counts (class = lang).
+    The pure-DF q_naive_bayes is the oracle-checked form."""
+    from pyspark.ml.classification import NaiveBayes
+    from pyspark.ml.feature import HashingTF, StringIndexer
+
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select("lang", F.split("text", " ").alias("tokens"))
+    tf = HashingTF(inputCol="tokens", outputCol="features", numFeatures=1 << 8).transform(toks)
+    indexed = StringIndexer(inputCol="lang", outputCol="label").fit(tf).transform(tf)
+    return NaiveBayes(smoothing=1.0).fit(indexed)
+
+
+def linreg_fit(spark: SparkSession, sf_dir: str, max_iter: int = 20):
+    """MLlib LinearRegression on the embeddings (target: first dimension
+    from the rest) — the general multi-feature path; q_linreg's closed form
+    is the oracle-checked 1-feature case."""
+    from pyspark.ml.functions import array_to_vector
+    from pyspark.ml.regression import LinearRegression
+
+    t = load_tables(spark, sf_dir)
+    data = t.embeddings.select(
+        array_to_vector(F.slice(as_double(F.col("embedding")), 2, EMBEDDING_DIM - 1)).alias(
+            "features"
+        ),
+        F.col("embedding")[0].cast("double").alias("label"),
+    )
+    return LinearRegression(maxIter=max_iter, regParam=0.01).fit(data)
+
+
 def logreg_fit(spark: SparkSession, sf_dir: str, max_iter: int = 10):
     """Binary logistic regression fit via MLlib (target: label ≥ 5)."""
     from pyspark.ml.classification import LogisticRegression

@@ -225,6 +225,51 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+RANGE_JOIN_WINDOW_US = 10 * 60 * 1_000_000  # 10 minutes
+
+
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: for each 'error' event, the count and most
+    recent of the same user's 'click' events in the preceding 10 minutes.
+
+    Scale-safe shape: instead of a naive theta-join (which Spark would plan
+    as a broadcast nested loop), both sides are bucketed to the 10-minute
+    grid and equi-joined on (user_id, bucket) — each error probes exactly 2
+    buckets — then the exact range predicate filters within the bucket
+    matches. Candidate generation is linear in events, never a
+    cross-product; this is the standard interval-join decomposition.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select(
+        "event_id", "user_id", "event_type", "ts", F.unix_micros("ts").alias("us")
+    )
+    bucket = (F.col("us") / RANGE_JOIN_WINDOW_US).cast("bigint")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("us").alias("c_us"), bucket.alias("bucket")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts", "us"
+    )
+    cand = errors.select(
+        "event_id", "user_id", "us", F.explode(F.array(bucket - 1, bucket)).alias("bucket")
+    )
+    matched = (
+        cand.join(clicks, ["user_id", "bucket"])
+        .filter(
+            (F.col("c_us") >= F.col("us") - RANGE_JOIN_WINDOW_US) & (F.col("c_us") < F.col("us"))
+        )
+        .groupBy("event_id")
+        .agg(F.count("*").alias("n_prior_clicks"), F.max("c_us").alias("last_c_us"))
+    )
+    return errors.join(matched, "event_id", "left").select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.coalesce(F.col("n_prior_clicks"), F.lit(0)).alias("n_prior_clicks"),
+        F.timestamp_micros(F.col("last_c_us")).alias("last_click_ts"),
+    )
+
+
 # --------------------------------------------------------- distinct/grouping
 
 def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -419,6 +464,7 @@ QUERIES = {
     "q_join_semi": q_join_semi,
     "q_join_anti": q_join_anti,
     "q_join_asof": q_join_asof,
+    "q_range_join": q_range_join,
     "q_distinct_users": q_distinct_users,
     "q_distinct_users_approx": q_distinct_users_approx,
     "q_grouping_sets": q_grouping_sets,
@@ -529,6 +575,27 @@ ORACLES = {
         FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+    "q_range_join": """
+        WITH clicks AS (
+            SELECT user_id, epoch_us(ts) AS c_us FROM events WHERE event_type = 'click'
+        ), errors AS (
+            SELECT event_id, user_id, ts, epoch_us(ts) AS us
+            FROM events WHERE event_type = 'error'
+        ), matched AS (
+            SELECT e.event_id,
+                   count(c.c_us) AS n_prior_clicks,
+                   max(c.c_us) AS last_c_us
+            FROM errors e LEFT JOIN clicks c
+              ON c.user_id = e.user_id
+             AND c.c_us >= e.us - 600000000
+             AND c.c_us < e.us
+            GROUP BY e.event_id
+        )
+        SELECT e.event_id, e.user_id, e.ts,
+               m.n_prior_clicks,
+               CAST(make_timestamp(m.last_c_us) AS TIMESTAMP) AS last_click_ts
+        FROM errors e JOIN matched m USING (event_id)
     """,
     "q_join_asof": """
         SELECT event_id, user_id, ts, prior_click_id, prior_click_ts

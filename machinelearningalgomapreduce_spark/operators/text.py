@@ -189,6 +189,19 @@ def q_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits
 
 
+def tfidf_fit(spark: SparkSession, sf_dir: str, n_features: int = 1 << 10):
+    """MLlib TF-IDF variant (HashingTF + IDF) — library API, pytest-checked.
+    The pure-DF q_tfidf is the oracle-checked form; this is the fitted-
+    transformer pipeline a downstream MLlib model consumes."""
+    from pyspark.ml.feature import IDF, HashingTF
+
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select("doc_id", F.split("text", " ").alias("tokens"))
+    tf = HashingTF(inputCol="tokens", outputCol="tf", numFeatures=n_features).transform(toks)
+    model = IDF(inputCol="tf", outputCol="tfidf").fit(tf)
+    return model, model.transform(tf)
+
+
 QUERIES = {
     "q_wordcount": q_wordcount,
     "q_inverted_index": q_inverted_index,

@@ -1,0 +1,66 @@
+"""Custom stateful streaming operator via applyInPandasWithState
+(SURVEY.md §2E's 'stateful ops' row — arbitrary per-key state).
+
+Example operator: a per-user running profile (event count, value sum,
+last-seen timestamp) maintained incrementally across micro-batches. The
+state is O(1) per user; each micro-batch updates only the keys it saw —
+exactly the custom-Reducer-with-state job class MapReduce cannot express
+without re-reading its own output.
+
+pytest drives it with trigger(availableNow) and diffs the final state
+against the batch groupBy aggregate.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+def _update_profile(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    n, s, last = state.get if state.exists else (0, 0.0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        s += float(pdf["value"].sum())
+        last = max(last, int(pdf["us"].max()))
+    state.update((n, s, last))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "sum_value": [s], "last_us": [last]}
+    )
+
+
+def user_profiles(events: DataFrame) -> DataFrame:
+    """Streaming per-user running profile. Input needs (user_id, value, us
+    — epoch micros); emits the updated profile for every key seen in each
+    micro-batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_profile,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1,0 +1,86 @@
+"""File-format sources/sinks: round-trips preserve data; bucketed tables
+join without a shuffle; partitioned writes prune directories."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from machinelearningalgomapreduce_spark.plans import inspect as P
+from machinelearningalgomapreduce_spark.sources import formats
+from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+from machinelearningalgomapreduce_spark.sources.schemas import SCHEMAS
+
+
+def test_text_round_trip(spark, sf_dir, tmp_path):
+    docs = load_tables(spark, sf_dir).documents
+    path = str(tmp_path / "docs_txt")
+    formats.write_text(docs, path)
+    back = formats.read_text(spark, path)
+    assert back.count() == docs.count()
+    assert set(r.text for r in back.select("text").collect()) == set(
+        r.text for r in docs.select("text").collect()
+    )
+
+
+def test_csv_round_trip_explicit_schema(spark, sf_dir, tmp_path):
+    orders = load_tables(spark, sf_dir).orders
+    path = str(tmp_path / "orders_csv")
+    formats.write_csv(orders, path)
+    back = formats.read_csv(spark, path, orders.schema)
+    assert back.count() == orders.count()
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in orders.schema.fields
+    ]
+    assert back.agg(F.sum("o_totalprice")).first()[0] == pytest.approx(
+        orders.agg(F.sum("o_totalprice")).first()[0]
+    )
+
+
+def test_json_round_trip(spark, sf_dir, tmp_path):
+    events = load_tables(spark, sf_dir).events
+    path = str(tmp_path / "events_json")
+    formats.write_json(events, path)
+    back = formats.read_json(spark, path, SCHEMAS["events"])
+    assert back.count() == events.count()
+    assert back.select(F.sum("value")).first()[0] == pytest.approx(
+        events.select(F.sum("value")).first()[0]
+    )
+
+
+def test_partitioned_write_prunes(spark, sf_dir, tmp_path):
+    events = load_tables(spark, sf_dir).events
+    path = str(tmp_path / "events_part")
+    formats.write_partitioned(events, path, "event_type")
+    back = spark.read.parquet(path).filter(F.col("event_type") == "click")
+    assert back.count() == events.filter(F.col("event_type") == "click").count()
+    # Partition pruning: the scan's file listing is restricted to the
+    # matching directory (PartitionFilters in the plan).
+    assert "PartitionFilters: [isnotnull(event_type" in P.formatted_plan(back)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    import shutil
+
+    t = load_tables(spark, sf_dir)
+    # Managed-table locations survive across sessions even though the
+    # in-memory catalog doesn't — clean both before writing.
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for name in ("b_orders", "b_lineitem"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(f"{warehouse}/{name}", ignore_errors=True)
+    formats.write_bucketed(t.orders, "b_orders", "o_orderkey", n_buckets=4)
+    formats.write_bucketed(
+        t.lineitem.withColumnRenamed("l_orderkey", "o_orderkey"), "b_lineitem",
+        "o_orderkey", n_buckets=4,
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # Force a sort-merge join so the assertion is about bucketing, not
+        # about broadcast making the question moot.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        assert P.count_exchanges(joined) == 0
+        assert joined.count() == t.lineitem.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

@@ -1,0 +1,35 @@
+"""Custom stateful streaming operator (applyInPandasWithState): the final
+per-user state equals the batch aggregate."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+from machinelearningalgomapreduce_spark.streaming import windows as sw
+from machinelearningalgomapreduce_spark.streaming.stateful import user_profiles
+
+
+def test_stateful_user_profiles_match_batch(spark, sf_dir):
+    stream = sw.stream_events(spark, sf_dir).select(
+        "user_id", "value", F.unix_micros("ts").alias("us")
+    )
+    out = sw.run_to_memory(user_profiles(stream), "t_profiles", output_mode="update")
+    # availableNow may run several micro-batches; the LAST emission per user
+    # carries the final state.
+    got = {
+        r.user_id: (r.n_events, r.sum_value, r.last_us)
+        for r in out.orderBy("n_events").collect()  # later emissions overwrite
+    }
+    batch = load_tables(spark, sf_dir).events.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("s"),
+        F.max(F.unix_micros("ts")).alias("last"),
+    )
+    expected = {r.user_id: (r.n, r.s, r.last) for r in batch.collect()}
+    assert set(got) == set(expected)
+    for uid, (n, s, last) in expected.items():
+        gn, gs, glast = got[uid]
+        assert gn == n and glast == last, uid
+        assert gs == pytest.approx(s), uid
