@@ -225,6 +225,53 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skew-mitigation join (functions/joins.py::salted_join) as an
+    oracle-checked query: orders ⋈ customer with the fact side salted over
+    8 buckets, rolled up per market segment. Result must be identical to
+    the plain join — the salt only changes the shuffle layout."""
+    from machinelearningalgomapreduce_spark.functions.joins import salted_join
+
+    t = load_tables(spark, sf_dir)
+    big = t.orders.withColumnRenamed("o_custkey", "c_custkey")
+    return (
+        salted_join(big, t.customer, "c_custkey", n_salts=8)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+PIVOT_EVENT_TYPES = ["click", "view", "purchase", "signup", "error"]
+
+
+def q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (long→wide): per-user event counts, one column per event type.
+    The value list is FIXED (deterministic schema; a dynamic pivot would
+    need a driver-side distinct scan first)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.events.groupBy("user_id")
+        .pivot("event_type", PIVOT_EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, PIVOT_EVENT_TYPES)
+    )
+
+
+def q_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (wide→long): melt part's numeric columns into
+    (attribute, value) rows — `DataFrame.unpivot`, Catalyst's Expand."""
+    t = load_tables(spark, sf_dir)
+    return t.part.unpivot(
+        "p_partkey",
+        [F.col("p_size").cast("double").alias("p_size"), "p_retailprice"],
+        "attribute",
+        "value",
+    )
+
+
 RANGE_JOIN_WINDOW_US = 10 * 60 * 1_000_000  # 10 minutes
 
 
@@ -465,6 +512,9 @@ QUERIES = {
     "q_join_anti": q_join_anti,
     "q_join_asof": q_join_asof,
     "q_range_join": q_range_join,
+    "q_join_salted": q_join_salted,
+    "q_pivot": q_pivot,
+    "q_unpivot": q_unpivot,
     "q_distinct_users": q_distinct_users,
     "q_distinct_users_approx": q_distinct_users_approx,
     "q_grouping_sets": q_grouping_sets,
@@ -575,6 +625,30 @@ ORACLES = {
         FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+    "q_join_salted": """
+        SELECT c.c_mktsegment,
+               count(*) AS n_orders,
+               round(sum(o.o_totalprice), 2) AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment
+    """,
+    "q_pivot": """
+        SELECT user_id,
+               count(*) FILTER (event_type = 'click')    AS click,
+               count(*) FILTER (event_type = 'view')     AS view,
+               count(*) FILTER (event_type = 'purchase') AS purchase,
+               count(*) FILTER (event_type = 'signup')   AS signup,
+               count(*) FILTER (event_type = 'error')    AS error
+        FROM events
+        GROUP BY user_id
+    """,
+    "q_unpivot": """
+        SELECT p_partkey, 'p_size' AS attribute, CAST(p_size AS DOUBLE) AS value
+        FROM part
+        UNION ALL
+        SELECT p_partkey, 'p_retailprice' AS attribute, p_retailprice AS value
+        FROM part
     """,
     "q_range_join": """
         WITH clicks AS (

@@ -1,0 +1,79 @@
+"""Property-based differential testing (SURVEY.md §5.2.5): hypothesis
+generates filter/aggregate predicates from a small ANSI-portable grammar;
+each runs on Spark (spark.sql over the fixture view) AND DuckDB — counts
+and checksums must agree. This fuzzes exactly the surface the hand-written
+oracles cover pointwise."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def engines(spark):
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    load_tables(spark, SF_DIR).orders.createOrReplaceTempView("orders_pv")
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW orders_pv AS SELECT * FROM '{SF_DIR}/orders.parquet'")
+    return spark, con
+
+
+_atoms = st.one_of(
+    st.tuples(
+        st.sampled_from(["<", ">=", "<=", ">"]),
+        st.integers(min_value=0, max_value=500_000),
+    ).map(lambda t: f"o_totalprice {t[0]} {t[1]}"),
+    st.sampled_from(["'P'", "'O'", "'F'"]).map(lambda v: f"o_orderstatus = {v}"),
+    st.tuples(
+        st.integers(min_value=2, max_value=13), st.integers(min_value=0, max_value=12)
+    ).map(lambda t: f"o_custkey % {t[0]} = {t[1] % t[0]}"),
+    st.sampled_from(
+        ["o_orderpriority IN ('1-URGENT', '2-HIGH')", "o_orderpriority NOT IN ('5-LOW')"]
+    ),
+)
+
+
+@st.composite
+def predicates(draw) -> str:
+    n = draw(st.integers(min_value=1, max_value=3))
+    parts = [draw(_atoms) for _ in range(n)]
+    ops = [draw(st.sampled_from(["AND", "OR"])) for _ in range(n - 1)]
+    out = parts[0]
+    for op, p in zip(ops, parts[1:]):
+        out = f"({out}) {op} ({p})"
+    return out
+
+
+@given(pred=predicates())
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_filter_counts_match_duckdb(engines, pred):
+    spark, con = engines
+    sql = (
+        "SELECT count(*) AS n, round(coalesce(sum(o_totalprice), 0), 2) AS s "
+        f"FROM orders_pv WHERE {pred}"
+    )
+    s_row = spark.sql(sql).first()
+    d_row = con.execute(sql).fetchone()
+    assert (s_row.n, s_row.s) == (d_row[0], d_row[1]), pred
+
+
+@given(
+    key=st.sampled_from(["o_orderstatus", "o_orderpriority"]),
+    pred=predicates(),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_grouped_aggregates_match_duckdb(engines, key, pred):
+    spark, con = engines
+    sql = (
+        f"SELECT {key} AS k, count(*) AS n, round(avg(o_totalprice), 6) AS a "
+        f"FROM orders_pv WHERE {pred} GROUP BY {key}"
+    )
+    s = {r.k: (r.n, r.a) for r in spark.sql(sql).collect()}
+    d = {row[0]: (row[1], row[2]) for row in con.execute(sql).fetchall()}
+    assert s == d, pred
