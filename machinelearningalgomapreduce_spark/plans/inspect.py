@@ -48,14 +48,22 @@ def scan_read_columns(df: DataFrame, table_hint: str | None = None) -> list[list
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle Exchange operators in the physical plan (detail
-    headers only, so tree + detail lines aren't double-counted; broadcast
-    and reused exchanges excluded)."""
+    """Number of shuffle Exchange operators in the physical plan (broadcast
+    and reused exchanges excluded). On an executed AQE plan only the Final
+    Plan section is counted — the Initial Plan repeats every operator."""
     import re
 
+    plan = formatted_plan(df)
+    if "== Final Plan ==" in plan:
+        section = plan.split("== Final Plan ==", 1)[1].split("== Initial Plan ==", 1)[0]
+        return sum(
+            1
+            for line in section.splitlines()
+            if re.search(r"(?<!Broadcast)(?<!Reused)Exchange \(\d+\)", line)
+        )
     return sum(
         1
-        for line in formatted_plan(df).splitlines()
+        for line in plan.splitlines()
         if re.fullmatch(r"\(\d+\) Exchange", line.strip())
     )
 

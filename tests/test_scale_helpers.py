@@ -44,6 +44,27 @@ def test_kmeans_iterate_converges_shape(spark, sf_dir):
         assert len(r.centroid) == 64
 
 
+def _wcss(spark, sf_dir, cents_df) -> float:
+    from machinelearningalgomapreduce_spark.operators.ml import assign_nearest
+
+    emb = load_tables(spark, sf_dir).embeddings.select(
+        "vec_id", "embedding", F.lit(0).alias("label")
+    )
+    assigned = assign_nearest(emb, cents_df)
+    return assigned.agg(F.sum("dist2")).first()[0]
+
+
+def test_kmeans_iterations_do_not_increase_wcss(spark, sf_dir):
+    # Lloyd's algorithm is monotone: within-cluster sum of squares must not
+    # increase across iterations (tiny slack for the 1e-6 centroid rounding).
+    from machinelearningalgomapreduce_spark.operators.ml import kmeans_iterate, label_centroids
+
+    emb = load_tables(spark, sf_dir).embeddings
+    w0 = _wcss(spark, sf_dir, label_centroids(emb))
+    w2 = _wcss(spark, sf_dir, kmeans_iterate(spark, sf_dir, n_iter=2))
+    assert w2 <= w0 * (1 + 1e-6)
+
+
 def test_percentiles_approx_close_to_exact(spark, sf_dir):
     from machinelearningalgomapreduce_spark.operators.stats import (
         percentiles_approx,
