@@ -178,6 +178,31 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str, threshold: float = 0.35):
+    """MLlib MinHashLSH variant of q_dedup_minhash (library API,
+    pytest-checked for recall against the deterministic pipeline).
+
+    CountVectorizer(binary) turns shingle sets into sparse vectors;
+    approxSimilarityJoin returns candidate pairs with Jaccard DISTANCE
+    below `threshold` (distance = 1 − similarity, so 0.35 covers the
+    fixture's ≥ 0.7-similarity near-dup clusters)."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+
+    t = load_tables(spark, sf_dir)
+    base = _shingle_sets(t.documents)
+    cv = CountVectorizer(inputCol="sh", outputCol="features", binary=True).fit(base)
+    feats = cv.transform(base)
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42).fit(
+        feats
+    )
+    pairs = lsh.approxSimilarityJoin(feats, feats, threshold, distCol="jaccard_dist")
+    return pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
+        F.col("datasetA.doc_id").alias("doc_a"),
+        F.col("datasetB.doc_id").alias("doc_b"),
+        "jaccard_dist",
+    )
+
+
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,

@@ -65,11 +65,13 @@ def assign_nearest(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
     scored = embeddings.crossJoin(
         F.broadcast(centroids.select(F.col("label").alias("cluster"), "centroid"))
     ).select("vec_id", "label", "cluster", dist2.alias("dist2"))
-    w = W.partitionBy("vec_id").orderBy("dist2", "cluster")
+    # argmin as min_by over a (dist2, cluster) struct: a hash aggregate with
+    # map-side partials — cheaper than a per-key sort window, same rounded-
+    # distance + cluster-id tie-break (verified identical).
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        scored.groupBy("vec_id", "label")
+        .agg(F.min_by(F.struct("cluster", "dist2"), F.struct("dist2", "cluster")).alias("m"))
+        .select("vec_id", "label", F.col("m.cluster").alias("cluster"), F.col("m.dist2").alias("dist2"))
     )
 
 

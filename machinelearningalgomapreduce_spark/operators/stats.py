@@ -84,11 +84,42 @@ def q_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select("l_linestatus", "n", F.round(corr, 6).alias("corr_qty_price"))
 
 
+def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-column data-quality profile of orders: row/null/distinct counts.
+
+    Columns are melted to (column, value-as-string) with `unpivot` — one
+    Expand pass, one aggregate. String formatting differences between
+    engines don't matter: only COUNTS are emitted and the casts are
+    injective. At 100 TB swap countDistinct for approx_count_distinct."""
+    t = load_tables(spark, sf_dir)
+    melted = t.orders.unpivot(
+        [],
+        [F.col(c).cast("string").alias(c) for c in t.orders.columns],
+        "col_name",
+        "value",
+    )
+    return melted.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("value").isNull().cast("bigint")).alias("n_null"),
+        F.countDistinct("value").alias("n_distinct"),
+    )
+
+
 QUERIES = {
     "q_percentiles": q_percentiles,
     "q_histogram": q_histogram,
     "q_corr": q_corr,
+    "q_profile": q_profile,
 }
+
+_PROFILE_COLS = (
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+    "o_orderpriority",
+)
+_PROFILE_UNION = "\nUNION ALL\n".join(
+    f"SELECT '{c}' AS col_name, CAST({c} AS VARCHAR) AS value FROM orders"
+    for c in _PROFILE_COLS
+)
 
 ORACLES = {
     "q_percentiles": """
@@ -109,6 +140,17 @@ ORACLES = {
                count(*) AS n_orders
         FROM orders CROSS JOIN bounds
         GROUP BY 1
+    """,
+    "q_profile": f"""
+        WITH melted AS (
+            {_PROFILE_UNION}
+        )
+        SELECT col_name,
+               count(*) AS n_rows,
+               CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+               count(DISTINCT value) AS n_distinct
+        FROM melted
+        GROUP BY col_name
     """,
     "q_corr": """
         WITH stats AS (
