@@ -178,6 +178,58 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve near-dup PAIRS into transitive CLUSTERS (connected
+    components by min-label propagation): every doc in a component maps to
+    the component's min doc_id — the survivor a dedup pass keeps.
+
+    Spark side: iterate label = min(label, min(neighbor label)) to a
+    fixpoint — the standard large-graph CC (each pass is one join + one
+    aggregate; diameter-bounded iterations; at 100 TB use the
+    large-star/small-star variant to cut rounds). Fixture near-dup chains
+    are short, so the loop converges in a handful of passes. The oracle is
+    DuckDB's recursive CTE over the same edge set — convergence makes both
+    exact, no iteration-count coupling.
+    """
+    pairs = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    # Undirected edge list, both directions.
+    edges = pairs.union(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).distinct()
+    labels = edges.select(F.col("doc_a").alias("node")).distinct().select(
+        "node", F.col("node").alias("root")
+    )
+    for _ in range(20):  # diameter bound; fixture chains converge in ~3
+        neigh_min = (
+            edges.join(labels, edges.doc_b == labels.node)
+            .groupBy(F.col("doc_a").alias("node2"))
+            .agg(F.min("root").alias("neigh_root"))
+        )
+        new_labels = (
+            labels.join(neigh_min, labels.node == F.col("node2"), "left")
+            .select(
+                "node",
+                F.least(F.col("root"), F.coalesce(F.col("neigh_root"), F.col("root"))).alias(
+                    "root"
+                ),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.root") != F.col("o.root"))
+            .count()
+        )
+        labels = new_labels.localCheckpoint()
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("doc_id"),
+        F.col("root").alias("cluster_root"),
+        (F.col("node") == F.col("root")).alias("keep"),
+    )
+
+
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str, threshold: float = 0.35):
     """MLlib MinHashLSH variant of q_dedup_minhash (library API,
     pytest-checked for recall against the deterministic pipeline).
@@ -206,6 +258,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str, threshold: float = 
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_embedding": q_dedup_embedding,
@@ -233,23 +286,7 @@ _BAND_CASE = " ".join(
     for b in range(LSH_BANDS)
 )
 
-_VOTES = ",\n               ".join(
-    f"sum((((instr('0123456789abcdef', substr(th, {bit // 4 + 1}, 1)) - 1)"
-    f" >> {bit % 4}) & 1) * 2 - 1) AS v{bit}"
-    for bit in range(SIMHASH_BITS)
-)
-_FP = " || ".join(f"CASE WHEN v{bit} >= 0 THEN '1' ELSE '0' END" for bit in range(SIMHASH_BITS))
-
-ORACLES = {
-    "q_dedup_exact": """
-        SELECT md5(text) AS content_hash,
-               min(doc_id) AS keep_id,
-               count(*) AS n_copies
-        FROM documents
-        GROUP BY 1
-    """,
-    "q_dedup_minhash": f"""
-        WITH base AS (
+_MINHASH_CTES = f"""base AS (
             SELECT doc_id, {_SHINGLE3} AS sh FROM documents
         ), sig AS (
             SELECT doc_id,
@@ -272,8 +309,43 @@ ORACLES = {
             FROM cand c
             JOIN base sa ON sa.doc_id = c.doc_a
             JOIN base sb ON sb.doc_id = c.doc_b
-        )
+        )"""
+
+_VOTES = ",\n               ".join(
+    f"sum((((instr('0123456789abcdef', substr(th, {bit // 4 + 1}, 1)) - 1)"
+    f" >> {bit % 4}) & 1) * 2 - 1) AS v{bit}"
+    for bit in range(SIMHASH_BITS)
+)
+_FP = " || ".join(f"CASE WHEN v{bit} >= 0 THEN '1' ELSE '0' END" for bit in range(SIMHASH_BITS))
+
+ORACLES = {
+    "q_dedup_exact": """
+        SELECT md5(text) AS content_hash,
+               min(doc_id) AS keep_id,
+               count(*) AS n_copies
+        FROM documents
+        GROUP BY 1
+    """,
+    "q_dedup_minhash": f"""
+        WITH {{MINHASH_CTES}}
         SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "q_dedup_clusters": f"""
+        WITH RECURSIVE {{MINHASH_CTES}}, pairs AS (
+            SELECT doc_a, doc_b FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+        ), edges AS (
+            SELECT doc_a, doc_b FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ), reach(node, r) AS (
+            SELECT doc_a, doc_a FROM edges
+            UNION
+            SELECT e.doc_a, reach.r FROM edges e JOIN reach ON reach.node = e.doc_b
+        )
+        SELECT node AS doc_id,
+               min(r) AS cluster_root,
+               node = min(r) AS keep
+        FROM reach GROUP BY node
     """,
     "q_dedup_simhash": f"""
         WITH tok AS (
@@ -331,3 +403,6 @@ ORACLES = {
                  6) >= {EMBEDDING_COSINE_THRESHOLD}
     """,
 }
+
+# The minhash CTE chain is shared by the pair and cluster oracles.
+ORACLES = {k: v.replace("{MINHASH_CTES}", _MINHASH_CTES) for k, v in ORACLES.items()}
