@@ -225,6 +225,41 @@ def q_join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: per-day order counts vs per-day event counts —
+    dates exist on each side the other lacks, exercising null fill-in on
+    BOTH sides (the one outer-join shape §2B's left/semi/anti rows miss)."""
+    t = load_tables(spark, sf_dir)
+    orders_daily = t.orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count("*").alias("n_orders")
+    )
+    events_daily = t.events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("n_events")
+    )
+    return (
+        orders_daily.join(events_daily, "day", "full")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )
+
+
+def q_window_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions: quartile bucket (ntile), percent_rank
+    and cume_dist of order totals within each priority class."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return t.orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The skew-mitigation join (functions/joins.py::salted_join) as an
     oracle-checked query: orders ⋈ customer with the fact side salted over
@@ -513,6 +548,8 @@ QUERIES = {
     "q_join_asof": q_join_asof,
     "q_range_join": q_range_join,
     "q_join_salted": q_join_salted,
+    "q_join_full": q_join_full,
+    "q_window_dist": q_window_dist,
     "q_pivot": q_pivot,
     "q_unpivot": q_unpivot,
     "q_distinct_users": q_distinct_users,
@@ -625,6 +662,29 @@ ORACLES = {
         FROM customer
         WHERE NOT EXISTS (SELECT 1 FROM orders
                           WHERE o_custkey = c_custkey AND o_orderstatus = 'P')
+    """,
+    "q_join_full": """
+        WITH od AS (
+            SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+                   count(*) AS n_orders
+            FROM orders GROUP BY 1
+        ), ed AS (
+            SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+                   count(*) AS n_events
+            FROM events GROUP BY 1
+        )
+        SELECT coalesce(od.day, ed.day) AS day,
+               coalesce(od.n_orders, 0) AS n_orders,
+               coalesce(ed.n_events, 0) AS n_events
+        FROM od FULL OUTER JOIN ed ON od.day = ed.day
+    """,
+    "q_window_dist": """
+        SELECT o_orderkey, o_orderpriority,
+               CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM orders
+        WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
     """,
     "q_join_salted": """
         SELECT c.c_mktsegment,

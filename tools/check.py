@@ -90,8 +90,12 @@ def main():
         problems = []
         if len(srows) != len(drows):
             problems.append(f"rowcount spark={len(srows)} duckdb={len(drows)}")
-        if sorted(scols) != sorted(dcols):
-            problems.append(f"cols spark={sorted(scols)} duckdb={sorted(dcols)}")
+        # Ordered compare + dup guard: a column-order-insensitive check would
+        # silently realign cells (and misalign entirely on duplicate names).
+        if len(set(scols)) != len(scols):
+            problems.append(f"duplicate spark columns {scols}")
+        if scols != dcols:
+            problems.append(f"cols spark={scols} duckdb={dcols}")
         if not problems:
             cs, cd = canon_rows(scols, srows), canon_rows(dcols, drows)
             if cs != cd:
