@@ -92,6 +92,31 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def brp_lsh_neighbors(
+    spark: SparkSession, sf_dir: str, key_id: int = 0, k: int = 10
+):
+    """MLlib BucketedRandomProjectionLSH variant (library API): approximate
+    nearest neighbors for one query vector via random-hyperplane bucketing.
+    The deterministic IVF path (q_sim_ann) is the oracle-checked twin;
+    pytest checks this one's recall against brute force."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    from machinelearningalgomapreduce_spark.functions.vectors import as_double
+
+    t = load_tables(spark, sf_dir)
+    data = t.embeddings.select(
+        "vec_id", array_to_vector(as_double(F.col("embedding"))).alias("features")
+    )
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    ).fit(data)
+    key = data.filter(F.col("vec_id") == key_id).first()
+    return lsh.approxNearestNeighbors(data, key.features, k + 1).filter(
+        F.col("vec_id") != key_id
+    )
+
+
 QUERIES = {
     "q_sim_topk": q_sim_topk,
     "q_sim_ann": q_sim_ann,
