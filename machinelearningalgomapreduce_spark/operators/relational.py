@@ -405,6 +405,43 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # -------------------------------------------------------------------- windows
 
+def q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus) with grouping_id — all four
+    granularities in one Expand pass, each row tagged with which keys are
+    aggregated away."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t.lineitem.cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping_id().cast("int").alias("gid"),
+            F.count("*").alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+    )
+
+
+def q_sql_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated EXISTS subquery via the spark.sql entry path (TPC-H Q4
+    shape): Catalyst decorrelates it into a semi join — same ANSI text runs
+    on both engines, demonstrating SQL-API parity with the DataFrame API."""
+    t = load_tables(spark, sf_dir)
+    t.orders.createOrReplaceTempView("orders")
+    t.lineitem.createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
 def q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-3 orders per customer by price — the reference's 'secondary sort'
     idiom (SURVEY.md §2A) as a ranking window."""
@@ -555,6 +592,8 @@ QUERIES = {
     "q_distinct_users": q_distinct_users,
     "q_distinct_users_approx": q_distinct_users_approx,
     "q_grouping_sets": q_grouping_sets,
+    "q_cube": q_cube,
+    "q_sql_exists": q_sql_exists,
     "q_window_rank": q_window_rank,
     "q_window_analytic": q_window_analytic,
     "q_sort_limit": q_sort_limit,
@@ -765,6 +804,25 @@ ORACLES = {
                sum(l_quantity) AS sum_qty
         FROM lineitem
         GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    "q_cube": """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS INTEGER) AS gid,
+               count(*) AS n_rows,
+               sum(l_quantity) AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    "q_sql_exists": """
+        SELECT o_orderpriority, count(*) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1996-07-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+          )
+        GROUP BY o_orderpriority
     """,
     "q_window_rank": """
         SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
