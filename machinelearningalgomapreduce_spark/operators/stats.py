@@ -105,11 +105,67 @@ def q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SAMPLE_PCT = 10
+
+
+def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 10% hash-sample of lineitem with a verification
+    rollup. Sampling by a hex digit of md5(row key) is reproducible across
+    runs, engines, and partitionings — unlike TABLESAMPLE/rand() — which is
+    what makes downstream debugging on samples trustworthy at 100 TB."""
+    t = load_tables(spark, sf_dir)
+    key = F.concat_ws("|", F.col("l_orderkey"), F.col("l_linenumber"), F.col("l_partkey"))
+    # First 2 hex chars of md5 → 0..255; keep < 256 * pct / 100.
+    bucket = (
+        (F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(key), 1, 1)) - 1) * 16
+        + F.instr(F.lit("0123456789abcdef"), F.substring(F.md5(key), 2, 1))
+        - 1
+    )
+    return (
+        t.lineitem.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < 256 * SAMPLE_PCT // 100)
+        .groupBy("l_returnflag")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sampled_price"),
+        )
+    )
+
+
+def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly time series per event_type: the full hour grid
+    (from a broadcast 1-row min/max) left-joined with the observed counts,
+    missing hours zero-filled — the resample/asfreq operation every
+    monitoring pipeline needs. Grid generation is `sequence` + explode;
+    size = hours × types, independent of event count."""
+    t = load_tables(spark, sf_dir)
+    bounds = t.events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = (
+        bounds.select(
+            F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))).alias("hour")
+        )
+        .crossJoin(t.events.select("event_type").distinct())
+    )
+    observed = t.events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    return grid.join(observed, ["hour", "event_type"], "left").select(
+        "hour",
+        "event_type",
+        F.coalesce("n", F.lit(0)).alias("n_events"),
+    )
+
+
 QUERIES = {
     "q_percentiles": q_percentiles,
     "q_histogram": q_histogram,
     "q_corr": q_corr,
     "q_profile": q_profile,
+    "q_sample": q_sample,
+    "q_resample": q_resample,
 }
 
 _PROFILE_COLS = (
@@ -151,6 +207,40 @@ ORACLES = {
                count(DISTINCT value) AS n_distinct
         FROM melted
         GROUP BY col_name
+    """,
+    "q_sample": f"""
+        WITH keyed AS (
+            SELECT l_returnflag, l_extendedprice,
+                   (instr('0123456789abcdef',
+                          substr(md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey)), 1, 1)) - 1) * 16
+                   + instr('0123456789abcdef',
+                           substr(md5(concat_ws('|', l_orderkey, l_linenumber, l_partkey)), 2, 1)) - 1
+                       AS bucket
+            FROM lineitem
+        )
+        SELECT l_returnflag,
+               count(*) AS n_sampled,
+               round(sum(l_extendedprice), 2) AS sampled_price
+        FROM keyed
+        WHERE bucket < {256 * SAMPLE_PCT // 100}
+        GROUP BY l_returnflag
+    """,
+    "q_resample": """
+        WITH bounds AS (
+            SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS lo,
+                   CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS hi
+            FROM events
+        ), grid AS (
+            SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour, t.event_type
+            FROM bounds, (SELECT DISTINCT event_type FROM events) t
+        ), observed AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, event_type,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        )
+        SELECT g.hour, g.event_type, coalesce(o.n, 0) AS n_events
+        FROM grid g LEFT JOIN observed o
+          ON g.hour = o.hour AND g.event_type = o.event_type
     """,
     "q_corr": """
         WITH stats AS (
