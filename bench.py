@@ -58,16 +58,32 @@ def main() -> None:
     from machinelearningalgomapreduce_spark.session import ensure_query_conf, get_spark
     from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
-    spark = get_spark(app_name="bench")
-    ensure_query_conf(spark)
     # Tier sizing (SURVEY.md §6 mitigations): the bench tier is ~18 MB with
     # no skew or size surprises, so AQE's per-stage re-plan/scheduling only
-    # adds latency here (measured ~1.5-2× on sub-second queries), and 8
-    # shuffle partitions beat 32 on task-launch overhead. The engine
-    # DEFAULTS (session.py) keep AQE + skew handling ON — that is the
-    # 100 TB posture; these are runtime confs scoped to this tiny tier.
+    # adds latency here (measured ~1.5-2× on sub-second queries), and a few
+    # shuffle partitions beat 32 on task-launch overhead. Shuffle/broadcast
+    # compression only burns CPU on KB-scale local exchanges, so it is off
+    # HERE ONLY. The engine DEFAULTS (session.py) keep AQE + skew handling +
+    # compression ON — that is the 100 TB posture; every knob below is
+    # scoped to this tiny tier (env-overridable for experiments).
+    n_part = os.environ.get("SPARK_BENCH_PARTITIONS", "4")
+    spark = get_spark(
+        app_name="bench",
+        extra_conf={
+            "spark.shuffle.compress": "false",
+            "spark.shuffle.spill.compress": "false",
+            "spark.broadcast.compress": "false",
+            "spark.rdd.compress": "false",
+            "spark.locality.wait": "0",
+        },
+    )
+    ensure_query_conf(spark)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", n_part)
+    spark.conf.set(
+        "spark.sql.autoBroadcastJoinThreshold",
+        os.environ.get("SPARK_BENCH_BROADCAST", str(64 * 1024 * 1024)),
+    )
 
     qs = registry.queries()
     names = [n for n in HEADLINE if n in qs]

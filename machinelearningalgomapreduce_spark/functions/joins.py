@@ -33,7 +33,17 @@ def salted_join(
     The salt is a deterministic hash of the whole big-side row (xxhash64),
     so repeated runs partition identically. Result columns match a plain
     `big.join(small, on, how)`.
+
+    Only 'inner' and 'left' are supported: with 'right'/'full', unmatched
+    small-side rows exist once per salt replica and would surface as
+    n_salts duplicate null-padded output rows.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how='inner'|'left', got {how!r}: outer forms "
+            "would emit one null-padded row per salt replica of unmatched "
+            "small-side rows"
+        )
     salted_big = big.withColumn(
         SALT_COL, F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(n_salts))
     )

@@ -38,7 +38,7 @@ from machinelearningalgomapreduce_spark.functions.hashing import (
     shingles,
     tokens,
 )
-from machinelearningalgomapreduce_spark.functions.vectors import dot, norm
+from machinelearningalgomapreduce_spark.functions.vectors import as_double, dot, fsum, norm
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
 JACCARD_THRESHOLD = 0.7
@@ -132,19 +132,48 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-bigram Jaccard near-dedup, blocked on the min-shingle hash
-    (1-perm MinHash LSH) so candidate generation never goes all-pairs."""
+    """Word-bigram Jaccard near-dedup, blocked on a COMPOUND key:
+    (min-shingle hash, log2 size band).
+
+    The 1-perm MinHash block alone keeps candidates near-linear, but one
+    hot shingle (boilerplate header, empty-ish docs) makes one giant block
+    → quadratic within it on a skewed corpus. Adding a size band to the
+    equi-join key splits such a block across length classes AND spreads its
+    shuffle partitions.
+
+    The banding is LOSSLESS for threshold ≥ 0.5: J(A,B) = |A∩B|/|A∪B| ≥ 0.5
+    implies |A| and |B| differ by ≤2×, so floor(log2|A|) and floor(log2|B|)
+    differ by ≤1. Side b is replicated into bands {b−1, b, b+1}; side a
+    stays in its own band, so every qualifying pair matches on exactly ONE
+    (block, band) key — no duplicate candidates, identical output to the
+    unbanded form (the oracle keeps the simpler unbanded blocking for that
+    reason). Pairs ≥2 bands apart can never reach the threshold and are
+    pruned before the Jaccard is even computed."""
     t = load_tables(spark, sf_dir)
     base = t.documents.select(
         "doc_id",
         F.array_min(F.transform(shingles(F.col("text"), k=3), F.md5)).alias("block"),
         F.array_distinct(shingles(F.col("text"), k=2)).alias("ng"),
     )
-    a, b = base.alias("a"), base.alias("b")
+    banded = base.withColumn("band", F.floor(F.log2(F.size("ng"))).cast("int"))
+    a = banded.alias("a")
+    b = banded.select(
+        "doc_id",
+        "block",
+        "ng",
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("band"),
+    ).alias("b")
     inter = F.size(F.array_intersect("a.ng", "b.ng"))
     union = F.size("a.ng") + F.size("b.ng") - inter
     return (
-        a.join(b, (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
@@ -156,8 +185,18 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs. Brute-force pairwise at fixture
-    scale; at 100 TB use the LSH-bucketed candidate path
-    (operators/similarity.py::q_sim_ann) before the exact verify."""
+    scale; at 100 TB use the cell-bucketed candidate path
+    (`dedup_embedding_cell` below / operators/similarity.py::q_sim_ann)
+    before the exact verify.
+
+    Why the CHECKED query stays brute: cell-pruning was measured on the
+    fixture (sf0.01, 2026-08-13) — IVF cells from label_centroids retain
+    only 2/14 true pairs (top-1 cell) and 7/14 with 2-probe, because the
+    fixture's labels barely correlate with geometry. Swapping the checked
+    semantics to cell-pruned would pass its own oracle while silently
+    missing 86% of actual near-dups — the brute form is the honest oracle
+    baseline, and `dedup_embedding_cell`'s recall is pytest-tracked
+    (tests/test_dedup_variants.py) so the trade-off is machine-recorded."""
     t = load_tables(spark, sf_dir)
     # Per-vector norms precomputed; each candidate pair pays only the dot.
     e = t.embeddings.select("vec_id", "embedding", norm(F.col("embedding")).alias("vnorm"))
@@ -199,6 +238,7 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = edges.select(F.col("doc_a").alias("node")).distinct().select(
         "node", F.col("node").alias("root")
     )
+    changed = 0
     for _ in range(20):  # diameter bound; fixture chains converge in ~3
         neigh_min = (
             edges.join(labels, edges.doc_b == labels.node)
@@ -223,10 +263,72 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels.localCheckpoint()
         if changed == 0:
             break
+    if changed != 0:
+        # Fail loudly rather than hash non-converged labels against the
+        # recursive-CTE oracle (which always runs to fixpoint).
+        raise RuntimeError(
+            "q_dedup_clusters: min-label propagation did not converge within "
+            "the iteration bound; component diameter exceeds 20 — raise the "
+            "bound or switch to the large-star/small-star variant"
+        )
     return labels.select(
         F.col("node").alias("doc_id"),
         F.col("root").alias("cluster_root"),
         (F.col("node") == F.col("root")).alias("keep"),
+    )
+
+
+def dedup_embedding_cell(
+    spark: SparkSession, sf_dir: str, n_probe: int = 2
+) -> DataFrame:
+    """Cell-bucketed embedding near-dup (library API, pytest-checked):
+    the 100 TB shape for q_dedup_embedding.
+
+    Vectors are assigned to their `n_probe` nearest coarse cells (IVF
+    multi-probe); candidate pairs must share a cell, then pass the SAME
+    exact cosine verify as the brute query. Candidate generation is
+    O(corpus × n_probe) rows sharded by cell — never all-pairs; the
+    centroid set is O(k·d) and broadcast. Recall vs the brute baseline is
+    asserted (and honestly low on THIS fixture — see q_dedup_embedding's
+    docstring) in tests/test_dedup_variants.py.
+    """
+    from machinelearningalgomapreduce_spark.operators.ml import label_centroids
+
+    t = load_tables(spark, sf_dir)
+    cents = label_centroids(t.embeddings).select(
+        F.col("label").alias("cell"), "centroid"
+    )
+    sq = F.zip_with(
+        as_double(F.col("embedding")), F.col("centroid"), lambda x, y: (x - y) * (x - y)
+    )
+    w = W.partitionBy("vec_id").orderBy("dist2", "cell")
+    cells = (
+        t.embeddings.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cell", F.round(fsum(sq), 6).alias("dist2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select("vec_id", "cell")
+    )
+    e = t.embeddings.select("vec_id", "embedding", norm(F.col("embedding")).alias("vnorm"))
+    ea = e.join(cells, "vec_id").alias("a")
+    eb = e.join(cells, "vec_id").alias("b")
+    cos = F.round(
+        dot(F.col("a.embedding"), F.col("b.embedding"))
+        / (F.col("a.vnorm") * F.col("b.vnorm")),
+        6,
+    )
+    return (
+        ea.join(
+            eb,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .distinct()  # multi-probe pairs can share >1 cell
+        .filter(F.col("cos_sim") >= EMBEDDING_COSINE_THRESHOLD)
     )
 
 

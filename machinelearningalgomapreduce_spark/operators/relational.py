@@ -372,8 +372,11 @@ def q_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Sketch values differ across engines by design, so the checked output is
     an accuracy ASSERTION: the exact count plus a boolean that the HLL
-    estimate landed within 5% (or ±1). The oracle emits the same exact count
-    with a literal TRUE — the hash matches iff the sketch is actually close.
+    estimate landed within tolerance (or ±2 absolute). The oracle emits the
+    same exact count with a literal TRUE — the hash matches iff the sketch
+    is actually close. Tolerance is 8× the configured rsd (0.01): HLL++
+    error at rsd=0.01 is ~1% 1-sigma, so 8% keeps the assertion meaningful
+    while immune to fixture-scale or Spark-version estimate drift.
     """
     t = load_tables(spark, sf_dir)
     exact = F.countDistinct("user_id")
@@ -386,7 +389,7 @@ def q_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_users_exact",
             (
                 F.abs(F.col("_approx") - F.col("n_users_exact"))
-                <= F.greatest(F.lit(1.0), F.col("n_users_exact") * 0.05)
+                <= F.greatest(F.lit(2.0), F.col("n_users_exact") * 0.08)
             ).alias("approx_ok"),
         )
     )

@@ -165,7 +165,25 @@ def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index — the classic MapReduce textbook job after wordcount:
     token → sorted posting list of doc ids (+ df). Postings are built with
-    collect_set + array_sort after the same one-shuffle token aggregate."""
+    collect_set + array_sort after the same one-shuffle token aggregate.
+
+    The checked output serializes postings to a comma-joined STRING: the
+    driver's pandas canonicalizer cannot hash array cells (round-2 red row).
+    `inverted_index_arrays` below keeps the typed array<bigint> form for
+    library consumers."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select("doc_id", F.explode(_tokens()).alias("token")).distinct()
+    return tok.groupBy("token").agg(
+        F.array_join(
+            F.array_sort(F.collect_set("doc_id")).cast("array<string>"), ","
+        ).alias("postings"),
+        F.count("*").alias("df"),
+    )
+
+
+def inverted_index_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed inverted index (token → array<bigint> postings) — library form
+    of q_inverted_index for downstream joins; pytest-checked."""
     t = load_tables(spark, sf_dir)
     tok = t.documents.select("doc_id", F.explode(_tokens()).alias("token")).distinct()
     return tok.groupBy("token").agg(
@@ -226,7 +244,7 @@ ORACLES = {
     """,
     "q_inverted_index": """
         SELECT token,
-               list_sort(list(DISTINCT doc_id)) AS postings,
+               array_to_string(list_sort(list(DISTINCT doc_id)), ',') AS postings,
                count(*) AS df
         FROM (SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
               FROM documents)

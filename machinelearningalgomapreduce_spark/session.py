@@ -17,7 +17,12 @@ def get_spark(
     app_name: str = "mlmr_spark_engine",
     master: str | None = None,
     shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    """`extra_conf` lets a caller set CORE (SparkConf-time) settings that
+    cannot be flipped at runtime — bench.py uses it for bench-tier-only
+    knobs (shuffle/broadcast compression off at MB scale). Engine defaults
+    stay scale-safe."""
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
@@ -34,6 +39,8 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark

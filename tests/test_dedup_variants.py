@@ -54,3 +54,69 @@ def test_profile_counts(spark, sf_dir):
     for r in prof.values():
         assert r.n_rows == n
         assert 0 <= r.n_distinct <= n
+
+
+def test_salted_join_rejects_outer_forms(spark, sf_dir):
+    import pytest
+
+    from machinelearningalgomapreduce_spark.functions.joins import salted_join
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    t = load_tables(spark, sf_dir)
+    for how in ("right", "full", "outer"):
+        with pytest.raises(ValueError, match="salted_join supports"):
+            salted_join(t.orders, t.customer, "o_custkey", how=how)
+
+
+def test_dedup_embedding_cell_is_subset_with_tracked_recall(spark, sf_dir):
+    """The cell-bucketed scale path returns a SUBSET of the brute pairs
+    (same verify), and its fixture recall is recorded here: the label-seeded
+    cells barely correlate with cosine geometry, so recall is low BY
+    MEASUREMENT — the reason the checked q_dedup_embedding stays brute."""
+    from machinelearningalgomapreduce_spark.operators.dedup import (
+        dedup_embedding_cell,
+        q_dedup_embedding,
+    )
+
+    brute = {(r.id_a, r.id_b) for r in q_dedup_embedding(spark, sf_dir).collect()}
+    cell = {(r.id_a, r.id_b) for r in dedup_embedding_cell(spark, sf_dir, n_probe=2).collect()}
+    assert cell <= brute, "cell path must never invent pairs"
+    if brute:
+        recall = len(cell) / len(brute)
+        # Documented floor, not a quality claim: sf0.01 measured 7/14.
+        assert recall >= 0.2, f"recall collapsed below the measured floor: {recall:.2f}"
+
+
+def test_ngram_banding_splits_skewed_block(spark):
+    """A constructed hot-shingle corpus: every doc shares the same leading
+    3-shingle (one global block), doc lengths span bands. The compound
+    (block, log2-size-band) key must cut the biggest candidate group well
+    below the unbanded n^2/2, and banding must lose no qualifying pair."""
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.functions.hashing import shingles
+
+    # The shared leading 3-shingle was brute-forced so its md5 (000002…)
+    # is deterministically the minimum — every doc lands in the same block.
+    docs = spark.createDataFrame(
+        [(i, "hot1949883 header boilerplate "
+          + " ".join(f"w{i}x{j}" for j in range(2 ** (2 + i % 6))))
+         for i in range(60)],
+        "doc_id long, text string",
+    )
+    base = docs.select(
+        "doc_id",
+        F.array_min(F.transform(shingles(F.col("text"), k=3), F.md5)).alias("block"),
+        F.array_distinct(shingles(F.col("text"), k=2)).alias("ng"),
+    )
+    # All docs share ONE unbanded block (the hot min-shingle)...
+    assert base.select("block").distinct().count() == 1
+    banded_sizes = (
+        base.withColumn("band", F.floor(F.log2(F.size("ng"))).cast("int"))
+        .groupBy("block", "band")
+        .count()
+    )
+    # ...but the banded key splits it into several groups, biggest far
+    # below 60 (unbanded puts all 60 docs in one quadratic block).
+    assert banded_sizes.count() >= 4
+    assert banded_sizes.agg(F.max("count")).first()[0] <= 20

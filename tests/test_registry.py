@@ -52,3 +52,41 @@ def test_survey_contract_names_present():
     have = set(registry.queries())
     missing = required - have
     assert not missing, f"missing contract queries: {sorted(missing)}"
+
+
+def test_every_oracle_parses_in_duckdb():
+    """EXPLAIN every oracle against the fixture views: an oracle typo must
+    fail a 2-second pytest, never burn a driver round (VERDICT r2 item 8)."""
+    import duckdb
+
+    from tests.conftest import SMOKE_SF_DIR
+
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SMOKE_SF_DIR}/{t}.parquet')"
+        )
+    for name, sql in registry.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as e:  # pragma: no cover - the message IS the test
+            raise AssertionError(f"oracle for {name} does not parse: {e}") from e
+
+
+def test_driver_window_covers_never_checked_modules():
+    """Rounds 1-2 showed the driver checks only the FIRST 50 registry
+    entries. Every query that has never had a driver row (ml/stats/
+    similarity/graph/multimodal + the re-fixed inverted index) must sit
+    inside that window this round."""
+    order = list(registry.queries())
+    window = set(order[:50])
+    must_be_checked = {
+        "q_sim_topk", "q_sim_ann", "q_kmeans_assign", "q_kmeans_recompute",
+        "q_knn", "q_naive_bayes", "q_linreg", "q_logreg_step", "q_matmul",
+        "q_canopy", "q_percentiles", "q_histogram", "q_corr", "q_profile",
+        "q_sample", "q_resample", "q_pagerank", "q_apriori",
+        "q_multimodal", "q_multimodal_features", "q_inverted_index",
+    }
+    outside = must_be_checked - window
+    assert not outside, f"driver will not see: {sorted(outside)}"
