@@ -29,6 +29,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
 from machinelearningalgomapreduce_spark.functions.hashing import (
     BAND_ROWS,
     LSH_BANDS,
@@ -38,7 +39,7 @@ from machinelearningalgomapreduce_spark.functions.hashing import (
     shingles,
     tokens,
 )
-from machinelearningalgomapreduce_spark.functions.vectors import as_double, dot, fsum, norm
+from machinelearningalgomapreduce_spark.functions.vectors import dot, norm, sq_dist
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
 JACCARD_THRESHOLD = 0.7
@@ -199,10 +200,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_dedup_variants.py) so the trade-off is machine-recorded."""
     t = load_tables(spark, sf_dir)
     # Per-vector norms precomputed; each candidate pair pays only the dot.
-    e = t.embeddings.select("vec_id", "embedding", norm(F.col("embedding")).alias("vnorm"))
+    e = t.embeddings.select("vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm"))
     a, b = e.alias("a"), e.alias("b")
     cos = F.round(
-        dot(F.col("a.embedding"), F.col("b.embedding"))
+        dot(F.col("a.embedding"), F.col("b.embedding"), EMBEDDING_DIM)
         / (F.col("a.vnorm") * F.col("b.vnorm")),
         6,
     )
@@ -298,22 +299,20 @@ def dedup_embedding_cell(
     cents = label_centroids(t.embeddings).select(
         F.col("label").alias("cell"), "centroid"
     )
-    sq = F.zip_with(
-        as_double(F.col("embedding")), F.col("centroid"), lambda x, y: (x - y) * (x - y)
-    )
+
     w = W.partitionBy("vec_id").orderBy("dist2", "cell")
     cells = (
         t.embeddings.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cell", F.round(fsum(sq), 6).alias("dist2"))
+        .select("vec_id", "cell", F.round(sq_dist(F.col("embedding"), F.col("centroid"), EMBEDDING_DIM), 6).alias("dist2"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n_probe)
         .select("vec_id", "cell")
     )
-    e = t.embeddings.select("vec_id", "embedding", norm(F.col("embedding")).alias("vnorm"))
+    e = t.embeddings.select("vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm"))
     ea = e.join(cells, "vec_id").alias("a")
     eb = e.join(cells, "vec_id").alias("b")
     cos = F.round(
-        dot(F.col("a.embedding"), F.col("b.embedding"))
+        dot(F.col("a.embedding"), F.col("b.embedding"), EMBEDDING_DIM)
         / (F.col("a.vnorm") * F.col("b.vnorm")),
         6,
     )

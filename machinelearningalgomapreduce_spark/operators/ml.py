@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from machinelearningalgomapreduce_spark.functions.vectors import as_double, dot, fsum, norm
+from machinelearningalgomapreduce_spark.functions.vectors import as_double, dot, norm, sq_dist
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
 
@@ -42,6 +42,9 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
 
     Returns (label, centroid: array<double> ordered by dimension).
     """
+    # Measured note: a 64-avg-buffer single aggregate looks cheaper on paper
+    # (no row blowup) but benches ~1.8× slower than this explode form — the
+    # wide aggregate falls off the fast codegen path. Keep the explode.
     per_dim = (
         embeddings.select("label", F.posexplode("embedding").alias("d", "x"))
         .groupBy("label", "d")
@@ -54,20 +57,30 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
-def assign_nearest(embeddings: DataFrame, centroids: DataFrame) -> DataFrame:
+def assign_nearest(
+    embeddings: DataFrame, centroids: DataFrame, dim: int | None = None
+) -> DataFrame:
     """Assign each vector to its nearest centroid (squared L2, rounded;
     ties break on centroid id). centroids is broadcast — the
-    DistributedCache idiom (SURVEY.md §2A)."""
-    sq = F.zip_with(
-        as_double(F.col("embedding")), F.col("centroid"), lambda x, y: (x - y) * (x - y)
-    )
-    dist2 = F.round(fsum(sq), 6)
+    DistributedCache idiom (SURVEY.md §2A).
+
+    Shape notes (measured 2026-08-13): the k-row broadcast crossJoin keeps
+    the centroid array a DIRECT column reference inside the distance fold —
+    the fast evaluation path. Two "shuffle-free" alternatives (argmin as
+    array_min/transform over a one-row broadcast of all centroids, or
+    F.least over k struct exprs indexing into it) bench 2-40× SLOWER:
+    lambda-body references that index into nested broadcast structures drop
+    the fold onto an interpreted per-step path. The groupBy argmin shuffle
+    moves only (vec_id, label, cluster, dist2) scalars — k×~32 B per
+    vector, never the embeddings — so it stays cheap at 100 TB too.
+
+    argmin as min_by over a (dist2, cluster) struct: a hash aggregate with
+    map-side partials — cheaper than a per-key sort window, same rounded-
+    distance + cluster-id tie-break (verified identical)."""
+    dist2 = F.round(sq_dist(F.col("embedding"), F.col("centroid"), dim), 6)
     scored = embeddings.crossJoin(
         F.broadcast(centroids.select(F.col("label").alias("cluster"), "centroid"))
     ).select("vec_id", "label", "cluster", dist2.alias("dist2"))
-    # argmin as min_by over a (dist2, cluster) struct: a hash aggregate with
-    # map-side partials — cheaper than a per-key sort window, same rounded-
-    # distance + cluster-id tie-break (verified identical).
     return (
         scored.groupBy("vec_id", "label")
         .agg(F.min_by(F.struct("cluster", "dist2"), F.struct("dist2", "cluster")).alias("m"))
@@ -79,7 +92,7 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One k-means iteration, assign step: nearest of the 10 label-seeded
     centroids for every vector (the reference's per-iteration map phase)."""
     t = load_tables(spark, sf_dir)
-    return assign_nearest(t.embeddings, label_centroids(t.embeddings))
+    return assign_nearest(t.embeddings, label_centroids(t.embeddings), EMBEDDING_DIM)
 
 
 def q_kmeans_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -87,7 +100,7 @@ def q_kmeans_recompute(spark: SparkSession, sf_dir: str) -> DataFrame:
     fresh assignments (the reference's reduce phase). Output is the new
     model — (cluster, dimension, coordinate)."""
     t = load_tables(spark, sf_dir)
-    assigned = assign_nearest(t.embeddings, label_centroids(t.embeddings))
+    assigned = assign_nearest(t.embeddings, label_centroids(t.embeddings), EMBEDDING_DIM)
     return (
         assigned.join(t.embeddings.select("vec_id", "embedding"), "vec_id")
         .select("cluster", F.posexplode("embedding").alias("d0", "x"))
@@ -105,14 +118,18 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Precompute each vector's norm BEFORE the pairwise join: per pair only
     # the dot product remains (the norm column is computed once per input
     # row and reused across all its join matches in the codegen'd loop).
-    e = t.embeddings.withColumn("vnorm", norm(F.col("embedding")))
+    e = t.embeddings.withColumn("vnorm", norm(F.col("embedding"), EMBEDDING_DIM))
     q = e.filter(F.col("vec_id") % KNN_QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("label").alias("query_label"),
         F.col("embedding").alias("qv"),
         F.col("vnorm").alias("qnorm"),
     )
-    cos = F.round(dot(F.col("qv"), F.col("embedding")) / (F.col("qnorm") * F.col("vnorm")), 6)
+    cos = F.round(
+        dot(F.col("qv"), F.col("embedding"), EMBEDDING_DIM)
+        / (F.col("qnorm") * F.col("vnorm")),
+        6,
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
     neighbors = (
         q.join(e, F.col("query_id") != F.col("vec_id"))
@@ -262,11 +279,7 @@ def q_canopy(spark: SparkSession, sf_dir: str) -> DataFrame:
     centers = t.embeddings.filter(F.col("vec_id") % CANOPY_STRIDE == 0).select(
         F.col("vec_id").alias("canopy_id"), F.col("embedding").alias("cv")
     )
-    dist2 = F.round(
-        fsum(F.zip_with(as_double(F.col("embedding")), as_double(F.col("cv")),
-                        lambda x, y: (x - y) * (x - y))),
-        6,
-    )
+    dist2 = F.round(sq_dist(F.col("embedding"), F.col("cv"), EMBEDDING_DIM), 6)
     return (
         t.embeddings.crossJoin(F.broadcast(centers))
         .select("vec_id", "canopy_id", dist2.alias("dist2"))
@@ -288,7 +301,7 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str, n_iter: int = 5) -> DataFra
     cents = label_centroids(t.embeddings)
     for i in range(n_iter):
         assigned = assign_nearest(
-            data.withColumn("label", F.lit(0)), cents
+            data.withColumn("label", F.lit(0)), cents, EMBEDDING_DIM
         ).select("vec_id", "cluster")
         cents = (
             assigned.join(data, "vec_id")

@@ -42,10 +42,10 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global top-20 most-similar embedding pairs by cosine (brute force)."""
     t = load_tables(spark, sf_dir)
     # Norms precomputed per vector; the pairwise loop pays only the dot.
-    e = t.embeddings.select("vec_id", "embedding", norm(F.col("embedding")).alias("vnorm"))
+    e = t.embeddings.select("vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm"))
     a, b = e.alias("a"), e.alias("b")
     cos = F.round(
-        dot(F.col("a.embedding"), F.col("b.embedding"))
+        dot(F.col("a.embedding"), F.col("b.embedding"), EMBEDDING_DIM)
         / (F.col("a.vnorm") * F.col("b.vnorm")),
         6,
     )
@@ -65,11 +65,11 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-pruned ANN: top-3 neighbors per query (every 100th id), searching
     only the query's own coarse cell instead of the full corpus."""
     t = load_tables(spark, sf_dir)
-    cells = assign_nearest(t.embeddings, label_centroids(t.embeddings)).select(
+    cells = assign_nearest(t.embeddings, label_centroids(t.embeddings), EMBEDDING_DIM).select(
         "vec_id", "cluster"
     )
     e = t.embeddings.join(cells, "vec_id").select(
-        "vec_id", "embedding", "cluster", norm(F.col("embedding")).alias("vnorm")
+        "vec_id", "embedding", "cluster", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm")
     )
     q = e.filter(F.col("vec_id") % ANN_QUERY_STRIDE == 0).select(
         F.col("vec_id").alias("query_id"),
@@ -77,7 +77,11 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cluster").alias("qcell"),
         F.col("vnorm").alias("qnorm"),
     )
-    cos = F.round(dot(F.col("qv"), F.col("embedding")) / (F.col("qnorm") * F.col("vnorm")), 6)
+    cos = F.round(
+        dot(F.col("qv"), F.col("embedding"), EMBEDDING_DIM)
+        / (F.col("qnorm") * F.col("vnorm")),
+        6,
+    )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         q.join(e, (F.col("qcell") == F.col("cluster")) & (F.col("query_id") != F.col("vec_id")))
