@@ -19,6 +19,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
 
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
@@ -159,12 +160,38 @@ def q_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified equal-size sampling: every event_type stratum contributes
+    exactly min-stratum-size events, chosen deterministically by md5 rank
+    within the stratum (training-data pipelines rebalance sources this way).
+
+    Rank-based exact-k needs a per-stratum sort — fine whenever k × strata
+    fits a shuffle (here: one window pass). At 100 TB prefer the
+    hash-THRESHOLD form (q_sample) per stratum, or estimate the rank cutoff
+    with approx quantiles of the hash to avoid the full sort."""
+    t = load_tables(spark, sf_dir)
+    target = F.broadcast(
+        t.events.groupBy("event_type").count().agg(F.min("count").alias("target"))
+    )
+    w = W.partitionBy("event_type").orderBy(F.md5(F.col("event_id").cast("string")), "event_id")
+    sampled = (
+        t.events.withColumn("rk", F.row_number().over(w))
+        .crossJoin(target)
+        .filter(F.col("rk") <= F.col("target"))
+    )
+    return sampled.groupBy("event_type").agg(
+        F.count("*").alias("n_sampled"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
 QUERIES = {
     "q_percentiles": q_percentiles,
     "q_histogram": q_histogram,
     "q_corr": q_corr,
     "q_profile": q_profile,
     "q_sample": q_sample,
+    "q_sample_stratified": q_sample_stratified,
     "q_resample": q_resample,
 }
 
@@ -224,6 +251,23 @@ ORACLES = {
         FROM keyed
         WHERE bucket < {256 * SAMPLE_PCT // 100}
         GROUP BY l_returnflag
+    """,
+    "q_sample_stratified": """
+        WITH target AS (
+            SELECT min(n) AS target
+            FROM (SELECT count(*) AS n FROM events GROUP BY event_type)
+        ), ranked AS (
+            SELECT event_type, value,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY md5(CAST(event_id AS VARCHAR)), event_id) AS rk
+            FROM events
+        )
+        SELECT event_type,
+               count(*) AS n_sampled,
+               round(sum(value), 2) AS sum_value
+        FROM ranked, target
+        WHERE rk <= target
+        GROUP BY event_type
     """,
     "q_resample": """
         WITH bounds AS (

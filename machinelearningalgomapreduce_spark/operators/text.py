@@ -207,6 +207,69 @@ def q_grep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits
 
 
+DECON_PROBE_STRIDE = 100  # doc_id % stride == 0 → "benchmark" document
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    3-gram with the held-out "benchmark" set (every 100th doc stands in
+    for an eval suite). The standard pretraining hygiene pass (n-gram
+    overlap decontamination à la GPT-3/FLAN appendix methodology).
+
+    Scale shape: real benchmark suites are tiny relative to the corpus, so
+    the probe n-gram set is the BROADCAST side and the corpus is scanned
+    once — no corpus shuffle at all until the per-doc hit count (which
+    shuffles only (doc_id, shingle-hit) pairs). With a larger probe set,
+    swap the broadcast join for a bloom filter built from it."""
+    t = load_tables(spark, sf_dir)
+    sh = t.documents.select(
+        "doc_id", F.explode(F.array_distinct(shingles(F.col("text"), k=3))).alias("sh")
+    )
+    probes = sh.filter(F.col("doc_id") % DECON_PROBE_STRIDE == 0).select("sh").distinct()
+    train = t.documents.filter(F.col("doc_id") % DECON_PROBE_STRIDE != 0)
+    hits = (
+        sh.filter(F.col("doc_id") % DECON_PROBE_STRIDE != 0)
+        .join(F.broadcast(probes), "sh")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("sh").alias("n_hits"))
+    )
+    return train.select("doc_id").join(hits, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_hits", F.lit(0)).alias("n_contaminated_ngrams"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).alias("contaminated"),
+    )
+
+
+REPETITION_TOP_FRAC_MAX = 0.2
+
+
+def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filtering: per document, the fraction of
+    bigrams taken by the single most-repeated bigram, and the overall
+    duplicate-bigram fraction; docs above the threshold are dropped.
+
+    Two aggregates — (doc, bigram) counts, then per-doc rollup — both with
+    map-side partials; shuffled bytes are bounded by distinct bigrams, not
+    corpus size."""
+    t = load_tables(spark, sf_dir)
+    bg = t.documents.select("doc_id", F.explode(shingles(F.col("text"), k=2)).alias("bg"))
+    counts = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("n"))
+    per_doc = counts.groupBy("doc_id").agg(
+        F.sum("n").alias("n_bigrams"),
+        F.max("n").alias("top_n"),
+        F.count("*").alias("n_distinct"),
+    )
+    top_frac = F.round(F.col("top_n") / F.col("n_bigrams").cast("double"), 6)
+    dup_frac = F.round(1 - F.col("n_distinct") / F.col("n_bigrams").cast("double"), 6)
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        top_frac.alias("top_bigram_frac"),
+        dup_frac.alias("dup_bigram_frac"),
+        (top_frac < REPETITION_TOP_FRAC_MAX).alias("keep"),
+    )
+
+
 def tfidf_fit(spark: SparkSession, sf_dir: str, n_features: int = 1 << 10):
     """MLlib TF-IDF variant (HashingTF + IDF) — library API, pytest-checked.
     The pure-DF q_tfidf is the oracle-checked form; this is the fitted-
@@ -230,6 +293,8 @@ QUERIES = {
     "q_lang_id": q_lang_id,
     "q_quality_score": q_quality_score,
     "q_doc_fingerprint": q_doc_fingerprint,
+    "q_decontaminate": q_decontaminate,
+    "q_repetition_filter": q_repetition_filter,
 }
 
 _STOP_SQL = "['the','a','of','is','and']"
@@ -331,6 +396,50 @@ ORACLES = {
                round(0.4 * len_ok + 0.4 * diversity + 0.2 * least(stop_frac * 5, 1.0), 6) >= 0.5
                    AS keep
         FROM feat
+    """,
+    "q_decontaminate": f"""
+        WITH sh AS (
+            SELECT doc_id,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                       i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')))) AS sh
+            FROM documents
+        ), probes AS (
+            SELECT DISTINCT sh FROM sh WHERE doc_id % {DECON_PROBE_STRIDE} = 0
+        ), hits AS (
+            SELECT s.doc_id, count(DISTINCT s.sh) AS n_hits
+            FROM sh s JOIN probes p USING (sh)
+            WHERE s.doc_id % {DECON_PROBE_STRIDE} <> 0
+            GROUP BY s.doc_id
+        )
+        SELECT d.doc_id,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_contaminated_ngrams,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % {DECON_PROBE_STRIDE} <> 0
+    """,
+    "q_repetition_filter": f"""
+        WITH bg AS (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+                       i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS bg
+            FROM documents
+        ), counts AS (
+            SELECT doc_id, bg, count(*) AS n FROM bg GROUP BY doc_id, bg
+        ), per_doc AS (
+            SELECT doc_id,
+                   CAST(sum(n) AS BIGINT) AS n_bigrams,
+                   max(n) AS top_n,
+                   count(*) AS n_distinct
+            FROM counts GROUP BY doc_id
+        )
+        SELECT doc_id, n_bigrams,
+               round(top_n / CAST(n_bigrams AS DOUBLE), 6) AS top_bigram_frac,
+               round(1 - n_distinct / CAST(n_bigrams AS DOUBLE), 6) AS dup_bigram_frac,
+               round(top_n / CAST(n_bigrams AS DOUBLE), 6) < {REPETITION_TOP_FRAC_MAX}
+                   AS keep
+        FROM per_doc
     """,
     "q_doc_fingerprint": """
         WITH base AS (

@@ -87,6 +87,8 @@ def test_driver_window_covers_never_checked_modules():
         "q_canopy", "q_percentiles", "q_histogram", "q_corr", "q_profile",
         "q_sample", "q_resample", "q_pagerank", "q_apriori",
         "q_multimodal", "q_multimodal_features", "q_inverted_index",
+        # round-3 additions — never driver-checked yet
+        "q_sample_stratified", "q_decontaminate", "q_repetition_filter",
     }
     outside = must_be_checked - window
     assert not outside, f"driver will not see: {sorted(outside)}"
