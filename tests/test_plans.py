@@ -50,3 +50,30 @@ def test_kmeans_assign_no_fact_shuffle(spark, sf_dir, queries):
     # assignment itself (exchanges only inside the tiny centroid aggregate).
     plan = P.formatted_plan(queries["q_kmeans_assign"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_decontaminate_broadcasts_probe_side(spark, sf_dir, queries):
+    # The probe n-gram set must be the broadcast side — the corpus is never
+    # shuffled for the membership test.
+    plan = P.formatted_plan(queries["q_decontaminate"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_repetition_filter_partial_aggregates(spark, sf_dir, queries):
+    # Both aggregates must be partial+final hash aggregates (map-side
+    # combine) — shuffled bytes bounded by distinct bigrams.
+    plan = P.formatted_plan(queries["q_repetition_filter"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 4  # 2 aggs x partial+final
+
+
+def test_ngram_jaccard_compound_equijoin_key(spark, sf_dir, queries):
+    # The size band must be part of the EQUI-join key (it spreads a hot
+    # block's shuffle partitions), not a post-join filter.
+    plan = P.formatted_plan(queries["q_dedup_ngram_jaccard"](spark, sf_dir))
+    import re
+    m = re.search(r"(?:SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*", plan)
+    assert m is not None
+    # Join keys line lists both block and band on each side.
+    keys = re.findall(r"Left keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert any("block" in k and "band" in k for k in keys), keys
