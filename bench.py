@@ -119,6 +119,16 @@ def main() -> None:
     # pass-major was measured 2× SLOWER across the board — consecutive runs
     # keep a query's generated code and broadcast paths hot, which is also
     # the warm methodology BASELINE.md's DuckDB numbers use.
+    # Global pre-pass: one execution of every query warms the SHARED JVM
+    # machinery (shuffle writers, codegen infra, noop sink) so the first
+    # timed queries aren't paying session-wide warm-up that later ones get
+    # for free.
+    for name in names:
+        try:
+            run_once(qs[name](spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            log(f"bench: {name} FAILED in pre-pass: {exc}")
+
     times: dict[str, float] = {}
     for name in names:
         try:

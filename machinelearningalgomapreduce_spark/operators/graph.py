@@ -152,6 +152,53 @@ def q_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph — the classic
+    two-round MapReduce graph job (wedge generation, then closure check)
+    as two self-joins and one aggregate.
+
+    Edges: distinct part pairs co-occurring in an order, directed low→high
+    id so every triangle is generated exactly once. Output is the 1-row
+    graph summary (nodes, edges, triangles).
+
+    Scale notes: id-ordering bounds each wedge join to ordered adjacency;
+    the 100 TB refinement is DEGREE ordering (orient edges low-degree →
+    high-degree), which caps wedge fan-out at O(m^{3/2}) regardless of hot
+    nodes — same plan shape, one extra degree join to build the orientation.
+    """
+    t = load_tables(spark, sf_dir)
+    parts = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = parts.alias("a"), parts.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
+        F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+    )
+    triangles = wedges.join(
+        e3, (F.col("x") == F.col("e3.u")) & (F.col("z") == F.col("e3.v"))
+    ).agg(F.count("*").alias("n_triangles"))
+    n_nodes = (
+        edges.select(F.col("u").alias("p"))
+        .union(edges.select(F.col("v").alias("p")))
+        .distinct()
+        .agg(F.count("*").alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count("*").alias("n_edges"))
+    return (
+        n_nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(triangles))
+        .select("n_nodes", "n_edges", "n_triangles")
+    )
+
+
 def fpgrowth_fit(spark: SparkSession, sf_dir: str, min_support: float = 0.05):
     """Deeper itemsets via MLlib FPGrowth (library API, pytest-verified)."""
     from pyspark.ml.fpm import FPGrowth
@@ -164,6 +211,7 @@ def fpgrowth_fit(spark: SparkSession, sf_dir: str, min_support: float = 0.05):
 QUERIES = {
     "q_pagerank": q_pagerank,
     "q_apriori": q_apriori,
+    "q_triangle_count": q_triangle_count,
 }
 
 ORACLES = {
@@ -188,6 +236,28 @@ ORACLES = {
                      + {DAMPING} * coalesce(contrib.in_sum, 0.0), 8) AS rank
         FROM nodes CROSS JOIN n
         LEFT JOIN contrib ON contrib.dst = nodes.node
+    """,
+    "q_triangle_count": """
+        WITH parts AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), edges AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM parts a JOIN parts b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), tri AS (
+            SELECT count(*) AS n_triangles
+            FROM edges e1
+            JOIN edges e2 ON e1.v = e2.u
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        ), nodes AS (
+            SELECT count(*) AS n_nodes
+            FROM (SELECT DISTINCT p FROM
+                  (SELECT u AS p FROM edges UNION ALL SELECT v FROM edges))
+        ), ne AS (
+            SELECT count(*) AS n_edges FROM edges
+        )
+        SELECT nodes.n_nodes, ne.n_edges, tri.n_triangles
+        FROM nodes CROSS JOIN ne CROSS JOIN tri
     """,
     "q_apriori": f"""
         WITH baskets AS (
