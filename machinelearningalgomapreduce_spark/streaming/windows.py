@@ -96,6 +96,22 @@ def dedup_late_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame
     return events.withWatermark("ts", watermark).dropDuplicates(["event_id"])
 
 
+def filter_against_blocklist(
+    events: DataFrame, blocked_users: DataFrame, watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-static join: drop events from blocked users as they arrive —
+    the streaming analog of a broadcast decontamination/blocklist pass
+    (cf. operators/text.py::q_decontaminate's broadcast probe side).
+
+    The static side is re-resolved per micro-batch and broadcast; no
+    streaming state is needed for the join itself (left_anti against a
+    static frame is stateless), so this scales with blocklist size only.
+    """
+    return events.withWatermark("ts", watermark).join(
+        F.broadcast(blocked_users.select("user_id")), "user_id", "left_anti"
+    )
+
+
 def run_to_memory(stream_df: DataFrame, table_name: str, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming query to completion with trigger(availableNow)
     into a memory sink; returns the result as a batch DataFrame.

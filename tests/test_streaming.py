@@ -38,3 +38,17 @@ def test_stream_dedup_drops_duplicates(spark, sf_dir):
     got = sw.run_to_memory(stream, "t_dedup", output_mode="append")
     n_ids = got.select("event_id").distinct().count()
     assert got.count() == n_ids
+
+
+def test_stream_static_blocklist_filters_users(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    events = load_tables(spark, sf_dir).events
+    blocked = events.select("user_id").distinct().limit(3)
+    blocked_ids = {r.user_id for r in blocked.collect()}
+    stream = sw.filter_against_blocklist(sw.stream_events(spark, sf_dir), blocked)
+    got = sw.run_to_memory(stream, "t_blocklist", output_mode="append")
+    # No blocked user survives, and everything else does.
+    assert not ({r.user_id for r in got.select("user_id").distinct().collect()} & blocked_ids)
+    expected = events.join(blocked, "user_id", "left_anti").count()
+    assert got.count() == expected
