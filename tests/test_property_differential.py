@@ -77,3 +77,76 @@ def test_grouped_aggregates_match_duckdb(engines, key, pred):
     s = {r.k: (r.n, r.a) for r in spark.sql(sql).collect()}
     d = {row[0]: (row[1], row[2]) for row in con.execute(sql).fetchall()}
     assert s == d, pred
+
+
+# --- Text-surface differential: random tiny corpora (empty docs, single
+# tokens, repeated tokens) through the SAME tokenize/shingle expressions the
+# text/dedup oracles rely on pointwise.
+
+_words = st.sampled_from(["a", "b", "ab", "x", "a"])
+_doc = st.lists(_words, min_size=0, max_size=6).map(" ".join)
+_corpus = st.lists(_doc, min_size=1, max_size=6)
+
+
+@given(texts=_corpus)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_wordcount_matches_duckdb_on_random_corpora(engines, texts):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    spark, con = engines
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    got = {
+        (r.token, r.n, r.d)
+        for r in sdf.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("d"))
+        .collect()
+    }
+    con.register("wc_pv", pdf)
+    want = set(
+        map(
+            tuple,
+            con.execute(
+                "SELECT token, count(*) AS n, count(DISTINCT doc_id) AS d "
+                "FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM wc_pv) "
+                "GROUP BY token"
+            ).fetchall(),
+        )
+    )
+    assert got == want, texts
+
+
+@given(texts=_corpus)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_bigram_shingles_match_duckdb_on_random_corpora(engines, texts):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.functions.hashing import shingles
+
+    spark, con = engines
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    sdf = spark.createDataFrame(pdf)
+    # Set comparison: DuckDB's list_distinct does not preserve occurrence
+    # order (the production oracles only ever use shingle arrays in set
+    # operations — list_filter/list_contains — so order never matters there).
+    got = {
+        (r.doc_id, frozenset(r.ng))
+        for r in sdf.select(
+            "doc_id", F.array_distinct(shingles(F.col("text"), k=2)).alias("ng")
+        ).collect()
+    }
+    con.register("sh_pv", pdf)
+    want = {
+        (row[0], frozenset(row[1]))
+        for row in con.execute(
+            """SELECT doc_id,
+                      list_distinct(list_transform(
+                          range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+                          i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS ng
+               FROM sh_pv"""
+        ).fetchall()
+    }
+    assert got == want, texts
