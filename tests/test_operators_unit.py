@@ -167,3 +167,25 @@ def test_fpgrowth_fit_runs(spark, sf_dir):
 
     model = fpgrowth_fit(spark, sf_dir, min_support=0.2)
     assert model.freqItemsets.count() > 0
+
+
+def test_inverted_index_arrays_matches_string_form(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.operators.text import (
+        inverted_index_arrays,
+        q_inverted_index,
+    )
+
+    typed = {
+        r.token: (list(r.postings), r.df)
+        for r in inverted_index_arrays(spark, sf_dir).collect()
+    }
+    checked = {
+        r.token: (r.postings, r.df) for r in q_inverted_index(spark, sf_dir).collect()
+    }
+    assert set(typed) == set(checked)
+    for token, (arr, df) in typed.items():
+        s_post, s_df = checked[token]
+        assert s_df == df
+        assert ",".join(str(x) for x in arr) == s_post
