@@ -355,14 +355,14 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------- distinct/grouping
 
 def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact distinct count per group (Catalyst: expand + two-phase agg)."""
+    """Exact distinct count per group via two-level aggregation (distinct
+    keys pre-aggregated, then counted) — avoids the distinct-agg Expand
+    that doubles rows before the first shuffle; same exact results."""
     t = load_tables(spark, sf_dir)
-    return (
-        t.events.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("n_users"),
-            F.count("*").alias("n_events"),
-        )
+    per_user = t.events.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    return per_user.groupBy("event_type").agg(
+        F.count("*").alias("n_users"),
+        F.sum("n").alias("n_events"),
     )
 
 
