@@ -270,6 +270,99 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_QUERY = ("scan", "merge", "fast")
+BM25_TOPK = 20
+
+
+def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval: rank the corpus for a fixed keyword query — the IR
+    scoring job an LLM retrieval pipeline runs over its index.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (the Lucene-positive form).
+
+    Plan shape: per-doc tf for the 3 query terms (scan-side filter before
+    the aggregate), df/N/avgdl are 1-row or per-term broadcast aggregates —
+    exactly the inverted-index + doc-stats reuse a real index would give;
+    top-k is TakeOrderedAndProject. Scores rounded to 6 before ranking
+    with a doc_id tie-break (SURVEY §5.2.2 determinism policy)."""
+    t = load_tables(spark, sf_dir)
+    terms = F.array(*[F.lit(q) for q in BM25_QUERY])
+    tok = t.documents.select("doc_id", F.explode(_tokens()).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count("*").alias("dl"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"), F.avg(F.col("dl").cast("double")).alias("avgdl")
+    )
+    qtok = tok.filter(F.array_contains(terms, F.col("token")))
+    tf = qtok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    idf = df.crossJoin(F.broadcast(stats)).select(
+        "token",
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1).alias("idf"),
+    )
+    part = (
+        tf.join(F.broadcast(idf), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats.select("avgdl")))
+        .select(
+            "doc_id",
+            (
+                F.col("idf")
+                * (F.col("tf") * (BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + BM25_K1 * (1 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("part"),
+        )
+    )
+    return (
+        part.groupBy("doc_id")
+        .agg(F.round(F.sum("part"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+NGRAM_LM_MIN_COUNT = 3
+
+
+def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language model with add-one smoothing — the canonical
+    MapReduce NLP counting job: corpus bigram counts, unigram context
+    counts, vocabulary size, conditional log-probabilities.
+
+    log P(w2|w1) = ln((c(w1 w2) + 1) / (c(w1) + V)). Two counting
+    aggregates + a broadcast 1-row vocab — shuffle bounded by n-gram
+    vocabulary, not corpus size. Output restricted to bigrams seen ≥ 3
+    times (the model head a downstream scorer would load)."""
+    t = load_tables(spark, sf_dir)
+    bg = t.documents.select(F.explode(shingles(F.col("text"), k=2)).alias("bigram"))
+    c2 = (
+        bg.groupBy("bigram")
+        .agg(F.count("*").alias("c2"))
+        .filter(F.col("c2") >= NGRAM_LM_MIN_COUNT)
+        .withColumn("w1", F.split(F.col("bigram"), " ")[0])
+    )
+    tok = t.documents.select(F.explode(_tokens()).alias("token"))
+    c1 = tok.groupBy("token").agg(F.count("*").alias("c1"))
+    vocab = tok.agg(F.countDistinct("token").alias("v"))
+    return (
+        c2.join(c1, c2.w1 == c1.token)
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bigram",
+            "c2",
+            "c1",
+            F.round(F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v")).cast("double")), 6).alias(
+                "log_prob"
+            ),
+        )
+    )
+
+
 def tfidf_fit(spark: SparkSession, sf_dir: str, n_features: int = 1 << 10):
     """MLlib TF-IDF variant (HashingTF + IDF) — library API, pytest-checked.
     The pure-DF q_tfidf is the oracle-checked form; this is the fitted-
@@ -295,6 +388,8 @@ QUERIES = {
     "q_doc_fingerprint": q_doc_fingerprint,
     "q_decontaminate": q_decontaminate,
     "q_repetition_filter": q_repetition_filter,
+    "q_bm25": q_bm25,
+    "q_ngram_lm": q_ngram_lm,
 }
 
 _STOP_SQL = "['the','a','of','is','and']"
@@ -440,6 +535,56 @@ ORACLES = {
                round(top_n / CAST(n_bigrams AS DOUBLE), 6) < {REPETITION_TOP_FRAC_MAX}
                    AS keep
         FROM per_doc
+    """,
+    "q_bm25": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ), dl AS (
+            SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id
+        ), stats AS (
+            SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf
+            FROM tok WHERE token IN ('scan', 'merge', 'fast')
+            GROUP BY doc_id, token
+        ), idf AS (
+            SELECT token, ln((n_docs - df + 0.5) / (df + 0.5) + 1) AS idf
+            FROM (SELECT token, count(*) AS df FROM tf GROUP BY token), stats
+        ), part AS (
+            SELECT tf.doc_id,
+                   idf.idf * (tf.tf * ({BM25_K1} + 1))
+                   / (tf.tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * dl.dl / stats.avgdl))
+                       AS part
+            FROM tf
+            JOIN idf USING (token)
+            JOIN dl ON dl.doc_id = tf.doc_id
+            CROSS JOIN stats
+        )
+        SELECT doc_id, round(sum(part), 6) AS bm25
+        FROM part GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id
+        LIMIT {BM25_TOPK}
+    """,
+    "q_ngram_lm": f"""
+        WITH bg AS (
+            SELECT unnest(list_transform(
+                range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+                i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS bigram
+            FROM documents
+        ), c2 AS (
+            SELECT bigram, count(*) AS c2, string_split(bigram, ' ')[1] AS w1
+            FROM bg GROUP BY bigram
+            HAVING count(*) >= {NGRAM_LM_MIN_COUNT}
+        ), tok AS (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ), c1 AS (
+            SELECT token, count(*) AS c1 FROM tok GROUP BY token
+        ), v AS (
+            SELECT count(DISTINCT token) AS v FROM tok
+        )
+        SELECT c2.bigram, c2.c2, c1.c1,
+               round(ln((c2.c2 + 1) / CAST(c1.c1 + v.v AS DOUBLE)), 6) AS log_prob
+        FROM c2 JOIN c1 ON c1.token = c2.w1 CROSS JOIN v
     """,
     "q_doc_fingerprint": """
         WITH base AS (
