@@ -367,6 +367,38 @@ def linreg_fit(spark: SparkSession, sf_dir: str, max_iter: int = 20):
     return LinearRegression(maxIter=max_iter, regParam=0.01).fit(data)
 
 
+def pca_fit(spark: SparkSession, sf_dir: str, k: int = 8):
+    """MLlib PCA over the embeddings (library API, pytest-checked):
+    returns (model, transformed) with k principal components; explained
+    variance must be non-increasing. The 100 TB shape is a single
+    covariance/Gram aggregation + driver-side eigendecomposition of the
+    d×d matrix — Spark's PCA does exactly that (d = 64 here)."""
+    from pyspark.ml.feature import PCA
+    from pyspark.ml.functions import array_to_vector
+
+    t = load_tables(spark, sf_dir)
+    data = t.embeddings.select(
+        "vec_id", array_to_vector(as_double(F.col("embedding"))).alias("features")
+    )
+    model = PCA(k=k, inputCol="features", outputCol="pca").fit(data)
+    return model, model.transform(data)
+
+
+def word2vec_fit(spark: SparkSession, sf_dir: str, dim: int = 16, seed: int = 42):
+    """MLlib Word2Vec over the tokenized documents (library API,
+    pytest-checked): token embeddings + synonym lookup. Model state is
+    O(vocab × dim) on the driver — the corpus is never collected."""
+    from pyspark.ml.feature import Word2Vec
+
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select(F.split("text", " ").alias("tokens"))
+    model = Word2Vec(
+        vectorSize=dim, minCount=2, seed=seed, inputCol="tokens", outputCol="w2v",
+        maxIter=2,
+    ).fit(toks)
+    return model
+
+
 def logreg_fit(spark: SparkSession, sf_dir: str, max_iter: int = 10):
     """Binary logistic regression fit via MLlib (target: label ≥ 5)."""
     from pyspark.ml.classification import LogisticRegression

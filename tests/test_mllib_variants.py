@@ -31,3 +31,25 @@ def test_logreg_fit(spark, sf_dir):
 
     model = logreg_fit(spark, sf_dir)
     assert model.numClasses == 2
+
+
+def test_pca_fit_variance_ordering(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.ml import pca_fit
+
+    model, transformed = pca_fit(spark, sf_dir, k=8)
+    ev = list(model.explainedVariance)
+    assert len(ev) == 8
+    assert all(ev[i] >= ev[i + 1] - 1e-12 for i in range(len(ev) - 1))
+    row = transformed.first()
+    assert len(row.pca) == 8
+
+
+def test_word2vec_fit_vocab_and_synonyms(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.ml import word2vec_fit
+
+    model = word2vec_fit(spark, sf_dir, dim=16)
+    vectors = model.getVectors()
+    assert vectors.count() > 10  # fixture vocab is ~31 shared tokens
+    some_word = vectors.first().word
+    syns = model.findSynonyms(some_word, 3)
+    assert syns.count() == 3
