@@ -1,10 +1,13 @@
 """Assembles the driver contract: queries() and oracle_sql().
 
 Each operator module exposes QUERIES (name → callable(spark, sf_dir) →
-DataFrame) and ORACLES (name → ANSI SQL for DuckDB). Names missing from
-ORACLES get the driver's weaker rows-only check (SURVEY.md §2 'Oracle'
-column) — reserved for genuinely non-SQL-expressible ops (MLlib fits,
-approximate sketches).
+DataFrame) and ORACLES (name → ANSI SQL for DuckDB). Every declared query
+MUST carry an oracle: the driver has no rows-only fallback — an
+oracle-less entry records `err: no_oracle` as a red row (learned round 1).
+Genuinely non-SQL-checkable surfaces (MLlib fits, streaming twins,
+sketches) stay out of QUERIES entirely and are pytest-verified library
+APIs; approximate ops that ARE declared emit an accuracy assertion the
+oracle matches with literal TRUE (e.g. q_distinct_users_approx).
 """
 
 from __future__ import annotations
