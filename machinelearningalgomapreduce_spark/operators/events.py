@@ -129,12 +129,34 @@ def q_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moving 1-hour statistics per user: RANGE frame over event time (all
+    events in (t − 1 h, t]) — the time-based sliding window the ROWS-frame
+    analytics can't express. Frame bound is exact integer microseconds, so
+    both engines include identical peer sets."""
+    t = load_tables(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(us)
+        .rangeBetween(-3600 * 1_000_000, 0)
+    )
+    return t.events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count("*").over(w).alias("n_1h"),
+        F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+    )
+
+
 QUERIES = {
     "q_events_tumbling": q_events_tumbling,
     "q_events_sliding": q_events_sliding,
     "q_sessionize": q_sessionize,
     "q_session_stats": q_session_stats,
     "q_late_data": q_late_data,
+    "q_window_range_frame": q_window_range_frame,
 }
 
 ORACLES = {
@@ -196,6 +218,14 @@ ORACLES = {
                round(sum(value), 2) AS sum_value
         FROM sessions
         GROUP BY user_id, session_seq
+    """,
+    "q_window_range_frame": """
+        SELECT event_id, user_id, ts,
+               count(*) OVER w AS n_1h,
+               round(avg(value) OVER w, 6) AS avg_1h
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
     "q_late_data": """
         WITH doubled AS (

@@ -150,3 +150,43 @@ def test_bigram_shingles_match_duckdb_on_random_corpora(engines, texts):
         ).fetchall()
     }
     assert got == want, texts
+
+
+# --- Timestamp-semantics differential: random microsecond epochs through
+# the ns→µs/date_trunc/bucketing expressions the events oracles rely on.
+
+_epochs = st.lists(
+    st.integers(min_value=1_500_000_000_000_000, max_value=1_800_000_000_000_000),
+    min_size=1,
+    max_size=40,
+)
+
+
+@given(micros=_epochs)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_hour_bucketing_matches_duckdb_on_random_timestamps(engines, micros):
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    spark, con = engines
+    sdf = spark.createDataFrame([(m,) for m in micros], "us long").select(
+        F.timestamp_micros(F.col("us")).alias("ts")
+    )
+    got = sorted(
+        (r.h, r.n)
+        for r in sdf.groupBy(F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    pdf = pd.DataFrame({"us": micros})
+    con.register("ts_pv", pdf)
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                "SELECT CAST(date_trunc('hour', make_timestamp(us)) AS TIMESTAMP) AS h, "
+                "count(*) AS n FROM ts_pv GROUP BY 1"
+            ).fetchall(),
+        )
+    )
+    assert got == want, micros[:5]
