@@ -120,9 +120,60 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(attach_binary(t.documents))
 
 
+FRAME_SAMPLE_STRIDE = 2
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_no", T.LongType()),
+        T.StructField("frame_bytes", T.LongType()),
+        T.StructField("frame_md5", T.StringType()),
+    ]
+)
+
+
+def _frame_batches(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
+    """Arrow-batched frame sampling: treat the payload as `fake_frames`
+    equal-length frames, emit every STRIDE-th frame's byte slice stats —
+    one input row fans out to multiple output rows (the mapInPandas shape
+    a real video frame-sampler has)."""
+    import hashlib
+
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            data = bytes(payload)
+            n = len(data)
+            frames = 1 + n % 5  # same deterministic fake as _extract_batches
+            flen = n // frames
+            for fno in range(1, frames + 1, FRAME_SAMPLE_STRIDE):
+                sl = data[(fno - 1) * flen : (fno - 1) * flen + flen]
+                rows.append(
+                    (doc_id, fno, len(sl), hashlib.md5(sl).hexdigest())
+                )
+        yield pd.DataFrame(rows, columns=["doc_id", "frame_no", "frame_bytes", "frame_md5"])
+
+
+def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over the binary payload: every 2nd of the payload's
+    deterministic fake frames, with per-frame byte slice md5 — the
+    row-fan-out mapInPandas pipeline a video frame-sampler runs, fully
+    oracle-checked because the slicing arithmetic is exact (the fixture
+    payload is ASCII, so DuckDB's char substring hashes the same bytes)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        attach_binary(t.documents)
+        .select("doc_id", "payload")
+        .mapInPandas(_frame_batches, schema=FRAME_SCHEMA)
+    )
+
+
 QUERIES = {
     "q_multimodal": q_multimodal,
     "q_multimodal_features": q_multimodal_features,
+    "q_frame_sample": q_frame_sample,
 }
 
 ORACLES = {
@@ -144,6 +195,21 @@ ORACLES = {
         FROM joined
         WHERE n_tokens >= 20 AND vec_norm > 0.5
         GROUP BY source
+    """,
+    "q_frame_sample": f"""
+        WITH base AS (
+            SELECT doc_id, text,
+                   strlen(text) AS n,
+                   1 + strlen(text) % 5 AS frames,
+                   strlen(text) // (1 + strlen(text) % 5) AS flen
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(fno AS BIGINT) AS frame_no,
+               CAST(flen AS BIGINT) AS frame_bytes,
+               md5(substring(text, CAST((fno - 1) * flen + 1 AS INTEGER),
+                             CAST(flen AS INTEGER))) AS frame_md5
+        FROM base, unnest(range(1, frames + 1, {FRAME_SAMPLE_STRIDE})) AS t(fno)
     """,
     "q_multimodal_features": """
         SELECT doc_id,
