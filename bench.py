@@ -132,6 +132,7 @@ def main() -> None:
     times: dict[str, float] = {}
     for name in names:
         try:
+            warm = float("nan")
             for _ in range(WARMUP_RUNS):
                 warm = run_once(qs[name](spark, sf_dir))
             best = min(run_once(qs[name](spark, sf_dir)) for _ in range(TIMED_RUNS))
