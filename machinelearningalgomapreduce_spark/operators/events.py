@@ -150,6 +150,77 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view → click → purchase: per user, each
+    later step must happen strictly AFTER the user's first occurrence of
+    the previous step. One-row summary with conversion rates.
+
+    Shape: three per-user min aggregates chained by (user_id) joins —
+    each stage shuffles only (user_id, first_ts) pairs; exact integer
+    microseconds make the strict-after comparisons engine-identical."""
+    t = load_tables(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+
+    def first_after(event_type: str, prev: DataFrame | None, alias: str) -> DataFrame:
+        step = t.events.filter(F.col("event_type") == event_type).select(
+            "user_id", us.alias("us")
+        )
+        if prev is not None:
+            prev_col = prev.columns[1]
+            step = step.join(prev, "user_id").filter(F.col("us") > F.col(prev_col))
+        return step.groupBy("user_id").agg(F.min("us").alias(alias))
+
+    viewed = first_after("view", None, "v_ts")
+    clicked = first_after("click", viewed, "c_ts")
+    purchased = first_after("purchase", clicked, "p_ts")
+    n_v = viewed.agg(F.count("*").alias("n_viewed"))
+    n_c = clicked.agg(F.count("*").alias("n_clicked"))
+    n_p = purchased.agg(F.count("*").alias("n_purchased"))
+    return (
+        n_v.crossJoin(F.broadcast(n_c))
+        .crossJoin(F.broadcast(n_p))
+        .select(
+            "n_viewed",
+            "n_clicked",
+            "n_purchased",
+            # try_divide: NULL (not an ANSI error) on an empty funnel stage.
+            F.round(F.try_divide("n_clicked", F.col("n_viewed").cast("double")), 6).alias(
+                "view_to_click"
+            ),
+            F.round(F.try_divide("n_purchased", F.col("n_clicked").cast("double")), 6).alias(
+                "click_to_purchase"
+            ),
+        )
+    )
+
+
+def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention: users grouped by first-seen week; for each
+    (cohort_week, k) the count of cohort users active k weeks later.
+
+    first-seen and activity weeks are date_trunc('week') (Monday start in
+    both engines); k is exact integer arithmetic on epoch microseconds."""
+    t = load_tables(spark, sf_dir)
+    wk = F.date_trunc("week", F.col("ts"))
+    first_seen = t.events.groupBy("user_id").agg(
+        F.min(F.unix_micros(wk)).alias("cohort_us")
+    )
+    activity = t.events.select(
+        "user_id", F.unix_micros(wk).alias("act_us")
+    ).distinct()
+    week_us = 7 * 24 * 3600 * 1_000_000
+    return (
+        activity.join(first_seen, "user_id")
+        .select(
+            F.timestamp_micros(F.col("cohort_us")).alias("cohort_week"),
+            ((F.col("act_us") - F.col("cohort_us")) / week_us).cast("int").alias("week_k"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_k")
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
+
+
 QUERIES = {
     "q_events_tumbling": q_events_tumbling,
     "q_events_sliding": q_events_sliding,
@@ -157,6 +228,8 @@ QUERIES = {
     "q_session_stats": q_session_stats,
     "q_late_data": q_late_data,
     "q_window_range_frame": q_window_range_frame,
+    "q_funnel": q_funnel,
+    "q_retention": q_retention,
 }
 
 ORACLES = {
@@ -218,6 +291,45 @@ ORACLES = {
                round(sum(value), 2) AS sum_value
         FROM sessions
         GROUP BY user_id, session_seq
+    """,
+    "q_funnel": """
+        WITH viewed AS (
+            SELECT user_id, min(epoch_us(ts)) AS v_ts
+            FROM events WHERE event_type = 'view' GROUP BY user_id
+        ), clicked AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS c_ts
+            FROM events e JOIN viewed v ON v.user_id = e.user_id
+            WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.v_ts
+            GROUP BY e.user_id
+        ), purchased AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS p_ts
+            FROM events e JOIN clicked c ON c.user_id = e.user_id
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_ts
+            GROUP BY e.user_id
+        )
+        SELECT (SELECT count(*) FROM viewed) AS n_viewed,
+               (SELECT count(*) FROM clicked) AS n_clicked,
+               (SELECT count(*) FROM purchased) AS n_purchased,
+               round((SELECT count(*) FROM clicked)
+                     / CAST(NULLIF((SELECT count(*) FROM viewed), 0) AS DOUBLE), 6)
+                   AS view_to_click,
+               round((SELECT count(*) FROM purchased)
+                     / CAST(NULLIF((SELECT count(*) FROM clicked), 0) AS DOUBLE), 6)
+                   AS click_to_purchase
+    """,
+    "q_retention": """
+        WITH first_seen AS (
+            SELECT user_id, min(epoch_us(date_trunc('week', ts))) AS cohort_us
+            FROM events GROUP BY user_id
+        ), activity AS (
+            SELECT DISTINCT user_id, epoch_us(date_trunc('week', ts)) AS act_us
+            FROM events
+        )
+        SELECT make_timestamp(f.cohort_us) AS cohort_week,
+               CAST((a.act_us - f.cohort_us) / (7 * 24 * 3600 * CAST(1000000 AS BIGINT)) AS INTEGER) AS week_k,
+               count(DISTINCT a.user_id) AS n_users
+        FROM activity a JOIN first_seen f USING (user_id)
+        GROUP BY 1, 2
     """,
     "q_window_range_frame": """
         SELECT event_id, user_id, ts,
