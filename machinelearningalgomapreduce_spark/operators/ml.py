@@ -266,6 +266,56 @@ def q_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TREE_SPLIT_THRESHOLDS = (-0.4, -0.2, 0.0, 0.2, 0.4)
+
+
+def q_tree_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decision-tree split search (PLANET-style: the canonical
+    MapReduce-ML tree-induction job): score every (dimension, threshold)
+    candidate split of the embeddings for the binary target label ≥ 5 by
+    weighted Gini impurity, in ONE aggregation pass.
+
+    Map phase emits (dim, threshold, side, y) per value; the reduce is
+    four counts per candidate from which the Gini is closed-form — exact
+    integers until the final division (rounded to 6). Emitting ALL scored
+    candidates (64 dims × 5 thresholds) keeps the output argmin-free and
+    fully deterministic; the best split is the min (gini, d, thr) row.
+
+    Scale: the only shuffle carries candidate keys × 4 counts — O(dims ×
+    thresholds), independent of corpus size; Catalyst supplies the
+    map-side partial aggregation the PLANET paper hand-builds."""
+    t = load_tables(spark, sf_dir)
+    y = (F.col("label") >= 5).cast("int")
+    per_dim = t.embeddings.select(
+        y.alias("y"), F.posexplode("embedding").alias("d0", "x")
+    ).select((F.col("d0") + 1).cast("bigint").alias("d"), "x", "y")
+    thr = F.explode(F.array(*[F.lit(v) for v in TREE_SPLIT_THRESHOLDS])).alias("thr")
+    scored = per_dim.select("d", "x", "y", thr)
+    left = (F.col("x").cast("double") <= F.col("thr")).cast("int")
+    counts = scored.groupBy("d", "thr").agg(
+        F.sum(left).alias("n_l"),
+        F.sum(left * F.col("y")).alias("n_l1"),
+        F.sum(1 - left).alias("n_r"),
+        F.sum((1 - left) * F.col("y")).alias("n_r1"),
+    )
+    nl, nl1, nr, nr1 = (F.col(c).cast("double") for c in ("n_l", "n_l1", "n_r", "n_r1"))
+    gini_l = 1 - (nl1 / nl) * (nl1 / nl) - ((nl - nl1) / nl) * ((nl - nl1) / nl)
+    gini_r = 1 - (nr1 / nr) * (nr1 / nr) - ((nr - nr1) / nr) * ((nr - nr1) / nr)
+    # An empty side contributes 0 weight — guarded explicitly (0/0 is NaN
+    # under IEEE and coalesce does not catch NaN), same CASE in the oracle.
+    weighted = (
+        F.when(nl > 0, nl * gini_l).otherwise(0.0)
+        + F.when(nr > 0, nr * gini_r).otherwise(0.0)
+    ) / (nl + nr)
+    return counts.select(
+        "d",
+        "thr",
+        "n_l",
+        "n_r",
+        F.round(weighted, 6).alias("gini"),
+    )
+
+
 CANOPY_STRIDE = 25
 CANOPY_T1 = 2.0
 
@@ -421,6 +471,7 @@ QUERIES = {
     "q_logreg_step": q_logreg_step,
     "q_matmul": q_matmul,
     "q_canopy": q_canopy,
+    "q_tree_split": q_tree_split,
 }
 
 _DIMS = f"range(1, {EMBEDDING_DIM + 1})"
@@ -455,7 +506,36 @@ _COS = """round(
      * sqrt(list_sum(list_transform({dims}, i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))),
     6)""".format(dims=_DIMS)
 
+_THR_SQL = ", ".join(str(v) for v in TREE_SPLIT_THRESHOLDS)
+
 ORACLES = {
+    "q_tree_split": f"""
+        WITH per AS (
+            SELECT d.d, CAST(e.embedding[d.d] AS DOUBLE) AS x,
+                   CAST(e.label >= 5 AS INTEGER) AS y
+            FROM embeddings e, (SELECT unnest({_DIMS}) AS d) d
+        ), counts AS (
+            SELECT per.d, t.thr,
+                   CAST(sum(CASE WHEN x <= thr THEN 1 ELSE 0 END) AS BIGINT) AS n_l,
+                   CAST(sum(CASE WHEN x <= thr THEN y ELSE 0 END) AS BIGINT) AS n_l1,
+                   CAST(sum(CASE WHEN x > thr THEN 1 ELSE 0 END) AS BIGINT) AS n_r,
+                   CAST(sum(CASE WHEN x > thr THEN y ELSE 0 END) AS BIGINT) AS n_r1
+            FROM per, (SELECT CAST(unnest([{_THR_SQL}]) AS DOUBLE) AS thr) t
+            GROUP BY per.d, t.thr
+        )
+        SELECT d, thr, n_l, n_r,
+               round((
+                 CASE WHEN n_l > 0 THEN n_l * (
+                      1 - (CAST(n_l1 AS DOUBLE) / n_l) * (CAST(n_l1 AS DOUBLE) / n_l)
+                        - (CAST(n_l - n_l1 AS DOUBLE) / n_l) * (CAST(n_l - n_l1 AS DOUBLE) / n_l))
+                      ELSE 0.0 END
+                 + CASE WHEN n_r > 0 THEN n_r * (
+                      1 - (CAST(n_r1 AS DOUBLE) / n_r) * (CAST(n_r1 AS DOUBLE) / n_r)
+                        - (CAST(n_r - n_r1 AS DOUBLE) / n_r) * (CAST(n_r - n_r1 AS DOUBLE) / n_r))
+                      ELSE 0.0 END
+               ) / (n_l + n_r), 6) AS gini
+        FROM counts
+    """,
     "q_kmeans_assign": f"""
         WITH {_ASSIGN_CTES}
         SELECT vec_id, label, cluster, dist2 FROM assigned

@@ -90,7 +90,7 @@ def test_driver_window_covers_never_checked_modules():
         # round-3 additions — never driver-checked yet
         "q_sample_stratified", "q_decontaminate", "q_repetition_filter",
         "q_triangle_count", "q_bm25", "q_ngram_lm", "q_window_range_frame",
-        "q_frame_sample", "q_funnel", "q_retention",
+        "q_frame_sample", "q_funnel", "q_retention", "q_tree_split",
     }
     outside = must_be_checked - window
     assert not outside, f"driver will not see: {sorted(outside)}"
