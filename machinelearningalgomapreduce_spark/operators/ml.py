@@ -417,6 +417,47 @@ def linreg_fit(spark: SparkSession, sf_dir: str, max_iter: int = 20):
     return LinearRegression(maxIter=max_iter, regParam=0.01).fit(data)
 
 
+def als_fit(spark: SparkSession, sf_dir: str, rank: int = 8, seed: int = 42):
+    """MLlib ALS collaborative filtering on the (customer, part, quantity)
+    purchase matrix (library API, pytest-checked) — the canonical
+    distributed recommender: factor matrices are O((users+items) × rank),
+    ratings never leave the cluster."""
+    from pyspark.ml.recommendation import ALS
+
+    t = load_tables(spark, sf_dir)
+    ratings = (
+        t.orders.join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("float").alias("rating"))
+    )
+    model = ALS(
+        rank=rank, maxIter=5, seed=seed, userCol="user", itemCol="item",
+        ratingCol="rating", coldStartStrategy="drop",
+    ).fit(ratings)
+    return model
+
+
+def random_forest_fit(spark: SparkSession, sf_dir: str, n_trees: int = 10, seed: int = 42):
+    """MLlib RandomForest classifier on the embeddings (target: label ≥ 5)
+    — the ensemble big sibling of q_tree_split's single-split search
+    (library API, pytest-checked)."""
+    from pyspark.ml.classification import RandomForestClassifier
+    from pyspark.ml.functions import array_to_vector
+
+    t = load_tables(spark, sf_dir)
+    data = t.embeddings.select(
+        array_to_vector(as_double(F.col("embedding"))).alias("features"),
+        (F.col("label") >= 5).cast("double").alias("label"),
+    )
+    model = RandomForestClassifier(
+        numTrees=n_trees, maxDepth=4, seed=seed
+    ).fit(data)
+    return model, model.transform(data)
+
+
 def pca_fit(spark: SparkSession, sf_dir: str, k: int = 8):
     """MLlib PCA over the embeddings (library API, pytest-checked):
     returns (model, transformed) with k principal components; explained

@@ -53,3 +53,27 @@ def test_word2vec_fit_vocab_and_synonyms(spark, sf_dir):
     some_word = vectors.first().word
     syns = model.findSynonyms(some_word, 3)
     assert syns.count() == 3
+
+
+def test_als_fit_recommends(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.ml import als_fit
+
+    model = als_fit(spark, sf_dir, rank=4)
+    recs = model.recommendForAllUsers(3)
+    row = recs.first()
+    assert len(row.recommendations) == 3
+    assert model.rank == 4
+
+
+def test_random_forest_fit_beats_chance(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.operators.ml import random_forest_fit
+
+    model, scored = random_forest_fit(spark, sf_dir, n_trees=10)
+    acc = scored.agg(
+        F.avg((F.col("prediction") == F.col("label")).cast("double"))
+    ).first()[0]
+    # Train-set accuracy on a 50/50-ish target; chance is ~0.5.
+    assert acc > 0.55, acc
+    assert model.getNumTrees == 10
