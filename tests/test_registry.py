@@ -94,3 +94,24 @@ def test_driver_window_covers_never_checked_modules():
     }
     outside = must_be_checked - window
     assert not outside, f"driver will not see: {sorted(outside)}"
+
+
+def test_no_query_emits_unhashable_column_types(spark):
+    """Round-2 lesson: the driver's pandas canonicalizer crashes on array
+    cells (TypeError: unhashable type). No checked query may emit
+    array/map/struct columns — serialize to strings instead."""
+    from pyspark.sql import types as T
+
+    from tests.conftest import SMOKE_SF_DIR
+
+    bad = {}
+    for name, fn in registry.queries().items():
+        schema = fn(spark, SMOKE_SF_DIR).schema
+        offenders = [
+            f.name
+            for f in schema.fields
+            if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+        ]
+        if offenders:
+            bad[name] = offenders
+    assert not bad, f"driver-unhashable output columns: {bad}"
