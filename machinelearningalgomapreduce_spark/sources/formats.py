@@ -59,6 +59,16 @@ def read_json(spark: SparkSession, path: str, schema: T.StructType) -> DataFrame
     return spark.read.schema(schema).json(path)
 
 
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink (built-in columnar alternative to parquet; same pushdown
+    and pruning machinery on read)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def write_partitioned(df: DataFrame, path: str, *partition_cols: str) -> None:
     """Hive-style partitioned parquet: directory pruning for free on any
     filter over the partition columns."""

@@ -84,3 +84,21 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
         assert joined.count() == t.lineitem.count()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+    from machinelearningalgomapreduce_spark.sources.formats import read_orc, write_orc
+
+    orders = load_tables(spark, sf_dir).orders
+    path = str(tmp_path / "orders_orc")
+    write_orc(orders, path)
+    back = read_orc(spark, path)
+    assert back.count() == orders.count()
+    assert set(back.columns) == set(orders.columns)
+    # Filter pushdown reaches the ORC scan.
+    filtered = back.filter(F.col("o_orderstatus") == "O").select("o_orderkey")
+    plan = filtered._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "o_orderstatus" in plan
