@@ -545,7 +545,7 @@ ORACLES = {
             SELECT count(*) AS n_docs, avg(CAST(dl AS DOUBLE)) AS avgdl FROM dl
         ), tf AS (
             SELECT doc_id, token, count(*) AS tf
-            FROM tok WHERE token IN ('scan', 'merge', 'fast')
+            FROM tok WHERE token IN ({", ".join(f"'{q}'" for q in BM25_QUERY)})
             GROUP BY doc_id, token
         ), idf AS (
             SELECT token, ln((n_docs - df + 0.5) / (df + 0.5) + 1) AS idf
