@@ -58,3 +58,12 @@ def ensure_query_conf(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # A driver-provided session at Spark's 200-partition default would run
+    # every small-SF shuffle as 200 near-empty tasks; right-size it for
+    # local fixtures. Only overrides the untouched default — a deliberate
+    # caller choice (like bench's 4) is respected.
+    try:
+        if int(spark.conf.get("spark.sql.shuffle.partitions")) >= 200:
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:  # noqa: BLE001 - conf introspection must never fail a query
+        pass
