@@ -221,12 +221,9 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# q_late_data's REGISTRATION lives in operators/relational.py: the driver
-# checks the first 50 registry entries and q_late_data is already
-# driver-proven (round 2), so its slot goes to the never-checked
-# q_tree_split. The operator itself stays here with its family.
 QUERIES = {
     "q_events_tumbling": q_events_tumbling,
+    "q_late_data": q_late_data,
     "q_events_sliding": q_events_sliding,
     "q_sessionize": q_sessionize,
     "q_session_stats": q_session_stats,
@@ -236,6 +233,20 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_late_data": """
+        WITH doubled AS (
+            SELECT * FROM events UNION ALL SELECT * FROM events
+        ), wm AS (
+            SELECT max(epoch_us(ts)) - 7 * 24 * 3600 * CAST(1000000 AS BIGINT) AS wm FROM doubled
+        )
+        SELECT event_id, ts, user_id, event_type, value
+        FROM (
+            SELECT d.*, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
+            FROM doubled d, wm
+            WHERE epoch_us(d.ts) >= wm.wm
+        )
+        WHERE rn = 1
+    """,
     "q_events_tumbling": """
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                event_type,

@@ -573,16 +573,7 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _late_data(spark, sf_dir):
-    # Registered here (window tail) — implementation and docs live in
-    # operators/events.py::q_late_data; see the note there.
-    from machinelearningalgomapreduce_spark.operators.events import q_late_data
-
-    return q_late_data(spark, sf_dir)
-
-
 QUERIES = {
-    "q_late_data": _late_data,
     "q_scan_project": q_scan_project,
     "q_filter_pred": q_filter_pred,
     "q_filter_agg": q_filter_agg,
@@ -616,21 +607,6 @@ QUERIES = {
 }
 
 ORACLES = {
-    "q_late_data": """
-        WITH doubled AS (
-            SELECT * FROM events UNION ALL SELECT * FROM events
-        ), wm AS (
-            SELECT max(epoch_us(ts)) - 7 * 24 * 3600 * CAST(1000000 AS BIGINT) AS wm FROM doubled
-        )
-        SELECT event_id, ts, user_id, event_type, value
-        FROM (
-            SELECT d.*, row_number() OVER (PARTITION BY event_id ORDER BY ts) AS rn
-            FROM doubled d, wm
-            WHERE epoch_us(d.ts) >= wm.wm
-        )
-        WHERE rn = 1
-    """,
-
     "q_scan_project": """
         SELECT p_partkey,
                upper(p_name) AS name_upper,

@@ -76,24 +76,20 @@ def test_every_oracle_parses_in_duckdb():
 
 def test_driver_window_covers_never_checked_modules():
     """Rounds 1-2 showed the driver checks only the FIRST 50 registry
-    entries. Every query that has never had a driver row (ml/stats/
-    similarity/graph/multimodal + the re-fixed inverted index) must sit
-    inside that window this round."""
+    entries. The registry sorts never-driver-green queries first; this
+    guards (a) every never-green query fits inside the window, (b) the
+    DRIVER_GREEN ledger only names real queries, and (c) the two-tier
+    order is actually applied."""
     order = list(registry.queries())
-    window = set(order[:50])
-    must_be_checked = {
-        "q_sim_topk", "q_sim_ann", "q_kmeans_assign", "q_kmeans_recompute",
-        "q_knn", "q_naive_bayes", "q_linreg", "q_logreg_step", "q_matmul",
-        "q_canopy", "q_percentiles", "q_histogram", "q_corr", "q_profile",
-        "q_sample", "q_resample", "q_pagerank", "q_apriori",
-        "q_multimodal", "q_multimodal_features", "q_inverted_index",
-        # round-3 additions — never driver-checked yet
-        "q_sample_stratified", "q_decontaminate", "q_repetition_filter",
-        "q_triangle_count", "q_bm25", "q_ngram_lm", "q_window_range_frame",
-        "q_frame_sample", "q_funnel", "q_retention", "q_tree_split",
-    }
-    outside = must_be_checked - window
+    never_green = [n for n in order if n not in registry.DRIVER_GREEN]
+    assert not registry.DRIVER_GREEN - set(order), "DRIVER_GREEN names unknown queries"
+    assert len(never_green) <= 50, (
+        f"{len(never_green)} never-driver-green queries exceed the 50-entry "
+        "window — rotate CORRECTNESS_r{N} greens into registry.DRIVER_GREEN"
+    )
+    outside = set(never_green) - set(order[:50])
     assert not outside, f"driver will not see: {sorted(outside)}"
+    assert order[: len(never_green)] == never_green, "never-green tier must lead"
 
 
 def test_no_query_emits_unhashable_column_types(spark):
