@@ -221,9 +221,77 @@ def q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ZSCORE_THRESHOLD = 2.5
+
+
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection: events whose value deviates ≥ 2.5σ from
+    their event_type's mean — the monitoring pass a pipeline runs over its
+    metric stream. Moments come from explicit sufficient statistics
+    (Σx, Σx², n — the map/reduce partials), and mean/σ are rounded to 6
+    in both engines BEFORE the z computation so the threshold decision
+    never depends on summation order (SURVEY §5.2.3).
+
+    Scale shape: one O(types)-row aggregate broadcast back onto the scan —
+    the fact table is never shuffled; flagging is codegen'd map work."""
+    t = load_tables(spark, sf_dir)
+    stats = t.events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("value").alias("sx"),
+        F.sum(F.col("value") * F.col("value")).alias("sxx"),
+    )
+    model = stats.select(
+        "event_type",
+        F.round(F.col("sx") / F.col("n"), 6).alias("mu"),
+        F.round(
+            F.sqrt(
+                (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+            ),
+            6,
+        ).alias("sd"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sd"), 6)
+    return (
+        t.events.join(F.broadcast(model), "event_type")
+        .withColumn("z", z)
+        .filter(F.abs(F.col("z")) >= ZSCORE_THRESHOLD)
+        .select("event_id", "event_type", "value", "z")
+    )
+
+
+def q_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event sequences:
+    count (prev_type → next_type) transitions and their conditional
+    probabilities — the session-behavior model behind next-event
+    prediction and funnel simulation.
+
+    Scale shape: one shuffle on user_id for the lag window, then a
+    types²-sized aggregate; row-count totals per prev_type are a broadcast
+    join. Window ties break on event_id (ts is sub-second unique-ish but
+    the tie-break makes both engines' lag deterministic)."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        t.events.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count("*").alias("n_trans"))
+    )
+    totals = trans.groupBy("prev_type").agg(F.sum("n_trans").alias("n_from"))
+    return trans.join(F.broadcast(totals), "prev_type").select(
+        "prev_type",
+        "next_type",
+        "n_trans",
+        F.round(F.col("n_trans") / F.col("n_from").cast("double"), 6).alias("prob"),
+    )
+
+
 QUERIES = {
     "q_events_tumbling": q_events_tumbling,
     "q_late_data": q_late_data,
+    "q_anomaly_zscore": q_anomaly_zscore,
+    "q_markov_chain": q_markov_chain,
     "q_events_sliding": q_events_sliding,
     "q_sessionize": q_sessionize,
     "q_session_stats": q_session_stats,
@@ -233,6 +301,41 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_anomaly_zscore": f"""
+        WITH stats AS (
+            SELECT event_type, count(*) AS n,
+                   sum(value) AS sx, sum(value * value) AS sxx
+            FROM events GROUP BY event_type
+        ), model AS (
+            SELECT event_type,
+                   round(sx / n, 6) AS mu,
+                   round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS sd
+            FROM stats
+        )
+        SELECT e.event_id, e.event_type, e.value,
+               round((e.value - m.mu) / m.sd, 6) AS z
+        FROM events e JOIN model m USING (event_type)
+        WHERE abs(round((e.value - m.mu) / m.sd, 6)) >= {ZSCORE_THRESHOLD}
+    """,
+    "q_markov_chain": """
+        WITH trans AS (
+            SELECT prev_type, event_type AS next_type, count(*) AS n_trans
+            FROM (
+                SELECT event_type,
+                       lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                           AS prev_type
+                FROM events
+            )
+            WHERE prev_type IS NOT NULL
+            GROUP BY 1, 2
+        ), totals AS (
+            SELECT prev_type, CAST(sum(n_trans) AS BIGINT) AS n_from
+            FROM trans GROUP BY prev_type
+        )
+        SELECT t.prev_type, t.next_type, t.n_trans,
+               round(t.n_trans / CAST(tt.n_from AS DOUBLE), 6) AS prob
+        FROM trans t JOIN totals tt USING (prev_type)
+    """,
     "q_late_data": """
         WITH doubled AS (
             SELECT * FROM events UNION ALL SELECT * FROM events

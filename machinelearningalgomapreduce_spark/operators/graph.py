@@ -152,24 +152,14 @@ def q_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Triangle counting over the part co-purchase graph — the classic
-    two-round MapReduce graph job (wedge generation, then closure check)
-    as two self-joins and one aggregate.
-
-    Edges: distinct part pairs co-occurring in an order, directed low→high
-    id so every triangle is generated exactly once. Output is the 1-row
-    graph summary (nodes, edges, triangles).
-
-    Scale notes: id-ordering bounds each wedge join to ordered adjacency;
-    the 100 TB refinement is DEGREE ordering (orient edges low-degree →
-    high-degree), which caps wedge fan-out at O(m^{3/2}) regardless of hot
-    nodes — same plan shape, one extra degree join to build the orientation.
-    """
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part co-purchase edges: distinct part pairs co-occurring in an
+    order, directed low→high id (each undirected edge exactly once).
+    The pair generator is a self-join co-partitioned on l_orderkey."""
     t = load_tables(spark, sf_dir)
     parts = t.lineitem.select("l_orderkey", "l_partkey").distinct()
     a, b = parts.alias("a"), parts.alias("b")
-    edges = (
+    return (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -178,6 +168,23 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .distinct()
     )
+
+
+def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the part co-purchase graph — the classic
+    two-round MapReduce graph job (wedge generation, then closure check)
+    as two self-joins and one aggregate.
+
+    Edges: `_copurchase_edges` (low→high id so every triangle is generated
+    exactly once). Output is the 1-row graph summary (nodes, edges,
+    triangles).
+
+    Scale notes: id-ordering bounds each wedge join to ordered adjacency;
+    the 100 TB refinement is DEGREE ordering (orient edges low-degree →
+    high-degree), which caps wedge fan-out at O(m^{3/2}) regardless of hot
+    nodes — same plan shape, one extra degree join to build the orientation.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
         F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
@@ -199,6 +206,24 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the part co-purchase graph: per-node degree
+    → node count per degree — the first structural profile run on any
+    large graph (power-law check, skew detection for join planning).
+
+    Scale shape: undirected degree = count over the u/v union — one
+    aggregate keyed on node, one tiny aggregate keyed on degree; both with
+    map-side partials. The union reads the one shuffled edge set twice."""
+    edges = _copurchase_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
+
+
 def fpgrowth_fit(spark: SparkSession, sf_dir: str, min_support: float = 0.05):
     """Deeper itemsets via MLlib FPGrowth (library API, pytest-verified)."""
     from pyspark.ml.fpm import FPGrowth
@@ -212,6 +237,7 @@ QUERIES = {
     "q_pagerank": q_pagerank,
     "q_apriori": q_apriori,
     "q_triangle_count": q_triangle_count,
+    "q_degree_dist": q_degree_dist,
 }
 
 ORACLES = {
@@ -258,6 +284,20 @@ ORACLES = {
         )
         SELECT nodes.n_nodes, ne.n_edges, tri.n_triangles
         FROM nodes CROSS JOIN ne CROSS JOIN tri
+    """,
+    "q_degree_dist": """
+        WITH parts AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), edges AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM parts a JOIN parts b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), deg AS (
+            SELECT node, count(*) AS degree
+            FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
+            GROUP BY node
+        )
+        SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
     """,
     "q_apriori": f"""
         WITH baskets AS (

@@ -503,6 +503,55 @@ def logreg_fit(spark: SparkSession, sf_dir: str, max_iter: int = 10):
     return LogisticRegression(maxIter=max_iter, regParam=0.01).fit(data)
 
 
+SVM_W0 = 0.5  # uniform initial weight per dimension (margin-splitting; see note)
+SVM_LR = 0.1
+SVM_REG = 0.01
+
+
+def q_svm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One linear-SVM subgradient step (hinge loss + L2) from the uniform
+    model w_d = 0.5: rows with margin y·(w·x) < 1 contribute −y·x to the
+    gradient; grad_d = λ·w_d − (1/n)·Σ_violators y·x_d. The per-iteration
+    map(subgradient)+reduce(sum) body of Pegasos-style SVM training.
+
+    w0 = 0.5 is chosen so the margin test actually SPLITS the fixture
+    (embedding coordinate sums span ±3.4): both branches of the hinge are
+    exercised. The uniform model makes w·x a sequential array fold —
+    bit-identical to the oracle's list_sum (functions/vectors.py) — and
+    the margin is rounded to 6 before the violator decision so the split
+    never depends on summation order (SURVEY §5.2.3).
+
+    Scale shape: one scan with a per-row fold, one per-dimension aggregate
+    over violators (explode → 64·n rows with map-side partials), two 1-row
+    broadcast counts. Model state is O(d) — never collected."""
+    t = load_tables(spark, sf_dir)
+    y = F.when(F.col("label") >= 5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    wx = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda acc, x: acc + SVM_W0 * x.cast("double")
+    )
+    base = t.embeddings.select("embedding", y.alias("y"), F.round(y * wx, 6).alias("margin"))
+    viol = base.filter(F.col("margin") < 1.0)
+    n_total = t.embeddings.agg(F.count("*").alias("n_total"))
+    n_viol = viol.agg(F.count("*").alias("n_violators"))
+    per_dim = viol.select("y", F.posexplode("embedding").alias("d0", "x")).select(
+        (F.col("d0") + 1).cast("bigint").alias("d"),
+        (F.col("y") * F.col("x").cast("double")).alias("gx"),
+    )
+    grad = F.round(F.lit(SVM_REG * SVM_W0) - F.col("hinge_sum") / F.col("n_total"), 6)
+    return (
+        per_dim.groupBy("d")
+        .agg(F.sum("gx").alias("hinge_sum"))
+        .crossJoin(F.broadcast(n_total))
+        .crossJoin(F.broadcast(n_viol))
+        .select(
+            "d",
+            "n_violators",
+            grad.alias("grad"),
+            F.round(F.lit(SVM_W0) - SVM_LR * grad, 6).alias("w_new"),
+        )
+    )
+
+
 QUERIES = {
     "q_kmeans_assign": q_kmeans_assign,
     "q_kmeans_recompute": q_kmeans_recompute,
@@ -513,6 +562,7 @@ QUERIES = {
     "q_matmul": q_matmul,
     "q_canopy": q_canopy,
     "q_tree_split": q_tree_split,
+    "q_svm_step": q_svm_step,
 }
 
 _DIMS = f"range(1, {EMBEDDING_DIM + 1})"
@@ -667,6 +717,32 @@ ORACLES = {
                round(grad_sum / (SELECT count(*) FROM embeddings), 6) AS grad,
                round(-0.1 * grad_sum / (SELECT count(*) FROM embeddings), 6) AS beta_new
         FROM per_dim
+    """,
+    "q_svm_step": f"""
+        WITH base AS (
+            SELECT CASE WHEN label >= 5 THEN 1.0 ELSE -1.0 END AS y,
+                   embedding,
+                   round((CASE WHEN label >= 5 THEN 1.0 ELSE -1.0 END)
+                         * list_sum(list_transform(embedding,
+                                                   x -> {SVM_W0} * CAST(x AS DOUBLE))), 6)
+                       AS margin
+            FROM embeddings
+        ), viol AS (
+            SELECT * FROM base WHERE margin < 1.0
+        ), n AS (
+            SELECT count(*) AS n_total FROM embeddings
+        ), nv AS (
+            SELECT count(*) AS n_violators FROM viol
+        ), per_dim AS (
+            SELECT d.d, sum(y * CAST(embedding[d.d] AS DOUBLE)) AS hinge_sum
+            FROM viol, (SELECT unnest({_DIMS}) AS d) d
+            GROUP BY d.d
+        )
+        SELECT d, nv.n_violators,
+               round({SVM_REG} * {SVM_W0} - hinge_sum / n.n_total, 6) AS grad,
+               round({SVM_W0} - {SVM_LR}
+                     * round({SVM_REG} * {SVM_W0} - hinge_sum / n.n_total, 6), 6) AS w_new
+        FROM per_dim, n, nv
     """,
     "q_canopy": f"""
         WITH centers AS (

@@ -185,6 +185,58 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+COV_COLS = ("l_quantity", "l_extendedprice", "l_discount")
+
+
+def q_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population covariance matrix (upper triangle) of the lineitem
+    numeric columns — the feature-correlation profile a modeling pipeline
+    computes before training.
+
+    Exactness design: the fixture columns carry ≤ 2 decimals, so the
+    sufficient statistics (Σx, Σxy, n) are accumulated as DECIMAL(18,2)
+    products — EXACT, hence summation-order-independent and bit-identical
+    across engines; only then cast to double for the covariance division.
+    This sidesteps the float-drift problem entirely for raw-magnitude
+    outputs (var(price) ~ 1e8, where round-to-6-decimals cannot absorb
+    double sum-order drift the way ratio outputs like corr do).
+
+    Scale shape: one single-row hash aggregate with map-side partials —
+    one scan, one 1-row shuffle, then 6 projected rows."""
+    t = load_tables(spark, sf_dir)
+    dec = {c: F.col(c).cast("decimal(18,2)") for c in COV_COLS}
+    aggs = [F.count("*").alias("n")]
+    aggs += [F.sum(dec[c]).alias(f"s{i}") for i, c in enumerate(COV_COLS)]
+    aggs += [
+        F.sum(dec[a] * dec[b]).alias(f"s{i}_{j}")
+        for i, a in enumerate(COV_COLS)
+        for j, b in enumerate(COV_COLS)
+        if j >= i
+    ]
+    stats = t.lineitem.agg(*aggs)
+    n = F.col("n").cast("double")
+    entries = [
+        F.struct(
+            F.lit(a).alias("col_x"),
+            F.lit(b).alias("col_y"),
+            F.round(
+                (
+                    F.col(f"s{i}_{j}").cast("double")
+                    - F.col(f"s{i}").cast("double") * F.col(f"s{j}").cast("double") / n
+                )
+                / n,
+                6,
+            ).alias("cov_pop"),
+        )
+        for i, a in enumerate(COV_COLS)
+        for j, b in enumerate(COV_COLS)
+        if j >= i
+    ]
+    return stats.select(F.explode(F.array(*entries)).alias("e")).select(
+        "e.col_x", "e.col_y", "e.cov_pop"
+    )
+
+
 QUERIES = {
     "q_percentiles": q_percentiles,
     "q_histogram": q_histogram,
@@ -193,6 +245,7 @@ QUERIES = {
     "q_sample": q_sample,
     "q_sample_stratified": q_sample_stratified,
     "q_resample": q_resample,
+    "q_cov_matrix": q_cov_matrix,
 }
 
 _PROFILE_COLS = (
@@ -204,7 +257,41 @@ _PROFILE_UNION = "\nUNION ALL\n".join(
     for c in _PROFILE_COLS
 )
 
+# Decimal→double via VARCHAR: DuckDB's direct decimal cast double-rounds
+# (int128→double, then the scale division) and lands one ulp off Spark for
+# sums whose integer part exceeds 2^53; the string path is the correctly-
+# rounded strtod both engines share (measured on the sf0.1 Σprice² sum).
+_COV_SUMS = ",\n                   ".join(
+    [
+        f"CAST(CAST(sum(CAST({c} AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS s{i}"
+        for i, c in enumerate(COV_COLS)
+    ]
+    + [
+        f"CAST(CAST(sum(CAST({a} AS DECIMAL(18,2)) * CAST({b} AS DECIMAL(18,2)))"
+        f" AS VARCHAR) AS DOUBLE) AS s{i}_{j}"
+        for i, a in enumerate(COV_COLS)
+        for j, b in enumerate(COV_COLS)
+        if j >= i
+    ]
+)
+_COV_SELECTS = "\n        UNION ALL\n        ".join(
+    f"SELECT '{a}' AS col_x, '{b}' AS col_y,"
+    f" round((s{i}_{j} - s{i} * s{j} / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS cov_pop"
+    f" FROM stats"
+    for i, a in enumerate(COV_COLS)
+    for j, b in enumerate(COV_COLS)
+    if j >= i
+)
+
 ORACLES = {
+    "q_cov_matrix": f"""
+        WITH stats AS (
+            SELECT count(*) AS n,
+                   {_COV_SUMS}
+            FROM lineitem
+        )
+        {_COV_SELECTS}
+    """,
     "q_percentiles": """
         SELECT event_type,
                count(*) AS n,

@@ -363,6 +363,99 @@ def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# PII patterns kept RE2-compatible (DuckDB) AND Java-regex-compatible
+# (Spark): character classes + bounded repetition only, no lookaround.
+PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+
+
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detection + redaction — the scrub pass an LLM training pipeline
+    runs before anything else. The fixture corpus is synthetic word-salad
+    with no PII, so deterministic contacts are INJECTED from doc_id (email
+    on every 3rd doc, phone on every 2nd) and then scrubbed; the oracle
+    injects the identical strings, so detector counts, redacted lengths,
+    and the md5 fingerprint of the scrubbed text are all hash-checked.
+
+    Scale shape: pure per-row regex work on the scan — no shuffle at all;
+    at 100 TB this is codegen'd map work, embarrassingly parallel."""
+    t = load_tables(spark, sf_dir)
+    email = F.concat(F.lit(" user"), F.col("doc_id").cast("string"), F.lit("@example.com"))
+    phone = F.concat(
+        F.lit(" call 555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    enriched = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 3 == 0, email).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 2 == 0, phone).otherwise(F.lit("")),
+    )
+    base = t.documents.select("doc_id", enriched.alias("enriched"))
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("enriched"), PII_EMAIL_RE, "<EMAIL>"),
+        PII_PHONE_RE,
+        "<PHONE>",
+    )
+    return base.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("enriched"), F.lit(PII_EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("enriched"), F.lit(PII_PHONE_RE), 0)).alias(
+            "n_phones"
+        ),
+        F.length(redacted).alias("n_redacted_chars"),
+        F.md5(redacted).alias("redacted_fp"),
+    )
+
+
+COOCCUR_MIN_PAIRS = 5
+
+
+def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence with pointwise mutual information — the
+    collocation-mining job (word2vec's count cousin): for token pairs
+    appearing in ≥ 5 documents together, pmi = ln(n_ab·N / (df_a·df_b))
+    over document-level counts.
+
+    Scale shape: the pair generator is a SELF-JOIN CO-PARTITIONED on
+    doc_id (both sides shuffle once on doc_id, then pairs are produced
+    partition-locally); per-doc fan-out is bounded by distinct-tokens²,
+    and the aggregate output by vocabulary², independent of corpus size.
+    Token document-frequencies are vocabulary-sized broadcast joins."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select("doc_id", F.explode(F.array_distinct(_tokens())).alias("token"))
+    n_docs = t.documents.agg(F.count("*").alias("n_docs"))
+    docfreq = tok.groupBy("token").agg(F.count("*").alias("df"))
+    a, b = tok.alias("a"), tok.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.token") < F.col("b.token")))
+        .groupBy(F.col("a.token").alias("token_a"), F.col("b.token").alias("token_b"))
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= COOCCUR_MIN_PAIRS)
+    )
+    dfa = docfreq.select(F.col("token").alias("token_a"), F.col("df").alias("df_a"))
+    dfb = docfreq.select(F.col("token").alias("token_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(dfa), "token_a")
+        .join(F.broadcast(dfb), "token_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "token_a",
+            "token_b",
+            "n_ab",
+            F.round(
+                F.log(
+                    F.col("n_ab") * F.col("n_docs") / (F.col("df_a") * F.col("df_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
 def tfidf_fit(spark: SparkSession, sf_dir: str, n_features: int = 1 << 10):
     """MLlib TF-IDF variant (HashingTF + IDF) — library API, pytest-checked.
     The pure-DF q_tfidf is the oracle-checked form; this is the fitted-
@@ -390,6 +483,8 @@ QUERIES = {
     "q_repetition_filter": q_repetition_filter,
     "q_bm25": q_bm25,
     "q_ngram_lm": q_ngram_lm,
+    "q_pii_scrub": q_pii_scrub,
+    "q_cooccur_pmi": q_cooccur_pmi,
 }
 
 _STOP_SQL = "['the','a','of','is','and']"
@@ -585,6 +680,51 @@ ORACLES = {
         SELECT c2.bigram, c2.c2, c1.c1,
                round(ln((c2.c2 + 1) / CAST(c1.c1 + v.v AS DOUBLE)), 6) AS log_prob
         FROM c2 JOIN c1 ON c1.token = c2.w1 CROSS JOIN v
+    """,
+    "q_pii_scrub": f"""
+        WITH enriched AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN ' user' || doc_id || '@example.com' ELSE '' END
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN ' call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                                || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                           ELSE '' END AS enriched
+            FROM documents
+        ), red AS (
+            SELECT doc_id, enriched,
+                   regexp_replace(
+                       regexp_replace(enriched, '{PII_EMAIL_RE}', '<EMAIL>', 'g'),
+                       '{PII_PHONE_RE}', '<PHONE>', 'g') AS redacted
+            FROM enriched
+        )
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(enriched, '{PII_EMAIL_RE}')) AS INTEGER) AS n_emails,
+               CAST(len(regexp_extract_all(enriched, '{PII_PHONE_RE}')) AS INTEGER) AS n_phones,
+               CAST(length(redacted) AS INTEGER) AS n_redacted_chars,
+               md5(redacted) AS redacted_fp
+        FROM red
+    """,
+    "q_cooccur_pmi": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+            FROM documents
+        ), docfreq AS (
+            SELECT token, count(*) AS df FROM tok GROUP BY token
+        ), pairs AS (
+            SELECT a.token AS token_a, b.token AS token_b, count(*) AS n_ab
+            FROM tok a JOIN tok b
+              ON a.doc_id = b.doc_id AND a.token < b.token
+            GROUP BY 1, 2
+            HAVING count(*) >= {COOCCUR_MIN_PAIRS}
+        )
+        SELECT p.token_a, p.token_b, p.n_ab,
+               round(ln(p.n_ab * (SELECT count(*) FROM documents)
+                        / CAST(fa.df * fb.df AS DOUBLE)), 6) AS pmi
+        FROM pairs p
+        JOIN docfreq fa ON fa.token = p.token_a
+        JOIN docfreq fb ON fb.token = p.token_b
     """,
     "q_doc_fingerprint": """
         WITH base AS (

@@ -77,3 +77,43 @@ def test_ngram_jaccard_compound_equijoin_key(spark, sf_dir, queries):
     # Join keys line lists both block and band on each side.
     keys = re.findall(r"Left keys \[\d+\]: \[([^\]]*)\]", plan)
     assert any("block" in k and "band" in k for k in keys), keys
+
+
+def test_pii_scrub_no_shuffle(spark, sf_dir, queries):
+    # Pure per-row regex work: the plan must contain no exchange at all.
+    assert P.count_exchanges(queries["q_pii_scrub"](spark, sf_dir)) == 0
+
+
+def test_anomaly_zscore_broadcasts_model(spark, sf_dir, queries):
+    # The O(types) moment model is broadcast back onto the scan; the fact
+    # table must not shuffle for the flagging join.
+    plan = P.formatted_plan(queries["q_anomaly_zscore"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_cooccur_pairs_join_copartitioned(spark, sf_dir, queries):
+    # Pair generation must be an EQUI-join keyed on doc_id (co-partitioned
+    # self join; broadcast-hash at fixture scale is fine), never a
+    # cartesian product over the corpus. The only nested-loop allowed is
+    # the intentional 1-row crossJoin(broadcast(n_docs)).
+    import re
+
+    plan = P.formatted_plan(queries["q_cooccur_pmi"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    keys = re.findall(r"Left keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert any("doc_id" in k for k in keys), keys
+
+
+def test_cov_matrix_single_row_aggregate(spark, sf_dir, queries):
+    # One global aggregate: one partial+final pair around a single 1-row
+    # exchange — no join, no second shuffle.
+    plan = P.formatted_plan(queries["q_cov_matrix"](spark, sf_dir))
+    assert "Join" not in plan
+    assert P.count_exchanges(queries["q_cov_matrix"](spark, sf_dir)) == 1
+
+
+def test_markov_chain_single_user_shuffle(spark, sf_dir, queries):
+    # Lag window + transition aggregate: the events scan shuffles once on
+    # user_id; the per-prev totals come back as a broadcast join.
+    plan = P.formatted_plan(queries["q_markov_chain"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
