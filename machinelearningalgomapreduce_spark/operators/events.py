@@ -287,11 +287,48 @@ def q_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMA_ALPHA = 0.2
+
+
+def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially weighted moving average of value per user —
+    smoothing with a true recurrence (ema ← α·x + (1−α)·ema), which no
+    window frame expresses. The per-user event list is collected in
+    (ts, event_id) order and folded sequentially; seeding with the FIRST
+    element and folding left matches DuckDB's list_reduce semantics
+    step for step, so the float sequence is bit-identical (no closed-form
+    pow() rewrite, whose cancellation would drift between engines).
+
+    Scale shape: one shuffle on user_id; per-user state is the bounded
+    event list (collect_list + in-memory fold — fine while a user's
+    history fits an executor; the streaming twin for unbounded keys is
+    applyInPandasWithState). Output: per-user final EMA + simple mean."""
+    t = load_tables(spark, sf_dir)
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.unix_micros("ts").alias("us"), "event_id", "value"))
+    )
+    vals = F.transform(ordered, lambda s: s["value"])
+    ema = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))),
+        F.element_at(vals, 1),
+        lambda acc, x: EMA_ALPHA * x + (1 - EMA_ALPHA) * acc,
+    )
+    return (
+        t.events.groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.avg("value"), 6).alias("mean_value"),
+            F.round(ema, 6).alias("ema_value"),
+        )
+    )
+
+
 QUERIES = {
     "q_events_tumbling": q_events_tumbling,
     "q_late_data": q_late_data,
     "q_anomaly_zscore": q_anomaly_zscore,
     "q_markov_chain": q_markov_chain,
+    "q_ema": q_ema,
     "q_events_sliding": q_events_sliding,
     "q_sessionize": q_sessionize,
     "q_session_stats": q_session_stats,
@@ -301,6 +338,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_ema": f"""
+        WITH lists AS (
+            SELECT user_id, count(*) AS n_events,
+                   round(avg(value), 6) AS mean_value,
+                   list(value ORDER BY ts, event_id) AS vals
+            FROM events GROUP BY user_id
+        )
+        SELECT user_id, n_events, mean_value,
+               round(list_reduce(vals,
+                     (acc, x) -> {EMA_ALPHA} * x + {1 - EMA_ALPHA} * acc), 6) AS ema_value
+        FROM lists
+    """,
     "q_anomaly_zscore": f"""
         WITH stats AS (
             SELECT event_type, count(*) AS n,

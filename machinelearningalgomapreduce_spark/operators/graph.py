@@ -224,6 +224,28 @@ def q_degree_dist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return deg.groupBy("degree").agg(F.count("*").alias("n_nodes"))
 
 
+def q_label_prop_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous min-label propagation round over the co-purchase
+    graph from identity labels: label'(v) = min(v, min over neighbors u) —
+    the per-iteration kernel of label-propagation community detection and
+    of hash-min connected components (the fixpoint loop over the near-dup
+    graph lives in operators/dedup.py::q_dedup_clusters).
+
+    Scale shape: edges are materialized once, read twice (both
+    directions), one aggregate keyed on node — per-round cost O(m), the
+    standard large-graph shape. Output also reports whether the node
+    changed this round (the loop's convergence signal)."""
+    edges = _copurchase_edges(spark, sf_dir)
+    both = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    new_label = F.least(F.min("nbr"), F.col("node"))
+    return both.groupBy("node").agg(
+        new_label.alias("new_label"),
+        (new_label < F.col("node")).alias("changed"),
+    )
+
+
 def fpgrowth_fit(spark: SparkSession, sf_dir: str, min_support: float = 0.05):
     """Deeper itemsets via MLlib FPGrowth (library API, pytest-verified)."""
     from pyspark.ml.fpm import FPGrowth
@@ -238,6 +260,7 @@ QUERIES = {
     "q_apriori": q_apriori,
     "q_triangle_count": q_triangle_count,
     "q_degree_dist": q_degree_dist,
+    "q_label_prop_step": q_label_prop_step,
 }
 
 ORACLES = {
@@ -298,6 +321,24 @@ ORACLES = {
             GROUP BY node
         )
         SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
+    """,
+    "q_label_prop_step": """
+        WITH parts AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), edges AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM parts a JOIN parts b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), nbrs AS (
+            SELECT u AS node, v AS nbr FROM edges
+            UNION ALL
+            SELECT v AS node, u AS nbr FROM edges
+        )
+        SELECT node,
+               least(min(nbr), node) AS new_label,
+               least(min(nbr), node) < node AS changed
+        FROM nbrs
+        GROUP BY node
     """,
     "q_apriori": f"""
         WITH baskets AS (

@@ -237,6 +237,79 @@ def q_cov_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_SEGMENTS = 4
+
+
+def q_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value segmentation: lifetime value (Σ order totals) per
+    customer, NTILE quartiles over the exact LTV, per-segment rollup —
+    the RFM-style bucketing every marketing/feature pipeline computes.
+
+    LTV is accumulated as DECIMAL(18,2) (exact, order-independent) so the
+    NTILE ordering — and therefore the segment boundaries — are engine-
+    identical; ties break on custkey. The quantile sort is one window
+    over O(customers) aggregated rows, not raw orders.
+
+    Scale shape: one orders aggregate (map-side partials) + one global
+    NTILE sort of the customer-level frame + an O(segments) rollup. At
+    100 TB replace the global sort with approx-quantile LTV cutpoints."""
+    t = load_tables(spark, sf_dir)
+    ltv = t.orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("ltv"),
+        F.count("*").alias("n_orders"),
+    )
+    w = W.orderBy(F.desc("ltv"), "o_custkey")
+    seg = ltv.withColumn("segment", F.ntile(N_SEGMENTS).over(w))
+    return seg.groupBy("segment").agg(
+        F.count("*").alias("n_customers"),
+        F.sum("n_orders").alias("n_orders"),
+        F.round(F.min("ltv").cast("double"), 2).alias("min_ltv"),
+        F.round(F.max("ltv").cast("double"), 2).alias("max_ltv"),
+        F.round(F.sum("ltv").cast("double"), 2).alias("sum_ltv"),
+    )
+
+
+SKEW_HEAVY_FACTOR = 2.0
+
+
+def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics for the lineitem→orders key: key count,
+    max/avg key frequency, skew ratio, heavy-hitter count (> 2× avg) —
+    the pre-flight a planner (or an engineer sizing a salted join) runs
+    before shuffling 100 TB on a key.
+
+    Exactness: frequencies are integers; avg enters as an exact integer
+    ratio and comparisons use integer cross-multiplication (n·n_keys >
+    2·n_rows), so the heavy-hitter decision never touches floats.
+
+    Scale shape: one key-count aggregate + one O(1)-row global rollup."""
+    t = load_tables(spark, sf_dir)
+    freq = t.lineitem.groupBy("l_orderkey").agg(F.count("*").alias("n"))
+    totals = freq.agg(
+        F.count("*").alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_freq"),
+    )
+    heavy = (
+        freq.crossJoin(F.broadcast(totals))
+        .filter(F.col("n") * F.col("n_keys") > SKEW_HEAVY_FACTOR * F.col("n_rows"))
+        .agg(F.count("*").alias("n_heavy_keys"))
+    )
+    return (
+        totals.crossJoin(F.broadcast(heavy))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_freq",
+            F.round(F.col("n_rows") / F.col("n_keys").cast("double"), 6).alias("avg_freq"),
+            F.round(
+                F.col("max_freq") * F.col("n_keys") / F.col("n_rows").cast("double"), 6
+            ).alias("skew_ratio"),
+            "n_heavy_keys",
+        )
+    )
+
+
 QUERIES = {
     "q_percentiles": q_percentiles,
     "q_histogram": q_histogram,
@@ -246,6 +319,8 @@ QUERIES = {
     "q_sample_stratified": q_sample_stratified,
     "q_resample": q_resample,
     "q_cov_matrix": q_cov_matrix,
+    "q_customer_segments": q_customer_segments,
+    "q_skew_profile": q_skew_profile,
 }
 
 _PROFILE_COLS = (
@@ -284,6 +359,45 @@ _COV_SELECTS = "\n        UNION ALL\n        ".join(
 )
 
 ORACLES = {
+    "q_customer_segments": f"""
+        WITH ltv AS (
+            SELECT o_custkey,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS ltv,
+                   count(*) AS n_orders
+            FROM orders GROUP BY o_custkey
+        ), seg AS (
+            SELECT o_custkey, ltv, n_orders,
+                   ntile({N_SEGMENTS}) OVER (ORDER BY ltv DESC, o_custkey) AS segment
+            FROM ltv
+        )
+        SELECT CAST(segment AS INTEGER) AS segment,
+               count(*) AS n_customers,
+               CAST(sum(n_orders) AS BIGINT) AS n_orders,
+               round(CAST(min(ltv) AS DOUBLE), 2) AS min_ltv,
+               round(CAST(max(ltv) AS DOUBLE), 2) AS max_ltv,
+               round(CAST(CAST(sum(ltv) AS VARCHAR) AS DOUBLE), 2) AS sum_ltv
+        FROM seg
+        GROUP BY segment
+    """,
+    "q_skew_profile": f"""
+        WITH freq AS (
+            SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY l_orderkey
+        ), totals AS (
+            SELECT count(*) AS n_keys,
+                   CAST(sum(n) AS BIGINT) AS n_rows,
+                   max(n) AS max_freq
+            FROM freq
+        ), heavy AS (
+            SELECT count(*) AS n_heavy_keys
+            FROM freq, totals
+            WHERE n * n_keys > {SKEW_HEAVY_FACTOR} * n_rows
+        )
+        SELECT n_keys, n_rows, max_freq,
+               round(n_rows / CAST(n_keys AS DOUBLE), 6) AS avg_freq,
+               round(max_freq * n_keys / CAST(n_rows AS DOUBLE), 6) AS skew_ratio,
+               n_heavy_keys
+        FROM totals, heavy
+    """,
     "q_cov_matrix": f"""
         WITH stats AS (
             SELECT count(*) AS n,

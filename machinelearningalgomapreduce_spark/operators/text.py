@@ -456,6 +456,33 @@ def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the token distribution per source — the corpus-
+    diversity health metric (a collapsed/boilerplate source shows low
+    entropy). H = ln(N) − (Σ n·ln n)/N over per-source token counts; the
+    algebraic form needs only two counting aggregates, no p=n/N division
+    per token.
+
+    Float posture: the Σ n·ln n fold is ~vocabulary terms per source
+    (tiny), and the final H lands in [0, ln V] — round-6 absorbs the
+    cross-engine summation-order drift at this magnitude.
+
+    Scale shape: (source, token) counts with map-side partials (shuffle
+    bounded by sources × vocabulary), then an O(sources) rollup."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select("source", F.explode(_tokens()).alias("token"))
+    counts = tok.groupBy("source", "token").agg(F.count("*").alias("n"))
+    return counts.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.round(
+            F.log(F.sum("n").cast("double"))
+            - F.sum(F.col("n") * F.log(F.col("n").cast("double"))) / F.sum("n"),
+            6,
+        ).alias("entropy"),
+    )
+
+
 def tfidf_fit(spark: SparkSession, sf_dir: str, n_features: int = 1 << 10):
     """MLlib TF-IDF variant (HashingTF + IDF) — library API, pytest-checked.
     The pure-DF q_tfidf is the oracle-checked form; this is the fitted-
@@ -485,6 +512,7 @@ QUERIES = {
     "q_ngram_lm": q_ngram_lm,
     "q_pii_scrub": q_pii_scrub,
     "q_cooccur_pmi": q_cooccur_pmi,
+    "q_token_entropy": q_token_entropy,
 }
 
 _STOP_SQL = "['the','a','of','is','and']"
@@ -725,6 +753,20 @@ ORACLES = {
         FROM pairs p
         JOIN docfreq fa ON fa.token = p.token_a
         JOIN docfreq fb ON fb.token = p.token_b
+    """,
+    "q_token_entropy": """
+        WITH counts AS (
+            SELECT source, token, count(*) AS n
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY source, token
+        )
+        SELECT source,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               count(*) AS n_distinct,
+               round(ln(CAST(sum(n) AS DOUBLE))
+                     - sum(n * ln(CAST(n AS DOUBLE))) / sum(n), 6) AS entropy
+        FROM counts
+        GROUP BY source
     """,
     "q_doc_fingerprint": """
         WITH base AS (

@@ -117,3 +117,8 @@ def test_markov_chain_single_user_shuffle(spark, sf_dir, queries):
     # user_id; the per-prev totals come back as a broadcast join.
     plan = P.formatted_plan(queries["q_markov_chain"](spark, sf_dir))
     assert "BroadcastHashJoin" in plan
+
+
+def test_ema_single_user_shuffle(spark, sf_dir, queries):
+    # The fold happens inside one user_id aggregate: exactly one exchange.
+    assert P.count_exchanges(queries["q_ema"](spark, sf_dir)) <= 1
