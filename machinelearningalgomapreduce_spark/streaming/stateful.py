@@ -64,3 +64,52 @@ def user_profiles(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EMA_ALPHA = 0.2  # keep in lockstep with operators/events.py::EMA_ALPHA
+
+EMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ema", T.DoubleType()),
+    ]
+)
+
+EMA_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("ema_value", T.DoubleType()),
+    ]
+)
+
+
+def _update_ema(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    # True-recurrence state (ema ← α·x + (1−α)·ema): the streaming twin of
+    # the batch collect_list fold in operators/events.py::q_ema. Events
+    # are sorted chronologically WITHIN the micro-batch; across batches
+    # the file source delivers them in arrival order, the stream analog of
+    # event-time order (same assumption q_ema's oracle makes explicit).
+    (user_id,) = key
+    n, ema = state.get if state.exists else (0, None)
+    for pdf in pdfs:
+        for x in pdf.sort_values(["us", "event_id"])["value"]:
+            x = float(x)
+            ema = x if ema is None else EMA_ALPHA * x + (1 - EMA_ALPHA) * ema
+            n += 1
+    state.update((n, ema))
+    yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "ema_value": [ema]})
+
+
+def user_ema(events: DataFrame) -> DataFrame:
+    """Streaming per-user EMA. Input needs (user_id, value, us, event_id);
+    emits the updated smoothed value for every key seen per micro-batch."""
+    return events.groupBy("user_id").applyInPandasWithState(
+        _update_ema,
+        outputStructType=EMA_OUTPUT_SCHEMA,
+        stateStructType=EMA_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -33,3 +33,20 @@ def test_stateful_user_profiles_match_batch(spark, sf_dir):
         gn, gs, glast = got[uid]
         assert gn == n and glast == last, uid
         assert gs == pytest.approx(s), uid
+
+
+def test_stateful_ema_matches_batch_query(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.events import q_ema
+    from machinelearningalgomapreduce_spark.streaming.stateful import user_ema
+
+    stream = sw.stream_events(spark, sf_dir).select(
+        "user_id", "value", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    out = sw.run_to_memory(user_ema(stream), "t_ema", output_mode="update")
+    got = {r.user_id: (r.n_events, r.ema_value) for r in out.orderBy("n_events").collect()}
+    expected = {r.user_id: (r.n_events, r.ema_value) for r in q_ema(spark, sf_dir).collect()}
+    assert set(got) == set(expected)
+    for uid, (n, ema) in expected.items():
+        gn, gema = got[uid]
+        assert gn == n, uid
+        assert gema == pytest.approx(ema, abs=1e-6), uid
