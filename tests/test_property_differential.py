@@ -190,3 +190,87 @@ def test_hour_bucketing_matches_duckdb_on_random_timestamps(engines, micros):
         )
     )
     assert got == want, micros[:5]
+
+
+_ema_lists = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, width=64),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(vals=_ema_lists)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ema_fold_bit_identical_to_duckdb_list_reduce(engines, vals):
+    """The q_ema contract rests on Spark's seeded F.aggregate fold being
+    BIT-identical to DuckDB's list_reduce — fuzz that equivalence on
+    arbitrary double sequences (no rounding: exact equality)."""
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.operators.events import EMA_ALPHA
+
+    spark, con = engines
+    sdf = spark.createDataFrame([(vals,)], "vals: array<double>")
+    fold = F.aggregate(
+        F.slice("vals", 2, F.greatest(F.size("vals") - 1, F.lit(0))),
+        F.element_at("vals", 1),
+        lambda acc, x: EMA_ALPHA * x + (1 - EMA_ALPHA) * acc,
+    )
+    got = sdf.select(fold.alias("e")).collect()[0].e
+    want = con.execute(
+        f"SELECT list_reduce(?::DOUBLE[], (acc, x) -> {EMA_ALPHA} * x + {1 - EMA_ALPHA} * acc)",
+        [vals],
+    ).fetchone()[0]
+    assert got == want, vals[:5]
+
+
+_event_seqs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),     # user
+        st.integers(min_value=0, max_value=5),     # ts (small pool -> ties)
+        st.sampled_from(["a", "b", "c"]),          # type
+    ),
+    min_size=2,
+    max_size=40,
+)
+
+
+@given(seq=_event_seqs)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_lag_transitions_match_duckdb_under_ts_ties(engines, seq):
+    """Markov-transition counting depends on lag ordering; duplicate
+    timestamps force the (ts, event_id) tie-break to carry the order in
+    BOTH engines."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    spark, con = engines
+    rows = [(i, u, t, ty) for i, (u, t, ty) in enumerate(seq)]
+    sdf = spark.createDataFrame(rows, "event_id long, user_id long, ts long, event_type string")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    got = sorted(
+        (r.p, r.n, r.c)
+        for r in sdf.withColumn("p", F.lag("event_type").over(w))
+        .filter(F.col("p").isNotNull())
+        .groupBy("p", F.col("event_type").alias("n"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    )
+    pdf = pd.DataFrame(rows, columns=["event_id", "user_id", "ts", "event_type"])
+    con.register("ev_pv", pdf)
+    want = sorted(
+        map(
+            tuple,
+            con.execute(
+                """
+                SELECT p, event_type, count(*) FROM (
+                    SELECT event_type,
+                           lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS p
+                    FROM ev_pv
+                ) WHERE p IS NOT NULL GROUP BY 1, 2
+                """
+            ).fetchall(),
+        )
+    )
+    assert got == want, seq[:5]
