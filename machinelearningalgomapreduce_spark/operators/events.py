@@ -323,12 +323,50 @@ def q_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1 autocorrelation of the hourly event-count series — the
+    seasonality/trend diagnostic a monitoring pipeline computes over its
+    own metrics. Pairs (x_t, x_{t−1}) come from a lag window over the
+    hour-ordered counts; r is Pearson over the pairs from explicit
+    sufficient statistics, which are INTEGER-exact (counts), so both
+    engines compute identical doubles before the final rounded ratio.
+
+    Scale shape: one counting aggregate (hours × 1 rows), one ordered
+    window over the tiny series, one 1-row rollup."""
+    t = load_tables(spark, sf_dir)
+    hourly = t.events.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count("*").alias("x")
+    )
+    w = W.orderBy("hour")
+    pairs = hourly.withColumn("x_prev", F.lag("x").over(w)).filter(
+        F.col("x_prev").isNotNull()
+    )
+    x, y = F.col("x"), F.col("x_prev")
+    stats = pairs.agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (F.col(c) for c in ("n", "sx", "sy", "sxy", "sxx", "syy"))
+    # The variance product would overflow BIGINT (these stats are integer
+    # counts, unlike q_corr's doubles) — go double BEFORE the multiply, on
+    # the same factor the oracle casts.
+    r = (n * sxy - sx * sy) / F.sqrt(
+        (n * sxx - sx * sx).cast("double") * (n * syy - sy * sy)
+    )
+    return stats.select("n", F.round(r, 6).alias("autocorr_lag1"))
+
+
 QUERIES = {
     "q_events_tumbling": q_events_tumbling,
     "q_late_data": q_late_data,
     "q_anomaly_zscore": q_anomaly_zscore,
     "q_markov_chain": q_markov_chain,
     "q_ema": q_ema,
+    "q_autocorr": q_autocorr,
     "q_events_sliding": q_events_sliding,
     "q_sessionize": q_sessionize,
     "q_session_stats": q_session_stats,
@@ -338,6 +376,27 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_autocorr": """
+        WITH hourly AS (
+            SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, count(*) AS x
+            FROM events GROUP BY 1
+        ), pairs AS (
+            SELECT x, lag(x) OVER (ORDER BY hour) AS x_prev FROM hourly
+        ), stats AS (
+            SELECT count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(x_prev) AS BIGINT) AS sy,
+                   CAST(sum(x * x_prev) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(x_prev * x_prev) AS BIGINT) AS syy
+            FROM pairs WHERE x_prev IS NOT NULL
+        )
+        SELECT n,
+               round((n * sxy - sx * sy)
+                     / sqrt(CAST((n * sxx - sx * sx) AS DOUBLE)
+                            * (n * syy - sy * sy)), 6) AS autocorr_lag1
+        FROM stats
+    """,
     "q_ema": f"""
         WITH lists AS (
             SELECT user_id, count(*) AS n_events,

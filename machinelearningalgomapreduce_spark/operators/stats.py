@@ -310,6 +310,63 @@ def q_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group: the most frequent p_brand within each
+    p_type (count ties break on the lexicographically smallest brand) —
+    the categorical summary a profiling pass reports next to percentiles.
+
+    argmax-by-count as min_by over a (−n, brand) struct: one hash
+    aggregate with map-side partials after the (type, brand) count — no
+    per-group sort window.
+
+    Scale shape: shuffle bounded by types × brands, never the fact table."""
+    t = load_tables(spark, sf_dir)
+    counts = t.part.groupBy("p_type", "p_brand").agg(F.count("*").alias("n"))
+    m = F.min_by(
+        F.struct(F.col("p_brand"), F.col("n")),
+        F.struct((-F.col("n")).alias("neg_n"), F.col("p_brand")),
+    )
+    return counts.groupBy("p_type").agg(
+        m.getField("p_brand").alias("mode_brand"),
+        m.getField("n").alias("mode_n"),
+        F.sum("n").alias("n_rows"),
+        F.count("*").alias("n_distinct_brands"),
+    )
+
+
+def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer lifetime value — the inequality
+    profile of a key distribution (the same math that sizes how skewed a
+    workload's value concentration is).
+
+    G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx) over LTV ranked ascending
+    (custkey tie-break). LTV and the rank-weighted sum are DECIMAL-exact
+    (order-independent); the oracle casts them to double via VARCHAR
+    (DuckDB's direct decimal→double cast is off one ulp past 2^53 —
+    see q_cov_matrix).
+
+    Scale shape: one orders aggregate, one global rank over O(customers)
+    rows, one 1-row rollup. At 100 TB the exact global rank becomes a
+    distributed sort — same plan class as any total-order analytic."""
+    t = load_tables(spark, sf_dir)
+    ltv = t.orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("ltv")
+    )
+    w = W.orderBy("ltv", "o_custkey")
+    ranked = ltv.withColumn("i", F.row_number().over(w))
+    stats = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("ltv").alias("sx"),
+        F.sum(F.col("i") * F.col("ltv")).alias("six"),
+    )
+    n = F.col("n")
+    sx = F.col("sx").cast("double")
+    six = F.col("six").cast("double")
+    g = (2 * six - (n + 1) * sx) / (n * sx)
+    return stats.select("n", F.round(F.col("sx"), 2).cast("double").alias("total_ltv"),
+                        F.round(g, 6).alias("gini"))
+
+
 QUERIES = {
     "q_percentiles": q_percentiles,
     "q_histogram": q_histogram,
@@ -321,6 +378,8 @@ QUERIES = {
     "q_cov_matrix": q_cov_matrix,
     "q_customer_segments": q_customer_segments,
     "q_skew_profile": q_skew_profile,
+    "q_mode": q_mode,
+    "q_gini": q_gini,
 }
 
 _PROFILE_COLS = (
@@ -359,6 +418,38 @@ _COV_SELECTS = "\n        UNION ALL\n        ".join(
 )
 
 ORACLES = {
+    "q_mode": """
+        WITH counts AS (
+            SELECT p_type, p_brand, count(*) AS n
+            FROM part GROUP BY p_type, p_brand
+        ), ranked AS (
+            SELECT p_type, p_brand, n,
+                   row_number() OVER (PARTITION BY p_type ORDER BY n DESC, p_brand) AS rk,
+                   CAST(sum(n) OVER (PARTITION BY p_type) AS BIGINT) AS n_rows,
+                   count(*) OVER (PARTITION BY p_type) AS n_distinct_brands
+            FROM counts
+        )
+        SELECT p_type, p_brand AS mode_brand, n AS mode_n, n_rows,
+               CAST(n_distinct_brands AS BIGINT) AS n_distinct_brands
+        FROM ranked WHERE rk = 1
+    """,
+    "q_gini": """
+        WITH ltv AS (
+            SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS ltv
+            FROM orders GROUP BY o_custkey
+        ), ranked AS (
+            SELECT ltv, row_number() OVER (ORDER BY ltv, o_custkey) AS i FROM ltv
+        ), stats AS (
+            SELECT count(*) AS n,
+                   CAST(CAST(sum(ltv) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(sum(i * ltv) AS VARCHAR) AS DOUBLE) AS six
+            FROM ranked
+        )
+        SELECT n,
+               round(sx, 2) AS total_ltv,
+               round((2 * six - (n + 1) * sx) / (n * sx), 6) AS gini
+        FROM stats
+    """,
     "q_customer_segments": f"""
         WITH ltv AS (
             SELECT o_custkey,

@@ -483,6 +483,45 @@ def q_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-level near-duplicate signal: token-set Jaccard similarity
+    between every source pair — the "are these two crawls the same
+    corpus?" check run before merging training-data sources.
+
+    J(A,B) = |A∩B| / (|A|+|B|−|A∩B|) over distinct token sets. The
+    intersection comes from a token-keyed self-join of the distinct
+    (source, token) relation — shuffle is bounded by vocabulary, and
+    per-token fan-out by sources², independent of corpus size; set sizes
+    are a sources-sized broadcast."""
+    t = load_tables(spark, sf_dir)
+    st = t.documents.select("source", F.explode(_tokens()).alias("token")).distinct()
+    sizes = st.groupBy("source").agg(F.count("*").alias("n_set"))
+    a, b = st.alias("a"), st.alias("b")
+    inter = (
+        a.join(b, (F.col("a.token") == F.col("b.token")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("n_set").alias("n_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("n_set").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_inter",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
 def tfidf_fit(spark: SparkSession, sf_dir: str, n_features: int = 1 << 10):
     """MLlib TF-IDF variant (HashingTF + IDF) — library API, pytest-checked.
     The pure-DF q_tfidf is the oracle-checked form; this is the fitted-
@@ -513,6 +552,7 @@ QUERIES = {
     "q_pii_scrub": q_pii_scrub,
     "q_cooccur_pmi": q_cooccur_pmi,
     "q_token_entropy": q_token_entropy,
+    "q_source_jaccard": q_source_jaccard,
 }
 
 _STOP_SQL = "['the','a','of','is','and']"
@@ -753,6 +793,25 @@ ORACLES = {
         FROM pairs p
         JOIN docfreq fa ON fa.token = p.token_a
         JOIN docfreq fb ON fb.token = p.token_b
+    """,
+    "q_source_jaccard": """
+        WITH st AS (
+            SELECT DISTINCT source, token
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS token FROM documents)
+        ), sizes AS (
+            SELECT source, count(*) AS n_set FROM st GROUP BY source
+        ), inter AS (
+            SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_inter
+            FROM st a JOIN st b ON a.token = b.token AND a.source < b.source
+            GROUP BY 1, 2
+        )
+        SELECT i.source_a, i.source_b, i.n_inter,
+               sa.n_set AS n_a, sb.n_set AS n_b,
+               round(i.n_inter / CAST(sa.n_set + sb.n_set - i.n_inter AS DOUBLE), 6)
+                   AS jaccard
+        FROM inter i
+        JOIN sizes sa ON sa.source = i.source_a
+        JOIN sizes sb ON sb.source = i.source_b
     """,
     "q_token_entropy": """
         WITH counts AS (
