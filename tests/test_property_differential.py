@@ -76,7 +76,16 @@ def test_grouped_aggregates_match_duckdb(engines, key, pred):
     )
     s = {r.k: (r.n, r.a) for r in spark.sql(sql).collect()}
     d = {row[0]: (row[1], row[2]) for row in con.execute(sql).fetchall()}
-    assert s == d, pred
+    assert set(s) == set(d), pred
+    for k, (n, a) in s.items():
+        dn, da = d[k]
+        assert n == dn, (pred, k)
+        # avg over an arbitrary predicate slice can land within one float
+        # ulp of a round-6 grid boundary (sum-order drift), making the two
+        # engines round to ADJACENT grid points — allow exactly one step.
+        # (Hand-written oracles avoid this class by rounding ratios of
+        # bounded magnitude or using decimal-exact sums.)
+        assert a == pytest.approx(da, abs=1.1e-6), (pred, k)
 
 
 # --- Text-surface differential: random tiny corpora (empty docs, single
