@@ -14,10 +14,38 @@ replicated n× — keep n modest and the small side genuinely small.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
+
+
+def sf_of(sf_dir: str) -> float:
+    """Scale factor encoded in a fixture dir name (`.../sf0.1` → 0.1)."""
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.removeprefix("sf"))
+    except ValueError:
+        return float("inf")  # unknown layout: assume big, never force-broadcast
+
+
+def broadcast_if_small(df: DataFrame, sf_dir: str, fits_until_sf: float) -> DataFrame:
+    """Broadcast-hint `df` only below a scale factor where it provably fits.
+
+    Static semi-reduction planning: a dimension chain pre-joined down to a
+    compact (key → attrs) relation is worth broadcasting into the fact scan —
+    it replaces one hash-table probe per joined dim with a single probe, and
+    removes the fact-side shuffle entirely. But a *forced* hint is only
+    honest where the reduced side's size is provable from the tier: above
+    `fits_until_sf` the hint is dropped and the join stays declarative, so
+    Catalyst/AQE pick shuffle vs runtime-broadcast from actual stats (AQE is
+    on in the engine defaults; at 100 TB it converts to broadcast exactly
+    when the built side measures small). This mirrors what a cost-based
+    planner does with a size bound, without ever hinting an unbounded side.
+    """
+    return F.broadcast(df) if sf_of(sf_dir) <= fits_until_sf else df
 
 
 def salted_join(
