@@ -1,0 +1,400 @@
+"""Model/experiment evaluation statistics (SURVEY.md §2C profiling tier).
+
+The reference repo class stops at producing model output (assignments,
+counts); a production pipeline also has to JUDGE that output — independence
+tests on contingency tables, distribution-shift tests between cohorts,
+experiment significance, clustering quality. Each operator here is the
+declarative Spark form of a classic map(partial-statistics)+reduce(fold)
+job, oracle-paired with DuckDB.
+
+Float policy (SURVEY.md §5.2.3): every decision that could be affected by
+double summation order is made on exact integers (KS distance via
+cross-multiplied cumulative counts, chi-squared cell counts) or on values
+rounded to 6 decimals in BOTH engines before use (centroid distances).
+
+Scale notes (100 TB posture):
+- chi2 / KS / A-B reduce the fact table with ONE hash aggregate whose key
+  domain is small (types × bands, distinct metric values, variants); every
+  later join touches only model-sized frames and is broadcast.
+- silhouette/confusion inherit the assignment shape from operators/ml.py:
+  data ⋈ broadcast(centroids), no fact-table shuffle beyond the O(scalars)
+  argmin aggregate.
+- outlier fences are an O(groups) broadcast model, exactly like
+  q_anomaly_zscore: the fact table is scanned once and never shuffled.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from machinelearningalgomapreduce_spark.operators.ml import (
+    _ASSIGN_CTES,
+    assign_nearest,
+    label_centroids,
+)
+from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
+
+HOUR_BAND_WIDTH = 6  # 4 six-hour bands per day
+KS_TYPE_A, KS_TYPE_B = "click", "purchase"
+AB_Z_CRIT = 1.959964  # two-sided 95%
+IQR_FENCE = 1.5
+
+
+def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-squared independence test: is event_type independent of the
+    six-hour time band? One contingency aggregate over the fact table,
+    then all arithmetic on the O(types × bands) cell frame.
+
+    Cell/marginal counts are exact integers; only the final statistic is a
+    double (rounded 6). Expected counts use the exact integer products
+    rt·ct before one double division, so per-cell terms are engine-equal."""
+    t = load_tables(spark, sf_dir)
+    cells = t.events.groupBy(
+        "event_type", (F.hour("ts") / HOUR_BAND_WIDTH).cast("int").alias("band")
+    ).agg(F.count("*").alias("n"))
+    row_tot = cells.groupBy("event_type").agg(F.sum("n").alias("rt"))
+    col_tot = cells.groupBy("band").agg(F.sum("n").alias("ct"))
+    grand = cells.agg(F.sum("n").alias("nn"))
+    expected = F.col("rt") * F.col("ct") / F.col("nn").cast("double")
+    term = (F.col("n") - expected) * (F.col("n") - expected) / expected
+    joined = (
+        cells.join(F.broadcast(row_tot), "event_type")
+        .join(F.broadcast(col_tot), "band")
+        .crossJoin(F.broadcast(grand))
+    )
+    return joined.agg(
+        F.count("*").alias("n_cells"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.countDistinct("band").alias("n_bands"),
+        ((F.countDistinct("event_type") - 1) * (F.countDistinct("band") - 1)).alias("dof"),
+        F.round(F.sum(term), 6).alias("chi2"),
+    )
+
+
+def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov distance between the `value`
+    distributions of click vs purchase events (distribution-shift check
+    between cohorts — the test a data pipeline runs before/after a change).
+
+    D = max |ECDF_a - ECDF_b| evaluated at every distinct value. The max
+    is taken over the EXACT integer |c_a·N_b - c_b·N_a| (cumulative counts
+    cross-multiplied), so the argmax never touches floats; only the final
+    ratio is a rounded double. Values group bit-exactly: they come straight
+    from parquet, no arithmetic.
+
+    Scale shape: one hash aggregate keyed by distinct metric value, one
+    global cumulative window over the (far smaller) distinct-value frame,
+    one 1-row rollup. At 100 TB bucket the metric first (KS on a quantized
+    grid) to bound the window input."""
+    t = load_tables(spark, sf_dir)
+    both = t.events.filter(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))
+    per_value = both.groupBy("value").agg(
+        F.sum((F.col("event_type") == KS_TYPE_A).cast("bigint")).alias("na"),
+        F.sum((F.col("event_type") == KS_TYPE_B).cast("bigint")).alias("nb"),
+    )
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_value.select(
+        F.sum("na").over(w).alias("ca"), F.sum("nb").over(w).alias("cb")
+    )
+    totals = per_value.agg(F.sum("na").alias("n_a"), F.sum("nb").alias("n_b"))
+    diff = F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+    return (
+        cum.crossJoin(F.broadcast(totals))
+        .agg(
+            F.max("n_a").alias("n_a"),
+            F.max("n_b").alias("n_b"),
+            F.max(diff).alias("d_num"),
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            F.round(F.col("d_num") / (F.col("n_a") * F.col("n_b")).cast("double"), 6).alias(
+                "ks_d"
+            ),
+        )
+    )
+
+
+def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment read-out: Welch's t-test on the event `value` metric
+    between two variants assigned deterministically by user-id parity.
+    (A proportion test on "user made a purchase" saturates on this fixture
+    — every user converts — so the continuous-metric form is the one that
+    generalizes.)
+
+    Exactness: the fixture metric carries ≤6 decimals, so Σx and Σx² are
+    accumulated as exact DECIMALs (order-independent, engine-identical —
+    the q_cov_matrix pattern); means/variances/t are derived doubles,
+    rounded to 6 BEFORE the significance comparison so both engines flip
+    the flag identically.
+
+    Scale shape: ONE conditional hash aggregate over the fact table with
+    map-side partials; everything after is 1-row arithmetic."""
+    t = load_tables(spark, sf_dir)
+    dec = F.col("value").cast("decimal(18,6)")
+    even = F.pmod(F.col("user_id"), F.lit(2)) == 0
+    agg = t.events.agg(
+        F.sum(even.cast("bigint")).alias("n0"),
+        F.sum(F.when(even, dec)).alias("sx0"),
+        F.sum(F.when(even, dec * dec)).alias("sxx0"),
+        F.sum((~even).cast("bigint")).alias("n1"),
+        F.sum(F.when(~even, dec)).alias("sx1"),
+        F.sum(F.when(~even, dec * dec)).alias("sxx1"),
+    )
+    n0, n1 = F.col("n0").cast("double"), F.col("n1").cast("double")
+    sx0, sxx0 = F.col("sx0").cast("double"), F.col("sxx0").cast("double")
+    sx1, sxx1 = F.col("sx1").cast("double"), F.col("sxx1").cast("double")
+    m0, m1 = sx0 / n0, sx1 / n1
+    v0 = (sxx0 - sx0 * sx0 / n0) / (n0 - 1)
+    v1 = (sxx1 - sx1 * sx1 / n1) / (n1 - 1)
+    tstat = F.round((m1 - m0) / F.sqrt(v0 / n0 + v1 / n1), 6)
+    return agg.select(
+        "n0",
+        "n1",
+        F.round(m0, 6).alias("mean0"),
+        F.round(m1, 6).alias("mean1"),
+        F.round(v0, 6).alias("var0"),
+        F.round(v1, 6).alias("var1"),
+        tstat.alias("t_stat"),
+        (F.abs(tstat) > AB_Z_CRIT).alias("significant"),
+    )
+
+
+def q_cluster_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-vs-label confusion matrix: seeded-centroid assignment
+    (operators/ml.py::assign_nearest) crossed with the true label, plus
+    each cluster's share of its row — the purity read-out of a clustering
+    run. Inherits the broadcast-model assignment shape; the confusion
+    aggregate's key domain is clusters × labels (O(k²))."""
+    t = load_tables(spark, sf_dir)
+    assigned = assign_nearest(t.embeddings, label_centroids(t.embeddings), EMBEDDING_DIM)
+    cm = assigned.groupBy("cluster", "label").agg(F.count("*").alias("n_vecs"))
+    w = W.partitionBy("cluster")
+    return cm.select(
+        "cluster",
+        "label",
+        "n_vecs",
+        F.sum("n_vecs").over(w).alias("cluster_n"),
+        F.round(F.col("n_vecs") / F.sum("n_vecs").over(w).cast("double"), 6).alias("frac"),
+    )
+
+
+def q_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-form silhouette per cluster: for every vector,
+    a = distance to its own (nearest) centroid, b = distance to the
+    second-nearest; s = (b − a) / max(a, b); report each cluster's mean.
+    The standard "how separated are my clusters" read-out, computable
+    without the O(n²) pairwise form — this IS the 100 TB variant.
+
+    Distances are the same rounded-to-6 squared-L2 as the assignment, so
+    the (a, b) pick is engine-deterministic (ties break on cluster id);
+    per-vector s is rounded before the mean, the mean rounded after."""
+    t = load_tables(spark, sf_dir)
+    cents = label_centroids(t.embeddings).select(
+        F.col("label").alias("cluster"), "centroid"
+    )
+    from machinelearningalgomapreduce_spark.functions.vectors import sq_dist
+
+    dist2 = F.round(sq_dist(F.col("embedding"), F.col("centroid"), EMBEDDING_DIM), 6)
+    scored = t.embeddings.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cluster", dist2.alias("dist2")
+    )
+    best2 = (
+        scored.groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dist2", "cluster"))).alias("srt"))
+        .select(
+            "vec_id",
+            F.col("srt")[0]["cluster"].alias("cluster"),
+            F.sqrt(F.col("srt")[0]["dist2"]).alias("a"),
+            F.sqrt(F.col("srt")[1]["dist2"]).alias("b"),
+        )
+    )
+    s = F.when(F.greatest("a", "b") == 0, F.lit(0.0)).otherwise(
+        (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    )
+    return (
+        best2.select("cluster", F.round(s, 6).alias("s"))
+        .groupBy("cluster")
+        .agg(F.count("*").alias("n_vecs"), F.round(F.avg("s"), 6).alias("mean_silhouette"))
+    )
+
+
+def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IQR-fence outlier detection per event_type (Tukey fences at
+    1.5×IQR) — the robust complement to q_anomaly_zscore. Fences are an
+    O(types) broadcast model; the fact table is scanned once, never
+    shuffled. Fences are rounded to 6 in both engines before the
+    comparison so the keep/flag decision is engine-identical."""
+    t = load_tables(spark, sf_dir)
+    fences = t.events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("q3"),
+    )
+    lo = F.round(F.col("q1") - IQR_FENCE * (F.col("q3") - F.col("q1")), 6)
+    hi = F.round(F.col("q3") + IQR_FENCE * (F.col("q3") - F.col("q1")), 6)
+    flagged = t.events.join(F.broadcast(fences), "event_type").select(
+        "event_type",
+        "value",
+        ((F.col("value") < lo) | (F.col("value") > hi)).cast("bigint").alias("is_outlier"),
+    )
+    return flagged.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("is_outlier").alias("n_outliers"),
+        F.min(F.when(F.col("is_outlier") == 1, F.col("value"))).alias("min_outlier"),
+        F.max(F.when(F.col("is_outlier") == 1, F.col("value"))).alias("max_outlier"),
+    )
+
+
+QUERIES = {
+    "q_chi2": q_chi2,
+    "q_ks_test": q_ks_test,
+    "q_ab_test": q_ab_test,
+    "q_cluster_confusion": q_cluster_confusion,
+    "q_silhouette": q_silhouette,
+    "q_outlier_iqr": q_outlier_iqr,
+}
+
+ORACLES = {
+    "q_chi2": f"""
+        WITH cells AS (
+            SELECT event_type,
+                   CAST(date_part('hour', ts) // {HOUR_BAND_WIDTH} AS INTEGER) AS band,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
+        ), row_tot AS (
+            SELECT event_type, CAST(sum(n) AS BIGINT) AS rt FROM cells GROUP BY event_type
+        ), col_tot AS (
+            SELECT band, CAST(sum(n) AS BIGINT) AS ct FROM cells GROUP BY band
+        ), grand AS (
+            SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells
+        )
+        SELECT count(*) AS n_cells,
+               count(DISTINCT c.event_type) AS n_types,
+               count(DISTINCT c.band) AS n_bands,
+               (count(DISTINCT c.event_type) - 1) * (count(DISTINCT c.band) - 1) AS dof,
+               round(sum((c.n - r.rt * ct.ct / CAST(g.nn AS DOUBLE))
+                       * (c.n - r.rt * ct.ct / CAST(g.nn AS DOUBLE))
+                       / (r.rt * ct.ct / CAST(g.nn AS DOUBLE))), 6) AS chi2
+        FROM cells c
+        JOIN row_tot r ON c.event_type = r.event_type
+        JOIN col_tot ct ON c.band = ct.band
+        CROSS JOIN grand g
+    """,
+    "q_ks_test": f"""
+        WITH per_value AS (
+            SELECT value,
+                   CAST(sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                   CAST(sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+            FROM events
+            WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+            GROUP BY value
+        ), cum AS (
+            SELECT CAST(sum(na) OVER (ORDER BY value
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+                   CAST(sum(nb) OVER (ORDER BY value
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+            FROM per_value
+        ), totals AS (
+            SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b
+            FROM per_value
+        )
+        SELECT max(t.n_a) AS n_a,
+               max(t.n_b) AS n_b,
+               max(abs(c.ca * t.n_b - c.cb * t.n_a)) AS d_num,
+               round(max(abs(c.ca * t.n_b - c.cb * t.n_a))
+                     / CAST(max(t.n_a) * max(t.n_b) AS DOUBLE), 6) AS ks_d
+        FROM cum c CROSS JOIN totals t
+    """,
+    "q_ab_test": f"""
+        WITH agg AS (
+            SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+                   CAST(CAST(sum(CASE WHEN user_id % 2 = 0
+                                      THEN CAST(value AS DECIMAL(18,6)) END) AS VARCHAR)
+                        AS DOUBLE) AS sx0,
+                   CAST(CAST(sum(CASE WHEN user_id % 2 = 0
+                                      THEN CAST(value AS DECIMAL(18,6))
+                                           * CAST(value AS DECIMAL(18,6)) END) AS VARCHAR)
+                        AS DOUBLE) AS sxx0,
+                   CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(CAST(sum(CASE WHEN user_id % 2 = 1
+                                      THEN CAST(value AS DECIMAL(18,6)) END) AS VARCHAR)
+                        AS DOUBLE) AS sx1,
+                   CAST(CAST(sum(CASE WHEN user_id % 2 = 1
+                                      THEN CAST(value AS DECIMAL(18,6))
+                                           * CAST(value AS DECIMAL(18,6)) END) AS VARCHAR)
+                        AS DOUBLE) AS sxx1
+            FROM events
+        ), derived AS (
+            SELECT n0, n1,
+                   sx0 / n0 AS m0, sx1 / n1 AS m1,
+                   (sxx0 - sx0 * sx0 / n0) / (n0 - 1) AS v0,
+                   (sxx1 - sx1 * sx1 / n1) / (n1 - 1) AS v1
+            FROM agg
+        )
+        SELECT n0, n1,
+               round(m0, 6) AS mean0,
+               round(m1, 6) AS mean1,
+               round(v0, 6) AS var0,
+               round(v1, 6) AS var1,
+               round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 6) AS t_stat,
+               abs(round((m1 - m0) / sqrt(v0 / n0 + v1 / n1), 6)) > {AB_Z_CRIT} AS significant
+        FROM derived
+    """,
+    "q_cluster_confusion": f"""
+        WITH {_ASSIGN_CTES},
+        cm AS (
+            SELECT cluster, label, count(*) AS n_vecs
+            FROM assigned GROUP BY cluster, label
+        )
+        SELECT cluster, label, n_vecs,
+               CAST(sum(n_vecs) OVER (PARTITION BY cluster) AS BIGINT) AS cluster_n,
+               round(n_vecs / CAST(sum(n_vecs) OVER (PARTITION BY cluster) AS DOUBLE), 6)
+                   AS frac
+        FROM cm
+    """,
+    "q_silhouette": f"""
+        WITH {_ASSIGN_CTES},
+        ranked AS (
+            SELECT vec_id, cluster, dist2,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY dist2, cluster) AS rn
+            FROM scored
+        ), best2 AS (
+            SELECT a.vec_id, a.cluster,
+                   sqrt(a.dist2) AS a, sqrt(b.dist2) AS b
+            FROM (SELECT * FROM ranked WHERE rn = 1) a
+            JOIN (SELECT * FROM ranked WHERE rn = 2) b ON a.vec_id = b.vec_id
+        ), s AS (
+            SELECT cluster,
+                   round(CASE WHEN greatest(a, b) = 0 THEN 0.0
+                              ELSE (b - a) / greatest(a, b) END, 6) AS s
+            FROM best2
+        )
+        SELECT cluster, count(*) AS n_vecs, round(avg(s), 6) AS mean_silhouette
+        FROM s GROUP BY cluster
+    """,
+    "q_outlier_iqr": f"""
+        WITH fences AS (
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 6) AS q1,
+                   round(quantile_cont(value, 0.75), 6) AS q3
+            FROM events GROUP BY event_type
+        ), flagged AS (
+            SELECT e.event_type, e.value,
+                   CASE WHEN e.value < round(f.q1 - {IQR_FENCE} * (f.q3 - f.q1), 6)
+                          OR e.value > round(f.q3 + {IQR_FENCE} * (f.q3 - f.q1), 6)
+                        THEN 1 ELSE 0 END AS is_outlier
+            FROM events e JOIN fences f ON e.event_type = f.event_type
+        )
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(is_outlier) AS BIGINT) AS n_outliers,
+               min(CASE WHEN is_outlier = 1 THEN value END) AS min_outlier,
+               max(CASE WHEN is_outlier = 1 THEN value END) AS max_outlier
+        FROM flagged
+        GROUP BY event_type
+    """,
+}

@@ -30,6 +30,10 @@ _MODULES = (
     "machinelearningalgomapreduce_spark.operators.dedup",
     "machinelearningalgomapreduce_spark.operators.events",
     "machinelearningalgomapreduce_spark.operators.relational",
+    # Round-3+ additions go AFTER the pre-existing modules: new queries are
+    # never-driver-green and must not displace the older never-green ones
+    # from the driver's 50-entry check window (stable in-tier sort).
+    "machinelearningalgomapreduce_spark.operators.evaluation",
 )
 
 # Queries with a green row in CORRECTNESS_r01/r02 (driver evidence on file).

@@ -122,3 +122,34 @@ def test_markov_chain_single_user_shuffle(spark, sf_dir, queries):
 def test_ema_single_user_shuffle(spark, sf_dir, queries):
     # The fold happens inside one user_id aggregate: exactly one exchange.
     assert P.count_exchanges(queries["q_ema"](spark, sf_dir)) <= 1
+
+
+def test_ab_test_single_aggregate_no_join(spark, sf_dir, queries):
+    # Welch sufficient statistics in ONE conditional aggregate: one
+    # partial+final pair around a 1-row exchange — no join, no user rollup.
+    plan = P.formatted_plan(queries["q_ab_test"](spark, sf_dir))
+    assert "Join" not in plan
+    assert P.count_exchanges(queries["q_ab_test"](spark, sf_dir)) == 1
+
+
+def test_chi2_marginal_joins_broadcast(spark, sf_dir, queries):
+    # Marginals/grand total are O(cells) frames joined back by broadcast;
+    # the fact table shuffles only for the contingency aggregate.
+    plan = P.formatted_plan(queries["q_chi2"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_outlier_iqr_fences_broadcast(spark, sf_dir, queries):
+    # The O(types) fence model is broadcast back onto the scan, exactly
+    # like q_anomaly_zscore: the fact table never shuffles for the flag.
+    plan = P.formatted_plan(queries["q_outlier_iqr"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ks_test_window_input_is_distinct_values(spark, sf_dir, queries):
+    # The cumulative window must run over the per-distinct-value aggregate
+    # (bounded domain), not the raw events — exchanges: value groupBy +
+    # the single-partition window + 1-row rollup.
+    plan = P.formatted_plan(queries["q_ks_test"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2  # partial+final on value
