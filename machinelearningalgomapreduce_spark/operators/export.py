@@ -1,0 +1,300 @@
+"""Training-data export operators (SURVEY.md §2D tier): the last mile of
+an LLM data pipeline — sharding a cleaned corpus for distributed training,
+packing documents into context windows, checking vocabulary coverage,
+fuzzy-matching reference lists, and extracting salient terms.
+
+All candidate generation is blocked/banded (never all-pairs), shard
+assignment is content-hash deterministic (md5, engine-portable), and every
+shuffle is bounded by a model-sized domain (shards, windows, vocabulary,
+name-length bands) — the 100 TB posture of operators/dedup.py applied to
+the export stage.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+N_SHARDS = 16
+CTX_LEN = 2048
+VOCAB_TOP = 100
+FUZZY_MAX_DIST = 2
+FUZZY_BAND = 4  # length-band width; > max dist so candidates span ≤2 bands
+TOPK_TERMS = 3
+
+
+def _ws_tokens(col: str = "text"):
+    return F.split(F.col(col), " ")
+
+
+def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic shard assignment for training-data export: shard =
+    first md5 hex digit of the doc id (16 shards), per-shard doc/token/char
+    rollup. Hash sharding is reproducible across engines, runs, and
+    partitionings — unlike round-robin or partition-index schemes — so a
+    resumed export writes byte-identical shards.
+
+    Scale shape: scan-side shard computation + one 16-key aggregate with
+    map-side partials; the writer side would be `repartition(shard)` +
+    partitioned parquet, no other shuffle."""
+    t = load_tables(spark, sf_dir)
+    shard = (
+        F.instr(
+            F.lit("0123456789abcdef"),
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1),
+        )
+        - 1
+    ).alias("shard")
+    return (
+        t.documents.select(
+            shard,
+            F.size(_ws_tokens()).cast("bigint").alias("n_tok"),
+            F.length("text").cast("bigint").alias("n_chr"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.sum("n_chr").alias("n_chars"),
+        )
+    )
+
+
+def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window packing: documents are concatenated in doc_id order
+    within each source and cut into 2048-token windows; a document belongs
+    to the window where its first token lands (streaming-concat
+    semantics — the packing a sequence-training exporter performs).
+    Per (source, window): docs, tokens, fill ratio.
+
+    All window arithmetic is exact integers (cumulative token offsets,
+    `div` floor); only the fill ratio is a rounded double.
+
+    Scale shape: one cumulative window per source partition (the same
+    shuffle a sessionize pays), then an O(windows) aggregate. Sources
+    partition the sort, so no global order is required."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("source").orderBy("doc_id")
+    toks = (
+        t.documents.select("source", "doc_id", F.size(_ws_tokens()).cast("bigint").alias("n_tok"))
+        .withColumn("cum", F.sum("n_tok").over(w))
+        .withColumn("start", F.col("cum") - F.col("n_tok"))
+        .withColumn("win_id", F.expr(f"start div {CTX_LEN}"))
+    )
+    return toks.groupBy("source", "win_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+        F.round(F.sum("n_tok") / F.lit(float(CTX_LEN)), 6).alias("fill_ratio"),
+    )
+
+
+def q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage per source: build the corpus top-100 token
+    vocabulary (count desc, token asc — deterministic), then report each
+    source's out-of-vocabulary token rate. The tokenizer-fit sanity check
+    run before committing a corpus mix.
+
+    Scale shape: token aggregate (vocabulary-bounded shuffle) → top-k →
+    the vocab re-joined as a BROADCAST membership table onto the
+    per-source token counts; the corpus is never shuffled twice."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select("source", F.explode(_ws_tokens()).alias("token"))
+    corpus_counts = tok.groupBy("token").agg(F.count("*").alias("n"))
+    vocab = (
+        corpus_counts.withColumn(
+            "rk", F.row_number().over(W.orderBy(F.desc("n"), "token"))
+        )
+        .filter(F.col("rk") <= VOCAB_TOP)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    per_source = tok.groupBy("source", "token").agg(F.count("*").alias("n"))
+    flagged = per_source.join(F.broadcast(vocab), "token", "left")
+    oov_n = F.sum(F.when(F.col("in_vocab").isNull(), F.col("n")).otherwise(F.lit(0)))
+    return flagged.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        oov_n.alias("n_oov"),
+        F.round(oov_n / F.sum("n").cast("double"), 6).alias("oov_rate"),
+        F.count("*").alias("n_distinct"),
+        F.sum(F.col("in_vocab").isNull().cast("bigint")).alias("n_distinct_oov"),
+    )
+
+
+def q_fuzzy_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy self-join: distinct part names within Levenshtein distance 2,
+    banded by name length so candidate generation is an EQUI-join (each
+    name probes its own 4-char length band and the next one; a ≤2-edit
+    pair differs by ≤2 chars, hence spans at most adjacent bands) — the
+    entity-resolution primitive for matching reference lists at scale
+    without an all-pairs cross join.
+
+    Determinism: levenshtein is the same classic edit distance in both
+    engines; pairs are oriented name_a < name_b; widths cast to BIGINT."""
+    t = load_tables(spark, sf_dir)
+    names = t.part.select("p_name").distinct().select(
+        "p_name", F.length("p_name").alias("len")
+    )
+    band = F.expr(f"len div {FUZZY_BAND}")
+    # Each side emits (band) and (band+1); a pair is generated exactly once
+    # at g = greatest(band_a, band_b).
+    probes = names.select(
+        "p_name", "len", band.alias("band"), F.explode(F.array(band, band + 1)).alias("g")
+    )
+    a = probes.select(
+        F.col("p_name").alias("name_a"), F.col("len").alias("len_a"),
+        F.col("band").alias("band_a"), "g",
+    )
+    b = probes.select(
+        F.col("p_name").alias("name_b"), F.col("len").alias("len_b"),
+        F.col("band").alias("band_b"), "g",
+    )
+    pairs = (
+        a.join(b, "g")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.col("g") == F.greatest("band_a", "band_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= FUZZY_MAX_DIST)
+        )
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("bigint").alias("dist"),
+        )
+        .filter(F.col("dist") <= FUZZY_MAX_DIST)
+    )
+    return pairs
+
+
+def q_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyword extraction: each document's top-3 TF-IDF terms (rounded
+    tf-idf desc, token asc — deterministic). The per-doc salient-term
+    surface a retrieval or labeling pipeline exports next to the text.
+
+    Scale shape: the q_tfidf chain (tf → df → broadcast N) plus ONE
+    per-doc window over the (doc, token) frame — partitioned by doc_id,
+    never a global sort."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select("doc_id", F.explode(_ws_tokens()).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = t.documents.agg(F.count("*").alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias("tf_idf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tf_idf"), "token")
+    return (
+        scored.withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= TOPK_TERMS)
+        .select("doc_id", "token", "tf_idf", "rk")
+    )
+
+
+QUERIES = {
+    "q_shard_assign": q_shard_assign,
+    "q_seq_pack": q_seq_pack,
+    "q_vocab_coverage": q_vocab_coverage,
+    "q_fuzzy_join": q_fuzzy_join,
+    "q_topk_terms": q_topk_terms,
+}
+
+ORACLES = {
+    "q_shard_assign": """
+        SELECT instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+                   AS shard,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+               CAST(sum(length(text)) AS BIGINT) AS n_chars
+        FROM documents
+        GROUP BY 1
+    """,
+    "q_seq_pack": f"""
+        WITH toks AS (
+            SELECT source, doc_id,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents
+        ), packed AS (
+            SELECT source, n_tok,
+                   (CAST(sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                    - n_tok) // {CTX_LEN} AS win_id
+            FROM toks
+        )
+        SELECT source, win_id,
+               count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               round(CAST(sum(n_tok) AS BIGINT) / {float(CTX_LEN)}, 6) AS fill_ratio
+        FROM packed
+        GROUP BY source, win_id
+    """,
+    "q_vocab_coverage": f"""
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+        ), corpus_counts AS (
+            SELECT token, count(*) AS n FROM tok GROUP BY token
+        ), vocab AS (
+            SELECT token FROM (
+                SELECT token, row_number() OVER (ORDER BY n DESC, token) AS rk
+                FROM corpus_counts
+            ) WHERE rk <= {VOCAB_TOP}
+        ), per_source AS (
+            SELECT source, token, count(*) AS n FROM tok GROUP BY source, token
+        )
+        SELECT p.source,
+               CAST(sum(p.n) AS BIGINT) AS n_tokens,
+               CAST(sum(CASE WHEN v.token IS NULL THEN p.n ELSE 0 END) AS BIGINT) AS n_oov,
+               round(sum(CASE WHEN v.token IS NULL THEN p.n ELSE 0 END)
+                     / CAST(sum(p.n) AS DOUBLE), 6) AS oov_rate,
+               count(*) AS n_distinct,
+               CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_distinct_oov
+        FROM per_source p LEFT JOIN vocab v ON p.token = v.token
+        GROUP BY p.source
+    """,
+    "q_fuzzy_join": f"""
+        WITH names AS (
+            SELECT DISTINCT p_name, length(p_name) AS len FROM part
+        ), probes AS (
+            SELECT p_name, len, len // {FUZZY_BAND} AS band,
+                   unnest([len // {FUZZY_BAND}, len // {FUZZY_BAND} + 1]) AS g
+            FROM names
+        )
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM probes a JOIN probes b ON a.g = b.g
+        WHERE a.p_name < b.p_name
+          AND a.g = greatest(a.band, b.band)
+          AND abs(a.len - b.len) <= {FUZZY_MAX_DIST}
+          AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    """,
+    "q_topk_terms": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        ), tf AS (
+            SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY doc_id, token
+        ), df AS (
+            SELECT token, count(*) AS df FROM tf GROUP BY token
+        ), n AS (
+            SELECT count(*) AS n_docs FROM documents
+        ), scored AS (
+            SELECT tf.doc_id, tf.token,
+                   round(tf.tf * ln(n.n_docs / CAST(df.df AS DOUBLE)), 6) AS tf_idf
+            FROM tf JOIN df ON tf.token = df.token CROSS JOIN n
+        )
+        SELECT doc_id, token, tf_idf, rk
+        FROM (
+            SELECT doc_id, token, tf_idf,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY tf_idf DESC, token) AS rk
+            FROM scored
+        )
+        WHERE rk <= {TOPK_TERMS}
+    """,
+}

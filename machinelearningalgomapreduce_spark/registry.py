@@ -34,6 +34,7 @@ _MODULES = (
     # never-driver-green and must not displace the older never-green ones
     # from the driver's 50-entry check window (stable in-tier sort).
     "machinelearningalgomapreduce_spark.operators.evaluation",
+    "machinelearningalgomapreduce_spark.operators.export",
 )
 
 # Queries with a green row in CORRECTNESS_r01/r02 (driver evidence on file).

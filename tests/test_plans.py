@@ -153,3 +153,42 @@ def test_ks_test_window_input_is_distinct_values(spark, sf_dir, queries):
     # the single-partition window + 1-row rollup.
     plan = P.formatted_plan(queries["q_ks_test"](spark, sf_dir))
     assert plan.count("HashAggregate") >= 2  # partial+final on value
+
+
+def test_shard_assign_scan_side_no_join(spark, sf_dir, queries):
+    # Shard id is computed on the scan; one 16-key aggregate, no join.
+    plan = P.formatted_plan(queries["q_shard_assign"](spark, sf_dir))
+    assert "Join" not in plan
+
+
+def test_vocab_coverage_broadcast_membership(spark, sf_dir, queries):
+    # The top-k vocabulary joins back as a broadcast membership table —
+    # the corpus-token frame is never shuffled for the OOV flag.
+    plan = P.formatted_plan(queries["q_vocab_coverage"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_fuzzy_join_banded_equijoin(spark, sf_dir, queries):
+    # Candidate generation must be an EQUI-join on the length-band probe
+    # key — never a cartesian product over distinct names.
+    import re
+
+    plan = P.formatted_plan(queries["q_fuzzy_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    keys = re.findall(r"Left keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert any("g" in k for k in keys), keys
+
+
+def test_seq_pack_single_source_shuffle(spark, sf_dir, queries):
+    # Cumulative offsets inside one source-partitioned window; the
+    # aggregate reuses the same partitioning — at most the window exchange
+    # plus the final (source, win) aggregate exchange.
+    assert P.count_exchanges(queries["q_seq_pack"](spark, sf_dir)) <= 2
+
+
+def test_topk_terms_doc_partitioned_window(spark, sf_dir, queries):
+    # The rank window is partitioned by doc_id (parallel), not a global
+    # sort; N joins back as a 1-row broadcast.
+    plan = P.formatted_plan(queries["q_topk_terms"](spark, sf_dir))
+    assert "BroadcastExchange" in plan
