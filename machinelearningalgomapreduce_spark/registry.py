@@ -35,6 +35,7 @@ _MODULES = (
     # from the driver's 50-entry check window (stable in-tier sort).
     "machinelearningalgomapreduce_spark.operators.evaluation",
     "machinelearningalgomapreduce_spark.operators.export",
+    "machinelearningalgomapreduce_spark.operators.incremental",
 )
 
 # Queries with a green row in CORRECTNESS_r01/r02 (driver evidence on file).

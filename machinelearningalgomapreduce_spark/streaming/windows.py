@@ -112,6 +112,39 @@ def filter_against_blocklist(
     )
 
 
+def interval_join_stream(
+    events: DataFrame, lookback: str = "10 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join — the streaming twin of
+    operators/relational.py::q_range_join's pair-generation stage: each
+    'error' event matched with the same user's 'click' events in the
+    preceding 10 minutes.
+
+    Native Structured Streaming join: BOTH sides carry a watermark and the
+    join condition bounds event-time distance, so Spark can expire click
+    state once it falls behind `error watermark − lookback` — bounded
+    state, the property that lets this run forever. (The batch form
+    buckets to an equi-join for the same linearity; streaming gets it
+    from the state-store range condition instead.)"""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"))
+        .withWatermark("c_ts", watermark)
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select("event_id", "user_id", F.col("ts").alias("e_ts"))
+        .withWatermark("e_ts", watermark)
+    )
+    return errors.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr(f"INTERVAL {lookback}"))
+        & (F.col("c_ts") < F.col("e_ts")),
+        "inner",
+    ).select("event_id", "user_id", "e_ts", "c_ts")
+
+
 def run_to_memory(stream_df: DataFrame, table_name: str, output_mode: str = "complete") -> DataFrame:
     """Drive a streaming query to completion with trigger(availableNow)
     into a memory sink; returns the result as a batch DataFrame.

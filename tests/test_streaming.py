@@ -52,3 +52,34 @@ def test_stream_static_blocklist_filters_users(spark, sf_dir):
     assert not ({r.user_id for r in got.select("user_id").distinct().collect()} & blocked_ids)
     expected = events.join(blocked, "user_id", "left_anti").count()
     assert got.count() == expected
+
+
+def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
+    """The stream-stream interval join emits exactly the (error, click)
+    pairs the batch bucketed range join generates."""
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+    from machinelearningalgomapreduce_spark.streaming import windows as SW
+
+    out = SW.run_to_memory(
+        SW.interval_join_stream(SW.stream_events(spark, sf_dir)),
+        "t_interval_join",
+        output_mode="append",
+    )
+    got = {(r.event_id, r.c_ts) for r in out.collect()}
+
+    ev = load_tables(spark, sf_dir).events
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.col("ts").alias("e_ts")
+    )
+    batch = errors.join(
+        clicks,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") >= F.col("e_ts") - F.expr("INTERVAL 10 minutes"))
+        & (F.col("c_ts") < F.col("e_ts")),
+    )
+    want = {(r.event_id, r.c_ts) for r in batch.collect()}
+    assert got == want
+    assert len(got) > 0
