@@ -249,6 +249,47 @@ def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WINSOR_LO, WINSOR_HI = 0.05, 0.95
+
+
+def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean per event_type: values clipped at the rounded
+    p05/p95 quantiles, then averaged — the robust central-tendency metric
+    a pipeline reports when heavy tails make the raw mean lie.
+
+    Exactness: clip bounds are rounded to 6 (engine-identical quantiles,
+    same policy as q_outlier_iqr); clipped values therefore carry ≤6
+    decimals and are summed as exact DECIMALs, so both means are
+    order-independent.
+
+    Scale shape: O(types) quantile model broadcast onto one scan, one
+    aggregate — the fact table never shuffles."""
+    t = load_tables(spark, sf_dir)
+    fences = t.events.groupBy("event_type").agg(
+        F.round(F.expr(f"percentile(value, {WINSOR_LO})"), 6).alias("lo"),
+        F.round(F.expr(f"percentile(value, {WINSOR_HI})"), 6).alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    dec = lambda c: c.cast("decimal(18,6)")  # noqa: E731
+    return (
+        t.events.join(F.broadcast(fences), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.max("lo").alias("lo"),
+            F.max("hi").alias("hi"),
+            # Divide as doubles (exact decimal sum < 2^53 casts identically
+            # in both engines; decimal-division scale rules do not).
+            F.round(F.sum(dec(F.col("value"))).cast("double") / F.count("*"), 6).alias(
+                "mean_raw"
+            ),
+            F.round(F.sum(dec(clipped)).cast("double") / F.count("*"), 6).alias(
+                "mean_winsorized"
+            ),
+        )
+    )
+
+
 QUERIES = {
     "q_chi2": q_chi2,
     "q_ks_test": q_ks_test,
@@ -256,6 +297,7 @@ QUERIES = {
     "q_cluster_confusion": q_cluster_confusion,
     "q_silhouette": q_silhouette,
     "q_outlier_iqr": q_outlier_iqr,
+    "q_winsorize": q_winsorize,
 }
 
 ORACLES = {
@@ -375,6 +417,25 @@ ORACLES = {
         )
         SELECT cluster, count(*) AS n_vecs, round(avg(s), 6) AS mean_silhouette
         FROM s GROUP BY cluster
+    """,
+    "q_winsorize": f"""
+        WITH fences AS (
+            SELECT event_type,
+                   round(quantile_cont(value, {WINSOR_LO}), 6) AS lo,
+                   round(quantile_cont(value, {WINSOR_HI}), 6) AS hi
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               count(*) AS n,
+               max(f.lo) AS lo,
+               max(f.hi) AS hi,
+               round(CAST(sum(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+                   AS mean_raw,
+               round(CAST(sum(CAST(least(greatest(e.value, f.lo), f.hi)
+                                   AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6)
+                   AS mean_winsorized
+        FROM events e JOIN fences f ON e.event_type = f.event_type
+        GROUP BY e.event_type
     """,
     "q_outlier_iqr": f"""
         WITH fences AS (

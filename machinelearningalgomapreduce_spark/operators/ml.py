@@ -458,6 +458,23 @@ def random_forest_fit(spark: SparkSession, sf_dir: str, n_trees: int = 10, seed:
     return model, model.transform(data)
 
 
+def gbt_fit(spark: SparkSession, sf_dir: str, n_iter: int = 10, seed: int = 42):
+    """MLlib gradient-boosted trees on the embeddings (target: label ≥ 5)
+    — the sequential-ensemble sibling of random_forest_fit (library API,
+    pytest-checked). Each boosting round is one PLANET-style distributed
+    split search (cf. q_tree_split); model state stays O(trees × nodes)."""
+    from pyspark.ml.classification import GBTClassifier
+    from pyspark.ml.functions import array_to_vector
+
+    t = load_tables(spark, sf_dir)
+    data = t.embeddings.select(
+        array_to_vector(as_double(F.col("embedding"))).alias("features"),
+        (F.col("label") >= 5).cast("double").alias("label"),
+    )
+    model = GBTClassifier(maxIter=n_iter, maxDepth=3, seed=seed).fit(data)
+    return model, model.transform(data)
+
+
 def pca_fit(spark: SparkSession, sf_dir: str, k: int = 8):
     """MLlib PCA over the embeddings (library API, pytest-checked):
     returns (model, transformed) with k principal components; explained

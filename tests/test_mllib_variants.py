@@ -77,3 +77,16 @@ def test_random_forest_fit_beats_chance(spark, sf_dir):
     # Train-set accuracy on a 50/50-ish target; chance is ~0.5.
     assert acc > 0.55, acc
     assert model.getNumTrees == 10
+
+
+def test_gbt_fit_beats_chance(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.operators.ml import gbt_fit
+
+    model, scored = gbt_fit(spark, sf_dir, n_iter=5)
+    acc = scored.agg(
+        F.avg((F.col("prediction") == F.col("label")).cast("double"))
+    ).first()[0]
+    assert acc > 0.55, acc
+    assert model.getNumTrees == 5
