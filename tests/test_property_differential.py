@@ -283,3 +283,114 @@ def test_lag_transitions_match_duckdb_under_ts_ties(engines, seq):
         )
     )
     assert got == want, seq[:5]
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    names=st.lists(
+        st.text(alphabet="abcde ", min_size=1, max_size=12).filter(str.strip),
+        min_size=2,
+        max_size=30,
+        unique=True,
+    )
+)
+def test_fuzzy_band_join_complete_vs_brute_force(spark, names):
+    """The length-banded candidate generation of q_fuzzy_join must find
+    EXACTLY the pairs a brute-force all-pairs Levenshtein scan finds —
+    banding may never lose a ≤2-edit pair (completeness) nor duplicate
+    one (the g == greatest(band) dedup rule)."""
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.operators.export import (
+        FUZZY_BAND,
+        FUZZY_MAX_DIST,
+    )
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    want = {
+        (a, b)
+        for i, a in enumerate(names)
+        for b in names[i + 1 :]
+        if lev(a, b) <= FUZZY_MAX_DIST
+    }
+    want = {(min(p), max(p)) for p in want}
+
+    df = spark.createDataFrame([(n,) for n in names], ["p_name"])
+    probes = df.select(
+        "p_name",
+        F.length("p_name").alias("len"),
+        F.expr(f"length(p_name) div {FUZZY_BAND}").alias("band"),
+        F.explode(
+            F.array(
+                F.expr(f"length(p_name) div {FUZZY_BAND}"),
+                F.expr(f"length(p_name) div {FUZZY_BAND} + 1"),
+            )
+        ).alias("g"),
+    )
+    a = probes.select(
+        F.col("p_name").alias("name_a"), F.col("len").alias("len_a"),
+        F.col("band").alias("band_a"), "g",
+    )
+    b = probes.select(
+        F.col("p_name").alias("name_b"), F.col("len").alias("len_b"),
+        F.col("band").alias("band_b"), "g",
+    )
+    got_rows = (
+        a.join(b, "g")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.col("g") == F.greatest("band_a", "band_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= FUZZY_MAX_DIST)
+            & (F.levenshtein("name_a", "name_b") <= FUZZY_MAX_DIST)
+        )
+        .select("name_a", "name_b")
+        .collect()
+    )
+    got_list = [(r.name_a, r.name_b) for r in got_rows]
+    assert len(got_list) == len(set(got_list)), "banding produced duplicate pairs"
+    assert set(got_list) == want
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    toks=st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=40)
+)
+def test_seq_pack_partition_invariants(spark, toks):
+    """Packing invariants on random token lengths: every doc lands in
+    exactly one window; window token sums partition the total; window ids
+    are exactly the distinct floor(start/CTX) values in doc order."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from machinelearningalgomapreduce_spark.operators.export import CTX_LEN
+
+    rows = [(i, n) for i, n in enumerate(toks)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    w = W.orderBy("doc_id")
+    packed = (
+        df.withColumn("cum", F.sum("n_tok").over(w))
+        .withColumn("start", F.col("cum") - F.col("n_tok"))
+        .withColumn("win_id", F.expr(f"start div {CTX_LEN}"))
+    )
+    agg = packed.groupBy("win_id").agg(
+        F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens")
+    )
+    out = {r.win_id: (r.n_docs, r.n_tokens) for r in agg.collect()}
+    assert sum(d for d, _ in out.values()) == len(toks)
+    assert sum(t for _, t in out.values()) == sum(toks)
+    # Python reference: greedy streaming-concat window of each doc's start.
+    start, want = 0, {}
+    for n in toks:
+        wid = start // CTX_LEN
+        d, t = want.get(wid, (0, 0))
+        want[wid] = (d + 1, t + n)
+        start += n
+    assert out == want
