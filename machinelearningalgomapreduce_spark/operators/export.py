@@ -197,12 +197,43 @@ def q_topk_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_HASH_FEATURES = 64
+
+
+def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (HashingTF-style feature extraction): tokens
+    hashed into a fixed 64-bucket feature space per document — the
+    fixed-width, vocabulary-free featurization a streaming training
+    pipeline uses when the vocabulary is unbounded.
+
+    The bucket is md5-derived (first two hex digits mod 64) so both
+    engines hash identically — unlike engine-native hash() — and the
+    output is reproducible across runs and partitionings.
+
+    Scale shape: scan-side hashing + one (doc, bucket) aggregate; shuffle
+    width is docs × ≤64, independent of vocabulary size."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select("doc_id", F.explode(_ws_tokens()).alias("token"))
+    h = F.md5(F.col("token"))
+    byte = (
+        (F.instr(F.lit("0123456789abcdef"), F.substring(h, 1, 1)) - 1) * 16
+        + F.instr(F.lit("0123456789abcdef"), F.substring(h, 2, 1))
+        - 1
+    )
+    return (
+        tok.select("doc_id", F.pmod(byte, F.lit(N_HASH_FEATURES)).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("n"))
+    )
+
+
 QUERIES = {
     "q_shard_assign": q_shard_assign,
     "q_seq_pack": q_seq_pack,
     "q_vocab_coverage": q_vocab_coverage,
     "q_fuzzy_join": q_fuzzy_join,
     "q_topk_terms": q_topk_terms,
+    "q_feature_hash": q_feature_hash,
 }
 
 ORACLES = {
@@ -273,6 +304,18 @@ ORACLES = {
           AND a.g = greatest(a.band, b.band)
           AND abs(a.len - b.len) <= {FUZZY_MAX_DIST}
           AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    """,
+    "q_feature_hash": f"""
+        WITH tok AS (
+            SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+        )
+        SELECT doc_id,
+               ((instr('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16
+                + instr('0123456789abcdef', substr(md5(token), 2, 1)) - 1)
+                   % {N_HASH_FEATURES} AS bucket,
+               count(*) AS n
+        FROM tok
+        GROUP BY 1, 2
     """,
     "q_topk_terms": f"""
         WITH tok AS (

@@ -475,6 +475,38 @@ def gbt_fit(spark: SparkSession, sf_dir: str, n_iter: int = 10, seed: int = 42):
     return model, model.transform(data)
 
 
+def bisecting_kmeans_fit(spark: SparkSession, sf_dir: str, k: int = 10, seed: int = 42):
+    """MLlib bisecting k-means — the divisive hierarchical-clustering
+    path (library API, pytest-checked): O(log k) recursive splits, each a
+    standard assign/recompute round, so it inherits the broadcast-model
+    shape of kmeans_iterate."""
+    from pyspark.ml.clustering import BisectingKMeans
+    from pyspark.ml.functions import array_to_vector
+
+    t = load_tables(spark, sf_dir)
+    data = t.embeddings.select(
+        "vec_id", array_to_vector(as_double(F.col("embedding"))).alias("features")
+    )
+    model = BisectingKMeans(k=k, seed=seed).fit(data)
+    return model, model.transform(data)
+
+
+def gmm_fit(spark: SparkSession, sf_dir: str, k: int = 5, seed: int = 42):
+    """MLlib Gaussian mixture — soft-assignment clustering via distributed
+    EM (library API, pytest-checked): each E step is a broadcast-model
+    scoring pass, each M step a weighted-moment aggregate — the same
+    map/reduce shape as kmeans but with responsibilities."""
+    from pyspark.ml.clustering import GaussianMixture
+    from pyspark.ml.functions import array_to_vector
+
+    t = load_tables(spark, sf_dir)
+    data = t.embeddings.select(
+        "vec_id", array_to_vector(as_double(F.col("embedding"))).alias("features")
+    )
+    model = GaussianMixture(k=k, seed=seed, maxIter=20).fit(data)
+    return model, model.transform(data)
+
+
 def pca_fit(spark: SparkSession, sf_dir: str, k: int = 8):
     """MLlib PCA over the embeddings (library API, pytest-checked):
     returns (model, transformed) with k principal components; explained

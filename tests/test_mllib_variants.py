@@ -90,3 +90,38 @@ def test_gbt_fit_beats_chance(spark, sf_dir):
     ).first()[0]
     assert acc > 0.55, acc
     assert model.getNumTrees == 5
+
+
+def test_bisecting_kmeans_fit_partitions_all(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.ml import bisecting_kmeans_fit
+
+    model, assigned = bisecting_kmeans_fit(spark, sf_dir, k=10)
+    n_clusters = assigned.select("prediction").distinct().count()
+    assert 2 <= n_clusters <= 10
+    assert assigned.count() == assigned.select("vec_id").distinct().count()
+
+
+def test_gmm_fit_soft_assignments_sum_to_one(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.operators.ml import gmm_fit
+
+    model, scored = gmm_fit(spark, sf_dir, k=5)
+    assert len(model.weights) == 5
+    assert abs(sum(model.weights) - 1.0) < 1e-6
+    # Per-row responsibilities sum to 1.
+    from pyspark.ml.functions import vector_to_array
+
+    bad = (
+        scored.select(
+            F.abs(
+                F.aggregate(
+                    vector_to_array("probability"), F.lit(0.0), lambda a, x: a + x
+                )
+                - 1.0
+            ).alias("err")
+        )
+        .filter(F.col("err") > 1e-6)
+        .count()
+    )
+    assert bad == 0
