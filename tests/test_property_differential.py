@@ -394,3 +394,40 @@ def test_seq_pack_partition_invariants(spark, toks):
         want[wid] = (d + 1, t + n)
         start += n
     assert out == want
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    xs=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40),
+    ys=st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40),
+)
+def test_ks_crossmult_matches_python_ecdf(spark, xs, ys):
+    """The integer cross-multiplied KS pipeline (q_ks_test's shape) equals
+    the textbook max|ECDF_a − ECDF_b| computed in exact fractions —
+    including tie handling at shared values."""
+    from fractions import Fraction
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    rows = [(float(v), "a") for v in xs] + [(float(v), "b") for v in ys]
+    df = spark.createDataFrame(rows, ["value", "grp"])
+    per_value = df.groupBy("value").agg(
+        F.sum((F.col("grp") == "a").cast("bigint")).alias("na"),
+        F.sum((F.col("grp") == "b").cast("bigint")).alias("nb"),
+    )
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_value.select(
+        F.sum("na").over(w).alias("ca"), F.sum("nb").over(w).alias("cb")
+    )
+    d_num = cum.agg(
+        F.max(F.abs(F.col("ca") * len(ys) - F.col("cb") * len(xs))).alias("d")
+    ).first()[0]
+    got = Fraction(int(d_num), len(xs) * len(ys))
+
+    want = Fraction(0)
+    for v in sorted(set(xs) | set(ys)):
+        fa = Fraction(sum(1 for x in xs if x <= v), len(xs))
+        fb = Fraction(sum(1 for y in ys if y <= v), len(ys))
+        want = max(want, abs(fa - fb))
+    assert got == want
