@@ -83,3 +83,57 @@ def test_stream_stream_interval_join_matches_batch(spark, sf_dir):
     want = {(r.event_id, r.c_ts) for r in batch.collect()}
     assert got == want
     assert len(got) > 0
+
+
+def test_foreachbatch_incremental_refresh_matches_batch(spark, sf_dir, tmp_path):
+    """The streaming side of operators/incremental.py: partial aggregate
+    states merged across micro-batches (foreachBatch) equal the one-pass
+    batch aggregate — DECIMAL-exact sums make the merge algebra lossless
+    regardless of how the stream was chopped into batches."""
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir).events
+    src = str(tmp_path / "events_stream")
+    ev.repartition(4).write.mode("overwrite").parquet(src)
+
+    partials = []
+
+    def merge_batch(batch_df, batch_id):
+        rows = (
+            batch_df.groupBy("event_type")
+            .agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+            )
+            .collect()
+        )
+        partials.extend((r.event_type, r.n, r.sv) for r in rows)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        stream.writeStream.foreachBatch(merge_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert len(partials) > 5, "expected multiple micro-batch partials"
+
+    merged = {}
+    for et, n, sv in partials:
+        cn, cs = merged.get(et, (0, 0))
+        merged[et] = (cn + n, cs + sv)
+
+    want = {
+        r.event_type: (r.n, r.sv)
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sv"),
+        )
+        .collect()
+    }
+    assert {k: (n, s) for k, (n, s) in merged.items()} == want
