@@ -45,6 +45,7 @@ from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 JACCARD_THRESHOLD = 0.7
 NGRAM_JACCARD_THRESHOLD = 0.5
 EMBEDDING_COSINE_THRESHOLD = 0.45
+CONTAINMENT_THRESHOLD = 0.8
 SIMHASH_BITS = 32
 
 
@@ -181,6 +182,53 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(inter.cast("double") / union, 6).alias("bigram_jaccard"),
         )
         .filter(F.col("bigram_jaccard") >= NGRAM_JACCARD_THRESHOLD)
+    )
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup detection: directional overlap
+    C(A→B) = |A∩B| / |A| over word-bigram sets, flagging pairs where one
+    document is mostly CONTAINED in the other. This catches the
+    subset-duplication Jaccard structurally misses (a short doc quoted
+    inside a long one has high containment but low Jaccard — the union
+    term dilutes it), which is exactly the partial-copy case an LLM dedup
+    pass cares about.
+
+    Candidates come from the same 1-perm min-shingle block as
+    q_dedup_ngram_jaccard; NO size band here — banding is only lossless
+    for symmetric measures (Jaccard bounds the size ratio; containment
+    does not, small-inside-large is the interesting case). Declared
+    semantics are "among min-shingle-blocked candidates", identical in
+    both engines.
+
+    Scale shape: block-keyed equi self-join, candidates near-linear;
+    verify is one array_intersect per candidate."""
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select(
+        "doc_id",
+        F.array_min(F.transform(shingles(F.col("text"), k=3), F.md5)).alias("block"),
+        F.array_distinct(shingles(F.col("text"), k=2)).alias("ng"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect("a.ng", "b.ng"))
+    c_ab = F.round(inter / F.size("a.ng").cast("double"), 6)
+    c_ba = F.round(inter / F.size("b.ng").cast("double"), 6)
+    union = F.size("a.ng") + F.size("b.ng") - inter
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            c_ab.alias("contain_a_in_b"),
+            c_ba.alias("contain_b_in_a"),
+            F.round(inter / union.cast("double"), 6).alias("bigram_jaccard"),
+        )
+        .filter(
+            F.greatest("contain_a_in_b", "contain_b_in_a") >= CONTAINMENT_THRESHOLD
+        )
     )
 
 
@@ -362,6 +410,7 @@ QUERIES = {
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "q_dedup_containment": q_dedup_containment,
     "q_dedup_embedding": q_dedup_embedding,
 }
 
@@ -464,6 +513,26 @@ ORACLES = {
                count(*) OVER (PARTITION BY simhash) AS cluster_size,
                doc_id = min(doc_id) OVER (PARTITION BY simhash) AS keep
         FROM fp
+    """,
+    "q_dedup_containment": f"""
+        WITH base AS (
+            SELECT doc_id,
+                   list_min(list_transform({_SHINGLE3.replace('list_distinct(', '(', 1)}, x -> md5(x))) AS block,
+                   {_SHINGLE2} AS ng
+            FROM documents
+        ), pairs AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   len(list_filter(a.ng, x -> list_contains(b.ng, x))) AS inter,
+                   len(a.ng) AS na, len(b.ng) AS nb
+            FROM base a JOIN base b ON a.block = b.block AND a.doc_id < b.doc_id
+        )
+        SELECT doc_a, doc_b,
+               round(inter / CAST(na AS DOUBLE), 6) AS contain_a_in_b,
+               round(inter / CAST(nb AS DOUBLE), 6) AS contain_b_in_a,
+               round(inter / CAST(na + nb - inter AS DOUBLE), 6) AS bigram_jaccard
+        FROM pairs
+        WHERE greatest(round(inter / CAST(na AS DOUBLE), 6),
+                       round(inter / CAST(nb AS DOUBLE), 6)) >= {CONTAINMENT_THRESHOLD}
     """,
     "q_dedup_ngram_jaccard": f"""
         WITH base AS (
