@@ -93,3 +93,33 @@ def test_canopy_every_center_covers_itself(spark, sf_dir):
         .count()
     )
     assert self_rows == n_centers
+
+
+def test_bfs_levels_loop_matches_checked_query(spark, sf_dir):
+    """The general bfs_levels loop at n_rounds=2 must produce exactly the
+    per-distance counts the oracle-checked q_bfs_levels reports (minus the
+    unreached bucket, which the loop leaves out of its frontier state)."""
+    from machinelearningalgomapreduce_spark.operators.paths import bfs_levels, q_bfs_levels
+
+    loop = {
+        r.dist: r.n
+        for r in bfs_levels(spark, sf_dir, n_rounds=2)
+        .groupBy("dist")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    checked = {
+        r.dist: r.n_nodes for r in q_bfs_levels(spark, sf_dir).collect() if r.dist >= 0
+    }
+    assert loop == checked
+
+
+def test_bfs_levels_monotone_frontiers(spark, sf_dir):
+    """More rounds never shrink the reached set, and each node appears
+    exactly once (min-dist semantics)."""
+    from machinelearningalgomapreduce_spark.operators.paths import bfs_levels
+
+    v2 = bfs_levels(spark, sf_dir, n_rounds=2)
+    v3 = bfs_levels(spark, sf_dir, n_rounds=3)
+    assert v3.count() >= v2.count()
+    assert v2.select("node").distinct().count() == v2.count()
