@@ -227,6 +227,46 @@ def q_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BPE_TOP = 20
+
+
+def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training merge round: count adjacent character pairs across
+    the corpus weighted by word frequency and report the top-20 merge
+    candidates — the inner loop of byte-pair-encoding tokenizer training,
+    expressed as the reference's map(emit pairs)+reduce(sum) shape.
+
+    Word frequencies aggregate first (vocabulary-bounded), then each
+    DISTINCT word explodes into its adjacent char pairs — corpus size
+    enters only through the integer weights, so the explode cost is
+    O(vocab × word length), not O(corpus).
+
+    Determinism: pure integer counts; top-k breaks ties on the pair string.
+
+    Scale shape: token-count aggregate → per-word pair explode → pair
+    aggregate (both key domains vocabulary-bounded) → TakeOrdered top-k."""
+    t = load_tables(spark, sf_dir)
+    words = (
+        t.documents.select(F.explode(_ws_tokens()).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("wn"))
+        .filter(F.length("word") >= 2)
+    )
+    # substring with a column start position needs expr().
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")
+        ).alias("pair"),
+        "wn",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wn").alias("score"))
+        .orderBy(F.desc("score"), "pair")
+        .limit(BPE_TOP)
+    )
+
+
 QUERIES = {
     "q_shard_assign": q_shard_assign,
     "q_seq_pack": q_seq_pack,
@@ -234,6 +274,7 @@ QUERIES = {
     "q_fuzzy_join": q_fuzzy_join,
     "q_topk_terms": q_topk_terms,
     "q_feature_hash": q_feature_hash,
+    "q_bpe_merge": q_bpe_merge,
 }
 
 ORACLES = {
@@ -304,6 +345,24 @@ ORACLES = {
           AND a.g = greatest(a.band, b.band)
           AND abs(a.len - b.len) <= {FUZZY_MAX_DIST}
           AND levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+    """,
+    "q_bpe_merge": f"""
+        WITH words AS (
+            SELECT word, count(*) AS wn
+            FROM (SELECT unnest(string_split(text, ' ')) AS word FROM documents)
+            GROUP BY word
+            HAVING length(word) >= 2
+        ), pairs AS (
+            SELECT unnest(list_transform(range(1, length(word)),
+                                         i -> substr(word, CAST(i AS INTEGER), 2))) AS pair,
+                   wn
+            FROM words
+        )
+        SELECT pair, CAST(sum(wn) AS BIGINT) AS score
+        FROM pairs
+        GROUP BY pair
+        ORDER BY score DESC, pair
+        LIMIT {BPE_TOP}
     """,
     "q_feature_hash": f"""
         WITH tok AS (

@@ -56,3 +56,23 @@ def test_explode_tokens_shape(spark, sf_dir):
     n_tokens = docs.select(F.sum(F.size(F.split("text", " ")))).first()[0]
     assert out.count() == n_tokens
     assert out.columns == ["doc_id", "pos", "token"]
+
+
+def test_observe_counters_ride_the_pass(spark, sf_dir):
+    """with_quality_counters surfaces row/null tallies from the SAME pass
+    that computed the query result — no extra scan (SURVEY §2A counters)."""
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.functions.metrics import (
+        with_quality_counters,
+    )
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir).events
+    observed, obs = with_quality_counters(ev, "user_id", "props")
+    out = observed.groupBy("event_type").count().collect()
+    assert len(out) > 0
+    got = obs.get
+    assert got["n_rows"] == ev.count()
+    assert got["n_null_user_id"] == 0
+    assert got["n_null_props"] == 0
