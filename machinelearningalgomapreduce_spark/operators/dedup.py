@@ -110,6 +110,41 @@ def _simhash_bit_vote(token_hash: Column, bit: int) -> Column:
     return F.shiftright(hex_val, bit % 4).bitwiseAND(F.lit(1)) * 2 - 1
 
 
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware survivorship: for each near-dup cluster (transitive
+    minhash components, q_dedup_clusters), keep the HIGHEST-quality member
+    (q_quality_score composite; rounded-score tie-break on min doc_id) —
+    the decision an actual dedup pass ships, where "first id wins" throws
+    away the best copy whenever the duplicates differ in cleanliness.
+
+    Output per cluster: size, the chosen survivor, its quality, and
+    whether quality overrode the min-id default.
+
+    Scale shape: clusters come from the CC loop (join+agg per round);
+    the survivor pick is ONE min_by hash aggregate over cluster members —
+    no per-cluster sort."""
+    from machinelearningalgomapreduce_spark.operators.text import q_quality_score
+
+    clusters = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_root")
+    quality = q_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    joined = clusters.join(quality, "doc_id")
+    best = F.min_by(
+        F.struct("doc_id", "quality_score"),
+        F.struct((-F.col("quality_score")).alias("negq"), F.col("doc_id")),
+    )
+    return (
+        joined.groupBy("cluster_root")
+        .agg(F.count("*").alias("n_docs"), best.alias("b"))
+        .select(
+            "cluster_root",
+            "n_docs",
+            F.col("b.doc_id").alias("best_doc"),
+            F.col("b.quality_score").alias("best_quality"),
+            (F.col("b.doc_id") != F.col("cluster_root")).alias("quality_overrode_min_id"),
+        )
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dedup: 32-bit fingerprint = sign of per-bit votes over
     the doc's distinct tokens; docs sharing a fingerprint form a cluster."""
@@ -408,6 +443,7 @@ QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
     "q_dedup_clusters": q_dedup_clusters,
+    "q_dedup_keep_best": q_dedup_keep_best,
     "q_dedup_simhash": q_dedup_simhash,
     "q_dedup_ngram_jaccard": q_dedup_ngram_jaccard,
     "q_dedup_containment": q_dedup_containment,
@@ -496,6 +532,44 @@ ORACLES = {
                min(r) AS cluster_root,
                node = min(r) AS keep
         FROM reach GROUP BY node
+    """,
+    "q_dedup_keep_best": f"""
+        WITH RECURSIVE {{MINHASH_CTES}}, pairs AS (
+            SELECT doc_a, doc_b FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+        ), edges AS (
+            SELECT doc_a, doc_b FROM pairs
+            UNION
+            SELECT doc_b, doc_a FROM pairs
+        ), reach(node, r) AS (
+            SELECT doc_a, doc_a FROM edges
+            UNION
+            SELECT e.doc_a, reach.r FROM edges e JOIN reach ON reach.node = e.doc_b
+        ), clusters AS (
+            SELECT node AS doc_id, min(r) AS cluster_root FROM reach GROUP BY node
+        ), quality AS (
+            SELECT doc_id,
+                   round(0.4 * (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80
+                                     THEN 1.0 ELSE 0.0 END)
+                         + 0.4 * (len(list_distinct(string_split(text, ' ')))
+                                  / CAST(len(string_split(text, ' ')) AS DOUBLE))
+                         + 0.2 * least(5 * len(list_filter(string_split(text, ' '),
+                                           t -> list_contains(['the','a','of','is','and'], t)))
+                                       / CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0),
+                         6) AS quality_score
+            FROM documents
+        ), ranked AS (
+            SELECT c.cluster_root, c.doc_id, q.quality_score,
+                   row_number() OVER (PARTITION BY c.cluster_root
+                                      ORDER BY q.quality_score DESC, c.doc_id) AS rk,
+                   count(*) OVER (PARTITION BY c.cluster_root) AS n_docs
+            FROM clusters c JOIN quality q ON c.doc_id = q.doc_id
+        )
+        SELECT cluster_root,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               doc_id AS best_doc,
+               quality_score AS best_quality,
+               doc_id <> cluster_root AS quality_overrode_min_id
+        FROM ranked WHERE rk = 1
     """,
     "q_dedup_simhash": f"""
         WITH tok AS (
