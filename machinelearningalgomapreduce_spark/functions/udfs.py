@@ -96,3 +96,29 @@ def explode_tokens(documents: DataFrame) -> DataFrame:
     return documents.select(
         "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "token")
     )
+
+
+@F.udtf(returnType="pos: int, ngram: string")
+class CharNgramsUDTF:
+    """True Python UDTF (Spark 4): emit each character trigram of the
+    input with its position. Exists to exercise the UDTF surface itself
+    (arbitrary per-row fan-out in Python); for anything expressible as
+    array ops, prefer the JVM-side explode form (`explode_tokens` above) —
+    a Python UDTF pays Arrow serialization per row batch."""
+
+    def eval(self, text: str):
+        if text is None:
+            return
+        for i in range(max(len(text) - 2, 0)):
+            yield i, text[i : i + 3]
+
+
+def char_ngrams_jvm(documents: DataFrame) -> DataFrame:
+    """JVM twin of CharNgramsUDTF for the differential test: positions
+    0-based, trigrams via substring over a sequence."""
+    return documents.select(
+        "doc_id",
+        F.posexplode(
+            F.expr("transform(sequence(1, greatest(length(text) - 2, 0)), i -> substr(text, i, 3))")
+        ).alias("pos", "ngram"),
+    )

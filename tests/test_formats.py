@@ -102,3 +102,38 @@ def test_orc_round_trip_with_pushdown(spark, sf_dir, tmp_path):
     filtered = back.filter(F.col("o_orderstatus") == "O").select("o_orderkey")
     plan = filtered._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "o_orderstatus" in plan
+
+
+def test_custom_python_datasource_deterministic(spark):
+    """Spark-4 Python DataSource: partitioned synthetic scan, identical
+    across reads (hash-deterministic, no RNG state), schema projected."""
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.sources.custom import (
+        SyntheticEventsSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsSource)
+    df = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 500)
+        .option("n_partitions", 3)
+        .load()
+    )
+    assert df.count() == 500
+    assert df.select("event_id").distinct().count() == 500
+    # DECIMAL-exact sum: double sums differ across partition layouts
+    # (exactly the drift the engine's rounding policy exists for).
+    exact_sum = F.sum(F.col("value").cast("decimal(18,2)")).alias("s")
+    first = df.agg(exact_sum, F.max("user_id").alias("m")).first()
+    second = (
+        spark.read.format("synthetic_events")
+        .option("n_rows", 500)
+        .option("n_partitions", 7)  # different layout, same rows
+        .load()
+        .agg(exact_sum, F.max("user_id").alias("m"))
+        .first()
+    )
+    assert (first.s, first.m) == (second.s, second.m)
+    types = {r.event_type for r in df.select("event_type").distinct().collect()}
+    assert types <= {"click", "view", "purchase", "signup", "error"}

@@ -76,3 +76,27 @@ def test_observe_counters_ride_the_pass(spark, sf_dir):
     assert got["n_rows"] == ev.count()
     assert got["n_null_user_id"] == 0
     assert got["n_null_props"] == 0
+
+
+def test_python_udtf_matches_jvm_explode(spark, sf_dir):
+    """The Spark-4 Python UDTF fan-out equals the JVM posexplode twin on
+    the fixture corpus (both 0-based positions, char trigrams)."""
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.functions.udfs import (
+        CharNgramsUDTF,
+        char_ngrams_jvm,
+    )
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    docs = load_tables(spark, sf_dir).documents.limit(50).cache()
+    spark.udtf.register("char_ngrams", CharNgramsUDTF)
+    docs.createOrReplaceTempView("udtf_docs")
+    got = spark.sql(
+        "SELECT d.doc_id, t.pos, t.ngram FROM udtf_docs d, "
+        "LATERAL char_ngrams(d.text) t"
+    )
+    want = char_ngrams_jvm(docs)
+    assert got.count() == want.count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
