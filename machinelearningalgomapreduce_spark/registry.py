@@ -37,6 +37,7 @@ _MODULES = (
     "machinelearningalgomapreduce_spark.operators.export",
     "machinelearningalgomapreduce_spark.operators.incremental",
     "machinelearningalgomapreduce_spark.operators.paths",
+    "machinelearningalgomapreduce_spark.operators.timeseries",
 )
 
 # Queries with a green row in CORRECTNESS_r01/r02 (driver evidence on file).
