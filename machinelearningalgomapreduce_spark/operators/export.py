@@ -267,6 +267,41 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Provenance-aware duplication matrix: minhash near-dup pairs
+    (operators/dedup.py::q_dedup_minhash) rolled up by the SOURCE PAIR of
+    the two documents — the "are these two crawls copies of each other"
+    read-out a corpus-mixing decision needs (q_source_jaccard measures
+    vocabulary overlap; this measures actual duplicated documents).
+    Within-source pairs report as (src, src); cross-source pairs are the
+    contamination signal.
+
+    Scale shape: inherits the band-bucket candidate generation (shuffle
+    moves band keys, never documents); the source join touches only the
+    O(pairs) frame; rollup domain is sources²."""
+    from machinelearningalgomapreduce_spark.operators.dedup import q_dedup_minhash
+
+    t = load_tables(spark, sf_dir)
+    pairs = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    src = t.documents.select("doc_id", "source")
+    labeled = (
+        pairs.join(src.withColumnRenamed("source", "src_a"), pairs.doc_a == src.doc_id)
+        .drop("doc_id")
+        .join(
+            src.withColumnRenamed("source", "src_b").withColumnRenamed("doc_id", "doc_id_b"),
+            F.col("doc_b") == F.col("doc_id_b"),
+        )
+        .select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+        )
+    )
+    return labeled.groupBy("source_x", "source_y").agg(
+        F.count("*").alias("n_dup_pairs"),
+        (F.col("source_x") != F.col("source_y")).alias("cross_source"),
+    )
+
+
 QUERIES = {
     "q_shard_assign": q_shard_assign,
     "q_seq_pack": q_seq_pack,
