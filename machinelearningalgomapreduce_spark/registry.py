@@ -40,7 +40,7 @@ _MODULES = (
     "machinelearningalgomapreduce_spark.operators.timeseries",
 )
 
-# Queries with a green row in CORRECTNESS_r01/r02 (driver evidence on file).
+# Queries with a green row in CORRECTNESS_r01/r02/r03 (driver evidence on file).
 # Everything NOT in this set sorts into the driver's 50-entry check window.
 # Update per round from CORRECTNESS_r{N}.json so coverage rotates until
 # every query has had a driver pass.
@@ -63,6 +63,21 @@ DRIVER_GREEN = frozenset({
     # dedup — green round 2
     "q_dedup_exact", "q_dedup_minhash", "q_dedup_clusters",
     "q_dedup_simhash", "q_dedup_ngram_jaccard", "q_dedup_embedding",
+    # round 3 — all 50 checked rows green (CORRECTNESS_r03.json)
+    "q_sim_topk", "q_sim_ann", "q_kmeans_assign", "q_kmeans_recompute",
+    "q_knn", "q_naive_bayes", "q_linreg", "q_logreg_step", "q_matmul",
+    "q_canopy", "q_tree_split", "q_svm_step", "q_percentiles",
+    "q_histogram", "q_corr", "q_profile", "q_sample",
+    "q_sample_stratified", "q_resample", "q_cov_matrix",
+    "q_customer_segments", "q_skew_profile", "q_mode", "q_gini",
+    "q_pagerank", "q_apriori", "q_triangle_count", "q_degree_dist",
+    "q_label_prop_step", "q_multimodal", "q_multimodal_features",
+    "q_frame_sample", "q_inverted_index", "q_decontaminate",
+    "q_repetition_filter", "q_bm25", "q_ngram_lm", "q_pii_scrub",
+    "q_cooccur_pmi", "q_token_entropy", "q_source_jaccard",
+    "q_dedup_keep_best", "q_dedup_containment", "q_anomaly_zscore",
+    "q_markov_chain", "q_ema", "q_autocorr", "q_window_range_frame",
+    "q_funnel", "q_retention",
 })
 
 

@@ -96,6 +96,36 @@ def test_driver_window_covers_never_checked_modules():
     assert order[: len(never_green)] == never_green, "never-green tier must lead"
 
 
+def test_driver_green_ledger_absorbs_every_correctness_round():
+    """ADVICE r3: rotation depends on moving each round's green rows into
+    DRIVER_GREEN — if that manual step is forgotten, overflow queries sit
+    outside the driver's 50-entry window forever with nothing failing.
+    Make the omission fail loudly: every green row in every
+    CORRECTNESS_r{N}.json on disk must already be in DRIVER_GREEN."""
+    import json
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    stale = {}
+    for path in sorted(repo.glob("CORRECTNESS_r*.json")):
+        rows = json.loads(path.read_text())
+        greens = {
+            name
+            for name, r in rows.items()
+            if isinstance(r, dict)
+            and r.get("rows_match") and r.get("schema_match")
+            and r.get("hash_match") and not r.get("err")
+        }
+        # Only count queries that still exist (a renamed query's old green
+        # row should not force a ghost ledger entry).
+        missing = (greens - registry.DRIVER_GREEN) & set(registry.queries())
+        if missing:
+            stale[path.name] = sorted(missing)
+    assert not stale, (
+        f"DRIVER_GREEN not updated with these driver-confirmed greens: {stale}"
+    )
+
+
 def test_no_query_emits_unhashable_column_types(spark):
     """Round-2 lesson: the driver's pandas canonicalizer crashes on array
     cells (TypeError: unhashable type). No checked query may emit
