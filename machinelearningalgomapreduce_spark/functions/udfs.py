@@ -115,10 +115,18 @@ class CharNgramsUDTF:
 
 def char_ngrams_jvm(documents: DataFrame) -> DataFrame:
     """JVM twin of CharNgramsUDTF for the differential test: positions
-    0-based, trigrams via substring over a sequence."""
+    0-based, trigrams via substring over a sequence.
+
+    sequence(1, 0) in Spark defaults the step to -1 and yields [1, 0], so
+    texts shorter than 3 chars must short-circuit to an empty array or the
+    fan-out emits two spurious rows the UDTF never produces."""
     return documents.select(
         "doc_id",
         F.posexplode(
-            F.expr("transform(sequence(1, greatest(length(text) - 2, 0)), i -> substr(text, i, 3))")
+            F.expr(
+                "CASE WHEN length(text) >= 3 THEN"
+                " transform(sequence(1, length(text) - 2), i -> substr(text, i, 3))"
+                " ELSE array() END"
+            )
         ).alias("pos", "ngram"),
     )

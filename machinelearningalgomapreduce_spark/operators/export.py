@@ -303,6 +303,7 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_cross_source_dups": q_cross_source_dups,
     "q_shard_assign": q_shard_assign,
     "q_seq_pack": q_seq_pack,
     "q_vocab_coverage": q_vocab_coverage,
@@ -435,3 +436,28 @@ ORACLES = {
         WHERE rk <= {TOPK_TERMS}
     """,
 }
+
+# The dup-pair candidate set must be IDENTICAL to q_dedup_minhash's, so the
+# oracle reuses dedup's minhash CTE chain verbatim (same shingles, same
+# signature permutations, same band keys, same verification threshold).
+from machinelearningalgomapreduce_spark.operators.dedup import (  # noqa: E402
+    _MINHASH_CTES,
+    JACCARD_THRESHOLD,
+)
+
+ORACLES["q_cross_source_dups"] = f"""
+    WITH {_MINHASH_CTES}, dup_pairs AS (
+        SELECT doc_a, doc_b FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+    ), labeled AS (
+        SELECT least(da.source, db.source) AS source_x,
+               greatest(da.source, db.source) AS source_y
+        FROM dup_pairs p
+        JOIN documents da ON da.doc_id = p.doc_a
+        JOIN documents db ON db.doc_id = p.doc_b
+    )
+    SELECT source_x, source_y,
+           count(*) AS n_dup_pairs,
+           source_x != source_y AS cross_source
+    FROM labeled
+    GROUP BY source_x, source_y
+"""

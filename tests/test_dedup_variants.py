@@ -120,3 +120,22 @@ def test_ngram_banding_splits_skewed_block(spark):
     # below 60 (unbanded puts all 60 docs in one quadratic block).
     assert banded_sizes.count() >= 4
     assert banded_sizes.agg(F.max("count")).first()[0] <= 20
+
+
+def test_cross_source_dups_partitions_minhash_pairs(spark, sf_dir):
+    """q_cross_source_dups is a lossless rollup of q_dedup_minhash's pair
+    set: the per-source-pair counts must sum to the total pair count, keys
+    must be canonically ordered (source_x <= source_y), and cross_source
+    must equal key inequality row-wise."""
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.operators.dedup import q_dedup_minhash
+    from machinelearningalgomapreduce_spark.operators.export import q_cross_source_dups
+
+    n_pairs = q_dedup_minhash(spark, sf_dir).count()
+    rollup = q_cross_source_dups(spark, sf_dir).collect()
+    assert sum(r.n_dup_pairs for r in rollup) == n_pairs
+    for r in rollup:
+        assert r.source_x <= r.source_y
+        assert r.cross_source == (r.source_x != r.source_y)
+        assert r.n_dup_pairs > 0

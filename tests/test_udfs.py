@@ -100,3 +100,31 @@ def test_python_udtf_matches_jvm_explode(spark, sf_dir):
     assert got.count() == want.count()
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_char_ngrams_jvm_short_text_emits_nothing(spark):
+    """Degenerate inputs: texts shorter than 3 chars must emit ZERO rows
+    from both the UDTF and the JVM twin. Guards the sequence(1, 0) pitfall
+    (negative default step yields [1, 0], i.e. two spurious rows)."""
+    from machinelearningalgomapreduce_spark.functions.udfs import (
+        CharNgramsUDTF,
+        char_ngrams_jvm,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "a"), (3, "ab"), (4, "abc"), (5, "abcd")],
+        "doc_id long, text string",
+    )
+    jvm = char_ngrams_jvm(docs)
+    assert jvm.filter("doc_id <= 3").count() == 0
+    assert [tuple(r) for r in jvm.filter("doc_id = 4").collect()] == [(4, 0, "abc")]
+    assert jvm.filter("doc_id = 5").count() == 2
+
+    spark.udtf.register("char_ngrams_short", CharNgramsUDTF)
+    docs.createOrReplaceTempView("short_docs")
+    udtf = spark.sql(
+        "SELECT d.doc_id, t.pos, t.ngram FROM short_docs d, "
+        "LATERAL char_ngrams_short(d.text) t"
+    )
+    assert udtf.exceptAll(jvm).count() == 0
+    assert jvm.exceptAll(udtf).count() == 0
