@@ -40,6 +40,7 @@ from machinelearningalgomapreduce_spark.functions.hashing import (
     tokens,
 )
 from machinelearningalgomapreduce_spark.functions.vectors import dot, norm, sq_dist
+from machinelearningalgomapreduce_spark.operators.text import QUALITY_SCORE_SQL
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
 JACCARD_THRESHOLD = 0.7
@@ -547,16 +548,7 @@ ORACLES = {
         ), clusters AS (
             SELECT node AS doc_id, min(r) AS cluster_root FROM reach GROUP BY node
         ), quality AS (
-            SELECT doc_id,
-                   round(0.4 * (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80
-                                     THEN 1.0 ELSE 0.0 END)
-                         + 0.4 * (len(list_distinct(string_split(text, ' ')))
-                                  / CAST(len(string_split(text, ' ')) AS DOUBLE))
-                         + 0.2 * least(5 * len(list_filter(string_split(text, ' '),
-                                           t -> list_contains(['the','a','of','is','and'], t)))
-                                       / CAST(len(string_split(text, ' ')) AS DOUBLE), 1.0),
-                         6) AS quality_score
-            FROM documents
+            SELECT doc_id, {QUALITY_SCORE_SQL} AS quality_score FROM documents
         ), ranked AS (
             SELECT c.cluster_root, c.doc_id, q.quality_score,
                    row_number() OVER (PARTITION BY c.cluster_root

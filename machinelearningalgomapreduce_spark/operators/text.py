@@ -557,6 +557,22 @@ QUERIES = {
 
 _STOP_SQL = "['the','a','of','is','and']"
 
+# Shared quality-score scalar (DuckDB SQL over a `documents`-shaped relation).
+# Op order matches q_quality_score's Spark expression EXACTLY — in particular
+# (stop_count / n) * 5, never 5 * stop_count / n: the value is rounded to 6
+# and reused by dedup's keep-best survivor pick, where a 1-ulp op-order
+# divergence can flip the rounded score (and hence the survivor) at knife
+# edges. Any oracle that needs a document quality score must use this
+# constant, never re-derive the formula.
+_N_TOKS_SQL = "CAST(len(string_split(text, ' ')) AS DOUBLE)"
+QUALITY_SCORE_SQL = (
+    "round(0.4 * (CASE WHEN len(string_split(text, ' ')) BETWEEN 20 AND 80"
+    " THEN 1.0 ELSE 0.0 END)"
+    f" + 0.4 * (len(list_distinct(string_split(text, ' '))) / {_N_TOKS_SQL})"
+    " + 0.2 * least(len(list_filter(string_split(text, ' '),"
+    f" t -> list_contains({_STOP_SQL}, t))) / {_N_TOKS_SQL} * 5, 1.0), 6)"
+)
+
 ORACLES = {
     "q_wordcount": """
         SELECT token,
@@ -634,25 +650,19 @@ ORACLES = {
         FROM scored
     """,
     "q_quality_score": f"""
-        WITH base AS (
+        WITH feat AS (
             SELECT doc_id,
-                   string_split(text, ' ') AS toks,
-                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS n
+                   CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+                   round(len(list_distinct(string_split(text, ' '))) / {_N_TOKS_SQL}, 6)
+                       AS diversity,
+                   round(len(list_filter(string_split(text, ' '),
+                                         t -> list_contains({_STOP_SQL}, t))) / {_N_TOKS_SQL}, 6)
+                       AS stop_frac,
+                   {QUALITY_SCORE_SQL} AS quality_score
             FROM documents
-        ), feat AS (
-            SELECT doc_id, CAST(n AS INTEGER) AS n_tokens,
-                   len(list_distinct(toks)) / n AS diversity,
-                   len(list_filter(toks, t -> list_contains({_STOP_SQL}, t))) / n AS stop_frac,
-                   CASE WHEN n >= 20 AND n <= 80 THEN 1.0 ELSE 0.0 END AS len_ok
-            FROM base
         )
-        SELECT doc_id, n_tokens,
-               round(diversity, 6) AS diversity,
-               round(stop_frac, 6) AS stop_frac,
-               round(0.4 * len_ok + 0.4 * diversity + 0.2 * least(stop_frac * 5, 1.0), 6)
-                   AS quality_score,
-               round(0.4 * len_ok + 0.4 * diversity + 0.2 * least(stop_frac * 5, 1.0), 6) >= 0.5
-                   AS keep
+        SELECT doc_id, n_tokens, diversity, stop_frac, quality_score,
+               quality_score >= 0.5 AS keep
         FROM feat
     """,
     "q_decontaminate": f"""
