@@ -28,6 +28,20 @@ from machinelearningalgomapreduce_spark.functions.joins import broadcast_if_smal
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
 
+def tiny_sorted(df: DataFrame, *cols) -> DataFrame:
+    """Globally order a provably tiny result — an aggregate whose key domain
+    is bounded by a handful of values (returnflag×linestatus ≤ 6 rows,
+    nations ≤ 25) — without a range-partitioning exchange. ``orderBy`` on
+    such a result plans Exchange(rangepartitioning), whose boundary SAMPLING
+    pass re-executes the child: measured +65 ms per query at the bench tier
+    for a 6-row sort. Coalescing to one partition and sorting within it is
+    the right physical plan at EVERY scale factor, because the cardinality
+    bound comes from the key domain, not the data size. Only valid when the
+    sort keys are unique per row (full grouping key), so the order is total
+    and deterministic."""
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
 # ---------------------------------------------------------------- scan/filter
 
 def q_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -77,7 +91,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
-    return (
+    agg = (
         t.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -90,8 +104,8 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
     )
+    return tiny_sorted(agg, "l_returnflag", "l_linestatus")
 
 
 # ---------------------------------------------------------------------- joins
@@ -184,14 +198,15 @@ def q_join5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "c_nationkey", "n_name")
     )
     dims = broadcast_if_small(dims, sf_dir, fits_until_sf=1.0)
-    return (
+    agg = (
         t.lineitem.join(dims, t.lineitem.l_orderkey == dims.o_orderkey)
         .join(t.supplier, (F.col("l_suppkey") == F.col("s_suppkey"))
               & (F.col("c_nationkey") == F.col("s_nationkey")))
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
     )
+    # ≤25 nations: single-partition sort, never a range exchange (tiny_sorted).
+    return tiny_sorted(agg, F.desc("revenue"), "n_name")
 
 
 def q_join_left(spark: SparkSession, sf_dir: str) -> DataFrame:

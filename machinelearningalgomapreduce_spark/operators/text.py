@@ -42,12 +42,19 @@ def _tokens(col: str = "text"):
 
 
 def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Classic wordcount + document frequency per token."""
+    """Classic wordcount + document frequency per token.
+
+    Two-level aggregation instead of count + countDistinct in one agg: the
+    distinct-agg rewrite Expands every exploded token row ×2 before the
+    first shuffle. Pre-aggregating per (token, doc) shuffles narrower,
+    already-combined rows; n_occurrences = exact integer partial sums, so
+    results are identical."""
     t = load_tables(spark, sf_dir)
     tok = t.documents.select("doc_id", F.explode(_tokens()).alias("token"))
-    return tok.groupBy("token").agg(
-        F.count("*").alias("n_occurrences"),
-        F.countDistinct("doc_id").alias("n_docs"),
+    per_doc = tok.groupBy("token", "doc_id").agg(F.count("*").alias("n"))
+    return per_doc.groupBy("token").agg(
+        F.sum("n").alias("n_occurrences"),
+        F.count("*").alias("n_docs"),
     )
 
 
