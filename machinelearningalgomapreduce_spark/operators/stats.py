@@ -252,7 +252,10 @@ def q_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one orders aggregate (map-side partials) + one global
     NTILE sort of the customer-level frame + an O(segments) rollup. At
-    100 TB replace the global sort with approx-quantile LTV cutpoints."""
+    100 TB the global window is the cliff; the SHIPPED alternatives are
+    functions/ranking.py — distributed_ntile (bit-identical segments, no
+    single-partition exchange) or segment_by_quantile_cutpoints (approx,
+    no global order at all) — both pytest-diffed against this form."""
     t = load_tables(spark, sf_dir)
     ltv = t.orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("ltv"),
@@ -346,8 +349,10 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     see q_cov_matrix).
 
     Scale shape: one orders aggregate, one global rank over O(customers)
-    rows, one 1-row rollup. At 100 TB the exact global rank becomes a
-    distributed sort — same plan class as any total-order analytic."""
+    rows, one 1-row rollup. At 100 TB the unpartitioned rank window is the
+    cliff; the SHIPPED alternative is functions/ranking.py::gini_distributed
+    (range-partitioned two-pass rank, bit-identical output, pytest-diffed
+    against this form)."""
     t = load_tables(spark, sf_dir)
     ltv = t.orders.groupBy("o_custkey").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("ltv")

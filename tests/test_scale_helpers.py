@@ -123,3 +123,101 @@ def test_bfs_levels_monotone_frontiers(spark, sf_dir):
     v3 = bfs_levels(spark, sf_dir, n_rounds=3)
     assert v3.count() >= v2.count()
     assert v2.select("node").distinct().count() == v2.count()
+
+
+# ------------------------------------------------- distributed total order
+
+def _ltv(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    return t.orders.groupBy("o_custkey").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("ltv"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+def test_distributed_rank_matches_global_window(spark, sf_dir):
+    """distributed_rank is bit-identical to the single-window row_number —
+    the exactness claim that lets it replace q_gini/q_customer_segments'
+    global windows at scale."""
+    from pyspark.sql.window import Window as W
+
+    from machinelearningalgomapreduce_spark.functions.ranking import distributed_rank
+
+    ltv = _ltv(spark, sf_dir)
+    w = W.orderBy("ltv", "o_custkey")
+    want = {r.o_custkey: r.i for r in ltv.withColumn("i", F.row_number().over(w)).collect()}
+    got = {
+        r.o_custkey: r.i
+        for r in distributed_rank(ltv, ["ltv", "o_custkey"], n_partitions=8).collect()
+    }
+    assert got == want
+    # The frame itself is range-partitioned, never funneled to one task.
+    plan = distributed_rank(ltv, ["ltv", "o_custkey"], n_partitions=8)._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan
+
+
+def test_distributed_ntile_matches_window_ntile(spark, sf_dir):
+    """Exact NTILE semantics (first n%k buckets one row larger) from the
+    distributed rank — per-customer segment assignments identical to the
+    global-window form q_customer_segments uses."""
+    from pyspark.sql.window import Window as W
+
+    from machinelearningalgomapreduce_spark.functions.ranking import distributed_ntile
+
+    ltv = _ltv(spark, sf_dir)
+    w = W.orderBy(F.desc("ltv"), "o_custkey")
+    want = {r.o_custkey: r.segment for r in ltv.withColumn("segment", F.ntile(4).over(w)).collect()}
+    got = {
+        r.o_custkey: r.segment
+        for r in distributed_ntile(ltv, 4, [F.desc("ltv"), "o_custkey"], n_partitions=8).collect()
+    }
+    assert got == want
+
+
+def test_distributed_ntile_uneven_buckets(spark):
+    """n=10, k=4 -> bucket sizes [3, 3, 2, 2], big buckets first (the case
+    a floor((i-1)*k/n) shortcut gets wrong)."""
+    from machinelearningalgomapreduce_spark.functions.ranking import distributed_ntile
+
+    df = spark.range(1, 11).select(F.col("id").alias("v"))
+    out = distributed_ntile(df, 4, ["v"], n_partitions=3)
+    sizes = {r.segment: r.n for r in out.groupBy("segment").agg(F.count("*").alias("n")).collect()}
+    assert sizes == {1: 3, 2: 3, 3: 2, 4: 2}
+
+
+def test_gini_distributed_bit_identical_to_checked_query(spark, sf_dir):
+    """The shipped scale path for q_gini: same DECIMAL accumulation, same
+    rounding, rank from distributed_rank — output rows must be equal."""
+    from machinelearningalgomapreduce_spark.functions.ranking import gini_distributed
+    from machinelearningalgomapreduce_spark.operators.stats import q_gini
+
+    ltv = _ltv(spark, sf_dir).select("o_custkey", "ltv")
+    got = gini_distributed(ltv, n_partitions=8).collect()
+    want = q_gini(spark, sf_dir).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_quantile_cutpoint_segments_balanced_and_ordered(spark, sf_dir):
+    """The approximate segmentation twin: every row assigned exactly one
+    segment in [1, k], segment value bands are disjoint and descending
+    (segment 1 = highest), and sizes are within 25% of n/k on the fixture."""
+    from machinelearningalgomapreduce_spark.functions.ranking import (
+        segment_by_quantile_cutpoints,
+    )
+
+    ltv = _ltv(spark, sf_dir)
+    k = 4
+    seg = segment_by_quantile_cutpoints(ltv, "ltv", k)
+    n = ltv.count()
+    assert seg.count() == n
+    rollup = {
+        r.segment: r
+        for r in seg.groupBy("segment")
+        .agg(F.count("*").alias("n"), F.min("ltv").alias("lo"), F.max("ltv").alias("hi"))
+        .collect()
+    }
+    assert set(rollup) == set(range(1, k + 1))
+    for s in range(1, k):
+        assert rollup[s].lo >= rollup[s + 1].hi  # descending, non-overlapping bands
+    for s, r in rollup.items():
+        assert abs(r.n - n / k) <= 0.25 * n / k, (s, r.n, n)
