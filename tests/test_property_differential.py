@@ -431,3 +431,214 @@ def test_ks_crossmult_matches_python_ecdf(spark, xs, ys):
         fb = Fraction(sum(1 for y in ys if y <= v), len(ys))
         want = max(want, abs(fa - fb))
     assert got == want
+
+
+# --------------------------------------------- evaluation-stats operators
+
+def _round6(x: float) -> float:
+    """Spark F.round semantics (HALF_UP) — python round() is banker's."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+
+@given(
+    counts=st.dictionaries(
+        st.tuples(st.sampled_from(["a", "b", "c"]), st.integers(0, 3)),
+        st.integers(min_value=1, max_value=40),
+        min_size=4,
+        max_size=12,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_chi2_contingency_matches_python(spark, counts):
+    """q_chi2's broadcast-marginal pipeline on a random contingency table
+    equals the textbook chi-squared computed independently in Python
+    (expected = rt*ct/N per cell)."""
+    from pyspark.sql import functions as F
+
+    rows = [(t, b, n) for (t, b), n in counts.items()]
+    cells = spark.createDataFrame(rows, ["event_type", "band", "n"])
+    row_tot = cells.groupBy("event_type").agg(F.sum("n").alias("rt"))
+    col_tot = cells.groupBy("band").agg(F.sum("n").alias("ct"))
+    grand = cells.agg(F.sum("n").alias("nn"))
+    expected = F.col("rt") * F.col("ct") / F.col("nn").cast("double")
+    term = (F.col("n") - expected) * (F.col("n") - expected) / expected
+    got = (
+        cells.join(F.broadcast(row_tot), "event_type")
+        .join(F.broadcast(col_tot), "band")
+        .crossJoin(F.broadcast(grand))
+        .agg(F.sum(term).alias("chi2"))
+        .first()
+        .chi2
+    )
+
+    rt = {}
+    ct = {}
+    for (t, b), n in counts.items():
+        rt[t] = rt.get(t, 0) + n
+        ct[b] = ct.get(b, 0) + n
+    nn = sum(counts.values())
+    want = 0.0
+    for (t, b), n in counts.items():
+        e = rt[t] * ct[b] / nn
+        want += (n - e) ** 2 / e
+    assert abs(got - want) <= 1e-9 * max(1.0, want)
+
+
+@given(
+    xs=st.lists(st.integers(0, 10_000_000).map(lambda v: v / 1e6), min_size=3, max_size=30),
+    ys=st.lists(st.integers(0, 10_000_000).map(lambda v: v / 1e6), min_size=3, max_size=30),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_welch_t_decimal_pipeline_matches_python(spark, xs, ys):
+    """q_ab_test's DECIMAL-accumulated Welch pipeline on random ≤6-dp
+    metrics equals the textbook two-sample computation in Python (exact
+    Fractions for Σx/Σx², then one float conversion) — including the
+    degenerate zero-variance case guarded out by hypothesis."""
+    from fractions import Fraction
+
+    from hypothesis import assume
+    from pyspark.sql import functions as F
+
+    # Constant groups make the pooled variance 0 and t undefined — discard
+    # the example (assume), never skip the whole test.
+    assume(len(set(xs)) > 1 or len(set(ys)) > 1)
+    rows = [(0, float(v)) for v in xs] + [(1, float(v)) for v in ys]
+    df = spark.createDataFrame(rows, ["grp", "value"])
+    dec = F.col("value").cast("decimal(18,6)")
+    even = F.col("grp") == 0
+    agg = df.agg(
+        F.sum(even.cast("bigint")).alias("n0"),
+        F.sum(F.when(even, dec)).alias("sx0"),
+        F.sum(F.when(even, dec * dec)).alias("sxx0"),
+        F.sum((~even).cast("bigint")).alias("n1"),
+        F.sum(F.when(~even, dec)).alias("sx1"),
+        F.sum(F.when(~even, dec * dec)).alias("sxx1"),
+    )
+    n0c, n1c = F.col("n0").cast("double"), F.col("n1").cast("double")
+    sx0, sxx0 = F.col("sx0").cast("double"), F.col("sxx0").cast("double")
+    sx1, sxx1 = F.col("sx1").cast("double"), F.col("sxx1").cast("double")
+    m0, m1 = sx0 / n0c, sx1 / n1c
+    v0 = (sxx0 - sx0 * sx0 / n0c) / (n0c - 1)
+    v1 = (sxx1 - sx1 * sx1 / n1c) / (n1c - 1)
+    got = agg.select(((m1 - m0) / F.sqrt(v0 / n0c + v1 / n1c)).alias("t")).first().t
+
+    def frac_stats(vals):
+        fs = [Fraction(repr(v)) for v in vals]
+        n = len(fs)
+        sx = sum(fs)
+        sxx = sum(f * f for f in fs)
+        return n, sx, sxx
+
+    n0, fx0, fxx0 = frac_stats(xs)
+    n1, fx1, fxx1 = frac_stats(ys)
+    m0p, m1p = fx0 / n0, fx1 / n1
+    v0p = (fxx0 - fx0 * fx0 / n0) / (n0 - 1)
+    v1p = (fxx1 - fx1 * fx1 / n1) / (n1 - 1)
+    denom = float(v0p / n0 + v1p / n1) ** 0.5
+    assume(denom > 0)
+    want = float(m1p - m0p) / denom
+    assert abs(got - want) <= 1e-6 * max(1.0, abs(want))
+
+
+@given(
+    vals=st.lists(st.integers(-200, 200).map(lambda v: v / 4), min_size=5, max_size=40)
+)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_iqr_fence_flags_match_python(spark, vals):
+    """q_outlier_iqr's percentile+fence decision on quarter-valued data
+    (exact in binary, so linear interpolation is bit-identical across
+    implementations) matches an independent Python fence computation
+    row for row."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(float(v),) for v in vals], ["value"])
+    fences = df.agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("q1"),
+        F.round(F.expr("percentile(value, 0.75)"), 6).alias("q3"),
+    )
+    lo = F.round(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")), 6)
+    hi = F.round(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")), 6)
+    got = (
+        df.crossJoin(F.broadcast(fences))
+        .agg(F.sum(((F.col("value") < lo) | (F.col("value") > hi)).cast("bigint")).alias("k"))
+        .first()
+        .k
+    )
+
+    s = sorted(vals)
+    n = len(s)
+
+    def pct(p):
+        pos = p * (n - 1)
+        i = int(pos)
+        frac = pos - i
+        v = s[i] if frac == 0 else s[i] + frac * (s[i + 1] - s[i])
+        return _round6(v)
+
+    q1, q3 = pct(0.25), pct(0.75)
+    lo_p = _round6(q1 - 1.5 * (q3 - q1))
+    hi_p = _round6(q3 + 1.5 * (q3 - q1))
+    want = sum(1 for v in vals if v < lo_p or v > hi_p)
+    assert got == want
+
+
+@given(
+    vecs=st.lists(
+        st.lists(st.integers(-100, 100).map(lambda v: v / 8), min_size=4, max_size=4),
+        min_size=3,
+        max_size=12,
+    ),
+    cents=st.lists(
+        st.lists(st.integers(-100, 100).map(lambda v: v / 8), min_size=4, max_size=4),
+        min_size=2,
+        max_size=4,
+        unique_by=tuple,
+    ),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_silhouette_nearest_two_pick_matches_python(spark, vecs, cents):
+    """q_silhouette's array_sort((dist2, cluster)) nearest-two selection on
+    random vectors equals an independent Python argmin (same sequential
+    fold order, same HALF_UP round-6, same cluster-id tie-break), and
+    every s value lands in [-1, 1]."""
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.functions.vectors import sq_dist
+
+    vdf = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)], ["vec_id", "embedding"]
+    )
+    cdf = spark.createDataFrame(
+        [(j, [float(x) for x in c]) for j, c in enumerate(cents)], ["cluster", "centroid"]
+    )
+    dist2 = F.round(sq_dist(F.col("embedding"), F.col("centroid"), 4), 6)
+    best2 = (
+        vdf.crossJoin(F.broadcast(cdf))
+        .select("vec_id", "cluster", dist2.alias("dist2"))
+        .groupBy("vec_id")
+        .agg(F.array_sort(F.collect_list(F.struct("dist2", "cluster"))).alias("srt"))
+        .select(
+            "vec_id",
+            F.col("srt")[0]["cluster"].alias("cluster"),
+            F.col("srt")[0]["dist2"].alias("a2"),
+            F.col("srt")[1]["dist2"].alias("b2"),
+        )
+    )
+    got = {r.vec_id: (r.cluster, r.a2, r.b2) for r in best2.collect()}
+
+    for i, v in enumerate(vecs):
+        ds = []
+        for j, c in enumerate(cents):
+            acc = 0.0
+            for k in range(4):
+                d = float(v[k]) - float(c[k])
+                acc = acc + d * d
+            ds.append((_round6(acc), j))
+        ds.sort()
+        (a2, cl), (b2, _) = ds[0], ds[1]
+        assert got[i] == (cl, a2, b2), (i, got[i], (cl, a2, b2))
+        a, b = a2 ** 0.5, b2 ** 0.5
+        s = 0.0 if max(a, b) == 0 else (b - a) / max(a, b)
+        assert -1.0 <= s <= 1.0
