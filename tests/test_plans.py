@@ -192,3 +192,31 @@ def test_topk_terms_doc_partitioned_window(spark, sf_dir, queries):
     # sort; N joins back as a 1-row broadcast.
     plan = P.formatted_plan(queries["q_topk_terms"](spark, sf_dir))
     assert "BroadcastExchange" in plan
+
+
+def test_keyed_layout_elides_group_and_window_exchanges(spark, sf_dir):
+    """The CACHE_KEYS claim (sources/catalog.py): hashpartitioning(k)
+    satisfies any grouping/window clustering whose key SET contains k, so
+    a frame keyed by user_id adds ZERO exchanges for the per-(type, user)
+    pre-aggregate, the two-level rollup's FIRST hop, and a per-user
+    window — only the keying repartition itself shuffles. This is the
+    mechanism behind the round-4 bench drop and the bucketed-storage
+    story at 100 TB."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir).events.repartition(8, "user_id")
+
+    pre_agg = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    assert P.count_exchanges(pre_agg) == 1  # the repartition, nothing else
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = ev.withColumn("prev_ts", F.lag("ts").over(w))
+    assert P.count_exchanges(lagged) == 1
+
+    # Control: the same aggregate on an UNKEYED frame needs its own shuffle.
+    ev_rr = load_tables(spark, sf_dir).events.repartition(8)
+    control = ev_rr.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    assert P.count_exchanges(control) == 2
