@@ -50,13 +50,29 @@ _cache: dict[tuple[str, str], Catalog] = {}
 _persisted: set[tuple[str, str]] = set()
 
 
+def normalize_timestamp(name: str, actual: T.DataType) -> F.Column:
+    """Session-TZ TimestampType from whatever the parquet presents.
+
+    Fixture generations have stored timestamps three ways; all normalize to
+    the same UTC wall-clock values (session TZ is pinned to UTC):
+    - INT64 nanos read with nanosAsLong → exact integer div to micros
+      (never via double — 1e18 ns exceeds 2^53);
+    - TIMESTAMP(isAdjustedToUTC=false) micros → TIMESTAMP_NTZ, cast
+      reinterprets the wall clock in the UTC session TZ;
+    - plain TIMESTAMP → already the declared type.
+    """
+    if isinstance(actual, T.LongType):
+        return F.timestamp_micros(F.expr(f"`{name}` div 1000")).alias(name)
+    if isinstance(actual, T.TimestampNTZType):
+        return F.col(name).cast("timestamp").alias(name)
+    return F.col(name)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one table, validating the declared schema's columns exist."""
     path = os.path.join(sf_dir, f"{name}.parquet")
-    # Fixture parquet stores TIMESTAMP(NANOS), which Spark's vectorized reader
-    # rejects; read nanos as INT64 and convert to TimestampType below with
-    # exact integer division (never via double — 1e18 ns exceeds 2^53).
-    # Session invariant (also asserted in session.ensure_query_conf): loaded
+    # Tolerate TIMESTAMP(NANOS) fixtures (see normalize_timestamp). Session
+    # invariant (also asserted in session.ensure_query_conf): loaded
     # DataFrames depend on this conf at execution time.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
@@ -67,8 +83,8 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     actual = {f.name: f.dataType for f in df.schema.fields}
     cols = []
     for field in SCHEMAS[name].fields:
-        if isinstance(field.dataType, T.TimestampType) and isinstance(actual[field.name], T.LongType):
-            cols.append(F.timestamp_micros(F.expr(f"`{field.name}` div 1000")).alias(field.name))
+        if isinstance(field.dataType, T.TimestampType):
+            cols.append(normalize_timestamp(field.name, actual[field.name]))
         else:
             cols.append(F.col(field.name))
     # Project to the declared column order: stable schema regardless of file layout.

@@ -18,36 +18,31 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
-
-# Raw schema of the events fixture as Spark reads it with nanosAsLong on:
-# ts arrives as INT64 nanoseconds; converted to a proper timestamp below
-# exactly as sources/catalog.py::load_table does for batch.
-_RAW_EVENTS = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
-
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the batch-identical ns→µs
-    timestamp conversion."""
+    """readStream over the events parquet with the batch-identical
+    timestamp normalization (sources/catalog.py::normalize_timestamp).
+
+    FileStreamSource needs an explicit schema; take it from a one-file
+    batch read so the stream tolerates every fixture timestamp encoding
+    (INT64 nanos via nanosAsLong, TIMESTAMP_NTZ micros, plain TIMESTAMP)
+    exactly as the batch scan layer does."""
+    import os
+
+    from machinelearningalgomapreduce_spark.sources.catalog import normalize_timestamp
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # The fixture is a single file and FileStreamSource requires a
     # directory: stream the parent dir filtered to just events.parquet.
     raw = (
-        spark.readStream.schema(_RAW_EVENTS)
+        spark.readStream.schema(raw_schema)
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    actual = {f.name: f.dataType for f in raw_schema.fields}
+    return raw.withColumn("ts", normalize_timestamp("ts", actual["ts"]))
 
 
 def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
