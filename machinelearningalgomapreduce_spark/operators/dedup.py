@@ -65,15 +65,17 @@ def _shingle_sets(documents: DataFrame) -> DataFrame:
     )
 
 
-def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dedup: candidates from band buckets, then exact
-    Jaccard verification on the shingle sets (≥ 0.7 keeps true near-dups)."""
-    t = load_tables(spark, sf_dir)
-    base = _shingle_sets(t.documents)
-    sigs = base.select(
+def _minhash_sigs(base: DataFrame) -> DataFrame:
+    """16 MinHash signature columns (sig0..sig15) per doc."""
+    return base.select(
         "doc_id",
         *[minhash_sig(F.col("sh"), seed).alias(f"sig{seed}") for seed in range(N_MINHASH)],
     )
+
+
+def _lsh_candidates(sigs: DataFrame) -> DataFrame:
+    """LSH band-bucket candidate pairs (doc_a < doc_b): the shuffle moves
+    band keys, never documents."""
     band_cols = [
         band_key([F.col(f"sig{b * BAND_ROWS + r}") for r in range(BAND_ROWS)]).alias(f"band{b}")
         for b in range(LSH_BANDS)
@@ -83,7 +85,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.posexplode(F.array(*band_cols)).alias("band_id", "bkey"),
     )
     a, b = melted.alias("a"), melted.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band_id") == F.col("b.band_id"))
@@ -93,6 +95,10 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def _exact_jaccard(cand: DataFrame, base: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for candidate pairs (rounded 6)."""
     sa = base.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -101,7 +107,57 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", F.round(inter.cast("double") / union, 6).alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dedup: candidates from band buckets, then exact
+    Jaccard verification on the shingle sets (≥ 0.7 keeps true near-dups)."""
+    t = load_tables(spark, sf_dir)
+    base = _shingle_sets(t.documents)
+    cand = _lsh_candidates(_minhash_sigs(base))
+    return _exact_jaccard(cand, base).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
+def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for the MinHash pipeline: for every LSH
+    candidate pair, the signature-agreement Jaccard ESTIMATE
+    (matching positions / 16) next to the exact shingle-set Jaccard and
+    the absolute error — the measurement that justifies (or indicts)
+    the 16-permutation budget before anyone trusts the dedup pass at
+    100 TB, where only the estimate is affordable corpus-wide.
+
+    Scale shape: the q_dedup_minhash candidate path (band-key shuffle
+    only) plus one 16-column equality sum per pair — the exact-Jaccard
+    verify join is already part of the dedup pipeline; at full scale the
+    audit runs on a candidate SAMPLE with identical plan shape."""
+    t = load_tables(spark, sf_dir)
+    base = _shingle_sets(t.documents)
+    sigs = _minhash_sigs(base)
+    cand = _lsh_candidates(sigs)
+    sa = sigs.select(
+        F.col("doc_id").alias("doc_a"), *[F.col(f"sig{i}").alias(f"a{i}") for i in range(N_MINHASH)]
+    )
+    sb = sigs.select(
+        F.col("doc_id").alias("doc_b"), *[F.col(f"sig{i}").alias(f"b{i}") for i in range(N_MINHASH)]
+    )
+    n_match = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_MINHASH)
+    ).cast("bigint")
+    est = F.round(F.col("n_match") / float(N_MINHASH), 6)
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_match", n_match)
+        .join(_exact_jaccard(cand, base), ["doc_a", "doc_b"])
+        .select(
+            "doc_a",
+            "doc_b",
+            "n_match",
+            est.alias("est_jaccard"),
+            "jaccard",
+            F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
+        )
     )
 
 
@@ -443,6 +499,7 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str, threshold: float = 
 QUERIES = {
     "q_dedup_exact": q_dedup_exact,
     "q_dedup_minhash": q_dedup_minhash,
+    "q_dedup_minhash_est": q_dedup_minhash_est,
     "q_dedup_clusters": q_dedup_clusters,
     "q_dedup_keep_best": q_dedup_keep_best,
     "q_dedup_simhash": q_dedup_simhash,
@@ -516,6 +573,23 @@ ORACLES = {
     "q_dedup_minhash": f"""
         WITH {{MINHASH_CTES}}
         SELECT doc_a, doc_b, jaccard FROM verified WHERE jaccard >= {JACCARD_THRESHOLD}
+    """,
+    "q_dedup_minhash_est": f"""
+        WITH {{MINHASH_CTES}}, est AS (
+            SELECT c.doc_a, c.doc_b,
+                   CAST({" + ".join(f"(CASE WHEN sa.sig{i} = sb.sig{i} THEN 1 ELSE 0 END)" for i in range(N_MINHASH))}
+                        AS BIGINT) AS n_match
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_a
+            JOIN sig sb ON sb.doc_id = c.doc_b
+        )
+        SELECT e.doc_a, e.doc_b, e.n_match,
+               round(e.n_match / {float(N_MINHASH)}, 6) AS est_jaccard,
+               v.jaccard,
+               round(abs(round(e.n_match / {float(N_MINHASH)}, 6) - v.jaccard), 6)
+                   AS abs_err
+        FROM est e
+        JOIN verified v ON v.doc_a = e.doc_a AND v.doc_b = e.doc_b
     """,
     "q_dedup_clusters": f"""
         WITH RECURSIVE {{MINHASH_CTES}}, pairs AS (

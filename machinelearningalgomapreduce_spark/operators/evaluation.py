@@ -119,6 +119,66 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (rank-sum) test between the click and purchase
+    `value` distributions — the nonparametric sibling of q_ab_test's
+    Welch t, the right test when the metric is skewed or ordinal.
+
+    Exactness: U is never computed from floating ranks. Using the
+    identity U_A = Σ_v na(v)·(cb_before(v) + nb(v)/2), we accumulate
+    2·U_A = Σ na·(2·cb_before + nb) — an exact integer — plus the exact
+    tie term Σ(t³−t). The tie-corrected variance is kept exact-rational:
+    numerator na·nb·((N+1)N(N−1) − Σ(t³−t)) and denominator 12·N(N−1)
+    as wide integers (DECIMAL(38) here, HUGEINT in the oracle — the
+    numerator overflows int64 beyond ~30k samples), with ONE double
+    division at the end — float-op-order identical across engines, which
+    round(·,6) alone cannot guarantee on a ~1e9-magnitude variance. The
+    variance itself is NOT an output column (engine round() algorithms
+    differ by ulps at that magnitude; measured: Spark's BigDecimal
+    HALF_UP vs DuckDB's multiply-round-divide land 5 ulps apart on this
+    fixture) — z carries the decision and is O(1), where round-6 is
+    engine-stable.
+
+    Scale shape: the q_ks_test envelope — one hash aggregate keyed by
+    distinct metric value, one cumulative window over the distinct-value
+    frame (quantize the metric at 100 TB to bound it), one 1-row rollup.
+    """
+    t = load_tables(spark, sf_dir)
+    both = t.events.filter(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))
+    per_value = both.groupBy("value").agg(
+        F.sum((F.col("event_type") == KS_TYPE_A).cast("bigint")).alias("na"),
+        F.sum((F.col("event_type") == KS_TYPE_B).cast("bigint")).alias("nb"),
+    )
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_value.withColumn("cb", F.sum("nb").over(w))
+    tie = F.col("na") + F.col("nb")
+    stats = cum.agg(
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.sum(F.col("na") * (2 * (F.col("cb") - F.col("nb")) + F.col("nb"))).alias("u2"),
+        F.sum(tie * tie * tie - tie).alias("tie3"),
+    )
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    u = F.col("u2") / 2.0
+    mean_u = na * nb / 2.0
+    d38 = "decimal(38,0)"
+    nn_i = (F.col("n_a") + F.col("n_b")).cast(d38)
+    var_num = F.col("n_a").cast(d38) * F.col("n_b").cast(d38) * (
+        (nn_i + 1) * nn_i * (nn_i - 1) - F.col("tie3").cast(d38)
+    )
+    var_den = (nn_i * (nn_i - 1)) * 12
+    var_u = var_num.cast("double") / var_den.cast("double")
+    z = F.round((u - mean_u) / F.sqrt(var_u), 6)
+    return stats.select(
+        "n_a",
+        "n_b",
+        F.round(u, 1).alias("u_stat"),
+        F.round(mean_u, 1).alias("mean_u"),
+        z.alias("z_score"),
+        (F.abs(z) > AB_Z_CRIT).alias("significant"),
+    )
+
+
 def q_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A/B experiment read-out: Welch's t-test on the event `value` metric
     between two variants assigned deterministically by user-id parity.
@@ -294,6 +354,7 @@ QUERIES = {
     "q_chi2": q_chi2,
     "q_ks_test": q_ks_test,
     "q_ab_test": q_ab_test,
+    "q_mannwhitney": q_mannwhitney,
     "q_cluster_confusion": q_cluster_confusion,
     "q_silhouette": q_silhouette,
     "q_outlier_iqr": q_outlier_iqr,
@@ -350,6 +411,46 @@ ORACLES = {
                round(max(abs(c.ca * t.n_b - c.cb * t.n_a))
                      / CAST(max(t.n_a) * max(t.n_b) AS DOUBLE), 6) AS ks_d
         FROM cum c CROSS JOIN totals t
+    """,
+    "q_mannwhitney": f"""
+        WITH per_value AS (
+            SELECT value,
+                   CAST(sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+                   CAST(sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+            FROM events
+            WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+            GROUP BY value
+        ), cum AS (
+            SELECT na, nb,
+                   CAST(sum(nb) OVER (ORDER BY value
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+            FROM per_value
+        ), stats AS (
+            SELECT CAST(sum(na) AS BIGINT) AS n_a,
+                   CAST(sum(nb) AS BIGINT) AS n_b,
+                   CAST(sum(na * (2 * (cb - nb) + nb)) AS BIGINT) AS u2,
+                   CAST(sum((na + nb) * (na + nb) * (na + nb) - (na + nb)) AS BIGINT) AS tie3
+            FROM cum
+        ), derived AS (
+            SELECT n_a, n_b,
+                   u2 / 2.0 AS u,
+                   CAST(n_a AS DOUBLE) * n_b / 2.0 AS mean_u,
+                   CAST(CAST(n_a AS HUGEINT) * CAST(n_b AS HUGEINT)
+                        * ((CAST(n_a + n_b AS HUGEINT) + 1)
+                           * CAST(n_a + n_b AS HUGEINT)
+                           * (CAST(n_a + n_b AS HUGEINT) - 1)
+                           - CAST(tie3 AS HUGEINT)) AS DOUBLE)
+                   / CAST((CAST(n_a + n_b AS HUGEINT)
+                           * (CAST(n_a + n_b AS HUGEINT) - 1)) * 12 AS DOUBLE)
+                       AS var_u
+            FROM stats
+        )
+        SELECT n_a, n_b,
+               round(u, 1) AS u_stat,
+               round(mean_u, 1) AS mean_u,
+               round((u - mean_u) / sqrt(var_u), 6) AS z_score,
+               abs(round((u - mean_u) / sqrt(var_u), 6)) > {AB_Z_CRIT} AS significant
+        FROM derived
     """,
     "q_ab_test": f"""
         WITH agg AS (

@@ -63,6 +63,42 @@ def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture rebalancing: per-source token shares and the
+    downsampling rate that flattens the mix to the uniform target —
+    the "domain weights" computation every multi-source training run
+    performs before export (web-heavy crawls get rate < 1, small
+    high-quality sources keep rate = 1; no upsampling).
+
+    Exactness: shares and rates are doubles derived from exact integer
+    token counts and rounded to 6; the kept-token projection uses floor
+    (engine-identical) on the UNROUNDED rate so totals stay consistent.
+
+    Scale shape: one corpus aggregate keyed by source with map-side
+    partials + a broadcast 1-row totals join — nothing else touches
+    corpus-sized data."""
+    t = load_tables(spark, sf_dir)
+    per_source = (
+        t.documents.select("source", F.size(_ws_tokens()).cast("bigint").alias("n_tok"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    totals = per_source.agg(
+        F.sum("n_tokens").alias("tot_tokens"), F.count("*").alias("n_sources")
+    )
+    share = F.col("n_tokens") / F.col("tot_tokens").cast("double")
+    target = 1.0 / F.col("n_sources").cast("double")
+    rate = F.least(F.lit(1.0), target / share)
+    return per_source.crossJoin(F.broadcast(totals)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(share, 6).alias("token_share"),
+        F.round(rate, 6).alias("sample_rate"),
+        F.floor(F.col("n_tokens") * rate).cast("bigint").alias("kept_tokens"),
+    )
+
+
 def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing: documents are concatenated in doc_id order
     within each source and cut into 2048-token windows; a document belongs
@@ -304,6 +340,7 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {
     "q_cross_source_dups": q_cross_source_dups,
+    "q_domain_mix": q_domain_mix,
     "q_shard_assign": q_shard_assign,
     "q_seq_pack": q_seq_pack,
     "q_vocab_coverage": q_vocab_coverage,
@@ -314,6 +351,26 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_domain_mix": """
+        WITH per_source AS (
+            SELECT source, count(*) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents GROUP BY source
+        ), totals AS (
+            SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+                   count(*) AS n_sources
+            FROM per_source
+        )
+        SELECT source, n_docs, n_tokens,
+               round(n_tokens / CAST(tot_tokens AS DOUBLE), 6) AS token_share,
+               round(least(1.0, (1.0 / CAST(n_sources AS DOUBLE))
+                                / (n_tokens / CAST(tot_tokens AS DOUBLE))), 6)
+                   AS sample_rate,
+               CAST(floor(n_tokens * least(1.0, (1.0 / CAST(n_sources AS DOUBLE))
+                                / (n_tokens / CAST(tot_tokens AS DOUBLE)))) AS BIGINT)
+                   AS kept_tokens
+        FROM per_source CROSS JOIN totals
+    """,
     "q_shard_assign": """
         SELECT instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
                    AS shard,

@@ -26,6 +26,9 @@ from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
 DAMPING = 0.85
 MIN_SUPPORT = 5
+MIN_COMMON = 2  # link-prediction candidate floor (common neighbors)
+KCORE_K = 3
+REPEAT_MIN_ORDERS = 2  # repeat-co-purchase edge support
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -246,6 +249,138 @@ def q_label_prop_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _directed_nbrs(edges: DataFrame) -> DataFrame:
+    """Both directions of the undirected edge set: (node, nbr) per edge end."""
+    return edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+
+
+def _repeat_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs co-purchased in ≥ REPEAT_MIN_ORDERS distinct orders.
+
+    The support floor is the graph sparsifier: the raw co-purchase graph is
+    near-complete on this fixture (min degree 42 — every order is a clique),
+    so wedge fan-out would be O(deg²)·nodes ≈ 28M at sf0.01. Repeat edges
+    cut that to ~34k while keeping the semantically strong links — the same
+    minimum-support idea Apriori applies to itemsets, applied to edges."""
+    t = load_tables(spark, sf_dir)
+    parts = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = parts.alias("a"), parts.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("n_orders"))
+        .filter(F.col("n_orders") >= REPEAT_MIN_ORDERS)
+        .select("u", "v")
+    )
+
+
+def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the repeat-co-purchase graph — the classic
+    "people you may know" MapReduce job: for every NON-adjacent pair
+    sharing ≥ MIN_COMMON neighbors, the common-neighbor count, Jaccard
+    coefficient, and Adamic-Adar score (Σ 1/ln deg(z) over shared z).
+
+    Scale shape: one wedge self-join through the shared neighbor (fan-out
+    bounded by degree — the support-floored edge set caps it, see
+    `_repeat_copurchase_edges`), one aggregate keyed on the candidate
+    pair, then an anti-join against the edge set and two broadcastable
+    degree joins. Adamic-Adar terms are rounded to 6 and summed as
+    DECIMAL so the sum is order-independent (engine-equal); shared
+    neighbors always have degree ≥ 2, so ln(deg) > 0.
+    """
+    edges = _repeat_copurchase_edges(spark, sf_dir)
+    nbrs = _directed_nbrs(edges)
+    deg = nbrs.groupBy("node").agg(F.count("*").alias("degree"))
+    nb = nbrs.join(
+        deg.select(F.col("node").alias("nbr"), F.col("degree").alias("nbr_deg")), "nbr"
+    )
+    a, b = nb.alias("a"), nb.alias("b")
+    aa_term = F.round(1.0 / F.log(F.col("a.nbr_deg")), 6).cast("decimal(18,6)")
+    scored = (
+        a.join(b, (F.col("a.nbr") == F.col("b.nbr")) & (F.col("a.node") < F.col("b.node")))
+        .groupBy(F.col("a.node").alias("u"), F.col("b.node").alias("v"))
+        .agg(F.count("*").alias("common"), F.sum(aa_term).alias("aa"))
+        .filter(F.col("common") >= MIN_COMMON)
+    )
+    cand = scored.join(edges, ["u", "v"], "left_anti")
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("deg_u"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("deg_v"))
+    return (
+        cand.join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            "common",
+            F.round(
+                F.col("common")
+                / (F.col("deg_u") + F.col("deg_v") - F.col("common")).cast("double"),
+                6,
+            ).alias("jaccard"),
+            F.col("aa").cast("double").alias("adamic_adar"),
+        )
+    )
+
+
+def q_kcore_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One peel round of k-core decomposition (k=KCORE_K) over the
+    repeat-co-purchase graph: drop nodes with degree < k, recompute
+    degrees among the survivors, and report which survivors would still
+    be in the core next round — the per-iteration kernel of
+    `kcore_iterate`. (The raw co-purchase graph never peels — min degree
+    42 on this fixture — so the repeat graph is the one worth coring.)
+
+    Scale shape: two degree aggregates keyed on node plus two
+    semi-join-shaped edge filters — O(m) per round, all exact integers.
+    """
+    edges = _repeat_copurchase_edges(spark, sf_dir)
+    deg0 = _directed_nbrs(edges).groupBy("node").agg(F.count("*").alias("deg0"))
+    alive = deg0.filter(F.col("deg0") >= KCORE_K).select("node")
+    e2 = edges.join(alive.withColumnRenamed("node", "u"), "u").join(
+        alive.withColumnRenamed("node", "v"), "v"
+    )
+    deg1 = _directed_nbrs(e2).groupBy("node").agg(F.count("*").alias("deg1"))
+    return (
+        alive.join(deg0, "node")
+        .join(deg1, "node", "left")
+        .select(
+            "node",
+            "deg0",
+            F.coalesce(F.col("deg1"), F.lit(0)).alias("deg1"),
+            (F.coalesce(F.col("deg1"), F.lit(0)) >= KCORE_K).alias("still_core"),
+        )
+    )
+
+
+def kcore_iterate(edges: DataFrame, k: int = 3, max_rounds: int = 50) -> DataFrame:
+    """Full k-core: peel degree-<k nodes to fixpoint (library API).
+
+    Per round: one degree aggregate + two semi-joins — O(m) each, the
+    q_dedup_clusters loop discipline (localCheckpoint to truncate lineage,
+    O(1) convergence count only). Returns the surviving (u, v) edge set;
+    core nodes are its endpoints."""
+    cur = edges.localCheckpoint()
+    for _ in range(max_rounds):
+        deg = _directed_nbrs(cur).groupBy("node").agg(F.count("*").alias("deg"))
+        alive = deg.filter(F.col("deg") >= k).select("node")
+        nxt = (
+            cur.join(alive.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
+            .localCheckpoint()
+        )
+        n_cur, n_nxt = cur.count(), nxt.count()
+        cur = nxt
+        if n_nxt == n_cur:
+            return cur
+    raise RuntimeError(f"k-core did not converge within {max_rounds} rounds")
+
+
 def fpgrowth_fit(spark: SparkSession, sf_dir: str, min_support: float = 0.05):
     """Deeper itemsets via MLlib FPGrowth (library API, pytest-verified)."""
     from pyspark.ml.fpm import FPGrowth
@@ -261,7 +396,39 @@ QUERIES = {
     "q_triangle_count": q_triangle_count,
     "q_degree_dist": q_degree_dist,
     "q_label_prop_step": q_label_prop_step,
+    "q_common_neighbors": q_common_neighbors,
+    "q_kcore_step": q_kcore_step,
 }
+
+# Shared CTE: the distinct part co-purchase edge set (u < v), mirrored by
+# `_copurchase_edges` — every co-purchase-graph oracle starts here.
+_EDGE_CTES = """parts AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), edges AS (
+            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+            FROM parts a JOIN parts b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        ), nbrs AS (
+            SELECT u AS node, v AS nbr FROM edges
+            UNION ALL
+            SELECT v AS node, u AS nbr FROM edges
+        )"""
+
+# Support-floored variant (`_repeat_copurchase_edges`): edges kept only when
+# the pair co-occurs in ≥ REPEAT_MIN_ORDERS orders.
+_REPEAT_EDGE_CTES = f"""parts AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), edges AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v
+            FROM parts a JOIN parts b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= {REPEAT_MIN_ORDERS}
+        ), nbrs AS (
+            SELECT u AS node, v AS nbr FROM edges
+            UNION ALL
+            SELECT v AS node, u AS nbr FROM edges
+        )"""
 
 ORACLES = {
     "q_pagerank": f"""
@@ -286,14 +453,8 @@ ORACLES = {
         FROM nodes CROSS JOIN n
         LEFT JOIN contrib ON contrib.dst = nodes.node
     """,
-    "q_triangle_count": """
-        WITH parts AS (
-            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        ), edges AS (
-            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-            FROM parts a JOIN parts b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        ), tri AS (
+    "q_triangle_count": f"""
+        WITH {_EDGE_CTES}, tri AS (
             SELECT count(*) AS n_triangles
             FROM edges e1
             JOIN edges e2 ON e1.v = e2.u
@@ -308,32 +469,14 @@ ORACLES = {
         SELECT nodes.n_nodes, ne.n_edges, tri.n_triangles
         FROM nodes CROSS JOIN ne CROSS JOIN tri
     """,
-    "q_degree_dist": """
-        WITH parts AS (
-            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        ), edges AS (
-            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-            FROM parts a JOIN parts b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        ), deg AS (
-            SELECT node, count(*) AS degree
-            FROM (SELECT u AS node FROM edges UNION ALL SELECT v FROM edges)
-            GROUP BY node
+    "q_degree_dist": f"""
+        WITH {_EDGE_CTES}, deg AS (
+            SELECT node, count(*) AS degree FROM nbrs GROUP BY node
         )
         SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree
     """,
-    "q_label_prop_step": """
-        WITH parts AS (
-            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        ), edges AS (
-            SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-            FROM parts a JOIN parts b
-              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        ), nbrs AS (
-            SELECT u AS node, v AS nbr FROM edges
-            UNION ALL
-            SELECT v AS node, u AS nbr FROM edges
-        )
+    "q_label_prop_step": f"""
+        WITH {_EDGE_CTES}
         SELECT node,
                least(min(nbr), node) AS new_label,
                least(min(nbr), node) < node AS changed
@@ -363,5 +506,51 @@ ORACLES = {
         JOIN item_sup sa ON sa.item = p.item_a
         JOIN item_sup sb ON sb.item = p.item_b
         CROSS JOIN n
+    """,
+    "q_common_neighbors": f"""
+        WITH {_REPEAT_EDGE_CTES}, deg AS (
+            SELECT node, count(*) AS degree FROM nbrs GROUP BY node
+        ), nb AS (
+            SELECT n.node, n.nbr, d.degree AS nbr_deg
+            FROM nbrs n JOIN deg d ON d.node = n.nbr
+        ), scored AS (
+            SELECT a.node AS u, b.node AS v, count(*) AS common,
+                   sum(CAST(round(1.0 / ln(a.nbr_deg), 6) AS DECIMAL(18,6))) AS aa
+            FROM nb a JOIN nb b ON a.nbr = b.nbr AND a.node < b.node
+            GROUP BY 1, 2
+            HAVING count(*) >= {MIN_COMMON}
+        ), cand AS (
+            SELECT s.* FROM scored s
+            LEFT JOIN edges e ON e.u = s.u AND e.v = s.v
+            WHERE e.u IS NULL
+        )
+        SELECT c.u, c.v, c.common,
+               round(c.common / CAST(du.degree + dv.degree - c.common AS DOUBLE), 6)
+                   AS jaccard,
+               CAST(c.aa AS DOUBLE) AS adamic_adar
+        FROM cand c
+        JOIN deg du ON du.node = c.u
+        JOIN deg dv ON dv.node = c.v
+    """,
+    "q_kcore_step": f"""
+        WITH {_REPEAT_EDGE_CTES}, deg0 AS (
+            SELECT node, count(*) AS deg0 FROM nbrs GROUP BY node
+        ), alive AS (
+            SELECT node FROM deg0 WHERE deg0 >= {KCORE_K}
+        ), e2 AS (
+            SELECT e.u, e.v FROM edges e
+            JOIN alive au ON au.node = e.u
+            JOIN alive av ON av.node = e.v
+        ), deg1 AS (
+            SELECT node, count(*) AS deg1
+            FROM (SELECT u AS node FROM e2 UNION ALL SELECT v FROM e2)
+            GROUP BY node
+        )
+        SELECT a.node, d0.deg0,
+               coalesce(d1.deg1, 0) AS deg1,
+               coalesce(d1.deg1, 0) >= {KCORE_K} AS still_core
+        FROM alive a
+        JOIN deg0 d0 ON d0.node = a.node
+        LEFT JOIN deg1 d1 ON d1.node = a.node
     """,
 }

@@ -35,6 +35,7 @@ from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 # "the guess recovers the hidden label".
 STOPWORDS = ("the", "a", "of", "is", "and")
 LANG_STOP_THRESHOLD = 0.08
+ZIPF_TOP_TERMS = 200
 
 
 def _tokens(col: str = "text"):
@@ -529,6 +530,63 @@ def q_source_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus frequency spectrum: OLS of
+    ln(count) on ln(rank) for the top ZIPF_TOP_TERMS terms — slope ≈ −1
+    is the natural-language signature; a flat or broken slope flags
+    synthetic/templated corpora before they enter a training mix.
+
+    Exactness: each per-term ln is rounded to 6 (engine-equal at that
+    precision) and every OLS sufficient statistic (Σx, Σy, Σx², Σy², Σxy)
+    is accumulated as DECIMAL over the ROUNDED terms, so sums are
+    order-independent; slope/intercept/r² are then derived doubles from
+    identical inputs, with the same operation order in both engines.
+
+    Scale shape: one counting aggregate (vocab-bounded) → top-k
+    TakeOrdered → a 200-row window and 1-row rollup. Only the token count
+    touches corpus-sized data.
+    """
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select(F.explode(_tokens()).alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("cnt"))
+    top = counts.orderBy(F.desc("cnt"), "token").limit(ZIPF_TOP_TERMS)
+    # Window over ≤ ZIPF_TOP_TERMS rows — bounded domain, not a scale risk.
+    ranked = top.withColumn("r", F.row_number().over(W.orderBy(F.desc("cnt"), "token")))
+    x = F.round(F.log(F.col("r").cast("double")), 6)
+    y = F.round(F.log(F.col("cnt").cast("double")), 6)
+    dec = lambda c: F.round(c, 6).cast("decimal(18,6)")  # noqa: E731
+    terms = ranked.select(
+        x.cast("decimal(18,6)").alias("x"),
+        y.cast("decimal(18,6)").alias("y"),
+        dec(x * x).alias("xx"),
+        dec(y * y).alias("yy"),
+        dec(x * y).alias("xy"),
+    )
+    sums = terms.agg(
+        F.count("*").alias("n_terms"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xx").alias("sxx"),
+        F.sum("yy").alias("syy"),
+        F.sum("xy").alias("sxy"),
+    )
+    n = F.col("n_terms").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    num = n * sxy - sx * sy
+    den = n * sxx - sx * sx
+    slope = num / den
+    return sums.select(
+        "n_terms",
+        F.round(slope, 6).alias("slope"),
+        F.round((sy - slope * sx) / n, 6).alias("intercept"),
+        F.round(num * num / (den * (n * syy - sy * sy)), 6).alias("r2"),
+    )
+
+
 def tfidf_fit(spark: SparkSession, sf_dir: str, n_features: int = 1 << 10):
     """MLlib TF-IDF variant (HashingTF + IDF) — library API, pytest-checked.
     The pure-DF q_tfidf is the oracle-checked form; this is the fitted-
@@ -560,6 +618,7 @@ QUERIES = {
     "q_cooccur_pmi": q_cooccur_pmi,
     "q_token_entropy": q_token_entropy,
     "q_source_jaccard": q_source_jaccard,
+    "q_zipf_fit": q_zipf_fit,
 }
 
 _STOP_SQL = "['the','a','of','is','and']"
@@ -857,5 +916,41 @@ ORACLES = {
                    i -> md5(array_to_string(toks[i:i+2], ' '))
                )) AS fp_shingle
         FROM base
+    """,
+    "q_zipf_fit": f"""
+        WITH counts AS (
+            SELECT token, count(*) AS cnt
+            FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+            GROUP BY token
+        ), top AS (
+            SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT {ZIPF_TOP_TERMS}
+        ), ranked AS (
+            SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS r FROM top
+        ), terms AS (
+            SELECT CAST(round(ln(CAST(r AS DOUBLE)), 6) AS DECIMAL(18,6)) AS x,
+                   CAST(round(ln(CAST(cnt AS DOUBLE)), 6) AS DECIMAL(18,6)) AS y,
+                   CAST(round(round(ln(CAST(r AS DOUBLE)), 6)
+                              * round(ln(CAST(r AS DOUBLE)), 6), 6) AS DECIMAL(18,6)) AS xx,
+                   CAST(round(round(ln(CAST(cnt AS DOUBLE)), 6)
+                              * round(ln(CAST(cnt AS DOUBLE)), 6), 6) AS DECIMAL(18,6)) AS yy,
+                   CAST(round(round(ln(CAST(r AS DOUBLE)), 6)
+                              * round(ln(CAST(cnt AS DOUBLE)), 6), 6) AS DECIMAL(18,6)) AS xy
+            FROM ranked
+        ), sums AS (
+            SELECT count(*) AS n_terms,
+                   CAST(CAST(sum(x) AS VARCHAR) AS DOUBLE) AS sx,
+                   CAST(CAST(sum(y) AS VARCHAR) AS DOUBLE) AS sy,
+                   CAST(CAST(sum(xx) AS VARCHAR) AS DOUBLE) AS sxx,
+                   CAST(CAST(sum(yy) AS VARCHAR) AS DOUBLE) AS syy,
+                   CAST(CAST(sum(xy) AS VARCHAR) AS DOUBLE) AS sxy
+            FROM terms
+        )
+        SELECT n_terms,
+               round((n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx), 6) AS slope,
+               round((sy - (n_terms * sxy - sx * sy) / (n_terms * sxx - sx * sx) * sx)
+                     / n_terms, 6) AS intercept,
+               round((n_terms * sxy - sx * sy) * (n_terms * sxy - sx * sy)
+                     / ((n_terms * sxx - sx * sx) * (n_terms * syy - sy * sy)), 6) AS r2
+        FROM sums
     """,
 }

@@ -58,7 +58,58 @@ def q_holt(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"q_holt": q_holt}
+def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM mean-shift (changepoint) scan over each event type's hourly
+    count series: peak |Σ_{i≤t}(n_i − mean)| and the hour it occurs —
+    the standard drift detector a pipeline runs on ingest volumes before
+    trusting a day's data.
+
+    Exactness: the deviation never touches floats — |cusum(t)|·H =
+    |cum_n(t)·H − t·total| is an EXACT integer (H = hours in the series),
+    so the peak and its argmax hour (min-hour tie-break) are
+    engine-identical; only the final reported magnitude divides by H.
+
+    Scale shape: one counting aggregate to the (type × hour)-bounded
+    series, one per-type cumulative window over that bounded frame, two
+    O(types) rollups. The fact table is touched exactly once.
+    """
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("n"))
+    tot = hourly.groupBy("event_type").agg(
+        F.sum("n").alias("total"), F.count("*").alias("n_hours")
+    )
+    w = W.partitionBy("event_type").orderBy("hour")
+    cum = hourly.withColumn("cum_n", F.sum("n").over(w)).withColumn(
+        "t", F.row_number().over(w).cast("bigint")
+    )
+    scored = cum.join(tot, "event_type").withColumn(
+        "d", F.abs(F.col("cum_n") * F.col("n_hours") - F.col("t") * F.col("total"))
+    )
+    dmax = scored.groupBy("event_type").agg(F.max("d").alias("d_max"))
+    peak = (
+        scored.join(dmax, "event_type")
+        .filter(F.col("d") == F.col("d_max"))
+        .groupBy("event_type")
+        .agg(F.min("hour").alias("peak_hour"))
+    )
+    return (
+        dmax.join(tot, "event_type")
+        .join(peak, "event_type")
+        .select(
+            "event_type",
+            "n_hours",
+            "total",
+            "peak_hour",
+            F.round(F.col("d_max") / F.col("n_hours").cast("double"), 6).alias("cusum_max"),
+        )
+    )
+
+
+QUERIES = {"q_holt": q_holt, "q_cusum": q_cusum}
 
 _A, _G = HOLT_ALPHA, HOLT_GAMMA
 # State is a 2-element DOUBLE list [level, trend], NOT a struct: DuckDB's
@@ -90,5 +141,41 @@ ORACLES = {
                round(s[2], 6) AS holt_trend,
                round(s[1] + s[2], 6) AS forecast_1
         FROM folded
+    """,
+    "q_cusum": """
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY 1, 2
+        ), tot AS (
+            SELECT event_type, CAST(sum(n) AS BIGINT) AS total,
+                   count(*) AS n_hours
+            FROM hourly GROUP BY event_type
+        ), cum AS (
+            SELECT h.event_type, h.hour,
+                   CAST(sum(h.n) OVER (PARTITION BY h.event_type ORDER BY h.hour
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+                   CAST(row_number() OVER (PARTITION BY h.event_type ORDER BY h.hour)
+                        AS BIGINT) AS t
+            FROM hourly h
+        ), scored AS (
+            SELECT c.event_type, c.hour,
+                   CAST(abs(c.cum_n * tt.n_hours - c.t * tt.total) AS BIGINT) AS d
+            FROM cum c JOIN tot tt ON tt.event_type = c.event_type
+        ), dmax AS (
+            SELECT event_type, CAST(max(d) AS BIGINT) AS d_max
+            FROM scored GROUP BY event_type
+        ), peak AS (
+            SELECT s.event_type, min(s.hour) AS peak_hour
+            FROM scored s JOIN dmax m
+              ON m.event_type = s.event_type AND s.d = m.d_max
+            GROUP BY s.event_type
+        )
+        SELECT m.event_type, tt.n_hours, tt.total, p.peak_hour,
+               round(m.d_max / CAST(tt.n_hours AS DOUBLE), 6) AS cusum_max
+        FROM dmax m
+        JOIN tot tt ON tt.event_type = m.event_type
+        JOIN peak p ON p.event_type = m.event_type
     """,
 }

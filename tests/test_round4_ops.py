@@ -1,0 +1,234 @@
+"""Unit/invariant tests for the round-4 operator additions (link
+prediction, k-core, rank-sum test, Zipf fit, domain mixing, sketch
+audit, CUSUM). The bit-exact oracle differential lives in tools/check.py;
+these assert the semantic invariants a hash comparison can't express."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+# ----------------------------------------------------------------- k-core
+
+
+def _py_kcore(edges: list[tuple[int, int]], k: int) -> set[int]:
+    """Reference peel on plain Python structures."""
+    cur = set(edges)
+    while True:
+        deg: dict[int, int] = {}
+        for u, v in cur:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        alive = {n for n, d in deg.items() if d >= k}
+        nxt = {(u, v) for u, v in cur if u in alive and v in alive}
+        if nxt == cur:
+            return {n for e in cur for n in e}
+        cur = nxt
+
+
+def test_kcore_iterate_matches_python_peel(spark):
+    from machinelearningalgomapreduce_spark.operators.graph import kcore_iterate
+
+    # A 4-clique (3-core) with a pendant path hanging off it.
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, ["u", "v"])
+    got = kcore_iterate(df, k=3)
+    got_nodes = {n for r in got.collect() for n in (r.u, r.v)}
+    assert got_nodes == _py_kcore(edges, 3) == {1, 2, 3, 4}
+
+
+def test_kcore_iterate_empty_result(spark):
+    from machinelearningalgomapreduce_spark.operators.graph import kcore_iterate
+
+    df = spark.createDataFrame([(1, 2), (2, 3)], ["u", "v"])  # path: no 3-core
+    assert kcore_iterate(df, k=3).count() == 0
+
+
+def test_kcore_step_survivors_have_initial_degree_at_least_k(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.graph import KCORE_K, q_kcore_step
+
+    rows = q_kcore_step(spark, sf_dir).collect()
+    assert rows, "fixture graph should have a non-empty first peel"
+    assert all(r.deg0 >= KCORE_K for r in rows)
+    assert all(r.deg1 <= r.deg0 for r in rows)  # peeling never raises degree
+    assert all((r.deg1 >= KCORE_K) == r.still_core for r in rows)
+
+
+# ------------------------------------------------------------ link prediction
+
+
+def test_common_neighbors_candidates_are_non_adjacent(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.graph import (
+        _repeat_copurchase_edges,
+        q_common_neighbors,
+    )
+
+    cand = q_common_neighbors(spark, sf_dir)
+    edges = _repeat_copurchase_edges(spark, sf_dir)
+    overlap = cand.join(edges, ["u", "v"]).count()
+    assert overlap == 0, "predicted links must not already be edges"
+
+
+def test_common_neighbors_scores_bounded(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.graph import (
+        MIN_COMMON,
+        q_common_neighbors,
+    )
+
+    rows = q_common_neighbors(spark, sf_dir).collect()
+    assert rows, "fixture should yield candidate links"
+    for r in rows:
+        assert r.common >= MIN_COMMON
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.adamic_adar > 0.0
+        assert r.u < r.v
+
+
+# ------------------------------------------------------------- Mann-Whitney
+
+
+def test_mannwhitney_u_identities(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.evaluation import q_mannwhitney
+
+    [r] = q_mannwhitney(spark, sf_dir).collect()
+    assert 0 <= r.u_stat <= r.n_a * r.n_b
+    assert r.mean_u == pytest.approx(r.n_a * r.n_b / 2.0)
+    assert abs(r.z_score) < 50  # finite, sane magnitude
+
+
+def test_mannwhitney_symmetric_input_z_zero(spark):
+    """Swapping the two samples negates z; identical samples give z≈0."""
+    from machinelearningalgomapreduce_spark.operators import evaluation as ev
+    from machinelearningalgomapreduce_spark.sources import catalog
+
+    # Build a tiny events-shaped frame where click and purchase values are
+    # identical multisets — U must equal its mean exactly.
+    import datetime
+
+    rows = []
+    for i, v in enumerate([1.0, 2.0, 2.0, 5.0]):
+        for et in ("click", "purchase"):
+            rows.append(
+                Row(
+                    event_id=len(rows),
+                    ts=datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i),
+                    user_id=i,
+                    event_type=et,
+                    value=v,
+                    props="{}",
+                )
+            )
+    ev_df = spark.createDataFrame(rows)
+
+    class _Cat:
+        events = ev_df
+
+    orig = catalog.load_tables
+    catalog.load_tables = lambda *_a, **_k: _Cat()  # type: ignore[assignment]
+    ev_load = ev.load_tables
+    ev.load_tables = catalog.load_tables  # evaluation imported the symbol directly
+    try:
+        [r] = ev.q_mannwhitney(spark, "unused").collect()
+    finally:
+        catalog.load_tables = orig
+        ev.load_tables = ev_load
+    assert r.u_stat == pytest.approx(r.mean_u)
+    assert r.z_score == pytest.approx(0.0)
+    assert not r.significant
+
+
+# ------------------------------------------------------------------- Zipf
+
+
+def test_zipf_fit_slope_negative_high_r2(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.text import q_zipf_fit
+
+    [r] = q_zipf_fit(spark, sf_dir).collect()
+    assert r.slope < 0, "frequency must fall with rank"
+    assert 0.0 <= r.r2 <= 1.0
+    assert r.n_terms > 0
+
+
+# -------------------------------------------------------------- domain mix
+
+
+def test_domain_mix_rates_and_shares(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.export import q_domain_mix
+
+    rows = q_domain_mix(spark, sf_dir).collect()
+    assert sum(r.token_share for r in rows) == pytest.approx(1.0, abs=1e-4)
+    for r in rows:
+        assert 0.0 < r.sample_rate <= 1.0
+        assert r.kept_tokens <= r.n_tokens
+    # Sources at or below the uniform share are never downsampled.
+    n = len(rows)
+    for r in rows:
+        if r.token_share <= 1.0 / n:
+            assert r.sample_rate == 1.0
+
+
+# ------------------------------------------------------------ minhash audit
+
+
+def test_minhash_estimate_bounded_and_consistent(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.functions.hashing import N_MINHASH
+    from machinelearningalgomapreduce_spark.operators.dedup import q_dedup_minhash_est
+
+    rows = q_dedup_minhash_est(spark, sf_dir).collect()
+    assert rows, "LSH should produce candidate pairs on the fixture"
+    for r in rows:
+        assert 0 <= r.n_match <= N_MINHASH
+        assert r.est_jaccard == pytest.approx(r.n_match / N_MINHASH, abs=1e-6)
+        assert 0.0 <= r.jaccard <= 1.0
+        assert r.abs_err == pytest.approx(abs(r.est_jaccard - r.jaccard), abs=2e-6)
+    # The sketch must carry signal: average error well under a coin flip.
+    avg_err = sum(r.abs_err for r in rows) / len(rows)
+    assert avg_err < 0.35
+
+
+# ------------------------------------------------------------------ CUSUM
+
+
+def test_cusum_peak_is_interior_maximum(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.timeseries import q_cusum
+
+    rows = q_cusum(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.cusum_max >= 0.0
+        assert r.n_hours >= 1
+        assert r.peak_hour is not None
+
+
+def test_cusum_flat_series_zero(spark):
+    """A perfectly flat hourly series has zero CUSUM everywhere."""
+    import datetime
+
+    from machinelearningalgomapreduce_spark.operators import timeseries as tsm
+
+    rows = [
+        Row(
+            event_id=i,
+            ts=datetime.datetime(2024, 1, 1, hour, 0),
+            user_id=1,
+            event_type="click",
+            value=1.0,
+            props="{}",
+        )
+        for i, hour in enumerate(h for h in range(6) for _ in range(3))
+    ]
+    ev_df = spark.createDataFrame(rows)
+
+    class _Cat:
+        events = ev_df
+
+    orig = tsm.load_tables
+    tsm.load_tables = lambda *_a, **_k: _Cat()  # type: ignore[assignment]
+    try:
+        [r] = tsm.q_cusum(spark, "unused").collect()
+    finally:
+        tsm.load_tables = orig
+    assert r.cusum_max == 0.0
+    assert r.total == 18 and r.n_hours == 6
