@@ -20,6 +20,7 @@ from pyspark.sql.window import Window as W
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
 SESSION_GAP_MIN = 30
+ROLLING_MEDIAN_N = 10
 
 
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,8 +361,35 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select("n", F.round(r, 6).alias("autocorr_lag1"))
 
 
+def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user rolling EXACT median of the last ROLLING_MEDIAN_N event
+    values — the robust-baseline smoother (outlier-immune, unlike q_ema)
+    that monitoring uses for spike detection over noisy per-entity series.
+
+    Spark has no frame-capable median(); `F.percentile(col, 0.5)` over a
+    ROWS frame is the exact equivalent (linear interpolation on even
+    counts — the same rule as DuckDB's windowed median). (ts, event_id)
+    is a unique per-user total order, so frames are deterministic.
+
+    Scale shape: ONE shuffle on user_id, then a single ordered pass per
+    user; per-row work is bounded by the constant frame length."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(ROLLING_MEDIAN_N - 1), 0)
+    )
+    return t.events.select(
+        "user_id",
+        "event_id",
+        F.count("*").over(w).alias("n_win"),
+        F.round(F.percentile("value", F.lit(0.5)).over(w), 6).alias("roll_median"),
+    )
+
+
 QUERIES = {
     "q_events_tumbling": q_events_tumbling,
+    "q_rolling_median": q_rolling_median,
     "q_late_data": q_late_data,
     "q_anomaly_zscore": q_anomaly_zscore,
     "q_markov_chain": q_markov_chain,
@@ -376,6 +404,14 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_rolling_median": f"""
+        SELECT user_id, event_id,
+               CAST(count(*) OVER w AS BIGINT) AS n_win,
+               round(median(value) OVER w, 6) AS roll_median
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN {ROLLING_MEDIAN_N - 1} PRECEDING AND CURRENT ROW)
+    """,
     "q_autocorr": """
         WITH hourly AS (
             SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour, count(*) AS x

@@ -96,6 +96,55 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the IVF path: per query point, how many of the
+    EXACT brute-force top-k neighbors the cell-pruned q_sim_ann search
+    recovered — the number that decides whether single-cell probing is
+    good enough or nprobe must rise, measured continuously at scale on a
+    query sample (the q_dedup_minhash_est discipline applied to ANN).
+
+    Scale shape: brute ground truth is queries × corpus (broadcastable
+    query side — linear in corpus, affordable for a sample); the IVF side
+    and the hit-join are model-sized. Ranking uses rounded cosine with id
+    tie-breaks in both engines, so top-k sets are engine-identical."""
+    t = load_tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm")
+    )
+    q = e.filter(F.col("vec_id") % ANN_QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("embedding"), EMBEDDING_DIM)
+        / (F.col("qnorm") * F.col("vnorm")),
+        6,
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    brute = (
+        F.broadcast(q)
+        .join(e, F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= ANN_K)
+    )
+    ann = q_sim_ann(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        brute.join(ann, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
+        .select(
+            "query_id",
+            F.lit(ANN_K).alias("k"),
+            "n_hits",
+            F.round(F.col("n_hits") / float(ANN_K), 6).alias("recall"),
+        )
+    )
+
+
 def brp_lsh_neighbors(
     spark: SparkSession, sf_dir: str, key_id: int = 0, k: int = 10
 ):
@@ -124,6 +173,7 @@ def brp_lsh_neighbors(
 QUERIES = {
     "q_sim_topk": q_sim_topk,
     "q_sim_ann": q_sim_ann,
+    "q_sim_recall": q_sim_recall,
 }
 
 _DIMS = f"range(1, {EMBEDDING_DIM + 1})"
@@ -167,5 +217,60 @@ ORACLES = {
                                            ORDER BY cos_sim DESC, neighbor_id) AS rank
               FROM probe)
         WHERE rank <= {ANN_K}
+    """,
+    "q_sim_recall": f"""
+        WITH {_ASSIGN_CTES},
+        cells AS (
+            SELECT e.vec_id, e.embedding, a.cluster
+            FROM embeddings e JOIN assigned a USING (vec_id)
+        ), q AS (
+            SELECT vec_id AS query_id, embedding AS qv, cluster AS qcell
+            FROM cells WHERE vec_id % {ANN_QUERY_STRIDE} = 0
+        ), brute AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS rank
+            FROM (
+                SELECT q.query_id, b.vec_id AS neighbor_id,
+                       round(
+                         list_sum(list_transform({_DIMS},
+                             i -> CAST(q.qv[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                         / (sqrt(list_sum(list_transform({_DIMS},
+                                i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+                          * sqrt(list_sum(list_transform({_DIMS},
+                                i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+                         6) AS cos_sim
+                FROM q JOIN embeddings b ON q.query_id <> b.vec_id)
+        ), topk AS (
+            SELECT query_id, neighbor_id FROM brute WHERE rank <= {ANN_K}
+        ), probe AS (
+            SELECT q.query_id, b.vec_id AS neighbor_id,
+                   round(
+                     list_sum(list_transform({_DIMS},
+                         i -> CAST(q.qv[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                     / (sqrt(list_sum(list_transform({_DIMS},
+                            i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+                      * sqrt(list_sum(list_transform({_DIMS},
+                            i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+                     6) AS cos_sim
+            FROM q JOIN cells b
+              ON q.qcell = b.cluster AND q.query_id <> b.vec_id
+        ), ann AS (
+            SELECT query_id, neighbor_id
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+                  FROM probe)
+            WHERE rank <= {ANN_K}
+        )
+        SELECT t.query_id,
+               {ANN_K} AS k,
+               CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_hits,
+               round(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                     / {float(ANN_K)}, 6) AS recall
+        FROM topk t
+        LEFT JOIN ann a
+          ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+        GROUP BY t.query_id
     """,
 }

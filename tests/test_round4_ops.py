@@ -188,6 +188,55 @@ def test_minhash_estimate_bounded_and_consistent(spark, sf_dir):
     assert avg_err < 0.35
 
 
+# ------------------------------------------------------------ ANN recall
+
+
+def test_sim_recall_bounded_and_consistent(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.similarity import ANN_K, q_sim_recall
+
+    rows = q_sim_recall(spark, sf_dir).collect()
+    assert rows, "fixture should yield query points"
+    for r in rows:
+        assert r.k == ANN_K
+        assert 0 <= r.n_hits <= ANN_K
+        assert r.recall == pytest.approx(r.n_hits / ANN_K, abs=1e-6)
+
+
+# ---------------------------------------------------------- rolling median
+
+
+def test_rolling_median_first_row_is_value(spark, sf_dir):
+    """Each user's first event has a 1-row frame: median == value."""
+    from machinelearningalgomapreduce_spark.operators.events import q_rolling_median
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    med = q_rolling_median(spark, sf_dir)
+    firsts = (
+        load_tables(spark, sf_dir)
+        .events.groupBy("user_id")
+        .agg(F.min_by("event_id", F.struct("ts", "event_id")).alias("event_id"),
+             F.min_by("value", F.struct("ts", "event_id")).alias("value"))
+    )
+    joined = med.join(firsts, ["user_id", "event_id"]).collect()
+    assert joined
+    for r in joined:
+        assert r.n_win == 1
+        assert r.roll_median == pytest.approx(round(r.value, 6), abs=1e-9)
+
+
+def test_rolling_median_window_sizes_capped(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.events import (
+        ROLLING_MEDIAN_N,
+        q_rolling_median,
+    )
+
+    agg = q_rolling_median(spark, sf_dir).agg(
+        F.max("n_win").alias("mx"), F.min("n_win").alias("mn")
+    ).collect()[0]
+    assert agg.mn == 1
+    assert agg.mx <= ROLLING_MEDIAN_N
+
+
 # ------------------------------------------------------------------ CUSUM
 
 
