@@ -5,9 +5,42 @@ these assert the semantic invariants a hash comparison can't express."""
 
 from __future__ import annotations
 
+import contextlib
+import datetime
+import math
+
 import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
 from pyspark.sql import Row
 from pyspark.sql import functions as F
+
+
+@contextlib.contextmanager
+def _patched_events(module, spark, rows):
+    """Swap a module's load_tables for one returning a literal events frame."""
+    ev_df = spark.createDataFrame(rows)
+
+    class _Cat:
+        events = ev_df
+
+    orig = module.load_tables
+    module.load_tables = lambda *_a, **_k: _Cat()
+    try:
+        yield
+    finally:
+        module.load_tables = orig
+
+
+def _event_row(i: int, minute: int, event_type: str, value: float) -> Row:
+    return Row(
+        event_id=i,
+        ts=datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=minute),
+        user_id=i,
+        event_type=event_type,
+        value=value,
+        props="{}",
+    )
 
 
 # ----------------------------------------------------------------- k-core
@@ -99,44 +132,104 @@ def test_mannwhitney_u_identities(spark, sf_dir):
 
 
 def test_mannwhitney_symmetric_input_z_zero(spark):
-    """Swapping the two samples negates z; identical samples give z≈0."""
+    """Identical click/purchase multisets: U equals its mean, z = 0."""
     from machinelearningalgomapreduce_spark.operators import evaluation as ev
-    from machinelearningalgomapreduce_spark.sources import catalog
-
-    # Build a tiny events-shaped frame where click and purchase values are
-    # identical multisets — U must equal its mean exactly.
-    import datetime
 
     rows = []
     for i, v in enumerate([1.0, 2.0, 2.0, 5.0]):
         for et in ("click", "purchase"):
-            rows.append(
-                Row(
-                    event_id=len(rows),
-                    ts=datetime.datetime(2024, 1, 1) + datetime.timedelta(minutes=i),
-                    user_id=i,
-                    event_type=et,
-                    value=v,
-                    props="{}",
-                )
-            )
-    ev_df = spark.createDataFrame(rows)
-
-    class _Cat:
-        events = ev_df
-
-    orig = catalog.load_tables
-    catalog.load_tables = lambda *_a, **_k: _Cat()  # type: ignore[assignment]
-    ev_load = ev.load_tables
-    ev.load_tables = catalog.load_tables  # evaluation imported the symbol directly
-    try:
+            rows.append(_event_row(len(rows), i, et, v))
+    with _patched_events(ev, spark, rows):
         [r] = ev.q_mannwhitney(spark, "unused").collect()
-    finally:
-        catalog.load_tables = orig
-        ev.load_tables = ev_load
     assert r.u_stat == pytest.approx(r.mean_u)
     assert r.z_score == pytest.approx(0.0)
     assert not r.significant
+
+
+def _py_mannwhitney(a: list[float], b: list[float]) -> tuple[float, float]:
+    """Reference U and z via average ranks (tie-corrected normal approx)."""
+    pooled = sorted([(v, 0) for v in a] + [(v, 1) for v in b])
+    ranks: dict[int, float] = {}
+    i = 0
+    while i < len(pooled):
+        j = i
+        while j < len(pooled) and pooled[j][0] == pooled[i][0]:
+            j += 1
+        avg = (i + 1 + j) / 2  # average of ranks i+1..j
+        for k in range(i, j):
+            ranks[k] = avg
+        i = j
+    r_a = sum(ranks[k] for k, (_, grp) in enumerate(pooled) if grp == 0)
+    na, nb = len(a), len(b)
+    u = r_a - na * (na + 1) / 2
+    n = na + nb
+    from collections import Counter
+
+    tie3 = sum(t**3 - t for t in Counter(v for v, _ in pooled).values())
+    var = na * nb * ((n + 1) * n * (n - 1) - tie3) / (12 * n * (n - 1))
+    z = (u - na * nb / 2) / math.sqrt(var)
+    return u, z
+
+
+@given(
+    vals_a=st.lists(st.integers(0, 20).map(lambda v: v / 4.0), min_size=2, max_size=12),
+    vals_b=st.lists(st.integers(0, 20).map(lambda v: v / 4.0), min_size=2, max_size=12),
+)
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+def test_mannwhitney_matches_python_reference(spark, vals_a, vals_b):
+    from machinelearningalgomapreduce_spark.operators import evaluation as ev
+
+    # Degenerate pools (zero variance: every value tied) divide by zero in
+    # both the operator and the reference — excluded, not asserted.
+    if len(set(vals_a) | set(vals_b)) == 1:
+        return
+    rows = [_event_row(i, i, "click", v) for i, v in enumerate(vals_a)] + [
+        _event_row(100 + i, 100 + i, "purchase", v) for i, v in enumerate(vals_b)
+    ]
+    with _patched_events(ev, spark, rows):
+        [r] = ev.q_mannwhitney(spark, "unused").collect()
+    u_ref, z_ref = _py_mannwhitney(vals_a, vals_b)
+    assert r.u_stat == pytest.approx(u_ref, abs=1e-9)
+    assert r.z_score == pytest.approx(z_ref, abs=2e-6)
+
+
+def _py_cusum_peak(counts: list[int]) -> float:
+    h = len(counts)
+    total = sum(counts)
+    cum = 0
+    best = 0
+    for t, n in enumerate(counts, start=1):
+        cum += n
+        best = max(best, abs(cum * h - t * total))
+    return best / h
+
+
+@given(counts=st.lists(st.integers(1, 9), min_size=2, max_size=10))
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+def test_cusum_matches_python_reference(spark, counts):
+    from machinelearningalgomapreduce_spark.operators import timeseries as tsm
+
+    rows = []
+    for hour, n in enumerate(counts):
+        for k in range(n):
+            rows.append(
+                Row(
+                    event_id=len(rows),
+                    ts=datetime.datetime(2024, 1, 1, hour, k),
+                    user_id=1,
+                    event_type="click",
+                    value=1.0,
+                    props="{}",
+                )
+            )
+    with _patched_events(tsm, spark, rows):
+        [r] = tsm.q_cusum(spark, "unused").collect()
+    assert r.cusum_max == pytest.approx(_py_cusum_peak(counts), abs=1e-6)
+    assert r.n_hours == len(counts) and r.total == sum(counts)
 
 
 # ------------------------------------------------------------------- Zipf
@@ -253,8 +346,6 @@ def test_cusum_peak_is_interior_maximum(spark, sf_dir):
 
 def test_cusum_flat_series_zero(spark):
     """A perfectly flat hourly series has zero CUSUM everywhere."""
-    import datetime
-
     from machinelearningalgomapreduce_spark.operators import timeseries as tsm
 
     rows = [
@@ -268,16 +359,7 @@ def test_cusum_flat_series_zero(spark):
         )
         for i, hour in enumerate(h for h in range(6) for _ in range(3))
     ]
-    ev_df = spark.createDataFrame(rows)
-
-    class _Cat:
-        events = ev_df
-
-    orig = tsm.load_tables
-    tsm.load_tables = lambda *_a, **_k: _Cat()  # type: ignore[assignment]
-    try:
+    with _patched_events(tsm, spark, rows):
         [r] = tsm.q_cusum(spark, "unused").collect()
-    finally:
-        tsm.load_tables = orig
     assert r.cusum_max == 0.0
     assert r.total == 18 and r.n_hours == 6
