@@ -220,3 +220,35 @@ def test_keyed_layout_elides_group_and_window_exchanges(spark, sf_dir):
     ev_rr = load_tables(spark, sf_dir).events.repartition(8)
     control = ev_rr.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
     assert P.count_exchanges(control) == 2
+
+
+def test_rolling_median_single_user_shuffle(spark, sf_dir, queries):
+    # Frame-capable percentile over a per-user window: exactly one
+    # user_id exchange, no join anywhere.
+    plan = P.formatted_plan(queries["q_rolling_median"](spark, sf_dir))
+    assert "Join" not in plan
+    assert P.count_exchanges(queries["q_rolling_median"](spark, sf_dir)) <= 1
+
+
+def test_sim_recall_brute_side_broadcasts_queries(spark, sf_dir, queries):
+    # Ground truth = broadcast(query sample) x corpus: the corpus must not
+    # shuffle for the brute scoring; broadcasts carry the query side.
+    plan = P.formatted_plan(queries["q_sim_recall"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_common_neighbors_no_cartesian(spark, sf_dir, queries):
+    # Wedge generation is an equi-join on the shared neighbor, candidate
+    # filtering an equi-anti-join — a cartesian product would be the
+    # all-pairs scale bug this operator exists to avoid.
+    plan = P.formatted_plan(queries["q_common_neighbors"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+
+
+def test_mannwhitney_window_input_is_distinct_values(spark, sf_dir, queries):
+    # The cumulative window runs over the per-distinct-value frame (the
+    # q_ks_test envelope), after a value-keyed aggregate — never over raw
+    # events.
+    plan = P.formatted_plan(queries["q_mannwhitney"](spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
