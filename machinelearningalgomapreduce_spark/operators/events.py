@@ -361,6 +361,44 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select("n", F.round(r, 6).alias("autocorr_lag1"))
 
 
+def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: volume and mean
+    value per (type, hour-of-day) slot, each type's slot share, and a
+    peak-hour flag — the diurnal fingerprint checked before comparing
+    day-over-day metrics or setting alert baselines.
+
+    Exactness: counts are integers; mean value divides a DECIMAL-exact
+    value sum (≤6-decimal fixture metric) once, rounded 6; the share
+    divides two exact integers; the peak decision is argmax on exact
+    counts with a min-hour tie-break.
+
+    Scale shape: ONE fact aggregate onto the bounded (types × 24) grid
+    with map-side partials; everything after is O(types) broadcast
+    arithmetic."""
+    t = load_tables(spark, sf_dir)
+    dec = F.col("value").cast("decimal(18,6)")
+    slots = t.events.groupBy(
+        "event_type", F.hour("ts").cast("int").alias("hod")
+    ).agg(F.count("*").alias("n"), F.sum(dec).alias("sv"))
+    # Scalar argmax key (DuckDB max_by takes no struct ordering): count
+    # dominates at gap 100 > 23, ties resolve to the EARLIEST hour.
+    peak_key = F.col("n") * 100 + (23 - F.col("hod"))
+    tot = slots.groupBy("event_type").agg(
+        F.sum("n").alias("n_type"), F.max_by("hod", peak_key).alias("peak_hod")
+    )
+    return (
+        slots.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "hod",
+            "n",
+            F.round(F.col("sv").cast("double") / F.col("n"), 6).alias("avg_value"),
+            F.round(F.col("n") / F.col("n_type").cast("double"), 6).alias("share"),
+            (F.col("hod") == F.col("peak_hod")).alias("is_peak"),
+        )
+    )
+
+
 def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user rolling EXACT median of the last ROLLING_MEDIAN_N event
     values — the robust-baseline smoother (outlier-immune, unlike q_ema)
@@ -390,6 +428,7 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_events_tumbling": q_events_tumbling,
     "q_rolling_median": q_rolling_median,
+    "q_seasonal_profile": q_seasonal_profile,
     "q_late_data": q_late_data,
     "q_anomaly_zscore": q_anomaly_zscore,
     "q_markov_chain": q_markov_chain,
@@ -404,6 +443,23 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_seasonal_profile": """
+        WITH slots AS (
+            SELECT event_type, CAST(date_part('hour', ts) AS INTEGER) AS hod,
+                   CAST(count(*) AS BIGINT) AS n,
+                   sum(CAST(value AS DECIMAL(18,6))) AS sv
+            FROM events GROUP BY 1, 2
+        ), tot AS (
+            SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type,
+                   max_by(hod, n * 100 + (23 - hod)) AS peak_hod
+            FROM slots GROUP BY event_type
+        )
+        SELECT s.event_type, s.hod, s.n,
+               round(CAST(CAST(s.sv AS VARCHAR) AS DOUBLE) / s.n, 6) AS avg_value,
+               round(s.n / CAST(t.n_type AS DOUBLE), 6) AS share,
+               s.hod = t.peak_hod AS is_peak
+        FROM slots s JOIN tot t USING (event_type)
+    """,
     "q_rolling_median": f"""
         SELECT user_id, event_id,
                CAST(count(*) OVER w AS BIGINT) AS n_win,

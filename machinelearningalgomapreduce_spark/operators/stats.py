@@ -372,7 +372,39 @@ def q_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.round(g, 6).alias("gini"))
 
 
+def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type empirical-CDF normalization table: every distinct event
+    value → its ECDF position within its event type — the rank/quantile
+    transform feature pipelines apply to heavy-tailed metrics before
+    modeling (maps any distribution onto [0,1] monotonically).
+
+    Output is the normalization TABLE (one row per distinct (type, value)
+    with its count, cumulative count, and ECDF); appliers broadcast it
+    back onto the fact stream. ECDF divides exact integers, rounded 6.
+
+    Scale shape: the q_ks_test envelope — one hash aggregate keyed by
+    (type, distinct value), one per-type cumulative window over the far
+    smaller distinct-value frame (quantize the metric at 100 TB to bound
+    it), one broadcast totals join."""
+    t = load_tables(spark, sf_dir)
+    per_value = t.events.groupBy("event_type", "value").agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+    tot = per_value.groupBy("event_type").agg(F.sum("n").alias("n_type"))
+    return (
+        per_value.withColumn("cum_n", F.sum("n").over(w))
+        .join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "value",
+            "n",
+            "cum_n",
+            F.round(F.col("cum_n") / F.col("n_type").cast("double"), 6).alias("ecdf"),
+        )
+    )
+
+
 QUERIES = {
+    "q_quantile_normalize": q_quantile_normalize,
     "q_percentiles": q_percentiles,
     "q_histogram": q_histogram,
     "q_corr": q_corr,
@@ -423,6 +455,24 @@ _COV_SELECTS = "\n        UNION ALL\n        ".join(
 )
 
 ORACLES = {
+    "q_quantile_normalize": """
+        WITH per_value AS (
+            SELECT event_type, value, CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type, value
+        ), cum AS (
+            SELECT event_type, value, n,
+                   CAST(sum(n) OVER (PARTITION BY event_type ORDER BY value
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                       AS cum_n
+            FROM per_value
+        ), tot AS (
+            SELECT event_type, CAST(sum(n) AS BIGINT) AS n_type
+            FROM per_value GROUP BY event_type
+        )
+        SELECT c.event_type, c.value, c.n, c.cum_n,
+               round(c.cum_n / CAST(t.n_type AS DOUBLE), 6) AS ecdf
+        FROM cum c JOIN tot t USING (event_type)
+    """,
     "q_mode": """
         WITH counts AS (
             SELECT p_type, p_brand, count(*) AS n

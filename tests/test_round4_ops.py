@@ -330,6 +330,43 @@ def test_rolling_median_window_sizes_capped(spark, sf_dir):
     assert agg.mx <= ROLLING_MEDIAN_N
 
 
+# -------------------------------------------------------------- seasonal
+
+
+def test_seasonal_profile_shares_sum_to_one(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.events import q_seasonal_profile
+
+    rows = q_seasonal_profile(spark, sf_dir).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, slot_rows in by_type.items():
+        assert sum(r.share for r in slot_rows) == pytest.approx(1.0, abs=1e-4), et
+        peaks = [r for r in slot_rows if r.is_peak]
+        assert len(peaks) == 1, et
+        assert peaks[0].n == max(r.n for r in slot_rows), et
+        assert all(0 <= r.hod <= 23 for r in slot_rows)
+
+
+# ------------------------------------------------------------------- ECDF
+
+
+def test_quantile_normalize_monotone_ending_at_one(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.stats import q_quantile_normalize
+
+    rows = q_quantile_normalize(spark, sf_dir).collect()
+    assert rows
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for et, vrows in by_type.items():
+        vrows.sort(key=lambda r: r.value)
+        assert all(a.ecdf < b.ecdf for a, b in zip(vrows, vrows[1:])), et
+        assert vrows[-1].ecdf == pytest.approx(1.0), et
+        assert vrows[-1].cum_n == sum(r.n for r in vrows), et
+
+
 # ------------------------------------------------------------------ CUSUM
 
 
