@@ -365,11 +365,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark side: iterate label = min(label, min(neighbor label)) to a
     fixpoint — the standard large-graph CC (each pass is one join + one
-    aggregate; diameter-bounded iterations; at 100 TB use the
-    large-star/small-star variant to cut rounds). Fixture near-dup chains
-    are short, so the loop converges in a handful of passes. The oracle is
-    DuckDB's recursive CTE over the same edge set — convergence makes both
-    exact, no iteration-count coupling.
+    aggregate; diameter-bounded iterations). The 100 TB path with an
+    O(log²) round bound SHIPS as operators/graph.py::
+    connected_components_star (alternating large-star/small-star),
+    pytest-diffed bit-identical to this fixpoint on the same edge set.
+    Fixture near-dup chains are short, so this loop converges in a
+    handful of passes. The oracle is DuckDB's recursive CTE over the same
+    edge set — convergence makes both exact, no iteration-count coupling.
     """
     pairs = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
     # Undirected edge list, both directions.

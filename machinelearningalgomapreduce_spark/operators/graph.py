@@ -381,6 +381,91 @@ def kcore_iterate(edges: DataFrame, k: int = 3, max_rounds: int = 50) -> DataFra
     raise RuntimeError(f"k-core did not converge within {max_rounds} rounds")
 
 
+def _star_phase(pairs: DataFrame, large: bool) -> DataFrame:
+    """One large-star or small-star round (Kiveris et al., "Connected
+    Components in MapReduce and Beyond" — public algorithm).
+
+    large-star: every node links its STRICTLY LARGER neighbors to the
+    minimum of its closed neighborhood. small-star: links its ≤ neighbors
+    and itself to that minimum. Alternating the two converges to a star
+    forest rooted at each component's min in O(log²) rounds — the round
+    count the plain min-label loop cannot guarantee on high-diameter
+    graphs.
+    """
+    both = pairs.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        pairs.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    m = both.groupBy("node").agg(F.least(F.min("nbr"), F.col("node")).alias("m"))
+    joined = both.join(m, "node")
+    if large:
+        out = joined.filter(F.col("nbr") > F.col("node")).select(
+            F.col("nbr").alias("u"), F.col("m").alias("v")
+        )
+    else:
+        out = joined.filter(F.col("nbr") < F.col("node")).select(
+            F.col("nbr").alias("u"), F.col("m").alias("v")
+        ).unionAll(joined.select(F.col("node").alias("u"), F.col("m").alias("v")))
+    return out.filter(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components_star(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Connected components via alternating large-star/small-star — the
+    100 TB path q_dedup_clusters' docstring names: per round two
+    join+aggregate phases, O(log²) round bound regardless of component
+    diameter (plain min-label propagation needs O(diameter) rounds).
+
+    Input: undirected edges (u, v); output: (node, root) with root =
+    component minimum — bit-identical to the min-label fixpoint
+    (pytest-diffed in tests/test_dedup_variants.py).
+
+    Loop discipline: localCheckpoint per phase (lineage truncation), O(1)
+    driver-side convergence stats (count + exact sums — the cheap
+    invariant triple; the star forest is additionally verified closed
+    before returning, so a colliding triple cannot return wrong labels).
+    """
+    pairs = (
+        edges.filter(F.col("u") != F.col("v"))
+        .select(
+            F.greatest("u", "v").alias("u"),
+            F.least("u", "v").alias("v"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+
+    def stats(df: DataFrame) -> tuple:
+        row = df.agg(
+            F.count("*").alias("n"),
+            F.sum(F.col("u").cast("decimal(38,0)")).alias("su"),
+            F.sum(F.col("v").cast("decimal(38,0)")).alias("sv"),
+        ).collect()[0]
+        return (row.n, row.su, row.sv)
+
+    prev = stats(pairs)
+    for _ in range(max_rounds):
+        pairs = _star_phase(pairs, large=True).localCheckpoint()
+        pairs = _star_phase(pairs, large=False).localCheckpoint()
+        cur = stats(pairs)
+        if cur == prev:
+            # Closed-form check that we truly hold a star forest: every
+            # parent is a root (appears as no one's child).
+            non_root_parents = (
+                pairs.select(F.col("v").alias("p"))
+                .join(pairs.select(F.col("u").alias("p")).distinct(), "p", "left_semi")
+                .count()
+            )
+            if non_root_parents == 0:
+                labels = pairs.select(F.col("u").alias("node"), F.col("v").alias("root"))
+                roots = pairs.select(F.col("v").alias("node")).distinct().select(
+                    "node", F.col("node").alias("root")
+                )
+                return labels.unionAll(roots).distinct()
+        prev = cur
+    raise RuntimeError(
+        f"connected_components_star: not converged within {max_rounds} rounds"
+    )
+
+
 def fpgrowth_fit(spark: SparkSession, sf_dir: str, min_support: float = 0.05):
     """Deeper itemsets via MLlib FPGrowth (library API, pytest-verified)."""
     from pyspark.ml.fpm import FPGrowth

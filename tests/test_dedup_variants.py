@@ -139,3 +139,45 @@ def test_cross_source_dups_partitions_minhash_pairs(spark, sf_dir):
         assert r.source_x <= r.source_y
         assert r.cross_source == (r.source_x != r.source_y)
         assert r.n_dup_pairs > 0
+
+
+def test_star_cc_matches_min_label_fixpoint(spark, sf_dir):
+    """large-star/small-star CC (the O(log²)-round 100 TB path) produces
+    bit-identical (node, root) labels to q_dedup_clusters' min-label
+    fixpoint on the fixture near-dup graph."""
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.operators.dedup import (
+        q_dedup_clusters,
+        q_dedup_minhash,
+    )
+    from machinelearningalgomapreduce_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    edges = q_dedup_minhash(spark, sf_dir).select(
+        F.col("doc_a").alias("u"), F.col("doc_b").alias("v")
+    )
+    star = {
+        (r.node, r.root) for r in connected_components_star(edges).collect()
+    }
+    fixpoint = {
+        (r.doc_id, r.cluster_root) for r in q_dedup_clusters(spark, sf_dir).collect()
+    }
+    assert star == fixpoint
+
+
+def test_star_cc_high_diameter_path(spark):
+    """A 16-node path (diameter 15) plus a disjoint triangle: the star
+    variant must label every path node with the path minimum in far fewer
+    than diameter rounds, and keep components separate."""
+    from machinelearningalgomapreduce_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    path = [(i, i + 1) for i in range(15)]          # component rooted at 0
+    tri = [(100, 101), (101, 102), (100, 102)]      # component rooted at 100
+    df = spark.createDataFrame(path + tri, ["u", "v"])
+    got = {(r.node, r.root) for r in connected_components_star(df, max_rounds=8).collect()}
+    expected = {(i, 0) for i in range(16)} | {(n, 100) for n in (100, 101, 102)}
+    assert got == expected
