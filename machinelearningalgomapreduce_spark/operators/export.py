@@ -24,6 +24,7 @@ VOCAB_TOP = 100
 FUZZY_MAX_DIST = 2
 FUZZY_BAND = 4  # length-band width; > max dist so candidates span ≤2 bands
 TOPK_TERMS = 3
+GROUP_SAMPLE_N = 5
 
 
 def _ws_tokens(col: str = "text"):
@@ -303,6 +304,74 @@ def q_bpe_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-source document sample (GROUP_SAMPLE_N per
+    source): order within each source by the md5 of the doc id — a
+    reproducible pseudo-random shuffle — and keep the first k. This is
+    how eval/holdout sets get carved from a training corpus so that
+    re-running the export yields byte-identical membership.
+
+    Scale shape: one window per source over the md5 order. At 100 TB
+    pre-filter with a hash threshold first (md5 < bound keeping ~3k×
+    margin) so the sort input per source is k-scale, not corpus-scale —
+    same result, the window only ranks survivors."""
+    w = W.partitionBy("source").orderBy("h", "doc_id")
+    t = load_tables(spark, sf_dir)
+    return (
+        t.documents.select(
+            "source", "doc_id", F.md5(F.col("doc_id").cast("string")).alias("h")
+        )
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= GROUP_SAMPLE_N)
+        .select("source", "doc_id", "rk")
+    )
+
+
+def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 10) -> list[tuple[str, int]]:
+    """Full BPE tokenizer-training loop (library API, pytest-verified):
+    repeat [count adjacent symbol pairs weighted by word frequency → merge
+    the top pair] n_merges times; returns [(merged_token, score), ...].
+
+    Division of labor at scale (the shape real BPE trainers use): the
+    CORPUS-sized work is the one distributed word-frequency aggregate;
+    the merge loop runs on the VOCABULARY (bounded, driver-side symbol
+    table) — the corpus is scanned once and never collected. Round 0's
+    pair scores are exactly q_bpe_merge's checked output (tie-break:
+    score desc, pair asc), asserted in tests."""
+    t = load_tables(spark, sf_dir)
+    wc = {
+        r.word: r.wn
+        for r in (
+            t.documents.select(F.explode(_ws_tokens()).alias("word"))
+            .groupBy("word")
+            .agg(F.count("*").alias("wn"))
+            .filter(F.length("word") >= 2)
+        ).collect()  # vocabulary-bounded (31 tokens on this fixture)
+    }
+    symbols = {w: list(w) for w in wc}
+    merges: list[tuple[str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in symbols.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + wc[w]
+        if not counts:
+            break
+        (a, b), score = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0] + kv[0][1]))
+        merges.append((a + b, score))
+        for w, syms in symbols.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            symbols[w] = out
+    return merges
+
+
 def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Provenance-aware duplication matrix: minhash near-dup pairs
     (operators/dedup.py::q_dedup_minhash) rolled up by the SOURCE PAIR of
@@ -341,6 +410,7 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_cross_source_dups": q_cross_source_dups,
     "q_domain_mix": q_domain_mix,
+    "q_group_sample": q_group_sample,
     "q_shard_assign": q_shard_assign,
     "q_seq_pack": q_seq_pack,
     "q_vocab_coverage": q_vocab_coverage,
@@ -351,6 +421,18 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_group_sample": f"""
+        WITH h AS (
+            SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
+            FROM documents
+        ), r AS (
+            SELECT source, doc_id,
+                   CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id)
+                        AS INTEGER) AS rk
+            FROM h
+        )
+        SELECT source, doc_id, rk FROM r WHERE rk <= {GROUP_SAMPLE_N}
+    """,
     "q_domain_mix": """
         WITH per_source AS (
             SELECT source, count(*) AS n_docs,

@@ -80,9 +80,77 @@ def q_incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merge_pricing_states(base, delta)
 
 
-QUERIES = {"q_incremental_agg": q_incremental_agg}
+DELTA_MOD = 10  # every DELTA_MOD-th doc plays the "newly arrived batch"
+
+
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental dedup admission: a new document batch checked against
+    the EXISTING corpus fingerprint index plus itself — the decision an
+    ingest pipeline makes per batch (admit / drop-as-known / drop-as
+    -within-batch-dup) without ever rescanning the corpus.
+
+    Base = docs with id % DELTA_MOD ≠ 0 (the standing index), delta = the
+    rest (the batch). Output per delta doc: the base survivor it collides
+    with (if any), whether it duplicates the base or an earlier batch
+    doc, and the final admit flag.
+
+    Scale shape: the base index is the STORED O(distinct-hash) state
+    (content_hash → min doc_id), bucketed by hash at 100 TB so the probe
+    join is co-located; the delta-only window is batch-sized. The corpus
+    is never rescanned — exactly the q_incremental_agg argument applied
+    to dedup."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    hashed = t.documents.select("doc_id", F.md5("text").alias("content_hash"))
+    is_delta = F.pmod(F.col("doc_id"), F.lit(DELTA_MOD)) == 0
+    index = (
+        hashed.filter(~is_delta)
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("base_keep"))
+    )
+    w = W.partitionBy("content_hash").orderBy("doc_id")
+    return (
+        hashed.filter(is_delta)
+        .join(index, "content_hash", "left")
+        .withColumn("rk", F.row_number().over(w))
+        .select(
+            "doc_id",
+            "content_hash",
+            "base_keep",
+            F.col("base_keep").isNotNull().alias("dup_of_base"),
+            (F.col("rk") > 1).alias("dup_within_delta"),
+            (F.col("base_keep").isNull() & (F.col("rk") == 1)).alias("admit"),
+        )
+    )
+
+
+QUERIES = {
+    "q_incremental_agg": q_incremental_agg,
+    "q_incremental_dedup": q_incremental_dedup,
+}
 
 ORACLES = {
+    "q_incremental_dedup": f"""
+        WITH hashed AS (
+            SELECT doc_id, md5(text) AS content_hash FROM documents
+        ), idx AS (
+            SELECT content_hash, min(doc_id) AS base_keep
+            FROM hashed WHERE doc_id % {DELTA_MOD} <> 0
+            GROUP BY content_hash
+        ), delta AS (
+            SELECT d.doc_id, d.content_hash, i.base_keep,
+                   row_number() OVER (PARTITION BY d.content_hash
+                                      ORDER BY d.doc_id) AS rk
+            FROM (SELECT * FROM hashed WHERE doc_id % {DELTA_MOD} = 0) d
+            LEFT JOIN idx i USING (content_hash)
+        )
+        SELECT doc_id, content_hash, base_keep,
+               base_keep IS NOT NULL AS dup_of_base,
+               rk > 1 AS dup_within_delta,
+               base_keep IS NULL AND rk = 1 AS admit
+        FROM delta
+    """,
     "q_incremental_agg": """
         SELECT l_returnflag, l_linestatus,
                count(*) AS n_rows,

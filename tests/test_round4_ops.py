@@ -330,6 +330,67 @@ def test_rolling_median_window_sizes_capped(spark, sf_dir):
     assert agg.mx <= ROLLING_MEDIAN_N
 
 
+# ------------------------------------------------------- incremental dedup
+
+
+def test_incremental_dedup_partitions_delta(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.incremental import (
+        DELTA_MOD,
+        q_incremental_dedup,
+    )
+
+    rows = q_incremental_dedup(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.doc_id % DELTA_MOD == 0
+        # admit is exactly "neither kind of dup".
+        assert r.admit == (not r.dup_of_base and not r.dup_within_delta)
+        if r.dup_of_base:
+            assert r.base_keep is not None and r.base_keep % DELTA_MOD != 0
+    # At most one admitted or base-dup-flagged FIRST doc per content hash.
+    firsts: dict[str, int] = {}
+    for r in rows:
+        if not r.dup_within_delta:
+            assert r.content_hash not in firsts
+            firsts[r.content_hash] = r.doc_id
+
+
+# ------------------------------------------------------------ group sample
+
+
+def test_group_sample_deterministic_and_capped(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.export import (
+        GROUP_SAMPLE_N,
+        q_group_sample,
+    )
+
+    a = {(r.source, r.doc_id, r.rk) for r in q_group_sample(spark, sf_dir).collect()}
+    b = {(r.source, r.doc_id, r.rk) for r in q_group_sample(spark, sf_dir).collect()}
+    assert a == b, "sample must be run-to-run identical"
+    per_source: dict[str, int] = {}
+    for src, _, rk in a:
+        per_source[src] = max(per_source.get(src, 0), rk)
+    assert all(1 <= mx <= GROUP_SAMPLE_N for mx in per_source.values())
+
+
+# -------------------------------------------------------------- BPE train
+
+
+def test_bpe_train_round0_matches_checked_merge_query(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.export import bpe_train, q_bpe_merge
+
+    merges = bpe_train(spark, sf_dir, n_merges=5)
+    assert len(merges) == 5
+    top = q_bpe_merge(spark, sf_dir).collect()[0]
+    # Round 0 counts the same weighted pairs with the same tie-break.
+    assert merges[0] == (top.pair, top.score)
+    # Each merged token is the concatenation of two existing symbols and
+    # scores never increase as merges consume pair mass... not strictly
+    # monotone in general, but every score stays positive and bounded by
+    # the first.
+    assert all(s > 0 for _, s in merges)
+
+
 # -------------------------------------------------------------- seasonal
 
 
