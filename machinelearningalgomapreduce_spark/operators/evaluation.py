@@ -309,6 +309,54 @@ def q_outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MAD_K = 3.0  # flag |x − median| > K · MAD
+
+
+def q_outlier_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median/MAD robust outlier detection per event_type — the
+    breakdown-point-0.5 sibling of q_anomaly_zscore (mean/σ collapse
+    under heavy contamination; the median absolute deviation does not).
+
+    Exactness: median and MAD are interpolated percentiles rounded to 6
+    (engine-identical, the q_outlier_iqr policy); deviations are rounded
+    before the MAD percentile and before the K·MAD comparison, so the
+    flag decision is engine-identical.
+
+    Scale shape: two passes, each an O(types) percentile model broadcast
+    onto a scan — the fact table is scanned twice, never shuffled. (At
+    100 TB swap the exact percentile for percentile_approx: same plan,
+    sketch-mergeable map side.)"""
+    t = load_tables(spark, sf_dir)
+    med = t.events.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med")
+    )
+    dev = t.events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "value",
+        F.round(F.abs(F.col("value") - F.col("med")), 6).alias("adev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(adev, 0.5)"), 6).alias("mad")
+    )
+    thresh = F.round(F.lit(MAD_K) * F.col("mad"), 6)
+    flagged = dev.join(F.broadcast(mad), "event_type").select(
+        "event_type",
+        "adev",
+        (F.col("adev") > thresh).cast("bigint").alias("is_outlier"),
+    )
+    return (
+        flagged.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("is_outlier").alias("n_outliers"),
+            F.round(F.max("adev"), 6).alias("max_adev"),
+        )
+        .join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select("event_type", "n", "med", "mad", "n_outliers", "max_adev")
+    )
+
+
 WINSOR_LO, WINSOR_HI = 0.05, 0.95
 
 
@@ -355,6 +403,7 @@ QUERIES = {
     "q_ks_test": q_ks_test,
     "q_ab_test": q_ab_test,
     "q_mannwhitney": q_mannwhitney,
+    "q_outlier_mad": q_outlier_mad,
     "q_cluster_confusion": q_cluster_confusion,
     "q_silhouette": q_silhouette,
     "q_outlier_iqr": q_outlier_iqr,
@@ -411,6 +460,32 @@ ORACLES = {
                round(max(abs(c.ca * t.n_b - c.cb * t.n_a))
                      / CAST(max(t.n_a) * max(t.n_b) AS DOUBLE), 6) AS ks_d
         FROM cum c CROSS JOIN totals t
+    """,
+    "q_outlier_mad": f"""
+        WITH med AS (
+            SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+            FROM events GROUP BY event_type
+        ), dev AS (
+            SELECT e.event_type, round(abs(e.value - m.med), 6) AS adev
+            FROM events e JOIN med m USING (event_type)
+        ), mad AS (
+            SELECT event_type, round(quantile_cont(adev, 0.5), 6) AS mad
+            FROM dev GROUP BY event_type
+        ), flagged AS (
+            SELECT d.event_type, d.adev,
+                   CASE WHEN d.adev > round({MAD_K} * md.mad, 6)
+                        THEN 1 ELSE 0 END AS is_outlier
+            FROM dev d JOIN mad md USING (event_type)
+        )
+        SELECT f.event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               m.med, md.mad,
+               CAST(sum(f.is_outlier) AS BIGINT) AS n_outliers,
+               round(max(f.adev), 6) AS max_adev
+        FROM flagged f
+        JOIN med m USING (event_type)
+        JOIN mad md USING (event_type)
+        GROUP BY f.event_type, m.med, md.mad
     """,
     "q_mannwhitney": f"""
         WITH per_value AS (

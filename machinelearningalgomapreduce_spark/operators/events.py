@@ -361,6 +361,40 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select("n", F.round(r, 6).alias("autocorr_lag1"))
 
 
+def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: every purchase is credited to the user's
+    most recent PRIOR non-purchase event type ('none' when the purchase
+    opens the history) — the classic conversion-credit rollup every
+    events pipeline ships.
+
+    Exactness: the prior-touch lookup is `last(..., ignorenulls)` over a
+    ROWS frame ending 1 before current, on the unique (ts, event_id)
+    per-user order — deterministic; revenue sums are DECIMAL-exact.
+
+    Scale shape: ONE shuffle on user_id for the ordered pass, then an
+    O(types) aggregate."""
+    t = load_tables(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prior = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")), ignorenulls=True
+    ).over(w)
+    touched = t.events.withColumn("touch", prior).filter(
+        F.col("event_type") == "purchase"
+    )
+    return touched.groupBy(
+        F.coalesce(F.col("touch"), F.lit("none")).alias("touch")
+    ).agg(
+        F.count("*").alias("n_purchases"),
+        F.round(F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 6).alias(
+            "revenue"
+        ),
+    )
+
+
 def q_seasonal_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hour-of-day seasonality profile per event type: volume and mean
     value per (type, hour-of-day) slot, each type's slot share, and a
@@ -429,6 +463,7 @@ QUERIES = {
     "q_events_tumbling": q_events_tumbling,
     "q_rolling_median": q_rolling_median,
     "q_seasonal_profile": q_seasonal_profile,
+    "q_attribution": q_attribution,
     "q_late_data": q_late_data,
     "q_anomaly_zscore": q_anomaly_zscore,
     "q_markov_chain": q_markov_chain,
@@ -443,6 +478,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_attribution": """
+        WITH touched AS (
+            SELECT event_type, value,
+                   last_value(CASE WHEN event_type <> 'purchase'
+                                   THEN event_type END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       AS touch
+            FROM events
+        )
+        SELECT coalesce(touch, 'none') AS touch,
+               CAST(count(*) AS BIGINT) AS n_purchases,
+               round(CAST(CAST(sum(CAST(value AS DECIMAL(18,6))) AS VARCHAR)
+                          AS DOUBLE), 6) AS revenue
+        FROM touched
+        WHERE event_type = 'purchase'
+        GROUP BY 1
+    """,
     "q_seasonal_profile": """
         WITH slots AS (
             SELECT event_type, CAST(date_part('hour', ts) AS INTEGER) AS hod,

@@ -330,6 +330,57 @@ def test_rolling_median_window_sizes_capped(spark, sf_dir):
     assert agg.mx <= ROLLING_MEDIAN_N
 
 
+# ----------------------------------------------------------- MAD outliers
+
+
+def test_outlier_mad_flags_subset_of_extremes(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.evaluation import q_outlier_mad
+
+    rows = q_outlier_mad(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.mad >= 0 and r.n_outliers >= 0
+        assert r.n_outliers < r.n  # the majority is never outlying (BP 0.5)
+        assert r.max_adev >= r.mad
+
+
+# ------------------------------------------------------------ attribution
+
+
+def test_attribution_counts_partition_purchases(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.events import q_attribution
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    rows = q_attribution(spark, sf_dir).collect()
+    total = sum(r.n_purchases for r in rows)
+    n_purch = (
+        load_tables(spark, sf_dir).events.filter(F.col("event_type") == "purchase").count()
+    )
+    assert total == n_purch  # every purchase attributed exactly once
+    touches = {r.touch for r in rows}
+    assert touches <= {"view", "click", "add_to_cart", "search", "none"} | touches
+
+
+def test_attribution_tiny_sequence(spark):
+    """view → purchase → purchase: both purchases credit the view (the
+    last non-purchase touch persists); a history-opening purchase with no
+    prior touch lands in 'none'."""
+    from machinelearningalgomapreduce_spark.operators import events as evm
+
+    def ev(eid, minute, user, etype, value):
+        return Row(**{**_event_row(eid, minute, etype, value).asDict(), "user_id": user})
+
+    rows = [
+        ev(1, 0, 1, "view", 10.0),
+        ev(2, 1, 1, "purchase", 5.0),
+        ev(3, 2, 1, "purchase", 7.0),
+        ev(4, 3, 99, "purchase", 1.0),  # lone purchase → 'none'
+    ]
+    with _patched_events(evm, spark, rows):
+        got = {r.touch: (r.n_purchases, r.revenue) for r in evm.q_attribution(spark, "x").collect()}
+    assert got == {"view": (2, 12.0), "none": (1, 1.0)}
+
+
 # ------------------------------------------------------- incremental dedup
 
 
