@@ -317,6 +317,31 @@ def test_rolling_median_first_row_is_value(spark, sf_dir):
         assert r.roll_median == pytest.approx(round(r.value, 6), abs=1e-9)
 
 
+@given(vals=st.lists(st.integers(0, 40).map(lambda v: v / 8.0), min_size=1, max_size=14))
+@settings(
+    max_examples=8, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture]
+)
+def test_rolling_median_matches_python_reference(spark, vals):
+    import statistics
+
+    from machinelearningalgomapreduce_spark.operators import events as evm
+    from machinelearningalgomapreduce_spark.operators.events import ROLLING_MEDIAN_N
+
+    rows = [
+        Row(**{**_event_row(i, i, "click", v).asDict(), "user_id": 7})
+        for i, v in enumerate(vals)
+    ]
+    with _patched_events(evm, spark, rows):
+        got = {
+            r.event_id: (r.n_win, r.roll_median)
+            for r in evm.q_rolling_median(spark, "x").collect()
+        }
+    for i, _ in enumerate(vals):
+        frame = vals[max(0, i - (ROLLING_MEDIAN_N - 1)) : i + 1]
+        assert got[i][0] == len(frame)
+        assert got[i][1] == pytest.approx(round(statistics.median(frame), 6), abs=1e-9)
+
+
 def test_rolling_median_window_sizes_capped(spark, sf_dir):
     from machinelearningalgomapreduce_spark.operators.events import (
         ROLLING_MEDIAN_N,
