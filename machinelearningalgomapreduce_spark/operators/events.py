@@ -21,6 +21,8 @@ from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
 SESSION_GAP_MIN = 30
 ROLLING_MEDIAN_N = 10
+PATH_LEN = 4  # session-opening path length for journey mining
+PATHS_TOP = 20
 
 
 def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,6 +363,41 @@ def q_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return stats.select("n", F.round(r, 6).alias("autocorr_lag1"))
 
 
+def q_session_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey mining: the top-20 session-opening paths — each
+    session's first PATH_LEN event types joined 'a>b>c', counted across
+    all sessions — the "how do visits actually start" rollup product
+    analytics runs after sessionization.
+
+    Determinism: order within a session is the unique (ts, event_id);
+    the per-session path is rebuilt from a sorted (rk, type) struct
+    array, and top-20 breaks ties on the path string.
+
+    Scale shape: inherits sessionize's one user_id shuffle; the path
+    aggregate is keyed by (user, session) — high cardinality, well
+    distributed; the count aggregate's domain is bounded by
+    types^PATH_LEN; top-k is TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir)
+    s = sessionize(t.events)
+    w = W.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    firstn = s.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= PATH_LEN)
+    paths = firstn.groupBy("user_id", "session_seq").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rk", "event_type"))),
+                lambda x: x["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), "path")
+        .limit(PATHS_TOP)
+    )
+
+
 def q_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Last-touch attribution: every purchase is credited to the user's
     most recent PRIOR non-purchase event type ('none' when the purchase
@@ -464,6 +501,7 @@ QUERIES = {
     "q_rolling_median": q_rolling_median,
     "q_seasonal_profile": q_seasonal_profile,
     "q_attribution": q_attribution,
+    "q_session_paths": q_session_paths,
     "q_late_data": q_late_data,
     "q_anomaly_zscore": q_anomaly_zscore,
     "q_markov_chain": q_markov_chain,
@@ -478,6 +516,35 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_session_paths": f"""
+        WITH flagged AS (
+            SELECT event_id, user_id, ts, event_type,
+                   CASE WHEN epoch_us(ts)
+                             - lag(epoch_us(ts))
+                               OVER (PARTITION BY user_id ORDER BY ts, event_id) > 30 * 60 * 1000000
+                        THEN 1 ELSE 0 END AS is_new_session
+            FROM events
+        ), sess AS (
+            SELECT user_id, ts, event_id, event_type,
+                   sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS session_seq
+            FROM flagged
+        ), firstn AS (
+            SELECT user_id, session_seq, event_type,
+                   row_number() OVER (PARTITION BY user_id, session_seq
+                                      ORDER BY ts, event_id) AS rk
+            FROM sess
+            QUALIFY rk <= {PATH_LEN}
+        ), paths AS (
+            SELECT user_id, session_seq,
+                   string_agg(event_type, '>' ORDER BY rk) AS path
+            FROM firstn GROUP BY user_id, session_seq
+        )
+        SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+        FROM paths GROUP BY path
+        ORDER BY n_sessions DESC, path
+        LIMIT {PATHS_TOP}
+    """,
     "q_attribution": """
         WITH touched AS (
             SELECT event_type, value,

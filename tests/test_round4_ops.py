@@ -369,6 +369,44 @@ def test_outlier_mad_flags_subset_of_extremes(spark, sf_dir):
         assert r.max_adev >= r.mad
 
 
+# ----------------------------------------------------------- session paths
+
+
+def test_session_paths_shapes(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.events import (
+        PATH_LEN,
+        PATHS_TOP,
+        q_session_paths,
+    )
+
+    rows = q_session_paths(spark, sf_dir).collect()
+    assert 0 < len(rows) <= PATHS_TOP
+    counts = [r.n_sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)  # ranked output
+    for r in rows:
+        assert 1 <= len(r.path.split(">")) <= PATH_LEN
+
+
+def test_session_paths_tiny_journeys(spark):
+    """Two identical short journeys and one longer one: paths truncate at
+    PATH_LEN and count across users."""
+    from machinelearningalgomapreduce_spark.operators import events as evm
+
+    def ev(eid, minute, user, etype):
+        return Row(**{**_event_row(eid, minute, etype, 1.0).asDict(), "user_id": user})
+
+    rows = [
+        ev(1, 0, 1, "view"), ev(2, 1, 1, "click"),
+        ev(3, 0, 2, "view"), ev(4, 1, 2, "click"),
+        # user 3: 5 events in one session — path truncates to first 4
+        ev(5, 0, 3, "view"), ev(6, 1, 3, "view"), ev(7, 2, 3, "click"),
+        ev(8, 3, 3, "view"), ev(9, 4, 3, "purchase"),
+    ]
+    with _patched_events(evm, spark, rows):
+        got = {r.path: r.n_sessions for r in evm.q_session_paths(spark, "x").collect()}
+    assert got == {"view>click": 2, "view>view>click>view": 1}
+
+
 # ------------------------------------------------------------ attribution
 
 
