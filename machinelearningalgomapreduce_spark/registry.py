@@ -40,45 +40,66 @@ _MODULES = (
     "machinelearningalgomapreduce_spark.operators.timeseries",
 )
 
-# Queries with a green row in CORRECTNESS_r01/r02/r03 (driver evidence on file).
-# Everything NOT in this set sorts into the driver's 50-entry check window.
-# Update per round from CORRECTNESS_r{N}.json so coverage rotates until
-# every query has had a driver pass.
-DRIVER_GREEN = frozenset({
-    # relational — green rounds 1 AND 2
-    "q_scan_project", "q_filter_pred", "q_filter_agg", "q_pricing_summary",
-    "q_join_inner", "q_join_broadcast", "q_join3_topk", "q_join5_region",
-    "q_join_left", "q_join_semi", "q_join_anti", "q_join_asof",
-    "q_range_join", "q_join_salted", "q_join_full", "q_window_dist",
-    "q_pivot", "q_unpivot", "q_distinct_users", "q_distinct_users_approx",
-    "q_grouping_sets", "q_cube", "q_sql_exists", "q_window_rank",
-    "q_window_analytic", "q_sort_limit", "q_set_ops", "q_scalar_funcs",
-    "q_json_extract", "q_array_ops",
-    # events — green round 2
-    "q_events_tumbling", "q_events_sliding", "q_sessionize",
-    "q_session_stats", "q_late_data",
-    # text — green round 2 (q_inverted_index was the red row: NOT green)
-    "q_wordcount", "q_grep", "q_tfidf", "q_text_stats", "q_token_count",
-    "q_lang_id", "q_quality_score", "q_doc_fingerprint",
-    # dedup — green round 2
-    "q_dedup_exact", "q_dedup_minhash", "q_dedup_clusters",
-    "q_dedup_simhash", "q_dedup_ngram_jaccard", "q_dedup_embedding",
-    # round 3 — all 50 checked rows green (CORRECTNESS_r03.json)
-    "q_sim_topk", "q_sim_ann", "q_kmeans_assign", "q_kmeans_recompute",
-    "q_knn", "q_naive_bayes", "q_linreg", "q_logreg_step", "q_matmul",
-    "q_canopy", "q_tree_split", "q_svm_step", "q_percentiles",
-    "q_histogram", "q_corr", "q_profile", "q_sample",
-    "q_sample_stratified", "q_resample", "q_cov_matrix",
-    "q_customer_segments", "q_skew_profile", "q_mode", "q_gini",
-    "q_pagerank", "q_apriori", "q_triangle_count", "q_degree_dist",
-    "q_label_prop_step", "q_multimodal", "q_multimodal_features",
-    "q_frame_sample", "q_inverted_index", "q_decontaminate",
-    "q_repetition_filter", "q_bm25", "q_ngram_lm", "q_pii_scrub",
-    "q_cooccur_pmi", "q_token_entropy", "q_source_jaccard",
-    "q_dedup_keep_best", "q_dedup_containment", "q_anomaly_zscore",
-    "q_markov_chain", "q_ema", "q_autocorr", "q_window_range_frame",
-    "q_funnel", "q_retention",
-})
+# Per-query LATEST green driver round (from CORRECTNESS_r{N}.json on disk).
+# Round 4 completed the rotation: every declared query has at least one
+# driver green. The window strategy therefore flips (VERDICT r4 item 4):
+# instead of "never-green first" (done — the set is empty), sort
+# OLDEST-green-round first so the driver's 50-entry window continuously
+# re-greens the stalest evidence (the r2 cohort predates the r4 keyed-cache
+# / tiny_sorted plan rewrites). Update per round from CORRECTNESS_r{N}.json.
+DRIVER_GREEN_ROUND = {
+    # latest green: round 2 (49) — stalest evidence, front of the window
+    "q_array_ops": 2, "q_cube": 2, "q_dedup_clusters": 2,
+    "q_dedup_embedding": 2, "q_dedup_exact": 2, "q_dedup_minhash": 2,
+    "q_dedup_ngram_jaccard": 2, "q_dedup_simhash": 2, "q_distinct_users": 2,
+    "q_distinct_users_approx": 2, "q_doc_fingerprint": 2,
+    "q_events_sliding": 2, "q_events_tumbling": 2, "q_filter_agg": 2,
+    "q_filter_pred": 2, "q_grep": 2, "q_grouping_sets": 2,
+    "q_join3_topk": 2, "q_join5_region": 2, "q_join_anti": 2,
+    "q_join_asof": 2, "q_join_broadcast": 2, "q_join_full": 2,
+    "q_join_inner": 2, "q_join_left": 2, "q_join_salted": 2,
+    "q_join_semi": 2, "q_json_extract": 2, "q_lang_id": 2,
+    "q_late_data": 2, "q_pivot": 2, "q_pricing_summary": 2,
+    "q_quality_score": 2, "q_range_join": 2, "q_scalar_funcs": 2,
+    "q_scan_project": 2, "q_session_stats": 2, "q_sessionize": 2,
+    "q_set_ops": 2, "q_sort_limit": 2, "q_sql_exists": 2,
+    "q_text_stats": 2, "q_tfidf": 2, "q_token_count": 2, "q_unpivot": 2,
+    "q_window_analytic": 2, "q_window_dist": 2, "q_window_rank": 2,
+    "q_wordcount": 2,
+    # latest green: round 3 (34)
+    "q_anomaly_zscore": 3, "q_apriori": 3, "q_autocorr": 3, "q_bm25": 3,
+    "q_cooccur_pmi": 3, "q_cov_matrix": 3, "q_customer_segments": 3,
+    "q_decontaminate": 3, "q_dedup_containment": 3, "q_dedup_keep_best": 3,
+    "q_degree_dist": 3, "q_ema": 3, "q_frame_sample": 3, "q_funnel": 3,
+    "q_gini": 3, "q_inverted_index": 3, "q_label_prop_step": 3,
+    "q_markov_chain": 3, "q_mode": 3, "q_multimodal": 3,
+    "q_multimodal_features": 3, "q_ngram_lm": 3, "q_pagerank": 3,
+    "q_pii_scrub": 3, "q_repetition_filter": 3, "q_resample": 3,
+    "q_retention": 3, "q_sample": 3, "q_sample_stratified": 3,
+    "q_skew_profile": 3, "q_source_jaccard": 3, "q_token_entropy": 3,
+    "q_triangle_count": 3, "q_window_range_frame": 3,
+    # latest green: round 4 (50)
+    "q_ab_test": 4, "q_attribution": 4, "q_bfs_levels": 4,
+    "q_bpe_merge": 4, "q_canopy": 4, "q_chi2": 4, "q_cluster_confusion": 4,
+    "q_common_neighbors": 4, "q_corr": 4, "q_cross_source_dups": 4,
+    "q_cusum": 4, "q_dedup_minhash_est": 4, "q_domain_mix": 4,
+    "q_feature_hash": 4, "q_fuzzy_join": 4, "q_group_sample": 4,
+    "q_histogram": 4, "q_holt": 4, "q_incremental_agg": 4,
+    "q_incremental_dedup": 4, "q_kcore_step": 4, "q_kmeans_assign": 4,
+    "q_kmeans_recompute": 4, "q_knn": 4, "q_ks_test": 4, "q_linreg": 4,
+    "q_logreg_step": 4, "q_mannwhitney": 4, "q_matmul": 4,
+    "q_naive_bayes": 4, "q_outlier_iqr": 4, "q_outlier_mad": 4,
+    "q_percentiles": 4, "q_profile": 4, "q_quantile_normalize": 4,
+    "q_rolling_median": 4, "q_seasonal_profile": 4, "q_seq_pack": 4,
+    "q_session_paths": 4, "q_shard_assign": 4, "q_silhouette": 4,
+    "q_sim_ann": 4, "q_sim_recall": 4, "q_sim_topk": 4, "q_svm_step": 4,
+    "q_topk_terms": 4, "q_tree_split": 4, "q_vocab_coverage": 4,
+    "q_winsorize": 4, "q_zipf_fit": 4,
+}
+
+# Queries with ANY green driver row (kept as a set: the window tests and
+# the ledger-absorption guard do set algebra against it).
+DRIVER_GREEN = frozenset(DRIVER_GREEN_ROUND)
 
 
 def _collect() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
@@ -104,9 +125,10 @@ def _collect() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
     unknown = set(oracles) - set(queries)
     if unknown:
         raise ValueError(f"oracles without queries: {sorted(unknown)}")
-    # Two-tier order: never-driver-green first (stable within tier), so the
-    # driver's 50-entry window always checks the queries with no evidence.
-    order = sorted(queries, key=lambda n: n in DRIVER_GREEN)
+    # Tiered order: never-driver-green first, then by OLDEST latest-green
+    # round (stable within tier), so the driver's 50-entry window checks
+    # no-evidence queries first and otherwise re-greens the stalest rows.
+    order = sorted(queries, key=lambda n: DRIVER_GREEN_ROUND.get(n, 0))
     queries = {n: queries[n] for n in order}
     oracles = {n: oracles[n] for n in order}
     return queries, oracles

@@ -96,6 +96,21 @@ def test_driver_window_covers_never_checked_modules():
     assert order[: len(never_green)] == never_green, "never-green tier must lead"
 
 
+def test_registry_order_rotates_stalest_evidence_first():
+    """VERDICT r4 item 4: with every query driver-green at least once, the
+    50-entry window must now re-green the STALEST evidence — registry order
+    must be non-decreasing in latest-green round, with never-green (round 0)
+    leading if any ever reappear."""
+    order = list(registry.queries())
+    rounds = [registry.DRIVER_GREEN_ROUND.get(n, 0) for n in order]
+    assert rounds == sorted(rounds), "order not oldest-green-first"
+    # The stalest cohort must fill the window before any fresher row.
+    window_rounds = set(rounds[:50])
+    assert max(window_rounds, default=0) <= min(rounds[50:], default=99), (
+        "a fresher-evidence query displaced a staler one from the window"
+    )
+
+
 def test_driver_green_ledger_absorbs_every_correctness_round():
     """ADVICE r3: rotation depends on moving each round's green rows into
     DRIVER_GREEN — if that manual step is forgotten, overflow queries sit
