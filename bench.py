@@ -37,8 +37,9 @@ HEADLINE = [
     "q_knn",
     "q_kmeans_assign",
 ]
-TIMED_RUNS = int(os.environ.get("SPARK_BENCH_TIMED_RUNS", "3"))
+TIMED_RUNS = int(os.environ.get("SPARK_BENCH_TIMED_RUNS", "5"))
 WARMUP_RUNS = int(os.environ.get("SPARK_BENCH_WARMUPS", "2"))
+FLOOR_PROBES = int(os.environ.get("SPARK_BENCH_FLOOR_PROBES", "3"))
 
 
 def log(msg: str) -> None:
@@ -110,8 +111,20 @@ def main() -> None:
 
     # Fixed per-action overhead floor (JVM round-trip + planning + task
     # launch on a trivial cached scan) — the part of every per-query number
-    # that does not scale with data (BASELINE.md caveat).
-    floor = min(run_once(tables.region.select("r_regionkey")) for _ in range(3))
+    # that does not scale with data (BASELINE.md caveat). Round-4 lesson:
+    # the floor DOUBLED between rounds on the same code (26→57 ms host
+    # weather), so it is RE-PROBED before every query rather than measured
+    # once — each query's overhead-adjusted time uses the floor observed
+    # at that moment.
+    floors: list[float] = []
+
+    def probe_floor() -> float:
+        f = min(run_once(tables.region.select("r_regionkey"))
+                for _ in range(FLOOR_PROBES))
+        floors.append(f)
+        return f
+
+    probe_floor()
 
     # Warm-ups absorb planning + codegen + JIT compilation + broadcast build;
     # two get measurably closer to steady state than one. Timing is
@@ -130,32 +143,45 @@ def main() -> None:
             log(f"bench: {name} FAILED in pre-pass: {exc}")
 
     times: dict[str, float] = {}
+    adjusted: dict[str, float] = {}
     for name in names:
         try:
+            floor = probe_floor()  # inter-query re-probe (host weather moves)
             warm = float("nan")
             for _ in range(WARMUP_RUNS):
                 warm = run_once(qs[name](spark, sf_dir))
             best = min(run_once(qs[name](spark, sf_dir)) for _ in range(TIMED_RUNS))
             times[name] = round(best, 4)
-            log(f"bench: {name} warm={warm:.3f}s best={best:.3f}s")
+            adjusted[name] = round(max(best - floor, 0.0), 4)
+            log(f"bench: {name} warm={warm:.3f}s best={best:.3f}s "
+                f"floor={floor * 1e3:.1f}ms adj={adjusted[name]:.3f}s")
         except Exception as exc:  # noqa: BLE001 — one bad query must not kill the run
             log(f"bench: {name} FAILED: {exc}")
 
+    floors_sorted = sorted(floors)
+    floor_med = floors_sorted[len(floors_sorted) // 2]
     result = {
-        "metric": "headline_total_best",
-        "value": round(sum(times.values()), 4),
+        # Headline = overhead-adjusted total (VERDICT r4 item 2): each
+        # query's best time minus the per-action floor probed IMMEDIATELY
+        # before it, so a noisy host inflates neither the short queries nor
+        # the total. The raw best-of-N total is reported alongside — both
+        # are recorded artifacts; nothing is hidden.
+        "metric": "headline_total_minus_overhead",
+        "value": round(sum(adjusted.values()), 4),
         "unit": "sec",
         "queries": times,
+        "queries_minus_overhead": adjusted,
+        "value_raw": round(sum(times.values()), 4),
         "sf": sf,
         "n_queries": len(times),
         "cpus": int(os.environ.get("SPARK_GRAFT_CPUS", "32")),
-        # Overhead decomposition (BASELINE.md caveat): fixed per-action cost
-        # of a trivial cached scan, and the headline total with that floor
-        # subtracted per query — the data-dependent compute Spark actually did.
-        "fixed_overhead_sec": round(floor, 4),
-        "value_minus_overhead": round(
-            sum(max(t - floor, 0.0) for t in times.values()), 4
-        ),
+        # Floor telemetry: median + min/max across all inter-query probes
+        # (BASELINE.md caveat — fixed per-action cost of a trivial cached
+        # scan; r3 host measured 26 ms, r4 host 57 ms on identical code).
+        "fixed_overhead_sec": round(floor_med, 4),
+        "floor_min_sec": round(floors_sorted[0], 4),
+        "floor_max_sec": round(floors_sorted[-1], 4),
+        "value_minus_overhead": round(sum(adjusted.values()), 4),
     }
     print(json.dumps(result), flush=True)
 
