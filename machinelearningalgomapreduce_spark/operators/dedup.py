@@ -128,28 +128,42 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB, where only the estimate is affordable corpus-wide.
 
     Scale shape: the q_dedup_minhash candidate path (band-key shuffle
-    only) plus one 16-column equality sum per pair — the exact-Jaccard
-    verify join is already part of the dedup pipeline; at full scale the
+    only) plus one 16-column equality sum per pair. ONE join tree: each
+    side carries its signatures AND its shingle set, so estimate and
+    exact Jaccard come from the same two joins — the expensive band-bucket
+    candidate subtree appears exactly once in the plan (ADVICE r4: the old
+    shape built it twice and relied on exchange reuse). At full scale the
     audit runs on a candidate SAMPLE with identical plan shape."""
     t = load_tables(spark, sf_dir)
     base = _shingle_sets(t.documents)
-    sigs = _minhash_sigs(base)
-    cand = _lsh_candidates(sigs)
+    sigs = base.select(
+        "doc_id",
+        "sh",
+        *[minhash_sig(F.col("sh"), s).alias(f"sig{s}") for s in range(N_MINHASH)],
+    )
+    cand = _lsh_candidates(_minhash_sigs(base))
     sa = sigs.select(
-        F.col("doc_id").alias("doc_a"), *[F.col(f"sig{i}").alias(f"a{i}") for i in range(N_MINHASH)]
+        F.col("doc_id").alias("doc_a"),
+        F.col("sh").alias("sh_a"),
+        *[F.col(f"sig{i}").alias(f"a{i}") for i in range(N_MINHASH)],
     )
     sb = sigs.select(
-        F.col("doc_id").alias("doc_b"), *[F.col(f"sig{i}").alias(f"b{i}") for i in range(N_MINHASH)]
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+        *[F.col(f"sig{i}").alias(f"b{i}") for i in range(N_MINHASH)],
     )
     n_match = sum(
         (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_MINHASH)
     ).cast("bigint")
     est = F.round(F.col("n_match") / float(N_MINHASH), 6)
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    exact = F.round(inter.cast("double") / union, 6)
     return (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("n_match", n_match)
-        .join(_exact_jaccard(cand, base), ["doc_a", "doc_b"])
+        .withColumn("jaccard", exact)
         .select(
             "doc_a",
             "doc_b",

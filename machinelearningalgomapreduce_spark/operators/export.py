@@ -357,7 +357,10 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 10) -> list[tupl
                 counts[(a, b)] = counts.get((a, b), 0) + wc[w]
         if not counts:
             break
-        (a, b), score = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0] + kv[0][1]))
+        # Tie-break on the pair TUPLE (ADVICE r4): concatenation cannot
+        # distinguish ('ab','c') from ('a','bc') and would fall back to
+        # dict insertion order, which derives from a collect().
+        (a, b), score = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
         merges.append((a + b, score))
         for w, syms in symbols.items():
             out, i = [], 0

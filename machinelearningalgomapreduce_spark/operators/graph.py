@@ -366,6 +366,9 @@ def kcore_iterate(edges: DataFrame, k: int = 3, max_rounds: int = 50) -> DataFra
     O(1) convergence count only). Returns the surviving (u, v) edge set;
     core nodes are its endpoints."""
     cur = edges.localCheckpoint()
+    # Carry the previous round's count forward (ADVICE r4): cur's count is
+    # known from last round's nxt.count() — one Spark action per round.
+    n_cur = cur.count()
     for _ in range(max_rounds):
         deg = _directed_nbrs(cur).groupBy("node").agg(F.count("*").alias("deg"))
         alive = deg.filter(F.col("deg") >= k).select("node")
@@ -374,10 +377,11 @@ def kcore_iterate(edges: DataFrame, k: int = 3, max_rounds: int = 50) -> DataFra
             .join(alive.withColumnRenamed("node", "v"), "v", "left_semi")
             .localCheckpoint()
         )
-        n_cur, n_nxt = cur.count(), nxt.count()
+        n_nxt = nxt.count()
         cur = nxt
         if n_nxt == n_cur:
             return cur
+        n_cur = n_nxt
     raise RuntimeError(f"k-core did not converge within {max_rounds} rounds")
 
 

@@ -19,20 +19,30 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+# Per-path inferred-schema cache (ADVICE r4): the eager batch read exists
+# only to discover which timestamp ENCODING this fixture generation used;
+# one driver-side footer read per sf_dir per process is enough.
+_SCHEMA_CACHE: dict[str, "object"] = {}
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over the events parquet with the batch-identical
     timestamp normalization (sources/catalog.py::normalize_timestamp).
 
     FileStreamSource needs an explicit schema; take it from a one-file
-    batch read so the stream tolerates every fixture timestamp encoding
-    (INT64 nanos via nanosAsLong, TIMESTAMP_NTZ micros, plain TIMESTAMP)
-    exactly as the batch scan layer does."""
+    batch read (cached per sf_dir) so the stream tolerates every fixture
+    timestamp encoding (INT64 nanos via nanosAsLong, TIMESTAMP_NTZ micros,
+    plain TIMESTAMP) exactly as the batch scan layer does."""
     import os
 
     from machinelearningalgomapreduce_spark.sources.catalog import normalize_timestamp
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    path = os.path.join(sf_dir, "events.parquet")
+    raw_schema = _SCHEMA_CACHE.get(path)
+    if raw_schema is None:
+        raw_schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = raw_schema
     # The fixture is a single file and FileStreamSource requires a
     # directory: stream the parent dir filtered to just events.parquet.
     raw = (

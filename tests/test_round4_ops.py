@@ -420,8 +420,11 @@ def test_attribution_counts_partition_purchases(spark, sf_dir):
         load_tables(spark, sf_dir).events.filter(F.col("event_type") == "purchase").count()
     )
     assert total == n_purch  # every purchase attributed exactly once
+    # Fixture event-type vocabulary minus 'purchase' (a purchase is the
+    # conversion, never the credited touch), plus 'none' for history-opening
+    # purchases. (ADVICE r4: the old `| touches` made this tautological.)
     touches = {r.touch for r in rows}
-    assert touches <= {"view", "click", "add_to_cart", "search", "none"} | touches
+    assert touches <= {"view", "click", "error", "signup", "none"}
 
 
 def test_attribution_tiny_sequence(spark):
