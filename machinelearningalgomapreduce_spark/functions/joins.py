@@ -79,3 +79,29 @@ def salted_join(
         SALT_COL, F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
     ).withColumn(SALT_COL, F.col(SALT_COL).cast("bigint"))
     return salted_big.join(salted_small, [on, SALT_COL], how).drop(SALT_COL)
+
+
+def pre_partition_small_tier(
+    df: DataFrame, sf_dir: str, outer_keys: list[str], fits_until_sf: float = 0.5
+) -> DataFrame:
+    """Pre-partition a two-level aggregation's input by its OUTER grouping
+    keys — but only at small scale factors.
+
+    A two-level exact-distinct aggregation (groupBy(outer..., member) →
+    groupBy(outer...)) plans two exchanges. Hash-partitioning the input on
+    the outer keys first satisfies ClusteredDistribution for BOTH
+    aggregations (the outer keys are a subset of the inner grouping keys),
+    so Catalyst plans exactly ONE exchange — measured worth one ~30-60 ms
+    stage floor per query on the bench tier, where the whole input is a few
+    cached MB.
+
+    This trades map-side combining away: the explicit repartition moves RAW
+    rows, not pre-aggregated partials, and concentrates each outer key on
+    one reducer. At 100 TB that is exactly wrong (hot outer keys, full-data
+    shuffle), so above `fits_until_sf` the input is returned unchanged and
+    the skew-safe two-level shape keeps its two combine-friendly exchanges —
+    the same provable-size gating discipline as broadcast_if_small.
+    """
+    if sf_of(sf_dir) <= fits_until_sf:
+        return df.repartition(*[F.col(k) for k in outer_keys])
+    return df

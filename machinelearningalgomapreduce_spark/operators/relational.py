@@ -24,7 +24,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from machinelearningalgomapreduce_spark.functions.joins import broadcast_if_small
+from machinelearningalgomapreduce_spark.functions.joins import (
+    broadcast_if_small,
+    pre_partition_small_tier,
+)
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
 
@@ -394,9 +397,12 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact distinct count per group via two-level aggregation (distinct
     keys pre-aggregated, then counted) — avoids the distinct-agg Expand
-    that doubles rows before the first shuffle; same exact results."""
+    that doubles rows before the first shuffle; same exact results.
+    Small tiers pre-partition on event_type so both levels share ONE
+    exchange (functions/joins.py::pre_partition_small_tier)."""
     t = load_tables(spark, sf_dir)
-    per_user = t.events.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
+    ev = pre_partition_small_tier(t.events, sf_dir, ["event_type"])
+    per_user = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("n"))
     return per_user.groupBy("event_type").agg(
         F.count("*").alias("n_users"),
         F.sum("n").alias("n_events"),

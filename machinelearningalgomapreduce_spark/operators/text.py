@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from machinelearningalgomapreduce_spark.functions.hashing import shingles
+from machinelearningalgomapreduce_spark.functions.joins import pre_partition_small_tier
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
 # Tiny function-word lexicon for the language-ID heuristic. The fixture
@@ -49,9 +50,11 @@ def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-agg rewrite Expands every exploded token row ×2 before the
     first shuffle. Pre-aggregating per (token, doc) shuffles narrower,
     already-combined rows; n_occurrences = exact integer partial sums, so
-    results are identical."""
+    results are identical. Small tiers pre-partition on token so both
+    levels share ONE exchange (joins.py::pre_partition_small_tier)."""
     t = load_tables(spark, sf_dir)
     tok = t.documents.select("doc_id", F.explode(_tokens()).alias("token"))
+    tok = pre_partition_small_tier(tok, sf_dir, ["token"])
     per_doc = tok.groupBy("token", "doc_id").agg(F.count("*").alias("n"))
     return per_doc.groupBy("token").agg(
         F.sum("n").alias("n_occurrences"),

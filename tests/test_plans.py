@@ -252,3 +252,33 @@ def test_mannwhitney_window_input_is_distinct_values(spark, sf_dir, queries):
     plan = P.formatted_plan(queries["q_mannwhitney"](spark, sf_dir))
     assert plan.count("HashAggregate") >= 2
     assert "Window" in plan
+
+
+def test_headline_exchange_budget_snapshot(spark, sf_dir, queries):
+    """Plan-shape regression guard for the bench set (VERDICT r4 item 9):
+    every headline query's shuffle-exchange count is snapshot here so a
+    future rewrite cannot silently re-add a stage barrier. The budgets are
+    the MEASURED counts of the round-5 plans (bench tier: the two-level
+    aggregations collapse to one exchange via pre_partition_small_tier;
+    q_kmeans_assign's 3 are inside the k-row centroid aggregate, not on
+    the embeddings side)."""
+    budget = {
+        "q_pricing_summary": 1,
+        "q_join3_topk": 1,
+        "q_join5_region": 1,
+        "q_filter_agg": 1,
+        "q_window_rank": 1,
+        "q_events_tumbling": 1,
+        "q_distinct_users": 1,
+        "q_wordcount": 1,
+        "q_dedup_exact": 1,
+        "q_sessionize": 1,
+        "q_knn": 1,
+        "q_kmeans_assign": 3,
+    }
+    over = {}
+    for name, allowed in budget.items():
+        got = P.count_exchanges(queries[name](spark, sf_dir))
+        if got > allowed:
+            over[name] = (got, allowed)
+    assert not over, f"exchange budget exceeded (got, allowed): {over}"
