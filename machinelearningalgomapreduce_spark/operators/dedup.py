@@ -351,7 +351,17 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     semantics to cell-pruned would pass its own oracle while silently
     missing 86% of actual near-dups — the brute form is the honest oracle
     baseline, and `dedup_embedding_cell`'s recall is pytest-tracked
-    (tests/test_dedup_variants.py) so the trade-off is machine-recorded."""
+    (tests/test_dedup_variants.py) so the trade-off is machine-recorded.
+
+    Above BRUTE_MAX_SF the brute self-join REFUSES to run and routes to
+    the cell path (VERDICT r4 item 5: enforce the switch in code, not
+    prose) — at that scale the O(n²) form is not an option and the recall
+    trade-off is the price of admission, tracked by the recall tests."""
+    from machinelearningalgomapreduce_spark.functions.joins import sf_of
+    from machinelearningalgomapreduce_spark.operators.similarity import BRUTE_MAX_SF
+
+    if sf_of(sf_dir) > BRUTE_MAX_SF:
+        return dedup_embedding_cell(spark, sf_dir)
     t = load_tables(spark, sf_dir)
     # Per-vector norms precomputed; each candidate pair pays only the dot.
     e = t.embeddings.select("vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm"))

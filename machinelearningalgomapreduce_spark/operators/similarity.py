@@ -24,7 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from machinelearningalgomapreduce_spark.functions.vectors import dot, norm
+from machinelearningalgomapreduce_spark.functions.joins import sf_of
+from machinelearningalgomapreduce_spark.functions.vectors import dot, norm, sq_dist
 from machinelearningalgomapreduce_spark.operators.ml import (
     _ASSIGN_CTES,
     assign_nearest,
@@ -36,34 +37,30 @@ from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
 TOPK_PAIRS = 20
 ANN_QUERY_STRIDE = 100
 ANN_K = 3
+ANN_NPROBE = 2
+# Above this tier the O(n²) brute pair scans REFUSE to run and route to the
+# cell-pruned plan instead (VERDICT r4 item 5: the scale path must be
+# enforced by code, not prose). Fixture tiers (≤ sf0.1) stay brute — the
+# exact oracle baseline.
+BRUTE_MAX_SF = 0.5
 
 
-def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Global top-20 most-similar embedding pairs by cosine (brute force)."""
-    t = load_tables(spark, sf_dir)
-    # Norms precomputed per vector; the pairwise loop pays only the dot.
-    e = t.embeddings.select("vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm"))
-    a, b = e.alias("a"), e.alias("b")
-    cos = F.round(
+def _pair_cos() -> "F.Column":
+    return F.round(
         dot(F.col("a.embedding"), F.col("b.embedding"), EMBEDDING_DIM)
         / (F.col("a.vnorm") * F.col("b.vnorm")),
         6,
     )
-    return (
-        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            cos.alias("cos_sim"),
-        )
-        .orderBy(F.desc("cos_sim"), "id_a", "id_b")
-        .limit(TOPK_PAIRS)
-    )
 
 
-def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-pruned ANN: top-3 neighbors per query (every 100th id), searching
-    only the query's own coarse cell instead of the full corpus."""
+def sim_topk_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cell-pruned global top-k pairs — the 100 TB form of q_sim_topk.
+
+    Candidate pairs must share an IVF cell (coarse quantizer = the seeded
+    k-means assignment), so candidate generation is per-cell, never
+    all-pairs; the shuffle key is the cell id. Same output contract as the
+    brute query; recall vs brute is the q_sim_recall trade-off, measured
+    on a sample."""
     t = load_tables(spark, sf_dir)
     cells = assign_nearest(t.embeddings, label_centroids(t.embeddings), EMBEDDING_DIM).select(
         "vec_id", "cluster"
@@ -71,11 +68,88 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t.embeddings.join(cells, "vec_id").select(
         "vec_id", "embedding", "cluster", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm")
     )
-    q = e.filter(F.col("vec_id") % ANN_QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.col("cluster").alias("qcell"),
-        F.col("vnorm").alias("qnorm"),
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            _pair_cos().alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "id_a", "id_b")
+        .limit(TOPK_PAIRS)
+    )
+
+
+def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-20 most-similar embedding pairs by cosine.
+
+    Brute force at fixture tiers (exact — the oracle baseline); above
+    BRUTE_MAX_SF the O(n²) self-join is refused and the query routes to
+    the cell-pruned plan (sim_topk_cell), pytest-asserted via the plan."""
+    if sf_of(sf_dir) > BRUTE_MAX_SF:
+        return sim_topk_cell(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    # Norms precomputed per vector; the pairwise loop pays only the dot.
+    e = t.embeddings.select("vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm"))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            _pair_cos().alias("cos_sim"),
+        )
+        .orderBy(F.desc("cos_sim"), "id_a", "id_b")
+        .limit(TOPK_PAIRS)
+    )
+
+
+def q_sim_ann(spark: SparkSession, sf_dir: str, n_probe: int = ANN_NPROBE) -> DataFrame:
+    """IVF-pruned ANN: top-3 neighbors per query (every 100th id), searching
+    the query's `n_probe` nearest coarse cells instead of the full corpus.
+
+    Multi-probe (default 2, VERDICT r4 item 6): corpus vectors live in
+    their top-1 cell (assign_nearest — a min_by hash aggregate); only the
+    QUERY side ranks its centroid distances to take the top-n_probe cells
+    (a window over queries × k centroid rows — sample-sized). Each
+    candidate (query, neighbor) pair appears once because a neighbor has
+    exactly one home cell; `cell` reports the probed cell the neighbor was
+    found in. q_sim_recall quantifies what each probe buys."""
+    t = load_tables(spark, sf_dir)
+    cells = assign_nearest(t.embeddings, label_centroids(t.embeddings), EMBEDDING_DIM).select(
+        "vec_id", "cluster"
+    )
+    e = t.embeddings.join(cells, "vec_id").select(
+        "vec_id", "embedding", "cluster", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm")
+    )
+    cents = label_centroids(t.embeddings).select(F.col("label").alias("pcell"), "centroid")
+    wq = W.partitionBy("query_id").orderBy("dist2", "pcell")
+    qprobe = (
+        t.embeddings.filter(F.col("vec_id") % ANN_QUERY_STRIDE == 0)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .crossJoin(F.broadcast(cents))
+        .select(
+            "query_id",
+            "pcell",
+            F.round(sq_dist(F.col("embedding"), F.col("centroid"), EMBEDDING_DIM), 6).alias("dist2"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "pcell")
+    )
+    q = (
+        e.filter(F.col("vec_id") % ANN_QUERY_STRIDE == 0)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+            F.col("vnorm").alias("qnorm"),
+        )
+        .join(qprobe, "query_id")
     )
     cos = F.round(
         dot(F.col("qv"), F.col("embedding"), EMBEDDING_DIM)
@@ -84,11 +158,11 @@ def q_sim_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
-        q.join(e, (F.col("qcell") == F.col("cluster")) & (F.col("query_id") != F.col("vec_id")))
+        q.join(e, (F.col("pcell") == F.col("cluster")) & (F.col("query_id") != F.col("vec_id")))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.col("qcell").alias("cell"),
+            F.col("cluster").alias("cell"),
             cos.alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
@@ -197,10 +271,17 @@ ORACLES = {
             SELECT e.vec_id, e.embedding, a.cluster
             FROM embeddings e JOIN assigned a USING (vec_id)
         ), q AS (
-            SELECT vec_id AS query_id, embedding AS qv, cluster AS qcell
-            FROM cells WHERE vec_id % {ANN_QUERY_STRIDE} = 0
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id % {ANN_QUERY_STRIDE} = 0
+        ), qprobe AS (
+            SELECT query_id, pcell
+            FROM (SELECT vec_id AS query_id, cluster AS pcell,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY dist2, cluster) AS rn
+                  FROM scored WHERE vec_id % {ANN_QUERY_STRIDE} = 0)
+            WHERE rn <= {ANN_NPROBE}
         ), probe AS (
-            SELECT q.query_id, b.vec_id AS neighbor_id, q.qcell AS cell,
+            SELECT q.query_id, b.vec_id AS neighbor_id, b.cluster AS cell,
                    round(
                      list_sum(list_transform({_DIMS},
                          i -> CAST(q.qv[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
@@ -209,8 +290,9 @@ ORACLES = {
                       * sqrt(list_sum(list_transform({_DIMS},
                             i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
                      6) AS cos_sim
-            FROM q JOIN cells b
-              ON q.qcell = b.cluster AND q.query_id <> b.vec_id
+            FROM q
+            JOIN qprobe p ON p.query_id = q.query_id
+            JOIN cells b ON b.cluster = p.pcell AND q.query_id <> b.vec_id
         )
         SELECT query_id, neighbor_id, cell, cos_sim, CAST(rank AS INTEGER) AS rank
         FROM (SELECT *, row_number() OVER (PARTITION BY query_id
@@ -224,8 +306,15 @@ ORACLES = {
             SELECT e.vec_id, e.embedding, a.cluster
             FROM embeddings e JOIN assigned a USING (vec_id)
         ), q AS (
-            SELECT vec_id AS query_id, embedding AS qv, cluster AS qcell
-            FROM cells WHERE vec_id % {ANN_QUERY_STRIDE} = 0
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id % {ANN_QUERY_STRIDE} = 0
+        ), qprobe AS (
+            SELECT query_id, pcell
+            FROM (SELECT vec_id AS query_id, cluster AS pcell,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY dist2, cluster) AS rn
+                  FROM scored WHERE vec_id % {ANN_QUERY_STRIDE} = 0)
+            WHERE rn <= {ANN_NPROBE}
         ), brute AS (
             SELECT query_id, neighbor_id,
                    row_number() OVER (PARTITION BY query_id
@@ -253,8 +342,9 @@ ORACLES = {
                       * sqrt(list_sum(list_transform({_DIMS},
                             i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
                      6) AS cos_sim
-            FROM q JOIN cells b
-              ON q.qcell = b.cluster AND q.query_id <> b.vec_id
+            FROM q
+            JOIN qprobe p ON p.query_id = q.query_id
+            JOIN cells b ON b.cluster = p.pcell AND q.query_id <> b.vec_id
         ), ann AS (
             SELECT query_id, neighbor_id
             FROM (SELECT *, row_number() OVER (PARTITION BY query_id

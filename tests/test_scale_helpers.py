@@ -221,3 +221,100 @@ def test_quantile_cutpoint_segments_balanced_and_ordered(spark, sf_dir):
         assert rollup[s].lo >= rollup[s + 1].hi  # descending, non-overlapping bands
     for s, r in rollup.items():
         assert abs(r.n - n / k) <= 0.25 * n / k, (s, r.n, n)
+
+
+def _linked_fixture_dir(tmp_path, name: str) -> str:
+    """A fixture dir whose NAME claims a huge scale factor but whose parquet
+    files are symlinks to the smallest fixture — lets tests drive the
+    tier-gated code paths without big data."""
+    import os
+
+    from tests.conftest import SMOKE_SF_DIR
+
+    big = tmp_path / name
+    big.mkdir()
+    for f in os.listdir(SMOKE_SF_DIR):
+        os.symlink(os.path.join(SMOKE_SF_DIR, f), big / f)
+    return str(big)
+
+
+def test_sim_topk_routes_to_cell_plan_above_brute_bound(spark, sf_dir, tmp_path):
+    """VERDICT r4 item 5: the O(n²) brute pair scan must REFUSE to run
+    above BRUTE_MAX_SF and route to the cell-pruned plan — enforced by
+    code, not docstrings. The brute plan never mentions the quantizer;
+    the cell plan joins on it."""
+    from machinelearningalgomapreduce_spark.operators.similarity import q_sim_topk
+    from machinelearningalgomapreduce_spark.plans import inspect as P
+
+    brute_plan = P.formatted_plan(q_sim_topk(spark, sf_dir))
+    assert "cluster" not in brute_plan  # fixture tier: exact brute baseline
+
+    big_dir = _linked_fixture_dir(tmp_path, "sf100")
+    cell_df = q_sim_topk(spark, big_dir)
+    cell_plan = P.formatted_plan(cell_df)
+    assert "cluster" in cell_plan  # routed: candidates must share a cell
+    assert cell_df.columns == ["id_a", "id_b", "cos_sim"]  # same contract
+    assert cell_df.count() > 0
+
+
+def test_dedup_embedding_routes_to_cell_plan_above_brute_bound(spark, sf_dir, tmp_path):
+    from machinelearningalgomapreduce_spark.operators.dedup import (
+        dedup_embedding_cell,
+        q_dedup_embedding,
+    )
+    from machinelearningalgomapreduce_spark.plans import inspect as P
+
+    brute_plan = P.formatted_plan(q_dedup_embedding(spark, sf_dir))
+    assert "cluster" not in brute_plan and "cell" not in brute_plan
+
+    big_dir = _linked_fixture_dir(tmp_path, "sf100")
+    routed = q_dedup_embedding(spark, big_dir)
+    assert "cell" in P.formatted_plan(routed)
+    # Routed result IS the cell path's result (same rows at this fixture).
+    got = {tuple(r) for r in routed.collect()}
+    want = {tuple(r) for r in dedup_embedding_cell(spark, big_dir).collect()}
+    assert got == want
+
+
+def test_sim_ann_second_probe_strictly_improves_recall(spark):
+    """VERDICT r4 item 6: nprobe=2 must buy recall the single-cell probe
+    does not have, measured against the exact brute-force top-k at sf0.01
+    (the fixture where the 1-probe recall gap is known)."""
+    from pyspark.sql.window import Window as W
+
+    from machinelearningalgomapreduce_spark.functions.vectors import dot, norm
+    from machinelearningalgomapreduce_spark.operators import similarity as S
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+    from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
+
+    sf = "/root/testdata/sf0.01"
+    t = load_tables(spark, sf)
+    e = t.embeddings.select(
+        "vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm")
+    )
+    q = e.filter(F.col("vec_id") % S.ANN_QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("embedding"), EMBEDDING_DIM)
+        / (F.col("qnorm") * F.col("vnorm")),
+        6,
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    brute_topk = (
+        F.broadcast(q)
+        .join(e, F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= S.ANN_K)
+        .select("query_id", "neighbor_id")
+    )
+
+    def hits(n_probe: int) -> int:
+        ann = S.q_sim_ann(spark, sf, n_probe=n_probe).select("query_id", "neighbor_id")
+        return brute_topk.join(ann, ["query_id", "neighbor_id"], "left_semi").count()
+
+    r1, r2 = hits(1), hits(2)
+    assert r2 > r1, f"2-probe recall must strictly beat 1-probe: {r2} vs {r1}"
