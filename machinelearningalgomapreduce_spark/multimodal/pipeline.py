@@ -2,11 +2,15 @@
 
 Model: media lives in an opaque ``binary`` column with a typed metadata
 struct beside it; text and vectors are first-class columns joined by id.
-Real image/audio decoding libraries are not in this container, so the
-decode kernels are STUBS (clearly marked, raising NotImplementedError);
-everything Spark-side — schema, Arrow batch shape, mapInPandas plumbing,
-partitioning — is real and oracle-checked via a deterministic feature
-extractor (md5 + byte stats computed identically in DuckDB).
+The decode kernels are REAL pure-Python header parsers for the two
+container formats that need no library (BMP images, RIFF/WAV audio) —
+q_media_decode synthesizes deterministic payloads, round-trips them
+through encode→decode inside mapInPandas, and the oracle checks the
+decoded fields against their closed forms, so a wrong writer OR parser
+fails the hash. Compressed formats (JPEG/PNG/MP3/…) raise a clear
+ValueError naming the missing library; everything Spark-side — schema,
+Arrow batch shape, mapInPandas plumbing, partitioning — is identical for
+them.
 
 Scale notes: feature extraction is mapInPandas over Arrow batches — no
 shuffle, linear scan, Python cost amortized per-batch (not per-row). The
@@ -52,20 +56,92 @@ def attach_binary(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(payload: bytes):  # pragma: no cover - stub
-    """STUB: real decoder (PIL/libjpeg) is not in this container."""
-    raise NotImplementedError("image decode requires an imaging library")
+def encode_bmp(width: int, height: int, seed: int) -> bytes:
+    """Minimal 24-bpp uncompressed BMP (BITMAPINFOHEADER) with
+    deterministic pixel bytes — the fixture adapter for decode_image."""
+    import struct
+
+    stride = (3 * width + 3) // 4 * 4  # rows pad to 4 bytes
+    data_size = stride * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + data_size, 0, 0, 54
+    ) + struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0, data_size, 2835, 2835, 0, 0)
+    pixels = bytes((seed * 7 + i) % 256 for i in range(data_size))
+    return header + pixels
 
 
-def decode_audio(payload: bytes):  # pragma: no cover - stub
-    """STUB: real decoder (ffmpeg/soundfile) is not in this container."""
-    raise NotImplementedError("audio decode requires an audio library")
+def decode_image(payload: bytes) -> dict:
+    """Pure-Python BMP header decode: (width, height, bpp, n_bytes).
+
+    Only the uncompressed BMP container is parseable without an imaging
+    library; other magics raise ValueError naming what is needed."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError(
+            "unsupported image container (only BMP decodes without an "
+            "imaging library; JPEG/PNG need PIL or equivalent)"
+        )
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    return {
+        "format": "bmp",
+        "width": width,
+        "height": abs(height),  # negative height = top-down rows
+        "bpp": bpp,
+        "n_bytes": len(payload),
+    }
+
+
+def encode_wav(n_channels: int, sample_rate: int, n_samples: int, seed: int) -> bytes:
+    """Minimal PCM16 RIFF/WAVE with deterministic samples — the fixture
+    adapter for decode_audio."""
+    import struct
+
+    block_align = n_channels * 2
+    data_size = n_samples * block_align
+    hdr = struct.pack(
+        "<4sI4s4sIHHIIHH4sI",
+        b"RIFF", 36 + data_size, b"WAVE", b"fmt ", 16,
+        1, n_channels, sample_rate, sample_rate * block_align, block_align, 16,
+        b"data", data_size,
+    )
+    samples = struct.pack(
+        "<%dh" % (n_samples * n_channels),
+        *(((seed * 13 + i) % 65536) - 32768 for i in range(n_samples * n_channels)),
+    )
+    return hdr + samples
+
+
+def decode_audio(payload: bytes) -> dict:
+    """Pure-Python RIFF/WAV header decode: (channels, sample rate, bits,
+    sample count). Compressed codecs raise ValueError naming the need."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError(
+            "unsupported audio container (only RIFF/WAV decodes without an "
+            "audio library; MP3/OGG need ffmpeg or equivalent)"
+        )
+    fmt, n_channels, sample_rate = struct.unpack_from("<HHI", payload, 20)
+    (bits,) = struct.unpack_from("<H", payload, 34)
+    (data_size,) = struct.unpack_from("<I", payload, 40)
+    block_align = n_channels * bits // 8
+    return {
+        "format": "wav",
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "bits": bits,
+        "n_samples": data_size // block_align if block_align else 0,
+        "n_bytes": len(payload),
+    }
 
 
 def _extract_batches(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
     """Arrow-batched feature extraction. The md5/byte stats are the real
     deterministic part; the width/height/frames are a deterministic FAKE
-    standing in for the stubbed decoders (same arithmetic as the oracle)."""
+    stand-in feature columns (same arithmetic as the oracle); the real
+    header decoders are exercised by q_media_decode."""
     import hashlib
 
     for pdf in batches:
@@ -170,10 +246,72 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("modality", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_channels", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def _media_decode_batches(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
+    """Synthesize a real BMP or WAV payload per doc (parameters are doc_id
+    arithmetic), then run the REAL header decoders on the bytes. The
+    decoded values — not the synthesis parameters — are emitted, so a bug
+    in either the writer or the parser breaks the oracle match."""
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            if d % 2 == 0:
+                payload = encode_bmp(8 + d % 32, 8 + (d // 3) % 32, seed=d)
+                m = decode_image(payload)
+                rows.append(
+                    (d, "image", m["width"], m["height"], None, None, None, m["n_bytes"])
+                )
+            else:
+                payload = encode_wav(1 + d % 2, 8000 + (d % 4) * 4000, 16 + d % 64, seed=d)
+                m = decode_audio(payload)
+                rows.append(
+                    (d, "audio", None, None, m["n_channels"], m["sample_rate"],
+                     m["n_samples"], m["n_bytes"])
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "modality", "width", "height",
+                "n_channels", "sample_rate", "n_samples", "n_bytes",
+            ],
+        )
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real media decode round-trip over the corpus: every doc gets a
+    synthesized BMP (even ids) or PCM16 WAV (odd ids) payload whose
+    parameters are doc_id arithmetic; the payload bytes then pass through
+    the real pure-Python header decoders inside Arrow-batched mapInPandas.
+    The oracle recomputes each decoded field's closed form (including the
+    BMP row-stride padding and WAV block-align byte math), so the
+    encode→decode round-trip must be byte-faithful to pass."""
+    t = load_tables(spark, sf_dir)
+    return t.documents.select("doc_id").mapInPandas(
+        _media_decode_batches, schema=MEDIA_SCHEMA
+    )
+
+
 QUERIES = {
     "q_multimodal": q_multimodal,
     "q_multimodal_features": q_multimodal_features,
     "q_frame_sample": q_frame_sample,
+    "q_media_decode": q_media_decode,
 }
 
 ORACLES = {
@@ -218,6 +356,24 @@ ORACLES = {
                CAST(64 + strlen(text) % 512 AS BIGINT) AS fake_width,
                CAST(64 + (strlen(text) // 7) % 512 AS BIGINT) AS fake_height,
                CAST(1 + strlen(text) % 5 AS BIGINT) AS fake_frames
+        FROM documents
+    """,
+    # Closed forms of the decoded fields: BMP rows pad to 4 bytes
+    # (stride = (3w+3)//4*4, file = 54-byte headers + height*stride);
+    # WAV is 44 header bytes + n_samples * channels * 2 (PCM16).
+    "q_media_decode": """
+        SELECT doc_id,
+               CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS modality,
+               CASE WHEN doc_id % 2 = 0 THEN 8 + doc_id % 32 END AS width,
+               CASE WHEN doc_id % 2 = 0 THEN 8 + (doc_id // 3) % 32 END AS height,
+               CASE WHEN doc_id % 2 = 1 THEN 1 + doc_id % 2 END AS n_channels,
+               CASE WHEN doc_id % 2 = 1 THEN 8000 + (doc_id % 4) * 4000 END AS sample_rate,
+               CASE WHEN doc_id % 2 = 1 THEN 16 + doc_id % 64 END AS n_samples,
+               CASE WHEN doc_id % 2 = 0
+                    THEN 54 + (8 + (doc_id // 3) % 32)
+                             * ((3 * (8 + doc_id % 32) + 3) // 4 * 4)
+                    ELSE 44 + (16 + doc_id % 64) * (1 + doc_id % 2) * 2
+               END AS n_bytes
         FROM documents
     """,
 }

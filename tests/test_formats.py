@@ -137,3 +137,41 @@ def test_custom_python_datasource_deterministic(spark):
     assert (first.s, first.m) == (second.s, second.m)
     types = {r.event_type for r in df.select("event_type").distinct().collect()}
     assert types <= {"click", "view", "purchase", "signup", "error"}
+
+
+def test_bmp_codec_round_trip():
+    from machinelearningalgomapreduce_spark.multimodal.pipeline import (
+        decode_image,
+        encode_bmp,
+    )
+
+    m = decode_image(encode_bmp(13, 7, seed=5))  # odd width exercises padding
+    assert (m["width"], m["height"], m["bpp"]) == (13, 7, 24)
+    assert m["n_bytes"] == 54 + 7 * ((3 * 13 + 3) // 4 * 4)
+
+
+def test_wav_codec_round_trip():
+    from machinelearningalgomapreduce_spark.multimodal.pipeline import (
+        decode_audio,
+        encode_wav,
+    )
+
+    m = decode_audio(encode_wav(2, 16000, 25, seed=9))
+    assert (m["n_channels"], m["sample_rate"], m["bits"], m["n_samples"]) == (
+        2, 16000, 16, 25,
+    )
+    assert m["n_bytes"] == 44 + 25 * 2 * 2
+
+
+def test_decoders_reject_unknown_containers():
+    import pytest
+
+    from machinelearningalgomapreduce_spark.multimodal.pipeline import (
+        decode_audio,
+        decode_image,
+    )
+
+    with pytest.raises(ValueError, match="imaging library"):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="audio library"):
+        decode_audio(b"ID3\x04" + b"\x00" * 64)
