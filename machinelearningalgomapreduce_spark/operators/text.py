@@ -374,6 +374,62 @@ def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PPL_KEEP_MAX = 31.0  # calibrated on the fixture: keeps ~85% (p90 ≈ 31.2)
+
+
+def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity filter (CCNet/Gopher-style pretraining quality gate):
+    score every document by its average add-one-smoothed bigram
+    log-probability under the CORPUS bigram LM, convert to perplexity,
+    and flag the high-perplexity tail for removal.
+
+    lp(w1 w2) = ln((c(w1 w2)+1) / (c(w1)+V)); ppl = exp(-avg(lp)).
+    The per-doc average is computed from an EXACT integer sum of
+    micro-unit lp values (round(lp,6) → ×1e6 → bigint): averaging
+    6-decimal values over small n lands on true decimal ties
+    (-74.918789/22 = -3.40539950...), where a 1-ulp float-sum-order
+    difference flips the rounded 6th decimal between engines (measured:
+    5/500 docs at sf0.001). Integer sums make both engines divide
+    identical numbers, so ties resolve identically.
+
+    Scale shape: the model tables (c2, c1, V) are n-gram-vocab-bounded,
+    never corpus-bounded; the doc-side probe is one shuffle of bigram
+    occurrences joined against them (broadcastable when the pruned model
+    fits, exactly like q_decontaminate's probe side). The per-doc rollup
+    shuffles (doc_id, lp) scalars. No O(n²) anywhere."""
+    t = load_tables(spark, sf_dir)
+    db = t.documents.select(
+        "doc_id", F.explode(shingles(F.col("text"), k=2)).alias("bigram")
+    )
+    c2 = db.groupBy("bigram").agg(F.count("*").alias("c2"))
+    tok = t.documents.select(F.explode(_tokens()).alias("token"))
+    c1 = tok.groupBy("token").agg(F.count("*").alias("c1"))
+    vocab = tok.agg(F.countDistinct("token").alias("v"))
+    lp = F.round(
+        F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v")).cast("double")), 6
+    )
+    scored = (
+        db.join(c2, "bigram")
+        .withColumn("w1", F.split("bigram", " ")[0])
+        .join(c1, F.col("w1") == F.col("token"))
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", F.round(lp * 1e6).cast("bigint").alias("lp_micro"))
+    )
+    avg_d = (F.col("sm").cast("double") / F.col("n_bigrams")) / F.lit(1e6)
+    ppl = F.round(F.exp(-avg_d), 6)
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n_bigrams"), F.sum("lp_micro").alias("sm"))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(avg_d, 6).alias("avg_logprob"),
+            ppl.alias("ppl"),
+            (ppl <= PPL_KEEP_MAX).alias("keep"),
+        )
+    )
+
+
 # PII patterns kept RE2-compatible (DuckDB) AND Java-regex-compatible
 # (Spark): character classes + bounded repetition only, no lookaround.
 PII_EMAIL_RE = r"[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"
@@ -617,6 +673,7 @@ QUERIES = {
     "q_repetition_filter": q_repetition_filter,
     "q_bm25": q_bm25,
     "q_ngram_lm": q_ngram_lm,
+    "q_perplexity_filter": q_perplexity_filter,
     "q_pii_scrub": q_pii_scrub,
     "q_cooccur_pmi": q_cooccur_pmi,
     "q_token_entropy": q_token_entropy,
@@ -827,6 +884,37 @@ ORACLES = {
         SELECT c2.bigram, c2.c2, c1.c1,
                round(ln((c2.c2 + 1) / CAST(c1.c1 + v.v AS DOUBLE)), 6) AS log_prob
         FROM c2 JOIN c1 ON c1.token = c2.w1 CROSS JOIN v
+    """,
+    "q_perplexity_filter": f"""
+        WITH bg AS (
+            SELECT doc_id, unnest(list_transform(
+                range(1, greatest(len(string_split(text, ' ')) - 1, 1) + 1),
+                i -> array_to_string((string_split(text, ' '))[i:i+1], ' '))) AS bigram
+            FROM documents
+        ), c2 AS (
+            SELECT bigram, count(*) AS c2 FROM bg GROUP BY bigram
+        ), tok AS (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ), c1 AS (
+            SELECT token, count(*) AS c1 FROM tok GROUP BY token
+        ), v AS (
+            SELECT count(DISTINCT token) AS v FROM tok
+        ), scored AS (
+            SELECT bg.doc_id,
+                   CAST(round(round(ln((c2.c2 + 1) / CAST(c1.c1 + v.v AS DOUBLE)), 6) * 1e6)
+                        AS BIGINT) AS lp_micro
+            FROM bg
+            JOIN c2 USING (bigram)
+            JOIN c1 ON c1.token = string_split(bg.bigram, ' ')[1]
+            CROSS JOIN v
+        )
+        SELECT doc_id,
+               count(*) AS n_bigrams,
+               round(CAST(sum(lp_micro) AS DOUBLE) / count(*) / 1e6, 6) AS avg_logprob,
+               round(exp(-(CAST(sum(lp_micro) AS DOUBLE) / count(*) / 1e6)), 6) AS ppl,
+               round(exp(-(CAST(sum(lp_micro) AS DOUBLE) / count(*) / 1e6)), 6)
+                   <= {PPL_KEEP_MAX} AS keep
+        FROM scored GROUP BY doc_id
     """,
     "q_pii_scrub": f"""
         WITH enriched AS (
