@@ -318,3 +318,17 @@ def test_sim_ann_second_probe_strictly_improves_recall(spark):
 
     r1, r2 = hits(1), hits(2)
     assert r2 > r1, f"2-probe recall must strictly beat 1-probe: {r2} vs {r1}"
+
+
+def test_pre_partition_small_tier_inert_above_bound(spark, sf_dir):
+    """Above the tier bound the helper must return the input UNCHANGED —
+    no repartition node, no forfeited map-side combine at scale."""
+    from machinelearningalgomapreduce_spark.functions.joins import (
+        pre_partition_small_tier,
+    )
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    ev = load_tables(spark, sf_dir).events
+    assert pre_partition_small_tier(ev, "/root/testdata/sf100", ["event_type"]) is ev
+    small = pre_partition_small_tier(ev, sf_dir, ["event_type"])
+    assert small is not ev
