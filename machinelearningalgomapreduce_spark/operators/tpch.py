@@ -1,0 +1,486 @@
+"""Classic decision-support query shapes (SURVEY.md §2B extension, round 5).
+
+Round 4 covered TPC-H Q1/Q3/Q4/Q5/Q6 shapes in relational.py; this module
+completes the classic benchmark surface with the remaining shapes the
+fixture schema can express (no partsupp table → Q2/Q11/Q16/Q20 are out of
+reach; no commit/receipt dates → Q12/Q21 likewise):
+
+- Q7  volume shipping        → q_volume_shipping
+- Q8  market share           → q_market_share
+- Q10 returned items         → q_returned_items
+- Q13 customer distribution  → q_custdist
+- Q14 promo revenue          → q_promo_revenue
+- Q15 top supplier (scalar subquery) → q_top_supplier
+- Q17 small-quantity revenue (correlated scalar subquery) → q_small_qty_revenue
+- Q18 large orders (HAVING subquery) → q_large_orders
+- Q19 disjunctive predicates → q_disjunctive_pred
+- Q22 idle customers (scalar subquery + windowed NOT EXISTS) → q_idle_customers
+  (adapted: the fixture has no c_phone and every customer has ≥1 order, so
+  "never ordered" becomes "no order since 1999-01-01" and cntrycode becomes
+  the nation name)
+
+Scale notes (100 TB posture): every query keeps the fact table (lineitem /
+orders) on the probe side and semi-reduces dimension chains to compact
+(key → attrs) relations before the fact scan touches them, the same
+discipline as q_join3_topk / q_join5_region. Broadcast hints are size-gated
+per tier via broadcast_if_small — above the bound the join stays
+declarative and AQE plans from runtime stats. Top-k uses orderBy+limit
+(TakeOrderedAndProject); bounded-domain sorts use tiny_sorted (no range
+exchange). Correlated scalar subqueries (Q15/Q17/Q22) are decorrelated by
+hand into aggregate + broadcast-join shapes — the same rewrite Catalyst's
+RewriteCorrelatedScalarSubquery performs, but explicit so the physical plan
+is pinned: the per-group aggregate is tiny (one row per part / one row
+global) and broadcasts, so the fact side never shuffles for the subquery.
+
+Float-determinism policy follows relational.py: money sums round to 2,
+ratios to 6; integral-double sums (l_quantity) are exact and stay unrounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from machinelearningalgomapreduce_spark.functions.joins import broadcast_if_small
+from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: customer order-count distribution via left join.
+
+    The filter on orders lives in the JOIN condition (not WHERE), so
+    order-less customers survive into the count with c_count = 0 — the
+    outer-join-then-double-aggregate shape Q13 exists to test. Both
+    aggregates are hash aggregates; the second one's input is at most
+    one row per customer, and its key domain (distinct order counts) is
+    tiny, so the final exchange moves a handful of rows at any scale.
+    """
+    t = load_tables(spark, sf_dir)
+    per_cust = (
+        t.customer.join(
+            t.orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            t.customer.c_custkey == t.orders.o_custkey,
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    dist = per_cust.groupBy("c_count").agg(F.count("*").alias("custdist"))
+    return tiny_sorted(dist, F.desc("custdist"), F.desc("c_count"))
+
+
+def q_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose lineitems total > 250 units.
+
+    The HAVING-subquery form becomes: aggregate lineitem by orderkey
+    (map-side partials, integral-double sum → exact), filter to the ~1%
+    that clear the bar, then join the now-tiny keys back to orders and
+    customer. The filtered aggregate is broadcast (size-gated): at any
+    scale the >250 survivors are a vanishing fraction of orders, so the
+    orders scan probes one small hash table and never shuffles.
+    TakeOrderedAndProject caps the result at 100.
+    """
+    t = load_tables(spark, sf_dir)
+    big = (
+        t.lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 250.0)
+    )
+    big = broadcast_if_small(big, sf_dir, fits_until_sf=1.0)
+    return (
+        t.orders.join(big, t.orders.o_orderkey == big.l_orderkey)
+        .join(t.customer, t.orders.o_custkey == t.customer.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                "o_totalprice", "sum_qty")
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(100)
+    )
+
+
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue lost to small-quantity orders.
+
+    The correlated scalar subquery (per-part 0.2×avg quantity) is
+    decorrelated into a per-part aggregate joined back to the fact rows.
+    Both the brand-filtered part keys and the per-part thresholds are
+    broadcast — one row per part, bounded by |part| ≪ |lineitem| at every
+    scale. avg(l_quantity) is exact (integral doubles, exact sums), so the
+    threshold comparison is bit-identical across engines.
+    """
+    t = load_tables(spark, sf_dir)
+    brand_parts = t.part.filter(F.col("p_brand") == "Brand#23").select("p_partkey")
+    fact = t.lineitem.join(
+        F.broadcast(brand_parts), t.lineitem.l_partkey == F.col("p_partkey")
+    )
+    thresholds = (
+        fact.groupBy("l_partkey")
+        .agg((F.avg("l_quantity") * 0.2).alias("qty_bar"))
+        .withColumnRenamed("l_partkey", "t_partkey")
+    )
+    return (
+        fact.join(F.broadcast(thresholds), fact.l_partkey == F.col("t_partkey"))
+        .filter(F.col("l_quantity") < F.col("qty_bar"))
+        .agg(F.coalesce(F.round(F.sum("l_extendedprice") / 7.0, 2), F.lit(0.0))
+             .alias("avg_yearly"))
+    )
+
+
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+
+    The scalar subquery (max over the revenue view) is a 1-row aggregate
+    broadcast against the same view — the revenue relation is computed
+    once per branch off a shared aggregate, |suppliers| rows at most, and
+    the max side is a single row, so the "self-join against a scalar" is
+    two tiny stages after one fact-table aggregate. Revenue is rounded to
+    2 before the max comparison so engine summation order cannot flip the
+    argmax.
+    """
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+    )
+    max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
+    out = (
+        rev.join(F.broadcast(max_rev),
+                 F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(t.supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+    # Ties at the max are a handful of rows at most: single-partition sort,
+    # never a range exchange (see relational.tiny_sorted).
+    return tiny_sorted(out, "s_suppkey")
+
+
+def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: top-20 customers by returned-item revenue.
+
+    Semi-reduction: orders(quarter) ⋈ customer ⋈ nation collapses to a
+    compact (orderkey → customer attrs) relation before the fact scan —
+    lineitem(returnflag='R') probes ONE broadcast hash table, grouped by
+    the carried customer attributes, TakeOrdered 20. The returnflag and
+    date filters both reach the parquet scans (pushdown-eligible
+    conjuncts on scan columns).
+    """
+    t = load_tables(spark, sf_dir)
+    dims = (
+        t.orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(t.customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("o_orderkey", "c_custkey", "c_name", "c_acctbal", "n_name")
+    )
+    dims = broadcast_if_small(dims, sf_dir, fits_until_sf=1.0)
+    return (
+        t.lineitem.filter(F.col("l_returnflag") == "R")
+        .join(dims, F.col("l_orderkey") == dims.o_orderkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share for one month.
+
+    part is broadcast into the month-filtered lineitem scan; the
+    conditional and unconditional sums ride the same single aggregate
+    (one pass, no join of two aggregates). Ratio rounds to 6.
+    """
+    t = load_tables(spark, sf_dir)
+    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    return (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
+        )
+        .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(F.round(F.sum(promo) * 100.0 / F.sum(_rev()), 6).alias("promo_share"))
+    )
+
+
+def q_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR-of-conjunction predicates across the join.
+
+    Catalyst extracts the common l_quantity bounds and pushes the
+    brand/size conjuncts to the part scan where possible; the three
+    OR-blocks evaluate post-join in one codegen stage. part broadcasts.
+    """
+    t = load_tables(spark, sf_dir)
+    joined = t.lineitem.join(
+        F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    block = lambda brand, max_size, lo, hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(1, max_size)
+        & F.col("l_quantity").between(lo, hi)
+    )
+    return (
+        joined.filter(
+            block("Brand#12", 5, 1, 11)
+            | block("Brand#23", 10, 10, 20)
+            | block("Brand#24", 15, 20, 30)
+        )
+        .agg(F.coalesce(F.round(F.sum(_rev()), 2), F.lit(0.0)).alias("revenue"))
+    )
+
+
+def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: bilateral trade volume between nation pairs by year.
+
+    Adapted to a 4-nation clique (the fixture's 2-nation pair is empty at
+    sf0.001). Suppliers and the orders→customer chain are independently
+    reduced to (suppkey → supp_nation) and (orderkey → cust_nation)
+    relations — both bounded by dim sizes — and broadcast; lineitem
+    probes both in one stage, then filters supp≠cust. Group key domain is
+    (4 nations)² × years → tiny_sorted, no range exchange.
+    """
+    t = load_tables(spark, sf_dir)
+    nations = ("NATION_1", "NATION_2", "NATION_3", "NATION_4")
+    nat = t.nation.filter(F.col("n_name").isin(*nations))
+    supp = (
+        t.supplier.join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_orders = (
+        t.customer.join(nat, F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(t.orders, F.col("c_custkey") == F.col("o_custkey"))
+        .select("o_orderkey", F.col("n_name").alias("cust_nation"))
+    )
+    supp = broadcast_if_small(supp, sf_dir, fits_until_sf=1.0)
+    cust_orders = broadcast_if_small(cust_orders, sf_dir, fits_until_sf=1.0)
+    agg = (
+        t.lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(cust_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("supp_nation") != F.col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation",
+                 F.year("l_shipdate").cast("int").alias("l_year"))
+        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+    )
+    return tiny_sorted(agg, "supp_nation", "cust_nation", "l_year")
+
+
+def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: one nation's share of a region's ECONOMY imports.
+
+    Two independent semi-reductions feed the fact scan: part(type) keys
+    and the ASIA orders→customer→nation→region chain collapse to
+    broadcastable relations; supplier carries its nation name in a third
+    broadcast. The share is a conditional-over-total ratio in ONE
+    aggregate keyed by year (≤ a handful of rows), rounded to 6.
+    """
+    t = load_tables(spark, sf_dir)
+    econ_parts = t.part.filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    asia_orders = (
+        t.region.filter(F.col("r_name") == "ASIA")
+        .join(t.nation, F.col("r_regionkey") == F.col("n_regionkey"))
+        .join(t.customer, F.col("n_nationkey") == F.col("c_nationkey"))
+        .join(t.orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") <= F.lit("1997-12-31").cast("timestamp"))),
+            F.col("c_custkey") == F.col("o_custkey"))
+        .select("o_orderkey", F.year("o_orderdate").cast("int").alias("o_year"))
+    )
+    supp_nat = (
+        t.supplier.join(t.nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    econ_parts = broadcast_if_small(econ_parts, sf_dir, fits_until_sf=1.0)
+    asia_orders = broadcast_if_small(asia_orders, sf_dir, fits_until_sf=1.0)
+    supp_nat = broadcast_if_small(supp_nat, sf_dir, fits_until_sf=1.0)
+    target = F.when(F.col("supp_nation") == "NATION_5", _rev()).otherwise(F.lit(0.0))
+    agg = (
+        t.lineitem
+        .join(econ_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(asia_orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(supp_nat, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("o_year")
+        .agg(F.round(F.sum(target) / F.sum(_rev()), 6).alias("mkt_share"))
+    )
+    return tiny_sorted(agg, "o_year")
+
+
+def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (adapted): wealthy customers gone quiet, by nation.
+
+    Q22's machinery intact — global scalar subquery (avg positive account
+    balance) + NOT EXISTS anti-join + group — with fixture-driven
+    adaptations: every customer has ≥1 order, so "never ordered" becomes
+    "no order since 1999-01-01", and the missing c_phone cntrycode becomes
+    the nation name. The scalar avg is a 1-row broadcast crossJoin (the
+    DistributedCache idiom); the anti-join's right side is date-filtered
+    before the join so the pushdown reaches the orders scan.
+    """
+    t = load_tables(spark, sf_dir)
+    avg_bal = (
+        t.customer.filter(F.col("c_acctbal") > 0.0)
+        .agg(F.avg("c_acctbal").alias("avg_bal"))
+    )
+    recent = t.orders.filter(
+        F.col("o_orderdate") >= F.lit("1999-01-01").cast("timestamp")
+    ).select("o_custkey")
+    agg = (
+        t.customer.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count("*").alias("numcust"),
+             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+    )
+    return tiny_sorted(agg, "n_name")
+
+
+QUERIES = {
+    "q_custdist": q_custdist,
+    "q_large_orders": q_large_orders,
+    "q_small_qty_revenue": q_small_qty_revenue,
+    "q_top_supplier": q_top_supplier,
+    "q_returned_items": q_returned_items,
+    "q_promo_revenue": q_promo_revenue,
+    "q_disjunctive_pred": q_disjunctive_pred,
+    "q_volume_shipping": q_volume_shipping,
+    "q_market_share": q_market_share,
+    "q_idle_customers": q_idle_customers,
+}
+
+ORACLES = {
+    "q_custdist": """
+        SELECT c_count, count(*) AS custdist
+        FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+              FROM customer LEFT JOIN orders
+                ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+              GROUP BY c_custkey)
+        GROUP BY c_count
+        ORDER BY custdist DESC, c_count DESC
+    """,
+    "q_large_orders": """
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+        FROM (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 250) big
+        JOIN orders ON o_orderkey = big.l_orderkey
+        JOIN customer ON c_custkey = o_custkey
+        ORDER BY o_totalprice DESC, o_orderkey
+        LIMIT 100
+    """,
+    "q_small_qty_revenue": """
+        SELECT coalesce(round(sum(l_extendedprice) / 7.0, 2), 0.0) AS avg_yearly
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#23'
+          AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+                            FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+    "q_top_supplier": """
+        WITH rev AS (
+            SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1996-04-01'
+            GROUP BY l_suppkey)
+        SELECT s_suppkey, s_name, total_revenue
+        FROM supplier JOIN rev ON s_suppkey = rev.l_suppkey
+        WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        ORDER BY s_suppkey
+    """,
+    "q_returned_items": """
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+          AND l_returnflag = 'R'
+        GROUP BY c_custkey, c_name, c_acctbal, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+    """,
+    "q_promo_revenue": """
+        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                                      THEN l_extendedprice * (1 - l_discount)
+                                      ELSE 0.0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+          AND l_shipdate < TIMESTAMP '1996-10-01'
+    """,
+    "q_disjunctive_pred": """
+        SELECT coalesce(round(sum(l_extendedprice * (1 - l_discount)), 2), 0.0) AS revenue
+        FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+               AND l_quantity BETWEEN 1 AND 11)
+           OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+               AND l_quantity BETWEEN 10 AND 20)
+           OR (p_brand = 'Brand#24' AND p_size BETWEEN 1 AND 15
+               AND l_quantity BETWEEN 20 AND 30)
+    """,
+    "q_volume_shipping": """
+        SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+        FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                     CAST(year(l_shipdate) AS INTEGER) AS l_year,
+                     l_extendedprice * (1 - l_discount) AS volume
+              FROM supplier
+              JOIN lineitem ON s_suppkey = l_suppkey
+              JOIN orders ON o_orderkey = l_orderkey
+              JOIN customer ON c_custkey = o_custkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              WHERE n1.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+                AND n2.n_name IN ('NATION_1','NATION_2','NATION_3','NATION_4')
+                AND n1.n_name <> n2.n_name
+                AND l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l_shipdate < TIMESTAMP '1998-01-01')
+        GROUP BY supp_nation, cust_nation, l_year
+        ORDER BY supp_nation, cust_nation, l_year
+    """,
+    "q_market_share": """
+        SELECT o_year,
+               round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0.0 END)
+                     / sum(volume), 6) AS mkt_share
+        FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                     l_extendedprice * (1 - l_discount) AS volume,
+                     n2.n_name AS nation
+              FROM lineitem
+              JOIN part ON p_partkey = l_partkey
+              JOIN supplier ON s_suppkey = l_suppkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n1 ON c_nationkey = n1.n_nationkey
+              JOIN region ON n1.n_regionkey = r_regionkey
+              JOIN nation n2 ON s_nationkey = n2.n_nationkey
+              WHERE r_name = 'ASIA'
+                AND o_orderdate >= TIMESTAMP '1996-01-01'
+                AND o_orderdate <= TIMESTAMP '1997-12-31'
+                AND p_type = 'ECONOMY')
+        GROUP BY o_year
+        ORDER BY o_year
+    """,
+    "q_idle_customers": """
+        SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+          AND NOT EXISTS (SELECT 1 FROM orders
+                          WHERE o_custkey = c_custkey
+                            AND o_orderdate >= TIMESTAMP '1999-01-01')
+        GROUP BY n_name
+        ORDER BY n_name
+    """,
+}

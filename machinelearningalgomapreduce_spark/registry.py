@@ -38,6 +38,7 @@ _MODULES = (
     "machinelearningalgomapreduce_spark.operators.incremental",
     "machinelearningalgomapreduce_spark.operators.paths",
     "machinelearningalgomapreduce_spark.operators.timeseries",
+    "machinelearningalgomapreduce_spark.operators.tpch",
 )
 
 # Per-query LATEST green driver round (from CORRECTNESS_r{N}.json on disk).
