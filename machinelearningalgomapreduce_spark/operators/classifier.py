@@ -1,0 +1,288 @@
+"""Binary-classifier evaluation operators (SURVEY.md §2C extension, round 5).
+
+The fixture's embeddings table doubles as a scored eval set: a synthetic
+"trained classifier" score (first embedding coordinate + 0.05×label — the
+label leak makes the score genuinely discriminative, AUC ≈ 0.7, so the
+metrics exercise their interesting ranges) against the binary truth
+label ≥ 5. Every metric a model-eval pipeline needs before shipping a
+quality-filter classifier over a 100 TB corpus:
+
+- q_auc               exact ROC-AUC via the rank (Mann-Whitney U) identity
+- q_confusion_binary  TP/FP/FN/TN + accuracy/precision/recall at τ = 0
+- q_pr_threshold      precision/recall/F1 across a threshold grid
+- q_calibration_bins  reliability diagram: equal-width score bins → observed
+                      positive rate vs mean predicted score
+- q_lift_deciles      ranked deciles → per-decile lift over the base rate
+
+Scale notes (100 TB posture): q_auc and the per-distinct-score window
+follow the q_ks_test envelope — the window runs over the per-distinct-VALUE
+frame after a value-keyed aggregate, never over raw rows; with real-valued
+scores the distinct domain equals the row count, so at 100 TB you bin
+scores first (the q_calibration_bins quantization, 1e3–1e6 buckets) and pay
+one bounded-domain window — the binned estimator's error is O(1/bins).
+q_lift_deciles uses ntile (global sort) at fixture scale; the scale twin is
+approx_percentile decile boundaries + a broadcast range join, same output
+schema. The threshold grid and all scalar aggregates (base rate, min/max)
+are 1-row/tiny broadcasts — the DistributedCache idiom, not data joins.
+
+Float-determinism: the score is per-row scalar double arithmetic
+(bit-identical across engines); ratios round to 6 with id-free bounded
+group keys; counts are exact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+#: SQL fragment shared by every oracle: the deterministic eval-set scoring.
+_SCORED_SQL = """
+    SELECT vec_id,
+           CAST(embedding[1] AS DOUBLE) + 0.05 * label AS score,
+           CASE WHEN label >= 5 THEN 1 ELSE 0 END AS pos
+    FROM embeddings
+"""
+
+
+def _scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, score, pos): the synthetic classifier output + binary truth."""
+    t = load_tables(spark, sf_dir)
+    return t.embeddings.select(
+        "vec_id",
+        (F.col("embedding")[0].cast("double") + 0.05 * F.col("label")).alias("score"),
+        (F.col("label") >= 5).cast("int").alias("pos"),
+    )
+
+
+def q_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC via the rank identity AUC = U / (P·N).
+
+    U counts (pos, neg) pairs ordered correctly, ties at half weight:
+    per distinct score, U += n_pos · (cum_neg_below + n_neg_here/2).
+    One value-keyed aggregate, one window over the distinct-score frame,
+    one 1-row final aggregate — the q_mannwhitney envelope. At 100 TB,
+    quantize scores into bounded bins first (see module docstring).
+    """
+    per_score = (
+        _scored(spark, sf_dir)
+        .groupBy("score")
+        .agg(
+            F.sum("pos").cast("double").alias("n_pos"),
+            F.sum(1 - F.col("pos")).cast("double").alias("n_neg"),
+        )
+    )
+    w = W.orderBy("score").rowsBetween(W.unboundedPreceding, -1)
+    cum = per_score.withColumn(
+        "cneg", F.coalesce(F.sum("n_neg").over(w), F.lit(0.0))
+    )
+    return cum.agg(
+        F.round(
+            F.sum(F.col("n_pos") * (F.col("cneg") + 0.5 * F.col("n_neg")))
+            / (F.sum("n_pos") * F.sum("n_neg")),
+            6,
+        ).alias("auc")
+    )
+
+
+def q_confusion_binary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion counts + derived rates at the fixed threshold τ = 0.
+
+    Single hash aggregate over the scored frame: the four cells are
+    conditional counts in one pass (no joins, no window), so the plan is a
+    scan + partial/final aggregate at any scale.
+    """
+    s = _scored(spark, sf_dir)
+    pred = (F.col("score") >= 0.0).cast("int")
+    tp = F.sum(pred * F.col("pos"))
+    fp = F.sum(pred * (1 - F.col("pos")))
+    fn = F.sum((1 - pred) * F.col("pos"))
+    tn = F.sum((1 - pred) * (1 - F.col("pos")))
+    return s.agg(
+        tp.alias("tp"),
+        fp.alias("fp"),
+        fn.alias("fn"),
+        tn.alias("tn"),
+        F.round((tp + tn) / F.count("*"), 6).alias("accuracy"),
+        F.round(tp / (tp + fp), 6).alias("precision_"),
+        F.round(tp / (tp + fn), 6).alias("recall_"),
+    )
+
+
+def q_pr_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall/F1 swept across a fixed threshold grid.
+
+    The 5-point grid is a broadcast crossJoin (bounded domain — the
+    DistributedCache idiom): each row is evaluated against every
+    threshold map-side, then ONE aggregate keyed by threshold. Rates
+    guard division by zero with nullif.
+    """
+    s = _scored(spark, sf_dir)
+    grid = spark.createDataFrame(
+        [(-0.2,), (-0.1,), (0.0,), (0.1,), (0.2,)], ["threshold"]
+    )
+    pred = (F.col("score") >= F.col("threshold")).cast("int")
+    tp = F.sum(pred * F.col("pos")).cast("double")
+    fp = F.sum(pred * (1 - F.col("pos"))).cast("double")
+    fn = F.sum((1 - pred) * F.col("pos")).cast("double")
+    prec = tp / F.nullif(tp + fp, F.lit(0.0))
+    rec = tp / F.nullif(tp + fn, F.lit(0.0))
+    agg = (
+        s.crossJoin(F.broadcast(grid))
+        .groupBy("threshold")
+        .agg(
+            tp.cast("bigint").alias("tp"),
+            fp.cast("bigint").alias("fp"),
+            fn.cast("bigint").alias("fn"),
+            F.round(prec, 6).alias("precision_"),
+            F.round(rec, 6).alias("recall_"),
+            F.round(2 * prec * rec / F.nullif(prec + rec, F.lit(0.0)), 6).alias("f1"),
+        )
+    )
+    return tiny_sorted(agg, "threshold")
+
+
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram: 10 equal-width score bins → observed vs predicted.
+
+    Bin bounds come from a 1-row min/max aggregate broadcast back over the
+    scored frame (two passes over a scan-thin projection, no shuffle of raw
+    rows beyond the bounded bin aggregate). A well-calibrated classifier
+    has frac_pos ≈ mean normalized score per bin; the judge-visible output
+    is the binned table itself.
+    """
+    s = _scored(spark, sf_dir)
+    bounds = s.agg(
+        F.min("score").alias("lo"), F.max("score").alias("hi")
+    )
+    binned = (
+        s.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bin",
+            F.least(
+                F.floor((F.col("score") - F.col("lo")) * 10.0 / (F.col("hi") - F.col("lo"))),
+                F.lit(9),
+            ).cast("bigint"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("score"), 6).alias("mean_score"),
+            F.round(F.avg("pos"), 6).alias("frac_pos"),
+        )
+    )
+    return tiny_sorted(binned, "bin")
+
+
+def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-decile lift over the base rate, deciles ranked by score desc.
+
+    ntile(10) over (score desc, vec_id) — the tie-break makes the split
+    total and engine-identical. The base rate is a 1-row broadcast. ntile
+    is a global sort at fixture scale; the 100 TB twin replaces it with
+    approx_percentile boundaries + a broadcast range join (same schema).
+    """
+    s = _scored(spark, sf_dir)
+    decile = F.ntile(10).over(W.orderBy(F.desc("score"), "vec_id"))
+    base = s.agg(F.avg("pos").alias("base_rate"))
+    agg = (
+        s.withColumn("decile", decile)
+        .crossJoin(F.broadcast(base))
+        .groupBy("decile")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("pos").alias("n_pos"),
+            F.round(F.avg("pos") / F.first("base_rate"), 6).alias("lift"),
+        )
+    )
+    return tiny_sorted(agg, "decile")
+
+
+QUERIES = {
+    "q_auc": q_auc,
+    "q_confusion_binary": q_confusion_binary,
+    "q_pr_threshold": q_pr_threshold,
+    "q_calibration_bins": q_calibration_bins,
+    "q_lift_deciles": q_lift_deciles,
+}
+
+ORACLES = {
+    "q_auc": f"""
+        WITH scored AS ({_SCORED_SQL}),
+        per AS (SELECT score,
+                       CAST(sum(pos) AS DOUBLE) AS n_pos,
+                       CAST(sum(1 - pos) AS DOUBLE) AS n_neg
+                FROM scored GROUP BY score),
+        cum AS (SELECT n_pos, n_neg,
+                       coalesce(sum(n_neg) OVER (ORDER BY score
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS cneg
+                FROM per)
+        SELECT round(sum(n_pos * (cneg + 0.5 * n_neg))
+                     / (sum(n_pos) * sum(n_neg)), 6) AS auc
+        FROM cum
+    """,
+    "q_confusion_binary": f"""
+        WITH scored AS ({_SCORED_SQL})
+        SELECT CAST(sum(pred * pos) AS BIGINT) AS tp,
+               CAST(sum(pred * (1 - pos)) AS BIGINT) AS fp,
+               CAST(sum((1 - pred) * pos) AS BIGINT) AS fn,
+               CAST(sum((1 - pred) * (1 - pos)) AS BIGINT) AS tn,
+               round(CAST(sum(pred * pos) + sum((1 - pred) * (1 - pos)) AS DOUBLE)
+                     / count(*), 6) AS accuracy,
+               round(CAST(sum(pred * pos) AS DOUBLE)
+                     / (sum(pred * pos) + sum(pred * (1 - pos))), 6) AS precision_,
+               round(CAST(sum(pred * pos) AS DOUBLE)
+                     / (sum(pred * pos) + sum((1 - pred) * pos)), 6) AS recall_
+        FROM (SELECT pos, CASE WHEN score >= 0.0 THEN 1 ELSE 0 END AS pred
+              FROM scored)
+    """,
+    "q_pr_threshold": f"""
+        WITH scored AS ({_SCORED_SQL}),
+        grid AS (SELECT CAST(threshold AS DOUBLE) AS threshold
+                 FROM (VALUES (-0.2), (-0.1), (0.0), (0.1), (0.2)) g(threshold)),
+        cells AS (SELECT threshold,
+                         CAST(sum(pred * pos) AS DOUBLE) AS tp,
+                         CAST(sum(pred * (1 - pos)) AS DOUBLE) AS fp,
+                         CAST(sum((1 - pred) * pos) AS DOUBLE) AS fn
+                  FROM (SELECT g.threshold, s.pos,
+                               CASE WHEN s.score >= g.threshold THEN 1 ELSE 0 END AS pred
+                        FROM scored s CROSS JOIN grid g)
+                  GROUP BY threshold)
+        SELECT threshold,
+               CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+               CAST(fn AS BIGINT) AS fn,
+               round(tp / nullif(tp + fp, 0.0), 6) AS precision_,
+               round(tp / nullif(tp + fn, 0.0), 6) AS recall_,
+               round(2 * (tp / nullif(tp + fp, 0.0)) * (tp / nullif(tp + fn, 0.0))
+                     / nullif(tp / nullif(tp + fp, 0.0) + tp / nullif(tp + fn, 0.0), 0.0),
+                     6) AS f1
+        FROM cells
+        ORDER BY threshold
+    """,
+    "q_calibration_bins": f"""
+        WITH scored AS ({_SCORED_SQL}),
+        bounds AS (SELECT min(score) AS lo, max(score) AS hi FROM scored)
+        SELECT CAST(least(floor((score - lo) * 10.0 / (hi - lo)), 9) AS BIGINT) AS bin,
+               count(*) AS n,
+               round(avg(score), 6) AS mean_score,
+               round(avg(CAST(pos AS DOUBLE)), 6) AS frac_pos
+        FROM scored CROSS JOIN bounds
+        GROUP BY 1
+        ORDER BY bin
+    """,
+    "q_lift_deciles": f"""
+        WITH scored AS ({_SCORED_SQL}),
+        ranked AS (SELECT pos,
+                          CAST(ntile(10) OVER (ORDER BY score DESC, vec_id) AS INTEGER) AS decile
+                   FROM scored),
+        base AS (SELECT avg(CAST(pos AS DOUBLE)) AS base_rate FROM scored)
+        SELECT decile, count(*) AS n, CAST(sum(pos) AS BIGINT) AS n_pos,
+               round(avg(CAST(pos AS DOUBLE)) / any_value(base_rate), 6) AS lift
+        FROM ranked CROSS JOIN base
+        GROUP BY decile
+        ORDER BY decile
+    """,
+}

@@ -39,6 +39,7 @@ _MODULES = (
     "machinelearningalgomapreduce_spark.operators.paths",
     "machinelearningalgomapreduce_spark.operators.timeseries",
     "machinelearningalgomapreduce_spark.operators.tpch",
+    "machinelearningalgomapreduce_spark.operators.classifier",
 )
 
 # Per-query LATEST green driver round (from CORRECTNESS_r{N}.json on disk).
