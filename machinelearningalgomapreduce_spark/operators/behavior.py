@@ -1,0 +1,291 @@
+"""Behavioral event analytics (SURVEY.md §2E extension, round 5).
+
+Product-analytics rollups over the events stream that round out the
+session family in operators/events.py:
+
+- q_bounce_rate    per-entry-event-type bounce share (1-event sessions)
+- q_gap_histogram  inter-event-gap distribution in bounded buckets
+- q_burstiness     per-user burstiness parameter B = (σ−μ)/(σ+μ) of gaps
+- q_sma_crossover  5/20 moving-average crossover counts per user
+
+Scale notes (100 TB posture): every query is ONE shuffle on user_id
+followed by ordered per-user passes (lag / running sums), then a bounded
+aggregate — the sessionize shape. No joins except 1-row/bounded-domain
+broadcasts. Gap arithmetic stays in exact integer micros/seconds
+(unix_micros), so bucket and burstiness inputs are engine-exact; the SMA
+uses cent-scaled BIGINT sums (values rounded to 2 decimals first), so
+crossover signs are integer comparisons — no float window-sum drift
+(DuckDB's segment-tree sliding aggregates don't sum in Spark's order, so
+double window sums are NOT bit-stable across engines; integers are).
+
+Burstiness B ∈ [−1, 1] (Goh & Barabási): −1 = perfectly periodic,
+0 = Poisson, → 1 = extremely bursty. Gap seconds ≤ 6×10⁵ and per-user
+event counts ≤ 10⁴ keep Σg² ≤ 4×10¹⁴ — exact in BIGINT and in double.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from machinelearningalgomapreduce_spark.operators.events import sessionize
+from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+#: Sessionize CTE shared by the bounce oracle — keep identical to
+#: operators/events.py's q_sessionize oracle (same gap, same tie-break).
+_SESS_SQL = """
+    WITH flagged AS (
+        SELECT event_id, user_id, ts, event_type,
+               CASE WHEN epoch_us(ts)
+                         - lag(epoch_us(ts))
+                           OVER (PARTITION BY user_id ORDER BY ts, event_id) > 30 * 60 * 1000000
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT event_id, user_id, ts, event_type,
+               sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS session_seq
+        FROM flagged
+    )
+"""
+
+
+def q_bounce_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounce rate by session entry event type.
+
+    Rides the sessionize window (one user_id shuffle); the per-session
+    rollup extracts the entry event with a struct-min over the unique
+    (ts, event_id) order — no second window, no self-join — then a
+    bounded aggregate keyed by entry type.
+    """
+    t = load_tables(spark, sf_dir)
+    per_session = (
+        sessionize(t.events)
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min(F.struct("ts", "event_id", "event_type"))
+            .getField("event_type")
+            .alias("entry_type"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    bounced = (F.col("n_events") == 1).cast("int")
+    agg = per_session.groupBy("entry_type").agg(
+        F.count("*").alias("n_sessions"),
+        F.sum(bounced).alias("n_bounce"),
+        F.round(F.avg(bounced), 6).alias("bounce_rate"),
+    )
+    return tiny_sorted(agg, "entry_type")
+
+
+def q_gap_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event-gap distribution in bounded buckets.
+
+    lag over the per-user order gives exact integer micro gaps; the
+    bucket domain is fixed (4 labels), so the final aggregate exchange
+    moves a handful of rows at any scale.
+    """
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap_us = us - F.lag(us).over(w)
+    g = F.col("gap_us")
+    bucket = (
+        F.when(g < 60 * 1_000_000, "a_under_1m")
+        .when(g < 5 * 60 * 1_000_000, "b_1m_5m")
+        .when(g < 30 * 60 * 1_000_000, "c_5m_30m")
+        .otherwise("d_over_30m")
+    )
+    agg = (
+        t.events.select(gap_us.alias("gap_us"))
+        .filter(F.col("gap_us").isNotNull())
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n_gaps"))
+    )
+    return tiny_sorted(agg, "bucket")
+
+
+def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 burstiest users: B = (σ−μ)/(σ+μ) over inter-event gaps.
+
+    Gaps floor to whole seconds (exact BIGINT), so Σg and Σg² are exact
+    integers in both engines; μ, σ, B derive from them with identical
+    IEEE ops. Population σ via E[g²]−E[g]². Users need ≥ 30 gaps (B is
+    noise below that). TakeOrdered 20 with (B desc, user_id) tie-break.
+    """
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts"))
+    gap_s = ((us - F.lag(us).over(w)) / F.lit(1_000_000)).cast("bigint")
+    per_user = (
+        t.events.select("user_id", gap_s.alias("g"))
+        .filter(F.col("g").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.sum("g").alias("sg"),
+            F.sum(F.col("g") * F.col("g")).alias("sg2"),
+        )
+        .filter(F.col("n_gaps") >= 30)
+    )
+    mean = F.col("sg") / F.col("n_gaps")
+    var = F.col("sg2") / F.col("n_gaps") - mean * mean
+    sigma = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return (
+        per_user.select(
+            "user_id",
+            "n_gaps",
+            F.round((sigma - mean) / (sigma + mean), 6).alias("burstiness"),
+        )
+        .orderBy(F.desc("burstiness"), "user_id")
+        .limit(20)
+    )
+
+
+def q_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5/20 moving-average crossover counts per user (top 20).
+
+    Signals on integer arithmetic: values floor to cents (BIGINT), the
+    5- and 20-row sums come from prefix-sum differences, and the sign of
+    SMA5−SMA20 is the sign of 4·sum5−sum20 — all integers, so crossing
+    detection is bit-free of float window-sum drift. A crossover is a
+    sign CHANGE between consecutive full-frame rows (zeros pass through:
+    sign must flip −↔+ to count).
+    """
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    # floor, not round-then-cast: DuckDB CAST rounds while Spark truncates;
+    # floor's output is an exact integer-valued double in both engines.
+    cents = F.floor(F.col("value") * 100)
+    seq = F.row_number().over(w)
+    cum = F.sum(cents.cast("bigint")).over(w.rowsBetween(W.unboundedPreceding, 0))
+    base = t.events.select(
+        "user_id", seq.alias("seq"), cum.alias("cum")
+    )
+    wu = W.partitionBy("user_id").orderBy("seq")
+    sum5 = F.col("cum") - F.lag("cum", 5).over(wu)
+    sum20 = F.col("cum") - F.lag("cum", 20).over(wu)
+    sig = F.signum((4 * sum5 - sum20).cast("double"))
+    signed = base.select(
+        "user_id", "seq", sig.alias("sig")
+    ).filter(F.col("sig").isNotNull())
+    flip = (
+        (F.col("sig") * F.lag("sig").over(wu) < 0).cast("int")
+    )
+    agg = (
+        signed.select("user_id", "seq", flip.alias("flip"))
+        .filter(F.col("flip").isNotNull())
+        .groupBy("user_id")
+        .agg(F.sum("flip").alias("n_crossovers"), F.count("*").alias("n_signals"))
+    )
+    return agg.orderBy(F.desc("n_crossovers"), "user_id").limit(20)
+
+
+QUERIES = {
+    "q_bounce_rate": q_bounce_rate,
+    "q_gap_histogram": q_gap_histogram,
+    "q_burstiness": q_burstiness,
+    "q_sma_crossover": q_sma_crossover,
+}
+
+ORACLES = {
+    "q_bounce_rate": _SESS_SQL + """,
+        entry AS (
+            SELECT user_id, session_seq, event_type
+            FROM (SELECT user_id, session_seq, event_type,
+                         row_number() OVER (PARTITION BY user_id, session_seq
+                                            ORDER BY ts, event_id) AS rn
+                  FROM sess)
+            WHERE rn = 1
+        ),
+        cnt AS (
+            SELECT user_id, session_seq, count(*) AS n_events
+            FROM sess GROUP BY user_id, session_seq
+        )
+        SELECT e.event_type AS entry_type,
+               count(*) AS n_sessions,
+               CAST(sum(CASE WHEN n_events = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bounce,
+               round(avg(CASE WHEN n_events = 1 THEN 1.0 ELSE 0.0 END), 6) AS bounce_rate
+        FROM entry e JOIN cnt USING (user_id, session_seq)
+        GROUP BY 1
+        ORDER BY entry_type
+    """,
+    "q_gap_histogram": """
+        WITH gaps AS (
+            SELECT epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events
+        )
+        SELECT CASE WHEN gap_us < 60 * 1000000 THEN 'a_under_1m'
+                    WHEN gap_us < 5 * 60 * 1000000 THEN 'b_1m_5m'
+                    WHEN gap_us < 30 * 60 * 1000000 THEN 'c_5m_30m'
+                    ELSE 'd_over_30m' END AS bucket,
+               count(*) AS n_gaps
+        FROM gaps WHERE gap_us IS NOT NULL
+        GROUP BY 1
+        ORDER BY bucket
+    """,
+    "q_burstiness": """
+        WITH gaps AS (
+            SELECT user_id,
+                   (epoch_us(ts) - lag(epoch_us(ts))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id)) // 1000000 AS g
+            FROM events
+        ),
+        per_user AS (
+            SELECT user_id, count(*) AS n_gaps,
+                   CAST(sum(g) AS BIGINT) AS sg,
+                   CAST(sum(g * g) AS BIGINT) AS sg2
+            FROM gaps WHERE g IS NOT NULL
+            GROUP BY user_id
+            HAVING count(*) >= 30
+        )
+        SELECT user_id, n_gaps,
+               round((sqrt(greatest(CAST(sg2 AS DOUBLE) / n_gaps
+                                    - (CAST(sg AS DOUBLE) / n_gaps)
+                                      * (CAST(sg AS DOUBLE) / n_gaps), 0.0))
+                      - CAST(sg AS DOUBLE) / n_gaps)
+                     / (sqrt(greatest(CAST(sg2 AS DOUBLE) / n_gaps
+                                      - (CAST(sg AS DOUBLE) / n_gaps)
+                                        * (CAST(sg AS DOUBLE) / n_gaps), 0.0))
+                        + CAST(sg AS DOUBLE) / n_gaps), 6) AS burstiness
+        FROM per_user
+        ORDER BY burstiness DESC, user_id
+        LIMIT 20
+    """,
+    "q_sma_crossover": """
+        WITH base AS (
+            SELECT user_id,
+                   row_number() OVER w AS seq,
+                   sum(CAST(floor(value * 100) AS BIGINT))
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        signals AS (
+            SELECT user_id, seq,
+                   sign(CAST(4 * (cum - lag(cum, 5) OVER u)
+                             - (cum - lag(cum, 20) OVER u) AS DOUBLE)) AS sig
+            FROM base
+            WINDOW u AS (PARTITION BY user_id ORDER BY seq)
+        ),
+        flips AS (
+            SELECT user_id,
+                   CAST(sig * lag(sig) OVER (PARTITION BY user_id ORDER BY seq) < 0
+                        AS INTEGER) AS flip
+            FROM signals WHERE sig IS NOT NULL
+        )
+        SELECT user_id,
+               CAST(sum(flip) AS BIGINT) AS n_crossovers,
+               count(*) AS n_signals
+        FROM flips WHERE flip IS NOT NULL
+        GROUP BY user_id
+        ORDER BY n_crossovers DESC, user_id
+        LIMIT 20
+    """,
+}

@@ -40,6 +40,7 @@ _MODULES = (
     "machinelearningalgomapreduce_spark.operators.timeseries",
     "machinelearningalgomapreduce_spark.operators.tpch",
     "machinelearningalgomapreduce_spark.operators.classifier",
+    "machinelearningalgomapreduce_spark.operators.behavior",
 )
 
 # Per-query LATEST green driver round (from CORRECTNESS_r{N}.json on disk).
