@@ -410,7 +410,83 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOKEN_BUDGET = 10_000
+TRAIN_HEX = tuple("0123456789abc")  # 13/16 of md5 space ≈ 81% train
+
+
+def q_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum budget fill: admit the highest-quality documents first
+    until a global token budget is spent, then report what each source
+    contributed — the "best 10B tokens out of 100 TB" selection every
+    budgeted training run makes after scoring.
+
+    A document is admitted if it STARTS within the budget (cum − n_tok <
+    B over the (quality desc, doc_id) order), so the cut is a prefix of
+    the quality ranking and deterministic (quality_score is the shared
+    rounded composite from operators/text.py — never re-derived).
+
+    Scale shape: the global cumulative window is the fixture-scale plan;
+    at 100 TB you binary-search a quality threshold from a per-bucket
+    token histogram (bounded domain) and only window the knife-edge
+    bucket — same output, no global sort. Output is the per-source
+    rollup (bounded domain)."""
+    from machinelearningalgomapreduce_spark.operators.text import q_quality_score
+
+    t = load_tables(spark, sf_dir)
+    quality = q_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    docs = t.documents.select(
+        "doc_id", "source", F.size(_ws_tokens()).cast("bigint").alias("n_tok")
+    ).join(quality, "doc_id")
+    w = W.orderBy(F.desc("quality_score"), "doc_id")
+    admitted = (
+        docs.withColumn("cum", F.sum("n_tok").over(w.rowsBetween(W.unboundedPreceding, 0)))
+        .filter(F.col("cum") - F.col("n_tok") < TOKEN_BUDGET)
+    )
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    agg = admitted.groupBy("source").agg(
+        F.count("*").alias("n_docs_kept"),
+        F.sum("n_tok").alias("tokens_kept"),
+        F.round(F.min("quality_score"), 6).alias("min_quality_admitted"),
+    )
+    return tiny_sorted(agg, "source")
+
+
+def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic hash split (train ≈ 81% / test ≈ 19%) with per-source
+    stratification report: split membership is the first md5 hex digit of
+    a salted doc id — reproducible across engines, runs, partitionings,
+    and corpus growth (a doc never flips split when new data arrives,
+    unlike row_number or random splits).
+
+    Scale shape: per-row hash + one aggregate on the bounded
+    (source, split) domain; the within-source fraction comes from a
+    window over that already-aggregated frame (≤ sources × 2 rows)."""
+    t = load_tables(spark, sf_dir)
+    digit = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1)
+    split = F.when(digit.isin(*TRAIN_HEX), "train").otherwise("test")
+    per = (
+        t.documents.select(
+            "source",
+            split.alias("split"),
+            F.size(_ws_tokens()).cast("bigint").alias("n_tok"),
+        )
+        .groupBy("source", "split")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    wsrc = W.partitionBy("source")
+    out = per.withColumn(
+        "frac_docs",
+        F.round(F.col("n_docs") / F.sum("n_docs").over(wsrc), 6),
+    )
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    return tiny_sorted(out, "source", "split")
+
+
 QUERIES = {
+    "q_token_budget": q_token_budget,
+    "q_train_test_split": q_train_test_split,
     "q_cross_source_dups": q_cross_source_dups,
     "q_domain_mix": q_domain_mix,
     "q_group_sample": q_group_sample,
@@ -424,6 +500,24 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_token_budget": None,  # filled below: needs QUALITY_SCORE_SQL
+    "q_train_test_split": f"""
+        WITH per AS (
+            SELECT source,
+                   CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7','8','9','a','b','c')
+                        THEN 'train' ELSE 'test' END AS split,
+                   count(*) AS n_docs,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+            FROM documents
+            GROUP BY 1, 2
+        )
+        SELECT source, split, n_docs, n_tokens,
+               round(CAST(n_docs AS DOUBLE)
+                     / sum(n_docs) OVER (PARTITION BY source), 6) AS frac_docs
+        FROM per
+        ORDER BY source, split
+    """,
     "q_group_sample": f"""
         WITH h AS (
             SELECT source, doc_id, md5(CAST(doc_id AS VARCHAR)) AS h
@@ -602,4 +696,29 @@ ORACLES["q_cross_source_dups"] = f"""
            source_x != source_y AS cross_source
     FROM labeled
     GROUP BY source_x, source_y
+"""
+
+from machinelearningalgomapreduce_spark.operators.text import QUALITY_SCORE_SQL  # noqa: E402
+
+ORACLES["q_token_budget"] = f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               {QUALITY_SCORE_SQL} AS quality_score
+        FROM documents
+    ),
+    ranked AS (
+        SELECT source, n_tok, quality_score,
+               sum(n_tok) OVER (ORDER BY quality_score DESC, doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM scored
+    )
+    SELECT source,
+           count(*) AS n_docs_kept,
+           CAST(sum(n_tok) AS BIGINT) AS tokens_kept,
+           round(min(quality_score), 6) AS min_quality_admitted
+    FROM ranked
+    WHERE cum - n_tok < {TOKEN_BUDGET}
+    GROUP BY source
+    ORDER BY source
 """

@@ -470,6 +470,54 @@ def connected_components_star(edges: DataFrame, max_rounds: int = 30) -> DataFra
     )
 
 
+def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 local clustering coefficients over the repeat-co-purchase
+    graph: c(v) = 2·T(v) / (d(v)·(d(v)−1)) — the per-node "how clique-like
+    is my neighborhood" profile (community cores vs hubs) that complements
+    the global q_triangle_count summary.
+
+    Per-node triangle counts come from the ordered triangle set (x<y<z,
+    generated once by the same wedge+closure joins as q_triangle_count)
+    exploded to its three corners and aggregated. Degrees come from the
+    directed-neighbor union. All counts exact integers; the coefficient is
+    one rounded division. TakeOrdered 20 with (coeff desc, node) tie-break.
+
+    Scale notes: the support-floored edge set caps wedge fan-out; the
+    100 TB refinement is degree-ordered orientation (same plan, one extra
+    degree join) — identical to the q_triangle_count note.
+    """
+    edges = _repeat_copurchase_edges(spark, sf_dir)
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(e3, (F.col("e1.u") == F.col("e3.u")) & (F.col("e2.v") == F.col("e3.v")))
+        .select(
+            F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+        )
+    )
+    per_node_tri = (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("n_tri"))
+    )
+    deg = _directed_nbrs(edges).groupBy("node").agg(F.count("*").alias("degree"))
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(per_node_tri, "node", "left")
+        .withColumn("n_tri", F.coalesce(F.col("n_tri"), F.lit(0)))
+        .select(
+            "node",
+            "degree",
+            "n_tri",
+            F.round(
+                2.0 * F.col("n_tri") / (F.col("degree") * (F.col("degree") - 1)), 6
+            ).alias("coeff"),
+        )
+        .orderBy(F.desc("coeff"), "node")
+        .limit(20)
+    )
+
+
 def fpgrowth_fit(spark: SparkSession, sf_dir: str, min_support: float = 0.05):
     """Deeper itemsets via MLlib FPGrowth (library API, pytest-verified)."""
     from pyspark.ml.fpm import FPGrowth
@@ -487,6 +535,7 @@ QUERIES = {
     "q_label_prop_step": q_label_prop_step,
     "q_common_neighbors": q_common_neighbors,
     "q_kcore_step": q_kcore_step,
+    "q_clustering_coeff": q_clustering_coeff,
 }
 
 # Shared CTE: the distinct part co-purchase edge set (u < v), mirrored by
@@ -641,5 +690,33 @@ ORACLES = {
         FROM alive a
         JOIN deg0 d0 ON d0.node = a.node
         LEFT JOIN deg1 d1 ON d1.node = a.node
+    """,
+    "q_clustering_coeff": f"""
+        WITH {_REPEAT_EDGE_CTES},
+        tri AS (
+            SELECT e1.u AS x, e1.v AS y, e2.v AS z
+            FROM edges e1
+            JOIN edges e2 ON e1.v = e2.u
+            JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+        ),
+        corners AS (
+            SELECT x AS node FROM tri
+            UNION ALL SELECT y FROM tri
+            UNION ALL SELECT z FROM tri
+        ),
+        per_node_tri AS (
+            SELECT node, count(*) AS n_tri FROM corners GROUP BY node
+        ),
+        deg AS (
+            SELECT node, count(*) AS degree FROM nbrs GROUP BY node
+        )
+        SELECT d.node, d.degree,
+               CAST(coalesce(t.n_tri, 0) AS BIGINT) AS n_tri,
+               round(2.0 * coalesce(t.n_tri, 0)
+                     / (d.degree * (d.degree - 1)), 6) AS coeff
+        FROM deg d LEFT JOIN per_node_tri t ON t.node = d.node
+        WHERE d.degree >= 2
+        ORDER BY coeff DESC, d.node
+        LIMIT 20
     """,
 }
