@@ -398,7 +398,60 @@ def q_winsorize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA: does mean event `value` differ across event types?
+    F = (SSB/(k−1)) / (SSW/(N−k)) from per-group sufficient statistics
+    (n, Σx, Σx²) — completing the parametric family next to q_ab_test
+    (2 groups), q_mannwhitney (rank), q_chi2 (categorical), q_ks_test
+    (distributional).
+
+    Exactness: Σx and Σx² accumulate as DECIMAL(18,6) (the q_ab_test
+    pattern — order-independent, engine-identical); SSB/SSW/F/eta² are
+    derived doubles rounded to 6, well inside the error budget (the
+    group-sum cancellation leaves ~1e-12 relative error vs the 5e-7
+    rounding window).
+
+    Scale shape: ONE hash aggregate keyed by event type with map-side
+    partials, then O(k) arithmetic in a bounded final aggregate."""
+    t = load_tables(spark, sf_dir)
+    dec = F.col("value").cast("decimal(18,6)")
+    groups = t.events.groupBy("event_type").agg(
+        F.count("*").alias("n_g"),
+        F.sum(dec).alias("sx"),
+        F.sum(dec * dec).alias("sxx"),
+    )
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    n_g = F.col("n_g").cast("double")
+    # Per-group SSB terms round to 6 and re-enter DECIMAL before the
+    # cross-group sum, so every Σ over groups is exact (order-independent)
+    # — only the final scalar expressions are floating point.
+    sb_term = F.round(sx * sx / n_g, 6).cast("decimal(18,6)")
+    stats = groups.agg(
+        F.count("*").alias("k"),
+        F.sum("n_g").alias("n_total"),
+        F.sum("sx").alias("s_all"),
+        F.sum("sxx").alias("q_all"),
+        F.sum(sb_term).alias("sb_raw"),
+    )
+    n = F.col("n_total").cast("double")
+    k = F.col("k").cast("double")
+    sb_raw = F.col("sb_raw").cast("double")
+    s_all, q_all = F.col("s_all").cast("double"), F.col("q_all").cast("double")
+    ssb = sb_raw - s_all * s_all / n
+    ssw = q_all - sb_raw
+    fstat = (ssb / (k - 1)) / (ssw / (n - k))
+    return stats.select(
+        "k",
+        "n_total",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(fstat, 6).alias("f_stat"),
+        F.round(ssb / (ssb + ssw), 6).alias("eta_sq"),
+    )
+
+
 QUERIES = {
+    "q_anova": q_anova,
     "q_chi2": q_chi2,
     "q_ks_test": q_ks_test,
     "q_ab_test": q_ab_test,
@@ -411,6 +464,40 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_anova": """
+        WITH groups AS (
+            SELECT event_type, count(*) AS n_g,
+                   sum(CAST(value AS DECIMAL(18,6))) AS sx,
+                   sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS sxx
+            FROM events GROUP BY event_type
+        ),
+        stats AS (
+            SELECT count(*) AS k,
+                   CAST(sum(n_g) AS BIGINT) AS n_total,
+                   sum(sx) AS s_all,
+                   sum(sxx) AS q_all,
+                   sum(CAST(round(CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)
+                                  / CAST(n_g AS DOUBLE), 6) AS DECIMAL(18,6))) AS sb_raw
+            FROM groups
+        )
+        SELECT k, n_total,
+               round(CAST(sb_raw AS DOUBLE)
+                     - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n_total, 6)
+                   AS ss_between,
+               round(CAST(q_all AS DOUBLE) - CAST(sb_raw AS DOUBLE), 6) AS ss_within,
+               round(((CAST(sb_raw AS DOUBLE)
+                       - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n_total)
+                      / (k - 1.0))
+                     / ((CAST(q_all AS DOUBLE) - CAST(sb_raw AS DOUBLE))
+                        / (n_total - k)), 6) AS f_stat,
+               round((CAST(sb_raw AS DOUBLE)
+                      - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n_total)
+                     / ((CAST(sb_raw AS DOUBLE)
+                         - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n_total)
+                        + (CAST(q_all AS DOUBLE) - CAST(sb_raw AS DOUBLE))), 6)
+                   AS eta_sq
+        FROM stats
+    """,
     "q_chi2": f"""
         WITH cells AS (
             SELECT event_type,

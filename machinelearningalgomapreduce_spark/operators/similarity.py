@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from machinelearningalgomapreduce_spark.functions.joins import sf_of
-from machinelearningalgomapreduce_spark.functions.vectors import dot, norm, sq_dist
+from machinelearningalgomapreduce_spark.functions.vectors import dot, norm, sq_dist, sq_norm
 from machinelearningalgomapreduce_spark.operators.ml import (
     _ASSIGN_CTES,
     assign_nearest,
@@ -244,10 +244,85 @@ def brp_lsh_neighbors(
     )
 
 
+def q_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space class cohesion in O(n): per label, the mean pairwise
+    dot product WITHIN the class via the sum-vector identity
+    mean_dot = (|Σv|² − Σ|v|²) / (n(n−1)) — no pairwise join, ever.
+    The "is this embedding space separable by label" probe run before
+    trusting labels for IVF seeding or a classifier.
+
+    Exactness: per-coordinate sums and the two quadratic sums accumulate
+    as DECIMAL(18,6) of rounded terms (the q_ab_test pattern —
+    order-independent, engine-identical); the final ratio is a derived
+    double rounded to 6.
+
+    Scale shape: one posexplode aggregate keyed (label, dim) — bounded by
+    labels × dims — plus one per-row scalar aggregate keyed label. The
+    corpus shuffles compact partial sums only.
+    """
+    t = load_tables(spark, sf_dir)
+    dec6 = lambda c: F.round(c, 6).cast("decimal(18,6)")  # noqa: E731
+    coord_sums = (
+        t.embeddings.select("label", F.posexplode("embedding").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.sum(dec6(F.col("x").cast("double"))).alias("s_d"))
+    )
+    sumvec_sq = coord_sums.groupBy("label").agg(
+        F.sum(dec6(F.col("s_d").cast("double") * F.col("s_d").cast("double")))
+        .alias("sumvec_sq")
+    )
+    per_row = t.embeddings.select(
+        "label", sq_norm(F.col("embedding"), EMBEDDING_DIM).alias("sqn")
+    ).groupBy("label").agg(
+        F.count("*").alias("n"), F.sum(dec6(F.col("sqn"))).alias("sq_sum")
+    )
+    n = F.col("n").cast("double")
+    mean_dot = (
+        (F.col("sumvec_sq").cast("double") - F.col("sq_sum").cast("double"))
+        / (n * (n - 1))
+    )
+    out = per_row.join(sumvec_sq, "label").select(
+        "label", "n", F.round(mean_dot, 6).alias("within_mean_dot")
+    )
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    return tiny_sorted(out, "label")
+
+
+def q_norm_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector-norm profile: n, min/mean/max of the (rounded)
+    L2 norm — the embedding-sanity check (collapsed vectors, scale drift
+    between sources) run before any cosine pipeline.
+
+    min/max are order-independent on rounded per-row norms; the mean uses
+    the DECIMAL(18,6) sum pattern. One scan-side norm + one bounded
+    aggregate keyed label."""
+    t = load_tables(spark, sf_dir)
+    nrm = F.round(norm(F.col("embedding"), EMBEDDING_DIM), 6)
+    agg = (
+        t.embeddings.select("label", nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("nrm").alias("min_norm"),
+            F.round(
+                F.sum(F.col("nrm").cast("decimal(18,6)")).cast("double") / F.count("*"),
+                6,
+            ).alias("mean_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+    )
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    return tiny_sorted(agg, "label")
+
+
 QUERIES = {
     "q_sim_topk": q_sim_topk,
     "q_sim_ann": q_sim_ann,
     "q_sim_recall": q_sim_recall,
+    "q_class_separation": q_class_separation,
+    "q_norm_profile": q_norm_profile,
 }
 
 _DIMS = f"range(1, {EMBEDDING_DIM + 1})"
@@ -362,5 +437,50 @@ ORACLES = {
         LEFT JOIN ann a
           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
         GROUP BY t.query_id
+    """,
+    "q_class_separation": f"""
+        WITH coord_sums AS (
+            SELECT label, i.range AS d,
+                   sum(CAST(round(CAST(embedding[i.range] AS DOUBLE), 6)
+                            AS DECIMAL(18,6))) AS s_d
+            FROM embeddings CROSS JOIN {_DIMS} i
+            GROUP BY label, i.range
+        ),
+        sumvec AS (
+            SELECT label,
+                   sum(CAST(round(CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE), 6)
+                            AS DECIMAL(18,6))) AS sumvec_sq
+            FROM coord_sums GROUP BY label
+        ),
+        per_row AS (
+            SELECT label, count(*) AS n,
+                   sum(CAST(round(list_sum(list_transform({_DIMS},
+                            i -> CAST(embedding[i] AS DOUBLE)
+                                 * CAST(embedding[i] AS DOUBLE))), 6)
+                            AS DECIMAL(18,6))) AS sq_sum
+            FROM embeddings GROUP BY label
+        )
+        SELECT p.label, p.n,
+               round((CAST(s.sumvec_sq AS DOUBLE) - CAST(p.sq_sum AS DOUBLE))
+                     / (p.n * (p.n - 1.0)), 6) AS within_mean_dot
+        FROM per_row p JOIN sumvec s ON p.label = s.label
+        ORDER BY p.label
+    """,
+    "q_norm_profile": f"""
+        WITH norms AS (
+            SELECT label,
+                   round(sqrt(list_sum(list_transform({_DIMS},
+                        i -> CAST(embedding[i] AS DOUBLE)
+                             * CAST(embedding[i] AS DOUBLE)))), 6) AS nrm
+            FROM embeddings
+        )
+        SELECT label, count(*) AS n,
+               min(nrm) AS min_norm,
+               round(CAST(sum(CAST(nrm AS DECIMAL(18,6))) AS DOUBLE)
+                     / count(*), 6) AS mean_norm,
+               max(nrm) AS max_norm
+        FROM norms
+        GROUP BY label
+        ORDER BY label
     """,
 }

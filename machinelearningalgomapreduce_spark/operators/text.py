@@ -659,7 +659,43 @@ def tfidf_fit(spark: SparkSession, sf_dir: str, n_features: int = 1 << 10):
     return model, model.transform(tf)
 
 
+def q_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary richness per source: the hapax-legomena profile — how
+    many of a source's token occurrences are corpus-wide singletons. High
+    hapax rates flag noisy/OCR-ish sources; near-zero rates flag templated
+    or duplicated ones. Complements q_token_entropy (distribution shape)
+    and q_vocab_coverage (OOV vs a fixed top-k vocab).
+
+    Scale shape: one (source, token) aggregate, then the corpus count per
+    token comes from a window over the already-aggregated frame keyed by
+    token (sources-per-token rows, never raw occurrences) — one token
+    shuffle total; the final rollup is source-bounded. Exact integers;
+    the rate is one rounded division."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    per = (
+        t.documents.select("source", F.explode(_tokens()).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    corpus_n = F.sum("n").over(W.partitionBy("token"))
+    flagged = per.withColumn("hapax", (corpus_n == 1).cast("bigint"))
+    agg = flagged.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        F.sum(F.col("hapax") * F.col("n")).alias("n_hapax"),
+        F.round(
+            F.sum(F.col("hapax") * F.col("n")) / F.sum("n").cast("double"), 6
+        ).alias("hapax_rate"),
+        F.count("*").alias("n_distinct"),
+    )
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    return tiny_sorted(agg, "source")
+
+
 QUERIES = {
+    "q_hapax_rate": q_hapax_rate,
     "q_wordcount": q_wordcount,
     "q_inverted_index": q_inverted_index,
     "q_grep": q_grep,
@@ -700,6 +736,28 @@ QUALITY_SCORE_SQL = (
 )
 
 ORACLES = {
+    "q_hapax_rate": """
+        WITH per AS (
+            SELECT source, token, count(*) AS n
+            FROM (SELECT source, unnest(string_split(text, ' ')) AS token
+                  FROM documents)
+            GROUP BY source, token
+        ),
+        flagged AS (
+            SELECT source, n,
+                   CASE WHEN sum(n) OVER (PARTITION BY token) = 1
+                        THEN 1 ELSE 0 END AS hapax
+            FROM per
+        )
+        SELECT source,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(sum(hapax * n) AS BIGINT) AS n_hapax,
+               round(sum(hapax * n) / CAST(sum(n) AS DOUBLE), 6) AS hapax_rate,
+               count(*) AS n_distinct
+        FROM flagged
+        GROUP BY source
+        ORDER BY source
+    """,
     "q_wordcount": """
         SELECT token,
                count(*) AS n_occurrences,

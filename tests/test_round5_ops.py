@@ -87,3 +87,80 @@ def test_round5_export_plan_shapes(spark, sf_dir):
     plan = P.formatted_plan(G.q_clustering_coeff(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert P.uses_take_ordered(G.q_clustering_coeff(spark, sf_dir))
+
+
+def test_class_separation_matches_pairwise_recompute(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators import similarity as S
+
+    rows = {r.label: r for r in S.q_class_separation(spark, sf_dir).collect()}
+    vecs = load_tables(spark, sf_dir).embeddings.collect()
+    by_label: dict[int, list] = {}
+    for v in vecs:
+        by_label.setdefault(v.label, []).append([float(x) for x in v.embedding])
+    import itertools
+
+    for label, vs in by_label.items():
+        if len(vs) < 2:
+            continue
+        dots = [
+            sum(a * b for a, b in zip(x, y))
+            for x, y in itertools.combinations(vs, 2)
+        ]
+        expected = sum(dots) / len(dots)
+        got = rows[label].within_mean_dot
+        # The operator's sum-vector identity uses decimal-quantized partial
+        # sums; agreement to ~1e-4 proves the identity, not the quantizer.
+        assert abs(got - expected) < 1e-3, (label, got, expected)
+        assert rows[label].n == len(vs)
+
+
+def test_norm_profile_orders_and_counts(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators import similarity as S
+
+    rows = S.q_norm_profile(spark, sf_dir).collect()
+    assert sum(r.n for r in rows) == load_tables(spark, sf_dir).embeddings.count()
+    for r in rows:
+        assert r.min_norm <= r.mean_norm <= r.max_norm
+        assert r.min_norm > 0.0
+
+
+def test_anova_matches_python_recompute(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators import evaluation as E
+
+    r = E.q_anova(spark, sf_dir).collect()[0]
+    events = load_tables(spark, sf_dir).events.select("event_type", "value").collect()
+    groups: dict[str, list[float]] = {}
+    for e in events:
+        groups.setdefault(e.event_type, []).append(e.value)
+    n = sum(len(v) for v in groups.values())
+    k = len(groups)
+    grand = sum(sum(v) for v in groups.values()) / n
+    ssb = sum(len(v) * (sum(v) / len(v) - grand) ** 2 for v in groups.values())
+    ssw = sum(sum((x - sum(v) / len(v)) ** 2 for x in v) for v in groups.values())
+    f = (ssb / (k - 1)) / (ssw / (n - k))
+    assert r.k == k and r.n_total == n
+    assert abs(r.f_stat - f) < max(1e-4, abs(f) * 1e-5)
+    assert abs(r.eta_sq - ssb / (ssb + ssw)) < 1e-5
+    assert 0.0 <= r.eta_sq <= 1.0
+
+
+def test_hapax_rate_matches_python_recompute(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators import text as T
+
+    docs = load_tables(spark, sf_dir).documents.select("source", "text").collect()
+    corpus: dict[str, int] = {}
+    per_source_tokens: dict[str, int] = {}
+    per_source_tok: dict[str, list[str]] = {}
+    for d in docs:
+        toks = d.text.split(" ")
+        per_source_tokens[d.source] = per_source_tokens.get(d.source, 0) + len(toks)
+        per_source_tok.setdefault(d.source, []).extend(toks)
+        for t in toks:
+            corpus[t] = corpus.get(t, 0) + 1
+    rows = T.q_hapax_rate(spark, sf_dir).collect()
+    assert {r.source for r in rows} == set(per_source_tokens)
+    for r in rows:
+        expected_hapax = sum(1 for t in per_source_tok[r.source] if corpus[t] == 1)
+        assert r.n_tokens == per_source_tokens[r.source]
+        assert r.n_hapax == expected_hapax
+        assert abs(r.hapax_rate - expected_hapax / r.n_tokens) < 1e-6
