@@ -370,6 +370,41 @@ def kmeans_iterate(spark: SparkSession, sf_dir: str, n_iter: int = 5) -> DataFra
     return cents
 
 
+def kmeans_pp_init(spark: SparkSession, sf_dir: str, k: int = 10) -> list[int]:
+    """Deterministic k-means++-style seeding (farthest-first traversal,
+    library API): start from the minimum vec_id, then k−1 times pick the
+    point FARTHEST from its nearest chosen center (rounded distance,
+    min-id tie-break). The deterministic sibling of kmeans++'s D² sampling
+    — same coverage guarantee flavor (2-approximation for k-center),
+    reproducible across runs/partitionings, so the downstream
+    kmeans_iterate loop is fully deterministic end-to-end.
+
+    Returns the chosen seed vec_ids in selection order.
+
+    Scale shape: per round ONE broadcast-literal distance update and one
+    TakeOrdered(1) argmax over (mind desc, vec_id) — the running min-dist
+    column is the only state, updated incrementally (never recomputed
+    against all chosen centers). Driver holds O(k·d) floats. The growing
+    column-update lineage is truncated by localCheckpoint every 4 rounds.
+    """
+    t = load_tables(spark, sf_dir)
+    data = t.embeddings.select("vec_id", "embedding")
+    first = data.orderBy("vec_id").limit(1).collect()[0]
+    chosen = [first.vec_id]
+    center_vec = [float(x) for x in first.embedding]
+    state = data.withColumn("mind", F.lit(float("inf")))
+    for i in range(1, k):
+        lit_center = F.array(*[F.lit(x) for x in center_vec])
+        d2 = F.round(sq_dist(F.col("embedding"), lit_center, EMBEDDING_DIM), 6)
+        state = state.withColumn("mind", F.least(F.col("mind"), d2))
+        if i % 4 == 0:
+            state = state.localCheckpoint()
+        nxt = state.orderBy(F.desc("mind"), "vec_id").limit(1).collect()[0]
+        chosen.append(nxt.vec_id)
+        center_vec = [float(x) for x in nxt.embedding]
+    return chosen
+
+
 # ------------------------------------------------------- MLlib-backed fits
 # Library API only (pytest-verified): sketch/optimizer internals are not
 # cross-engine hashable, so these stay out of the driver contract.

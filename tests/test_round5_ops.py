@@ -164,3 +164,25 @@ def test_hapax_rate_matches_python_recompute(spark, sf_dir):
         assert r.n_tokens == per_source_tokens[r.source]
         assert r.n_hapax == expected_hapax
         assert abs(r.hapax_rate - expected_hapax / r.n_tokens) < 1e-6
+
+
+def test_kmeans_pp_init_matches_python_farthest_first(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.ml import kmeans_pp_init
+
+    k = 6
+    got = kmeans_pp_init(spark, sf_dir, k=k)
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_tables(spark, sf_dir).embeddings.collect()
+    }
+    chosen = [min(vecs)]
+    mind = {vid: float("inf") for vid in vecs}
+    for _ in range(k - 1):
+        c = vecs[chosen[-1]]
+        for vid, v in vecs.items():
+            d2 = round(sum((a - b) * (a - b) for a, b in zip(v, c)), 6)
+            mind[vid] = min(mind[vid], d2)
+        nxt = max(vecs, key=lambda vid: (mind[vid], -vid))
+        chosen.append(nxt)
+    assert got == chosen
+    assert len(set(got)) == k  # farthest-first never re-picks a center
