@@ -219,6 +219,70 @@ def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NDCG@k ranking-quality audit of the IVF path — recall@k
+    (q_sim_recall) says WHETHER the true neighbors were found; NDCG says
+    whether they were found IN THE RIGHT ORDER, the number that matters
+    when downstream consumers only look at the first result.
+
+    Relevance of an ANN result = (k − brute_rank + 1) if it is in the
+    exact brute top-k, else 0; DCG discounts by log2(position+1); IDCG is
+    the perfect-order constant. Both rankings use rounded cosine with id
+    tie-breaks, so they are engine-identical; the ≤k-term float sums sit
+    ~1e-16 relative, far inside the round-6 window.
+
+    Scale shape: identical to q_sim_recall — brute truth on the query
+    sample only, model-sized joins after."""
+    t = load_tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm")
+    )
+    q = e.filter(F.col("vec_id") % ANN_QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("embedding"), EMBEDDING_DIM)
+        / (F.col("qnorm") * F.col("vnorm")),
+        6,
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    brute = (
+        F.broadcast(q)
+        .join(e, F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+        .withColumn("brute_rank", F.row_number().over(w))
+        .filter(F.col("brute_rank") <= ANN_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            (ANN_K - F.col("brute_rank") + 1).alias("rel"),
+        )
+    )
+    ann = q_sim_ann(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+    gain = F.coalesce(F.col("rel"), F.lit(0)).cast("double") / F.log2(
+        F.col("rank").cast("double") + 1.0
+    )
+    dcg = (
+        ann.join(brute, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.sum(gain).alias("dcg"))
+    )
+    idcg = sum(
+        (F.lit(float(ANN_K - p + 1)) / F.log2(F.lit(float(p + 1))) for p in range(1, ANN_K + 1)),
+        F.lit(0.0),
+    )
+    queries_frame = brute.select("query_id").distinct()
+    return (
+        queries_frame.join(dcg, "query_id", "left")
+        .select(
+            "query_id",
+            F.round(F.coalesce(F.col("dcg"), F.lit(0.0)) / idcg, 6).alias("ndcg"),
+        )
+    )
+
+
 def brp_lsh_neighbors(
     spark: SparkSession, sf_dir: str, key_id: int = 0, k: int = 10
 ):
@@ -321,6 +385,7 @@ QUERIES = {
     "q_sim_topk": q_sim_topk,
     "q_sim_ann": q_sim_ann,
     "q_sim_recall": q_sim_recall,
+    "q_ndcg": q_ndcg,
     "q_class_separation": q_class_separation,
     "q_norm_profile": q_norm_profile,
 }
@@ -438,6 +503,57 @@ ORACLES = {
           ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
         GROUP BY t.query_id
     """,
+    "q_ndcg": f"""
+        WITH {{ASSIGN}},
+        cells AS (
+            SELECT e.vec_id, e.embedding, a.cluster
+            FROM embeddings e JOIN assigned a USING (vec_id)
+        ), q AS (
+            SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id % {ANN_QUERY_STRIDE} = 0
+        ), qprobe AS (
+            SELECT query_id, pcell
+            FROM (SELECT vec_id AS query_id, cluster AS pcell,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY dist2, cluster) AS rn
+                  FROM scored WHERE vec_id % {ANN_QUERY_STRIDE} = 0)
+            WHERE rn <= {ANN_NPROBE}
+        ), brute AS (
+            SELECT query_id, neighbor_id,
+                   row_number() OVER (PARTITION BY query_id
+                                      ORDER BY cos_sim DESC, neighbor_id) AS brute_rank
+            FROM (
+                SELECT q.query_id, b.vec_id AS neighbor_id,
+                       {{COS}} AS cos_sim
+                FROM q JOIN embeddings b ON q.query_id <> b.vec_id)
+        ), rel AS (
+            SELECT query_id, neighbor_id,
+                   {ANN_K} - brute_rank + 1 AS rel
+            FROM brute WHERE brute_rank <= {ANN_K}
+        ), probe AS (
+            SELECT q.query_id, b.vec_id AS neighbor_id, {{COS_CELL}} AS cos_sim
+            FROM q
+            JOIN qprobe p ON p.query_id = q.query_id
+            JOIN cells b ON b.cluster = p.pcell AND q.query_id <> b.vec_id
+        ), ann AS (
+            SELECT query_id, neighbor_id, rank
+            FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cos_sim DESC, neighbor_id) AS rank
+                  FROM probe)
+            WHERE rank <= {ANN_K}
+        ), dcg AS (
+            SELECT a.query_id,
+                   sum(CAST(coalesce(r.rel, 0) AS DOUBLE) / log2(a.rank + 1.0)) AS dcg
+            FROM ann a LEFT JOIN rel r USING (query_id, neighbor_id)
+            GROUP BY a.query_id
+        )
+        SELECT qq.query_id,
+               round(coalesce(d.dcg, 0.0)
+                     / (0.0 + 3.0 / log2(2.0) + 2.0 / log2(3.0) + 1.0 / log2(4.0)),
+                     6) AS ndcg
+        FROM (SELECT DISTINCT query_id FROM rel) qq
+        LEFT JOIN dcg d USING (query_id)
+    """,
     "q_class_separation": f"""
         WITH coord_sums AS (
             SELECT label, i.range AS d,
@@ -484,3 +600,21 @@ ORACLES = {
         ORDER BY label
     """,
 }
+
+# The q_ndcg oracle shares the recall oracle's building blocks; the
+# placeholders keep the f-string above readable.
+_COS_QB = f"""round(
+    list_sum(list_transform({_DIMS},
+        i -> CAST(q.qv[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+    / (sqrt(list_sum(list_transform({_DIMS},
+           i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE))))
+     * sqrt(list_sum(list_transform({_DIMS},
+           i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))),
+    6)"""
+
+ORACLES["q_ndcg"] = (
+    ORACLES["q_ndcg"]
+    .replace("{ASSIGN}", _ASSIGN_CTES)
+    .replace("{COS_CELL}", _COS_QB)
+    .replace("{COS}", _COS_QB)
+)

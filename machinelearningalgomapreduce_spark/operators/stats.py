@@ -47,6 +47,53 @@ def percentiles_approx(events: DataFrame) -> DataFrame:
     )
 
 
+def q_percentile_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for the quantile family: per event type, the
+    exact p50/p90/p99 PLUS a boolean that the mergeable approx_percentile
+    sketch (accuracy 10000 — the 100 TB single-pass path,
+    `percentiles_approx`) landed within tolerance. The q_dedup_minhash_est
+    / q_sim_recall discipline applied to quantiles: measure the sketch
+    before trusting it at scale.
+
+    Sketch outputs differ across engines by design, so the oracle emits
+    the exact values with literal TRUEs (the q_distinct_users_approx
+    pattern) — the hash matches iff the sketch really is close. The
+    assertion is a RANK window, not a value tolerance: the sketch's
+    guarantee is on rank error, and a value tolerance breaks at small
+    groups where the interpolated exact percentile sits in a wide gap
+    between order statistics (observed at sf0.001 p99). The approx value
+    must lie within [percentile(p−0.01), percentile(p+0.01)] — ±1% rank,
+    ~100× the sketch's bound at accuracy 10000."""
+    t = load_tables(spark, sf_dir)
+
+    def pct(p: float):
+        return F.expr(f"percentile(value, {p})")
+
+    base = t.events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.round(pct(0.5), 6).alias("p50"),
+        F.round(pct(0.9), 6).alias("p90"),
+        F.round(pct(0.99), 6).alias("p99"),
+        F.approx_percentile("value", F.lit(0.5), F.lit(10000)).alias("_a50"),
+        F.approx_percentile("value", F.lit(0.9), F.lit(10000)).alias("_a90"),
+        F.approx_percentile("value", F.lit(0.99), F.lit(10000)).alias("_a99"),
+        pct(0.49).alias("_lo50"), pct(0.51).alias("_hi50"),
+        pct(0.89).alias("_lo90"), pct(0.91).alias("_hi90"),
+        pct(0.98).alias("_lo99"), pct(1.0).alias("_hi99"),
+    )
+    ok = lambda a, lo, hi: F.col(a).between(F.col(lo), F.col(hi))  # noqa: E731
+    return base.select(
+        "event_type",
+        "n",
+        "p50",
+        "p90",
+        "p99",
+        ok("_a50", "_lo50", "_hi50").alias("p50_ok"),
+        ok("_a90", "_lo90", "_hi90").alias("p90_ok"),
+        ok("_a99", "_lo99", "_hi99").alias("p99_ok"),
+    )
+
+
 def q_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-width 10-bin histogram of order totals. Bin bounds come from
     a broadcast 1-row min/max aggregate; bin index is exact integer
@@ -406,6 +453,7 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES = {
     "q_quantile_normalize": q_quantile_normalize,
     "q_percentiles": q_percentiles,
+    "q_percentile_audit": q_percentile_audit,
     "q_histogram": q_histogram,
     "q_corr": q_corr,
     "q_profile": q_profile,
@@ -558,6 +606,16 @@ ORACLES = {
                round(quantile_cont(value, 0.5), 6) AS p50,
                round(quantile_cont(value, 0.9), 6) AS p90,
                round(quantile_cont(value, 0.99), 6) AS p99
+        FROM events
+        GROUP BY event_type
+    """,
+    "q_percentile_audit": """
+        SELECT event_type,
+               count(*) AS n,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99,
+               TRUE AS p50_ok, TRUE AS p90_ok, TRUE AS p99_ok
         FROM events
         GROUP BY event_type
     """,

@@ -186,3 +186,53 @@ def test_kmeans_pp_init_matches_python_farthest_first(spark, sf_dir):
         chosen.append(nxt)
     assert got == chosen
     assert len(set(got)) == k  # farthest-first never re-picks a center
+
+
+def test_ndcg_matches_python_recompute(spark, sf_dir):
+    import math
+
+    from machinelearningalgomapreduce_spark.operators import similarity as S
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_tables(spark, sf_dir).embeddings.collect()
+    }
+    norms = {vid: math.sqrt(sum(x * x for x in v)) for vid, v in vecs.items()}
+
+    def cos(a, b):
+        return round(
+            sum(x * y for x, y in zip(vecs[a], vecs[b])) / (norms[a] * norms[b]), 6
+        )
+
+    queries = [vid for vid in vecs if vid % S.ANN_QUERY_STRIDE == 0]
+    ann = {}
+    for r in S.q_sim_ann(spark, sf_dir).collect():
+        ann.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    k = S.ANN_K
+    idcg = sum((k - p + 1) / math.log2(p + 1) for p in range(1, k + 1))
+    expected = {}
+    for qid in queries:
+        ranked = sorted(
+            (v for v in vecs if v != qid), key=lambda v: (-cos(qid, v), v)
+        )[:k]
+        rel = {v: k - i for i, v in enumerate(ranked)}
+        dcg = sum(
+            rel.get(nid, 0) / math.log2(pos + 1)
+            for pos, nid in sorted(ann.get(qid, []))
+        )
+        expected[qid] = round(dcg / idcg, 6)
+    got = {r.query_id: r.ndcg for r in S.q_ndcg(spark, sf_dir).collect()}
+    assert got == expected
+    assert all(0.0 <= v <= 1.0 for v in got.values())
+
+
+def test_percentile_audit_sketch_is_accurate(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators import stats as ST
+
+    rows = ST.q_percentile_audit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # The sketch must hold its rank guarantee at every fixture tier —
+        # the whole point of the audit is that this is TRUE in practice.
+        assert r.p50_ok and r.p90_ok and r.p99_ok, r
+        assert r.p50 <= r.p90 <= r.p99
