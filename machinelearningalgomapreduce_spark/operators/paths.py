@@ -88,7 +88,90 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"q_bfs_levels": q_bfs_levels}
+def _weighted_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected weighted co-purchase edges: w = max(1, 10 − co-count),
+    so strongly co-purchased pairs are CHEAP to traverse. Exact integers
+    (distinct-order counts), deterministic in both engines."""
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    t = load_tables(spark, sf_dir)
+    parts = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    a, b = parts.alias("a"), parts.alias("b")
+    weighted = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.greatest(F.lit(1), F.lit(10) - F.count("*")).alias("w"))
+    )
+    return weighted.union(
+        weighted.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+
+
+def _relax(dist: DataFrame, edges: DataFrame) -> DataFrame:
+    """One Bellman-Ford relaxation: dist'(v) = min(dist(v), min over
+    in-edges (dist(u) + w)). One equi-join keyed on node + one min
+    aggregate — the per-round O(m) shape of every weighted-SSSP
+    MapReduce job."""
+    cand = (
+        edges.join(dist, edges.u == dist.node)
+        .select(F.col("v").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+    )
+    return (
+        dist.unionByName(cand)
+        .groupBy("node")
+        .agg(F.min("dist").alias("dist"))
+    )
+
+
+def sssp_iterate(spark: SparkSession, sf_dir: str, max_rounds: int = 20) -> DataFrame:
+    """Weighted single-source-set shortest paths to convergence (library
+    API): Bellman-Ford rounds until the (count, Σdist) pair stops moving —
+    exact integer convergence detection, the bfs_levels/pagerank_iterate
+    loop discipline (localCheckpoint lineage truncation, O(1) driver
+    state). Returns (node, dist) for reached nodes."""
+    edges = _weighted_edges(spark, sf_dir).localCheckpoint()
+    dist = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .filter(F.col("node") % BFS_SEED_MOD == 0)
+        .select("node", F.lit(0).cast("bigint").alias("dist"))
+    )
+    prev = None
+    for _ in range(max_rounds):
+        dist = _relax(dist, edges).localCheckpoint()
+        row = dist.agg(F.count("*").alias("n"), F.sum("dist").alias("s")).collect()[0]
+        cur = (row.n, row.s)
+        if cur == prev:
+            return dist
+        prev = cur
+    raise RuntimeError(f"sssp_iterate: not converged within {max_rounds} rounds")
+
+
+def q_sssp_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO Bellman-Ford relaxation rounds from the seed parts over the
+    weighted co-purchase graph (the SQL-expressible prefix of
+    sssp_iterate), rolled up as (dist, n_nodes) with unreached = −1.
+    All-integer arithmetic end to end; the weighted sibling of
+    q_bfs_levels."""
+    edges = _weighted_edges(spark, sf_dir).cache()
+    nodes = edges.select(F.col("u").alias("node")).distinct()
+    dist = nodes.filter(F.col("node") % BFS_SEED_MOD == 0).select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    )
+    dist = _relax(_relax(dist, edges), edges)
+    unreached = nodes.join(dist.select("node"), "node", "left_anti").select(
+        "node", F.lit(-1).cast("bigint").alias("dist")
+    )
+    return dist.unionByName(unreached).groupBy("dist").agg(
+        F.count("*").alias("n_nodes")
+    )
+
+
+QUERIES = {"q_bfs_levels": q_bfs_levels, "q_sssp_step": q_sssp_step}
 
 _EDGE_CTES = """parts AS (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
@@ -127,6 +210,46 @@ ORACLES = {
             UNION ALL
             SELECT n.node, -1 AS dist FROM nodes n
             WHERE n.node NOT IN (SELECT node FROM reached)
+        )
+        SELECT dist, count(*) AS n_nodes FROM allnodes GROUP BY dist
+    """,
+    "q_sssp_step": f"""
+        WITH parts AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), wdir AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v,
+                   greatest(1, 10 - count(*)) AS w
+            FROM parts a JOIN parts b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+        ), edges AS (
+            SELECT u, v, w FROM wdir
+            UNION ALL
+            SELECT v AS u, u AS v, w FROM wdir
+        ), nodes AS (
+            SELECT DISTINCT u AS node FROM edges
+        ), d0 AS (
+            SELECT node, CAST(0 AS BIGINT) AS dist
+            FROM nodes WHERE node % {BFS_SEED_MOD} = 0
+        ), d1 AS (
+            SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                SELECT node, dist FROM d0
+                UNION ALL
+                SELECT e.v AS node, d0.dist + e.w AS dist
+                FROM edges e JOIN d0 ON e.u = d0.node)
+            GROUP BY node
+        ), d2 AS (
+            SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+                SELECT node, dist FROM d1
+                UNION ALL
+                SELECT e.v AS node, d1.dist + e.w AS dist
+                FROM edges e JOIN d1 ON e.u = d1.node)
+            GROUP BY node
+        ), allnodes AS (
+            SELECT node, dist FROM d2
+            UNION ALL
+            SELECT n.node, CAST(-1 AS BIGINT) AS dist FROM nodes n
+            WHERE n.node NOT IN (SELECT node FROM d2)
         )
         SELECT dist, count(*) AS n_nodes FROM allnodes GROUP BY dist
     """,

@@ -236,3 +236,43 @@ def test_percentile_audit_sketch_is_accurate(spark, sf_dir):
         # the whole point of the audit is that this is TRUE in practice.
         assert r.p50_ok and r.p90_ok and r.p99_ok, r
         assert r.p50 <= r.p90 <= r.p99
+
+
+def test_sssp_iterate_matches_python_dijkstra(spark, sf_dir):
+    import heapq
+
+    from machinelearningalgomapreduce_spark.operators import paths as PA
+
+    edges = PA._weighted_edges(spark, sf_dir).collect()
+    adj: dict[int, list[tuple[int, int]]] = {}
+    nodes = set()
+    for e in edges:
+        adj.setdefault(e.u, []).append((e.v, e.w))
+        nodes.add(e.u)
+        nodes.add(e.v)
+    seeds = [n for n in nodes if n % PA.BFS_SEED_MOD == 0]
+    dist = {s: 0 for s in seeds}
+    heap = [(0, s) for s in seeds]
+    heapq.heapify(heap)
+    while heap:
+        d, u = heapq.heappop(heap)
+        if d > dist.get(u, float("inf")):
+            continue
+        for v, w in adj.get(u, []):
+            nd = d + w
+            if nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    got = {r.node: r.dist for r in PA.sssp_iterate(spark, sf_dir).collect()}
+    assert got == dist
+
+
+def test_sssp_step_is_a_prefix_of_the_fixpoint(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators import paths as PA
+
+    rows = {r.dist: r.n_nodes for r in PA.q_sssp_step(spark, sf_dir).collect()}
+    assert rows, "graph is non-empty"
+    # Seeds stay at distance 0, and two relaxation rounds never produce a
+    # distance below 0 or leave a seed unreached.
+    assert rows.get(0, 0) >= 1
+    assert all(d >= -1 for d in rows)
