@@ -518,6 +518,47 @@ def q_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the repeat-co-purchase graph: the Pearson
+    correlation of (deg(u), deg(v)) over both directions of every edge —
+    positive means hubs prefer hubs (social-network-like), negative means
+    hub-and-spoke (catalog-like). The one-number structural fingerprint
+    that decides whether degree-based partitioning will skew.
+
+    All sufficient statistics (n, Σx, Σy, Σxy, Σx², Σy²) are exact
+    integers over the directed edge set (both orientations, the standard
+    formulation — symmetric, so Σx = Σy); the coefficient is one rounded
+    double expression. Two degree joins against a broadcastable degree
+    table + one global aggregate — O(m), no windows."""
+    edges = _repeat_copurchase_edges(spark, sf_dir)
+    nbrs = _directed_nbrs(edges)
+    deg = nbrs.groupBy("node").agg(F.count("*").alias("degree"))
+    du = deg.select(F.col("node").alias("u"), F.col("degree").alias("dx"))
+    dv = deg.select(F.col("node").alias("v"), F.col("degree").alias("dy"))
+    both = nbrs.select(F.col("node").alias("u"), F.col("nbr").alias("v"))
+    x, y = F.col("dx"), F.col("dy")
+    stats = (
+        both.join(F.broadcast(du), "u")
+        .join(F.broadcast(dv), "v")
+        .agg(
+            F.count("*").alias("n_dir_edges"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * y).alias("sxy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+        )
+    )
+    n = F.col("n_dir_edges").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    r = (n * sxy - sx * sy) / F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    return stats.select(
+        "n_dir_edges", F.round(r, 6).alias("assortativity")
+    )
+
+
 def fpgrowth_fit(spark: SparkSession, sf_dir: str, min_support: float = 0.05):
     """Deeper itemsets via MLlib FPGrowth (library API, pytest-verified)."""
     from pyspark.ml.fpm import FPGrowth
@@ -536,6 +577,7 @@ QUERIES = {
     "q_common_neighbors": q_common_neighbors,
     "q_kcore_step": q_kcore_step,
     "q_clustering_coeff": q_clustering_coeff,
+    "q_assortativity": q_assortativity,
 }
 
 # Shared CTE: the distinct part co-purchase edge set (u < v), mirrored by
@@ -690,6 +732,29 @@ ORACLES = {
         FROM alive a
         JOIN deg0 d0 ON d0.node = a.node
         LEFT JOIN deg1 d1 ON d1.node = a.node
+    """,
+    "q_assortativity": f"""
+        WITH {_REPEAT_EDGE_CTES},
+        deg AS (
+            SELECT node, count(*) AS degree FROM nbrs GROUP BY node
+        ),
+        stats AS (
+            SELECT count(*) AS n_dir_edges,
+                   CAST(sum(du.degree) AS BIGINT) AS sx,
+                   CAST(sum(dv.degree) AS BIGINT) AS sy,
+                   CAST(sum(du.degree * dv.degree) AS BIGINT) AS sxy,
+                   CAST(sum(du.degree * du.degree) AS BIGINT) AS sxx,
+                   CAST(sum(dv.degree * dv.degree) AS BIGINT) AS syy
+            FROM nbrs e
+            JOIN deg du ON du.node = e.node
+            JOIN deg dv ON dv.node = e.nbr
+        )
+        SELECT n_dir_edges,
+               round((n_dir_edges * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                     / sqrt((n_dir_edges * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                            * (n_dir_edges * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+                     6) AS assortativity
+        FROM stats
     """,
     "q_clustering_coeff": f"""
         WITH {_REPEAT_EDGE_CTES},

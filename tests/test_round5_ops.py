@@ -276,3 +276,30 @@ def test_sssp_step_is_a_prefix_of_the_fixpoint(spark, sf_dir):
     # distance below 0 or leave a seed unreached.
     assert rows.get(0, 0) >= 1
     assert all(d >= -1 for d in rows)
+
+
+def test_assortativity_matches_python_recompute(spark, sf_dir):
+    import math
+
+    from machinelearningalgomapreduce_spark.operators import graph as GG
+
+    edges = [(r.u, r.v) for r in GG._repeat_copurchase_edges(spark, sf_dir).collect()]
+    deg: dict[int, int] = {}
+    for u, v in edges:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    xs, ys = [], []
+    for u, v in edges:
+        xs += [deg[u], deg[v]]
+        ys += [deg[v], deg[u]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx, syy = sum(a * a for a in xs), sum(b * b for b in ys)
+    expected = round(
+        (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6
+    )
+    row = GG.q_assortativity(spark, sf_dir).collect()[0]
+    assert row.n_dir_edges == n
+    assert abs(row.assortativity - expected) < 2e-6
+    assert -1.0 <= row.assortativity <= 1.0
