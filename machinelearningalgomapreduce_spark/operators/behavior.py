@@ -185,7 +185,59 @@ def q_sma_crossover(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.orderBy(F.desc("n_crossovers"), "user_id").limit(20)
 
 
+def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Click→purchase latency distribution: for every user whose first
+    purchase comes strictly after their first click, the delay in whole
+    seconds — the "how long does conversion take" number that funnel
+    counts (q_funnel) deliberately leave out.
+
+    Delays are exact integer seconds (micros floor-divided), so the
+    percentile inputs are engine-identical; p50/p90 use the interpolated
+    exact percentile (≡ quantile_cont). Two per-user min aggregates
+    chained on user_id + one 1-row rollup — the q_funnel shape."""
+    t = load_tables(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    first_click = (
+        t.events.filter(F.col("event_type") == "click")
+        .select("user_id", us.alias("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("c_us").alias("c_us"))
+    )
+    first_purchase_after = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("p_us"))
+        .join(first_click, "user_id")
+        .filter(F.col("p_us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("p_us"), F.min("c_us").alias("c_us"))
+    )
+    delays = first_purchase_after.select(
+        ((F.col("p_us") - F.col("c_us")) / F.lit(1_000_000)).cast("bigint").alias("delay_s")
+    )
+    n_clicked = first_click.agg(F.count("*").alias("n_clicked"))
+    return (
+        delays.agg(
+            F.count("*").alias("n_converted"),
+            F.round(F.expr("percentile(delay_s, 0.5)"), 6).alias("p50_delay_s"),
+            F.round(F.expr("percentile(delay_s, 0.9)"), 6).alias("p90_delay_s"),
+            F.max("delay_s").alias("max_delay_s"),
+        )
+        .crossJoin(F.broadcast(n_clicked))
+        .select(
+            "n_clicked",
+            "n_converted",
+            F.round(F.col("n_converted") / F.col("n_clicked").cast("double"), 6).alias(
+                "conv_rate"
+            ),
+            "p50_delay_s",
+            "p90_delay_s",
+            "max_delay_s",
+        )
+    )
+
+
 QUERIES = {
+    "q_time_to_convert": q_time_to_convert,
     "q_bounce_rate": q_bounce_rate,
     "q_gap_histogram": q_gap_histogram,
     "q_burstiness": q_burstiness,
@@ -193,6 +245,36 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_time_to_convert": """
+        WITH first_click AS (
+            SELECT user_id, min(epoch_us(ts)) AS c_us
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id
+        ),
+        converted AS (
+            SELECT e.user_id,
+                   min(epoch_us(e.ts)) AS p_us, min(c.c_us) AS c_us
+            FROM events e JOIN first_click c USING (user_id)
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_us
+            GROUP BY e.user_id
+        ),
+        delays AS (
+            SELECT (p_us - c_us) // 1000000 AS delay_s FROM converted
+        ),
+        agg AS (
+            SELECT count(*) AS n_converted,
+                   round(quantile_cont(CAST(delay_s AS DOUBLE), 0.5), 6) AS p50_delay_s,
+                   round(quantile_cont(CAST(delay_s AS DOUBLE), 0.9), 6) AS p90_delay_s,
+                   CAST(max(delay_s) AS BIGINT) AS max_delay_s
+            FROM delays
+        )
+        SELECT (SELECT count(*) FROM first_click) AS n_clicked,
+               n_converted,
+               round(n_converted / CAST((SELECT count(*) FROM first_click) AS DOUBLE), 6)
+                   AS conv_rate,
+               p50_delay_s, p90_delay_s, max_delay_s
+        FROM agg
+    """,
     "q_bounce_rate": _SESS_SQL + """,
         entry AS (
             SELECT user_id, session_seq, event_type

@@ -60,3 +60,30 @@ def test_one_user_shuffle_plus_bounded_aggregate(spark, sf_dir):
     # TakeOrdered, not a global sort:
     assert P.uses_take_ordered(B.q_burstiness(spark, sf_dir))
     assert P.uses_take_ordered(B.q_sma_crossover(spark, sf_dir))
+
+
+def test_time_to_convert_matches_python_recompute(spark, sf_dir):
+    rows = load_tables(spark, sf_dir).events.select(
+        "user_id", "event_type", "ts"
+    ).collect()
+    first_click: dict[int, int] = {}
+    for r in rows:
+        if r.event_type == "click":
+            us = int(r.ts.timestamp() * 1_000_000)
+            first_click[r.user_id] = min(first_click.get(r.user_id, us), us)
+    first_purchase: dict[int, int] = {}
+    for r in rows:
+        if r.event_type == "purchase" and r.user_id in first_click:
+            us = int(r.ts.timestamp() * 1_000_000)
+            if us > first_click[r.user_id]:
+                first_purchase[r.user_id] = min(
+                    first_purchase.get(r.user_id, us), us
+                )
+    delays = sorted(
+        (p - first_click[u]) // 1_000_000 for u, p in first_purchase.items()
+    )
+    out = B.q_time_to_convert(spark, sf_dir).collect()[0]
+    assert out.n_clicked == len(first_click)
+    assert out.n_converted == len(delays)
+    assert out.max_delay_s == delays[-1]
+    assert abs(out.conv_rate - len(delays) / len(first_click)) < 1e-6
