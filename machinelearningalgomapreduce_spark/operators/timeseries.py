@@ -109,7 +109,55 @@ def q_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-QUERIES = {"q_holt": q_holt, "q_cusum": q_cusum}
+def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type traffic trend: least-squares slope/intercept/R² of the
+    DAILY event-count series against the day index — the "is this stream
+    growing" read-out next to q_holt (per-entity smoothing) and q_cusum
+    (changepoints).
+
+    Exactness: daily counts and day indices are exact integers, so every
+    sufficient statistic (n, Σx, Σy, Σxy, Σx², Σy²) is an exact BIGINT;
+    slope/intercept/R² are rounded double expressions of them — fully
+    engine-deterministic, no decimal machinery needed.
+
+    Scale shape: one (type, day) counting aggregate (map-side partials)
+    → one O(types × days) aggregate → bounded output."""
+    t = load_tables(spark, sf_dir)
+    day = F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+    daily = (
+        t.events.groupBy("event_type", day.alias("x"))
+        .agg(F.count("*").alias("y"))
+    )
+    x, y = F.col("x").cast("bigint"), F.col("y")
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    intercept = (sy - slope * sx) / n
+    r_num = n * sxy - sx * sy
+    r2 = r_num * r_num / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    out = stats.select(
+        "event_type",
+        "n",
+        F.round(slope, 6).alias("slope_per_day"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"),
+    )
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    return tiny_sorted(out, "event_type")
+
+
+QUERIES = {"q_holt": q_holt, "q_cusum": q_cusum, "q_trend_fit": q_trend_fit}
 
 _A, _G = HOLT_ALPHA, HOLT_GAMMA
 # State is a 2-element DOUBLE list [level, trend], NOT a struct: DuckDB's
@@ -121,6 +169,38 @@ _A, _G = HOLT_ALPHA, HOLT_GAMMA
 _NEW_L = f"{_A} * x[1] + {1 - _A} * (acc[1] + acc[2])"
 
 ORACLES = {
+    "q_trend_fit": """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+                   count(*) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        stats AS (
+            SELECT event_type, count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sx,
+                   CAST(sum(y) AS BIGINT) AS sy,
+                   CAST(sum(x * y) AS BIGINT) AS sxy,
+                   CAST(sum(x * x) AS BIGINT) AS sxx,
+                   CAST(sum(y * y) AS BIGINT) AS syy
+            FROM daily GROUP BY event_type
+        )
+        SELECT event_type, n,
+               round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+                   AS slope_per_day,
+               round((CAST(sy AS DOUBLE)
+                      - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                         / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx))
+                        * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
+               round(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                      * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy))
+                     / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)
+                   AS r2
+        FROM stats
+        ORDER BY event_type
+    """,
     "q_holt": f"""
         WITH lists AS (
             SELECT user_id, count(*) AS n_events,

@@ -303,3 +303,32 @@ def test_assortativity_matches_python_recompute(spark, sf_dir):
     assert row.n_dir_edges == n
     assert abs(row.assortativity - expected) < 2e-6
     assert -1.0 <= row.assortativity <= 1.0
+
+
+def test_trend_fit_matches_python_least_squares(spark, sf_dir):
+    import datetime
+
+    from machinelearningalgomapreduce_spark.operators import timeseries as TS
+
+    events = load_tables(spark, sf_dir).events.select("event_type", "ts").collect()
+    daily: dict[tuple[str, int], int] = {}
+    epoch = datetime.date(1995, 1, 1)
+    for e in events:
+        x = (e.ts.date() - epoch).days
+        daily[(e.event_type, x)] = daily.get((e.event_type, x), 0) + 1
+    by_type: dict[str, list[tuple[int, int]]] = {}
+    for (et, x), y in daily.items():
+        by_type.setdefault(et, []).append((x, y))
+    rows = {r.event_type: r for r in TS.q_trend_fit(spark, sf_dir).collect()}
+    assert set(rows) == set(by_type)
+    for et, pts in by_type.items():
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        r = rows[et]
+        assert r.n == n
+        assert abs(r.slope_per_day - slope) < 1e-5
+        assert 0.0 <= r.r2 <= 1.0
