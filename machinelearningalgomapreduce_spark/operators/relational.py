@@ -591,6 +591,68 @@ def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FK-orphan audit across the star schema — the validation gate every
+    pipeline runs before trusting a snapshot for joins/exports: per
+    relationship, child rows whose FK finds no parent.
+
+    Each relationship is ONE anti-join count (exact integers); parents
+    are dimension-sized and broadcast by Catalyst. The six 1-row counts
+    union into a bounded result — at 100 TB each check is a single
+    fact-scan + broadcast probe, embarrassingly parallelizable across
+    relationships."""
+    t = load_tables(spark, sf_dir)
+    rels = [
+        ("lineitem.l_orderkey->orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey"),
+        ("lineitem.l_partkey->part", t.lineitem, "l_partkey", t.part, "p_partkey"),
+        ("lineitem.l_suppkey->supplier", t.lineitem, "l_suppkey", t.supplier, "s_suppkey"),
+        ("orders.o_custkey->customer", t.orders, "o_custkey", t.customer, "c_custkey"),
+        ("customer.c_nationkey->nation", t.customer, "c_nationkey", t.nation, "n_nationkey"),
+        ("supplier.s_nationkey->nation", t.supplier, "s_nationkey", t.nation, "n_nationkey"),
+    ]
+    out = None
+    for name, child, fk, parent, pk in rels:
+        orphans = child.select(F.col(fk).alias("k")).join(
+            parent.select(F.col(pk).alias("k")), "k", "left_anti"
+        )
+        row = child.agg(F.count("*").alias("n_child")).crossJoin(
+            F.broadcast(orphans.agg(F.count("*").alias("n_orphans")))
+        ).select(F.lit(name).alias("relationship"), "n_child", "n_orphans")
+        out = row if out is None else out.unionByName(row)
+    return tiny_sorted(out, "relationship")
+
+
+def q_key_uniqueness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Primary-key uniqueness audit: per table, row count vs distinct key
+    count and how many key values repeat — the sibling of
+    q_referential_integrity (an export with duplicated keys silently
+    double-counts in every downstream join).
+
+    One count + countDistinct + duplicate-key aggregate per table, all
+    exact integers, unioned into a bounded result."""
+    t = load_tables(spark, sf_dir)
+    keys = [
+        ("orders", t.orders, "o_orderkey"),
+        ("customer", t.customer, "c_custkey"),
+        ("part", t.part, "p_partkey"),
+        ("supplier", t.supplier, "s_suppkey"),
+        ("events", t.events, "event_id"),
+        ("documents", t.documents, "doc_id"),
+        ("embeddings", t.embeddings, "vec_id"),
+    ]
+    out = None
+    for name, df, key in keys:
+        per_key = df.groupBy(F.col(key).alias("k")).agg(F.count("*").alias("c"))
+        row = per_key.agg(
+            F.lit(name).alias("table_name"),
+            F.sum("c").alias("n_rows"),
+            F.count("*").alias("n_distinct_keys"),
+            F.sum((F.col("c") > 1).cast("bigint")).alias("n_dup_keys"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return tiny_sorted(out, "table_name")
+
+
 def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions over embeddings: size / element_at /
     slice / transform / aggregate / zip_with. Folds run sequentially over
@@ -647,9 +709,93 @@ QUERIES = {
     "q_scalar_funcs": q_scalar_funcs,
     "q_json_extract": q_json_extract,
     "q_array_ops": q_array_ops,
+    "q_referential_integrity": q_referential_integrity,
+    "q_key_uniqueness": q_key_uniqueness,
 }
 
 ORACLES = {
+    "q_referential_integrity": """
+        WITH checks AS (
+            SELECT 'lineitem.l_orderkey->orders' AS relationship,
+                   (SELECT count(*) FROM lineitem) AS n_child,
+                   (SELECT count(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                      WHERE o.o_orderkey = l.l_orderkey)) AS n_orphans
+            UNION ALL
+            SELECT 'lineitem.l_partkey->part',
+                   (SELECT count(*) FROM lineitem),
+                   (SELECT count(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM part p
+                                      WHERE p.p_partkey = l.l_partkey))
+            UNION ALL
+            SELECT 'lineitem.l_suppkey->supplier',
+                   (SELECT count(*) FROM lineitem),
+                   (SELECT count(*) FROM lineitem l
+                    WHERE NOT EXISTS (SELECT 1 FROM supplier s
+                                      WHERE s.s_suppkey = l.l_suppkey))
+            UNION ALL
+            SELECT 'orders.o_custkey->customer',
+                   (SELECT count(*) FROM orders),
+                   (SELECT count(*) FROM orders o
+                    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                                      WHERE c.c_custkey = o.o_custkey))
+            UNION ALL
+            SELECT 'customer.c_nationkey->nation',
+                   (SELECT count(*) FROM customer),
+                   (SELECT count(*) FROM customer c
+                    WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                      WHERE n.n_nationkey = c.c_nationkey))
+            UNION ALL
+            SELECT 'supplier.s_nationkey->nation',
+                   (SELECT count(*) FROM supplier),
+                   (SELECT count(*) FROM supplier s
+                    WHERE NOT EXISTS (SELECT 1 FROM nation n
+                                      WHERE n.n_nationkey = s.s_nationkey))
+        )
+        SELECT relationship, n_child, n_orphans FROM checks
+        ORDER BY relationship
+    """,
+    "q_key_uniqueness": """
+        WITH audits AS (
+            SELECT 'orders' AS table_name, count(*) AS n_rows,
+                   count(DISTINCT o_orderkey) AS n_distinct_keys,
+                   (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+                                          GROUP BY 1 HAVING count(*) > 1)) AS n_dup_keys
+            FROM orders
+            UNION ALL
+            SELECT 'customer', count(*), count(DISTINCT c_custkey),
+                   (SELECT count(*) FROM (SELECT c_custkey FROM customer
+                                          GROUP BY 1 HAVING count(*) > 1))
+            FROM customer
+            UNION ALL
+            SELECT 'part', count(*), count(DISTINCT p_partkey),
+                   (SELECT count(*) FROM (SELECT p_partkey FROM part
+                                          GROUP BY 1 HAVING count(*) > 1))
+            FROM part
+            UNION ALL
+            SELECT 'supplier', count(*), count(DISTINCT s_suppkey),
+                   (SELECT count(*) FROM (SELECT s_suppkey FROM supplier
+                                          GROUP BY 1 HAVING count(*) > 1))
+            FROM supplier
+            UNION ALL
+            SELECT 'events', count(*), count(DISTINCT event_id),
+                   (SELECT count(*) FROM (SELECT event_id FROM events
+                                          GROUP BY 1 HAVING count(*) > 1))
+            FROM events
+            UNION ALL
+            SELECT 'documents', count(*), count(DISTINCT doc_id),
+                   (SELECT count(*) FROM (SELECT doc_id FROM documents
+                                          GROUP BY 1 HAVING count(*) > 1))
+            FROM documents
+            UNION ALL
+            SELECT 'embeddings', count(*), count(DISTINCT vec_id),
+                   (SELECT count(*) FROM (SELECT vec_id FROM embeddings
+                                          GROUP BY 1 HAVING count(*) > 1))
+            FROM embeddings
+        )
+        SELECT table_name, n_rows, n_distinct_keys, n_dup_keys FROM audits
+        ORDER BY table_name
+    """,
     "q_scan_project": """
         SELECT p_partkey,
                upper(p_name) AS name_upper,

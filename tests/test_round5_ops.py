@@ -332,3 +332,30 @@ def test_trend_fit_matches_python_least_squares(spark, sf_dir):
         assert r.n == n
         assert abs(r.slope_per_day - slope) < 1e-5
         assert 0.0 <= r.r2 <= 1.0
+
+
+def test_referential_integrity_counts_match_tables(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators import relational as R
+
+    rows = {r.relationship: r for r in R.q_referential_integrity(spark, sf_dir).collect()}
+    t = load_tables(spark, sf_dir)
+    n_li, n_o = t.lineitem.count(), t.orders.count()
+    assert rows["lineitem.l_orderkey->orders"].n_child == n_li
+    assert rows["orders.o_custkey->customer"].n_child == n_o
+    for r in rows.values():
+        assert 0 <= r.n_orphans <= r.n_child
+    # The generated fixture is referentially clean — a nonzero orphan count
+    # here would mean the audit (or the fixture) broke.
+    assert all(r.n_orphans == 0 for r in rows.values())
+
+
+def test_key_uniqueness_flags_tables_correctly(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators import relational as R
+
+    rows = {r.table_name: r for r in R.q_key_uniqueness(spark, sf_dir).collect()}
+    assert set(rows) == {
+        "orders", "customer", "part", "supplier", "events", "documents", "embeddings"
+    }
+    for r in rows.values():
+        assert r.n_distinct_keys <= r.n_rows
+        assert (r.n_dup_keys == 0) == (r.n_distinct_keys == r.n_rows)
