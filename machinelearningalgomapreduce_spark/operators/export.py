@@ -484,7 +484,49 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiny_sorted(out, "source", "split")
 
 
+def q_weighted_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic length-weighted sampling: per source, the document
+    selected with probability proportional to its character count — the
+    exact-integer form of weighted sampling (mixture construction,
+    spot-check selection) that stays reproducible across engines, runs,
+    and partitionings.
+
+    Mechanism: documents order by doc_id within a source; the pick is the
+    first doc whose cumulative n_chars exceeds a salted-md5-derived
+    threshold in [0, total_chars). Everything is BIGINT arithmetic — no
+    floats, no libm, no rand() — so the selection is bit-reproducible
+    (the float exponential-race A-Res form would hinge on cross-libm
+    pow/ln ulps; this integer form does not).
+
+    Scale shape: one per-source cumulative window (the seq_pack shuffle)
+    + a broadcast threshold join; output is source-bounded."""
+    t = load_tables(spark, sf_dir)
+    docs = t.documents.select(
+        "source", "doc_id", F.col("n_chars").cast("bigint").alias("w")
+    )
+    totals = docs.groupBy("source").agg(F.sum("w").alias("total_w"))
+    # Threshold: first 8 md5 hex chars of the salted source name → 32-bit
+    # int (≫ any per-source weight total), reduced mod total weight.
+    thr = F.pmod(
+        F.conv(F.substring(F.md5(F.concat(F.lit("pick:"), F.col("source"))), 1, 8), 16, 10)
+        .cast("bigint"),
+        F.col("total_w"),
+    )
+    w = W.partitionBy("source").orderBy("doc_id")
+    cum = F.sum("w").over(w)
+    picked = (
+        docs.join(F.broadcast(totals.select("source", thr.alias("thr"))), "source")
+        .withColumn("cum", cum)
+        .filter((F.col("cum") - F.col("w") <= F.col("thr")) & (F.col("thr") < F.col("cum")))
+        .select("source", F.col("doc_id").alias("picked_doc"), F.col("w").alias("doc_chars"))
+    )
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    return tiny_sorted(picked, "source")
+
+
 QUERIES = {
+    "q_weighted_pick": q_weighted_pick,
     "q_token_budget": q_token_budget,
     "q_train_test_split": q_train_test_split,
     "q_cross_source_dups": q_cross_source_dups,
@@ -720,5 +762,27 @@ ORACLES["q_token_budget"] = f"""
     FROM ranked
     WHERE cum - n_tok < {TOKEN_BUDGET}
     GROUP BY source
+    ORDER BY source
+"""
+
+ORACLES["q_weighted_pick"] = """
+    WITH docs AS (
+        SELECT source, doc_id, CAST(n_chars AS BIGINT) AS w
+        FROM documents
+    ),
+    totals AS (
+        SELECT source, CAST(sum(w) AS BIGINT) AS total_w,
+               ((instr('0123456789abcdef', substr(md5('pick:' || source), 1, 1)) - 1) * 268435456 + (instr('0123456789abcdef', substr(md5('pick:' || source), 2, 1)) - 1) * 16777216 + (instr('0123456789abcdef', substr(md5('pick:' || source), 3, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(md5('pick:' || source), 4, 1)) - 1) * 65536 + (instr('0123456789abcdef', substr(md5('pick:' || source), 5, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(md5('pick:' || source), 6, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(md5('pick:' || source), 7, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5('pick:' || source), 8, 1)) - 1) * 1) % CAST(sum(w) AS BIGINT) AS thr
+        FROM docs GROUP BY source
+    ),
+    cum AS (
+        SELECT d.source, d.doc_id, d.w, t.thr,
+               sum(d.w) OVER (PARTITION BY d.source ORDER BY d.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM docs d JOIN totals t USING (source)
+    )
+    SELECT source, doc_id AS picked_doc, CAST(w AS BIGINT) AS doc_chars
+    FROM cum
+    WHERE cum - w <= thr AND thr < cum
     ORDER BY source
 """

@@ -359,3 +359,27 @@ def test_key_uniqueness_flags_tables_correctly(spark, sf_dir):
     for r in rows.values():
         assert r.n_distinct_keys <= r.n_rows
         assert (r.n_dup_keys == 0) == (r.n_distinct_keys == r.n_rows)
+
+
+def test_weighted_pick_is_exact_and_weight_consistent(spark, sf_dir):
+    import hashlib
+
+    rows = {r.source: r for r in X.q_weighted_pick(spark, sf_dir).collect()}
+    docs = load_tables(spark, sf_dir).documents.select(
+        "source", "doc_id", "n_chars"
+    ).collect()
+    by_source: dict[str, list[tuple[int, int]]] = {}
+    for d in docs:
+        by_source.setdefault(d.source, []).append((d.doc_id, d.n_chars))
+    assert set(rows) == set(by_source)
+    for src, ds in by_source.items():
+        ds.sort()
+        total = sum(w for _, w in ds)
+        thr = int(hashlib.md5(f"pick:{src}".encode()).hexdigest()[:8], 16) % total
+        cum = 0
+        for doc_id, w in ds:
+            if cum <= thr < cum + w:
+                break
+            cum += w
+        assert rows[src].picked_doc == doc_id, src
+        assert rows[src].doc_chars == w
