@@ -383,3 +383,21 @@ def test_weighted_pick_is_exact_and_weight_consistent(spark, sf_dir):
             cum += w
         assert rows[src].picked_doc == doc_id, src
         assert rows[src].doc_chars == w
+
+
+def test_round5_new_ops_plan_shapes(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators import behavior as B
+    from machinelearningalgomapreduce_spark.operators import graph as GG
+    from machinelearningalgomapreduce_spark.operators import paths as PA
+    from machinelearningalgomapreduce_spark.operators import timeseries as TS
+
+    # Equi-joins only — a cartesian in any of these is the scale bug the
+    # shapes exist to avoid.
+    for q in (PA.q_sssp_step, GG.q_assortativity, X.q_weighted_pick,
+              X.q_token_budget, B.q_time_to_convert):
+        assert "CartesianProduct" not in P.formatted_plan(q(spark, sf_dir)), q.__name__
+    # Bounded-domain rollups: trend fit is one fact aggregate + one
+    # (type × days) aggregate — at most two exchanges plus the tiny sort.
+    assert P.count_exchanges(TS.q_trend_fit(spark, sf_dir)) <= 2
+    # Assortativity's degree tables enter as broadcasts.
+    assert P.count_broadcast_joins(GG.q_assortativity(spark, sf_dir)) >= 1
