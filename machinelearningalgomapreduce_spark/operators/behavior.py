@@ -226,7 +226,9 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_clicked",
             "n_converted",
-            F.round(F.col("n_converted") / F.col("n_clicked").cast("double"), 6).alias(
+            # try_divide: NULL (not an ANSI error) when the corpus has no
+            # clicks at all (empty-input sweep).
+            F.round(F.try_divide("n_converted", F.col("n_clicked").cast("double")), 6).alias(
                 "conv_rate"
             ),
             "p50_delay_s",
