@@ -139,7 +139,9 @@ def q_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         per_user.select(
             "user_id",
             "n_gaps",
-            F.round((sigma - mean) / (sigma + mean), 6).alias("burstiness"),
+            # try_divide/nullif: NULL when every gap is sub-second (σ+μ=0)
+            # — B is undefined there, and ANSI division would error.
+            F.round(F.try_divide(sigma - mean, sigma + mean), 6).alias("burstiness"),
         )
         .orderBy(F.desc("burstiness"), "user_id")
         .limit(20)
@@ -333,12 +335,12 @@ ORACLES = {
                                     - (CAST(sg AS DOUBLE) / n_gaps)
                                       * (CAST(sg AS DOUBLE) / n_gaps), 0.0))
                       - CAST(sg AS DOUBLE) / n_gaps)
-                     / (sqrt(greatest(CAST(sg2 AS DOUBLE) / n_gaps
+                     / nullif(sqrt(greatest(CAST(sg2 AS DOUBLE) / n_gaps
                                       - (CAST(sg AS DOUBLE) / n_gaps)
                                         * (CAST(sg AS DOUBLE) / n_gaps), 0.0))
-                        + CAST(sg AS DOUBLE) / n_gaps), 6) AS burstiness
+                        + CAST(sg AS DOUBLE) / n_gaps, 0.0), 6) AS burstiness
         FROM per_user
-        ORDER BY burstiness DESC, user_id
+        ORDER BY burstiness DESC NULLS LAST, user_id
         LIMIT 20
     """,
     "q_sma_crossover": """
