@@ -341,9 +341,11 @@ def q_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n"), F.sum(dec6(F.col("sqn"))).alias("sq_sum")
     )
     n = F.col("n").cast("double")
-    mean_dot = (
-        (F.col("sumvec_sq").cast("double") - F.col("sq_sum").cast("double"))
-        / (n * (n - 1))
+    # try_divide: a single-member label has no pairs — NULL, not an ANSI
+    # divide-by-zero.
+    mean_dot = F.try_divide(
+        F.col("sumvec_sq").cast("double") - F.col("sq_sum").cast("double"),
+        n * (n - 1),
     )
     out = per_row.join(sumvec_sq, "label").select(
         "label", "n", F.round(mean_dot, 6).alias("within_mean_dot")
@@ -578,7 +580,7 @@ ORACLES = {
         )
         SELECT p.label, p.n,
                round((CAST(s.sumvec_sq AS DOUBLE) - CAST(p.sq_sum AS DOUBLE))
-                     / (p.n * (p.n - 1.0)), 6) AS within_mean_dot
+                     / nullif(p.n * (p.n - 1.0), 0.0), 6) AS within_mean_dot
         FROM per_row p JOIN sumvec s ON p.label = s.label
         ORDER BY p.label
     """,

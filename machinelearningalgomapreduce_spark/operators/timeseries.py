@@ -141,10 +141,12 @@ def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
     sxy = F.col("sxy").cast("double")
     sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
-    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    # try_divide: a type seen on a single day has no x-variance — slope/R²
+    # are undefined (NULL), not ANSI errors.
+    slope = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
     intercept = (sy - slope * sx) / n
     r_num = n * sxy - sx * sy
-    r2 = r_num * r_num / ((n * sxx - sx * sx) * (n * syy - sy * sy))
+    r2 = F.try_divide(r_num * r_num, (n * sxx - sx * sx) * (n * syy - sy * sy))
     out = stats.select(
         "event_type",
         "n",
@@ -187,16 +189,16 @@ ORACLES = {
         )
         SELECT event_type, n,
                round((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
-                     / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx), 6)
+                     / nullif(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx, 0.0), 6)
                    AS slope_per_day,
                round((CAST(sy AS DOUBLE)
                       - ((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
-                         / (n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx))
+                         / nullif(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx, 0.0))
                         * CAST(sx AS DOUBLE)) / n, 6) AS intercept,
                round(((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
                       * (n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy))
-                     / ((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
-                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)), 6)
+                     / nullif((n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                        * (n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy), 0.0), 6)
                    AS r2
         FROM stats
         ORDER BY event_type
