@@ -1,0 +1,1076 @@
+"""Classic ML-algorithm kernels round 2 (SURVEY.md §2C, round-5 additions).
+
+The reference repo class ("ML algorithms on Hadoop MapReduce") is a zoo of
+one-job-per-algorithm kernels: perceptron/boosting updates, closed-form
+regressions, link-analysis iterations (HITS, power iteration), density
+clustering (DBSCAN), item-item collaborative filtering, rank statistics and
+EM steps. This module re-expresses each as ONE declarative Catalyst plan —
+partial aggregation replaces Combiners, broadcast joins replace
+DistributedCache model shipping — and every query is SQL-expressible so the
+DuckDB oracle hash-checks it bit-for-bit.
+
+Determinism policy (SURVEY.md §5.2.3): anything summed in shuffle order is
+either an exact integer/decimal aggregate or a per-term `round(x, 6)` cast
+to DECIMAL before the sum; double expressions are written with identical
+shape in both engines so IEEE evaluation matches bit-for-bit.
+
+Scale notes (100 TB posture):
+- Model state is O(d), O(k) or O(#thresholds) everywhere — always the
+  broadcast/1-row side; the fact table is never collected.
+- DBSCAN neighbour counting is grid-cell blocked (cell = eps): candidates
+  are generated per 3×3 cell neighbourhood, never all-pairs — the standard
+  distributed spatial-join. The oracle brute-forces the same predicate at
+  fixture scale.
+- Item-item CF and the link-analysis steps shuffle key-aggregated edge
+  tuples only (part ids + counts), never raw lineitem rows downstream of
+  the first distinct.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window as W
+
+from machinelearningalgomapreduce_spark.operators.graph import (
+    REPEAT_MIN_ORDERS,
+    _REPEAT_EDGE_CTES,
+    _repeat_copurchase_edges,
+)
+from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
+
+_DIMS = f"range(1, {EMBEDDING_DIM + 1})"
+
+PERC_W0 = 0.5  # uniform initial weight (same margin-splitting choice as SVM_W0)
+PERC_LR = 0.1
+ADA_THR = 0.0  # decision-stump threshold on embedding dim 1
+RIDGE_LAMBDA = 10.0
+DBSCAN_EPS = 0.03
+DBSCAN_MINPTS = 8
+CF_MIN_CO = 2  # co-occurrence support floor (same role as REPEAT_MIN_ORDERS)
+CF_TOPK = 3
+BASELINE_DAMP = 5.0  # damped-mean regularizer (Koren's baseline predictor)
+GBT_THRESHOLDS = (5000.0, 15000.0, 30000.0, 50000.0, 75000.0)
+EM_MU1, EM_MU2, EM_SIGMA, EM_PI2 = 10.0, 40.0, 15.0, 0.5
+
+
+# ---------------------------------------------------------------------------
+# linear-model steps
+
+
+def q_perceptron_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One batch perceptron update from the uniform model w_d = 0.5:
+    rows with y·(w·x) ≤ 0 are misclassified and contribute +y·x to the
+    update; w' = w + η·Σ_mis y·x. The map(classify)+reduce(sum) body of
+    distributed perceptron training (parameter-mixing variant).
+
+    w·x is a sequential array fold (bit-identical to the oracle's
+    list_sum form) rounded to 6 before the misclassification test, and
+    the per-dimension update terms are rounded to 6 and summed as DECIMAL
+    so the result never depends on shuffle order.
+
+    Scale shape: one scan with a per-row fold, one per-dimension exact
+    aggregate over the misclassified rows (explode → 64·n rows with
+    map-side partials), one 1-row broadcast count. Model state is O(d)."""
+    t = load_tables(spark, sf_dir)
+    y = F.when(F.col("label") >= 5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    wx = F.aggregate(
+        F.col("embedding"), F.lit(0.0), lambda acc, x: acc + PERC_W0 * x.cast("double")
+    )
+    base = t.embeddings.select(
+        "embedding", y.alias("y"), F.round(y * wx, 6).alias("margin")
+    )
+    mis = base.filter(F.col("margin") <= 0.0)
+    n_mis = mis.agg(F.count("*").alias("n_mis"))
+    term = F.round(F.col("y") * F.col("x").cast("double"), 6).cast("decimal(18,6)")
+    per_dim = mis.select("y", F.posexplode("embedding").alias("d0", "x")).select(
+        (F.col("d0") + 1).cast("bigint").alias("d"), term.alias("gx")
+    )
+    upd = F.col("upd_sum").cast("double")
+    return (
+        per_dim.groupBy("d")
+        .agg(F.sum("gx").alias("upd_sum"))
+        .crossJoin(F.broadcast(n_mis))
+        .select(
+            "d",
+            "n_mis",
+            F.round(F.lit(PERC_LR) * upd, 6).alias("delta"),
+            F.round(F.lit(PERC_W0) + F.round(F.lit(PERC_LR) * upd, 6), 6).alias("w_new"),
+        )
+    )
+
+
+def q_adaboost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One AdaBoost round against the stump h(x) = sign(THR − x₁) with
+    uniform initial weights: weighted error ε, learner weight
+    α = ½·ln((1−ε)/ε), and the new normalized per-row weight for the
+    correct and incorrect cohorts (uniform start ⇒ weights depend only on
+    correctness, so the whole round is two aggregate rows).
+
+    Everything derives from exact integer counts; α is rounded to 6
+    before the exp() reweighting so both engines evaluate identical
+    doubles.
+
+    Scale shape: one scan, one 2-group aggregate — O(1) model state. The
+    general (non-uniform-weight) round is the same plan with a weight
+    column carried per row."""
+    t = load_tables(spark, sf_dir)
+    y = F.when(F.col("label") >= 5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    pred = F.when(
+        F.col("embedding")[0].cast("double") <= ADA_THR, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+    marked = t.embeddings.select((pred == y).alias("is_correct"))
+    cohorts = marked.groupBy("is_correct").agg(F.count("*").alias("n_rows"))
+    tot = cohorts.agg(
+        F.sum("n_rows").alias("n"),
+        F.sum(F.when(~F.col("is_correct"), F.col("n_rows")).otherwise(F.lit(0))).alias(
+            "n_wrong"
+        ),
+    )
+    eps = F.col("n_wrong") / F.col("n")
+    alpha = F.round(0.5 * F.log((1.0 - eps) / eps), 6)
+    scored = cohorts.crossJoin(F.broadcast(tot)).select(
+        "is_correct",
+        "n_rows",
+        F.round(eps, 6).alias("eps"),
+        alpha.alias("alpha"),
+        F.when(F.col("is_correct"), F.exp(-alpha)).otherwise(F.exp(alpha)).alias("_f"),
+        F.col("n").alias("_n"),
+        F.col("n_wrong").alias("_nw"),
+    )
+    # Z = Σ w_i·f_i with w_i = 1/n: both cohort factors derive from the same
+    # exact counts, so Z is written in closed form instead of a second agg.
+    f_c = F.exp(-F.round(0.5 * F.log((F.col("_n") - F.col("_nw")).cast("double") / F.col("_nw")), 6))
+    f_w = F.exp(F.round(0.5 * F.log((F.col("_n") - F.col("_nw")).cast("double") / F.col("_nw")), 6))
+    z = ((F.col("_n") - F.col("_nw")) * f_c + F.col("_nw") * f_w) / F.col("_n")
+    return scored.select(
+        "is_correct",
+        "n_rows",
+        "eps",
+        "alpha",
+        F.round(F.col("_f") / (F.col("_n") * z), 10).alias("w_new"),
+    )
+
+
+def q_ridge_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Closed-form ridge regression (one feature + intercept, λ = 10) of
+    extended price on quantity, per linestatus: slope = Sxy/(Sxx + λ),
+    intercept = ȳ − slope·x̄ on centred moments. The classic "sufficient
+    statistics in the mapper, closed form in the reducer" linear-model job
+    — q_linreg's OLS twin with an L2 penalty.
+
+    Quantities are integral and prices have 2 decimals, so every moment is
+    accumulated as an EXACT integer/DECIMAL aggregate; only the final
+    closed form runs in doubles (identical expression both engines).
+
+    Scale shape: one scan, one 3-group aggregate of 5 exact moments —
+    O(groups) model state, map-side partials do all the work."""
+    t = load_tables(spark, sf_dir)
+    qty = F.col("l_quantity").cast("bigint")
+    price = F.col("l_extendedprice").cast("decimal(18,2)")
+    m = t.lineitem.groupBy("l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum(qty).alias("sx"),
+        F.sum(price).alias("sy"),
+        F.sum((qty * price).cast("decimal(28,2)")).alias("sxy"),
+        F.sum(qty * qty).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    slope = (sxy / n - (sx / n) * (sy / n)) / (sxx / n - (sx / n) * (sx / n) + F.lit(RIDGE_LAMBDA) / n)
+    return m.select(
+        "l_linestatus",
+        "n",
+        F.round(slope, 6).alias("slope_ridge"),
+        F.round(sy / n - F.round(slope, 6) * (sx / n), 6).alias("intercept"),
+    )
+
+
+def q_gbt_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regression-stump scoring for one gradient-boosting round: for each
+    candidate threshold on extended price, the left/right leaf means of
+    the quantity target and the total within-leaf SSE — the variance
+    counterpart of q_tree_split's Gini scan, and the per-round kernel of
+    distributed GBT (residual fit degenerates to a mean fit on round 0).
+
+    Sums are exact integers (quantity is integral); SSE = Σy² − (Σy)²/n
+    runs in identical doubles both engines.
+
+    Scale shape: one scan crossed with the broadcast threshold grid, one
+    aggregate keyed on threshold — O(#thresholds) state, never a shuffle
+    of raw rows beyond the grid fan-out (|grid| × map-side partials)."""
+    t = load_tables(spark, sf_dir)
+    grid = spark.createDataFrame([(x,) for x in GBT_THRESHOLDS], "thr double")
+    y = F.col("l_quantity").cast("bigint")
+    left = F.col("l_extendedprice") <= F.col("thr")
+    agg = (
+        t.lineitem.select(F.col("l_extendedprice"), y.alias("y"))
+        .crossJoin(F.broadcast(grid))
+        .groupBy("thr")
+        .agg(
+            F.sum(F.when(left, 1).otherwise(0)).alias("n_l"),
+            F.sum(F.when(left, F.col("y")).otherwise(0)).alias("s_l"),
+            F.sum(F.when(left, F.col("y") * F.col("y")).otherwise(0)).alias("q_l"),
+            F.sum(F.when(~left, 1).otherwise(0)).alias("n_r"),
+            F.sum(F.when(~left, F.col("y")).otherwise(0)).alias("s_r"),
+            F.sum(F.when(~left, F.col("y") * F.col("y")).otherwise(0)).alias("q_r"),
+        )
+    )
+    def sse(qc, sc, nc):
+        nd = F.col(nc).cast("double")
+        return F.when(
+            F.col(nc) > 0,
+            F.col(qc).cast("double") - (F.col(sc).cast("double") / nd) * F.col(sc).cast("double"),
+        ).otherwise(F.lit(0.0))
+    mean = lambda sc, nc: F.when(
+        F.col(nc) > 0, F.round(F.col(sc).cast("double") / F.col(nc).cast("double"), 6)
+    )
+    return agg.select(
+        "thr",
+        "n_l",
+        "n_r",
+        mean("s_l", "n_l").alias("mean_l"),
+        mean("s_r", "n_r").alias("mean_r"),
+        F.round(sse("q_l", "s_l", "n_l") + sse("q_r", "s_r", "n_r"), 4).alias("sse"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# link analysis
+
+
+def q_hits_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full HITS iteration (plus the closing authority half-step) over
+    the customer→part purchase bipartite graph from uniform hubs:
+    auth₁ = in-degree, hub₁(c) = Σ auth₁ over c's parts,
+    auth₂(p) = Σ hub₁ over p's customers, L2-normalized. Kleinberg's
+    hubs-and-authorities as two keyed aggregates per half-step.
+
+    Every score is an exact integer until the final normalization (the
+    squared norm is an exact BIGINT sum), so the output is deterministic
+    without rounding tricks.
+
+    Scale shape: the edge list (distinct customer–part pairs) is the only
+    shuffled relation; each half-step is one join + one aggregate keyed on
+    a node id — O(m) per half-step, the canonical large-graph shape."""
+    t = load_tables(spark, sf_dir)
+    edges = (
+        t.orders.join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    auth1 = edges.groupBy("l_partkey").agg(F.count("*").alias("a1"))
+    hub1 = (
+        edges.join(auth1, "l_partkey")
+        .groupBy("o_custkey")
+        .agg(F.sum("a1").alias("h1"))
+    )
+    auth2 = (
+        edges.join(hub1, "o_custkey")
+        .groupBy("l_partkey")
+        .agg(F.sum("h1").alias("auth"))
+    )
+    norm2 = auth2.agg(F.sum(F.col("auth") * F.col("auth")).alias("s2"))
+    return auth2.crossJoin(F.broadcast(norm2)).select(
+        "l_partkey",
+        "auth",
+        F.round(F.col("auth") / F.sqrt(F.col("s2").cast("double")), 6).alias("auth_norm"),
+    )
+
+
+def q_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two power-iteration steps toward the dominant eigenvector of the
+    repeat-co-purchase adjacency matrix from v₀ = 1: v₁ = A·1 (= degree),
+    v₂ = A·v₁, reported raw and L2-normalized — the per-round kernel of
+    spectral ranking / power-iteration clustering (PIC).
+
+    v₁, v₂ and the squared norm are exact BIGINT aggregates; only the
+    final normalization divides in doubles.
+
+    Scale shape: the support-floored edge list is materialized once and
+    each step is one join + one aggregate keyed on node — O(m) per step,
+    model state O(nodes) and never collected."""
+    edges = _repeat_copurchase_edges(spark, sf_dir)
+    nbrs = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    v1 = nbrs.groupBy("node").agg(F.count("*").alias("v1"))
+    v2 = (
+        nbrs.join(v1.select(F.col("node").alias("nbr"), "v1"), "nbr")
+        .groupBy("node")
+        .agg(F.sum("v1").alias("v2"))
+    )
+    norm2 = v2.agg(F.sum(F.col("v2") * F.col("v2")).alias("s2"))
+    return v2.crossJoin(F.broadcast(norm2)).select(
+        "node",
+        "v2",
+        F.round(F.col("v2") / F.sqrt(F.col("s2").cast("double")), 6).alias("v2_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# density clustering & recommenders
+
+
+def q_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DBSCAN core-point detection (eps = 0.03, minPts = 8) on the 2-D
+    projection (dims 1–2) of the embeddings: a point is core when ≥ minPts
+    points (self included) lie within eps. The expensive half of
+    distributed DBSCAN — cluster expansion is then exactly the connected
+    components fixpoint that ships in graph.py.
+
+    Candidates are generated by GRID-CELL BLOCKING (cell side = eps, each
+    point probes its 3×3 cell neighbourhood) — never an all-pairs join;
+    the oracle brute-forces the identical distance predicate at fixture
+    scale. The distance test runs on identical double expressions in both
+    engines, so no boundary ambiguity.
+
+    Scale shape: one narrow projection, one equi-join on cell keys with
+    bounded 9× fan-out, one count keyed on point id. At 100 TB the cell
+    histogram also drives skew salting for over-dense cells."""
+    t = load_tables(spark, sf_dir)
+    eps2 = DBSCAN_EPS * DBSCAN_EPS
+    pts = t.embeddings.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    cells = pts.select(
+        "*",
+        F.floor(F.col("x") / DBSCAN_EPS).alias("cx"),
+        F.floor(F.col("y") / DBSCAN_EPS).alias("cy"),
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx long, dy long"
+    )
+    probes = cells.crossJoin(F.broadcast(offsets)).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        (F.col("cx") + F.col("dx")).alias("pcx"),
+        (F.col("cy") + F.col("dy")).alias("pcy"),
+    )
+    dist2 = (F.col("ax") - F.col("x")) * (F.col("ax") - F.col("x")) + (
+        F.col("ay") - F.col("y")
+    ) * (F.col("ay") - F.col("y"))
+    return (
+        probes.join(
+            cells.select("vec_id", "x", "y", "cx", "cy"),
+            (F.col("pcx") == F.col("cx")) & (F.col("pcy") == F.col("cy")),
+        )
+        .filter(dist2 <= eps2)
+        .groupBy(F.col("a_id").alias("vec_id"))
+        .agg(F.count("*").alias("n_nbrs"))
+        .filter(F.col("n_nbrs") >= DBSCAN_MINPTS)
+    )
+
+
+def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering over order baskets: cosine
+    similarity on co-occurrence counts, sim(u,v) = co(u,v)/√(n_u·n_v),
+    top-3 neighbours per item — the classic Amazon-style item-to-item
+    recommender expressed as one basket self-join plus degree joins.
+
+    All counts are exact integers; the cosine is a single double division
+    (identical both engines) and the top-k window breaks ties on the
+    neighbour id, so ranks are deterministic.
+
+    Scale shape: baskets are distinct (order, part) pairs; the self-join
+    fans out per order (bounded by basket size), the co-count aggregate is
+    keyed on the item pair, and the support floor (≥ 2 shared orders)
+    prunes the long noise tail before the window. At 100 TB the basket
+    fan-out caps at max-basket², the standard market-basket bound."""
+    t = load_tables(spark, sf_dir)
+    baskets = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    n_i = baskets.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    co = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count("*").alias("co"))
+        .filter(F.col("co") >= CF_MIN_CO)
+    )
+    both = co.select("u", "v", "co").unionAll(
+        co.select(F.col("v").alias("u"), F.col("u").alias("v"), "co")
+    )
+    nu = n_i.select(F.col("l_partkey").alias("u"), F.col("n_orders").alias("n_u"))
+    nv = n_i.select(F.col("l_partkey").alias("v"), F.col("n_orders").alias("n_v"))
+    cos = F.col("co").cast("double") / F.sqrt(
+        (F.col("n_u") * F.col("n_v")).cast("double")
+    )
+    scored = both.join(nu, "u").join(nv, "v").select("u", "v", "co", cos.alias("cos_raw"))
+    win = W.partitionBy("u").orderBy(F.desc("cos_raw"), F.asc("v"))
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= CF_TOPK)
+        .select(
+            F.col("u").alias("item"),
+            F.col("v").alias("neighbor"),
+            "co",
+            F.round(F.col("cos_raw"), 6).alias("cosine"),
+            "rank",
+        )
+    )
+
+
+def q_rating_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Damped-mean baseline predictor (the Netflix-Prize-era b_u/b_i
+    model): global mean μ of the quantity "rating", per-item bias
+    b_i = Σ(r−μ)/(λ+n_i), then per-user bias on the residual
+    b_u = Σ(r−μ−b_i)/(λ+n_u) — the standard pre-factorization
+    normalization pass of a distributed recommender.
+
+    Determinism is FIXED-POINT: μ is rounded to 6 and everything after
+    lives in exact micro-units (×10⁶ BIGINTs). The damped divisions are
+    rounded half-up via the integer-exact floor((2N+D)/(2D)) identity, so
+    no engine ever rounds a double that sits on a decimal boundary (the
+    damped quotients here land on exact half-micro boundaries for dozens
+    of items — naive round(x, 6) genuinely diverges between engines).
+
+    Scale shape: two keyed aggregates (item, then user) plus one 1-row
+    broadcast for μ — exactly two shuffles of id+scalar tuples."""
+    t = load_tables(spark, sf_dir)
+    damp = int(BASELINE_DAMP)
+    ratings = t.lineitem.join(
+        t.orders.select("o_orderkey", "o_custkey"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
+        "o_custkey", "l_partkey", F.col("l_quantity").cast("bigint").alias("r")
+    )
+    mu6 = F.round(F.sum("r").cast("double") / F.count("*"), 6).cast("decimal(18,6)")
+    glob = ratings.agg((mu6 * 1000000).cast("bigint").alias("mu_micro"))
+
+    def half_up(num, den):
+        # round-half-up of the exact rational num/den: floor((2·num+den)/(2·den)).
+        # Operands stay ≤ 2^53, so the double division is correctly rounded and
+        # floor() agrees bit-for-bit across engines even at exact halves.
+        return F.floor(
+            (2 * num + den).cast("double") / (2 * den).cast("double")
+        ).cast("bigint")
+
+    item = (
+        ratings.groupBy("l_partkey")
+        .agg(F.count("*").alias("n_i"), F.sum("r").alias("s_i"))
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "l_partkey",
+            "mu_micro",
+            half_up(
+                F.col("s_i") * 1000000 - F.col("n_i") * F.col("mu_micro"),
+                F.lit(damp) + F.col("n_i"),
+            ).alias("bi_micro"),
+        )
+    )
+    resid = ratings.join(item, "l_partkey").select(
+        "o_custkey",
+        (F.col("r") * 1000000 - F.col("mu_micro") - F.col("bi_micro")).alias("resid6"),
+    )
+    agg = resid.groupBy("o_custkey").agg(
+        F.count("*").alias("n_u"), F.sum("resid6").alias("s_u")
+    )
+    return agg.select(
+        "o_custkey",
+        "n_u",
+        (
+            half_up(F.col("s_u"), F.lit(damp) + F.col("n_u")).cast("double") / 1000000.0
+        ).alias("b_u"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rank statistics & EM
+
+
+def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between quantity and extended price per
+    return flag: tie-averaged ranks, then Pearson on the ranks. The
+    nonparametric sibling of q_corr — rank assignment is the MapReduce
+    "global sort + tie averaging" job, folded here into two window
+    functions.
+
+    Doubled average ranks 2·r̄ = 2·rank + (ties−1) stay EXACT BIGINTs, so
+    every moment is an exact integer aggregate (the 2× scale cancels in
+    ρ); the closing formula runs in identical doubles on means, never on
+    raw Σx·Σy products (which would exceed 2⁵³).
+
+    Scale shape: two range-partitioned sort windows (Spark's SortExec
+    handles the global rank at scale), one exact moment aggregate per
+    group — no raw-row shuffle after ranking."""
+    t = load_tables(spark, sf_dir)
+    base = t.lineitem.select("l_returnflag", "l_quantity", "l_extendedprice")
+    def r2(col):
+        wr = W.partitionBy("l_returnflag").orderBy(col)
+        wt = W.partitionBy("l_returnflag", col)
+        return (2 * F.rank().over(wr) + F.count("*").over(wt) - 1).cast("bigint")
+    ranked = base.select(
+        "l_returnflag", r2("l_quantity").alias("rx"), r2("l_extendedprice").alias("ry")
+    )
+    m = ranked.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / n
+    my = F.col("sy").cast("double") / n
+    cov = F.col("sxy").cast("double") / n - mx * my
+    vx = F.col("sxx").cast("double") / n - mx * mx
+    vy = F.col("syy").cast("double") / n - my * my
+    return m.select(
+        "l_returnflag", "n", F.round(cov / F.sqrt(vx * vy), 6).alias("rho")
+    )
+
+
+def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal–Wallis one-way rank test of quantity across return flags:
+    global tie-averaged ranks, H = 12/(N(N+1))·Σ R_j²/n_j − 3(N+1), plus
+    the tie correction C = 1 − Σ(t³−t)/(N³−N) — the nonparametric ANOVA
+    (q_anova's rank twin) with quantity's 50-value ties exercising the
+    correction hard.
+
+    Doubled ranks and rank sums are exact BIGINTs; the 3 per-group H terms
+    are rounded to 6 and summed as DECIMAL so the 3-way fold is
+    order-free; the tie spectrum Σ(t³−t) is an exact integer aggregate.
+
+    Scale shape: one global sort window for ranks, one 3-group aggregate,
+    one 50-row tie aggregate — all exact, no raw-row shuffle after
+    ranking."""
+    t = load_tables(spark, sf_dir)
+    wr = W.orderBy("l_quantity")
+    wt = W.partitionBy("l_quantity")
+    ranked = t.lineitem.select(
+        "l_returnflag",
+        "l_quantity",
+        (2 * F.rank().over(wr) + F.count("*").over(wt) - 1).cast("bigint").alias("r2"),
+    )
+    groups = ranked.groupBy("l_returnflag").agg(
+        F.count("*").alias("n_j"), F.sum("r2").alias("r2_j")
+    )
+    # H term per group on true ranks R_j = r2_j/2, rounded then DECIMAL-summed.
+    rj = F.col("r2_j").cast("double") / 2.0
+    term = F.round(rj * rj / F.col("n_j"), 6).cast("decimal(28,6)")
+    hsum = groups.agg(
+        F.sum("n_j").alias("n"),
+        F.sum(term).alias("h_sum"),
+        F.count("*").alias("k"),
+    )
+    ties = t.lineitem.groupBy("l_quantity").agg(F.count("*").alias("t"))
+    tie_sum = ties.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3")
+    )
+    nd = F.col("n").cast("double")
+    h = 12.0 / (nd * (nd + 1.0)) * F.col("h_sum").cast("double") - 3.0 * (nd + 1.0)
+    c = 1.0 - F.col("tie3").cast("double") / (nd * nd * nd - nd)
+    return hsum.crossJoin(F.broadcast(tie_sum)).select(
+        "n",
+        (F.col("k") - 1).alias("df"),
+        F.round(h, 6).alias("h"),
+        F.round(h / c, 6).alias("h_corrected"),
+    )
+
+
+def q_em_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One EM round for a two-component 1-D Gaussian mixture on quantity
+    from the fixed init (μ₁=10, μ₂=40, shared σ=15, π₂=0.5): E-step
+    responsibilities per DISTINCT value (50 of them — the value-compressed
+    trick a 100 TB EM uses), M-step reweighted moments → new π, μ, σ² per
+    component.
+
+    Responsibilities are computed on exact integer values with identical
+    double expressions, rounded to 6, and every M-step sum is a DECIMAL
+    aggregate over (value, count) pairs — fully order-free.
+
+    Scale shape: one 50-group value-histogram aggregate, then O(#values)
+    arithmetic — the raw table is touched exactly once."""
+    t = load_tables(spark, sf_dir)
+    hist = t.lineitem.groupBy(
+        F.col("l_quantity").cast("bigint").alias("v")
+    ).agg(F.count("*").alias("c"))
+    v = F.col("v").cast("double")
+    two_s2 = 2.0 * EM_SIGMA * EM_SIGMA
+    phi1 = F.exp(-(v - EM_MU1) * (v - EM_MU1) / two_s2)
+    phi2 = F.exp(-(v - EM_MU2) * (v - EM_MU2) / two_s2)
+    g2 = F.round((EM_PI2 * phi2) / ((1.0 - EM_PI2) * phi1 + EM_PI2 * phi2), 6)
+    g1 = F.round(1.0 - (EM_PI2 * phi2) / ((1.0 - EM_PI2) * phi1 + EM_PI2 * phi2), 6)
+    def dec(x):
+        return x.cast("decimal(28,6)")
+    resp = hist.select(
+        "v",
+        "c",
+        dec(F.col("c") * g1).alias("n1"),
+        dec(F.col("c") * g2).alias("n2"),
+        dec(F.col("c") * g1 * v).alias("sv1"),
+        dec(F.col("c") * g2 * v).alias("sv2"),
+        dec(F.col("c") * g1 * v * v).alias("sq1"),
+        dec(F.col("c") * g2 * v * v).alias("sq2"),
+    )
+    m = resp.agg(
+        F.sum("c").alias("n"),
+        F.sum("n1").alias("n1"),
+        F.sum("n2").alias("n2"),
+        F.sum("sv1").alias("sv1"),
+        F.sum("sv2").alias("sv2"),
+        F.sum("sq1").alias("sq1"),
+        F.sum("sq2").alias("sq2"),
+    )
+    def comp_struct(comp: int):
+        nk = F.col(f"n{comp}").cast("double")
+        mu = F.col(f"sv{comp}").cast("double") / nk
+        var = F.col(f"sq{comp}").cast("double") / nk - mu * mu
+        return F.struct(
+            F.lit(comp).alias("component"),
+            F.round(nk / F.col("n").cast("double"), 6).alias("pi_new"),
+            F.round(mu, 6).alias("mu_new"),
+            F.round(var, 6).alias("var_new"),
+        )
+
+    # One row → two component rows via explode, so the histogram aggregate
+    # (and its scan) appears ONCE in the plan instead of once per component.
+    return m.select(
+        F.explode(F.array(comp_struct(1), comp_struct(2))).alias("c")
+    ).select("c.*")
+
+
+def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information between return flag and line status: per-cell
+    PMI and contribution p(x,y)·ln(p(x,y)/(p(x)p(y))), plus the total MI
+    repeated per row — the classic feature-selection / association measure
+    computed from one contingency aggregate.
+
+    All probabilities derive from exact integer counts (identical double
+    divisions); the 6-term MI fold is rounded per-cell and summed as
+    DECIMAL through a window so it is order-free.
+
+    Scale shape: one contingency aggregate keyed on the (tiny) category
+    pair + two broadcast marginal joins — a single shuffle of count
+    tuples."""
+    t = load_tables(spark, sf_dir)
+    cells = t.lineitem.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n_xy")
+    )
+    mx = t.lineitem.groupBy("l_returnflag").agg(F.count("*").alias("n_x"))
+    my = t.lineitem.groupBy("l_linestatus").agg(F.count("*").alias("n_y"))
+    tot = t.lineitem.agg(F.count("*").alias("n"))
+    joined = (
+        cells.join(F.broadcast(mx), "l_returnflag")
+        .join(F.broadcast(my), "l_linestatus")
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("n").cast("double")
+    pxy = F.col("n_xy").cast("double") / n
+    px = F.col("n_x").cast("double") / n
+    py = F.col("n_y").cast("double") / n
+    pmi = F.log(pxy / (px * py))
+    contrib = F.round(pxy * pmi, 10).cast("decimal(28,10)")
+    w = W.partitionBy()
+    return joined.select(
+        "l_returnflag",
+        "l_linestatus",
+        "n_xy",
+        F.round(pmi, 6).alias("pmi"),
+        contrib.cast("double").alias("contribution"),
+        F.sum(contrib).over(w).cast("double").alias("mi_total"),
+    )
+
+
+QUERIES = {
+    "q_perceptron_step": q_perceptron_step,
+    "q_adaboost_round": q_adaboost_round,
+    "q_ridge_fit": q_ridge_fit,
+    "q_gbt_stump": q_gbt_stump,
+    "q_hits_step": q_hits_step,
+    "q_power_iter": q_power_iter,
+    "q_dbscan_core": q_dbscan_core,
+    "q_item_cf": q_item_cf,
+    "q_rating_baseline": q_rating_baseline,
+    "q_spearman": q_spearman,
+    "q_kruskal_wallis": q_kruskal_wallis,
+    "q_em_step": q_em_step,
+    "q_mutual_info": q_mutual_info,
+}
+
+
+ORACLES = {
+    "q_perceptron_step": f"""
+        WITH base AS (
+            SELECT CASE WHEN label >= 5 THEN 1.0 ELSE -1.0 END AS y,
+                   embedding,
+                   round((CASE WHEN label >= 5 THEN 1.0 ELSE -1.0 END)
+                         * list_sum(list_transform(embedding,
+                                                   x -> {PERC_W0} * CAST(x AS DOUBLE))), 6)
+                       AS margin
+            FROM embeddings
+        ), mis AS (
+            SELECT * FROM base WHERE margin <= 0.0
+        ), nm AS (
+            SELECT count(*) AS n_mis FROM mis
+        ), per_dim AS (
+            SELECT d.d,
+                   sum(CAST(round(y * CAST(embedding[d.d] AS DOUBLE), 6)
+                            AS DECIMAL(18,6))) AS upd_sum
+            FROM mis, (SELECT unnest({_DIMS}) AS d) d
+            GROUP BY d.d
+        )
+        SELECT d, nm.n_mis,
+               round({PERC_LR} * CAST(upd_sum AS DOUBLE), 6) AS delta,
+               round({PERC_W0}
+                     + round({PERC_LR} * CAST(upd_sum AS DOUBLE), 6), 6) AS w_new
+        FROM per_dim, nm
+    """,
+    "q_adaboost_round": f"""
+        WITH marked AS (
+            SELECT (CASE WHEN CAST(embedding[1] AS DOUBLE) <= {ADA_THR}
+                         THEN 1.0 ELSE -1.0 END)
+                   = (CASE WHEN label >= 5 THEN 1.0 ELSE -1.0 END) AS is_correct
+            FROM embeddings
+        ), cohorts AS (
+            SELECT is_correct, count(*) AS n_rows FROM marked GROUP BY is_correct
+        ), tot AS (
+            SELECT sum(n_rows) AS n,
+                   sum(CASE WHEN NOT is_correct THEN n_rows ELSE 0 END) AS n_wrong
+            FROM cohorts
+        )
+        SELECT is_correct, n_rows,
+               round(CAST(n_wrong AS DOUBLE) / n, 6) AS eps,
+               round(0.5 * ln((1.0 - CAST(n_wrong AS DOUBLE) / n)
+                              / (CAST(n_wrong AS DOUBLE) / n)), 6) AS alpha,
+               round((CASE WHEN is_correct
+                           THEN exp(-round(0.5 * ln(CAST(n - n_wrong AS DOUBLE) / n_wrong), 6))
+                           ELSE exp(round(0.5 * ln(CAST(n - n_wrong AS DOUBLE) / n_wrong), 6))
+                      END)
+                     / (n * (((n - n_wrong)
+                              * exp(-round(0.5 * ln(CAST(n - n_wrong AS DOUBLE) / n_wrong), 6))
+                              + n_wrong
+                              * exp(round(0.5 * ln(CAST(n - n_wrong AS DOUBLE) / n_wrong), 6)))
+                             / n)), 10) AS w_new
+        FROM cohorts, tot
+    """,
+    "q_ridge_fit": f"""
+        WITH m AS (
+            SELECT l_linestatus,
+                   count(*) AS n,
+                   sum(CAST(l_quantity AS BIGINT)) AS sx,
+                   sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sy,
+                   sum(CAST(CAST(l_quantity AS BIGINT)
+                            * CAST(l_extendedprice AS DECIMAL(18,2))
+                            AS DECIMAL(28,2))) AS sxy,
+                   sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS sxx
+            FROM lineitem GROUP BY l_linestatus
+        )
+        SELECT l_linestatus, n,
+               round((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                     / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                        - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                          * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                        + {RIDGE_LAMBDA} / CAST(n AS DOUBLE)), 6) AS slope_ridge,
+               round(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+                     - round((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                              - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                                * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                             / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                                - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                                  * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                                + {RIDGE_LAMBDA} / CAST(n AS DOUBLE)), 6)
+                       * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS intercept
+        FROM m
+    """,
+    "q_gbt_stump": f"""
+        WITH grid AS (
+            SELECT CAST(unnest([{", ".join(str(x) for x in GBT_THRESHOLDS)}]) AS DOUBLE) AS thr
+        ), agg AS (
+            SELECT thr,
+                   sum(CASE WHEN l_extendedprice <= thr THEN 1 ELSE 0 END) AS n_l,
+                   sum(CASE WHEN l_extendedprice <= thr
+                            THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS s_l,
+                   sum(CASE WHEN l_extendedprice <= thr
+                            THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                            ELSE 0 END) AS q_l,
+                   sum(CASE WHEN l_extendedprice > thr THEN 1 ELSE 0 END) AS n_r,
+                   sum(CASE WHEN l_extendedprice > thr
+                            THEN CAST(l_quantity AS BIGINT) ELSE 0 END) AS s_r,
+                   sum(CASE WHEN l_extendedprice > thr
+                            THEN CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                            ELSE 0 END) AS q_r
+            FROM lineitem CROSS JOIN grid
+            GROUP BY thr
+        )
+        SELECT thr, n_l, n_r,
+               CASE WHEN n_l > 0
+                    THEN round(CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE), 6) END AS mean_l,
+               CASE WHEN n_r > 0
+                    THEN round(CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE), 6) END AS mean_r,
+               round((CASE WHEN n_l > 0
+                           THEN CAST(q_l AS DOUBLE)
+                                - (CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+                                  * CAST(s_l AS DOUBLE)
+                           ELSE 0.0 END)
+                     + (CASE WHEN n_r > 0
+                             THEN CAST(q_r AS DOUBLE)
+                                  - (CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE))
+                                    * CAST(s_r AS DOUBLE)
+                             ELSE 0.0 END), 4) AS sse
+        FROM agg
+    """,
+    "q_hits_step": """
+        WITH edges AS (
+            SELECT DISTINCT o_custkey, l_partkey
+            FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        ), auth1 AS (
+            SELECT l_partkey, count(*) AS a1 FROM edges GROUP BY l_partkey
+        ), hub1 AS (
+            SELECT e.o_custkey, sum(a1) AS h1
+            FROM edges e JOIN auth1 USING (l_partkey) GROUP BY e.o_custkey
+        ), auth2 AS (
+            SELECT e.l_partkey, sum(h1) AS auth
+            FROM edges e JOIN hub1 USING (o_custkey) GROUP BY e.l_partkey
+        ), nrm AS (
+            SELECT sum(auth * auth) AS s2 FROM auth2
+        )
+        SELECT l_partkey, auth,
+               round(auth / sqrt(CAST(s2 AS DOUBLE)), 6) AS auth_norm
+        FROM auth2, nrm
+    """,
+    "q_power_iter": f"""
+        WITH {_REPEAT_EDGE_CTES}, v1 AS (
+            SELECT node, count(*) AS v1 FROM nbrs GROUP BY node
+        ), v2 AS (
+            SELECT n.node, sum(w.v1) AS v2
+            FROM nbrs n JOIN v1 w ON w.node = n.nbr
+            GROUP BY n.node
+        ), nrm AS (
+            SELECT sum(v2 * v2) AS s2 FROM v2
+        )
+        SELECT node, v2, round(v2 / sqrt(CAST(s2 AS DOUBLE)), 6) AS v2_norm
+        FROM v2, nrm
+    """,
+    "q_dbscan_core": f"""
+        WITH p AS (
+            SELECT vec_id,
+                   CAST(embedding[1] AS DOUBLE) AS x,
+                   CAST(embedding[2] AS DOUBLE) AS y
+            FROM embeddings
+        )
+        SELECT a.vec_id, count(*) AS n_nbrs
+        FROM p a JOIN p b
+          ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             <= {DBSCAN_EPS * DBSCAN_EPS}
+        GROUP BY a.vec_id
+        HAVING count(*) >= {DBSCAN_MINPTS}
+    """,
+    "q_item_cf": f"""
+        WITH baskets AS (
+            SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        ), n_i AS (
+            SELECT l_partkey, count(*) AS n_orders FROM baskets GROUP BY l_partkey
+        ), co AS (
+            SELECT a.l_partkey AS u, b.l_partkey AS v, count(*) AS co
+            FROM baskets a JOIN baskets b
+              ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+            GROUP BY 1, 2
+            HAVING count(*) >= {CF_MIN_CO}
+        ), sym AS (
+            SELECT u, v, co FROM co
+            UNION ALL
+            SELECT v AS u, u AS v, co FROM co
+        ), scored AS (
+            SELECT sym.u, sym.v, sym.co,
+                   CAST(sym.co AS DOUBLE)
+                   / sqrt(CAST(nu.n_orders * nv.n_orders AS DOUBLE)) AS cos_raw
+            FROM sym
+            JOIN n_i nu ON nu.l_partkey = sym.u
+            JOIN n_i nv ON nv.l_partkey = sym.v
+        )
+        SELECT u AS item, v AS neighbor, co,
+               round(cos_raw, 6) AS cosine, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY u
+                                           ORDER BY cos_raw DESC, v) AS rank
+              FROM scored)
+        WHERE rank <= {CF_TOPK}
+    """,
+    "q_rating_baseline": f"""
+        WITH ratings AS (
+            SELECT o.o_custkey, l.l_partkey, CAST(l.l_quantity AS BIGINT) AS r
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        ), gmean AS (
+            SELECT CAST(CAST(round(CAST(sum(r) AS DOUBLE) / count(*), 6)
+                             AS DECIMAL(18,6)) * 1000000 AS BIGINT) AS mu_micro
+            FROM ratings
+        ), item AS (
+            SELECT l_partkey, g.mu_micro,
+                   CAST(floor(CAST(2 * (sum(r) * 1000000 - count(*) * g.mu_micro)
+                                   + ({BASELINE_DAMP:.0f} + count(*)) AS DOUBLE)
+                              / CAST(2 * ({BASELINE_DAMP:.0f} + count(*)) AS DOUBLE))
+                        AS BIGINT) AS bi_micro
+            FROM ratings, gmean g
+            GROUP BY l_partkey, g.mu_micro
+        ), resid AS (
+            SELECT r.o_custkey,
+                   r.r * 1000000 - i.mu_micro - i.bi_micro AS resid6
+            FROM ratings r JOIN item i USING (l_partkey)
+        )
+        SELECT o_custkey, count(*) AS n_u,
+               CAST(floor(CAST(2 * sum(resid6) + ({BASELINE_DAMP:.0f} + count(*)) AS DOUBLE)
+                          / CAST(2 * ({BASELINE_DAMP:.0f} + count(*)) AS DOUBLE))
+                    AS BIGINT) / 1000000.0 AS b_u
+        FROM resid GROUP BY o_custkey
+    """,
+    "q_spearman": """
+        WITH ranked AS (
+            SELECT l_returnflag,
+                   CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_quantity)
+                        + count(*) OVER (PARTITION BY l_returnflag, l_quantity)
+                        - 1 AS BIGINT) AS rx,
+                   CAST(2 * rank() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice)
+                        + count(*) OVER (PARTITION BY l_returnflag, l_extendedprice)
+                        - 1 AS BIGINT) AS ry
+            FROM lineitem
+        ), m AS (
+            SELECT l_returnflag, count(*) AS n,
+                   sum(rx) AS sx, sum(ry) AS sy,
+                   sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
+            FROM ranked GROUP BY l_returnflag
+        )
+        SELECT l_returnflag, n,
+               round((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+                     / sqrt((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+                            * (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                               - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                                 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS rho
+        FROM m
+    """,
+    "q_kruskal_wallis": """
+        WITH ranked AS (
+            SELECT l_returnflag,
+                   CAST(2 * rank() OVER (ORDER BY l_quantity)
+                        + count(*) OVER (PARTITION BY l_quantity) - 1 AS BIGINT) AS r2
+            FROM lineitem
+        ), groups AS (
+            SELECT l_returnflag, count(*) AS n_j, sum(r2) AS r2_j
+            FROM ranked GROUP BY l_returnflag
+        ), hsum AS (
+            SELECT sum(n_j) AS n,
+                   sum(CAST(round((CAST(r2_j AS DOUBLE) / 2.0)
+                                  * (CAST(r2_j AS DOUBLE) / 2.0) / n_j, 6)
+                            AS DECIMAL(28,6))) AS h_sum,
+                   count(*) AS k
+            FROM groups
+        ), tie_sum AS (
+            SELECT sum(t * t * t - t) AS tie3
+            FROM (SELECT count(*) AS t FROM lineitem GROUP BY l_quantity)
+        )
+        SELECT n, k - 1 AS df,
+               round(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                     * CAST(h_sum AS DOUBLE)
+                     - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h,
+               round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                      * CAST(h_sum AS DOUBLE)
+                      - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                     / (1.0 - CAST(tie3 AS DOUBLE)
+                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                           - CAST(n AS DOUBLE))), 6) AS h_corrected
+        FROM hsum, tie_sum
+    """,
+    "q_em_step": f"""
+        WITH hist AS (
+            SELECT CAST(l_quantity AS BIGINT) AS v, count(*) AS c
+            FROM lineitem GROUP BY 1
+        ), resp AS (
+            SELECT v, c,
+                   round(1.0 - ({EM_PI2} * exp(-(CAST(v AS DOUBLE) - {EM_MU2})
+                                               * (CAST(v AS DOUBLE) - {EM_MU2})
+                                               / {2.0 * EM_SIGMA * EM_SIGMA}))
+                         / ((1.0 - {EM_PI2})
+                            * exp(-(CAST(v AS DOUBLE) - {EM_MU1})
+                                  * (CAST(v AS DOUBLE) - {EM_MU1})
+                                  / {2.0 * EM_SIGMA * EM_SIGMA})
+                            + {EM_PI2} * exp(-(CAST(v AS DOUBLE) - {EM_MU2})
+                                             * (CAST(v AS DOUBLE) - {EM_MU2})
+                                             / {2.0 * EM_SIGMA * EM_SIGMA})), 6) AS g1,
+                   round(({EM_PI2} * exp(-(CAST(v AS DOUBLE) - {EM_MU2})
+                                         * (CAST(v AS DOUBLE) - {EM_MU2})
+                                         / {2.0 * EM_SIGMA * EM_SIGMA}))
+                         / ((1.0 - {EM_PI2})
+                            * exp(-(CAST(v AS DOUBLE) - {EM_MU1})
+                                  * (CAST(v AS DOUBLE) - {EM_MU1})
+                                  / {2.0 * EM_SIGMA * EM_SIGMA})
+                            + {EM_PI2} * exp(-(CAST(v AS DOUBLE) - {EM_MU2})
+                                             * (CAST(v AS DOUBLE) - {EM_MU2})
+                                             / {2.0 * EM_SIGMA * EM_SIGMA})), 6) AS g2
+            FROM hist
+        ), m AS (
+            SELECT sum(c) AS n,
+                   sum(CAST(c * g1 AS DECIMAL(28,6))) AS n1,
+                   sum(CAST(c * g2 AS DECIMAL(28,6))) AS n2,
+                   sum(CAST(c * g1 * CAST(v AS DOUBLE) AS DECIMAL(28,6))) AS sv1,
+                   sum(CAST(c * g2 * CAST(v AS DOUBLE) AS DECIMAL(28,6))) AS sv2,
+                   sum(CAST(c * g1 * CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                            AS DECIMAL(28,6))) AS sq1,
+                   sum(CAST(c * g2 * CAST(v AS DOUBLE) * CAST(v AS DOUBLE)
+                            AS DECIMAL(28,6))) AS sq2
+            FROM resp
+        )
+        SELECT 1 AS component,
+               round(CAST(n1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pi_new,
+               round(CAST(sv1 AS DOUBLE) / CAST(n1 AS DOUBLE), 6) AS mu_new,
+               round(CAST(sq1 AS DOUBLE) / CAST(n1 AS DOUBLE)
+                     - (CAST(sv1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+                       * (CAST(sv1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 6) AS var_new
+        FROM m
+        UNION ALL
+        SELECT 2 AS component,
+               round(CAST(n2 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pi_new,
+               round(CAST(sv2 AS DOUBLE) / CAST(n2 AS DOUBLE), 6) AS mu_new,
+               round(CAST(sq2 AS DOUBLE) / CAST(n2 AS DOUBLE)
+                     - (CAST(sv2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+                       * (CAST(sv2 AS DOUBLE) / CAST(n2 AS DOUBLE)), 6) AS var_new
+        FROM m
+    """,
+    "q_mutual_info": """
+        WITH cells AS (
+            SELECT l_returnflag, l_linestatus, count(*) AS n_xy
+            FROM lineitem GROUP BY 1, 2
+        ), mx AS (
+            SELECT l_returnflag, count(*) AS n_x FROM lineitem GROUP BY 1
+        ), my AS (
+            SELECT l_linestatus, count(*) AS n_y FROM lineitem GROUP BY 1
+        ), tot AS (
+            SELECT count(*) AS n FROM lineitem
+        ), joined AS (
+            SELECT c.l_returnflag, c.l_linestatus, c.n_xy,
+                   ln((CAST(c.n_xy AS DOUBLE) / CAST(t.n AS DOUBLE))
+                      / ((CAST(x.n_x AS DOUBLE) / CAST(t.n AS DOUBLE))
+                         * (CAST(y.n_y AS DOUBLE) / CAST(t.n AS DOUBLE)))) AS pmi_raw,
+                   CAST(round((CAST(c.n_xy AS DOUBLE) / CAST(t.n AS DOUBLE))
+                              * ln((CAST(c.n_xy AS DOUBLE) / CAST(t.n AS DOUBLE))
+                                   / ((CAST(x.n_x AS DOUBLE) / CAST(t.n AS DOUBLE))
+                                      * (CAST(y.n_y AS DOUBLE) / CAST(t.n AS DOUBLE)))), 10)
+                        AS DECIMAL(28,10)) AS contrib
+            FROM cells c
+            JOIN mx x USING (l_returnflag)
+            JOIN my y USING (l_linestatus)
+            CROSS JOIN tot t
+        )
+        SELECT l_returnflag, l_linestatus, n_xy,
+               round(pmi_raw, 6) AS pmi,
+               CAST(contrib AS DOUBLE) AS contribution,
+               CAST(sum(contrib) OVER () AS DOUBLE) AS mi_total
+        FROM joined
+    """,
+}

@@ -41,6 +41,7 @@ _MODULES = (
     "machinelearningalgomapreduce_spark.operators.tpch",
     "machinelearningalgomapreduce_spark.operators.classifier",
     "machinelearningalgomapreduce_spark.operators.behavior",
+    "machinelearningalgomapreduce_spark.operators.classicml",
 )
 
 # Per-query LATEST green driver round (from CORRECTNESS_r{N}.json on disk).
