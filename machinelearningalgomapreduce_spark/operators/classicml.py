@@ -684,6 +684,310 @@ def q_mutual_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# library iteration loops (pytest-verified APIs — multi-round state is not
+# SQL-oracle-checkable, same policy as kmeans_iterate / kcore_iterate)
+
+
+def _eps_pairs(pts: DataFrame, eps: float) -> DataFrame:
+    """All ordered point pairs within eps (self included) via grid-cell
+    blocking — the q_dbscan_core candidate generator, factored out so the
+    full-DBSCAN loop reuses it. Input: (vec_id, x, y)."""
+    spark = pts.sparkSession
+    cells = pts.select(
+        "*",
+        F.floor(F.col("x") / eps).alias("cx"),
+        F.floor(F.col("y") / eps).alias("cy"),
+    )
+    offsets = spark.createDataFrame(
+        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx long, dy long"
+    )
+    probes = cells.crossJoin(F.broadcast(offsets)).select(
+        F.col("vec_id").alias("a_id"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        (F.col("cx") + F.col("dx")).alias("pcx"),
+        (F.col("cy") + F.col("dy")).alias("pcy"),
+    )
+    dist2 = (F.col("ax") - F.col("x")) * (F.col("ax") - F.col("x")) + (
+        F.col("ay") - F.col("y")
+    ) * (F.col("ay") - F.col("y"))
+    return (
+        probes.join(
+            cells.select("vec_id", "x", "y", "cx", "cy"),
+            (F.col("pcx") == F.col("cx")) & (F.col("pcy") == F.col("cy")),
+        )
+        .filter(dist2 <= eps * eps)
+        .select("a_id", F.col("vec_id").alias("b_id"))
+    )
+
+
+def dbscan_cluster(
+    spark: SparkSession,
+    sf_dir: str,
+    eps: float = DBSCAN_EPS,
+    min_pts: int = DBSCAN_MINPTS,
+) -> DataFrame:
+    """Full DBSCAN over the 2-D embedding projection (library API):
+    core-point detection (q_dbscan_core's grid-blocked counting), cluster
+    formation as CONNECTED COMPONENTS over the core–core eps-graph
+    (the O(log²)-round star algorithm from graph.py — the 100 TB CC), and
+    border assignment to the minimum adjacent core root. Returns
+    (vec_id, cluster, kind ∈ {core, border, noise}); cluster is NULL for
+    noise and the component-minimum core id otherwise (deterministic).
+
+    Scale shape: candidate pairs only ever come from 3×3 grid cells; the
+    CC loop shuffles (node, label) pairs; border assignment is one
+    min-aggregate join. No stage is all-pairs."""
+    from machinelearningalgomapreduce_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pts = t.embeddings.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    pairs = _eps_pairs(pts, eps).localCheckpoint()
+    counts = pairs.groupBy("a_id").agg(F.count("*").alias("n_nbrs"))
+    cores = counts.filter(F.col("n_nbrs") >= min_pts).select(
+        F.col("a_id").alias("vec_id")
+    )
+    core_edges = (
+        pairs.filter(F.col("a_id") < F.col("b_id"))
+        .join(cores.withColumnRenamed("vec_id", "a_id"), "a_id", "left_semi")
+        .join(cores.withColumnRenamed("vec_id", "b_id"), "b_id", "left_semi")
+        .select(F.col("a_id").alias("u"), F.col("b_id").alias("v"))
+    )
+    roots = connected_components_star(core_edges)  # (node, root)
+    core_rows = cores.join(
+        roots, cores.vec_id == roots.node, "left"
+    ).select(
+        "vec_id",
+        # isolated cores (no core neighbour) root themselves
+        F.coalesce(F.col("root"), F.col("vec_id")).alias("cluster"),
+        F.lit("core").alias("kind"),
+    )
+    border = (
+        pairs.join(cores.withColumnRenamed("vec_id", "a_id"), "a_id", "left_anti")
+        .join(
+            core_rows.select(
+                F.col("vec_id").alias("b_id"), F.col("cluster").alias("b_cluster")
+            ),
+            "b_id",
+        )
+        .groupBy(F.col("a_id").alias("vec_id"))
+        .agg(F.min("b_cluster").alias("cluster"))
+        .select("vec_id", "cluster", F.lit("border").alias("kind"))
+    )
+    assigned = core_rows.unionByName(border)
+    noise = pts.select("vec_id").join(
+        assigned.select("vec_id"), "vec_id", "left_anti"
+    ).select(
+        "vec_id", F.lit(None).cast("long").alias("cluster"), F.lit("noise").alias("kind")
+    )
+    return assigned.unionByName(noise)
+
+
+ADA_CANDIDATES = tuple(
+    (d, thr) for d in (1, 2, 3, 4) for thr in (-0.1, 0.0, 0.1)
+)
+
+
+def adaboost_fit(spark: SparkSession, sf_dir: str, rounds: int = 3) -> list[dict]:
+    """Multi-round AdaBoost over axis-aligned decision stumps (library
+    API): per round, ONE aggregate scores every candidate stump's
+    weighted error against the current row weights, the driver picks the
+    argmin (deterministic tie-break on (dim, thr)), and rows are
+    reweighted w ← w·exp(∓α)/Z with localCheckpoint truncating lineage.
+    Returns [{dim, thr, flip, alpha, eps}, ...] — O(rounds) model state;
+    the weight column is the only per-row state, exactly the MapReduce
+    formulation (weights in HDFS, stump search as one job per round).
+    """
+    t = load_tables(spark, sf_dir)
+    y = F.when(F.col("label") >= 5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    base = t.embeddings.select(
+        "vec_id", "embedding", y.alias("y"), F.lit(1.0).alias("w")
+    )
+    n = base.count()
+    cur = base.withColumn("w", F.col("w") / n).localCheckpoint()
+    grid = spark.createDataFrame(ADA_CANDIDATES, "dim int, thr double")
+    model: list[dict] = []
+    for _ in range(rounds):
+        pred = F.when(
+            F.element_at(F.col("embedding"), F.col("dim")).cast("double")
+            <= F.col("thr"),
+            F.lit(1.0),
+        ).otherwise(F.lit(-1.0))
+        scores = (
+            cur.crossJoin(F.broadcast(grid))
+            .groupBy("dim", "thr")
+            .agg(F.sum(F.when(pred != F.col("y"), F.col("w")).otherwise(0.0)).alias("eps"))
+            .collect()
+        )
+        # flip a worse-than-chance stump instead of discarding it
+        best = min(
+            scores, key=lambda r: (min(r.eps, 1.0 - r.eps), r.dim, r.thr)
+        )
+        flip = best.eps > 0.5
+        eps = min(best.eps, 1.0 - best.eps)
+        if eps <= 0.0 or eps >= 0.5:
+            break
+        import math as _m
+
+        alpha = 0.5 * _m.log((1.0 - eps) / eps)
+        model.append(
+            {"dim": best.dim, "thr": best.thr, "flip": flip, "alpha": alpha, "eps": eps}
+        )
+        sign = -1.0 if flip else 1.0
+        pred_best = F.when(
+            F.element_at(F.col("embedding"), F.lit(best.dim)).cast("double")
+            <= best.thr,
+            F.lit(sign),
+        ).otherwise(F.lit(-sign))
+        unnorm = cur.withColumn(
+            "w",
+            F.col("w")
+            * F.when(pred_best != F.col("y"), F.exp(F.lit(alpha))).otherwise(
+                F.exp(F.lit(-alpha))
+            ),
+        )
+        z = unnorm.agg(F.sum("w")).collect()[0][0]
+        cur = unnorm.withColumn("w", F.col("w") / F.lit(z)).localCheckpoint()
+    return model
+
+
+def adaboost_predict(df: DataFrame, model: list[dict]) -> DataFrame:
+    """Ensemble vote Σ α·h(x) → sign, as one Catalyst expression."""
+    score = F.lit(0.0)
+    for m in model:
+        sign = -1.0 if m["flip"] else 1.0
+        h = F.when(
+            F.element_at(F.col("embedding"), F.lit(m["dim"])).cast("double")
+            <= m["thr"],
+            F.lit(sign),
+        ).otherwise(F.lit(-sign))
+        score = score + F.lit(m["alpha"]) * h
+    return df.withColumn(
+        "pred", F.when(score >= 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+    )
+
+
+def hits_iterate(edges: DataFrame, rounds: int = 5) -> tuple[DataFrame, DataFrame]:
+    """Full HITS loop over a bipartite edge list (hub_id, auth_id) with
+    L2 normalization per half-step (library API). Returns (auth, hub)
+    frames with `score` columns. Per half-step: one join + one keyed
+    aggregate + a 1-row norm broadcast — O(m), the q_hits_step kernel
+    iterated with localCheckpoint lineage truncation."""
+    hub = edges.select(F.col("hub_id")).distinct().withColumn("score", F.lit(1.0))
+    auth = None
+    for _ in range(rounds):
+        auth_raw = (
+            edges.join(hub, "hub_id")
+            .groupBy("auth_id")
+            .agg(F.sum("score").alias("raw"))
+        )
+        anorm = auth_raw.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm"))
+        auth = (
+            auth_raw.crossJoin(F.broadcast(anorm))
+            .select("auth_id", (F.col("raw") / F.col("nrm")).alias("score"))
+            .localCheckpoint()
+        )
+        hub_raw = (
+            edges.join(auth, "auth_id")
+            .groupBy("hub_id")
+            .agg(F.sum("score").alias("raw"))
+        )
+        hnorm = hub_raw.agg(F.sqrt(F.sum(F.col("raw") * F.col("raw"))).alias("nrm"))
+        hub = (
+            hub_raw.crossJoin(F.broadcast(hnorm))
+            .select("hub_id", (F.col("raw") / F.col("nrm")).alias("score"))
+            .localCheckpoint()
+        )
+    return auth, hub
+
+
+def power_iterate(edges: DataFrame, rounds: int = 8) -> tuple[DataFrame, list[float]]:
+    """Power iteration toward the dominant eigenvector of the undirected
+    adjacency matrix given as (u, v) edges (library API). Returns the
+    L2-normalized vector (node, score) and the per-round Rayleigh-quotient
+    eigenvalue estimates (their convergence is the stopping signal a
+    driver loop watches). Per round: one join + keyed aggregate + two
+    1-row reductions — O(m)."""
+    nbrs = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    ).localCheckpoint()
+    v = nbrs.select("node").distinct().withColumn("score", F.lit(1.0))
+    eigen: list[float] = []
+    for _ in range(rounds):
+        av = (
+            nbrs.join(
+                v.select(F.col("node").alias("nbr"), F.col("score").alias("s")), "nbr"
+            )
+            .groupBy("node")
+            .agg(F.sum("s").alias("raw"))
+        )
+        stats = (
+            av.join(v, "node")
+            .agg(
+                F.sum(F.col("raw") * F.col("score")).alias("vav"),
+                F.sum(F.col("raw") * F.col("raw")).alias("norm2"),
+                F.sum(F.col("score") * F.col("score")).alias("vtv"),
+            )
+            .collect()[0]
+        )
+        eigen.append(float(stats.vav) / float(stats.vtv))  # Rayleigh vᵀAv/vᵀv
+        nrm = float(stats.norm2) ** 0.5
+        v = av.select("node", (F.col("raw") / F.lit(nrm)).alias("score")).localCheckpoint()
+    return v, eigen
+
+
+def em_fit(spark: SparkSession, sf_dir: str, rounds: int = 5) -> dict:
+    """Full EM for the 2-component 1-D GMM on the quantity histogram
+    (library API): parameters live in the driver (the MapReduce
+    Configuration idiom), each round is ONE aggregate over the cached
+    50-row value histogram, and the per-round incomplete log-likelihood
+    Σ c·ln(Σ_k π_k φ_k(v)) is recorded — EM guarantees it never
+    decreases, which the test asserts. Returns {params, loglik}."""
+    import math as _m
+
+    t = load_tables(spark, sf_dir)
+    hist = (
+        t.lineitem.groupBy(F.col("l_quantity").cast("bigint").alias("v"))
+        .agg(F.count("*").alias("c"))
+        .localCheckpoint()
+    )
+    p = {"mu1": EM_MU1, "mu2": EM_MU2, "s1": EM_SIGMA, "s2": EM_SIGMA, "pi2": EM_PI2}
+    loglik: list[float] = []
+    vd = F.col("v").cast("double")
+    for _ in range(rounds):
+        phi1 = F.exp(-(vd - p["mu1"]) * (vd - p["mu1"]) / (2 * p["s1"] ** 2)) / p["s1"]
+        phi2 = F.exp(-(vd - p["mu2"]) * (vd - p["mu2"]) / (2 * p["s2"] ** 2)) / p["s2"]
+        mix = (1 - p["pi2"]) * phi1 + p["pi2"] * phi2
+        g2 = p["pi2"] * phi2 / mix
+        m = hist.agg(
+            F.sum(F.col("c") * F.log(mix)).alias("ll"),
+            F.sum("c").alias("n"),
+            F.sum(F.col("c") * g2).alias("n2"),
+            F.sum(F.col("c") * g2 * vd).alias("sv2"),
+            F.sum(F.col("c") * g2 * vd * vd).alias("sq2"),
+            F.sum(F.col("c") * (1 - g2) * vd).alias("sv1"),
+            F.sum(F.col("c") * (1 - g2) * vd * vd).alias("sq1"),
+        ).collect()[0]
+        loglik.append(float(m.ll) - 0.5 * _m.log(2 * _m.pi) * m.n)
+        n1 = m.n - m.n2
+        mu1, mu2 = m.sv1 / n1, m.sv2 / m.n2
+        p = {
+            "mu1": mu1,
+            "mu2": mu2,
+            "s1": max(_m.sqrt(max(m.sq1 / n1 - mu1 * mu1, 1e-6)), 1e-3),
+            "s2": max(_m.sqrt(max(m.sq2 / m.n2 - mu2 * mu2, 1e-6)), 1e-3),
+            "pi2": m.n2 / m.n,
+        }
+    return {"params": p, "loglik": loglik}
+
+
 QUERIES = {
     "q_perceptron_step": q_perceptron_step,
     "q_adaboost_round": q_adaboost_round,

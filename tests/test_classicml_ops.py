@@ -238,3 +238,112 @@ def test_em_touches_table_once(spark, sf_dir, queries):
     df = queries["q_em_step"](spark, sf_dir)
     plan = P.formatted_plan(df)
     assert plan.count("Scan parquet") <= 2  # union of two projections of one agg
+
+
+# ------------------------------------------------- library iteration loops
+
+
+def test_dbscan_cluster_full_partition(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    n_pts = t.embeddings.count()
+    rows = C.dbscan_cluster(spark, sf_dir).collect()
+    assert len(rows) == n_pts  # every point labeled exactly once
+    kinds = {r.kind for r in rows}
+    assert kinds <= {"core", "border", "noise"}
+    core_clusters = {r.cluster for r in rows if r.kind == "core"}
+    for r in rows:
+        if r.kind == "noise":
+            assert r.cluster is None
+        elif r.kind == "border":
+            assert r.cluster in core_clusters  # borders attach to a real cluster
+    # Core labels must agree with q_dbscan_core's independent count.
+    q_cores = {
+        r.vec_id for r in C.q_dbscan_core(spark, sf_dir).collect()
+    }
+    assert {r.vec_id for r in rows if r.kind == "core"} == q_cores
+
+
+def test_dbscan_cluster_cores_connected_share_label(spark, sf_dir):
+    # Brute-force check: any two cores within eps must share a cluster.
+    rows = C.dbscan_cluster(spark, sf_dir).collect()
+    t = load_tables(spark, sf_dir)
+    xy = {
+        r.vec_id: (float(r.embedding[0]), float(r.embedding[1]))
+        for r in t.embeddings.select("vec_id", "embedding").collect()
+    }
+    cores = [(r.vec_id, r.cluster) for r in rows if r.kind == "core"]
+    eps2 = C.DBSCAN_EPS * C.DBSCAN_EPS
+    for i, (a, ca) in enumerate(cores):
+        for b, cb in cores[i + 1 :]:
+            ax, ay = xy[a]
+            bx, by = xy[b]
+            if (ax - bx) ** 2 + (ay - by) ** 2 <= eps2:
+                assert ca == cb, (a, b)
+
+
+def test_adaboost_fit_reduces_training_error(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    model = C.adaboost_fit(spark, sf_dir, rounds=3)
+    assert model and all(m["alpha"] > 0 and 0 < m["eps"] < 0.5 for m in model)
+    t = load_tables(spark, sf_dir)
+    y = F.when(F.col("label") >= 5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    base = t.embeddings.select("embedding", y.alias("y"))
+    n = base.count()
+
+    def err(mdl):
+        scored = C.adaboost_predict(base, mdl)
+        return scored.filter(F.col("pred") != F.col("y")).count() / n
+
+    ensemble = err(model)
+    single = err(model[:1])
+    assert ensemble <= single + 1e-9  # boosting can't be worse than round 1 here
+    assert ensemble < 0.5  # better than chance
+
+
+def test_hits_iterate_normalized_and_stable(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir)
+    edges = (
+        t.orders.join(t.lineitem, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            F.col("o_custkey").alias("hub_id"), F.col("l_partkey").alias("auth_id")
+        )
+        .distinct()
+    )
+    a5, h5 = C.hits_iterate(edges, rounds=5)
+    rows5 = a5.collect()
+    assert sum(r.score**2 for r in rows5) == pytest.approx(1.0, abs=1e-6)
+    assert sum(r.score**2 for r in h5.collect()) == pytest.approx(1.0, abs=1e-6)
+    # Power-method convergence: one more round barely moves the vector.
+    a6, _ = C.hits_iterate(edges, rounds=6)
+    s5 = {r.auth_id: r.score for r in rows5}
+    dot = sum(r.score * s5[r.auth_id] for r in a6.collect())
+    assert dot > 0.999
+
+
+def test_power_iterate_rayleigh_converges(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.graph import (
+        _repeat_copurchase_edges,
+    )
+
+    edges = _repeat_copurchase_edges(spark, sf_dir)
+    v, eigen = C.power_iterate(edges, rounds=6)
+    assert sum(r.score**2 for r in v.collect()) == pytest.approx(1.0, abs=1e-6)
+    assert len(eigen) == 6 and all(e > 0 for e in eigen)
+    # Power iteration drives the Rayleigh quotient toward λ_max: the
+    # estimate must grow past the crude first guess and then settle.
+    assert eigen[-1] >= eigen[0] - 1e-6
+    assert abs(eigen[-1] - eigen[-2]) / eigen[-1] < 1e-2
+
+
+def test_em_fit_loglik_monotone(spark, sf_dir):
+    out = C.em_fit(spark, sf_dir, rounds=5)
+    ll = out["loglik"]
+    assert len(ll) == 5
+    for a, b in zip(ll, ll[1:]):
+        assert b >= a - 1e-6  # EM monotonicity
+    p = out["params"]
+    assert 1.0 <= p["mu1"] < p["mu2"] <= 50.0
+    assert 0.0 < p["pi2"] < 1.0 and p["s1"] > 0 and p["s2"] > 0
