@@ -347,3 +347,45 @@ def test_em_fit_loglik_monotone(spark, sf_dir):
     p = out["params"]
     assert 1.0 <= p["mu1"] < p["mu2"] <= 50.0
     assert 0.0 < p["pi2"] < 1.0 and p["s1"] > 0 and p["s2"] > 0
+
+
+def test_shared_subtrees_reuse_exchanges(spark, sf_dir, queries):
+    # The edge/basket subtree is referenced 2-3x per link-analysis query;
+    # the EXECUTED plan must dedupe it via exchange reuse, not recompute
+    # (the static tree repeats the subtree — only runtime reuse makes the
+    # plan scale-honest). Guard: real exchanges bounded AND reuse present.
+    budgets = {"q_hits_step": 8, "q_power_iter": 6, "q_item_cf": 6}
+    for name, budget in budgets.items():
+        df = queries[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        plan = P.executed_plan(df)
+        final = plan.split("== Initial Plan ==")[0]
+        real = sum(
+            1
+            for line in final.splitlines()
+            if "Exchange" in line
+            and "Reused" not in line
+            and "Broadcast" not in line
+            and "AQEShuffleRead" not in line
+        )
+        assert real <= budget, (name, real)
+        assert "ReusedExchange" in final, name
+
+
+def test_new_single_aggregate_queries_exchange_budget(spark, sf_dir, queries):
+    # Moment/contingency kernels must stay at 1-3 exchanges (one keyed
+    # aggregate + at most tiny model-state shuffles), with no cartesian.
+    budgets = {
+        "q_ridge_fit": 1,
+        "q_gbt_stump": 1,
+        "q_spearman": 1,
+        "q_dbscan_core": 1,
+        "q_em_step": 2,
+        "q_perceptron_step": 2,
+        "q_adaboost_round": 3,
+        "q_kruskal_wallis": 3,
+    }
+    for name, budget in budgets.items():
+        df = queries[name](spark, sf_dir)
+        assert P.count_exchanges(df) <= budget, name
+        assert "CartesianProduct" not in P.formatted_plan(df), name
