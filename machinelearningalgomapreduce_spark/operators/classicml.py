@@ -543,19 +543,31 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     are rounded to 6 and summed as DECIMAL so the 3-way fold is
     order-free; the tie spectrum Σ(t³−t) is an exact integer aggregate.
 
-    Scale shape: one global sort window for ranks, one 3-group aggregate,
-    one 50-row tie aggregate — all exact, no raw-row shuffle after
-    ranking."""
+    Scale shape: NO data-sized sort window — ranks derive from the
+    bounded 50-value histogram (the q_ks_test envelope): one
+    (flag, value) counting aggregate, a cumulative window over the tiny
+    value domain giving r̄2(v) = 2·C_below(v) + t(v) + 1, then O(values)
+    arithmetic. The oracle computes the same statistic through a genuine
+    global rank window, so the two formulations cross-check each other."""
     t = load_tables(spark, sf_dir)
-    wr = W.orderBy("l_quantity")
-    wt = W.partitionBy("l_quantity")
-    ranked = t.lineitem.select(
-        "l_returnflag",
-        "l_quantity",
-        (2 * F.rank().over(wr) + F.count("*").over(wt) - 1).cast("bigint").alias("r2"),
+    fv = t.lineitem.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("n_fv")
     )
-    groups = ranked.groupBy("l_returnflag").agg(
-        F.count("*").alias("n_j"), F.sum("r2").alias("r2_j")
+    vals = fv.groupBy("l_quantity").agg(F.sum("n_fv").alias("t"))
+    # Cumulative window over ≤50 distinct values — bounded domain, not data.
+    wv = W.orderBy("l_quantity").rowsBetween(W.unboundedPreceding, -1)
+    r2v = vals.select(
+        "l_quantity",
+        "t",
+        (2 * F.coalesce(F.sum("t").over(wv), F.lit(0)) + F.col("t") + 1).alias("r2"),
+    )
+    groups = (
+        fv.join(F.broadcast(r2v.select("l_quantity", "r2")), "l_quantity")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("n_fv").alias("n_j"),
+            F.sum(F.col("n_fv") * F.col("r2")).alias("r2_j"),
+        )
     )
     # H term per group on true ranks R_j = r2_j/2, rounded then DECIMAL-summed.
     rj = F.col("r2_j").cast("double") / 2.0
@@ -565,8 +577,7 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(term).alias("h_sum"),
         F.count("*").alias("k"),
     )
-    ties = t.lineitem.groupBy("l_quantity").agg(F.count("*").alias("t"))
-    tie_sum = ties.agg(
+    tie_sum = vals.agg(
         F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3")
     )
     nd = F.col("n").cast("double")
@@ -941,6 +952,68 @@ def power_iterate(edges: DataFrame, rounds: int = 8) -> tuple[DataFrame, list[fl
         nrm = float(stats.norm2) ** 0.5
         v = av.select("node", (F.col("raw") / F.lit(nrm)).alias("score")).localCheckpoint()
     return v, eigen
+
+
+def spearman_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_spearman's 100 TB twin (library API, bit-diffed in pytest): the
+    same tie-averaged-rank correlation computed WITHOUT per-group sort
+    windows. Ranks come from ``functions.ranking.distributed_rank``
+    (range-repartition + local rank + broadcast offsets — fully
+    parallel); the within-flag tie-averaged doubled rank of a value group
+    is 2·(min_rn − flag_offset) + t − 1 on exact integers, so the output
+    is bit-identical to the window form.
+
+    Scale shape: two distributed-rank passes (each two parallel passes
+    over the frame), two rank-map joins keyed on (flag, value), one
+    moment aggregate — no window ever sees more than O(partitions) rows.
+    """
+    from machinelearningalgomapreduce_spark.functions.ranking import distributed_rank
+
+    t = load_tables(spark, sf_dir)
+    base = t.lineitem.select("l_returnflag", "l_quantity", "l_extendedprice")
+    flag_counts = base.groupBy("l_returnflag").agg(F.count("*").alias("fc"))
+    w_off = W.orderBy("l_returnflag").rowsBetween(W.unboundedPreceding, -1)
+    offsets = flag_counts.select(
+        "l_returnflag", F.coalesce(F.sum("fc").over(w_off), F.lit(0)).alias("off")
+    )
+
+    def rank_map(col: str, out: str) -> DataFrame:
+        ranked = distributed_rank(
+            base.select("l_returnflag", col), ["l_returnflag", col], rank_col="rn"
+        )
+        return (
+            ranked.groupBy("l_returnflag", col)
+            .agg(F.min("rn").alias("mn"), F.count("*").alias("t"))
+            .join(F.broadcast(offsets), "l_returnflag")
+            .select(
+                "l_returnflag",
+                col,
+                (2 * (F.col("mn") - F.col("off")) + F.col("t") - 1)
+                .cast("bigint")
+                .alias(out),
+            )
+        )
+
+    paired = base.join(
+        rank_map("l_quantity", "rx"), ["l_returnflag", "l_quantity"]
+    ).join(rank_map("l_extendedprice", "ry"), ["l_returnflag", "l_extendedprice"])
+    m = paired.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    mx = F.col("sx").cast("double") / n
+    my = F.col("sy").cast("double") / n
+    cov = F.col("sxy").cast("double") / n - mx * my
+    vx = F.col("sxx").cast("double") / n - mx * mx
+    vy = F.col("syy").cast("double") / n - my * my
+    return m.select(
+        "l_returnflag", "n", F.round(cov / F.sqrt(vx * vy), 6).alias("rho")
+    )
 
 
 def em_fit(spark: SparkSession, sf_dir: str, rounds: int = 5) -> dict:
