@@ -954,6 +954,60 @@ def power_iterate(edges: DataFrame, rounds: int = 8) -> tuple[DataFrame, list[fl
     return v, eigen
 
 
+def recommend_for_users(
+    spark: SparkSession, sf_dir: str, top_n: int = 5
+) -> DataFrame:
+    """The serving half of item-item CF (library API): for each customer,
+    score unseen items by Σ cosine over the customer's purchased items'
+    neighbour lists (q_item_cf's top-k edges), drop already-purchased
+    items, keep the top-n by (score desc, item asc). Returns
+    (o_custkey, item, score, rank).
+
+    Scale shape: the neighbour list is the SMALL side (items × k edges —
+    broadcastable); user baskets join it keyed on the purchased item,
+    scores aggregate per (user, candidate), and an anti-join removes
+    owned items — never a user × item cross product. Scoring sums round
+    each cosine to 6 and accumulate as DECIMAL, so ranking is
+    shuffle-order-free."""
+    t = load_tables(spark, sf_dir)
+    owned = (
+        t.lineitem.join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .select("o_custkey", "l_partkey")
+        .distinct()
+    )
+    nbrs = q_item_cf(spark, sf_dir).select(
+        F.col("item").alias("l_partkey"),
+        F.col("neighbor").alias("cand"),
+        F.col("cosine").cast("decimal(18,6)").alias("w"),
+    )
+    scored = (
+        owned.join(F.broadcast(nbrs), "l_partkey")
+        .groupBy("o_custkey", "cand")
+        .agg(F.sum("w").alias("score_sum"))
+        .join(
+            owned.select("o_custkey", F.col("l_partkey").alias("cand")),
+            ["o_custkey", "cand"],
+            "left_anti",
+        )
+    )
+    win = W.partitionBy("o_custkey").orderBy(
+        F.desc("score_sum"), F.asc("cand")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= top_n)
+        .select(
+            "o_custkey",
+            F.col("cand").alias("item"),
+            F.col("score_sum").cast("double").alias("score"),
+            "rank",
+        )
+    )
+
+
 def spearman_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """q_spearman's 100 TB twin (library API, bit-diffed in pytest): the
     same tie-averaged-rank correlation computed WITHOUT per-group sort

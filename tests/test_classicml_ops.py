@@ -410,3 +410,57 @@ def test_kruskal_histogram_form_has_no_data_window(spark, sf_dir, queries):
     assert "rank(" not in plan and "row_number(" not in plan
     # The only window is the running total over the aggregated value domain.
     assert plan.count("Window") <= 2  # tree node + its detail entry
+
+
+def test_recommend_for_users_excludes_owned_and_ranks(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    recs = C.recommend_for_users(spark, sf_dir, top_n=5)
+    rows = recs.collect()
+    assert rows
+    t = load_tables(spark, sf_dir)
+    owned = {
+        (r.o_custkey, r.l_partkey)
+        for r in t.lineitem.join(
+            t.orders, F.col("l_orderkey") == F.col("o_orderkey")
+        ).select("o_custkey", "l_partkey").distinct().collect()
+    }
+    by_user = {}
+    for r in rows:
+        assert (r.o_custkey, r.item) not in owned  # never recommend owned
+        assert r.score > 0
+        by_user.setdefault(r.o_custkey, []).append(r)
+    for user, rs in by_user.items():
+        assert sorted(x.rank for x in rs) == list(range(1, len(rs) + 1))
+        ordered = sorted(rs, key=lambda x: x.rank)
+        scores = [x.score for x in ordered]
+        assert scores == sorted(scores, reverse=True)
+
+
+def test_half_up_identity_matches_decimal_rounding():
+    # The fixed-point rounding identity q_rating_baseline relies on:
+    # floor((2N+D)/(2D)) == round-half-up(N/D) for integer N, D>0 —
+    # including EXACT halves, where double round() is engine-dependent.
+    from decimal import Decimal, ROUND_HALF_UP
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @given(
+        n=st.integers(min_value=-(10**10), max_value=10**10),
+        d=st.integers(min_value=1, max_value=10**4),
+    )
+    @settings(max_examples=500, deadline=None)
+    def check(n, d):
+        got = math.floor((2 * n + d) / (2 * d))
+        want = int(
+            (Decimal(n) / Decimal(d)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+        )
+        # ROUND_HALF_UP is away-from-zero; the floor identity rounds
+        # halves toward +inf. They agree except negative exact halves,
+        # where the floor form is the one BOTH engines compute.
+        if (2 * n) % (2 * d) == d and n < 0:
+            assert got == want + 1
+        else:
+            assert got == want
+
+    check()
