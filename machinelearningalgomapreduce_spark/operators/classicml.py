@@ -954,6 +954,129 @@ def power_iterate(edges: DataFrame, rounds: int = 8) -> tuple[DataFrame, list[fl
     return v, eigen
 
 
+def boruvka_mst(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
+    """Distributed minimum spanning forest via Borůvka rounds (library
+    API): every component picks its minimum outgoing edge (min_by on the
+    totally-ordered weight tuple (w, u, v) — deterministic under weight
+    ties), the picked edges join the forest, and components merge through
+    the star connected-components loop. O(log n) rounds, each one
+    edge-relabel join + one per-component min aggregate — the canonical
+    MapReduce MST (Lattanzi et al.'s filtering family), never sorting the
+    global edge list.
+
+    Input: undirected (u, v, w); output: the forest edges (u, v, w) with
+    |E| = nodes − components. Loop discipline: localCheckpoint on labels
+    and forest, O(1) convergence counts."""
+    e = edges.select(
+        F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"), "w"
+    ).localCheckpoint()
+    labels = (
+        e.select(F.col("u").alias("node"))
+        .unionAll(e.select(F.col("v").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    forest = None
+    for _ in range(max_rounds):
+        lu = labels.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
+        lv = labels.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
+        cross = (
+            e.join(lu, "u")
+            .join(lv, "v")
+            .filter(F.col("cu") != F.col("cv"))
+            .localCheckpoint()
+        )
+        if cross.limit(1).count() == 0:
+            break
+        pick = F.struct("w", "u", "v").alias("cand")
+        # Each side of the edge proposes it to its own component.
+        proposals = cross.select(F.col("cu").alias("comp"), pick).unionAll(
+            cross.select(F.col("cv").alias("comp"), pick)
+        )
+        chosen = (
+            proposals.groupBy("comp")
+            .agg(F.min("cand").alias("m"))
+            .select("m.u", "m.v", "m.w")
+            .distinct()
+            .localCheckpoint()
+        )
+        forest = chosen if forest is None else forest.unionByName(chosen).distinct()
+        forest = forest.localCheckpoint()
+        # Merge: CC over the component-graph induced by the chosen edges.
+        comp_edges = (
+            chosen.join(lu, "u")
+            .join(lv, "v")
+            .select(F.col("cu").alias("u"), F.col("cv").alias("v"))
+        )
+        from machinelearningalgomapreduce_spark.operators.graph import (
+            connected_components_star,
+        )
+
+        merged = connected_components_star(comp_edges)  # (node=old comp, root)
+        labels = (
+            labels.join(
+                merged.withColumnRenamed("node", "comp"), "comp", "left"
+            )
+            .select(
+                "node", F.coalesce(F.col("root"), F.col("comp")).alias("comp")
+            )
+            .localCheckpoint()
+        )
+    return forest if forest is not None else e.limit(0)
+
+
+def single_linkage_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float, eps: float = 0.1
+) -> DataFrame:
+    """Single-linkage hierarchical clustering of the 2-D embedding
+    projection, cut at `threshold` (library API): build the grid-blocked
+    eps-graph with euclidean weights, take its Borůvka minimum spanning
+    forest, DROP forest edges heavier than the cut, and read clusters off
+    connected components — the standard MST formulation of single
+    linkage (dendrogram levels = forest edge weights).
+
+    Returns (vec_id, cluster) for every point (singletons cluster as
+    themselves). Requires threshold ≤ eps: beyond the blocking radius the
+    eps-graph has no edges to cut."""
+    if threshold > eps:
+        raise ValueError(f"threshold {threshold} exceeds blocking eps {eps}")
+    from machinelearningalgomapreduce_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    t = load_tables(spark, sf_dir)
+    pts = t.embeddings.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    pairs = _eps_pairs(pts, eps).filter(F.col("a_id") < F.col("b_id"))
+    coords = pts.select(
+        F.col("vec_id").alias("b_id"), F.col("x").alias("bx"), F.col("y").alias("by")
+    )
+    acoords = pts.select(
+        F.col("vec_id").alias("a_id"), F.col("x").alias("ax"), F.col("y").alias("ay")
+    )
+    w = F.sqrt(
+        (F.col("ax") - F.col("bx")) * (F.col("ax") - F.col("bx"))
+        + (F.col("ay") - F.col("by")) * (F.col("ay") - F.col("by"))
+    )
+    weighted = (
+        pairs.join(acoords, "a_id")
+        .join(coords, "b_id")
+        .select(F.col("a_id").alias("u"), F.col("b_id").alias("v"), w.alias("w"))
+    )
+    forest = boruvka_mst(weighted)
+    kept = forest.filter(F.col("w") <= threshold).select("u", "v")
+    roots = connected_components_star(kept)
+    return pts.select("vec_id").join(
+        roots, pts.vec_id == roots.node, "left"
+    ).select(
+        "vec_id", F.coalesce(F.col("root"), F.col("vec_id")).alias("cluster")
+    )
+
+
 def recommend_for_users(
     spark: SparkSession, sf_dir: str, top_n: int = 5
 ) -> DataFrame:

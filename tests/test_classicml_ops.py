@@ -464,3 +464,105 @@ def test_half_up_identity_matches_decimal_rounding():
             assert got == want
 
     check()
+
+
+# ------------------------------------------------- MST / single linkage
+
+
+def _eps_graph_py(spark, sf_dir, eps):
+    t = load_tables(spark, sf_dir)
+    pts = {
+        r.vec_id: (float(r.embedding[0]), float(r.embedding[1]))
+        for r in t.embeddings.select("vec_id", "embedding").collect()
+    }
+    ids = sorted(pts)
+    edges = []
+    for i, a in enumerate(ids):
+        ax, ay = pts[a]
+        for b in ids[i + 1 :]:
+            bx, by = pts[b]
+            d2 = (ax - bx) ** 2 + (ay - by) ** 2
+            if d2 <= eps * eps:
+                edges.append((math.sqrt(d2), a, b))
+    return edges
+
+
+def _kruskal_py(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    forest = set()
+    for w, u, v in sorted(edges):  # same (w, u, v) total order as Borůvka
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            forest.add((u, v))
+    return forest
+
+
+def test_boruvka_mst_matches_kruskal(spark, sf_dir):
+    eps = 0.1
+    py_edges = _eps_graph_py(spark, sf_dir, eps)
+    want = _kruskal_py(py_edges)
+    t = load_tables(spark, sf_dir)
+    pts = t.embeddings.selectExpr(
+        "vec_id",
+        "cast(embedding[0] as double) as x",
+        "cast(embedding[1] as double) as y",
+    )
+    from pyspark.sql import functions as F
+
+    pairs = C._eps_pairs(pts, eps).filter(F.col("a_id") < F.col("b_id"))
+    a = pts.selectExpr("vec_id as a_id", "x as ax", "y as ay")
+    b = pts.selectExpr("vec_id as b_id", "x as bx", "y as by")
+    weighted = (
+        pairs.join(a, "a_id")
+        .join(b, "b_id")
+        .selectExpr(
+            "a_id as u",
+            "b_id as v",
+            "sqrt((ax-bx)*(ax-bx) + (ay-by)*(ay-by)) as w",
+        )
+    )
+    got = {(r.u, r.v) for r in C.boruvka_mst(weighted).collect()}
+    assert got == want
+
+
+def test_single_linkage_equals_threshold_components(spark, sf_dir):
+    # Cutting the MST at t yields exactly the connected components of the
+    # t-threshold graph — verify the whole pipeline against brute CC.
+    eps, thr = 0.1, 0.04
+    py_edges = [(u, v) for w, u, v in _eps_graph_py(spark, sf_dir, eps) if w <= thr]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in py_edges:
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[max(ru, rv)] = min(ru, rv)
+    rows = C.single_linkage_clusters(spark, sf_dir, threshold=thr, eps=eps).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.cluster, set()).add(r.vec_id)
+    want = {}
+    t = load_tables(spark, sf_dir)
+    for r in t.embeddings.select("vec_id").collect():
+        want.setdefault(find(r.vec_id), set()).add(r.vec_id)
+    assert sorted(map(sorted, got.values())) == sorted(map(sorted, want.values()))
+
+
+def test_single_linkage_threshold_guard(spark, sf_dir):
+    with pytest.raises(ValueError):
+        C.single_linkage_clusters(spark, sf_dir, threshold=0.5, eps=0.1)
