@@ -954,6 +954,128 @@ def power_iterate(edges: DataFrame, rounds: int = 8) -> tuple[DataFrame, list[fl
     return v, eigen
 
 
+def naive_bayes_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The predict half of q_naive_bayes (library API): classify every
+    document by argmax over classes of
+    log-prior + Σ_tokens log-likelihood, with unseen (class, token) pairs
+    falling back to the Laplace floor ln(1/(class_total + V)). Returns
+    (doc_id, actual_source, pred_source, log_post).
+
+    Scale shape: the model (classes × vocab likelihoods + O(1) floors)
+    joins token occurrences keyed on (token) after a broadcast of class
+    state; scoring is one (doc, class) aggregate + one argmax min_by —
+    the corpus shuffles only (doc_id, token) pairs. Ties break on class
+    name for determinism."""
+    from machinelearningalgomapreduce_spark.operators.ml import q_naive_bayes
+
+    t = load_tables(spark, sf_dir)
+    model = q_naive_bayes(spark, sf_dir)
+    classes = model.select("source", "log_prior").distinct()
+    # Laplace floor per class: ln(1 / (class_total + V)) reconstructed from
+    # any of the class's rows: ll = ln((n+1)/(class_total+V)) at n = 0.
+    tok_all = t.documents.select("source", F.explode(F.split("text", " ")).alias("token"))
+    class_tokens = tok_all.groupBy("source").agg(F.count("*").alias("class_total"))
+    vocab = tok_all.agg(F.countDistinct("token").alias("v"))
+    floors = class_tokens.crossJoin(F.broadcast(vocab)).select(
+        "source",
+        F.log(1.0 / (F.col("class_total") + F.col("v")).cast("double")).alias("floor_ll"),
+    )
+    doc_tokens = t.documents.select(
+        "doc_id",
+        F.col("source").alias("actual_source"),
+        F.explode(F.split("text", " ")).alias("token"),
+    )
+    pairs = doc_tokens.crossJoin(F.broadcast(classes.select("source")))
+    scored = (
+        pairs.join(
+            model.select("source", "token", "log_likelihood"), ["source", "token"], "left"
+        )
+        .join(F.broadcast(floors), "source")
+        .select(
+            "doc_id",
+            "actual_source",
+            "source",
+            F.coalesce(F.col("log_likelihood"), F.col("floor_ll")).alias("ll"),
+        )
+    )
+    posts = (
+        scored.groupBy("doc_id", "actual_source", "source")
+        .agg(F.sum("ll").alias("ll_sum"))
+        .join(F.broadcast(classes), "source")
+        .select(
+            "doc_id",
+            "actual_source",
+            "source",
+            (F.col("log_prior") + F.col("ll_sum")).alias("log_post"),
+        )
+    )
+    best = F.max_by(
+        F.struct(F.col("log_post"), F.col("source")),
+        F.struct(F.col("log_post"), F.col("source")),
+    )
+    return posts.groupBy("doc_id", "actual_source").agg(
+        best.getField("source").alias("pred_source"),
+        best.getField("log_post").alias("log_post"),
+    )
+
+
+TFIDF_DF_CAP = 100  # posting-list cap: terms in more docs carry ~no signal
+
+
+def similar_docs_tfidf(
+    spark: SparkSession, sf_dir: str, top_k: int = 3
+) -> DataFrame:
+    """Sparse TF-IDF cosine document similarity through the inverted
+    index (library API) — the classic MapReduce pairwise-similarity job
+    (Elsayed et al.'s postings-product form): L2-normalize each doc's
+    tf-idf vector, join the index with itself per term, sum weight
+    products per (a, b) pair, keep top-k neighbours per doc.
+
+    Scale shape: candidate fan-out is Σ_term df² — bounded by capping
+    posting lists at df ≤ TFIDF_DF_CAP (stop-terms carry no signal; the
+    cap is the standard df-cut). No doc × doc product anywhere; ties
+    break on neighbour id."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_docs = t.documents.agg(F.count("*").alias("n_docs"))
+    w = (
+        tf.join(df.filter(F.col("df") <= TFIDF_DF_CAP), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "token",
+            (F.col("tf") * F.log(F.col("n_docs") / F.col("df"))).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("nrm")
+    )
+    unit = w.join(norms, "doc_id").select(
+        "token", "doc_id", (F.col("w") / F.col("nrm")).alias("u")
+    )
+    a, b = unit.alias("a"), unit.alias("b")
+    sims = (
+        a.join(
+            b,
+            (F.col("a.token") == F.col("b.token"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .agg(F.sum(F.col("a.u") * F.col("b.u")).alias("cos"))
+    )
+    sym = sims.select(
+        F.col("da").alias("doc_id"), F.col("db").alias("nbr"), "cos"
+    ).unionAll(sims.select(F.col("db").alias("doc_id"), F.col("da").alias("nbr"), "cos"))
+    win = W.partitionBy("doc_id").orderBy(F.desc("cos"), F.asc("nbr"))
+    return (
+        sym.withColumn("rank", F.row_number().over(win))
+        .filter(F.col("rank") <= top_k)
+        .select("doc_id", "nbr", "cos", "rank")
+    )
+
+
 def boruvka_mst(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
     """Distributed minimum spanning forest via Borůvka rounds (library
     API): every component picks its minimum outgoing edge (min_by on the

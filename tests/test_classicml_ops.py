@@ -566,3 +566,107 @@ def test_single_linkage_equals_threshold_components(spark, sf_dir):
 def test_single_linkage_threshold_guard(spark, sf_dir):
     with pytest.raises(ValueError):
         C.single_linkage_clusters(spark, sf_dir, threshold=0.5, eps=0.1)
+
+
+# ------------------------------------------------- NB predict / doc sim
+
+
+def test_naive_bayes_predict_matches_python(spark, sf_dir):
+    import math as m
+
+    t = load_tables(spark, sf_dir)
+    docs = [
+        (r.doc_id, r.source, r.text.split(" "))
+        for r in t.documents.select("doc_id", "source", "text").collect()
+    ]
+    # Python reference model (same Laplace smoothing as q_naive_bayes).
+    from collections import Counter, defaultdict
+
+    class_tok = defaultdict(Counter)
+    class_docs = Counter()
+    for _, src, toks in docs:
+        class_docs[src] += 1
+        class_tok[src].update(toks)
+    vocab = len({tok for _, _, ts in docs for tok in ts})
+    n = len(docs)
+
+    def classify(toks):
+        best = None
+        for src in sorted(class_tok):
+            total = sum(class_tok[src].values())
+            # Mirror the query: per-token ll rounded to 6 (model parity),
+            # unseen tokens at the unrounded floor.
+            score = round(m.log(class_docs[src] / n), 6)
+            for tok in toks:
+                c = class_tok[src][tok]
+                ll = m.log((c + 1) / (total + vocab))
+                score += round(ll, 6) if c > 0 else ll
+            if best is None or score > best[1] + 1e-9 or (
+                abs(score - best[1]) <= 1e-9 and src > best[0]
+            ):
+                best = (src, score)
+        return best
+
+    got = {
+        r.doc_id: (r.pred_source, r.log_post, r.actual_source)
+        for r in C.naive_bayes_predict(spark, sf_dir).collect()
+    }
+    assert len(got) == len(docs)
+    agree = 0
+    correct = 0
+    for doc_id, src, toks in docs:
+        want_src, want_score = classify(toks)
+        pred, score, actual = got[doc_id]
+        assert actual == src
+        assert score == pytest.approx(want_score, abs=1e-6)
+        agree += pred == want_src
+        correct += pred == src
+    assert agree == len(docs)  # argmax identical to the reference
+    # Self-classification on training data must beat the majority class.
+    assert correct / len(docs) > max(class_docs.values()) / n
+
+
+def test_similar_docs_tfidf_topk_matches_python(spark, sf_dir):
+    import math as m
+    from collections import Counter, defaultdict
+
+    t = load_tables(spark, sf_dir)
+    docs = {
+        r.doc_id: r.text.split(" ")
+        for r in t.documents.select("doc_id", "text").collect()
+    }
+    tf = {d: Counter(ts) for d, ts in docs.items()}
+    df = Counter(tok for d in tf.values() for tok in d)
+    n = len(docs)
+    vecs = {}
+    for d, counts in tf.items():
+        v = {
+            tok: c * m.log(n / df[tok])
+            for tok, c in counts.items()
+            if df[tok] <= C.TFIDF_DF_CAP
+        }
+        nrm = m.sqrt(sum(x * x for x in v.values()))
+        if nrm:
+            vecs[d] = {tok: x / nrm for tok, x in v.items()}
+    sims = defaultdict(dict)
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            va, vb = vecs[a], vecs[b]
+            if len(vb) < len(va):
+                va, vb = vb, va
+            s = sum(x * vb[tok] for tok, x in va.items() if tok in vb)
+            if s > 0:
+                sims[a][b] = s
+                sims[b][a] = s
+    rows = C.similar_docs_tfidf(spark, sf_dir, top_k=3).collect()
+    by_doc = defaultdict(list)
+    for r in rows:
+        by_doc[r.doc_id].append(r)
+    for d, rs in by_doc.items():
+        want = sorted(sims[d].items(), key=lambda kv: (-kv[1], kv[0]))[: len(rs)]
+        got = sorted(rs, key=lambda r: r.rank)
+        for (wn, ws), g in zip(want, got):
+            assert g.cos == pytest.approx(ws, abs=1e-9)
+            # neighbour may differ only on an exact cosine tie
+            assert g.nbr == wn or sims[d][g.nbr] == pytest.approx(ws, abs=1e-9)
