@@ -642,3 +642,45 @@ def test_silhouette_nearest_two_pick_matches_python(spark, vecs, cents):
         a, b = a2 ** 0.5, b2 ** 0.5
         s = 0.0 if max(a, b) == 0 else (b - a) / max(a, b)
         assert -1.0 <= s <= 1.0
+
+
+# --- Rank-statistic differential: the doubled tie-averaged rank identity
+# (q_spearman / q_kruskal_wallis discipline) on random small-domain integer
+# rows — adversarial tie structure, exact integer moments in both engines.
+
+_rank_rows = st.lists(
+    st.tuples(
+        st.sampled_from(["g1", "g2"]),
+        st.integers(min_value=0, max_value=5),
+        st.integers(min_value=0, max_value=5),
+    ),
+    min_size=2,
+    max_size=24,
+)
+
+
+@given(rows=_rank_rows)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_tie_averaged_rank_moments_match_duckdb(engines, rows):
+    spark, con = engines
+    values = ", ".join(f"('{g}', {x}, {y})" for g, x, y in rows)
+    base = f"(SELECT * FROM (VALUES {values}) AS t(g, x, y))"
+    sql = f"""
+        WITH ranked AS (
+            SELECT g,
+                   CAST(2 * rank() OVER (PARTITION BY g ORDER BY x)
+                        + count(*) OVER (PARTITION BY g, x) - 1 AS BIGINT) AS rx,
+                   CAST(2 * rank() OVER (PARTITION BY g ORDER BY y)
+                        + count(*) OVER (PARTITION BY g, y) - 1 AS BIGINT) AS ry
+            FROM {base}
+        )
+        SELECT g, count(*) AS n, sum(rx) AS sx, sum(ry) AS sy,
+               sum(rx * ry) AS sxy, sum(rx * rx) AS sxx
+        FROM ranked GROUP BY g
+    """
+    s = {r.g: (r.n, r.sx, r.sy, r.sxy, r.sxx) for r in spark.sql(sql).collect()}
+    d = {row[0]: tuple(int(v) for v in row[1:]) for row in con.execute(sql).fetchall()}
+    assert s == d
+    # Sanity identity: per group Σrx = n(n+1) (doubled ranks sum to 2·Σi).
+    for g, (n, sx, sy, *_rest) in s.items():
+        assert sx == n * (n + 1) and sy == n * (n + 1)
