@@ -493,6 +493,50 @@ def random_forest_fit(spark: SparkSession, sf_dir: str, n_trees: int = 10, seed:
     return model, model.transform(data)
 
 
+def decision_tree_fit(spark: SparkSession, sf_dir: str, max_depth: int = 4, seed: int = 42):
+    """MLlib single decision tree on the embeddings (target: label ≥ 5) —
+    the full recursive version of q_tree_split's one-level Gini scan
+    (library API, pytest-checked). The 100 TB shape is PLANET's: one
+    histogram aggregate per (node, feature) per level, which is exactly
+    what MLlib's tree learner executes."""
+    from pyspark.ml.classification import DecisionTreeClassifier
+    from pyspark.ml.functions import array_to_vector
+
+    t = load_tables(spark, sf_dir)
+    data = t.embeddings.select(
+        array_to_vector(as_double(F.col("embedding"))).alias("features"),
+        (F.col("label") >= 5).cast("double").alias("label"),
+    )
+    model = DecisionTreeClassifier(maxDepth=max_depth, seed=seed).fit(data)
+    return model, model.transform(data)
+
+
+def prefixspan_fit(spark: SparkSession, sf_dir: str, min_support: float = 0.05):
+    """MLlib PrefixSpan over per-user event-type sequences (library API,
+    pytest-checked): sessions become ordered single-item itemset
+    sequences; returns frequent sequential patterns with support counts —
+    the sequence-mining sibling of q_session_paths / fpgrowth_fit.
+    Sequence assembly is one per-user sort-aggregate; mining state is
+    bounded by the pattern lattice, not the event count."""
+    from pyspark.ml.fpm import PrefixSpan
+
+    t = load_tables(spark, sf_dir)
+    seqs = (
+        t.events.groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("ts", "event_id", "event_type"))
+                ),
+                lambda s: F.array(s.getField("event_type")),
+            ).alias("sequence")
+        )
+        .select("sequence")
+    )
+    ps = PrefixSpan(minSupport=min_support, maxPatternLength=4)
+    return ps.findFrequentSequentialPatterns(seqs)
+
+
 def gbt_fit(spark: SparkSession, sf_dir: str, n_iter: int = 10, seed: int = 42):
     """MLlib gradient-boosted trees on the embeddings (target: label ≥ 5)
     — the sequential-ensemble sibling of random_forest_fit (library API,

@@ -125,3 +125,46 @@ def test_gmm_fit_soft_assignments_sum_to_one(spark, sf_dir):
         .count()
     )
     assert bad == 0
+
+
+def test_decision_tree_fit_beats_chance(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.operators.ml import decision_tree_fit
+
+    model, scored = decision_tree_fit(spark, sf_dir, max_depth=4)
+    acc = scored.agg(
+        F.avg((F.col("prediction") == F.col("label")).cast("double"))
+    ).first()[0]
+    assert acc > 0.55, acc
+    assert model.depth <= 4
+
+
+def test_prefixspan_fit_finds_singletons(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.ml import prefixspan_fit
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    pats = prefixspan_fit(spark, sf_dir, min_support=0.2).collect()
+    assert pats
+    # Every frequent singleton must be a genuinely frequent event type.
+    t = load_tables(spark, sf_dir)
+    n_users = t.events.select("user_id").distinct().count()
+    from pyspark.sql import functions as F
+
+    per_type = {
+        r.event_type: r.n
+        for r in t.events.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for p in pats:
+        seq = [list(s) for s in p.sequence]
+        assert p.freq >= 0.2 * n_users
+        if len(seq) == 1 and len(seq[0]) == 1:
+            # singleton support == users having that type at least once
+            assert p.freq == per_type[seq[0][0]]
+    # Longer patterns can never out-support their prefixes (anti-monotone).
+    freqs = {tuple(tuple(s) for s in p.sequence): p.freq for p in pats}
+    for seq, f in freqs.items():
+        if len(seq) > 1 and seq[:-1] in freqs:
+            assert f <= freqs[seq[:-1]]
