@@ -291,6 +291,53 @@ def q_markov_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def markov_steady_state(
+    spark: SparkSession, sf_dir: str, rounds: int = 30, tol: float = 1e-10
+) -> DataFrame:
+    """Stationary distribution of q_markov_chain's transition matrix via
+    power iteration π' = πP from uniform (library API, pytest-checked):
+    per round one join keyed on the current state + one next-state
+    aggregate — O(types²) work on the already-aggregated matrix, the raw
+    events are touched once. Stops when the L1 step falls under `tol`
+    (the O(1) driver-side convergence read the MapReduce loop would put
+    in a counter). Returns (event_type, pi)."""
+    p = q_markov_chain(spark, sf_dir).select(
+        "prev_type", "next_type", F.col("n_trans").cast("double").alias("n"),
+    )
+    # Exact conditional probabilities from counts (not the rounded display
+    # column) so the fixpoint is a true stochastic matrix.
+    totals = p.groupBy("prev_type").agg(F.sum("n").alias("n_from"))
+    p = p.join(F.broadcast(totals), "prev_type").select(
+        "prev_type", "next_type", (F.col("n") / F.col("n_from")).alias("prob")
+    ).localCheckpoint()
+    states = p.select(F.col("prev_type").alias("event_type")).unionAll(
+        p.select(F.col("next_type"))
+    ).distinct()
+    k = states.count()
+    pi = states.withColumn("pi", F.lit(1.0 / k)).localCheckpoint()
+    for _ in range(rounds):
+        nxt = (
+            p.join(pi.withColumnRenamed("event_type", "prev_type"), "prev_type")
+            .groupBy(F.col("next_type").alias("event_type"))
+            .agg(F.sum(F.col("prob") * F.col("pi")).alias("pi"))
+            .localCheckpoint()
+        )
+        step = (
+            pi.withColumnRenamed("pi", "old")
+            .join(nxt, "event_type", "full")
+            .agg(
+                F.sum(
+                    F.abs(F.coalesce(F.col("pi"), F.lit(0.0)) - F.coalesce(F.col("old"), F.lit(0.0)))
+                )
+            )
+            .first()[0]
+        )
+        pi = nxt
+        if step is not None and step < tol:
+            break
+    return pi
+
+
 EMA_ALPHA = 0.2
 
 

@@ -670,3 +670,28 @@ def test_similar_docs_tfidf_topk_matches_python(spark, sf_dir):
             assert g.cos == pytest.approx(ws, abs=1e-9)
             # neighbour may differ only on an exact cosine tie
             assert g.nbr == wn or sims[d][g.nbr] == pytest.approx(ws, abs=1e-9)
+
+
+def test_markov_steady_state_is_stationary(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.operators.events import (
+        markov_steady_state,
+        q_markov_chain,
+    )
+
+    pi_rows = {r.event_type: r.pi for r in markov_steady_state(spark, sf_dir).collect()}
+    assert pi_rows and all(p >= 0 for p in pi_rows.values())
+    assert sum(pi_rows.values()) == pytest.approx(1.0, abs=1e-6)
+    # Stationarity: πP == π (exact conditional probs from counts).
+    trans = q_markov_chain(spark, sf_dir).collect()
+    from collections import defaultdict
+
+    n_from = defaultdict(int)
+    for r in trans:
+        n_from[r.prev_type] += r.n_trans
+    nxt = defaultdict(float)
+    for r in trans:
+        nxt[r.next_type] += pi_rows.get(r.prev_type, 0.0) * (r.n_trans / n_from[r.prev_type])
+    for state, p in pi_rows.items():
+        assert nxt[state] == pytest.approx(p, abs=1e-8), state
