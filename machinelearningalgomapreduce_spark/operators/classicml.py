@@ -333,36 +333,13 @@ def q_dbscan_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded 9× fan-out, one count keyed on point id. At 100 TB the cell
     histogram also drives skew salting for over-dense cells."""
     t = load_tables(spark, sf_dir)
-    eps2 = DBSCAN_EPS * DBSCAN_EPS
     pts = t.embeddings.select(
         "vec_id",
         F.col("embedding")[0].cast("double").alias("x"),
         F.col("embedding")[1].cast("double").alias("y"),
     )
-    cells = pts.select(
-        "*",
-        F.floor(F.col("x") / DBSCAN_EPS).alias("cx"),
-        F.floor(F.col("y") / DBSCAN_EPS).alias("cy"),
-    )
-    offsets = spark.createDataFrame(
-        [(dx, dy) for dx in (-1, 0, 1) for dy in (-1, 0, 1)], "dx long, dy long"
-    )
-    probes = cells.crossJoin(F.broadcast(offsets)).select(
-        F.col("vec_id").alias("a_id"),
-        F.col("x").alias("ax"),
-        F.col("y").alias("ay"),
-        (F.col("cx") + F.col("dx")).alias("pcx"),
-        (F.col("cy") + F.col("dy")).alias("pcy"),
-    )
-    dist2 = (F.col("ax") - F.col("x")) * (F.col("ax") - F.col("x")) + (
-        F.col("ay") - F.col("y")
-    ) * (F.col("ay") - F.col("y"))
     return (
-        probes.join(
-            cells.select("vec_id", "x", "y", "cx", "cy"),
-            (F.col("pcx") == F.col("cx")) & (F.col("pcy") == F.col("cy")),
-        )
-        .filter(dist2 <= eps2)
+        _eps_pairs(pts, DBSCAN_EPS)
         .groupBy(F.col("a_id").alias("vec_id"))
         .agg(F.count("*").alias("n_nbrs"))
         .filter(F.col("n_nbrs") >= DBSCAN_MINPTS)
