@@ -684,3 +684,40 @@ def test_tie_averaged_rank_moments_match_duckdb(engines, rows):
     # Sanity identity: per group Σrx = n(n+1) (doubled ranks sum to 2·Σi).
     for g, (n, sx, sy, *_rest) in s.items():
         assert sx == n * (n + 1) and sy == n * (n + 1)
+
+
+# --- Fixed-point half-up differential: the floor((2N+D)/(2D)) identity the
+# rating-baseline oracle depends on must evaluate identically in BOTH
+# engines, including exact-half numerators where round(double) diverges.
+
+_fixed_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=-(10**9), max_value=10**9),
+        st.integers(min_value=1, max_value=10**4),
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@given(rows=_fixed_rows)
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_fixed_point_half_up_matches_duckdb(engines, rows):
+    spark, con = engines
+    # Force exact halves into the sample: N = k*D + D/2 shapes.
+    rows = rows + [(d * 7 + (d // 2), d) for _, d in rows[:3]]
+    values = ", ".join(f"({n}, {d})" for n, d in rows)
+    sql = (
+        "SELECT n, d, CAST(floor(CAST(2 * n + d AS DOUBLE) / CAST(2 * d AS DOUBLE)) "
+        "AS BIGINT) AS r "
+        f"FROM (VALUES {values}) AS t(n, d)"
+    )
+    s = {(r.n, r.d): r.r for r in spark.sql(sql).collect()}
+    d_ = {(row[0], row[1]): int(row[2]) for row in con.execute(sql).fetchall()}
+    assert s == d_
+    # And the value really is round-half-up of the exact rational.
+    from decimal import Decimal
+
+    for (n, dd), r in s.items():
+        q, rem = divmod(2 * n + dd, 2 * dd)
+        assert r == q  # floor of the exact rational (both engines exact ≤ 2^53)
