@@ -493,6 +493,46 @@ def random_forest_fit(spark: SparkSession, sf_dir: str, n_trees: int = 10, seed:
     return model, model.transform(data)
 
 
+def lda_fit(spark: SparkSession, sf_dir: str, k: int = 5, seed: int = 42):
+    """MLlib online-variational LDA over the documents (library API,
+    pytest-checked): CountVectorizer term counts → k topics; returns
+    (model, topics) where topics lists each topic's top terms. The
+    flagship Mahout-era MapReduce algorithm — Spark's online VB runs one
+    mini-batch aggregate per iteration, model state O(vocab × k)."""
+    from pyspark.ml.clustering import LDA
+    from pyspark.ml.feature import CountVectorizer
+
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.split("text", " ").alias("tokens")
+    )
+    cv = CountVectorizer(
+        inputCol="tokens", outputCol="features", vocabSize=2048, minDF=2.0
+    ).fit(toks)
+    data = cv.transform(toks)
+    model = LDA(k=k, seed=seed, maxIter=10).fit(data)
+    topics = model.describeTopics(5)
+    return model, topics
+
+
+def svd_fit(spark: SparkSession, sf_dir: str, k: int = 8):
+    """Truncated SVD of the embedding matrix via RowMatrix.computeSVD
+    (library API, pytest-checked): returns (s, V) with the k leading
+    singular values (non-increasing) and right singular vectors. The
+    one deliberate RDD touchpoint in the repo — computeSVD only exists
+    on mllib's RowMatrix; the 100 TB shape is the same Gram-aggregate +
+    driver-side eigensolve as PCA."""
+    from pyspark.mllib.linalg import Vectors as OldVectors
+    from pyspark.mllib.linalg.distributed import RowMatrix
+
+    t = load_tables(spark, sf_dir)
+    rows = t.embeddings.select(as_double(F.col("embedding")).alias("e")).rdd.map(
+        lambda r: OldVectors.dense(r.e)
+    )
+    svd = RowMatrix(rows).computeSVD(k, computeU=False)
+    return svd.s, svd.V
+
+
 def decision_tree_fit(spark: SparkSession, sf_dir: str, max_depth: int = 4, seed: int = 42):
     """MLlib single decision tree on the embeddings (target: label ≥ 5) —
     the full recursive version of q_tree_split's one-level Gini scan

@@ -168,3 +168,27 @@ def test_prefixspan_fit_finds_singletons(spark, sf_dir):
     for seq, f in freqs.items():
         if len(seq) > 1 and seq[:-1] in freqs:
             assert f <= freqs[seq[:-1]]
+
+
+def test_lda_fit_topics_well_formed(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.ml import lda_fit
+
+    model, topics = lda_fit(spark, sf_dir, k=5)
+    rows = topics.collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert len(r.termIndices) == 5
+        # Term weights are probabilities within a topic: positive, ordered.
+        ws = list(r.termWeights)
+        assert all(w > 0 for w in ws) and ws == sorted(ws, reverse=True)
+    assert model.vocabSize() > 0
+
+
+def test_svd_fit_singular_values_ordered(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.ml import svd_fit
+
+    s, v = svd_fit(spark, sf_dir, k=8)
+    vals = list(s)
+    assert len(vals) == 8
+    assert all(a >= b > 0 for a, b in zip(vals, vals[1:]))
+    assert v.numRows == 64 and v.numCols == 8
