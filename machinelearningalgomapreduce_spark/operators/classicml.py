@@ -931,6 +931,120 @@ def power_iterate(edges: DataFrame, rounds: int = 8) -> tuple[DataFrame, list[fl
     return v, eigen
 
 
+def standardize(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Z-score feature scaling (library API): one aggregate computes
+    (mean, population std) per column, broadcasts back onto the scan,
+    and replaces each column with (x − μ)/σ (σ = 0 → 0.0). The classic
+    two-job preprocessing pass — statistics job + map job — as one
+    Catalyst plan; never shuffles the data itself."""
+    aggs = []
+    for c in cols:
+        aggs += [
+            F.avg(F.col(c)).alias(f"_mu_{c}"),
+            F.stddev_pop(F.col(c)).alias(f"_sd_{c}"),
+        ]
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        sd = F.col(f"_sd_{c}")
+        out = out.withColumn(
+            c,
+            F.when(sd > 0, (F.col(c) - F.col(f"_mu_{c}")) / sd).otherwise(F.lit(0.0)),
+        )
+    return out.drop(*[f"_mu_{c}" for c in cols], *[f"_sd_{c}" for c in cols])
+
+
+def minmax_scale(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Min-max feature scaling to [0, 1] (library API): same broadcast
+    statistics-then-map shape as `standardize`; constant columns map
+    to 0.0."""
+    aggs = []
+    for c in cols:
+        aggs += [F.min(F.col(c)).alias(f"_lo_{c}"), F.max(F.col(c)).alias(f"_hi_{c}")]
+    stats = df.agg(*aggs)
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        rng = F.col(f"_hi_{c}") - F.col(f"_lo_{c}")
+        out = out.withColumn(
+            c,
+            F.when(rng > 0, (F.col(c) - F.col(f"_lo_{c}")) / rng).otherwise(F.lit(0.0)),
+        )
+    return out.drop(*[f"_lo_{c}" for c in cols], *[f"_hi_{c}" for c in cols])
+
+
+def kfold_assign(df: DataFrame, id_col: str, k: int = 5, salt: str = "cv") -> DataFrame:
+    """Deterministic k-fold assignment (library API): fold = md5(salt:id)
+    mod k — the q_train_test_split discipline generalized to k folds.
+    Content-hash folds are reproducible across engines, runs, partition
+    layouts, and corpus growth (a row never changes fold when data is
+    appended — unlike row_number or rand(seed) folds). Adds a `fold`
+    column in [0, k)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))), 1, 15),
+        16,
+        10,
+    ).cast("bigint")
+    return df.withColumn("fold", (h % k).cast("int"))
+
+
+def cross_validate_accuracy(
+    spark: SparkSession, sf_dir: str, k: int = 5
+) -> list[dict]:
+    """k-fold cross-validated accuracy of the embedding stump family
+    (the q_tree_split model selected on each training fold, evaluated on
+    the held-out fold) — the standard model-selection harness a
+    MapReduce ML repo runs as k chained jobs (library API).
+
+    Per fold: one aggregate over the train split scores every
+    (dim, thr) stump candidate, the driver picks the argmin-error
+    candidate (deterministic tie-break), and one aggregate over the test
+    split measures held-out accuracy. Model state O(candidates)."""
+    t = load_tables(spark, sf_dir)
+    y = F.when(F.col("label") >= 5, F.lit(1.0)).otherwise(F.lit(-1.0))
+    base = kfold_assign(
+        t.embeddings.select("vec_id", "embedding", y.alias("y")), "vec_id", k
+    ).localCheckpoint()
+    grid = spark.createDataFrame(ADA_CANDIDATES, "dim int, thr double")
+    pred = F.when(
+        F.element_at(F.col("embedding"), F.col("dim")).cast("double") <= F.col("thr"),
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+    results = []
+    for fold in range(k):
+        train = base.filter(F.col("fold") != fold)
+        test = base.filter(F.col("fold") == fold)
+        scores = (
+            train.crossJoin(F.broadcast(grid))
+            .groupBy("dim", "thr")
+            .agg(F.avg((pred != F.col("y")).cast("double")).alias("err"))
+            .collect()
+        )
+        best = min(scores, key=lambda r: (min(r.err, 1.0 - r.err), r.dim, r.thr))
+        flip = best.err > 0.5
+        sign = -1.0 if flip else 1.0
+        pred_best = F.when(
+            F.element_at(F.col("embedding"), F.lit(best.dim)).cast("double")
+            <= best.thr,
+            F.lit(sign),
+        ).otherwise(F.lit(-sign))
+        acc = test.agg(
+            F.avg((pred_best == F.col("y")).cast("double")).alias("acc"),
+            F.count("*").alias("n_test"),
+        ).first()
+        results.append(
+            {
+                "fold": fold,
+                "dim": best.dim,
+                "thr": best.thr,
+                "flip": flip,
+                "train_err": min(best.err, 1.0 - best.err),
+                "test_acc": float(acc.acc),
+                "n_test": acc.n_test,
+            }
+        )
+    return results
+
+
 def naive_bayes_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The predict half of q_naive_bayes (library API): classify every
     document by argmax over classes of

@@ -695,3 +695,58 @@ def test_markov_steady_state_is_stationary(spark, sf_dir):
         nxt[r.next_type] += pi_rows.get(r.prev_type, 0.0) * (r.n_trans / n_from[r.prev_type])
     for state, p in pi_rows.items():
         assert nxt[state] == pytest.approx(p, abs=1e-8), state
+
+
+# ------------------------------------------------- CV harness / scaling
+
+
+def test_kfold_assign_deterministic_and_balanced(spark, sf_dir):
+    t = load_tables(spark, sf_dir)
+    a = C.kfold_assign(t.embeddings.select("vec_id"), "vec_id", k=5)
+    b = C.kfold_assign(t.embeddings.select("vec_id"), "vec_id", k=5)
+    fa = {r.vec_id: r.fold for r in a.collect()}
+    fb = {r.vec_id: r.fold for r in b.collect()}
+    assert fa == fb  # content-hash determinism
+    from collections import Counter
+
+    sizes = Counter(fa.values())
+    assert set(sizes) == set(range(5))
+    n = len(fa)
+    for c in sizes.values():
+        assert abs(c - n / 5) < 0.25 * n / 5 + 10  # roughly balanced
+    # Appending data never moves an existing row's fold.
+    half = C.kfold_assign(
+        t.embeddings.select("vec_id").limit(200), "vec_id", k=5
+    )
+    for r in half.collect():
+        assert fa[r.vec_id] == r.fold
+
+
+def test_cross_validate_accuracy_beats_chance(spark, sf_dir):
+    res = C.cross_validate_accuracy(spark, sf_dir, k=3)
+    assert len(res) == 3
+    assert sum(r["n_test"] for r in res) == load_tables(spark, sf_dir).embeddings.count()
+    for r in res:
+        assert 0.0 <= r["train_err"] <= 0.5
+        assert r["test_acc"] > 0.4  # stump family: weakly better than coin
+
+
+def test_standardize_and_minmax(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    t = load_tables(spark, sf_dir)
+    df = t.lineitem.select("l_quantity", "l_extendedprice")
+    z = C.standardize(df, ["l_quantity", "l_extendedprice"])
+    stats = z.agg(
+        F.avg("l_quantity"), F.stddev_pop("l_quantity"),
+        F.avg("l_extendedprice"), F.stddev_pop("l_extendedprice"),
+    ).first()
+    assert stats[0] == pytest.approx(0.0, abs=1e-9)
+    assert stats[1] == pytest.approx(1.0, abs=1e-9)
+    assert stats[2] == pytest.approx(0.0, abs=1e-6)
+    assert stats[3] == pytest.approx(1.0, abs=1e-9)
+    m = C.minmax_scale(df, ["l_quantity"])
+    lo, hi = m.agg(F.min("l_quantity"), F.max("l_quantity")).first()
+    assert lo == 0.0 and hi == 1.0
+    # Plan shape: statistics broadcast, data side unshuffled.
+    assert "BroadcastExchange" in P.formatted_plan(z) or "BroadcastNestedLoopJoin" in P.formatted_plan(z)
