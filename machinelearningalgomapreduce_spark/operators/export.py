@@ -100,6 +100,50 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def chunk_documents(
+    spark: SparkSession,
+    sf_dir: str,
+    chunk_tokens: int = 64,
+    overlap: int = 8,
+) -> DataFrame:
+    """Fixed-size token chunking with overlap (library API) — the
+    splitting half of the training exporter (q_seq_pack is the packing
+    half): each document's whitespace token stream is cut into windows
+    of `chunk_tokens` advancing by `chunk_tokens − overlap`, so
+    consecutive chunks share `overlap` tokens of context. Returns
+    (doc_id, chunk_id, n_tokens, chunk_text); the final partial chunk is
+    kept (n_tokens ≤ chunk_tokens).
+
+    Scale shape: pure scan-side fan-out — split, a `sequence` of start
+    offsets, explode, slice, join — NO shuffle anywhere; chunk ids are
+    per-document ordinals so downstream shard assignment stays
+    content-deterministic."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError(f"overlap {overlap} must be in [0, {chunk_tokens})")
+    stride = chunk_tokens - overlap
+    t = load_tables(spark, sf_dir)
+    toks = t.documents.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    ).withColumn("n", F.size("toks"))
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(
+            F.lit(0), F.floor((F.col("n") - 1) / F.lit(stride)).cast("int") * stride
+        ),
+        F.lit(stride),
+    )
+    exploded = toks.select(
+        "doc_id", "toks", "n", F.explode(starts).alias("start")
+    ).filter((F.col("start") == 0) | (F.col("start") < F.col("n")))
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, chunk_tokens)
+    return exploded.select(
+        "doc_id",
+        (F.col("start") / stride).cast("int").alias("chunk_id"),
+        F.least(F.lit(chunk_tokens), F.col("n") - F.col("start")).alias("n_tokens"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )
+
+
 def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window packing: documents are concatenated in doc_id order
     within each source and cut into 2048-token windows; a document belongs

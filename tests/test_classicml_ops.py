@@ -750,3 +750,41 @@ def test_standardize_and_minmax(spark, sf_dir):
     assert lo == 0.0 and hi == 1.0
     # Plan shape: statistics broadcast, data side unshuffled.
     assert "BroadcastExchange" in P.formatted_plan(z) or "BroadcastNestedLoopJoin" in P.formatted_plan(z)
+
+
+def test_chunk_documents_reconstructs_streams(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.export import chunk_documents
+
+    chunk_tokens, overlap = 16, 4
+    stride = chunk_tokens - overlap
+    rows = chunk_documents(spark, sf_dir, chunk_tokens, overlap).collect()
+    t = load_tables(spark, sf_dir)
+    originals = {
+        r.doc_id: r.text.split(" ")
+        for r in t.documents.select("doc_id", "text").collect()
+    }
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(originals)  # every doc chunked
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        toks = originals[doc_id]
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        # Exact stride layout: chunk i is tokens [i*stride, i*stride+W) —
+        # this single property implies the overlap contract and full
+        # coverage of the stream.
+        for c in chunks:
+            ctoks = c.chunk_text.split(" ") if c.chunk_text else []
+            assert len(ctoks) == c.n_tokens <= chunk_tokens
+            start = c.chunk_id * stride
+            assert ctoks == toks[start : start + chunk_tokens]
+        last = chunks[-1]
+        assert last.chunk_id * stride + last.n_tokens == len(toks)  # no tail lost
+
+
+def test_chunk_documents_rejects_bad_overlap(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.export import chunk_documents
+
+    with pytest.raises(ValueError):
+        chunk_documents(spark, sf_dir, 16, 16)
