@@ -778,6 +778,64 @@ def dbscan_cluster(
     return assigned.unionByName(noise)
 
 
+def fuzzy_kmeans_fit(
+    spark: SparkSession, sf_dir: str, rounds: int = 5, m: float = 2.0
+) -> dict:
+    """Fuzzy c-means over the embeddings from the deterministic
+    per-label seed centroids (library API): soft memberships
+    u_cj ∝ (1/d²_cj)^(1/(m−1)) against broadcast centroids, centroid
+    update Σu^m·x / Σu^m, objective J = ΣΣ u^m·d² recorded per round —
+    fuzzy c-means guarantees J is non-increasing, which the test
+    asserts. Returns {centroids, objective} with O(k·d) driver state.
+
+    Scale shape: per round one data ⋈ broadcast(centroids) scoring pass
+    and one (cluster, dim)-keyed weighted aggregate — identical plan
+    family to q_kmeans_assign/q_kmeans_recompute, soft weights instead
+    of argmin."""
+    from machinelearningalgomapreduce_spark.operators.ml import label_centroids
+
+    t = load_tables(spark, sf_dir)
+    data = t.embeddings.select("vec_id", "embedding").localCheckpoint()
+    cents = {
+        r.label: list(r.centroid)
+        for r in label_centroids(t.embeddings).collect()
+    }
+    power = 1.0 / (m - 1.0)
+    objective: list[float] = []
+    for _ in range(rounds):
+        cent_rows = [(c, v) for c, v in sorted(cents.items())]
+        cdf = spark.createDataFrame(
+            cent_rows, "cluster int, centroid array<double>"
+        )
+        d2 = F.aggregate(
+            F.sequence(F.lit(0), F.lit(len(next(iter(cents.values()))) - 1)),
+            F.lit(0.0),
+            lambda acc, i: acc
+            + (F.col("embedding")[i].cast("double") - F.col("centroid")[i])
+            * (F.col("embedding")[i].cast("double") - F.col("centroid")[i]),
+        )
+        scored = (
+            data.crossJoin(F.broadcast(cdf))
+            .select("vec_id", "embedding", "cluster", F.greatest(d2, F.lit(1e-12)).alias("d2"))
+        )
+        wsum = W.partitionBy("vec_id")
+        inv = F.pow(1.0 / F.col("d2"), F.lit(power))
+        member = scored.withColumn("u", inv / F.sum(inv).over(wsum))
+        um = F.pow(F.col("u"), F.lit(m))
+        obj = member.agg(F.sum(um * F.col("d2"))).first()[0]
+        objective.append(float(obj))
+        per_dim = member.select(
+            "cluster", um.alias("um"), F.posexplode("embedding").alias("d", "x")
+        ).groupBy("cluster", "d").agg(
+            (F.sum(F.col("um") * F.col("x").cast("double")) / F.sum("um")).alias("c")
+        )
+        new = {}
+        for r in per_dim.collect():
+            new.setdefault(r.cluster, {})[r.d] = r.c
+        cents = {c: [dims[i] for i in range(len(dims))] for c, dims in new.items()}
+    return {"centroids": cents, "objective": objective}
+
+
 ADA_CANDIDATES = tuple(
     (d, thr) for d in (1, 2, 3, 4) for thr in (-0.1, 0.0, 0.1)
 )

@@ -788,3 +788,15 @@ def test_chunk_documents_rejects_bad_overlap(spark, sf_dir):
 
     with pytest.raises(ValueError):
         chunk_documents(spark, sf_dir, 16, 16)
+
+
+def test_fuzzy_kmeans_objective_monotone(spark, sf_dir):
+    out = C.fuzzy_kmeans_fit(spark, sf_dir, rounds=4)
+    obj = out["objective"]
+    assert len(obj) == 4 and all(o > 0 for o in obj)
+    for a, b in zip(obj, obj[1:]):
+        assert b <= a + 1e-6  # alternating-minimization guarantee
+    cents = out["centroids"]
+    assert len(cents) == 10  # one per seed label
+    dims = {len(v) for v in cents.values()}
+    assert dims == {64}
