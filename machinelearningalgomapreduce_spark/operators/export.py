@@ -118,11 +118,20 @@ def chunk_documents(
     offsets, explode, slice, join — NO shuffle anywhere; chunk ids are
     per-document ordinals so downstream shard assignment stays
     content-deterministic."""
+    t = load_tables(spark, sf_dir)
+    return chunk_token_streams(t.documents, chunk_tokens, overlap)
+
+
+def chunk_token_streams(
+    docs: DataFrame, chunk_tokens: int = 64, overlap: int = 8
+) -> DataFrame:
+    """DataFrame-level core of `chunk_documents`: chunk any (doc_id, text)
+    frame — the composable form the pipeline demo chains after its own
+    filtering stages."""
     if not 0 <= overlap < chunk_tokens:
         raise ValueError(f"overlap {overlap} must be in [0, {chunk_tokens})")
     stride = chunk_tokens - overlap
-    t = load_tables(spark, sf_dir)
-    toks = t.documents.select(
+    toks = docs.select(
         "doc_id", F.split("text", " ").alias("toks")
     ).withColumn("n", F.size("toks"))
     starts = F.sequence(
