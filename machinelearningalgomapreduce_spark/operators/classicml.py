@@ -33,7 +33,6 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from machinelearningalgomapreduce_spark.operators.graph import (
-    REPEAT_MIN_ORDERS,
     _REPEAT_EDGE_CTES,
     _repeat_copurchase_edges,
 )
@@ -129,7 +128,14 @@ def q_adaboost_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     eps = F.col("n_wrong") / F.col("n")
-    alpha = F.round(0.5 * F.log((1.0 - eps) / eps), 6)
+    # ONE alpha expression shape everywhere (reported column, reweight
+    # factors, and the oracle): ½·ln((n−wrong)/wrong) on exact integer
+    # counts. Mixing it with the algebraically-equal ½·ln((1−ε)/ε) form
+    # risks the two rounding to different 6-decimal grids.
+    alpha = F.round(
+        0.5 * F.log((F.col("n") - F.col("n_wrong")).cast("double") / F.col("n_wrong")),
+        6,
+    )
     scored = cohorts.crossJoin(F.broadcast(tot)).select(
         "is_correct",
         "n_rows",
@@ -361,19 +367,17 @@ def q_item_cf(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed on the item pair, and the support floor (≥ 2 shared orders)
     prunes the long noise tail before the window. At 100 TB the basket
     fan-out caps at max-basket², the standard market-basket bound."""
+    from machinelearningalgomapreduce_spark.operators.graph import (
+        copurchase_pair_counts,
+    )
+
     t = load_tables(spark, sf_dir)
     baskets = t.lineitem.select("l_orderkey", "l_partkey").distinct()
     n_i = baskets.groupBy("l_partkey").agg(F.count("*").alias("n_orders"))
-    a, b = baskets.alias("a"), baskets.alias("b")
-    co = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count("*").alias("co"))
-        .filter(F.col("co") >= CF_MIN_CO)
+    # One shared basket self-join (graph.py) — the support floor and pair
+    # semantics live in a single implementation.
+    co = copurchase_pair_counts(spark, sf_dir, CF_MIN_CO).select(
+        "u", "v", F.col("n_orders").alias("co")
     )
     both = co.select("u", "v", "co").unionAll(
         co.select(F.col("v").alias("u"), F.col("u").alias("v"), "co")
@@ -490,13 +494,27 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = base.select(
         "l_returnflag", r2("l_quantity").alias("rx"), r2("l_extendedprice").alias("ry")
     )
+    return _rank_moments_to_rho(ranked)
+
+
+def _rank_moments_to_rho(ranked: DataFrame) -> DataFrame:
+    """Shared closing formula for the Spearman forms: exact doubled-rank
+    moments (products accumulate as DECIMAL(38,0) — Σr² grows ~n³/group
+    and would wrap BIGINT near 2M rows/group, where DuckDB silently
+    promotes to HUGEINT), then Pearson on means with a NULL guard for
+    degenerate (constant-value) groups. Keeping this in ONE place is what
+    lets the window and distributed forms stay bit-identical."""
+    # Cast an OPERAND, not the product: a BIGINT·BIGINT multiply would
+    # already wrap before any cast (rx·ry ~ 4n² > 2⁶³ at ~1.5e9 rows).
+    rxd = F.col("rx").cast("decimal(19,0)")
+    ryd = F.col("ry").cast("decimal(19,0)")
     m = ranked.groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
         F.sum("rx").alias("sx"),
         F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+        F.sum(rxd * F.col("ry")).alias("sxy"),
+        F.sum(rxd * F.col("rx")).alias("sxx"),
+        F.sum(ryd * F.col("ry")).alias("syy"),
     )
     n = F.col("n").cast("double")
     mx = F.col("sx").cast("double") / n
@@ -504,9 +522,8 @@ def q_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     cov = F.col("sxy").cast("double") / n - mx * my
     vx = F.col("sxx").cast("double") / n - mx * mx
     vy = F.col("syy").cast("double") / n - my * my
-    return m.select(
-        "l_returnflag", "n", F.round(cov / F.sqrt(vx * vy), 6).alias("rho")
-    )
+    rho = F.when((vx > 0) & (vy > 0), F.round(cov / F.sqrt(vx * vy), 6))
+    return m.select("l_returnflag", "n", rho.alias("rho"))
 
 
 def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,12 +555,15 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         (2 * F.coalesce(F.sum("t").over(wv), F.lit(0)) + F.col("t") + 1).alias("r2"),
     )
+    # Rank sums and the tie spectrum accumulate as DECIMAL(38,0): the
+    # products grow ~n² and ~t³ and would wrap BIGINT around 2e9 rows /
+    # 2e6-row tie groups, where DuckDB silently promotes to HUGEINT.
     groups = (
         fv.join(F.broadcast(r2v.select("l_quantity", "r2")), "l_quantity")
         .groupBy("l_returnflag")
         .agg(
             F.sum("n_fv").alias("n_j"),
-            F.sum(F.col("n_fv") * F.col("r2")).alias("r2_j"),
+            F.sum(F.col("n_fv").cast("decimal(19,0)") * F.col("r2")).alias("r2_j"),
         )
     )
     # H term per group on true ranks R_j = r2_j/2, rounded then DECIMAL-summed.
@@ -554,17 +574,17 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(term).alias("h_sum"),
         F.count("*").alias("k"),
     )
-    tie_sum = vals.agg(
-        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t")).alias("tie3")
-    )
+    td = F.col("t").cast("decimal(19,0)")
+    tie_sum = vals.agg(F.sum(td * F.col("t") * F.col("t") - td).alias("tie3"))
     nd = F.col("n").cast("double")
     h = 12.0 / (nd * (nd + 1.0)) * F.col("h_sum").cast("double") - 3.0 * (nd + 1.0)
     c = 1.0 - F.col("tie3").cast("double") / (nd * nd * nd - nd)
+    # c = 0 (every row one tie group) leaves H undefined — NULL, not ∞.
     return hsum.crossJoin(F.broadcast(tie_sum)).select(
         "n",
         (F.col("k") - 1).alias("df"),
         F.round(h, 6).alias("h"),
-        F.round(h / c, 6).alias("h_corrected"),
+        F.when(c > 0, F.round(h / c, 6)).alias("h_corrected"),
     )
 
 
@@ -1096,7 +1116,9 @@ def cross_validate_accuracy(
                 "thr": best.thr,
                 "flip": flip,
                 "train_err": min(best.err, 1.0 - best.err),
-                "test_acc": float(acc.acc),
+                # avg over an empty fold is NULL — report None, don't crash
+                # (k larger than the corpus can leave md5 buckets empty).
+                "test_acc": None if acc.acc is None else float(acc.acc),
                 "n_test": acc.n_test,
             }
         )
@@ -1125,9 +1147,14 @@ def naive_bayes_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok_all = t.documents.select("source", F.explode(F.split("text", " ")).alias("token"))
     class_tokens = tok_all.groupBy("source").agg(F.count("*").alias("class_total"))
     vocab = tok_all.agg(F.countDistinct("token").alias("v"))
+    # Floor rounded to 6 like every model log-likelihood it substitutes
+    # for — mixing rounded and unrounded terms in one score sum would make
+    # log_post irreproducible against a 6-decimal reference.
     floors = class_tokens.crossJoin(F.broadcast(vocab)).select(
         "source",
-        F.log(1.0 / (F.col("class_total") + F.col("v")).cast("double")).alias("floor_ll"),
+        F.round(
+            F.log(1.0 / (F.col("class_total") + F.col("v")).cast("double")), 6
+        ).alias("floor_ll"),
     )
     doc_tokens = t.documents.select(
         "doc_id",
@@ -1249,6 +1276,7 @@ def boruvka_mst(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
         .localCheckpoint()
     )
     forest = None
+    converged = False
     for _ in range(max_rounds):
         lu = labels.select(F.col("node").alias("u"), F.col("comp").alias("cu"))
         lv = labels.select(F.col("node").alias("v"), F.col("comp").alias("cv"))
@@ -1259,6 +1287,7 @@ def boruvka_mst(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
             .localCheckpoint()
         )
         if cross.limit(1).count() == 0:
+            converged = True
             break
         pick = F.struct("w", "u", "v").alias("cand")
         # Each side of the edge proposes it to its own component.
@@ -1294,6 +1323,11 @@ def boruvka_mst(edges: DataFrame, max_rounds: int = 25) -> DataFrame:
             )
             .localCheckpoint()
         )
+    if not converged:
+        # Rounds halve components, so this only fires on a caller-supplied
+        # tiny max_rounds — fail loudly like connected_components_star
+        # rather than return a forest missing edges.
+        raise RuntimeError(f"Borůvka did not converge within {max_rounds} rounds")
     return forest if forest is not None else e.limit(0)
 
 
@@ -1445,23 +1479,7 @@ def spearman_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
     paired = base.join(
         rank_map("l_quantity", "rx"), ["l_returnflag", "l_quantity"]
     ).join(rank_map("l_extendedprice", "ry"), ["l_returnflag", "l_extendedprice"])
-    m = paired.groupBy("l_returnflag").agg(
-        F.count("*").alias("n"),
-        F.sum("rx").alias("sx"),
-        F.sum("ry").alias("sy"),
-        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
-        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
-        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
-    )
-    n = F.col("n").cast("double")
-    mx = F.col("sx").cast("double") / n
-    my = F.col("sy").cast("double") / n
-    cov = F.col("sxy").cast("double") / n - mx * my
-    vx = F.col("sxx").cast("double") / n - mx * mx
-    vy = F.col("syy").cast("double") / n - my * my
-    return m.select(
-        "l_returnflag", "n", F.round(cov / F.sqrt(vx * vy), 6).alias("rho")
-    )
+    return _rank_moments_to_rho(paired.select("l_returnflag", "rx", "ry"))
 
 
 def em_fit(spark: SparkSession, sf_dir: str, rounds: int = 5) -> dict:
@@ -1568,8 +1586,7 @@ ORACLES = {
         )
         SELECT is_correct, n_rows,
                round(CAST(n_wrong AS DOUBLE) / n, 6) AS eps,
-               round(0.5 * ln((1.0 - CAST(n_wrong AS DOUBLE) / n)
-                              / (CAST(n_wrong AS DOUBLE) / n)), 6) AS alpha,
+               round(0.5 * ln(CAST(n - n_wrong AS DOUBLE) / n_wrong), 6) AS alpha,
                round((CASE WHEN is_correct
                            THEN exp(-round(0.5 * ln(CAST(n - n_wrong AS DOUBLE) / n_wrong), 6))
                            ELSE exp(round(0.5 * ln(CAST(n - n_wrong AS DOUBLE) / n_wrong), 6))
@@ -1767,18 +1784,23 @@ ORACLES = {
                    sum(rx) AS sx, sum(ry) AS sy,
                    sum(rx * ry) AS sxy, sum(rx * rx) AS sxx, sum(ry * ry) AS syy
             FROM ranked GROUP BY l_returnflag
+        ), moments AS (
+            SELECT l_returnflag, n,
+                   CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cov,
+                   CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS vx,
+                   CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+                   - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+                     * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS vy
+            FROM m
         )
         SELECT l_returnflag, n,
-               round((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
-                      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-                        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
-                     / sqrt((CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
-                             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
-                               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
-                            * (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
-                               - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-                                 * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS rho
-        FROM m
+               CASE WHEN vx > 0 AND vy > 0
+                    THEN round(cov / sqrt(vx * vy), 6) END AS rho
+        FROM moments
     """,
     "q_kruskal_wallis": """
         WITH ranked AS (
@@ -1804,12 +1826,16 @@ ORACLES = {
                round(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
                      * CAST(h_sum AS DOUBLE)
                      - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h,
-               round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
-                      * CAST(h_sum AS DOUBLE)
-                      - 3.0 * (CAST(n AS DOUBLE) + 1.0))
-                     / (1.0 - CAST(tie3 AS DOUBLE)
-                        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                           - CAST(n AS DOUBLE))), 6) AS h_corrected
+               CASE WHEN 1.0 - CAST(tie3 AS DOUBLE)
+                             / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                - CAST(n AS DOUBLE)) > 0
+                    THEN round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                                * CAST(h_sum AS DOUBLE)
+                                - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                               / (1.0 - CAST(tie3 AS DOUBLE)
+                                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                     - CAST(n AS DOUBLE))), 6)
+               END AS h_corrected
         FROM hsum, tie_sum
     """,
     "q_em_step": f"""

@@ -256,14 +256,13 @@ def _directed_nbrs(edges: DataFrame) -> DataFrame:
     )
 
 
-def _repeat_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Part pairs co-purchased in ≥ REPEAT_MIN_ORDERS distinct orders.
-
-    The support floor is the graph sparsifier: the raw co-purchase graph is
-    near-complete on this fixture (min degree 42 — every order is a clique),
-    so wedge fan-out would be O(deg²)·nodes ≈ 28M at sf0.01. Repeat edges
-    cut that to ~34k while keeping the semantically strong links — the same
-    minimum-support idea Apriori applies to itemsets, applied to edges."""
+def copurchase_pair_counts(
+    spark: SparkSession, sf_dir: str, min_orders: int = REPEAT_MIN_ORDERS
+) -> DataFrame:
+    """Support-floored co-purchase pair counts (u < v, n_orders ≥ floor) —
+    the one basket self-join shared by the repeat-edge graph family AND
+    item-item CF (classicml.q_item_cf), kept in one place so the support
+    semantics can't drift."""
     t = load_tables(spark, sf_dir)
     parts = t.lineitem.select("l_orderkey", "l_partkey").distinct()
     a, b = parts.alias("a"), parts.alias("b")
@@ -275,9 +274,19 @@ def _repeat_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
         .agg(F.count("*").alias("n_orders"))
-        .filter(F.col("n_orders") >= REPEAT_MIN_ORDERS)
-        .select("u", "v")
+        .filter(F.col("n_orders") >= min_orders)
     )
+
+
+def _repeat_copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part pairs co-purchased in ≥ REPEAT_MIN_ORDERS distinct orders.
+
+    The support floor is the graph sparsifier: the raw co-purchase graph is
+    near-complete on this fixture (min degree 42 — every order is a clique),
+    so wedge fan-out would be O(deg²)·nodes ≈ 28M at sf0.01. Repeat edges
+    cut that to ~34k while keeping the semantically strong links — the same
+    minimum-support idea Apriori applies to itemsets, applied to edges."""
+    return copurchase_pair_counts(spark, sf_dir).select("u", "v")
 
 
 def q_common_neighbors(spark: SparkSession, sf_dir: str) -> DataFrame:

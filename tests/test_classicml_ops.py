@@ -594,13 +594,12 @@ def test_naive_bayes_predict_matches_python(spark, sf_dir):
         best = None
         for src in sorted(class_tok):
             total = sum(class_tok[src].values())
-            # Mirror the query: per-token ll rounded to 6 (model parity),
-            # unseen tokens at the unrounded floor.
+            # Mirror the query: every per-token ll rounded to 6 (model
+            # parity — the floor included).
             score = round(m.log(class_docs[src] / n), 6)
             for tok in toks:
                 c = class_tok[src][tok]
-                ll = m.log((c + 1) / (total + vocab))
-                score += round(ll, 6) if c > 0 else ll
+                score += round(m.log((c + 1) / (total + vocab)), 6)
             if best is None or score > best[1] + 1e-9 or (
                 abs(score - best[1]) <= 1e-9 and src > best[0]
             ):
@@ -800,3 +799,39 @@ def test_fuzzy_kmeans_objective_monotone(spark, sf_dir):
     assert len(cents) == 10  # one per seed label
     dims = {len(v) for v in cents.values()}
     assert dims == {64}
+
+
+def test_rank_stats_degenerate_groups_yield_null(spark, sf_dir):
+    # A constant-value group has zero rank variance: rho and the
+    # tie-corrected H must be NULL, not a division error or ±inf.
+    from pyspark.sql import Row
+
+    rows = [
+        Row(l_returnflag="A", l_quantity=5.0, l_extendedprice=100.0 + i)
+        for i in range(8)
+    ] + [
+        Row(l_returnflag="R", l_quantity=float(i % 3 + 1), l_extendedprice=50.0 * i)
+        for i in range(9)
+    ]
+    df = spark.createDataFrame(rows)
+
+    class _Cat:
+        lineitem = df
+
+    orig = C.load_tables
+    C.load_tables = lambda *_a, **_k: _Cat()
+    try:
+        sp = {r.l_returnflag: r.rho for r in C.q_spearman(spark, sf_dir).collect()}
+        assert sp["A"] is None  # constant x ⇒ vx = 0 ⇒ NULL
+        assert sp["R"] is not None and -1.0 <= sp["R"] <= 1.0
+        # All-one-value corpus: c = 0 ⇒ h_corrected NULL, h still defined.
+        only_const = df.filter("l_returnflag = 'A'")
+
+        class _Cat2:
+            lineitem = only_const
+
+        C.load_tables = lambda *_a, **_k: _Cat2()
+        row = C.q_kruskal_wallis(spark, sf_dir).collect()[0]
+        assert row.h_corrected is None
+    finally:
+        C.load_tables = orig
