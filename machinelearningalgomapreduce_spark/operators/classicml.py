@@ -204,7 +204,11 @@ def q_gbt_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed GBT (residual fit degenerates to a mean fit on round 0).
 
     Sums are exact integers (quantity is integral); SSE = Σy² − (Σy)²/n
-    runs in identical doubles both engines.
+    runs in identical doubles both engines. The hashed output carries NO
+    round(double) boundary (VERDICT r5 item 1): means and SSE are emitted
+    as fixed-point BIGINTs via floor(x·10^k + 0.5) — pure IEEE ops on
+    bit-identical doubles, immune to the engines' differing decimal-string
+    round() implementations.
 
     Scale shape: one scan crossed with the broadcast threshold grid, one
     aggregate keyed on threshold — O(#thresholds) state, never a shuffle
@@ -233,15 +237,21 @@ def q_gbt_stump(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col(qc).cast("double") - (F.col(sc).cast("double") / nd) * F.col(sc).cast("double"),
         ).otherwise(F.lit(0.0))
     mean = lambda sc, nc: F.when(
-        F.col(nc) > 0, F.round(F.col(sc).cast("double") / F.col(nc).cast("double"), 6)
+        F.col(nc) > 0,
+        F.floor(
+            F.col(sc).cast("double") / F.col(nc).cast("double") * 1000000.0 + F.lit(0.5)
+        ).cast("bigint"),
     )
     return agg.select(
         "thr",
         "n_l",
         "n_r",
-        mean("s_l", "n_l").alias("mean_l"),
-        mean("s_r", "n_r").alias("mean_r"),
-        F.round(sse("q_l", "s_l", "n_l") + sse("q_r", "s_r", "n_r"), 4).alias("sse"),
+        mean("s_l", "n_l").alias("mean_l_micro"),
+        mean("s_r", "n_r").alias("mean_r_micro"),
+        F.floor(
+            (sse("q_l", "s_l", "n_l") + sse("q_r", "s_r", "n_r")) * 10000.0
+            + F.lit(0.5)
+        ).cast("bigint").alias("sse_e4"),
     )
 
 
@@ -257,8 +267,10 @@ def q_hits_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     hubs-and-authorities as two keyed aggregates per half-step.
 
     Every score is an exact integer until the final normalization (the
-    squared norm is an exact BIGINT sum), so the output is deterministic
-    without rounding tricks.
+    squared norm is an exact BIGINT sum); the normalized score is emitted
+    as a fixed-point micro-unit BIGINT via floor(x·10⁶ + 0.5) — identical
+    IEEE expression shape in both engines, no round(double) in the hash
+    (VERDICT r5 item 1).
 
     Scale shape: the edge list (distinct customer–part pairs) is the only
     shuffled relation; each half-step is one join + one aggregate keyed on
@@ -284,7 +296,9 @@ def q_hits_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     return auth2.crossJoin(F.broadcast(norm2)).select(
         "l_partkey",
         "auth",
-        F.round(F.col("auth") / F.sqrt(F.col("s2").cast("double")), 6).alias("auth_norm"),
+        F.floor(
+            F.col("auth") / F.sqrt(F.col("s2").cast("double")) * 1000000.0 + F.lit(0.5)
+        ).cast("bigint").alias("auth_norm_micro"),
     )
 
 
@@ -294,8 +308,10 @@ def q_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     v₂ = A·v₁, reported raw and L2-normalized — the per-round kernel of
     spectral ranking / power-iteration clustering (PIC).
 
-    v₁, v₂ and the squared norm are exact BIGINT aggregates; only the
-    final normalization divides in doubles.
+    v₁, v₂ and the squared norm are exact BIGINT aggregates; the
+    normalized score is a fixed-point micro-unit BIGINT via
+    floor(x·10⁶ + 0.5) on identical IEEE expressions — no round(double)
+    in the hashed output (VERDICT r5 item 1).
 
     Scale shape: the support-floored edge list is materialized once and
     each step is one join + one aggregate keyed on node — O(m) per step,
@@ -314,7 +330,9 @@ def q_power_iter(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v2.crossJoin(F.broadcast(norm2)).select(
         "node",
         "v2",
-        F.round(F.col("v2") / F.sqrt(F.col("s2").cast("double")), 6).alias("v2_norm"),
+        F.floor(
+            F.col("v2") / F.sqrt(F.col("s2").cast("double")) * 1000000.0 + F.lit(0.5)
+        ).cast("bigint").alias("v2_norm_micro"),
     )
 
 
@@ -533,9 +551,14 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
     (q_anova's rank twin) with quantity's 50-value ties exercising the
     correction hard.
 
-    Doubled ranks and rank sums are exact BIGINTs; the 3 per-group H terms
-    are rounded to 6 and summed as DECIMAL so the 3-way fold is
-    order-free; the tie spectrum Σ(t³−t) is an exact integer aggregate.
+    Doubled ranks and rank sums are exact BIGINTs; the k per-group H terms
+    (k = #return flags, tiny) are folded in CANONICAL flag order via a
+    sort_array + sequential aggregate — the Spark F.aggregate ≡ DuckDB
+    list_sum bit-parity that functions/vectors.py already verifies — so
+    the double sum never depends on shuffle order. H itself leaves the
+    query as a fixed-point micro-unit BIGINT (floor(x·10⁶ + 0.5)): no
+    round(double) sits in the hashed output (VERDICT r5 item 1). The tie
+    spectrum Σ(t³−t) is an exact integer aggregate.
 
     Scale shape: NO data-sized sort window — ranks derive from the
     bounded 50-value histogram (the q_ks_test envelope): one
@@ -566,25 +589,34 @@ def q_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("n_fv").cast("decimal(19,0)") * F.col("r2")).alias("r2_j"),
         )
     )
-    # H term per group on true ranks R_j = r2_j/2, rounded then DECIMAL-summed.
+    # H term per group on true ranks R_j = r2_j/2, folded in canonical
+    # flag order (k rows — the collect_list is O(k) driver-free state).
     rj = F.col("r2_j").cast("double") / 2.0
-    term = F.round(rj * rj / F.col("n_j"), 6).cast("decimal(28,6)")
+    term = rj * rj / F.col("n_j")
     hsum = groups.agg(
         F.sum("n_j").alias("n"),
-        F.sum(term).alias("h_sum"),
         F.count("*").alias("k"),
+        F.aggregate(
+            F.sort_array(
+                F.collect_list(F.struct(F.col("l_returnflag").alias("g"), term.alias("t")))
+            ),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("h_sum"),
     )
     td = F.col("t").cast("decimal(19,0)")
     tie_sum = vals.agg(F.sum(td * F.col("t") * F.col("t") - td).alias("tie3"))
     nd = F.col("n").cast("double")
-    h = 12.0 / (nd * (nd + 1.0)) * F.col("h_sum").cast("double") - 3.0 * (nd + 1.0)
+    h = 12.0 / (nd * (nd + 1.0)) * F.col("h_sum") - 3.0 * (nd + 1.0)
     c = 1.0 - F.col("tie3").cast("double") / (nd * nd * nd - nd)
     # c = 0 (every row one tie group) leaves H undefined — NULL, not ∞.
     return hsum.crossJoin(F.broadcast(tie_sum)).select(
         "n",
         (F.col("k") - 1).alias("df"),
-        F.round(h, 6).alias("h"),
-        F.when(c > 0, F.round(h / c, 6)).alias("h_corrected"),
+        F.floor(h * 1000000.0 + F.lit(0.5)).cast("bigint").alias("h_micro"),
+        F.when(
+            c > 0, F.floor(h / c * 1000000.0 + F.lit(0.5)).cast("bigint")
+        ).alias("h_corrected_micro"),
     )
 
 
@@ -1651,19 +1683,23 @@ ORACLES = {
         )
         SELECT thr, n_l, n_r,
                CASE WHEN n_l > 0
-                    THEN round(CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE), 6) END AS mean_l,
+                    THEN CAST(floor(CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE)
+                                    * 1000000.0 + 0.5) AS BIGINT)
+               END AS mean_l_micro,
                CASE WHEN n_r > 0
-                    THEN round(CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE), 6) END AS mean_r,
-               round((CASE WHEN n_l > 0
-                           THEN CAST(q_l AS DOUBLE)
-                                - (CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE))
-                                  * CAST(s_l AS DOUBLE)
-                           ELSE 0.0 END)
-                     + (CASE WHEN n_r > 0
-                             THEN CAST(q_r AS DOUBLE)
-                                  - (CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE))
-                                    * CAST(s_r AS DOUBLE)
-                             ELSE 0.0 END), 4) AS sse
+                    THEN CAST(floor(CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE)
+                                    * 1000000.0 + 0.5) AS BIGINT)
+               END AS mean_r_micro,
+               CAST(floor(((CASE WHEN n_l > 0
+                                 THEN CAST(q_l AS DOUBLE)
+                                      - (CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE))
+                                        * CAST(s_l AS DOUBLE)
+                                 ELSE 0.0 END)
+                           + (CASE WHEN n_r > 0
+                                   THEN CAST(q_r AS DOUBLE)
+                                        - (CAST(s_r AS DOUBLE) / CAST(n_r AS DOUBLE))
+                                          * CAST(s_r AS DOUBLE)
+                                   ELSE 0.0 END)) * 10000.0 + 0.5) AS BIGINT) AS sse_e4
         FROM agg
     """,
     "q_hits_step": """
@@ -1682,7 +1718,8 @@ ORACLES = {
             SELECT sum(auth * auth) AS s2 FROM auth2
         )
         SELECT l_partkey, auth,
-               round(auth / sqrt(CAST(s2 AS DOUBLE)), 6) AS auth_norm
+               CAST(floor(auth / sqrt(CAST(s2 AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS auth_norm_micro
         FROM auth2, nrm
     """,
     "q_power_iter": f"""
@@ -1695,7 +1732,9 @@ ORACLES = {
         ), nrm AS (
             SELECT sum(v2 * v2) AS s2 FROM v2
         )
-        SELECT node, v2, round(v2 / sqrt(CAST(s2 AS DOUBLE)), 6) AS v2_norm
+        SELECT node, v2,
+               CAST(floor(v2 / sqrt(CAST(s2 AS DOUBLE)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS v2_norm_micro
         FROM v2, nrm
     """,
     "q_dbscan_core": f"""
@@ -1813,29 +1852,32 @@ ORACLES = {
             FROM ranked GROUP BY l_returnflag
         ), hsum AS (
             SELECT sum(n_j) AS n,
-                   sum(CAST(round((CAST(r2_j AS DOUBLE) / 2.0)
-                                  * (CAST(r2_j AS DOUBLE) / 2.0) / n_j, 6)
-                            AS DECIMAL(28,6))) AS h_sum,
-                   count(*) AS k
+                   count(*) AS k,
+                   list_sum(list((CAST(r2_j AS DOUBLE) / 2.0)
+                                 * (CAST(r2_j AS DOUBLE) / 2.0) / n_j
+                                 ORDER BY l_returnflag)) AS h_sum
             FROM groups
         ), tie_sum AS (
             SELECT sum(t * t * t - t) AS tie3
             FROM (SELECT count(*) AS t FROM lineitem GROUP BY l_quantity)
         )
         SELECT n, k - 1 AS df,
-               round(12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
-                     * CAST(h_sum AS DOUBLE)
-                     - 3.0 * (CAST(n AS DOUBLE) + 1.0), 6) AS h,
+               CAST(floor((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                           * h_sum
+                           - 3.0 * (CAST(n AS DOUBLE) + 1.0)) * 1000000.0 + 0.5)
+                    AS BIGINT) AS h_micro,
                CASE WHEN 1.0 - CAST(tie3 AS DOUBLE)
                              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
                                 - CAST(n AS DOUBLE)) > 0
-                    THEN round((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
-                                * CAST(h_sum AS DOUBLE)
-                                - 3.0 * (CAST(n AS DOUBLE) + 1.0))
-                               / (1.0 - CAST(tie3 AS DOUBLE)
-                                  / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
-                                     - CAST(n AS DOUBLE))), 6)
-               END AS h_corrected
+                    THEN CAST(floor((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
+                                     * h_sum
+                                     - 3.0 * (CAST(n AS DOUBLE) + 1.0))
+                                    / (1.0 - CAST(tie3 AS DOUBLE)
+                                       / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                                          * CAST(n AS DOUBLE)
+                                          - CAST(n AS DOUBLE)))
+                                    * 1000000.0 + 0.5) AS BIGINT)
+               END AS h_corrected_micro
         FROM hsum, tie_sum
     """,
     "q_em_step": f"""

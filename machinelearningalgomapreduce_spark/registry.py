@@ -52,21 +52,20 @@ _MODULES = (
 # re-greens the stalest evidence (the r2 cohort predates the r4 keyed-cache
 # / tiny_sorted plan rewrites). Update per round from CORRECTNESS_r{N}.json.
 DRIVER_GREEN_ROUND = {
-    # latest green: round 2 (49) — stalest evidence, front of the window
+    # latest green: round 2 (49)
     "q_array_ops": 2, "q_cube": 2, "q_dedup_clusters": 2,
     "q_dedup_embedding": 2, "q_dedup_exact": 2, "q_dedup_minhash": 2,
     "q_dedup_ngram_jaccard": 2, "q_dedup_simhash": 2, "q_distinct_users": 2,
     "q_distinct_users_approx": 2, "q_doc_fingerprint": 2,
     "q_events_sliding": 2, "q_events_tumbling": 2, "q_filter_agg": 2,
-    "q_filter_pred": 2, "q_grep": 2, "q_grouping_sets": 2,
-    "q_join3_topk": 2, "q_join5_region": 2, "q_join_anti": 2,
-    "q_join_asof": 2, "q_join_broadcast": 2, "q_join_full": 2,
-    "q_join_inner": 2, "q_join_left": 2, "q_join_salted": 2,
-    "q_join_semi": 2, "q_json_extract": 2, "q_lang_id": 2,
-    "q_late_data": 2, "q_pivot": 2, "q_pricing_summary": 2,
-    "q_quality_score": 2, "q_range_join": 2, "q_scalar_funcs": 2,
-    "q_scan_project": 2, "q_session_stats": 2, "q_sessionize": 2,
-    "q_set_ops": 2, "q_sort_limit": 2, "q_sql_exists": 2,
+    "q_filter_pred": 2, "q_grep": 2, "q_grouping_sets": 2, "q_join3_topk": 2,
+    "q_join5_region": 2, "q_join_anti": 2, "q_join_asof": 2,
+    "q_join_broadcast": 2, "q_join_full": 2, "q_join_inner": 2,
+    "q_join_left": 2, "q_join_salted": 2, "q_join_semi": 2,
+    "q_json_extract": 2, "q_lang_id": 2, "q_late_data": 2, "q_pivot": 2,
+    "q_pricing_summary": 2, "q_quality_score": 2, "q_range_join": 2,
+    "q_scalar_funcs": 2, "q_scan_project": 2, "q_session_stats": 2,
+    "q_sessionize": 2, "q_set_ops": 2, "q_sort_limit": 2, "q_sql_exists": 2,
     "q_text_stats": 2, "q_tfidf": 2, "q_token_count": 2, "q_unpivot": 2,
     "q_window_analytic": 2, "q_window_dist": 2, "q_window_rank": 2,
     "q_wordcount": 2,
@@ -83,22 +82,37 @@ DRIVER_GREEN_ROUND = {
     "q_skew_profile": 3, "q_source_jaccard": 3, "q_token_entropy": 3,
     "q_triangle_count": 3, "q_window_range_frame": 3,
     # latest green: round 4 (50)
-    "q_ab_test": 4, "q_attribution": 4, "q_bfs_levels": 4,
-    "q_bpe_merge": 4, "q_canopy": 4, "q_chi2": 4, "q_cluster_confusion": 4,
+    "q_ab_test": 4, "q_attribution": 4, "q_bfs_levels": 4, "q_bpe_merge": 4,
+    "q_canopy": 4, "q_chi2": 4, "q_cluster_confusion": 4,
     "q_common_neighbors": 4, "q_corr": 4, "q_cross_source_dups": 4,
     "q_cusum": 4, "q_dedup_minhash_est": 4, "q_domain_mix": 4,
     "q_feature_hash": 4, "q_fuzzy_join": 4, "q_group_sample": 4,
     "q_histogram": 4, "q_holt": 4, "q_incremental_agg": 4,
     "q_incremental_dedup": 4, "q_kcore_step": 4, "q_kmeans_assign": 4,
     "q_kmeans_recompute": 4, "q_knn": 4, "q_ks_test": 4, "q_linreg": 4,
-    "q_logreg_step": 4, "q_mannwhitney": 4, "q_matmul": 4,
-    "q_naive_bayes": 4, "q_outlier_iqr": 4, "q_outlier_mad": 4,
-    "q_percentiles": 4, "q_profile": 4, "q_quantile_normalize": 4,
-    "q_rolling_median": 4, "q_seasonal_profile": 4, "q_seq_pack": 4,
-    "q_session_paths": 4, "q_shard_assign": 4, "q_silhouette": 4,
-    "q_sim_ann": 4, "q_sim_recall": 4, "q_sim_topk": 4, "q_svm_step": 4,
-    "q_topk_terms": 4, "q_tree_split": 4, "q_vocab_coverage": 4,
-    "q_winsorize": 4, "q_zipf_fit": 4,
+    "q_logreg_step": 4, "q_mannwhitney": 4, "q_matmul": 4, "q_naive_bayes": 4,
+    "q_outlier_iqr": 4, "q_outlier_mad": 4, "q_percentiles": 4, "q_profile": 4,
+    "q_quantile_normalize": 4, "q_rolling_median": 4, "q_seasonal_profile": 4,
+    "q_seq_pack": 4, "q_session_paths": 4, "q_shard_assign": 4,
+    "q_silhouette": 4, "q_sim_ann": 4, "q_sim_recall": 4, "q_sim_topk": 4,
+    "q_svm_step": 4, "q_topk_terms": 4, "q_tree_split": 4,
+    "q_vocab_coverage": 4, "q_winsorize": 4, "q_zipf_fit": 4,
+    # latest green: round 5 (46)
+    "q_adaboost_round": 5, "q_anova": 5, "q_assortativity": 5, "q_auc": 5,
+    "q_bounce_rate": 5, "q_burstiness": 5, "q_calibration_bins": 5,
+    "q_class_separation": 5, "q_clustering_coeff": 5, "q_confusion_binary": 5,
+    "q_custdist": 5, "q_dbscan_core": 5, "q_disjunctive_pred": 5,
+    "q_em_step": 5, "q_gap_histogram": 5, "q_hapax_rate": 5,
+    "q_idle_customers": 5, "q_item_cf": 5, "q_key_uniqueness": 5,
+    "q_large_orders": 5, "q_lift_deciles": 5, "q_market_share": 5,
+    "q_media_decode": 5, "q_mutual_info": 5, "q_ndcg": 5, "q_norm_profile": 5,
+    "q_percentile_audit": 5, "q_perceptron_step": 5, "q_perplexity_filter": 5,
+    "q_pr_threshold": 5, "q_promo_revenue": 5, "q_rating_baseline": 5,
+    "q_referential_integrity": 5, "q_returned_items": 5, "q_ridge_fit": 5,
+    "q_sma_crossover": 5, "q_small_qty_revenue": 5, "q_spearman": 5,
+    "q_sssp_step": 5, "q_time_to_convert": 5, "q_token_budget": 5,
+    "q_top_supplier": 5, "q_train_test_split": 5, "q_trend_fit": 5,
+    "q_volume_shipping": 5, "q_weighted_pick": 5,
 }
 
 # Queries with ANY green driver row (kept as a set: the window tests and

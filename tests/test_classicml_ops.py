@@ -75,7 +75,7 @@ def test_gbt_stump_matches_numpy_sse(spark, sf_dir, queries):
         for side in (left, right):
             if len(side):
                 want += float(((side - side.mean()) ** 2).sum())
-        assert r.sse == pytest.approx(want, abs=0.51)  # both rounded to 4
+        assert r.sse_e4 == pytest.approx(want * 10000.0, abs=5100.0)  # fixed-point e4
 
 
 # ----------------------------------------------------------- link analysis
@@ -84,13 +84,13 @@ def test_gbt_stump_matches_numpy_sse(spark, sf_dir, queries):
 def test_hits_l2_normalized(spark, sf_dir, queries):
     rows = queries["q_hits_step"](spark, sf_dir).collect()
     assert rows and all(r.auth > 0 for r in rows)
-    assert sum(r.auth_norm**2 for r in rows) == pytest.approx(1.0, abs=1e-3)
+    assert sum((r.auth_norm_micro / 1e6) ** 2 for r in rows) == pytest.approx(1.0, abs=1e-3)
 
 
 def test_power_iter_l2_normalized_and_positive(spark, sf_dir, queries):
     rows = queries["q_power_iter"](spark, sf_dir).collect()
     assert rows and all(r.v2 > 0 for r in rows)
-    assert sum(r.v2_norm**2 for r in rows) == pytest.approx(1.0, abs=1e-3)
+    assert sum((r.v2_norm_micro / 1e6) ** 2 for r in rows) == pytest.approx(1.0, abs=1e-3)
 
 
 # ------------------------------------------------- DBSCAN / CF / baseline
@@ -181,8 +181,8 @@ def test_kruskal_wallis_matches_python(spark, sf_dir, queries):
     c = 1.0 - float((ties**3 - ties).sum()) / (n**3 - n)
     row = queries["q_kruskal_wallis"](spark, sf_dir).collect()[0]
     assert row.n == n and row.df == 2
-    assert row.h == pytest.approx(h, abs=1e-4)
-    assert row.h_corrected == pytest.approx(h / c, abs=1e-4)
+    assert row.h_micro / 1e6 == pytest.approx(h, abs=1e-4)
+    assert row.h_corrected_micro / 1e6 == pytest.approx(h / c, abs=1e-4)
 
 
 def test_em_step_component_invariants(spark, sf_dir, queries):
@@ -832,6 +832,47 @@ def test_rank_stats_degenerate_groups_yield_null(spark, sf_dir):
 
         C.load_tables = lambda *_a, **_k: _Cat2()
         row = C.q_kruskal_wallis(spark, sf_dir).collect()[0]
-        assert row.h_corrected is None
+        assert row.h_corrected_micro is None
     finally:
         C.load_tables = orig
+
+
+def test_float_emitting_family_bit_equal_across_layouts(spark, sf_dir):
+    """VERDICT r5 item 4: the float-emitting classic-ML family must be
+    bit-identical under a different partition layout (7 shuffle
+    partitions + tiny input splits forcing many map tasks) — the
+    automated defense against shuffle-order-dependent accumulation,
+    whatever bit the round-5 driver artifact actually saw."""
+    import struct
+
+    from machinelearningalgomapreduce_spark import registry
+
+    def canon(df):
+        def cell(v):
+            if isinstance(v, float):
+                return struct.pack("<d", v).hex()
+            return repr(v)
+
+        cols = sorted(df.columns)
+        return sorted(
+            "|".join(cell(r[c]) for c in cols) for r in df.collect()
+        )
+
+    qs = registry.queries()
+    family = [
+        "q_gbt_stump", "q_hits_step", "q_power_iter", "q_kruskal_wallis",
+        "q_spearman", "q_em_step",
+    ]
+    baseline = {n: canon(qs[n](spark, sf_dir)) for n in family}
+    shuffle0 = spark.conf.get("spark.sql.shuffle.partitions")
+    split0 = spark.conf.get("spark.sql.files.maxPartitionBytes")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+        for n in family:
+            assert canon(qs[n](spark, sf_dir)) == baseline[n], (
+                f"{n}: output depends on partition layout"
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle0)
+        spark.conf.set("spark.sql.files.maxPartitionBytes", split0)
