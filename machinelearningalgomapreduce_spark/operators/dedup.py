@@ -110,13 +110,20 @@ def _exact_jaccard(cand: DataFrame, base: DataFrame) -> DataFrame:
     )
 
 
+def minhash_dedup_pairs(docs: DataFrame) -> DataFrame:
+    """Frame-level core of q_dedup_minhash: near-dup pairs for ANY
+    (doc_id, text) frame — the composable form pipeline.py chains after
+    its quality gate so the heavy LSH pass runs on the REDUCED corpus."""
+    base = _shingle_sets(docs)
+    cand = _lsh_candidates(_minhash_sigs(base))
+    return _exact_jaccard(cand, base).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+
+
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dedup: candidates from band buckets, then exact
     Jaccard verification on the shingle sets (≥ 0.7 keeps true near-dups)."""
     t = load_tables(spark, sf_dir)
-    base = _shingle_sets(t.documents)
-    cand = _lsh_candidates(_minhash_sigs(base))
-    return _exact_jaccard(cand, base).filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    return minhash_dedup_pairs(t.documents)
 
 
 def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,6 +205,12 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     clusters = q_dedup_clusters(spark, sf_dir).select("doc_id", "cluster_root")
     quality = q_quality_score(spark, sf_dir).select("doc_id", "quality_score")
+    return keep_best_frame(clusters, quality)
+
+
+def keep_best_frame(clusters: DataFrame, quality: DataFrame) -> DataFrame:
+    """Frame-level core of q_dedup_keep_best: survivorship over ANY
+    (doc_id, cluster_root) frame joined to (doc_id, quality_score)."""
     joined = clusters.join(quality, "doc_id")
     best = F.min_by(
         F.struct("doc_id", "quality_score"),
@@ -398,6 +411,13 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     edge set — convergence makes both exact, no iteration-count coupling.
     """
     pairs = q_dedup_minhash(spark, sf_dir).select("doc_a", "doc_b")
+    return min_label_clusters(pairs)
+
+
+def min_label_clusters(pairs: DataFrame) -> DataFrame:
+    """Frame-level core of q_dedup_clusters: min-label-propagation CC over
+    ANY (doc_a, doc_b) pair frame (pipeline.py runs it on reduced-corpus
+    pairs)."""
     # Undirected edge list, both directions.
     edges = pairs.union(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))

@@ -316,10 +316,19 @@ def markov_steady_state(
     k = states.count()
     pi = states.withColumn("pi", F.lit(1.0 / k)).localCheckpoint()
     for _ in range(rounds):
-        nxt = (
+        raw = (
             p.join(pi.withColumnRenamed("event_type", "prev_type"), "prev_type")
             .groupBy(F.col("next_type").alias("event_type"))
-            .agg(F.sum(F.col("prob") * F.col("pi")).alias("pi"))
+            .agg(F.sum(F.col("prob") * F.col("pi")).alias("pi_raw"))
+        )
+        # Renormalize by the L1 mass every round (ADVICE r5): a state seen
+        # only as a sequence-FINAL event has no outgoing row in P, so its
+        # mass leaks at each multiply and π need not sum to 1 on general
+        # data — the stationary-distribution contract requires Σπ = 1.
+        mass = raw.agg(F.sum("pi_raw").alias("m"))
+        nxt = (
+            raw.crossJoin(F.broadcast(mass))
+            .select("event_type", (F.col("pi_raw") / F.col("m")).alias("pi"))
             .localCheckpoint()
         )
         step = (

@@ -134,10 +134,17 @@ def chunk_token_streams(
     toks = docs.select(
         "doc_id", F.split("text", " ").alias("toks")
     ).withColumn("n", F.size("toks"))
+    # Last start is capped at floor((n−overlap−1)/stride)·stride: a chunk
+    # starting at s only adds tokens beyond its predecessor's window when
+    # s ≤ n−overlap−1, so the old (n−1) cap emitted a final chunk fully
+    # contained in the previous one whenever (n−1) mod stride < overlap —
+    # duplicated training text (ADVICE r5). Coverage still holds: the
+    # capped last start satisfies s_max + chunk_tokens ≥ n.
     starts = F.sequence(
         F.lit(0),
         F.greatest(
-            F.lit(0), F.floor((F.col("n") - 1) / F.lit(stride)).cast("int") * stride
+            F.lit(0),
+            F.floor((F.col("n") - overlap - 1) / F.lit(stride)).cast("int") * stride,
         ),
         F.lit(stride),
     )

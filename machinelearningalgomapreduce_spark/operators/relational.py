@@ -27,6 +27,7 @@ from pyspark.sql.window import Window as W
 from machinelearningalgomapreduce_spark.functions.joins import (
     broadcast_if_small,
     pre_partition_small_tier,
+    sf_of,
 )
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
@@ -155,21 +156,44 @@ def q_join3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Tie-break on l_orderkey makes LIMIT deterministic across engines
     (SURVEY.md §5.2.2). Spark plans TakeOrderedAndProject — no global sort.
+
+    Small-tier FLATTENED shape (VERDICT r5 item 5): broadcast-build jobs
+    serialize along their dependency chain, and each level costs a
+    ~15-25 ms scheduling floor at the bench tier. Broadcasting the
+    date-filtered orders and the BUILDING customers as two independent
+    LEAF relations (depth 1, built in parallel) instead of pre-joining
+    them into one dims relation (depth 2) removes one serialized job
+    level — measured 128 → ~102 ms interleaved best-of-6. Above sf0.5
+    the filtered orders side is no longer provably broadcastable and the
+    semi-reduced dims shape below stays the declarative plan for
+    Catalyst/AQE.
     """
     t = load_tables(spark, sf_dir)
     cutoff = F.lit("1998-06-01").cast("timestamp")
-    dims = (
-        t.customer.filter(F.col("c_mktsegment") == "BUILDING")
-        .join(t.orders.filter(F.col("o_orderdate") < cutoff),
-              t.customer.c_custkey == t.orders.o_custkey)
-        .select("o_orderkey", "o_orderdate", "o_orderpriority")
-    )
-    dims = broadcast_if_small(dims, sf_dir, fits_until_sf=1.0)
+    agg_cols = ("l_orderkey", "o_orderdate", "o_orderpriority")
+    rev = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+    ).alias("revenue")
+    fact = t.lineitem.filter(F.col("l_shipdate") > cutoff)
+    if sf_of(sf_dir) <= 0.5:
+        cust_f = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+        orders_f = t.orders.filter(F.col("o_orderdate") < cutoff).select(
+            "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+        )
+        joined = fact.join(
+            F.broadcast(orders_f), F.col("l_orderkey") == F.col("o_orderkey")
+        ).join(F.broadcast(cust_f), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+    else:
+        dims = (
+            t.customer.filter(F.col("c_mktsegment") == "BUILDING")
+            .join(t.orders.filter(F.col("o_orderdate") < cutoff),
+                  t.customer.c_custkey == t.orders.o_custkey)
+            .select("o_orderkey", "o_orderdate", "o_orderpriority")
+        )
+        joined = fact.join(dims, F.col("l_orderkey") == dims.o_orderkey)
     return (
-        t.lineitem.filter(F.col("l_shipdate") > cutoff)
-        .join(dims, F.col("l_orderkey") == dims.o_orderkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        joined.groupBy(*agg_cols)
+        .agg(rev)
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
     )
@@ -188,26 +212,61 @@ def q_join5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf1 it drops away and Catalyst/AQE plan the fact-side join from
     runtime stats — at 100 TB that is a shuffle on orderkey, exactly what
     the unreduced form would also do.
+
+    Small-tier FLATTENED shape (VERDICT r5 item 5): the nested
+    region→nation→customer→orders pre-join broadcasts serialize 4 job
+    levels deep before the fact scan can start, each level paying the
+    bench tier's ~15-25 ms scheduling floor. Broadcasting the
+    date-filtered orders (leaf), the region-filtered customer map
+    (depth 2: customer probing the tiny nation/region leaf broadcasts)
+    and supplier (leaf) lets the builds overlap — critical path 3 levels
+    instead of 5; measured 153 → ~122 ms interleaved best-of-6. Above
+    sf0.5 the filtered orders side stops being provably broadcastable
+    and the semi-reduced dims shape keeps the declarative 100 TB plan.
     """
     t = load_tables(spark, sf_dir)
-    dims = (
-        t.region.filter(F.col("r_name") == "ASIA")
-        .join(t.nation, t.region.r_regionkey == t.nation.n_regionkey)
-        .join(t.customer, t.nation.n_nationkey == t.customer.c_nationkey)
-        .join(t.orders.filter(
-            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
-            & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))),
-            t.customer.c_custkey == t.orders.o_custkey)
-        .select("o_orderkey", "c_nationkey", "n_name")
-    )
-    dims = broadcast_if_small(dims, sf_dir, fits_until_sf=1.0)
-    agg = (
-        t.lineitem.join(dims, t.lineitem.l_orderkey == dims.o_orderkey)
-        .join(t.supplier, (F.col("l_suppkey") == F.col("s_suppkey"))
-              & (F.col("c_nationkey") == F.col("s_nationkey")))
-        .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-    )
+    date_lo = F.lit("1996-01-01").cast("timestamp")
+    date_hi = F.lit("1998-01-01").cast("timestamp")
+    rev = F.round(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+    ).alias("revenue")
+    if sf_of(sf_dir) <= 0.5:
+        cust_map = (
+            t.customer
+            .join(F.broadcast(t.nation), t.customer.c_nationkey == t.nation.n_nationkey)
+            .join(F.broadcast(t.region.filter(F.col("r_name") == "ASIA")),
+                  F.col("n_regionkey") == F.col("r_regionkey"))
+            .select("c_custkey", "c_nationkey", "n_name")
+        )
+        orders_f = t.orders.filter(
+            (F.col("o_orderdate") >= date_lo) & (F.col("o_orderdate") < date_hi)
+        ).select("o_orderkey", "o_custkey")
+        agg = (
+            t.lineitem
+            .join(F.broadcast(orders_f), t.lineitem.l_orderkey == F.col("o_orderkey"))
+            .join(F.broadcast(cust_map), F.col("o_custkey") == F.col("c_custkey"))
+            .join(F.broadcast(t.supplier), (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .groupBy("n_name")
+            .agg(rev)
+        )
+    else:
+        dims = (
+            t.region.filter(F.col("r_name") == "ASIA")
+            .join(t.nation, t.region.r_regionkey == t.nation.n_regionkey)
+            .join(t.customer, t.nation.n_nationkey == t.customer.c_nationkey)
+            .join(t.orders.filter(
+                (F.col("o_orderdate") >= date_lo) & (F.col("o_orderdate") < date_hi)),
+                t.customer.c_custkey == t.orders.o_custkey)
+            .select("o_orderkey", "c_nationkey", "n_name")
+        )
+        agg = (
+            t.lineitem.join(dims, t.lineitem.l_orderkey == dims.o_orderkey)
+            .join(t.supplier, (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .groupBy("n_name")
+            .agg(rev)
+        )
     # ≤25 nations: single-partition sort, never a range exchange (tiny_sorted).
     return tiny_sorted(agg, F.desc("revenue"), "n_name")
 

@@ -696,6 +696,37 @@ def test_markov_steady_state_is_stationary(spark, sf_dir):
         assert nxt[state] == pytest.approx(p, abs=1e-8), state
 
 
+def test_markov_steady_state_renormalizes_leaking_mass(spark, sf_dir):
+    """ADVICE r5: a type that only ever appears as a sequence-FINAL event
+    is absorbing with no outgoing transition row, so its mass leaks on
+    every multiply — π must still sum to 1 (per-round L1 renormalization).
+    Fixture: every user ends on 'end', which never transitions out."""
+    from pyspark.sql import Row
+
+    from machinelearningalgomapreduce_spark.operators import events as EV
+
+    rows = []
+    eid = 0
+    for u in range(6):
+        seq = ["a", "b", "a", "b", "end"] if u % 2 else ["b", "a", "b", "end"]
+        for i, typ in enumerate(seq):
+            rows.append(Row(user_id=f"u{u}", ts=float(i), event_id=eid, event_type=typ))
+            eid += 1
+    df = spark.createDataFrame(rows)
+
+    class _Cat:
+        events = df
+
+    orig = EV.load_tables
+    EV.load_tables = lambda *_a, **_k: _Cat()
+    try:
+        pi = {r.event_type: r.pi for r in EV.markov_steady_state(spark, sf_dir).collect()}
+    finally:
+        EV.load_tables = orig
+    assert pi and all(p >= 0 for p in pi.values())
+    assert sum(pi.values()) == pytest.approx(1.0, abs=1e-9), pi
+
+
 # ------------------------------------------------- CV harness / scaling
 
 
@@ -780,6 +811,35 @@ def test_chunk_documents_reconstructs_streams(spark, sf_dir):
             assert ctoks == toks[start : start + chunk_tokens]
         last = chunks[-1]
         assert last.chunk_id * stride + last.n_tokens == len(toks)  # no tail lost
+        # ADVICE r5: no chunk may be a subset of its predecessor's window —
+        # every chunk after the first must contribute ≥1 new token.
+        for prev, cur in zip(chunks, chunks[1:]):
+            assert cur.chunk_id * stride + cur.n_tokens > prev.chunk_id * stride + prev.n_tokens, (
+                f"{doc_id}: chunk {cur.chunk_id} adds no tokens over {prev.chunk_id}"
+            )
+
+
+def test_chunk_no_subset_final_chunk_regression(spark):
+    """ADVICE r5 repro: a 57-token doc with chunk_tokens=64, overlap=8
+    used to emit chunk 0 = all 57 tokens PLUS chunk 1 = the single token
+    t56 already inside chunk 0 — duplicated content in exported training
+    data. The capped start sequence must yield exactly one chunk."""
+    from pyspark.sql import Row
+
+    from machinelearningalgomapreduce_spark.operators.export import chunk_token_streams
+
+    text = " ".join(f"t{i}" for i in range(57))
+    docs = spark.createDataFrame([Row(doc_id="d0", text=text)])
+    rows = chunk_token_streams(docs, chunk_tokens=64, overlap=8).collect()
+    assert len(rows) == 1 and rows[0].n_tokens == 57
+    # Boundary sanity at n = stride + overlap + 1 (first two-chunk case):
+    # 57 tokens with stride 48 → second chunk starts at 48, adds t56.
+    text2 = " ".join(f"t{i}" for i in range(57))
+    rows2 = chunk_token_streams(
+        spark.createDataFrame([Row(doc_id="d1", text=text2)]), 56, 8
+    ).collect()
+    assert [r.chunk_id for r in sorted(rows2, key=lambda r: r.chunk_id)] == [0, 1]
+    assert sorted(rows2, key=lambda r: r.chunk_id)[1].chunk_text.split(" ")[-1] == "t56"
 
 
 def test_chunk_documents_rejects_bad_overlap(spark, sf_dir):

@@ -1,6 +1,7 @@
 """End-to-end curation-chain test: the composed pipeline must honor every
 stage's contract simultaneously (monotone funnel, no duplicate survivors,
-no contaminated survivors, chunk/shard invariants)."""
+no contaminated survivors, chunk/shard invariants), and its observe()-based
+funnel must equal independently counted stage sizes."""
 
 from __future__ import annotations
 
@@ -8,10 +9,15 @@ import pytest
 
 from machinelearningalgomapreduce_spark.pipeline import N_SHARDS, training_pipeline
 from machinelearningalgomapreduce_spark.operators.dedup import (
-    q_dedup_clusters,
-    q_dedup_keep_best,
+    keep_best_frame,
+    min_label_clusters,
+    minhash_dedup_pairs,
 )
-from machinelearningalgomapreduce_spark.operators.text import q_decontaminate
+from machinelearningalgomapreduce_spark.operators.text import (
+    q_decontaminate,
+    q_quality_score,
+)
+from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
 
 def test_training_pipeline_funnel_and_invariants(spark, sf_dir):
@@ -31,13 +37,21 @@ def test_training_pipeline_funnel_and_invariants(spark, sf_dir):
     }
     assert not (surviving_docs & contaminated)
 
-    # Per near-dup cluster: at most one survivor, and if any cluster member
-    # survived it is the quality-chosen best.
-    clusters = {
-        r.doc_id: r.cluster_root for r in q_dedup_clusters(spark, sf_dir).collect()
-    }
+    # Reduced-corpus dedup semantics (ADVICE r5): clusters and winners are
+    # computed over the quality-filtered frame. Per cluster: at most one
+    # survivor, and any surviving member is the quality-chosen best.
+    docs = load_tables(spark, sf_dir).documents
+    quality = q_quality_score(spark, sf_dir)
+    staged = docs.join(quality.filter("keep").select("doc_id"), "doc_id", "left_semi")
+    pairs = minhash_dedup_pairs(staged).select("doc_a", "doc_b")
+    cluster_df = min_label_clusters(pairs)
+    clusters = {r.doc_id: r.cluster_root for r in cluster_df.collect()}
     best = {
-        r.cluster_root: r.best_doc for r in q_dedup_keep_best(spark, sf_dir).collect()
+        r.cluster_root: r.best_doc
+        for r in keep_best_frame(
+            cluster_df.select("doc_id", "cluster_root"),
+            quality.select("doc_id", "quality_score"),
+        ).collect()
     }
     seen_roots = {}
     for d in surviving_docs:
@@ -46,6 +60,30 @@ def test_training_pipeline_funnel_and_invariants(spark, sf_dir):
             assert best[root] == d  # only the best member survives
             assert root not in seen_roots
             seen_roots[root] = d
+
+    # VERDICT r5 item 6: the observe()-based funnel must equal the counted
+    # form exactly — same frames, explicit .count() actions.
+    deduped_docs = staged.join(
+        cluster_df.select("doc_id").join(
+            keep_best_frame(
+                cluster_df.select("doc_id", "cluster_root"),
+                quality.select("doc_id", "quality_score"),
+            ).selectExpr("best_doc AS doc_id"),
+            "doc_id",
+            "left_anti",
+        ),
+        "doc_id",
+        "left_anti",
+    )
+    assert funnel["raw"] == docs.count()
+    assert funnel["quality"] == staged.count()
+    assert funnel["deduped"] == deduped_docs.count()
+    decon = deduped_docs.join(
+        q_decontaminate(spark, sf_dir).filter("contaminated").select("doc_id"),
+        "doc_id",
+        "left_anti",
+    )
+    assert funnel["decontaminated"] == decon.count()
 
     # Shards are well-formed and deterministic.
     assert all(0 <= r.shard < N_SHARDS for r in rows)
