@@ -282,3 +282,23 @@ def test_headline_exchange_budget_snapshot(spark, sf_dir, queries):
         if got > allowed:
             over[name] = (got, allowed)
     assert not over, f"exchange budget exceeded (got, allowed): {over}"
+
+
+def test_tpch_semi_reductions_broadcast(spark, sf_dir, queries):
+    """VERDICT r5 item 8: the round-5 TPC-H subquery rewrites must probe
+    broadcast hash tables on the fact side — the lineitem scan never
+    shuffles for a dim or a subquery-derived relation at the smoke tier
+    (above the size gates the same plans go declarative for AQE)."""
+    expected_min_broadcasts = {
+        "q_returned_items": 1,   # customer⋈nation⋈orders dims
+        "q_volume_shipping": 2,  # supplier-nation + customer-orders-nation
+        "q_market_share": 3,     # econ parts + asia orders + supplier nation
+        "q_top_supplier": 2,     # max-revenue scalar + supplier dim
+        "q_promo_revenue": 1,    # part
+        "q_small_qty_revenue": 2,  # brand parts + per-part thresholds
+        "q_large_orders": 1,     # filtered aggregate of big orders
+        "q_disjunctive_pred": 1,  # part
+    }
+    for name, want in expected_min_broadcasts.items():
+        got = P.count_broadcast_joins(queries[name](spark, sf_dir))
+        assert got >= want, f"{name}: {got} broadcast joins < {want}"
