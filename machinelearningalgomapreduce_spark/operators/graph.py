@@ -568,6 +568,161 @@ def q_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: list[str],
+    n_iter: int = 10,
+    alpha: float = 0.15,
+) -> DataFrame:
+    """Personalized PageRank (random walk with restart) from a seed set —
+    library loop tier, the recommendation/expansion twin of
+    ``pagerank_iterate``.
+
+    pi'(v) = α·s(v) + (1−α)·(Σ_{u→v} pi(u)/outdeg(u) + D·s(v)) where s is
+    uniform over `seeds` and D is the dangling mass (walkers at nodes with
+    no out-edges restart to the seeds). pi stays an exact probability
+    vector: Σ pi = 1 every round.
+
+    Scale shape: per round, one edge-keyed join + one aggregate keyed on
+    dst (O(m)), the dangling mass is a 1-row aggregate joined back via a
+    broadcast crossJoin — NO driver collect anywhere in the loop; lineage
+    is truncated every 3 rounds like the other fixpoint loops.
+    """
+    edges = edges.select("src", "dst")
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).cache()
+    seed_col = F.when(F.col("node").isin(seeds), 1.0 / len(seeds)).otherwise(0.0)
+    ranks = nodes.select("node", seed_col.alias("rank"))
+    for i in range(n_iter):
+        contrib = (
+            edges.join(deg, "src")
+            .join(ranks, edges.src == ranks.node)
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("outdeg")).alias("in_sum"))
+        )
+        dangling = (
+            ranks.join(deg, ranks.node == deg.src, "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("d_mass"))
+        )
+        ranks = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                (
+                    alpha * seed_col
+                    + (1 - alpha)
+                    * (F.coalesce(F.col("in_sum"), F.lit(0.0)) + F.col("d_mass") * seed_col)
+                ).alias("rank"),
+            )
+        )
+        if (i + 1) % 3 == 0:
+            ranks = ranks.localCheckpoint()
+    return ranks
+
+
+def _sym_edges(edges: DataFrame) -> DataFrame:
+    """Symmetrized weighted edge list (node, nbr, w) from (u, v[, w])."""
+    w = F.col("w") if "w" in edges.columns else F.lit(1.0)
+    e = edges.select(F.col("u"), F.col("v"), w.alias("w"))
+    return e.select(F.col("u").alias("node"), F.col("v").alias("nbr"), "w").unionAll(
+        e.select(F.col("v").alias("node"), F.col("u").alias("nbr"), "w")
+    )
+
+
+def modularity(edges: DataFrame, communities: DataFrame) -> float:
+    """Newman modularity Q of an assignment over the undirected graph.
+
+    Q = Σ_c [ in(c)/(2m) − (tot(c)/(2m))² ] with in(c) counting both
+    directions of intra-community edges. One labeled-edge join + two tiny
+    aggregates; the scalar comes back in a single 1-row collect (test /
+    convergence API — the move pass itself never collects).
+    """
+    sym = _sym_edges(edges)
+    two_m = sym.agg(F.sum("w")).first()[0]
+    lab = communities.select(F.col("node").alias("n2"), F.col("comm"))
+    labeled = (
+        sym.join(communities.withColumnRenamed("comm", "c_node"), "node")
+        .join(lab, F.col("nbr") == F.col("n2"))
+    )
+    per_comm = (
+        labeled.groupBy("c_node")
+        .agg(
+            F.sum(F.when(F.col("comm") == F.col("c_node"), F.col("w")).otherwise(0.0))
+            .alias("w_in"),
+            F.sum("w").alias("tot"),
+        )
+    )
+    row = per_comm.agg(
+        F.sum(F.col("w_in") / two_m - (F.col("tot") / two_m) ** 2).alias("q")
+    ).first()
+    return float(row[0] or 0.0)
+
+
+def louvain_move_step(edges: DataFrame, communities: DataFrame | None = None) -> DataFrame:
+    """One synchronous local-move pass of Louvain community detection.
+
+    Every node evaluates, in parallel, the modularity gain of joining each
+    neighboring community and moves to the argmax (staying put if no move
+    gains): gain(i→c) ∝ k_{i,in}(c) − deg_i · tot(c∖i)/(2m). This is the
+    parallel/synchronous Louvain variant (the sequential scan is inherently
+    serial): simultaneous moves can ping-pong on symmetric graphs, so the
+    tie-break is deterministic (score desc, community id asc) and callers
+    iterate to a fixpoint checking `modularity` between passes.
+
+    Scale shape: per pass, edges join the current assignment (edge-keyed),
+    one aggregate per (node, candidate community), community totals are a
+    community-keyed aggregate broadcast back — O(m) with no driver state.
+    """
+    sym = _sym_edges(edges)
+    if communities is None:
+        communities = sym.select("node").distinct().select(
+            "node", F.col("node").alias("comm")
+        )
+    two_m = sym.agg(F.sum("w")).first()[0]  # loop-invariant scalar, O(1)
+    deg = sym.groupBy("node").agg(F.sum("w").alias("deg"))
+    state = communities.join(deg, "node")
+    tot = state.groupBy("comm").agg(F.sum("deg").alias("tot"))
+    lab = state.select(F.col("node").alias("n2"), F.col("comm").alias("c_cand"))
+    # k_i_in per neighboring community (own community included iff a
+    # neighbor is in it; the stay-put candidate is unioned explicitly with
+    # k_i_in = 0 so isolated-in-community nodes still have a row).
+    k_in = (
+        sym.join(lab, F.col("nbr") == F.col("n2"))
+        .groupBy("node", "c_cand")
+        .agg(F.sum("w").alias("k_in"))
+    )
+    cand = k_in.unionByName(
+        state.select("node", F.col("comm").alias("c_cand"), F.lit(0.0).alias("k_in"))
+    ).groupBy("node", "c_cand").agg(F.max("k_in").alias("k_in"))
+    own = state.select("node", F.col("comm").alias("own_comm"), "deg")
+    tot_c = tot.select(F.col("comm").alias("tot_comm"), "tot")
+    # tot(c∖i): subtract the node's own degree when evaluating its current
+    # community, else the stay-put score would double-count itself.
+    tot_excl = F.col("tot") - F.when(
+        F.col("c_cand") == F.col("own_comm"), F.col("deg")
+    ).otherwise(0.0)
+    scored = (
+        cand.join(own, "node")
+        .join(F.broadcast(tot_c), F.col("c_cand") == F.col("tot_comm"))
+        .select(
+            "node",
+            "c_cand",
+            (F.col("k_in") - F.col("deg") * tot_excl / F.lit(two_m)).alias("gain"),
+        )
+    )
+    # argmax gain, ties to the smallest community id: min_by over
+    # (−gain, c_cand) is deterministic regardless of partition layout.
+    return scored.groupBy("node").agg(
+        F.min_by("c_cand", F.struct((-F.col("gain")).alias("ng"), F.col("c_cand")))
+        .alias("comm")
+    )
+
+
 def fpgrowth_fit(spark: SparkSession, sf_dir: str, min_support: float = 0.05):
     """Deeper itemsets via MLlib FPGrowth (library API, pytest-verified)."""
     from pyspark.ml.fpm import FPGrowth

@@ -125,6 +125,71 @@ def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def scd2_apply(
+    dim: DataFrame,
+    updates: DataFrame,
+    key: str,
+    tracked: list[str],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Slowly-Changing-Dimension type 2 merge (warehouse incremental tier).
+
+    ``dim`` carries (key, *tracked, valid_from, valid_to) with
+    valid_to IS NULL marking the open version; ``updates`` carries
+    (key, *tracked, ts) — at most one row per key (enforce upstream with
+    max_by(ts) if needed). Semantics:
+
+    - open row whose tracked columns DIFFER from the update → closed
+      (valid_to = update ts) and a new open version inserted;
+    - identical update → no-op (re-applying a batch is idempotent);
+    - brand-new key → new open version;
+    - historical (already-closed) rows pass through untouched.
+
+    Scale shape: one hash join dim⋈updates on the key plus unions — the
+    exact shape a MERGE INTO compiles to, no window functions, no driver
+    state. NULL-safe column comparison via eqNullSafe.
+    """
+    upd = updates.select(
+        F.col(key), *[F.col(c) for c in tracked], F.col(ts_col).alias("__ts")
+    )
+    is_open = F.col("valid_to").isNull()
+    open_rows = dim.filter(is_open)
+    closed_rows = dim.filter(~is_open)
+    u = upd.select(
+        F.col(key).alias("__k"),
+        *[F.col(c).alias(f"__u_{c}") for c in tracked],
+        "__ts",
+    )
+    joined = open_rows.join(u, F.col(key) == F.col("__k"), "left")
+    same = F.lit(True)
+    for c in tracked:
+        same = same & F.col(c).eqNullSafe(F.col(f"__u_{c}"))
+    changed = F.col("__k").isNotNull() & ~same
+    dim_cols = [key, *tracked, "valid_from", "valid_to"]
+    # Open rows: close the changed ones, keep the rest verbatim.
+    kept_open = joined.select(
+        *[F.col(c) for c in [key, *tracked, "valid_from"]],
+        F.when(changed, F.col("__ts")).otherwise(F.col("valid_to")).alias("valid_to"),
+    )
+    # New versions: updates that changed an open row or created a key.
+    matched_same = u.join(
+        open_rows.join(u, F.col(key) == F.col("__k"), "inner").filter(same).select("__k"),
+        "__k",
+        "left_semi",
+    )
+    new_versions = u.join(matched_same, "__k", "left_anti").select(
+        F.col("__k").alias(key),
+        *[F.col(f"__u_{c}").alias(c) for c in tracked],
+        F.col("__ts").alias("valid_from"),
+        F.lit(None).cast(open_rows.schema["valid_to"].dataType).alias("valid_to"),
+    )
+    return (
+        closed_rows.select(*dim_cols)
+        .unionByName(kept_open.select(*dim_cols))
+        .unionByName(new_versions.select(*dim_cols))
+    )
+
+
 QUERIES = {
     "q_incremental_agg": q_incremental_agg,
     "q_incremental_dedup": q_incremental_dedup,

@@ -1,0 +1,133 @@
+"""Streaming ingestion sinks (SURVEY.md §2E library tier).
+
+``dedup_ingest_stream`` is the streaming twin of
+operators/incremental.py::q_incremental_dedup — continuous corpus
+ingestion where each micro-batch admits only documents whose content hash
+has never been seen, maintaining a persistent hash index on disk via
+``foreachBatch``. This is the shape a 100 TB training-data pipeline runs
+for its landing zone: the heavy state (the seen-hash index) lives in
+cheap columnar storage keyed by the hash, NOT in the streaming state
+store, so index size is unbounded by executor memory and the stream
+restarts for free from the checkpoint + index.
+
+Exactly-once posture: foreachBatch is at-least-once on retry; the sink is
+idempotent by construction — a replayed epoch recomputes the identical
+survivor set (its own index entries are excluded from the seen-set) and
+overwrites its own epoch-keyed output directory. Within one batch the
+survivor per hash is the min doc_id (min_by — deterministic).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_DOC_SCHEMA_CACHE: dict[str, "object"] = {}
+
+
+def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the documents parquet (schema cached per sf_dir,
+    same discipline as windows.py::stream_events)."""
+    path = os.path.join(sf_dir, "documents.parquet")
+    schema = _DOC_SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _DOC_SCHEMA_CACHE[path] = schema
+    return (
+        spark.readStream.schema(schema)
+        .format("parquet")
+        .option("pathGlobFilter", "documents.parquet")
+        .load(sf_dir)
+    )
+
+
+def _ingest_batch(spark: SparkSession, index_dir: str, out_dir: str, run_key: str):
+    """Build the per-batch merge function over a persistent hash index.
+
+    ``run_key`` scopes batch ids: Structured Streaming numbers epochs from
+    0 PER CHECKPOINT, so the epoch identity stamped into the index (and
+    the output directory name) is (run_key, batch_id) — otherwise batch 0
+    of a second ingestion run would be mistaken for a replay of batch 0 of
+    the first and wrongly excluded from the seen-set."""
+
+    run_digest = hashlib.md5(run_key.encode()).hexdigest()[:8]
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        epoch = f"{run_digest}/{batch_id}"
+        hashed = batch.withColumn("content_hash", F.md5("text"))
+        # Within-batch survivor: min doc_id per hash (deterministic).
+        survivors = (
+            hashed.groupBy("content_hash")
+            .agg(F.min_by(F.struct(*hashed.columns), "doc_id").alias("row"))
+            .select("row.*")
+        )
+        if os.path.exists(index_dir):
+            # Exclude entries stamped with THIS batch id: a replayed epoch
+            # then sees exactly the pre-batch index state and recomputes
+            # the identical survivor set no matter where the previous
+            # attempt crashed (determinism is what makes the overwrite
+            # below safe).
+            seen = (
+                spark.read.parquet(index_dir)
+                .filter(F.col("epoch") != F.lit(epoch))
+                .select("content_hash")
+            )
+            survivors = survivors.join(
+                F.broadcast(seen) if _index_is_small(index_dir) else seen,
+                "content_hash",
+                "left_anti",
+            )
+        # Idempotent two-write protocol (no transactional sink needed):
+        # docs land in a BATCH-KEYED directory with overwrite — a replayed
+        # epoch rewrites the same directory instead of appending a second
+        # copy; the index append MAY duplicate a hash on replay, which is
+        # harmless (it is consumed as a set by the anti-join) and
+        # compactable offline.
+        survivors.persist()
+        try:
+            survivors.write.mode("overwrite").parquet(
+                os.path.join(out_dir, f"epoch={epoch.replace('/', '_')}")
+            )
+            survivors.select(
+                "content_hash", "doc_id", F.lit(epoch).alias("epoch")
+            ).write.mode("append").parquet(index_dir)
+        finally:
+            survivors.unpersist()
+
+    return ingest
+
+
+def _index_is_small(index_dir: str, cap_bytes: int = 64 << 20) -> bool:
+    """Broadcast the seen-hash index only while it provably fits; past the
+    cap the anti-join falls back to a shuffled hash join (the 100 TB path —
+    at that point the index itself is the big side and AQE plans it)."""
+    total = 0
+    for root, _dirs, files in os.walk(index_dir):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+            if total > cap_bytes:
+                return False
+    return total <= cap_bytes
+
+
+def dedup_ingest_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+):
+    """Run the incremental-dedup ingestion over the documents stream with
+    trigger(availableNow) — drains everything currently in the source and
+    stops. Returns the StreamingQuery (caller awaits termination)."""
+    run_key = os.path.abspath(checkpoint_dir)
+    docs = stream_documents(spark, sf_dir)
+    return (
+        docs.writeStream.foreachBatch(_ingest_batch(spark, index_dir, out_dir, run_key))
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

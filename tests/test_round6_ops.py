@@ -1,0 +1,252 @@
+"""Round-6 library-tier additions: sequence models (HMM forward / Viterbi),
+personalized PageRank, Louvain local moves, SCD2 merge, and the streaming
+incremental-dedup ingestion sink."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from machinelearningalgomapreduce_spark.operators import sequence as seq
+from machinelearningalgomapreduce_spark.operators.graph import (
+    louvain_move_step,
+    modularity,
+    personalized_pagerank,
+)
+from machinelearningalgomapreduce_spark.operators.incremental import scd2_apply
+from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+
+# ------------------------------------------------------------------ HMM
+
+def test_hmm_forward_matches_reference(spark, sf_dir):
+    """JVM-side scaled forward == pure-Python forward, every user."""
+    events = load_tables(spark, sf_dir).events
+    got = {r["user_id"]: r for r in seq.hmm_forward(events).collect()}
+    seqs = {r["user_id"]: r["obs"] for r in seq.user_sequences(events).collect()}
+    assert set(got) == set(seqs) and len(got) >= 10
+    for uid, obs in seqs.items():
+        ref = seq.hmm_loglik_reference(obs)
+        assert got[uid]["n_obs"] == len(obs)
+        assert math.isclose(got[uid]["loglik"], ref, rel_tol=1e-9), uid
+        alpha = got[uid]["alpha"]
+        assert math.isclose(sum(alpha), 1.0, rel_tol=1e-9)
+        assert all(a >= 0 for a in alpha)
+
+
+def test_hmm_forward_single_observation(spark):
+    """T=1 sequence: loglik = log Σ_i init_i · emit_i(o)."""
+    ev = spark.createDataFrame(
+        [Row(user_id=1, ts=None, event_id=1, event_type="click")],
+        "user_id long, ts timestamp, event_id long, event_type string",
+    )
+    row = seq.hmm_forward(ev).collect()[0]
+    j = seq.HMM_TYPES.index("click")
+    expect = math.log(
+        sum(seq.HMM_INIT[i] * seq.HMM_EMIT[i][j] for i in range(seq.HMM_STATES))
+    )
+    assert math.isclose(row["loglik"], expect, rel_tol=1e-12)
+
+
+def test_viterbi_matches_bruteforce(spark):
+    """Decoded path == exhaustive argmax over K^T paths (short seqs)."""
+    import itertools
+
+    rows = []
+    cases = {
+        101: ["click", "purchase", "purchase", "signup"],
+        102: ["error", "error", "view", "click", "view"],
+        103: ["signup"],
+        104: ["purchase", "click", "signup", "error", "purchase", "view"],
+    }
+    eid = 0
+    for uid, obs in cases.items():
+        for t, o in enumerate(obs):
+            eid += 1
+            rows.append(Row(user_id=uid, ts=None, event_id=eid, event_type=o))
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_id long, event_type string"
+    )
+    out = seq.viterbi_decode(ev).collect()
+    by_user = {}
+    for r in sorted(out, key=lambda r: (r["user_id"], r["pos"])):
+        by_user.setdefault(r["user_id"], []).append(r["state"])
+    for uid, obs in cases.items():
+        assert by_user[uid] == seq.viterbi_path_reference(obs), uid
+
+
+def test_viterbi_fixture_shape(spark, sf_dir):
+    """Every event gets exactly one decoded state; path prob is positive
+    under the model (all states/emissions reachable)."""
+    events = load_tables(spark, sf_dir).events
+    out = seq.viterbi_decode(events)
+    n_events = events.count()
+    assert out.count() == n_events
+    st = out.agg(F.min("state"), F.max("state")).collect()[0]
+    assert 0 <= st[0] and st[1] < seq.HMM_STATES
+
+
+# ----------------------------------------------------- personalized PPR
+
+def _toy_edges(spark):
+    # a -> b -> c -> a  triangle plus dangling d reachable from a.
+    return spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")],
+        "src string, dst string",
+    )
+
+
+def test_ppr_probability_vector(spark):
+    ranks = personalized_pagerank(_toy_edges(spark), seeds=["a"], n_iter=20)
+    rows = {r["node"]: r["rank"] for r in ranks.collect()}
+    assert math.isclose(sum(rows.values()), 1.0, rel_tol=1e-9)
+    # Seed holds the restart mass: strictly the largest here.
+    assert rows["a"] == max(rows.values())
+    assert all(v > 0 for v in rows.values())
+
+
+def test_ppr_localizes_to_seed_component(spark):
+    """Two disconnected triangles; seeding one leaves the other at 0."""
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("x", "y"), ("y", "z"), ("z", "x")],
+        "src string, dst string",
+    )
+    rows = {r["node"]: r["rank"] for r in personalized_pagerank(e, ["a"], n_iter=15).collect()}
+    assert rows["x"] == rows["y"] == rows["z"] == 0.0
+    assert math.isclose(rows["a"] + rows["b"] + rows["c"], 1.0, rel_tol=1e-9)
+
+
+def test_ppr_fixture_runs(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.graph import _edges
+
+    edges = _edges(spark, sf_dir)
+    seeds = [r["src"] for r in edges.select("src").distinct().limit(2).collect()]
+    ranks = personalized_pagerank(edges, seeds, n_iter=6)
+    total = ranks.agg(F.sum("rank")).collect()[0][0]
+    assert math.isclose(total, 1.0, rel_tol=1e-6)
+
+
+# -------------------------------------------------------------- Louvain
+
+def _two_cliques(spark):
+    """K4 ∪ K4 joined by one bridge edge — canonical 2-community graph."""
+    a = ["a1", "a2", "a3", "a4"]
+    b = ["b1", "b2", "b3", "b4"]
+    edges = [(x, y) for i, x in enumerate(a) for y in a[i + 1:]]
+    edges += [(x, y) for i, x in enumerate(b) for y in b[i + 1:]]
+    edges += [("a1", "b1")]
+    return spark.createDataFrame(edges, "u string, v string")
+
+
+def test_louvain_finds_cliques(spark):
+    e = _two_cliques(spark)
+    comm = louvain_move_step(e)
+    for _ in range(3):
+        comm = louvain_move_step(e, comm)
+    got = {r["node"]: r["comm"] for r in comm.collect()}
+    a_comms = {got[n] for n in ["a1", "a2", "a3", "a4"]}
+    b_comms = {got[n] for n in ["b1", "b2", "b3", "b4"]}
+    assert len(a_comms) == 1 and len(b_comms) == 1 and a_comms != b_comms
+
+
+def test_louvain_improves_modularity(spark):
+    e = _two_cliques(spark)
+    identity = e.select(F.col("u").alias("node")).union(
+        e.select(F.col("v").alias("node"))
+    ).distinct().select("node", F.col("node").alias("comm"))
+    q0 = modularity(e, identity)
+    comm = louvain_move_step(e)
+    for _ in range(3):
+        comm = louvain_move_step(e, comm)
+    q1 = modularity(e, comm)
+    assert q1 > q0
+    assert q1 > 0.3  # two-clique partition scores ≈ 0.41
+
+
+def test_louvain_deterministic(spark):
+    e = _two_cliques(spark)
+    c1 = sorted(map(tuple, louvain_move_step(e).collect()))
+    c2 = sorted(map(tuple, louvain_move_step(e).collect()))
+    assert c1 == c2
+
+
+# ----------------------------------------------------------------- SCD2
+
+def _dim(spark):
+    return spark.createDataFrame(
+        [
+            ("k1", "NYC", "gold", "2020-01-01", "2021-01-01"),
+            ("k1", "SF", "gold", "2021-01-01", None),
+            ("k2", "LA", "silver", "2020-06-01", None),
+        ],
+        "key string, city string, tier string, valid_from string, valid_to string",
+    )
+
+
+def test_scd2_change_new_and_noop(spark):
+    updates = spark.createDataFrame(
+        [
+            ("k1", "SEA", "gold", "2022-01-01"),   # changed city -> close + insert
+            ("k2", "LA", "silver", "2022-01-01"),  # identical -> no-op
+            ("k3", "CHI", "bronze", "2022-01-01"),  # new key -> insert
+        ],
+        "key string, city string, tier string, ts string",
+    )
+    out = scd2_apply(_dim(spark), updates, "key", ["city", "tier"], "ts")
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == sorted(
+        [
+            ("k1", "NYC", "gold", "2020-01-01", "2021-01-01"),
+            ("k1", "SF", "gold", "2021-01-01", "2022-01-01"),
+            ("k1", "SEA", "gold", "2022-01-01", None),
+            ("k2", "LA", "silver", "2020-06-01", None),
+            ("k3", "CHI", "bronze", "2022-01-01", None),
+        ]
+    )
+    # Exactly one open row per key.
+    open_counts = (
+        out.filter(F.col("valid_to").isNull()).groupBy("key").count().collect()
+    )
+    assert all(r["count"] == 1 for r in open_counts)
+
+
+def test_scd2_idempotent(spark):
+    updates = spark.createDataFrame(
+        [("k1", "SEA", "gold", "2022-01-01")],
+        "key string, city string, tier string, ts string",
+    )
+    once = scd2_apply(_dim(spark), updates, "key", ["city", "tier"], "ts")
+    twice = scd2_apply(once, updates, "key", ["city", "tier"], "ts")
+    assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
+
+
+# ------------------------------------------------- streaming dedup sink
+
+def test_streaming_dedup_ingest(spark, sf_dir, tmp_path):
+    from machinelearningalgomapreduce_spark.streaming.sinks import dedup_ingest_stream
+
+    index_dir = str(tmp_path / "index")
+    out_dir = str(tmp_path / "out")
+
+    q = dedup_ingest_stream(
+        spark, sf_dir, index_dir, out_dir, str(tmp_path / "ck1")
+    )
+    q.awaitTermination(120)
+    first = spark.read.parquet(out_dir)
+    n_distinct = (
+        load_tables(spark, sf_dir)
+        .documents.select(F.md5("text")).distinct().count()
+    )
+    assert first.select("content_hash").distinct().count() == first.count() == n_distinct
+
+    # Second run over the SAME source (fresh checkpoint => everything is
+    # re-delivered as new data): the persistent index must reject all of it.
+    q2 = dedup_ingest_stream(
+        spark, sf_dir, index_dir, out_dir, str(tmp_path / "ck2")
+    )
+    q2.awaitTermination(120)
+    again = spark.read.parquet(out_dir)
+    assert again.count() == n_distinct
