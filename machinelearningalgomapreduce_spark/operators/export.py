@@ -100,6 +100,53 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def temperature_mix(
+    documents: DataFrame,
+    temperature: float = 2.0,
+    source_col: str = "source",
+) -> DataFrame:
+    """Temperature-scaled source mixture (library API) — the sampling-rate
+    schedule multilingual/multi-source training runs use: source weights
+    p_s ∝ share_s^(1/T) renormalized, so T=1 keeps the natural mix, T→∞
+    approaches uniform, and intermediate T up-weights small sources without
+    drowning the big ones. Returns per source the natural token share, the
+    temperature-scaled target share, and the resulting per-document
+    sampling rate (target/natural, capped at 1 — no upsampling; the
+    uncapped ratio is also emitted for epoch-repeat planning).
+
+    Scale shape: identical to q_domain_mix — one corpus aggregate keyed by
+    source with map-side partials, a broadcast 1-row totals join, output
+    bounded by the source count. Pure double arithmetic off the oracle
+    paths (pow is libm-dependent, so this stays library-tier).
+    """
+    per_source = (
+        documents.select(
+            F.col(source_col).alias("source"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        )
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
+    )
+    share = F.col("n_tokens") / F.col("tot_tokens").cast("double")
+    scaled = F.pow(share, 1.0 / temperature)
+    totals = per_source.agg(F.sum("n_tokens").alias("tot_tokens"))
+    with_share = per_source.crossJoin(F.broadcast(totals)).select(
+        "source", "n_docs", "n_tokens", share.alias("natural_share"),
+        scaled.alias("scaled_raw"),
+    )
+    z = with_share.agg(F.sum("scaled_raw").alias("z"))
+    ratio = (F.col("scaled_raw") / F.col("z")) / F.col("natural_share")
+    return with_share.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "natural_share",
+        (F.col("scaled_raw") / F.col("z")).alias("target_share"),
+        ratio.alias("repeat_factor"),
+        F.least(F.lit(1.0), ratio).alias("sample_rate"),
+    )
+
+
 def chunk_documents(
     spark: SparkSession,
     sf_dir: str,

@@ -221,6 +221,134 @@ def viterbi_decode(events: DataFrame) -> DataFrame:
     )
 
 
+BW_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("kind", T.StringType()),  # 'init' | 'trans' | 'emit' | 'll'
+        T.StructField("i", T.IntegerType()),
+        T.StructField("j", T.IntegerType()),
+        T.StructField("value", T.DoubleType()),
+    ]
+)
+
+
+def _bw_group_stats(model: dict):
+    """Per-user E-step: scaled forward-backward → expected-count rows.
+
+    Emitted rows: ('init', i, 0, γ_0(i)), ('trans', i, j, Σ_t ξ_t(i,j)),
+    ('emit', i, v, Σ_t γ_t(i)·[o_t = v]), ('ll', 0, 0, log P(obs)).
+    The M-step is then ONE tiny groupBy over (kind, i, j) — the sufficient
+    statistics of EM are sums over independent sequences, which is exactly
+    the map/reduce decomposition the MapReduce-era HMM trainers used.
+    """
+    init = model["init"]
+    trans = model["trans"]
+    emit = model["emit"]
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+        sym = {s: j for j, s in enumerate(HMM_TYPES)}
+        obs = pdf["event_type"].map(sym).to_numpy()
+        n, k = len(obs), len(init)
+        a = np.asarray(trans)
+        e = np.asarray(emit)
+        pi = np.asarray(init)
+        # scaled forward
+        alpha = np.zeros((n, k))
+        scale = np.zeros(n)
+        alpha[0] = pi * e[:, obs[0]]
+        scale[0] = alpha[0].sum()
+        alpha[0] /= scale[0]
+        for t in range(1, n):
+            alpha[t] = (alpha[t - 1] @ a) * e[:, obs[t]]
+            scale[t] = alpha[t].sum()
+            alpha[t] /= scale[t]
+        # scaled backward (same scale factors)
+        beta = np.zeros((n, k))
+        beta[-1] = 1.0
+        for t in range(n - 2, -1, -1):
+            beta[t] = (a @ (e[:, obs[t + 1]] * beta[t + 1])) / scale[t + 1]
+        gamma = alpha * beta
+        gamma /= gamma.sum(axis=1, keepdims=True)
+        rows = [("init", int(i), 0, float(gamma[0, i])) for i in range(k)]
+        xi_sum = np.zeros((k, k))
+        for t in range(n - 1):
+            xi = (
+                alpha[t][:, None] * a * (e[:, obs[t + 1]] * beta[t + 1])[None, :]
+            ) / scale[t + 1]
+            xi_sum += xi
+        rows += [
+            ("trans", int(i), int(j), float(xi_sum[i, j]))
+            for i in range(k)
+            for j in range(k)
+        ]
+        em = np.zeros((k, len(HMM_TYPES)))
+        for t in range(n):
+            em[:, obs[t]] += gamma[t]
+        rows += [
+            ("emit", int(i), int(v), float(em[i, v]))
+            for i in range(k)
+            for v in range(len(HMM_TYPES))
+        ]
+        rows.append(("ll", 0, 0, float(np.log(scale).sum())))
+        return pd.DataFrame(rows, columns=["kind", "i", "j", "value"])
+
+    return stats
+
+
+def baum_welch_round(events: DataFrame, model: dict | None = None) -> tuple[dict, float]:
+    """One distributed Baum-Welch (EM) re-estimation round.
+
+    E-step: forward-backward per user (Arrow-batched applyInPandas — the
+    backward recursion is imperative like Viterbi); the per-sequence
+    expected counts come back as O(K² + K·V) tiny rows per user. M-step:
+    one aggregate over (kind, i, j) — the model collected to the driver is
+    O(K² + K·V) scalars, the same bounded-model-state discipline as the
+    kmeans/EM loops. Returns (new_model, total log-likelihood under the
+    INPUT model — the quantity EM monotonically improves).
+    """
+    if model is None:
+        model = {"init": list(HMM_INIT),
+                 "trans": [list(r) for r in HMM_TRANS],
+                 "emit": [list(r) for r in HMM_EMIT]}
+    k, v = len(model["init"]), len(HMM_TYPES)
+    agg = (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandas(_bw_group_stats(model), schema=BW_STATS_SCHEMA)
+        .groupBy("kind", "i", "j")
+        .agg(F.sum("value").alias("value"))
+    )
+    cells = {(r["kind"], r["i"], r["j"]): r["value"] for r in agg.collect()}
+    init_raw = [cells.get(("init", i, 0), 0.0) for i in range(k)]
+    z = sum(init_raw)
+    new_init = [x / z for x in init_raw]
+    new_trans = []
+    for i in range(k):
+        row = [cells.get(("trans", i, j), 0.0) for j in range(k)]
+        rz = sum(row)
+        new_trans.append([x / rz for x in row] if rz > 0 else list(model["trans"][i]))
+    new_emit = []
+    for i in range(k):
+        row = [cells.get(("emit", i, jv), 0.0) for jv in range(v)]
+        rz = sum(row)
+        new_emit.append([x / rz for x in row] if rz > 0 else list(model["emit"][i]))
+    ll = cells.get(("ll", 0, 0), float("-inf"))
+    return {"init": new_init, "trans": new_trans, "emit": new_emit}, ll
+
+
+def baum_welch_fit(events: DataFrame, rounds: int = 3) -> tuple[dict, list[float]]:
+    """EM driver loop: log-likelihood per round is non-decreasing (the EM
+    guarantee — asserted by the tests as the correctness oracle)."""
+    model = None
+    lls: list[float] = []
+    for _ in range(rounds):
+        model, ll = baum_welch_round(events, model)
+        lls.append(ll)
+    return model, lls
+
+
 def viterbi_path_reference(obs: list[str]) -> list[int]:
     """Brute-force argmax over all K^T state paths (tests, T ≤ 8 only).
 

@@ -89,6 +89,55 @@ def test_viterbi_fixture_shape(spark, sf_dir):
     assert 0 <= st[0] and st[1] < seq.HMM_STATES
 
 
+def test_baum_welch_monotone_and_stochastic(spark, sf_dir):
+    """EM guarantee: per-round total log-likelihood is non-decreasing;
+    every re-estimated distribution stays a distribution."""
+    events = load_tables(spark, sf_dir).events
+    model, lls = seq.baum_welch_fit(events, rounds=3)
+    assert len(lls) == 3
+    assert lls[1] >= lls[0] - 1e-6 and lls[2] >= lls[1] - 1e-6
+    assert math.isclose(sum(model["init"]), 1.0, rel_tol=1e-9)
+    for row in model["trans"]:
+        assert math.isclose(sum(row), 1.0, rel_tol=1e-9)
+        assert all(x >= 0 for x in row)
+    for row in model["emit"]:
+        assert math.isclose(sum(row), 1.0, rel_tol=1e-9)
+        assert all(x >= 0 for x in row)
+
+
+def test_baum_welch_round_ll_matches_forward(spark, sf_dir):
+    """The ll the E-step reports under the INPUT model equals the sum of
+    hmm_forward logliks (two independent implementations of the same
+    quantity: scaled-scan JVM vs numpy forward-backward)."""
+    events = load_tables(spark, sf_dir).events
+    _model, ll = seq.baum_welch_round(events, None)
+    total = seq.hmm_forward(events).agg(F.sum("loglik")).collect()[0][0]
+    assert math.isclose(ll, total, rel_tol=1e-9)
+
+
+def test_temperature_mix_shares(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.export import temperature_mix
+
+    docs = load_tables(spark, sf_dir).documents
+    rows = temperature_mix(docs, temperature=2.0).collect()
+    nat = {r["source"]: r["natural_share"] for r in rows}
+    tgt = {r["source"]: r["target_share"] for r in rows}
+    assert math.isclose(sum(nat.values()), 1.0, rel_tol=1e-9)
+    assert math.isclose(sum(tgt.values()), 1.0, rel_tol=1e-9)
+    # Temperature flattens: the biggest source loses share, smallest gains.
+    big = max(nat, key=nat.get)
+    small = min(nat, key=nat.get)
+    assert tgt[big] < nat[big] and tgt[small] > nat[small]
+    for r in rows:
+        assert 0.0 < r["sample_rate"] <= 1.0
+        assert math.isclose(
+            min(1.0, r["repeat_factor"]), r["sample_rate"], rel_tol=1e-12
+        )
+    # T=1 is the identity mix.
+    for r in temperature_mix(docs, temperature=1.0).collect():
+        assert math.isclose(r["natural_share"], r["target_share"], rel_tol=1e-9)
+
+
 # ----------------------------------------------------- personalized PPR
 
 def _toy_edges(spark):
