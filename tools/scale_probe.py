@@ -1,0 +1,130 @@
+"""Scale probe: does runtime grow ~linearly when the data grows 10×?
+
+Builds a 10× tier from sf0.1 by unioning N key-offset copies of the fact
+tables (events, documents, lineitem, orders, customer, supplier — offsets
+keep FK chains consistent so the join queries stay semantically valid;
+region/nation/part/embeddings are shared dims, copied once), names the
+directory ``sf1.0`` so every tier-gated plan switch (broadcast size gates,
+pre-partition small-tier shortcuts) takes its AT-SCALE branch, then times a
+set of headline queries on both tiers under the ENGINE DEFAULT session
+(AQE on, compression on, uncached scans — the 100 TB posture, deliberately
+NOT the bench tier's latency knobs).
+
+Output: one JSON line per query {name, t_small, t_big, ratio} plus a
+summary. A ratio near the data ratio (±2-3× scheduling slack) means the
+plan is data-bound, not blowing up; a superlinear ratio flags a shape that
+would not survive 100 TB. Results are recorded in EVIDENCE.md.
+
+Usage: python tools/scale_probe.py [n_copies] [out_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+OFF = 50_000_000  # key offset per copy — far above any fixture key range
+
+SCALED = {
+    # table -> columns to offset per copy
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "lineitem": ["l_orderkey", "l_suppkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+}
+SHARED = ["region", "nation", "part", "embeddings"]
+
+PROBE_QUERIES = [
+    "q_pricing_summary",
+    "q_join3_topk",
+    "q_join5_region",
+    "q_filter_agg",
+    "q_events_tumbling",
+    "q_sessionize",
+    "q_distinct_users",
+    "q_wordcount",
+    "q_dedup_exact",
+]
+
+
+def build_tier(spark, n_copies: int, out_dir: str) -> None:
+    from pyspark.sql import functions as F
+
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    for name in SHARED:
+        df = spark.read.parquet(os.path.join(SRC, f"{name}.parquet"))
+        df.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+    for name, key_cols in SCALED.items():
+        df = spark.read.parquet(os.path.join(SRC, f"{name}.parquet"))
+        copies = []
+        for i in range(n_copies):
+            c = df
+            for col in key_cols:
+                c = c.withColumn(col, F.col(col) + F.lit(i * OFF))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(os.path.join(out_dir, f"{name}.parquet"))
+
+
+def time_query(fn, spark, sf_dir: str, runs: int = 3) -> float:
+    fn(spark, sf_dir).write.format("noop").mode("overwrite").save()  # warm
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def main() -> None:
+    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    base = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe"
+    big_dir = os.path.join(base, f"sf{0.1 * n_copies:g}")
+
+    from machinelearningalgomapreduce_spark import registry
+    from machinelearningalgomapreduce_spark.session import ensure_query_conf, get_spark
+
+    spark = get_spark(app_name="scale_probe")  # engine defaults: AQE on
+    ensure_query_conf(spark)
+
+    t0 = time.perf_counter()
+    build_tier(spark, n_copies, big_dir)
+    print(f"# built {big_dir} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    qs = registry.queries()
+    results = []
+    for name in PROBE_QUERIES:
+        t_small = time_query(qs[name], spark, SRC)
+        t_big = time_query(qs[name], spark, big_dir)
+        row = {
+            "query": name,
+            "t_small_sec": round(t_small, 3),
+            "t_big_sec": round(t_big, 3),
+            "ratio": round(t_big / t_small, 2),
+            "data_ratio": n_copies,
+        }
+        results.append(row)
+        print(json.dumps(row), flush=True)
+    ratios = [r["ratio"] for r in results]
+    print(json.dumps({
+        "summary": "scale_probe",
+        "n_copies": n_copies,
+        "max_ratio": max(ratios),
+        "median_ratio": sorted(ratios)[len(ratios) // 2],
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    main()
