@@ -89,3 +89,106 @@ def user_profiles_tws(events: DataFrame) -> DataFrame:
         outputMode="Update",
         timeMode="None",
     )
+
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30 min, matching events.q_sessionize
+
+SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+    ]
+)
+
+SESSION_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("end_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("closed_by", T.StringType()),  # 'gap' | 'timer'
+    ]
+)
+
+
+class SessionizerProcessor(StatefulProcessor):
+    """Gap-based sessionization with EVENT-TIME TIMERS — the
+    transformWithState feature the window twins cannot express: a session
+    closes (and is emitted exactly once) when the WATERMARK passes
+    last_event + gap, not merely when a later event happens to arrive.
+
+    State: one ValueState (start, last, count) per user. Each batch folds
+    its (watermark-filtered) events in time order: within-gap events extend
+    the session; an over-gap event closes the current session inline
+    ('gap') and starts a new one. The pending timer is re-registered at
+    last + gap; when it expires, handleExpiredTimer emits the session
+    ('timer') and clears state — so idle keys close without waiting for
+    their next event, and state size stays one tuple per OPEN session.
+    Batch differential: tests/test_round6_ops.py folds the same events in
+    plain Python and matches every emitted session exactly.
+    """
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._handle = handle
+        self._state = handle.getValueState("session", SESSION_STATE_SCHEMA)
+
+    def _row(self, key, start, last, n, how) -> pd.DataFrame:
+        (user_id,) = key
+        return pd.DataFrame(
+            {
+                "user_id": [int(user_id)],
+                "start_us": [int(start)],
+                "end_us": [int(last)],
+                "n_events": [int(n)],
+                "closed_by": [how],
+            }
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        times: list[int] = []
+        for pdf in rows:
+            times.extend(int(v) for v in pdf["us"])
+        times.sort()
+        prev = self._state.get() if self._state.exists() else None
+        start, last, n = prev if prev is not None else (None, None, 0)
+        for t in times:
+            if start is None:
+                start, last, n = t, t, 1
+            elif t - last <= SESSION_GAP_US:
+                last, n = max(last, t), n + 1
+            else:
+                yield self._row(key, start, last, n, "gap")
+                start, last, n = t, t, 1
+        if start is not None:
+            self._state.update((start, last, n))
+            for t_ms in self._handle.listTimers():
+                self._handle.deleteTimer(t_ms)
+            self._handle.registerTimer((last + SESSION_GAP_US) // 1000)
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo) -> Iterator[pd.DataFrame]:
+        if self._state.exists():
+            start, last, n = self._state.get()
+            self._state.clear()
+            yield self._row(key, start, last, n, "timer")
+
+    def close(self) -> None:
+        pass
+
+
+def sessionize_tws(events: DataFrame, watermark_delay: str = "30 seconds") -> DataFrame:
+    """Timer-closed sessionization stream. Input needs (user_id, ts); the
+    event-time column feeds the watermark, `us` (epoch micros) the fold."""
+    from pyspark.sql import functions as F
+
+    with_us = events.withColumn("us", F.unix_micros("ts"))
+    return (
+        with_us.withWatermark("ts", watermark_delay)
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=SessionizerProcessor(),
+            outputStructType=SESSION_OUTPUT_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )

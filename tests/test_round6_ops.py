@@ -272,6 +272,209 @@ def test_scd2_idempotent(spark):
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
 
 
+# ------------------------------------------------------ plan assertions
+
+def test_hmm_forward_single_exchange(spark, sf_dir):
+    """The docstring's scale claim holds in the physical plan: ONE
+    user-keyed shuffle, recursion in the projection (no second agg pass,
+    no Python stage)."""
+    from machinelearningalgomapreduce_spark.plans import inspect as P
+
+    events = load_tables(spark, sf_dir).events
+    df = seq.hmm_forward(events)
+    assert P.count_exchanges(df) <= 1
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan  # fully JVM-side
+
+
+def test_viterbi_single_exchange(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.plans import inspect as P
+
+    events = load_tables(spark, sf_dir).events
+    assert P.count_exchanges(seq.viterbi_decode(events)) <= 1
+
+
+# ------------------------------------ timer-based sessionizer (tws v2)
+
+class _TimerFakeValueState:
+    def __init__(self):
+        self.value = None
+
+    def exists(self):
+        return self.value is not None
+
+    def get(self):
+        return self.value
+
+    def update(self, v):
+        self.value = v
+
+    def clear(self):
+        self.value = None
+
+
+class _TimerFakeHandle:
+    """Faithful fake of StatefulProcessorHandle incl. the timer API —
+    mirrors test_stateful._FakeHandle (same no-protobuf rationale)."""
+
+    def __init__(self):
+        self.states = {}
+        self.timers = set()
+
+    def getValueState(self, name, schema, ttl_duration_ms=None):
+        return self.states.setdefault(name, _TimerFakeValueState())
+
+    def registerTimer(self, expiry_ms):
+        self.timers.add(int(expiry_ms))
+
+    def deleteTimer(self, expiry_ms):
+        self.timers.discard(int(expiry_ms))
+
+    def listTimers(self):
+        return list(self.timers)
+
+
+def test_sessionizer_timers_match_batch_fold(spark, sf_dir, tmp_path):
+    """Every session the streaming sessionizer emits matches the plain
+    Python gap-fold of the same events exactly; all non-final sessions
+    close inline ('gap'), final ones only via event-time timers.
+
+    Two execution modes, never a skip (the test_stateful discipline):
+    with google.protobuf the differential runs through the real engine
+    over a two-file source (maxFilesPerTrigger=1 advances the watermark
+    between micro-batches so timers can fire); without it the SAME
+    SessionizerProcessor is driven per key through a fake handle in
+    chunked calls, with timer expiry simulated at the final watermark."""
+    import importlib.util
+    import shutil
+
+    from machinelearningalgomapreduce_spark.streaming.stateful_v2 import (
+        SESSION_GAP_US,
+        SessionizerProcessor,
+        sessionize_tws,
+    )
+
+    events = (
+        load_tables(spark, sf_dir).events
+        .select("user_id", "ts", F.unix_micros("ts").alias("us"))
+    )
+    rows = sorted(events.collect(), key=lambda r: (r["us"], r["user_id"]))
+    cut = rows[len(rows) // 2]["us"]
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+
+    if has_protobuf:
+        # Two source files split by event time (older file first by mtime)
+        # so availableNow + maxFilesPerTrigger=1 advances the watermark
+        # between micro-batches.
+        src = tmp_path / "src"
+        src.mkdir()
+        import os as _os
+
+        for i, pred in enumerate([F.col("us") <= cut, F.col("us") > cut]):
+            staging = tmp_path / f"h{i}"
+            events.filter(pred).select("user_id", "ts").coalesce(1).write.parquet(
+                str(staging)
+            )
+            part = next(p for p in staging.iterdir() if p.name.endswith(".parquet"))
+            dest = src / f"{i}_half.parquet"
+            shutil.copy(part, dest)
+            _os.utime(dest, (1_000_000 + i * 100, 1_000_000 + i * 100))
+
+        stream = (
+            spark.readStream.schema("user_id long, ts timestamp")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(str(src))
+        )
+        q = (
+            sessionize_tws(stream)
+            .writeStream.format("memory")
+            .queryName("t_sessions_tws")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+        got = spark.sql("SELECT * FROM t_sessions_tws").collect()
+    else:
+        import pandas as pd
+
+        watermark_us = rows[-1]["us"] - 30 * 1_000_000  # the stream's delay
+        got = []
+        by_user: dict[int, list[int]] = {}
+        for r in rows:
+            by_user.setdefault(r["user_id"], []).append(r["us"])
+        for uid, times in by_user.items():
+            proc = SessionizerProcessor()
+            handle = _TimerFakeHandle()
+            proc.init(handle)
+            # Split at the same event-time cut as the real-engine source.
+            for chunk in ([t for t in times if t <= cut], [t for t in times if t > cut]):
+                if not chunk:
+                    continue
+                got.extend(
+                    r
+                    for out in proc.handleInputRows(
+                        (uid,), [pd.DataFrame({"us": chunk})], None
+                    )
+                    for r in out.to_dict("records")
+                )
+            for expiry_ms in sorted(handle.listTimers()):
+                if expiry_ms <= watermark_us // 1000:
+                    got.extend(
+                        r
+                        for out in proc.handleExpiredTimer((uid,), None, None)
+                        for r in out.to_dict("records")
+                    )
+            proc.close()
+
+    # Reference fold: per-user gap sessions over ALL events.
+    per_user: dict[int, list[int]] = {}
+    for r in rows:
+        per_user.setdefault(r["user_id"], []).append(r["us"])
+    expected: dict[int, list[tuple[int, int, int]]] = {}
+    for uid, times in per_user.items():
+        sessions = []
+        start = last = times[0]
+        n = 1
+        for t in times[1:]:
+            if t - last <= SESSION_GAP_US:
+                last, n = t, n + 1
+            else:
+                sessions.append((start, last, n))
+                start, last, n = t, t, 1
+        sessions.append((start, last, n))
+        expected[uid] = sessions
+
+    exp_all = {(u, *s) for u, ss in expected.items() for s in ss}
+    exp_final = {(u, *ss[-1]) for u, ss in expected.items()}
+    got_gap = {(r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+               for r in got if r["closed_by"] == "gap"}
+    got_timer = {(r["user_id"], r["start_us"], r["end_us"], r["n_events"])
+                 for r in got if r["closed_by"] == "timer"}
+    assert got_gap == exp_all - exp_final
+    assert got_timer <= exp_final
+    assert len(got_gap) > 0
+
+
+def test_sessionizer_tws_wiring_constructs(spark, sf_dir):
+    """The TWS wiring (watermark, EventTime timeMode, Append, output
+    schema) must ANALYZE regardless of protobuf availability."""
+    from machinelearningalgomapreduce_spark.streaming import windows as sw
+    from machinelearningalgomapreduce_spark.streaming.stateful_v2 import (
+        SESSION_OUTPUT_SCHEMA,
+        sessionize_tws,
+    )
+
+    out = sessionize_tws(sw.stream_events(spark, sf_dir).select("user_id", "ts"))
+    assert out.isStreaming
+    assert out.schema == SESSION_OUTPUT_SCHEMA
+
+
 # ------------------------------------------------- streaming dedup sink
 
 def test_streaming_dedup_ingest(spark, sf_dir, tmp_path):
