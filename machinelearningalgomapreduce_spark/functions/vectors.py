@@ -73,3 +73,46 @@ def sq_dist(a: Column, b: Column, dim: int | None = None) -> Column:
             * (a[i].cast("double") - b[i].cast("double"))
         ),
     )
+
+
+def jl_signs(seed: str, out_dim: int, in_dim: int) -> list[list[float]]:
+    """Deterministic ±1/√out_dim Johnson-Lindenstrauss projection matrix.
+
+    Entries derive from md5(seed:i:j) parity — reproducible across runs,
+    engines and partitionings with no RNG state to ship; the Achlioptas
+    sign matrix satisfies the JL lemma the same as Gaussian entries."""
+    import hashlib
+
+    scale = 1.0 / out_dim**0.5
+    return [
+        [
+            scale
+            if int(hashlib.md5(f"{seed}:{i}:{j}".encode()).hexdigest(), 16) & 1
+            else -scale
+            for j in range(in_dim)
+        ]
+        for i in range(out_dim)
+    ]
+
+
+def random_project(
+    vec: Column, seed: str, out_dim: int, in_dim: int
+) -> Column:
+    """JL random projection to out_dim, JVM-side: one dot product per
+    output coordinate against the literal sign matrix (no Python per row,
+    no shuffle — a pure projection any scan can carry). Distances are
+    preserved within (1±ε) for out_dim = O(log n / ε²); the 100 TB use is
+    cutting ANN/dedup embedding width before the bucketed join."""
+    rows = jl_signs(seed, out_dim, in_dim)
+    return F.array(
+        *[
+            fsum(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(x) for x in row]),
+                    lambda x, r: x.cast("double") * r,
+                )
+            )
+            for row in rows
+        ]
+    )

@@ -272,6 +272,97 @@ def test_scd2_idempotent(spark):
     assert sorted(map(tuple, once.collect())) == sorted(map(tuple, twice.collect()))
 
 
+# ------------------------------------------------ count-min / JL sketch
+
+def test_count_min_never_underestimates(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators import sketches as sk
+
+    events = load_tables(spark, sf_dir).events.select("event_type")
+    truth = {
+        r["event_type"]: r["n"]
+        for r in events.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    sketch = sk.count_min_build(events, "event_type")
+    ests = {
+        r["item"]: r["est_count"]
+        for r in sk.count_min_estimate(
+            sketch, events.select("event_type").distinct(), "event_type"
+        ).collect()
+    }
+    n_total = sum(truth.values())
+    assert set(ests) == set(truth)
+    for item, true_n in truth.items():
+        assert ests[item] >= true_n, item            # CM never underestimates
+        assert ests[item] <= true_n + 2 * n_total / sk.CM_WIDTH, item
+
+    # Sketch size is bounded by depth × width regardless of input size.
+    assert sketch.count() <= sk.CM_DEPTH * sk.CM_WIDTH
+
+
+def test_count_min_mergeable(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators import sketches as sk
+
+    docs = load_tables(spark, sf_dir).documents.select("source", "doc_id")
+    a = docs.filter(F.col("doc_id") % 2 == 0)
+    b = docs.filter(F.col("doc_id") % 2 != 0)
+    merged = sk.count_min_merge(
+        sk.count_min_build(a, "source"), sk.count_min_build(b, "source")
+    )
+    whole = sk.count_min_build(docs, "source")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, whole.collect()))
+
+
+def test_heavy_hitters_full_recall(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators import sketches as sk
+
+    events = load_tables(spark, sf_dir).events.select("event_type")
+    phi = 0.05
+    n = events.count()
+    true_heavy = {
+        r["event_type"]
+        for r in events.groupBy("event_type")
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= phi * n)
+        .collect()
+    }
+    got = {r["event_type"] for r in sk.heavy_hitters(events, "event_type", phi).collect()}
+    assert true_heavy <= got  # overestimate-only ⇒ recall 1
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    import itertools
+    import math as m
+
+    from machinelearningalgomapreduce_spark.functions import vectors as V
+
+    emb = load_tables(spark, sf_dir).embeddings.limit(30)
+    projected = emb.select(
+        "vec_id",
+        F.col("embedding").alias("orig"),
+        V.random_project(F.col("embedding"), "jl", out_dim=16, in_dim=64).alias("proj"),
+    ).collect()
+    assert all(len(r["proj"]) == 16 for r in projected)
+
+    def dist(a, b):
+        return m.sqrt(sum((x - y) ** 2 for x, y in zip(a, b)))
+
+    ratios = []
+    for r1, r2 in itertools.combinations(projected[:15], 2):
+        d_orig = dist(r1["orig"], r2["orig"])
+        d_proj = dist(r1["proj"], r2["proj"])
+        if d_orig > 0:
+            ratios.append(d_proj / d_orig)
+    # JL with k=16: distortion concentrated around 1 — generous envelope,
+    # but tight enough that a broken projection (wrong scale, collapsed
+    # dims) fails decisively.
+    assert 0.4 < min(ratios) and max(ratios) < 1.8
+    assert 0.8 < sum(ratios) / len(ratios) < 1.25
+
+    # Deterministic: same seed → identical matrix, different seed → not.
+    assert V.jl_signs("jl", 4, 8) == V.jl_signs("jl", 4, 8)
+    assert V.jl_signs("jl", 4, 8) != V.jl_signs("other", 4, 8)
+
+
 # ------------------------------------------------------ plan assertions
 
 def test_hmm_forward_single_exchange(spark, sf_dir):
