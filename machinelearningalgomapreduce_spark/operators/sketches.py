@@ -82,6 +82,30 @@ def count_min_estimate(
     )
 
 
+def hll_daily_sketches(df: DataFrame, key_col: str, day_col) -> DataFrame:
+    """Per-day HyperLogLog sketches of a key column (Datasketches HLL via
+    the built-in ``hll_sketch_agg`` — JVM-side, mergeable binary state).
+
+    This is the incremental-distinct pattern at 100 TB: each day's
+    partition is sketched ONCE when it lands; any date-range distinct
+    count afterwards is a union of the stored day sketches — the raw data
+    is never rescanned, and the stored state is KB per day instead of the
+    key set."""
+    return df.groupBy(day_col.alias("day")).agg(
+        F.hll_sketch_agg(key_col).alias("sketch"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+def hll_range_distinct(day_sketches: DataFrame) -> DataFrame:
+    """Distinct-count estimate over a set of day sketches: ONE union-agg
+    over KB-sized binaries (filter the frame to the date range first)."""
+    return day_sketches.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias("est_distinct"),
+        F.sum("n_rows").alias("n_rows"),
+    )
+
+
 def heavy_hitters(
     df: DataFrame,
     col: str,

