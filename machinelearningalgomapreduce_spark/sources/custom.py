@@ -21,7 +21,13 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceWriter,
+    InputPartition,
+    WriterCommitMessage,
+)
 from pyspark.sql.types import (
     DoubleType,
     LongType,
@@ -87,3 +93,97 @@ class SyntheticEventsReader(DataSourceReader):
                 round((_h(i, "value") % 50_000) / 100.0, 2),
                 BASE_TS_US + (_h(i, "ts") % (30 * 24 * 3600)) * 1_000_000,
             )
+
+
+# --------------------------------------------------------------- writer side
+
+class ManifestJsonlSink(DataSource):
+    """Custom Python DataSource WRITER: JSON-lines shards + a commit-time
+    manifest — the export sink shape a training-data pipeline wants (each
+    shard's row count and an order-insensitive content checksum recorded
+    atomically at job commit).
+
+    Demonstrates the DataSourceWriter two-phase commit protocol: each task
+    writes its own shard and returns a WriterCommitMessage; only if EVERY
+    task succeeds does ``commit()`` write ``manifest.json`` on the driver
+    — a reader that requires the manifest therefore never observes a
+    partial job (the shard files of a failed job are garbage without it,
+    and ``abort()`` removes them best-effort).
+
+    Usage:
+        spark.dataSource.register(ManifestJsonlSink)
+        df.write.format("manifest_jsonl").option("path", d).mode("append").save()
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_jsonl"
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return ManifestJsonlWriter(self.options, schema)
+
+
+class _ShardCommit(WriterCommitMessage):
+    def __init__(self, path: str, n_rows: int, checksum: int):
+        self.path, self.n_rows, self.checksum = path, n_rows, checksum
+
+
+class ManifestJsonlWriter(DataSourceWriter):
+    def __init__(self, options, schema: StructType):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("manifest_jsonl requires .option('path', ...)")
+        self.fields = [f.name for f in schema.fields]
+
+    def write(self, iterator) -> _ShardCommit:
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        os.makedirs(self.path, exist_ok=True)
+        shard = os.path.join(
+            self.path, f"shard-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.jsonl"
+        )
+        n, checksum = 0, 0
+        with open(shard, "w", encoding="utf-8") as fh:
+            for row in iterator:
+                line = json.dumps(dict(zip(self.fields, row)), sort_keys=True,
+                                  default=str)
+                fh.write(line + "\n")
+                n += 1
+                # Order-insensitive: sum of per-line digests mod 2^64, so
+                # the checksum is stable under partition-internal reorder.
+                checksum = (checksum + _h_line(line)) % (1 << 64)
+        return _ShardCommit(shard, n, checksum)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = {
+            "shards": [
+                {"path": os.path.basename(m.path), "n_rows": m.n_rows,
+                 "checksum": m.checksum}
+                for m in messages
+            ],
+            "total_rows": sum(m.n_rows for m in messages),
+            "total_checksum": sum(m.checksum for m in messages) % (1 << 64),
+        }
+        with open(os.path.join(self.path, "manifest.json"), "w") as fh:
+            json.dump(manifest, fh, indent=2, sort_keys=True)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            try:
+                os.remove(m.path)
+            except OSError:
+                pass
+
+
+def _h_line(line: str) -> int:
+    d = hashlib.md5(line.encode()).digest()
+    return int.from_bytes(d[:8], "big")

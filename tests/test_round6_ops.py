@@ -586,6 +586,48 @@ def test_sessionizer_tws_wiring_constructs(spark, sf_dir):
     assert out.schema == SESSION_OUTPUT_SCHEMA
 
 
+# ------------------------------------------- custom DataSource writer
+
+def test_manifest_jsonl_sink_round_trip(spark, sf_dir, tmp_path):
+    """Two-phase-commit custom writer: shards + manifest agree with the
+    input exactly (row count, per-shard counts, order-insensitive
+    checksums), and reading the shards back recovers the same rows."""
+    import json
+
+    from machinelearningalgomapreduce_spark.sources.custom import ManifestJsonlSink
+
+    spark.dataSource.register(ManifestJsonlSink)
+    out = str(tmp_path / "export")
+    docs = (
+        load_tables(spark, sf_dir)
+        .documents.select("doc_id", "source")
+        .repartition(3)
+    )
+    docs.write.format("manifest_jsonl").option("path", out).mode("append").save()
+
+    manifest = json.loads((tmp_path / "export" / "manifest.json").read_text())
+    n = docs.count()
+    assert manifest["total_rows"] == n
+    assert len(manifest["shards"]) == 3
+    assert sum(s["n_rows"] for s in manifest["shards"]) == n
+
+    back = []
+    for s in manifest["shards"]:
+        with open(tmp_path / "export" / s["path"], encoding="utf-8") as fh:
+            lines = [json.loads(line) for line in fh]
+        assert len(lines) == s["n_rows"]
+        back.extend(lines)
+    assert sorted(r["doc_id"] for r in back) == sorted(
+        r["doc_id"] for r in docs.collect()
+    )
+
+    # Checksum is content-derived: same data re-exported → same totals.
+    out2 = str(tmp_path / "export2")
+    docs.write.format("manifest_jsonl").option("path", out2).mode("append").save()
+    manifest2 = json.loads((tmp_path / "export2" / "manifest.json").read_text())
+    assert manifest2["total_checksum"] == manifest["total_checksum"]
+
+
 # ------------------------------------------------- streaming dedup sink
 
 def test_streaming_dedup_ingest(spark, sf_dir, tmp_path):
