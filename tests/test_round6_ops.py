@@ -586,6 +586,92 @@ def test_sessionizer_tws_wiring_constructs(spark, sf_dir):
     assert out.schema == SESSION_OUTPUT_SCHEMA
 
 
+# ------------------------------- property-based checks (new surfaces)
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_batches = st.lists(
+    st.dictionaries(
+        st.sampled_from(["k0", "k1", "k2", "k3"]),
+        st.sampled_from(["AMS", "BER", "CPH", "DUB"]),
+        min_size=1,
+        max_size=4,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@given(batches=_batches)
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_scd2_matches_model_under_random_batches(spark, batches):
+    """Applying arbitrary update batches in sequence keeps SCD2 exactly
+    equal to a plain-Python dimension model: identical full history,
+    exactly one open row per live key, closed intervals immutable."""
+    dim = spark.createDataFrame(
+        [("k0", "AMS", "2019-01-01", None)],
+        "key string, city string, valid_from string, valid_to string",
+    )
+    model = {"k0": [["AMS", "2019-01-01", None]]}
+    for i, batch in enumerate(batches):
+        ts = f"2020-01-{i + 1:02d}"
+        updates = spark.createDataFrame(
+            [(k, c, ts) for k, c in sorted(batch.items())],
+            "key string, city string, ts string",
+        )
+        dim = scd2_apply(dim, updates, "key", ["city"], "ts")
+        for k, c in sorted(batch.items()):
+            hist = model.setdefault(k, [])
+            if hist and hist[-1][2] is None:
+                if hist[-1][0] == c:
+                    continue  # identical → no-op
+                hist[-1][2] = ts
+            hist.append([c, ts, None])
+    got = sorted(map(tuple, dim.collect()))
+    want = sorted(
+        (k, c, vf, vt) for k, hist in model.items() for c, vf, vt in hist
+    )
+    assert got == want
+    open_per_key = {}
+    for k, _c, _vf, vt in got:
+        if vt is None:
+            open_per_key[k] = open_per_key.get(k, 0) + 1
+    assert all(v == 1 for v in open_per_key.values())
+
+
+@given(vals=st.lists(st.integers(min_value=0, max_value=30), min_size=2, max_size=60))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_count_min_bounds_hold_on_random_multisets(spark, vals):
+    """CM guarantees on arbitrary multisets: estimate ≥ exact for every
+    value, and a random split merges to exactly the whole-set sketch."""
+    from collections import Counter
+
+    from machinelearningalgomapreduce_spark.operators import sketches as sk
+
+    df = spark.createDataFrame([(str(v),) for v in vals], "item string")
+    sketch = sk.count_min_build(df, "item", depth=3, width=32)
+    ests = {
+        r["item"]: r["est_count"]
+        for r in sk.count_min_estimate(
+            sketch, df.distinct(), "item", depth=3, width=32
+        ).collect()
+    }
+    truth = Counter(str(v) for v in vals)
+    for item, n in truth.items():
+        assert ests[item] >= n
+    half = max(1, len(vals) // 2)  # min_size=2 ⇒ both halves non-empty
+    a = spark.createDataFrame([(str(v),) for v in vals[:half]], "item string")
+    b = spark.createDataFrame([(str(v),) for v in vals[half:]], "item string")
+    merged = sk.count_min_merge(
+        sk.count_min_build(a, "item", depth=3, width=32),
+        sk.count_min_build(b, "item", depth=3, width=32),
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sketch.collect()))
+
+
 # ------------------------------------------- custom DataSource writer
 
 def test_manifest_jsonl_sink_round_trip(spark, sf_dir, tmp_path):
