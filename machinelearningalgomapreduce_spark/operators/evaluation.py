@@ -450,6 +450,61 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def levene_test(
+    df, group_col: str, value_col: str, center: str = "median"
+):
+    """Brown-Forsythe / Levene homogeneity-of-variance test (library API) —
+    the robustness companion to q_anova: W = ((N−k)/(k−1)) ·
+    Σ nᵢ(Z̄ᵢ−Z̄)² / ΣΣ(Zᵢⱼ−Z̄ᵢ)² over Zᵢⱼ = |xᵢⱼ − centerᵢ| with the
+    per-group median (Brown-Forsythe, default) or mean (classic Levene).
+
+    Scale shape: one grouped aggregate for the centers (exact `percentile`
+    — a per-group sort at scale; swap approx_percentile when groups are
+    huge), a broadcast O(groups) join to form Z, then ONE moments
+    aggregate + O(groups) rollup. Differential-tested against a
+    pure-Python implementation in tests.
+    """
+    from pyspark.sql import functions as F
+
+    x = F.col(value_col).cast("double")
+    if center == "median":
+        centers = df.groupBy(group_col).agg(F.percentile(x, F.lit(0.5)).alias("c"))
+    elif center == "mean":
+        centers = df.groupBy(group_col).agg(F.avg(x).alias("c"))
+    else:
+        raise ValueError(f"unknown center {center!r}")
+    z = df.join(F.broadcast(centers), group_col).select(
+        F.col(group_col), F.abs(x - F.col("c")).alias("z")
+    )
+    per_group = z.groupBy(group_col).agg(
+        F.count("*").alias("n_i"), F.sum("z").alias("sz"), F.sum(F.col("z") * F.col("z")).alias("szz")
+    )
+    # Within-group SS from the moments: Σz² − (Σz)²/n, summed over groups;
+    # between-group SS: Σ nᵢ(Z̄ᵢ − Z̄)² with Z̄ from the pooled sums.
+    roll = per_group.agg(
+        F.sum("n_i").alias("n"),
+        F.count("*").alias("k"),
+        F.sum("sz").alias("sz_all"),
+        F.sum(F.col("szz") - F.col("sz") * F.col("sz") / F.col("n_i")).alias("ss_within"),
+        F.sum(F.col("sz") * F.col("sz") / F.col("n_i")).alias("sum_sq_over_n"),
+    )
+    zbar_term = F.col("sz_all") * F.col("sz_all") / F.col("n")
+    ss_between = F.col("sum_sq_over_n") - zbar_term
+    w = (
+        (F.col("n") - F.col("k")).cast("double") / (F.col("k") - 1)
+        * ss_between / F.col("ss_within")
+    )
+    return roll.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_obs"),
+        F.round(ss_between, 6).alias("ss_between"),
+        F.round("ss_within", 6).alias("ss_within"),
+        F.round(w, 6).alias("w_stat"),
+        (F.col("k") - 1).alias("df1"),
+        (F.col("n") - F.col("k")).alias("df2"),
+    )
+
+
 QUERIES = {
     "q_anova": q_anova,
     "q_chi2": q_chi2,

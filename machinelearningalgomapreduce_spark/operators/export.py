@@ -100,6 +100,29 @@ def q_domain_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def rendezvous_assign(df: DataFrame, key_col: str, nodes: list[str]) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment (library API) —
+    the consistent-hashing complement to q_shard_assign's mod-N: each key
+    goes to argmax over nodes of hash(key, node), so ADDING a node moves
+    ONLY the keys that now prefer it (≈ 1/(n+1) of them) and removing one
+    moves only its own keys — no global reshuffle. The property is exact
+    and is asserted in tests, not just claimed.
+
+    Scale shape: pure scan-side expression — an O(|nodes|) struct-array
+    argmax per row, no shuffle, no UDF; |nodes| is cluster-sized (tens),
+    not data-sized."""
+    scored = F.array(
+        *[
+            F.struct(
+                F.xxhash64(F.col(key_col).cast("string"), F.lit(n)).alias("h"),
+                F.lit(n).alias("node"),
+            )
+            for n in nodes
+        ]
+    )
+    return df.withColumn("assigned_node", F.array_max(scored)["node"])
+
+
 def temperature_mix(
     documents: DataFrame,
     temperature: float = 2.0,

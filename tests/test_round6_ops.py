@@ -586,6 +586,66 @@ def test_sessionizer_tws_wiring_constructs(spark, sf_dir):
     assert out.schema == SESSION_OUTPUT_SCHEMA
 
 
+# ------------------------------------- small classics (levene / HRW)
+
+def test_levene_matches_python(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.evaluation import levene_test
+
+    events = load_tables(spark, sf_dir).events.select("event_type", "value")
+    row = levene_test(events, "event_type", "value").collect()[0]
+
+    data = {}
+    for r in events.collect():
+        data.setdefault(r["event_type"], []).append(float(r["value"]))
+
+    def median(xs):
+        s = sorted(xs)
+        m = len(s) // 2
+        return s[m] if len(s) % 2 else (s[m - 1] + s[m]) / 2
+
+    z = {g: [abs(x - median(xs)) for x in xs] for g, xs in data.items()}
+    n = sum(len(v) for v in z.values())
+    k = len(z)
+    zbar = sum(sum(v) for v in z.values()) / n
+    ss_between = sum(len(v) * (sum(v) / len(v) - zbar) ** 2 for v in z.values())
+    ss_within = sum(
+        sum((x - sum(v) / len(v)) ** 2 for x in v) for v in z.values()
+    )
+    w = (n - k) / (k - 1) * ss_between / ss_within
+    assert row["n_groups"] == k and row["n_obs"] == n
+    assert row["df1"] == k - 1 and row["df2"] == n - k
+    assert row["w_stat"] == pytest.approx(w, rel=1e-6)
+    assert row["ss_between"] == pytest.approx(ss_between, rel=1e-6)
+    assert row["ss_within"] == pytest.approx(ss_within, rel=1e-6)
+
+
+def test_rendezvous_minimal_movement(spark, sf_dir):
+    """The HRW property, exactly: adding a node moves keys ONLY onto the
+    new node; removing a node moves only that node's keys."""
+    from machinelearningalgomapreduce_spark.operators.export import rendezvous_assign
+
+    docs = load_tables(spark, sf_dir).documents.select("doc_id")
+    nodes = [f"node-{i}" for i in range(4)]
+    a = {r["doc_id"]: r["assigned_node"]
+         for r in rendezvous_assign(docs, "doc_id", nodes).collect()}
+    b = {r["doc_id"]: r["assigned_node"]
+         for r in rendezvous_assign(docs, "doc_id", nodes + ["node-4"]).collect()}
+    moved = {k for k in a if a[k] != b[k]}
+    assert all(b[k] == "node-4" for k in moved)
+    # Expected share ≈ 1/5 of keys; generous band.
+    assert 0.05 < len(moved) / len(a) < 0.40
+    # Removal symmetry: dropping node-4 restores the original assignment.
+    c = {r["doc_id"]: r["assigned_node"]
+         for r in rendezvous_assign(docs, "doc_id", nodes).collect()}
+    assert c == a
+    # Balance: every node gets a non-trivial share under 4 nodes.
+    from collections import Counter
+
+    shares = Counter(a.values())
+    assert set(shares) == set(nodes)
+    assert min(shares.values()) > 0.1 * len(a) / len(nodes)
+
+
 # ------------------------------- property-based checks (new surfaces)
 
 from hypothesis import HealthCheck, given, settings
