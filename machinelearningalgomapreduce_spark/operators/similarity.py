@@ -620,3 +620,139 @@ ORACLES["q_ndcg"] = (
     .replace("{COS_CELL}", _COS_QB)
     .replace("{COS}", _COS_QB)
 )
+
+
+def ann_projected_rerank(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dim: int = 16,
+    n_probe: int = ANN_NPROBE,
+    k: int = ANN_K,
+    rerank_mult: int = 3,
+) -> DataFrame:
+    """Two-stage retrieval over the fixture embeddings — see
+    ``ann_projected_rerank_frame`` for the semantics; this wrapper only
+    binds the sf_dir table."""
+    return ann_projected_rerank_frame(
+        load_tables(spark, sf_dir).embeddings,
+        in_dim=EMBEDDING_DIM,
+        out_dim=out_dim,
+        n_probe=n_probe,
+        k=k,
+        rerank_mult=rerank_mult,
+    )
+
+
+def ann_projected_rerank_frame(
+    embeddings: DataFrame,
+    in_dim: int,
+    out_dim: int = 16,
+    n_probe: int = ANN_NPROBE,
+    k: int = ANN_K,
+    rerank_mult: int = 3,
+) -> DataFrame:
+    """Two-stage retrieval (library API): coarse ANN in JL-PROJECTED space,
+    exact full-dimension re-rank of the survivors — the standard
+    compressed-index architecture (IVF over reduced vectors; full vectors
+    touched only for the short candidate list).
+
+    Stage 1 runs entirely in `out_dim` dims: centroids, cell assignment,
+    probe ranking and the candidate cosine all use
+    `functions/vectors.random_project` vectors, cutting the per-pair fold
+    cost in_dim/out_dim× and, at 100 TB, the index storage alongside.
+    Stage 2 joins the ≤ rerank_mult·k survivors per query back to the full
+    vectors for the exact cosine — the only full-width work after the scan.
+
+    Guarantees pinned by tests: the re-rank stage is EXACT (final order ≡
+    brute full-dim order restricted to the candidate set) on any input;
+    end-to-end recall is high exactly when neighbor structure is real
+    (≥0.8 on a clustered synthetic set; the near-uniform fixture floors
+    both this and the unprojected IVF — measured, see q_sim_recall).
+    """
+    from machinelearningalgomapreduce_spark.functions.vectors import random_project
+
+    EMBEDDING_DIM = in_dim  # noqa: N806 — shadow for the shared exprs below
+
+    base = embeddings.select(
+        "vec_id",
+        "label",
+        "embedding",
+        random_project(F.col("embedding"), "ann-jl", out_dim, EMBEDDING_DIM).alias("pvec"),
+    )
+    proj = base.select("vec_id", "label", F.col("pvec").alias("embedding"))
+    cents = label_centroids(proj)
+    cells = assign_nearest(proj, cents, out_dim).select("vec_id", "cluster")
+    corpus = proj.join(cells, "vec_id").select(
+        "vec_id",
+        F.col("embedding").alias("cvec"),
+        "cluster",
+        norm(F.col("embedding"), out_dim).alias("cnorm"),
+    )
+    is_query = F.col("vec_id") % ANN_QUERY_STRIDE == 0
+    pcells = cents.select(F.col("label").alias("pcell"), "centroid")
+    wq = W.partitionBy("query_id").orderBy("dist2", "pcell")
+    qprobe = (
+        proj.filter(is_query)
+        .select(F.col("vec_id").alias("query_id"), "embedding")
+        .crossJoin(F.broadcast(pcells))
+        .select(
+            "query_id",
+            "pcell",
+            F.round(sq_dist(F.col("embedding"), F.col("centroid"), out_dim), 6).alias("dist2"),
+        )
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= n_probe)
+        .select("query_id", "pcell")
+    )
+    q = (
+        corpus.filter(is_query)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cvec").alias("qv"),
+            F.col("cnorm").alias("qnorm"),
+        )
+        .join(qprobe, "query_id")
+    )
+    nbrs = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cvec").alias("nvec"),
+        F.col("cluster").alias("ncluster"),
+        F.col("cnorm").alias("nnorm"),
+    )
+    pcos = dot(F.col("qv"), F.col("nvec"), out_dim) / (F.col("qnorm") * F.col("nnorm"))
+    wcand = W.partitionBy("query_id").orderBy(F.desc("proj_cos"), "neighbor_id")
+    candidates = (
+        q.join(
+            nbrs,
+            (F.col("pcell") == F.col("ncluster"))
+            & (F.col("query_id") != F.col("neighbor_id")),
+        )
+        .select("query_id", "neighbor_id", F.round(pcos, 6).alias("proj_cos"))
+        .withColumn("crank", F.row_number().over(wcand))
+        .filter(F.col("crank") <= rerank_mult * k)
+        .select("query_id", "neighbor_id")
+    )
+    full = embeddings.select(
+        "vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("fnorm")
+    )
+    qfull = full.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qfv"),
+        F.col("fnorm").alias("qfnorm"),
+    )
+    nfull = full.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("nfv"),
+        F.col("fnorm").alias("nfnorm"),
+    )
+    exact = F.round(
+        dot(F.col("qfv"), F.col("nfv"), EMBEDDING_DIM) / (F.col("qfnorm") * F.col("nfnorm")), 6
+    )
+    wfin = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        candidates.join(qfull, "query_id")
+        .join(nfull, "neighbor_id")
+        .select("query_id", "neighbor_id", exact.alias("cos_sim"))
+        .withColumn("rank", F.row_number().over(wfin))
+        .filter(F.col("rank") <= k)
+    )
