@@ -113,6 +113,64 @@ def _index_is_small(index_dir: str, cap_bytes: int = 64 << 20) -> bool:
     return total <= cap_bytes
 
 
+def scd2_ingest_stream(
+    spark: SparkSession,
+    updates_stream: DataFrame,
+    dim_dir: str,
+    checkpoint_dir: str,
+    key: str,
+    tracked: list[str],
+    ts_col: str = "ts",
+):
+    """Streaming dimension maintenance: each micro-batch of updates is
+    MERGED into the on-disk SCD2 dimension via
+    operators/incremental.py::scd2_apply (composition of verified pieces —
+    the foreachBatch twin of a MERGE INTO job chain).
+
+    Within a batch, only the LATEST update per key applies (max_by ts);
+    scd2_apply is idempotent on identical updates, so a replayed epoch
+    re-merges to the same dimension. The merged dimension is written to a
+    staging dir and atomically renamed over the old one — rewriting a
+    parquet dir in place while the merge plan is still reading it would
+    corrupt the read. Tracked columns are carried as strings in the
+    bootstrap (empty-dimension) schema."""
+    import shutil
+
+    from pyspark.sql import functions as F2
+
+    from machinelearningalgomapreduce_spark.operators.incremental import scd2_apply
+
+    empty_schema = (
+        f"{key} string, "
+        + ", ".join(f"{c} string" for c in tracked)
+        + ", valid_from string, valid_to string"
+    )
+
+    def merge(batch: DataFrame, batch_id: int) -> None:
+        latest = (
+            batch.groupBy(key)
+            .agg(F2.max_by(F2.struct(*batch.columns), ts_col).alias("r"))
+            .select("r.*")
+        )
+        if os.path.exists(dim_dir):
+            dim = spark.read.parquet(dim_dir)
+        else:
+            dim = spark.createDataFrame([], empty_schema)
+        merged = scd2_apply(dim, latest, key, tracked, ts_col)
+        staging = dim_dir + f".staging-{batch_id}"
+        merged.write.mode("overwrite").parquet(staging)
+        if os.path.exists(dim_dir):
+            shutil.rmtree(dim_dir)
+        os.rename(staging, dim_dir)
+
+    return (
+        updates_stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def dedup_ingest_stream(
     spark: SparkSession,
     sf_dir: str,

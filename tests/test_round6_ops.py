@@ -874,6 +874,87 @@ def test_manifest_jsonl_sink_round_trip(spark, sf_dir, tmp_path):
 
 # ------------------------------------------------- streaming dedup sink
 
+def test_dedup_ingest_replay_is_deterministic(spark, sf_dir, tmp_path):
+    """The crash-replay contract of the epoch-stamped index: re-running
+    the SAME epoch after its index append landed recomputes the identical
+    survivor set (its own entries are excluded from the seen-set) and the
+    overwrite leaves the output unchanged — no loss, no duplication."""
+    from machinelearningalgomapreduce_spark.streaming.sinks import _ingest_batch
+
+    index_dir = str(tmp_path / "idx")
+    out_dir = str(tmp_path / "out")
+    docs = load_tables(spark, sf_dir).documents.filter(F.col("doc_id") < 200)
+    ingest = _ingest_batch(spark, index_dir, out_dir, "runA")
+
+    ingest(docs, 0)
+    first = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).select("doc_id").collect()
+    )
+    ingest(docs, 0)  # simulated replay of the same epoch
+    again = sorted(
+        r["doc_id"] for r in spark.read.parquet(out_dir).select("doc_id").collect()
+    )
+    assert again == first
+    # A LATER epoch over the same docs admits nothing (index now holds them).
+    ingest(docs, 1)
+    final = spark.read.parquet(out_dir).select("doc_id").collect()
+    assert sorted(r["doc_id"] for r in final) == first
+
+
+def test_scd2_ingest_stream_merges_batches(spark, tmp_path):
+    """Streaming SCD2 maintenance: two availableNow runs of update batches
+    produce the same dimension as applying the batches in order."""
+    from machinelearningalgomapreduce_spark.streaming.sinks import scd2_ingest_stream
+
+    dim_dir = str(tmp_path / "dim")
+    src = tmp_path / "updates"
+    src.mkdir()
+
+    u1 = spark.createDataFrame(
+        [("k1", "AMS", "2022-01-01"), ("k2", "BER", "2022-01-01")],
+        "key string, city string, ts string",
+    )
+    u1.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "u1"))
+    import shutil
+
+    part = next(p for p in (tmp_path / "u1").iterdir() if p.name.endswith(".parquet"))
+    shutil.copy(part, src / "b1.parquet")
+
+    stream = spark.readStream.schema("key string, city string, ts string").parquet(
+        str(src)
+    )
+    q = scd2_ingest_stream(
+        spark, stream, dim_dir, str(tmp_path / "ck1"), "key", ["city"]
+    )
+    q.awaitTermination(120)
+
+    u2 = spark.createDataFrame(
+        [("k1", "CPH", "2022-02-01"), ("k3", "DUB", "2022-02-01")],
+        "key string, city string, ts string",
+    )
+    u2.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "u2"))
+    part2 = next(p for p in (tmp_path / "u2").iterdir() if p.name.endswith(".parquet"))
+    shutil.copy(part2, src / "b2.parquet")
+
+    stream2 = spark.readStream.schema("key string, city string, ts string").parquet(
+        str(src)
+    )
+    q2 = scd2_ingest_stream(
+        spark, stream2, dim_dir, str(tmp_path / "ck2"), "key", ["city"]
+    )
+    q2.awaitTermination(120)
+
+    rows = sorted(map(tuple, spark.read.parquet(dim_dir).collect()))
+    assert rows == sorted(
+        [
+            ("k1", "AMS", "2022-01-01", "2022-02-01"),
+            ("k1", "CPH", "2022-02-01", None),
+            ("k2", "BER", "2022-01-01", None),
+            ("k3", "DUB", "2022-02-01", None),
+        ]
+    )
+
+
 def test_streaming_dedup_ingest(spark, sf_dir, tmp_path):
     from machinelearningalgomapreduce_spark.streaming.sinks import dedup_ingest_stream
 
