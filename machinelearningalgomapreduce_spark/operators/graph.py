@@ -589,9 +589,16 @@ def personalized_pagerank(
     is truncated every 3 rounds like the other fixpoint loops.
     """
     edges = edges.select("src", "dst")
+    # Seeds OUTSIDE the edge set still carry restart mass (an isolated
+    # seed is a dangling node that teleports straight back) — without the
+    # union their alpha share would silently vanish and Σpi < 1.
+    seed_rows = edges.sparkSession.createDataFrame(
+        [(s,) for s in seeds], "node string"
+    )
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
+        .union(seed_rows)
         .distinct()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("outdeg")).cache()

@@ -139,9 +139,13 @@ def scd2_apply(
     (key, *tracked, ts) — at most one row per key (enforce upstream with
     max_by(ts) if needed). Semantics:
 
-    - open row whose tracked columns DIFFER from the update → closed
-      (valid_to = update ts) and a new open version inserted;
+    - open row whose tracked columns DIFFER from the update AND whose
+      valid_from predates the update ts → closed (valid_to = update ts)
+      and a new open version inserted;
     - identical update → no-op (re-applying a batch is idempotent);
+    - STALE update (ts ≤ the open row's valid_from — out-of-order
+      delivery) → ignored: the newer version stays open and no inverted
+      validity interval can be produced;
     - brand-new key → new open version;
     - historical (already-closed) rows pass through untouched.
 
@@ -164,20 +168,26 @@ def scd2_apply(
     same = F.lit(True)
     for c in tracked:
         same = same & F.col(c).eqNullSafe(F.col(f"__u_{c}"))
-    changed = F.col("__k").isNotNull() & ~same
+    fresh = F.col("__ts") > F.col("valid_from")
+    changed = F.col("__k").isNotNull() & ~same & fresh
     dim_cols = [key, *tracked, "valid_from", "valid_to"]
-    # Open rows: close the changed ones, keep the rest verbatim.
+    # Open rows: close the fresh-changed ones, keep the rest verbatim
+    # (identical OR stale updates leave the open row untouched).
     kept_open = joined.select(
         *[F.col(c) for c in [key, *tracked, "valid_from"]],
         F.when(changed, F.col("__ts")).otherwise(F.col("valid_to")).alias("valid_to"),
     )
-    # New versions: updates that changed an open row or created a key.
-    matched_same = u.join(
-        open_rows.join(u, F.col(key) == F.col("__k"), "inner").filter(same).select("__k"),
+    # New versions: updates that fresh-changed an open row or created a
+    # key. Blocked = keys whose open row absorbs the update (identical)
+    # or outruns it (stale).
+    blocked = u.join(
+        open_rows.join(u, F.col(key) == F.col("__k"), "inner")
+        .filter(same | ~fresh)
+        .select("__k"),
         "__k",
         "left_semi",
     )
-    new_versions = u.join(matched_same, "__k", "left_anti").select(
+    new_versions = u.join(blocked, "__k", "left_anti").select(
         F.col("__k").alias(key),
         *[F.col(f"__u_{c}").alias(c) for c in tracked],
         F.col("__ts").alias("valid_from"),

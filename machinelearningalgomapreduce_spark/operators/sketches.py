@@ -119,10 +119,16 @@ def heavy_hitters(
 
     (At fixture scale the distinct-value probe is exact; at 100 TB the
     probe set is whatever candidate stream you track — the sketch itself
-    never grows.)"""
+    never grows.)
+
+    N comes from the sketch itself (every input row contributes exactly 1
+    to each depth row, so Σcnt over row 0 = N) — no extra scan of the raw
+    data, and the function works when only the sketch is at hand."""
     sketch = count_min_build(df, col, depth, width)
-    total = df.count()
+    total = sketch.filter(F.col("row") == 0).agg(F.sum("cnt").alias("n_total"))
     ests = count_min_estimate(sketch, df.select(col).distinct(), col, depth, width)
-    return ests.filter(F.col("est_count") >= phi * total).withColumnRenamed(
-        "item", col
+    return (
+        ests.crossJoin(F.broadcast(total))
+        .filter(F.col("est_count") >= phi * F.col("n_total"))
+        .select(F.col("item").alias(col), "est_count")
     )

@@ -162,22 +162,38 @@ class ManifestJsonlWriter(DataSourceWriter):
         import json
         import os
 
+        shards = [
+            {"path": os.path.basename(m.path), "n_rows": m.n_rows,
+             "checksum": m.checksum}
+            for m in messages
+        ]
+        manifest_path = os.path.join(self.path, "manifest.json")
+        # Append semantics: a later job EXTENDS the manifest rather than
+        # silently dropping the earlier jobs' shards from it (a
+        # manifest-driven reader treats unlisted shards as garbage).
+        if os.path.exists(manifest_path):
+            with open(manifest_path) as fh:
+                shards = json.load(fh)["shards"] + shards
         manifest = {
-            "shards": [
-                {"path": os.path.basename(m.path), "n_rows": m.n_rows,
-                 "checksum": m.checksum}
-                for m in messages
-            ],
-            "total_rows": sum(m.n_rows for m in messages),
-            "total_checksum": sum(m.checksum for m in messages) % (1 << 64),
+            "shards": shards,
+            "total_rows": sum(s["n_rows"] for s in shards),
+            "total_checksum": sum(s["checksum"] for s in shards) % (1 << 64),
         }
-        with open(os.path.join(self.path, "manifest.json"), "w") as fh:
+        # Atomic publish: a crash mid-commit must never leave a truncated
+        # manifest visible (the manifest IS the commit marker).
+        tmp = manifest_path + ".tmp"
+        with open(tmp, "w") as fh:
             json.dump(manifest, fh, indent=2, sort_keys=True)
+        os.rename(tmp, manifest_path)
 
     def abort(self, messages) -> None:
         import os
 
+        # Failed tasks contribute None commit messages (DataSourceWriter
+        # contract) — only the succeeded tasks' shards exist to remove.
         for m in messages:
+            if m is None:
+                continue
             try:
                 os.remove(m.path)
             except OSError:

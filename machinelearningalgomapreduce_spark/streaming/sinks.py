@@ -25,23 +25,12 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-_DOC_SCHEMA_CACHE: dict[str, "object"] = {}
-
-
 def stream_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the documents parquet (schema cached per sf_dir,
-    same discipline as windows.py::stream_events)."""
-    path = os.path.join(sf_dir, "documents.parquet")
-    schema = _DOC_SCHEMA_CACHE.get(path)
-    if schema is None:
-        schema = spark.read.parquet(path).schema
-        _DOC_SCHEMA_CACHE[path] = schema
-    return (
-        spark.readStream.schema(schema)
-        .format("parquet")
-        .option("pathGlobFilter", "documents.parquet")
-        .load(sf_dir)
-    )
+    """readStream over the documents parquet — the shared cached-schema
+    idiom lives in windows.stream_table (one copy to keep in sync)."""
+    from machinelearningalgomapreduce_spark.streaming.windows import stream_table
+
+    return stream_table(spark, sf_dir, "documents.parquet")
 
 
 def _ingest_batch(spark: SparkSession, index_dir: str, out_dir: str, run_key: str):
@@ -129,14 +118,15 @@ def scd2_ingest_stream(
 
     Within a batch, only the LATEST update per key applies (max_by ts);
     scd2_apply is idempotent on identical updates, so a replayed epoch
-    re-merges to the same dimension. The merged dimension is written to a
-    staging dir and atomically renamed over the old one — rewriting a
-    parquet dir in place while the merge plan is still reading it would
-    corrupt the read. Tracked columns are carried as strings in the
-    bootstrap (empty-dimension) schema."""
+    re-merges to the same dimension. Crash-safe swap protocol: the merged
+    dimension is written to a staging dir (rewriting a parquet dir in
+    place while the merge plan is still reading it would corrupt the
+    read), the live dir is renamed ASIDE (never deleted first), staging is
+    renamed in, and only then is the old version removed — every crash
+    window leaves either the live dir or its `.old-` sibling intact, and
+    `_recover_dim` restores the sibling on the next batch. Tracked columns
+    are carried as strings in the bootstrap (empty-dimension) schema."""
     import shutil
-
-    from pyspark.sql import functions as F2
 
     from machinelearningalgomapreduce_spark.operators.incremental import scd2_apply
 
@@ -147,9 +137,10 @@ def scd2_ingest_stream(
     )
 
     def merge(batch: DataFrame, batch_id: int) -> None:
+        _recover_dim(dim_dir)
         latest = (
             batch.groupBy(key)
-            .agg(F2.max_by(F2.struct(*batch.columns), ts_col).alias("r"))
+            .agg(F.max_by(F.struct(*batch.columns), ts_col).alias("r"))
             .select("r.*")
         )
         if os.path.exists(dim_dir):
@@ -158,10 +149,13 @@ def scd2_ingest_stream(
             dim = spark.createDataFrame([], empty_schema)
         merged = scd2_apply(dim, latest, key, tracked, ts_col)
         staging = dim_dir + f".staging-{batch_id}"
+        old = dim_dir + f".old-{batch_id}"
         merged.write.mode("overwrite").parquet(staging)
         if os.path.exists(dim_dir):
-            shutil.rmtree(dim_dir)
+            os.rename(dim_dir, old)
         os.rename(staging, dim_dir)
+        if os.path.exists(old):
+            shutil.rmtree(old)
 
     return (
         updates_stream.writeStream.foreachBatch(merge)
@@ -169,6 +163,19 @@ def scd2_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _recover_dim(dim_dir: str) -> None:
+    """If a crash left no live dimension but an `.old-` sibling exists
+    (the window between rename-aside and rename-in), restore the newest
+    sibling so the replayed batch merges against the pre-crash state."""
+    import glob
+
+    if os.path.exists(dim_dir):
+        return
+    siblings = sorted(glob.glob(dim_dir + ".old-*"))
+    if siblings:
+        os.rename(siblings[-1], dim_dir)
 
 
 def dedup_ingest_stream(

@@ -155,8 +155,17 @@ class SessionizerProcessor(StatefulProcessor):
         for t in times:
             if start is None:
                 start, last, n = t, t, 1
+            elif t < start - SESSION_GAP_US:
+                # Late event older than the open session by more than the
+                # gap (possible when the caller's watermark delay exceeds
+                # the gap): it belongs to an earlier, already-over session
+                # — emit it as its own closed singleton rather than
+                # folding it into a session it never touched.
+                yield self._row(key, t, t, 1, "gap")
             elif t - last <= SESSION_GAP_US:
-                last, n = max(last, t), n + 1
+                # Within reach of the open session; a late-but-in-gap
+                # event may EXTEND the session backwards (start = min).
+                start, last, n = min(start, t), max(last, t), n + 1
             else:
                 yield self._row(key, start, last, n, "gap")
                 start, last, n = t, t, 1

@@ -25,33 +25,39 @@ from pyspark.sql import functions as F
 _SCHEMA_CACHE: dict[str, "object"] = {}
 
 
-def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """readStream over the events parquet with the batch-identical
-    timestamp normalization (sources/catalog.py::normalize_timestamp).
-
-    FileStreamSource needs an explicit schema; take it from a one-file
-    batch read (cached per sf_dir) so the stream tolerates every fixture
-    timestamp encoding (INT64 nanos via nanosAsLong, TIMESTAMP_NTZ micros,
-    plain TIMESTAMP) exactly as the batch scan layer does."""
+def stream_table(spark: SparkSession, sf_dir: str, filename: str) -> DataFrame:
+    """readStream over one fixture parquet file with the cached-schema
+    discipline: FileStreamSource needs an explicit schema, taken from a
+    one-file batch read (cached per path — ADVICE r4). The fixture is a
+    single file and FileStreamSource requires a DIRECTORY, so the parent
+    dir is streamed filtered to just that file. Shared by stream_events
+    and sinks.stream_documents so the caching/glob idiom lives once."""
     import os
 
-    from machinelearningalgomapreduce_spark.sources.catalog import normalize_timestamp
-
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    path = os.path.join(sf_dir, "events.parquet")
+    path = os.path.join(sf_dir, filename)
     raw_schema = _SCHEMA_CACHE.get(path)
     if raw_schema is None:
         raw_schema = spark.read.parquet(path).schema
         _SCHEMA_CACHE[path] = raw_schema
-    # The fixture is a single file and FileStreamSource requires a
-    # directory: stream the parent dir filtered to just events.parquet.
-    raw = (
+    return (
         spark.readStream.schema(raw_schema)
         .format("parquet")
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", filename)
         .load(sf_dir)
     )
-    actual = {f.name: f.dataType for f in raw_schema.fields}
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over the events parquet with the batch-identical
+    timestamp normalization (sources/catalog.py::normalize_timestamp), so
+    the stream tolerates every fixture timestamp encoding (INT64 nanos via
+    nanosAsLong, TIMESTAMP_NTZ micros, plain TIMESTAMP) exactly as the
+    batch scan layer does."""
+    from machinelearningalgomapreduce_spark.sources.catalog import normalize_timestamp
+
+    raw = stream_table(spark, sf_dir, "events.parquet")
+    actual = {f.name: f.dataType for f in raw.schema.fields}
     return raw.withColumn("ts", normalize_timestamp("ts", actual["ts"]))
 
 

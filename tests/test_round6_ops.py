@@ -830,6 +830,97 @@ def test_count_min_bounds_hold_on_random_multisets(spark, vals):
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sketch.collect()))
 
 
+# ----------------------------------- review-pass regression coverage
+
+def test_scd2_stale_update_ignored(spark):
+    """An out-of-order update older than the open version is ignored —
+    no inverted validity interval, the newer version stays open."""
+    dim = spark.createDataFrame(
+        [("k1", "CPH", "2022-03-01", None)],
+        "key string, city string, valid_from string, valid_to string",
+    )
+    stale = spark.createDataFrame(
+        [("k1", "AMS", "2022-01-01")], "key string, city string, ts string"
+    )
+    out = sorted(map(tuple, scd2_apply(dim, stale, "key", ["city"], "ts").collect()))
+    assert out == [("k1", "CPH", "2022-03-01", None)]
+
+
+def test_ppr_isolated_seed_keeps_mass(spark):
+    """A seed with no edges still carries its restart mass (Σpi = 1)."""
+    rows = {
+        r["node"]: r["rank"]
+        for r in personalized_pagerank(_toy_edges(spark), ["a", "zz"], n_iter=10).collect()
+    }
+    assert "zz" in rows and rows["zz"] > 0
+    assert math.isclose(sum(rows.values()), 1.0, rel_tol=1e-9)
+
+
+def test_sessionizer_late_events(spark):
+    """Out-of-order arrivals: an in-gap late event extends the session
+    BACKWARDS (start = min); one older than start − gap is emitted as its
+    own closed singleton, never folded into a session it predates."""
+    import pandas as pd
+
+    from machinelearningalgomapreduce_spark.streaming.stateful_v2 import (
+        SESSION_GAP_US,
+        SessionizerProcessor,
+    )
+
+    proc = SessionizerProcessor()
+    proc.init(_TimerFakeHandle())
+    base = 10_000_000_000
+    out = []
+    for chunk in ([base], [base - SESSION_GAP_US // 2], [base - 5 * SESSION_GAP_US]):
+        out.extend(
+            r
+            for pdf in proc.handleInputRows((1,), [pd.DataFrame({"us": chunk})], None)
+            for r in pdf.to_dict("records")
+        )
+    # The very-old event came out as a singleton; the open session was
+    # extended backwards by the in-gap late event.
+    assert [
+        (r["start_us"], r["end_us"], r["n_events"], r["closed_by"]) for r in out
+    ] == [(base - 5 * SESSION_GAP_US, base - 5 * SESSION_GAP_US, 1, "gap")]
+    start, last, n = proc._state.get()
+    assert (start, last, n) == (base - SESSION_GAP_US // 2, base, 2)
+
+
+def test_plan_lint_single_partition_detector(spark):
+    """The lint's structural check: a global unpartitioned Window is
+    flagged; a partial→final global rollup is not."""
+    from pyspark.sql import Window as W2
+
+    from tools.plan_lint import single_partition_violations
+
+    bad = spark.range(1000).withColumn("rn", F.row_number().over(W2.orderBy("id")))
+    assert single_partition_violations(
+        bad._jdf.queryExecution().executedPlan().toString()
+    )
+    good = spark.range(1000).agg(F.sum("id"))
+    assert not single_partition_violations(
+        good._jdf.queryExecution().executedPlan().toString()
+    )
+
+
+def test_manifest_append_extends_manifest(spark, sf_dir, tmp_path):
+    """A second append job EXTENDS manifest.json instead of dropping the
+    first job's shards from it."""
+    import json
+
+    from machinelearningalgomapreduce_spark.sources.custom import ManifestJsonlSink
+
+    spark.dataSource.register(ManifestJsonlSink)
+    out = str(tmp_path / "exp")
+    docs = load_tables(spark, sf_dir).documents.select("doc_id").repartition(2)
+    docs.write.format("manifest_jsonl").option("path", out).mode("append").save()
+    docs.write.format("manifest_jsonl").option("path", out).mode("append").save()
+    manifest = json.loads((tmp_path / "exp" / "manifest.json").read_text())
+    n = docs.count()
+    assert manifest["total_rows"] == 2 * n
+    assert len(manifest["shards"]) == 4
+
+
 # ------------------------------------------- custom DataSource writer
 
 def test_manifest_jsonl_sink_round_trip(spark, sf_dir, tmp_path):

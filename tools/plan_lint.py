@@ -36,8 +36,6 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_dedup_minhash_est": {"BroadcastNestedLoopJoin": "1-row sketch-audit total"},
     "q_corr": {"BroadcastNestedLoopJoin": "1-row moment totals"},
     "q_cov_matrix": {"BroadcastNestedLoopJoin": "1-row moment totals"},
-    "q_customer_segments": {"BroadcastNestedLoopJoin": "1-row quantile cutpoints"},
-    "q_gini": {"BroadcastNestedLoopJoin": "1-row totals"},
     "q_skew_profile": {"BroadcastNestedLoopJoin": "1-row moment totals"},
     "q_mode": {"BroadcastNestedLoopJoin": "1-row global count"},
     "q_percentiles": {"BroadcastNestedLoopJoin": "1-row quantile model"},
@@ -55,7 +53,6 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_cooccur_pmi": {"BroadcastNestedLoopJoin": "1-row pair totals"},
     "q_vocab_coverage": {"BroadcastNestedLoopJoin": "1-row vocab totals"},
     "q_domain_mix": {"BroadcastNestedLoopJoin": "1-row corpus totals"},
-    "q_token_budget": {"BroadcastNestedLoopJoin": "1-row budget total"},
     "q_train_test_split": {"BroadcastNestedLoopJoin": "1-row split counts"},
     "q_weighted_pick": {"BroadcastNestedLoopJoin": "O(sources) threshold join"},
     "q_seq_pack": {"BroadcastNestedLoopJoin": "1-row pack boundary"},
@@ -73,8 +70,6 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_gbt_stump": {"BroadcastNestedLoopJoin": "1-row residual moments"},
     "q_tree_split": {"BroadcastNestedLoopJoin": "1-row parent impurity"},
     "q_em_step": {"BroadcastNestedLoopJoin": "2-row component model"},
-    "q_mutual_info": {"BroadcastNestedLoopJoin": "1-row N"},
-    "q_kruskal_wallis": {"BroadcastNestedLoopJoin": "1-row rank totals"},
     "q_spearman": {"BroadcastNestedLoopJoin": "1-row rank moments"},
     "q_dbscan_core": {"BroadcastNestedLoopJoin": "3x3 neighbor-cell grid join"},
     "q_item_cf": {"BroadcastNestedLoopJoin": "1-row rating totals"},
@@ -83,14 +78,10 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_power_iter": {"BroadcastNestedLoopJoin": "1-row Rayleigh/norm"},
     "q_anova": {"BroadcastNestedLoopJoin": "1-row grand totals"},
     "q_chi2": {"BroadcastNestedLoopJoin": "1-row N + marginals"},
-    "q_ks_test": {"BroadcastNestedLoopJoin": "1-row sample sizes"},
-    "q_mannwhitney": {"BroadcastNestedLoopJoin": "1-row rank totals"},
     "q_ab_test": {"BroadcastNestedLoopJoin": "1-row group moments"},
-    "q_auc": {"BroadcastNestedLoopJoin": "1-row pos/neg counts"},
     "q_confusion_binary": {"BroadcastNestedLoopJoin": "1-row threshold"},
     "q_pr_threshold": {"BroadcastNestedLoopJoin": "5-row threshold grid"},
     "q_calibration_bins": {"BroadcastNestedLoopJoin": "1-row totals"},
-    "q_lift_deciles": {"BroadcastNestedLoopJoin": "1-row base rate"},
     "q_cluster_confusion": {"BroadcastNestedLoopJoin": "k×k bounded grid"},
     "q_silhouette": {"BroadcastNestedLoopJoin": "k-row centroid model"},
     "q_class_separation": {"BroadcastNestedLoopJoin": "k-row class sum-vectors"},
@@ -110,7 +101,6 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_bounce_rate": {"BroadcastNestedLoopJoin": "1-row session totals"},
     "q_time_to_convert": {"BroadcastNestedLoopJoin": "1-row conversion stats"},
     "q_gap_histogram": {"BroadcastNestedLoopJoin": "1-row gap totals"},
-    "q_autocorr": {"BroadcastNestedLoopJoin": "1-row series moments"},
     "q_trend_fit": {"BroadcastNestedLoopJoin": "O(types) regression moments"},
     "q_cusum": {"BroadcastNestedLoopJoin": "O(types) mean model"},
     "q_seasonal_profile": {"BroadcastNestedLoopJoin": "O(hours) profile"},
@@ -129,6 +119,51 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_market_share": {"BroadcastNestedLoopJoin": "1-row denominator"},
     "q_idle_customers": {"BroadcastNestedLoopJoin": "1-row cutoff date"},
     "q_large_orders": {"BroadcastNestedLoopJoin": "1-row threshold"},
+    # SinglePartitionData: global ordered statistics over VALUE-COMPRESSED
+    # or domain-bounded frames — the single task sees O(distinct values) /
+    # O(domain) rows, never the raw data; where the frame is key-sized
+    # (customers, scores) the distributed two-pass rank / approx-cutpoint
+    # twin in functions/ranking.py is the documented 100 TB path.
+    "q_kruskal_wallis": {
+        "BroadcastNestedLoopJoin": "1-row rank totals",
+        "SinglePartitionData": "rank window over ~50 distinct quantity values",
+    },
+    "q_customer_segments": {
+        "BroadcastNestedLoopJoin": "1-row quantile cutpoints",
+        "SinglePartitionData": "exact demo over per-customer rollup; approx-cutpoint twin is the scale path (ranking.py)",
+    },
+    "q_gini": {
+        "BroadcastNestedLoopJoin": "1-row totals",
+        "SinglePartitionData": "Lorenz window over per-customer rollup; two-pass distributed rank twin is the scale path (ranking.py)",
+    },
+    "q_autocorr": {
+        "BroadcastNestedLoopJoin": "1-row series moments",
+        "SinglePartitionData": "lag window over the bounded hourly-count series",
+    },
+    "q_ks_test": {
+        "BroadcastNestedLoopJoin": "1-row sample sizes",
+        "SinglePartitionData": "ECDF window over distinct values (value-compressed)",
+    },
+    "q_mannwhitney": {
+        "BroadcastNestedLoopJoin": "1-row rank totals",
+        "SinglePartitionData": "rank window over distinct values (value-compressed)",
+    },
+    "q_token_budget": {
+        "BroadcastNestedLoopJoin": "1-row budget total",
+        "SinglePartitionData": "quality-ordered admission window; bucketed-histogram path documented for the global window",
+    },
+    "q_auc": {
+        "BroadcastNestedLoopJoin": "1-row pos/neg counts",
+        "SinglePartitionData": "ROC rank window over distinct scores (value-compressed)",
+    },
+    "q_lift_deciles": {
+        "BroadcastNestedLoopJoin": "1-row base rate",
+        "SinglePartitionData": "ntile over the scored sample; approx decile cutpoints are the scale path",
+    },
+    "q_mutual_info": {
+        "BroadcastNestedLoopJoin": "1-row N",
+        "SinglePartitionData": "MI rollup over the types² contingency cells (bounded domain)",
+    },
     "q_late_data": {"BroadcastNestedLoopJoin": "1-row max-ts watermark"},
     "q_sample_stratified": {"BroadcastNestedLoopJoin": "O(types) target-rate grid"},
     "q_resample": {"BroadcastNestedLoopJoin": "1-row population total"},
@@ -139,6 +174,25 @@ ALLOW: dict[str, dict[str, str]] = {
 
 # Patterns searched in the FORMATTED plan text.
 PATTERNS = ["CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"]
+
+
+def single_partition_violations(spark_plan_str: str) -> list[str]:
+    """Data-sized single-task stages: an `Exchange SinglePartition` whose
+    CHILD is not a map-side partial aggregate. A global scalar rollup
+    necessarily converges to one partition but its single task only sees
+    O(#partitions) partial rows — benign; a SinglePartition exchange fed
+    by a scan/project/sort ships the full data through one task (the
+    unpartitioned-Window / global-sort killer) and is flagged."""
+    lines = spark_plan_str.splitlines()
+    bad = []
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        child = lines[i + 1] if i + 1 < len(lines) else ""
+        if "Aggregate" in child and "partial_" in child:
+            continue  # partial→final global rollup: single task sees O(tasks) rows
+        bad.append(child.strip()[:120] or "<leaf>")
+    return bad
 
 
 def main() -> None:
@@ -156,7 +210,12 @@ def main() -> None:
     allowed_hits = 0
     for name, fn in qs.items():
         try:
-            plan = P.formatted_plan(fn(spark, sf_dir))
+            df = fn(spark, sf_dir)
+            plan = P.formatted_plan(df)
+            # executedPlan (post-EnsureRequirements) — sparkPlan has no
+            # exchanges yet; on an unexecuted AQE plan this prints the
+            # initial physical plan, which is what we lint.
+            simple = df._jdf.queryExecution().executedPlan().toString()
         except Exception as exc:  # noqa: BLE001
             violations.append({"query": name, "pattern": "PLAN_ERROR", "detail": str(exc)[:200]})
             continue
@@ -167,6 +226,14 @@ def main() -> None:
                     allowed_hits += 1
                 else:
                     violations.append({"query": name, "pattern": pat})
+        for child in single_partition_violations(simple):
+            reason = ALLOW.get(name, {}).get("SinglePartitionData")
+            if reason:
+                allowed_hits += 1
+            else:
+                violations.append(
+                    {"query": name, "pattern": "SinglePartitionData", "detail": child}
+                )
     print(json.dumps({
         "summary": "plan_lint",
         "queries": len(qs),
