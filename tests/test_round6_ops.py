@@ -830,6 +830,33 @@ def test_count_min_bounds_hold_on_random_multisets(spark, vals):
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, sketch.collect()))
 
 
+def test_hmm_forward_bit_equal_across_layouts(spark, sf_dir):
+    """The float-emitting forward pass is bit-identical under a different
+    partition layout (the classicml cross-layout discipline): each user's
+    fold happens in one task over a deterministically ordered array, so
+    partitioning must not touch any emitted double."""
+    import struct
+
+    events = load_tables(spark, sf_dir).events
+
+    def snapshot():
+        rows = {}
+        for r in seq.hmm_forward(events).collect():
+            rows[r["user_id"]] = (
+                struct.pack("<d", r["loglik"]).hex(),
+                tuple(struct.pack("<d", a).hex() for a in r["alpha"]),
+            )
+        return rows
+
+    base = snapshot()
+    shuffle0 = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        assert snapshot() == base
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", shuffle0)
+
+
 # ----------------------------------- review-pass regression coverage
 
 def test_scd2_stale_update_ignored(spark):
