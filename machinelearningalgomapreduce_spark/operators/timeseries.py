@@ -170,6 +170,61 @@ _A, _G = HOLT_ALPHA, HOLT_GAMMA
 # to Spark's struct aggregate.
 _NEW_L = f"{_A} * x[1] + {1 - _A} * (acc[1] + acc[2])"
 
+def decompose_series(
+    spark: SparkSession, sf_dir: str, trend_window: int = 24, period: int = 24
+) -> DataFrame:
+    """Classical additive decomposition of each event type's hourly count
+    series (library API): y_t = trend_t + seasonal_{t mod period} +
+    residual_t.
+
+    - trend  = centered moving average over ±trend_window/2 hours
+      (partial at the series edges — averaging whatever the frame holds,
+      stated so the Python differential can reproduce it exactly);
+    - seasonal = per hour-of-day mean of the detrended series, re-centered
+      to sum to zero over the period (so trend keeps the level);
+    - residual = y − trend − seasonal (additivity holds by construction;
+      the TESTED contracts are the seasonal zero-sum, the exact window
+      arithmetic vs a Python reference, and determinism).
+
+    Scale shape: one counting aggregate to the (type × hour)-bounded
+    series; the windows run over that bounded frame partitioned by type —
+    the raw events are touched exactly once, the window state is
+    O(trend_window).
+    """
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    half = trend_window // 2
+    hourly = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").cast("double").alias("y"))
+    w_trend = (
+        W.partitionBy("event_type").orderBy("hour").rowsBetween(-half, half)
+    )
+    with_trend = hourly.withColumn("trend", F.avg("y").over(w_trend)).withColumn(
+        "hod", F.hour("hour")
+    )
+    seasonal_raw = (
+        with_trend.groupBy("event_type", "hod")
+        .agg(F.avg(F.col("y") - F.col("trend")).alias("s_raw"))
+    )
+    s_mean = seasonal_raw.groupBy("event_type").agg(F.avg("s_raw").alias("s_mean"))
+    seasonal = seasonal_raw.join(s_mean, "event_type").select(
+        "event_type", "hod", (F.col("s_raw") - F.col("s_mean")).alias("seasonal")
+    )
+    return (
+        with_trend.join(F.broadcast(seasonal), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hour",
+            "y",
+            "trend",
+            "seasonal",
+            (F.col("y") - F.col("trend") - F.col("seasonal")).alias("residual"),
+        )
+    )
+
+
 ORACLES = {
     "q_trend_fit": """
         WITH daily AS (

@@ -857,6 +857,116 @@ def test_hmm_forward_bit_equal_across_layouts(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", shuffle0)
 
 
+# -------------------------- SCC / decomposition / survival / isotonic
+
+def test_scc_forward_backward(spark):
+    """SCC(pivot) = forward-reach ∩ backward-reach on a digraph with two
+    cycles joined one-way."""
+    from machinelearningalgomapreduce_spark.operators.graph import scc_members
+
+    e = spark.createDataFrame(
+        [("a1", "a2"), ("a2", "a3"), ("a3", "a1"), ("a3", "b1"),
+         ("b1", "b2"), ("b2", "b1"), ("b2", "c1")],
+        "src string, dst string",
+    )
+    assert {r["node"] for r in scc_members(e, "a1").collect()} == {"a1", "a2", "a3"}
+    assert {r["node"] for r in scc_members(e, "b1").collect()} == {"b1", "b2"}
+    assert {r["node"] for r in scc_members(e, "c1").collect()} == {"c1"}
+
+
+def test_decompose_series_matches_python(spark, sf_dir):
+    """Additive decomposition: exact differential vs a Python re-fold for
+    one event type, seasonal zero-sum per type, exact additivity."""
+    from machinelearningalgomapreduce_spark.operators.timeseries import decompose_series
+
+    rows = decompose_series(spark, sf_dir).collect()
+    assert rows
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["hour"])
+        # Additivity is exact by construction.
+        for r in rs:
+            assert r["y"] == pytest.approx(
+                r["trend"] + r["seasonal"] + r["residual"], abs=1e-9
+            )
+        s_by_hod = {}
+        for r in rs:
+            s_by_hod[r["hour"].hour] = r["seasonal"]
+        assert sum(s_by_hod.values()) == pytest.approx(0.0, abs=1e-9)
+    # Python re-fold of the trend + seasonal pipeline for one type.
+    et, rs = next(iter(by_type.items()))
+    y = [r["y"] for r in rs]
+    half = 12
+    trend = [
+        sum(y[max(0, i - half): i + half + 1]) / len(y[max(0, i - half): i + half + 1])
+        for i in range(len(y))
+    ]
+    for r, tr in zip(rs, trend):
+        assert r["trend"] == pytest.approx(tr, rel=1e-12)
+
+
+def test_kaplan_meier_matches_python(spark, sf_dir):
+    """KM curve vs a pure-Python estimator over the same per-user
+    (duration, event) frame: risk sets, death counts and survival match;
+    survival is non-increasing from 1."""
+    from machinelearningalgomapreduce_spark.operators.behavior import kaplan_meier
+
+    got = sorted(kaplan_meier(spark, sf_dir).collect(), key=lambda r: r["t_s"])
+    assert got
+
+    events = load_tables(spark, sf_dir).events
+    us = F.unix_micros("ts")
+    clicks = {}
+    purchases = {}
+    last = {}
+    for r in events.select("user_id", "event_type", us.alias("us")).collect():
+        u = r["user_id"]
+        last[u] = max(last.get(u, 0), r["us"])
+        if r["event_type"] == "click":
+            clicks[u] = min(clicks.get(u, 1 << 62), r["us"])
+        elif r["event_type"] == "purchase":
+            purchases.setdefault(u, []).append(r["us"])
+    durations = []
+    for u, c in clicks.items():
+        after = [p for p in purchases.get(u, []) if p > c]
+        if after:
+            durations.append(((min(after) - c) // 1_000_000, True))
+        else:
+            durations.append(((last[u] - c) // 1_000_000, False))
+    durations = [(t, e) for t, e in durations if t >= 0]
+    times = sorted({t for t, _e in durations})
+    n_risk = len(durations)
+    s = 1.0
+    expect = {}
+    for t in times:
+        d = sum(1 for tt, e in durations if tt == t and e)
+        c = sum(1 for tt, e in durations if tt == t and not e)
+        if d:
+            s *= 1.0 - d / n_risk
+        expect[t] = (n_risk, d, c, s)
+        n_risk -= d + c
+    assert [r["t_s"] for r in got] == times
+    prev = 1.0
+    for r in got:
+        nr, d, c, s = expect[r["t_s"]]
+        assert (r["n_risk"], r["n_events"], r["n_censored"]) == (nr, d, c)
+        assert r["survival"] == pytest.approx(s, rel=1e-6)
+        assert r["survival"] <= prev + 1e-12
+        prev = r["survival"]
+
+
+def test_isotonic_fit_monotone(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators.ml import isotonic_fit
+
+    _model, calibrated = isotonic_fit(spark, sf_dir)
+    rows = sorted(calibrated.collect(), key=lambda r: r["score"])
+    preds = [r["prediction"] for r in rows]
+    assert all(b >= a - 1e-12 for a, b in zip(preds, preds[1:]))
+    assert 0.0 <= min(preds) and max(preds) <= 1.0
+
+
 # ----------------------------------- review-pass regression coverage
 
 def test_scd2_stale_update_ignored(spark):
