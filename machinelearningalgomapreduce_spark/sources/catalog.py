@@ -162,3 +162,15 @@ def load_tables(
             cat[name].cache()
         _persisted.add(key)
     return cat
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
+    """Register every fixture table as a temp view so ad-hoc `spark.sql`
+    runs against the same normalized scan layer the DataFrame API uses
+    (identical timestamp handling, shared plan-cache scan nodes) — the
+    full-SQL entry point for users migrating SQL-report jobs verbatim.
+    Returns the registered names."""
+    t = load_tables(spark, sf_dir)
+    for name in t.names():
+        t[name].createOrReplaceTempView(name)
+    return t.names()

@@ -857,6 +857,35 @@ def test_hmm_forward_bit_equal_across_layouts(spark, sf_dir):
         spark.conf.set("spark.sql.shuffle.partitions", shuffle0)
 
 
+def test_register_views_full_sql_surface(spark, sf_dir):
+    """All ten tables are queryable via plain spark.sql after one
+    register_views call; SQL results match the DataFrame API exactly."""
+    from machinelearningalgomapreduce_spark.sources.catalog import register_views
+
+    names = register_views(spark, sf_dir)
+    assert len(names) == 10
+    sql = spark.sql(
+        """
+        SELECT c.c_mktsegment AS seg, count(*) AS n,
+               round(sum(o.o_totalprice), 2) AS total
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_mktsegment ORDER BY seg
+        """
+    ).collect()
+    t = load_tables(spark, sf_dir)
+    df = (
+        t.customer.join(t.orders, t.orders.o_custkey == t.customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(F.count("*").alias("n"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .orderBy("seg")
+        .collect()
+    )
+    assert list(map(tuple, sql)) == list(map(tuple, df))
+    # Every registered view answers a trivial probe.
+    for name in names:
+        assert spark.sql(f"SELECT count(*) AS n FROM {name}").collect()[0]["n"] >= 0
+
+
 # -------------------------- SCC / decomposition / survival / isotonic
 
 def test_scc_forward_backward(spark):
