@@ -20,8 +20,10 @@ O(depth × width) rows regardless of input size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
 CM_DEPTH = 4
 CM_WIDTH = 256
@@ -132,3 +134,300 @@ def heavy_hitters(
         .filter(F.col("est_count") >= phi * F.col("n_total"))
         .select(F.col("item").alias(col), "est_count")
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked sketch queries (round-6 additions, deferred to the round-7
+# driver window — see registry.DEFERRED_NEXT_WINDOW).
+#
+# The library tier above hashes with xxhash64 (fastest JVM-side option);
+# the ORACLE-CHECKED queries below re-derive every bucket from md5, the
+# one hash both engines implement bit-identically, so each sketch cell is
+# an exact integer DuckDB reproduces. Determinism discipline: every output
+# column is an integer, an exact power-of-two sum (order-free in IEEE), or
+# a round-6 double of an identical scalar expression.
+
+CMQ_DEPTH = 4
+CMQ_WIDTH = 4096  # 3 md5 hex digits exactly
+HEAVY_PHI_INV = 1334  # keep est·1334 ≥ N (integer-exact gate, ~top-1% at sf0.01)
+KMV_K = 32
+KMV_BITS = 52  # 13 md5 hex digits — (k−1)·2^52 stays far inside BIGINT
+HLL_M = 32  # registers; md5 bits: 5 register + 47 rank domain
+HLL_ALPHA_32 = 0.697
+
+
+def _md5_hex_int(col: F.Column, prefix: str, ndigits: int) -> F.Column:
+    """First `ndigits` md5 hex digits of (prefix ‖ col) as a BIGINT —
+    the engine-portable uniform hash (kfold_assign discipline)."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(prefix), col.cast("string"))), 1, ndigits),
+        16,
+        10,
+    ).cast("bigint")
+
+
+def _sql_hex_int(expr: str, prefix: str, ndigits: int) -> str:
+    """DuckDB twin of _md5_hex_int: instr-expansion of the hex digits
+    (DuckDB has no conv(); the q_weighted_pick idiom, generated)."""
+    terms = []
+    for i in range(ndigits):
+        p = 16 ** (ndigits - 1 - i)
+        terms.append(
+            f"(instr('0123456789abcdef', substr(md5('{prefix}' || {expr}), {i + 1}, 1)) - 1)"
+            f" * CAST({p} AS BIGINT)"
+        )
+    return "(" + " + ".join(terms) + ")"
+
+
+def q_cm_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch of part-key frequencies as its cell table:
+    (row, col_idx, cnt) with md5-seeded buckets — the mergeable sketch
+    state itself is the query result, so the driver's oracle checks the
+    exact structure downstream estimates read.
+
+    Scale shape: one aggregate over a depth-way posexplode; map-side
+    combine collapses to ≤ depth×width rows per task regardless of input
+    size — the sketch never grows with the data."""
+    t = load_tables(spark, sf_dir)
+    key = F.col("l_partkey")
+    buckets = F.array(
+        *[F.pmod(_md5_hex_int(key, f"cm{r}:", 3), F.lit(CMQ_WIDTH)) for r in range(CMQ_DEPTH)]
+    )
+    return (
+        t.lineitem.select(F.posexplode(buckets).alias("row", "col_idx"))
+        .groupBy("row", "col_idx")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def q_cm_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """φ-heavy-hitter part keys via the md5 Count-Min sketch: estimate
+    every distinct key (min over its depth cells) and keep those with
+    est·{phi_inv} ≥ N — an integer-exact threshold, so the survivor set is
+    bit-deterministic. CM only overestimates → recall 1 on true heavy
+    hitters; width bounds the false-positive mass.
+
+    Scale shape: sketch ≤ depth×width rows (broadcast); probes are the
+    distinct-key stream; N comes from row 0 of the sketch itself — the
+    raw table is scanned exactly once (sketch build + distinct share it).
+    """
+    t = load_tables(spark, sf_dir)
+    sketch = q_cm_cells(spark, sf_dir)
+    total = sketch.filter(F.col("row") == 0).agg(F.sum("cnt").alias("n_total"))
+    key = F.col("l_partkey")
+    probes = t.lineitem.select("l_partkey").distinct().select(
+        "l_partkey",
+        F.posexplode(
+            F.array(
+                *[
+                    F.pmod(_md5_hex_int(key, f"cm{r}:", 3), F.lit(CMQ_WIDTH))
+                    for r in range(CMQ_DEPTH)
+                ]
+            )
+        ).alias("row", "col_idx"),
+    )
+    return (
+        probes.join(F.broadcast(sketch), ["row", "col_idx"], "left")
+        .groupBy("l_partkey")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est_count"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("est_count") * HEAVY_PHI_INV >= F.col("n_total"))
+        .select("l_partkey", "est_count")
+    )
+
+
+def q_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch over event users: keep the
+    k smallest 52-bit md5 values of the key; estimate = (k−1)·2^52 DIV
+    h_(k) — pure integer arithmetic, so the estimate is exact given the
+    hash set. The true distinct count rides along as the audit column.
+
+    Scale shape: per-partition top-k (TakeOrdered on the hash) — the
+    sketch state is k scalars; merging partitions keeps the k smallest,
+    the classic mergeable-KMV property. The estimate itself is O(1)."""
+    t = load_tables(spark, sf_dir)
+    hashes = t.events.select(
+        _md5_hex_int(F.col("user_id"), "kmv:", 13).alias("h")
+    ).distinct()
+    kth = (
+        hashes.orderBy("h")
+        .limit(KMV_K)
+        .agg(F.max("h").alias("kth_hash"), F.count("*").alias("k"))
+    )
+    truth = t.events.agg(F.countDistinct("user_id").alias("true_distinct"))
+    # Sketch not full (k < K): every hash was kept, the count is exact —
+    # the standard KMV small-range branch.
+    est = F.when(
+        F.col("k") < KMV_K, F.col("k")
+    ).otherwise(F.expr(f"CAST({(KMV_K - 1) * 2**KMV_BITS} AS BIGINT) DIV kth_hash"))
+    return kth.crossJoin(F.broadcast(truth)).select(
+        "k", "kth_hash", est.alias("est_distinct"), "true_distinct"
+    )
+
+
+def q_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit HyperLogLog register table over event users: 52 md5 bits
+    split into 5 register-index bits and 47 rank-domain bits; each
+    register keeps max(ρ(w)) with ρ = index of the lowest set bit + 1
+    (computed exactly: log2 of the isolated low bit — a power of two, so
+    the log is exact in IEEE). This is the engine-portable twin of the
+    Datasketches-backed hll_daily_sketches above, emitted as plain rows
+    so the oracle can rebuild it.
+
+    Scale shape: one aggregate to ≤ m rows; registers merge by max —
+    the mergeability that lets 100 TB of days combine without rescans."""
+    t = load_tables(spark, sf_dir)
+    h = _md5_hex_int(F.col("user_id"), "hll:", 13)
+    keys = t.events.select(h.alias("h")).distinct()
+    return keys.select(
+        F.pmod(F.col("h"), F.lit(HLL_M)).alias("reg"),
+        F.expr(f"h DIV {HLL_M}").alias("w"),
+    ).select(
+        "reg",
+        F.when(F.col("w") == 0, F.lit(KMV_BITS - 5 + 1))
+        .otherwise(F.log2(F.col("w").bitwiseAND(-F.col("w"))).cast("int") + 1)
+        .alias("rho"),
+    ).groupBy("reg").agg(
+        F.max("rho").alias("max_rank"), F.count("*").alias("n_keys")
+    )
+
+
+def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL cardinality estimate from the md5 register table: raw estimate
+    α·m²/Z with Z = Σ 2^(−M_j) (absent registers contribute 2⁰ = 1), with
+    the standard linear-counting correction below 2.5·m when empty
+    registers exist. Z is a sum of exact powers of two — order-free in
+    IEEE — so the estimate is bit-deterministic; the final value rounds
+    to 6. True distinct rides along as the audit column.
+
+    Scale shape: O(m) arithmetic over the register table; the raw data
+    is touched once by the register build."""
+    regs = q_hll_registers(spark, sf_dir)
+    t = load_tables(spark, sf_dir)
+    truth = t.events.agg(F.countDistinct("user_id").alias("true_distinct"))
+    agg = regs.agg(
+        F.count("*").alias("n_obs"),
+        F.sum(F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), max_rank) AS DOUBLE)")).alias("z_obs"),
+    )
+    n_zero = F.lit(HLL_M) - F.col("n_obs")
+    z = F.col("z_obs") + n_zero.cast("double")
+    raw = F.lit(HLL_ALPHA_32 * HLL_M * HLL_M) / z
+    corrected = F.when(
+        (raw <= 2.5 * HLL_M) & (n_zero > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / n_zero.cast("double")),
+    ).otherwise(raw)
+    return agg.crossJoin(F.broadcast(truth)).select(
+        F.lit(HLL_M).alias("m"),
+        n_zero.cast("bigint").alias("n_zero"),
+        F.round(raw, 6).alias("est_raw"),
+        F.round(corrected, 6).alias("est_distinct"),
+        "true_distinct",
+    )
+
+
+def _cm_bucket_sql(r: int) -> str:
+    return f"({_sql_hex_int('CAST(l_partkey AS VARCHAR)', f'cm{r}:', 3)} % {CMQ_WIDTH})"
+
+
+_CM_CELLS_SQL = f"""
+    WITH probes AS (
+        {" UNION ALL ".join(f"SELECT {r} AS row, {_cm_bucket_sql(r)} AS col_idx FROM lineitem" for r in range(CMQ_DEPTH))}
+    )
+    SELECT row, col_idx, count(*) AS cnt FROM probes GROUP BY row, col_idx
+"""
+
+_CM_HEAVY_SQL = f"""
+    WITH sketch AS (
+        SELECT row, col_idx, count(*) AS cnt FROM (
+            {" UNION ALL ".join(f"SELECT {r} AS row, {_cm_bucket_sql(r)} AS col_idx FROM lineitem" for r in range(CMQ_DEPTH))}
+        ) GROUP BY row, col_idx
+    ),
+    total AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM sketch WHERE row = 0),
+    probes AS (
+        {" UNION ALL ".join(f"SELECT l_partkey, {r} AS row, {_cm_bucket_sql(r)} AS col_idx FROM (SELECT DISTINCT l_partkey FROM lineitem)" for r in range(CMQ_DEPTH))}
+    ),
+    ests AS (
+        SELECT p.l_partkey, min(coalesce(s.cnt, 0)) AS est_count
+        FROM probes p LEFT JOIN sketch s ON p.row = s.row AND p.col_idx = s.col_idx
+        GROUP BY p.l_partkey
+    )
+    SELECT l_partkey, CAST(est_count AS BIGINT) AS est_count
+    FROM ests, total WHERE est_count * {HEAVY_PHI_INV} >= n_total
+"""
+
+_KMV_SQL = f"""
+    WITH hashes AS (
+        SELECT DISTINCT {_sql_hex_int("CAST(user_id AS VARCHAR)", "kmv:", 13)} AS h
+        FROM events
+    ),
+    kth AS (
+        SELECT max(h) AS kth_hash, CAST(count(*) AS BIGINT) AS k
+        FROM (SELECT h FROM hashes ORDER BY h LIMIT {KMV_K})
+    )
+    SELECT k, kth_hash,
+           CASE WHEN k < {KMV_K} THEN k
+                ELSE CAST({(KMV_K - 1) * 2**KMV_BITS} AS BIGINT) // kth_hash
+           END AS est_distinct,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS true_distinct
+    FROM kth
+"""
+
+_HLL_REG_CTES = f"""
+    keys AS (
+        SELECT DISTINCT {_sql_hex_int("CAST(user_id AS VARCHAR)", "hll:", 13)} AS h
+        FROM events
+    ),
+    split AS (
+        SELECT h % {HLL_M} AS reg, h // {HLL_M} AS w FROM keys
+    ),
+    ranked AS (
+        SELECT reg,
+               CASE WHEN w = 0 THEN {KMV_BITS - 5 + 1}
+                    ELSE CAST(log2(w & -w) AS INTEGER) + 1 END AS rho
+        FROM split
+    ),
+    regs AS (
+        SELECT reg, max(rho) AS max_rank, CAST(count(*) AS BIGINT) AS n_keys
+        FROM ranked GROUP BY reg
+    )"""
+
+_HLL_REG_SQL = f"""
+    WITH {_HLL_REG_CTES}
+    SELECT CAST(reg AS BIGINT) AS reg, CAST(max_rank AS INTEGER) AS max_rank, n_keys
+    FROM regs
+"""
+
+_HLL_EST_SQL = f"""
+    WITH {_HLL_REG_CTES},
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_obs,
+               sum(1.0 / CAST(CAST(1 AS BIGINT) << max_rank AS DOUBLE)) AS z_obs
+        FROM regs
+    )
+    SELECT CAST({HLL_M} AS INTEGER) AS m,
+           CAST({HLL_M} - n_obs AS BIGINT) AS n_zero,
+           round({HLL_ALPHA_32 * HLL_M * HLL_M} / (z_obs + CAST({HLL_M} - n_obs AS DOUBLE)), 6) AS est_raw,
+           round(CASE WHEN {HLL_ALPHA_32 * HLL_M * HLL_M} / (z_obs + CAST({HLL_M} - n_obs AS DOUBLE)) <= {2.5 * HLL_M}
+                       AND {HLL_M} - n_obs > 0
+                      THEN {float(HLL_M)} * ln({float(HLL_M)} / CAST({HLL_M} - n_obs AS DOUBLE))
+                      ELSE {HLL_ALPHA_32 * HLL_M * HLL_M} / (z_obs + CAST({HLL_M} - n_obs AS DOUBLE)) END, 6)
+               AS est_distinct,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events) AS true_distinct
+    FROM agg
+"""
+
+QUERIES = {
+    "q_cm_cells": q_cm_cells,
+    "q_cm_heavy": q_cm_heavy,
+    "q_kmv_distinct": q_kmv_distinct,
+    "q_hll_registers": q_hll_registers,
+    "q_hll_estimate": q_hll_estimate,
+}
+
+ORACLES = {
+    "q_cm_cells": _CM_CELLS_SQL,
+    "q_cm_heavy": _CM_HEAVY_SQL,
+    "q_kmv_distinct": _KMV_SQL,
+    "q_hll_registers": _HLL_REG_SQL,
+    "q_hll_estimate": _HLL_EST_SQL,
+}

@@ -42,6 +42,8 @@ _MODULES = (
     "machinelearningalgomapreduce_spark.operators.classifier",
     "machinelearningalgomapreduce_spark.operators.behavior",
     "machinelearningalgomapreduce_spark.operators.classicml",
+    "machinelearningalgomapreduce_spark.operators.sketches",
+    "machinelearningalgomapreduce_spark.operators.sequence",
 )
 
 # Per-query LATEST green driver round (from CORRECTNESS_r{N}.json on disk).
@@ -119,6 +121,31 @@ DRIVER_GREEN_ROUND = {
 # the ledger-absorption guard do set algebra against it).
 DRIVER_GREEN = frozenset(DRIVER_GREEN_ROUND)
 
+# Never-driver-green queries ADDED MID-ROUND after the round's 50-entry
+# driver window was already committed to a specific cohort (VERDICT r5
+# item 3 prescribes round 6's window = the 4 driver-red classicml queries
+# + 46 of the stale-r2 cohort). A brand-new query would sort to the front
+# (key 0) and displace a prescribed entry, so mid-round additions are
+# DEFERRED: they take sort key 2.5 — after the stale-r2 cohort (key 2)
+# this round, but ahead of every fresher cohort, so the NEXT round's
+# window picks them up first (after any still-stale r2 rows). Remove
+# names from this set once they gain a DRIVER_GREEN_ROUND entry.
+DEFERRED_NEXT_WINDOW: frozenset[str] = frozenset({
+    # sketches (md5-bucket oracle-checked forms)
+    "q_cm_cells", "q_cm_heavy", "q_kmv_distinct",
+    "q_hll_registers", "q_hll_estimate",
+})
+_DEFER_KEY = 2.5
+
+
+def sort_key(name: str) -> float:
+    """Registry ordering key: never-green first (0), then oldest latest
+    green round; mid-round deferred additions slot between the stale-r2
+    cohort and the r3 cohort (see DEFERRED_NEXT_WINDOW)."""
+    if name in DRIVER_GREEN_ROUND:
+        return float(DRIVER_GREEN_ROUND[name])
+    return _DEFER_KEY if name in DEFERRED_NEXT_WINDOW else 0.0
+
 
 def _collect() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
     import importlib
@@ -146,7 +173,9 @@ def _collect() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dic
     # Tiered order: never-driver-green first, then by OLDEST latest-green
     # round (stable within tier), so the driver's 50-entry window checks
     # no-evidence queries first and otherwise re-greens the stalest rows.
-    order = sorted(queries, key=lambda n: DRIVER_GREEN_ROUND.get(n, 0))
+    # Mid-round additions are deferred behind the prescribed window
+    # (DEFERRED_NEXT_WINDOW above).
+    order = sorted(queries, key=sort_key)
     queries = {n: queries[n] for n in order}
     oracles = {n: oracles[n] for n in order}
     return queries, oracles

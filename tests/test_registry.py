@@ -84,8 +84,20 @@ def test_driver_window_covers_never_checked_modules():
     allowed — the overflow rotates into the window next round once this
     round's CORRECTNESS greens move into DRIVER_GREEN."""
     order = list(registry.queries())
-    never_green = [n for n in order if n not in registry.DRIVER_GREEN]
+    # Mid-round deferred additions (DEFERRED_NEXT_WINDOW) are never-green
+    # but intentionally sorted behind the prescribed window; the leading
+    # tier is the NON-deferred never-green set.
+    never_green = [
+        n for n in order
+        if n not in registry.DRIVER_GREEN and n not in registry.DEFERRED_NEXT_WINDOW
+    ]
     assert not registry.DRIVER_GREEN - set(order), "DRIVER_GREEN names unknown queries"
+    assert not registry.DEFERRED_NEXT_WINDOW - set(order), (
+        "DEFERRED_NEXT_WINDOW names unknown queries"
+    )
+    assert not registry.DEFERRED_NEXT_WINDOW & registry.DRIVER_GREEN, (
+        "a driver-green query must not stay deferred — drop it from the set"
+    )
     if len(never_green) > 50:
         # Window must consist ENTIRELY of never-green queries.
         wasted = [n for n in order[:50] if n in registry.DRIVER_GREEN]
@@ -102,7 +114,7 @@ def test_registry_order_rotates_stalest_evidence_first():
     must be non-decreasing in latest-green round, with never-green (round 0)
     leading if any ever reappear."""
     order = list(registry.queries())
-    rounds = [registry.DRIVER_GREEN_ROUND.get(n, 0) for n in order]
+    rounds = [registry.sort_key(n) for n in order]
     assert rounds == sorted(rounds), "order not oldest-green-first"
     # The stalest cohort must fill the window before any fresher row.
     window_rounds = set(rounds[:50])
