@@ -328,12 +328,124 @@ def kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kaplan-Meier risk table in exact integers: one row per
+    distinct conversion time with (n_risk, n_events, n_censored) — all
+    BIGINT prefix sums — plus the discrete hazard d/n as a half-up
+    micro-unit BIGINT. The float survival product stays on the
+    `kaplan_meier` library API (pytest-differentialed); this is its
+    oracle-checkable integer core.
+
+    Scale shape: inherits kaplan_meier's (two per-user aggregates + one
+    value-compressed rollup + windows over the distinct-time frame)."""
+    km = kaplan_meier(spark, sf_dir)
+    return km.select(
+        "t_s",
+        "n_risk",
+        "n_events",
+        "n_censored",
+        F.floor(
+            (2 * F.col("n_events") * 1_000_000 + F.col("n_risk"))
+            / (2 * F.col("n_risk"))
+        ).cast("bigint").alias("hazard_micro"),
+    )
+
+
+def q_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic RFM customer segmentation: recency (days since last order,
+    anchored at the corpus max date — data-derived, deterministic),
+    frequency (order count), monetary (floor-cents revenue) → quintile
+    scores via ntile over fully tie-broken orders → 3-digit segment
+    rollup. Every scoring input is an exact integer and every ntile
+    order ends in the unique custkey, so segment membership is
+    bit-deterministic.
+
+    Scale shape: one customer-keyed aggregate over orders; the ntile
+    windows are global sorts over the CUSTOMER domain (≪ fact table) —
+    at extreme customer counts swap ntile for percent_rank over the same
+    order or a 2-pass histogram quantile, same downstream contract."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    anchor = t.orders.agg(F.max("o_orderdate").alias("anchor"))
+    per_cust = (
+        t.orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff("anchor", "last_order").cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary_cents",
+        )
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary_cents",
+        F.ntile(5).over(W.orderBy("recency_days", "o_custkey")).alias("r_q"),
+        F.ntile(5).over(W.orderBy(F.desc("frequency"), F.col("o_custkey"))).alias("f_q"),
+        F.ntile(5).over(W.orderBy(F.desc("monetary_cents"), F.col("o_custkey"))).alias("m_q"),
+    )
+    return (
+        scored.groupBy(
+            (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).alias("segment")
+        )
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.sum("monetary_cents").alias("monetary_cents"),
+        )
+    )
+
+
+def q_session_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy of the event-type mix: H = −Σ p·ln p over
+    exact count ratios, folded in sorted type order (the q_mutual_info
+    discipline — no unordered float summation), rounded to 6.
+
+    Scale shape: one (user, type) counting aggregate + one per-user O(V)
+    rollup; V (event types) is a bounded domain."""
+    t = load_tables(spark, sf_dir)
+    per = t.events.groupBy("user_id", "event_type").agg(F.count("*").alias("c"))
+    tot = per.groupBy("user_id").agg(
+        F.sum("c").alias("n_events"), F.count("*").alias("n_types")
+    )
+    p = F.col("c").cast("double") / F.col("n_events").cast("double")
+    term = (-(p * F.log(p))).alias("t")
+    return (
+        per.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_types").alias("n_types"),
+            F.round(
+                F.aggregate(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("event_type").alias("g"), term))
+                    ),
+                    F.lit(0.0),
+                    lambda acc, s: acc + s["t"],
+                ),
+                6,
+            ).alias("entropy"),
+        )
+    )
+
+
 QUERIES = {
     "q_time_to_convert": q_time_to_convert,
     "q_bounce_rate": q_bounce_rate,
     "q_gap_histogram": q_gap_histogram,
     "q_burstiness": q_burstiness,
     "q_sma_crossover": q_sma_crossover,
+    "q_survival_curve": q_survival_curve,
+    "q_rfm_segments": q_rfm_segments,
+    "q_session_entropy": q_session_entropy,
 }
 
 ORACLES = {
@@ -461,5 +573,92 @@ ORACLES = {
         GROUP BY user_id
         ORDER BY n_crossovers DESC, user_id
         LIMIT 20
+    """,
+    "q_survival_curve": """
+        WITH first_click AS (
+            SELECT user_id, min(epoch_us(ts)) AS c_us
+            FROM events WHERE event_type = 'click'
+            GROUP BY user_id
+        ),
+        first_purchase AS (
+            SELECT e.user_id, min(epoch_us(e.ts)) AS p_us
+            FROM events e JOIN first_click c USING (user_id)
+            WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_us
+            GROUP BY e.user_id
+        ),
+        last_seen AS (
+            SELECT e.user_id, max(epoch_us(e.ts)) AS l_us
+            FROM events e JOIN first_click c USING (user_id)
+            GROUP BY e.user_id
+        ),
+        per_user AS (
+            SELECT c.user_id, p.p_us IS NOT NULL AS event,
+                   (coalesce(p.p_us, l.l_us) - c.c_us) // 1000000 AS t_s
+            FROM first_click c
+            LEFT JOIN first_purchase p USING (user_id)
+            JOIN last_seen l USING (user_id)
+            WHERE (coalesce(p.p_us, l.l_us) - c.c_us) // 1000000 >= 0
+        ),
+        per_t AS (
+            SELECT t_s,
+                   CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+            FROM per_user GROUP BY t_s
+        ),
+        tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM per_user),
+        risk AS (
+            SELECT t_s, n_events, n_censored,
+                   (SELECT n_total FROM tot)
+                   - coalesce(sum(n_events + n_censored)
+                              OVER (ORDER BY t_s
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                              0) AS n_risk
+            FROM per_t
+        )
+        SELECT t_s, CAST(n_risk AS BIGINT) AS n_risk, n_events, n_censored,
+               CAST(floor((2 * n_events * 1000000 + n_risk)
+                          / (2 * n_risk)) AS BIGINT) AS hazard_micro
+        FROM risk
+    """,
+    "q_rfm_segments": """
+        WITH anchor AS (SELECT max(o_orderdate) AS anchor FROM orders),
+        per_cust AS (
+            SELECT o_custkey,
+                   CAST(datediff('day', max(o_orderdate),
+                                 (SELECT anchor FROM anchor)) AS BIGINT) AS recency_days,
+                   CAST(count(*) AS BIGINT) AS frequency,
+                   CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS monetary_cents
+            FROM orders GROUP BY o_custkey
+        ),
+        scored AS (
+            SELECT o_custkey, monetary_cents,
+                   ntile(5) OVER (ORDER BY recency_days, o_custkey) AS r_q,
+                   ntile(5) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+                   ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey) AS m_q
+            FROM per_cust
+        )
+        SELECT CAST(r_q * 100 + f_q * 10 + m_q AS INTEGER) AS segment,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(sum(monetary_cents) AS BIGINT) AS monetary_cents
+        FROM scored GROUP BY 1
+    """,
+    "q_session_entropy": """
+        WITH per AS (
+            SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS c
+            FROM events GROUP BY user_id, event_type
+        ),
+        tot AS (
+            SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+                   CAST(count(*) AS BIGINT) AS n_types
+            FROM per GROUP BY user_id
+        )
+        SELECT p.user_id, max(t.n_events) AS n_events, max(t.n_types) AS n_types,
+               round(list_sum(list(
+                   -(CAST(p.c AS DOUBLE) / CAST(t.n_events AS DOUBLE))
+                   * ln(CAST(p.c AS DOUBLE) / CAST(t.n_events AS DOUBLE))
+                   ORDER BY p.event_type)), 6) AS entropy
+        FROM per p JOIN tot t ON p.user_id = t.user_id
+        GROUP BY p.user_id
     """,
 }

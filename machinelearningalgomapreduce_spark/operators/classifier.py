@@ -201,7 +201,74 @@ def q_lift_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiny_sorted(agg, "decile")
 
 
+ISO_BINS = 20
+
+
+def q_isotonic_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Isotonic (PAV) calibration over the equal-width score bins: the
+    monotone non-decreasing fit to the per-bin positive rates via the
+    exact minimax identity ŷ_b = max_{j≤b} min_{k≥b} rate(j..k) with
+    weighted pooled rates from prefix sums — the closed form of
+    pool-adjacent-violators, so no iterative pooling is needed. All
+    pooled rates are identical divisions of exact integer prefix sums;
+    min/max over identical doubles are bit-deterministic. The oracle-
+    checked twin of the MLlib `isotonic_fit` library API (pytest asserts
+    this fit matches IsotonicRegression's predictions on the bin means).
+
+    Scale shape: raw rows aggregate once into ≤ ISO_BINS rows; the
+    O(bins³) minimax runs on that bounded frame (8000 combinations) —
+    constant work regardless of corpus size."""
+    scored = _scored(spark, sf_dir)
+    bounds = scored.agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
+    binned = scored.crossJoin(F.broadcast(bounds)).select(
+        F.least(
+            F.lit(ISO_BINS - 1),
+            F.floor(
+                (F.col("score") - F.col("mn"))
+                / (F.col("mx") - F.col("mn"))
+                * ISO_BINS
+            ),
+        ).cast("int").alias("bin"),
+        "pos",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count("*").alias("n"), F.sum("pos").alias("pos")
+    )
+    w = W.orderBy("bin").rowsBetween(W.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin", "n", "pos",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("pos").over(w).alias("cp"),
+    )
+    j, k, b = cum.alias("j"), cum.alias("k"), cum.select("bin", "n", "pos").alias("b")
+    pair_rate = (
+        (F.col("k.cp") - F.col("j.cp") + F.col("j.pos")).cast("double")
+        / (F.col("k.cn") - F.col("j.cn") + F.col("j.n")).cast("double")
+    )
+    pairs = j.join(k, F.col("j.bin") <= F.col("k.bin")).select(
+        F.col("j.bin").alias("jb"), F.col("k.bin").alias("kb"), pair_rate.alias("rate")
+    )
+    m_bj = (
+        b.join(pairs, (F.col("jb") <= F.col("b.bin")) & (F.col("kb") >= F.col("b.bin")))
+        .groupBy(F.col("b.bin").alias("bin"), F.col("jb"))
+        .agg(
+            F.max("b.n").alias("n"),
+            F.max("b.pos").alias("pos"),
+            F.min("rate").alias("m"),
+        )
+    )
+    return (
+        m_bj.groupBy("bin")
+        .agg(
+            F.max("n").alias("n"),
+            F.max("pos").alias("pos"),
+            F.round(F.max("m"), 6).alias("fitted"),
+        )
+    )
+
+
 QUERIES = {
+    "q_isotonic_bins": q_isotonic_bins,
     "q_auc": q_auc,
     "q_confusion_binary": q_confusion_binary,
     "q_pr_threshold": q_pr_threshold,
@@ -210,6 +277,44 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_isotonic_bins": f"""
+        WITH scored AS ({_SCORED_SQL}),
+        bounds AS (SELECT min(score) AS mn, max(score) AS mx FROM scored),
+        binned AS (
+            SELECT CAST(least({ISO_BINS - 1},
+                              floor((score - (SELECT mn FROM bounds))
+                                    / ((SELECT mx FROM bounds) - (SELECT mn FROM bounds))
+                                    * {ISO_BINS})) AS INTEGER) AS bin,
+                   pos
+            FROM scored
+        ),
+        bins AS (
+            SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(pos) AS BIGINT) AS pos
+            FROM binned GROUP BY bin
+        ),
+        cum AS (
+            SELECT bin, n, pos,
+                   CAST(sum(n) OVER w AS BIGINT) AS cn,
+                   CAST(sum(pos) OVER w AS BIGINT) AS cp
+            FROM bins
+            WINDOW w AS (ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        ),
+        pairs AS (
+            SELECT j.bin AS jb, k.bin AS kb,
+                   CAST(k.cp - j.cp + j.pos AS DOUBLE)
+                   / CAST(k.cn - j.cn + j.n AS DOUBLE) AS rate
+            FROM cum j JOIN cum k ON j.bin <= k.bin
+        ),
+        m_bj AS (
+            SELECT b.bin, p.jb, max(b.n) AS n, max(b.pos) AS pos,
+                   min(p.rate) AS m
+            FROM bins b JOIN pairs p ON p.jb <= b.bin AND p.kb >= b.bin
+            GROUP BY b.bin, p.jb
+        )
+        SELECT bin, max(n) AS n, max(pos) AS pos, round(max(m), 6) AS fitted
+        FROM m_bj GROUP BY bin
+    """,
     "q_auc": f"""
         WITH scored AS ({_SCORED_SQL}),
         per AS (SELECT score,

@@ -505,6 +505,118 @@ def levene_test(
     )
 
 
+def q_levene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe (median-centered Levene) homogeneity-of-variance
+    test of extended price across return flags — oracle-checked twin of
+    the `levene_test` library API, in exact integers: values live as
+    2×cents BIGINTs so the interpolated per-group median is an exact
+    integer, deviations |2c − m2| are exact BIGINTs, and the sufficient
+    statistics are BIGINT/DECIMAL sums (order-free). W derives from the
+    sums via identical double expressions; the k-term rollups fold in
+    sorted group order (the q_kruskal_wallis discipline). W is invariant
+    to the 2×cents scaling.
+
+    Scale shape: one per-group exact median (per-group sort at scale —
+    swap approx_percentile for huge groups), a broadcast O(k) join, one
+    moments aggregate, an O(k) ordered rollup."""
+    t = load_tables(spark, sf_dir)
+    c2 = (2 * F.floor(F.col("l_extendedprice") * 100)).cast("bigint")
+    vals = t.lineitem.select(F.col("l_returnflag").alias("g"), c2.alias("c2"))
+    centers = vals.groupBy("g").agg(
+        F.percentile(F.col("c2"), F.lit(0.5)).cast("bigint").alias("m2")
+    )
+    per = vals.join(F.broadcast(centers), "g").select(
+        "g", F.abs(F.col("c2") - F.col("m2")).alias("z")
+    )
+    grp = per.groupBy("g").agg(
+        F.count("*").alias("n_i"),
+        F.sum("z").alias("s_i"),
+        F.sum(F.col("z").cast("decimal(19,0)") * F.col("z")).alias("ss_i"),
+    )
+    s_d = F.col("s_i").cast("double")
+    ss_d = F.col("ss_i").cast("double")
+    n_d = F.col("n_i").cast("double")
+    w_term = (ss_d - s_d * s_d / n_d).alias("t")
+    b_term = (s_d * s_d / n_d).alias("t")
+
+    def ordered_sum(term):
+        return F.aggregate(
+            F.sort_array(F.collect_list(F.struct(F.col("g"), term))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        )
+
+    roll = grp.agg(
+        F.sum("n_i").alias("n"),
+        F.count("*").alias("k"),
+        F.sum("s_i").alias("sz_all"),
+        ordered_sum(w_term).alias("ss_within"),
+        ordered_sum(b_term).alias("sum_sq_over_n"),
+    )
+    nn = F.col("n").cast("double")
+    sz = F.col("sz_all").cast("double")
+    ss_between = F.col("sum_sq_over_n") - sz * sz / nn
+    w = (
+        (F.col("n") - F.col("k")).cast("double")
+        / (F.col("k") - 1).cast("double")
+        * ss_between
+        / F.col("ss_within")
+    )
+    return roll.select(
+        F.col("k").alias("n_groups"),
+        F.col("n").alias("n_obs"),
+        (F.col("k") - 1).cast("bigint").alias("df1"),
+        (F.col("n") - F.col("k")).alias("df2"),
+        F.round(w, 6).alias("w_stat"),
+    )
+
+
+def q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grubbs-style max-studentized-deviation outlier score per nation on
+    customer account balances: G = max |c − mean| / sd over exact
+    cent-integer sufficient statistics (BIGINT/DECIMAL sums → identical
+    doubles), argmax customer with deterministic ties (score desc,
+    custkey asc).
+
+    Scale shape: one moments aggregate per nation (map-side partials) +
+    one broadcast join back for the per-row scores + one min_by argmax —
+    two passes over customer, no sort."""
+    t = load_tables(spark, sf_dir)
+    cents = F.floor(F.col("c_acctbal") * 100).cast("bigint")
+    vals = t.customer.select(
+        F.col("c_nationkey").alias("nation"), F.col("c_custkey"), cents.alias("c")
+    )
+    stats = vals.groupBy("nation").agg(
+        F.count("*").alias("n"),
+        F.sum("c").alias("s1"),
+        F.sum(F.col("c").cast("decimal(19,0)") * F.col("c")).alias("s2"),
+    )
+    n_d = F.col("n").cast("double")
+    s1_d = F.col("s1").cast("double")
+    s2_d = F.col("s2").cast("double")
+    var = (n_d * s2_d - s1_d * s1_d) / (n_d * (n_d - 1.0))
+    scored = vals.join(F.broadcast(stats), "nation").select(
+        "nation",
+        "c_custkey",
+        "c",
+        "n",
+        (
+            F.abs(F.col("c").cast("double") - s1_d / n_d) / F.sqrt(var)
+        ).alias("z"),
+    )
+    return (
+        scored.groupBy("nation")
+        .agg(
+            F.max("n").alias("n"),
+            F.round(F.max("z"), 6).alias("g_stat"),
+            F.min_by(
+                "c_custkey", F.struct((-F.col("z")).alias("nz"), F.col("c_custkey"))
+            ).alias("suspect_custkey"),
+        )
+        .select("nation", "n", "g_stat", "suspect_custkey")
+    )
+
+
 QUERIES = {
     "q_anova": q_anova,
     "q_chi2": q_chi2,
@@ -516,9 +628,83 @@ QUERIES = {
     "q_silhouette": q_silhouette,
     "q_outlier_iqr": q_outlier_iqr,
     "q_winsorize": q_winsorize,
+    "q_levene": q_levene,
+    "q_grubbs": q_grubbs,
 }
 
 ORACLES = {
+    "q_levene": """
+        WITH vals AS (
+            SELECT l_returnflag AS g,
+                   CAST(2 * floor(l_extendedprice * 100) AS BIGINT) AS c2
+            FROM lineitem
+        ),
+        centers AS (
+            SELECT g, CAST(quantile_cont(c2, 0.5) AS BIGINT) AS m2
+            FROM vals GROUP BY g
+        ),
+        per AS (
+            SELECT v.g, abs(v.c2 - c.m2) AS z
+            FROM vals v JOIN centers c ON v.g = c.g
+        ),
+        grp AS (
+            SELECT g, CAST(count(*) AS BIGINT) AS n_i,
+                   CAST(sum(z) AS BIGINT) AS s_i,
+                   sum(CAST(z AS HUGEINT) * z) AS ss_i
+            FROM per GROUP BY g
+        ),
+        roll AS (
+            SELECT CAST(sum(n_i) AS BIGINT) AS n,
+                   CAST(count(*) AS BIGINT) AS k,
+                   CAST(sum(s_i) AS BIGINT) AS sz_all,
+                   list_sum(list(CAST(ss_i AS DOUBLE)
+                                 - CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE)
+                                   / CAST(n_i AS DOUBLE)
+                                 ORDER BY g)) AS ss_within,
+                   list_sum(list(CAST(s_i AS DOUBLE) * CAST(s_i AS DOUBLE)
+                                 / CAST(n_i AS DOUBLE)
+                                 ORDER BY g)) AS sum_sq_over_n
+            FROM grp
+        )
+        SELECT k AS n_groups, n AS n_obs,
+               k - 1 AS df1, n - k AS df2,
+               round(CAST(n - k AS DOUBLE) / CAST(k - 1 AS DOUBLE)
+                     * (sum_sq_over_n
+                        - CAST(sz_all AS DOUBLE) * CAST(sz_all AS DOUBLE)
+                          / CAST(n AS DOUBLE))
+                     / ss_within, 6) AS w_stat
+        FROM roll
+    """,
+    "q_grubbs": """
+        WITH vals AS (
+            SELECT c_nationkey AS nation, c_custkey,
+                   CAST(floor(c_acctbal * 100) AS BIGINT) AS c
+            FROM customer
+        ),
+        stats AS (
+            SELECT nation, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(c) AS BIGINT) AS s1,
+                   sum(CAST(c AS HUGEINT) * c) AS s2
+            FROM vals GROUP BY nation
+        ),
+        scored AS (
+            SELECT v.nation, v.c_custkey, s.n,
+                   abs(CAST(v.c AS DOUBLE)
+                       - CAST(s.s1 AS DOUBLE) / CAST(s.n AS DOUBLE))
+                   / sqrt((CAST(s.n AS DOUBLE) * CAST(s.s2 AS DOUBLE)
+                           - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE))
+                          / (CAST(s.n AS DOUBLE) * (CAST(s.n AS DOUBLE) - 1.0)))
+                       AS z
+            FROM vals v JOIN stats s ON v.nation = s.nation
+        )
+        SELECT nation, n, round(z, 6) AS g_stat, c_custkey AS suspect_custkey
+        FROM (
+            SELECT nation, n, z, c_custkey,
+                   row_number() OVER (PARTITION BY nation
+                                      ORDER BY z DESC, c_custkey) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    """,
     "q_anova": """
         WITH groups AS (
             SELECT event_type, count(*) AS n_g,

@@ -553,7 +553,37 @@ def q_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_rate_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-over-hour rate of change per event type: each hour's count
+    against the previous OBSERVED hour (lag over the hourly series) with
+    the relative change as a ratio of exact integers — the monitoring
+    primitive behind spike/drop alerting. Top-20 largest absolute
+    changes, fully tie-broken.
+
+    Scale shape: raw events collapse once to the (type × hour)-bounded
+    series; the lag window and the top-k run over that bounded frame."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("y"))
+    w = W.partitionBy("event_type").orderBy("hour")
+    with_prev = hourly.select(
+        "event_type", "hour", "y", F.lag("y").over(w).alias("y_prev")
+    ).filter(F.col("y_prev").isNotNull())
+    chg = (F.col("y") - F.col("y_prev")).cast("double") / F.col("y_prev").cast("double")
+    return (
+        with_prev.select(
+            "event_type", "hour", "y", "y_prev", F.round(chg, 6).alias("pct_change")
+        )
+        .orderBy(F.abs(F.col("pct_change")).desc(), F.col("event_type"), F.col("hour"))
+        .limit(20)
+    )
+
+
 QUERIES = {
+    "q_event_rate_change": q_event_rate_change,
     "q_events_tumbling": q_events_tumbling,
     "q_rolling_median": q_rolling_median,
     "q_seasonal_profile": q_seasonal_profile,
@@ -573,6 +603,25 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_event_rate_change": """
+        WITH hourly AS (
+            SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        wp AS (
+            SELECT event_type, hour, y,
+                   lag(y) OVER (PARTITION BY event_type ORDER BY hour) AS y_prev
+            FROM hourly
+        )
+        SELECT event_type, hour, y, CAST(y_prev AS BIGINT) AS y_prev,
+               round(CAST(y - y_prev AS DOUBLE) / CAST(y_prev AS DOUBLE), 6)
+                   AS pct_change
+        FROM wp WHERE y_prev IS NOT NULL
+        ORDER BY abs(round(CAST(y - y_prev AS DOUBLE) / CAST(y_prev AS DOUBLE), 6)) DESC,
+                 event_type, hour
+        LIMIT 20
+    """,
     "q_session_paths": f"""
         WITH flagged AS (
             SELECT event_id, user_id, ts, event_type,

@@ -916,3 +916,123 @@ ORACLES["q_weighted_pick"] = """
     WHERE cum - w <= thr AND thr < cum
     ORDER BY source
 """
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked round-6 additions (deferred driver window).
+
+RV_NODES = tuple(f"node{i:02d}" for i in range(8))
+
+
+def q_rendezvous(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rendezvous (highest-random-weight) shard assignment of documents
+    onto a fixed node list, reported as the per-node load profile: owner
+    = argmax over nodes of md5(node ‖ ':' ‖ doc_id), compared as hex
+    STRINGS (lexicographic — no numeric conversion, trivially
+    engine-portable), ties to the larger node name. The md5 oracle-
+    checked twin of the `rendezvous_assign` library API: HRW is what
+    gives minimal reshuffling when a node joins/leaves (only that node's
+    keys move — the q_shard_assign mod-N scheme reshuffles ~everything).
+
+    Scale shape: the candidate scores are a per-row array of |nodes|
+    structs reduced by array_max — NO explode, NO join, one aggregate on
+    the bounded node domain."""
+    t = load_tables(spark, sf_dir)
+    cand = F.array(
+        *[
+            F.struct(
+                F.md5(
+                    F.concat(F.lit(n + ":"), F.col("doc_id").cast("string"))
+                ).alias("h"),
+                F.lit(n).alias("node"),
+            )
+            for n in RV_NODES
+        ]
+    )
+    return (
+        t.documents.select(
+            F.array_max(cand)["node"].alias("node"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+        .groupBy("node")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_chars").alias("chars_total"))
+    )
+
+
+def q_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-flattened source mixing weights at T=2:
+    w_s ∝ share_s^(1/2) — the up-sampling schedule multilingual/
+    multi-source LLM corpora use so small sources aren't drowned.
+    T=2 makes the power a SQRT (correctly rounded in IEEE → bit-equal
+    across engines); the normalizing denominator folds in sorted source
+    order (no unordered float summation). Oracle-checked twin of the
+    general `temperature_mix` library API.
+
+    Scale shape: one bounded-domain aggregate (sources), O(|sources|)
+    arithmetic after it."""
+    t = load_tables(spark, sf_dir)
+    per = t.documents.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("n_chars").cast("bigint")).alias("n_chars"),
+    )
+    tot = per.agg(F.sum("n_chars").alias("c_total"))
+    scored = per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.sqrt(F.col("n_chars").cast("double") / F.col("c_total").cast("double")).alias("v"),
+    )
+    denom = scored.agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("source", F.col("v").alias("t")))),
+            F.lit(0.0),
+            lambda acc, s: acc + s["t"],
+        ).alias("denom")
+    )
+    return scored.crossJoin(F.broadcast(denom)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(F.col("v") / F.col("denom"), 6).alias("weight"),
+    )
+
+
+QUERIES["q_rendezvous"] = q_rendezvous
+QUERIES["q_temperature_mix"] = q_temperature_mix
+
+_RV_NODE_VALUES = ", ".join(f"('{n}')" for n in RV_NODES)
+
+ORACLES["q_rendezvous"] = f"""
+    WITH assign AS (
+        SELECT doc_id, n_chars, node FROM (
+            SELECT d.doc_id, d.n_chars, n.node,
+                   row_number() OVER (
+                       PARTITION BY d.doc_id
+                       ORDER BY md5(n.node || ':' || CAST(d.doc_id AS VARCHAR)) DESC,
+                                n.node DESC) AS rn
+            FROM documents d CROSS JOIN (VALUES {_RV_NODE_VALUES}) n(node)
+        ) WHERE rn = 1
+    )
+    SELECT node, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars_total
+    FROM assign GROUP BY node
+"""
+
+ORACLES["q_temperature_mix"] = """
+    WITH per AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(sum(n_chars) AS BIGINT) AS c_total FROM per),
+    scored AS (
+        SELECT source, n_docs, n_chars,
+               sqrt(CAST(n_chars AS DOUBLE)
+                    / CAST((SELECT c_total FROM tot) AS DOUBLE)) AS v
+        FROM per
+    ),
+    den AS (SELECT list_sum(list(v ORDER BY source)) AS denom FROM scored)
+    SELECT source, n_docs, n_chars,
+           round(v / (SELECT denom FROM den), 6) AS weight
+    FROM scored
+"""

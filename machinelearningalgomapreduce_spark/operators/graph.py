@@ -745,8 +745,12 @@ def reachable_from(edges: DataFrame, seeds: DataFrame, max_rounds: int = 30) -> 
             .distinct()
             .join(visited, "node", "left_anti")
         )
-        if (r + 1) % 3 == 0:
-            nxt = nxt.localCheckpoint()
+        # Checkpoint EVERY round: isEmpty() materializes nxt anyway, so
+        # the eager checkpoint costs nothing extra — while leaving nxt
+        # un-checkpointed makes the next round's join RECOMPUTE this
+        # round's whole multi-stage lineage (measured: the q_scc_pivot
+        # closure went from minutes to seconds with this).
+        nxt = nxt.localCheckpoint()
         if nxt.isEmpty():
             break
         visited = visited.unionByName(nxt)
@@ -774,6 +778,200 @@ def scc_members(edges: DataFrame, pivot: str, max_rounds: int = 30) -> DataFrame
     return fwd.join(back, "node", "left_semi")
 
 
+# ---------------------------------------------------------------------------
+# Oracle-checked round-6 graph queries (deferred driver window — see
+# registry.DEFERRED_NEXT_WINDOW). Determinism discipline: ALL scoring is
+# exact integer arithmetic (micro-unit ranks, 2m-scaled modularity and
+# Louvain gains), so no float summation order can flip a result.
+
+PPR_SEEDS = 4  # seeds = the PPR_SEEDS smallest node ids (exact quarter micros)
+PPR_ALPHA_PCT = 15  # restart probability, in percent (integer arithmetic)
+
+
+def _half_up(num, den):
+    """round-half-up of the exact rational num/den ≥ 0 denominators:
+    floor((2·num + den)/(2·den)) — integer-exact for operands ≤ 2^53
+    (the q_rating_baseline discipline, classicml.py)."""
+    return F.floor((2 * num + den) / (2 * den)).cast("bigint")
+
+
+def _sym_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized co-purchase edges (src, dst): each undirected edge in
+    both directions."""
+    e = _copurchase_edges(spark, sf_dir)
+    return e.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+        e.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+    )
+
+
+def q_ppr_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One personalized-PageRank step from the PPR_SEEDS smallest part
+    keys over the co-purchase graph, in exact micro-unit integers:
+    rank₀ = 1/seeds (exact quarter micros); per-edge contribution =
+    half_up(rank_u, outdeg_u); rank₁(v) = half_up(α·seed(v) +
+    (1−α)·Σcontrib, 100). Pure integer arithmetic end-to-end — the
+    fixed-point twin of the float `personalized_pagerank` loop (which
+    pytest cross-checks against this step).
+
+    Scale shape: one edge join + one dst-keyed aggregate (O(m)); the
+    seed set is a broadcast O(seeds) relation; symmetric edges have no
+    dangling nodes so no dangling term. Output: every node's new rank."""
+    sym = _sym_copurchase(spark, sf_dir)
+    nodes = sym.select(F.col("src").alias("node")).distinct()
+    seeds = nodes.orderBy("node").limit(PPR_SEEDS).select(
+        "node", F.lit(1_000_000 // PPR_SEEDS).alias("seed_micro")
+    )
+    outdeg = sym.groupBy("src").agg(F.count("*").alias("outdeg"))
+    contrib = (
+        sym.join(F.broadcast(seeds), sym.src == seeds.node)
+        .join(outdeg, "src")
+        .groupBy("dst")
+        .agg(F.sum(_half_up(F.col("seed_micro"), F.col("outdeg"))).alias("in_sum"))
+    )
+    joined = (
+        nodes.join(contrib, nodes.node == contrib.dst, "left")
+        .join(F.broadcast(seeds.withColumnRenamed("node", "s_node")),
+              nodes.node == F.col("s_node"), "left")
+    )
+    seed_micro = F.coalesce(F.col("seed_micro"), F.lit(0))
+    in_sum = F.coalesce(F.col("in_sum"), F.lit(0))
+    return joined.select(
+        "node",
+        _half_up(
+            PPR_ALPHA_PCT * seed_micro + (100 - PPR_ALPHA_PCT) * in_sum, F.lit(100)
+        ).alias("rank_micro"),
+    )
+
+
+def q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the BRAND partition of the co-purchase
+    graph, as an exact integer fraction: with unit weights,
+    Q = (2m·Σ_c in_c − Σ_c tot_c²) / (2m)² where in_c counts symmetric
+    intra-community edge rows and tot_c sums member degrees. The
+    numerator/denominator are exact BIGINTs; q rounds the single
+    division to 6 — no float aggregation anywhere.
+
+    Scale shape: two broadcast label joins onto the symmetric edge list
+    + one community-keyed aggregate + an O(#communities) rollup."""
+    t = load_tables(spark, sf_dir)
+    sym = _sym_copurchase(spark, sf_dir)
+    brand = t.part.select(F.col("p_partkey").alias("node"), F.col("p_brand").alias("comm"))
+    labeled = (
+        sym.join(F.broadcast(brand), sym.src == brand.node)
+        .select("src", "dst", F.col("comm").alias("c_src"))
+        .join(
+            F.broadcast(brand.select(F.col("node").alias("d_node"),
+                                     F.col("comm").alias("c_dst"))),
+            F.col("dst") == F.col("d_node"),
+        )
+    )
+    per_comm = labeled.groupBy("c_src").agg(
+        F.sum(F.when(F.col("c_dst") == F.col("c_src"), 1).otherwise(0)).alias("w_in"),
+        F.count("*").alias("tot"),
+    )
+    roll = per_comm.agg(
+        F.sum("w_in").alias("sum_in"),
+        F.sum(F.col("tot") * F.col("tot")).alias("sum_tot_sq"),
+        F.sum("tot").alias("two_m"),
+    )
+    q_num = F.col("two_m") * F.col("sum_in") - F.col("sum_tot_sq")
+    q_den = F.col("two_m") * F.col("two_m")
+    return roll.select(
+        "two_m",
+        q_num.alias("q_num"),
+        q_den.alias("q_den"),
+        F.round(q_num.cast("double") / q_den.cast("double"), 6).alias("q"),
+    )
+
+
+def q_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One synchronous Louvain local-move pass from singleton communities
+    over the co-purchase graph, scored in exact 2m-scaled integers:
+    gain·2m = k_in·2m − deg·tot(c∖i) with unit weights — the integer
+    twin of the float `louvain_move_step` (pytest cross-checks the two).
+    Argmax per node with deterministic ties (gain desc, community asc).
+
+    Scale shape: one edge-keyed join to the neighbor labels, one
+    (node, candidate) aggregate, a broadcast community-totals join —
+    O(m) with no driver state."""
+    sym = _sym_copurchase(spark, sf_dir)
+    deg = sym.groupBy("src").agg(F.count("*").alias("deg"))
+    two_m = sym.agg(F.count("*").alias("two_m"))
+    # Singleton init: comm(v) = v, so tot(c) = deg(c) and k_in(node, c)
+    # counts edges from node into {c}.
+    k_in = sym.groupBy(
+        F.col("src").alias("node"), F.col("dst").alias("c_cand")
+    ).agg(F.count("*").alias("k_in"))
+    cand = k_in.unionByName(
+        deg.select(F.col("src").alias("node"), F.col("src").alias("c_cand"),
+                   F.lit(0).cast("bigint").alias("k_in"))
+    ).groupBy("node", "c_cand").agg(F.max("k_in").alias("k_in"))
+    scored = (
+        cand.join(deg.withColumnRenamed("src", "node"), "node")
+        .join(
+            F.broadcast(deg.select(F.col("src").alias("c_cand"),
+                                   F.col("deg").alias("tot"))),
+            "c_cand",
+        )
+        .crossJoin(F.broadcast(two_m))
+        .select(
+            "node",
+            "c_cand",
+            (
+                F.col("k_in") * F.col("two_m")
+                - F.col("deg")
+                * (F.col("tot") - F.when(F.col("c_cand") == F.col("node"),
+                                         F.col("deg")).otherwise(0))
+            ).alias("gain2m"),
+        )
+    )
+    return scored.groupBy("node").agg(
+        F.min_by(
+            "c_cand", F.struct((-F.col("gain2m")).alias("ng"), F.col("c_cand"))
+        ).alias("comm")
+    )
+
+
+def q_scc_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected component of the smallest part key in the
+    md5-ORIENTED co-purchase graph (each undirected edge gets one
+    deterministic direction from its md5 parity — a pseudo-random
+    tournament orientation, so nontrivial SCCs exist). Forward ∩
+    backward reachability from the pivot — the `scc_members` kernel on a
+    deterministic directed graph the oracle rebuilds with two recursive
+    CTEs.
+
+    Scale shape: two frontier-BFS closures (O(diameter) rounds, one edge
+    join each) + a semi-join intersection; the pivot seed is an
+    aggregate, never a collect. The edge list is loop-invariant, so it is
+    localCheckpoint'ed ONCE — without that every BFS round would re-run
+    the co-purchase self-join (measured: minutes vs seconds). The pivot
+    is the max-degree node (ties to the smallest id), which sits inside
+    the giant SCC of the oriented graph, so the result is the nontrivial
+    component."""
+    e = _repeat_copurchase_edges(spark, sf_dir).select("u", "v")
+    even = F.substring(
+        F.md5(F.concat(F.lit("dir:"), F.col("u").cast("string"),
+                       F.lit(":"), F.col("v").cast("string"))), 1, 1
+    ).isin(*"01234567")
+    directed = e.select(
+        F.when(even, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(even, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    ).localCheckpoint()
+    deg = (
+        directed.select(F.col("src").alias("node"))
+        .unionAll(directed.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    seeds = deg.orderBy(F.desc("deg"), "node").limit(1).select("node")
+    fwd = reachable_from(directed, seeds)
+    back = reachable_from(
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst")), seeds
+    )
+    return fwd.join(back, "node", "left_semi")
+
+
 def fpgrowth_fit(spark: SparkSession, sf_dir: str, min_support: float = 0.05):
     """Deeper itemsets via MLlib FPGrowth (library API, pytest-verified)."""
     from pyspark.ml.fpm import FPGrowth
@@ -793,6 +991,10 @@ QUERIES = {
     "q_kcore_step": q_kcore_step,
     "q_clustering_coeff": q_clustering_coeff,
     "q_assortativity": q_assortativity,
+    "q_ppr_step": q_ppr_step,
+    "q_modularity": q_modularity,
+    "q_louvain_move": q_louvain_move,
+    "q_scc_pivot": q_scc_pivot,
 }
 
 # Shared CTE: the distinct part co-purchase edge set (u < v), mirrored by
@@ -998,5 +1200,127 @@ ORACLES = {
         WHERE d.degree >= 2
         ORDER BY coeff DESC, d.node
         LIMIT 20
+    """,
+    "q_ppr_step": f"""
+        WITH {_EDGE_CTES},
+        seeds AS (
+            SELECT node, CAST({1_000_000 // PPR_SEEDS} AS BIGINT) AS seed_micro
+            FROM (SELECT DISTINCT node FROM nbrs ORDER BY node LIMIT {PPR_SEEDS})
+        ),
+        outdeg AS (
+            SELECT node, CAST(count(*) AS BIGINT) AS outdeg FROM nbrs GROUP BY node
+        ),
+        contrib AS (
+            SELECT n.nbr AS dst,
+                   CAST(sum(CAST(floor((2 * s.seed_micro + o.outdeg)
+                                       / (2 * o.outdeg)) AS BIGINT)) AS BIGINT)
+                       AS in_sum
+            FROM nbrs n
+            JOIN seeds s ON n.node = s.node
+            JOIN outdeg o ON n.node = o.node
+            GROUP BY n.nbr
+        )
+        SELECT d.node,
+               CAST(floor((2 * ({PPR_ALPHA_PCT} * coalesce(s.seed_micro, 0)
+                                + {100 - PPR_ALPHA_PCT} * coalesce(c.in_sum, 0)) + 100)
+                          / 200) AS BIGINT) AS rank_micro
+        FROM (SELECT DISTINCT node FROM nbrs) d
+        LEFT JOIN contrib c ON d.node = c.dst
+        LEFT JOIN seeds s ON d.node = s.node
+    """,
+    "q_modularity": f"""
+        WITH {_EDGE_CTES},
+        labeled AS (
+            SELECT ps.p_brand AS c_src, pd.p_brand AS c_dst
+            FROM nbrs n
+            JOIN part ps ON n.node = ps.p_partkey
+            JOIN part pd ON n.nbr = pd.p_partkey
+        ),
+        per_comm AS (
+            SELECT c_src,
+                   CAST(sum(CASE WHEN c_dst = c_src THEN 1 ELSE 0 END) AS BIGINT) AS w_in,
+                   CAST(count(*) AS BIGINT) AS tot
+            FROM labeled GROUP BY c_src
+        ),
+        roll AS (
+            SELECT CAST(sum(w_in) AS BIGINT) AS sum_in,
+                   CAST(sum(tot * tot) AS BIGINT) AS sum_tot_sq,
+                   CAST(sum(tot) AS BIGINT) AS two_m
+            FROM per_comm
+        )
+        SELECT two_m,
+               two_m * sum_in - sum_tot_sq AS q_num,
+               two_m * two_m AS q_den,
+               round(CAST(two_m * sum_in - sum_tot_sq AS DOUBLE)
+                     / CAST(two_m * two_m AS DOUBLE), 6) AS q
+        FROM roll
+    """,
+    "q_louvain_move": f"""
+        WITH {_EDGE_CTES},
+        deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg FROM nbrs GROUP BY node),
+        tm AS (SELECT CAST(count(*) AS BIGINT) AS two_m FROM nbrs),
+        k_in AS (
+            SELECT node, nbr AS c_cand, CAST(count(*) AS BIGINT) AS k_in
+            FROM nbrs GROUP BY node, nbr
+        ),
+        cand AS (
+            SELECT node, c_cand, max(k_in) AS k_in FROM (
+                SELECT node, c_cand, k_in FROM k_in
+                UNION ALL
+                SELECT node, node AS c_cand, CAST(0 AS BIGINT) AS k_in FROM deg
+            ) GROUP BY node, c_cand
+        ),
+        scored AS (
+            SELECT c.node, c.c_cand,
+                   c.k_in * t.two_m
+                   - d.deg * (td.deg - CASE WHEN c.c_cand = c.node
+                                            THEN d.deg ELSE 0 END) AS gain2m
+            FROM cand c
+            JOIN deg d ON c.node = d.node
+            JOIN deg td ON c.c_cand = td.node
+            CROSS JOIN tm t
+        )
+        SELECT node, c_cand AS comm FROM (
+            SELECT node, c_cand,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY gain2m DESC, c_cand) AS rn
+            FROM scored
+        ) WHERE rn = 1
+    """,
+    "q_scc_pivot": f"""
+        WITH RECURSIVE {_REPEAT_EDGE_CTES},
+        dir_edges AS (
+            SELECT CASE WHEN substr(md5('dir:' || CAST(u AS VARCHAR) || ':'
+                                        || CAST(v AS VARCHAR)), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7')
+                        THEN u ELSE v END AS src,
+                   CASE WHEN substr(md5('dir:' || CAST(u AS VARCHAR) || ':'
+                                        || CAST(v AS VARCHAR)), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7')
+                        THEN v ELSE u END AS dst
+            FROM edges
+        ),
+        pvt AS (
+            SELECT node FROM (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT src AS node FROM dir_edges
+                    UNION ALL SELECT dst FROM dir_edges
+                ) GROUP BY node
+                ORDER BY deg DESC, node LIMIT 1
+            )
+        ),
+        fwd AS (
+            SELECT node FROM pvt
+            UNION
+            SELECT e.dst FROM dir_edges e JOIN fwd f ON e.src = f.node
+        ),
+        back AS (
+            SELECT node FROM pvt
+            UNION
+            SELECT e.src FROM dir_edges e JOIN back b ON e.dst = b.node
+        )
+        SELECT node FROM fwd
+        INTERSECT
+        SELECT node FROM back
     """,
 }

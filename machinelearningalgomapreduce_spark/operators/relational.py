@@ -737,7 +737,73 @@ def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_running_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue share by nation (Pareto/ABC analysis): nations
+    ordered by revenue desc, each row carrying its cumulative share of
+    the total — the "which 20% of markets carry 80% of revenue" query.
+    Revenue is exact floor-cents BIGINTs; the running sum is an integer
+    prefix over the 25-row nation domain; shares are identical single
+    divisions rounded to 6.
+
+    Scale shape: fact table aggregates once to the nation domain
+    (map-side partials, broadcast dim join); the window runs over ≤25
+    rows."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t.orders.join(
+            F.broadcast(t.customer.select("c_custkey", "c_nationkey")),
+            t.orders.o_custkey == F.col("c_custkey"),
+        )
+        .groupBy("c_nationkey")
+        .agg(F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias("rev_cents"))
+        .join(F.broadcast(t.nation.select("n_nationkey", "n_name")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+    )
+    w = W.orderBy(F.desc("rev_cents"), "n_name").rowsBetween(W.unboundedPreceding, 0)
+    tot = W.partitionBy()
+    return rev.select(
+        "n_name",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("cum_cents"),
+        F.round(
+            F.sum("rev_cents").over(w).cast("double")
+            / F.sum("rev_cents").over(tot).cast("double"),
+            6,
+        ).alias("cum_share"),
+    )
+
+
+def q_order_gap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer median inter-order gap (reorder cadence): day gaps
+    between consecutive orders via lag over (date, orderkey), per-customer
+    median emitted as 2×median BIGINT (the interpolated median of
+    integers has denominator ≤2, so 2× is exact — the q_levene
+    discipline). Top-20 most-frequent reorderers for a bounded result.
+
+    Scale shape: one customer-partitioned window over orders (fact-only,
+    no joins) + one per-customer percentile aggregate."""
+    t = load_tables(spark, sf_dir)
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = t.orders.select(
+        "o_custkey",
+        F.datediff(
+            "o_orderdate", F.lag("o_orderdate").over(w)
+        ).cast("bigint").alias("gap_days"),
+    ).filter(F.col("gap_days").isNotNull())
+    per = gaps.groupBy("o_custkey").agg(
+        F.count("*").alias("n_gaps"),
+        (2 * F.percentile(F.col("gap_days"), F.lit(0.5))).cast("bigint").alias("med2_gap_days"),
+    )
+    return (
+        per.filter(F.col("n_gaps") >= 12)
+        .orderBy(F.desc("n_gaps"), F.asc("med2_gap_days"), F.asc("o_custkey"))
+        .limit(20)
+    )
+
+
 QUERIES = {
+    "q_running_share": q_running_share,
+    "q_order_gap_median": q_order_gap_median,
     "q_scan_project": q_scan_project,
     "q_filter_pred": q_filter_pred,
     "q_filter_agg": q_filter_agg,
@@ -773,6 +839,44 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_running_share": """
+        WITH rev AS (
+            SELECT n.n_name,
+                   CAST(sum(CAST(floor(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS rev_cents
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name
+        )
+        SELECT n_name, rev_cents,
+               CAST(sum(rev_cents) OVER w AS BIGINT) AS cum_cents,
+               round(CAST(sum(rev_cents) OVER w AS DOUBLE)
+                     / CAST(sum(rev_cents) OVER () AS DOUBLE), 6) AS cum_share
+        FROM rev
+        WINDOW w AS (ORDER BY rev_cents DESC, n_name
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "q_order_gap_median": """
+        WITH gaps AS (
+            SELECT o_custkey,
+                   CAST(datediff('day',
+                                 lag(o_orderdate) OVER (PARTITION BY o_custkey
+                                                        ORDER BY o_orderdate, o_orderkey),
+                                 o_orderdate) AS BIGINT) AS gap_days
+            FROM orders
+        ),
+        per AS (
+            SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_gaps,
+                   CAST(2 * quantile_cont(gap_days, 0.5) AS BIGINT) AS med2_gap_days
+            FROM gaps WHERE gap_days IS NOT NULL
+            GROUP BY o_custkey
+        )
+        SELECT o_custkey, n_gaps, med2_gap_days
+        FROM per WHERE n_gaps >= 12
+        ORDER BY n_gaps DESC, med2_gap_days, o_custkey
+        LIMIT 20
+    """,
     "q_referential_integrity": """
         WITH checks AS (
             SELECT 'lineitem.l_orderkey->orders' AS relationship,

@@ -694,7 +694,69 @@ def q_hapax_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiny_sorted(agg, "source")
 
 
+def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source KL divergence from the corpus unigram distribution —
+    the drift/contamination detector for multi-source training mixes
+    (a source whose token distribution diverges from the pool gets
+    flagged before it skews the mix). Algebraic form over count sums:
+    KL(p_s‖q) = [(Σ n·ln n) − (Σ n·ln m)]/N_s − ln N_s + ln M, so only
+    counting aggregates touch the data (the q_token_entropy float
+    posture: bounded-vocab folds + round-6).
+
+    Scale shape: one (source, token) counting aggregate, one token-keyed
+    marginal aggregate joined back (shuffle bounded by vocabulary), then
+    an O(sources) rollup."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select("source", F.explode(_tokens()).alias("token"))
+    counts = tok.groupBy("source", "token").agg(F.count("*").alias("n"))
+    marg = counts.groupBy("token").agg(F.sum("n").alias("m"))
+    tot = marg.agg(F.sum("m").alias("big_m"))
+    joined = counts.join(marg, "token").crossJoin(F.broadcast(tot))
+    return joined.groupBy("source").agg(
+        F.sum("n").alias("n_tokens"),
+        F.round(
+            (
+                F.sum(F.col("n") * F.log(F.col("n").cast("double")))
+                - F.sum(F.col("n") * F.log(F.col("m").cast("double")))
+            )
+            / F.sum("n")
+            - F.log(F.sum("n").cast("double"))
+            + F.log(F.max("big_m").cast("double")),
+            6,
+        ).alias("kl"),
+    )
+
+
+def q_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source lexical diversity: type-token ratio and the
+    length-robust root TTR (types/√tokens) — the quick corpus-health
+    screen next to q_token_entropy/q_hapax_rate. Exact integer counts;
+    the two ratios are identical scalar divisions (sqrt is correctly
+    rounded IEEE), rounded to 6.
+
+    Scale shape: one (source, token) distinct + two counting aggregates,
+    all map-side combinable."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select("source", F.explode(_tokens()).alias("token"))
+    per = tok.groupBy("source").agg(F.count("*").alias("n_tokens"))
+    types = (
+        tok.distinct().groupBy("source").agg(F.count("*").alias("n_types"))
+    )
+    return per.join(types, "source").select(
+        "source",
+        "n_tokens",
+        "n_types",
+        F.round(F.col("n_types").cast("double") / F.col("n_tokens").cast("double"), 6)
+        .alias("ttr"),
+        F.round(
+            F.col("n_types").cast("double") / F.sqrt(F.col("n_tokens").cast("double")), 6
+        ).alias("root_ttr"),
+    )
+
+
 QUERIES = {
+    "q_kl_divergence": q_kl_divergence,
+    "q_type_token_ratio": q_type_token_ratio,
     "q_hapax_rate": q_hapax_rate,
     "q_wordcount": q_wordcount,
     "q_inverted_index": q_inverted_index,
@@ -736,6 +798,39 @@ QUALITY_SCORE_SQL = (
 )
 
 ORACLES = {
+    "q_kl_divergence": """
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+        ),
+        counts AS (
+            SELECT source, token, CAST(count(*) AS BIGINT) AS n
+            FROM tok GROUP BY 1, 2
+        ),
+        marg AS (SELECT token, CAST(sum(n) AS BIGINT) AS m FROM counts GROUP BY token),
+        tot AS (SELECT CAST(sum(m) AS BIGINT) AS big_m FROM marg)
+        SELECT c.source, CAST(sum(c.n) AS BIGINT) AS n_tokens,
+               round((sum(c.n * ln(CAST(c.n AS DOUBLE)))
+                      - sum(c.n * ln(CAST(m.m AS DOUBLE))))
+                     / CAST(sum(c.n) AS DOUBLE)
+                     - ln(CAST(sum(c.n) AS DOUBLE))
+                     + ln(CAST((SELECT big_m FROM tot) AS DOUBLE)), 6) AS kl
+        FROM counts c JOIN marg m USING (token)
+        GROUP BY c.source
+    """,
+    "q_type_token_ratio": """
+        WITH tok AS (
+            SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+        ),
+        per AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY source),
+        types AS (
+            SELECT source, CAST(count(*) AS BIGINT) AS n_types
+            FROM (SELECT DISTINCT source, token FROM tok) GROUP BY source
+        )
+        SELECT p.source, n_tokens, n_types,
+               round(CAST(n_types AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6) AS ttr,
+               round(CAST(n_types AS DOUBLE) / sqrt(CAST(n_tokens AS DOUBLE)), 6) AS root_ttr
+        FROM per p JOIN types USING (source)
+    """,
     "q_hapax_rate": """
         WITH per AS (
             SELECT source, token, count(*) AS n

@@ -159,7 +159,122 @@ def q_trend_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiny_sorted(out, "event_type")
 
 
-QUERIES = {"q_holt": q_holt, "q_cusum": q_cusum, "q_trend_fit": q_trend_fit}
+DECOMP_HALF = 12  # centered moving-average half-window (hours)
+DECOMP_PERIOD = 24  # seasonal period (hour of day)
+
+
+def _half_up_ts(num, den):
+    """floor((2N+D)/(2D)) — integer-exact round-half-up of N/D (toward +∞
+    for negative N); operands ≤ 2^53 so the double division is correctly
+    rounded in both engines (q_rating_baseline discipline)."""
+    return F.floor((2 * num + den) / (2 * den)).cast("bigint")
+
+
+def q_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive decomposition of each event type's hourly count
+    series in exact micro-units: trend = centered ±12h moving average
+    (half-up micro BIGINT), seasonal = per-hour-of-day mean of the
+    detrended series re-centered to zero over the period, residual =
+    y·10⁶ − trend − seasonal. Every column is an exact BIGINT — the
+    fixed-point oracle-checked twin of the float `decompose_series`
+    library API (pytest cross-checks the two at micro precision).
+
+    Scale shape: one counting aggregate to the (type × hour)-bounded
+    series; windows run over that bounded frame partitioned by type —
+    raw events are touched once, window state is O(window)."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("y"))
+    w_t = (
+        W.partitionBy("event_type").orderBy("hour").rowsBetween(-DECOMP_HALF, DECOMP_HALF)
+    )
+    with_trend = hourly.select(
+        "event_type",
+        "hour",
+        "y",
+        _half_up_ts(
+            F.lit(1_000_000) * F.sum("y").over(w_t), F.count("*").over(w_t)
+        ).alias("trend_micro"),
+        F.hour("hour").alias("hod"),
+    ).withColumn("detr_micro", F.col("y") * 1_000_000 - F.col("trend_micro"))
+    seasonal_raw = with_trend.groupBy("event_type", "hod").agg(
+        _half_up_ts(F.sum("detr_micro"), F.count("*")).alias("sr_micro")
+    )
+    s_mean = seasonal_raw.groupBy("event_type").agg(
+        _half_up_ts(F.sum("sr_micro"), F.count("*")).alias("sm_micro")
+    )
+    seasonal = seasonal_raw.join(s_mean, "event_type").select(
+        "event_type", "hod", (F.col("sr_micro") - F.col("sm_micro")).alias("seasonal_micro")
+    )
+    return (
+        with_trend.join(F.broadcast(seasonal), ["event_type", "hod"])
+        .select(
+            "event_type",
+            "hour",
+            "y",
+            "trend_micro",
+            "seasonal_micro",
+            (F.col("y") * 1_000_000 - F.col("trend_micro") - F.col("seasonal_micro"))
+            .alias("residual_micro"),
+        )
+    )
+
+
+def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type over the daily count series:
+    slope = median of all pairwise slopes, intercept = median of
+    y − slope·x. Slopes are identical double divisions of exact integer
+    differences; both medians interpolate over a deterministic total
+    order, so the estimates are bit-equal across engines before round-6.
+
+    Scale shape: the pair generator is O(days²) per type — days is a
+    BOUNDED domain (the value-compressed series, not the raw events), so
+    the quadratic is over ~10³ rows even at 100 TB of events; the raw
+    table is touched once by the daily rollup."""
+    t = load_tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1995-01-01").cast("date")).alias("x"),
+    ).agg(F.count("*").alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type")) & (F.col("a.x") < F.col("b.x")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("slope"),
+    )
+    slopes = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n_pairs"),
+        F.percentile(F.col("slope"), F.lit(0.5)).alias("m"),
+    )
+    resid = daily.join(F.broadcast(slopes), "event_type").select(
+        "event_type",
+        "n_pairs",
+        (F.col("y").cast("double") - F.col("m") * F.col("x").cast("double")).alias("r"),
+        F.col("m"),
+    )
+    return resid.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.max("n_pairs").alias("n_pairs"),
+        F.round(F.max("m"), 6).alias("slope_per_day"),
+        F.round(F.percentile(F.col("r"), F.lit(0.5)), 6).alias("intercept"),
+    )
+
+
+QUERIES = {
+    "q_holt": q_holt,
+    "q_cusum": q_cusum,
+    "q_trend_fit": q_trend_fit,
+    "q_decompose": q_decompose,
+    "q_theil_sen": q_theil_sen,
+}
 
 _A, _G = HOLT_ALPHA, HOLT_GAMMA
 # State is a 2-element DOUBLE list [level, trend], NOT a struct: DuckDB's
@@ -226,6 +341,75 @@ def decompose_series(
 
 
 ORACLES = {
+    "q_decompose": f"""
+        WITH hourly AS (
+            SELECT event_type,
+                   CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        with_trend AS (
+            SELECT event_type, hour, y,
+                   CAST(floor((2 * (1000000 * sum(y) OVER w) + (count(*) OVER w))
+                              / (2 * (count(*) OVER w))) AS BIGINT) AS trend_micro,
+                   CAST(hour(hour) AS BIGINT) AS hod
+            FROM hourly
+            WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                         ROWS BETWEEN {DECOMP_HALF} PRECEDING AND {DECOMP_HALF} FOLLOWING)
+        ),
+        detr AS (
+            SELECT *, y * 1000000 - trend_micro AS detr_micro FROM with_trend
+        ),
+        seasonal_raw AS (
+            SELECT event_type, hod,
+                   CAST(floor((2 * sum(detr_micro) + count(*))
+                              / (2 * count(*))) AS BIGINT) AS sr_micro
+            FROM detr GROUP BY event_type, hod
+        ),
+        s_mean AS (
+            SELECT event_type,
+                   CAST(floor((2 * sum(sr_micro) + count(*))
+                              / (2 * count(*))) AS BIGINT) AS sm_micro
+            FROM seasonal_raw GROUP BY event_type
+        ),
+        seasonal AS (
+            SELECT r.event_type, r.hod, r.sr_micro - m.sm_micro AS seasonal_micro
+            FROM seasonal_raw r JOIN s_mean m ON r.event_type = m.event_type
+        )
+        SELECT d.event_type, d.hour, d.y, d.trend_micro, s.seasonal_micro,
+               d.y * 1000000 - d.trend_micro - s.seasonal_micro AS residual_micro
+        FROM detr d JOIN seasonal s
+          ON d.event_type = s.event_type AND d.hod = s.hod
+    """,
+    "q_theil_sen": """
+        WITH daily AS (
+            SELECT event_type,
+                   CAST(datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT a.event_type,
+                   CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS slope
+            FROM daily a JOIN daily b
+              ON a.event_type = b.event_type AND a.x < b.x
+        ),
+        slopes AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+                   quantile_cont(slope, 0.5) AS m
+            FROM pairs GROUP BY event_type
+        ),
+        resid AS (
+            SELECT d.event_type, s.n_pairs, s.m,
+                   CAST(d.y AS DOUBLE) - s.m * CAST(d.x AS DOUBLE) AS r
+            FROM daily d JOIN slopes s ON d.event_type = s.event_type
+        )
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               max(n_pairs) AS n_pairs,
+               round(max(m), 6) AS slope_per_day,
+               round(quantile_cont(r, 0.5), 6) AS intercept
+        FROM resid GROUP BY event_type
+    """,
     "q_trend_fit": """
         WITH daily AS (
             SELECT event_type,

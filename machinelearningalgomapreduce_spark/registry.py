@@ -134,6 +134,22 @@ DEFERRED_NEXT_WINDOW: frozenset[str] = frozenset({
     # sketches (md5-bucket oracle-checked forms)
     "q_cm_cells", "q_cm_heavy", "q_kmv_distinct",
     "q_hll_registers", "q_hll_estimate",
+    # graph (integer-exact PPR/modularity/Louvain, SCC via recursive-CTE oracle)
+    "q_ppr_step", "q_modularity", "q_louvain_move", "q_scc_pivot",
+    # evaluation (integer-sufficient-statistic test statistics)
+    "q_levene", "q_grubbs",
+    # timeseries (fixed-point decomposition, robust trend)
+    "q_decompose", "q_theil_sen",
+    # behavior (KM risk table, RFM, session entropy)
+    "q_survival_curve", "q_rfm_segments", "q_session_entropy",
+    # export (HRW sharding, temperature mixing)
+    "q_rendezvous", "q_temperature_mix",
+    # classifier (isotonic calibration via exact minimax PAV)
+    "q_isotonic_bins",
+    # text (distribution drift, lexical diversity)
+    "q_kl_divergence", "q_type_token_ratio",
+    # relational/events (Pareto share, reorder cadence, rate change)
+    "q_running_share", "q_order_gap_median", "q_event_rate_change",
 })
 _DEFER_KEY = 2.5
 
