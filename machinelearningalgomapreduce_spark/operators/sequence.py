@@ -368,3 +368,98 @@ def viterbi_path_reference(obs: list[str]) -> list[int]:
         if best is None or p > best + 1e-12:
             best, best_p = p, path
     return list(best_p)
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked HMM scoring (deferred driver window). The forward pass is
+# a per-user left fold with identical float-op order in both engines
+# (Spark F.aggregate over the sorted obs array; DuckDB list_reduce over the
+# same list) — alpha is bit-exact; only ln() can drift by an ulp per step,
+# which round-6 absorbs (the q_trend_fit posture, not a rational-boundary
+# case). DuckDB pitfall: bare numeric literals are DECIMAL and poison
+# lambda arithmetic, so every model constant is CAST(... AS DOUBLE).
+
+
+def q_hmm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user HMM sequence log-likelihood under the fixed 3-state model:
+    the scaled forward pass (hmm_forward) with the filtering distribution
+    dropped — (user_id, n_obs, loglik round-6). The sequence-scoring
+    query an anomaly/bot-detection pipeline runs: users whose event
+    streams score far below the population are behaving unlike the
+    model.
+
+    Scale shape: ONE shuffle (groupBy user) then a narrow JVM-side fold;
+    state is O(K) per user regardless of sequence length."""
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    t = load_tables(spark, sf_dir)
+    return hmm_forward(t.events).select(
+        "user_id", "n_obs", F.round("loglik", 6).alias("loglik")
+    )
+
+
+def _sql_d(v: float) -> str:
+    return f"CAST({float(v)!r} AS DOUBLE)"
+
+
+def _sql_emit_row(j: int) -> str:
+    return "[" + ", ".join(_sql_d(HMM_EMIT[j][v]) for v in range(len(HMM_TYPES))) + "]"
+
+
+_TYPES_SQL = "[" + ", ".join(f"'{s}'" for s in HMM_TYPES) + "]"
+
+
+def _hmm_oracle_sql() -> str:
+    k = HMM_STATES
+    # init (o1 bound in a prior CTE level): u_j = INIT[j] · EMIT[j][o1]
+    init_u = [f"({_sql_d(HMM_INIT[j])} * {_sql_emit_row(j)}[o1])" for j in range(k)]
+    # fold lambda: raw_j = Σ_i acc[i]·TRANS[i][j] (left-assoc, matching
+    # Spark's aggregate fold), u_j = raw_j · EMIT[j][o], c = Σ u_j.
+    o = "CAST(x[1] AS INT)"
+    raw = [
+        "(" + " + ".join(f"acc[{i + 1}] * {_sql_d(HMM_TRANS[i][j])}" for i in range(k)) + ")"
+        for j in range(k)
+    ]
+    u = [f"({raw[j]} * {_sql_emit_row(j)}[{o}])" for j in range(k)]
+    c = "(" + " + ".join(u) + ")"
+    new_acc = "[" + ", ".join(f"{u[j]} / {c}" for j in range(k)) + f", acc[{k + 1}] + ln({c})]"
+    return f"""
+        WITH seq AS (
+            SELECT user_id, list(event_type ORDER BY ts, event_id) AS obs,
+                   CAST(count(*) AS BIGINT) AS n_obs
+            FROM events GROUP BY user_id
+        ),
+        idx AS (
+            SELECT user_id, n_obs, obs,
+                   list_position({_TYPES_SQL}, obs[1]) AS o1
+            FROM seq
+        ),
+        init1 AS (
+            SELECT user_id, n_obs, obs,
+                   {", ".join(f"{init_u[j]} AS u{j + 1}" for j in range(k))}
+            FROM idx
+        ),
+        init2 AS (
+            SELECT user_id, n_obs, obs,
+                   ({" + ".join(f"u{j + 1}" for j in range(k))}) AS c0,
+                   u1, u2, u3
+            FROM init1
+        ),
+        folded AS (
+            SELECT user_id, n_obs,
+                   list_reduce(
+                       list_prepend(
+                           [{", ".join(f"u{j + 1} / c0" for j in range(k))}, ln(c0)],
+                           list_transform(obs[2:],
+                               s -> [CAST(list_position({_TYPES_SQL}, s) AS DOUBLE)])
+                       ),
+                       (acc, x) -> {new_acc}
+                   ) AS fin
+            FROM init2
+        )
+        SELECT user_id, n_obs, round(fin[{k + 1}], 6) AS loglik FROM folded
+    """
+
+
+QUERIES = {"q_hmm_score": q_hmm_score}
+ORACLES = {"q_hmm_score": _hmm_oracle_sql()}

@@ -756,3 +756,54 @@ def ann_projected_rerank_frame(
         .withColumn("rank", F.row_number().over(wfin))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Oracle-checked JL projection (round-6 addition, deferred driver window).
+
+JL_OUT_DIM = 4
+JL_SEED = "jl"
+
+
+def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection of the embeddings to
+    JL_OUT_DIM coordinates with the deterministic md5-parity ±1/√d sign
+    matrix (functions.vectors.jl_signs) — the width-reduction step the
+    two-stage retrieval pipeline (IVF in projected space, exact re-rank
+    in full space) builds on. Each coordinate is a sequential left-fold
+    dot product — identical float-op order in both engines — emitted as
+    round-6 scalar columns.
+
+    Scale shape: a pure per-row projection the scan carries — no
+    shuffle, no Python, O(in_dim·out_dim) literal multiplies per row."""
+    from machinelearningalgomapreduce_spark.functions.vectors import random_project
+    from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
+
+    t = load_tables(spark, sf_dir)
+    proj = random_project(F.col("embedding"), JL_SEED, JL_OUT_DIM, EMBEDDING_DIM)
+    out = t.embeddings.select("vec_id", proj.alias("p"))
+    return out.select(
+        "vec_id",
+        *[F.round(F.col("p")[i], 6).alias(f"p{i}") for i in range(JL_OUT_DIM)],
+    )
+
+
+def _jl_oracle_sql() -> str:
+    from machinelearningalgomapreduce_spark.functions.vectors import jl_signs
+    from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
+
+    rows = jl_signs(JL_SEED, JL_OUT_DIM, EMBEDDING_DIM)
+    # Explicit left-assoc term chains — bit-for-bit the fsum fold order
+    # (0 + t1) + t2 + ... (0 + t1 ≡ t1 for finite t1).
+    cols = []
+    for i, row in enumerate(rows):
+        chain = " + ".join(
+            f"CAST(embedding[{j + 1}] AS DOUBLE) * CAST({float(s)!r} AS DOUBLE)"
+            for j, s in enumerate(row)
+        )
+        cols.append(f"round({chain}, 6) AS p{i}")
+    return "SELECT vec_id, " + ", ".join(cols) + " FROM embeddings"
+
+
+QUERIES["q_jl_project"] = q_jl_project
+ORACLES["q_jl_project"] = _jl_oracle_sql()

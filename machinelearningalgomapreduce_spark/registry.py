@@ -150,6 +150,10 @@ DEFERRED_NEXT_WINDOW: frozenset[str] = frozenset({
     "q_kl_divergence", "q_type_token_ratio",
     # relational/events (Pareto share, reorder cadence, rate change)
     "q_running_share", "q_order_gap_median", "q_event_rate_change",
+    # sequence (HMM forward scoring)
+    "q_hmm_score",
+    # similarity (JL width reduction)
+    "q_jl_project",
 })
 _DEFER_KEY = 2.5
 

@@ -170,6 +170,28 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_apriori": {"BroadcastNestedLoopJoin": "1-row basket-count support denominator"},
     "q_triangle_count": {"BroadcastNestedLoopJoin": "1-row triangle/edge totals"},
     "q_topk_terms": {"BroadcastNestedLoopJoin": "1-row corpus totals"},
+    # Round-6 deferred-window additions.
+    "q_louvain_move": {"BroadcastNestedLoopJoin": "1-row 2m edge total"},
+    "q_kl_divergence": {"BroadcastNestedLoopJoin": "1-row corpus token total"},
+    "q_temperature_mix": {"BroadcastNestedLoopJoin": "1-row totals + O(sources) ordered denominator"},
+    "q_cm_heavy": {"BroadcastNestedLoopJoin": "1-row sketch N total"},
+    "q_kmv_distinct": {"BroadcastNestedLoopJoin": "1-row exact-distinct audit join"},
+    "q_hll_estimate": {"BroadcastNestedLoopJoin": "1-row exact-distinct audit join"},
+    "q_running_share": {
+        "SinglePartitionData": "Pareto window over the ≤25-nation rollup (bounded domain)",
+    },
+    "q_isotonic_bins": {
+        "BroadcastNestedLoopJoin": "1-row score min/max bounds",
+        "SinglePartitionData": "prefix window over ≤20 calibration bins (bounded domain)",
+    },
+    "q_survival_curve": {
+        "BroadcastNestedLoopJoin": "1-row at-risk total",
+        "SinglePartitionData": "risk-table window over distinct durations (value-compressed)",
+    },
+    "q_rfm_segments": {
+        "BroadcastNestedLoopJoin": "1-row anchor date",
+        "SinglePartitionData": "ntile over per-customer rollup; approx quintile cutpoints are the scale path (q_customer_segments posture)",
+    },
 }
 
 # Patterns searched in the FORMATTED plan text.
