@@ -617,8 +617,42 @@ def q_grubbs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+WILSON_Z = 1.96  # 95% two-sided
+
+
+def q_wilson_ctr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type success rate (value ≥ 50) with Wilson-score 95%
+    confidence bounds — the interval that stays honest at small n and
+    extreme rates where the normal approximation lies. p̂, lo, hi are
+    identical scalar expressions of two exact integers (x, n); sqrt is
+    correctly rounded IEEE, so the bounds are bit-deterministic.
+
+    Scale shape: one counting aggregate on the bounded type domain +
+    O(types) scalar arithmetic."""
+    t = load_tables(spark, sf_dir)
+    per = t.events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") >= 50.0).cast("bigint")).alias("x"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("x").cast("double") / n
+    z2 = WILSON_Z * WILSON_Z
+    denom = 1.0 + z2 / n
+    center = p + z2 / (2.0 * n)
+    spread = WILSON_Z * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    return per.select(
+        "event_type",
+        "n",
+        "x",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - spread) / denom, 6).alias("wilson_lo"),
+        F.round((center + spread) / denom, 6).alias("wilson_hi"),
+    )
+
+
 QUERIES = {
     "q_anova": q_anova,
+    "q_wilson_ctr": q_wilson_ctr,
     "q_chi2": q_chi2,
     "q_ks_test": q_ks_test,
     "q_ab_test": q_ab_test,
@@ -633,6 +667,32 @@ QUERIES = {
 }
 
 ORACLES = {
+    "q_wilson_ctr": f"""
+        WITH per AS (
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS x
+            FROM events GROUP BY event_type
+        )
+        SELECT event_type, n, x,
+               round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS p_hat,
+               round(((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                       + {WILSON_Z * WILSON_Z} / (2.0 * CAST(n AS DOUBLE)))
+                      - {WILSON_Z} * sqrt((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                                          * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                                          / CAST(n AS DOUBLE)
+                                          + {WILSON_Z * WILSON_Z}
+                                            / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                     / (1.0 + {WILSON_Z * WILSON_Z} / CAST(n AS DOUBLE)), 6) AS wilson_lo,
+               round(((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                       + {WILSON_Z * WILSON_Z} / (2.0 * CAST(n AS DOUBLE)))
+                      + {WILSON_Z} * sqrt((CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                                          * (1.0 - CAST(x AS DOUBLE) / CAST(n AS DOUBLE))
+                                          / CAST(n AS DOUBLE)
+                                          + {WILSON_Z * WILSON_Z}
+                                            / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+                     / (1.0 + {WILSON_Z * WILSON_Z} / CAST(n AS DOUBLE)), 6) AS wilson_hi
+        FROM per
+    """,
     "q_levene": """
         WITH vals AS (
             SELECT l_returnflag AS g,

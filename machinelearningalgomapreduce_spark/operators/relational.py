@@ -801,9 +801,44 @@ def q_order_gap_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_skyline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline (Pareto-optimal) parts: minimize retail price, maximize
+    size — no other part is at-least-as-good on both and strictly better
+    on one. Computed the scale-correct way: the candidate set first
+    collapses to ONE row per size (the per-size min price — only those
+    can be in the skyline), dominance runs on that ≤|size-domain| frame,
+    and the winners join back to every part matching (size, best price).
+    Prices compare as exact floor-cents integers.
+
+    Scale shape: one size-keyed aggregate over part, an O(sizes²)
+    bounded anti-join, one broadcast join back — never an O(n²)
+    all-pairs pass over the raw table."""
+    t = load_tables(spark, sf_dir)
+    cents = F.floor(F.col("p_retailprice") * 100).cast("bigint")
+    parts = t.part.select("p_partkey", "p_size", cents.alias("price_cents"))
+    cand = parts.groupBy("p_size").agg(F.min("price_cents").alias("best_cents"))
+    c1, c2 = cand.alias("c1"), cand.alias("c2")
+    surviving = c1.join(
+        c2,
+        (F.col("c2.p_size") > F.col("c1.p_size"))
+        & (F.col("c2.best_cents") <= F.col("c1.best_cents")),
+        "left_anti",
+    ).select(
+        F.col("c1.p_size").alias("s_size"),
+        F.col("c1.best_cents").alias("s_best"),
+    )
+    return parts.join(
+        F.broadcast(surviving),
+        (parts.p_size == F.col("s_size"))
+        & (parts.price_cents == F.col("s_best")),
+        "left_semi",
+    )
+
+
 QUERIES = {
     "q_running_share": q_running_share,
     "q_order_gap_median": q_order_gap_median,
+    "q_skyline": q_skyline,
     "q_scan_project": q_scan_project,
     "q_filter_pred": q_filter_pred,
     "q_filter_agg": q_filter_agg,
@@ -856,6 +891,29 @@ ORACLES = {
         FROM rev
         WINDOW w AS (ORDER BY rev_cents DESC, n_name
                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    "q_skyline": """
+        WITH parts AS (
+            SELECT p_partkey, p_size,
+                   CAST(floor(p_retailprice * 100) AS BIGINT) AS price_cents
+            FROM part
+        ),
+        cand AS (
+            SELECT p_size, CAST(min(price_cents) AS BIGINT) AS best_cents
+            FROM parts GROUP BY p_size
+        ),
+        surviving AS (
+            SELECT c1.p_size, c1.best_cents
+            FROM cand c1
+            WHERE NOT EXISTS (
+                SELECT 1 FROM cand c2
+                WHERE c2.p_size > c1.p_size AND c2.best_cents <= c1.best_cents
+            )
+        )
+        SELECT p.p_partkey, p.p_size, p.price_cents
+        FROM parts p
+        JOIN surviving s
+          ON p.p_size = s.p_size AND p.price_cents = s.best_cents
     """,
     "q_order_gap_median": """
         WITH gaps AS (

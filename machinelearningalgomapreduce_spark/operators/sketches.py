@@ -431,3 +431,148 @@ ORACLES = {
     "q_hll_registers": _HLL_REG_SQL,
     "q_hll_estimate": _HLL_EST_SQL,
 }
+
+
+BLOOM_M = 16384  # bits (4 md5 hex digits mod m)
+BLOOM_K = 3
+BLOOM_PROBE_HI = 4001  # probe keys 1..4000 (≈half absent at sf0.01)
+
+
+def _bloom_bit(col: F.Column, r: int) -> F.Column:
+    return F.pmod(_md5_hex_int(col, f"bf{r}:", 4), F.lit(BLOOM_M))
+
+
+def q_bloom_bits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom filter over the distinct part keys as its set-bit table:
+    k=3 md5-seeded positions per key, distinct bits out — the filter
+    state itself, so the oracle checks exactly what membership probes
+    read. Bloom bit tables OR together (mergeable) and never yield
+    false negatives.
+
+    Scale shape: one distinct + a k-way explode collapsing to ≤ m rows —
+    the filter is O(m) regardless of input size."""
+    t = load_tables(spark, sf_dir)
+    keys = t.lineitem.select("l_partkey").distinct()
+    bits = keys.select(
+        F.explode(
+            F.array(*[_bloom_bit(F.col("l_partkey"), r) for r in range(BLOOM_K)])
+        ).alias("bit_idx")
+    )
+    return bits.distinct()
+
+
+def q_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom membership audit over a deterministic probe range
+    (1..4000): a probe is 'present' iff all k bits are set; compare
+    against exact membership to measure the false-positive rate (false
+    negatives must be structurally zero). Every column is an exact
+    integer except the single fpr ratio.
+
+    Scale shape: the bit table (≤ m rows) broadcasts; probes fan out
+    k rows each then collapse with one aggregate."""
+    t = load_tables(spark, sf_dir)
+    bits = q_bloom_bits(spark, sf_dir)
+    probes = spark.range(1, BLOOM_PROBE_HI).select(F.col("id").alias("probe"))
+    probe_bits = probes.select(
+        "probe",
+        F.explode(
+            F.array(*[_bloom_bit(F.col("probe"), r) for r in range(BLOOM_K)])
+        ).alias("bit_idx"),
+    )
+    hit = (
+        probe_bits.join(F.broadcast(bits), "bit_idx", "left_semi")
+        .groupBy("probe")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == BLOOM_K)
+        .select("probe")
+    )
+    truth = t.lineitem.select(F.col("l_partkey").alias("probe")).distinct()
+    flagged = hit.withColumn("present", F.lit(1))
+    actual = truth.withColumn("actual", F.lit(1))
+    audit = (
+        probes.join(flagged, "probe", "left")
+        .join(actual, "probe", "left")
+        .agg(
+            F.count("*").alias("n_probes"),
+            F.sum(F.coalesce(F.col("present"), F.lit(0))).alias("n_present"),
+            F.sum(F.coalesce(F.col("actual"), F.lit(0))).alias("n_actual"),
+            F.sum(
+                F.coalesce(F.col("present"), F.lit(0))
+                * (1 - F.coalesce(F.col("actual"), F.lit(0)))
+            ).alias("n_false_pos"),
+            F.sum(
+                F.coalesce(F.col("actual"), F.lit(0))
+                * (1 - F.coalesce(F.col("present"), F.lit(0)))
+            ).alias("n_false_neg"),
+        )
+    )
+    n_bits = bits.agg(F.count("*").alias("n_bits_set"))
+    return audit.crossJoin(F.broadcast(n_bits)).select(
+        F.lit(BLOOM_M).alias("m"),
+        F.lit(BLOOM_K).alias("k"),
+        "n_bits_set",
+        "n_probes",
+        "n_present",
+        "n_actual",
+        "n_false_pos",
+        "n_false_neg",
+        F.round(
+            F.col("n_false_pos").cast("double")
+            / (F.col("n_probes") - F.col("n_actual")).cast("double"),
+            6,
+        ).alias("fpr"),
+    )
+
+
+def _bloom_bit_sql(expr: str, r: int) -> str:
+    return f"({_sql_hex_int(expr, f'bf{r}:', 4)} % {BLOOM_M})"
+
+
+_BLOOM_BITS_CTE = f"""
+    keys AS (SELECT DISTINCT l_partkey FROM lineitem),
+    bits AS (
+        SELECT DISTINCT bit_idx FROM (
+            {" UNION ALL ".join(f"SELECT {_bloom_bit_sql('CAST(l_partkey AS VARCHAR)', r)} AS bit_idx FROM keys" for r in range(BLOOM_K))}
+        )
+    )"""
+
+ORACLES["q_bloom_bits"] = f"""
+    WITH {_BLOOM_BITS_CTE}
+    SELECT bit_idx FROM bits
+"""
+
+ORACLES["q_bloom_audit"] = f"""
+    WITH {_BLOOM_BITS_CTE},
+    probes AS (SELECT unnest(range(1, {BLOOM_PROBE_HI})) AS probe),
+    probe_bits AS (
+        {" UNION ALL ".join(f"SELECT probe, {_bloom_bit_sql('CAST(probe AS VARCHAR)', r)} AS bit_idx FROM probes" for r in range(BLOOM_K))}
+    ),
+    hit AS (
+        SELECT probe FROM (
+            SELECT pb.probe, count(*) AS n_hit
+            FROM probe_bits pb JOIN bits b ON pb.bit_idx = b.bit_idx
+            GROUP BY pb.probe
+        ) WHERE n_hit = {BLOOM_K}
+    ),
+    audit AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_probes,
+               CAST(sum(CASE WHEN h.probe IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_present,
+               CAST(sum(CASE WHEN k.l_partkey IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_actual,
+               CAST(sum(CASE WHEN h.probe IS NOT NULL AND k.l_partkey IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos,
+               CAST(sum(CASE WHEN k.l_partkey IS NOT NULL AND h.probe IS NULL
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+        FROM probes p
+        LEFT JOIN hit h ON p.probe = h.probe
+        LEFT JOIN keys k ON p.probe = k.l_partkey
+    )
+    SELECT CAST({BLOOM_M} AS INTEGER) AS m, CAST({BLOOM_K} AS INTEGER) AS k,
+           (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
+           n_probes, n_present, n_actual, n_false_pos, n_false_neg,
+           round(CAST(n_false_pos AS DOUBLE)
+                 / CAST(n_probes - n_actual AS DOUBLE), 6) AS fpr
+    FROM audit
+"""
+
+QUERIES["q_bloom_bits"] = q_bloom_bits
+QUERIES["q_bloom_audit"] = q_bloom_audit

@@ -450,7 +450,52 @@ def q_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_benford(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fabricated-data screen: observed leading-digit shares vs
+    log10(1+1/d), with the per-digit chi-square contribution and the
+    running total carried as a DECIMAL window sum (the q_mutual_info
+    order-free discipline). The leading digit comes from the INTEGER
+    part rendered as a string — no float log10, fully engine-portable.
+
+    Scale shape: one counting aggregate to the 9-digit domain +
+    O(9) arithmetic."""
+    import math
+
+    t = load_tables(spark, sf_dir)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    per = (
+        t.orders.filter(F.col("o_totalprice") >= 1.0)
+        .groupBy(digit.alias("digit"))
+        .agg(F.count("*").alias("n"))
+    )
+    tot = per.agg(F.sum("n").alias("n_total"))
+    expected = F.element_at(
+        F.array(*[F.lit(math.log10(1.0 + 1.0 / d)) for d in range(1, 10)]),
+        F.col("digit"),
+    )
+    joined = per.crossJoin(F.broadcast(tot))
+    exp_n = expected * F.col("n_total").cast("double")
+    contrib = F.round(
+        (F.col("n").cast("double") - exp_n) * (F.col("n").cast("double") - exp_n) / exp_n,
+        10,
+    ).cast("decimal(28,10)")
+    w = W.partitionBy()
+    return joined.select(
+        "digit",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("n_total").cast("double"), 6)
+        .alias("obs_share"),
+        F.round(expected, 6).alias("benford_share"),
+        contrib.cast("double").alias("chi2_contrib"),
+        F.sum(contrib).over(w).cast("double").alias("chi2_total"),
+    )
+
+
 QUERIES = {
+    "q_benford": q_benford,
     "q_quantile_normalize": q_quantile_normalize,
     "q_percentiles": q_percentiles,
     "q_percentile_audit": q_percentile_audit,
@@ -708,3 +753,31 @@ ORACLES = {
         FROM stats
     """,
 }
+
+ORACLES["q_benford"] = """
+    WITH per AS (
+        SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                    AS INTEGER) AS digit,
+               CAST(count(*) AS BIGINT) AS n
+        FROM orders WHERE o_totalprice >= 1.0
+        GROUP BY 1
+    ),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM per),
+    scored AS (
+        SELECT digit, n,
+               round(CAST(n AS DOUBLE) / CAST((SELECT n_total FROM tot) AS DOUBLE), 6)
+                   AS obs_share,
+               round(CASE digit WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE) WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE) WHEN 3 THEN CAST(0.12493873660829992 AS DOUBLE) WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE) WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE) WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE) WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE) WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE) WHEN 9 THEN CAST(0.04575749056067514 AS DOUBLE) END, 6) AS benford_share,
+               CAST(round((CAST(n AS DOUBLE)
+                           - (CASE digit WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE) WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE) WHEN 3 THEN CAST(0.12493873660829992 AS DOUBLE) WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE) WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE) WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE) WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE) WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE) WHEN 9 THEN CAST(0.04575749056067514 AS DOUBLE) END) * CAST((SELECT n_total FROM tot) AS DOUBLE))
+                          * (CAST(n AS DOUBLE)
+                             - (CASE digit WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE) WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE) WHEN 3 THEN CAST(0.12493873660829992 AS DOUBLE) WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE) WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE) WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE) WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE) WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE) WHEN 9 THEN CAST(0.04575749056067514 AS DOUBLE) END) * CAST((SELECT n_total FROM tot) AS DOUBLE))
+                          / ((CASE digit WHEN 1 THEN CAST(0.3010299956639812 AS DOUBLE) WHEN 2 THEN CAST(0.17609125905568124 AS DOUBLE) WHEN 3 THEN CAST(0.12493873660829992 AS DOUBLE) WHEN 4 THEN CAST(0.09691001300805642 AS DOUBLE) WHEN 5 THEN CAST(0.07918124604762482 AS DOUBLE) WHEN 6 THEN CAST(0.06694678963061322 AS DOUBLE) WHEN 7 THEN CAST(0.05799194697768673 AS DOUBLE) WHEN 8 THEN CAST(0.05115252244738129 AS DOUBLE) WHEN 9 THEN CAST(0.04575749056067514 AS DOUBLE) END) * CAST((SELECT n_total FROM tot) AS DOUBLE)), 10)
+                    AS DECIMAL(28,10)) AS contrib
+        FROM per
+    )
+    SELECT digit, n, obs_share, benford_share,
+           CAST(contrib AS DOUBLE) AS chi2_contrib,
+           CAST(sum(contrib) OVER () AS DOUBLE) AS chi2_total
+    FROM scored
+"""

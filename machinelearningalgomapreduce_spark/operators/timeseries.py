@@ -268,7 +268,46 @@ def q_theil_sen(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regularize each event type's hourly series onto a dense spine:
+    generate every hour between the type's first and last observation
+    (sequence + explode), left-join the observed counts, and emit both
+    gap-fill conventions — zero-fill and last-observation-carried-forward
+    — the resample step every downstream window/forecast operator
+    assumes. All columns are exact integers (raw y stays NULL on gap
+    rows, the honest signal).
+
+    Scale shape: the spine is O(types × hours) — bounded domain; one
+    left join + one ordered ffill window over it; raw events are
+    touched once by the counting aggregate."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("y"))
+    bounds = hourly.groupBy("event_type").agg(
+        F.min("hour").alias("mn"), F.max("hour").alias("mx")
+    )
+    spine = bounds.select(
+        "event_type",
+        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("hour"),
+    )
+    joined = spine.join(hourly, ["event_type", "hour"], "left")
+    w = W.partitionBy("event_type").orderBy("hour").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return joined.select(
+        "event_type",
+        "hour",
+        "y",
+        F.coalesce(F.col("y"), F.lit(0)).alias("y_zero_fill"),
+        F.last("y", ignorenulls=True).over(w).alias("y_ffill"),
+    )
+
+
 QUERIES = {
+    "q_gap_fill": q_gap_fill,
     "q_holt": q_holt,
     "q_cusum": q_cusum,
     "q_trend_fit": q_trend_fit,
@@ -341,6 +380,31 @@ def decompose_series(
 
 
 ORACLES = {
+    "q_gap_fill": """
+        WITH hourly AS (
+            SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+                   CAST(count(*) AS BIGINT) AS y
+            FROM events GROUP BY 1, 2
+        ),
+        bounds AS (
+            SELECT event_type, min(hour) AS mn, max(hour) AS mx
+            FROM hourly GROUP BY event_type
+        ),
+        spine AS (
+            SELECT event_type,
+                   CAST(unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS TIMESTAMP)
+                       AS hour
+            FROM bounds
+        )
+        SELECT s.event_type, s.hour, h.y,
+               CAST(coalesce(h.y, 0) AS BIGINT) AS y_zero_fill,
+               CAST(last_value(h.y IGNORE NULLS)
+                    OVER (PARTITION BY s.event_type ORDER BY s.hour
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS y_ffill
+        FROM spine s LEFT JOIN hourly h
+          ON s.event_type = h.event_type AND s.hour = h.hour
+    """,
     "q_decompose": f"""
         WITH hourly AS (
             SELECT event_type,

@@ -154,6 +154,9 @@ DEFERRED_NEXT_WINDOW: frozenset[str] = frozenset({
     "q_hmm_score",
     # similarity (JL width reduction)
     "q_jl_project",
+    # second mini-tranche
+    "q_wilson_ctr", "q_benford", "q_gap_fill", "q_bloom_bits",
+    "q_bloom_audit", "q_skyline",
 })
 _DEFER_KEY = 2.5
 

@@ -271,3 +271,66 @@ def test_jl_projection_preserves_distances_loosely(spark):
         F.avg(((F.col("pn") > 0.05 * F.col("on")) & (F.col("pn") < 5.0 * F.col("on"))).cast("double"))
     ).first()[0]
     assert frac_ok > 0.6
+
+
+def test_wilson_bounds_bracket_p_hat(spark):
+    from machinelearningalgomapreduce_spark.operators.evaluation import q_wilson_ctr
+
+    for r in q_wilson_ctr(spark, SMOKE_SF_DIR).collect():
+        assert 0.0 <= r["wilson_lo"] <= r["p_hat"] <= r["wilson_hi"] <= 1.0
+
+
+def test_benford_shares_and_chi2(spark):
+    from machinelearningalgomapreduce_spark.operators.stats import q_benford
+
+    rows = q_benford(spark, SMOKE_SF_DIR).collect()
+    assert {r["digit"] for r in rows} <= set(range(1, 10))
+    assert abs(sum(r["obs_share"] for r in rows) - 1.0) < 1e-3
+    assert abs(sum(r["benford_share"] for r in rows) - 1.0) < 2e-3 * len(rows)
+    for r in rows:
+        assert r["chi2_total"] >= r["chi2_contrib"] >= 0.0
+
+
+def test_gap_fill_spine_is_dense_and_consistent(spark):
+    from machinelearningalgomapreduce_spark.operators.timeseries import q_gap_fill
+
+    rows = q_gap_fill(spark, SMOKE_SF_DIR).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r["event_type"], []).append(r)
+    for et, rs in by_type.items():
+        rs.sort(key=lambda r: r["hour"])
+        for a, b in zip(rs, rs[1:]):
+            assert (b["hour"] - a["hour"]).total_seconds() == 3600, (et, a, b)
+        for r in rs:
+            if r["y"] is None:
+                assert r["y_zero_fill"] == 0
+            else:
+                assert r["y_zero_fill"] == r["y"] == r["y_ffill"]
+
+
+def test_bloom_no_false_negatives(spark):
+    from machinelearningalgomapreduce_spark.operators.sketches import q_bloom_audit
+
+    row = q_bloom_audit(spark, SMOKE_SF_DIR).first()
+    assert row["n_false_neg"] == 0, "Bloom filters must never miss a member"
+    assert row["n_present"] == row["n_actual"] + row["n_false_pos"]
+    assert 0.0 <= row["fpr"] < 0.5
+
+
+def test_skyline_is_pareto_frontier(spark):
+    from machinelearningalgomapreduce_spark.operators.relational import q_skyline
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    sky = [(r["p_size"], r["price_cents"]) for r in q_skyline(spark, SMOKE_SF_DIR).collect()]
+    assert sky
+    t = load_tables(spark, SMOKE_SF_DIR)
+    allp = [
+        (r["p_size"], int(r["p_retailprice"] * 100 // 1))
+        for r in t.part.collect()
+    ]
+    for s, p in sky:
+        dominated = any(
+            (s2 >= s and p2 <= p and (s2 > s or p2 < p)) for s2, p2 in allp
+        )
+        assert not dominated, (s, p)

@@ -192,6 +192,8 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row anchor date",
         "SinglePartitionData": "ntile over per-customer rollup; approx quintile cutpoints are the scale path (q_customer_segments posture)",
     },
+    "q_benford": {"BroadcastNestedLoopJoin": "1-row N total onto the 9-digit domain"},
+    "q_bloom_audit": {"BroadcastNestedLoopJoin": "1-row bit-count audit total"},
 }
 
 # Patterns searched in the FORMATTED plan text.
