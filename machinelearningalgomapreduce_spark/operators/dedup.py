@@ -762,3 +762,90 @@ ORACLES = {
 
 # The minhash CTE chain is shared by the pair and cluster oracles.
 ORACLES = {k: v.replace("{MINHASH_CTES}", _MINHASH_CTES) for k, v in ORACLES.items()}
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood dedup (round-6 addition, deferred driver window).
+
+SNM_WINDOW = 2  # compare each doc against its next-2 sort neighbors
+SNM_KEY_CHARS = 40  # sort key = lowercased text prefix
+SNM_BLOCK_CHARS = 4  # sort blocks — windows never cross blocks
+SNM_THRESHOLD = 0.5
+
+
+def q_dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood (SNM) near-dedup — the third blocking
+    strategy next to LSH banding (q_dedup_minhash) and min-shingle
+    blocks (q_dedup_ngram_jaccard): sort by a normalized key (lowercased
+    text prefix), compare each doc only to its next SNM_WINDOW sort
+    neighbors, verify candidates with exact word-bigram Jaccard ≥ 0.5.
+    Misses dups whose edits fall inside the sort key (the classic SNM
+    trade-off — multi-pass with rotated keys is the standard fix);
+    catches suffix edits in O(n·w) comparisons.
+
+    Scale shape: the sort happens WITHIN hash-prefix blocks (the window
+    runs per block, never a global single-partition sort), so partitions
+    scale with the block domain; candidates are O(n·w)."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, SNM_KEY_CHARS)).alias("skey"),
+        F.array_distinct(shingles(F.col("text"), k=2)).alias("ng"),
+    ).withColumn("block", F.substring("skey", 1, SNM_BLOCK_CHARS))
+    w = W.partitionBy("block").orderBy("skey", "doc_id")
+    led = base.select(
+        "doc_id",
+        "ng",
+        *[F.lead("doc_id", i).over(w).alias(f"nid{i}") for i in range(1, SNM_WINDOW + 1)],
+        *[F.lead("ng", i).over(w).alias(f"nng{i}") for i in range(1, SNM_WINDOW + 1)],
+    )
+    pairs = None
+    for i in range(1, SNM_WINDOW + 1):
+        p = led.filter(F.col(f"nid{i}").isNotNull()).select(
+            F.col("doc_id").alias("doc_a"),
+            F.col(f"nid{i}").alias("doc_b"),
+            F.col("ng").alias("ng_a"),
+            F.col(f"nng{i}").alias("ng_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    inter = F.size(F.array_intersect("ng_a", "ng_b"))
+    union = F.size("ng_a") + F.size("ng_b") - inter
+    jac = inter.cast("double") / union.cast("double")
+    return (
+        pairs.select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= SNM_THRESHOLD)
+    )
+
+
+QUERIES["q_dedup_snm"] = q_dedup_snm
+
+ORACLES["q_dedup_snm"] = f"""
+    WITH base AS (
+        SELECT doc_id,
+               lower(substr(text, 1, {SNM_KEY_CHARS})) AS skey,
+               substr(lower(substr(text, 1, {SNM_KEY_CHARS})), 1, {SNM_BLOCK_CHARS})
+                   AS block,
+               {_SHINGLE2} AS ng
+        FROM documents
+    ),
+    led AS (
+        SELECT doc_id, ng,
+               {", ".join(f"lead(doc_id, {i}) OVER w AS nid{i}, lead(ng, {i}) OVER w AS nng{i}" for i in range(1, SNM_WINDOW + 1))}
+        FROM base
+        WINDOW w AS (PARTITION BY block ORDER BY skey, doc_id)
+    ),
+    pairs AS (
+        {" UNION ALL ".join(f"SELECT doc_id AS doc_a, nid{i} AS doc_b, ng AS ng_a, nng{i} AS ng_b FROM led WHERE nid{i} IS NOT NULL" for i in range(1, SNM_WINDOW + 1))}
+    ),
+    scored AS (
+        SELECT doc_a, doc_b,
+               round(CAST(len(list_intersect(ng_a, ng_b)) AS DOUBLE)
+                     / CAST(len(ng_a) + len(ng_b)
+                            - len(list_intersect(ng_a, ng_b)) AS DOUBLE), 6)
+                   AS jaccard
+        FROM pairs
+    )
+    SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {SNM_THRESHOLD}
+"""

@@ -334,3 +334,26 @@ def test_skyline_is_pareto_frontier(spark):
             (s2 >= s and p2 <= p and (s2 > s or p2 < p)) for s2, p2 in allp
         )
         assert not dominated, (s, p)
+
+
+def test_dedup_snm_agrees_with_minshingle_blocking(spark):
+    """Pairs surfaced by BOTH blocking strategies must carry identical
+    exact-Jaccard scores (the verify stage is shared semantics; only the
+    candidate generators differ)."""
+    from machinelearningalgomapreduce_spark.operators.dedup import (
+        q_dedup_ngram_jaccard, q_dedup_snm,
+    )
+
+    snm = {
+        tuple(sorted((r["doc_a"], r["doc_b"]))): r["jaccard"]
+        for r in q_dedup_snm(spark, SMOKE_SF_DIR).collect()
+    }
+    for r in snm.values():
+        assert r >= 0.5
+    blocked = {
+        tuple(sorted((r["doc_a"], r["doc_b"]))): r["bigram_jaccard"]
+        for r in q_dedup_ngram_jaccard(spark, SMOKE_SF_DIR).collect()
+    }
+    both = set(snm) & set(blocked)
+    for k in both:
+        assert snm[k] == pytest.approx(blocked[k], abs=1e-6)

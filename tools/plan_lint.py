@@ -192,7 +192,13 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row anchor date",
         "SinglePartitionData": "ntile over per-customer rollup; approx quintile cutpoints are the scale path (q_customer_segments posture)",
     },
-    "q_benford": {"BroadcastNestedLoopJoin": "1-row N total onto the 9-digit domain"},
+    "q_benford": {
+        "BroadcastNestedLoopJoin": "1-row N total onto the 9-digit domain",
+        "SinglePartitionData": "chi2 window over the 9-digit domain (bounded)",
+    },
+    "q_skyline": {
+        "BroadcastNestedLoopJoin": "non-equi dominance anti-join over the ≤|size-domain| candidate frame (bounded)",
+    },
     "q_bloom_audit": {"BroadcastNestedLoopJoin": "1-row bit-count audit total"},
 }
 
