@@ -435,7 +435,7 @@ ORACLES = {
 
 BLOOM_M = 16384  # bits (4 md5 hex digits mod m)
 BLOOM_K = 3
-BLOOM_PROBE_HI = 4001  # probe keys 1..4000 (≈half absent at sf0.01)
+BLOOM_SHIFT = 1_000_003  # absent-probe offset (prime, far above key ranges)
 
 
 def _bloom_bit(col: F.Column, r: int) -> F.Column:
@@ -468,11 +468,21 @@ def q_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     negatives must be structurally zero). Every column is an exact
     integer except the single fpr ratio.
 
+    The probe set derives from the key domain itself — every real key
+    plus every key shifted by a large prime (absent unless the shifted
+    value collides with a real key, which the exact-membership join
+    accounts for) — so roughly half the probes are absent at EVERY
+    scale; a fixed literal range went all-present at sf0.1 and zeroed
+    the FPR denominator.
+
     Scale shape: the bit table (≤ m rows) broadcasts; probes fan out
     k rows each then collapse with one aggregate."""
     t = load_tables(spark, sf_dir)
     bits = q_bloom_bits(spark, sf_dir)
-    probes = spark.range(1, BLOOM_PROBE_HI).select(F.col("id").alias("probe"))
+    keys = t.lineitem.select(F.col("l_partkey").alias("probe")).distinct()
+    probes = keys.unionByName(
+        keys.select((F.col("probe") + BLOOM_SHIFT).alias("probe"))
+    ).distinct()
     probe_bits = probes.select(
         "probe",
         F.explode(
@@ -517,8 +527,10 @@ def q_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_false_pos",
         "n_false_neg",
         F.round(
-            F.col("n_false_pos").cast("double")
-            / (F.col("n_probes") - F.col("n_actual")).cast("double"),
+            F.try_divide(
+                F.col("n_false_pos").cast("double"),
+                (F.col("n_probes") - F.col("n_actual")).cast("double"),
+            ),
             6,
         ).alias("fpr"),
     )
@@ -543,7 +555,12 @@ ORACLES["q_bloom_bits"] = f"""
 
 ORACLES["q_bloom_audit"] = f"""
     WITH {_BLOOM_BITS_CTE},
-    probes AS (SELECT unnest(range(1, {BLOOM_PROBE_HI})) AS probe),
+    probes AS (
+        SELECT DISTINCT probe FROM (
+            SELECT l_partkey AS probe FROM keys
+            UNION ALL SELECT l_partkey + {BLOOM_SHIFT} AS probe FROM keys
+        )
+    ),
     probe_bits AS (
         {" UNION ALL ".join(f"SELECT probe, {_bloom_bit_sql('CAST(probe AS VARCHAR)', r)} AS bit_idx FROM probes" for r in range(BLOOM_K))}
     ),
@@ -570,7 +587,7 @@ ORACLES["q_bloom_audit"] = f"""
            (SELECT CAST(count(*) AS BIGINT) FROM bits) AS n_bits_set,
            n_probes, n_present, n_actual, n_false_pos, n_false_neg,
            round(CAST(n_false_pos AS DOUBLE)
-                 / CAST(n_probes - n_actual AS DOUBLE), 6) AS fpr
+                 / nullif(CAST(n_probes - n_actual AS DOUBLE), 0.0), 6) AS fpr
     FROM audit
 """
 

@@ -52,6 +52,13 @@ PROBE_QUERIES = [
     "q_distinct_users",
     "q_wordcount",
     "q_dedup_exact",
+    # round-6 additions: sketch build (must stay ~flat — output bounded by
+    # depth×width), per-block SNM windows, per-user HMM fold, vocab-bounded
+    # KL rollup.
+    "q_cm_cells",
+    "q_dedup_snm",
+    "q_hmm_score",
+    "q_kl_divergence",
 ]
 
 
