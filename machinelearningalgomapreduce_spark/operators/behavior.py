@@ -31,6 +31,7 @@ from pyspark.sql.window import Window as W
 
 from machinelearningalgomapreduce_spark.operators.events import sessionize
 from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+from machinelearningalgomapreduce_spark.functions.fixedpoint import half_up
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
 #: Sessionize CTE shared by the bounce oracle — keep identical to
@@ -344,10 +345,7 @@ def q_survival_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_risk",
         "n_events",
         "n_censored",
-        F.floor(
-            (2 * F.col("n_events") * 1_000_000 + F.col("n_risk"))
-            / (2 * F.col("n_risk"))
-        ).cast("bigint").alias("hazard_micro"),
+        half_up(F.col("n_events") * 1_000_000, F.col("n_risk")).alias("hazard_micro"),
     )
 
 

@@ -220,14 +220,19 @@ def q_isotonic_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant work regardless of corpus size."""
     scored = _scored(spark, sf_dir)
     bounds = scored.agg(F.min("score").alias("mn"), F.max("score").alias("mx"))
+    # Degenerate range (all scores equal): (score−mn)/(mx−mn) is NaN and
+    # the engines disagree on floor/least-of-NaN — pin everything to bin 0.
     binned = scored.crossJoin(F.broadcast(bounds)).select(
-        F.least(
-            F.lit(ISO_BINS - 1),
-            F.floor(
-                (F.col("score") - F.col("mn"))
-                / (F.col("mx") - F.col("mn"))
-                * ISO_BINS
-            ),
+        F.when(F.col("mx") == F.col("mn"), F.lit(0))
+        .otherwise(
+            F.least(
+                F.lit(ISO_BINS - 1),
+                F.floor(
+                    (F.col("score") - F.col("mn"))
+                    / (F.col("mx") - F.col("mn"))
+                    * ISO_BINS
+                ),
+            )
         ).cast("int").alias("bin"),
         "pos",
     )
@@ -281,10 +286,13 @@ ORACLES = {
         WITH scored AS ({_SCORED_SQL}),
         bounds AS (SELECT min(score) AS mn, max(score) AS mx FROM scored),
         binned AS (
-            SELECT CAST(least({ISO_BINS - 1},
-                              floor((score - (SELECT mn FROM bounds))
-                                    / ((SELECT mx FROM bounds) - (SELECT mn FROM bounds))
-                                    * {ISO_BINS})) AS INTEGER) AS bin,
+            SELECT CAST(CASE WHEN (SELECT mx FROM bounds) = (SELECT mn FROM bounds)
+                             THEN 0
+                             ELSE least({ISO_BINS - 1},
+                                        floor((score - (SELECT mn FROM bounds))
+                                              / ((SELECT mx FROM bounds) - (SELECT mn FROM bounds))
+                                              * {ISO_BINS}))
+                        END AS INTEGER) AS bin,
                    pos
             FROM scored
         ),

@@ -755,6 +755,13 @@ def reachable_from(edges: DataFrame, seeds: DataFrame, max_rounds: int = 30) -> 
             break
         visited = visited.unionByName(nxt)
         frontier = nxt
+    else:
+        # Frontier still non-empty after max_rounds: a silently truncated
+        # closure would diverge from any fixpoint twin (the kcore_iterate /
+        # connected_components_star non-convergence discipline).
+        raise RuntimeError(
+            f"reachable_from did not converge within {max_rounds} rounds"
+        )
     return visited
 
 
@@ -788,11 +795,7 @@ PPR_SEEDS = 4  # seeds = the PPR_SEEDS smallest node ids (exact quarter micros)
 PPR_ALPHA_PCT = 15  # restart probability, in percent (integer arithmetic)
 
 
-def _half_up(num, den):
-    """round-half-up of the exact rational num/den ≥ 0 denominators:
-    floor((2·num + den)/(2·den)) — integer-exact for operands ≤ 2^53
-    (the q_rating_baseline discipline, classicml.py)."""
-    return F.floor((2 * num + den) / (2 * den)).cast("bigint")
+from machinelearningalgomapreduce_spark.functions.fixedpoint import half_up as _half_up
 
 
 def _sym_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -207,9 +207,11 @@ def q_cm_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bit-deterministic. CM only overestimates → recall 1 on true heavy
     hitters; width bounds the false-positive mass.
 
-    Scale shape: sketch ≤ depth×width rows (broadcast); probes are the
-    distinct-key stream; N comes from row 0 of the sketch itself — the
-    raw table is scanned exactly once (sketch build + distinct share it).
+    Scale shape: sketch ≤ depth×width rows (broadcast); N comes from
+    row 0 of the sketch itself. The fact table is scanned twice (sketch
+    build + distinct probe set) — at 100 TB the probe set is whatever
+    candidate stream you already track, so only the sketch build touches
+    the raw data.
     """
     t = load_tables(spark, sf_dir)
     sketch = q_cm_cells(spark, sf_dir)
@@ -478,8 +480,14 @@ def q_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the bit table (≤ m rows) broadcasts; probes fan out
     k rows each then collapse with one aggregate."""
     t = load_tables(spark, sf_dir)
-    bits = q_bloom_bits(spark, sf_dir)
     keys = t.lineitem.select(F.col("l_partkey").alias("probe")).distinct()
+    # ONE distinct-keys relation feeds the bit table, the probe set, and
+    # the exact-membership truth — no redundant fact-table scans.
+    bits = keys.select(
+        F.explode(
+            F.array(*[_bloom_bit(F.col("probe"), r) for r in range(BLOOM_K)])
+        ).alias("bit_idx")
+    ).distinct()
     probes = keys.unionByName(
         keys.select((F.col("probe") + BLOOM_SHIFT).alias("probe"))
     ).distinct()
@@ -496,9 +504,8 @@ def q_bloom_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_hit") == BLOOM_K)
         .select("probe")
     )
-    truth = t.lineitem.select(F.col("l_partkey").alias("probe")).distinct()
     flagged = hit.withColumn("present", F.lit(1))
-    actual = truth.withColumn("actual", F.lit(1))
+    actual = keys.withColumn("actual", F.lit(1))
     audit = (
         probes.join(flagged, "probe", "left")
         .join(actual, "probe", "left")

@@ -163,11 +163,7 @@ DECOMP_HALF = 12  # centered moving-average half-window (hours)
 DECOMP_PERIOD = 24  # seasonal period (hour of day)
 
 
-def _half_up_ts(num, den):
-    """floor((2N+D)/(2D)) — integer-exact round-half-up of N/D (toward +∞
-    for negative N); operands ≤ 2^53 so the double division is correctly
-    rounded in both engines (q_rating_baseline discipline)."""
-    return F.floor((2 * num + den) / (2 * den)).cast("bigint")
+from machinelearningalgomapreduce_spark.functions.fixedpoint import half_up as _half_up_ts
 
 
 def q_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:

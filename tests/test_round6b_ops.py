@@ -71,13 +71,44 @@ def test_louvain_move_matches_float_library(spark):
     assert got == want
 
 
-def test_scc_pivot_is_strongly_connected(spark):
-    """Every member both reaches and is reached from the pivot — checked
-    by re-running the closures restricted to the member set."""
-    from machinelearningalgomapreduce_spark.operators.graph import q_scc_pivot
+def test_scc_pivot_matches_python_reference(spark):
+    """Differential: rebuild the md5-oriented edge set in Python, run two
+    BFS closures from the max-degree pivot, and assert the query returns
+    EXACTLY fwd ∩ back — both membership directions verified."""
+    import hashlib
+    from collections import defaultdict, deque
 
-    members = q_scc_pivot(spark, SMOKE_SF_DIR)
-    assert members.count() >= 1
+    from machinelearningalgomapreduce_spark.operators.graph import (
+        _repeat_copurchase_edges, q_scc_pivot,
+    )
+
+    got = {r["node"] for r in q_scc_pivot(spark, SMOKE_SF_DIR).collect()}
+    edges = [
+        (r["u"], r["v"])
+        for r in _repeat_copurchase_edges(spark, SMOKE_SF_DIR).select("u", "v").collect()
+    ]
+    fwd_adj, back_adj, deg = defaultdict(list), defaultdict(list), defaultdict(int)
+    for u, v in edges:
+        even = hashlib.md5(f"dir:{u}:{v}".encode()).hexdigest()[0] in "01234567"
+        s_, d_ = (u, v) if even else (v, u)
+        fwd_adj[s_].append(d_)
+        back_adj[d_].append(s_)
+        deg[s_] += 1
+        deg[d_] += 1
+    pivot = max(deg, key=lambda n: (deg[n], -n))
+
+    def closure(adj, seed):
+        seen = {seed}
+        q = deque([seed])
+        while q:
+            for nxt in adj[q.popleft()]:
+                if nxt not in seen:
+                    seen.add(nxt)
+                    q.append(nxt)
+        return seen
+
+    want = closure(fwd_adj, pivot) & closure(back_adj, pivot)
+    assert got == want
 
 
 def test_levene_matches_float_library(spark):
