@@ -302,3 +302,52 @@ def test_tpch_semi_reductions_broadcast(spark, sf_dir, queries):
     for name, want in expected_min_broadcasts.items():
         got = P.count_broadcast_joins(queries[name](spark, sf_dir))
         assert got >= want, f"{name}: {got} broadcast joins < {want}"
+
+
+# ---- round-6 deferred-window additions: the scale claims in their
+# docstrings, asserted against the actual physical plans.
+
+
+def test_jl_project_zero_shuffle(spark, sf_dir, queries):
+    # A pure per-row projection the scan carries: NO exchange at all.
+    assert P.count_exchanges(queries["q_jl_project"](spark, sf_dir)) == 0
+
+
+def test_cm_cells_single_aggregate_shuffle(spark, sf_dir, queries):
+    # Sketch build = one posexplode + one (row, col) aggregate: exactly
+    # one shuffle regardless of input size.
+    assert P.count_exchanges(queries["q_cm_cells"](spark, sf_dir)) == 1
+
+
+def test_hmm_score_single_user_shuffle(spark, sf_dir, queries):
+    # ONE groupBy(user) exchange; the forward fold is a narrow map stage.
+    assert P.count_exchanges(queries["q_hmm_score"](spark, sf_dir)) <= 1
+
+
+def test_rendezvous_no_explode_no_join(spark, sf_dir, queries):
+    # argmax over a literal struct array per row + one bounded aggregate:
+    # one exchange, no join operator in the plan.
+    df = queries["q_rendezvous"](spark, sf_dir)
+    plan = P.formatted_plan(df)
+    assert "Join" not in plan
+    assert P.count_exchanges(df) == 1
+
+
+def test_dedup_snm_windows_stay_in_blocks(spark, sf_dir, queries):
+    # The SNM sort must be per-block (partitioned window), never a global
+    # single-partition sort of the corpus.
+    plan = P.formatted_plan(queries["q_dedup_snm"](spark, sf_dir))
+    assert "SinglePartition" not in plan
+
+
+def test_modularity_broadcasts_labels(spark, sf_dir, queries):
+    # Brand labels join broadcast; only the community rollup shuffles.
+    plan = P.formatted_plan(queries["q_modularity"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_isotonic_bins_bounded_frame_joins(spark, sf_dir, queries):
+    # The O(bins³) minimax runs on ≤20-row frames — every join in the
+    # plan must be a broadcast, never a shuffled join of raw rows.
+    plan = P.formatted_plan(queries["q_isotonic_bins"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
