@@ -169,3 +169,57 @@ def run_to_memory(stream_df: DataFrame, table_name: str, output_mode: str = "com
     )
     q.awaitTermination()
     return stream_df.sparkSession.table(table_name)
+
+
+def wilson_ctr_stream(events: DataFrame) -> DataFrame:
+    """Streaming twin of operators/evaluation.py::q_wilson_ctr: per-type
+    success counts maintained as a streaming aggregate (complete mode),
+    with the Wilson 95% bounds computed as a pure projection over the
+    aggregate — the live conversion-rate monitor with honest small-n
+    intervals. State is O(event types)."""
+    from machinelearningalgomapreduce_spark.operators.evaluation import WILSON_Z
+
+    per = events.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum((F.col("value") >= 50.0).cast("bigint")).alias("x"),
+    )
+    n = F.col("n").cast("double")
+    p = F.col("x").cast("double") / n
+    z2 = WILSON_Z * WILSON_Z
+    denom = 1.0 + z2 / n
+    center = p + z2 / (2.0 * n)
+    spread = WILSON_Z * F.sqrt(p * (1.0 - p) / n + z2 / (4.0 * n * n))
+    return per.select(
+        "event_type",
+        "n",
+        "x",
+        F.round(p, 6).alias("p_hat"),
+        F.round((center - spread) / denom, 6).alias("wilson_lo"),
+        F.round((center + spread) / denom, 6).alias("wilson_hi"),
+    )
+
+
+def cm_sketch_stream(events: DataFrame) -> DataFrame:
+    """Streaming Count-Min build over the event user stream: the
+    (row, col_idx, cnt) cell aggregate maintained incrementally in
+    complete mode — sketches are THE streaming-friendly aggregate (state
+    bounded by depth×width forever, mergeable across restarts/day
+    boundaries). Buckets are the md5 scheme of
+    operators/sketches.py::q_cm_cells, so a stored batch sketch and the
+    live stream sketch merge cell-wise."""
+    from machinelearningalgomapreduce_spark.operators.sketches import (
+        CMQ_DEPTH, CMQ_WIDTH, _md5_hex_int,
+    )
+
+    key = F.col("user_id")
+    buckets = F.array(
+        *[
+            F.pmod(_md5_hex_int(key, f"cm{r}:", 3), F.lit(CMQ_WIDTH))
+            for r in range(CMQ_DEPTH)
+        ]
+    )
+    return (
+        events.select(F.posexplode(buckets).alias("row", "col_idx"))
+        .groupBy("row", "col_idx")
+        .agg(F.count("*").alias("cnt"))
+    )

@@ -137,3 +137,59 @@ def test_foreachbatch_incremental_refresh_matches_batch(spark, sf_dir, tmp_path)
         .collect()
     }
     assert {k: (n, s) for k, (n, s) in merged.items()} == want
+
+
+def test_wilson_ctr_stream_matches_batch(spark, sf_dir):
+    """availableNow over the whole fixture ≡ the batch q_wilson_ctr."""
+    from machinelearningalgomapreduce_spark.operators.evaluation import q_wilson_ctr
+    from machinelearningalgomapreduce_spark.streaming.windows import (
+        run_to_memory, stream_events, wilson_ctr_stream,
+    )
+
+    got = {
+        r["event_type"]: (r["n"], r["x"], r["p_hat"], r["wilson_lo"], r["wilson_hi"])
+        for r in run_to_memory(
+            wilson_ctr_stream(stream_events(spark, sf_dir)), "wilson_stream"
+        ).collect()
+    }
+    want = {
+        r["event_type"]: (r["n"], r["x"], r["p_hat"], r["wilson_lo"], r["wilson_hi"])
+        for r in q_wilson_ctr(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_cm_sketch_stream_matches_batch_build(spark, sf_dir):
+    """The live sketch over the full stream ≡ a batch md5 Count-Min build
+    on the same keys — cell-for-cell (the mergeability contract)."""
+    from machinelearningalgomapreduce_spark.operators.sketches import (
+        CMQ_DEPTH, CMQ_WIDTH, _md5_hex_int,
+    )
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+    from machinelearningalgomapreduce_spark.streaming.windows import (
+        cm_sketch_stream, run_to_memory, stream_events,
+    )
+    from pyspark.sql import functions as F
+
+    got = {
+        (r["row"], r["col_idx"]): r["cnt"]
+        for r in run_to_memory(
+            cm_sketch_stream(stream_events(spark, sf_dir)), "cm_stream"
+        ).collect()
+    }
+    t = load_tables(spark, sf_dir)
+    key = F.col("user_id")
+    buckets = F.array(
+        *[
+            F.pmod(_md5_hex_int(key, f"cm{r}:", 3), F.lit(CMQ_WIDTH))
+            for r in range(CMQ_DEPTH)
+        ]
+    )
+    want = {
+        (r["row"], r["col_idx"]): r["cnt"]
+        for r in t.events.select(F.posexplode(buckets).alias("row", "col_idx"))
+        .groupBy("row", "col_idx")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    assert got == want
