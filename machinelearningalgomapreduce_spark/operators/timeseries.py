@@ -560,3 +560,97 @@ ORACLES = {
         JOIN peak p ON p.event_type = m.event_type
     """,
 }
+
+
+ACF_MAX_LAG = 24
+
+
+def q_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function table: ACF at every lag 1..24 h for each
+    event type's hourly count series — q_autocorr (lag-1 only)
+    generalized to the full correlogram a seasonality analysis reads.
+    Pairs come from a lag-grid join on the BOUNDED hourly frame (only
+    hours where both endpoints exist — the standard irregular-series
+    convention); every sufficient statistic (n, Σx, Σy, Σxy, Σx², Σy²)
+    is an exact BIGINT, so the per-(type, lag) correlation is an
+    identical double expression rounded to 6.
+
+    Scale shape: raw events collapse once to the (type × hour) series;
+    the 24-way lag fan-out and self-join run on that bounded frame —
+    O(types × hours × lags) rows, independent of the fact-table size."""
+    t = load_tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("y"))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    probes = hourly.crossJoin(F.broadcast(lags)).select(
+        "event_type",
+        "lag",
+        (F.unix_seconds("hour") - F.col("lag") * 3600).alias("prev_s"),
+        F.col("y").alias("y_now"),
+    )
+    prev = hourly.select(
+        F.col("event_type").alias("p_type"),
+        F.unix_seconds("hour").alias("p_s"),
+        F.col("y").alias("y_prev"),
+    )
+    pairs = probes.join(
+        prev,
+        (F.col("event_type") == F.col("p_type")) & (F.col("prev_s") == F.col("p_s")),
+    )
+    stats = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("y_now").alias("sx"),
+        F.sum("y_prev").alias("sy"),
+        F.sum(F.col("y_now") * F.col("y_prev")).alias("sxy"),
+        F.sum(F.col("y_now") * F.col("y_now")).alias("sxx"),
+        F.sum(F.col("y_prev") * F.col("y_prev")).alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    r = F.try_divide(
+        n * sxy - sx * sy,
+        F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+    )
+    return stats.select(
+        "event_type", "lag", "n_pairs", F.round(r, 6).alias("acf")
+    )
+
+
+QUERIES["q_acf"] = q_acf
+
+ORACLES["q_acf"] = f"""
+    WITH hourly AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    lags AS (SELECT unnest(range(1, {ACF_MAX_LAG + 1})) AS lag),
+    pairs AS (
+        SELECT h.event_type, l.lag, h.y AS y_now, p.y AS y_prev
+        FROM hourly h
+        CROSS JOIN lags l
+        JOIN hourly p
+          ON p.event_type = h.event_type
+         AND epoch(p.hour) = epoch(h.hour) - l.lag * 3600
+    ),
+    stats AS (
+        SELECT event_type, CAST(lag AS BIGINT) AS lag,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(y_now) AS BIGINT) AS sx,
+               CAST(sum(y_prev) AS BIGINT) AS sy,
+               CAST(sum(y_now * y_prev) AS BIGINT) AS sxy,
+               CAST(sum(y_now * y_now) AS BIGINT) AS sxx,
+               CAST(sum(y_prev * y_prev) AS BIGINT) AS syy
+        FROM pairs GROUP BY 1, 2
+    )
+    SELECT event_type, lag, n_pairs,
+           round((CAST(n_pairs AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                 / nullif(sqrt((CAST(n_pairs AS DOUBLE) * sxx
+                                - CAST(sx AS DOUBLE) * sx)
+                               * (CAST(n_pairs AS DOUBLE) * syy
+                                  - CAST(sy AS DOUBLE) * sy)), 0.0), 6) AS acf
+    FROM stats
+"""

@@ -388,3 +388,45 @@ def test_dedup_snm_agrees_with_minshingle_blocking(spark):
     both = set(snm) & set(blocked)
     for k in both:
         assert snm[k] == pytest.approx(blocked[k], abs=1e-6)
+
+
+def test_acf_matches_python_reference(spark):
+    """Differential: recompute the lag-L Pearson correlation of each
+    type's hourly series in pure Python from the same events."""
+    from collections import Counter
+
+    from machinelearningalgomapreduce_spark.operators.timeseries import q_acf
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    got = {
+        (r["event_type"], r["lag"]): (r["n_pairs"], r["acf"])
+        for r in q_acf(spark, SMOKE_SF_DIR).collect()
+    }
+    assert got
+    t = load_tables(spark, SMOKE_SF_DIR)
+    rows = t.events.select("event_type", "ts").collect()
+    series = Counter()
+    for r in rows:
+        hour = r["ts"].replace(minute=0, second=0, microsecond=0)
+        series[(r["event_type"], hour)] += 1
+    import datetime
+
+    for (et, lag), (n_pairs, acf) in got.items():
+        pairs = [
+            (y, series[(et2, h - datetime.timedelta(hours=lag))])
+            for (et2, h), y in series.items()
+            if et2 == et and (et2, h - datetime.timedelta(hours=lag)) in series
+        ]
+        assert len(pairs) == n_pairs, (et, lag)
+        n = len(pairs)
+        sx = sum(a for a, _ in pairs)
+        sy = sum(b for _, b in pairs)
+        sxy = sum(a * b for a, b in pairs)
+        sxx = sum(a * a for a, _ in pairs)
+        syy = sum(b * b for _, b in pairs)
+        den = ((n * sxx - sx * sx) * (n * syy - sy * sy)) ** 0.5
+        want = (n * sxy - sx * sy) / den if den else None
+        if want is None:
+            assert acf is None
+        else:
+            assert acf == pytest.approx(want, abs=1e-5), (et, lag)

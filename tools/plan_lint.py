@@ -192,6 +192,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row anchor date",
         "SinglePartitionData": "ntile over per-customer rollup; approx quintile cutpoints are the scale path (q_customer_segments posture)",
     },
+    "q_acf": {"BroadcastNestedLoopJoin": "24-row lag grid onto the bounded hourly series"},
     "q_benford": {
         "BroadcastNestedLoopJoin": "1-row N total onto the 9-digit domain",
         "SinglePartitionData": "chi2 window over the 9-digit domain (bounded)",
