@@ -849,3 +849,87 @@ ORACLES["q_dedup_snm"] = f"""
     )
     SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= {SNM_THRESHOLD}
 """
+
+
+EDIT_PREFIX_CHARS = 200  # Levenshtein runs on bounded prefixes (O(k²)/pair)
+EDIT_MAX_DIST = 40
+
+
+def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dedup over the sorted-neighborhood candidates:
+    the q_dedup_snm blocking (per-block sort, next-w neighbors) verified
+    with exact Levenshtein distance on bounded 200-char prefixes instead
+    of shingle Jaccard — the character-level verifier that catches
+    small in-word edits bigram shingles miss entirely. Keeps pairs with
+    distance ≤ 40; similarity = 1 − d/max(len) rounded to 6. Levenshtein
+    is the standard DP metric in both engines → identical integers.
+
+    Scale shape: identical to q_dedup_snm (per-block windows, O(n·w)
+    candidates); the per-pair DP is O(prefix²) — bounded constant."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    base = t.documents.select(
+        "doc_id",
+        F.lower(F.substring("text", 1, SNM_KEY_CHARS)).alias("skey"),
+        F.substring("text", 1, EDIT_PREFIX_CHARS).alias("prefix"),
+    ).withColumn("block", F.substring("skey", 1, SNM_BLOCK_CHARS))
+    w = W.partitionBy("block").orderBy("skey", "doc_id")
+    led = base.select(
+        "doc_id",
+        "prefix",
+        *[F.lead("doc_id", i).over(w).alias(f"nid{i}") for i in range(1, SNM_WINDOW + 1)],
+        *[F.lead("prefix", i).over(w).alias(f"npfx{i}") for i in range(1, SNM_WINDOW + 1)],
+    )
+    pairs = None
+    for i in range(1, SNM_WINDOW + 1):
+        p = led.filter(F.col(f"nid{i}").isNotNull()).select(
+            F.col("doc_id").alias("doc_a"),
+            F.col(f"nid{i}").alias("doc_b"),
+            F.col("prefix").alias("pa"),
+            F.col(f"npfx{i}").alias("pb"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    dist = F.levenshtein("pa", "pb")
+    maxlen = F.greatest(F.length("pa"), F.length("pb"))
+    return (
+        pairs.select(
+            "doc_a",
+            "doc_b",
+            dist.alias("edit_dist"),
+            F.round(1.0 - dist.cast("double") / maxlen.cast("double"), 6).alias("edit_sim"),
+        )
+        .filter(F.col("edit_dist") <= EDIT_MAX_DIST)
+    )
+
+
+QUERIES["q_dedup_edit"] = q_dedup_edit
+
+ORACLES["q_dedup_edit"] = f"""
+    WITH base AS (
+        SELECT doc_id,
+               lower(substr(text, 1, {SNM_KEY_CHARS})) AS skey,
+               substr(lower(substr(text, 1, {SNM_KEY_CHARS})), 1, {SNM_BLOCK_CHARS})
+                   AS block,
+               substr(text, 1, {EDIT_PREFIX_CHARS}) AS prefix
+        FROM documents
+    ),
+    led AS (
+        SELECT doc_id, prefix,
+               {", ".join(f"lead(doc_id, {i}) OVER w AS nid{i}, lead(prefix, {i}) OVER w AS npfx{i}" for i in range(1, SNM_WINDOW + 1))}
+        FROM base
+        WINDOW w AS (PARTITION BY block ORDER BY skey, doc_id)
+    ),
+    pairs AS (
+        {" UNION ALL ".join(f"SELECT doc_id AS doc_a, nid{i} AS doc_b, prefix AS pa, npfx{i} AS pb FROM led WHERE nid{i} IS NOT NULL" for i in range(1, SNM_WINDOW + 1))}
+    ),
+    scored AS (
+        SELECT doc_a, doc_b,
+               CAST(levenshtein(pa, pb) AS INTEGER) AS edit_dist,
+               round(1.0 - CAST(levenshtein(pa, pb) AS DOUBLE)
+                     / CAST(greatest(len(pa), len(pb)) AS DOUBLE), 6) AS edit_sim
+        FROM pairs
+    )
+    SELECT doc_a, doc_b, edit_dist, edit_sim
+    FROM scored WHERE edit_dist <= {EDIT_MAX_DIST}
+"""

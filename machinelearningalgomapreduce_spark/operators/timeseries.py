@@ -654,3 +654,192 @@ ORACLES["q_acf"] = f"""
                                   - CAST(sy AS DOUBLE) * sy)), 0.0), 6) AS acf
     FROM stats
 """
+
+
+def q_mk_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall nonparametric trend test per event type over the
+    daily count series — the hypothesis-test companion to q_theil_sen's
+    slope estimate: S = Σ_{i<j} sign(y_j − y_i) (exact integer over the
+    bounded day-pair domain), tie-corrected variance as the exact
+    integer 18·Var = n(n−1)(2n+5) − Σ t(t−1)(2t+5), and the
+    continuity-corrected Z from identical double expressions.
+
+    Scale shape: one daily rollup, an O(days²)-bounded pair join, one
+    tie aggregate — independent of the fact-table size."""
+    t = load_tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1995-01-01").cast("date")).alias("x"),
+    ).agg(F.count("*").alias("y"))
+    a, b = daily.alias("a"), daily.alias("b")
+    s_stat = (
+        a.join(
+            b,
+            (F.col("a.event_type") == F.col("b.event_type")) & (F.col("a.x") < F.col("b.x")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.sum(F.signum((F.col("b.y") - F.col("a.y")).cast("double")).cast("bigint"))
+            .alias("s_stat"),
+        )
+    )
+    ties = (
+        daily.groupBy("event_type", "y")
+        .agg(F.count("*").alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum("t").alias("n_days"),
+            F.sum(F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)).alias("tie_term"),
+        )
+    )
+    joined = s_stat.join(ties, "event_type")
+    n = F.col("n_days")
+    var18 = n * (n - 1) * (2 * n + 5) - F.col("tie_term")
+    s = F.col("s_stat")
+    s_corr = s - F.signum(s.cast("double")).cast("bigint")
+    z = F.try_divide(
+        s_corr.cast("double"),
+        F.sqrt(var18.cast("double") / 18.0),
+    )
+    return joined.select(
+        "event_type",
+        "n_days",
+        "s_stat",
+        var18.alias("var18"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+QUERIES["q_mk_trend"] = q_mk_trend
+
+ORACLES["q_mk_trend"] = """
+    WITH daily AS (
+        SELECT event_type,
+               CAST(datediff('day', DATE '1995-01-01', CAST(ts AS DATE)) AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT a.event_type, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(CAST(sign(CAST(b.y - a.y AS DOUBLE)) AS BIGINT)) AS BIGINT)
+                   AS s_stat
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.x < b.x
+        GROUP BY a.event_type
+    ),
+    ties AS (
+        SELECT event_type, CAST(sum(t) AS BIGINT) AS n_days,
+               CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term
+        FROM (SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
+              FROM daily GROUP BY event_type, y)
+        GROUP BY event_type
+    )
+    SELECT s.event_type, t.n_days, s.s_stat,
+           t.n_days * (t.n_days - 1) * (2 * t.n_days + 5) - t.tie_term AS var18,
+           round((s.s_stat - CAST(sign(CAST(s.s_stat AS DOUBLE)) AS BIGINT))
+                 / nullif(sqrt((CAST(t.n_days * (t.n_days - 1) * (2 * t.n_days + 5)
+                                     - t.tie_term AS DOUBLE)) / 18.0), 0.0), 6)
+               AS z_stat
+    FROM s JOIN ties t ON s.event_type = t.event_type
+"""
+
+
+def q_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test for randomness of each event type's
+    hourly count series around its median: hours classify as above/below
+    the exact 2×median (ties to the median drop — the standard
+    convention), runs count via sign changes over the hour order, and
+    the normal-approximation Z derives from exact integers (n1, n2,
+    runs) through identical double expressions.
+
+    Scale shape: one counting aggregate to the bounded series, one
+    per-type median, one lag window over the bounded frame."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("y"))
+    med = hourly.groupBy("event_type").agg(
+        F.percentile(2 * F.col("y"), F.lit(0.5)).cast("bigint").alias("med2")
+    )
+    classified = (
+        hourly.join(F.broadcast(med), "event_type")
+        .filter(2 * F.col("y") != F.col("med2"))
+        .select(
+            "event_type", "hour", (2 * F.col("y") > F.col("med2")).cast("int").alias("up")
+        )
+    )
+    w = W.partitionBy("event_type").orderBy("hour")
+    runs = classified.select(
+        "event_type",
+        "up",
+        (F.lag("up").over(w).isNull() | (F.lag("up").over(w) != F.col("up")))
+        .cast("bigint")
+        .alias("new_run"),
+    ).groupBy("event_type").agg(
+        F.sum("up").alias("n1"),
+        F.sum(1 - F.col("up")).alias("n2"),
+        F.sum("new_run").alias("runs"),
+    )
+    n1 = F.col("n1").cast("double")
+    n2 = F.col("n2").cast("double")
+    nn = n1 + n2
+    mu = 1.0 + 2.0 * n1 * n2 / nn
+    var = 2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2) / (nn * nn * (nn - 1.0))
+    z = F.try_divide(F.col("runs").cast("double") - mu, F.sqrt(var))
+    return runs.select(
+        "event_type", "n1", "n2", "runs",
+        F.round(mu, 6).alias("expected_runs"),
+        F.round(z, 6).alias("z_stat"),
+    )
+
+
+QUERIES["q_runs_test"] = q_runs_test
+
+ORACLES["q_runs_test"] = """
+    WITH hourly AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT event_type, CAST(quantile_cont(2 * y, 0.5) AS BIGINT) AS med2
+        FROM hourly GROUP BY event_type
+    ),
+    classified AS (
+        SELECT h.event_type, h.hour,
+               CASE WHEN 2 * h.y > m.med2 THEN 1 ELSE 0 END AS up
+        FROM hourly h JOIN med m ON h.event_type = m.event_type
+        WHERE 2 * h.y != m.med2
+    ),
+    flagged AS (
+        SELECT event_type, up,
+               CASE WHEN lag(up) OVER w IS NULL OR lag(up) OVER w != up
+                    THEN 1 ELSE 0 END AS new_run
+        FROM classified
+        WINDOW w AS (PARTITION BY event_type ORDER BY hour)
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(sum(up) AS BIGINT) AS n1,
+               CAST(sum(1 - up) AS BIGINT) AS n2,
+               CAST(sum(new_run) AS BIGINT) AS runs
+        FROM flagged GROUP BY event_type
+    )
+    SELECT event_type, n1, n2, runs,
+           round(1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                 / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)), 6) AS expected_runs,
+           round((CAST(runs AS DOUBLE)
+                  - (1.0 + 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                     / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))))
+                 / nullif(sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                               * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+                                  - CAST(n1 AS DOUBLE) - CAST(n2 AS DOUBLE))
+                               / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                                  * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+                                  * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1.0))),
+                          0.0), 6) AS z_stat
+    FROM agg
+"""

@@ -430,3 +430,49 @@ def test_acf_matches_python_reference(spark):
             assert acf is None
         else:
             assert acf == pytest.approx(want, abs=1e-5), (et, lag)
+
+
+def test_mk_trend_s_in_pair_bounds(spark):
+    from machinelearningalgomapreduce_spark.operators.timeseries import q_mk_trend
+
+    for r in q_mk_trend(spark, SMOKE_SF_DIR).collect():
+        n_pairs = r["n_days"] * (r["n_days"] - 1) // 2
+        assert abs(r["s_stat"]) <= n_pairs
+        assert r["var18"] >= 0
+
+
+def test_runs_test_consistency(spark):
+    from machinelearningalgomapreduce_spark.operators.timeseries import q_runs_test
+
+    for r in q_runs_test(spark, SMOKE_SF_DIR).collect():
+        # runs bounded by the classification sizes; each class nonempty
+        # implies at least... runs in [1, n1+n2]; |n1-n2| small by median.
+        assert 1 <= r["runs"] <= r["n1"] + r["n2"]
+        assert min(r["n1"], r["n2"]) >= 0
+
+
+def test_dedup_edit_agrees_with_python_levenshtein(spark):
+    """Spot-verify the engine Levenshtein against a pure-Python DP on the
+    actual surfaced pairs (bounded prefixes)."""
+    from machinelearningalgomapreduce_spark.operators.dedup import (
+        EDIT_PREFIX_CHARS, q_dedup_edit,
+    )
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = q_dedup_edit(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    texts = {
+        r["doc_id"]: r["text"][:EDIT_PREFIX_CHARS]
+        for r in load_tables(spark, SMOKE_SF_DIR).documents.collect()
+    }
+    for r in rows[:10]:
+        assert r["edit_dist"] == lev(texts[r["doc_a"]], texts[r["doc_b"]])
