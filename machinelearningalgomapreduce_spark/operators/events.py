@@ -883,3 +883,98 @@ ORACLES = {
                      RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
     """,
 }
+
+
+def q_attribution_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear (equal-credit) multi-touch attribution — the fair-share
+    twin of q_attribution's last-touch: every purchase splits one unit of
+    credit equally over ALL the user's prior non-purchase touches, by
+    type. Credits live in exact micro-units: per purchase, each type
+    receives half_up(10⁶·n_type, k) where n_type/k are integer window
+    counts (purchases with no prior touch credit 'none' in full), so the
+    rollup is an exact BIGINT sum.
+
+    Scale shape: ONE shuffle on user_id; per-type prior counts are
+    conditional window sums over the bounded type domain — no
+    touch×purchase pair join."""
+    from machinelearningalgomapreduce_spark.functions.fixedpoint import half_up
+
+    t = load_tables(spark, sf_dir)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    touch_types = ["click", "view", "signup", "error"]
+    counts = [
+        F.sum((F.col("event_type") == c).cast("bigint")).over(w).alias(f"n_{c}")
+        for c in touch_types
+    ]
+    purchases = (
+        t.events.select("user_id", "ts", "event_id", "event_type", *counts)
+        .filter(F.col("event_type") == "purchase")
+    )
+    k = sum(F.coalesce(F.col(f"n_{c}"), F.lit(0)) for c in touch_types)
+    per_purchase = purchases.select(
+        *[
+            F.when(k > 0, half_up(F.lit(1_000_000) * F.coalesce(F.col(f"n_{c}"), F.lit(0)), k))
+            .otherwise(F.lit(0)).alias(f"c_{c}")
+            for c in touch_types
+        ],
+        F.when(k == 0, F.lit(1_000_000)).otherwise(F.lit(0)).alias("c_none"),
+    )
+    agg = per_purchase.agg(
+        F.count("*").alias("n_purchases"),
+        *[F.sum(f"c_{c}").alias(c) for c in touch_types],
+        F.sum("c_none").alias("none"),
+    )
+    pairs = []
+    for c in touch_types + ["none"]:
+        pairs.append(
+            F.struct(F.lit(c).alias("touch_type"), F.col(c).alias("credit_micro"))
+        )
+    return agg.select(
+        "n_purchases", F.explode(F.array(*pairs)).alias("s")
+    ).select("n_purchases", "s.touch_type", "s.credit_micro")
+
+
+QUERIES["q_attribution_linear"] = q_attribution_linear
+
+_LIN_TYPES = ["click", "view", "signup", "error"]
+_LIN_COUNTS = ", ".join(
+    f"sum(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) OVER w AS n_{c}"
+    for c in _LIN_TYPES
+)
+_LIN_K = " + ".join(f"coalesce(n_{c}, 0)" for c in _LIN_TYPES)
+_LIN_CREDITS = ", ".join(
+    f"CASE WHEN ({_LIN_K}) > 0 THEN CAST(floor((2 * (1000000 * coalesce(n_{c}, 0)) + ({_LIN_K})) / (2 * ({_LIN_K}))) AS BIGINT) ELSE 0 END AS c_{c}"
+    for c in _LIN_TYPES
+)
+_LIN_SELECT = " UNION ALL ".join(
+    f"SELECT n_purchases, '{c}' AS touch_type, {c} AS credit_micro FROM agg"
+    for c in _LIN_TYPES + ["none"]
+)
+
+ORACLES["q_attribution_linear"] = f"""
+    WITH counted AS (
+        SELECT event_type, {_LIN_COUNTS}
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    purchases AS (
+        SELECT * FROM counted WHERE event_type = 'purchase'
+    ),
+    credited AS (
+        SELECT {_LIN_CREDITS},
+               CASE WHEN ({_LIN_K}) = 0 THEN 1000000 ELSE 0 END AS c_none
+        FROM purchases
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_purchases,
+               {", ".join(f"CAST(sum(c_{c}) AS BIGINT) AS {c}" for c in _LIN_TYPES)},
+               CAST(sum(c_none) AS BIGINT) AS none
+        FROM credited
+    )
+    {_LIN_SELECT}
+"""

@@ -1036,3 +1036,66 @@ ORACLES["q_temperature_mix"] = """
            round(v / (SELECT denom FROM den), 6) AS weight
     FROM scored
 """
+
+
+def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch guard for the hash split: chi-square
+    goodness-of-fit of the observed train/test document counts against
+    the designed 13/16 : 3/16 ratio, with the df=1 α=0.05 verdict
+    (χ² < 3.841). A failed SRM means the split hashing is biased or the
+    corpus was filtered after splitting — the standard A/B health check
+    run before trusting any split-based evaluation. All inputs are exact
+    integers; χ² is an identical double expression.
+
+    Scale shape: one counting aggregate over the split column."""
+    t = load_tables(spark, sf_dir)
+    digit = F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1
+    )
+    is_train = digit.isin(*TRAIN_HEX).cast("bigint")
+    agg = t.documents.agg(
+        F.count("*").alias("n"),
+        F.sum(is_train).alias("n_train"),
+    )
+    n = F.col("n").cast("double")
+    obs_t = F.col("n_train").cast("double")
+    obs_e = n - obs_t
+    exp_t = n * 13.0 / 16.0
+    exp_e = n * 3.0 / 16.0
+    chi2 = (obs_t - exp_t) * (obs_t - exp_t) / exp_t + (obs_e - exp_e) * (
+        obs_e - exp_e
+    ) / exp_e
+    return agg.select(
+        "n",
+        "n_train",
+        (F.col("n") - F.col("n_train")).alias("n_test"),
+        F.round(chi2, 6).alias("chi2"),
+        (chi2 < 3.841).alias("srm_ok"),
+    )
+
+
+QUERIES["q_srm_check"] = q_srm_check
+
+ORACLES["q_srm_check"] = """
+    WITH agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN substring(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 1)
+                             IN ('0','1','2','3','4','5','6','7','8','9','a','b','c')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_train
+        FROM documents
+    )
+    SELECT n, n_train, n - n_train AS n_test,
+           round((CAST(n_train AS DOUBLE) - CAST(n AS DOUBLE) * 13.0 / 16.0)
+                 * (CAST(n_train AS DOUBLE) - CAST(n AS DOUBLE) * 13.0 / 16.0)
+                 / (CAST(n AS DOUBLE) * 13.0 / 16.0)
+                 + (CAST(n - n_train AS DOUBLE) - CAST(n AS DOUBLE) * 3.0 / 16.0)
+                 * (CAST(n - n_train AS DOUBLE) - CAST(n AS DOUBLE) * 3.0 / 16.0)
+                 / (CAST(n AS DOUBLE) * 3.0 / 16.0), 6) AS chi2,
+           ((CAST(n_train AS DOUBLE) - CAST(n AS DOUBLE) * 13.0 / 16.0)
+            * (CAST(n_train AS DOUBLE) - CAST(n AS DOUBLE) * 13.0 / 16.0)
+            / (CAST(n AS DOUBLE) * 13.0 / 16.0)
+            + (CAST(n - n_train AS DOUBLE) - CAST(n AS DOUBLE) * 3.0 / 16.0)
+            * (CAST(n - n_train AS DOUBLE) - CAST(n AS DOUBLE) * 3.0 / 16.0)
+            / (CAST(n AS DOUBLE) * 3.0 / 16.0)) < 3.841 AS srm_ok
+    FROM agg
+"""

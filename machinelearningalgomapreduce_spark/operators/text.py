@@ -1198,3 +1198,78 @@ ORACLES = {
         FROM sums
     """,
 }
+
+
+DRIFT_TOP_K = 50
+
+
+def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-rank drift per source: Spearman rank correlation
+    between each source's top-50 token ranking and the pooled corpus
+    ranking of the SAME tokens — the rank-order companion to
+    q_kl_divergence's mass-based drift (a source can keep the corpus
+    token MASS profile while reordering what dominates). Ranks are
+    row_numbers over the fully tie-broken (count desc, token) order and
+    the corpus side re-ranks WITHIN the selected 50 (so both rankings
+    are permutations of 1..k) — ρ = 1 − 6Σd²/(k(k²−1)) is then exact
+    integer arithmetic with one rounded division.
+
+    Scale shape: (source, token) + token-marginal counting aggregates
+    (vocab-bounded), per-source top-k windows, one O(k) rollup."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select("source", F.explode(_tokens()).alias("token"))
+    src_counts = tok.groupBy("source", "token").agg(F.count("*").alias("n_s"))
+    corpus = src_counts.groupBy("token").agg(F.sum("n_s").alias("n_c"))
+    w_src = W.partitionBy("source").orderBy(F.desc("n_s"), F.col("token"))
+    top = src_counts.withColumn("r_src", F.row_number().over(w_src)).filter(
+        F.col("r_src") <= DRIFT_TOP_K
+    )
+    joined = top.join(corpus, "token")
+    w_corp = W.partitionBy("source").orderBy(F.desc("n_c"), F.col("token"))
+    ranked = joined.withColumn("r_corp", F.row_number().over(w_corp))
+    d = F.col("r_src") - F.col("r_corp")
+    agg = ranked.groupBy("source").agg(
+        F.count("*").alias("k"),
+        F.sum(d * d).alias("sum_d2"),
+    )
+    kk = F.col("k").cast("double")
+    rho = 1.0 - 6.0 * F.col("sum_d2").cast("double") / (kk * (kk * kk - 1.0))
+    return agg.select("source", "k", "sum_d2", F.round(rho, 6).alias("rho"))
+
+
+QUERIES["q_vocab_drift"] = q_vocab_drift
+
+ORACLES["q_vocab_drift"] = f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    src_counts AS (
+        SELECT source, token, CAST(count(*) AS BIGINT) AS n_s
+        FROM tok GROUP BY 1, 2
+    ),
+    corpus AS (SELECT token, CAST(sum(n_s) AS BIGINT) AS n_c FROM src_counts GROUP BY token),
+    top AS (
+        SELECT source, token, n_s,
+               row_number() OVER (PARTITION BY source ORDER BY n_s DESC, token) AS r_src
+        FROM src_counts
+        QUALIFY r_src <= {DRIFT_TOP_K}
+    ),
+    ranked AS (
+        SELECT t.source, t.r_src,
+               row_number() OVER (PARTITION BY t.source ORDER BY c.n_c DESC, t.token)
+                   AS r_corp
+        FROM top t JOIN corpus c USING (token)
+    ),
+    agg AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS k,
+               CAST(sum((r_src - r_corp) * (r_src - r_corp)) AS BIGINT) AS sum_d2
+        FROM ranked GROUP BY source
+    )
+    SELECT source, k, sum_d2,
+           round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
+                 / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)), 6)
+               AS rho
+    FROM agg
+"""

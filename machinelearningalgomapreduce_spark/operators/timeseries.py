@@ -843,3 +843,45 @@ ORACLES["q_runs_test"] = """
                           0.0), 6) AS z_stat
     FROM agg
 """
+
+
+def q_rolling_p90(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 24-hour p90 of each event type's hourly counts — the
+    windowed order statistic a latency/volume SLO monitor tracks (the
+    robust band next to q_rolling_median's smoother). The exact
+    interpolated percentile runs over a 24-row frame of integers in both
+    engines (identical interpolation), rounded to 6.
+
+    Scale shape: raw events collapse once to the bounded hourly series;
+    the percentile window carries O(24) state per row of that frame."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    hourly = t.events.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count("*").alias("y"))
+    w = W.partitionBy("event_type").orderBy("hour").rowsBetween(-23, 0)
+    return hourly.select(
+        "event_type",
+        "hour",
+        "y",
+        F.count("*").over(w).alias("n_window"),
+        F.round(F.percentile(F.col("y"), F.lit(0.9)).over(w), 6).alias("p90_24h"),
+    )
+
+
+QUERIES["q_rolling_p90"] = q_rolling_p90
+
+ORACLES["q_rolling_p90"] = """
+    WITH hourly AS (
+        SELECT event_type, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, hour, y,
+           CAST(count(*) OVER w AS BIGINT) AS n_window,
+           round(quantile_cont(y, 0.9) OVER w, 6) AS p90_24h
+    FROM hourly
+    WINDOW w AS (PARTITION BY event_type ORDER BY hour
+                 ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+"""

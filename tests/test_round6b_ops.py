@@ -476,3 +476,44 @@ def test_dedup_edit_agrees_with_python_levenshtein(spark):
     }
     for r in rows[:10]:
         assert r["edit_dist"] == lev(texts[r["doc_a"]], texts[r["doc_b"]])
+
+
+def test_attribution_linear_credit_conserves(spark):
+    """Total credit across touch types == 10⁶ per purchase (within the
+    half-up rounding of the per-purchase splits)."""
+    from machinelearningalgomapreduce_spark.operators.events import q_attribution_linear
+
+    rows = q_attribution_linear(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    n_purch = rows[0]["n_purchases"]
+    total = sum(r["credit_micro"] for r in rows)
+    # each purchase contributes 1e6 ± ≤2 micro of half-up drift over ≤4 types
+    assert abs(total - n_purch * 1_000_000) <= 2 * n_purch
+
+
+def test_srm_check_counts(spark):
+    from machinelearningalgomapreduce_spark.operators.export import q_srm_check
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    row = q_srm_check(spark, SMOKE_SF_DIR).first()
+    assert row["n"] == load_tables(spark, SMOKE_SF_DIR).documents.count()
+    assert row["n_train"] + row["n_test"] == row["n"]
+    assert row["chi2"] >= 0.0
+
+
+def test_rolling_p90_bounds(spark):
+    from machinelearningalgomapreduce_spark.operators.timeseries import q_rolling_p90
+
+    for r in q_rolling_p90(spark, SMOKE_SF_DIR).collect():
+        assert 1 <= r["n_window"] <= 24
+        assert r["p90_24h"] >= 0.0
+
+
+def test_vocab_drift_rho_in_range(spark):
+    from machinelearningalgomapreduce_spark.operators.text import q_vocab_drift
+
+    rows = q_vocab_drift(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["rho"] <= 1.0 + 1e-9
+        assert r["sum_d2"] >= 0
