@@ -660,3 +660,185 @@ ORACLES = {
         GROUP BY p.user_id
     """,
 }
+
+
+def q_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap between event types: for every ordered type pair,
+    the Jaccard similarity of their user sets — the segment-overlap
+    matrix a campaign/feature analysis reads. User sets collapse to
+    distinct (type, user) pairs first; the pair join runs on that
+    deduped frame and all outputs are exact integers + one identical
+    division.
+
+    Scale shape: one distinct aggregate (bounded by types × users), a
+    type-pair self-join co-keyed on user, O(types²) rollup."""
+    t = load_tables(spark, sf_dir)
+    tu = t.events.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count("*").alias("n_users"))
+    a, b = tu.alias("a"), tu.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_both"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n_users").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n_users").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_both",
+            F.round(
+                F.col("n_both").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_both")).cast("double"),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+QUERIES["q_audience_overlap"] = q_audience_overlap
+
+ORACLES["q_audience_overlap"] = """
+    WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_users FROM tu GROUP BY 1),
+    inter AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               CAST(count(*) AS BIGINT) AS n_both
+        FROM tu a JOIN tu b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2
+    )
+    SELECT i.type_a, i.type_b,
+           sa.n_users AS n_a, sb.n_users AS n_b, i.n_both,
+           round(CAST(i.n_both AS DOUBLE)
+                 / CAST(sa.n_users + sb.n_users - i.n_both AS DOUBLE), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.type_a = sa.event_type
+    JOIN sizes sb ON i.type_b = sb.event_type
+"""
+
+
+def q_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime value: customers grouped by first-order month;
+    for each (cohort_month, month_age) the period revenue and the
+    CUMULATIVE revenue per cohort — all in exact floor-cents BIGINTs
+    with an integer prefix window, the revenue twin of q_retention's
+    user-count matrix.
+
+    Scale shape: one per-customer min aggregate, one (cohort, age)
+    rollup, a window over the bounded cohort×age frame."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    first = t.orders.groupBy("o_custkey").agg(
+        F.min(F.trunc("o_orderdate", "month")).alias("cohort_month")
+    )
+    aged = t.orders.join(first, "o_custkey").select(
+        "cohort_month",
+        (
+            (F.year("o_orderdate") - F.year("cohort_month")) * 12
+            + (F.month("o_orderdate") - F.month("cohort_month"))
+        ).cast("bigint").alias("month_age"),
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    per = aged.groupBy("cohort_month", "month_age").agg(
+        F.count("*").alias("n_orders"), F.sum("cents").alias("rev_cents")
+    )
+    w = W.partitionBy("cohort_month").orderBy("month_age").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    return per.select(
+        "cohort_month",
+        "month_age",
+        "n_orders",
+        "rev_cents",
+        F.sum("rev_cents").over(w).alias("cum_rev_cents"),
+    )
+
+
+QUERIES["q_cohort_ltv"] = q_cohort_ltv
+
+ORACLES["q_cohort_ltv"] = """
+    WITH first AS (
+        SELECT o_custkey, CAST(min(date_trunc('month', o_orderdate)) AS DATE)
+                   AS cohort_month
+        FROM orders GROUP BY o_custkey
+    ),
+    aged AS (
+        SELECT f.cohort_month,
+               CAST((year(o.o_orderdate) - year(f.cohort_month)) * 12
+                    + (month(o.o_orderdate) - month(f.cohort_month)) AS BIGINT)
+                   AS month_age,
+               CAST(floor(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+    ),
+    per AS (
+        SELECT cohort_month, month_age,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS rev_cents
+        FROM aged GROUP BY 1, 2
+    )
+    SELECT cohort_month, month_age, n_orders, rev_cents,
+           CAST(sum(rev_cents) OVER (PARTITION BY cohort_month ORDER BY month_age
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_rev_cents
+    FROM per
+"""
+
+
+def q_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Churn read-out over the event stream: users whose last activity
+    predates the final observed week are churned; rate per acquisition
+    (first-seen) week — exact integer week arithmetic on epoch
+    microseconds (the q_retention discipline), one identical division.
+
+    Scale shape: one per-user min/max aggregate + one bounded
+    cohort-week rollup with a broadcast 1-row horizon."""
+    t = load_tables(spark, sf_dir)
+    wk = F.unix_micros(F.date_trunc("week", F.col("ts")))
+    per_user = t.events.groupBy("user_id").agg(
+        F.min(wk).alias("first_wk"), F.max(wk).alias("last_wk")
+    )
+    horizon = t.events.agg(F.max(wk).alias("max_wk"))
+    flagged = per_user.crossJoin(F.broadcast(horizon)).select(
+        F.timestamp_micros(F.col("first_wk")).alias("cohort_week"),
+        (F.col("last_wk") < F.col("max_wk")).cast("bigint").alias("churned"),
+    )
+    return flagged.groupBy("cohort_week").agg(
+        F.count("*").alias("n_users"),
+        F.sum("churned").alias("n_churned"),
+        F.round(F.avg(F.col("churned").cast("double")), 6).alias("churn_rate"),
+    )
+
+
+QUERIES["q_churn_rate"] = q_churn_rate
+
+ORACLES["q_churn_rate"] = """
+    WITH per_user AS (
+        SELECT user_id,
+               min(epoch_us(date_trunc('week', ts))) AS first_wk,
+               max(epoch_us(date_trunc('week', ts))) AS last_wk
+        FROM events GROUP BY user_id
+    ),
+    horizon AS (SELECT max(epoch_us(date_trunc('week', ts))) AS max_wk FROM events)
+    SELECT CAST(make_timestamp(first_wk) AS TIMESTAMP) AS cohort_week,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN last_wk < (SELECT max_wk FROM horizon)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_churned,
+           round(avg(CASE WHEN last_wk < (SELECT max_wk FROM horizon)
+                          THEN 1.0 ELSE 0.0 END), 6) AS churn_rate
+    FROM per_user
+    GROUP BY first_wk
+"""

@@ -1023,3 +1023,93 @@ ORACLES = {
         GROUP BY event_type
     """,
 }
+
+
+def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association strength between order priority and order
+    status — the normalized effect size q_chi2's raw statistic lacks
+    (χ² grows with n; V ∈ [0,1] is comparable across tables):
+    V = √(χ²/(n·min(r−1, c−1))). The contingency table is exact
+    integers; χ² accumulates per-cell contributions rounded to 10 as
+    DECIMAL (order-free, the q_mutual_info discipline).
+
+    Scale shape: one contingency aggregate on the bounded
+    (priority × status) domain + two broadcast marginal joins."""
+    t = load_tables(spark, sf_dir)
+    cells = t.orders.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count("*").alias("n_rc")
+    )
+    mr = t.orders.groupBy("o_orderpriority").agg(F.count("*").alias("n_r"))
+    mc = t.orders.groupBy("o_orderstatus").agg(F.count("*").alias("n_c"))
+    tot = t.orders.agg(F.count("*").alias("n"))
+    dims = cells.agg(
+        F.countDistinct("o_orderpriority").alias("r"),
+        F.countDistinct("o_orderstatus").alias("c"),
+    )
+    joined = (
+        cells.join(F.broadcast(mr), "o_orderpriority")
+        .join(F.broadcast(mc), "o_orderstatus")
+        .crossJoin(F.broadcast(tot))
+    )
+    n = F.col("n").cast("double")
+    exp = F.col("n_r").cast("double") * F.col("n_c").cast("double") / n
+    contrib = F.round(
+        (F.col("n_rc").cast("double") - exp) * (F.col("n_rc").cast("double") - exp) / exp,
+        10,
+    ).cast("decimal(28,10)")
+    chi2 = joined.agg(
+        F.max("n").alias("n"),
+        F.sum(contrib).alias("chi2_dec"),
+    )
+    out = chi2.crossJoin(F.broadcast(dims))
+    chi2_d = F.col("chi2_dec").cast("double")
+    denom = F.col("n").cast("double") * F.least(
+        F.col("r") - 1, F.col("c") - 1
+    ).cast("double")
+    return out.select(
+        "n",
+        "r",
+        "c",
+        F.round(chi2_d, 6).alias("chi2"),
+        F.round(F.sqrt(chi2_d / denom), 6).alias("cramers_v"),
+    )
+
+
+QUERIES["q_cramers_v"] = q_cramers_v
+
+ORACLES["q_cramers_v"] = """
+    WITH cells AS (
+        SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n_rc
+        FROM orders GROUP BY 1, 2
+    ),
+    mr AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_r FROM orders GROUP BY 1),
+    mc AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_c FROM orders GROUP BY 1),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+    dims AS (
+        SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS r,
+               CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS c
+        FROM cells
+    ),
+    chi AS (
+        SELECT max(t.n) AS n,
+               sum(CAST(round((CAST(ce.n_rc AS DOUBLE)
+                               - CAST(r.n_r AS DOUBLE) * CAST(c.n_c AS DOUBLE)
+                                 / CAST(t.n AS DOUBLE))
+                              * (CAST(ce.n_rc AS DOUBLE)
+                                 - CAST(r.n_r AS DOUBLE) * CAST(c.n_c AS DOUBLE)
+                                   / CAST(t.n AS DOUBLE))
+                              / (CAST(r.n_r AS DOUBLE) * CAST(c.n_c AS DOUBLE)
+                                 / CAST(t.n AS DOUBLE)), 10) AS DECIMAL(28,10)))
+                   AS chi2_dec
+        FROM cells ce
+        JOIN mr r USING (o_orderpriority)
+        JOIN mc c USING (o_orderstatus)
+        CROSS JOIN tot t
+    )
+    SELECT CAST(chi.n AS BIGINT) AS n, d.r, d.c,
+           round(CAST(chi2_dec AS DOUBLE), 6) AS chi2,
+           round(sqrt(CAST(chi2_dec AS DOUBLE)
+                      / (CAST(chi.n AS DOUBLE)
+                         * CAST(least(d.r - 1, d.c - 1) AS DOUBLE))), 6) AS cramers_v
+    FROM chi CROSS JOIN dims d
+"""

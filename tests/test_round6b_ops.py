@@ -517,3 +517,48 @@ def test_vocab_drift_rho_in_range(spark):
     for r in rows:
         assert -1.0 - 1e-9 <= r["rho"] <= 1.0 + 1e-9
         assert r["sum_d2"] >= 0
+
+
+def test_cramers_v_in_unit_range(spark):
+    from machinelearningalgomapreduce_spark.operators.evaluation import q_cramers_v
+
+    row = q_cramers_v(spark, SMOKE_SF_DIR).first()
+    assert 0.0 <= row["cramers_v"] <= 1.0
+    assert row["chi2"] >= 0.0
+
+
+def test_audience_overlap_bounds(spark):
+    from machinelearningalgomapreduce_spark.operators.behavior import q_audience_overlap
+
+    rows = q_audience_overlap(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_both"] <= min(r["n_a"], r["n_b"])
+        assert 0.0 <= r["jaccard"] <= 1.0
+        assert r["type_a"] < r["type_b"]
+
+
+def test_cohort_ltv_cumulative_monotone(spark):
+    from machinelearningalgomapreduce_spark.operators.behavior import q_cohort_ltv
+
+    by_cohort = {}
+    for r in q_cohort_ltv(spark, SMOKE_SF_DIR).collect():
+        by_cohort.setdefault(r["cohort_month"], []).append(r)
+    assert by_cohort
+    for rs in by_cohort.values():
+        rs.sort(key=lambda r: r["month_age"])
+        run = 0
+        for r in rs:
+            run += r["rev_cents"]
+            assert r["cum_rev_cents"] == run
+
+
+def test_churn_rate_partitions_users(spark):
+    from machinelearningalgomapreduce_spark.operators.behavior import q_churn_rate
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    rows = q_churn_rate(spark, SMOKE_SF_DIR).collect()
+    n_users = load_tables(spark, SMOKE_SF_DIR).events.select("user_id").distinct().count()
+    assert sum(r["n_users"] for r in rows) == n_users
+    for r in rows:
+        assert 0 <= r["n_churned"] <= r["n_users"]

@@ -193,6 +193,8 @@ ALLOW: dict[str, dict[str, str]] = {
         "SinglePartitionData": "ntile over per-customer rollup; approx quintile cutpoints are the scale path (q_customer_segments posture)",
     },
     "q_acf": {"BroadcastNestedLoopJoin": "24-row lag grid onto the bounded hourly series"},
+    "q_cramers_v": {"BroadcastNestedLoopJoin": "1-row N + dims onto the bounded contingency"},
+    "q_churn_rate": {"BroadcastNestedLoopJoin": "1-row activity horizon"},
     "q_benford": {
         "BroadcastNestedLoopJoin": "1-row N total onto the 9-digit domain",
         "SinglePartitionData": "chi2 window over the 9-digit domain (bounded)",
