@@ -811,7 +811,9 @@ def q_churn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = t.events.groupBy("user_id").agg(
         F.min(wk).alias("first_wk"), F.max(wk).alias("last_wk")
     )
-    horizon = t.events.agg(F.max(wk).alias("max_wk"))
+    # Horizon from the per-user frame (max of per-user maxes is the global
+    # max): no second fact-table scan.
+    horizon = per_user.agg(F.max("last_wk").alias("max_wk"))
     flagged = per_user.crossJoin(F.broadcast(horizon)).select(
         F.timestamp_micros(F.col("first_wk")).alias("cohort_week"),
         (F.col("last_wk") < F.col("max_wk")).cast("bigint").alias("churned"),

@@ -773,6 +773,34 @@ SNM_BLOCK_CHARS = 4  # sort blocks — windows never cross blocks
 SNM_THRESHOLD = 0.5
 
 
+def _snm_pairs(base: DataFrame, payload: str) -> DataFrame:
+    """Shared sorted-neighborhood candidate generator: `base` must carry
+    (doc_id, skey, block, <payload>); returns each doc paired with its
+    next SNM_WINDOW neighbors in (skey, doc_id) order within its block,
+    as (doc_a, doc_b, <payload>_a, <payload>_b). One definition serves
+    both verifiers (shingle Jaccard and Levenshtein) so the blocking can
+    never silently diverge between them."""
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("block").orderBy("skey", "doc_id")
+    led = base.select(
+        "doc_id",
+        payload,
+        *[F.lead("doc_id", i).over(w).alias(f"nid{i}") for i in range(1, SNM_WINDOW + 1)],
+        *[F.lead(payload, i).over(w).alias(f"np{i}") for i in range(1, SNM_WINDOW + 1)],
+    )
+    pairs = None
+    for i in range(1, SNM_WINDOW + 1):
+        p = led.filter(F.col(f"nid{i}").isNotNull()).select(
+            F.col("doc_id").alias("doc_a"),
+            F.col(f"nid{i}").alias("doc_b"),
+            F.col(payload).alias(f"{payload}_a"),
+            F.col(f"np{i}").alias(f"{payload}_b"),
+        )
+        pairs = p if pairs is None else pairs.unionByName(p)
+    return pairs
+
+
 def q_dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood (SNM) near-dedup — the third blocking
     strategy next to LSH banding (q_dedup_minhash) and min-shingle
@@ -794,22 +822,7 @@ def q_dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lower(F.substring("text", 1, SNM_KEY_CHARS)).alias("skey"),
         F.array_distinct(shingles(F.col("text"), k=2)).alias("ng"),
     ).withColumn("block", F.substring("skey", 1, SNM_BLOCK_CHARS))
-    w = W.partitionBy("block").orderBy("skey", "doc_id")
-    led = base.select(
-        "doc_id",
-        "ng",
-        *[F.lead("doc_id", i).over(w).alias(f"nid{i}") for i in range(1, SNM_WINDOW + 1)],
-        *[F.lead("ng", i).over(w).alias(f"nng{i}") for i in range(1, SNM_WINDOW + 1)],
-    )
-    pairs = None
-    for i in range(1, SNM_WINDOW + 1):
-        p = led.filter(F.col(f"nid{i}").isNotNull()).select(
-            F.col("doc_id").alias("doc_a"),
-            F.col(f"nid{i}").alias("doc_b"),
-            F.col("ng").alias("ng_a"),
-            F.col(f"nng{i}").alias("ng_b"),
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
+    pairs = _snm_pairs(base, "ng")
     inter = F.size(F.array_intersect("ng_a", "ng_b"))
     union = F.size("ng_a") + F.size("ng_b") - inter
     jac = inter.cast("double") / union.cast("double")
@@ -866,38 +879,25 @@ def q_dedup_edit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to q_dedup_snm (per-block windows, O(n·w)
     candidates); the per-pair DP is O(prefix²) — bounded constant."""
-    from pyspark.sql.window import Window as W
-
     t = load_tables(spark, sf_dir)
     base = t.documents.select(
         "doc_id",
         F.lower(F.substring("text", 1, SNM_KEY_CHARS)).alias("skey"),
         F.substring("text", 1, EDIT_PREFIX_CHARS).alias("prefix"),
     ).withColumn("block", F.substring("skey", 1, SNM_BLOCK_CHARS))
-    w = W.partitionBy("block").orderBy("skey", "doc_id")
-    led = base.select(
-        "doc_id",
-        "prefix",
-        *[F.lead("doc_id", i).over(w).alias(f"nid{i}") for i in range(1, SNM_WINDOW + 1)],
-        *[F.lead("prefix", i).over(w).alias(f"npfx{i}") for i in range(1, SNM_WINDOW + 1)],
-    )
-    pairs = None
-    for i in range(1, SNM_WINDOW + 1):
-        p = led.filter(F.col(f"nid{i}").isNotNull()).select(
-            F.col("doc_id").alias("doc_a"),
-            F.col(f"nid{i}").alias("doc_b"),
-            F.col("prefix").alias("pa"),
-            F.col(f"npfx{i}").alias("pb"),
-        )
-        pairs = p if pairs is None else pairs.unionByName(p)
-    dist = F.levenshtein("pa", "pb")
-    maxlen = F.greatest(F.length("pa"), F.length("pb"))
+    pairs = _snm_pairs(base, "prefix")
+    dist = F.levenshtein("prefix_a", "prefix_b")
+    maxlen = F.greatest(F.length("prefix_a"), F.length("prefix_b"))
+    # try_divide: two EMPTY texts pair with maxlen 0 — similarity is
+    # undefined (NULL), not an ANSI error (oracle nullif matches).
     return (
         pairs.select(
             "doc_a",
             "doc_b",
             dist.alias("edit_dist"),
-            F.round(1.0 - dist.cast("double") / maxlen.cast("double"), 6).alias("edit_sim"),
+            F.round(
+                1.0 - F.try_divide(dist.cast("double"), maxlen.cast("double")), 6
+            ).alias("edit_sim"),
         )
         .filter(F.col("edit_dist") <= EDIT_MAX_DIST)
     )
@@ -927,7 +927,8 @@ ORACLES["q_dedup_edit"] = f"""
         SELECT doc_a, doc_b,
                CAST(levenshtein(pa, pb) AS INTEGER) AS edit_dist,
                round(1.0 - CAST(levenshtein(pa, pb) AS DOUBLE)
-                     / CAST(greatest(len(pa), len(pb)) AS DOUBLE), 6) AS edit_sim
+                     / nullif(CAST(greatest(len(pa), len(pb)) AS DOUBLE), 0.0), 6)
+                   AS edit_sim
         FROM pairs
     )
     SELECT doc_a, doc_b, edit_dist, edit_sim

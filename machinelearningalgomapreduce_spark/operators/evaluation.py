@@ -1033,15 +1033,16 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     integers; χ² accumulates per-cell contributions rounded to 10 as
     DECIMAL (order-free, the q_mutual_info discipline).
 
-    Scale shape: one contingency aggregate on the bounded
-    (priority × status) domain + two broadcast marginal joins."""
+    Scale shape: ONE contingency aggregate touches the fact table; the
+    marginals and grand total are exact integer sums OVER THE BOUNDED
+    CELLS FRAME (n_r = Σ_c n_rc etc.) — no second fact-table scan."""
     t = load_tables(spark, sf_dir)
     cells = t.orders.groupBy("o_orderpriority", "o_orderstatus").agg(
         F.count("*").alias("n_rc")
     )
-    mr = t.orders.groupBy("o_orderpriority").agg(F.count("*").alias("n_r"))
-    mc = t.orders.groupBy("o_orderstatus").agg(F.count("*").alias("n_c"))
-    tot = t.orders.agg(F.count("*").alias("n"))
+    mr = cells.groupBy("o_orderpriority").agg(F.sum("n_rc").alias("n_r"))
+    mc = cells.groupBy("o_orderstatus").agg(F.sum("n_rc").alias("n_c"))
+    tot = cells.agg(F.sum("n_rc").alias("n"))
     dims = cells.agg(
         F.countDistinct("o_orderpriority").alias("r"),
         F.countDistinct("o_orderstatus").alias("c"),
@@ -1066,12 +1067,15 @@ def q_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     denom = F.col("n").cast("double") * F.least(
         F.col("r") - 1, F.col("c") - 1
     ).cast("double")
+    # try_divide: a single-valued priority or status column zeroes the
+    # min(r−1, c−1) denominator — V is undefined (NULL), not an ANSI
+    # error (oracle nullif matches).
     return out.select(
         "n",
         "r",
         "c",
         F.round(chi2_d, 6).alias("chi2"),
-        F.round(F.sqrt(chi2_d / denom), 6).alias("cramers_v"),
+        F.round(F.sqrt(F.try_divide(chi2_d, denom)), 6).alias("cramers_v"),
     )
 
 
@@ -1082,9 +1086,9 @@ ORACLES["q_cramers_v"] = """
         SELECT o_orderpriority, o_orderstatus, CAST(count(*) AS BIGINT) AS n_rc
         FROM orders GROUP BY 1, 2
     ),
-    mr AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_r FROM orders GROUP BY 1),
-    mc AS (SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_c FROM orders GROUP BY 1),
-    tot AS (SELECT CAST(count(*) AS BIGINT) AS n FROM orders),
+    mr AS (SELECT o_orderpriority, CAST(sum(n_rc) AS BIGINT) AS n_r FROM cells GROUP BY 1),
+    mc AS (SELECT o_orderstatus, CAST(sum(n_rc) AS BIGINT) AS n_c FROM cells GROUP BY 1),
+    tot AS (SELECT CAST(sum(n_rc) AS BIGINT) AS n FROM cells),
     dims AS (
         SELECT CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS r,
                CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS c
@@ -1109,7 +1113,8 @@ ORACLES["q_cramers_v"] = """
     SELECT CAST(chi.n AS BIGINT) AS n, d.r, d.c,
            round(CAST(chi2_dec AS DOUBLE), 6) AS chi2,
            round(sqrt(CAST(chi2_dec AS DOUBLE)
-                      / (CAST(chi.n AS DOUBLE)
-                         * CAST(least(d.r - 1, d.c - 1) AS DOUBLE))), 6) AS cramers_v
+                      / nullif(CAST(chi.n AS DOUBLE)
+                               * CAST(least(d.r - 1, d.c - 1) AS DOUBLE), 0.0)), 6)
+               AS cramers_v
     FROM chi CROSS JOIN dims d
 """

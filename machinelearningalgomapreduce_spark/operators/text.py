@@ -1235,7 +1235,11 @@ def q_vocab_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(d * d).alias("sum_d2"),
     )
     kk = F.col("k").cast("double")
-    rho = 1.0 - 6.0 * F.col("sum_d2").cast("double") / (kk * (kk * kk - 1.0))
+    # try_divide: a single-token source has k=1 and an undefined rho —
+    # NULL, not an ANSI error (oracle nullif matches).
+    rho = 1.0 - F.try_divide(
+        6.0 * F.col("sum_d2").cast("double"), kk * (kk * kk - 1.0)
+    )
     return agg.select("source", "k", "sum_d2", F.round(rho, 6).alias("rho"))
 
 
@@ -1269,7 +1273,8 @@ ORACLES["q_vocab_drift"] = f"""
     )
     SELECT source, k, sum_d2,
            round(1.0 - 6.0 * CAST(sum_d2 AS DOUBLE)
-                 / (CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0)), 6)
+                 / nullif(CAST(k AS DOUBLE)
+                          * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1.0), 0.0), 6)
                AS rho
     FROM agg
 """

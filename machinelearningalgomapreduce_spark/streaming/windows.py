@@ -204,9 +204,12 @@ def cm_sketch_stream(events: DataFrame) -> DataFrame:
     (row, col_idx, cnt) cell aggregate maintained incrementally in
     complete mode — sketches are THE streaming-friendly aggregate (state
     bounded by depth×width forever, mergeable across restarts/day
-    boundaries). Buckets are the md5 scheme of
-    operators/sketches.py::q_cm_cells, so a stored batch sketch and the
-    live stream sketch merge cell-wise."""
+    boundaries). Buckets use the md5 scheme of
+    operators/sketches.py::q_cm_cells (same seeds/width), so the live
+    sketch merges cell-wise with any stored batch sketch built over the
+    SAME key column (user_id here — q_cm_cells itself sketches part
+    keys, a different domain; the batch-equivalence test builds the
+    matching user-id sketch)."""
     from machinelearningalgomapreduce_spark.operators.sketches import (
         CMQ_DEPTH, CMQ_WIDTH, _md5_hex_int,
     )
