@@ -64,6 +64,18 @@ def main() -> None:
             print(line)
     print("}")
 
+    # Deferred-tier upkeep (registry.DEFERRED_NEXT_WINDOW): once a
+    # deferred query gains a driver green it must leave the set, or the
+    # window test fails loudly.
+    from machinelearningalgomapreduce_spark.registry import DEFERRED_NEXT_WINDOW
+
+    greened = sorted(DEFERRED_NEXT_WINDOW & set(latest))
+    if greened:
+        print(
+            f"\n# ALSO: remove these {len(greened)} now-green names from "
+            f"registry.DEFERRED_NEXT_WINDOW:\n# {greened}"
+        )
+
 
 if __name__ == "__main__":
     main()
