@@ -600,3 +600,34 @@ ORACLES["q_bloom_audit"] = f"""
 
 QUERIES["q_bloom_bits"] = q_bloom_bits
 QUERIES["q_bloom_audit"] = q_bloom_audit
+
+
+def bloom_merge(*bit_tables: DataFrame) -> DataFrame:
+    """OR two (or more) Bloom bit tables: union-distinct of set bits —
+    the mergeability that lets per-partition / per-day filters combine
+    without rescanning keys (library API; pytest asserts
+    build(A ∪ B) ≡ merge(build(A), build(B)) exactly)."""
+    merged = bit_tables[0]
+    for b in bit_tables[1:]:
+        merged = merged.unionByName(b)
+    return merged.distinct()
+
+
+def kmv_merge(*hash_tables: DataFrame, k: int = KMV_K) -> DataFrame:
+    """Merge KMV sketches: union the hash sets and keep the k smallest —
+    closed under merge, so per-shard sketches of (h) columns combine
+    into the corpus sketch without touching raw keys (library API)."""
+    merged = hash_tables[0]
+    for h in hash_tables[1:]:
+        merged = merged.unionByName(h)
+    return merged.distinct().orderBy("h").limit(k)
+
+
+def hll_merge_registers(*register_tables: DataFrame) -> DataFrame:
+    """Merge explicit-HLL register tables: per-register MAX rank — the
+    HLL merge law (library API; estimates from the merged table equal
+    estimates over the union of the key sets)."""
+    merged = register_tables[0].select("reg", "max_rank")
+    for r in register_tables[1:]:
+        merged = merged.unionByName(r.select("reg", "max_rank"))
+    return merged.groupBy("reg").agg(F.max("max_rank").alias("max_rank"))

@@ -60,3 +60,73 @@ def test_hll_estimate_in_range(spark):
     # HLL relative error ~ 1.04/sqrt(m) ≈ 18% at m=32; allow 3σ.
     assert 0.4 * row["true_distinct"] <= row["est_distinct"] <= 2.5 * row["true_distinct"]
     assert row["n_zero"] >= 0
+
+
+def _split_halves(df, key):
+    left = df.filter(F.col(key) % 2 == 0)
+    right = df.filter(F.col(key) % 2 == 1)
+    return left, right
+
+
+def test_bloom_merge_equals_whole_build(spark):
+    """build(A ∪ B) ≡ merge(build(A), build(B)) — exact bit-set equality."""
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    t = load_tables(spark, SMOKE_SF_DIR)
+    keys = t.lineitem.select("l_partkey").distinct()
+
+    def bits_of(df):
+        return df.select(
+            F.explode(
+                F.array(*[S._bloom_bit(F.col("l_partkey"), r) for r in range(S.BLOOM_K)])
+            ).alias("bit_idx")
+        ).distinct()
+
+    left, right = _split_halves(keys, "l_partkey")
+    whole = {r["bit_idx"] for r in bits_of(keys).collect()}
+    merged = {
+        r["bit_idx"]
+        for r in S.bloom_merge(bits_of(left), bits_of(right)).collect()
+    }
+    assert whole == merged
+
+
+def test_kmv_merge_equals_whole_sketch(spark):
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    t = load_tables(spark, SMOKE_SF_DIR)
+    hashes = t.events.select(
+        S._md5_hex_int(F.col("user_id"), "kmv:", 13).alias("h")
+    ).distinct()
+    left, right = _split_halves(hashes, "h")
+    whole = sorted(r["h"] for r in hashes.orderBy("h").limit(S.KMV_K).collect())
+    merged = sorted(r["h"] for r in S.kmv_merge(left, right).collect())
+    assert whole == merged
+
+
+def test_hll_register_merge_equals_whole_build(spark):
+    regs = S.q_hll_registers(spark, SMOKE_SF_DIR)
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    t = load_tables(spark, SMOKE_SF_DIR)
+    h = S._md5_hex_int(F.col("user_id"), "hll:", 13)
+    keys = t.events.select(h.alias("h")).distinct()
+
+    def regs_of(df):
+        return df.select(
+            F.pmod(F.col("h"), F.lit(S.HLL_M)).alias("reg"),
+            F.expr(f"h DIV {S.HLL_M}").alias("w"),
+        ).select(
+            "reg",
+            F.when(F.col("w") == 0, F.lit(S.KMV_BITS - 5 + 1))
+            .otherwise(F.log2(F.col("w").bitwiseAND(-F.col("w"))).cast("int") + 1)
+            .alias("rho"),
+        ).groupBy("reg").agg(F.max("rho").alias("max_rank"))
+
+    left, right = _split_halves(keys, "h")
+    whole = {(r["reg"], r["max_rank"]) for r in regs.collect()}
+    merged = {
+        (r["reg"], r["max_rank"])
+        for r in S.hll_merge_registers(regs_of(left), regs_of(right)).collect()
+    }
+    assert whole == merged
