@@ -457,7 +457,9 @@ def q_group_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 10) -> list[tuple[str, int]]:
+def bpe_merge_table(
+    spark: SparkSession, sf_dir: str, n_merges: int = 10
+) -> list[tuple[tuple[str, str], int]]:
     """Full BPE tokenizer-training loop (library API, pytest-verified):
     repeat [count adjacent symbol pairs weighted by word frequency → merge
     the top pair] n_merges times; returns [(merged_token, score), ...].
@@ -491,7 +493,7 @@ def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 10) -> list[tupl
         # distinguish ('ab','c') from ('a','bc') and would fall back to
         # dict insertion order, which derives from a collect().
         (a, b), score = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
-        merges.append((a + b, score))
+        merges.append(((a, b), score))
         for w, syms in symbols.items():
             out, i = [], 0
             while i < len(syms):
@@ -1099,3 +1101,51 @@ ORACLES["q_srm_check"] = """
             / (CAST(n AS DOUBLE) * 3.0 / 16.0)) < 3.841 AS srm_ok
     FROM agg
 """
+
+
+def bpe_train(spark: SparkSession, sf_dir: str, n_merges: int = 10) -> list[tuple[str, int]]:
+    """BPE training (library API): [(merged_token, score), ...] — the
+    original surface, now a view over `bpe_merge_table` (which keeps the
+    (left, right) split `bpe_encode` needs — 'ab'+'c' vs 'a'+'bc' are
+    different merges that concatenate identically)."""
+    return [(a + b, score) for (a, b), score in bpe_merge_table(spark, sf_dir, n_merges)]
+
+
+def bpe_encode(df: DataFrame, text_col: str, merges: list[tuple[str, str]]) -> DataFrame:
+    """Apply a trained BPE merge table to text, ENTIRELY JVM-side
+    (library API): each whitespace token explodes to characters, then
+    every merge (in training order) is one left-greedy fold over the
+    symbol array — append the symbol, or replace the tail when it
+    completes the (left, right) pair. Left-greedy matches the trainer's
+    scan exactly (pytest-diffed), and concat(symbols) == word always
+    (lossless round-trip).
+
+    Output: one row per (original row's token) with the encoded symbol
+    list serialized to a space-joined string and the symbol count —
+    the per-doc token-budget input a packing/export stage consumes.
+
+    Scale shape: pure per-row expression work — no shuffle, no Python;
+    the merge table is O(n_merges) literals baked into the plan (the
+    DistributedCache idiom)."""
+    toks = F.explode(F.split(F.col(text_col), " ")).alias("word")
+    out = df.select(toks)
+    symbols = F.split(F.col("word"), "")
+    for a, b in merges:
+        ab = a + b
+        symbols = F.aggregate(
+            symbols,
+            F.array().cast("array<string>"),
+            lambda acc, x: F.when(
+                (F.size(acc) > 0)
+                & (F.element_at(acc, -1) == F.lit(a))
+                & (x == F.lit(b)),
+                F.concat(
+                    F.slice(acc, 1, F.size(acc) - 1), F.array(F.lit(ab))
+                ),
+            ).otherwise(F.concat(acc, F.array(x))),
+        )
+    return out.select(
+        "word",
+        F.array_join(symbols, " ").alias("encoded"),
+        F.size(symbols).alias("n_symbols"),
+    )

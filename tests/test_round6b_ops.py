@@ -562,3 +562,36 @@ def test_churn_rate_partitions_users(spark):
     assert sum(r["n_users"] for r in rows) == n_users
     for r in rows:
         assert 0 <= r["n_churned"] <= r["n_users"]
+
+
+def test_bpe_encode_matches_python_scan_and_roundtrips(spark):
+    """The JVM fold application ≡ the trainer's left-greedy Python scan
+    on every token, and concat(symbols) == word (lossless)."""
+    from machinelearningalgomapreduce_spark.operators.export import (
+        bpe_encode, bpe_merge_table,
+    )
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    merges = [p for p, _ in bpe_merge_table(spark, SMOKE_SF_DIR, 8)]
+    t = load_tables(spark, SMOKE_SF_DIR)
+    rows = bpe_encode(t.documents.limit(20), "text", merges).collect()
+    assert rows
+
+    def apply(word):
+        syms = list(word)
+        for a, b in merges:
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            syms = out
+        return syms
+
+    for r in rows:
+        assert r["encoded"].replace(" ", "") == r["word"]
+        assert r["encoded"].split(" ") == apply(r["word"]), r["word"]
+        assert r["n_symbols"] <= len(r["word"])
