@@ -463,3 +463,67 @@ def _hmm_oracle_sql() -> str:
 
 QUERIES = {"q_hmm_score": q_hmm_score}
 ORACLES = {"q_hmm_score": _hmm_oracle_sql()}
+
+
+SMOOTH_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("pos", T.IntegerType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("map_state", T.IntegerType()),
+        T.StructField("p_map", T.DoubleType()),
+    ]
+)
+
+
+def _smooth_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Scaled forward-backward posterior marginals for one user: γ_t(i) =
+    P(state_t = i | o_1..T) — smoothing, vs Viterbi's joint-path argmax
+    (the two can disagree position-wise; both ship)."""
+    import numpy as np
+
+    pdf = pdf.sort_values(["ts", "event_id"], kind="mergesort")
+    sym = {s: j for j, s in enumerate(HMM_TYPES)}
+    obs = pdf["event_type"].map(sym).to_numpy()
+    n, k = len(obs), HMM_STATES
+    a = np.asarray(HMM_TRANS)
+    e = np.asarray(HMM_EMIT)
+    alpha = np.zeros((n, k))
+    scale = np.zeros(n)
+    alpha[0] = np.asarray(HMM_INIT) * e[:, obs[0]]
+    scale[0] = alpha[0].sum()
+    alpha[0] /= scale[0]
+    for t in range(1, n):
+        alpha[t] = (alpha[t - 1] @ a) * e[:, obs[t]]
+        scale[t] = alpha[t].sum()
+        alpha[t] /= scale[t]
+    beta = np.zeros((n, k))
+    beta[-1] = 1.0
+    for t in range(n - 2, -1, -1):
+        beta[t] = (a @ (e[:, obs[t + 1]] * beta[t + 1])) / scale[t + 1]
+    gamma = alpha * beta
+    gamma /= gamma.sum(axis=1, keepdims=True)
+    return pd.DataFrame(
+        {
+            "user_id": pdf["user_id"].to_numpy(),
+            "pos": range(n),
+            "event_type": pdf["event_type"].to_numpy(),
+            "map_state": gamma.argmax(axis=1).astype("int32"),
+            "p_map": gamma.max(axis=1),
+        }
+    )
+
+
+def hmm_smooth(events: DataFrame) -> DataFrame:
+    """Posterior state marginals per position (forward-backward
+    smoothing) under the fixed model — the probabilistic companion to
+    viterbi_decode: Viterbi answers "most likely PATH", smoothing
+    answers "most likely state AT EACH POSITION given everything seen".
+    Arrow-batched applyInPandas over the same single user-keyed
+    exchange; pytest-diffed against an independent pure-Python
+    forward-backward."""
+    return (
+        events.select("user_id", "ts", "event_id", "event_type")
+        .groupBy("user_id")
+        .applyInPandas(_smooth_group, schema=SMOOTH_SCHEMA)
+    )

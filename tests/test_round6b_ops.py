@@ -595,3 +595,59 @@ def test_bpe_encode_matches_python_scan_and_roundtrips(spark):
         assert r["encoded"].replace(" ", "") == r["word"]
         assert r["encoded"].split(" ") == apply(r["word"]), r["word"]
         assert r["n_symbols"] <= len(r["word"])
+
+
+def test_hmm_smooth_matches_python_reference(spark):
+    """Posterior marginals: p_map in (1/K, 1], positions complete, and a
+    pure-Python forward-backward agrees on the argmax state and its
+    probability for a sample of users."""
+    from machinelearningalgomapreduce_spark.operators.sequence import (
+        HMM_EMIT, HMM_INIT, HMM_STATES, HMM_TRANS, HMM_TYPES,
+        hmm_smooth, user_sequences,
+    )
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    t = load_tables(spark, SMOKE_SF_DIR)
+    rows = hmm_smooth(t.events).collect()
+    assert rows
+    by_user = {}
+    for r in rows:
+        assert 1.0 / HMM_STATES - 1e-9 <= r["p_map"] <= 1.0 + 1e-9
+        by_user.setdefault(r["user_id"], []).append(r)
+    obs = {r["user_id"]: r["obs"] for r in user_sequences(t.events).collect()}
+
+    def fb(seq):
+        sym = {s: j for j, s in enumerate(HMM_TYPES)}
+        o = [sym[x] for x in seq]
+        n, k = len(o), HMM_STATES
+        alpha = [[HMM_INIT[i] * HMM_EMIT[i][o[0]] for i in range(k)]]
+        c0 = sum(alpha[0]); alpha[0] = [x / c0 for x in alpha[0]]; scales = [c0]
+        for t_ in range(1, n):
+            raw = [
+                sum(alpha[-1][i] * HMM_TRANS[i][j] for i in range(k)) * HMM_EMIT[j][o[t_]]
+                for j in range(k)
+            ]
+            c = sum(raw); scales.append(c)
+            alpha.append([x / c for x in raw])
+        beta = [[1.0] * k for _ in range(n)]
+        for t_ in range(n - 2, -1, -1):
+            beta[t_] = [
+                sum(HMM_TRANS[i][j] * HMM_EMIT[j][o[t_ + 1]] * beta[t_ + 1][j] for j in range(k))
+                / scales[t_ + 1]
+                for i in range(k)
+            ]
+        out = []
+        for t_ in range(n):
+            g = [alpha[t_][i] * beta[t_][i] for i in range(k)]
+            z = sum(g); g = [x / z for x in g]
+            m = max(range(k), key=lambda i: g[i])
+            out.append((m, g[m]))
+        return out
+
+    for uid in list(by_user)[:5]:
+        rs = sorted(by_user[uid], key=lambda r: r["pos"])
+        assert len(rs) == len(obs[uid])
+        ref = fb(obs[uid])
+        for r, (m, p) in zip(rs, ref):
+            assert r["map_state"] == m
+            assert r["p_map"] == pytest.approx(p, abs=1e-9)
