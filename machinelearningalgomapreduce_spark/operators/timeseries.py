@@ -885,3 +885,30 @@ ORACLES["q_rolling_p90"] = """
     WINDOW w AS (PARTITION BY event_type ORDER BY hour
                  ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
 """
+
+
+def pacf_from_acf(acf_values: list[float]) -> list[float]:
+    """Partial autocorrelations from ACF values via Durbin-Levinson
+    (library API, driver-side O(L²) on the bounded lag list): pacf[k] is
+    the lag-k coefficient after removing the shorter-lag structure — the
+    AR-order diagnostic read next to q_acf's correlogram. Input:
+    [acf(1), ..., acf(L)]; output the same length.
+    """
+    pacf: list[float] = []
+    phi_prev: list[float] = []
+    for k, r_k in enumerate(acf_values, start=1):
+        if k == 1:
+            phi_kk = r_k
+            phi = [phi_kk]
+        else:
+            num = r_k - sum(
+                phi_prev[j] * acf_values[k - 2 - j] for j in range(k - 1)
+            )
+            den = 1.0 - sum(phi_prev[j] * acf_values[j] for j in range(k - 1))
+            phi_kk = num / den if den != 0.0 else 0.0
+            phi = [
+                phi_prev[j] - phi_kk * phi_prev[k - 2 - j] for j in range(k - 1)
+            ] + [phi_kk]
+        pacf.append(phi_kk)
+        phi_prev = phi
+    return pacf

@@ -651,3 +651,32 @@ def test_hmm_smooth_matches_python_reference(spark):
         for r, (m, p) in zip(rs, ref):
             assert r["map_state"] == m
             assert r["p_map"] == pytest.approx(p, abs=1e-9)
+
+
+def test_pacf_from_acf_known_ar1():
+    """For an AR(1) process acf(k) = phi^k, the true PACF is phi at lag 1
+    and 0 beyond — Durbin-Levinson must recover that exactly."""
+    from machinelearningalgomapreduce_spark.operators.timeseries import pacf_from_acf
+
+    phi = 0.6
+    acf = [phi ** k for k in range(1, 9)]
+    pacf = pacf_from_acf(acf)
+    assert pacf[0] == pytest.approx(phi, abs=1e-12)
+    for v in pacf[1:]:
+        assert v == pytest.approx(0.0, abs=1e-12)
+
+
+def test_pacf_on_fixture_acf(spark):
+    from machinelearningalgomapreduce_spark.operators.timeseries import (
+        pacf_from_acf, q_acf,
+    )
+
+    by_type = {}
+    for r in q_acf(spark, SMOKE_SF_DIR).collect():
+        by_type.setdefault(r["event_type"], {})[r["lag"]] = r["acf"]
+    assert by_type
+    for et, lagmap in by_type.items():
+        acf = [lagmap[k] for k in sorted(lagmap) if lagmap[k] is not None]
+        pacf = pacf_from_acf(acf)
+        assert len(pacf) == len(acf)
+        assert pacf[0] == pytest.approx(acf[0], abs=1e-12)
