@@ -781,3 +781,122 @@ ORACLES["q_benford"] = """
            CAST(sum(contrib) OVER () AS DOUBLE) AS chi2_total
     FROM scored
 """
+
+
+def q_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Herfindahl-Hirschman concentration index of supplier revenue per
+    nation — the market-concentration screen (10000·Σ share²; >2500 =
+    highly concentrated). Computed as the exact integer identity
+    Σ cents² / (Σ cents)²: numerator in DECIMAL (cents² overflows BIGINT
+    at scale), ONE double division at the end — no per-supplier float
+    shares are ever summed.
+
+    Scale shape: one (nation, supplier) revenue aggregate + one
+    nation-keyed rollup, all map-side combinable."""
+    t = load_tables(spark, sf_dir)
+    rev = (
+        t.lineitem.join(
+            F.broadcast(t.supplier.select("s_suppkey", "s_nationkey")),
+            t.lineitem.l_suppkey == F.col("s_suppkey"),
+        )
+        .groupBy("s_nationkey", "s_suppkey")
+        .agg(
+            F.sum(
+                F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            ).cast("bigint").alias("cents")
+        )
+    )
+    per_nation = rev.groupBy("s_nationkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(F.col("cents").cast("decimal(19,0)") * F.col("cents")).alias("sum_sq"),
+    )
+    hhi = (
+        F.lit(10000.0)
+        * F.col("sum_sq").cast("double")
+        / (F.col("total_cents").cast("double") * F.col("total_cents").cast("double"))
+    )
+    return per_nation.select(
+        "s_nationkey",
+        "n_suppliers",
+        "total_cents",
+        F.round(hhi, 6).alias("hhi"),
+    )
+
+
+QUERIES["q_hhi"] = q_hhi
+
+ORACLES["q_hhi"] = """
+    WITH rev AS (
+        SELECT s.s_nationkey, l.l_suppkey,
+               CAST(sum(floor(l.l_extendedprice * (1 - l.l_discount) * 100))
+                    AS BIGINT) AS cents
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT s_nationkey, CAST(count(*) AS BIGINT) AS n_suppliers,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               sum(CAST(cents AS HUGEINT) * cents) AS sum_sq
+        FROM rev GROUP BY s_nationkey
+    )
+    SELECT s_nationkey, n_suppliers, total_cents,
+           round(10000.0 * CAST(sum_sq AS DOUBLE)
+                 / (CAST(total_cents AS DOUBLE) * CAST(total_cents AS DOUBLE)), 6)
+               AS hhi
+    FROM per
+"""
+
+
+def q_theil_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-T inequality index of customer revenue — the decomposable
+    inequality measure next to q_gini: T = (1/n)·Σ (x_i/μ)·ln(x_i/μ),
+    computed from exact cent integers via the sum identity
+    T = [Σ x·ln x]/X − ln(X/n) with the Σ x·ln x fold rounded per-term
+    to 10 and DECIMAL-summed (order-free, the q_mutual_info discipline).
+
+    Scale shape: one per-customer revenue aggregate + one 1-row rollup."""
+    t = load_tables(spark, sf_dir)
+    per_cust = t.orders.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    ).filter(F.col("cents") > 0)
+    term = F.round(
+        F.col("cents").cast("double") * F.log(F.col("cents").cast("double")), 10
+    ).cast("decimal(38,10)")
+    agg = per_cust.agg(
+        F.count("*").alias("n_customers"),
+        F.sum("cents").alias("total_cents"),
+        F.sum(term).alias("xlnx"),
+    )
+    x = F.col("total_cents").cast("double")
+    n = F.col("n_customers").cast("double")
+    theil = F.col("xlnx").cast("double") / x - F.log(x / n)
+    return agg.select(
+        "n_customers",
+        "total_cents",
+        F.round(theil, 6).alias("theil_t"),
+    )
+
+
+QUERIES["q_theil_index"] = q_theil_index
+
+ORACLES["q_theil_index"] = """
+    WITH per AS (
+        SELECT o_custkey,
+               CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+        HAVING sum(CAST(floor(o_totalprice * 100) AS BIGINT)) > 0
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_customers,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               sum(CAST(round(CAST(cents AS DOUBLE) * ln(CAST(cents AS DOUBLE)), 10)
+                        AS DECIMAL(38,10))) AS xlnx
+        FROM per
+    )
+    SELECT n_customers, total_cents,
+           round(CAST(xlnx AS DOUBLE) / CAST(total_cents AS DOUBLE)
+                 - ln(CAST(total_cents AS DOUBLE) / CAST(n_customers AS DOUBLE)), 6)
+               AS theil_t
+    FROM agg
+"""

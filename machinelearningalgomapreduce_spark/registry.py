@@ -158,6 +158,7 @@ DEFERRED_NEXT_WINDOW: frozenset[str] = frozenset({
     "q_wilson_ctr", "q_benford", "q_gap_fill", "q_bloom_bits",
     "q_bloom_audit", "q_skyline", "q_dedup_snm", "q_acf", "q_mk_trend", "q_runs_test", "q_dedup_edit", "q_attribution_linear", "q_srm_check", "q_rolling_p90", "q_vocab_drift",
     "q_cramers_v", "q_audience_overlap", "q_cohort_ltv", "q_churn_rate",
+    "q_hhi", "q_theil_index",
 })
 _DEFER_KEY = 2.5
 

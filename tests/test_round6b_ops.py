@@ -680,3 +680,24 @@ def test_pacf_on_fixture_acf(spark):
         pacf = pacf_from_acf(acf)
         assert len(pacf) == len(acf)
         assert pacf[0] == pytest.approx(acf[0], abs=1e-12)
+
+
+def test_hhi_bounds(spark):
+    from machinelearningalgomapreduce_spark.operators.stats import q_hhi
+
+    for r in q_hhi(spark, SMOKE_SF_DIR).collect():
+        # HHI ∈ (10000/n, 10000]: equality at monopoly, floor at equal shares.
+        assert 10000.0 / r["n_suppliers"] - 1e-6 <= r["hhi"] <= 10000.0 + 1e-6
+
+
+def test_theil_nonnegative_and_zero_on_equal(spark):
+    from machinelearningalgomapreduce_spark.operators.stats import q_theil_index
+
+    row = q_theil_index(spark, SMOKE_SF_DIR).first()
+    assert row["theil_t"] >= -1e-6
+    # Equal incomes → T = 0 (pure-Python sanity on the identity).
+    import math
+    xs = [500] * 10
+    X, n = sum(xs), len(xs)
+    t = sum(x * math.log(x) for x in xs) / X - math.log(X / n)
+    assert abs(t) < 1e-12
