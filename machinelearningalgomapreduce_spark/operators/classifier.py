@@ -399,3 +399,66 @@ ORACLES = {
         ORDER BY decile
     """,
 }
+
+
+def q_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matthews correlation coefficient at τ = 0 — the single-number
+    confusion summary that stays honest under class imbalance (the
+    metric quality-filter classifiers report when the positive class is
+    rare, as it is in a 100 TB toxic/boilerplate sweep).
+
+    MCC = (TP·TN − FP·FN) / √((TP+FP)(TP+FN)(TN+FP)(TN+FN)). The four
+    cells are exact integers from ONE aggregate; the products accumulate
+    as DECIMAL(38,0) (BIGINT wraps near n = 3e9) and cast to identical
+    doubles for the closing division, emitted as a fixed-point micro
+    BIGINT (no round(double) in the hash).
+
+    Scale shape: one map-side-combinable aggregate over the scored scan,
+    no joins — q_confusion_binary's plan with a different closing row."""
+    s = _scored(spark, sf_dir)
+    pred = (F.col("score") >= 0.0).cast("bigint")
+    m = s.agg(
+        F.sum(pred * F.col("pos")).alias("tp"),
+        F.sum(pred * (1 - F.col("pos"))).alias("fp"),
+        F.sum((1 - pred) * F.col("pos")).alias("fn"),
+        F.sum((1 - pred) * (1 - F.col("pos"))).alias("tn"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    num = dec("tp") * dec("tn") - dec("fp") * dec("fn")
+    den = F.sqrt(
+        ((dec("tp") + dec("fp")) * (dec("tp") + dec("fn"))).cast("double")
+        * ((dec("tn") + dec("fp")) * (dec("tn") + dec("fn"))).cast("double")
+    )
+    return m.select(
+        "tp", "fp", "fn", "tn",
+        F.floor(
+            num.cast("double") / den * 1000000.0 + F.lit(0.5)
+        ).cast("bigint").alias("mcc_micro"),
+    )
+
+
+QUERIES["q_mcc"] = q_mcc
+
+ORACLES["q_mcc"] = f"""
+    WITH scored AS ({_SCORED_SQL}),
+    m AS (
+        SELECT sum(CASE WHEN score >= 0.0 AND pos = 1 THEN 1 ELSE 0 END) AS tp,
+               sum(CASE WHEN score >= 0.0 AND pos = 0 THEN 1 ELSE 0 END) AS fp,
+               sum(CASE WHEN score < 0.0 AND pos = 1 THEN 1 ELSE 0 END) AS fn,
+               sum(CASE WHEN score < 0.0 AND pos = 0 THEN 1 ELSE 0 END) AS tn
+        FROM scored
+    )
+    SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+           CAST(floor(CAST(CAST(tp AS DECIMAL(19,0)) * CAST(tn AS DECIMAL(19,0))
+                           - CAST(fp AS DECIMAL(19,0)) * CAST(fn AS DECIMAL(19,0))
+                           AS DOUBLE)
+                      / sqrt(CAST((CAST(tp AS DECIMAL(19,0)) + CAST(fp AS DECIMAL(19,0)))
+                                  * (CAST(tp AS DECIMAL(19,0)) + CAST(fn AS DECIMAL(19,0)))
+                                  AS DOUBLE)
+                             * CAST((CAST(tn AS DECIMAL(19,0)) + CAST(fp AS DECIMAL(19,0)))
+                                    * (CAST(tn AS DECIMAL(19,0)) + CAST(fn AS DECIMAL(19,0)))
+                                    AS DOUBLE))
+                      * 1000000.0 + 0.5) AS BIGINT) AS mcc_micro
+    FROM m
+"""

@@ -1118,3 +1118,285 @@ ORACLES["q_cramers_v"] = """
                AS cramers_v
     FROM chi CROSS JOIN dims d
 """
+
+
+def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall τ-b rank correlation between quantity and line number —
+    the concordance-based sibling of q_spearman, with the tie-corrected
+    denominator both engines derive from EXACT INTEGER pair counts.
+
+    The O(n²) pair enumeration is collapsed to the bounded contingency
+    table (≤ 50 quantities × 7 line numbers = 350 cells): concordant /
+    discordant pair totals are Σ n_ab·n_cd over ordered cell pairs — a
+    350² self-join of a broadcast-tiny frame, never of the data. Tie
+    terms come from the two marginal histograms. τ-b's closing formula
+    runs on exact integers cast to identical doubles; the hashed output
+    is a fixed-point micro BIGINT (no round(double) boundary).
+
+    Scale shape: ONE fact-table contingency aggregate; everything after
+    is O(cells²) = O(1) arithmetic on broadcast frames. Pair counts
+    accumulate as DECIMAL(38,0) — they grow ~n²/4 and would wrap BIGINT
+    near 6e9 rows (DuckDB silently promotes to HUGEINT); the final cast
+    to BIGINT is fixture-safe and documents the scale boundary."""
+    t = load_tables(spark, sf_dir)
+    cells = t.lineitem.groupBy(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.col("l_linenumber").cast("bigint").alias("l"),
+    ).agg(F.count("*").alias("nc"))
+    a = cells.select(
+        F.col("q").alias("qa"), F.col("l").alias("la"),
+        F.col("nc").cast("decimal(19,0)").alias("na"),
+    )
+    b = cells.select(
+        F.col("q").alias("qb"), F.col("l").alias("lb"),
+        F.col("nc").cast("decimal(19,0)").alias("nb"),
+    )
+    pairs = a.join(
+        F.broadcast(b),
+        (F.col("qa") < F.col("qb")) & (F.col("la") != F.col("lb")),
+    )
+    cd = pairs.agg(
+        F.sum(
+            F.when(F.col("la") < F.col("lb"), F.col("na") * F.col("nb"))
+            .otherwise(F.lit(0).cast("decimal(19,0)"))
+        ).alias("c_dec"),
+        F.sum(
+            F.when(F.col("la") > F.col("lb"), F.col("na") * F.col("nb"))
+            .otherwise(F.lit(0).cast("decimal(19,0)"))
+        ).alias("d_dec"),
+    )
+    nd = F.col("nc").cast("decimal(19,0)")
+    tx = cells.groupBy("q").agg(F.sum("nc").alias("tq")).agg(
+        F.sum(
+            F.col("tq").cast("decimal(19,0)") * (F.col("tq") - 1) / 2
+        ).alias("tx")
+    )
+    ty = cells.groupBy("l").agg(F.sum("nc").alias("tl")).agg(
+        F.sum(
+            F.col("tl").cast("decimal(19,0)") * (F.col("tl") - 1) / 2
+        ).alias("ty")
+    )
+    tot = cells.agg(F.sum(nd).alias("n"))
+    out = (
+        cd.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tx))
+        .crossJoin(F.broadcast(ty))
+    )
+    n = F.col("n").cast("double")
+    n0 = n * (n - 1.0) / 2.0
+    num = F.col("c_dec").cast("double") - F.col("d_dec").cast("double")
+    den = F.sqrt(
+        (n0 - F.col("tx").cast("double")) * (n0 - F.col("ty").cast("double"))
+    )
+    return out.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.col("c_dec").cast("bigint").alias("c_pairs"),
+        F.col("d_dec").cast("bigint").alias("d_pairs"),
+        F.floor(num / den * 1000000.0 + F.lit(0.5)).cast("bigint").alias("tau_b_micro"),
+    )
+
+
+QUERIES["q_kendall_tau"] = q_kendall_tau
+
+ORACLES["q_kendall_tau"] = """
+    WITH cells AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q, CAST(l_linenumber AS BIGINT) AS l,
+               count(*) AS nc
+        FROM lineitem GROUP BY 1, 2
+    ),
+    cd AS (
+        SELECT sum(CASE WHEN a.l < b.l
+                        THEN CAST(a.nc AS DECIMAL(19,0)) * CAST(b.nc AS DECIMAL(19,0))
+                        ELSE CAST(0 AS DECIMAL(19,0)) END) AS c_dec,
+               sum(CASE WHEN a.l > b.l
+                        THEN CAST(a.nc AS DECIMAL(19,0)) * CAST(b.nc AS DECIMAL(19,0))
+                        ELSE CAST(0 AS DECIMAL(19,0)) END) AS d_dec
+        FROM cells a JOIN cells b ON a.q < b.q AND a.l <> b.l
+    ),
+    tx AS (
+        SELECT sum(CAST(tq AS DECIMAL(19,0)) * (tq - 1) / 2) AS tx
+        FROM (SELECT q, sum(nc) AS tq FROM cells GROUP BY q)
+    ),
+    ty AS (
+        SELECT sum(CAST(tl AS DECIMAL(19,0)) * (tl - 1) / 2) AS ty
+        FROM (SELECT l, sum(nc) AS tl FROM cells GROUP BY l)
+    ),
+    tot AS (SELECT sum(CAST(nc AS DECIMAL(19,0))) AS n FROM cells)
+    SELECT CAST(tot.n AS BIGINT) AS n,
+           CAST(c_dec AS BIGINT) AS c_pairs,
+           CAST(d_dec AS BIGINT) AS d_pairs,
+           CAST(floor((CAST(c_dec AS DOUBLE) - CAST(d_dec AS DOUBLE))
+                      / sqrt((CAST(tot.n AS DOUBLE) * (CAST(tot.n AS DOUBLE) - 1.0) / 2.0
+                              - CAST(tx.tx AS DOUBLE))
+                             * (CAST(tot.n AS DOUBLE) * (CAST(tot.n AS DOUBLE) - 1.0) / 2.0
+                                - CAST(ty.ty AS DOUBLE)))
+                      * 1000000.0 + 0.5) AS BIGINT) AS tau_b_micro
+    FROM cd CROSS JOIN tot CROSS JOIN tx CROSS JOIN ty
+"""
+
+
+def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque–Bera normality test of quantity per return flag: skewness,
+    excess-free kurtosis, and JB = n/6·(S² + (K−3)²/4) from exact raw
+    moments — the distribution-shape audit a feature store runs before
+    assuming Gaussian z-scores are meaningful.
+
+    Every raw moment Σvᵏ (k ≤ 4) is an exact integer aggregate (v ≤ 50 →
+    v⁴ ≤ 6.25e6; sums accumulate as DECIMAL(38,0), BIGINT-safe past 1e12
+    rows). Central moments, S and K derive through IDENTICAL double
+    expressions in both engines — powers are written as sqrt/multiply
+    chains only (no libm pow, whose last-ulp behavior differs across
+    implementations) — and the hashed outputs are fixed-point micro
+    BIGINTs.
+
+    Scale shape: one map-side-combinable aggregate keyed on the tiny
+    flag domain; everything after is O(flags) arithmetic."""
+    t = load_tables(spark, sf_dir)
+    v = F.col("l_quantity").cast("bigint")
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    m = t.lineitem.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(dec(v)).alias("s1"),
+        F.sum(dec(v * v)).alias("s2"),
+        F.sum(dec(v * v * v)).alias("s3"),
+        F.sum(dec(v * v * v * v)).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1").cast("double") / n
+    m2 = F.col("s2").cast("double") / n - mu * mu
+    m3 = F.col("s3").cast("double") / n - 3.0 * mu * (F.col("s2").cast("double") / n) + 2.0 * mu * mu * mu
+    m4 = (
+        F.col("s4").cast("double") / n
+        - 4.0 * mu * (F.col("s3").cast("double") / n)
+        + 6.0 * mu * mu * (F.col("s2").cast("double") / n)
+        - 3.0 * mu * mu * mu * mu
+    )
+    skew = m3 / (m2 * F.sqrt(m2))
+    kurt = m4 / (m2 * m2)
+    jb = n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+    fx = lambda x: F.floor(x * 1000000.0 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return m.select(
+        "l_returnflag",
+        "n",
+        fx(skew).alias("skew_micro"),
+        fx(kurt).alias("kurt_micro"),
+        fx(jb).alias("jb_micro"),
+    )
+
+
+QUERIES["q_jarque_bera"] = q_jarque_bera
+
+ORACLES["q_jarque_bera"] = """
+    WITH m AS (
+        SELECT l_returnflag, count(*) AS n,
+               sum(CAST(CAST(l_quantity AS BIGINT) AS DECIMAL(19,0))) AS s1,
+               sum(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                        AS DECIMAL(19,0))) AS s2,
+               sum(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT) AS DECIMAL(19,0))) AS s3,
+               sum(CAST(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                        * CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)
+                        AS DECIMAL(19,0))) AS s4
+        FROM lineitem GROUP BY 1
+    ),
+    d AS (
+        SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+               CAST(n AS DOUBLE) AS nd,
+               CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE) AS mu,
+               CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE) AS r2,
+               CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE) AS r3,
+               CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE) AS r4
+        FROM m
+    ),
+    c AS (
+        SELECT l_returnflag, n, nd,
+               r2 - mu * mu AS m2,
+               r3 - 3.0 * mu * r2 + 2.0 * mu * mu * mu AS m3,
+               r4 - 4.0 * mu * r3 + 6.0 * mu * mu * r2 - 3.0 * mu * mu * mu * mu AS m4
+        FROM d
+    ),
+    s AS (
+        SELECT l_returnflag, n, nd,
+               m3 / (m2 * sqrt(m2)) AS skew,
+               m4 / (m2 * m2) AS kurt
+        FROM c
+    )
+    SELECT l_returnflag, n,
+           CAST(floor(skew * 1000000.0 + 0.5) AS BIGINT) AS skew_micro,
+           CAST(floor(kurt * 1000000.0 + 0.5) AS BIGINT) AS kurt_micro,
+           CAST(floor(nd / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
+                      * 1000000.0 + 0.5) AS BIGINT) AS jb_micro
+    FROM s
+"""
+
+
+def q_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ inter-rater agreement between two deterministic rule
+    "raters" over lineitem (A: quantity > 25; B: discount > 0.05) — the
+    chance-corrected agreement score label-quality audits report when two
+    labeling heuristics (or annotator pools) are compared.
+
+    κ reduces to an exact integer rational: with cell counts n11/n10/
+    n01/n00 and marginals a1·b1 + a0·b0 =: e,
+    κ = (n·(n11+n00) − e) / (n² − e). Numerator and denominator are
+    exact DECIMAL(38,0) products cast to identical doubles for ONE
+    division; the hashed output is a fixed-point micro BIGINT.
+
+    Scale shape: a single map-side-combinable aggregate over the fact
+    scan — four conditional counts in one pass, no joins anywhere."""
+    t = load_tables(spark, sf_dir)
+    ra = (F.col("l_quantity") > 25).cast("bigint")
+    rb = (F.col("l_discount") > 0.05).cast("bigint")
+    m = t.lineitem.agg(
+        F.count("*").alias("n"),
+        F.sum(ra * rb).alias("n11"),
+        F.sum(ra * (1 - rb)).alias("n10"),
+        F.sum((1 - ra) * rb).alias("n01"),
+        F.sum((1 - ra) * (1 - rb)).alias("n00"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(19,0)")  # noqa: E731
+    e = (dec("n11") + dec("n10")) * (dec("n11") + dec("n01")) + (
+        dec("n00") + dec("n01")
+    ) * (dec("n00") + dec("n10"))
+    num = dec("n") * (dec("n11") + dec("n00")) - e
+    den = dec("n") * dec("n") - e
+    return m.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.floor(
+            num.cast("double") / den.cast("double") * 1000000.0 + F.lit(0.5)
+        ).cast("bigint").alias("kappa_micro"),
+    )
+
+
+QUERIES["q_cohens_kappa"] = q_cohens_kappa
+
+ORACLES["q_cohens_kappa"] = """
+    WITH m AS (
+        SELECT count(*) AS n,
+               sum(CASE WHEN l_quantity > 25 AND l_discount > 0.05 THEN 1 ELSE 0 END) AS n11,
+               sum(CASE WHEN l_quantity > 25 AND NOT l_discount > 0.05 THEN 1 ELSE 0 END) AS n10,
+               sum(CASE WHEN NOT l_quantity > 25 AND l_discount > 0.05 THEN 1 ELSE 0 END) AS n01,
+               sum(CASE WHEN NOT l_quantity > 25 AND NOT l_discount > 0.05 THEN 1 ELSE 0 END) AS n00
+        FROM lineitem
+    ),
+    k AS (
+        SELECT n, n11, n10, n01, n00,
+               CAST(n AS DECIMAL(19,0)) * (CAST(n11 AS DECIMAL(19,0)) + CAST(n00 AS DECIMAL(19,0)))
+               - ((CAST(n11 AS DECIMAL(19,0)) + CAST(n10 AS DECIMAL(19,0)))
+                  * (CAST(n11 AS DECIMAL(19,0)) + CAST(n01 AS DECIMAL(19,0)))
+                  + (CAST(n00 AS DECIMAL(19,0)) + CAST(n01 AS DECIMAL(19,0)))
+                    * (CAST(n00 AS DECIMAL(19,0)) + CAST(n10 AS DECIMAL(19,0)))) AS num,
+               CAST(n AS DECIMAL(19,0)) * CAST(n AS DECIMAL(19,0))
+               - ((CAST(n11 AS DECIMAL(19,0)) + CAST(n10 AS DECIMAL(19,0)))
+                  * (CAST(n11 AS DECIMAL(19,0)) + CAST(n01 AS DECIMAL(19,0)))
+                  + (CAST(n00 AS DECIMAL(19,0)) + CAST(n01 AS DECIMAL(19,0)))
+                    * (CAST(n00 AS DECIMAL(19,0)) + CAST(n10 AS DECIMAL(19,0)))) AS den
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n, CAST(n11 AS BIGINT) AS n11,
+           CAST(n10 AS BIGINT) AS n10, CAST(n01 AS BIGINT) AS n01,
+           CAST(n00 AS BIGINT) AS n00,
+           CAST(floor(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) * 1000000.0 + 0.5)
+                AS BIGINT) AS kappa_micro
+    FROM k
+"""

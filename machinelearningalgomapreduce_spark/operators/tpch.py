@@ -18,6 +18,11 @@ reach; no commit/receipt dates → Q12/Q21 likewise):
   (adapted: the fixture has no c_phone and every customer has ≥1 order, so
   "never ordered" becomes "no order since 1999-01-01" and cntrycode becomes
   the nation name)
+- Q9  product-type profit     → q_profit_by_nation (adapted: no partsupp, so
+  supply cost becomes the 0.6 × p_retailprice proxy per unit)
+- Q21 suppliers who kept orders waiting → q_late_shippers (adapted: no
+  commit/receipt dates, so "kept waiting" becomes "sole latest shipper of a
+  multi-supplier order" on l_shipdate — the same EXISTS/NOT-EXISTS shape)
 
 Scale notes (100 TB posture): every query keeps the fact table (lineitem /
 orders) on the probe side and semi-reduces dimension chains to compact
@@ -347,6 +352,89 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tiny_sorted(agg, "n_name")
 
 
+def q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (adapted): per-nation, per-year profit on one
+    product family. The fixture has no partsupp, so unit supply cost is
+    the 0.6 × p_retailprice proxy; profit = revenue − cost·quantity.
+
+    Semi-reductions feed the fact scan exactly as Q9's plan should: the
+    name-filtered part keys (with their retail price), the supplier →
+    nation names, and the orders → order-year relation each collapse to a
+    compact keyed relation and broadcast below the size gate; lineitem
+    probes three hash tables in one stage and aggregates on the tiny
+    (nation × year) key domain. Money sums round to 2 (module policy).
+    """
+    t = load_tables(spark, sf_dir)
+    widget_parts = (
+        t.part.filter(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    supp_nat = (
+        t.supplier.join(t.nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    order_year = t.orders.select(
+        "o_orderkey", F.year("o_orderdate").cast("int").alias("o_year")
+    )
+    widget_parts = broadcast_if_small(widget_parts, sf_dir, fits_until_sf=1.0)
+    supp_nat = broadcast_if_small(supp_nat, sf_dir, fits_until_sf=1.0)
+    order_year = broadcast_if_small(order_year, sf_dir, fits_until_sf=1.0)
+    profit = _rev() - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    agg = (
+        t.lineitem
+        .join(widget_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nat, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(order_year, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("nation", "o_year")
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+    )
+    return tiny_sorted(agg, "nation", F.desc("o_year"))
+
+
+def q_late_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (adapted): suppliers who alone held up an order.
+    No commit/receipt dates in the fixture, so "kept waiting" becomes:
+    in an order shipped by ≥ 2 suppliers, this supplier's latest lineitem
+    shipped strictly after every other supplier's (it is the UNIQUE
+    latest shipper). Q21's EXISTS (another supplier on the order) and
+    NOT EXISTS (another supplier equally late) machinery both survive as
+    integer conditions on one per-order rollup.
+
+    Scale shape: lineitem collapses once to (order, supplier, max ship),
+    then a per-order aggregate derives the supplier count, the order max,
+    and how many suppliers attain it — the EXISTS pair becomes
+    n_supp ≥ 2 AND n_at_max = 1 with no self-join of the fact table.
+    Timestamps and counts are exact, so the winner set is deterministic.
+    TakeOrdered caps at 10 (count desc, name asc).
+    """
+    t = load_tables(spark, sf_dir)
+    per_supp = t.lineitem.groupBy("l_orderkey", "l_suppkey").agg(
+        F.max("l_shipdate").alias("s_max")
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_supp"),
+        F.max("s_max").alias("o_max"),
+    )
+    per_order = broadcast_if_small(per_order, sf_dir, fits_until_sf=1.0)
+    at_max = (
+        per_supp.join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("s_max") == F.col("o_max")))
+    )
+    blockers = (
+        at_max.groupBy("l_orderkey")
+        .agg(F.count("*").alias("n_at_max"), F.max("l_suppkey").alias("suppkey"))
+        .filter(F.col("n_at_max") == 1)
+    )
+    return (
+        blockers.groupBy("suppkey")
+        .agg(F.count("*").alias("numwait"))
+        .join(F.broadcast(t.supplier), F.col("suppkey") == F.col("s_suppkey"))
+        .select("s_name", "numwait")
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(10)
+    )
+
+
 QUERIES = {
     "q_custdist": q_custdist,
     "q_large_orders": q_large_orders,
@@ -358,6 +446,8 @@ QUERIES = {
     "q_volume_shipping": q_volume_shipping,
     "q_market_share": q_market_share,
     "q_idle_customers": q_idle_customers,
+    "q_profit_by_nation": q_profit_by_nation,
+    "q_late_shippers": q_late_shippers,
 }
 
 ORACLES = {
@@ -482,5 +572,39 @@ ORACLES = {
                             AND o_orderdate >= TIMESTAMP '1999-01-01')
         GROUP BY n_name
         ORDER BY n_name
+    """,
+    "q_profit_by_nation": """
+        SELECT n_name AS nation,
+               CAST(year(o_orderdate) AS INTEGER) AS o_year,
+               round(sum(l_extendedprice * (1 - l_discount)
+                         - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON o_orderkey = l_orderkey
+        WHERE p_name LIKE '%widget%'
+        GROUP BY 1, 2
+        ORDER BY 1, 2 DESC
+    """,
+    "q_late_shippers": """
+        WITH per_supp AS (
+            SELECT l_orderkey, l_suppkey, max(l_shipdate) AS s_max
+            FROM lineitem GROUP BY l_orderkey, l_suppkey
+        ), per_order AS (
+            SELECT l_orderkey, count(*) AS n_supp, max(s_max) AS o_max
+            FROM per_supp GROUP BY l_orderkey
+        ), blockers AS (
+            SELECT ps.l_orderkey, count(*) AS n_at_max, max(ps.l_suppkey) AS suppkey
+            FROM per_supp ps JOIN per_order po ON ps.l_orderkey = po.l_orderkey
+            WHERE po.n_supp >= 2 AND ps.s_max = po.o_max
+            GROUP BY ps.l_orderkey
+            HAVING count(*) = 1
+        )
+        SELECT s_name, count(*) AS numwait
+        FROM blockers JOIN supplier ON s_suppkey = suppkey
+        GROUP BY s_name
+        ORDER BY numwait DESC, s_name
+        LIMIT 10
     """,
 }

@@ -159,6 +159,11 @@ DEFERRED_NEXT_WINDOW: frozenset[str] = frozenset({
     "q_bloom_audit", "q_skyline", "q_dedup_snm", "q_acf", "q_mk_trend", "q_runs_test", "q_dedup_edit", "q_attribution_linear", "q_srm_check", "q_rolling_p90", "q_vocab_drift",
     "q_cramers_v", "q_audience_overlap", "q_cohort_ltv", "q_churn_rate",
     "q_hhi", "q_theil_index",
+    # third mini-tranche (session 4)
+    "q_profit_by_nation", "q_late_shippers",
+    "q_kendall_tau", "q_jarque_bera", "q_cohens_kappa", "q_mcc",
+    "q_prefix_dup", "q_gopher_rules", "q_dau_wau",
+    "q_max_drawdown", "q_bollinger",
 })
 _DEFER_KEY = 2.5
 
