@@ -844,3 +844,71 @@ ORACLES["q_churn_rate"] = """
     FROM per_user
     GROUP BY first_wk
 """
+
+
+def q_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness per ISO week — the engagement ratio (average
+    daily actives over weekly actives) product analytics watches for
+    habit formation; 1/7 means users show up once a week, 1.0 daily.
+
+    Two distinct-user rollups off one scan shape: (week, day, user) and
+    (week, user) distinct aggregates, then a week-keyed join of two
+    already-tiny frames. Counts are exact; the stickiness ratio is
+    integer-exact micro fixed-point (half_up of sum_dau·10⁶ over
+    n_days·wau) — no double rounding in the hash.
+
+    Scale shape: the heavy work is the two count-distincts, both
+    map-side partial-aggregable on (week[, day], user); everything after
+    is O(weeks). At 100 TB swap exact distinct for the HLL sketch twin
+    (q_distinct_users_approx posture) without changing this plan."""
+    t = load_tables(spark, sf_dir)
+    wk = F.date_trunc("week", "ts").alias("wk")
+    day = F.date_trunc("day", "ts").alias("day")
+    per_day = (
+        t.events.select(wk, day, "user_id").distinct()
+        .groupBy("wk", "day").agg(F.count("*").alias("dau"))
+    )
+    weekly_days = per_day.groupBy("wk").agg(
+        F.sum("dau").alias("sum_dau"), F.count("*").alias("n_days")
+    )
+    wau = (
+        t.events.select(wk, "user_id").distinct()
+        .groupBy("wk").agg(F.count("*").alias("wau"))
+    )
+    out = weekly_days.join(wau, "wk").select(
+        "wk",
+        "sum_dau",
+        "n_days",
+        "wau",
+        half_up(F.col("sum_dau") * 1_000_000, F.col("n_days") * F.col("wau")).alias(
+            "stickiness_micro"
+        ),
+    )
+    return tiny_sorted(out, "wk")
+
+
+QUERIES["q_dau_wau"] = q_dau_wau
+
+ORACLES["q_dau_wau"] = """
+    WITH per_day AS (
+        SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+               CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+               count(DISTINCT user_id) AS dau
+        FROM events GROUP BY 1, 2
+    ),
+    weekly_days AS (
+        SELECT wk, CAST(sum(dau) AS BIGINT) AS sum_dau,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM per_day GROUP BY wk
+    ),
+    wau AS (
+        SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS wau
+        FROM events GROUP BY 1
+    )
+    SELECT wk, sum_dau, n_days, wau,
+           CAST(floor((2 * (sum_dau * 1000000) + n_days * wau)
+                      / (2 * (n_days * wau))) AS BIGINT) AS stickiness_micro
+    FROM weekly_days JOIN wau USING (wk)
+    ORDER BY wk
+"""

@@ -1278,3 +1278,160 @@ ORACLES["q_vocab_drift"] = f"""
                AS rho
     FROM agg
 """
+
+
+def q_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate-prefix detection: documents sharing their first 12
+    tokens verbatim — the C4-style sweep that catches templated headers,
+    scraped navigation chrome, and mirror-site copies that full-document
+    hashing misses once trailing content diverges.
+
+    The prefix fingerprints via md5 over the joined first-12 tokens
+    (engine-identical; the dedup-family foundation), so the heavy state
+    is one GROUP BY on a 32-hex key — never document text. Groups with
+    ≥ 2 documents surface with their size, distinct-source spread, and
+    the smallest member id as the canonical exemplar.
+
+    Scale shape: scan-side slice/join/hash (zero joins), ONE hash
+    aggregate keyed on the fingerprint, bounded-output filter — the
+    q_dedup_exact plan with a prefix key."""
+    t = load_tables(spark, sf_dir)
+    pfx = F.md5(F.array_join(F.slice(_tokens(), 1, 12), " "))
+    agg = (
+        t.documents.select(pfx.alias("prefix_hash"), "doc_id", "source")
+        .groupBy("prefix_hash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("exemplar_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    return tiny_sorted(agg, F.desc("n_docs"), "prefix_hash")
+
+
+QUERIES["q_prefix_dup"] = q_prefix_dup
+
+ORACLES["q_prefix_dup"] = """
+    SELECT md5(array_to_string(list_slice(string_split(text, ' '), 1, 12), ' '))
+               AS prefix_hash,
+           count(*) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           min(doc_id) AS exemplar_doc
+    FROM documents
+    GROUP BY 1
+    HAVING count(*) >= 2
+    ORDER BY n_docs DESC, prefix_hash
+"""
+
+
+GOPHER_MIN_WORDS = 35
+GOPHER_MEAN_LEN_LO = 3
+GOPHER_MEAN_LEN_HI = 8
+GOPHER_DIVERSITY_NUM = 3  # distinct/words must be ≥ 3/5
+
+
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style quality-rule audit: per rule, how many documents
+    fail — the pre-training filter report (Rae et al. 2021 §A1.1 class
+    of rules) a corpus curator reads before choosing thresholds.
+
+    Four rules, each an EXACT INTEGER predicate (cross-multiplied means,
+    no float thresholds anywhere):
+      too_short      n_words < 35
+      mean_word_len  NOT 3 ≤ Σlen/n ≤ 8   (as 3n ≤ Σlen ≤ 8n)
+      no_stopword    count('the') = 0
+      low_diversity  distinct/n < 3/5      (as 5·distinct < 3·n)
+
+    Scale shape: every signal is scan-side array arithmetic (size /
+    list-sum of lengths / filter / distinct — whole-stage codegen, no
+    explode, no shuffle of tokens); ONE global aggregate folds the four
+    violation counts, and the 4-row report explodes from that single
+    row. The fail share is integer-exact micro fixed-point."""
+    from machinelearningalgomapreduce_spark.functions.fixedpoint import half_up
+
+    t = load_tables(spark, sf_dir)
+    toks = _tokens()
+    nw = F.size(toks).cast("bigint")
+    sum_len = F.aggregate(
+        F.transform(toks, lambda w: F.length(w).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n_the = F.size(F.filter(toks, lambda w: w == F.lit("the"))).cast("bigint")
+    n_dist = F.size(F.array_distinct(toks)).cast("bigint")
+    sig = t.documents.select(
+        (nw < GOPHER_MIN_WORDS).cast("bigint").alias("f_short"),
+        (
+            ~((F.lit(GOPHER_MEAN_LEN_LO) * nw <= sum_len)
+              & (sum_len <= F.lit(GOPHER_MEAN_LEN_HI) * nw))
+        ).cast("bigint").alias("f_meanlen"),
+        (n_the == 0).cast("bigint").alias("f_nostop"),
+        (F.lit(5) * n_dist < F.lit(GOPHER_DIVERSITY_NUM) * nw)
+        .cast("bigint").alias("f_lowdiv"),
+    )
+    m = sig.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("f_short").alias("too_short"),
+        F.sum("f_meanlen").alias("mean_word_len"),
+        F.sum("f_nostop").alias("no_stopword"),
+        F.sum("f_lowdiv").alias("low_diversity"),
+    )
+    rules = F.array(
+        *[
+            F.struct(F.lit(r).alias("rule"), F.col(r).alias("n_fail"))
+            for r in ("too_short", "mean_word_len", "no_stopword", "low_diversity")
+        ]
+    )
+    return (
+        m.select("n_docs", F.explode(rules).alias("r"))
+        .select(
+            F.col("r.rule").alias("rule"),
+            F.col("r.n_fail").alias("n_fail"),
+            "n_docs",
+            half_up(F.col("r.n_fail") * 1_000_000, F.col("n_docs")).alias(
+                "fail_share_micro"
+            ),
+        )
+    )
+
+
+QUERIES["q_gopher_rules"] = q_gopher_rules
+
+ORACLES["q_gopher_rules"] = """
+    WITH sig AS (
+        SELECT CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+               CAST(list_sum(list_transform(string_split(text, ' '),
+                                            w -> CAST(length(w) AS BIGINT)))
+                    AS BIGINT) AS sum_len,
+               CAST(len(list_filter(string_split(text, ' '), w -> w = 'the'))
+                    AS BIGINT) AS n_the,
+               CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_dist
+        FROM documents
+    ),
+    m AS (
+        SELECT count(*) AS n_docs,
+               sum(CASE WHEN nw < 35 THEN 1 ELSE 0 END) AS too_short,
+               sum(CASE WHEN NOT (3 * nw <= sum_len AND sum_len <= 8 * nw)
+                        THEN 1 ELSE 0 END) AS mean_word_len,
+               sum(CASE WHEN n_the = 0 THEN 1 ELSE 0 END) AS no_stopword,
+               sum(CASE WHEN 5 * n_dist < 3 * nw THEN 1 ELSE 0 END) AS low_diversity
+        FROM sig
+    ),
+    r AS (
+        SELECT 'too_short' AS rule, CAST(too_short AS BIGINT) AS n_fail,
+               CAST(n_docs AS BIGINT) AS n_docs FROM m
+        UNION ALL
+        SELECT 'mean_word_len', CAST(mean_word_len AS BIGINT), CAST(n_docs AS BIGINT) FROM m
+        UNION ALL
+        SELECT 'no_stopword', CAST(no_stopword AS BIGINT), CAST(n_docs AS BIGINT) FROM m
+        UNION ALL
+        SELECT 'low_diversity', CAST(low_diversity AS BIGINT), CAST(n_docs AS BIGINT) FROM m
+    )
+    SELECT rule, n_fail, n_docs,
+           CAST(floor((2 * (n_fail * 1000000) + n_docs) / (2 * n_docs)) AS BIGINT)
+               AS fail_share_micro
+    FROM r
+"""

@@ -912,3 +912,168 @@ def pacf_from_acf(acf_values: list[float]) -> list[float]:
         pacf.append(phi_kk)
         phi_prev = phi
     return pacf
+
+
+def q_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximum drawdown of each nation's cumulative daily order revenue —
+    the peak-to-trough risk statistic (largest drop of the running total
+    below its running maximum) a revenue monitor tracks per market.
+
+    Revenue converts to exact BIGINT cents at the scan (2-decimal money
+    ×100 is within 2⁻²⁰ of an integer, so round() agrees across engines);
+    cumulative sum, running max, and the drawdown maximum are all exact
+    integer window/aggregate arithmetic — nothing floating anywhere.
+
+    Scale shape: orders collapse once to the (nation × day) rollup
+    (bounded: ≤25 nations × date domain); windows partition BY NATION
+    over that bounded frame, never over raw orders. Customer→nation is a
+    broadcast dim join onto the orders scan."""
+    from pyspark.sql.window import Window as W
+
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    t = load_tables(spark, sf_dir)
+    cust_nat = (
+        t.customer.join(t.nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "n_name")
+    )
+    daily = (
+        t.orders.join(F.broadcast(cust_nat), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("n_name", F.date_trunc("day", "o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint"))
+            .alias("cents")
+        )
+    )
+    w = W.partitionBy("n_name").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    series = daily.select(
+        "n_name",
+        "day",
+        F.sum("cents").over(w).alias("cum"),
+    )
+    wmax = W.partitionBy("n_name").orderBy("day").rowsBetween(W.unboundedPreceding, 0)
+    dd = series.select(
+        "n_name",
+        (F.max("cum").over(wmax) - F.col("cum")).alias("drawdown"),
+    )
+    out = dd.groupBy("n_name").agg(
+        F.count("*").alias("n_days"),
+        F.max("drawdown").alias("max_dd_cents"),
+    )
+    return tiny_sorted(out, "n_name")
+
+
+QUERIES["q_max_drawdown"] = q_max_drawdown
+
+ORACLES["q_max_drawdown"] = """
+    WITH daily AS (
+        SELECT n_name, CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+               sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS cents
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY 1, 2
+    ),
+    series AS (
+        SELECT n_name, day,
+               sum(cents) OVER (PARTITION BY n_name ORDER BY day
+                                ROWS UNBOUNDED PRECEDING) AS cum
+        FROM daily
+    ),
+    dd AS (
+        SELECT n_name,
+               max(cum) OVER (PARTITION BY n_name ORDER BY day
+                              ROWS UNBOUNDED PRECEDING) - cum AS drawdown
+        FROM series
+    )
+    SELECT n_name, CAST(count(*) AS BIGINT) AS n_days,
+           CAST(max(drawdown) AS BIGINT) AS max_dd_cents
+    FROM dd
+    GROUP BY n_name
+    ORDER BY n_name
+"""
+
+
+def q_bollinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger-band breakout detection on each order priority's daily
+    revenue: days whose revenue leaves the 7-day mean ± 2σ band — the
+    volatility-scaled anomaly monitor (the windowed sibling of
+    q_anomaly_zscore's global z-score).
+
+    The band test is EXACT INTEGER arithmetic end to end: with window
+    sums S = Σx and Q = Σx² over exact cents, |x − S/7| > 2σ is
+    equivalent to (7x − S)² > 4·(7Q − S²) — cross-multiplied so no
+    division, square root, or float threshold exists anywhere. The
+    quadratic terms accumulate as DECIMAL(38,0) (cents² wraps BIGINT
+    near $30M-days; DuckDB promotes to HUGEINT silently).
+
+    Scale shape: orders collapse once to the (priority × day) rollup
+    (bounded domain); the 7-row window runs per priority over that
+    bounded frame with O(7) state."""
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    daily = (
+        t.orders.groupBy(
+            "o_orderpriority", F.date_trunc("day", "o_orderdate").alias("day")
+        )
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100.0, 0).cast("bigint"))
+            .alias("cents")
+        )
+    )
+    w7 = W.partitionBy("o_orderpriority").orderBy("day").rowsBetween(-6, 0)
+    wn = W.partitionBy("o_orderpriority").orderBy("day")
+    dec = lambda c: c.cast("decimal(19,0)")  # noqa: E731
+    framed = daily.select(
+        "o_orderpriority",
+        "day",
+        "cents",
+        F.sum("cents").over(w7).alias("s7"),
+        F.sum(dec(F.col("cents")) * dec(F.col("cents"))).over(w7).alias("q7"),
+        F.row_number().over(wn).alias("rn"),
+    ).filter(F.col("rn") >= 7)
+    lhs = dec(F.lit(7) * F.col("cents") - F.col("s7"))
+    lhs2 = lhs * lhs
+    rhs = 4 * (F.lit(7).cast("decimal(19,0)") * F.col("q7") - dec(F.col("s7")) * dec(F.col("s7")))
+    breakout = F.when(
+        lhs2 > rhs,
+        F.when(F.lit(7) * F.col("cents") - F.col("s7") > 0, F.lit(1)).otherwise(F.lit(-1)),
+    ).otherwise(F.lit(0))
+    return framed.select(
+        "o_orderpriority",
+        "day",
+        "cents",
+        "s7",
+        breakout.cast("int").alias("breakout"),
+    )
+
+
+QUERIES["q_bollinger"] = q_bollinger
+
+ORACLES["q_bollinger"] = """
+    WITH daily AS (
+        SELECT o_orderpriority, CAST(date_trunc('day', o_orderdate) AS TIMESTAMP) AS day,
+               sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    framed AS (
+        SELECT o_orderpriority, day, cents,
+               sum(cents) OVER w7 AS s7,
+               sum(CAST(cents AS DECIMAL(19,0)) * CAST(cents AS DECIMAL(19,0))) OVER w7 AS q7,
+               CAST(row_number() OVER (PARTITION BY o_orderpriority ORDER BY day) AS INTEGER) AS rn
+        FROM daily
+        WINDOW w7 AS (PARTITION BY o_orderpriority ORDER BY day
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_orderpriority, day, cents, CAST(s7 AS BIGINT) AS s7,
+           CAST(CASE
+               WHEN CAST(7 * cents - s7 AS DECIMAL(19,0)) * CAST(7 * cents - s7 AS DECIMAL(19,0))
+                    > 4 * (CAST(7 AS DECIMAL(19,0)) * q7
+                           - CAST(s7 AS DECIMAL(19,0)) * CAST(s7 AS DECIMAL(19,0)))
+               THEN CASE WHEN 7 * cents - s7 > 0 THEN 1 ELSE -1 END
+               ELSE 0
+           END AS INTEGER) AS breakout
+    FROM framed
+    WHERE rn >= 7
+"""

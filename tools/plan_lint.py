@@ -193,6 +193,7 @@ ALLOW: dict[str, dict[str, str]] = {
         "SinglePartitionData": "ntile over per-customer rollup; approx quintile cutpoints are the scale path (q_customer_segments posture)",
     },
     "q_acf": {"BroadcastNestedLoopJoin": "24-row lag grid onto the bounded hourly series"},
+    "q_kendall_tau": {"BroadcastNestedLoopJoin": "350-cell contingency self-join (bounded 50×7 value domain, never data)"},
     "q_cramers_v": {"BroadcastNestedLoopJoin": "1-row N + dims onto the bounded contingency"},
     "q_churn_rate": {"BroadcastNestedLoopJoin": "1-row activity horizon"},
     "q_benford": {
