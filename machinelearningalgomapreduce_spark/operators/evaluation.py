@@ -1400,3 +1400,134 @@ ORACLES["q_cohens_kappa"] = """
                 AS BIGINT) AS kappa_micro
     FROM k
 """
+
+
+# Poisson(1) CDF boundaries as 13-hex-char literals: P(W<k) scaled into the
+# md5-prefix space [0, 16^13). A weight is chosen by LEXICOGRAPHIC hex
+# comparison (hex digit order == value order), so both engines pick
+# identical weights with zero numeric conversion.
+BOOTSTRAP_B = 50
+_POISSON_HEX = ("5e2d58d8b3bce", "bc5ab1b16779c", "eb715e1dc1583",
+                "fb23979734a25", "ff1025f59174e")
+
+
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95% confidence interval for each event type's
+    mean value — THE distributed bootstrap (Chamandy et al. 2012 /
+    Kleiner's BLB lineage): instead of resampling rows globally (which
+    would need coordinated sampling across executors), every row draws
+    an independent Poisson(1) weight per replicate, so each of the B=50
+    replicates is a weighted mean computable map-side in one pass.
+
+    Determinism end to end: the weight is a salted-md5 PREFIX COMPARED
+    LEXICOGRAPHICALLY against fixed 13-hex Poisson-CDF boundaries (no
+    float RNG, no numeric hex conversion); replicate means are exact
+    integer rationals over BIGINT cents emitted via half_up micro; the
+    CI picks ranks 2 and 49 of the 50 ordered means (2.5/97.5%) with
+    (mean, replicate-id) tie-breaks.
+
+    Scale shape: the B-way fan-out is a broadcast-range crossJoin (rows
+    never duplicate across machines — the weight column rides the scan);
+    ONE (type × replicate) aggregate with map-side combine, then O(B)
+    window arithmetic per type. Σw·cents wraps BIGINT only past ~1e14
+    row-replicates; the DECIMAL promotion note applies at that scale."""
+    from machinelearningalgomapreduce_spark.functions.fixedpoint import half_up
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    t = load_tables(spark, sf_dir)
+    reps = spark.range(1, BOOTSTRAP_B + 1).select(F.col("id").alias("b"))
+    cents = F.round(F.col("value") * 100.0, 0).cast("bigint")
+    rows = t.events.select("event_id", "event_type", cents.alias("cents"))
+    u13 = F.substring(
+        F.md5(
+            F.concat_ws(
+                ":", F.lit("boot"), F.col("b").cast("string"),
+                F.col("event_id").cast("string"),
+            )
+        ),
+        1,
+        13,
+    )
+    w = (
+        F.when(u13 < _POISSON_HEX[0], F.lit(0))
+        .when(u13 < _POISSON_HEX[1], F.lit(1))
+        .when(u13 < _POISSON_HEX[2], F.lit(2))
+        .when(u13 < _POISSON_HEX[3], F.lit(3))
+        .when(u13 < _POISSON_HEX[4], F.lit(4))
+        .otherwise(F.lit(5))
+        .cast("bigint")
+    )
+    weighted = rows.crossJoin(F.broadcast(reps)).select(
+        "event_type", "b", w.alias("w"), "cents"
+    )
+    per_rep = (
+        weighted.groupBy("event_type", "b")
+        .agg(F.sum("w").alias("sw"), F.sum(F.col("w") * F.col("cents")).alias("swc"))
+        .filter(F.col("sw") > 0)
+        .select(
+            "event_type",
+            "b",
+            half_up(F.col("swc") * 10000, F.col("sw")).alias("mean_micro"),
+        )
+    )
+    wr = W.partitionBy("event_type").orderBy("mean_micro", "b")
+    ranked = per_rep.select(
+        "event_type", "mean_micro", F.row_number().over(wr).alias("rn")
+    )
+    out = ranked.groupBy("event_type").agg(
+        F.count("*").alias("n_reps"),
+        F.min(F.when(F.col("rn") == 2, F.col("mean_micro"))).alias("ci_lo_micro"),
+        F.min(F.when(F.col("rn") == BOOTSTRAP_B - 1, F.col("mean_micro"))).alias(
+            "ci_hi_micro"
+        ),
+    )
+    return tiny_sorted(out, "event_type")
+
+
+QUERIES["q_bootstrap_ci"] = q_bootstrap_ci
+
+ORACLES["q_bootstrap_ci"] = f"""
+    WITH reps AS (SELECT unnest(range(1, {BOOTSTRAP_B + 1})) AS b),
+    weighted AS (
+        SELECT event_type, b,
+               CASE WHEN substr(md5('boot:' || CAST(b AS VARCHAR) || ':'
+                                 || CAST(event_id AS VARCHAR)), 1, 13)
+                         < '{_POISSON_HEX[0]}' THEN 0
+                    WHEN substr(md5('boot:' || CAST(b AS VARCHAR) || ':'
+                                 || CAST(event_id AS VARCHAR)), 1, 13)
+                         < '{_POISSON_HEX[1]}' THEN 1
+                    WHEN substr(md5('boot:' || CAST(b AS VARCHAR) || ':'
+                                 || CAST(event_id AS VARCHAR)), 1, 13)
+                         < '{_POISSON_HEX[2]}' THEN 2
+                    WHEN substr(md5('boot:' || CAST(b AS VARCHAR) || ':'
+                                 || CAST(event_id AS VARCHAR)), 1, 13)
+                         < '{_POISSON_HEX[3]}' THEN 3
+                    WHEN substr(md5('boot:' || CAST(b AS VARCHAR) || ':'
+                                 || CAST(event_id AS VARCHAR)), 1, 13)
+                         < '{_POISSON_HEX[4]}' THEN 4
+                    ELSE 5 END AS w,
+               CAST(round(value * 100.0, 0) AS BIGINT) AS cents
+        FROM events CROSS JOIN reps
+    ),
+    per_rep AS (
+        SELECT event_type, b, CAST(sum(w) AS BIGINT) AS sw,
+               CAST(sum(w * cents) AS BIGINT) AS swc
+        FROM weighted GROUP BY event_type, b
+        HAVING sum(w) > 0
+    ),
+    ranked AS (
+        SELECT event_type,
+               CAST(floor((2 * (swc * 10000) + sw) / (2 * sw)) AS BIGINT) AS mean_micro,
+               row_number() OVER (
+                   PARTITION BY event_type
+                   ORDER BY floor((2 * (swc * 10000) + sw) / (2 * sw)), b
+               ) AS rn
+        FROM per_rep
+    )
+    SELECT event_type, CAST(count(*) AS BIGINT) AS n_reps,
+           min(CASE WHEN rn = 2 THEN mean_micro END) AS ci_lo_micro,
+           min(CASE WHEN rn = {BOOTSTRAP_B - 1} THEN mean_micro END) AS ci_hi_micro
+    FROM ranked
+    GROUP BY event_type
+    ORDER BY event_type
+"""

@@ -807,3 +807,106 @@ def _jl_oracle_sql() -> str:
 
 QUERIES["q_jl_project"] = q_jl_project
 ORACLES["q_jl_project"] = _jl_oracle_sql()
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (round-6 session-4 addition, deferred driver window).
+
+PQ_M = 4          # subspaces
+PQ_SUB_DIM = 16   # dims per subspace (M × SUB_DIM = EMBEDDING_DIM)
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization code assignment: each 64-dim embedding splits
+    into 4 × 16-dim subvectors, each assigned to the nearest of 4 FIXED
+    codebook patterns (±0.5 constant, ±0.5 alternating) — the PQ encode
+    step of a billion-scale ANN index (Jégou et al. 2011), with the
+    quantization error per subspace as the audit column.
+
+    With unit-norm patterns (‖c‖² = 4 for all four), nearest-centroid
+    reduces to argmax dot product, and the four dots are ±0.5·Σx and
+    ±0.5·Σ(−1)ᵈx — so the assignment needs TWO subvector sums, the
+    argmax is an exact sign/magnitude CASE on identically-computed
+    doubles (first-match tie-break), and no distance matrix exists
+    anywhere. The learned-codebook variant is per-subspace kmeans_fit
+    (operators/ml.py) feeding the same assignment shape.
+
+    Scale shape: one posexplode → (vec, sub)-keyed aggregate (map-side
+    combinable, 4 rows per vector out), then scan-side CASE arithmetic.
+    At 100 TB the codes table is the compact index this query EMITS —
+    64 dims of float32 become 4 small ints per vector."""
+    t = load_tables(spark, sf_dir)
+    long = t.embeddings.select(
+        "vec_id", F.posexplode("embedding").alias("pos", "xf")
+    ).select(
+        "vec_id",
+        (F.col("pos") / PQ_SUB_DIM).cast("int").alias("sub"),
+        (1 - 2 * (F.col("pos") % 2)).cast("double").alias("sgn"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    # Order-free sums (module discipline): per-term round → DECIMAL, so
+    # engine-side aggregation parallelism can never reorder a float sum.
+    agg = long.groupBy("vec_id", "sub").agg(
+        F.sum(F.round(F.col("x"), 6).cast("decimal(18,6)")).alias("sx_d"),
+        F.sum(F.round(F.col("sgn") * F.col("x"), 6).cast("decimal(18,6)")).alias("sa_d"),
+        F.sum(F.round(F.col("x") * F.col("x"), 9).cast("decimal(18,9)")).alias("sq_d"),
+    )
+    agg = agg.select(
+        "vec_id",
+        "sub",
+        F.col("sx_d").cast("double").alias("sx"),
+        F.col("sa_d").cast("double").alias("sa"),
+        F.col("sq_d").cast("double").alias("sq"),
+    )
+    dots = [
+        0.5 * F.col("sx"),
+        -0.5 * F.col("sx"),
+        0.5 * F.col("sa"),
+        -0.5 * F.col("sa"),
+    ]
+    best = F.greatest(*dots)
+    code = (
+        F.when(dots[0] == best, F.lit(0))
+        .when(dots[1] == best, F.lit(1))
+        .when(dots[2] == best, F.lit(2))
+        .otherwise(F.lit(3))
+    )
+    dist = F.col("sq") - 2.0 * best + 4.0
+    return agg.select(
+        "vec_id",
+        "sub",
+        code.cast("int").alias("code"),
+        F.floor(dist * 1000000.0 + F.lit(0.5)).cast("bigint").alias("dist_micro"),
+    )
+
+
+QUERIES["q_pq_codes"] = q_pq_codes
+
+ORACLES["q_pq_codes"] = f"""
+    WITH long AS (
+        SELECT vec_id,
+               CAST((d.d - 1) // {PQ_SUB_DIM} AS INTEGER) AS sub,
+               CAST(1 - 2 * ((d.d - 1) % 2) AS DOUBLE) AS sgn,
+               CAST(embedding[d.d] AS DOUBLE) AS x
+        FROM embeddings, (SELECT unnest(range(1, {PQ_M * PQ_SUB_DIM} + 1)) AS d) d
+    ),
+    agg AS (
+        SELECT vec_id, sub,
+               CAST(sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+               CAST(sum(CAST(round(sgn * x, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sa,
+               CAST(sum(CAST(round(x * x, 9) AS DECIMAL(18,9))) AS DOUBLE) AS sq
+        FROM long GROUP BY vec_id, sub
+    ),
+    scored AS (
+        SELECT vec_id, sub, sq,
+               greatest(0.5 * sx, -0.5 * sx, 0.5 * sa, -0.5 * sa) AS best,
+               CASE WHEN 0.5 * sx = greatest(0.5 * sx, -0.5 * sx, 0.5 * sa, -0.5 * sa) THEN 0
+                    WHEN -0.5 * sx = greatest(0.5 * sx, -0.5 * sx, 0.5 * sa, -0.5 * sa) THEN 1
+                    WHEN 0.5 * sa = greatest(0.5 * sx, -0.5 * sx, 0.5 * sa, -0.5 * sa) THEN 2
+                    ELSE 3 END AS code
+        FROM agg
+    )
+    SELECT vec_id, sub, CAST(code AS INTEGER) AS code,
+           CAST(floor((sq - 2.0 * best + 4.0) * 1000000.0 + 0.5) AS BIGINT) AS dist_micro
+    FROM scored
+"""

@@ -163,7 +163,7 @@ DEFERRED_NEXT_WINDOW: frozenset[str] = frozenset({
     "q_profit_by_nation", "q_late_shippers",
     "q_kendall_tau", "q_jarque_bera", "q_cohens_kappa", "q_mcc",
     "q_prefix_dup", "q_gopher_rules", "q_dau_wau",
-    "q_max_drawdown", "q_bollinger",
+    "q_max_drawdown", "q_bollinger", "q_pq_codes", "q_bootstrap_ci",
 })
 _DEFER_KEY = 2.5
 

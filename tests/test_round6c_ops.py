@@ -296,3 +296,55 @@ def test_profit_by_nation_profit_identity(spark):
     assert len(out) == len(acc)
     for r in out:
         assert abs(r["sum_profit"] - acc[(r["nation"], r["o_year"])]) < 0.02
+
+
+def test_pq_codes_match_brute_nearest_pattern(spark):
+    """Codes equal the brute nearest of the four explicit 16-dim patterns,
+    and dist_micro is the true squared distance to the chosen pattern."""
+    from machinelearningalgomapreduce_spark.operators.similarity import (
+        PQ_M, PQ_SUB_DIM, q_pq_codes,
+    )
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    out = {
+        (r["vec_id"], r["sub"]): r
+        for r in q_pq_codes(spark, SMOKE_SF_DIR).collect()
+    }
+    t = load_tables(spark, SMOKE_SF_DIR)
+    pats = [
+        [0.5] * PQ_SUB_DIM,
+        [-0.5] * PQ_SUB_DIM,
+        [0.5 * (1 - 2 * (d % 2)) for d in range(PQ_SUB_DIM)],
+        [-0.5 * (1 - 2 * (d % 2)) for d in range(PQ_SUB_DIM)],
+    ]
+    vecs = t.embeddings.select("vec_id", "embedding").limit(50).collect()
+    for r in vecs:
+        emb = [float(x) for x in r["embedding"]]
+        for sub in range(PQ_M):
+            xs = emb[sub * PQ_SUB_DIM : (sub + 1) * PQ_SUB_DIM]
+            dists = [sum((x - c) ** 2 for x, c in zip(xs, p)) for p in pats]
+            best = min(range(4), key=lambda i: (dists[i], i))
+            got = out[(r["vec_id"], sub)]
+            assert got["code"] == best, (r["vec_id"], sub, dists)
+            # dist_micro reflects the (round-6 quantized) true distance.
+            assert abs(got["dist_micro"] / 1e6 - dists[best]) < 5e-4
+
+
+def test_bootstrap_ci_brackets_observed_mean(spark):
+    """The 95% bootstrap CI contains the observed mean for every type
+    (B=50, Poisson weights ≈ resampling), and lo ≤ hi strictly ordered."""
+    from machinelearningalgomapreduce_spark.operators.evaluation import q_bootstrap_ci
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    out = {r["event_type"]: r for r in q_bootstrap_ci(spark, SMOKE_SF_DIR).collect()}
+    t = load_tables(spark, SMOKE_SF_DIR)
+    obs: dict[str, list[int]] = {}
+    for r in t.events.select("event_type", "value").collect():
+        obs.setdefault(r["event_type"], []).append(round(r["value"] * 100))
+    assert set(out) == set(obs)
+    for typ, cents in obs.items():
+        r = out[typ]
+        assert r["n_reps"] == 50
+        assert r["ci_lo_micro"] <= r["ci_hi_micro"]
+        mean_micro = sum(cents) / len(cents) * 10000
+        assert r["ci_lo_micro"] - 5e5 < mean_micro < r["ci_hi_micro"] + 5e5, typ
