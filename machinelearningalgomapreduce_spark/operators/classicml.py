@@ -1967,3 +1967,85 @@ ORACLES = {
         FROM joined
     """,
 }
+
+
+def q_density_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOF-style density-ratio outlier score on the 2-D embedding
+    projection: each point's eps-ball count over the mean count of its
+    eps-neighbors (self included, the simplified-LOF convention) — low
+    ratios mark points whose neighborhood is sparser than their
+    neighbors', the density-outlier signal DBSCAN's binary core test
+    can't grade. Companion of q_dbscan_core on the same grid blocks.
+
+    The ratio is an EXACT INTEGER rational: cnt(p)·|N(p)| over
+    Σ_{b∈N(p)} cnt(b), emitted via half_up micro; the outlier flag is
+    the cross-multiplied integer inequality 2·cnt·|N| < Σcnt (ratio
+    below ½). No float anywhere; the oracle brute-forces the identical
+    distance predicate at fixture scale.
+
+    Scale shape: the 3×3 grid-cell candidate join (bounded 9× fan-out)
+    runs TWICE — once for counts, once to average neighbor counts keyed
+    on the point — both aggregates keyed on point id; per-point state is
+    O(1)."""
+    from machinelearningalgomapreduce_spark.functions.fixedpoint import half_up
+
+    t = load_tables(spark, sf_dir)
+    pts = t.embeddings.select(
+        "vec_id",
+        F.col("embedding")[0].cast("double").alias("x"),
+        F.col("embedding")[1].cast("double").alias("y"),
+    )
+    pairs = _eps_pairs(pts, DBSCAN_EPS)
+    cnt = pairs.groupBy(F.col("a_id").alias("vec_id")).agg(
+        F.count("*").alias("cnt")
+    )
+    nbr_cnt = (
+        pairs.join(cnt.select(F.col("vec_id").alias("b_id"), F.col("cnt").alias("cnt_b")), "b_id")
+        .groupBy(F.col("a_id").alias("vec_id"))
+        .agg(F.count("*").alias("n_nbrs"), F.sum("cnt_b").alias("sum_cnt"))
+    )
+    out = cnt.join(nbr_cnt, "vec_id").select(
+        "vec_id",
+        "cnt",
+        "n_nbrs",
+        half_up(F.col("cnt") * F.col("n_nbrs") * 1_000_000, F.col("sum_cnt")).alias(
+            "ratio_micro"
+        ),
+        (2 * F.col("cnt") * F.col("n_nbrs") < F.col("sum_cnt")).cast("int").alias(
+            "is_outlier"
+        ),
+    )
+    return out
+
+
+QUERIES["q_density_ratio"] = q_density_ratio
+
+ORACLES["q_density_ratio"] = f"""
+    WITH p AS (
+        SELECT vec_id,
+               CAST(embedding[1] AS DOUBLE) AS x,
+               CAST(embedding[2] AS DOUBLE) AS y
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        FROM p a JOIN p b
+          ON (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+             <= {DBSCAN_EPS * DBSCAN_EPS}
+    ),
+    cnt AS (
+        SELECT a_id AS vec_id, count(*) AS cnt FROM pairs GROUP BY a_id
+    ),
+    nbr AS (
+        SELECT pr.a_id AS vec_id, count(*) AS n_nbrs, sum(c.cnt) AS sum_cnt
+        FROM pairs pr JOIN cnt c ON pr.b_id = c.vec_id
+        GROUP BY pr.a_id
+    )
+    SELECT c.vec_id, CAST(c.cnt AS BIGINT) AS cnt,
+           CAST(n.n_nbrs AS BIGINT) AS n_nbrs,
+           CAST(floor((2 * (c.cnt * n.n_nbrs * 1000000) + n.sum_cnt)
+                      / (2 * n.sum_cnt)) AS BIGINT) AS ratio_micro,
+           CAST(CASE WHEN 2 * c.cnt * n.n_nbrs < n.sum_cnt THEN 1 ELSE 0 END
+                AS INTEGER) AS is_outlier
+    FROM cnt c JOIN nbr n ON c.vec_id = n.vec_id
+"""

@@ -910,3 +910,121 @@ ORACLES["q_pq_codes"] = f"""
            CAST(floor((sq - 2.0 * best + 4.0) * 1000000.0 + 0.5) AS BIGINT) AS dist_micro
     FROM scored
 """
+
+
+def q_calinski(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calinski-Harabasz index of the label partition in embedding
+    space — the variance-ratio cluster-quality score (between-group over
+    within-group scatter, both per-degree-of-freedom): the k-selection
+    and clustering-sanity metric that, unlike silhouette, needs NO
+    pairwise distances at all.
+
+    Both scatters reduce to sum-vector identities (the
+    q_class_separation discipline): W = Σ|v|² − Σᵢ|Σvᵢ|²/nᵢ and
+    B = Σᵢ|Σvᵢ|²/nᵢ − |Σv|²/n, from per-(label, dim) DECIMAL sums of
+    rounded terms — order-free, engine-identical; CH emits as micro
+    fixed-point.
+
+    Scale shape: one posexplode aggregate keyed (label, dim) — bounded
+    by labels × dims — and one per-row norm aggregate; the global sums
+    fold from the PER-LABEL frame (O(k·d) rows), so the corpus is
+    scanned once and shuffles only compact partials."""
+    from machinelearningalgomapreduce_spark.functions.vectors import sq_norm
+    from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
+
+    t = load_tables(spark, sf_dir)
+    dec6 = lambda c: F.round(c, 6).cast("decimal(18,6)")  # noqa: E731
+    coord = (
+        t.embeddings.select("label", F.posexplode("embedding").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.sum(dec6(F.col("x").cast("double"))).alias("s_d"))
+    )
+    per_label_sq = coord.groupBy("label").agg(
+        F.sum(dec6(F.col("s_d").cast("double") * F.col("s_d").cast("double")))
+        .alias("sumvec_sq")
+    )
+    per_label_n = (
+        t.embeddings.select("label", sq_norm(F.col("embedding"), EMBEDDING_DIM).alias("sqn"))
+        .groupBy("label")
+        .agg(F.count("*").alias("n_i"), F.sum(dec6(F.col("sqn"))).alias("sq_sum_i"))
+    )
+    # Global sum-vector from the per-(label, dim) frame: Σv = Σ_labels Σv_i.
+    global_sq = (
+        coord.groupBy("d")
+        .agg(F.sum("s_d").alias("g_d"))
+        .agg(
+            F.sum(dec6(F.col("g_d").cast("double") * F.col("g_d").cast("double")))
+            .alias("gvec_sq")
+        )
+    )
+    lab = per_label_n.join(per_label_sq, "label")
+    folded = lab.agg(
+        F.sum("n_i").alias("n"),
+        F.count("*").alias("k"),
+        F.sum(dec6(F.col("sq_sum_i").cast("double"))).alias("sq_sum"),
+        F.sum(
+            dec6(F.col("sumvec_sq").cast("double") / F.col("n_i").cast("double"))
+        ).alias("cent_sq"),
+    )
+    out = folded.crossJoin(F.broadcast(global_sq))
+    nd = F.col("n").cast("double")
+    kd = F.col("k").cast("double")
+    w = F.col("sq_sum").cast("double") - F.col("cent_sq").cast("double")
+    b = F.col("cent_sq").cast("double") - F.col("gvec_sq").cast("double") / nd
+    ch = (b / (kd - 1.0)) / (w / (nd - kd))
+    return out.select(
+        "n",
+        "k",
+        F.round(w, 6).alias("within_scatter"),
+        F.round(b, 6).alias("between_scatter"),
+        F.floor(ch * 1000000.0 + F.lit(0.5)).cast("bigint").alias("ch_micro"),
+    )
+
+
+QUERIES["q_calinski"] = q_calinski
+
+ORACLES["q_calinski"] = f"""
+    WITH long AS (
+        SELECT label, d.d AS d, CAST(embedding[d.d] AS DOUBLE) AS x
+        FROM embeddings, (SELECT unnest(range(1, {64 + 1})) AS d) d
+    ),
+    coord AS (
+        SELECT label, d, sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS s_d
+        FROM long GROUP BY label, d
+    ),
+    per_label_sq AS (
+        SELECT label,
+               sum(CAST(round(CAST(s_d AS DOUBLE) * CAST(s_d AS DOUBLE), 6)
+                        AS DECIMAL(18,6))) AS sumvec_sq
+        FROM coord GROUP BY label
+    ),
+    per_label_n AS (
+        SELECT label, count(*) AS n_i,
+               sum(CAST(round(list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6)
+                        AS DECIMAL(18,6))) AS sq_sum_i
+        FROM embeddings GROUP BY label
+    ),
+    global_sq AS (
+        SELECT sum(CAST(round(CAST(g_d AS DOUBLE) * CAST(g_d AS DOUBLE), 6)
+                        AS DECIMAL(18,6))) AS gvec_sq
+        FROM (SELECT d, sum(s_d) AS g_d FROM coord GROUP BY d)
+    ),
+    folded AS (
+        SELECT CAST(sum(n_i) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k,
+               sum(CAST(round(CAST(sq_sum_i AS DOUBLE), 6) AS DECIMAL(18,6))) AS sq_sum,
+               sum(CAST(round(CAST(sumvec_sq AS DOUBLE) / CAST(n_i AS DOUBLE), 6)
+                        AS DECIMAL(18,6))) AS cent_sq
+        FROM per_label_n JOIN per_label_sq USING (label)
+    )
+    SELECT n, k,
+           round(CAST(sq_sum AS DOUBLE) - CAST(cent_sq AS DOUBLE), 6) AS within_scatter,
+           round(CAST(cent_sq AS DOUBLE) - CAST(gvec_sq AS DOUBLE) / CAST(n AS DOUBLE), 6)
+               AS between_scatter,
+           CAST(floor(((CAST(cent_sq AS DOUBLE) - CAST(gvec_sq AS DOUBLE) / CAST(n AS DOUBLE))
+                        / (CAST(k AS DOUBLE) - 1.0))
+                      / ((CAST(sq_sum AS DOUBLE) - CAST(cent_sq AS DOUBLE))
+                         / (CAST(n AS DOUBLE) - CAST(k AS DOUBLE)))
+                      * 1000000.0 + 0.5) AS BIGINT) AS ch_micro
+    FROM folded CROSS JOIN global_sq
+"""

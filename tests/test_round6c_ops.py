@@ -348,3 +348,58 @@ def test_bootstrap_ci_brackets_observed_mean(spark):
         assert r["ci_lo_micro"] <= r["ci_hi_micro"]
         mean_micro = sum(cents) / len(cents) * 10000
         assert r["ci_lo_micro"] - 5e5 < mean_micro < r["ci_hi_micro"] + 5e5, typ
+
+
+def test_density_ratio_matches_brute_python(spark):
+    from machinelearningalgomapreduce_spark.operators.classicml import (
+        DBSCAN_EPS, q_density_ratio,
+    )
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    out = {r["vec_id"]: r for r in q_density_ratio(spark, SMOKE_SF_DIR).collect()}
+    t = load_tables(spark, SMOKE_SF_DIR)
+    pts = [
+        (r["vec_id"], float(r["embedding"][0]), float(r["embedding"][1]))
+        for r in t.embeddings.select("vec_id", "embedding").collect()
+    ]
+    eps2 = DBSCAN_EPS * DBSCAN_EPS
+    nbrs = {
+        i: [j for j, xj, yj in pts if (xi - xj) ** 2 + (yi - yj) ** 2 <= eps2]
+        for i, xi, yi in pts
+    }
+    cnt = {i: len(v) for i, v in nbrs.items()}
+    assert set(out) == set(cnt)
+    for i, members in nbrs.items():
+        s = sum(cnt[j] for j in members)
+        r = out[i]
+        assert r["cnt"] == cnt[i] and r["n_nbrs"] == len(members)
+        ratio = cnt[i] * len(members) / s
+        assert abs(r["ratio_micro"] / 1e6 - ratio) < 2e-6
+        assert r["is_outlier"] == int(2 * cnt[i] * len(members) < s)
+
+
+def test_calinski_matches_python(spark):
+    from machinelearningalgomapreduce_spark.operators.similarity import q_calinski
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    row = q_calinski(spark, SMOKE_SF_DIR).first()
+    t = load_tables(spark, SMOKE_SF_DIR)
+    by_label: dict[int, list[list[float]]] = {}
+    for r in t.embeddings.select("label", "embedding").collect():
+        by_label.setdefault(r["label"], []).append([float(x) for x in r["embedding"]])
+    n = sum(len(v) for v in by_label.values())
+    k = len(by_label)
+    dim = len(next(iter(by_label.values()))[0])
+    gmean = [
+        sum(v[d] for vs in by_label.values() for v in vs) / n for d in range(dim)
+    ]
+    w = b = 0.0
+    for vs in by_label.values():
+        mu = [sum(v[d] for v in vs) / len(vs) for d in range(dim)]
+        w += sum(sum((v[d] - mu[d]) ** 2 for d in range(dim)) for v in vs)
+        b += len(vs) * sum((mu[d] - gmean[d]) ** 2 for d in range(dim))
+    ch = (b / (k - 1)) / (w / (n - k))
+    assert row["n"] == n and row["k"] == k
+    assert abs(row["within_scatter"] - w) / w < 1e-4
+    assert abs(row["between_scatter"] - b) / max(b, 1e-9) < 1e-3
+    assert abs(row["ch_micro"] / 1e6 - ch) / ch < 1e-3
