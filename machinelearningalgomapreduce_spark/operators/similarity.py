@@ -1028,3 +1028,87 @@ ORACLES["q_calinski"] = f"""
                       * 1000000.0 + 0.5) AS BIGINT) AS ch_micro
     FROM folded CROSS JOIN global_sq
 """
+
+
+def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, sub, sv): embeddings split into PQ_M subvectors of
+    PQ_SUB_DIM doubles — the long frame both PQ training and encoding
+    key on."""
+    t = load_tables(spark, sf_dir)
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("sub"),
+                F.transform(
+                    F.slice("embedding", m * PQ_SUB_DIM + 1, PQ_SUB_DIM),
+                    lambda x: x.cast("double"),
+                ).alias("sv"),
+            )
+            for m in range(PQ_M)
+        ]
+    )
+    return (
+        load_tables(spark, sf_dir)
+        .embeddings.select("vec_id", F.explode(subs).alias("s"))
+        .select("vec_id", F.col("s.sub").alias("sub"), F.col("s.sv").alias("sv"))
+    )
+
+
+def pq_assign(data: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-codeword assignment for every (vector, subspace): ONE
+    hash aggregate (min of (rounded dist, code) structs — no window, no
+    shuffle of candidates beyond the broadcast codebook join). Returns
+    (vec_id, sub, code, d2)."""
+    d2 = F.round(sq_dist(F.col("sv"), F.col("centroid"), PQ_SUB_DIM), 6)
+    best = F.min(F.struct(d2.alias("d2"), F.col("code").alias("code")))
+    return (
+        data.join(F.broadcast(cents), "sub")
+        .groupBy("vec_id", "sub")
+        .agg(best.alias("b"))
+        .select("vec_id", "sub", F.col("b.code").alias("code"), F.col("b.d2").alias("d2"))
+    )
+
+
+def pq_fit(
+    spark: SparkSession, sf_dir: str, k: int = 4, n_iter: int = 4
+) -> tuple[DataFrame, list[float]]:
+    """Learned product-quantization codebooks (the data-fit sibling of
+    q_pq_codes' fixed patterns): per-subspace k-means trained for ALL
+    PQ_M subspaces SIMULTANEOUSLY as one keyed-kmeans loop — centroids
+    are keyed (sub, code), so a 100 TB trainer runs one job per
+    iteration, not one per subspace.
+
+    Deterministic end to end: init = the k smallest vec_ids' subvectors
+    per subspace; assignment minimizes (rounded distance, code) structs;
+    recomputed centroid coordinates round to 6. Returns (codebooks,
+    per-iteration total quantization error) — the error list is the
+    O(n_iter) driver-side convergence read the MapReduce loop would put
+    in a counter.
+
+    Scale shape: the subvector frame caches once (loop-invariant); per
+    iteration ONE broadcast-codebook assignment aggregate and ONE
+    (sub, code, dim) recompute aggregate — both map-side combinable;
+    state crossing iterations is O(M·k·sub_dim)."""
+    data = _pq_subvectors(spark, sf_dir).cache()
+    wi = W.partitionBy("sub").orderBy("vec_id")
+    cents = (
+        data.withColumn("rn", F.row_number().over(wi))
+        .filter(F.col("rn") <= k)
+        .select("sub", (F.col("rn") - 1).cast("int").alias("code"), F.col("sv").alias("centroid"))
+        .localCheckpoint()
+    )
+    errors: list[float] = []
+    for i in range(n_iter):
+        assigned = pq_assign(data, cents)
+        errors.append(assigned.agg(F.sum("d2")).first()[0])
+        cents = (
+            assigned.join(data, ["vec_id", "sub"])
+            .select("sub", "code", F.posexplode("sv").alias("d", "x"))
+            .groupBy("sub", "code", "d")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+            .groupBy("sub", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+            .select("sub", "code", F.transform("dc", lambda s: s["c"]).alias("centroid"))
+            .localCheckpoint()
+        )
+    return cents, errors

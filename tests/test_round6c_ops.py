@@ -403,3 +403,28 @@ def test_calinski_matches_python(spark):
     assert abs(row["within_scatter"] - w) / w < 1e-4
     assert abs(row["between_scatter"] - b) / max(b, 1e-9) < 1e-3
     assert abs(row["ch_micro"] / 1e6 - ch) / ch < 1e-3
+
+
+def test_pq_fit_error_non_increasing_and_beats_fixed(spark):
+    """Keyed-kmeans PQ training: quantization error is monotonically
+    non-increasing per iteration, codebooks have the full (sub, code)
+    grid, and the learned encoder beats the fixed-pattern q_pq_codes
+    codebook on total error."""
+    from machinelearningalgomapreduce_spark.operators.similarity import (
+        PQ_M, pq_assign, pq_fit, _pq_subvectors, q_pq_codes,
+    )
+
+    cents, errors = pq_fit(spark, SMOKE_SF_DIR, k=4, n_iter=3)
+    assert len(errors) == 3
+    for a, b in zip(errors, errors[1:]):
+        assert b <= a + 1e-6
+    rows = cents.collect()
+    assert {(r["sub"], r["code"]) for r in rows} == {
+        (s, c) for s in range(PQ_M) for c in range(4)
+    }
+    learned = pq_assign(_pq_subvectors(spark, SMOKE_SF_DIR), cents)
+    learned_err = learned.agg(F.sum("d2")).first()[0]
+    fixed_err = (
+        q_pq_codes(spark, SMOKE_SF_DIR).agg(F.sum("dist_micro")).first()[0] / 1e6
+    )
+    assert learned_err < fixed_err
