@@ -377,3 +377,102 @@ ORACLES = {
         FROM documents
     """,
 }
+
+
+def decode_pcm(payload: bytes) -> list[int]:
+    """Full PCM16 data-section decode (not just the header): validates the
+    RIFF/WAVE container via decode_audio, then unpacks the data chunk as
+    little-endian int16 samples. The payload-level counterpart of
+    decode_audio — a corrupted byte anywhere in the stream changes the
+    returned samples."""
+    import struct
+
+    meta = decode_audio(payload)
+    n = meta["n_samples"] * meta["n_channels"]
+    return list(struct.unpack_from("<%dh" % n, payload, 44))
+
+
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, n_samples bigint, sum_sq bigint, peak int, "
+    "zero_cross bigint, rms_milli bigint"
+)
+
+
+def _audio_feature_batches(batches: Iterator["pandas.DataFrame"]) -> Iterator["pandas.DataFrame"]:
+    """Synthesize a mono PCM16 WAV per doc, decode the FULL sample stream
+    back from the bytes, and compute real signal features from the decoded
+    samples (never from the synthesis parameters)."""
+    import math
+
+    import pandas as pd
+
+    for pdf in batches:
+        rows = []
+        for doc_id in pdf["doc_id"]:
+            d = int(doc_id)
+            payload = encode_wav(1, 8000 + (d % 4) * 4000, 64 + d % 64, seed=d)
+            s = decode_pcm(payload)
+            sum_sq = sum(x * x for x in s)
+            peak = max(abs(x) for x in s)
+            zc = sum(1 for a, b in zip(s, s[1:]) if (a < 0) != (b < 0))
+            rms_milli = math.floor(math.sqrt(sum_sq / len(s)) * 1000.0 + 0.5)
+            rows.append((d, len(s), sum_sq, peak, zc, rms_milli))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "n_samples", "sum_sq", "peak", "zero_cross", "rms_milli"],
+        )
+
+
+def q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction with a PAYLOAD-level round-trip: every doc
+    synthesizes a mono PCM16 WAV (sample values are doc_id arithmetic),
+    the full sample stream decodes back from the raw bytes inside
+    Arrow-batched mapInPandas, and RMS energy / peak amplitude / zero
+    crossings compute from the DECODED samples. The oracle recomputes
+    every feature from the waveform's closed form, so a single corrupted
+    byte in either the writer or the PCM parser breaks the hash —
+    q_media_decode checks headers; this checks the data section.
+
+    All features are exact integers (sums of int16 squares; sign-flip
+    counts); RMS emits as fixed-point milli via floor(x·1000 + 0.5) on
+    identical sqrt/divide expressions.
+
+    Scale shape: linear mapInPandas scan, no shuffle; Python cost
+    amortizes per Arrow batch. Real codecs (MP3/OGG) raise a clear
+    ValueError naming the missing library (decode_audio contract)."""
+    t = load_tables(spark, sf_dir)
+    return t.documents.select("doc_id").mapInPandas(
+        _audio_feature_batches, schema=AUDIO_FEATURES_SCHEMA
+    )
+
+
+QUERIES["q_audio_features"] = q_audio_features
+
+ORACLES["q_audio_features"] = """
+    WITH base AS (
+        SELECT doc_id, 64 + doc_id % 64 AS n
+        FROM documents
+    ),
+    samples AS (
+        SELECT doc_id, n,
+               CAST((doc_id * 13 + i.i) % 65536 - 32768 AS BIGINT) AS s,
+               i.i AS idx
+        FROM base, (SELECT unnest(range(0, 127)) AS i) i
+        WHERE i.i < n
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST(max(n) AS BIGINT) AS n_samples,
+               CAST(sum(s * s) AS BIGINT) AS sum_sq,
+               CAST(max(abs(s)) AS INTEGER) AS peak,
+               CAST(sum(CASE WHEN idx > 0 AND (s < 0) <>
+                             ((CAST((doc_id * 13 + idx - 1) % 65536 - 32768 AS BIGINT)) < 0)
+                        THEN 1 ELSE 0 END) AS BIGINT) AS zero_cross
+        FROM samples
+        GROUP BY doc_id
+    )
+    SELECT doc_id, n_samples, sum_sq, peak, zero_cross,
+           CAST(floor(sqrt(CAST(sum_sq AS DOUBLE) / CAST(n_samples AS DOUBLE))
+                      * 1000.0 + 0.5) AS BIGINT) AS rms_milli
+    FROM feats
+"""

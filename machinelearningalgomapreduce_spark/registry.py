@@ -164,7 +164,7 @@ DEFERRED_NEXT_WINDOW: frozenset[str] = frozenset({
     "q_kendall_tau", "q_jarque_bera", "q_cohens_kappa", "q_mcc",
     "q_prefix_dup", "q_gopher_rules", "q_dau_wau",
     "q_max_drawdown", "q_bollinger", "q_pq_codes", "q_bootstrap_ci",
-    "q_density_ratio", "q_calinski",
+    "q_density_ratio", "q_calinski", "q_audio_features",
 })
 _DEFER_KEY = 2.5
 

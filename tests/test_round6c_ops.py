@@ -428,3 +428,28 @@ def test_pq_fit_error_non_increasing_and_beats_fixed(spark):
         q_pq_codes(spark, SMOKE_SF_DIR).agg(F.sum("dist_micro")).first()[0] / 1e6
     )
     assert learned_err < fixed_err
+
+
+def test_audio_features_payload_corruption_detected(spark):
+    """decode_pcm is byte-faithful: flipping one byte in the data section
+    changes the decoded samples, and features match a direct synthesis."""
+    from machinelearningalgomapreduce_spark.multimodal.pipeline import (
+        decode_pcm, encode_wav, q_audio_features,
+    )
+
+    payload = encode_wav(1, 8000, 32, seed=7)
+    s = decode_pcm(payload)
+    assert s == [((7 * 13 + i) % 65536) - 32768 for i in range(32)]
+    corrupted = payload[:50] + bytes([payload[50] ^ 0xFF]) + payload[51:]
+    assert decode_pcm(corrupted) != s
+    out = q_audio_features(spark, SMOKE_SF_DIR).limit(20).collect()
+    for r in out:
+        d = r["doc_id"]
+        n = 64 + d % 64
+        samples = [((d * 13 + i) % 65536) - 32768 for i in range(n)]
+        assert r["n_samples"] == n
+        assert r["sum_sq"] == sum(x * x for x in samples)
+        assert r["peak"] == max(abs(x) for x in samples)
+        assert r["zero_cross"] == sum(
+            1 for a, b in zip(samples, samples[1:]) if (a < 0) != (b < 0)
+        )
