@@ -1681,7 +1681,9 @@ ORACLES = {
             FROM lineitem CROSS JOIN grid
             GROUP BY thr
         )
-        SELECT thr, n_l, n_r,
+        SELECT thr,
+               CAST(n_l AS BIGINT) AS n_l,
+               CAST(n_r AS BIGINT) AS n_r,
                CASE WHEN n_l > 0
                     THEN CAST(floor(CAST(s_l AS DOUBLE) / CAST(n_l AS DOUBLE)
                                     * 1000000.0 + 0.5) AS BIGINT)
@@ -1717,7 +1719,7 @@ ORACLES = {
         ), nrm AS (
             SELECT sum(auth * auth) AS s2 FROM auth2
         )
-        SELECT l_partkey, auth,
+        SELECT l_partkey, CAST(auth AS BIGINT) AS auth,
                CAST(floor(auth / sqrt(CAST(s2 AS DOUBLE)) * 1000000.0 + 0.5)
                     AS BIGINT) AS auth_norm_micro
         FROM auth2, nrm
@@ -1732,7 +1734,7 @@ ORACLES = {
         ), nrm AS (
             SELECT sum(v2 * v2) AS s2 FROM v2
         )
-        SELECT node, v2,
+        SELECT node, CAST(v2 AS BIGINT) AS v2,
                CAST(floor(v2 / sqrt(CAST(s2 AS DOUBLE)) * 1000000.0 + 0.5)
                     AS BIGINT) AS v2_norm_micro
         FROM v2, nrm
@@ -1861,7 +1863,7 @@ ORACLES = {
             SELECT sum(t * t * t - t) AS tie3
             FROM (SELECT count(*) AS t FROM lineitem GROUP BY l_quantity)
         )
-        SELECT n, k - 1 AS df,
+        SELECT CAST(n AS BIGINT) AS n, k - 1 AS df,
                CAST(floor((12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0))
                            * h_sum
                            - 3.0 * (CAST(n AS DOUBLE) + 1.0)) * 1000000.0 + 0.5)

@@ -429,10 +429,14 @@ def q_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((dec("tp") + dec("fp")) * (dec("tp") + dec("fn"))).cast("double")
         * ((dec("tn") + dec("fp")) * (dec("tn") + dec("fn"))).cast("double")
     )
+    # try_divide: a degenerate split (an empty predicted or actual class)
+    # zeroes a marginal product; NULL beats engine-specific inf/NaN
+    # division semantics (ADVICE r6, q_cramers_v discipline).
     return m.select(
         "tp", "fp", "fn", "tn",
         F.floor(
-            num.cast("double") / den * 1000000.0 + F.lit(0.5)
+            F.try_divide(num.cast("double"), F.nullif(den, F.lit(0.0)))
+            * 1000000.0 + F.lit(0.5)
         ).cast("bigint").alias("mcc_micro"),
     )
 
@@ -453,12 +457,12 @@ ORACLES["q_mcc"] = f"""
            CAST(floor(CAST(CAST(tp AS DECIMAL(19,0)) * CAST(tn AS DECIMAL(19,0))
                            - CAST(fp AS DECIMAL(19,0)) * CAST(fn AS DECIMAL(19,0))
                            AS DOUBLE)
-                      / sqrt(CAST((CAST(tp AS DECIMAL(19,0)) + CAST(fp AS DECIMAL(19,0)))
+                      / nullif(sqrt(CAST((CAST(tp AS DECIMAL(19,0)) + CAST(fp AS DECIMAL(19,0)))
                                   * (CAST(tp AS DECIMAL(19,0)) + CAST(fn AS DECIMAL(19,0)))
                                   AS DOUBLE)
                              * CAST((CAST(tn AS DECIMAL(19,0)) + CAST(fp AS DECIMAL(19,0)))
                                     * (CAST(tn AS DECIMAL(19,0)) + CAST(fn AS DECIMAL(19,0)))
-                                    AS DOUBLE))
+                                    AS DOUBLE)), 0.0)
                       * 1000000.0 + 0.5) AS BIGINT) AS mcc_micro
     FROM m
 """

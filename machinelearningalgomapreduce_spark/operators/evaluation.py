@@ -1185,14 +1185,20 @@ def q_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     n = F.col("n").cast("double")
     n0 = n * (n - 1.0) / 2.0
     num = F.col("c_dec").cast("double") - F.col("d_dec").cast("double")
-    den = F.sqrt(
-        (n0 - F.col("tx").cast("double")) * (n0 - F.col("ty").cast("double"))
+    # nullif-guarded: a fully-tied variable makes n0 - t_x zero, and the
+    # engines diverge on 0-denominator doubles (ADVICE r6) — NULL instead.
+    den = F.nullif(
+        F.sqrt(
+            (n0 - F.col("tx").cast("double")) * (n0 - F.col("ty").cast("double"))
+        ),
+        F.lit(0.0),
     )
     return out.select(
         F.col("n").cast("bigint").alias("n"),
         F.col("c_dec").cast("bigint").alias("c_pairs"),
         F.col("d_dec").cast("bigint").alias("d_pairs"),
-        F.floor(num / den * 1000000.0 + F.lit(0.5)).cast("bigint").alias("tau_b_micro"),
+        F.floor(F.try_divide(num, den) * 1000000.0 + F.lit(0.5))
+        .cast("bigint").alias("tau_b_micro"),
     )
 
 
@@ -1226,10 +1232,10 @@ ORACLES["q_kendall_tau"] = """
            CAST(c_dec AS BIGINT) AS c_pairs,
            CAST(d_dec AS BIGINT) AS d_pairs,
            CAST(floor((CAST(c_dec AS DOUBLE) - CAST(d_dec AS DOUBLE))
-                      / sqrt((CAST(tot.n AS DOUBLE) * (CAST(tot.n AS DOUBLE) - 1.0) / 2.0
+                      / nullif(sqrt((CAST(tot.n AS DOUBLE) * (CAST(tot.n AS DOUBLE) - 1.0) / 2.0
                               - CAST(tx.tx AS DOUBLE))
                              * (CAST(tot.n AS DOUBLE) * (CAST(tot.n AS DOUBLE) - 1.0) / 2.0
-                                - CAST(ty.ty AS DOUBLE)))
+                                - CAST(ty.ty AS DOUBLE))), 0.0)
                       * 1000000.0 + 0.5) AS BIGINT) AS tau_b_micro
     FROM cd CROSS JOIN tot CROSS JOIN tx CROSS JOIN ty
 """
@@ -1271,8 +1277,10 @@ def q_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 6.0 * mu * mu * (F.col("s2").cast("double") / n)
         - 3.0 * mu * mu * mu * mu
     )
-    skew = m3 / (m2 * F.sqrt(m2))
-    kurt = m4 / (m2 * m2)
+    # try_divide: a zero-variance group (all quantities equal) makes m2 = 0
+    # and the engines diverge on the 0/0 path (ADVICE r6) — NULL instead.
+    skew = F.try_divide(m3, F.nullif(m2 * F.sqrt(m2), F.lit(0.0)))
+    kurt = F.try_divide(m4, F.nullif(m2 * m2, F.lit(0.0)))
     jb = n / 6.0 * (skew * skew + (kurt - 3.0) * (kurt - 3.0) / 4.0)
     fx = lambda x: F.floor(x * 1000000.0 + F.lit(0.5)).cast("bigint")  # noqa: E731
     return m.select(
@@ -1317,8 +1325,8 @@ ORACLES["q_jarque_bera"] = """
     ),
     s AS (
         SELECT l_returnflag, n, nd,
-               m3 / (m2 * sqrt(m2)) AS skew,
-               m4 / (m2 * m2) AS kurt
+               m3 / nullif(m2 * sqrt(m2), 0.0) AS skew,
+               m4 / nullif(m2 * m2, 0.0) AS kurt
         FROM c
     )
     SELECT l_returnflag, n,

@@ -935,7 +935,9 @@ def q_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def q_scc_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_scc_pivot(
+    spark: SparkSession, sf_dir: str, max_rounds: int = 60
+) -> DataFrame:
     """Strongly connected component of the smallest part key in the
     md5-ORIENTED co-purchase graph (each undirected edge gets one
     deterministic direction from its md5 parity — a pseudo-random
@@ -951,7 +953,12 @@ def q_scc_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     the co-purchase self-join (measured: minutes vs seconds). The pivot
     is the max-degree node (ties to the smallest id), which sits inside
     the giant SCC of the oriented graph, so the result is the nontrivial
-    component."""
+    component.
+
+    ``max_rounds`` is plumbed to ``reachable_from`` (ADVICE r6): the
+    closure fail-louds past this BFS depth rather than truncating, so
+    callers at larger fixtures can raise it. Co-purchase diameters grow
+    ~log(n), so 60 covers orders of magnitude beyond the bench tiers."""
     e = _repeat_copurchase_edges(spark, sf_dir).select("u", "v")
     even = F.substring(
         F.md5(F.concat(F.lit("dir:"), F.col("u").cast("string"),
@@ -968,9 +975,11 @@ def q_scc_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("deg"))
     )
     seeds = deg.orderBy(F.desc("deg"), "node").limit(1).select("node")
-    fwd = reachable_from(directed, seeds)
+    fwd = reachable_from(directed, seeds, max_rounds)
     back = reachable_from(
-        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst")), seeds
+        directed.select(F.col("dst").alias("src"), F.col("src").alias("dst")),
+        seeds,
+        max_rounds,
     )
     return fwd.join(back, "node", "left_semi")
 

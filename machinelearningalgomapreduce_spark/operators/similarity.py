@@ -986,7 +986,7 @@ QUERIES["q_calinski"] = q_calinski
 ORACLES["q_calinski"] = f"""
     WITH long AS (
         SELECT label, d.d AS d, CAST(embedding[d.d] AS DOUBLE) AS x
-        FROM embeddings, (SELECT unnest(range(1, {64 + 1})) AS d) d
+        FROM embeddings, (SELECT unnest(range(1, {EMBEDDING_DIM + 1})) AS d) d
     ),
     coord AS (
         SELECT label, d, sum(CAST(round(x, 6) AS DECIMAL(18,6))) AS s_d
@@ -1048,8 +1048,7 @@ def _pq_subvectors(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return (
-        load_tables(spark, sf_dir)
-        .embeddings.select("vec_id", F.explode(subs).alias("s"))
+        t.embeddings.select("vec_id", F.explode(subs).alias("s"))
         .select("vec_id", F.col("s.sub").alias("sub"), F.col("s.sv").alias("sv"))
     )
 

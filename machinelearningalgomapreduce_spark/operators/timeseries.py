@@ -1066,7 +1066,8 @@ ORACLES["q_bollinger"] = """
         WINDOW w7 AS (PARTITION BY o_orderpriority ORDER BY day
                       ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
     )
-    SELECT o_orderpriority, day, cents, CAST(s7 AS BIGINT) AS s7,
+    SELECT o_orderpriority, day, CAST(cents AS BIGINT) AS cents,
+           CAST(s7 AS BIGINT) AS s7,
            CAST(CASE
                WHEN CAST(7 * cents - s7 AS DECIMAL(19,0)) * CAST(7 * cents - s7 AS DECIMAL(19,0))
                     > 4 * (CAST(7 AS DECIMAL(19,0)) * q7

@@ -54,23 +54,8 @@ _MODULES = (
 # re-greens the stalest evidence (the r2 cohort predates the r4 keyed-cache
 # / tiny_sorted plan rewrites). Update per round from CORRECTNESS_r{N}.json.
 DRIVER_GREEN_ROUND = {
-    # latest green: round 2 (49)
-    "q_array_ops": 2, "q_cube": 2, "q_dedup_clusters": 2,
-    "q_dedup_embedding": 2, "q_dedup_exact": 2, "q_dedup_minhash": 2,
-    "q_dedup_ngram_jaccard": 2, "q_dedup_simhash": 2, "q_distinct_users": 2,
-    "q_distinct_users_approx": 2, "q_doc_fingerprint": 2,
-    "q_events_sliding": 2, "q_events_tumbling": 2, "q_filter_agg": 2,
-    "q_filter_pred": 2, "q_grep": 2, "q_grouping_sets": 2, "q_join3_topk": 2,
-    "q_join5_region": 2, "q_join_anti": 2, "q_join_asof": 2,
-    "q_join_broadcast": 2, "q_join_full": 2, "q_join_inner": 2,
-    "q_join_left": 2, "q_join_salted": 2, "q_join_semi": 2,
-    "q_json_extract": 2, "q_lang_id": 2, "q_late_data": 2, "q_pivot": 2,
-    "q_pricing_summary": 2, "q_quality_score": 2, "q_range_join": 2,
-    "q_scalar_funcs": 2, "q_scan_project": 2, "q_session_stats": 2,
-    "q_sessionize": 2, "q_set_ops": 2, "q_sort_limit": 2, "q_sql_exists": 2,
-    "q_text_stats": 2, "q_tfidf": 2, "q_token_count": 2, "q_unpivot": 2,
-    "q_window_analytic": 2, "q_window_dist": 2, "q_window_rank": 2,
-    "q_wordcount": 2,
+    # latest green: round 2 (3)
+    "q_array_ops": 2, "q_json_extract": 2, "q_scalar_funcs": 2,
     # latest green: round 3 (34)
     "q_anomaly_zscore": 3, "q_apriori": 3, "q_autocorr": 3, "q_bm25": 3,
     "q_cooccur_pmi": 3, "q_cov_matrix": 3, "q_customer_segments": 3,
@@ -115,6 +100,21 @@ DRIVER_GREEN_ROUND = {
     "q_sssp_step": 5, "q_time_to_convert": 5, "q_token_budget": 5,
     "q_top_supplier": 5, "q_train_test_split": 5, "q_trend_fit": 5,
     "q_volume_shipping": 5, "q_weighted_pick": 5,
+    # latest green: round 6 (46)
+    "q_cube": 6, "q_dedup_clusters": 6, "q_dedup_embedding": 6,
+    "q_dedup_exact": 6, "q_dedup_minhash": 6, "q_dedup_ngram_jaccard": 6,
+    "q_dedup_simhash": 6, "q_distinct_users": 6, "q_distinct_users_approx": 6,
+    "q_doc_fingerprint": 6, "q_events_sliding": 6, "q_events_tumbling": 6,
+    "q_filter_agg": 6, "q_filter_pred": 6, "q_grep": 6, "q_grouping_sets": 6,
+    "q_join3_topk": 6, "q_join5_region": 6, "q_join_anti": 6, "q_join_asof": 6,
+    "q_join_broadcast": 6, "q_join_full": 6, "q_join_inner": 6,
+    "q_join_left": 6, "q_join_salted": 6, "q_join_semi": 6, "q_lang_id": 6,
+    "q_late_data": 6, "q_pivot": 6, "q_pricing_summary": 6,
+    "q_quality_score": 6, "q_range_join": 6, "q_scan_project": 6,
+    "q_session_stats": 6, "q_sessionize": 6, "q_set_ops": 6, "q_sort_limit": 6,
+    "q_sql_exists": 6, "q_text_stats": 6, "q_tfidf": 6, "q_token_count": 6,
+    "q_unpivot": 6, "q_window_analytic": 6, "q_window_dist": 6,
+    "q_window_rank": 6, "q_wordcount": 6,
 }
 
 # Queries with ANY green driver row (kept as a set: the window tests and

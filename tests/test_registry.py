@@ -74,6 +74,39 @@ def test_every_oracle_parses_in_duckdb():
             raise AssertionError(f"oracle for {name} does not parse: {e}") from e
 
 
+def test_every_oracle_output_column_has_standard_type():
+    """DESCRIBE every oracle in DuckDB and require each output column type
+    to be one of BIGINT/INTEGER/DOUBLE/VARCHAR/TIMESTAMP/DATE/BOOLEAN.
+
+    Round-6 root cause (VERDICT r6): an uncast ``sum(BIGINT)`` output is
+    HUGEINT (int128), which DuckDB surfaces as float64 via pandas and
+    decimal128(38,0) via Arrow — so a driver hasher on either fetch path
+    canonicalizes the cell differently from Spark's int64 even when the
+    values are equal (`rows/schema match, hash_match false`). This cost
+    rounds 5 AND 6 four red driver rows each (q_gbt_stump, q_hits_step,
+    q_power_iter, q_kruskal_wallis). Any aggregate that can widen past
+    int64 must be emitted through an explicit CAST (SURVEY §5.2)."""
+    import duckdb
+
+    from tests.conftest import SMOKE_SF_DIR
+
+    allowed = {"BIGINT", "INTEGER", "DOUBLE", "VARCHAR", "TIMESTAMP",
+               "DATE", "BOOLEAN"}
+    con = duckdb.connect()
+    for t in ("region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SMOKE_SF_DIR}/{t}.parquet')"
+        )
+    bad = {}
+    for name, sql in registry.oracle_sql().items():
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        offenders = [(col, typ) for col, typ, *_ in desc if typ not in allowed]
+        if offenders:
+            bad[name] = offenders
+    assert not bad, f"non-standard oracle output types (HUGEINT class): {bad}"
+
+
 def test_driver_window_covers_never_checked_modules():
     """Rounds 1-2 showed the driver checks only the FIRST 50 registry
     entries. The registry sorts never-driver-green queries first; this

@@ -5,7 +5,15 @@ DuckDB over the same parquet dir, then compares row count, column names,
 and values (order-insensitive, bit-exact on doubles — stricter than any
 plausible driver hasher, so passing here should pass the driver).
 
-Usage: python tools/check.py [sf_dir] [query ...]
+Usage: python tools/check.py [--arrow] [sf_dir] [query ...]
+
+``--arrow`` fetches the DuckDB oracle result through the Arrow path
+(``.arrow().to_pylist()``) instead of ``fetchall()``. The two differ for
+non-standard column types — DuckDB surfaces HUGEINT as Python int via
+fetchall but decimal128(38,0) via Arrow (and float64 via pandas), which
+is exactly the representation-level divergence that made 4 bit-exact
+queries hash-fail at the round-5/6 driver gate. Running both modes green
+bounds the driver's possible fetch paths.
 """
 
 from __future__ import annotations
@@ -48,8 +56,12 @@ def canon_rows(cols, rows):
 
 
 def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    arrow = "--arrow" in argv
+    if arrow:
+        argv = [a for a in argv if a != "--arrow"]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import __spark_entry__ as E
     from machinelearningalgomapreduce_spark.session import get_spark
@@ -82,7 +94,11 @@ def main():
         try:
             res = con.execute(oracles[name])
             dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            if arrow:
+                tbl = res.arrow()
+                drows = [tuple(d[c] for c in dcols) for d in tbl.to_pylist()]
+            else:
+                drows = res.fetchall()
         except Exception:
             print(f"FAIL {name}: duckdb error\n{traceback.format_exc()}")
             failures.append(name)

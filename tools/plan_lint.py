@@ -205,6 +205,13 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "non-equi dominance anti-join over the ≤|size-domain| candidate frame (bounded)",
     },
     "q_bloom_audit": {"BroadcastNestedLoopJoin": "1-row bit-count audit total"},
+    # r6 tail commits (landed after that round's closing lint — VERDICT r6 item 3):
+    "q_calinski": {
+        "BroadcastNestedLoopJoin": "1-row global sum-vector/norm totals broadcast onto the O(labels×dims) per-label frame — both sides bounded by the model, never the corpus",
+    },
+    "q_bootstrap_ci": {
+        "BroadcastNestedLoopJoin": "B=50 replicate-id literal grid fanned onto per-type rows map-side; replicate count is a constant, independent of data size",
+    },
 }
 
 # Patterns searched in the FORMATTED plan text.
