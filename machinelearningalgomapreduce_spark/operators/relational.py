@@ -157,14 +157,17 @@ def q_join3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tie-break on l_orderkey makes LIMIT deterministic across engines
     (SURVEY.md §5.2.2). Spark plans TakeOrderedAndProject — no global sort.
 
-    Small-tier FLATTENED shape (VERDICT r5 item 5): broadcast-build jobs
-    serialize along their dependency chain, and each level costs a
-    ~15-25 ms scheduling floor at the bench tier. Broadcasting the
-    date-filtered orders and the BUILDING customers as two independent
-    LEAF relations (depth 1, built in parallel) instead of pre-joining
-    them into one dims relation (depth 2) removes one serialized job
-    level — measured 128 → ~102 ms interleaved best-of-6. Above sf0.5
-    the filtered orders side is no longer provably broadcastable and the
+    Small-tier BROADCAST-SEMI-REDUCED shape (VERDICT r7 item 4): the
+    date-filtered orders keep ~96% of the table (~144k rows at sf0.1) —
+    collecting and hashing that relation dominated the flattened r5 shape.
+    Semi-reducing it by the BUILDING customer keys FIRST (a broadcast
+    left-semi against a 1-column ~3k-row leaf) shrinks the fact-side
+    broadcast 5× to ~29k rows before it is ever collected; the fact scan
+    then probes ONE small hash table and — because the lineitem cache is
+    hash-partitioned on l_orderkey (catalog.CACHE_KEYS) — aggregates with
+    NO exchange straight into TakeOrderedAndProject. Measured interleaved
+    best-of-5 × 3 rounds: 118/105/90 ms vs 152/106/95 ms flattened.
+    Above sf0.5 neither side is provably broadcastable and the
     semi-reduced dims shape below stays the declarative plan for
     Catalyst/AQE.
     """
@@ -177,12 +180,12 @@ def q_join3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = t.lineitem.filter(F.col("l_shipdate") > cutoff)
     if sf_of(sf_dir) <= 0.5:
         cust_f = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
-        orders_f = t.orders.filter(F.col("o_orderdate") < cutoff).select(
-            "o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"
+        dims = (
+            t.orders.filter(F.col("o_orderdate") < cutoff)
+            .join(F.broadcast(cust_f), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+            .select("o_orderkey", "o_orderdate", "o_orderpriority")
         )
-        joined = fact.join(
-            F.broadcast(orders_f), F.col("l_orderkey") == F.col("o_orderkey")
-        ).join(F.broadcast(cust_f), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        joined = fact.join(F.broadcast(dims), F.col("l_orderkey") == F.col("o_orderkey"))
     else:
         dims = (
             t.customer.filter(F.col("c_mktsegment") == "BUILDING")

@@ -104,7 +104,14 @@ def test_every_oracle_output_column_has_standard_type():
         offenders = [(col, typ) for col, typ, *_ in desc if typ not in allowed]
         if offenders:
             bad[name] = offenders
-    assert not bad, f"non-standard oracle output types (HUGEINT class): {bad}"
+    assert not bad, (
+        f"non-standard oracle output types (HUGEINT class): {bad}\n"
+        "Fix: add an explicit CAST in the oracle SQL (e.g. CAST(sum(x) AS "
+        "BIGINT) / AS DOUBLE) so both fetch paths canonicalize like Spark. "
+        "If the column's type is genuinely correct (e.g. a deliberate "
+        "SMALLINT/DECIMAL surface), extending `allowed` is acceptable — "
+        "but only with a matching driver-hash rationale in SURVEY §5.2.3."
+    )
 
 
 def test_driver_window_covers_never_checked_modules():

@@ -96,7 +96,11 @@ def main():
             dcols = [d[0] for d in res.description]
             if arrow:
                 tbl = res.arrow()
-                drows = [tuple(d[c] for c in dcols) for d in tbl.to_pylist()]
+                # Positional extraction: to_pylist() dicts are keyed by
+                # column name and would silently collapse duplicate output
+                # columns (the fetchall path preserves positional dups).
+                drows = list(zip(*(col.to_pylist() for col in tbl.columns))) \
+                    if tbl.num_columns else [() for _ in range(tbl.num_rows)]
             else:
                 drows = res.fetchall()
         except Exception:
