@@ -29,7 +29,7 @@ from machinelearningalgomapreduce_spark.functions.joins import (
     pre_partition_small_tier,
     sf_of,
 )
-from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+from machinelearningalgomapreduce_spark.sources.catalog import cache_partition_key, load_tables
 
 
 def tiny_sorted(df: DataFrame, *cols) -> DataFrame:
@@ -167,8 +167,17 @@ def q_join3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitioned on l_orderkey (catalog.CACHE_KEYS) — aggregates with
     NO exchange straight into TakeOrderedAndProject. Measured interleaved
     best-of-5 × 3 rounds: 118/105/90 ms vs 152/106/95 ms flattened.
-    Above sf0.5 neither side is provably broadcastable and the
-    semi-reduced dims shape below stays the declarative plan for
+
+    The semi itself is layout-driven (catalog.cache_partition_key, the
+    bucketing-metadata analogue): when orders and customer are cached
+    co-partitioned on custkey, the left-semi runs as a ZERO-exchange
+    shuffled-hash join inside the dims build — one job instead of the
+    cust-leaf-broadcast → dims chain (measured 103/87/85 ms vs
+    122/106/97 ms with the leaf broadcast). Unbucketed layouts (the
+    correctness gate's uncached reads) keep the broadcast-leaf plan —
+    forcing SHJ there would shuffle 150k orders to avoid a 3k-row
+    broadcast. Above sf0.5 neither side is provably broadcastable and
+    the semi-reduced dims shape below stays the declarative plan for
     Catalyst/AQE.
     """
     t = load_tables(spark, sf_dir)
@@ -180,9 +189,14 @@ def q_join3_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     fact = t.lineitem.filter(F.col("l_shipdate") > cutoff)
     if sf_of(sf_dir) <= 0.5:
         cust_f = t.customer.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+        colocated = (
+            cache_partition_key(spark, sf_dir, "orders") == "o_custkey"
+            and cache_partition_key(spark, sf_dir, "customer") == "c_custkey"
+        )
+        cust_f = cust_f.hint("shuffle_hash") if colocated else F.broadcast(cust_f)
         dims = (
             t.orders.filter(F.col("o_orderdate") < cutoff)
-            .join(F.broadcast(cust_f), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+            .join(cust_f, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
             .select("o_orderkey", "o_orderdate", "o_orderpriority")
         )
         joined = fact.join(F.broadcast(dims), F.col("l_orderkey") == F.col("o_orderkey"))
@@ -226,6 +240,14 @@ def q_join5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of 5; measured 153 → ~122 ms interleaved best-of-6. Above
     sf0.5 the filtered orders side stops being provably broadcastable
     and the semi-reduced dims shape keeps the declarative 100 TB plan.
+
+    When the catalog layout co-partitions orders and customer on custkey
+    (catalog.cache_partition_key — the bucketing-metadata analogue), the
+    orders⋈cust_map probe instead runs as a ZERO-exchange shuffled-hash
+    join inside ONE dims build (~8.6k-row (orderkey → nationkey, name)
+    broadcast), replacing the fat 43k-row orders_f broadcast and one
+    fact-side probe; measured 132/131/111 ms vs 141/142/110 ms
+    flattened. Unbucketed layouts keep the flattened broadcast plan.
     """
     t = load_tables(spark, sf_dir)
     date_lo = F.lit("1996-01-01").cast("timestamp")
@@ -244,10 +266,27 @@ def q_join5_region(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders_f = t.orders.filter(
             (F.col("o_orderdate") >= date_lo) & (F.col("o_orderdate") < date_hi)
         ).select("o_orderkey", "o_custkey")
+        colocated = (
+            cache_partition_key(spark, sf_dir, "orders") == "o_custkey"
+            and cache_partition_key(spark, sf_dir, "customer") == "c_custkey"
+        )
+        if colocated:
+            dims = (
+                orders_f.join(cust_map.hint("shuffle_hash"),
+                              F.col("o_custkey") == F.col("c_custkey"))
+                .select("o_orderkey", "c_nationkey", "n_name")
+            )
+            fact = t.lineitem.join(
+                F.broadcast(dims), t.lineitem.l_orderkey == F.col("o_orderkey")
+            )
+        else:
+            fact = (
+                t.lineitem
+                .join(F.broadcast(orders_f), t.lineitem.l_orderkey == F.col("o_orderkey"))
+                .join(F.broadcast(cust_map), F.col("o_custkey") == F.col("c_custkey"))
+            )
         agg = (
-            t.lineitem
-            .join(F.broadcast(orders_f), t.lineitem.l_orderkey == F.col("o_orderkey"))
-            .join(F.broadcast(cust_map), F.col("o_custkey") == F.col("c_custkey"))
+            fact
             .join(F.broadcast(t.supplier), (F.col("l_suppkey") == F.col("s_suppkey"))
                   & (F.col("c_nationkey") == F.col("s_nationkey")))
             .groupBy("n_name")

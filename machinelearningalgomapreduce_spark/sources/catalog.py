@@ -48,6 +48,9 @@ class Catalog:
 
 _cache: dict[tuple[str, str], Catalog] = {}
 _persisted: set[tuple[str, str]] = set()
+# (applicationId, sf_dir) -> {table: hash-partition key} for catalogs cached
+# WITH cache_partitions — the local-mode stand-in for bucketing metadata.
+_cache_layout: dict[tuple[str, str], dict[str, str]] = {}
 
 
 def normalize_timestamp(name: str, actual: T.DataType) -> F.Column:
@@ -105,6 +108,9 @@ FACT_TABLES = (
 # keyed on (k, ...) skips its exchange entirely:
 #   lineitem(l_orderkey)  — per-order revenue rollups (Q3 shape)
 #   orders(o_custkey)     — per-customer windows and customer⋈orders joins
+#   customer(c_custkey)   — co-located customer⋈orders joins (the Q3/Q5
+#                           dim-reduction probes run as zero-exchange
+#                           shuffled-hash joins; see cache_partition_key)
 #   events(user_id)       — sessionization windows, per-user pre-aggregates
 #   embeddings(vec_id)    — per-vector argmin/top-k after broadcast scoring
 # Measured at the bench tier: one fewer shuffle stage each for sessionize
@@ -117,6 +123,7 @@ FACT_TABLES = (
 CACHE_KEYS = {
     "lineitem": "l_orderkey",
     "orders": "o_custkey",
+    "customer": "c_custkey",
     "events": "user_id",
     "embeddings": "vec_id",
 }
@@ -150,18 +157,37 @@ def load_tables(
         _cache[key] = cat
     if cached and key not in _persisted:
         if cache_partitions:
+            layout: dict[str, str] = {}
             for name in FACT_TABLES:
-                key = CACHE_KEYS.get(name)
+                pkey = CACHE_KEYS.get(name)
                 df = cat[name]
                 setattr(
                     cat,
                     name,
-                    df.repartition(cache_partitions, key) if key else df.repartition(cache_partitions),
+                    df.repartition(cache_partitions, pkey) if pkey else df.repartition(cache_partitions),
                 )
+                if pkey:
+                    layout[name] = pkey
+            _cache_layout[key] = layout
         for name in cat.names():
             cat[name].cache()
         _persisted.add(key)
     return cat
+
+
+def cache_partition_key(spark: SparkSession, sf_dir: str, table: str) -> str | None:
+    """The column this catalog's cached copy of `table` is hash-partitioned
+    on, or None when the catalog is uncached / round-robin.
+
+    This is the local-mode analogue of reading BUCKETING METADATA from a
+    table catalog: a query can decide "both join sides are co-located on
+    the join key → a shuffled-hash join needs NO exchange and beats
+    building a broadcast" only when the layout actually guarantees it.
+    Uncached runs (the driver's correctness gate, an unbucketed cluster
+    read) report None and keep the broadcast-leaf plan.
+    """
+    key = (spark.sparkContext.applicationId, os.path.abspath(sf_dir))
+    return _cache_layout.get(key, {}).get(table)
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> tuple[str, ...]:
