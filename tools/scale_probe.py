@@ -39,8 +39,12 @@ SCALED = {
     "orders": ["o_orderkey", "o_custkey"],
     "customer": ["c_custkey"],
     "supplier": ["s_suppkey"],
+    # vec_id offsets are multiples of 50M, so `vec_id % KNN_QUERY_STRIDE`
+    # membership is copy-invariant: the query fraction stays exactly 1/stride
+    # at every tier (OFF % 50 == 0).
+    "embeddings": ["vec_id"],
 }
-SHARED = ["region", "nation", "part", "embeddings"]
+SHARED = ["region", "nation", "part"]
 
 PROBE_QUERIES = [
     "q_pricing_summary",
@@ -59,6 +63,18 @@ PROBE_QUERIES = [
     "q_dedup_snm",
     "q_hmm_score",
     "q_kl_divergence",
+    # round-8 additions (VERDICT r7 item 5): the most expensive non-floor
+    # headline queries. Embeddings now scale with the tier, so the
+    # vector kernels are probed for real: q_knn is the deliberate brute
+    # O(nq·n) oracle form (quadratic by design — its curve documents why
+    # the ANN path exists), q_sim_ann exercises the IVF cell-routed scale
+    # path (the tier name sf{1,3,10} pushes it past BRUTE_MAX_SF),
+    # q_dedup_minhash the banded-LSH path, q_kmeans_assign the broadcast
+    # centroid scorer.
+    "q_kmeans_assign",
+    "q_knn",
+    "q_dedup_minhash",
+    "q_sim_ann",
 ]
 
 
@@ -96,8 +112,14 @@ def time_query(fn, spark, sf_dir: str, runs: int = 3) -> float:
 
 
 def main() -> None:
-    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    base = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe"
+    argv = list(sys.argv[1:])
+    only: set[str] = set()
+    if "--queries" in argv:
+        i = argv.index("--queries")
+        only = set(argv[i + 1].split(","))
+        del argv[i:i + 2]
+    n_copies = int(argv[0]) if argv else 10
+    base = argv[1] if len(argv) > 1 else "/tmp/scale_probe"
     big_dir = os.path.join(base, f"sf{0.1 * n_copies:g}")
 
     from machinelearningalgomapreduce_spark import registry
@@ -112,7 +134,7 @@ def main() -> None:
 
     qs = registry.queries()
     results = []
-    for name in PROBE_QUERIES:
+    for name in [q for q in PROBE_QUERIES if not only or q in only]:
         t_small = time_query(qs[name], spark, SRC)
         t_big = time_query(qs[name], spark, big_dir)
         row = {
