@@ -1,0 +1,244 @@
+"""Delta-less incremental materialized-view maintenance (SURVEY.md §2B
+incremental tier; VERDICT r7 item 7).
+
+``IncrementalAggView`` keeps a keyed, algebraically-mergeable aggregate
+rollup on disk and refreshes it one delta batch at a time:
+
+    state' = re-aggregate( state ∪ partial(delta) )
+
+— the q_incremental_agg merge algebra (operators/incremental.py) turned
+into a persistent, crash-safe, replay-idempotent view. No table format
+dependency: versions are immutable parquet directories and the commit is
+ONE atomic pointer flip (``os.replace`` of ``_CURRENT``), which is also
+what makes reads non-blocking — a reader resolving the pointer a moment
+before a refresh commits simply sees the previous version.
+
+Storage layout (all inside ``path``):
+
+    _CURRENT              ← text file holding the committed version number
+    v00000001/
+        data.parquet/     ← the rolled-up state, O(groups) rows
+        batches.json      ← EVERY batch id folded into this version
+    v00000002/ ...
+
+Crash safety: a version directory is written COMPLETELY before the
+pointer flips, so a crash mid-write leaves an orphan ``v*`` dir that no
+pointer references — ignored by readers, cleaned by the next refresh
+(never adopted: adopting a maybe-half-written directory would trade a
+recompute for corruption). Replaying a Structured-Streaming epoch or
+re-running a batch job re-sends a ``batch_id`` already in
+``batches.json`` → no-op, so foreachBatch at-least-once delivery yields
+exactly-once STATE.
+
+Merge algebra: count→sum, sum→sum, min→min, max→max — each
+associative + commutative, so any delta partitioning and any refresh
+order produce the identical state (the property test re-aggregates the
+full input in one pass and requires frame equality). Exactness follows
+the incremental.py rule: integer / DECIMAL sums merge bit-exact; double
+sums would drift with merge order, so specs that need exact doubles
+should sum a DECIMAL or scaled-BIGINT column and derive on read.
+Non-algebraic finals (avg, rate) are DERIVED on read from merged parts
+(``derive`` mapping) and never stored.
+
+100 TB shape: the stored state is O(groups) and is the ONLY history ever
+read — a refresh scans just the delta (one map-side-combined partial
+aggregate), unions O(groups) + O(delta-groups) rows, and re-aggregates.
+State files are written hash-partitioned on the group keys
+(``n_buckets``, the catalog CACHE_KEYS analogue) so consecutive refresh
+re-aggregations start from a key-clustered layout; on a real cluster the
+same spec would back a bucketed table and the union-re-aggregate would
+co-locate with zero extra exchange.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# output-column merge function per partial kind: how two partial states
+# combine under re-aggregation.
+_PARTIAL = {
+    "count": (lambda c: F.count(F.lit(1)) if c == "*" else F.count(c), F.sum),
+    "sum": (lambda c: F.sum(c), F.sum),
+    "min": (lambda c: F.min(c), F.min),
+    "max": (lambda c: F.max(c), F.max),
+}
+
+_POINTER = "_CURRENT"
+
+
+class IncrementalAggView:
+    """A persistent keyed rollup maintained by merging delta partials.
+
+    ``aggs`` maps output column → ("count"|"sum"|"min"|"max", src_col);
+    ``derive`` (optional) maps output column → fn(state DataFrame) →
+    Column computed on read from the merged parts (e.g. avg = sum/count).
+
+    >>> mv = IncrementalAggView(path, keys=["l_returnflag"], aggs={
+    ...     "n_rows": ("count", "*"),
+    ...     "sum_qty": ("sum", "l_quantity"),
+    ...     "max_ship": ("max", "l_shipdate"),
+    ... }, derive={"avg_qty": lambda s: s["sum_qty"] / s["n_rows"]})
+    >>> mv.refresh(spark, monday_rows, batch_id="2026-08-10")
+    >>> mv.read(spark)        # rollup over everything folded in so far
+    """
+
+    def __init__(
+        self,
+        path: str,
+        keys: list[str],
+        aggs: dict[str, tuple[str, str]],
+        derive: dict[str, "callable"] | None = None,
+        n_buckets: int = 8,
+    ) -> None:
+        if not keys:
+            raise ValueError("IncrementalAggView needs at least one group key")
+        for alias, (fn, _col) in aggs.items():
+            if fn not in _PARTIAL:
+                raise ValueError(
+                    f"agg {alias!r}: {fn!r} is not mergeable "
+                    f"(supported: {sorted(_PARTIAL)}); non-algebraic "
+                    "aggregates must be derived on read"
+                )
+            if alias in keys:
+                raise ValueError(f"agg alias {alias!r} collides with a key")
+        self.path = path
+        self.keys = list(keys)
+        self.aggs = dict(aggs)
+        self.derive = dict(derive or {})
+        self.n_buckets = n_buckets
+        os.makedirs(path, exist_ok=True)
+
+    # ---- version bookkeeping -------------------------------------------
+    def current_version(self) -> int:
+        """Committed version number, 0 if never refreshed."""
+        try:
+            with open(os.path.join(self.path, _POINTER)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def _vdir(self, version: int) -> str:
+        return os.path.join(self.path, f"v{version:08d}")
+
+    def applied_batches(self) -> list[str]:
+        """Batch ids folded into the committed state (replay ledger)."""
+        v = self.current_version()
+        if v == 0:
+            return []
+        with open(os.path.join(self._vdir(v), "batches.json")) as f:
+            return json.load(f)
+
+    # ---- the merge algebra ---------------------------------------------
+    def _partial(self, delta: DataFrame) -> DataFrame:
+        exprs = [
+            _PARTIAL[fn][0](col).alias(alias)
+            for alias, (fn, col) in self.aggs.items()
+        ]
+        return delta.groupBy(*self.keys).agg(*exprs)
+
+    def _merge(self, state: DataFrame, partial: DataFrame) -> DataFrame:
+        exprs = [
+            _PARTIAL[fn][1](alias).alias(alias)
+            for alias, (fn, _col) in self.aggs.items()
+        ]
+        return state.unionByName(partial).groupBy(*self.keys).agg(*exprs)
+
+    # ---- public API -----------------------------------------------------
+    def refresh(self, spark: SparkSession, delta: DataFrame, batch_id: str) -> bool:
+        """Fold one delta batch into the view. Returns False (no-op) when
+        ``batch_id`` was already applied — safe to call from foreachBatch
+        or a retried job. The delta is scanned ONCE; history is never
+        rescanned."""
+        applied = self.applied_batches()
+        if batch_id in applied:
+            return False
+        self._gc_orphans()
+        partial = self._partial(delta)
+        v = self.current_version()
+        state = partial if v == 0 else self._merge(
+            spark.read.parquet(os.path.join(self._vdir(v), "data.parquet")),
+            partial,
+        )
+        nxt = self._vdir(v + 1)
+        state.repartition(self.n_buckets, *self.keys).write.mode(
+            "error"
+        ).parquet(os.path.join(nxt, "data.parquet"))
+        with open(os.path.join(nxt, "batches.json"), "w") as f:
+            json.dump([*applied, batch_id], f)
+        tmp = os.path.join(self.path, _POINTER + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(str(v + 1))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self.path, _POINTER))  # THE commit
+        return True
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """The rollup at ``version`` (default: latest committed), with
+        derived columns appended. Version 0 / empty view → empty frame
+        with the declared schema (keys as-is requires ≥1 refresh, so 0
+        raises instead of guessing key types)."""
+        v = self.current_version() if version is None else version
+        if v == 0:
+            raise ValueError("view has no committed version yet")
+        if v > self.current_version():
+            raise ValueError(
+                f"version {v} not committed (current={self.current_version()})"
+            )
+        df = spark.read.parquet(os.path.join(self._vdir(v), "data.parquet"))
+        for alias, fn in self.derive.items():
+            df = df.withColumn(alias, _as_column(fn(df)))
+        return df
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        """Drop committed versions older than the newest ``keep_last``
+        (time-travel window). Returns the removed version numbers. The
+        current version is always kept."""
+        cur = self.current_version()
+        removed = []
+        for v in range(1, max(1, cur - keep_last + 1)):
+            d = self._vdir(v)
+            if os.path.exists(d):
+                shutil.rmtree(d)
+                removed.append(v)
+        return removed
+
+    def _gc_orphans(self) -> None:
+        """Remove version dirs ABOVE the committed pointer — debris from a
+        crash between state write and pointer flip. Never adopted (the
+        write may be partial); the interrupted batch simply re-applies."""
+        cur = self.current_version()
+        for name in os.listdir(self.path):
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) > cur:
+                shutil.rmtree(os.path.join(self.path, name))
+
+
+def _as_column(c) -> Column:
+    return c if isinstance(c, Column) else F.lit(c)
+
+
+def mv_ingest_stream(
+    spark: SparkSession,
+    source: DataFrame,
+    view: IncrementalAggView,
+    checkpoint_dir: str,
+):
+    """Maintain an IncrementalAggView from a stream: each micro-batch is
+    one ``refresh`` call keyed by epoch id, so Structured Streaming's
+    at-least-once foreachBatch delivery composes with the batch ledger
+    into exactly-once view state (a replayed epoch no-ops)."""
+
+    def fold(batch: DataFrame, batch_id: int) -> None:
+        view.refresh(spark, batch, batch_id=f"epoch-{batch_id}")
+
+    return (
+        source.writeStream.foreachBatch(fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

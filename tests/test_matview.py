@@ -1,0 +1,174 @@
+"""IncrementalAggView: merged incremental state must equal the one-pass
+aggregate, replays must no-op, crashes must not corrupt, and time travel
+must see exactly the committed prefixes."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from machinelearningalgomapreduce_spark.operators.matview import (
+    IncrementalAggView,
+    mv_ingest_stream,
+)
+from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+from tests.conftest import SMOKE_SF_DIR
+
+
+def _mk_view(path):
+    return IncrementalAggView(
+        str(path),
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "n_rows": ("count", "*"),
+            "sum_qty": ("sum", "l_quantity"),
+            "min_ship": ("min", "l_shipdate"),
+            "max_ship": ("max", "l_shipdate"),
+        },
+        derive={"avg_qty": lambda s: F.round(s["sum_qty"] / s["n_rows"], 6)},
+    )
+
+
+def _canon(df):
+    rows = df.collect()
+    return sorted(tuple(r) for r in rows)
+
+
+def _batches(lineitem, n=3):
+    """Split lineitem into n disjoint delta batches by orderkey residue."""
+    return [
+        lineitem.filter(F.pmod("l_orderkey", F.lit(n)) == i) for i in range(n)
+    ]
+
+
+def test_batchwise_refresh_equals_one_pass(spark, tmp_path):
+    t = load_tables(spark, SMOKE_SF_DIR)
+    mv = _mk_view(tmp_path / "mv")
+    for i, b in enumerate(_batches(t.lineitem)):
+        assert mv.refresh(spark, b, batch_id=f"b{i}") is True
+    expected = (
+        t.lineitem.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+            F.min("l_shipdate").alias("min_ship"),
+            F.max("l_shipdate").alias("max_ship"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("n_rows"), 6))
+    )
+    assert _canon(mv.read(spark)) == _canon(expected)
+
+
+def test_refresh_order_is_irrelevant(spark, tmp_path):
+    t = load_tables(spark, SMOKE_SF_DIR)
+    batches = _batches(t.lineitem)
+    a, b = _mk_view(tmp_path / "a"), _mk_view(tmp_path / "b")
+    for i, d in enumerate(batches):
+        a.refresh(spark, d, batch_id=f"b{i}")
+    for i, d in reversed(list(enumerate(batches))):
+        b.refresh(spark, d, batch_id=f"b{i}")
+    assert _canon(a.read(spark)) == _canon(b.read(spark))
+
+
+def test_replayed_batch_is_a_noop(spark, tmp_path):
+    t = load_tables(spark, SMOKE_SF_DIR)
+    mv = _mk_view(tmp_path / "mv")
+    b0, b1, _ = _batches(t.lineitem)
+    mv.refresh(spark, b0, batch_id="b0")
+    snap = _canon(mv.read(spark))
+    v = mv.current_version()
+    # at-least-once delivery: the same batch id arrives again
+    assert mv.refresh(spark, b0, batch_id="b0") is False
+    assert mv.current_version() == v
+    assert _canon(mv.read(spark)) == snap
+    # a NEW batch with the same data is NOT a dup (ledger keys on id)
+    assert mv.refresh(spark, b1, batch_id="b1") is True
+    assert mv.applied_batches() == ["b0", "b1"]
+
+
+def test_crash_orphan_is_ignored_and_cleaned(spark, tmp_path):
+    t = load_tables(spark, SMOKE_SF_DIR)
+    mv = _mk_view(tmp_path / "mv")
+    b0, b1, _ = _batches(t.lineitem)
+    mv.refresh(spark, b0, batch_id="b0")
+    committed = _canon(mv.read(spark))
+    # simulate a crash AFTER the v2 state write but BEFORE the pointer
+    # flip: a half-trusted orphan directory above the pointer
+    orphan = os.path.join(str(tmp_path / "mv"), "v00000002")
+    os.makedirs(os.path.join(orphan, "data.parquet"))
+    with open(os.path.join(orphan, "batches.json"), "w") as f:
+        json.dump(["b0", "b1"], f)
+    # readers still see v1; the ledger is the COMMITTED ledger
+    assert mv.current_version() == 1
+    assert _canon(mv.read(spark)) == committed
+    assert mv.applied_batches() == ["b0"]
+    # the re-driven batch replaces the orphan and commits cleanly
+    assert mv.refresh(spark, b1, batch_id="b1") is True
+    assert mv.current_version() == 2
+    assert mv.applied_batches() == ["b0", "b1"]
+
+
+def test_time_travel_and_vacuum(spark, tmp_path):
+    t = load_tables(spark, SMOKE_SF_DIR)
+    mv = _mk_view(tmp_path / "mv")
+    batches = _batches(t.lineitem)
+    snaps = []
+    for i, b in enumerate(batches):
+        mv.refresh(spark, b, batch_id=f"b{i}")
+        snaps.append(_canon(mv.read(spark)))
+    for v, snap in enumerate(snaps, start=1):
+        assert _canon(mv.read(spark, version=v)) == snap
+    with pytest.raises(ValueError):
+        mv.read(spark, version=len(snaps) + 1)
+    removed = mv.vacuum(keep_last=1)
+    assert removed == [1, 2]
+    assert _canon(mv.read(spark)) == snaps[-1]
+
+
+def test_rejects_non_mergeable_spec(tmp_path):
+    with pytest.raises(ValueError, match="not mergeable"):
+        IncrementalAggView(
+            str(tmp_path / "mv"), keys=["k"], aggs={"a": ("avg", "x")}
+        )
+    with pytest.raises(ValueError, match="collides"):
+        IncrementalAggView(
+            str(tmp_path / "mv"), keys=["k"], aggs={"k": ("sum", "x")}
+        )
+
+
+def test_stream_epochs_fold_exactly_once(spark, tmp_path):
+    """foreachBatch at-least-once + the batch ledger = exactly-once state:
+    run the SAME availableNow stream twice (fresh checkpoint the second
+    time forces full epoch replay) — the view state must not double."""
+    t = load_tables(spark, SMOKE_SF_DIR)
+    src_dir = str(tmp_path / "src")
+    t.events.select("user_id", "event_type", "value").write.parquet(src_dir)
+    mv = IncrementalAggView(
+        str(tmp_path / "mv"),
+        keys=["event_type"],
+        aggs={"n": ("count", "*"), "total_cents": ("sum", "amount_cents")},
+    )
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .withColumn("amount_cents", F.round(F.col("value") * 100).cast("long"))
+    )
+    q = mv_ingest_stream(spark, stream, mv, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    after_first = _canon(mv.read(spark))
+    assert mv.current_version() >= 1
+    # second run: new checkpoint → Spark re-delivers every epoch
+    q2 = mv_ingest_stream(spark, stream, mv, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    assert _canon(mv.read(spark)) == after_first
+    expected = _canon(
+        spark.read.parquet(src_dir)
+        .withColumn("amount_cents", F.round(F.col("value") * 100).cast("long"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount_cents").alias("total_cents"))
+    )
+    assert after_first == expected
