@@ -222,6 +222,73 @@ def _as_column(c) -> Column:
     return c if isinstance(c, Column) else F.lit(c)
 
 
+class DistinctCountView:
+    """Incremental per-group distinct-count view: HLL register rows as
+    the stored state, maintained by the IncrementalAggView max-merge.
+
+    count-distinct is NOT algebraic over raw rows — but the explicit HLL
+    register table (sketches.py::hll_register_rows) is: registers merge
+    by plain per-(group, reg) ``max``, which is exactly the aggs algebra
+    IncrementalAggView already guarantees (associative, commutative,
+    idempotent — replay-safe even WITHOUT the ledger). So the view stores
+    ≤ HLL_M rows per group, each refresh scans only the delta, and any
+    merge history yields the bit-identical register state a one-pass
+    build produces (the property test asserts frame equality, which makes
+    the derived estimate identical too, not merely close).
+
+    100 TB shape: the state is O(groups·m) rows forever; a refresh is one
+    map-side-combined register build over the delta plus an O(state)
+    re-max. Estimates never touch raw data. Inherits versioning, the
+    atomic pointer commit, the replay ledger, time travel, and vacuum.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        keys: list[str],
+        value_col: str,
+        n_buckets: int = 8,
+    ) -> None:
+        self.keys = list(keys)
+        self.value_col = value_col
+        self._mv = IncrementalAggView(
+            path,
+            keys=[*keys, "reg"],
+            aggs={"max_rank": ("max", "max_rank")},
+            n_buckets=n_buckets,
+        )
+
+    def refresh(self, spark: SparkSession, delta: DataFrame, batch_id: str) -> bool:
+        from machinelearningalgomapreduce_spark.operators.sketches import (
+            hll_register_rows,
+        )
+
+        rows = hll_register_rows(delta, self.value_col, tuple(self.keys))
+        return self._mv.refresh(spark, rows, batch_id)
+
+    def registers(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """The committed register state (keys + reg + max_rank)."""
+        return self._mv.read(spark, version)
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """One row per group: (keys..., n_zero, est_distinct)."""
+        from machinelearningalgomapreduce_spark.operators.sketches import (
+            hll_estimate_by,
+        )
+
+        return hll_estimate_by(self.registers(spark, version), tuple(self.keys))
+
+    # version bookkeeping passes straight through to the inner view
+    def current_version(self) -> int:
+        return self._mv.current_version()
+
+    def applied_batches(self) -> list[str]:
+        return self._mv.applied_batches()
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        return self._mv.vacuum(keep_last)
+
+
 def mv_ingest_stream(
     spark: SparkSession,
     source: DataFrame,

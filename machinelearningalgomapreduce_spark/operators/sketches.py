@@ -327,6 +327,68 @@ def q_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def hll_register_rows(
+    df: DataFrame, value_col: str, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """Per-group explicit HLL register rows for any value column: the
+    q_hll_registers md5 split (5 register bits / 47 rank-domain bits)
+    generalized to an arbitrary grouping — one (group, reg, max_rank) row
+    per non-empty register, ≤ HLL_M rows per group.
+
+    This is the library form a mergeable distinct-count STATE is built
+    from: register rows combine by plain ``max`` per (group, reg), so
+    they slot directly into any groupBy-max merge (matview.py's
+    DistinctCountView stores exactly these rows). Duplicated input values
+    hash to the same (reg, rho) and are absorbed by the max — no distinct
+    pre-pass is needed for correctness (q_hll_registers keeps one as a
+    work-saving optimization on its single-shot path)."""
+    h = _md5_hex_int(F.col(value_col), "hll:", 13)
+    return (
+        df.select(*group_cols, h.alias("h"))
+        .select(
+            *group_cols,
+            F.pmod(F.col("h"), F.lit(HLL_M)).alias("reg"),
+            F.expr(f"h DIV {HLL_M}").alias("w"),
+        )
+        .select(
+            *group_cols,
+            "reg",
+            F.when(F.col("w") == 0, F.lit(KMV_BITS - 5 + 1))
+            .otherwise(F.log2(F.col("w").bitwiseAND(-F.col("w"))).cast("int") + 1)
+            .alias("rho"),
+        )
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("max_rank"))
+    )
+
+
+def hll_estimate_by(regs: DataFrame, group_cols: tuple[str, ...]) -> DataFrame:
+    """Grouped HLL cardinality estimate from register rows (the
+    q_hll_estimate math per group): raw α·m²/Z with absent registers
+    contributing 2⁰, linear-counting correction below 2.5·m. Z sums exact
+    powers of two — order-free in IEEE — so the estimate is deterministic
+    under any merge history of the registers. O(m) rows per group in,
+    one row per group out."""
+    agg = regs.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum(
+            F.expr("1.0 / CAST(shiftleft(CAST(1 AS BIGINT), max_rank) AS DOUBLE)")
+        ).alias("z_obs"),
+    )
+    n_zero = F.lit(HLL_M) - F.col("n_obs")
+    z = F.col("z_obs") + n_zero.cast("double")
+    raw = F.lit(HLL_ALPHA_32 * HLL_M * HLL_M) / z
+    corrected = F.when(
+        (raw <= 2.5 * HLL_M) & (n_zero > 0),
+        F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / n_zero.cast("double")),
+    ).otherwise(raw)
+    return agg.select(
+        *group_cols,
+        n_zero.cast("bigint").alias("n_zero"),
+        F.round(corrected, 6).alias("est_distinct"),
+    )
+
+
 def _cm_bucket_sql(r: int) -> str:
     return f"({_sql_hex_int('CAST(l_partkey AS VARCHAR)', f'cm{r}:', 3)} % {CMQ_WIDTH})"
 

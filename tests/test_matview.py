@@ -172,3 +172,42 @@ def test_stream_epochs_fold_exactly_once(spark, tmp_path):
         .agg(F.count(F.lit(1)).alias("n"), F.sum("amount_cents").alias("total_cents"))
     )
     assert after_first == expected
+
+
+def test_distinct_count_view_state_equals_one_pass(spark, tmp_path):
+    """Batchwise register merging must reproduce the one-pass register
+    table EXACTLY (max is idempotent — overlapping batches included), so
+    the derived estimates are identical, and the estimate itself must
+    land within HLL error of the true count."""
+    from machinelearningalgomapreduce_spark.operators.matview import (
+        DistinctCountView,
+    )
+    from machinelearningalgomapreduce_spark.operators.sketches import (
+        hll_register_rows,
+    )
+
+    t = load_tables(spark, SMOKE_SF_DIR)
+    ev = t.events.select("event_type", "user_id")
+    dv = DistinctCountView(
+        str(tmp_path / "dv"), keys=["event_type"], value_col="user_id"
+    )
+    # overlapping batches: residues {0,1}, {1,2}, {2,0} — every row lands
+    # twice, exercising max-idempotence across refreshes
+    for i in range(3):
+        b = ev.filter(
+            F.pmod("user_id", F.lit(3)).isin(i, (i + 1) % 3)
+        )
+        assert dv.refresh(spark, b, batch_id=f"b{i}") is True
+    one_pass = hll_register_rows(ev, "user_id", ("event_type",))
+    assert _canon(dv.registers(spark)) == _canon(one_pass)
+    est = {r["event_type"]: r["est_distinct"] for r in dv.read(spark).collect()}
+    truth = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(est) == set(truth)
+    for k, n in truth.items():
+        # m=32 registers → ~18% std error; 3σ bound with slack
+        assert abs(est[k] - n) / n < 0.6, (k, est[k], n)
