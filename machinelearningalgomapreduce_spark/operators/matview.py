@@ -30,6 +30,12 @@ re-running a batch job re-sends a ``batch_id`` already in
 ``batches.json`` → no-op, so foreachBatch at-least-once delivery yields
 exactly-once STATE.
 
+Single writer by design: refreshes are serialized by the caller (a
+streaming query's foreachBatch, a scheduled job) — concurrent refreshes
+would race the version counter (last pointer flip wins; the loser's
+batch is silently dropped from the ledger). Readers need no
+coordination at any time.
+
 Merge algebra: count→sum, sum→sum, min→min, max→max — each
 associative + commutative, so any delta partitioning and any refresh
 order produce the identical state (the property test re-aggregates the
