@@ -344,7 +344,10 @@ def hll_register_rows(
     work-saving optimization on its single-shot path)."""
     h = _md5_hex_int(F.col(value_col), "hll:", 13)
     return (
-        df.select(*group_cols, h.alias("h"))
+        # NULLs don't count as a distinct value (countDistinct semantics);
+        # unfiltered they'd emit a NULL-register row that inflates n_obs.
+        df.filter(F.col(value_col).isNotNull())
+        .select(*group_cols, h.alias("h"))
         .select(
             *group_cols,
             F.pmod(F.col("h"), F.lit(HLL_M)).alias("reg"),

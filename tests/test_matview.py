@@ -211,3 +211,19 @@ def test_distinct_count_view_state_equals_one_pass(spark, tmp_path):
     for k, n in truth.items():
         # m=32 registers → ~18% std error; 3σ bound with slack
         assert abs(est[k] - n) / n < 0.6, (k, est[k], n)
+
+
+def test_distinct_count_view_ignores_nulls(spark, tmp_path):
+    """countDistinct semantics: NULL values contribute no register row
+    (unfiltered they'd inflate n_obs and skew z with a NULL reg)."""
+    from machinelearningalgomapreduce_spark.operators.sketches import (
+        hll_register_rows,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 2), ("b", None)],
+        "grp string, v int",
+    )
+    regs = hll_register_rows(df, "v", ("grp",)).collect()
+    assert all(r["reg"] is not None for r in regs)
+    assert {r["grp"] for r in regs} == {"a"}  # b had only NULLs
