@@ -228,6 +228,72 @@ def _as_column(c) -> Column:
     return c if isinstance(c, Column) else F.lit(c)
 
 
+class FrequencySketchView:
+    """Incremental frequency sketch: Count-Min cells as the stored state.
+
+    CM cells merge by per-(row, col_idx) SUM (sketches.py::count_min_merge
+    — associative + commutative, NOT idempotent, so unlike the HLL view
+    the replay LEDGER is what makes at-least-once delivery safe: a
+    re-sent batch would double-count cells, and refresh() drops it).
+    State is ≤ depth×width rows forever; point estimates broadcast the
+    sketch against any probe set without touching raw history.
+    """
+
+    def __init__(
+        self, path: str, value_col: str, depth: int | None = None,
+        width: int | None = None, n_buckets: int = 8,
+    ) -> None:
+        from machinelearningalgomapreduce_spark.operators.sketches import (
+            CM_DEPTH,
+            CM_WIDTH,
+        )
+
+        self.value_col = value_col
+        self.depth = CM_DEPTH if depth is None else depth
+        self.width = CM_WIDTH if width is None else width
+        self._mv = IncrementalAggView(
+            path,
+            keys=["row", "col_idx"],
+            aggs={"cnt": ("sum", "cnt")},
+            n_buckets=n_buckets,
+        )
+
+    def refresh(self, spark: SparkSession, delta: DataFrame, batch_id: str) -> bool:
+        from machinelearningalgomapreduce_spark.operators.sketches import (
+            count_min_build,
+        )
+
+        cells = count_min_build(delta, self.value_col, self.depth, self.width)
+        return self._mv.refresh(spark, cells, batch_id)
+
+    def cells(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        return self._mv.read(spark, version)
+
+    def estimate(
+        self, spark: SparkSession, items: DataFrame, col: str | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Point-frequency estimates (min over depth cells; ≥ true count)
+        for the ``items`` frame's ``col`` (default: the sketched column)."""
+        from machinelearningalgomapreduce_spark.operators.sketches import (
+            count_min_estimate,
+        )
+
+        return count_min_estimate(
+            self.cells(spark, version), items, col or self.value_col,
+            self.depth, self.width,
+        )
+
+    def current_version(self) -> int:
+        return self._mv.current_version()
+
+    def applied_batches(self) -> list[str]:
+        return self._mv.applied_batches()
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        return self._mv.vacuum(keep_last)
+
+
 class DistinctCountView:
     """Incremental per-group distinct-count view: HLL register rows as
     the stored state, maintained by the IncrementalAggView max-merge.

@@ -227,3 +227,39 @@ def test_distinct_count_view_ignores_nulls(spark, tmp_path):
     regs = hll_register_rows(df, "v", ("grp",)).collect()
     assert all(r["reg"] is not None for r in regs)
     assert {r["grp"] for r in regs} == {"a"}  # b had only NULLs
+
+
+def test_frequency_sketch_view_matches_one_shot_and_bounds_truth(spark, tmp_path):
+    """Batchwise CM cell merging must equal the one-shot sketch over the
+    DISJOINT union (sum algebra), estimates must upper-bound true counts
+    with exact hits on heavy items, and a replayed batch must NOT
+    double-count (the ledger is the only idempotence here)."""
+    from machinelearningalgomapreduce_spark.operators.matview import (
+        FrequencySketchView,
+    )
+    from machinelearningalgomapreduce_spark.operators.sketches import (
+        count_min_build,
+    )
+
+    t = load_tables(spark, SMOKE_SF_DIR)
+    ev = t.events.select("event_type")
+    fv = FrequencySketchView(str(tmp_path / "fv"), value_col="event_type")
+    batches = [
+        ev.filter(F.pmod(F.crc32("event_type"), F.lit(2)) == i) for i in range(2)
+    ]
+    for i, b in enumerate(batches):
+        assert fv.refresh(spark, b, batch_id=f"b{i}") is True
+    # replay: ledger must block the double-count
+    assert fv.refresh(spark, batches[0], batch_id="b0") is False
+    one_shot = count_min_build(ev, "event_type")
+    assert _canon(fv.cells(spark)) == _canon(one_shot)
+    truth = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    items = ev.distinct()
+    est = {r["item"]: r["est_count"] for r in fv.estimate(spark, items).collect()}
+    for k, n in truth.items():
+        assert est[k] >= n, (k, est[k], n)  # CM never underestimates
+    # few distinct event types vs 1024 cells → collisions ~impossible
+    assert est == truth
