@@ -118,6 +118,9 @@ def main() -> None:
         i = argv.index("--queries")
         only = set(argv[i + 1].split(","))
         del argv[i:i + 2]
+    reuse = "--reuse" in argv
+    if reuse:
+        argv.remove("--reuse")
     n_copies = int(argv[0]) if argv else 10
     base = argv[1] if len(argv) > 1 else "/tmp/scale_probe"
     big_dir = os.path.join(base, f"sf{0.1 * n_copies:g}")
@@ -129,8 +132,11 @@ def main() -> None:
     ensure_query_conf(spark)
 
     t0 = time.perf_counter()
-    build_tier(spark, n_copies, big_dir)
-    print(f"# built {big_dir} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    if reuse and os.path.exists(big_dir):
+        print(f"# reusing existing tier {big_dir}", file=sys.stderr)
+    else:
+        build_tier(spark, n_copies, big_dir)
+        print(f"# built {big_dir} in {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     qs = registry.queries()
     results = []
