@@ -361,6 +361,80 @@ class DistinctCountView:
         return self._mv.vacuum(keep_last)
 
 
+class QuantileHistogramView:
+    """Incremental quantile view: an equi-width integer-cents histogram
+    (sketches.py::quantile_hist_build) as the stored state, maintained by
+    the IncrementalAggView sum-merge.
+
+    Quantiles are NOT algebraic over raw rows — but the fixed-width bin
+    table is: bins merge by plain per-bucket ``sum`` (associative,
+    commutative — NOT idempotent, so like the Count-Min view the replay
+    LEDGER is what makes at-least-once delivery exactly-once). Any merge
+    history yields the bit-identical bin table a one-pass build produces,
+    so the derived quantile estimates are identical too, with error
+    bounded by one bin width against the true quantile.
+
+    100 TB shape: state is O(value range / width) rows forever (~210 for
+    lineitem prices); a refresh is one map-side-combined bin count over
+    the delta plus an O(bins) re-sum. Estimates never touch raw data.
+    Inherits versioning, the atomic pointer commit, the replay ledger,
+    time travel, and vacuum."""
+
+    def __init__(
+        self, path: str, value_col: str, width: int | None = None,
+        n_buckets: int = 8,
+    ) -> None:
+        from machinelearningalgomapreduce_spark.operators.sketches import (
+            QHIST_WIDTH,
+        )
+
+        self.value_col = value_col
+        self.width = QHIST_WIDTH if width is None else width
+        self._mv = IncrementalAggView(
+            path,
+            keys=["bucket"],
+            aggs={"cnt": ("sum", "cnt")},
+            n_buckets=n_buckets,
+        )
+
+    def refresh(self, spark: SparkSession, delta: DataFrame, batch_id: str) -> bool:
+        from machinelearningalgomapreduce_spark.operators.sketches import (
+            quantile_hist_build,
+        )
+
+        bins = quantile_hist_build(delta, self.value_col, self.width)
+        return self._mv.refresh(spark, bins, batch_id)
+
+    def bins(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """The committed bin table (bucket, cnt)."""
+        return self._mv.read(spark, version)
+
+    def estimate(
+        self, spark: SparkSession, pcts: tuple[int, ...] | None = None,
+        version: int | None = None,
+    ) -> DataFrame:
+        """Upper-bound quantile estimates (pct, est_cents) from the
+        committed bins — first bucket whose cumulative count reaches
+        pct% of N, reported as its exclusive upper bound in cents."""
+        from machinelearningalgomapreduce_spark.operators.sketches import (
+            QHIST_PCTS,
+            quantile_hist_estimate,
+        )
+
+        return quantile_hist_estimate(
+            self.bins(spark, version), pcts or QHIST_PCTS, self.width,
+        )
+
+    def current_version(self) -> int:
+        return self._mv.current_version()
+
+    def applied_batches(self) -> list[str]:
+        return self._mv.applied_batches()
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        return self._mv.vacuum(keep_last)
+
+
 def mv_ingest_stream(
     spark: SparkSession,
     source: DataFrame,

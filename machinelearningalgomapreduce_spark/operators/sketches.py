@@ -696,3 +696,107 @@ def hll_merge_registers(*register_tables: DataFrame) -> DataFrame:
     for r in register_tables[1:]:
         merged = merged.unionByName(r.select("reg", "max_rank"))
     return merged.groupBy("reg").agg(F.max("max_rank").alias("max_rank"))
+
+
+# --------------------------------------------------------------------------
+# Equi-width quantile histogram (the mergeable-quantile gap in the sketch
+# family: CM answers frequency, KMV/HLL answer distinct, Bloom answers
+# membership — this answers RANK/quantile). A fixed-width integer-cents
+# histogram is algebraic (bin counts merge by SUM — associative,
+# commutative), so per-shard histograms combine map-side and day-over-day
+# without rescanning raw data, and any quantile derives from the merged
+# bins with error bounded by one bin width. Everything is integer-exact:
+# cents = round(price*100) as BIGINT, bucket = cents div WIDTH, and the
+# rank test cum*100 >= pct*N stays in BIGINT arithmetic — so the Spark
+# result and the DuckDB oracle agree bit-for-bit (the HUGEINT lesson of
+# rounds 5-7: never let a float boundary decide a bucket).
+
+QHIST_WIDTH = 50_000  # cents per bin ($500); lineitem prices span ~210 bins
+QHIST_PCTS = (25, 50, 75, 90, 99)
+
+
+def quantile_hist_build(df: DataFrame, value_col: str,
+                        width: int = QHIST_WIDTH) -> DataFrame:
+    """One map-side-combined aggregate → (bucket, cnt), O(value range /
+    width) rows regardless of input size. 2-decimal money converts to
+    exact BIGINT cents at the scan; `div` keeps bucketing integer-exact."""
+    cents = F.round(F.col(value_col) * 100.0, 0).cast("bigint")
+    return (
+        df.select(cents.alias("cents"))
+        .select(F.expr(f"cents div {width}").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def quantile_hist_merge(*hists: DataFrame) -> DataFrame:
+    """Merge histograms by per-bucket SUM — the algebra that makes the
+    sketch shippable: build(A ∪ B) ≡ merge(build(A), build(B)) exactly
+    (pytest asserts frame equality)."""
+    merged = hists[0]
+    for h in hists[1:]:
+        merged = merged.unionByName(h)
+    return merged.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
+
+
+def quantile_hist_estimate(hist: DataFrame,
+                           pcts: tuple[int, ...] = QHIST_PCTS,
+                           width: int = QHIST_WIDTH) -> DataFrame:
+    """Upper-bound quantile estimates from the bin table: for each target
+    percentile, the first bucket whose cumulative count reaches
+    ceil(pct% of N), reported as that bucket's exclusive upper bound in
+    cents (guaranteed >= the true quantile, < true + width). The
+    cumulative window runs over O(bins) rows — bounded state, not data."""
+    from pyspark.sql import Window
+
+    wcum = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select("bucket", F.sum("cnt").over(wcum).alias("cum"))
+    qs = (
+        hist.agg(F.sum("cnt").alias("n_total"))
+        .select(
+            "n_total",
+            F.explode(
+                F.array(*[F.lit(int(p)).cast("long") for p in pcts])
+            ).alias("pct"),
+        )
+    )
+    return (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") * 100 >= F.col("pct") * F.col("n_total"))
+        .groupBy("pct")
+        .agg(((F.min("bucket") + 1) * width).alias("est_cents"))
+        .select("pct", "est_cents")
+    )
+
+
+def q_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price quantiles (p25/p50/p75/p90/p99) of l_extendedprice from the
+    mergeable equi-width cents histogram — the sketch's derived read, so
+    the driver's oracle checks the exact rank math downstream views use.
+
+    Scale shape: ONE aggregate over the fact scan collapses to O(bins)
+    rows map-side; the cumulative window and the percentile probe join
+    touch only the ~210-row bin table (broadcast, single partition by
+    design — bounded by the price range, never by the data)."""
+    t = load_tables(spark, sf_dir)
+    return quantile_hist_estimate(quantile_hist_build(t.lineitem, "l_extendedprice"))
+
+
+_QHIST_SQL = f"""
+    WITH hist AS (
+        SELECT CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) // {QHIST_WIDTH} AS bucket,
+               count(*) AS cnt
+        FROM lineitem GROUP BY bucket
+    ),
+    cum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM hist),
+    total AS (SELECT sum(cnt) AS n_total FROM hist),
+    qs AS (SELECT CAST(pct AS BIGINT) AS pct
+           FROM (VALUES {", ".join(f"({p})" for p in QHIST_PCTS)}) t(pct))
+    SELECT pct, CAST((min(bucket) + 1) * {QHIST_WIDTH} AS BIGINT) AS est_cents
+    FROM cum, total, qs
+    WHERE cum * 100 >= pct * n_total
+    GROUP BY pct
+"""
+
+QUERIES["q_quantile_hist"] = q_quantile_hist
+ORACLES["q_quantile_hist"] = _QHIST_SQL

@@ -148,7 +148,9 @@ DEFERRED_NEXT_WINDOW: frozenset[str] = frozenset({
     # The 20 never-driver-checked queries (every one judge-verified via
     # tools/check.py --arrow at sf0.01 in round 7); with the round-7 greens
     # absorbed they hold the smallest sort key and fill window slots 1-20
-    # in round 8, closing full 246/246 driver evidence.
+    # in round 8, closing full driver evidence (246 entering the round;
+    # q_quantile_hist, added mid-round-8 with no green row, sorts ahead
+    # of them at key 0.0 — slots 1 + 2-21 all fit the 50-window).
     # sketches (md5-bucket oracle-checked forms)
     "q_cm_cells", "q_cm_heavy", "q_kmv_distinct",
     "q_hll_registers", "q_hll_estimate", "q_bloom_bits", "q_bloom_audit",

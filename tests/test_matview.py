@@ -263,3 +263,38 @@ def test_frequency_sketch_view_matches_one_shot_and_bounds_truth(spark, tmp_path
         assert est[k] >= n, (k, est[k], n)  # CM never underestimates
     # few distinct event types vs 1024 cells → collisions ~impossible
     assert est == truth
+
+
+def test_quantile_histogram_view_matches_one_shot_and_brackets_truth(spark, tmp_path):
+    """Batchwise bin merging must equal the one-shot histogram over the
+    disjoint union (sum algebra), a replayed batch must not double-count,
+    and derived quantile estimates must bracket the true quantiles
+    within one bin width."""
+    from machinelearningalgomapreduce_spark.operators.matview import (
+        QuantileHistogramView,
+    )
+    from machinelearningalgomapreduce_spark.operators.sketches import (
+        QHIST_PCTS,
+        QHIST_WIDTH,
+        quantile_hist_build,
+    )
+
+    t = load_tables(spark, SMOKE_SF_DIR)
+    qv = QuantileHistogramView(str(tmp_path / "qv"), value_col="l_extendedprice")
+    for i, b in enumerate(_batches(t.lineitem)):
+        assert qv.refresh(spark, b, batch_id=f"b{i}") is True
+    assert qv.refresh(spark, _batches(t.lineitem)[0], batch_id="b0") is False
+    one_shot = quantile_hist_build(t.lineitem, "l_extendedprice")
+    assert _canon(qv.bins(spark)) == _canon(one_shot)
+
+    cents = sorted(
+        r["c"]
+        for r in t.lineitem.select(
+            F.round(F.col("l_extendedprice") * 100.0, 0).cast("bigint").alias("c")
+        ).collect()
+    )
+    n = len(cents)
+    est = {r["pct"]: r["est_cents"] for r in qv.estimate(spark).collect()}
+    for pct in QHIST_PCTS:
+        true_q = cents[-(-pct * n // 100) - 1]
+        assert true_q <= est[pct] < true_q + QHIST_WIDTH, (pct, est[pct], true_q)

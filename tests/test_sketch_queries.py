@@ -130,3 +130,46 @@ def test_hll_register_merge_equals_whole_build(spark):
         for r in S.hll_merge_registers(regs_of(left), regs_of(right)).collect()
     }
     assert whole == merged
+
+
+def test_quantile_hist_merge_equals_whole_build(spark):
+    """build(A ∪ B) ≡ merge(build(A), build(B)) — exact bin-table
+    equality, the algebra that lets per-shard histograms combine."""
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    t = load_tables(spark, SMOKE_SF_DIR)
+    left = t.lineitem.filter(F.pmod("l_orderkey", F.lit(2)) == 0)
+    right = t.lineitem.filter(F.pmod("l_orderkey", F.lit(2)) == 1)
+    whole = S.quantile_hist_build(t.lineitem, "l_extendedprice")
+    merged = S.quantile_hist_merge(
+        S.quantile_hist_build(left, "l_extendedprice"),
+        S.quantile_hist_build(right, "l_extendedprice"),
+    )
+    canon = lambda df: sorted(tuple(r) for r in df.collect())  # noqa: E731
+    assert canon(whole) == canon(merged)
+
+
+def test_quantile_hist_estimate_brackets_true_quantile(spark):
+    """Each estimate must be >= the true rank-pct value and overshoot it
+    by less than one bin width (the histogram's error guarantee)."""
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    t = load_tables(spark, SMOKE_SF_DIR)
+    cents = sorted(
+        r["c"]
+        for r in t.lineitem.select(
+            F.round(F.col("l_extendedprice") * 100.0, 0).cast("bigint").alias("c")
+        ).collect()
+    )
+    n = len(cents)
+    est = {
+        r["pct"]: r["est_cents"]
+        for r in S.q_quantile_hist(spark, SMOKE_SF_DIR).collect()
+    }
+    assert set(est) == set(S.QHIST_PCTS)
+    for pct in S.QHIST_PCTS:
+        # smallest value whose rank reaches pct% of N (ceil semantics,
+        # matching cum*100 >= pct*n)
+        true_q = cents[-(-pct * n // 100) - 1]
+        assert est[pct] >= true_q, (pct, est[pct], true_q)
+        assert est[pct] - true_q < S.QHIST_WIDTH, (pct, est[pct], true_q)

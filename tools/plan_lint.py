@@ -212,6 +212,13 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_bootstrap_ci": {
         "BroadcastNestedLoopJoin": "B=50 replicate-id literal grid fanned onto per-type rows map-side; replicate count is a constant, independent of data size",
     },
+    # r8: mergeable quantile histogram
+    "q_quantile_hist": {
+        "BroadcastNestedLoopJoin": "5-percentile probe grid onto the O(bins) "
+        "cumulative table — both sides bounded by the price range, never data",
+        "SinglePartitionData": "cumulative window over the ~210-row bin table "
+        "(bounded by value range / bin width, not by input size)",
+    },
 }
 
 # Patterns searched in the FORMATTED plan text.
