@@ -75,6 +75,9 @@ PROBE_QUERIES = [
     "q_knn",
     "q_dedup_minhash",
     "q_sim_ann",
+    # round-8 addition: the mergeable quantile histogram — must stay
+    # ~flat (output bounded by value range / bin width, like the sketches)
+    "q_quantile_hist",
 ]
 
 
