@@ -100,6 +100,8 @@ class IncrementalAggView:
         aggs: dict[str, tuple[str, str]],
         derive: dict[str, "callable"] | None = None,
         n_buckets: int = 8,
+        spec_extra: dict | None = None,
+        ledger_cap: int | None = None,
     ) -> None:
         if not keys:
             raise ValueError("IncrementalAggView needs at least one group key")
@@ -117,6 +119,20 @@ class IncrementalAggView:
         self.aggs = dict(aggs)
         self.derive = dict(derive or {})
         self.n_buckets = n_buckets
+        if ledger_cap is not None and ledger_cap < 1:
+            raise ValueError(f"ledger_cap must be >= 1 or None, got {ledger_cap}")
+        self.ledger_cap = ledger_cap
+        # The state-DEFINING spec: merging deltas computed under different
+        # keys/aggs (or a wrapper's different sketch width/depth) into
+        # existing state would be silent corruption — same column names,
+        # different meanings. Persisted at first refresh, validated on
+        # every later one. `derive` is read-time-only (never stored) and
+        # `n_buckets` is pure layout, so neither participates.
+        self._spec = {
+            "keys": self.keys,
+            "aggs": {a: list(v) for a, v in self.aggs.items()},
+            "extra": spec_extra or {},
+        }
         os.makedirs(path, exist_ok=True)
 
     # ---- version bookkeeping -------------------------------------------
@@ -154,12 +170,48 @@ class IncrementalAggView:
         ]
         return state.unionByName(partial).groupBy(*self.keys).agg(*exprs)
 
+    # ---- spec guard -------------------------------------------------------
+    _SPEC_FILE = "_SPEC.json"
+
+    def _check_or_write_spec(self) -> None:
+        """First refresh records the state-defining spec; every later
+        refresh validates against it, so reopening an existing view
+        directory with different keys/aggs (or a wrapper's different
+        width/depth via ``spec_extra``) fails loudly instead of silently
+        sum-merging same-named-but-differently-bucketed state."""
+        spec_path = os.path.join(self.path, self._SPEC_FILE)
+        if os.path.exists(spec_path):
+            with open(spec_path) as f:
+                on_disk = json.load(f)
+            if on_disk != self._spec:
+                raise ValueError(
+                    f"view at {self.path} was built with a different spec:\n"
+                    f"  on disk: {on_disk}\n  this instance: {self._spec}\n"
+                    "merging deltas across specs would corrupt the state; "
+                    "use a new path (or rebuild) to change the spec"
+                )
+            return
+        tmp = spec_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._spec, f)
+        os.replace(tmp, spec_path)
+
     # ---- public API -----------------------------------------------------
     def refresh(self, spark: SparkSession, delta: DataFrame, batch_id: str) -> bool:
         """Fold one delta batch into the view. Returns False (no-op) when
         ``batch_id`` was already applied — safe to call from foreachBatch
         or a retried job. The delta is scanned ONCE; history is never
-        rescanned."""
+        rescanned.
+
+        By default the ledger carries every applied batch id (at one
+        epoch a minute that is ~10 MB/year of JSON, reloaded and
+        rewritten per refresh — deliberate: exact replay protection over
+        the view's whole life). ``ledger_cap`` keeps only the newest N
+        ids, trading full-history replay detection for O(cap) ledger
+        I/O — safe when replays can only arrive within a bounded horizon
+        (Structured Streaming re-sends recent epochs, not ancient
+        ones)."""
+        self._check_or_write_spec()
         applied = self.applied_batches()
         if batch_id in applied:
             return False
@@ -174,8 +226,11 @@ class IncrementalAggView:
         state.repartition(self.n_buckets, *self.keys).write.mode(
             "error"
         ).parquet(os.path.join(nxt, "data.parquet"))
+        ledger = [*applied, batch_id]
+        if self.ledger_cap is not None:
+            ledger = ledger[-self.ledger_cap:]
         with open(os.path.join(nxt, "batches.json"), "w") as f:
-            json.dump([*applied, batch_id], f)
+            json.dump(ledger, f)
         tmp = os.path.join(self.path, _POINTER + ".tmp")
         with open(tmp, "w") as f:
             f.write(str(v + 1))
@@ -204,7 +259,11 @@ class IncrementalAggView:
     def vacuum(self, keep_last: int = 2) -> list[int]:
         """Drop committed versions older than the newest ``keep_last``
         (time-travel window). Returns the removed version numbers. The
-        current version is always kept."""
+        current version is always kept — ``keep_last`` < 1 is rejected,
+        because range(1, cur+1) would rmtree the committed state itself
+        and leave a pointer to nothing."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
         cur = self.current_version()
         removed = []
         for v in range(1, max(1, cur - keep_last + 1)):
@@ -256,6 +315,8 @@ class FrequencySketchView:
             keys=["row", "col_idx"],
             aggs={"cnt": ("sum", "cnt")},
             n_buckets=n_buckets,
+            spec_extra={"sketch": "count_min", "value_col": value_col,
+                        "depth": self.depth, "width": self.width},
         )
 
     def refresh(self, spark: SparkSession, delta: DataFrame, batch_id: str) -> bool:
@@ -328,6 +389,7 @@ class DistinctCountView:
             keys=[*keys, "reg"],
             aggs={"max_rank": ("max", "max_rank")},
             n_buckets=n_buckets,
+            spec_extra={"sketch": "hll_registers", "value_col": value_col},
         )
 
     def refresh(self, spark: SparkSession, delta: DataFrame, batch_id: str) -> bool:
@@ -395,6 +457,8 @@ class QuantileHistogramView:
             keys=["bucket"],
             aggs={"cnt": ("sum", "cnt")},
             n_buckets=n_buckets,
+            spec_extra={"sketch": "quantile_hist", "value_col": value_col,
+                        "width": self.width},
         )
 
     def refresh(self, spark: SparkSession, delta: DataFrame, batch_id: str) -> bool:
@@ -435,6 +499,31 @@ class QuantileHistogramView:
         return self._mv.vacuum(keep_last)
 
 
+def _content_key(batch: DataFrame) -> str:
+    """Order- and partitioning-independent fingerprint of a micro-batch:
+    row count + the BIGINT sum of a per-row 52-bit md5 slice over the
+    json-rendered row. Two deliveries of the same data always produce
+    the same key; epoch NUMBERS do not survive a checkpoint change (a
+    fresh checkpoint renumbers from 0, so a backfilled file can steal
+    epoch-0 from an already-applied batch and be silently dropped while
+    the old batches double-count under new numbers)."""
+    h = (
+        F.conv(
+            F.substring(F.md5(F.to_json(F.struct(*batch.columns))), 1, 13), 16, 10
+        )
+        .cast("bigint")
+        # DECIMAL(38,0) accumulator: exact and order-free like BIGINT but
+        # the sum of n 52-bit terms fits for any realistic n (BIGINT
+        # overflows — ANSI-errors — past ~4k rows)
+        .cast("decimal(38,0)")
+    )
+    row = batch.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.sum(h), F.lit(0).cast("decimal(38,0)")).alias("s"),
+    ).collect()[0]
+    return f"content-{row['n']}-{row['s']}"
+
+
 def mv_ingest_stream(
     spark: SparkSession,
     source: DataFrame,
@@ -442,12 +531,20 @@ def mv_ingest_stream(
     checkpoint_dir: str,
 ):
     """Maintain an IncrementalAggView from a stream: each micro-batch is
-    one ``refresh`` call keyed by epoch id, so Structured Streaming's
-    at-least-once foreachBatch delivery composes with the batch ledger
-    into exactly-once view state (a replayed epoch no-ops)."""
+    one ``refresh`` call keyed by a CONTENT fingerprint (not the epoch
+    number), so Structured Streaming's at-least-once foreachBatch
+    delivery composes with the batch ledger into exactly-once view state
+    across retries, restarts, AND checkpoint resets — a replayed or
+    re-numbered delivery of the same rows no-ops, while new data under a
+    recycled epoch number still applies. Consequence to be aware of: two
+    GENUINELY distinct batches with byte-identical content are also
+    treated as a replay (for an aggregate-maintenance view that is the
+    safe default; feed an event-time column through the aggregation if
+    duplicate deltas must both count). Costs one extra aggregate over
+    the delta per batch."""
 
     def fold(batch: DataFrame, batch_id: int) -> None:
-        view.refresh(spark, batch, batch_id=f"epoch-{batch_id}")
+        view.refresh(spark, batch, batch_id=_content_key(batch))
 
     return (
         source.writeStream.foreachBatch(fold)

@@ -719,11 +719,18 @@ def quantile_hist_build(df: DataFrame, value_col: str,
                         width: int = QHIST_WIDTH) -> DataFrame:
     """One map-side-combined aggregate → (bucket, cnt), O(value range /
     width) rows regardless of input size. 2-decimal money converts to
-    exact BIGINT cents at the scan; `div` keeps bucketing integer-exact."""
+    exact BIGINT cents at the scan. Bucketing is FLOOR division kept in
+    integer arithmetic (`cents - pmod` is exactly divisible, so the
+    truncating `div` equals floor): Spark's bare `div` TRUNCATES toward
+    zero, which for negative values (a P&L delta column) would fold
+    (-width, 0) into bucket 0 and break both the one-bin-width error
+    guarantee and parity with DuckDB's flooring `//`."""
     cents = F.round(F.col(value_col) * 100.0, 0).cast("bigint")
     return (
         df.select(cents.alias("cents"))
-        .select(F.expr(f"cents div {width}").alias("bucket"))
+        .select(
+            F.expr(f"(cents - pmod(cents, {width})) div {width}").alias("bucket")
+        )
         .groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -782,11 +789,17 @@ def q_quantile_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quantile_hist_estimate(quantile_hist_build(t.lineitem, "l_extendedprice"))
 
 
+# Oracle note (registry flattens SQL to one line, so no -- comments here):
+# the hist CTE floor-divides via the pmod identity — DuckDB's // truncates
+# toward zero exactly like Spark's `div`, and both would otherwise fold the
+# (-width, 0) range into bucket 0.
 _QHIST_SQL = f"""
     WITH hist AS (
-        SELECT CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) // {QHIST_WIDTH} AS bucket,
+        SELECT (c - ((c % {QHIST_WIDTH}) + {QHIST_WIDTH}) % {QHIST_WIDTH}) // {QHIST_WIDTH} AS bucket,
                count(*) AS cnt
-        FROM lineitem GROUP BY bucket
+        FROM (SELECT CAST(round(l_extendedprice * 100.0, 0) AS BIGINT) AS c
+              FROM lineitem)
+        GROUP BY bucket
     ),
     cum AS (SELECT bucket, sum(cnt) OVER (ORDER BY bucket) AS cum FROM hist),
     total AS (SELECT sum(cnt) AS n_total FROM hist),

@@ -29,8 +29,11 @@ def _canon(rows):
 
 def test_colocated_branch_matches_uncached_values(spark):
     # baseline: uncached catalog → cache_partition_key is None → both
-    # queries take the broadcast-leaf branch (the one the driver checks)
-    assert cache_partition_key(spark, SF01, "orders") is None or True
+    # queries take the broadcast-leaf branch (the one the driver checks).
+    # A hard assert: if another test ever caches the sf0.01 catalog with
+    # partitions before this runs, base3/base5 would silently take the
+    # colocated branch too and the equivalence below would be vacuous.
+    assert cache_partition_key(spark, SF01, "orders") is None
     base3 = _canon(R.q_join3_topk(spark, SF01).collect())
     base5 = _canon(R.q_join5_region(spark, SF01).collect())
 

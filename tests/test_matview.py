@@ -298,3 +298,70 @@ def test_quantile_histogram_view_matches_one_shot_and_brackets_truth(spark, tmp_
     for pct in QHIST_PCTS:
         true_q = cents[-(-pct * n // 100) - 1]
         assert true_q <= est[pct] < true_q + QHIST_WIDTH, (pct, est[pct], true_q)
+
+
+def test_vacuum_rejects_keep_last_below_one(spark, tmp_path):
+    """keep_last=0 would rmtree the committed version itself and leave
+    the pointer dangling — must be rejected, not honored."""
+    mv = _mk_view(tmp_path / "mv")
+    t = load_tables(spark, SMOKE_SF_DIR)
+    mv.refresh(spark, _batches(t.lineitem)[0], batch_id="b0")
+    with pytest.raises(ValueError, match="keep_last"):
+        mv.vacuum(keep_last=0)
+    assert mv.current_version() == 1  # state untouched
+
+
+def test_spec_mismatch_on_reopen_is_rejected(spark, tmp_path):
+    """Reopening an existing view directory with a different
+    state-defining spec (here: a different histogram width) must fail
+    loudly instead of silently sum-merging same-named buckets that mean
+    different ranges."""
+    from machinelearningalgomapreduce_spark.operators.matview import (
+        QuantileHistogramView,
+    )
+
+    t = load_tables(spark, SMOKE_SF_DIR)
+    path = str(tmp_path / "qv")
+    qv = QuantileHistogramView(path, value_col="l_extendedprice", width=50_000)
+    assert qv.refresh(spark, t.lineitem, batch_id="b0") is True
+
+    respec = QuantileHistogramView(path, value_col="l_extendedprice", width=10_000)
+    with pytest.raises(ValueError, match="different spec"):
+        respec.refresh(spark, t.lineitem, batch_id="b1")
+    # the matching spec keeps working
+    assert qv.refresh(spark, t.lineitem, batch_id="b0") is False  # replay
+
+
+def test_ledger_cap_bounds_replay_window(spark, tmp_path):
+    """With ledger_cap=1 only the newest batch id survives: replaying
+    the newest no-ops, replaying an evicted older id re-applies (the
+    documented trade)."""
+    mv = IncrementalAggView(
+        str(tmp_path / "mv"), keys=["l_returnflag"],
+        aggs={"n": ("count", "*")}, ledger_cap=1,
+    )
+    t = load_tables(spark, SMOKE_SF_DIR)
+    b = _batches(t.lineitem, n=2)
+    assert mv.refresh(spark, b[0], batch_id="b0") is True
+    assert mv.refresh(spark, b[1], batch_id="b1") is True
+    assert mv.applied_batches() == ["b1"]
+    assert mv.refresh(spark, b[1], batch_id="b1") is False  # in window
+    assert mv.refresh(spark, b[0], batch_id="b0") is True   # evicted → re-applies
+
+
+def test_content_key_is_order_invariant_and_content_sensitive(spark):
+    """The streaming ledger key must depend on WHAT the batch holds, not
+    epoch numbering, row order, or partitioning — that is what makes a
+    checkpoint reset safe (epoch numbers get recycled; content does not)."""
+    from machinelearningalgomapreduce_spark.operators.matview import _content_key
+
+    t = load_tables(spark, SMOKE_SF_DIR)
+    li = t.lineitem.select("l_orderkey", "l_quantity")
+    k1 = _content_key(li)
+    k2 = _content_key(li.orderBy("l_quantity").repartition(7))
+    assert k1 == k2
+    assert _content_key(li.limit(100)) != k1
+    # empty batches collapse to one key (an empty delta is a no-op anyway)
+    assert _content_key(li.filter("l_quantity < 0")) == _content_key(
+        li.filter("l_quantity > 1e9")
+    )

@@ -173,3 +173,20 @@ def test_quantile_hist_estimate_brackets_true_quantile(spark):
         true_q = cents[-(-pct * n // 100) - 1]
         assert est[pct] >= true_q, (pct, est[pct], true_q)
         assert est[pct] - true_q < S.QHIST_WIDTH, (pct, est[pct], true_q)
+
+
+def test_quantile_hist_floor_buckets_negative_values(spark):
+    """Bucketing must FLOOR, not truncate: negative cents belong to
+    negative buckets, and the one-bin-width bracket guarantee must hold
+    on a value column that goes below zero (truncating div folds
+    (-width, 0) into bucket 0, making bucket 0 span TWO widths)."""
+    rows = [(-75_000.0 / 100,), (-250.0 / 100,), (25_000.0 / 100,), (75_000.0 / 100,)]
+    df = spark.createDataFrame(rows, "v double")
+    hist = {r["bucket"]: r["cnt"] for r in S.quantile_hist_build(df, "v").collect()}
+    assert hist == {-2: 1, -1: 1, 0: 1, 1: 1}
+    est = {
+        r["pct"]: r["est_cents"]
+        for r in S.quantile_hist_estimate(S.quantile_hist_build(df, "v")).collect()
+    }
+    # p25 rank-1 value is -75000: estimate must bracket it within one width
+    assert -75_000 <= est[25] < -75_000 + S.QHIST_WIDTH

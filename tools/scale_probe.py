@@ -1,9 +1,10 @@
 """Scale probe: does runtime grow ~linearly when the data grows 10×?
 
 Builds a 10× tier from sf0.1 by unioning N key-offset copies of the fact
-tables (events, documents, lineitem, orders, customer, supplier — offsets
-keep FK chains consistent so the join queries stay semantically valid;
-region/nation/part/embeddings are shared dims, copied once), names the
+tables (events, documents, lineitem, orders, customer, supplier, and —
+since round 8 — embeddings, so the vector kernels are probed for real;
+offsets keep FK chains consistent so the join queries stay semantically
+valid; region/nation/part are shared dims, copied once), names the
 directory ``sf1.0`` so every tier-gated plan switch (broadcast size gates,
 pre-partition small-tier shortcuts) takes its AT-SCALE branch, then times a
 set of headline queries on both tiers under the ENGINE DEFAULT session
@@ -119,7 +120,15 @@ def main() -> None:
     only: set[str] = set()
     if "--queries" in argv:
         i = argv.index("--queries")
+        if i + 1 >= len(argv):
+            raise SystemExit("--queries needs a comma-separated name list")
         only = set(argv[i + 1].split(","))
+        unknown = only - set(PROBE_QUERIES)
+        if unknown:
+            raise SystemExit(
+                f"not in PROBE_QUERIES: {sorted(unknown)} "
+                f"(choose from {PROBE_QUERIES})"
+            )
         del argv[i:i + 2]
     reuse = "--reuse" in argv
     if reuse:
