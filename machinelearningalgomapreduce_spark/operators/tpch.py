@@ -1,9 +1,12 @@
 """Classic decision-support query shapes (SURVEY.md §2B extension, round 5).
 
 Round 4 covered TPC-H Q1/Q3/Q4/Q5/Q6 shapes in relational.py; this module
-completes the classic benchmark surface with the remaining shapes the
-fixture schema can express (no partsupp table → Q2/Q11/Q16/Q20 are out of
-reach; no commit/receipt dates → Q12/Q21 likewise):
+completes the classic benchmark surface. Shapes the fixture schema can't
+express literally (no partsupp table → Q2/Q11/Q16/Q20; no commit/receipt
+dates → Q12/Q21) are ADAPTED: the query's machinery — its subquery
+decorrelation, anti-join, nested-aggregate, or conditional-count shape —
+is kept intact over a fixture-derivable stand-in (lineitem as the
+part⋈supplier bridge, ship-lag as lateness):
 
 - Q7  volume shipping        → q_volume_shipping
 - Q8  market share           → q_market_share
@@ -23,6 +26,16 @@ reach; no commit/receipt dates → Q12/Q21 likewise):
 - Q21 suppliers who kept orders waiting → q_late_shippers (adapted: no
   commit/receipt dates, so "kept waiting" becomes "sole latest shipper of a
   multi-supplier order" on l_shipdate — the same EXISTS/NOT-EXISTS shape)
+- Q2  min-cost supplier      → q_min_cost_supplier (adapted: unit cost =
+  min observed floor-cents unit price per (part, supplier) from lineitem)
+- Q11 important stock value  → q_important_parts (adapted: value = one
+  nation's discounted revenue per part; integer 1000·value > total HAVING)
+- Q12 shipmode priority mix  → q_shipmode_priority (adapted: mode →
+  l_returnflag; late = shipped > 90 days after order date)
+- Q16 supplier count by part class → q_supplier_cnt (adapted: bridge =
+  distinct lineitem pairs; complaints → negative-balance suppliers)
+- Q20 excess-stock suppliers → q_dominant_suppliers (adapted: dominance =
+  shipped > 2× the fair share of a bolt part's quantity among ≥2 suppliers)
 
 Scale notes (100 TB posture): every query keeps the fact table (lineitem /
 orders) on the probe side and semi-reduces dimension chains to compact
@@ -435,6 +448,210 @@ def q_late_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (adapted): cheapest supplier per part in a region.
+    No partsupp table, so a supplier's unit cost for a part is the minimum
+    observed unit price on its lineitems — floor-cents BIGINTs
+    (floor(100·extprice/qty)), so the per-part minimum and the equality
+    probe against it are exact integer comparisons in both engines.
+
+    Q2's correlated MIN subquery is decorrelated the standard way: the
+    (part, supplier) → cost relation aggregates once from lineitem, the
+    per-part minimum aggregates again from that (both map-side-partial
+    hash aggregates on shrinking key domains), and the equality join back
+    is a broadcast probe — the fact table is never self-joined. The
+    region→nation→supplier chain semi-reduces to a compact
+    (suppkey → acctbal, name, nation) relation before it touches the
+    cost relation. TakeOrdered caps output at 100 (acctbal desc).
+    """
+    t = load_tables(spark, sf_dir)
+    eur_supp = (
+        t.supplier
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t.region.filter(F.col("r_name") == "EUROPE")),
+              F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    std_parts = (
+        t.part.filter((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 5))
+        .select("p_partkey", "p_brand")
+    )
+    eur_supp = broadcast_if_small(eur_supp, sf_dir, fits_until_sf=1.0)
+    std_parts = broadcast_if_small(std_parts, sf_dir, fits_until_sf=1.0)
+    unit_cents = F.floor(F.lit(100.0) * F.col("l_extendedprice") / F.col("l_quantity")).cast("bigint")
+    cost = (
+        t.lineitem
+        .join(std_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(eur_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_brand", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(unit_cents).alias("cost_cents"))
+    )
+    best = cost.groupBy(F.col("p_partkey").alias("bp")).agg(
+        F.min("cost_cents").alias("best_cents")
+    )
+    best = broadcast_if_small(best, sf_dir, fits_until_sf=1.0)
+    return (
+        cost.join(best, (F.col("p_partkey") == F.col("bp"))
+                  & (F.col("cost_cents") == F.col("best_cents")))
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand", "cost_cents")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (adapted): parts carrying an outsized share of one
+    nation's revenue. No partsupp, so "stock value" becomes discounted
+    lineitem revenue from NATION_7 suppliers, in floor-cents BIGINTs; the
+    HAVING > fraction·total comparison is the integer identity
+    1000·value > total — bit-identical across engines with no float sum
+    order sensitivity.
+
+    The global total is a 1-row aggregate broadcast via crossJoin (the
+    DistributedCache idiom, same as q_idle_customers); the per-part
+    aggregate underneath is shared work Catalyst computes once per branch
+    from map-side partials. Output is value desc, capped at 100.
+    """
+    t = load_tables(spark, sf_dir)
+    nat7 = (
+        t.supplier
+        .join(F.broadcast(t.nation.filter(F.col("n_name") == "NATION_15")),
+              F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey")
+    )
+    nat7 = broadcast_if_small(nat7, sf_dir, fits_until_sf=1.0)
+    rev_cents = F.floor(
+        F.lit(100.0) * F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ).cast("bigint")
+    per_part = (
+        t.lineitem.join(nat7, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(rev_cents).alias("value_cents"))
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select(F.col("l_partkey").alias("p_partkey"), "value_cents")
+        .orderBy(F.desc("value_cents"), "p_partkey")
+        .limit(100)
+    )
+
+
+def q_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (adapted): priority mix of slow shipments by class.
+    No l_shipmode or commit/receipt dates, so the "mode" is l_returnflag
+    and a "late" line is one shipped more than 90 days after its order
+    date (both timestamps are midnight-exact, so the day diff is an exact
+    integer in both engines).
+
+    Q12's plan shape intact: the date-window filter pushes to the
+    lineitem scan, orders semi-reduces to (orderkey → priority class,
+    orderdate) for the one fact-side probe, and the conditional counts
+    are CASE-sums inside a single hash aggregate on a 3-value key.
+    """
+    t = load_tables(spark, sf_dir)
+    ord_pri = t.orders.select(
+        "o_orderkey", "o_orderdate",
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH").alias("is_high"),
+    )
+    ord_pri = broadcast_if_small(ord_pri, sf_dir, fits_until_sf=1.0)
+    late = (
+        t.lineitem
+        .filter((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+        .join(ord_pri, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.datediff(F.col("l_shipdate").cast("date"),
+                           F.col("o_orderdate").cast("date")) > 90)
+    )
+    agg = late.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("is_high"), 1).otherwise(0)).cast("bigint").alias("high_line_count"),
+        F.sum(F.when(F.col("is_high"), 0).otherwise(1)).cast("bigint").alias("low_line_count"),
+    )
+    return tiny_sorted(agg, "l_returnflag")
+
+
+def q_supplier_cnt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape (adapted): how many suppliers can furnish each part
+    class. The part⋈supplier bridge is the distinct (l_partkey, l_suppkey)
+    pairs observed in lineitem (no partsupp); Q16's NOT-IN complaint
+    exclusion becomes an anti-join against negative-balance suppliers.
+
+    Scale shape: the bridge dedup is ONE shuffle on the composite key and
+    shrinks the fact table to at most |part|×|supplier| rows; the filtered
+    part attributes broadcast into it; the excluded-supplier set is a tiny
+    broadcast anti-join; count_distinct reuses the already-deduped pairs.
+    All outputs are exact integers; the full grouping key makes the
+    bounded-domain sort total.
+    """
+    t = load_tables(spark, sf_dir)
+    sizes = [1, 4, 9, 16, 25, 36, 49]
+    parts = (
+        t.part.filter((F.col("p_brand") != "Brand#45")
+                      & (F.col("p_type") != "PROMO")
+                      & F.col("p_size").isin(sizes))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    parts = broadcast_if_small(parts, sf_dir, fits_until_sf=1.0)
+    complainers = t.supplier.filter(F.col("s_acctbal") < 0.0).select("s_suppkey")
+    bridge = t.lineitem.select("l_partkey", "l_suppkey").distinct()
+    agg = (
+        bridge
+        .join(parts, F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(complainers),
+              F.col("l_suppkey") == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+    return tiny_sorted(agg, F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+
+
+def q_dominant_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (adapted): suppliers holding a dominant share of a
+    part's flow. No partsupp availqty, so "has excess stock" becomes
+    "shipped strictly more than TWICE its fair share of the part's total
+    quantity" (qty·n_supp > 2·total — scale-invariant, unlike a fixed
+    fraction, which every supplier's share shrinks below as the supplier
+    population grows with the tier). Q20's machinery survives: a nested
+    per-(part,supplier) aggregate compared against a scaled per-part
+    aggregate, then a semi-join back to supplier⋈nation. Only bolt parts
+    with ≥2 shipping suppliers count (a sole supplier is vacuously
+    dominant, which Q20's availqty comparison never is).
+
+    Quantities are per-row BIGINT casts of integral doubles, so the sums
+    and the qty·n > 2·total comparison are exact integer arithmetic at
+    any scale. The per-part rollup derives from the (part, supplier)
+    rollup — the fact table is scanned once and never self-joined.
+    """
+    t = load_tables(spark, sf_dir)
+    bolt_parts = t.part.filter(F.col("p_name").like("%bolt%")).select("p_partkey")
+    bolt_parts = broadcast_if_small(bolt_parts, sf_dir, fits_until_sf=1.0)
+    qty = F.col("l_quantity").cast("bigint")
+    per_ps = (
+        t.lineitem.join(bolt_parts, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum(qty).alias("supp_qty"))
+    )
+    per_part = per_ps.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum("supp_qty").alias("total_qty"),
+        F.count("*").alias("n_supp"),
+    )
+    per_part = broadcast_if_small(per_part, sf_dir, fits_until_sf=1.0)
+    dominant = (
+        per_ps.join(per_part, F.col("l_partkey") == F.col("pk"))
+        .filter((F.col("n_supp") >= 2)
+                & (F.col("supp_qty") * F.col("n_supp") > 2 * F.col("total_qty")))
+        .select("l_suppkey").distinct()
+    )
+    agg = (
+        dominant
+        .join(t.supplier, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t.nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_name", "n_name")
+    )
+    return tiny_sorted(agg, "s_name")
+
+
 QUERIES = {
     "q_custdist": q_custdist,
     "q_large_orders": q_large_orders,
@@ -448,6 +665,11 @@ QUERIES = {
     "q_idle_customers": q_idle_customers,
     "q_profit_by_nation": q_profit_by_nation,
     "q_late_shippers": q_late_shippers,
+    "q_min_cost_supplier": q_min_cost_supplier,
+    "q_important_parts": q_important_parts,
+    "q_shipmode_priority": q_shipmode_priority,
+    "q_supplier_cnt": q_supplier_cnt,
+    "q_dominant_suppliers": q_dominant_suppliers,
 }
 
 ORACLES = {
@@ -606,5 +828,91 @@ ORACLES = {
         GROUP BY s_name
         ORDER BY numwait DESC, s_name
         LIMIT 10
+    """,
+    "q_min_cost_supplier": """
+        WITH cost AS (
+            SELECT p_partkey, p_brand, s_suppkey, s_name, s_acctbal, n_name,
+                   CAST(min(floor(100.0 * l_extendedprice / l_quantity)) AS BIGINT)
+                       AS cost_cents
+            FROM lineitem
+            JOIN part ON l_partkey = p_partkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE p_type = 'STANDARD' AND p_size <= 5 AND r_name = 'EUROPE'
+            GROUP BY 1, 2, 3, 4, 5, 6
+        )
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, cost_cents
+        FROM cost c
+        WHERE cost_cents = (SELECT min(cost_cents) FROM cost c2
+                            WHERE c2.p_partkey = c.p_partkey)
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100
+    """,
+    "q_important_parts": """
+        WITH per_part AS (
+            SELECT l_partkey,
+                   CAST(sum(floor(100.0 * l_extendedprice * (1 - l_discount)))
+                        AS BIGINT) AS value_cents
+            FROM lineitem
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            WHERE n_name = 'NATION_15'
+            GROUP BY l_partkey
+        )
+        SELECT l_partkey AS p_partkey, value_cents
+        FROM per_part
+        WHERE value_cents * 1000 > (SELECT sum(value_cents) FROM per_part)
+        ORDER BY value_cents DESC, p_partkey
+        LIMIT 100
+    """,
+    "q_shipmode_priority": """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND date_diff('day', CAST(o_orderdate AS DATE),
+                        CAST(l_shipdate AS DATE)) > 90
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+    """,
+    "q_supplier_cnt": """
+        SELECT p_brand, p_type, p_size,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) bridge
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_brand <> 'Brand#45'
+          AND p_type <> 'PROMO'
+          AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+          AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0.0)
+        GROUP BY p_brand, p_type, p_size
+        ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    """,
+    "q_dominant_suppliers": """
+        WITH per_ps AS (
+            SELECT l_partkey, l_suppkey,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS supp_qty
+            FROM lineitem
+            WHERE l_partkey IN (SELECT p_partkey FROM part
+                                WHERE p_name LIKE '%bolt%')
+            GROUP BY l_partkey, l_suppkey
+        ), per_part AS (
+            SELECT l_partkey AS pk,
+                   CAST(sum(supp_qty) AS BIGINT) AS total_qty,
+                   count(*) AS n_supp
+            FROM per_ps GROUP BY l_partkey
+        )
+        SELECT s_name, n_name
+        FROM (SELECT DISTINCT l_suppkey
+              FROM per_ps JOIN per_part ON l_partkey = pk
+              WHERE n_supp >= 2 AND supp_qty * n_supp > 2 * total_qty) dom
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        ORDER BY s_name
     """,
 }
