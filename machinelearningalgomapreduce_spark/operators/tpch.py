@@ -502,7 +502,7 @@ def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q11 shape (adapted): parts carrying an outsized share of one
     nation's revenue. No partsupp, so "stock value" becomes discounted
-    lineitem revenue from NATION_7 suppliers, in floor-cents BIGINTs; the
+    lineitem revenue from NATION_15 suppliers, in floor-cents BIGINTs; the
     HAVING > fraction·total comparison is the integer identity
     1000·value > total — bit-identical across engines with no float sum
     order sensitivity.
@@ -513,18 +513,18 @@ def q_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from map-side partials. Output is value desc, capped at 100.
     """
     t = load_tables(spark, sf_dir)
-    nat7 = (
+    nat_supp = (
         t.supplier
         .join(F.broadcast(t.nation.filter(F.col("n_name") == "NATION_15")),
               F.col("s_nationkey") == F.col("n_nationkey"))
         .select("s_suppkey")
     )
-    nat7 = broadcast_if_small(nat7, sf_dir, fits_until_sf=1.0)
+    nat_supp = broadcast_if_small(nat_supp, sf_dir, fits_until_sf=1.0)
     rev_cents = F.floor(
         F.lit(100.0) * F.col("l_extendedprice") * (1 - F.col("l_discount"))
     ).cast("bigint")
     per_part = (
-        t.lineitem.join(nat7, F.col("l_suppkey") == F.col("s_suppkey"))
+        t.lineitem.join(nat_supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
         .agg(F.sum(rev_cents).alias("value_cents"))
     )
