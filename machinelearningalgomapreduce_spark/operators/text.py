@@ -1435,3 +1435,89 @@ ORACLES["q_gopher_rules"] = """
                AS fail_share_micro
     FROM r
 """
+
+def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document exact-substring duplication: 16-token windows shared
+    verbatim by ≥ 2 documents. This is the distributed form of the
+    "duplicated training substrings" sweep (the suffix-array dedup family,
+    e.g. Lee et al. 2021): whole-document hashing misses a copied
+    paragraph inside otherwise-distinct pages, near-dup MinHash smears it
+    into a global similarity score — the window fingerprint localizes it.
+
+    Every document emits all n−15 consecutive 16-token windows (stride 1,
+    so a shared run of ≥ 16 tokens is GUARANTEED to collide regardless of
+    alignment — a stride-s emitter can only see runs the stride happens to
+    align), each fingerprinted with md5 over the joined tokens
+    (engine-identical; the dedup-family foundation). Groups touching ≥ 2
+    distinct documents surface with occurrence/document/source counts and
+    the smallest (doc, position) exemplar.
+
+    Scale shape: the exploded window relation is O(total tokens) rows of
+    (32-hex, ids) — the q_inverted_index / q_wordcount posture, shuffled
+    once on the fingerprint with map-side partial aggregation; document
+    text never shuffles. Output is TakeOrdered-capped at 100, so the
+    driver sees a bounded result at any tier.
+    """
+    t = load_tables(spark, sf_dir)
+    k = 16
+    toks = t.documents.select(
+        "doc_id", "source", _tokens().alias("toks"), F.size(_tokens()).alias("n")
+    ).filter(F.col("n") >= k)
+    win = (
+        toks.select(
+            "doc_id", "source", "toks",
+            F.explode(F.sequence(F.lit(1), F.col("n") - (k - 1))).alias("pos"),
+        )
+        .select(
+            "doc_id", "source", "pos",
+            F.md5(F.array_join(F.slice("toks", F.col("pos"), k), " ")).alias("win_hash"),
+        )
+    )
+    agg = (
+        win.groupBy("win_hash")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            # (doc, pos) argmin as one exact composite BIGINT: positions are
+            # < 1e6 (window index into one document's token list; the emit
+            # guard would overflow a document only past 10^6 tokens, far
+            # beyond any fixture or practical page), so lexicographic
+            # (doc_id, pos) order == numeric order of the composite.
+            F.min(F.col("doc_id") * 1000000 + F.col("pos")).alias("first_key"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .select(
+            "win_hash", "n_occurrences", "n_docs", "n_sources",
+            (F.col("first_key") / 1000000).cast("bigint").alias("exemplar_doc"),
+            (F.col("first_key") % 1000000).cast("bigint").alias("exemplar_pos"),
+        )
+    )
+    return agg.orderBy(F.desc("n_docs"), F.desc("n_occurrences"), "win_hash").limit(100)
+
+
+QUERIES["q_substring_dup"] = q_substring_dup
+
+ORACLES["q_substring_dup"] = """
+    WITH win AS (
+        SELECT doc_id, source, CAST(pos AS INTEGER) AS pos,
+               md5(array_to_string(
+                   list_slice(string_split(text, ' '), pos, pos + 15), ' '))
+                   AS win_hash
+        FROM (SELECT doc_id, source, text,
+                     len(string_split(text, ' ')) AS n
+              FROM documents WHERE len(string_split(text, ' ')) >= 16),
+             unnest(range(1, n - 14)) AS u(pos)
+    )
+    SELECT win_hash,
+           count(*) AS n_occurrences,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(min(doc_id * 1000000 + pos) // 1000000 AS BIGINT) AS exemplar_doc,
+           CAST(min(doc_id * 1000000 + pos) % 1000000 AS BIGINT) AS exemplar_pos
+    FROM win
+    GROUP BY win_hash
+    HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occurrences DESC, win_hash
+    LIMIT 100
+"""

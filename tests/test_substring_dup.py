@@ -1,0 +1,73 @@
+"""Semantic contract for q_substring_dup: the reported window groups are
+exactly the cross-document duplicated 16-token windows a Python sweep
+finds. The bit-exact oracle differential lives in tools/check.py; this
+recomputes the ground truth independently of both engines."""
+
+from __future__ import annotations
+
+import hashlib
+
+from tests.conftest import SMOKE_SF_DIR
+
+
+def _py_windows(text: str, k: int = 16):
+    toks = text.split(" ")
+    for pos in range(0, len(toks) - k + 1):
+        yield pos + 1, hashlib.md5(" ".join(toks[pos:pos + k]).encode()).hexdigest()
+
+
+def test_substring_dup_matches_python_sweep(spark):
+    from machinelearningalgomapreduce_spark.operators.text import q_substring_dup
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    out = q_substring_dup(spark, SMOKE_SF_DIR).collect()
+    assert out, "fixture documents share boilerplate runs"
+
+    t = load_tables(spark, SMOKE_SF_DIR)
+    occur: dict[str, list[tuple[int, int, str]]] = {}
+    for r in t.documents.select("doc_id", "source", "text").collect():
+        for pos, h in _py_windows(r["text"]):
+            occur.setdefault(h, []).append((r["doc_id"], pos, r["source"]))
+    truth = {
+        h: rows for h, rows in occur.items()
+        if len({d for d, _, _ in rows}) >= 2
+    }
+    # Output is top-100 by (n_docs desc, n_occurrences desc, hash); at the
+    # smoke tier the full duplicated set may exceed the cap, so compare the
+    # reported rows against truth rather than requiring set equality.
+    assert len(out) == min(100, len(truth))
+    for r in out:
+        rows = truth[r["win_hash"]]
+        assert r["n_occurrences"] == len(rows)
+        assert r["n_docs"] == len({d for d, _, _ in rows})
+        assert r["n_sources"] == len({s for _, _, s in rows})
+        d, p, _ = min(rows)
+        assert (r["exemplar_doc"], r["exemplar_pos"]) == (d, p)
+    keys = [(-r["n_docs"], -r["n_occurrences"], r["win_hash"]) for r in out]
+    assert keys == sorted(keys)
+
+
+def test_substring_dup_guarantees_any_16_token_run_collides(spark):
+    """Stride-1 property: two documents sharing ANY 16-token run appear in
+    a common group regardless of where the run sits in each document."""
+    from machinelearningalgomapreduce_spark.operators.text import q_substring_dup
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    t = load_tables(spark, SMOKE_SF_DIR)
+    docs = {r["doc_id"]: r["text"] for r in t.documents.select("doc_id", "text").collect()}
+    # Find one ground-truth shared run to anchor the guarantee.
+    seen: dict[str, int] = {}
+    anchor = None
+    for d, text in sorted(docs.items()):
+        for _, h in _py_windows(text):
+            if h in seen and seen[h] != d:
+                anchor = h
+                break
+            seen[h] = d
+        if anchor:
+            break
+    assert anchor is not None, "smoke fixture must contain a shared run"
+    hashes = {r["win_hash"] for r in q_substring_dup(spark, SMOKE_SF_DIR).collect()}
+    # The anchor collides in truth; it is only absent from the output if the
+    # top-100 cap cut it, in which case 100 other true collisions are there.
+    assert anchor in hashes or len(hashes) == 100
