@@ -466,3 +466,65 @@ ORACLES["q_mcc"] = f"""
                       * 1000000.0 + 0.5) AS BIGINT) AS mcc_micro
     FROM m
 """
+
+def q_brier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brier score + log-loss of the scored eval set — the proper scoring
+    rules a probability-emitting quality classifier reports alongside
+    rank metrics (AUC orders candidates; Brier/log-loss price the
+    calibration of the probabilities a downstream sampler actually uses).
+
+    The raw score is not a probability, so it maps through the min-max
+    transform p = (score − min)/(max − min) (global min/max are a 1-row
+    broadcast; the mapping is pure arithmetic, bit-identical across
+    engines — deliberately NOT a logistic, whose exp() is libm-shaped).
+    For log-loss p clamps to [1e-6, 1 − 1e-6]. Both metrics use the
+    q_theil_index determinism discipline: per-row terms round to 6 and
+    accumulate as DECIMAL(28,6) (order-free exact sums), closing with a
+    single division emitted as fixed-point micro BIGINTs.
+
+    Scale shape: one min/max aggregate + one map-side-combinable moments
+    aggregate over the scored scan — two passes, no joins, O(1) state."""
+    s = _scored(spark, sf_dir)
+    ext = s.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    p = F.try_divide(F.col("score") - F.col("lo"), F.nullif(F.col("hi") - F.col("lo"), F.lit(0.0)))
+    pc = F.least(F.greatest(p, F.lit(1e-6)), F.lit(1.0 - 1e-6))
+    brier_term = F.round((p - F.col("pos")) * (p - F.col("pos")), 6).cast("decimal(28,6)")
+    ll_term = F.round(
+        -(F.col("pos") * F.log(pc) + (1 - F.col("pos")) * F.log(F.lit(1.0) - pc)), 6
+    ).cast("decimal(28,6)")
+    agg = s.crossJoin(F.broadcast(ext)).agg(
+        F.count("*").alias("n"),
+        F.sum(brier_term).alias("sb"),
+        F.sum(ll_term).alias("sl"),
+    )
+    return agg.select(
+        "n",
+        F.floor(F.col("sb").cast("double") / F.col("n") * 1000000.0 + F.lit(0.5))
+        .cast("bigint").alias("brier_micro"),
+        F.floor(F.col("sl").cast("double") / F.col("n") * 1000000.0 + F.lit(0.5))
+        .cast("bigint").alias("logloss_micro"),
+    )
+
+
+QUERIES["q_brier"] = q_brier
+
+ORACLES["q_brier"] = f"""
+    WITH scored AS ({_SCORED_SQL}),
+    ext AS (SELECT min(score) AS lo, max(score) AS hi FROM scored),
+    terms AS (
+        SELECT pos,
+               (score - lo) / nullif(hi - lo, 0.0) AS p,
+               least(greatest((score - lo) / nullif(hi - lo, 0.0), 1e-6),
+                     1.0 - 1e-6) AS pc
+        FROM scored, ext
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           CAST(floor(CAST(sum(CAST(round((p - pos) * (p - pos), 6)
+                                    AS DECIMAL(28,6))) AS DOUBLE)
+                      / count(*) * 1000000.0 + 0.5) AS BIGINT) AS brier_micro,
+           CAST(floor(CAST(sum(CAST(round(-(pos * ln(pc)
+                                            + (1 - pos) * ln(1.0 - pc)), 6)
+                                    AS DECIMAL(28,6))) AS DOUBLE)
+                      / count(*) * 1000000.0 + 0.5) AS BIGINT) AS logloss_micro
+    FROM terms
+"""

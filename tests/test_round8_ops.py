@@ -1,7 +1,6 @@
-"""Semantic contract for q_substring_dup: the reported window groups are
-exactly the cross-document duplicated 16-token windows a Python sweep
-finds. The bit-exact oracle differential lives in tools/check.py; this
-recomputes the ground truth independently of both engines."""
+"""Semantic contracts for the round-8 session-3 operators (q_substring_dup,
+q_brier, ...): each result recomputed from ground truth with independent
+Python sweeps. The bit-exact oracle differential lives in tools/check.py."""
 
 from __future__ import annotations
 
@@ -71,3 +70,31 @@ def test_substring_dup_guarantees_any_16_token_run_collides(spark):
     # The anchor collides in truth; it is only absent from the output if the
     # top-100 cap cut it, in which case 100 other true collisions are there.
     assert anchor in hashes or len(hashes) == 100
+
+
+def test_brier_and_logloss_match_python(spark):
+    """Brier/log-loss recomputed in Python under the same min-max mapping
+    and rounding discipline as both engines."""
+    import math
+
+    from machinelearningalgomapreduce_spark.operators.classifier import _scored, q_brier
+
+    row = q_brier(spark, SMOKE_SF_DIR).first()
+    rows = _scored(spark, SMOKE_SF_DIR).collect()
+    lo = min(r["score"] for r in rows)
+    hi = max(r["score"] for r in rows)
+    sb = sl = 0
+    for r in rows:
+        p = (r["score"] - lo) / (hi - lo)
+        pc = min(max(p, 1e-6), 1.0 - 1e-6)
+        sb += round(round((p - r["pos"]) ** 2, 6) * 1e6)
+        sl += round(round(-(r["pos"] * math.log(pc)
+                            + (1 - r["pos"]) * math.log(1.0 - pc)), 6) * 1e6)
+    n = len(rows)
+    assert row["n"] == n
+    assert abs(row["brier_micro"] - sb / n) <= 1
+    assert abs(row["logloss_micro"] - sl / n) <= 1
+    # A min-max-normalized forecast is bounded: Brier in [0,1], and the
+    # fixture's discriminative score must beat the coin-flip bound.
+    assert 0 <= row["brier_micro"] <= 1_000_000
+    assert row["brier_micro"] < 250_000
