@@ -1336,3 +1336,80 @@ ORACLES = {
         SELECT node FROM back
     """,
 }
+
+def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edge triangle-support histogram + k-truss membership — the k-truss
+    peel kernel (an edge is in the k-truss iff it supports ≥ k−2
+    triangles; trusses are the standard cohesive-subgraph refinement of
+    triangle counting for community cores).
+
+    Each triangle from the q_triangle_count wedge-closure join charges
+    its three edges; a right join back to the edge relation restores
+    support-0 edges; the per-edge supports then roll up to the bounded
+    (support → n_edges) histogram with the k=4 membership flag
+    (support ≥ 2). Exact integer counts throughout.
+
+    Scale shape: the triangle relation is the proven O(m^{3/2})
+    wedge-closure join (id-oriented here, degree-oriented at 100 TB —
+    see q_triangle_count); the 3-way edge charge is a union of
+    projections of that relation (no new joins), aggregated once on the
+    edge key, and the final histogram key domain is ≤ max support —
+    tiny. The full per-edge support relation never reaches the driver.
+    """
+    edges = _copurchase_edges(spark, sf_dir)
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .select(F.col("e1.u").alias("x"), F.col("e1.v").alias("y"),
+                F.col("e2.v").alias("z"))
+        .join(e3, (F.col("x") == F.col("e3.u")) & (F.col("z") == F.col("e3.v")))
+        .select("x", "y", "z")
+    )
+    charged = (
+        tri.select(F.col("x").alias("u"), F.col("y").alias("v"))
+        .unionAll(tri.select(F.col("x").alias("u"), F.col("z").alias("v")))
+        .unionAll(tri.select(F.col("y").alias("u"), F.col("z").alias("v")))
+        .groupBy("u", "v")
+        .agg(F.count("*").alias("support"))
+    )
+    per_edge = (
+        edges.join(charged, ["u", "v"], "left")
+        .select(F.coalesce(F.col("support"), F.lit(0)).alias("support"))
+    )
+    hist = per_edge.groupBy("support").agg(
+        F.count("*").alias("n_edges")
+    ).select(
+        F.col("support").cast("bigint").alias("support"),
+        "n_edges",
+        (F.col("support") >= 2).alias("in_truss4"),
+    )
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    return tiny_sorted(hist, "support")
+
+
+QUERIES["q_edge_support"] = q_edge_support
+
+ORACLES["q_edge_support"] = f"""
+    WITH {_EDGE_CTES}, tri AS (
+        SELECT e1.u AS x, e1.v AS y, e2.v AS z
+        FROM edges e1
+        JOIN edges e2 ON e1.v = e2.u
+        JOIN edges e3 ON e3.u = e1.u AND e3.v = e2.v
+    ), charged AS (
+        SELECT u, v, count(*) AS support FROM (
+            SELECT x AS u, y AS v FROM tri
+            UNION ALL SELECT x AS u, z AS v FROM tri
+            UNION ALL SELECT y AS u, z AS v FROM tri
+        ) GROUP BY u, v
+    ), per_edge AS (
+        SELECT coalesce(c.support, 0) AS support
+        FROM edges e LEFT JOIN charged c ON e.u = c.u AND e.v = c.v
+    )
+    SELECT CAST(support AS BIGINT) AS support,
+           count(*) AS n_edges,
+           support >= 2 AS in_truss4
+    FROM per_edge
+    GROUP BY support
+    ORDER BY support
+"""

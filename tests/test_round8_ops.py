@@ -98,3 +98,20 @@ def test_brier_and_logloss_match_python(spark):
     # fixture's discriminative score must beat the coin-flip bound.
     assert 0 <= row["brier_micro"] <= 1_000_000
     assert row["brier_micro"] < 250_000
+
+
+def test_edge_support_charges_every_triangle_three_times(spark):
+    """Conservation laws: histogram covers every edge exactly once, and
+    total support equals 3 x the independently-counted triangles."""
+    from machinelearningalgomapreduce_spark.operators.graph import (
+        q_edge_support, q_triangle_count,
+    )
+
+    rows = q_edge_support(spark, SMOKE_SF_DIR).collect()
+    assert rows
+    summary = q_triangle_count(spark, SMOKE_SF_DIR).first()
+    assert sum(r["n_edges"] for r in rows) == summary["n_edges"]
+    assert sum(r["support"] * r["n_edges"] for r in rows) == 3 * summary["n_triangles"]
+    assert all(r["in_truss4"] == (r["support"] >= 2) for r in rows)
+    supports = [r["support"] for r in rows]
+    assert supports == sorted(supports)
