@@ -203,3 +203,117 @@ class ManifestJsonlWriter(DataSourceWriter):
 def _h_line(line: str) -> int:
     d = hashlib.md5(line.encode()).digest()
     return int.from_bytes(d[:8], "big")
+
+# --------------------------------------------------------------- reader side
+
+class ManifestJsonlSource(DataSource):
+    """Custom Python DataSource READER paired with ManifestJsonlSink: scans
+    ONLY the shards the committed manifest lists, so the exactly-once
+    guarantee the two-phase-commit writer establishes actually reaches the
+    consumer — orphan shards from failed or aborted jobs sit in the same
+    directory but are never observed, and a directory without a manifest
+    (a job that died before commit) reads as an explicit error instead of
+    a silent partial dataset.
+
+    Each manifest entry becomes one InputPartition (shard-parallel scan;
+    at export scale the shard count is the write-side parallelism, so the
+    read side inherits it). Every task re-derives its shard's row count
+    and order-insensitive checksum while streaming and fails LOUDLY on
+    mismatch — bit-rot or a hand-edited shard is a read error, not a
+    quietly different dataset.
+
+    Schema: pass one explicitly (``spark.read.format(...).schema(...)``)
+    or let the source infer it from the first line of the first shard
+    (JSON scalars → long/double/string/boolean; absent keys → null).
+
+    Usage:
+        spark.dataSource.register(ManifestJsonlSource)
+        df = spark.read.format("manifest_jsonl_read").option("path", d).load()
+    """
+
+    @classmethod
+    def name(cls) -> str:
+        return "manifest_jsonl_read"
+
+    def _manifest(self) -> dict:
+        import json
+        import os
+
+        path = self.options.get("path")
+        if not path:
+            raise ValueError("manifest_jsonl_read requires .option('path', ...)")
+        mpath = os.path.join(path, "manifest.json")
+        if not os.path.exists(mpath):
+            raise FileNotFoundError(
+                f"no committed manifest at {mpath}: the export job did not "
+                "commit (or the path is wrong); refusing to read orphan shards"
+            )
+        with open(mpath, encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def schema(self) -> StructType:
+        import json
+        import os
+
+        from pyspark.sql.types import BooleanType
+
+        manifest = self._manifest()
+        for shard in manifest["shards"]:
+            if shard["n_rows"] == 0:
+                continue
+            with open(os.path.join(self.options["path"], shard["path"]),
+                      encoding="utf-8") as fh:
+                first = json.loads(fh.readline())
+            fields = []
+            for key in sorted(first):
+                v = first[key]
+                if isinstance(v, bool):
+                    typ = BooleanType()
+                elif isinstance(v, int):
+                    typ = LongType()
+                elif isinstance(v, float):
+                    typ = DoubleType()
+                else:
+                    typ = StringType()
+                fields.append(StructField(key, typ))
+            return StructType(fields)
+        return StructType([])
+
+    def reader(self, schema: StructType) -> "ManifestJsonlReader":
+        return ManifestJsonlReader(self.options, schema, self._manifest())
+
+
+class _Shard(InputPartition):
+    def __init__(self, path: str, n_rows: int, checksum: int):
+        self.path, self.n_rows, self.checksum = path, n_rows, checksum
+
+
+class ManifestJsonlReader(DataSourceReader):
+    def __init__(self, options, schema: StructType, manifest: dict):
+        self.dir = options["path"]
+        self.fields = [f.name for f in schema.fields]
+        self.shards = manifest["shards"]
+
+    def partitions(self):
+        return [_Shard(s["path"], s["n_rows"], s["checksum"])
+                for s in self.shards]
+
+    def read(self, partition: _Shard) -> Iterator[tuple]:
+        import json
+        import os
+
+        full = os.path.join(self.dir, partition.path)
+        n, checksum = 0, 0
+        with open(full, encoding="utf-8") as fh:
+            for line in fh:
+                line = line.rstrip("\n")
+                n += 1
+                checksum = (checksum + _h_line(line)) % (1 << 64)
+                obj = json.loads(line)
+                yield tuple(obj.get(f) for f in self.fields)
+        if n != partition.n_rows or checksum != partition.checksum:
+            raise IOError(
+                f"shard {partition.path} does not match its manifest entry "
+                f"(rows {n} vs {partition.n_rows}, checksum {checksum} vs "
+                f"{partition.checksum}): refusing to serve corrupt data"
+            )

@@ -115,3 +115,88 @@ def test_edge_support_charges_every_triangle_three_times(spark):
     assert all(r["in_truss4"] == (r["support"] >= 2) for r in rows)
     supports = [r["support"] for r in rows]
     assert supports == sorted(supports)
+
+
+# ------------------------------------ manifest-honoring JSONL reader
+
+
+def _export_docs(spark, tmp_path, name="exp"):
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+    from machinelearningalgomapreduce_spark.sources.custom import ManifestJsonlSink
+
+    spark.dataSource.register(ManifestJsonlSink)
+    out = str(tmp_path / name)
+    docs = load_tables(spark, SMOKE_SF_DIR).documents.select(
+        "doc_id", "source", "n_chars"
+    ).repartition(3)
+    docs.write.format("manifest_jsonl").option("path", out).mode("append").save()
+    return out, docs
+
+
+def test_manifest_reader_round_trips_the_sink(spark, tmp_path):
+    """write -> read recovers exactly the exported rows, with inferred
+    long/string types, scanning one partition per manifest shard."""
+    from machinelearningalgomapreduce_spark.sources.custom import ManifestJsonlSource
+
+    out, docs = _export_docs(spark, tmp_path)
+    spark.dataSource.register(ManifestJsonlSource)
+    back = spark.read.format("manifest_jsonl_read").option("path", out).load()
+    assert dict(back.dtypes) == {"doc_id": "bigint", "n_chars": "bigint",
+                                 "source": "string"}
+    got = sorted((r["doc_id"], r["source"], r["n_chars"]) for r in back.collect())
+    want = sorted((r["doc_id"], r["source"], r["n_chars"]) for r in docs.collect())
+    assert got == want
+    assert back.rdd.getNumPartitions() == 3
+
+
+def test_manifest_reader_ignores_orphan_shards(spark, tmp_path):
+    """A shard left behind by a failed/aborted job (present on disk, not in
+    the manifest) is invisible — the two-phase-commit guarantee reaches
+    the consumer."""
+    from machinelearningalgomapreduce_spark.sources.custom import ManifestJsonlSource
+
+    out, docs = _export_docs(spark, tmp_path)
+    orphan = f'{out}/shard-99999-0.jsonl'
+    with open(orphan, "w") as fh:
+        fh.write('{"doc_id": 999999, "n_chars": 1, "source": "orphan"}\n')
+    spark.dataSource.register(ManifestJsonlSource)
+    back = spark.read.format("manifest_jsonl_read").option("path", out).load()
+    assert back.count() == docs.count()
+    assert back.filter("source = 'orphan'").count() == 0
+
+
+def test_manifest_reader_refuses_uncommitted_directory(spark, tmp_path):
+    """No manifest (job died before commit) = explicit error, never a
+    silent partial dataset."""
+    import pytest
+
+    from machinelearningalgomapreduce_spark.sources.custom import ManifestJsonlSource
+
+    out, _ = _export_docs(spark, tmp_path)
+    import os
+
+    os.remove(os.path.join(out, "manifest.json"))
+    spark.dataSource.register(ManifestJsonlSource)
+    with pytest.raises(Exception, match="did not commit|manifest"):
+        spark.read.format("manifest_jsonl_read").option("path", out).load().collect()
+
+
+def test_manifest_reader_detects_shard_corruption(spark, tmp_path):
+    """A shard whose content drifted from its manifest entry (bit-rot,
+    hand edit) fails the scan task loudly instead of serving the drifted
+    rows as if committed."""
+    import json
+
+    import pytest
+
+    from machinelearningalgomapreduce_spark.sources.custom import ManifestJsonlSource
+
+    out, _ = _export_docs(spark, tmp_path)
+    manifest = json.loads(open(f"{out}/manifest.json").read())
+    victim = next(s["path"] for s in manifest["shards"] if s["n_rows"] > 0)
+    with open(f"{out}/{victim}", "a") as fh:
+        fh.write('{"doc_id": 424242, "n_chars": 1, "source": "tamper"}\n')
+    spark.dataSource.register(ManifestJsonlSource)
+    df = spark.read.format("manifest_jsonl_read").option("path", out).load()
+    with pytest.raises(Exception, match="manifest entry|corrupt"):
+        df.collect()
