@@ -79,6 +79,12 @@ PROBE_QUERIES = [
     # round-8 addition: the mergeable quantile histogram — must stay
     # ~flat (output bounded by value range / bin width, like the sketches)
     "q_quantile_hist",
+    # round-8 session-3 additions: the window-fingerprint dedup (linear
+    # O(total tokens) shuffle, top-100 output) and the truss kernel (the
+    # wedge-closure join over a co-purchase graph that DENSIFIES as orders
+    # multiply over the shared part table — the interesting stress case).
+    "q_substring_dup",
+    "q_edge_support",
 ]
 
 
