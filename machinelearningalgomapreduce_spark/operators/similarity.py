@@ -1111,3 +1111,178 @@ def pq_fit(
             .localCheckpoint()
         )
     return cents, errors
+
+
+def _brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force top-k (query_id, neighbor_id, brute_rank) over the
+    ANN query sample — the shared ground-truth relevance set of the
+    ranking-eval family (q_sim_recall / q_ndcg / q_mrr / q_map).
+
+    Scale shape: query side is a 1/STRIDE sample and broadcast; the join
+    is linear in the corpus — the continuously-affordable audit envelope
+    the module docstring describes."""
+    t = load_tables(spark, sf_dir)
+    e = t.embeddings.select(
+        "vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm")
+    )
+    q = e.filter(F.col("vec_id") % ANN_QUERY_STRIDE == 0).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qv"),
+        F.col("vnorm").alias("qnorm"),
+    )
+    cos = F.round(
+        dot(F.col("qv"), F.col("embedding"), EMBEDDING_DIM)
+        / (F.col("qnorm") * F.col("vnorm")),
+        6,
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
+    return (
+        F.broadcast(q)
+        .join(e, F.col("query_id") != F.col("vec_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
+        .withColumn("brute_rank", F.row_number().over(w))
+        .filter(F.col("brute_rank") <= ANN_K)
+        .select("query_id", "neighbor_id")
+    )
+
+
+def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-reciprocal-rank audit of the IVF path — the first-result
+    metric: recall@k (q_sim_recall) counts how many true neighbors were
+    found and NDCG scores the whole ordering; MRR isolates HOW FAR DOWN
+    the list the first true neighbor sits, the number a
+    retrieve-one-document consumer (RAG, dedup-canonical lookup) cares
+    about. rr = 1/rank of the first ANN result that is in the exact
+    brute top-k, 0 if none of the k results is.
+
+    Determinism: ranks are row_number over rounded cosine with id
+    tie-breaks (engine-identical); rr is one integer division, rounded.
+
+    Scale shape: identical to q_sim_recall — brute truth on the query
+    sample only, model-sized joins after."""
+    brute = _brute_topk(spark, sf_dir)
+    ann = q_sim_ann(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+    first_hit = (
+        ann.join(brute, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.min("rank").alias("min_rank"))
+    )
+    queries_frame = brute.select("query_id").distinct()
+    return queries_frame.join(first_hit, "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("min_rank"), F.lit(0)).cast("bigint").alias("first_hit_rank"),
+        F.round(
+            F.coalesce(F.lit(1.0) / F.col("min_rank"), F.lit(0.0)), 6
+        ).alias("rr"),
+    )
+
+
+def q_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Average-precision@k audit of the IVF path — the order-sensitive
+    set metric completing the ranking-eval family: AP averages
+    precision@i over the positions i where the ANN list produced a true
+    (brute top-k) neighbor, so early misses are punished harder than
+    late ones, without NDCG's graded-relevance assumption.
+
+    AP = (1/k) Σ_hits (hits_so_far / rank). hits_so_far is row_number
+    over the hit list ordered by ANN rank — exact integers in both
+    engines; each precision term is one small-integer division rounded
+    to 6 and summed as DECIMAL(18,6) (order-free), closing with a single
+    /k division.
+
+    Scale shape: identical to q_sim_recall — brute truth on the query
+    sample only, model-sized joins after."""
+    brute = _brute_topk(spark, sf_dir)
+    ann = q_sim_ann(spark, sf_dir).select("query_id", "neighbor_id", "rank")
+    hits = ann.join(brute, ["query_id", "neighbor_id"]).select("query_id", "rank")
+    w = W.partitionBy("query_id").orderBy("rank")
+    prec = hits.withColumn(
+        "p",
+        F.round(
+            F.row_number().over(w).cast("double") / F.col("rank"), 6
+        ).cast("decimal(18,6)"),
+    )
+    per_q = prec.groupBy("query_id").agg(F.sum("p").alias("sp"))
+    queries_frame = brute.select("query_id").distinct()
+    return queries_frame.join(per_q, "query_id", "left").select(
+        "query_id",
+        F.round(
+            F.coalesce(F.col("sp").cast("double"), F.lit(0.0)) / float(ANN_K), 6
+        ).alias("ap"),
+    )
+
+
+QUERIES["q_mrr"] = q_mrr
+QUERIES["q_map"] = q_map
+
+# Both oracles reuse the q_sim_recall skeleton: exact brute top-k as the
+# relevance set, the probe/ann CTEs replicating the IVF search.
+_RANKEVAL_CTES = f"""{_ASSIGN_CTES},
+    cells AS (
+        SELECT e.vec_id, e.embedding, a.cluster
+        FROM embeddings e JOIN assigned a USING (vec_id)
+    ), q AS (
+        SELECT vec_id AS query_id, embedding AS qv
+        FROM embeddings WHERE vec_id % {ANN_QUERY_STRIDE} = 0
+    ), qprobe AS (
+        SELECT query_id, pcell
+        FROM (SELECT vec_id AS query_id, cluster AS pcell,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist2, cluster) AS rn
+              FROM scored WHERE vec_id % {ANN_QUERY_STRIDE} = 0)
+        WHERE rn <= {ANN_NPROBE}
+    ), brute AS (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id) AS brute_rank
+        FROM (
+            SELECT q.query_id, b.vec_id AS neighbor_id, {_COS_QB} AS cos_sim
+            FROM q JOIN embeddings b ON q.query_id <> b.vec_id)
+    ), topk AS (
+        SELECT query_id, neighbor_id FROM brute WHERE brute_rank <= {ANN_K}
+    ), probe AS (
+        SELECT q.query_id, b.vec_id AS neighbor_id, {_COS_QB} AS cos_sim
+        FROM q
+        JOIN qprobe p ON p.query_id = q.query_id
+        JOIN cells b ON b.cluster = p.pcell AND q.query_id <> b.vec_id
+    ), ann AS (
+        SELECT query_id, neighbor_id, rank
+        FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                           ORDER BY cos_sim DESC, neighbor_id) AS rank
+              FROM probe)
+        WHERE rank <= {ANN_K}
+    )"""
+
+ORACLES["q_mrr"] = f"""
+    WITH {_RANKEVAL_CTES},
+    first_hit AS (
+        SELECT a.query_id, min(a.rank) AS min_rank
+        FROM ann a JOIN topk t USING (query_id, neighbor_id)
+        GROUP BY a.query_id
+    )
+    SELECT qq.query_id,
+           CAST(coalesce(f.min_rank, 0) AS BIGINT) AS first_hit_rank,
+           round(coalesce(1.0 / f.min_rank, 0.0), 6) AS rr
+    FROM (SELECT DISTINCT query_id FROM topk) qq
+    LEFT JOIN first_hit f USING (query_id)
+"""
+
+ORACLES["q_map"] = f"""
+    WITH {_RANKEVAL_CTES},
+    hits AS (
+        SELECT a.query_id, a.rank
+        FROM ann a JOIN topk t USING (query_id, neighbor_id)
+    ),
+    prec AS (
+        SELECT query_id,
+               CAST(round(CAST(row_number() OVER (PARTITION BY query_id
+                                                  ORDER BY rank) AS DOUBLE)
+                          / rank, 6) AS DECIMAL(18,6)) AS p
+        FROM hits
+    ),
+    per_q AS (SELECT query_id, sum(p) AS sp FROM prec GROUP BY query_id)
+    SELECT qq.query_id,
+           round(coalesce(CAST(m.sp AS DOUBLE), 0.0) / {float(ANN_K)}, 6) AS ap
+    FROM (SELECT DISTINCT query_id FROM topk) qq
+    LEFT JOIN per_q m USING (query_id)
+"""

@@ -200,3 +200,66 @@ def test_manifest_reader_detects_shard_corruption(spark, tmp_path):
     df = spark.read.format("manifest_jsonl_read").option("path", out).load()
     with pytest.raises(Exception, match="manifest entry|corrupt"):
         df.collect()
+
+
+def _ann_ranking_truth(spark, sf_dir):
+    """Shared Python recompute for the ranking-eval metrics: exact brute
+    top-k per ANN query plus the IVF result lists."""
+    import math
+
+    from machinelearningalgomapreduce_spark.operators import similarity as S
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_tables(spark, sf_dir).embeddings.collect()
+    }
+    norms = {vid: math.sqrt(sum(x * x for x in v)) for vid, v in vecs.items()}
+
+    def cos(a, b):
+        return round(
+            sum(x * y for x, y in zip(vecs[a], vecs[b])) / (norms[a] * norms[b]), 6
+        )
+
+    queries = [vid for vid in vecs if vid % S.ANN_QUERY_STRIDE == 0]
+    truth = {
+        qid: sorted((v for v in vecs if v != qid), key=lambda v: (-cos(qid, v), v))[: S.ANN_K]
+        for qid in queries
+    }
+    ann = {}
+    for r in S.q_sim_ann(spark, sf_dir).collect():
+        ann.setdefault(r.query_id, []).append((r.rank, r.neighbor_id))
+    return queries, truth, ann
+
+
+def test_mrr_matches_python_recompute(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators import similarity as S
+
+    queries, truth, ann = _ann_ranking_truth(spark, sf_dir)
+    expected = {}
+    for qid in queries:
+        hits = [rank for rank, nid in sorted(ann.get(qid, [])) if nid in truth[qid]]
+        expected[qid] = (hits[0] if hits else 0, round(1.0 / hits[0], 6) if hits else 0.0)
+    got = {
+        r.query_id: (r.first_hit_rank, r.rr)
+        for r in S.q_mrr(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # the IVF path finds SOME true neighbor first for most queries
+    assert sum(1 for rank, _ in got.values() if rank == 1) > 0
+
+
+def test_map_matches_python_recompute(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.operators import similarity as S
+
+    queries, truth, ann = _ann_ranking_truth(spark, sf_dir)
+    expected = {}
+    for qid in queries:
+        hits = [rank for rank, nid in sorted(ann.get(qid, [])) if nid in truth[qid]]
+        ap = sum(
+            round((i + 1) / rank, 6) for i, rank in enumerate(hits)
+        )
+        expected[qid] = round(ap / S.ANN_K, 6)
+    got = {r.query_id: r.ap for r in S.q_map(spark, sf_dir).collect()}
+    assert got == expected
+    assert all(0.0 <= v <= 1.0 for v in got.values())

@@ -89,6 +89,8 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_norm_profile": {"BroadcastNestedLoopJoin": "1-row norm moments"},
     "q_sim_recall": {"BroadcastNestedLoopJoin": "Q-row query sample"},
     "q_ndcg": {"BroadcastNestedLoopJoin": "Q-row query sample"},
+    "q_mrr": {"BroadcastNestedLoopJoin": "Q-row query sample"},
+    "q_map": {"BroadcastNestedLoopJoin": "Q-row query sample"},
     "q_sim_topk": {"BroadcastNestedLoopJoin": "Q-row query block"},
     "q_sim_ann": {"BroadcastNestedLoopJoin": "k-row centroid model"},
     "q_dedup_embedding": {"BroadcastNestedLoopJoin": "guarded brute tier (refuses >sf0.5)"},
