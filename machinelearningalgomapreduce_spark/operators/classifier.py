@@ -528,3 +528,173 @@ ORACLES["q_brier"] = f"""
                       / count(*) * 1000000.0 + 0.5) AS BIGINT) AS logloss_micro
     FROM terms
 """
+
+
+def q_mcnemar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """McNemar's paired test: did swapping classifier A (coordinate-0
+    score) for classifier B (coordinate-1 score) CHANGE accuracy, judged
+    on the same eval rows — the right test when both models score one
+    shared eval set, where the two-proportion z-test overstates
+    significance by ignoring pairing.
+
+    Cells count per-row agreement: n11 both correct … n00 both wrong; the
+    continuity-corrected statistic (|n10 − n01| − 1)² / (n10 + n01) uses
+    only the discordant cells. One conditional-count hash aggregate over
+    the scan (the q_confusion_binary envelope — no joins, no window);
+    integer cells are exact, the single closing division is emitted as
+    fixed-point micros (correctly-rounded double ops on ≤2^53 integers).
+    """
+    t = load_tables(spark, sf_dir)
+    pos = (F.col("label") >= 5).cast("int")
+    a_ok = (
+        ((F.col("embedding")[0].cast("double") + 0.05 * F.col("label")) >= 0.0).cast("int")
+        == pos
+    ).cast("int")
+    b_ok = (
+        ((F.col("embedding")[1].cast("double") + 0.05 * F.col("label")) >= 0.0).cast("int")
+        == pos
+    ).cast("int")
+    s = t.embeddings.select(a_ok.alias("a"), b_ok.alias("b"))
+    n11 = F.sum(F.col("a") * F.col("b"))
+    n10 = F.sum(F.col("a") * (1 - F.col("b")))
+    n01 = F.sum((1 - F.col("a")) * F.col("b"))
+    n00 = F.sum((1 - F.col("a")) * (1 - F.col("b")))
+    agg = s.agg(
+        n11.cast("bigint").alias("n11"),
+        n10.cast("bigint").alias("n10"),
+        n01.cast("bigint").alias("n01"),
+        n00.cast("bigint").alias("n00"),
+    )
+    disc = F.col("n10") + F.col("n01")
+    num = (F.abs(F.col("n10") - F.col("n01")) - 1) * (F.abs(F.col("n10") - F.col("n01")) - 1)
+    return agg.select(
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        F.coalesce(
+            F.floor(
+                F.try_divide(num.cast("double"), F.nullif(disc.cast("double"), F.lit(0.0)))
+                * 1000000.0
+                + F.lit(0.5)
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("chi2_micro"),
+    )
+
+
+QUERIES["q_mcnemar"] = q_mcnemar
+
+ORACLES["q_mcnemar"] = """
+    WITH paired AS (
+        SELECT CASE WHEN (CASE WHEN CAST(embedding[1] AS DOUBLE) + 0.05 * label >= 0.0
+                               THEN 1 ELSE 0 END)
+                       = (CASE WHEN label >= 5 THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS a,
+               CASE WHEN (CASE WHEN CAST(embedding[2] AS DOUBLE) + 0.05 * label >= 0.0
+                               THEN 1 ELSE 0 END)
+                       = (CASE WHEN label >= 5 THEN 1 ELSE 0 END)
+                    THEN 1 ELSE 0 END AS b
+        FROM embeddings
+    ),
+    m AS (
+        SELECT CAST(sum(a * b) AS BIGINT) AS n11,
+               CAST(sum(a * (1 - b)) AS BIGINT) AS n10,
+               CAST(sum((1 - a) * b) AS BIGINT) AS n01,
+               CAST(sum((1 - a) * (1 - b)) AS BIGINT) AS n00
+        FROM paired
+    )
+    SELECT n11, n10, n01, n00,
+           coalesce(
+               CAST(floor(CAST((abs(n10 - n01) - 1) * (abs(n10 - n01) - 1) AS DOUBLE)
+                          / nullif(CAST(n10 + n01 AS DOUBLE), 0.0)
+                          * 1000000.0 + 0.5) AS BIGINT),
+               0) AS chi2_micro
+    FROM m
+"""
+
+
+WOE_BINS = 10
+
+
+def q_woe_iv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weight-of-evidence / information-value audit of the score feature —
+    the credit-scoring-style per-bin evidence table a feature pipeline
+    reports before admitting a signal into a quality classifier: WoE_b =
+    ln(smoothed pos share / smoothed neg share) per equal-width score
+    bin, IV contribution (pos share − neg share)·WoE_b.
+
+    Smoothing adds 0.5 to each bin's class counts (Laplace half-count) so
+    empty-class bins stay finite. Shares divide by the GLOBAL class
+    totals (a 1-row broadcast, the q_lift_deciles base-rate idiom); bins
+    come from the q_calibration_bins min/max-broadcast equal-width rule —
+    two passes over the scan, aggregates keyed by a 10-value domain.
+    Per-bin ln terms round to 6 (the q_brier log discipline).
+    """
+    s = _scored(spark, sf_dir)
+    bounds = s.agg(F.min("score").alias("lo"), F.max("score").alias("hi"))
+    tot = s.agg(
+        F.sum("pos").cast("double").alias("tot_pos"),
+        F.sum(1 - F.col("pos")).cast("double").alias("tot_neg"),
+    )
+    binned = (
+        s.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bin",
+            F.least(
+                F.floor(
+                    (F.col("score") - F.col("lo")) * float(WOE_BINS) / (F.col("hi") - F.col("lo"))
+                ),
+                F.lit(WOE_BINS - 1),
+            ).cast("bigint"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("pos").cast("bigint").alias("n_pos"),
+            F.sum(1 - F.col("pos")).cast("bigint").alias("n_neg"),
+        )
+    )
+    ps = (F.col("n_pos") + 0.5) / F.col("tot_pos")
+    ns = (F.col("n_neg") + 0.5) / F.col("tot_neg")
+    woe = F.round(F.log(ps / ns), 6)
+    out = binned.crossJoin(F.broadcast(tot)).select(
+        "bin",
+        "n",
+        "n_pos",
+        "n_neg",
+        woe.alias("woe"),
+        F.round(
+            (F.col("n_pos") / F.col("tot_pos") - F.col("n_neg") / F.col("tot_neg")) * woe, 6
+        ).alias("iv_term"),
+    )
+    return tiny_sorted(out, "bin")
+
+
+QUERIES["q_woe_iv"] = q_woe_iv
+
+ORACLES["q_woe_iv"] = f"""
+    WITH scored AS ({_SCORED_SQL}),
+    bounds AS (SELECT min(score) AS lo, max(score) AS hi FROM scored),
+    tot AS (
+        SELECT CAST(sum(pos) AS DOUBLE) AS tot_pos,
+               CAST(sum(1 - pos) AS DOUBLE) AS tot_neg
+        FROM scored
+    ),
+    binned AS (
+        SELECT least(CAST(floor((score - lo) * {float(WOE_BINS)} / (hi - lo)) AS BIGINT),
+                     {WOE_BINS - 1}) AS bin,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(1 - pos) AS BIGINT) AS n_neg
+        FROM scored, bounds
+        GROUP BY 1
+    )
+    SELECT bin, n, n_pos, n_neg,
+           round(ln(((n_pos + 0.5) / tot_pos) / ((n_neg + 0.5) / tot_neg)), 6) AS woe,
+           round((n_pos / tot_pos - n_neg / tot_neg)
+                 * round(ln(((n_pos + 0.5) / tot_pos) / ((n_neg + 0.5) / tot_neg)), 6),
+                 6) AS iv_term
+    FROM binned, tot
+    ORDER BY bin
+"""

@@ -263,3 +263,57 @@ def test_map_matches_python_recompute(spark, sf_dir):
     got = {r.query_id: r.ap for r in S.q_map(spark, sf_dir).collect()}
     assert got == expected
     assert all(0.0 <= v <= 1.0 for v in got.values())
+
+
+def test_mcnemar_matches_python_recompute(spark):
+    from machinelearningalgomapreduce_spark.operators.classifier import q_mcnemar
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    rows = load_tables(spark, SMOKE_SF_DIR).embeddings.select(
+        "embedding", "label"
+    ).collect()
+    n = {"11": 0, "10": 0, "01": 0, "00": 0}
+    for r in rows:
+        pos = 1 if r.label >= 5 else 0
+        a = 1 if (float(r.embedding[0]) + 0.05 * r.label >= 0.0) == bool(pos) else 0
+        b = 1 if (float(r.embedding[1]) + 0.05 * r.label >= 0.0) == bool(pos) else 0
+        n[f"{a}{b}"] += 1
+    got = q_mcnemar(spark, SMOKE_SF_DIR).collect()[0]
+    assert (got.n11, got.n10, got.n01, got.n00) == (n["11"], n["10"], n["01"], n["00"])
+    disc = n["10"] + n["01"]
+    exp = 0 if disc == 0 else int((abs(n["10"] - n["01"]) - 1) ** 2 / disc * 1e6 + 0.5)
+    assert got.chi2_micro == exp
+    assert sum(n.values()) == len(rows)
+
+
+def test_woe_iv_matches_python_recompute(spark):
+    import math
+
+    from machinelearningalgomapreduce_spark.operators.classifier import WOE_BINS, q_woe_iv
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    rows = load_tables(spark, SMOKE_SF_DIR).embeddings.select(
+        "embedding", "label"
+    ).collect()
+    scored = [
+        (float(r.embedding[0]) + 0.05 * r.label, 1 if r.label >= 5 else 0) for r in rows
+    ]
+    lo, hi = min(s for s, _ in scored), max(s for s, _ in scored)
+    bins: dict[int, list[int]] = {}
+    for s, pos in scored:
+        b = min(int(math.floor((s - lo) * WOE_BINS / (hi - lo))), WOE_BINS - 1)
+        acc = bins.setdefault(b, [0, 0])
+        acc[pos] += 1
+    tot_pos = sum(p for _, p in bins.values())
+    tot_neg = sum(q for q, _ in bins.values())
+    got = {r.bin: r for r in q_woe_iv(spark, SMOKE_SF_DIR).collect()}
+    assert set(got) == set(bins)
+    iv_total = 0.0
+    for b, (n_neg, n_pos) in bins.items():
+        woe = round(math.log(((n_pos + 0.5) / tot_pos) / ((n_neg + 0.5) / tot_neg)), 6)
+        assert got[b].n_pos == n_pos and got[b].n_neg == n_neg
+        assert got[b].woe == woe
+        assert got[b].iv_term == round((n_pos / tot_pos - n_neg / tot_neg) * woe, 6)
+        iv_total += got[b].iv_term
+    # the leaky score is a genuinely informative feature: IV over 0.1
+    assert iv_total > 0.1
