@@ -1539,3 +1539,107 @@ ORACLES["q_bootstrap_ci"] = f"""
     GROUP BY event_type
     ORDER BY event_type
 """
+
+
+def q_friedman(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Friedman rank test: do the event types keep the same activity
+    ordering week after week, or does the traffic mix genuinely reshuffle
+    — the repeated-measures complement to q_kruskal_wallis (which ranks
+    pooled rows and so is blind to the week-blocked design of volume
+    data).
+
+    Blocks = ISO weeks, treatments = event types; each cell is the exact
+    weekly event count (missing cells dense-filled with 0 over the
+    bounded week × type domain). Within-block ranks use the
+    average-of-ties convention carried as DOUBLED integers
+    (2·rank = 2·min_rank + (n_ties − 1)), so every rank sum is an exact
+    BIGINT; χ²_F = 3·ΣR²ₓ₂/(n·k·(k+1)) − 3·n·(k+1) is two
+    correctly-rounded IEEE ops on exact ≤2^53 integers — engine-
+    deterministic, emitted as fixed-point micros.
+
+    Scale shape: one counting aggregate to the bounded (week × type)
+    frame; every window and join after it runs on that bounded domain —
+    the q_cusum envelope. Output is O(k) rows.
+    """
+    t = load_tables(spark, sf_dir)
+    cells = t.events.groupBy(
+        F.date_trunc("week", "ts").alias("wk"), "event_type"
+    ).agg(F.count("*").alias("cnt"))
+    dense = (
+        cells.select("wk").distinct()
+        .crossJoin(cells.select("event_type").distinct())
+        .join(cells, ["wk", "event_type"], "left")
+        .withColumn("cnt", F.coalesce(F.col("cnt"), F.lit(0)))
+    )
+    wv = W.partitionBy("wk").orderBy("cnt")
+    wt = W.partitionBy("wk", "cnt")
+    ranked = dense.withColumn(
+        "rx2",
+        (2 * F.rank().over(wv) + F.count("*").over(wt) - 1).cast("bigint"),
+    )
+    sums = ranked.groupBy("event_type").agg(F.sum("rx2").alias("rank_sum_x2"))
+    nk = ranked.agg(
+        F.countDistinct("wk").alias("n_blocks"),
+        F.countDistinct("event_type").alias("k"),
+    )
+    s2 = sums.agg(F.sum(F.col("rank_sum_x2") * F.col("rank_sum_x2")).alias("s_rx2_sq"))
+    chi2 = (
+        F.lit(3.0) * F.col("s_rx2_sq").cast("double")
+        / (F.col("n_blocks") * F.col("k") * (F.col("k") + 1)).cast("double")
+        - (3 * F.col("n_blocks") * (F.col("k") + 1)).cast("double")
+    )
+    out = (
+        sums.crossJoin(F.broadcast(nk))
+        .crossJoin(F.broadcast(s2))
+        .select(
+            "event_type",
+            "rank_sum_x2",
+            F.col("n_blocks").cast("bigint").alias("n_blocks"),
+            F.col("k").cast("bigint").alias("k"),
+            F.floor(chi2 * 1000000.0 + F.lit(0.5)).cast("bigint").alias("chi2_micro"),
+        )
+    )
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    return tiny_sorted(out, "event_type")
+
+
+QUERIES["q_friedman"] = q_friedman
+
+ORACLES["q_friedman"] = """
+    WITH cells AS (
+        SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS wk, event_type,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    dense AS (
+        SELECT w.wk, e.event_type, coalesce(c.cnt, 0) AS cnt
+        FROM (SELECT DISTINCT wk FROM cells) w
+        CROSS JOIN (SELECT DISTINCT event_type FROM cells) e
+        LEFT JOIN cells c ON c.wk = w.wk AND c.event_type = e.event_type
+    ),
+    ranked AS (
+        SELECT event_type,
+               CAST(2 * rank() OVER (PARTITION BY wk ORDER BY cnt)
+                    + count(*) OVER (PARTITION BY wk, cnt) - 1 AS BIGINT) AS rx2
+        FROM dense
+    ),
+    sums AS (
+        SELECT event_type, CAST(sum(rx2) AS BIGINT) AS rank_sum_x2
+        FROM ranked GROUP BY event_type
+    ),
+    nk AS (
+        SELECT CAST(count(DISTINCT wk) AS BIGINT) AS n_blocks,
+               CAST(count(DISTINCT event_type) AS BIGINT) AS k
+        FROM dense
+    ),
+    s2 AS (SELECT CAST(sum(rank_sum_x2 * rank_sum_x2) AS BIGINT) AS s_rx2_sq FROM sums)
+    SELECT s.event_type, s.rank_sum_x2, nk.n_blocks, nk.k,
+           CAST(floor(
+               (3.0 * CAST(s2.s_rx2_sq AS DOUBLE)
+                / CAST(nk.n_blocks * nk.k * (nk.k + 1) AS DOUBLE)
+                - CAST(3 * nk.n_blocks * (nk.k + 1) AS DOUBLE))
+               * 1000000.0 + 0.5) AS BIGINT) AS chi2_micro
+    FROM sums s, nk, s2
+    ORDER BY s.event_type
+"""

@@ -1078,3 +1078,116 @@ ORACLES["q_bollinger"] = """
     FROM framed
     WHERE rn >= 7
 """
+
+
+def q_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point per event type via exact binary segmentation:
+    the day-boundary split of the daily count series that maximizes the
+    between-segment sum-of-squares — the batch form of drift
+    localization, one step past q_cusum's peak statistic (CUSUM flags
+    THAT the mean shifted; this reports the split and both segment
+    means a monitor would alert with).
+
+    Exactness: the between-SS identity gain(t) = D(t)²/(n·t·(n−t)) with
+    D(t) = n·cum(t) − t·total reuses q_cusum's exact-integer deviation,
+    so gain is two correctly-rounded IEEE ops on ≤2^53 integers —
+    bit-identical across engines; the argmax ranks on the micro-scaled
+    integer gain with a min-day tie-break. Segment means are micro
+    fixed-point.
+
+    Scale shape: one counting aggregate to the (type × day)-bounded
+    series, one per-type cumulative window over that bounded frame, one
+    rank window, O(types) output. The fact table is scanned once.
+    """
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").alias("cnt"))
+    tot = daily.groupBy("event_type").agg(
+        F.sum("cnt").alias("total"), F.count("*").alias("n_days")
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    cum = (
+        daily.withColumn("cum", F.sum("cnt").over(w))
+        .withColumn("t", F.row_number().over(w).cast("bigint"))
+        .join(tot, "event_type")
+        .filter(F.col("t") < F.col("n_days"))
+    )
+    d = F.col("n_days") * F.col("cum") - F.col("t") * F.col("total")
+    gain = (d.cast("double") * d.cast("double")) / (
+        F.col("n_days") * F.col("t") * (F.col("n_days") - F.col("t"))
+    ).cast("double")
+    scored = cum.withColumn(
+        "gain_micro", F.floor(gain * 1000000.0 + F.lit(0.5)).cast("bigint")
+    )
+    wbest = W.partitionBy("event_type").orderBy(F.desc("gain_micro"), "day")
+    best = scored.withColumn("rk", F.row_number().over(wbest)).filter(F.col("rk") == 1)
+    mean_l = F.floor(
+        F.col("cum").cast("double") / F.col("t").cast("double") * 1000000.0 + F.lit(0.5)
+    ).cast("bigint")
+    mean_r = F.floor(
+        (F.col("total") - F.col("cum")).cast("double")
+        / (F.col("n_days") - F.col("t")).cast("double")
+        * 1000000.0
+        + F.lit(0.5)
+    ).cast("bigint")
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    out = best.select(
+        "event_type",
+        "n_days",
+        F.col("day").alias("split_day"),
+        F.col("t").alias("left_days"),
+        mean_l.alias("mean_left_micro"),
+        mean_r.alias("mean_right_micro"),
+        "gain_micro",
+    )
+    return tiny_sorted(out, "event_type")
+
+
+QUERIES["q_changepoint"] = q_changepoint
+
+ORACLES["q_changepoint"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT event_type, CAST(sum(cnt) AS BIGINT) AS total,
+               CAST(count(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY 1
+    ),
+    cum AS (
+        SELECT d.event_type, d.day,
+               sum(cnt) OVER (PARTITION BY d.event_type ORDER BY d.day) AS cum,
+               CAST(row_number() OVER (PARTITION BY d.event_type ORDER BY d.day)
+                    AS BIGINT) AS t,
+               tt.total, tt.n_days
+        FROM daily d JOIN tot tt USING (event_type)
+    ),
+    scored AS (
+        SELECT *,
+               CAST(floor(
+                   (CAST(n_days * cum - t * total AS DOUBLE)
+                    * CAST(n_days * cum - t * total AS DOUBLE))
+                   / CAST(n_days * t * (n_days - t) AS DOUBLE)
+                   * 1000000.0 + 0.5) AS BIGINT) AS gain_micro
+        FROM cum WHERE t < n_days
+    ),
+    best AS (
+        SELECT *, row_number() OVER (PARTITION BY event_type
+                                     ORDER BY gain_micro DESC, day) AS rk
+        FROM scored
+    )
+    SELECT event_type, n_days, day AS split_day, t AS left_days,
+           CAST(floor(CAST(cum AS DOUBLE) / CAST(t AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS mean_left_micro,
+           CAST(floor(CAST(total - cum AS DOUBLE) / CAST(n_days - t AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS mean_right_micro,
+           gain_micro
+    FROM best WHERE rk = 1
+    ORDER BY event_type
+"""

@@ -317,3 +317,72 @@ def test_woe_iv_matches_python_recompute(spark):
         iv_total += got[b].iv_term
     # the leaky score is a genuinely informative feature: IV over 0.1
     assert iv_total > 0.1
+
+
+def test_changepoint_matches_python_sweep(spark):
+    from collections import Counter
+
+    from machinelearningalgomapreduce_spark.operators.timeseries import q_changepoint
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    ev = load_tables(spark, SMOKE_SF_DIR).events.select("event_type", "ts").collect()
+    series: dict[str, Counter] = {}
+    for r in ev:
+        series.setdefault(r.event_type, Counter())[r.ts.date()] += 1
+    got = {r.event_type: r for r in q_changepoint(spark, SMOKE_SF_DIR).collect()}
+    assert set(got) == set(series)
+    for etype, cnts in series.items():
+        days = sorted(cnts)
+        n = len(days)
+        total = sum(cnts.values())
+        best = None
+        cum = 0
+        for t, day in enumerate(days[:-1], start=1):
+            cum += cnts[day]
+            dev = n * cum - t * total
+            gain = int((float(dev) * float(dev)) / float(n * t * (n - t)) * 1e6 + 0.5)
+            key = (-gain, day)
+            if best is None or key < best[0]:
+                best = (key, day, t, cum)
+        _, day, t, cum = best
+        r = got[etype]
+        assert (r.split_day, r.left_days, r.n_days) == (day, t, n)
+        assert r.mean_left_micro == int(cum / t * 1e6 + 0.5)
+        assert r.mean_right_micro == int((total - cum) / (n - t) * 1e6 + 0.5)
+        # the split genuinely separates the means
+        assert r.mean_left_micro != r.mean_right_micro
+
+
+def test_friedman_matches_python_recompute(spark):
+    from collections import Counter
+
+    from machinelearningalgomapreduce_spark.operators.evaluation import q_friedman
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+    import datetime
+
+    ev = load_tables(spark, SMOKE_SF_DIR).events.select("event_type", "ts").collect()
+    cells: Counter = Counter()
+    for r in ev:
+        d = r.ts.date()
+        wk = d - datetime.timedelta(days=d.weekday())
+        cells[(wk, r.event_type)] += 1
+    weeks = sorted({w for w, _ in cells})
+    types = sorted({t for _, t in cells})
+    n, k = len(weeks), len(types)
+    rank_sum_x2: Counter = Counter()
+    for wk in weeks:
+        vals = [(cells.get((wk, ty), 0), ty) for ty in types]
+        for cnt, ty in vals:
+            below = sum(1 for c, _ in vals if c < cnt)
+            ties = sum(1 for c, _ in vals if c == cnt)
+            rank_sum_x2[ty] += 2 * (below + 1) + ties - 1
+    s2 = sum(v * v for v in rank_sum_x2.values())
+    chi2 = 3.0 * s2 / (n * k * (k + 1)) - 3.0 * n * (k + 1)
+    got = {r.event_type: r for r in q_friedman(spark, SMOKE_SF_DIR).collect()}
+    assert set(got) == set(types)
+    for ty in types:
+        assert got[ty].rank_sum_x2 == rank_sum_x2[ty]
+        assert (got[ty].n_blocks, got[ty].k) == (n, k)
+        assert got[ty].chi2_micro == int(chi2 * 1e6 + 0.5)
+    # rank sums over all treatments are conserved: Σ2R = 2·n·k(k+1)/2
+    assert sum(rank_sum_x2.values()) == n * k * (k + 1)

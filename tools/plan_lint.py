@@ -134,6 +134,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row rank totals",
         "SinglePartitionData": "rank window over ~50 distinct quantity values",
     },
+    "q_friedman": {
+        "BroadcastNestedLoopJoin": "bounded week × event-type dense grid + "
+        "1-row n/k and ΣR² stats — every side bounded by the calendar/type "
+        "domains, never the event rows",
+    },
     "q_customer_segments": {
         "BroadcastNestedLoopJoin": "1-row quantile cutpoints",
         "SinglePartitionData": "exact demo over per-customer rollup; approx-cutpoint twin is the scale path (ranking.py)",
