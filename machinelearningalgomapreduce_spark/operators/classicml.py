@@ -2051,3 +2051,78 @@ ORACLES["q_density_ratio"] = f"""
                 AS INTEGER) AS is_outlier
     FROM cnt c JOIN nbr n ON c.vec_id = n.vec_id
 """
+
+
+TARGET_ENC_M = 20  # pseudo-count weight of the global prior
+
+
+def q_target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target-mean encoding of a categorical feature — the
+    feature-engineering staple that replaces a high-cardinality category
+    with its shrunken positive rate before a downstream fit (the same
+    supervised signal q_woe_iv audits, packaged as a usable feature):
+    enc(c) = (S_c + m·prior) / (n_c + m), prior = S/N, m = 20.
+
+    Exactness: with integer counts the encoding is the exact rational
+    (S_c·N + m·S) / (N·(n_c + m)) — one correctly-rounded double
+    division on ≤2^53 integers, emitted as fixed-point micros. The
+    global (S, N) pair is a 1-row broadcast (DistributedCache idiom).
+
+    Scale shape: one map-side-combinable aggregate keyed by the bounded
+    category domain + a 1-row total — the plan never shuffles raw rows,
+    which is what makes the encoder safe to refit per training epoch at
+    100 TB. High-cardinality categories (user ids) keep the same plan:
+    the aggregate stays keyed, only the output domain grows.
+    """
+    t = load_tables(spark, sf_dir)
+    s = t.events.select(
+        "event_type", (F.col("value") >= 50.0).cast("bigint").alias("tgt")
+    )
+    per_cat = s.groupBy("event_type").agg(
+        F.count("*").alias("n"), F.sum("tgt").alias("n_pos")
+    )
+    tot = s.agg(
+        F.count("*").alias("n_tot"), F.sum("tgt").alias("pos_tot")
+    )
+    m = F.lit(TARGET_ENC_M)
+    enc_num = (F.col("n_pos") * F.col("n_tot") + m * F.col("pos_tot")).cast("double")
+    enc_den = (F.col("n_tot") * (F.col("n") + m)).cast("double")
+    prior = F.col("pos_tot").cast("double") / F.col("n_tot").cast("double")
+    out = per_cat.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        "n_pos",
+        F.floor(prior * 1000000.0 + F.lit(0.5)).cast("bigint").alias("prior_micro"),
+        F.floor(enc_num / enc_den * 1000000.0 + F.lit(0.5)).cast("bigint").alias("enc_micro"),
+    )
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    return tiny_sorted(out, "event_type")
+
+
+QUERIES["q_target_encode"] = q_target_encode
+
+ORACLES["q_target_encode"] = f"""
+    WITH s AS (
+        SELECT event_type, CASE WHEN value >= 50.0 THEN 1 ELSE 0 END AS tgt
+        FROM events
+    ),
+    per_cat AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(tgt) AS BIGINT) AS n_pos
+        FROM s GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_tot,
+               CAST(sum(tgt) AS BIGINT) AS pos_tot
+        FROM s
+    )
+    SELECT event_type, n, n_pos,
+           CAST(floor(CAST(pos_tot AS DOUBLE) / CAST(n_tot AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS prior_micro,
+           CAST(floor(CAST(n_pos * n_tot + {TARGET_ENC_M} * pos_tot AS DOUBLE)
+                      / CAST(n_tot * (n + {TARGET_ENC_M}) AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS enc_micro
+    FROM per_cat, tot
+    ORDER BY event_type
+"""

@@ -386,3 +386,34 @@ def test_friedman_matches_python_recompute(spark):
         assert got[ty].chi2_micro == int(chi2 * 1e6 + 0.5)
     # rank sums over all treatments are conserved: Σ2R = 2·n·k(k+1)/2
     assert sum(rank_sum_x2.values()) == n * k * (k + 1)
+
+
+def test_target_encode_matches_python_recompute(spark):
+    from collections import Counter
+
+    from machinelearningalgomapreduce_spark.operators.classicml import (
+        TARGET_ENC_M,
+        q_target_encode,
+    )
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    ev = load_tables(spark, SMOKE_SF_DIR).events.select("event_type", "value").collect()
+    n_c: Counter = Counter()
+    s_c: Counter = Counter()
+    for r in ev:
+        n_c[r.event_type] += 1
+        s_c[r.event_type] += 1 if r.value >= 50.0 else 0
+    n_tot, s_tot = sum(n_c.values()), sum(s_c.values())
+    got = {r.event_type: r for r in q_target_encode(spark, SMOKE_SF_DIR).collect()}
+    assert set(got) == set(n_c)
+    m = TARGET_ENC_M
+    for ty in n_c:
+        r = got[ty]
+        assert (r.n, r.n_pos) == (n_c[ty], s_c[ty])
+        assert r.prior_micro == int(s_tot / n_tot * 1e6 + 0.5)
+        exact = (s_c[ty] * n_tot + m * s_tot) / (n_tot * (n_c[ty] + m))
+        assert r.enc_micro == int(exact * 1e6 + 0.5)
+        # shrinkage: the encoding sits between the raw rate and the prior
+        lo = min(s_c[ty] / n_c[ty], s_tot / n_tot) - 1e-9
+        hi = max(s_c[ty] / n_c[ty], s_tot / n_tot) + 1e-9
+        assert lo <= exact <= hi

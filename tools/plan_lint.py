@@ -73,6 +73,7 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_spearman": {"BroadcastNestedLoopJoin": "1-row rank moments"},
     "q_dbscan_core": {"BroadcastNestedLoopJoin": "3x3 neighbor-cell grid join"},
     "q_density_ratio": {"BroadcastNestedLoopJoin": "3x3 neighbor-cell grid join"},
+    "q_target_encode": {"BroadcastNestedLoopJoin": "1-row global target totals"},
     "q_item_cf": {"BroadcastNestedLoopJoin": "1-row rating totals"},
     "q_rating_baseline": {"BroadcastNestedLoopJoin": "1-row global mean"},
     "q_hits_step": {"BroadcastNestedLoopJoin": "1-row norm totals"},
