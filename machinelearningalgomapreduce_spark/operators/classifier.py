@@ -698,3 +698,98 @@ ORACLES["q_woe_iv"] = f"""
     FROM binned, tot
     ORDER BY bin
 """
+
+
+def q_cochran_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cochran's Q across THREE classifiers (coordinates 0/1/2 scores) on
+    the shared eval set — the k-classifier generalization of q_mcnemar:
+    does AT LEAST ONE of the candidate quality filters differ in
+    accuracy, asked once before k·(k−1)/2 pairwise tests are even
+    justified.
+
+    Q = k(k−1)·Σ_j(T_j − S/k)² / (k·S − Σ_i R_i²) with T_j the per-model
+    correct counts, R_i the per-row correct counts, S = ΣR_i. All
+    sufficient statistics are exact integers from ONE conditional-count
+    hash aggregate over the scan (R_i and R_i² are per-row expressions,
+    so Σ and ΣR² are map-side combinable); multiplying the numerator by
+    k² keeps it integer-exact — k²·ΣT² − S² over k·(k·S − ΣR²) — and the
+    single closing division is emitted as fixed-point micros.
+    """
+    t = load_tables(spark, sf_dir)
+    pos = (F.col("label") >= 5).cast("int")
+
+    def ok(i: int):
+        return (
+            ((F.col("embedding")[i].cast("double") + 0.05 * F.col("label")) >= 0.0).cast("int")
+            == pos
+        ).cast("bigint")
+
+    a, b, c = ok(0), ok(1), ok(2)
+    r = a + b + c
+    agg = t.embeddings.agg(
+        F.count("*").alias("n_rows"),
+        F.sum(a).alias("t1"),
+        F.sum(b).alias("t2"),
+        F.sum(c).alias("t3"),
+        F.sum(r).alias("s"),
+        F.sum(r * r).alias("s_r2"),
+    )
+    k = 3
+    num = (
+        F.lit(k - 1).cast("bigint")
+        * (
+            F.lit(k * k) * (F.col("t1") * F.col("t1") + F.col("t2") * F.col("t2") + F.col("t3") * F.col("t3"))
+            - F.lit(k) * F.col("s") * F.col("s")
+        )
+    )
+    den = F.lit(k).cast("bigint") * (F.lit(k) * F.col("s") - F.col("s_r2"))
+    return agg.select(
+        F.col("n_rows").cast("bigint").alias("n_rows"),
+        F.col("t1").cast("bigint").alias("t1"),
+        F.col("t2").cast("bigint").alias("t2"),
+        F.col("t3").cast("bigint").alias("t3"),
+        F.coalesce(
+            F.floor(
+                F.try_divide(num.cast("double"), F.nullif(den.cast("double"), F.lit(0.0)))
+                * 1000000.0
+                + F.lit(0.5)
+            ).cast("bigint"),
+            F.lit(0).cast("bigint"),
+        ).alias("q_micro"),
+    )
+
+
+QUERIES["q_cochran_q"] = q_cochran_q
+
+ORACLES["q_cochran_q"] = """
+    WITH paired AS (
+        SELECT
+          CASE WHEN (CASE WHEN CAST(embedding[1] AS DOUBLE) + 0.05 * label >= 0.0
+                          THEN 1 ELSE 0 END)
+                  = (CASE WHEN label >= 5 THEN 1 ELSE 0 END) THEN 1 ELSE 0 END AS a,
+          CASE WHEN (CASE WHEN CAST(embedding[2] AS DOUBLE) + 0.05 * label >= 0.0
+                          THEN 1 ELSE 0 END)
+                  = (CASE WHEN label >= 5 THEN 1 ELSE 0 END) THEN 1 ELSE 0 END AS b,
+          CASE WHEN (CASE WHEN CAST(embedding[3] AS DOUBLE) + 0.05 * label >= 0.0
+                          THEN 1 ELSE 0 END)
+                  = (CASE WHEN label >= 5 THEN 1 ELSE 0 END) THEN 1 ELSE 0 END AS c
+        FROM embeddings
+    ),
+    m AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(a) AS BIGINT) AS t1,
+               CAST(sum(b) AS BIGINT) AS t2,
+               CAST(sum(c) AS BIGINT) AS t3,
+               CAST(sum(a + b + c) AS BIGINT) AS s,
+               CAST(sum((a + b + c) * (a + b + c)) AS BIGINT) AS s_r2
+        FROM paired
+    )
+    SELECT n_rows, t1, t2, t3,
+           coalesce(
+               CAST(floor(
+                   CAST(2 * (9 * (t1 * t1 + t2 * t2 + t3 * t3) - 3 * s * s) AS DOUBLE)
+                   / nullif(CAST(3 * (3 * s - s_r2) AS DOUBLE), 0.0)
+                   * 1000000.0 + 0.5) AS BIGINT),
+               0) AS q_micro
+    FROM m
+"""

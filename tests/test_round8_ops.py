@@ -417,3 +417,33 @@ def test_target_encode_matches_python_recompute(spark):
         lo = min(s_c[ty] / n_c[ty], s_tot / n_tot) - 1e-9
         hi = max(s_c[ty] / n_c[ty], s_tot / n_tot) + 1e-9
         assert lo <= exact <= hi
+
+
+def test_cochran_q_matches_python_recompute(spark):
+    from machinelearningalgomapreduce_spark.operators.classifier import q_cochran_q
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    rows = load_tables(spark, SMOKE_SF_DIR).embeddings.select(
+        "embedding", "label"
+    ).collect()
+    t = [0, 0, 0]
+    s = s_r2 = 0
+    for r in rows:
+        pos = r.label >= 5
+        oks = [
+            1 if (float(r.embedding[i]) + 0.05 * r.label >= 0.0) == pos else 0
+            for i in range(3)
+        ]
+        for i in range(3):
+            t[i] += oks[i]
+        ri = sum(oks)
+        s += ri
+        s_r2 += ri * ri
+    got = q_cochran_q(spark, SMOKE_SF_DIR).collect()[0]
+    assert (got.n_rows, got.t1, got.t2, got.t3) == (len(rows), t[0], t[1], t[2])
+    den = 3 * (3 * s - s_r2)
+    num = 2 * (9 * sum(x * x for x in t) - 3 * s * s)
+    exp = 0 if den == 0 else int(num / den * 1e6 + 0.5)
+    assert got.q_micro == exp
+    # Q reduces to the k=2 McNemar family: it must be non-negative
+    assert got.q_micro >= 0
