@@ -1191,3 +1191,106 @@ ORACLES["q_changepoint"] = """
     FROM best WHERE rk = 1
     ORDER BY event_type
 """
+
+
+HW_ALPHA = 0.3   # level smoothing
+HW_GAMMA = 0.1   # trend smoothing
+HW_DELTA = 0.2   # seasonal smoothing
+HW_SEASON = 7    # weekly seasonality on the daily series
+
+
+def q_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type additive Holt-Winters (triple exponential) smoothing of
+    the daily event-count series — the seasonal successor to q_holt:
+    level + trend + a rotating 7-slot weekly seasonal, the state a
+    volume forecaster actually carries for ingest monitoring.
+
+    State is a 9-slot DOUBLE list [l, b, s₁..s₇] folded over the
+    day-ordered counts; each step consumes s₁ (the seasonal due at this
+    position) and appends the re-estimated seasonal at the tail, so the
+    array rotates in lock-step with the calendar. Seeds are the defined
+    semantic l₀ = x₁, b₀ = 0, s = 0⃗ (documented, engine-identical).
+    The q_holt determinism discipline: the new-level expression is
+    INLINED everywhere it is referenced, so the float-op sequence is
+    step-for-step identical between Spark `aggregate` and DuckDB
+    `list_reduce`; outputs round to 6.
+
+    Scale shape: one counting aggregate to the bounded (type × day)
+    frame, one groupBy(type) fold over its own bounded list — the
+    q_ema/q_holt envelope (unbounded-key streaming twin:
+    applyInPandasWithState, streaming/stateful.py)."""
+    t = load_tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("double").alias("x"))
+    ordered = F.array_sort(F.collect_list(F.struct("day", "x")))
+    vals = F.transform(ordered, lambda s: s["x"])
+    a, g, d = HW_ALPHA, HW_GAMMA, HW_DELTA
+
+    def step(acc, x):
+        def new_l():
+            return a * (x - F.element_at(acc, 3)) + (1 - a) * (
+                F.element_at(acc, 1) + F.element_at(acc, 2)
+            )
+
+        new_b = g * (new_l() - F.element_at(acc, 1)) + (1 - g) * F.element_at(acc, 2)
+        new_s = d * (x - new_l()) + (1 - d) * F.element_at(acc, 3)
+        return F.concat(
+            F.array(new_l(), new_b),
+            F.slice(acc, 4, HW_SEASON - 1),
+            F.array(new_s),
+        )
+
+    init = F.concat(
+        F.array(F.element_at(vals, 1), F.lit(0.0)),
+        F.array_repeat(F.lit(0.0), HW_SEASON),
+    )
+    state = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))), init, step
+    )
+    return daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.round(state[0], 6).alias("hw_level"),
+        F.round(state[1], 6).alias("hw_trend"),
+        F.round(state[2], 6).alias("hw_season_next"),
+        F.round(state[0] + state[1] + state[2], 6).alias("forecast_1"),
+    )
+
+
+QUERIES["q_holt_winters"] = q_holt_winters
+
+_HWA, _HWG, _HWD = HW_ALPHA, HW_GAMMA, HW_DELTA
+# The new-level expression inlined everywhere (the q_holt discipline).
+_HW_L = f"{_HWA} * (x[1] - acc[3]) + {1 - _HWA} * (acc[1] + acc[2])"
+
+ORACLES["q_holt_winters"] = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    lists AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               list(x ORDER BY day) AS vals
+        FROM daily GROUP BY event_type
+    ),
+    folded AS (
+        SELECT event_type, n_days,
+               list_reduce(
+                   list_transform(vals, v -> [v, 0.0, 0.0, 0.0, 0.0, 0.0,
+                                              0.0, 0.0, 0.0]),
+                   (acc, x) -> [
+                           {_HW_L},
+                           {_HWG} * (({_HW_L}) - acc[1]) + {1 - _HWG} * acc[2]
+                       ] || acc[4:9] ||
+                       [{_HWD} * (x[1] - ({_HW_L})) + {1 - _HWD} * acc[3]]
+                   ) AS s
+        FROM lists
+    )
+    SELECT event_type, n_days,
+           round(s[1], 6) AS hw_level,
+           round(s[2], 6) AS hw_trend,
+           round(s[3], 6) AS hw_season_next,
+           round(s[1] + s[2] + s[3], 6) AS forecast_1
+    FROM folded
+"""

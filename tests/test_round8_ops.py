@@ -447,3 +447,38 @@ def test_cochran_q_matches_python_recompute(spark):
     assert got.q_micro == exp
     # Q reduces to the k=2 McNemar family: it must be non-negative
     assert got.q_micro >= 0
+
+
+def test_holt_winters_matches_python_fold(spark):
+    from collections import Counter
+
+    from machinelearningalgomapreduce_spark.operators.timeseries import (
+        HW_ALPHA,
+        HW_DELTA,
+        HW_GAMMA,
+        HW_SEASON,
+        q_holt_winters,
+    )
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    ev = load_tables(spark, SMOKE_SF_DIR).events.select("event_type", "ts").collect()
+    series: dict[str, Counter] = {}
+    for r in ev:
+        series.setdefault(r.event_type, Counter())[r.ts.date()] += 1
+    got = {r.event_type: r for r in q_holt_winters(spark, SMOKE_SF_DIR).collect()}
+    assert set(got) == set(series)
+    a, g, d = HW_ALPHA, HW_GAMMA, HW_DELTA
+    for ty, cnts in series.items():
+        xs = [float(cnts[day]) for day in sorted(cnts)]
+        acc = [xs[0], 0.0] + [0.0] * HW_SEASON
+        for x in xs[1:]:
+            new_l = a * (x - acc[2]) + (1 - a) * (acc[0] + acc[1])
+            new_b = g * (new_l - acc[0]) + (1 - g) * acc[1]
+            new_s = d * (x - new_l) + (1 - d) * acc[2]
+            acc = [new_l, new_b] + acc[3:] + [new_s]
+        r = got[ty]
+        assert r.n_days == len(xs)
+        assert r.hw_level == round(acc[0], 6)
+        assert r.hw_trend == round(acc[1], 6)
+        assert r.hw_season_next == round(acc[2], 6)
+        assert r.forecast_1 == round(acc[0] + acc[1] + acc[2], 6)
