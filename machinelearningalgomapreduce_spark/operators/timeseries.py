@@ -1294,3 +1294,97 @@ ORACLES["q_holt_winters"] = f"""
            round(s[1] + s[2] + s[3], 6) AS forecast_1
     FROM folded
 """
+
+
+PH_DELTA = 0.5   # magnitude tolerance
+PH_LAMBDA = 30.0  # alarm threshold
+
+
+def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Page-Hinkley drift test on each type's daily count series — the
+    sequential (one-pass, O(1)-state) mean-INCREASE detector that
+    complements the batch localizers: q_cusum scores the peak deviation,
+    q_changepoint localizes the split, Page-Hinkley is the form a
+    monitor can actually run incrementally: mₜ = Σ(xᵢ − x̄ᵢ − δ) with
+    x̄ᵢ the running mean, PH = mₜ − min m, alarm when PH > λ.
+
+    State is the 4-slot DOUBLE list [Σx, n, m, m_min] folded over the
+    day-ordered counts (q_holt discipline: the running-mean division
+    happens INSIDE the fold, same op sequence in both engines — each
+    step is correctly-rounded IEEE arithmetic, so the fold is
+    bit-identical). Outputs round to 6; the alarm is an integer
+    decision on the rounded statistic.
+
+    Scale shape: one counting aggregate to the bounded (type × day)
+    frame + one per-type fold — the q_ema envelope; the true streaming
+    twin carries the same 4 numbers in applyInPandasWithState."""
+    t = load_tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count("*").cast("double").alias("x"))
+    ordered = F.array_sort(F.collect_list(F.struct("day", "x")))
+    vals = F.transform(ordered, lambda s: s["x"])
+    dlt = PH_DELTA
+
+    def step(acc, x):
+        s_new = F.element_at(acc, 1) + x
+        n_new = F.element_at(acc, 2) + 1.0
+        m_new = F.element_at(acc, 3) + (x - (s_new / n_new) - dlt)
+        return F.array(s_new, n_new, m_new, F.least(F.element_at(acc, 4), m_new))
+
+    init = F.array(
+        F.element_at(vals, 1),
+        F.lit(1.0),
+        F.element_at(vals, 1) - F.element_at(vals, 1) / F.lit(1.0) - F.lit(dlt),
+        F.element_at(vals, 1) - F.element_at(vals, 1) / F.lit(1.0) - F.lit(dlt),
+    )
+    state = F.aggregate(
+        F.slice(vals, 2, F.greatest(F.size(vals) - 1, F.lit(0))), init, step
+    )
+    ph = F.round(state[2] - state[3], 6)
+    return daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.round(state[2], 6).alias("m_final"),
+        F.round(state[3], 6).alias("m_min"),
+        ph.alias("ph"),
+        (ph > PH_LAMBDA).cast("int").alias("alarm"),
+    )
+
+
+QUERIES["q_page_hinkley"] = q_page_hinkley
+
+_PHD = PH_DELTA
+# first element seeds the fold: m₁ = x₁ − x₁/1 − δ = −δ, inlined below.
+ORACLES["q_page_hinkley"] = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS DOUBLE) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    lists AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               list(x ORDER BY day) AS vals
+        FROM daily GROUP BY event_type
+    ),
+    folded AS (
+        SELECT event_type, n_days,
+               list_reduce(
+                   list_transform(vals,
+                       v -> [v, 1.0, v - v / 1.0 - {_PHD}, v - v / 1.0 - {_PHD}]),
+                   (acc, x) -> [
+                       acc[1] + x[1],
+                       acc[2] + 1.0,
+                       acc[3] + (x[1] - ((acc[1] + x[1]) / (acc[2] + 1.0)) - {_PHD}),
+                       least(acc[4],
+                             acc[3] + (x[1] - ((acc[1] + x[1]) / (acc[2] + 1.0)) - {_PHD}))
+                   ]) AS s
+        FROM lists
+    )
+    SELECT event_type, n_days,
+           round(s[3], 6) AS m_final,
+           round(s[4], 6) AS m_min,
+           round(s[3] - s[4], 6) AS ph,
+           CAST(CASE WHEN round(s[3] - s[4], 6) > {PH_LAMBDA} THEN 1 ELSE 0 END
+                AS INTEGER) AS alarm
+    FROM folded
+"""

@@ -482,3 +482,37 @@ def test_holt_winters_matches_python_fold(spark):
         assert r.hw_trend == round(acc[1], 6)
         assert r.hw_season_next == round(acc[2], 6)
         assert r.forecast_1 == round(acc[0] + acc[1] + acc[2], 6)
+
+
+def test_page_hinkley_matches_python_fold(spark):
+    from collections import Counter
+
+    from machinelearningalgomapreduce_spark.operators.timeseries import (
+        PH_DELTA,
+        PH_LAMBDA,
+        q_page_hinkley,
+    )
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    ev = load_tables(spark, SMOKE_SF_DIR).events.select("event_type", "ts").collect()
+    series: dict[str, Counter] = {}
+    for r in ev:
+        series.setdefault(r.event_type, Counter())[r.ts.date()] += 1
+    got = {r.event_type: r for r in q_page_hinkley(spark, SMOKE_SF_DIR).collect()}
+    assert set(got) == set(series)
+    for ty, cnts in series.items():
+        xs = [float(cnts[day]) for day in sorted(cnts)]
+        s, n = xs[0], 1.0
+        m = xs[0] - xs[0] / 1.0 - PH_DELTA
+        m_min = m
+        for x in xs[1:]:
+            s += x
+            n += 1.0
+            m += x - s / n - PH_DELTA
+            m_min = min(m_min, m)
+        r = got[ty]
+        assert r.n_days == len(xs)
+        assert r.m_final == round(m, 6)
+        assert r.m_min == round(m_min, 6)
+        assert r.ph == round(m - m_min, 6)
+        assert r.alarm == (1 if round(m - m_min, 6) > PH_LAMBDA else 0)
