@@ -793,3 +793,128 @@ ORACLES["q_cochran_q"] = """
                0) AS q_micro
     FROM m
 """
+
+
+PSI_BINS = 10
+
+
+def q_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability index of the event-value distribution, first
+    calendar half vs second — THE serving-drift number an ML-ops
+    pipeline tracks per feature between training and serving windows:
+    PSI = Σ_bins (p_b − q_b)·ln(p_b / q_b), with the conventional
+    bands <0.1 stable / 0.1–0.25 drifting / >0.25 shifted.
+
+    The period split is the exact micros midpoint of the min/max event
+    time (a 1-row broadcast — no sort, no median); bins are 10
+    equal-width over the global value range (same 1-row bounds idiom as
+    q_calibration_bins); class counts get the 0.5 Laplace half-count so
+    empty cells stay finite (the q_woe_iv convention — PSI is WoE·ΔP
+    summed over bins of TIME rather than of label). Per-bin ln terms
+    round to 6 and sum as DECIMAL(18,6) (order-free), so the scalar is
+    engine-identical.
+
+    Scale shape: two 1-row aggregates + one aggregate keyed by the
+    10-bin domain — three passes over the scan-thin projection, no raw
+    shuffle; at 100 TB the passes fuse into whatever window the feature
+    store already materializes.
+    """
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select(F.unix_micros("ts").alias("us"), "value")
+    bounds = ev.agg(
+        F.min("value").alias("lo"),
+        F.max("value").alias("hi"),
+        ((F.min("us") + F.max("us")) / F.lit(2)).cast("bigint").alias("mid_us"),
+    )
+    binned = (
+        ev.crossJoin(F.broadcast(bounds))
+        .select(
+            F.least(
+                F.floor(
+                    (F.col("value") - F.col("lo")) * float(PSI_BINS) / (F.col("hi") - F.col("lo"))
+                ),
+                F.lit(PSI_BINS - 1),
+            ).cast("bigint").alias("bin"),
+            (F.col("us") <= F.col("mid_us")).cast("bigint").alias("is_ref"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum("is_ref").alias("n_ref"),
+            F.sum(1 - F.col("is_ref")).alias("n_cur"),
+        )
+    )
+    tot = binned.agg(
+        F.sum("n_ref").cast("double").alias("tot_ref"),
+        F.sum("n_cur").cast("double").alias("tot_cur"),
+    )
+    p = (F.col("n_ref") + 0.5) / F.col("tot_ref")
+    q = (F.col("n_cur") + 0.5) / F.col("tot_cur")
+    term = F.round((p - q) * F.log(p / q), 6).cast("decimal(18,6)")
+    scored = binned.crossJoin(F.broadcast(tot)).select(
+        "bin", "n_ref", "n_cur", term.alias("term")
+    )
+    agg = scored.agg(
+        F.count("*").alias("n_bins"),
+        F.sum("n_ref").cast("bigint").alias("n_ref"),
+        F.sum("n_cur").cast("bigint").alias("n_cur"),
+        F.sum("term").alias("psi_sum"),
+    )
+    psi = F.col("psi_sum").cast("double")
+    return agg.select(
+        F.col("n_bins").cast("bigint").alias("n_bins"),
+        "n_ref",
+        "n_cur",
+        F.floor(psi * 1000000.0 + F.lit(0.5)).cast("bigint").alias("psi_micro"),
+        F.when(psi < 0.1, F.lit("stable"))
+        .when(psi <= 0.25, F.lit("drifting"))
+        .otherwise(F.lit("shifted"))
+        .alias("band"),
+    )
+
+
+QUERIES["q_psi"] = q_psi
+
+ORACLES["q_psi"] = f"""
+    WITH ev AS (
+        SELECT epoch_us(ts) AS us, value FROM events
+    ),
+    bounds AS (
+        SELECT min(value) AS lo, max(value) AS hi,
+               CAST(floor((min(us) + max(us)) / 2.0) AS BIGINT) AS mid_us
+        FROM ev
+    ),
+    binned AS (
+        SELECT least(CAST(floor((value - lo) * {float(PSI_BINS)} / (hi - lo)) AS BIGINT),
+                     {PSI_BINS - 1}) AS bin,
+               CAST(sum(CASE WHEN us <= mid_us THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+               CAST(sum(CASE WHEN us <= mid_us THEN 0 ELSE 1 END) AS BIGINT) AS n_cur
+        FROM ev, bounds
+        GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(sum(n_ref) AS DOUBLE) AS tot_ref,
+               CAST(sum(n_cur) AS DOUBLE) AS tot_cur
+        FROM binned
+    ),
+    scored AS (
+        SELECT bin, n_ref, n_cur,
+               CAST(round(((n_ref + 0.5) / tot_ref - (n_cur + 0.5) / tot_cur)
+                          * ln(((n_ref + 0.5) / tot_ref)
+                               / ((n_cur + 0.5) / tot_cur)), 6)
+                    AS DECIMAL(18,6)) AS term
+        FROM binned, tot
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_bins,
+               CAST(sum(n_ref) AS BIGINT) AS n_ref,
+               CAST(sum(n_cur) AS BIGINT) AS n_cur,
+               CAST(sum(term) AS DOUBLE) AS psi
+        FROM scored
+    )
+    SELECT n_bins, n_ref, n_cur,
+           CAST(floor(psi * 1000000.0 + 0.5) AS BIGINT) AS psi_micro,
+           CASE WHEN psi < 0.1 THEN 'stable'
+                WHEN psi <= 0.25 THEN 'drifting'
+                ELSE 'shifted' END AS band
+    FROM agg
+"""

@@ -516,3 +516,33 @@ def test_page_hinkley_matches_python_fold(spark):
         assert r.m_min == round(m_min, 6)
         assert r.ph == round(m - m_min, 6)
         assert r.alarm == (1 if round(m - m_min, 6) > PH_LAMBDA else 0)
+
+
+def test_psi_matches_python_recompute(spark):
+    import math
+
+    from machinelearningalgomapreduce_spark.operators.classifier import PSI_BINS, q_psi
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    ev = load_tables(spark, SMOKE_SF_DIR).events.select("ts", "value").collect()
+    us = [int(r.ts.timestamp() * 1_000_000) for r in ev]
+    mid = (min(us) + max(us)) // 2
+    lo = min(r.value for r in ev)
+    hi = max(r.value for r in ev)
+    ref: dict[int, int] = {}
+    cur: dict[int, int] = {}
+    for u, r in zip(us, ev):
+        b = min(int(math.floor((r.value - lo) * PSI_BINS / (hi - lo))), PSI_BINS - 1)
+        (ref if u <= mid else cur)[b] = (ref if u <= mid else cur).get(b, 0) + 1
+    tot_ref, tot_cur = sum(ref.values()), sum(cur.values())
+    psi = 0.0
+    for b in set(ref) | set(cur):
+        p = (ref.get(b, 0) + 0.5) / tot_ref
+        q = (cur.get(b, 0) + 0.5) / tot_cur
+        psi += round((p - q) * math.log(p / q), 6)
+    got = q_psi(spark, SMOKE_SF_DIR).collect()[0]
+    assert (got.n_ref, got.n_cur) == (tot_ref, tot_cur)
+    assert got.psi_micro == int(round(psi * 1e6))
+    assert got.band == (
+        "stable" if psi < 0.1 else "drifting" if psi <= 0.25 else "shifted"
+    )

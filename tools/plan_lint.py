@@ -126,6 +126,7 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_important_parts": {"BroadcastNestedLoopJoin": "1-row global revenue total (Q11 HAVING scalar)"},
     "q_brier": {"BroadcastNestedLoopJoin": "1-row score min/max extent"},
     "q_woe_iv": {"BroadcastNestedLoopJoin": "1-row bounds + class totals"},
+    "q_psi": {"BroadcastNestedLoopJoin": "1-row bounds/midpoint + period totals"},
     # SinglePartitionData: global ordered statistics over VALUE-COMPRESSED
     # or domain-bounded frames — the single task sees O(distinct values) /
     # O(domain) rows, never the raw data; where the frame is key-sized
