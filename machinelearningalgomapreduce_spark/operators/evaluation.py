@@ -1643,3 +1643,141 @@ ORACLES["q_friedman"] = """
     FROM sums s, nk, s2
     ORDER BY s.event_type
 """
+
+
+import math as _math
+
+SPRT_P0 = 0.50   # null conversion rate
+SPRT_P1 = 0.55   # alternative the test is powered against
+SPRT_ALPHA = 0.05
+SPRT_BETA = 0.20
+# Per-observation LLR weights and decision bounds as double literals —
+# both engines parse the same decimal repr to the same IEEE double.
+_SPRT_C_POS = _math.log(SPRT_P1 / SPRT_P0)
+_SPRT_C_NEG = _math.log((1.0 - SPRT_P1) / (1.0 - SPRT_P0))
+_SPRT_UPPER = _math.log((1.0 - SPRT_BETA) / SPRT_ALPHA)
+_SPRT_LOWER = _math.log(SPRT_BETA / (1.0 - SPRT_ALPHA))
+
+
+def q_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald's sequential probability-ratio test per event type: is the
+    type's conversion rate (value ≥ 50) at the 0.55 alternative or the
+    0.50 null — with the DAY the evidence first crossed a decision
+    bound, the number a sequential experimentation platform reports
+    ("we could have stopped on day 12") that fixed-horizon tests
+    (q_ab_test) cannot.
+
+    The cumulative LLR after day t is cum_pos·c₊ + cum_neg·c₋ — exact
+    integer counts times shared double literals, so every daily point is
+    two correctly-rounded IEEE ops, engine-identical; decisions compare
+    the micro-scaled integer. One counting aggregate to the bounded
+    (type × day) frame, a cumulative window over it, and an O(types)
+    min-day rollup — the q_cusum envelope.
+    """
+    t = load_tables(spark, sf_dir)
+    daily = t.events.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum((F.col("value") >= 50.0).cast("bigint")).alias("pos"),
+        F.sum((F.col("value") < 50.0).cast("bigint")).alias("neg"),
+    )
+    w = W.partitionBy("event_type").orderBy("day")
+    llr = (
+        F.sum("pos").over(w).cast("double") * F.lit(_SPRT_C_POS)
+        + F.sum("neg").over(w).cast("double") * F.lit(_SPRT_C_NEG)
+    )
+    scored = daily.withColumn(
+        "llr_micro", F.floor(llr * 1000000.0 + F.lit(0.5)).cast("bigint")
+    )
+    up = int(_math.floor(_SPRT_UPPER * 1e6 + 0.5))
+    lo = int(_math.floor(_SPRT_LOWER * 1e6 + 0.5))
+    crossed = scored.withColumn(
+        "cross",
+        F.when(F.col("llr_micro") >= up, F.lit("accept_h1"))
+        .when(F.col("llr_micro") <= lo, F.lit("accept_h0"))
+        .otherwise(F.lit(None).cast("string")),
+    )
+    first = (
+        crossed.filter(F.col("cross").isNotNull())
+        .groupBy("event_type")
+        .agg(F.min_by("cross", "day").alias("decision"), F.min("day").alias("first_cross_day"))
+    )
+    wlast = W.partitionBy("event_type").orderBy(F.desc("day"))
+    final = (
+        scored.withColumn("rn", F.row_number().over(wlast))
+        .filter(F.col("rn") == 1)
+        .select("event_type", F.col("llr_micro").alias("final_llr_micro"))
+    )
+    totals = daily.groupBy("event_type").agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum("neg").cast("bigint").alias("n_neg"),
+    )
+    out = (
+        totals.join(final, "event_type")
+        .join(first, "event_type", "left")
+        .select(
+            "event_type",
+            "n_pos",
+            "n_neg",
+            "final_llr_micro",
+            F.coalesce(F.col("decision"), F.lit("continue")).alias("decision"),
+            "first_cross_day",
+        )
+    )
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    return tiny_sorted(out, "event_type")
+
+
+QUERIES["q_sprt"] = q_sprt
+
+ORACLES["q_sprt"] = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS pos,
+               CAST(sum(CASE WHEN value < 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS neg
+        FROM events GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT event_type, day,
+               CAST(floor(
+                   (CAST(sum(pos) OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE)
+                        * {_SPRT_C_POS!r}
+                    + CAST(sum(neg) OVER (PARTITION BY event_type ORDER BY day) AS DOUBLE)
+                        * {_SPRT_C_NEG!r})
+                   * 1000000.0 + 0.5) AS BIGINT) AS llr_micro
+        FROM daily
+    ),
+    crossed AS (
+        SELECT event_type, day,
+               CASE WHEN llr_micro >= {int(_math.floor(_SPRT_UPPER * 1e6 + 0.5))} THEN 'accept_h1'
+                    WHEN llr_micro <= {int(_math.floor(_SPRT_LOWER * 1e6 + 0.5))} THEN 'accept_h0'
+                    ELSE NULL END AS cross_
+        FROM scored
+    ),
+    first AS (
+        SELECT event_type, min_by(cross_, day) AS decision,
+               min(day) AS first_cross_day
+        FROM crossed WHERE cross_ IS NOT NULL
+        GROUP BY event_type
+    ),
+    final AS (
+        SELECT event_type, llr_micro AS final_llr_micro
+        FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+                                           ORDER BY day DESC) AS rn
+              FROM scored)
+        WHERE rn = 1
+    ),
+    totals AS (
+        SELECT event_type, CAST(sum(pos) AS BIGINT) AS n_pos,
+               CAST(sum(neg) AS BIGINT) AS n_neg
+        FROM daily GROUP BY event_type
+    )
+    SELECT t.event_type, t.n_pos, t.n_neg, f.final_llr_micro,
+           coalesce(fi.decision, 'continue') AS decision,
+           fi.first_cross_day
+    FROM totals t
+    JOIN final f ON f.event_type = t.event_type
+    LEFT JOIN first fi ON fi.event_type = t.event_type
+    ORDER BY t.event_type
+"""

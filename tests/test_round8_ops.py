@@ -546,3 +546,50 @@ def test_psi_matches_python_recompute(spark):
     assert got.band == (
         "stable" if psi < 0.1 else "drifting" if psi <= 0.25 else "shifted"
     )
+
+
+def test_sprt_matches_python_recompute(spark):
+    import math
+    from collections import defaultdict
+
+    from machinelearningalgomapreduce_spark.operators.evaluation import (
+        SPRT_ALPHA,
+        SPRT_BETA,
+        SPRT_P0,
+        SPRT_P1,
+        q_sprt,
+    )
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    ev = load_tables(spark, SMOKE_SF_DIR).events.select(
+        "event_type", "ts", "value"
+    ).collect()
+    daily: dict = defaultdict(lambda: [0, 0])
+    for r in ev:
+        daily[(r.event_type, r.ts.date())][0 if r.value >= 50.0 else 1] += 1
+    c_pos = math.log(SPRT_P1 / SPRT_P0)
+    c_neg = math.log((1 - SPRT_P1) / (1 - SPRT_P0))
+    up = int(math.floor(math.log((1 - SPRT_BETA) / SPRT_ALPHA) * 1e6 + 0.5))
+    lo = int(math.floor(math.log(SPRT_BETA / (1 - SPRT_ALPHA)) * 1e6 + 0.5))
+    got = {r.event_type: r for r in q_sprt(spark, SMOKE_SF_DIR).collect()}
+    types = {ty for ty, _ in daily}
+    assert set(got) == types
+    for ty in types:
+        days = sorted(d for t2, d in daily if t2 == ty)
+        cp = cn = 0
+        decision, first_day, llr_m = None, None, 0
+        for d in days:
+            p, n = daily[(ty, d)]
+            cp += p
+            cn += n
+            llr_m = int(math.floor((cp * c_pos + cn * c_neg) * 1e6 + 0.5))
+            if decision is None:
+                if llr_m >= up:
+                    decision, first_day = "accept_h1", d
+                elif llr_m <= lo:
+                    decision, first_day = "accept_h0", d
+        r = got[ty]
+        assert (r.n_pos, r.n_neg) == (cp, cn)
+        assert r.final_llr_micro == llr_m
+        assert r.decision == (decision or "continue")
+        assert r.first_cross_day == first_day
