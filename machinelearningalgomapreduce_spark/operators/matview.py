@@ -552,3 +552,184 @@ def mv_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+class DriftMonitorView:
+    """Incremental serving-drift monitor: the MV form of q_psi
+    (operators/classifier.py). State is the per-(group, bin) event count
+    under FIXED equal-width bounds — plain sum-merge, so any delta
+    partitioning/order yields the bit-identical bin table (the
+    QuantileHistogramView argument). A pinned REFERENCE snapshot of
+    that state (``set_reference``) defines the training-window
+    distribution; ``psi`` derives, per group, the population-stability
+    index of everything ingested AFTER the pin (current − reference
+    counts — exact integer subtraction, so the "serving window" needs
+    no second view) against the reference, with the conventional
+    stable/drifting/shifted bands.
+
+    Bounds are fixed at construction: equal-width binning is only
+    mergeable when every partial uses the same grid (at scale the
+    feature range comes from the training profile, not the delta).
+    Values outside [lo, hi) clamp to the edge bins, same as q_psi's
+    `least` guard. The reference is an immutable copied snapshot
+    (``_ref-v*`` + atomic pointer), so vacuum of old versions never
+    invalidates it.
+
+    100 TB shape: state is O(groups × bins) forever; a refresh is one
+    map-side-combined count over the delta + an O(state) re-sum; psi
+    reads two O(state) tables and never touches raw data. Inherits the
+    version pointer, replay ledger, time travel, and vacuum."""
+
+    def __init__(
+        self, path: str, group_col: str, value_col: str,
+        lo: float, hi: float, n_bins: int = 10, n_buckets: int = 8,
+    ) -> None:
+        if not hi > lo:
+            raise ValueError(f"need hi > lo, got [{lo}, {hi})")
+        self.path = path
+        self.group_col = group_col
+        self.value_col = value_col
+        self.lo, self.hi, self.n_bins = float(lo), float(hi), int(n_bins)
+        self._mv = IncrementalAggView(
+            path,
+            keys=["grp", "bin"],
+            aggs={"cnt": ("sum", "cnt")},
+            n_buckets=n_buckets,
+            spec_extra={
+                "monitor": "psi_drift", "group_col": group_col,
+                "value_col": value_col, "lo": self.lo, "hi": self.hi,
+                "n_bins": self.n_bins,
+            },
+        )
+
+    def _binned(self, delta: DataFrame) -> DataFrame:
+        b = F.least(
+            F.greatest(
+                F.floor(
+                    (F.col(self.value_col) - self.lo)
+                    * float(self.n_bins) / (self.hi - self.lo)
+                ),
+                F.lit(0),
+            ),
+            F.lit(self.n_bins - 1),
+        ).cast("bigint")
+        return (
+            delta.select(F.col(self.group_col).alias("grp"), b.alias("bin"))
+            .groupBy("grp", "bin")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    def refresh(self, spark: SparkSession, delta: DataFrame, batch_id: str) -> bool:
+        return self._mv.refresh(spark, self._binned(delta), batch_id)
+
+    def bins(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        return self._mv.read(spark, version)
+
+    # -- reference pin ----------------------------------------------------
+    def set_reference(self, spark: SparkSession, version: int | None = None) -> int:
+        """Snapshot the committed state as the pinned reference
+        distribution; returns the pinned version. Crash-safe like a
+        refresh: the snapshot directory is written completely, then ONE
+        atomic pointer flip adopts it."""
+        v = self._mv.current_version() if version is None else version
+        if v == 0:
+            raise ValueError("cannot pin a reference before the first refresh")
+        ref_dir = os.path.join(self.path, f"_ref-v{v:08d}")
+        if not os.path.exists(ref_dir):
+            tmp = ref_dir + ".inprogress"
+            shutil.rmtree(tmp, ignore_errors=True)
+            self._mv.read(spark, v).write.mode("overwrite").parquet(
+                os.path.join(tmp, "data.parquet")
+            )
+            os.replace(tmp, ref_dir)
+        with open(os.path.join(self.path, "_REF.tmp"), "w") as fh:
+            fh.write(f"{v}")
+        os.replace(
+            os.path.join(self.path, "_REF.tmp"), os.path.join(self.path, "_REF")
+        )
+        return v
+
+    def reference_version(self) -> int:
+        ptr = os.path.join(self.path, "_REF")
+        if not os.path.exists(ptr):
+            return 0
+        return int(open(ptr).read().strip())
+
+    def reference(self, spark: SparkSession) -> DataFrame:
+        v = self.reference_version()
+        if v == 0:
+            raise ValueError("no reference pinned — call set_reference first")
+        return spark.read.parquet(
+            os.path.join(self.path, f"_ref-v{v:08d}", "data.parquet")
+        )
+
+    # -- derived drift ----------------------------------------------------
+    def psi(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """Per-group PSI of post-reference ingest vs the reference:
+        (grp, n_ref, n_cur, psi_micro, band). The q_psi determinism
+        discipline — 0.5 half-count smoothing over the FULL bin grid,
+        round-6 ln terms summed as DECIMAL(18,6), micro fixed-point."""
+        ref = self.reference(spark).select(
+            "grp", "bin", F.col("cnt").alias("ref_cnt")
+        )
+        cur = self.bins(spark, version).select(
+            "grp", "bin", F.col("cnt").alias("cur_cnt")
+        )
+        both = cur.join(ref, ["grp", "bin"], "full")
+        grid = (
+            both.select("grp").distinct()
+            .select(
+                "grp",
+                F.explode(
+                    F.sequence(F.lit(0), F.lit(self.n_bins - 1))
+                ).alias("bin0"),
+            )
+            .select("grp", F.col("bin0").cast("bigint").alias("bin"))
+        )
+        joined = (
+            grid.join(both, ["grp", "bin"], "left")
+            .select(
+                "grp",
+                "bin",
+                F.coalesce("ref_cnt", F.lit(0)).alias("n_ref"),
+                (F.coalesce("cur_cnt", F.lit(0)) - F.coalesce("ref_cnt", F.lit(0))).alias("n_new"),
+            )
+        )
+        tot = joined.groupBy("grp").agg(
+            F.sum("n_ref").cast("double").alias("tot_ref"),
+            F.sum("n_new").cast("double").alias("tot_new"),
+        )
+        # nullif guards: a group with no post-pin ingest (tot_new = 0) or
+        # one unseen at pin time (tot_ref = 0) has no defined PSI — terms
+        # go NULL, psi coalesces to 0 and the band reports the situation
+        # explicitly instead of a drift verdict.
+        p = (F.col("n_ref") + 0.5) / F.nullif(F.col("tot_ref"), F.lit(0.0))
+        q = (F.col("n_new") + 0.5) / F.nullif(F.col("tot_new"), F.lit(0.0))
+        term = F.round((p - q) * F.log(p / q), 6).cast("decimal(18,6)")
+        scored = joined.join(tot, "grp").groupBy("grp").agg(
+            F.sum("n_ref").cast("bigint").alias("n_ref"),
+            F.sum("n_new").cast("bigint").alias("n_cur"),
+            F.sum(term).alias("psi_sum"),
+        )
+        psi = F.coalesce(F.col("psi_sum").cast("double"), F.lit(0.0))
+        return scored.select(
+            "grp",
+            "n_ref",
+            "n_cur",
+            F.floor(psi * 1000000.0 + F.lit(0.5)).cast("bigint").alias("psi_micro"),
+            F.when(F.col("n_cur") == 0, F.lit("no_serving_data"))
+            .when(F.col("n_ref") == 0, F.lit("new_group"))
+            .when(psi < 0.1, F.lit("stable"))
+            .when(psi <= 0.25, F.lit("drifting"))
+            .otherwise(F.lit("shifted"))
+            .alias("band"),
+        )
+
+    def current_version(self) -> int:
+        return self._mv.current_version()
+
+    def applied_batches(self) -> list[str]:
+        return self._mv.applied_batches()
+
+    def vacuum(self, keep_last: int = 2) -> list[int]:
+        return self._mv.vacuum(keep_last)
