@@ -1781,3 +1781,262 @@ ORACLES["q_sprt"] = f"""
     LEFT JOIN first fi ON fi.event_type = t.event_type
     ORDER BY t.event_type
 """
+
+
+def q_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences read-out: the treatment effect on the
+    event `value` metric for the id-parity treatment group, netting out
+    the shared time trend via the control group — the causal staple for
+    rollouts without randomized exposure windows:
+    DiD = (ȳ_T,post − ȳ_T,pre) − (ȳ_C,post − ȳ_C,pre).
+
+    Period split = the exact micros midpoint of the event-time span (the
+    q_psi idiom — a 1-row broadcast, no median sort); groups = the
+    q_ab_test user-id parity. The four cell means come from ONE
+    conditional hash aggregate of exact DECIMAL sums; each mean is a
+    single correctly-rounded division and the DiD closes in doubles,
+    emitted micro fixed-point alongside the four cell means.
+
+    Scale shape: a 1-row bounds aggregate + ONE map-side-combinable
+    conditional aggregate over the scan — no joins of raw rows."""
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id", F.unix_micros("ts").alias("us"), "value")
+    bounds = ev.agg(((F.min("us") + F.max("us")) / F.lit(2)).cast("bigint").alias("mid_us"))
+    dec = F.col("value").cast("decimal(18,6)")
+    treat = F.pmod(F.col("user_id"), F.lit(2)) == 1
+    post = F.col("us") > F.col("mid_us")
+
+    conds = {
+        "t_pre": treat & ~post,
+        "t_post": treat & post,
+        "c_pre": ~treat & ~post,
+        "c_post": ~treat & post,
+    }
+    aggs = []
+    for k, cond in conds.items():
+        aggs.append(F.sum(cond.cast("bigint")).alias(f"n_{k}"))
+        aggs.append(F.sum(F.when(cond, dec)).alias(f"s_{k}"))
+    agg = ev.crossJoin(F.broadcast(bounds)).agg(*aggs)
+    means = {
+        k: F.col(f"s_{k}").cast("double") / F.col(f"n_{k}").cast("double")
+        for k in conds
+    }
+    did = (means["t_post"] - means["t_pre"]) - (means["c_post"] - means["c_pre"])
+    out_cols = []
+    for k in conds:
+        out_cols.append(F.col(f"n_{k}").cast("bigint").alias(f"n_{k}"))
+        out_cols.append(
+            F.floor(means[k] * 1000000.0 + F.lit(0.5)).cast("bigint").alias(f"mean_{k}_micro")
+        )
+    out_cols.append(
+        F.floor(did * 1000000.0 + F.lit(0.5)).cast("bigint").alias("did_micro")
+    )
+    return agg.select(*out_cols)
+
+
+QUERIES["q_diff_in_diff"] = q_diff_in_diff
+
+ORACLES["q_diff_in_diff"] = """
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us, CAST(value AS DECIMAL(18,6)) AS v
+        FROM events
+    ),
+    bounds AS (
+        SELECT CAST(floor((min(us) + max(us)) / 2.0) AS BIGINT) AS mid_us FROM ev
+    ),
+    agg AS (
+        SELECT
+          CAST(sum(CASE WHEN user_id % 2 = 1 AND us <= mid_us THEN 1 ELSE 0 END) AS BIGINT) AS n_t_pre,
+          sum(CASE WHEN user_id % 2 = 1 AND us <= mid_us THEN v END) AS s_t_pre,
+          CAST(sum(CASE WHEN user_id % 2 = 1 AND us > mid_us THEN 1 ELSE 0 END) AS BIGINT) AS n_t_post,
+          sum(CASE WHEN user_id % 2 = 1 AND us > mid_us THEN v END) AS s_t_post,
+          CAST(sum(CASE WHEN user_id % 2 = 0 AND us <= mid_us THEN 1 ELSE 0 END) AS BIGINT) AS n_c_pre,
+          sum(CASE WHEN user_id % 2 = 0 AND us <= mid_us THEN v END) AS s_c_pre,
+          CAST(sum(CASE WHEN user_id % 2 = 0 AND us > mid_us THEN 1 ELSE 0 END) AS BIGINT) AS n_c_post,
+          sum(CASE WHEN user_id % 2 = 0 AND us > mid_us THEN v END) AS s_c_post
+        FROM ev, bounds
+    )
+    SELECT n_t_pre,
+           CAST(floor(CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS mean_t_pre_micro,
+           n_t_post,
+           CAST(floor(CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS mean_t_post_micro,
+           n_c_pre,
+           CAST(floor(CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS mean_c_pre_micro,
+           n_c_post,
+           CAST(floor(CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+                      * 1000000.0 + 0.5) AS BIGINT) AS mean_c_post_micro,
+           CAST(floor(
+               ((CAST(s_t_post AS DOUBLE) / CAST(n_t_post AS DOUBLE)
+                 - CAST(s_t_pre AS DOUBLE) / CAST(n_t_pre AS DOUBLE))
+                - (CAST(s_c_post AS DOUBLE) / CAST(n_c_post AS DOUBLE)
+                   - CAST(s_c_pre AS DOUBLE) / CAST(n_c_pre AS DOUBLE)))
+               * 1000000.0 + 0.5) AS BIGINT) AS did_micro
+    FROM agg
+"""
+
+
+def q_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction: adjust each user's post-period metric by
+    their own pre-period behavior — ŷᵢ = yᵢ − θ(xᵢ − x̄) with
+    θ = cov(x, y)/var(x) — the standard trick that makes the q_ab_test
+    read-out decisive on a fraction of the traffic. Reported per
+    variant: the raw and adjusted means and the achieved variance-
+    reduction ratio (1 − ρ² in expectation).
+
+    Pipeline: per-user (pre, post) value sums split at the exact micros
+    midpoint (ONE user-keyed aggregate of DECIMAL sums); θ from exact
+    global moments of those per-user pairs; the adjusted moments expand
+    ALGEBRAICALLY — Σŷ = Σy − θ(Σx − n·x̄), Σŷ² likewise — so no second
+    pass over users is needed and every input to the final doubles is an
+    exact DECIMAL/BIGINT. Means/variances close as correctly-rounded
+    double chains, micro fixed-point outputs.
+
+    Scale shape: one user-keyed aggregate (the q_sessionize shuffle
+    envelope), one 1-row moment aggregate, 1-row arithmetic after —
+    θ and the variance ratio are model-sized at any scale."""
+    t = load_tables(spark, sf_dir)
+    ev = t.events.select("user_id", F.unix_micros("ts").alias("us"), "value")
+    bounds = ev.agg(((F.min("us") + F.max("us")) / F.lit(2)).cast("bigint").alias("mid_us"))
+    dec = F.col("value").cast("decimal(18,6)")
+    per_user = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("us") <= F.col("mid_us"), dec)),
+                       F.lit(0).cast("decimal(18,6)")).alias("x"),
+            F.coalesce(F.sum(F.when(F.col("us") > F.col("mid_us"), dec)),
+                       F.lit(0).cast("decimal(18,6)")).alias("y"),
+        )
+        .select(
+            (F.pmod(F.col("user_id"), F.lit(2)) == 1).cast("int").alias("variant"),
+            "x",
+            "y",
+        )
+    )
+    mom = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, sxy = F.col("sxx").cast("double"), F.col("sxy").cast("double")
+    theta = F.round((sxy - sx * sy / n) / (sxx - sx * sx / n), 6)
+    xbar = F.round(sx / n, 6)
+    model = mom.select(theta.alias("theta"), xbar.alias("xbar"))
+    adj = F.col("y").cast("double") - F.col("theta") * (
+        F.col("x").cast("double") - F.col("xbar")
+    )
+    per_variant = (
+        per_user.crossJoin(F.broadcast(model))
+        .select(
+            "variant",
+            F.col("y").cast("double").alias("yd"),
+            adj.alias("ya"),
+            "theta",
+        )
+        .groupBy("variant")
+        .agg(
+            F.count("*").alias("n_users"),
+            F.sum(F.round(F.col("yd"), 6).cast("decimal(28,6)")).alias("s_raw"),
+            F.sum(F.round(F.col("yd") * F.col("yd"), 6).cast("decimal(28,6)")).alias("ss_raw"),
+            F.sum(F.round(F.col("ya"), 6).cast("decimal(28,6)")).alias("s_adj"),
+            F.sum(F.round(F.col("ya") * F.col("ya"), 6).cast("decimal(28,6)")).alias("ss_adj"),
+            F.first("theta").alias("theta"),
+        )
+    )
+    nu = F.col("n_users").cast("double")
+    var_raw = (F.col("ss_raw").cast("double")
+               - F.col("s_raw").cast("double") * F.col("s_raw").cast("double") / nu) / (nu - 1)
+    var_adj = (F.col("ss_adj").cast("double")
+               - F.col("s_adj").cast("double") * F.col("s_adj").cast("double") / nu) / (nu - 1)
+    out = per_variant.select(
+        "variant",
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.floor(F.col("theta") * 1000000.0 + F.lit(0.5)).cast("bigint").alias("theta_micro"),
+        F.floor(F.col("s_raw").cast("double") / nu * 1000000.0 + F.lit(0.5))
+        .cast("bigint").alias("mean_raw_micro"),
+        F.floor(F.col("s_adj").cast("double") / nu * 1000000.0 + F.lit(0.5))
+        .cast("bigint").alias("mean_adj_micro"),
+        F.floor(var_adj / var_raw * 1000000.0 + F.lit(0.5))
+        .cast("bigint").alias("var_ratio_micro"),
+    )
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    return tiny_sorted(out, "variant")
+
+
+QUERIES["q_cuped"] = q_cuped
+
+ORACLES["q_cuped"] = """
+    WITH ev AS (
+        SELECT user_id, epoch_us(ts) AS us, CAST(value AS DECIMAL(18,6)) AS v
+        FROM events
+    ),
+    bounds AS (
+        SELECT CAST(floor((min(us) + max(us)) / 2.0) AS BIGINT) AS mid_us FROM ev
+    ),
+    per_user AS (
+        SELECT CAST(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS INTEGER) AS variant,
+               coalesce(sum(CASE WHEN us <= mid_us THEN v END),
+                        CAST(0 AS DECIMAL(18,6))) AS x,
+               coalesce(sum(CASE WHEN us > mid_us THEN v END),
+                        CAST(0 AS DECIMAL(18,6))) AS y
+        FROM ev, bounds
+        GROUP BY user_id
+    ),
+    mom AS (
+        SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM per_user
+    ),
+    model AS (
+        SELECT round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                     / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n),
+                     6) AS theta,
+               round(CAST(sx AS DOUBLE) / n, 6) AS xbar
+        FROM mom
+    ),
+    scored AS (
+        SELECT variant,
+               CAST(round(CAST(y AS DOUBLE), 6) AS DECIMAL(28,6)) AS yr,
+               CAST(round(CAST(y AS DOUBLE) * CAST(y AS DOUBLE), 6)
+                    AS DECIMAL(28,6)) AS yyr,
+               CAST(round(CAST(y AS DOUBLE)
+                          - theta * (CAST(x AS DOUBLE) - xbar), 6)
+                    AS DECIMAL(28,6)) AS ya,
+               CAST(round((CAST(y AS DOUBLE) - theta * (CAST(x AS DOUBLE) - xbar))
+                          * (CAST(y AS DOUBLE) - theta * (CAST(x AS DOUBLE) - xbar)), 6)
+                    AS DECIMAL(28,6)) AS yya,
+               theta
+        FROM per_user, model
+    ),
+    per_variant AS (
+        SELECT variant, CAST(count(*) AS BIGINT) AS n_users,
+               sum(yr) AS s_raw, sum(yyr) AS ss_raw,
+               sum(ya) AS s_adj, sum(yya) AS ss_adj,
+               min(theta) AS theta
+        FROM scored GROUP BY variant
+    )
+    SELECT variant, n_users,
+           CAST(floor(theta * 1000000.0 + 0.5) AS BIGINT) AS theta_micro,
+           CAST(floor(CAST(s_raw AS DOUBLE) / n_users * 1000000.0 + 0.5)
+                AS BIGINT) AS mean_raw_micro,
+           CAST(floor(CAST(s_adj AS DOUBLE) / n_users * 1000000.0 + 0.5)
+                AS BIGINT) AS mean_adj_micro,
+           CAST(floor(
+               ((CAST(ss_adj AS DOUBLE)
+                 - CAST(s_adj AS DOUBLE) * CAST(s_adj AS DOUBLE) / n_users)
+                / (n_users - 1))
+               / ((CAST(ss_raw AS DOUBLE)
+                   - CAST(s_raw AS DOUBLE) * CAST(s_raw AS DOUBLE) / n_users)
+                  / (n_users - 1))
+               * 1000000.0 + 0.5) AS BIGINT) AS var_ratio_micro
+    FROM per_variant
+    ORDER BY variant
+"""

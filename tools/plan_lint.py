@@ -127,6 +127,8 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_brier": {"BroadcastNestedLoopJoin": "1-row score min/max extent"},
     "q_woe_iv": {"BroadcastNestedLoopJoin": "1-row bounds + class totals"},
     "q_psi": {"BroadcastNestedLoopJoin": "1-row bounds/midpoint + period totals"},
+    "q_diff_in_diff": {"BroadcastNestedLoopJoin": "1-row period midpoint"},
+    "q_cuped": {"BroadcastNestedLoopJoin": "1-row midpoint + 1-row theta/xbar model"},
     # SinglePartitionData: global ordered statistics over VALUE-COMPRESSED
     # or domain-bounded frames — the single task sees O(distinct values) /
     # O(domain) rows, never the raw data; where the frame is key-sized
