@@ -1316,8 +1316,10 @@ def q_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
     decision on the rounded statistic.
 
     Scale shape: one counting aggregate to the bounded (type × day)
-    frame + one per-type fold — the q_ema envelope; the true streaming
-    twin carries the same 4 numbers in applyInPandasWithState."""
+    frame + one per-type fold — the q_ema envelope; the streaming twin
+    (streaming/stateful.py::type_page_hinkley) carries the same 4
+    numbers in applyInPandasWithState at event granularity,
+    differential-tested against this recurrence."""
     t = load_tables(spark, sf_dir)
     daily = t.events.groupBy(
         "event_type", F.to_date("ts").alias("day")

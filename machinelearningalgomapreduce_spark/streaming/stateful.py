@@ -113,3 +113,75 @@ def user_ema(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PH_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("sum_x", T.DoubleType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("m", T.DoubleType()),
+        T.StructField("m_min", T.DoubleType()),
+    ]
+)
+
+PH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("ph", T.DoubleType()),
+        T.StructField("alarm", T.IntegerType()),
+    ]
+)
+
+
+def _update_page_hinkley(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    # The q_page_hinkley recurrence carried as O(1) per-key state —
+    # (Σx, n, m, min m) — at EVENT granularity: the monitor folds every
+    # observation as it arrives, where the batch query folds the daily
+    # rollup (same detector, finer clock). Events sort chronologically
+    # within the micro-batch; across batches arrival order stands in for
+    # event time (the user_ema assumption).
+    from machinelearningalgomapreduce_spark.operators.timeseries import (
+        PH_DELTA,
+        PH_LAMBDA,
+    )
+
+    (event_type,) = key
+    s, n, m, m_min = state.get if state.exists else (0.0, 0, None, None)
+    for pdf in pdfs:
+        for x in pdf.sort_values(["us", "event_id"])["value"]:
+            x = float(x)
+            s += x
+            n += 1
+            if m is None:
+                m = x - s / n - PH_DELTA
+                m_min = m
+            else:
+                m += x - s / n - PH_DELTA
+                m_min = min(m_min, m)
+    state.update((s, n, m, m_min))
+    ph = round(m - m_min, 6)
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type],
+            "n": [n],
+            "ph": [ph],
+            "alarm": [1 if ph > PH_LAMBDA else 0],
+        }
+    )
+
+
+def type_page_hinkley(events: DataFrame) -> DataFrame:
+    """Streaming Page-Hinkley drift monitor per event type — the stateful
+    twin of operators/timeseries.py::q_page_hinkley, emitting the updated
+    (n, PH, alarm) for every key seen in each micro-batch. Input needs
+    (event_type, value, us, event_id)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_page_hinkley,
+        outputStructType=PH_OUTPUT_SCHEMA,
+        stateStructType=PH_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -163,3 +163,42 @@ def test_stateful_ema_matches_batch_query(spark, sf_dir):
         gn, gema = got[uid]
         assert gn == n, uid
         assert gema == pytest.approx(ema, abs=1e-6), uid
+
+
+def test_stateful_page_hinkley_matches_python_fold(spark, sf_dir):
+    """The streaming monitor's final per-type state equals a Python fold
+    of the same recurrence over the chronologically-ordered events."""
+    from machinelearningalgomapreduce_spark.operators.timeseries import PH_DELTA
+    from machinelearningalgomapreduce_spark.streaming.stateful import type_page_hinkley
+
+    stream = sw.stream_events(spark, sf_dir).select(
+        "event_type", "value", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    out = sw.run_to_memory(type_page_hinkley(stream), "t_ph", output_mode="update")
+    got = {r.event_type: (r.n, r.ph, r.alarm) for r in out.orderBy("n").collect()}
+
+    rows = (
+        load_tables(spark, sf_dir)
+        .events.select("event_type", "value", F.unix_micros("ts").alias("us"), "event_id")
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append((r.us, r.event_id, float(r.value)))
+    from machinelearningalgomapreduce_spark.operators.timeseries import PH_LAMBDA
+
+    for ty, obs in series.items():
+        s = n = 0
+        m = m_min = None
+        for _, _, x in sorted(obs):
+            s += x
+            n += 1
+            if m is None:
+                m = x - s / n - PH_DELTA
+                m_min = m
+            else:
+                m += x - s / n - PH_DELTA
+                m_min = min(m_min, m)
+        ph = round(m - m_min, 6)
+        assert got[ty] == (n, ph, 1 if ph > PH_LAMBDA else 0), ty
+    assert set(got) == set(series)
