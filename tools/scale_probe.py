@@ -85,6 +85,17 @@ PROBE_QUERIES = [
     # multiply over the shared part table — the interesting stress case).
     "q_substring_dup",
     "q_edge_support",
+    # round-8 session-4 additions: the drift/experimentation tier — all
+    # bounded-frame folds or 1-row-model aggregates that must stay
+    # near-flat (their windows/folds run over the calendar × type domain,
+    # not raw rows; q_cuped's user-keyed aggregate is the only raw
+    # shuffle and mirrors q_sessionize's envelope).
+    "q_changepoint",
+    "q_holt_winters",
+    "q_page_hinkley",
+    "q_psi",
+    "q_cuped",
+    "q_friedman",
 ]
 
 
