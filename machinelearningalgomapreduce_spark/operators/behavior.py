@@ -912,3 +912,66 @@ ORACLES["q_dau_wau"] = """
     FROM weekly_days JOIN wau USING (wk)
     ORDER BY wk
 """
+
+
+def q_active_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engagement-depth histogram (the "L28/Lness" curve growth teams
+    read): how many users were active on exactly k distinct days over
+    the fixture window, with the cumulative user count and each bucket's
+    exact micro share of the user base. The histogram's right mass is
+    the habit core; q_dau_wau gives the per-week ratio view of the same
+    engagement signal, this gives the full distribution.
+
+    Counts are exact; `share_micro` is integer-exact half-up micro
+    fixed-point (n_users·10⁶ over the user total), so no double enters
+    the hash.
+
+    Scale shape: one (user, day) distinct + one per-user count — both
+    map-side partial-aggregable; the histogram and its windows run on
+    the ≤O(days)-row bucket frame, so the single-partition cumulative
+    window is bounded by the calendar, not the data."""
+    t = load_tables(spark, sf_dir)
+    per_user = (
+        t.events.select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("active_days"))
+    )
+    hist = per_user.groupBy("active_days").agg(F.count("*").alias("n_users"))
+    w_cum = W.orderBy("active_days").rowsBetween(W.unboundedPreceding, 0)
+    w_all = W.orderBy("active_days").rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    out = hist.select(
+        "active_days",
+        "n_users",
+        F.sum("n_users").over(w_cum).alias("cum_users"),
+        half_up(F.col("n_users") * 1_000_000, F.sum("n_users").over(w_all)).alias(
+            "share_micro"
+        ),
+    )
+    return tiny_sorted(out, "active_days")
+
+
+QUERIES["q_active_days"] = q_active_days
+
+ORACLES["q_active_days"] = """
+    WITH per_user AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS active_days
+        FROM (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        GROUP BY user_id
+    ),
+    hist AS (
+        SELECT active_days, CAST(count(*) AS BIGINT) AS n_users
+        FROM per_user GROUP BY active_days
+    )
+    SELECT active_days, n_users,
+           CAST(sum(n_users) OVER (ORDER BY active_days
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND CURRENT ROW) AS BIGINT) AS cum_users,
+           CAST(floor((2 * (n_users * 1000000)
+                       + sum(n_users) OVER ())
+                      / (2 * sum(n_users) OVER ())) AS BIGINT) AS share_micro
+    FROM hist
+    ORDER BY active_days
+"""

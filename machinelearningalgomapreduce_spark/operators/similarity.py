@@ -1286,3 +1286,100 @@ ORACLES["q_map"] = f"""
     FROM (SELECT DISTINCT query_id FROM topk) qq
     LEFT JOIN per_q m USING (query_id)
 """
+
+
+EMB_DRIFT_COS = 0.9  # below this centroid-to-global cosine → flagged drifted
+
+
+def q_embedding_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space drift audit: each label cohort's centroid compared
+    to the GLOBAL corpus centroid — cosine and norm ratio, with a flag
+    when the cohort points somewhere else than the corpus bulk
+    (cos < EMB_DRIFT_COS). The vector-space twin of q_psi/q_vocab_drift:
+    run per ingest source or per day at 100 TB, it is the cheap monitor
+    that catches an embedding-model version mix-up or a source whose
+    content shifted, BEFORE clustering/ANN quality degrades downstream.
+
+    Determinism: per-dimension means are rounded to 6 (the shared
+    label_centroids model discipline, q_kmeans_assign); dot products and
+    norms fold dimension-ordered on both engines (functions/vectors
+    ↔ list_sum(list_transform(...)) — the verified bit-identical pair),
+    so cosine and norm ratio hash exactly.
+
+    Scale shape: one posexplode + (label, dim) aggregate — map-side
+    partial sums, output O(labels × dims); the global centroid is the
+    same aggregate without the label key, broadcast as one row. No
+    vector self-join anywhere."""
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    t = load_tables(spark, sf_dir)
+    cents = label_centroids(t.embeddings)
+    glob = (
+        t.embeddings.select(F.posexplode("embedding").alias("d", "xv"))
+        .groupBy("d")
+        .agg(F.round(F.avg(F.col("xv").cast("double")), 6).alias("g"))
+        .groupBy()
+        .agg(F.array_sort(F.collect_list(F.struct("d", "g"))).alias("dg"))
+        .select(F.transform("dg", lambda s: s["g"]).alias("gvec"))
+    )
+    counts = t.embeddings.groupBy("label").agg(F.count("*").alias("n_vecs"))
+    j = cents.join(counts, "label").crossJoin(F.broadcast(glob))
+    c, g = F.col("centroid"), F.col("gvec")
+    cos = dot(c, g, EMBEDDING_DIM) / (norm(c, EMBEDDING_DIM) * norm(g, EMBEDDING_DIM))
+    nr = norm(c, EMBEDDING_DIM) / norm(g, EMBEDDING_DIM)
+    out = j.select(
+        "label",
+        "n_vecs",
+        F.round(cos, 6).alias("cos_to_global"),
+        F.round(nr, 6).alias("norm_ratio"),
+        (F.round(cos, 6) < EMB_DRIFT_COS).cast("int").alias("drifted"),
+    )
+    return tiny_sorted(out, "label")
+
+
+QUERIES["q_embedding_drift"] = q_embedding_drift
+
+_DRIFT_DIMS = f"range(1, {EMBEDDING_DIM + 1})"
+
+ORACLES["q_embedding_drift"] = f"""
+    WITH cent_dims AS (
+        SELECT label, d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS c
+        FROM embeddings, (SELECT unnest({_DRIFT_DIMS}) AS d)
+        GROUP BY label, d
+    ),
+    cent AS (
+        SELECT label, list(c ORDER BY d) AS centroid
+        FROM cent_dims GROUP BY label
+    ),
+    glob_dims AS (
+        SELECT d, round(avg(CAST(embedding[d] AS DOUBLE)), 6) AS g
+        FROM embeddings, (SELECT unnest({_DRIFT_DIMS}) AS d)
+        GROUP BY d
+    ),
+    gcent AS (SELECT list(g ORDER BY d) AS gvec FROM glob_dims),
+    counts AS (
+        SELECT label, CAST(count(*) AS BIGINT) AS n_vecs
+        FROM embeddings GROUP BY label
+    )
+    SELECT c.label, n.n_vecs,
+           round(list_sum(list_transform({_DRIFT_DIMS},
+                     i -> c.centroid[i] * g.gvec[i]))
+                 / (sqrt(list_sum(list_transform({_DRIFT_DIMS},
+                        i -> c.centroid[i] * c.centroid[i])))
+                    * sqrt(list_sum(list_transform({_DRIFT_DIMS},
+                          i -> g.gvec[i] * g.gvec[i])))), 6) AS cos_to_global,
+           round(sqrt(list_sum(list_transform({_DRIFT_DIMS},
+                     i -> c.centroid[i] * c.centroid[i])))
+                 / sqrt(list_sum(list_transform({_DRIFT_DIMS},
+                       i -> g.gvec[i] * g.gvec[i]))), 6) AS norm_ratio,
+           CAST(CASE WHEN round(list_sum(list_transform({_DRIFT_DIMS},
+                              i -> c.centroid[i] * g.gvec[i]))
+                          / (sqrt(list_sum(list_transform({_DRIFT_DIMS},
+                                 i -> c.centroid[i] * c.centroid[i])))
+                             * sqrt(list_sum(list_transform({_DRIFT_DIMS},
+                                   i -> g.gvec[i] * g.gvec[i])))), 6)
+                          < {EMB_DRIFT_COS}
+                     THEN 1 ELSE 0 END AS INTEGER) AS drifted
+    FROM cent c CROSS JOIN gcent g JOIN counts n USING (label)
+    ORDER BY c.label
+"""

@@ -1390,3 +1390,613 @@ ORACLES["q_page_hinkley"] = f"""
                 AS INTEGER) AS alarm
     FROM folded
 """
+
+
+# ------------------------------------------------------------------ session-5
+# monitoring & diagnostics tier: white-noise testing (Ljung-Box), cross-series
+# lead/lag screening, EWMA control charting, and trend-residual diagnostics
+# (Durbin-Watson) — the statistics an operations dashboard runs NEXT to the
+# per-series smoothers (q_ema/q_holt) and drift detectors (q_cusum,
+# q_page_hinkley, q_changepoint) already in this module.
+
+LB_MAX_LAG = 7          # portmanteau depth m (one week of daily lags)
+LB_CRIT_95 = 14.067140  # chi-square 0.95 quantile at df = LB_MAX_LAG
+
+
+def q_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test per event type: is the daily-count
+    series white noise once you pool the first m=7 autocorrelations?
+    Q = n(n+2)·Σₖ ρ̂ₖ²/(n−k) with ρ̂ₖ = cₖ/c₀ the standard SINGLE-variance
+    autocorrelation estimate (shared mean and denominator across lags) —
+    deliberately different from q_acf's per-lag Pearson correlogram,
+    because Q's χ² null calibration assumes this estimator.
+
+    Exactness: positions come from row_number over the day-ordered
+    series, so every sufficient statistic (n, Σx, Σx², and per-lag
+    n_pairs, Σxₜ, Σxₜ₋ₖ, Σxₜxₜ₋ₖ) is an exact BIGINT; ρ̂ₖ and the per-lag
+    terms are identical double expressions of them, and the m-term sum
+    folds in lag order seeded at 0.0 in BOTH engines (left-fold over the
+    lag-sorted term list), so Q is bit-identical before the round.
+
+    Scale shape: raw events collapse once to the bounded (type × day)
+    frame; the row_number window, 7-way lag fan-out, self-join, and the
+    final per-type fold all run on that O(types × days) frame —
+    independent of the fact-table size."""
+    from pyspark.sql.window import Window as W
+
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    t = load_tables(spark, sf_dir)
+    daily = t.events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    pos = daily.select(
+        "event_type",
+        "x",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("day"))
+        .cast("bigint")
+        .alias("t"),
+    )
+    lags = spark.range(1, LB_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    probes = pos.crossJoin(F.broadcast(lags)).select(
+        "event_type",
+        "lag",
+        (F.col("t") - F.col("lag")).alias("pt"),
+        F.col("x").alias("xa"),
+    )
+    prev = pos.select(
+        F.col("event_type").alias("p_type"),
+        F.col("t").alias("p_t"),
+        F.col("x").alias("xb"),
+    )
+    pairs = probes.join(
+        prev, (F.col("event_type") == F.col("p_type")) & (F.col("pt") == F.col("p_t"))
+    )
+    per_lag = pairs.groupBy("event_type", "lag").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("xa").alias("sa"),
+        F.sum("xb").alias("sb"),
+        F.sum(F.col("xa") * F.col("xb")).alias("sab"),
+    )
+    totals = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    j = per_lag.join(F.broadcast(totals), "event_type")
+    nd = F.col("n_days").cast("double")
+    mean = F.col("sx").cast("double") / nd
+    c0 = F.col("sxx").cast("double") - mean * F.col("sx").cast("double")
+    ck = (
+        F.col("sab").cast("double")
+        - mean * F.col("sa").cast("double")
+        - mean * F.col("sb").cast("double")
+        + F.col("n_pairs").cast("double") * mean * mean
+    )
+    rho = ck / c0
+    term = rho * rho / (nd - F.col("lag").cast("double"))
+    lagrows = j.select(
+        "event_type", "lag", "n_days", rho.alias("rho"), term.alias("term")
+    )
+    agg = lagrows.groupBy("event_type", "n_days").agg(
+        F.count("*").alias("m_lags"),
+        F.max(F.when(F.col("lag") == 1, F.round(F.col("rho"), 6))).alias("rho1"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("lag", "term"))),
+                lambda s: s["term"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("s"),
+    )
+    ndq = F.col("n_days").cast("double")
+    q = ndq * (ndq + 2.0) * F.col("s")
+    out = agg.select(
+        "event_type",
+        "n_days",
+        "m_lags",
+        "rho1",
+        F.round(q, 6).alias("q_stat"),
+        (F.round(q, 6) > LB_CRIT_95).cast("int").alias("reject"),
+    )
+    return tiny_sorted(out, "event_type")
+
+
+QUERIES["q_ljung_box"] = q_ljung_box
+
+ORACLES["q_ljung_box"] = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    pos AS (
+        SELECT event_type, x,
+               CAST(row_number() OVER (PARTITION BY event_type ORDER BY day)
+                    AS BIGINT) AS t
+        FROM daily
+    ),
+    lags AS (SELECT CAST(unnest(range(1, {LB_MAX_LAG + 1})) AS BIGINT) AS lag),
+    pairs AS (
+        SELECT a.event_type, l.lag, a.x AS xa, b.x AS xb
+        FROM pos a CROSS JOIN lags l
+        JOIN pos b ON b.event_type = a.event_type AND b.t = a.t - l.lag
+    ),
+    per_lag AS (
+        SELECT event_type, lag,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(xa) AS BIGINT) AS sa,
+               CAST(sum(xb) AS BIGINT) AS sb,
+               CAST(sum(xa * xb) AS BIGINT) AS sab
+        FROM pairs GROUP BY 1, 2
+    ),
+    totals AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM daily GROUP BY 1
+    ),
+    terms AS (
+        SELECT p.event_type, p.lag, t.n_days,
+               (CAST(p.sab AS DOUBLE)
+                - (CAST(t.sx AS DOUBLE) / CAST(t.n_days AS DOUBLE))
+                  * CAST(p.sa AS DOUBLE)
+                - (CAST(t.sx AS DOUBLE) / CAST(t.n_days AS DOUBLE))
+                  * CAST(p.sb AS DOUBLE)
+                + CAST(p.n_pairs AS DOUBLE)
+                  * (CAST(t.sx AS DOUBLE) / CAST(t.n_days AS DOUBLE))
+                  * (CAST(t.sx AS DOUBLE) / CAST(t.n_days AS DOUBLE)))
+               / (CAST(t.sxx AS DOUBLE)
+                  - (CAST(t.sx AS DOUBLE) / CAST(t.n_days AS DOUBLE))
+                    * CAST(t.sx AS DOUBLE)) AS rho,
+               CAST(t.n_days AS DOUBLE) AS nd
+        FROM per_lag p JOIN totals t USING (event_type)
+    ),
+    folded AS (
+        SELECT event_type, n_days,
+               CAST(count(*) AS BIGINT) AS m_lags,
+               max(CASE WHEN lag = 1 THEN round(rho, 6) END) AS rho1,
+               list_reduce(
+                   list_prepend(0.0,
+                       list(rho * rho / (nd - CAST(lag AS DOUBLE))
+                            ORDER BY lag)),
+                   (a, x) -> a + x) AS s
+        FROM terms GROUP BY 1, 2
+    )
+    SELECT event_type, n_days, m_lags, rho1,
+           round(CAST(n_days AS DOUBLE) * (CAST(n_days AS DOUBLE) + 2.0) * s,
+                 6) AS q_stat,
+           CAST(CASE WHEN round(CAST(n_days AS DOUBLE)
+                               * (CAST(n_days AS DOUBLE) + 2.0) * s, 6)
+                          > {LB_CRIT_95} THEN 1 ELSE 0 END
+                AS INTEGER) AS reject
+    FROM folded
+    ORDER BY event_type
+"""
+
+
+XCORR_LAG_DAYS = 1  # screening lag: does yesterday's B predict today's A?
+
+
+def q_lead_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-series lead/lag screen: for every ORDERED pair of event
+    types (target, leader), the Pearson correlation between the target's
+    daily count and the leader's PREVIOUS-day count — "which metric
+    moves first", the bivariate companion of q_acf's within-series
+    correlogram and the screening step before q_diff_in_diff-style
+    causal reads. Pairs use the irregular-series convention (only days
+    where both endpoints exist, q_acf discipline); `lead_rank` orders
+    each target's candidate leaders by the ROUNDED correlation with a
+    type-name tiebreak, so the ranking is fully deterministic.
+
+    Exactness: daily counts are exact BIGINTs, so all six sufficient
+    statistics are exact; r is the identical double expression in both
+    engines, rounded to 6 before ranking and output.
+
+    Scale shape: events collapse once to the (type × day) frame; the
+    pair join and rank window run on that bounded frame — O(types² ×
+    days) worst case with types a handful, never touching raw events
+    twice."""
+    from pyspark.sql.window import Window as W
+
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    t = load_tables(spark, sf_dir)
+    daily = t.events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    tgt = daily.select(
+        F.col("event_type").alias("type_tgt"),
+        F.col("day").alias("d"),
+        F.col("x").alias("xt"),
+    )
+    led = daily.select(
+        F.col("event_type").alias("type_lead"),
+        F.date_add(F.col("day"), XCORR_LAG_DAYS).alias("d2"),
+        F.col("x").alias("xl"),
+    )
+    pairs = tgt.join(
+        led, (F.col("d") == F.col("d2")) & (F.col("type_tgt") != F.col("type_lead"))
+    )
+    stats = pairs.groupBy("type_tgt", "type_lead").agg(
+        F.count("*").alias("n_pairs"),
+        F.sum("xt").alias("sx"),
+        F.sum("xl").alias("sy"),
+        F.sum(F.col("xt") * F.col("xl")).alias("sxy"),
+        F.sum(F.col("xt") * F.col("xt")).alias("sxx"),
+        F.sum(F.col("xl") * F.col("xl")).alias("syy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    r = F.try_divide(
+        n * sxy - sx * sy,
+        F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)),
+    )
+    scored = stats.select(
+        "type_tgt", "type_lead", "n_pairs", F.round(r, 6).alias("xcorr")
+    )
+    w = W.partitionBy("type_tgt").orderBy(F.col("xcorr").desc(), F.col("type_lead"))
+    out = scored.select(
+        "type_tgt",
+        "type_lead",
+        "n_pairs",
+        "xcorr",
+        F.row_number().over(w).cast("bigint").alias("lead_rank"),
+    )
+    return tiny_sorted(out, "type_tgt", "type_lead")
+
+
+QUERIES["q_lead_lag"] = q_lead_lag
+
+ORACLES["q_lead_lag"] = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_tgt, b.event_type AS type_lead,
+               a.x AS xt, b.x AS xl
+        FROM daily a
+        JOIN daily b
+          ON a.day = b.day + {XCORR_LAG_DAYS}
+         AND a.event_type <> b.event_type
+    ),
+    stats AS (
+        SELECT type_tgt, type_lead,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(xt) AS BIGINT) AS sx,
+               CAST(sum(xl) AS BIGINT) AS sy,
+               CAST(sum(xt * xl) AS BIGINT) AS sxy,
+               CAST(sum(xt * xt) AS BIGINT) AS sxx,
+               CAST(sum(xl * xl) AS BIGINT) AS syy
+        FROM pairs GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT type_tgt, type_lead, n_pairs,
+               round((CAST(n_pairs AS DOUBLE) * sxy
+                      - CAST(sx AS DOUBLE) * sy)
+                     / sqrt((CAST(n_pairs AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * sx)
+                            * (CAST(n_pairs AS DOUBLE) * syy
+                               - CAST(sy AS DOUBLE) * sy)), 6) AS xcorr
+        FROM stats
+    )
+    SELECT type_tgt, type_lead, n_pairs, xcorr,
+           CAST(row_number() OVER (PARTITION BY type_tgt
+                                   ORDER BY xcorr DESC, type_lead)
+                AS BIGINT) AS lead_rank
+    FROM scored
+    ORDER BY type_tgt, type_lead
+"""
+
+
+EWMA_LAMBDA = 0.2  # smoothing weight λ
+EWMA_L = 3.0       # control-limit width in asymptotic σ units
+# Derived constants are computed ONCE here and interpolated as decimal
+# literals into both engines (q_holt discipline): repr() round-trips the
+# exact double, so 1−λ, (1−λ)² and λ/(2−λ) are bit-identical on both
+# sides without trusting either engine's constant folding.
+_EW_OM = 1.0 - EWMA_LAMBDA
+_EW_OM2 = _EW_OM * _EW_OM
+_EW_FAC = EWMA_LAMBDA / (2.0 - EWMA_LAMBDA)
+
+
+def q_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EWMA control chart per event type (SPC form): zₜ = λxₜ + (1−λ)zₜ₋₁
+    seeded at the series mean, with TIME-VARYING limits x̄ ± L·σ̂·√(λ/(2−λ)
+    ·(1−(1−λ)^2t)) — the exact small-t correction a monitor needs in its
+    first samples. Complements q_ema (plain smoother, no limits), q_cusum
+    (batch peak deviation) and q_page_hinkley (mean-increase only):
+    the EWMA chart alarms on BOTH directions with calibrated width.
+
+    Exactness: the variance factor (1−λ)^2t is carried IN the fold state
+    (p' = p·(1−λ)², one IEEE multiply per step) rather than through
+    pow() — libm pow differs across engines in the last ulp, a fold of
+    multiplies cannot. x̄ and σ̂ come from exact BIGINT Σx/Σx²; every fold
+    step is the same correctly-rounded op sequence in both engines, so
+    z, the alarm count, and the first-alarm index are bit-identical.
+
+    Scale shape: one counting aggregate to the bounded (type × day)
+    frame + one per-type fold — the q_page_hinkley envelope; the state
+    is 6 doubles regardless of series length."""
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    t = load_tables(spark, sf_dir)
+    daily = t.events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("xi")
+    )
+    lists = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("xi").alias("sx"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("day", F.col("xi").cast("double").alias("xd")))),
+            lambda s: s["xd"],
+        ).alias("vals"),
+    )
+    nd = F.col("n_days").cast("double")
+    mean_e = F.col("sx").cast("double") / nd
+    sd_e = F.sqrt((F.col("sxx").cast("double") - mean_e * F.col("sx").cast("double")) / (nd - 1.0))
+    model = lists.select("event_type", "n_days", "vals", mean_e.alias("mean"), sd_e.alias("sd"))
+
+    lam, om, om2, fac, lw = EWMA_LAMBDA, _EW_OM, _EW_OM2, _EW_FAC, EWMA_L
+    mean, sd = F.col("mean"), F.col("sd")
+
+    def z_next(x, z_prev):
+        return F.lit(lam) * x + F.lit(om) * z_prev
+
+    def thr(p_new):
+        return F.lit(lw) * sd * F.sqrt(F.lit(fac) * (F.lit(1.0) - p_new))
+
+    x1 = F.element_at("vals", 1)
+    z1 = z_next(x1, mean)
+    a1 = F.abs(z1 - mean) > thr(F.lit(om2))
+    init = F.array(
+        x1,
+        z1,
+        F.lit(om2),
+        F.lit(1.0),
+        F.when(a1, 1.0).otherwise(0.0),
+        F.when(a1, 1.0).otherwise(0.0),
+    )
+
+    def step(acc, x):
+        z_new = z_next(x, F.element_at(acc, 2))
+        p_new = F.element_at(acc, 3) * F.lit(om2)
+        t_new = F.element_at(acc, 4) + 1.0
+        a = F.abs(z_new - mean) > thr(p_new)
+        return F.array(
+            x,
+            z_new,
+            p_new,
+            t_new,
+            F.element_at(acc, 5) + F.when(a, 1.0).otherwise(0.0),
+            F.when(F.element_at(acc, 6) > 0.0, F.element_at(acc, 6))
+            .when(a, t_new)
+            .otherwise(0.0),
+        )
+
+    state = F.aggregate(
+        F.slice("vals", 2, F.greatest(F.size("vals") - 1, F.lit(0))), init, step
+    )
+    out = model.select(
+        "event_type",
+        "n_days",
+        F.round(mean, 6).alias("mean"),
+        F.round(sd, 6).alias("sd"),
+        F.round(state[1], 6).alias("z_final"),
+        state[4].cast("bigint").alias("n_alarms"),
+        state[5].cast("bigint").alias("first_alarm"),
+    )
+    return tiny_sorted(out, "event_type")
+
+
+QUERIES["q_ewma_control"] = q_ewma_control
+
+ORACLES["q_ewma_control"] = f"""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS xi
+        FROM events GROUP BY 1, 2
+    ),
+    lists AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+               CAST(sum(xi) AS BIGINT) AS sx,
+               CAST(sum(xi * xi) AS BIGINT) AS sxx,
+               list(CAST(xi AS DOUBLE) ORDER BY day) AS vals
+        FROM daily GROUP BY event_type
+    ),
+    model AS (
+        SELECT event_type, n_days, vals,
+               CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE) AS mean,
+               sqrt((CAST(sxx AS DOUBLE)
+                     - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
+                       * CAST(sx AS DOUBLE))
+                    / (CAST(n_days AS DOUBLE) - 1.0)) AS sd
+        FROM lists
+    ),
+    folded AS (
+        SELECT event_type, n_days, mean, sd,
+               list_reduce(
+                   list_transform(vals, v -> [
+                       v,
+                       {EWMA_LAMBDA} * v + {_EW_OM} * mean,
+                       {_EW_OM2},
+                       1.0,
+                       CASE WHEN abs({EWMA_LAMBDA} * v + {_EW_OM} * mean - mean)
+                                 > {EWMA_L} * sd * sqrt({_EW_FAC} * (1.0 - {_EW_OM2}))
+                            THEN 1.0 ELSE 0.0 END,
+                       CASE WHEN abs({EWMA_LAMBDA} * v + {_EW_OM} * mean - mean)
+                                 > {EWMA_L} * sd * sqrt({_EW_FAC} * (1.0 - {_EW_OM2}))
+                            THEN 1.0 ELSE 0.0 END
+                   ]),
+                   (acc, e) -> [
+                       e[1],
+                       {EWMA_LAMBDA} * e[1] + {_EW_OM} * acc[2],
+                       acc[3] * {_EW_OM2},
+                       acc[4] + 1.0,
+                       acc[5] + CASE WHEN abs({EWMA_LAMBDA} * e[1] + {_EW_OM} * acc[2] - mean)
+                                          > {EWMA_L} * sd * sqrt({_EW_FAC} * (1.0 - acc[3] * {_EW_OM2}))
+                                     THEN 1.0 ELSE 0.0 END,
+                       CASE WHEN acc[6] > 0.0 THEN acc[6]
+                            WHEN abs({EWMA_LAMBDA} * e[1] + {_EW_OM} * acc[2] - mean)
+                                 > {EWMA_L} * sd * sqrt({_EW_FAC} * (1.0 - acc[3] * {_EW_OM2}))
+                            THEN acc[4] + 1.0 ELSE 0.0 END
+                   ]) AS s
+        FROM model
+    )
+    SELECT event_type, n_days,
+           round(mean, 6) AS mean,
+           round(sd, 6) AS sd,
+           round(s[2], 6) AS z_final,
+           CAST(s[5] AS BIGINT) AS n_alarms,
+           CAST(s[6] AS BIGINT) AS first_alarm
+    FROM folded
+    ORDER BY event_type
+"""
+
+
+DW_LO = 1.5  # below → positive residual autocorrelation
+DW_HI = 2.5  # above → negative residual autocorrelation
+
+
+def q_durbin_watson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Durbin-Watson residual-autocorrelation diagnostic for q_trend_fit's
+    per-type model (daily count ~ day index): DW = Σ(eₜ−eₜ₋₁)²/Σeₜ² over
+    the day-ordered OLS residuals, the standard "is the trend line
+    missing serial structure" read-out (≈2 white, <2 positive, >2
+    negative autocorrelation). `autocorr_flag` is the banded verdict on
+    the ROUNDED statistic: +1 below DW_LO, −1 above DW_HI, else 0.
+
+    Exactness: slope/intercept are double expressions of exact BIGINT
+    sufficient statistics (q_trend_fit discipline); each residual is the
+    same per-row double expression in both engines, and both DW sums
+    fold in day order seeded from the first residual — bit-identical
+    before the round.
+
+    Scale shape: one counting aggregate to the bounded (type × day)
+    frame, one broadcast of the O(types) model back onto it, one
+    per-type fold. Raw events are scanned once."""
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    t = load_tables(spark, sf_dir)
+    day = F.datediff(F.to_date("ts"), F.lit("1995-01-01").cast("date"))
+    daily = t.events.groupBy("event_type", day.cast("bigint").alias("x")).agg(
+        F.count("*").alias("y")
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    slope = F.try_divide(n * sxy - sx * sy, n * sxx - sx * sx)
+    model = stats.select(
+        "event_type",
+        F.col("n").alias("n_days"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / n).alias("intercept"),
+    )
+    resid = daily.join(F.broadcast(model), "event_type").select(
+        "event_type",
+        "n_days",
+        "x",
+        (
+            F.col("y").cast("double")
+            - (F.col("intercept") + F.col("slope") * F.col("x").cast("double"))
+        ).alias("e"),
+    )
+    lists = resid.groupBy("event_type", "n_days").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("x", "e"))), lambda s: s["e"]
+        ).alias("es"),
+    )
+    e1 = F.element_at("es", 1)
+    state = F.aggregate(
+        F.slice("es", 2, F.greatest(F.size("es") - 1, F.lit(0))),
+        F.array(e1, F.lit(0.0), e1 * e1),
+        lambda acc, x: F.array(
+            x,
+            F.element_at(acc, 2) + (x - F.element_at(acc, 1)) * (x - F.element_at(acc, 1)),
+            F.element_at(acc, 3) + x * x,
+        ),
+    )
+    dw = F.round(state[1] / state[2], 6)
+    out = lists.select(
+        "event_type",
+        "n_days",
+        dw.alias("dw"),
+        F.when(dw < DW_LO, 1).when(dw > DW_HI, -1).otherwise(0)
+        .cast("int")
+        .alias("autocorr_flag"),
+    )
+    return tiny_sorted(out, "event_type")
+
+
+QUERIES["q_durbin_watson"] = q_durbin_watson
+
+ORACLES["q_durbin_watson"] = f"""
+    WITH daily AS (
+        SELECT event_type,
+               CAST(date_diff('day', DATE '1995-01-01', CAST(ts AS DATE))
+                    AS BIGINT) AS x,
+               CAST(count(*) AS BIGINT) AS y
+        FROM events GROUP BY 1, 2
+    ),
+    stats AS (
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(x) AS BIGINT) AS sx,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(x * y) AS BIGINT) AS sxy,
+               CAST(sum(x * x) AS BIGINT) AS sxx
+        FROM daily GROUP BY 1
+    ),
+    model AS (
+        SELECT event_type, n AS n_days,
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope,
+               (CAST(sy AS DOUBLE)
+                - ((CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+                   / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx))
+                  * CAST(sx AS DOUBLE))
+               / CAST(n AS DOUBLE) AS intercept
+        FROM stats
+    ),
+    resid AS (
+        SELECT d.event_type, m.n_days, d.x,
+               CAST(d.y AS DOUBLE)
+               - (m.intercept + m.slope * CAST(d.x AS DOUBLE)) AS e
+        FROM daily d JOIN model m USING (event_type)
+    ),
+    lists AS (
+        SELECT event_type, n_days, list(e ORDER BY x) AS es
+        FROM resid GROUP BY 1, 2
+    ),
+    folded AS (
+        SELECT event_type, n_days,
+               list_reduce(
+                   list_transform(es, v -> [v, 0.0, v * v]),
+                   (acc, x) -> [
+                       x[1],
+                       acc[2] + (x[1] - acc[1]) * (x[1] - acc[1]),
+                       acc[3] + x[1] * x[1]
+                   ]) AS s
+        FROM lists
+    )
+    SELECT event_type, n_days,
+           round(s[2] / s[3], 6) AS dw,
+           CAST(CASE WHEN round(s[2] / s[3], 6) < {DW_LO} THEN 1
+                     WHEN round(s[2] / s[3], 6) > {DW_HI} THEN -1
+                     ELSE 0 END AS INTEGER) AS autocorr_flag
+    FROM folded
+    ORDER BY event_type
+"""

@@ -226,6 +226,19 @@ ALLOW: dict[str, dict[str, str]] = {
     "q_bootstrap_ci": {
         "BroadcastNestedLoopJoin": "B=50 replicate-id literal grid fanned onto per-type rows map-side; replicate count is a constant, independent of data size",
     },
+    # r8 session 5: monitoring & diagnostics tier
+    "q_ljung_box": {
+        "BroadcastNestedLoopJoin": "7-row lag grid onto the bounded (type×day) "
+        "series (q_acf posture)",
+    },
+    "q_embedding_drift": {
+        "BroadcastNestedLoopJoin": "1-row global-centroid model broadcast onto "
+        "the O(labels) centroid frame — both sides bounded by the model",
+    },
+    "q_active_days": {
+        "SinglePartitionData": "cumulative/total windows over the active-days "
+        "histogram — ≤O(calendar days) rows regardless of input size",
+    },
     # r8: mergeable quantile histogram
     "q_quantile_hist": {
         "BroadcastNestedLoopJoin": "5-percentile probe grid onto the O(bins) "
