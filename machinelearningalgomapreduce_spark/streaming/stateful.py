@@ -185,3 +185,93 @@ def type_page_hinkley(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+EWC_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("m2", T.DoubleType()),
+        T.StructField("z", T.DoubleType()),
+        T.StructField("p", T.DoubleType()),
+        T.StructField("n_alarms", T.LongType()),
+    ]
+)
+
+EWC_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("z", T.DoubleType()),
+        T.StructField("n_alarms", T.LongType()),
+        T.StructField("alarm", T.IntegerType()),
+    ]
+)
+
+
+def _update_ewma_control(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    # The q_ewma_control chart as an online monitor: a stream cannot see
+    # the series mean/σ upfront (the batch form is two-pass), so the
+    # center and scale are the RUNNING Welford estimates — the standard
+    # adaptive-SPC variant. State is O(1) per key: (n, mean, M2, z, p)
+    # with p carrying (1−λ)^2t exactly as the batch fold does (no pow).
+    # z seeds at the first observation; limits only engage from n ≥ 2,
+    # when σ̂ exists. Events sort chronologically within the micro-batch;
+    # across batches arrival order stands in for event time.
+    import math
+
+    from machinelearningalgomapreduce_spark.operators.timeseries import (
+        _EW_FAC,
+        _EW_OM,
+        _EW_OM2,
+        EWMA_L,
+        EWMA_LAMBDA,
+    )
+
+    (event_type,) = key
+    n, mean, m2, z, p, n_alarms = (
+        state.get if state.exists else (0, 0.0, 0.0, 0.0, 1.0, 0)
+    )
+    alarm = 0
+    for pdf in pdfs:
+        for x in pdf.sort_values(["us", "event_id"])["value"]:
+            x = float(x)
+            n += 1
+            delta = x - mean
+            mean += delta / n
+            m2 += delta * (x - mean)
+            z = x if n == 1 else EWMA_LAMBDA * x + _EW_OM * z
+            p = p * _EW_OM2
+            alarm = 0
+            if n >= 2:
+                sd = math.sqrt(m2 / (n - 1))
+                thr = EWMA_L * sd * math.sqrt(_EW_FAC * (1.0 - p))
+                if abs(z - mean) > thr:
+                    alarm = 1
+                    n_alarms += 1
+    state.update((n, mean, m2, z, p, n_alarms))
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type],
+            "n": [n],
+            "z": [round(z, 6)],
+            "n_alarms": [n_alarms],
+            "alarm": [alarm],
+        }
+    )
+
+
+def type_ewma_control(events: DataFrame) -> DataFrame:
+    """Streaming EWMA control chart per event type — the adaptive-center
+    online variant of operators/timeseries.py::q_ewma_control, emitting
+    the updated (n, z, alarm count, last-point alarm) for every key seen
+    in each micro-batch. Input needs (event_type, value, us, event_id)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_ewma_control,
+        outputStructType=EWC_OUTPUT_SCHEMA,
+        stateStructType=EWC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

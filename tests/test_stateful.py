@@ -202,3 +202,52 @@ def test_stateful_page_hinkley_matches_python_fold(spark, sf_dir):
         ph = round(m - m_min, 6)
         assert got[ty] == (n, ph, 1 if ph > PH_LAMBDA else 0), ty
     assert set(got) == set(series)
+
+
+def test_stateful_ewma_control_matches_python_fold(spark, sf_dir):
+    """The streaming chart's final per-type state equals a Python fold of
+    the same adaptive recurrence (Welford center/scale + EWMA + carried
+    variance factor) over the chronologically-ordered events."""
+    import math
+
+    from machinelearningalgomapreduce_spark.operators.timeseries import (
+        _EW_FAC,
+        _EW_OM,
+        _EW_OM2,
+        EWMA_L,
+        EWMA_LAMBDA,
+    )
+    from machinelearningalgomapreduce_spark.streaming.stateful import type_ewma_control
+
+    stream = sw.stream_events(spark, sf_dir).select(
+        "event_type", "value", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    out = sw.run_to_memory(type_ewma_control(stream), "t_ewc", output_mode="update")
+    got = {r.event_type: (r.n, r.z, r.n_alarms) for r in out.collect()}
+
+    rows = (
+        load_tables(spark, sf_dir)
+        .events.select("event_type", "value", F.unix_micros("ts").alias("us"), "event_id")
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append((r.us, r.event_id, float(r.value)))
+    assert set(got) == set(series)
+    for ty, obs in series.items():
+        n, mean, m2, z, p, n_alarms = 0, 0.0, 0.0, 0.0, 1.0, 0
+        for _, _, x in sorted(obs):
+            n += 1
+            delta = x - mean
+            mean += delta / n
+            m2 += delta * (x - mean)
+            z = x if n == 1 else EWMA_LAMBDA * x + _EW_OM * z
+            p = p * _EW_OM2
+            if n >= 2:
+                sd = math.sqrt(m2 / (n - 1))
+                if abs(z - mean) > EWMA_L * sd * math.sqrt(_EW_FAC * (1.0 - p)):
+                    n_alarms += 1
+        gn, gz, ga = got[ty]
+        assert gn == n, ty
+        assert gz == round(z, 6), ty
+        assert ga == n_alarms, ty
