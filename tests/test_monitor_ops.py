@@ -229,3 +229,25 @@ def test_embedding_drift_matches_python_recompute(spark):
         assert abs(r.norm_ratio - cn / gn) < 1e-6
         assert -1.0 <= r.cos_to_global <= 1.0
         assert r.drifted == (1 if r.cos_to_global < EMB_DRIFT_COS else 0)
+
+
+def test_monitor_tier_exchange_budgets(spark, sf_dir):
+    """Snapshot the exchange counts: in every kernel only the FIRST
+    aggregate (events → the (type, day) / (user, day) / (label, dim)
+    frame) touches data-scale rows; every later exchange repartitions a
+    frame bounded by the calendar, the type domain, or the model. A
+    budget regression here means a new shuffle crept onto the raw scan."""
+    from machinelearningalgomapreduce_spark.plans import inspect as P
+    from machinelearningalgomapreduce_spark.registry import queries
+
+    budgets = {
+        "q_ewma_control": 2,
+        "q_ljung_box": 6,
+        "q_lead_lag": 4,
+        "q_durbin_watson": 4,
+        "q_active_days": 4,
+        "q_embedding_drift": 5,
+    }
+    q = queries()
+    for name, budget in budgets.items():
+        assert P.count_exchanges(q[name](spark, sf_dir)) <= budget, name
