@@ -44,6 +44,7 @@ _MODULES = (
     "machinelearningalgomapreduce_spark.operators.classicml",
     "machinelearningalgomapreduce_spark.operators.sketches",
     "machinelearningalgomapreduce_spark.operators.sequence",
+    "machinelearningalgomapreduce_spark.operators.inference",
 )
 
 # Per-query LATEST green driver round (from CORRECTNESS_r{N}.json on disk).
@@ -163,6 +164,12 @@ DEFERRED_NEXT_WINDOW: frozenset[str] = frozenset({
     "q_profit_by_nation", "q_late_shippers",
     # sequence (HMM forward scoring)
     "q_hmm_score",
+    # round-8 session-6 additions (operators/inference.py — the LAST
+    # module in _MODULES, so within this tier they sort AFTER the 20
+    # names above: the first takes window slot 50 and the rest rotate
+    # in next round without displacing the never-driver-checked set).
+    "q_nelson_aalen", "q_log_rank", "q_tukey_hsd", "q_g_test",
+    "q_cohens_d", "q_cliffs_delta",
 })
 _DEFER_KEY = 2.5
 
