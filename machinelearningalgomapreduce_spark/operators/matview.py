@@ -668,7 +668,18 @@ class DriftMonitorView:
         """Per-group PSI of post-reference ingest vs the reference:
         (grp, n_ref, n_cur, psi_micro, band). The q_psi determinism
         discipline — 0.5 half-count smoothing over the FULL bin grid,
-        round-6 ln terms summed as DECIMAL(18,6), micro fixed-point."""
+        round-6 ln terms summed as DECIMAL(18,6), micro fixed-point.
+
+        `version` must be at or after the pinned reference: an older
+        snapshot would make n_new = cur − ref negative and the log terms
+        meaningless, so it is rejected rather than silently coalesced."""
+        ref_v = self.reference_version()
+        v = self.current_version() if version is None else version
+        if v < ref_v:
+            raise ValueError(
+                f"psi version {v} predates the pinned reference v{ref_v} — "
+                "post-reference ingest is undefined before the pin"
+            )
         ref = self.reference(spark).select(
             "grp", "bin", F.col("cnt").alias("ref_cnt")
         )

@@ -1680,10 +1680,11 @@ ORACLES["q_lead_lag"] = f"""
         SELECT type_tgt, type_lead, n_pairs,
                round((CAST(n_pairs AS DOUBLE) * sxy
                       - CAST(sx AS DOUBLE) * sy)
-                     / sqrt((CAST(n_pairs AS DOUBLE) * sxx
-                             - CAST(sx AS DOUBLE) * sx)
-                            * (CAST(n_pairs AS DOUBLE) * syy
-                               - CAST(sy AS DOUBLE) * sy)), 6) AS xcorr
+                     / nullif(sqrt((CAST(n_pairs AS DOUBLE) * sxx
+                                    - CAST(sx AS DOUBLE) * sx)
+                                   * (CAST(n_pairs AS DOUBLE) * syy
+                                      - CAST(sy AS DOUBLE) * sy)), 0.0), 6)
+                   AS xcorr
         FROM stats
     )
     SELECT type_tgt, type_lead, n_pairs, xcorr,
@@ -1741,7 +1742,12 @@ def q_ewma_control(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = F.col("n_days").cast("double")
     mean_e = F.col("sx").cast("double") / nd
-    sd_e = F.sqrt((F.col("sxx").cast("double") - mean_e * F.col("sx").cast("double")) / (nd - 1.0))
+    sd_e = F.sqrt(
+        F.try_divide(
+            F.col("sxx").cast("double") - mean_e * F.col("sx").cast("double"),
+            nd - 1.0,
+        )
+    )
     model = lists.select("event_type", "n_days", "vals", mean_e.alias("mean"), sd_e.alias("sd"))
 
     lam, om, om2, fac, lw = EWMA_LAMBDA, _EW_OM, _EW_OM2, _EW_FAC, EWMA_L
@@ -1817,7 +1823,7 @@ ORACLES["q_ewma_control"] = f"""
                sqrt((CAST(sxx AS DOUBLE)
                      - (CAST(sx AS DOUBLE) / CAST(n_days AS DOUBLE))
                        * CAST(sx AS DOUBLE))
-                    / (CAST(n_days AS DOUBLE) - 1.0)) AS sd
+                    / nullif(CAST(n_days AS DOUBLE) - 1.0, 0.0)) AS sd
         FROM lists
     ),
     folded AS (

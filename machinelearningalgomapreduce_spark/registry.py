@@ -130,6 +130,23 @@ DRIVER_GREEN_ROUND = {
     "q_scalar_funcs": 7, "q_scc_pivot": 7, "q_skyline": 7, "q_srm_check": 7,
     "q_temperature_mix": 7, "q_theil_index": 7, "q_theil_sen": 7,
     "q_type_token_ratio": 7, "q_vocab_drift": 7, "q_wilson_ctr": 7,
+    # latest green: round 8 (50)
+    "q_active_days": 8, "q_audience_overlap": 8, "q_bloom_audit": 8,
+    "q_bloom_bits": 8, "q_brier": 8, "q_changepoint": 8, "q_churn_rate": 8,
+    "q_cm_cells": 8, "q_cm_heavy": 8, "q_cochran_q": 8, "q_cohort_ltv": 8,
+    "q_cuped": 8, "q_dau_wau": 8, "q_density_ratio": 8, "q_diff_in_diff": 8,
+    "q_dominant_suppliers": 8, "q_durbin_watson": 8, "q_edge_support": 8,
+    "q_embedding_drift": 8, "q_ewma_control": 8, "q_friedman": 8,
+    "q_hll_estimate": 8, "q_hll_registers": 8, "q_hmm_score": 8,
+    "q_holt_winters": 8, "q_important_parts": 8, "q_isotonic_bins": 8,
+    "q_kmv_distinct": 8, "q_late_shippers": 8, "q_lead_lag": 8,
+    "q_ljung_box": 8, "q_map": 8, "q_mcc": 8, "q_mcnemar": 8,
+    "q_min_cost_supplier": 8, "q_mrr": 8, "q_nelson_aalen": 8,
+    "q_page_hinkley": 8, "q_profit_by_nation": 8, "q_psi": 8,
+    "q_quantile_hist": 8, "q_rfm_segments": 8, "q_session_entropy": 8,
+    "q_shipmode_priority": 8, "q_sprt": 8, "q_substring_dup": 8,
+    "q_supplier_cnt": 8, "q_survival_curve": 8, "q_target_encode": 8,
+    "q_woe_iv": 8,
 }
 
 # Queries with ANY green driver row (kept as a set: the window tests and
@@ -153,22 +170,15 @@ DEFERRED_NEXT_WINDOW: frozenset[str] = frozenset({
     # q_quantile_hist, added mid-round-8 with no green row, sorts ahead
     # of them at key 0.0 — slots 1 + 2-21 all fit the 50-window).
     # sketches (md5-bucket oracle-checked forms)
-    "q_cm_cells", "q_cm_heavy", "q_kmv_distinct",
-    "q_hll_registers", "q_hll_estimate", "q_bloom_bits", "q_bloom_audit",
     # behavior (KM risk table, RFM, session entropy, overlap/LTV/churn/DAU)
-    "q_survival_curve", "q_rfm_segments", "q_session_entropy",
-    "q_audience_overlap", "q_cohort_ltv", "q_churn_rate", "q_dau_wau",
     # classifier / classicml (isotonic PAV, MCC, density ratio)
-    "q_isotonic_bins", "q_mcc", "q_density_ratio",
     # tpch adaptations (Q9/Q21 shapes)
-    "q_profit_by_nation", "q_late_shippers",
     # sequence (HMM forward scoring)
-    "q_hmm_score",
     # round-8 session-6 additions (operators/inference.py — the LAST
     # module in _MODULES, so within this tier they sort AFTER the 20
     # names above: the first takes window slot 50 and the rest rotate
     # in next round without displacing the never-driver-checked set).
-    "q_nelson_aalen", "q_log_rank", "q_tukey_hsd", "q_g_test",
+    "q_log_rank", "q_tukey_hsd", "q_g_test",
     "q_cohens_d", "q_cliffs_delta",
 })
 _DEFER_KEY = 2.5

@@ -469,3 +469,21 @@ def test_drift_monitor_requires_reference(spark, tmp_path):
     mv.refresh(spark, ev, batch_id="b0")
     v = mv.set_reference(spark)
     assert mv.reference_version() == v
+
+
+def test_drift_monitor_psi_rejects_pre_reference_version(spark, tmp_path):
+    """psi(version=...) older than the pinned reference would make
+    n_new = cur − ref negative (NaN log terms silently coalesced to a
+    'stable' psi=0) — it must raise instead."""
+    ev = load_tables(spark, SMOKE_SF_DIR).events.select("event_type", "value")
+    mv = _drift_view(tmp_path / "driftv")
+    half = ev.filter(F.col("value") < 100.0)
+    mv.refresh(spark, half, batch_id="b0")              # v1
+    mv.refresh(spark, ev.subtract(half), batch_id="b1")  # v2
+    mv.set_reference(spark)                              # pin at v2
+    with pytest.raises(ValueError, match="predates the pinned reference"):
+        mv.psi(spark, version=1)
+    # at-the-pin and post-pin versions stay valid
+    assert mv.psi(spark, version=2).count() > 0
+    mv.refresh(spark, half, batch_id="b2")               # v3
+    assert {r.grp for r in mv.psi(spark, version=3).collect()}

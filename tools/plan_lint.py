@@ -239,6 +239,35 @@ ALLOW: dict[str, dict[str, str]] = {
         "SinglePartitionData": "cumulative/total windows over the active-days "
         "histogram — ≤O(calendar days) rows regardless of input size",
     },
+    # r8 session 6: statistical-inference completions (inference.py) — all
+    # the established bounded shapes: 1-row broadcast model frames and
+    # windows over the value-compressed distinct-duration/value frames
+    # (q_survival_curve / q_mannwhitney postures; quantize upstream at
+    # extreme cardinality per inference.py:16-24).
+    "q_nelson_aalen": {
+        "BroadcastNestedLoopJoin": "1-row at-risk total inherited from "
+        "kaplan_meier (q_survival_curve posture)",
+        "SinglePartitionData": "hazard prefix window over distinct durations "
+        "(value-compressed risk table, never raw rows)",
+    },
+    "q_log_rank": {
+        "BroadcastNestedLoopJoin": "1-row cohort-size totals (n0_tot, n1_tot) "
+        "broadcast onto the distinct-duration frame",
+        "SinglePartitionData": "at-risk prefix windows over distinct durations "
+        "(value-compressed; quantize t_s upstream at extreme cardinality)",
+    },
+    "q_tukey_hsd": {
+        "BroadcastNestedLoopJoin": "1-row MSE frame + O(k²) self-join of the "
+        "broadcast k-row event-type group table — both model-sized",
+    },
+    "q_g_test": {
+        "BroadcastNestedLoopJoin": "1-row grand total onto the bounded "
+        "types×bands contingency (q_chi2 posture)",
+    },
+    "q_cliffs_delta": {
+        "SinglePartitionData": "cumulative window over distinct metric values "
+        "(value-compressed, q_mannwhitney posture)",
+    },
     # r8: mergeable quantile histogram
     "q_quantile_hist": {
         "BroadcastNestedLoopJoin": "5-percentile probe grid onto the O(bins) "
