@@ -744,3 +744,290 @@ class DriftMonitorView:
 
     def vacuum(self, keep_last: int = 2) -> list[int]:
         return self._mv.vacuum(keep_last)
+
+
+class SegmentedAggView:
+    """LSM-style segmented twin of IncrementalAggView: O(delta) refresh
+    writes, size-tiered compaction, identical read semantics.
+
+    IncrementalAggView rewrites the FULL O(groups) state on every
+    refresh — correct, but at 100 TB with a wide key domain and a
+    minute-cadence stream that is the classic write-amplification
+    problem: a 10 TB state rewritten per minute to absorb a 100 MB
+    delta. This view instead appends each delta's partial aggregate as
+    an immutable SEGMENT (O(delta-groups) rows written, state never
+    read on the write path) and re-aggregates the union of live
+    segments at READ time — sound because the merge algebra
+    (count/sum/min/max) is associative + commutative, so any segment
+    partitioning and any merge order yield the identical rollup.
+
+    Unbounded segment lists would make reads O(#batches), so a
+    SIZE-TIERED compactor (the Bigtable/Cassandra policy) bounds them:
+    every segment carries a ``weight`` (number of delta batches folded
+    into it); tier(seg) = floor(log_fanout(weight)); whenever a tier
+    accumulates ``fanout`` members, they merge into ONE segment of the
+    next tier (one distributed union-re-aggregate job over just those
+    segments). Each row is therefore rewritten at most
+    O(log_fanout(#batches)) times over the view's life — vs O(#batches)
+    for the flat view — and a read unions at most
+    O(fanout · log_fanout(#batches)) segments.
+
+    Storage layout (all inside ``path``)::
+
+        _CURRENT            ← committed manifest version number
+        _SPEC.json          ← state-defining spec (same guard as the flat view)
+        m00000001.json      ← manifest: live segments + replay ledger
+        seg-00000001/       ← immutable parquet partial (data.parquet)
+
+    Crash safety mirrors IncrementalAggView: segments and the new
+    manifest are fully written BEFORE the one atomic pointer flip;
+    a crash leaves unreferenced seg-*/m* debris that readers never see
+    (the pointer still names the old manifest) and ``vacuum`` removes.
+    Replay: the manifest's ledger makes re-sent batch_ids no-ops, so
+    at-least-once delivery yields exactly-once state. Time travel:
+    ``read(version=...)`` resolves an older manifest; compaction never
+    deletes segments (old manifests stay resolvable) — ``vacuum``
+    drops old manifests and then any segment no kept manifest
+    references.
+
+    Single writer by design, like the flat view. Derived columns
+    (``derive``) compute on read from the merged parts.
+    """
+
+    _SPEC_FILE = "_SPEC.json"
+
+    def __init__(
+        self,
+        path: str,
+        keys: list[str],
+        aggs: dict[str, tuple[str, str]],
+        derive: dict[str, "callable"] | None = None,
+        fanout: int = 4,
+        n_buckets: int = 8,
+        spec_extra: dict | None = None,
+    ) -> None:
+        if not keys:
+            raise ValueError("SegmentedAggView needs at least one group key")
+        if fanout < 2:
+            raise ValueError(f"fanout must be >= 2, got {fanout}")
+        for alias, (fn, _col) in aggs.items():
+            if fn not in _PARTIAL:
+                raise ValueError(
+                    f"agg {alias!r}: {fn!r} is not mergeable "
+                    f"(supported: {sorted(_PARTIAL)})"
+                )
+            if alias in keys:
+                raise ValueError(f"agg alias {alias!r} collides with a key")
+        self.path = path
+        self.keys = list(keys)
+        self.aggs = dict(aggs)
+        self.derive = dict(derive or {})
+        self.fanout = int(fanout)
+        self.n_buckets = int(n_buckets)
+        # fanout is part of the spec: reopening with a different fanout
+        # would re-tier existing segments and break the amortization
+        # invariant mid-chain (weights stay valid, but the written
+        # guarantee changes silently). keys/aggs are state-defining as in
+        # the flat view; n_buckets/derive are layout/read-time only.
+        self._spec = {
+            "keys": self.keys,
+            "aggs": {a: list(v) for a, v in self.aggs.items()},
+            "fanout": self.fanout,
+            "extra": spec_extra or {},
+        }
+        os.makedirs(path, exist_ok=True)
+
+    # ---- pointers & manifests ------------------------------------------
+    def current_version(self) -> int:
+        try:
+            with open(os.path.join(self.path, _POINTER)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.path, f"m{version:08d}.json")
+
+    def _manifest(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return json.load(f)
+
+    def segments(self, version: int | None = None) -> list[dict]:
+        """Live segment descriptors [{dir, weight}] at ``version``."""
+        v = self.current_version() if version is None else version
+        if v == 0:
+            return []
+        return self._manifest(v)["segments"]
+
+    def applied_batches(self) -> list[str]:
+        v = self.current_version()
+        return self._manifest(v)["batches"] if v else []
+
+    def _tier(self, weight: int) -> int:
+        t = 0
+        while weight >= self.fanout ** (t + 1):
+            t += 1
+        return t
+
+    def _check_or_write_spec(self) -> None:
+        spec_path = os.path.join(self.path, self._SPEC_FILE)
+        if os.path.exists(spec_path):
+            with open(spec_path) as f:
+                on_disk = json.load(f)
+            if on_disk != self._spec:
+                raise ValueError(
+                    f"view at {self.path} was built with a different spec:\n"
+                    f"  on disk: {on_disk}\n  this instance: {self._spec}\n"
+                    "use a new path (or rebuild) to change the spec"
+                )
+            return
+        tmp = spec_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._spec, f)
+        os.replace(tmp, spec_path)
+
+    # ---- merge algebra (shared shapes with the flat view) ---------------
+    def _partial(self, delta: DataFrame) -> DataFrame:
+        exprs = [
+            _PARTIAL[fn][0](col).alias(alias)
+            for alias, (fn, col) in self.aggs.items()
+        ]
+        return delta.groupBy(*self.keys).agg(*exprs)
+
+    def _reagg(self, df: DataFrame) -> DataFrame:
+        exprs = [
+            _PARTIAL[fn][1](alias).alias(alias)
+            for alias, (fn, _col) in self.aggs.items()
+        ]
+        return df.groupBy(*self.keys).agg(*exprs)
+
+    def _union_segments(self, spark: SparkSession, segs: list[dict]) -> DataFrame:
+        dfs = [
+            spark.read.parquet(os.path.join(self.path, s["dir"], "data.parquet"))
+            for s in segs
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
+
+    def _next_seg_id(self) -> int:
+        mx = 0
+        for name in os.listdir(self.path):
+            if name.startswith("seg-") and name[4:].isdigit():
+                mx = max(mx, int(name[4:]))
+        return mx + 1
+
+    def _write_segment(self, df: DataFrame) -> str:
+        name = f"seg-{self._next_seg_id():08d}"
+        df.repartition(self.n_buckets, *self.keys).write.mode("error").parquet(
+            os.path.join(self.path, name, "data.parquet")
+        )
+        return name
+
+    def _commit(self, segments: list[dict], batches: list[str]) -> int:
+        v = self.current_version() + 1
+        tmp = self._manifest_path(v) + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({"segments": segments, "batches": batches}, f)
+        os.replace(tmp, self._manifest_path(v))
+        ptmp = os.path.join(self.path, _POINTER + ".tmp")
+        with open(ptmp, "w") as f:
+            f.write(str(v))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(ptmp, os.path.join(self.path, _POINTER))  # THE commit
+        return v
+
+    # ---- public API ------------------------------------------------------
+    def refresh(
+        self, spark: SparkSession, delta: DataFrame, batch_id: str,
+        compact: bool = True,
+    ) -> bool:
+        """Append one delta batch as a weight-1 segment (O(delta) work —
+        existing state is NOT read), then run any due size-tiered
+        compactions. Returns False (no-op) for an already-applied
+        batch_id. ``compact=False`` defers compaction (e.g. to an
+        off-peak maintenance call of ``compact()``)."""
+        self._check_or_write_spec()
+        applied = self.applied_batches()
+        if batch_id in applied:
+            return False
+        seg = self._write_segment(self._partial(delta))
+        self._commit(
+            [*self.segments(), {"dir": seg, "weight": 1}], [*applied, batch_id]
+        )
+        if compact:
+            self.compact(spark)
+        return True
+
+    def compact(self, spark: SparkSession) -> int:
+        """Run size-tiered compactions until no tier holds ``fanout``
+        or more segments. Each round merges the smallest-weight
+        ``fanout`` members of the fullest eligible tier into ONE
+        segment of combined weight (one union-re-aggregate job over
+        just those segments — the rest of the state is untouched).
+        Returns the number of merge rounds executed."""
+        rounds = 0
+        while True:
+            segs = self.segments()
+            tiers: dict[int, list[dict]] = {}
+            for s in segs:
+                tiers.setdefault(self._tier(s["weight"]), []).append(s)
+            due = [t for t, members in tiers.items() if len(members) >= self.fanout]
+            if not due:
+                return rounds
+            t = min(due)  # smallest tier first: cascades upward naturally
+            victims = sorted(tiers[t], key=lambda s: (s["weight"], s["dir"]))[
+                : self.fanout
+            ]
+            merged = self._reagg(self._union_segments(spark, victims))
+            new_seg = self._write_segment(merged)
+            victim_dirs = {s["dir"] for s in victims}
+            survivors = [s for s in segs if s["dir"] not in victim_dirs]
+            survivors.append(
+                {"dir": new_seg, "weight": sum(s["weight"] for s in victims)}
+            )
+            self._commit(survivors, self.applied_batches())
+            rounds += 1
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        """The rollup at ``version`` (default latest): union of that
+        manifest's segments, re-aggregated, derived columns appended."""
+        v = self.current_version() if version is None else version
+        if v == 0:
+            raise ValueError("view has no committed version yet")
+        if v > self.current_version():
+            raise ValueError(
+                f"version {v} not committed (current={self.current_version()})"
+            )
+        df = self._reagg(self._union_segments(spark, self.segments(v)))
+        for alias, fn in self.derive.items():
+            df = df.withColumn(alias, _as_column(fn(df)))
+        return df
+
+    def vacuum(self, keep_last: int = 2) -> list[str]:
+        """Drop manifests older than the newest ``keep_last``, then every
+        segment directory no kept manifest references (compaction
+        leaves old segments on disk precisely so old manifests stay
+        time-travel-resolvable; this is where they are finally freed).
+        Also removes crash debris above the pointer. Returns removed
+        file/dir names."""
+        if keep_last < 1:
+            raise ValueError(f"keep_last must be >= 1, got {keep_last}")
+        cur = self.current_version()
+        removed: list[str] = []
+        keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
+        live: set[str] = set()
+        for v in keep_versions:
+            live.update(s["dir"] for s in self.segments(v))
+        for name in sorted(os.listdir(self.path)):
+            full = os.path.join(self.path, name)
+            if name.startswith("m") and name[1:9].isdigit():
+                if int(name[1:9]) not in keep_versions:
+                    os.remove(full)
+                    removed.append(name)
+            elif name.startswith("seg-") and name not in live:
+                shutil.rmtree(full)
+                removed.append(name)
+        return removed

@@ -487,3 +487,145 @@ def test_drift_monitor_psi_rejects_pre_reference_version(spark, tmp_path):
     assert mv.psi(spark, version=2).count() > 0
     mv.refresh(spark, half, batch_id="b2")               # v3
     assert {r.grp for r in mv.psi(spark, version=3).collect()}
+
+
+# ---- SegmentedAggView (LSM-style size-tiered compaction) ----------------
+
+
+def _seg_view(path, fanout=3):
+    from machinelearningalgomapreduce_spark.operators.matview import SegmentedAggView
+
+    return SegmentedAggView(
+        str(path),
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "n_rows": ("count", "*"),
+            "sum_qty": ("sum", "l_quantity"),
+            "max_ship": ("max", "l_shipdate"),
+        },
+        derive={"avg_qty": lambda s: s["sum_qty"] / s["n_rows"]},
+        fanout=fanout,
+    )
+
+
+def _li_batches(spark, n):
+    li = load_tables(spark, SMOKE_SF_DIR).lineitem
+    return [li.filter(F.col("l_orderkey") % n == i) for i in range(n)]
+
+
+def _frame_dict(df):
+    return {
+        (r.l_returnflag, r.l_linestatus): (r.n_rows, float(r.sum_qty), r.max_ship)
+        for r in df.collect()
+    }
+
+
+def test_segmented_view_equals_one_pass_and_flat_view(spark, tmp_path):
+    """10 deltas through the segmented view ≡ one-pass aggregate over the
+    full input ≡ the flat IncrementalAggView on the same batches."""
+    from machinelearningalgomapreduce_spark.operators.matview import IncrementalAggView
+
+    li = load_tables(spark, SMOKE_SF_DIR).lineitem
+    sv = _seg_view(tmp_path / "seg")
+    flat = IncrementalAggView(
+        str(tmp_path / "flat"),
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "n_rows": ("count", "*"),
+            "sum_qty": ("sum", "l_quantity"),
+            "max_ship": ("max", "l_shipdate"),
+        },
+    )
+    for i, b in enumerate(_li_batches(spark, 10)):
+        assert sv.refresh(spark, b, batch_id=f"b{i}")
+        flat.refresh(spark, b, batch_id=f"b{i}")
+    direct = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+    got = _frame_dict(sv.read(spark))
+    assert got == _frame_dict(direct)
+    assert got == _frame_dict(flat.read(spark))
+    # derive works on the merged read
+    row = sv.read(spark).filter("avg_qty is not null").first()
+    assert abs(row.avg_qty - row.sum_qty / row.n_rows) < 1e-9
+
+
+def test_segmented_view_compaction_bounds_segments(spark, tmp_path):
+    """Size-tiered invariant after every refresh: no tier holds ≥ fanout
+    segments, so the live-segment count stays O(fanout·log_fanout(N))
+    while weights always sum to the batch count."""
+    sv = _seg_view(tmp_path / "segc", fanout=3)
+    batches = _li_batches(spark, 9)
+    for i, b in enumerate(batches):
+        sv.refresh(spark, b, batch_id=f"b{i}")
+        segs = sv.segments()
+        assert sum(s["weight"] for s in segs) == i + 1
+        tiers = {}
+        for s in segs:
+            tiers.setdefault(sv._tier(s["weight"]), []).append(s)
+        assert all(len(m) < sv.fanout for m in tiers.values()), (i, segs)
+    # 9 batches at fanout 3 collapse to exactly one weight-9 tier-2 segment
+    assert [s["weight"] for s in sv.segments()] == [9]
+
+
+def test_segmented_view_deferred_compaction_and_read_equality(spark, tmp_path):
+    """compact=False defers merging (refresh stays O(delta)); an explicit
+    compact() then reduces the segment list WITHOUT changing the read."""
+    sv = _seg_view(tmp_path / "segd", fanout=2)
+    for i, b in enumerate(_li_batches(spark, 6)):
+        sv.refresh(spark, b, batch_id=f"b{i}", compact=False)
+    assert [s["weight"] for s in sv.segments()] == [1] * 6
+    before = _frame_dict(sv.read(spark))
+    rounds = sv.compact(spark)
+    assert rounds >= 3  # 6 weight-1 segments at fanout 2 need ≥3 merges
+    assert len(sv.segments()) < 6
+    assert _frame_dict(sv.read(spark)) == before
+
+
+def test_segmented_view_replay_and_time_travel_and_vacuum(spark, tmp_path):
+    sv = _seg_view(tmp_path / "segt", fanout=2)
+    batches = _li_batches(spark, 4)
+    for i, b in enumerate(batches):
+        sv.refresh(spark, b, batch_id=f"b{i}")
+    v_mid = sv.current_version()
+    mid = _frame_dict(sv.read(spark, version=v_mid))
+    # replay → no-op: same version, same state
+    assert sv.refresh(spark, batches[0], batch_id="b0") is False
+    assert sv.current_version() == v_mid
+    # more ingest, then time travel back to v_mid (crosses compactions)
+    for i, b in enumerate(_li_batches(spark, 3)):
+        sv.refresh(spark, b, batch_id=f"c{i}")
+    assert _frame_dict(sv.read(spark, version=v_mid)) == mid
+    assert _frame_dict(sv.read(spark)) != mid
+    # vacuum: keep last 2 manifests; old manifests + orphan segments go
+    removed = sv.vacuum(keep_last=2)
+    assert removed
+    import pytest as _pytest
+
+    with _pytest.raises(Exception):
+        sv.read(spark, version=1)
+    # current read still intact after vacuum
+    assert _frame_dict(sv.read(spark)) is not None
+    live = {s["dir"] for s in sv.segments()}
+    on_disk = {n for n in os.listdir(sv.path) if n.startswith("seg-")}
+    kept_versions = range(sv.current_version() - 1, sv.current_version() + 1)
+    referenced = set()
+    for v in kept_versions:
+        referenced.update(s["dir"] for s in sv.segments(v))
+    assert on_disk == referenced
+    assert live <= on_disk
+
+
+def test_segmented_view_spec_guard_rejects_fanout_change(spark, tmp_path):
+    from machinelearningalgomapreduce_spark.operators.matview import SegmentedAggView
+
+    sv = _seg_view(tmp_path / "segs", fanout=2)
+    [b] = _li_batches(spark, 1)
+    sv.refresh(spark, b, batch_id="b0")
+    other = _seg_view(tmp_path / "segs", fanout=4)
+    with pytest.raises(ValueError, match="different spec"):
+        other.refresh(spark, b, batch_id="b1")
+    with pytest.raises(ValueError, match="fanout must be >= 2"):
+        SegmentedAggView(str(tmp_path / "x"), keys=["k"], aggs={"n": ("count", "*")}, fanout=1)
