@@ -527,10 +527,12 @@ def _content_key(batch: DataFrame) -> str:
 def mv_ingest_stream(
     spark: SparkSession,
     source: DataFrame,
-    view: IncrementalAggView,
+    view,  # anything with refresh(spark, delta, batch_id) -> bool
     checkpoint_dir: str,
 ):
-    """Maintain an IncrementalAggView from a stream: each micro-batch is
+    """Maintain a materialized view from a stream — any of this module's
+    view classes (IncrementalAggView, SegmentedAggView, the sketch views,
+    DriftMonitorView) via their shared refresh contract: each micro-batch is
     one ``refresh`` call keyed by a CONTENT fingerprint (not the epoch
     number), so Structured Streaming's at-least-once foreachBatch
     delivery composes with the batch ledger into exactly-once view state

@@ -45,6 +45,7 @@ def _ingest_batch(spark: SparkSession, index_dir: str, out_dir: str, run_key: st
     run_digest = hashlib.md5(run_key.encode()).hexdigest()[:8]
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
+        _recover_index(index_dir)
         epoch = f"{run_digest}/{batch_id}"
         hashed = batch.withColumn("content_hash", F.md5("text"))
         # Within-batch survivor: min doc_id per hash (deterministic).
@@ -100,6 +101,95 @@ def _index_is_small(index_dir: str, cap_bytes: int = 64 << 20) -> bool:
             if total > cap_bytes:
                 return False
     return total <= cap_bytes
+
+
+def _recover_index(index_dir: str) -> None:
+    """If a compaction crash left no live index but an `.old-` sibling
+    (the window between rename-aside and rename-in), restore the newest
+    sibling — otherwise the next ingest would see "no index" and re-admit
+    every already-ingested document."""
+    import glob
+
+    if os.path.exists(index_dir):
+        return
+    siblings = sorted(glob.glob(index_dir + ".old-*"))
+    if siblings:
+        os.rename(siblings[-1], index_dir)
+
+
+def compact_dedup_index(spark: SparkSession, index_dir: str) -> dict:
+    """Offline maintenance for the dedup hash index (the "compactable
+    offline" promise in _ingest_batch): the index is an append-only pile
+    of per-epoch parquet files that accumulates one file set per batch
+    forever, plus duplicate rows from replayed epochs (the two-write
+    protocol may re-append the same (hash, epoch) rows — harmless for
+    correctness, pure bloat). Compaction rewrites it as ONE deduplicated,
+    hash-partitioned parquet: one row per content_hash, keeping the
+    deterministic min (epoch, doc_id) representative WITH its original
+    epoch stamp — the stamp must survive so a future replay of the most
+    recent epoch still excludes its own entries from the seen-set.
+
+    Crash-safe swap (the scd2_ingest_stream protocol): write staging,
+    rename the live index ASIDE (never delete first), rename staging in,
+    then drop the sibling; every crash window leaves either the live dir
+    or its `.old-` sibling, and _recover_index (run at the start of every
+    ingest batch and every compaction) restores the sibling.
+
+    Single writer: never run concurrently with an active ingestion run —
+    same rule as the views in operators/matview.py.
+
+    100 TB shape: one hash aggregate over the index relation (map-side
+    combinable, never touches documents), written back partitioned by
+    content_hash prefix — the compacted layout also makes the ingest-side
+    anti-join's big-side scan cheaper (fewer, larger files; a single
+    column-pruned read).
+
+    Returns {"rows_before", "rows_after", "files_before", "files_after"}.
+    """
+    import shutil
+    import time
+
+    _recover_index(index_dir)
+    if not os.path.exists(index_dir):
+        return {"rows_before": 0, "rows_after": 0,
+                "files_before": 0, "files_after": 0}
+
+    def _count_files(d: str) -> int:
+        return sum(
+            1
+            for root, _dirs, files in os.walk(d)
+            for f in files
+            if f.endswith(".parquet")
+        )
+
+    idx = spark.read.parquet(index_dir)
+    rows_before = idx.count()
+    files_before = _count_files(index_dir)
+    compacted = (
+        idx.groupBy("content_hash")
+        .agg(
+            F.min_by(
+                F.struct("doc_id", "epoch"), F.struct("epoch", "doc_id")
+            ).alias("r")
+        )
+        .select("content_hash", "r.doc_id", "r.epoch")
+    )
+    stamp = int(time.time() * 1000)
+    staging = index_dir + f".staging-{stamp}"
+    old = index_dir + f".old-{stamp}"
+    compacted.repartition(F.col("content_hash")).write.mode("overwrite").parquet(
+        staging
+    )
+    rows_after = spark.read.parquet(staging).count()
+    os.rename(index_dir, old)
+    os.rename(staging, index_dir)
+    shutil.rmtree(old)
+    return {
+        "rows_before": rows_before,
+        "rows_after": rows_after,
+        "files_before": files_before,
+        "files_after": _count_files(index_dir),
+    }
 
 
 def scd2_ingest_stream(

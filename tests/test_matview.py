@@ -629,3 +629,44 @@ def test_segmented_view_spec_guard_rejects_fanout_change(spark, tmp_path):
         other.refresh(spark, b, batch_id="b1")
     with pytest.raises(ValueError, match="fanout must be >= 2"):
         SegmentedAggView(str(tmp_path / "x"), keys=["k"], aggs={"n": ("count", "*")}, fanout=1)
+
+
+def test_segmented_view_composes_with_stream_ingest(spark, tmp_path):
+    """mv_ingest_stream duck-types over any view with refresh(spark,
+    delta, batch_id): the segmented view fed by a file stream equals the
+    one-pass aggregate, and a fresh-checkpoint full replay no-ops via
+    the content-key ledger (exactly-once state, LSM write path)."""
+    from machinelearningalgomapreduce_spark.operators.matview import (
+        SegmentedAggView,
+        mv_ingest_stream,
+    )
+
+    t = load_tables(spark, SMOKE_SF_DIR)
+    src_dir = str(tmp_path / "src")
+    t.events.select("user_id", "event_type", "value").write.parquet(src_dir)
+    sv = SegmentedAggView(
+        str(tmp_path / "segmv"),
+        keys=["event_type"],
+        aggs={"n": ("count", "*"), "total_cents": ("sum", "amount_cents")},
+        fanout=2,
+    )
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .withColumn("amount_cents", F.round(F.col("value") * 100).cast("long"))
+    )
+    q = mv_ingest_stream(spark, stream, sv, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    after_first = _canon(sv.read(spark))
+    expected = _canon(
+        spark.read.parquet(src_dir)
+        .withColumn("amount_cents", F.round(F.col("value") * 100).cast("long"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount_cents").alias("total_cents"))
+    )
+    assert after_first == expected
+    # fresh checkpoint → every epoch redelivered → ledger no-ops all
+    q2 = mv_ingest_stream(spark, stream, sv, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    assert _canon(sv.read(spark)) == after_first

@@ -193,3 +193,92 @@ def test_cm_sketch_stream_matches_batch_build(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_compact_dedup_index_preserves_semantics(spark, sf_dir, tmp_path):
+    """Compaction of the append-only hash index: replay-duplicated rows
+    collapse to one per content_hash, the epoch stamps survive (a replay
+    of the most recent epoch still excludes its own entries), and a later
+    epoch over the same docs still admits nothing."""
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+    from machinelearningalgomapreduce_spark.streaming.sinks import (
+        _ingest_batch,
+        compact_dedup_index,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    out_dir = str(tmp_path / "out")
+    docs = load_tables(spark, sf_dir).documents.filter(F.col("doc_id") < 300)
+    half = docs.filter(F.col("doc_id") < 150)
+    ingest = _ingest_batch(spark, index_dir, out_dir, "runC")
+
+    ingest(half, 0)
+    ingest(half, 0)   # replayed epoch → duplicate (hash, epoch) index rows
+    ingest(docs, 1)
+    ingest(docs, 1)   # replayed epoch again
+    idx_before = spark.read.parquet(index_dir)
+    rows_before = idx_before.count()
+    n_hashes = idx_before.select("content_hash").distinct().count()
+    # materialize the pre-compaction epoch map NOW — the swap replaces the
+    # files this plan reads
+    before_map = {
+        r.content_hash: r.epoch
+        for r in idx_before.select("content_hash", "epoch").distinct().collect()
+    }
+    assert rows_before > n_hashes  # bloat exists
+
+    stats = compact_dedup_index(spark, index_dir)
+    assert stats["rows_before"] == rows_before
+    assert stats["rows_after"] == n_hashes
+    idx_after = spark.read.parquet(index_dir)
+    assert idx_after.count() == n_hashes
+    # epoch stamps preserved: every hash still carries its ORIGINAL epoch
+    for r in idx_after.collect():
+        assert before_map[r.content_hash] == r.epoch
+
+    out_docs = sorted(
+        r.doc_id for r in spark.read.parquet(out_dir).select("doc_id").collect()
+    )
+    # post-compaction replay of the LAST epoch: self-exclusion intact,
+    # output unchanged
+    ingest(docs, 1)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out_dir).select("doc_id").collect()
+    ) == out_docs
+    # and a NEW epoch over already-seen docs admits nothing
+    ingest(docs, 2)
+    assert sorted(
+        r.doc_id for r in spark.read.parquet(out_dir).select("doc_id").collect()
+    ) == out_docs
+
+
+def test_compact_dedup_index_crash_recovery(spark, sf_dir, tmp_path):
+    """A crash between rename-aside and rename-in leaves only the .old-
+    sibling; the next ingest (and the next compaction) must restore it
+    rather than treating the index as empty and re-admitting everything."""
+    import os as _os
+
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+    from machinelearningalgomapreduce_spark.streaming.sinks import (
+        _ingest_batch,
+        compact_dedup_index,
+    )
+
+    index_dir = str(tmp_path / "idx2")
+    out_dir = str(tmp_path / "out2")
+    docs = load_tables(spark, sf_dir).documents.filter(F.col("doc_id") < 100)
+    ingest = _ingest_batch(spark, index_dir, out_dir, "runD")
+    ingest(docs, 0)
+    n = spark.read.parquet(out_dir).count()
+
+    # simulate the crash window
+    _os.rename(index_dir, index_dir + ".old-999")
+    assert not _os.path.exists(index_dir)
+    ingest(docs, 1)  # recovery runs first → index restored → 0 admitted
+    assert spark.read.parquet(out_dir).count() == n
+
+    # compaction on an empty path (no index, no sibling) is a no-op
+    stats = compact_dedup_index(spark, str(tmp_path / "nothing"))
+    assert stats == {
+        "rows_before": 0, "rows_after": 0, "files_before": 0, "files_after": 0
+    }
