@@ -275,3 +275,97 @@ def type_ewma_control(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# Tabular CUSUM parameters in σ̂ units — the conventional SPC choices:
+# k = 0.5σ (tuned for a 1σ mean shift), decision interval h = 5σ.
+CUSUM_K_SIGMA = 0.5
+CUSUM_H_SIGMA = 5.0
+
+CUS_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType()),
+        T.StructField("mean", T.DoubleType()),
+        T.StructField("m2", T.DoubleType()),
+        T.StructField("s_pos", T.DoubleType()),
+        T.StructField("s_neg", T.DoubleType()),
+        T.StructField("n_alarms", T.LongType()),
+    ]
+)
+
+CUS_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_type", T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("s_pos", T.DoubleType()),
+        T.StructField("s_neg", T.DoubleType()),
+        T.StructField("n_alarms", T.LongType()),
+        T.StructField("alarm", T.IntegerType()),
+    ]
+)
+
+
+def _update_cusum(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    # The ONLINE (tabular, two-sided) CUSUM — the sequential form of
+    # q_cusum's retrospective peak scan: S⁺ = max(0, S⁺ + (x − μ̂ − k)),
+    # S⁻ = max(0, S⁻ + (μ̂ − x − k)), alarm when either exceeds h, then
+    # RESET both sides (the restart-after-signal convention). A stream
+    # cannot see μ/σ upfront, so center and scale are the running
+    # Welford estimates (the type_ewma_control adaptive-SPC variant);
+    # k and h re-derive from σ̂ at every step. Limits engage from n ≥ 2.
+    # State is O(1) per key; events sort chronologically within the
+    # micro-batch; across batches arrival order stands in for event time.
+    import math
+
+    (event_type,) = key
+    n, mean, m2, s_pos, s_neg, n_alarms = (
+        state.get if state.exists else (0, 0.0, 0.0, 0.0, 0.0, 0)
+    )
+    alarm = 0
+    for pdf in pdfs:
+        for x in pdf.sort_values(["us", "event_id"])["value"]:
+            x = float(x)
+            n += 1
+            delta = x - mean
+            mean += delta / n
+            m2 += delta * (x - mean)
+            alarm = 0
+            if n >= 2:
+                sd = math.sqrt(m2 / (n - 1))
+                k = CUSUM_K_SIGMA * sd
+                h = CUSUM_H_SIGMA * sd
+                s_pos = max(0.0, s_pos + (x - mean - k))
+                s_neg = max(0.0, s_neg + (mean - x - k))
+                if s_pos > h or s_neg > h:
+                    alarm = 1
+                    n_alarms += 1
+                    s_pos = 0.0
+                    s_neg = 0.0
+    state.update((n, mean, m2, s_pos, s_neg, n_alarms))
+    yield pd.DataFrame(
+        {
+            "event_type": [event_type],
+            "n": [n],
+            "s_pos": [round(s_pos, 6)],
+            "s_neg": [round(s_neg, 6)],
+            "n_alarms": [n_alarms],
+            "alarm": [alarm],
+        }
+    )
+
+
+def type_cusum(events: DataFrame) -> DataFrame:
+    """Streaming two-sided tabular CUSUM per event type — the sequential
+    online twin of operators/timeseries.py::q_cusum's retrospective
+    scan, with the adaptive Welford center/scale of type_ewma_control.
+    Emits (n, S⁺, S⁻, alarm count, last-point alarm) for every key seen
+    in each micro-batch. Input needs (event_type, value, us, event_id)."""
+    return events.groupBy("event_type").applyInPandasWithState(
+        _update_cusum,
+        outputStructType=CUS_OUTPUT_SCHEMA,
+        stateStructType=CUS_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -251,3 +251,54 @@ def test_stateful_ewma_control_matches_python_fold(spark, sf_dir):
         assert gn == n, ty
         assert gz == round(z, 6), ty
         assert ga == n_alarms, ty
+
+
+def test_stateful_cusum_matches_python_fold(spark, sf_dir):
+    """The streaming tabular CUSUM's final per-type state equals a Python
+    fold of the same recurrence (Welford center/scale, k/h in σ̂ units,
+    reset-on-alarm) over the chronologically-ordered events — and the
+    detector is scale-equivariant-sane: alarms only fire once limits
+    engage (n ≥ 2)."""
+    import math
+
+    from machinelearningalgomapreduce_spark.streaming.stateful import (
+        CUSUM_H_SIGMA,
+        CUSUM_K_SIGMA,
+        type_cusum,
+    )
+
+    stream = sw.stream_events(spark, sf_dir).select(
+        "event_type", "value", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    out = sw.run_to_memory(type_cusum(stream), "t_cus", output_mode="update")
+    got = {r.event_type: (r.n, r.s_pos, r.s_neg, r.n_alarms) for r in out.collect()}
+
+    rows = (
+        load_tables(spark, sf_dir)
+        .events.select("event_type", "value", F.unix_micros("ts").alias("us"), "event_id")
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in rows:
+        series.setdefault(r.event_type, []).append((r.us, r.event_id, float(r.value)))
+    assert set(got) == set(series)
+    for ty, obs in series.items():
+        n, mean, m2, s_pos, s_neg, n_alarms = 0, 0.0, 0.0, 0.0, 0.0, 0
+        for _, _, x in sorted(obs):
+            n += 1
+            delta = x - mean
+            mean += delta / n
+            m2 += delta * (x - mean)
+            if n >= 2:
+                sd = math.sqrt(m2 / (n - 1))
+                k, h = CUSUM_K_SIGMA * sd, CUSUM_H_SIGMA * sd
+                s_pos = max(0.0, s_pos + (x - mean - k))
+                s_neg = max(0.0, s_neg + (mean - x - k))
+                if s_pos > h or s_neg > h:
+                    n_alarms += 1
+                    s_pos = s_neg = 0.0
+        gn, gsp, gsn, ga = got[ty]
+        assert gn == n, ty
+        assert gsp == round(s_pos, 6), ty
+        assert gsn == round(s_neg, 6), ty
+        assert ga == n_alarms, ty
