@@ -1033,3 +1033,152 @@ class SegmentedAggView:
                 shutil.rmtree(full)
                 removed.append(name)
         return removed
+
+
+class FactDimRollupView:
+    """Incremental agg-over-join (star rollup) view:
+
+        SELECT dim.attr..., AGG(fact.x)...
+        FROM fact JOIN dim ON fact.fk = dim.key
+        GROUP BY dim.attr...
+
+    maintained under append-only FACT deltas and DIM upserts without
+    ever rescanning fact history. The load-bearing design choice: the
+    stored fact state is keyed by the JOIN KEY (fk), not by the dim
+    attribute — an IncrementalAggView over fk — so a dimension update
+    that moves a key to a new attribute value (customer changes market
+    segment) RECLASSIFIES that key's entire history at the next read
+    for free: reads join the O(join keys) fact state against the
+    CURRENT dim snapshot and re-aggregate to the attribute domain
+    (as-of-read semantics, the behavior a from-scratch recompute gives).
+    Folding the join INTO the stored state (keying by attr) would make
+    every dim update a history rewrite.
+
+    The dim side is a keyed LATEST-WINS snapshot with the same
+    version-dir + atomic-pointer + batch-ledger machinery: an upsert
+    batch keeps max_by(ts) per key within the batch, then overrides the
+    stored row for those keys (state ← latest ∪ state ⟕̸ latest-keys).
+
+    100 TB shape: fact refresh = one map-side-combined partial over the
+    delta + O(distinct fks) re-agg (hash-partitioned on fk); dim upsert
+    = one anti-join of O(dim) against the O(delta-keys) broadcast; read
+    = fact-state ⋈ dim (broadcast while the dim is provably small, the
+    usual star-schema case) + one bounded-domain re-agg. Raw fact rows
+    are scanned exactly once, at ingest.
+    """
+
+    def __init__(
+        self,
+        path: str,
+        fact_key: str,
+        aggs: dict[str, tuple[str, str]],
+        dim_key: str,
+        dim_attrs: list[str],
+        dim_ts: str = "ts",
+        n_buckets: int = 8,
+    ) -> None:
+        if not dim_attrs:
+            raise ValueError("FactDimRollupView needs at least one dim attribute")
+        self.path = path
+        self.fact_key = fact_key
+        self.dim_key = dim_key
+        self.dim_attrs = list(dim_attrs)
+        self.dim_ts = dim_ts
+        self.aggs = dict(aggs)
+        self._fact = IncrementalAggView(
+            os.path.join(path, "fact"),
+            keys=[fact_key],
+            aggs=aggs,
+            n_buckets=n_buckets,
+            spec_extra={"role": "fact_of_star_rollup", "dim_key": dim_key},
+        )
+        self._dim_dir = os.path.join(path, "dim")
+        os.makedirs(self._dim_dir, exist_ok=True)
+
+    # ---- dim snapshot (latest-wins upsert, versioned) --------------------
+    def _dim_version(self) -> int:
+        try:
+            with open(os.path.join(self._dim_dir, _POINTER)) as f:
+                return int(f.read().strip())
+        except FileNotFoundError:
+            return 0
+
+    def _dim_vdir(self, v: int) -> str:
+        return os.path.join(self._dim_dir, f"v{v:08d}")
+
+    def dim_applied_batches(self) -> list[str]:
+        v = self._dim_version()
+        if v == 0:
+            return []
+        with open(os.path.join(self._dim_vdir(v), "batches.json")) as f:
+            return json.load(f)
+
+    def refresh_dim(self, spark: SparkSession, updates: DataFrame, batch_id: str) -> bool:
+        """Upsert one batch of dim rows (latest max_by(ts) per key within
+        the batch wins; batch rows override stored rows for their keys).
+        Same crash/replay contract as the fact side."""
+        applied = self.dim_applied_batches()
+        if batch_id in applied:
+            return False
+        cols = [self.dim_key, *self.dim_attrs, self.dim_ts]
+        latest = (
+            updates.select(*cols)
+            .groupBy(self.dim_key)
+            .agg(F.max_by(F.struct(*cols), self.dim_ts).alias("r"))
+            .select("r.*")
+        )
+        v = self._dim_version()
+        if v == 0:
+            state = latest
+        else:
+            prev = spark.read.parquet(
+                os.path.join(self._dim_vdir(v), "data.parquet")
+            )
+            keys = latest.select(self.dim_key)
+            state = prev.join(F.broadcast(keys), self.dim_key, "left_anti").unionByName(
+                latest
+            )
+        nxt = self._dim_vdir(v + 1)
+        state.write.mode("error").parquet(os.path.join(nxt, "data.parquet"))
+        with open(os.path.join(nxt, "batches.json"), "w") as f:
+            json.dump([*applied, batch_id], f)
+        tmp = os.path.join(self._dim_dir, _POINTER + ".tmp")
+        with open(tmp, "w") as f:
+            f.write(str(v + 1))
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(self._dim_dir, _POINTER))
+        return True
+
+    def dim(self, spark: SparkSession) -> DataFrame:
+        v = self._dim_version()
+        if v == 0:
+            raise ValueError("dim snapshot has no committed version yet")
+        return spark.read.parquet(os.path.join(self._dim_vdir(v), "data.parquet"))
+
+    # ---- fact side --------------------------------------------------------
+    def refresh_fact(self, spark: SparkSession, delta: DataFrame, batch_id: str) -> bool:
+        """Fold one append-only fact delta (O(delta) + O(distinct fks))."""
+        return self._fact.refresh(spark, delta, batch_id)
+
+    def fact_state(self, spark: SparkSession) -> DataFrame:
+        return self._fact.read(spark)
+
+    # ---- the joined rollup -------------------------------------------------
+    def read(self, spark: SparkSession, join_type: str = "inner") -> DataFrame:
+        """The star rollup under the CURRENT dim snapshot: fact state
+        (keyed by fk) ⋈ dim → re-aggregate to the attribute domain.
+        ``join_type='left'`` keeps fks missing from the dim (attrs NULL)
+        so referential gaps surface instead of silently dropping mass."""
+        state = self._fact.read(spark)
+        d = self.dim(spark)
+        joined = state.join(
+            F.broadcast(d),
+            state[self.fact_key] == d[self.dim_key],
+            join_type,
+        )
+        exprs = [
+            _PARTIAL[fn][1](alias).alias(alias)
+            for alias, (fn, _col) in self.aggs.items()
+        ]
+        return joined.groupBy(*self.dim_attrs).agg(*exprs)

@@ -670,3 +670,116 @@ def test_segmented_view_composes_with_stream_ingest(spark, tmp_path):
     q2 = mv_ingest_stream(spark, stream, sv, str(tmp_path / "ck2"))
     q2.awaitTermination(120)
     assert _canon(sv.read(spark)) == after_first
+
+
+# ---- FactDimRollupView (incremental agg-over-join / star rollup) --------
+
+
+def _star_view(path):
+    from machinelearningalgomapreduce_spark.operators.matview import FactDimRollupView
+
+    return FactDimRollupView(
+        str(path),
+        fact_key="o_custkey",
+        aggs={"n_orders": ("count", "*"), "total_cents": ("sum", "price_cents")},
+        dim_key="c_custkey",
+        dim_attrs=["c_mktsegment"],
+        dim_ts="ts",
+    )
+
+
+def test_star_rollup_matches_direct_recompute(spark, tmp_path):
+    """Fact batches + the customer dim: the incremental star rollup
+    equals a direct join+group recompute over everything ingested."""
+    t = load_tables(spark, SMOKE_SF_DIR)
+    fact = t.orders.select(
+        "o_custkey", (F.col("o_totalprice") * 100).cast("long").alias("price_cents")
+    )
+    dim0 = t.customer.select("c_custkey", "c_mktsegment", F.lit("2020-01-01").alias("ts"))
+    sv = _star_view(tmp_path / "star")
+    sv.refresh_dim(spark, dim0, batch_id="dim0")
+    for i in range(3):
+        sv.refresh_fact(
+            spark, fact.filter(F.pmod("o_custkey", F.lit(3)) == i), batch_id=f"f{i}"
+        )
+    direct = (
+        fact.join(t.customer, fact.o_custkey == t.customer.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("price_cents").alias("total_cents"))
+    )
+    got = {r.c_mktsegment: (r.n_orders, r.total_cents) for r in sv.read(spark).collect()}
+    exp = {r.c_mktsegment: (r.n_orders, r.total_cents) for r in direct.collect()}
+    assert got == exp
+
+
+def test_star_rollup_dim_update_reclassifies_history(spark, tmp_path):
+    """The design point: a dim upsert that moves keys to a new attribute
+    value reclassifies those keys' ENTIRE ingested history at the next
+    read — no fact-state rewrite — matching the from-scratch recompute
+    under the updated dim. Latest-wins within an upsert batch; replay
+    no-ops on both paths."""
+    t = load_tables(spark, SMOKE_SF_DIR)
+    fact = t.orders.select(
+        "o_custkey", (F.col("o_totalprice") * 100).cast("long").alias("price_cents")
+    )
+    dim0 = t.customer.select("c_custkey", "c_mktsegment", F.lit("2020-01-01").alias("ts"))
+    sv = _star_view(tmp_path / "star2")
+    sv.refresh_dim(spark, dim0, batch_id="dim0")
+    sv.refresh_fact(spark, fact, batch_id="f0")
+    fact_version = sv._fact.current_version()
+
+    # move every customer with c_custkey % 7 == 0 into a new segment;
+    # include a stale older row for the same keys to prove max_by(ts) wins
+    moved_new = t.customer.filter(F.pmod("c_custkey", F.lit(7)) == 0).select(
+        "c_custkey", F.lit("RELOCATED").alias("c_mktsegment"), F.lit("2021-06-01").alias("ts")
+    )
+    moved_stale = t.customer.filter(F.pmod("c_custkey", F.lit(7)) == 0).select(
+        "c_custkey", F.lit("STALE").alias("c_mktsegment"), F.lit("2021-01-01").alias("ts")
+    )
+    assert sv.refresh_dim(spark, moved_new.unionByName(moved_stale), batch_id="dim1")
+    assert sv._fact.current_version() == fact_version  # fact state untouched
+
+    updated_dim = t.customer.select(
+        "c_custkey",
+        F.when(F.pmod("c_custkey", F.lit(7)) == 0, "RELOCATED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("c_mktsegment"),
+    )
+    direct = (
+        fact.join(updated_dim, fact.o_custkey == updated_dim.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("price_cents").alias("total_cents"))
+    )
+    got = {r.c_mktsegment: (r.n_orders, r.total_cents) for r in sv.read(spark).collect()}
+    exp = {r.c_mktsegment: (r.n_orders, r.total_cents) for r in direct.collect()}
+    assert got == exp
+    assert "RELOCATED" in got and "STALE" not in got
+
+    # replay no-ops
+    assert sv.refresh_dim(spark, moved_new, batch_id="dim1") is False
+    assert sv.refresh_fact(spark, fact, batch_id="f0") is False
+    assert {r.c_mktsegment: (r.n_orders, r.total_cents) for r in sv.read(spark).collect()} == exp
+
+
+def test_star_rollup_left_join_surfaces_referential_gaps(spark, tmp_path):
+    """fks missing from the dim: inner read drops them, left read keeps
+    them under a NULL attribute — the referential-integrity surface."""
+    t = load_tables(spark, SMOKE_SF_DIR)
+    fact = t.orders.select(
+        "o_custkey", (F.col("o_totalprice") * 100).cast("long").alias("price_cents")
+    )
+    # dim covers only even custkeys
+    dim_partial = (
+        t.customer.filter(F.pmod("c_custkey", F.lit(2)) == 0)
+        .select("c_custkey", "c_mktsegment", F.lit("2020-01-01").alias("ts"))
+    )
+    sv = _star_view(tmp_path / "star3")
+    sv.refresh_dim(spark, dim_partial, batch_id="d0")
+    sv.refresh_fact(spark, fact, batch_id="f0")
+    inner_total = sum(r.n_orders for r in sv.read(spark).collect())
+    left_rows = sv.read(spark, join_type="left").collect()
+    left_total = sum(r.n_orders for r in left_rows)
+    n_fact = fact.count()
+    assert left_total == n_fact > inner_total
+    orphan = [r for r in left_rows if r.c_mktsegment is None]
+    assert len(orphan) == 1 and orphan[0].n_orders == n_fact - inner_total
