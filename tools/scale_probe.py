@@ -96,6 +96,15 @@ PROBE_QUERIES = [
     "q_psi",
     "q_cuped",
     "q_friedman",
+    # round-9 additions: the inference tier's two heaviest envelopes —
+    # the survival kernels (kaplan_meier's per-user aggregates + the
+    # distinct-duration windows; must track the q_sessionize-ish
+    # user-keyed shuffle) and the one-aggregate post-hoc pair (must stay
+    # near-flat: all arithmetic on O(k²)/O(cells) model frames).
+    "q_log_rank",
+    "q_nelson_aalen",
+    "q_tukey_hsd",
+    "q_g_test",
 ]
 
 
