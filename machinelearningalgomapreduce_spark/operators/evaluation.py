@@ -2040,3 +2040,178 @@ ORACLES["q_cuped"] = """
     FROM per_variant
     ORDER BY variant
 """
+
+
+def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wasserstein-1 (earth-mover) distance between the click and
+    purchase `value` distributions — the drift metric that, unlike
+    q_ks_test's sup-norm, weighs HOW FAR mass moved, the property that
+    makes it the preferred shift score for feature monitoring:
+    W₁ = ∫|F_A − F_B| dv = Σ_i |F_A(v_i) − F_B(v_i)|·(v_{i+1} − v_i)
+    over the sorted distinct values.
+
+    Exactness: the ECDF gap at each value is q_ks_test's exact integer
+    |c_a·N_b − c_b·N_a|; each term multiplies that BIGINT (as double)
+    by the exact value gap (one correctly-rounded multiply); the
+    cross-row sum folds in value order seeded at 0.0 in BOTH engines
+    (the q_log_rank sorted-fold discipline); one final division by
+    N_a·N_b, rounded 6.
+
+    Scale shape: the q_ks_test envelope — one hash aggregate keyed by
+    distinct metric value, one cumulative window over that frame
+    (quantize the metric at 100 TB), one fold + 1-row rollup."""
+    t = load_tables(spark, sf_dir)
+    both = t.events.filter(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))
+    per_value = both.groupBy("value").agg(
+        F.sum((F.col("event_type") == KS_TYPE_A).cast("bigint")).alias("na"),
+        F.sum((F.col("event_type") == KS_TYPE_B).cast("bigint")).alias("nb"),
+    )
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+    lead = W.orderBy("value")
+    cum = per_value.select(
+        "value",
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+        (F.lead("value").over(lead) - F.col("value")).alias("gap"),
+    )
+    totals = per_value.agg(F.sum("na").alias("n_a"), F.sum("nb").alias("n_b"))
+    d_int = F.abs(F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a"))
+    terms = (
+        cum.crossJoin(F.broadcast(totals))
+        .filter(F.col("gap").isNotNull())
+        .select("value", "n_a", "n_b", (d_int.cast("double") * F.col("gap")).alias("term"))
+    )
+    folded = terms.groupBy("n_a", "n_b").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("value", "term"))),
+                lambda s: s["term"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("s")
+    )
+    return folded.select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("s") / (F.col("n_a").cast("double") * F.col("n_b").cast("double")), 6
+        ).alias("w1"),
+    )
+
+
+QUERIES["q_wasserstein"] = q_wasserstein
+
+ORACLES["q_wasserstein"] = f"""
+    WITH per_value AS (
+        SELECT value,
+               CAST(sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM events
+        WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+        GROUP BY value
+    ), cum AS (
+        SELECT value,
+               CAST(sum(na) OVER (ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+               CAST(sum(nb) OVER (ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb,
+               lead(value) OVER (ORDER BY value) - value AS gap
+        FROM per_value
+    ), totals AS (
+        SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b
+        FROM per_value
+    ), terms AS (
+        SELECT c.value, t.n_a, t.n_b,
+               CAST(abs(c.ca * t.n_b - c.cb * t.n_a) AS DOUBLE) * c.gap AS term
+        FROM cum c CROSS JOIN totals t
+        WHERE c.gap IS NOT NULL
+    )
+    SELECT n_a, n_b,
+           round(list_reduce(list_prepend(0.0, list(term ORDER BY value)),
+                             (a, x) -> a + x)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS w1
+    FROM terms GROUP BY n_a, n_b
+"""
+
+
+def q_hellinger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hellinger distance between the click and purchase `value`
+    distributions via the Bhattacharyya coefficient:
+    BC = Σ_i √(p_i·q_i), H = √(1 − BC) — the bounded-[0,1] shift score
+    that, unlike KL, is finite under disjoint support and symmetric,
+    completing the drift family (PSI / KL / KS / W₁).
+
+    Exactness: each term is √(na_i·nb_i / (N_a·N_b)) — an exact BIGINT
+    product ratio through one correctly-rounded division and one
+    correctly-rounded sqrt; the cross-row sum folds in value order
+    seeded at 0.0 in both engines; H clamps 1−BC at 0 before the sqrt
+    (ulp safety when the distributions coincide), rounded 6.
+
+    Scale shape: the q_ks_test envelope minus the window — one hash
+    aggregate keyed by distinct metric value, one fold + 1-row rollup
+    (values on one side only contribute 0 and drop out exactly)."""
+    t = load_tables(spark, sf_dir)
+    both = t.events.filter(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))
+    per_value = both.groupBy("value").agg(
+        F.sum((F.col("event_type") == KS_TYPE_A).cast("bigint")).alias("na"),
+        F.sum((F.col("event_type") == KS_TYPE_B).cast("bigint")).alias("nb"),
+    )
+    totals = per_value.agg(F.sum("na").alias("n_a"), F.sum("nb").alias("n_b"))
+    term = F.sqrt(
+        (F.col("na") * F.col("nb")).cast("double")
+        / (F.col("n_a") * F.col("n_b")).cast("double")
+    )
+    terms = (
+        per_value.crossJoin(F.broadcast(totals))
+        .filter((F.col("na") > 0) & (F.col("nb") > 0))
+        .select("value", "n_a", "n_b", term.alias("term"))
+    )
+    folded = terms.groupBy("n_a", "n_b").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("value", "term"))),
+                lambda s: s["term"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("bc")
+    )
+    return folded.select(
+        "n_a",
+        "n_b",
+        F.round("bc", 6).alias("bhattacharyya"),
+        F.round(F.sqrt(F.greatest(F.lit(0.0), 1.0 - F.col("bc"))), 6).alias("hellinger"),
+    )
+
+
+QUERIES["q_hellinger"] = q_hellinger
+
+ORACLES["q_hellinger"] = f"""
+    WITH per_value AS (
+        SELECT value,
+               CAST(sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM events
+        WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+        GROUP BY value
+    ), totals AS (
+        SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b
+        FROM per_value
+    ), terms AS (
+        SELECT p.value, t.n_a, t.n_b,
+               sqrt(CAST(p.na * p.nb AS DOUBLE)
+                    / CAST(t.n_a * t.n_b AS DOUBLE)) AS term
+        FROM per_value p CROSS JOIN totals t
+        WHERE p.na > 0 AND p.nb > 0
+    ), folded AS (
+        SELECT n_a, n_b,
+               list_reduce(list_prepend(0.0, list(term ORDER BY value)),
+                           (a, x) -> a + x) AS bc
+        FROM terms GROUP BY n_a, n_b
+    )
+    SELECT n_a, n_b,
+           round(bc, 6) AS bhattacharyya,
+           round(sqrt(greatest(0.0, 1.0 - bc)), 6) AS hellinger
+    FROM folded
+"""

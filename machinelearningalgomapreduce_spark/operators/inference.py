@@ -686,3 +686,125 @@ ORACLES = {
         FROM stats
     """,
 }
+
+
+# Shared double literal (the q_sprt discipline) — z for the 95% CI.
+Z95 = 1.959963984540054
+
+
+def q_km_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve with Greenwood 95% confidence bands
+    over the click→purchase risk table — the uncertainty completion of
+    the survival trio (q_survival_curve's point estimate, q_nelson_aalen's
+    hazard, this query's bands): S(t) = Π_{s≤t}(1 − d_s/n_s),
+    Var[S(t)] = S(t)²·Σ_{s≤t} d_s/(n_s(n_s−d_s)) (Greenwood), plain-scale
+    bands clamped to [0, 1].
+
+    Exactness: per-time factors (n−d)/n and Greenwood terms
+    d/(n·(n−d)) are single correctly-rounded doubles from exact BIGINTs;
+    the per-row cumulative product/sum are PREFIX FOLDS over the sorted
+    factor arrays (F.aggregate over F.slice in Spark, list_reduce over
+    list_slice in DuckDB — both strictly left-to-right), NOT window
+    aggregates, because windowed float sums may tree-combine in DuckDB;
+    the fold sequence is engine-identical, so S, se and the bands are
+    bit-identical before the round. At d = n (everyone converts at the
+    last time) S hits exactly 0 and the Greenwood term is defined as 0
+    (se = S·√g = 0 regardless).
+
+    Scale shape: kaplan_meier's envelope collapsed to ONE O(T)-element
+    array row (T = distinct durations — value-compressed; quantize t_s
+    upstream at extreme cardinality), then a posexplode with O(T²)
+    prefix folds on that bounded frame."""
+    km = _km_risk_table(spark, sf_dir)
+    nd, dd = F.col("n_risk").cast("double"), F.col("n_events").cast("double")
+    factor = (nd - dd) / nd
+    gterm = F.when(
+        F.col("n_events") < F.col("n_risk"),
+        dd / (nd * (nd - dd)),
+    ).otherwise(F.lit(0.0))
+    rows = km.select(
+        "t_s", "n_risk", "n_events", factor.alias("factor"), gterm.alias("gterm")
+    )
+    packed = rows.agg(
+        F.array_sort(
+            F.collect_list(F.struct("t_s", "n_risk", "n_events", "factor", "gterm"))
+        ).alias("arr")
+    )
+    expl = packed.select(
+        F.posexplode("arr").alias("i0", "r"), F.col("arr").alias("arr")
+    ).select(
+        (F.col("i0") + 1).alias("k"),
+        F.col("r.t_s").alias("t_s"),
+        F.col("r.n_risk").alias("n_risk"),
+        F.col("r.n_events").alias("n_events"),
+        F.col("arr").alias("arr"),
+    )
+    surv = F.aggregate(
+        F.transform(F.slice("arr", 1, F.col("k")), lambda s: s["factor"]),
+        F.lit(1.0),
+        lambda a, x: a * x,
+    )
+    gsum = F.aggregate(
+        F.transform(F.slice("arr", 1, F.col("k")), lambda s: s["gterm"]),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    se = surv * F.sqrt(gsum)
+    return expl.select(
+        "t_s",
+        "n_risk",
+        "n_events",
+        F.round(surv, 6).alias("survival"),
+        F.round(se, 6).alias("se"),
+        F.round(F.greatest(F.lit(0.0), surv - F.lit(Z95) * se), 6).alias("ci_lo"),
+        F.round(F.least(F.lit(1.0), surv + F.lit(Z95) * se), 6).alias("ci_hi"),
+    ).orderBy("t_s")
+
+
+QUERIES["q_km_ci"] = q_km_ci
+
+ORACLES["q_km_ci"] = f"""
+    WITH {_KM_RISK_CTES},
+    per_t AS (
+        SELECT t_s,
+               CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+        FROM per_user GROUP BY t_s
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM per_user),
+    risk AS (
+        SELECT t_s, n_events,
+               CAST((SELECT n_total FROM tot)
+                    - coalesce(sum(n_events + n_censored)
+                               OVER (ORDER BY t_s
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                               0) AS BIGINT) AS n_risk
+        FROM per_t
+    ),
+    packed AS (
+        SELECT list(t_s ORDER BY t_s) AS ts,
+               list(CAST(n_risk AS BIGINT) ORDER BY t_s) AS ns,
+               list(n_events ORDER BY t_s) AS ds,
+               list((CAST(n_risk AS DOUBLE) - CAST(n_events AS DOUBLE))
+                    / CAST(n_risk AS DOUBLE) ORDER BY t_s) AS factors,
+               list(CASE WHEN n_events < n_risk
+                         THEN CAST(n_events AS DOUBLE)
+                              / (CAST(n_risk AS DOUBLE)
+                                 * (CAST(n_risk AS DOUBLE) - CAST(n_events AS DOUBLE)))
+                         ELSE 0.0 END ORDER BY t_s) AS gterms
+        FROM risk
+    ),
+    expl AS (
+        SELECT ts[k] AS t_s, ns[k] AS n_risk, ds[k] AS n_events,
+               list_reduce(list_prepend(1.0, factors[1:k]), (a, x) -> a * x) AS surv,
+               list_reduce(list_prepend(0.0, gterms[1:k]), (a, x) -> a + x) AS gsum
+        FROM packed, unnest(range(1, len(ts) + 1)) AS u(k)
+    )
+    SELECT t_s, n_risk, n_events,
+           round(surv, 6) AS survival,
+           round(surv * sqrt(gsum), 6) AS se,
+           round(greatest(0.0, surv - {Z95} * surv * sqrt(gsum)), 6) AS ci_lo,
+           round(least(1.0, surv + {Z95} * surv * sqrt(gsum)), 6) AS ci_hi
+    FROM expl
+    ORDER BY t_s
+"""

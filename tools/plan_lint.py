@@ -268,6 +268,28 @@ ALLOW: dict[str, dict[str, str]] = {
         "SinglePartitionData": "cumulative window over distinct metric values "
         "(value-compressed, q_mannwhitney posture)",
     },
+    # r9: distribution-shift distances + survival CI — all established
+    # bounded shapes (q_ks_test / q_kl_divergence / kaplan_meier postures).
+    "q_wasserstein": {
+        "BroadcastNestedLoopJoin": "1-row sample-size totals (q_ks_test posture)",
+        "SinglePartitionData": "ECDF/gap window + fold over distinct metric "
+        "values (value-compressed; quantize at 100 TB)",
+    },
+    "q_hellinger": {
+        "BroadcastNestedLoopJoin": "1-row sample-size totals onto the "
+        "distinct-value frame (no window — fold only)",
+    },
+    "q_js_divergence": {
+        "BroadcastNestedLoopJoin": "1-row corpus token total (q_kl_divergence "
+        "posture); per-source totals are an O(sources) broadcast",
+    },
+    "q_km_ci": {
+        "BroadcastNestedLoopJoin": "1-row at-risk total inherited from "
+        "kaplan_meier (q_survival_curve posture)",
+        "SinglePartitionData": "risk-table window + O(T²) prefix folds over "
+        "the distinct-duration frame (value-compressed, q_nelson_aalen "
+        "posture; quantize t_s upstream at extreme cardinality)",
+    },
     # r8: mergeable quantile histogram
     "q_quantile_hist": {
         "BroadcastNestedLoopJoin": "5-percentile probe grid onto the O(bins) "
