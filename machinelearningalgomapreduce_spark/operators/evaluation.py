@@ -2215,3 +2215,217 @@ ORACLES["q_hellinger"] = f"""
            round(sqrt(greatest(0.0, 1.0 - bc)), 6) AS hellinger
     FROM folded
 """
+
+
+def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Cramér-von Mises criterion between the click and
+    purchase `value` distributions — integrates the SQUARED ECDF gap
+    over the pooled sample, the whole-distribution complement to
+    q_ks_test's single worst point:
+    T = nm/(n+m)² · Σ_z (F_A(z) − F_B(z))²  over pooled points z
+      = Σ_v (na_v+nb_v)·(ca_v·m − cb_v·n)² / (n·m·(n+m)²).
+
+    Exactness: the ENTIRE numerator Σ w·(ca·m − cb·n)² is exact — the
+    inner difference is q_ks_test's BIGINT cross-multiplication and the
+    weighted square accumulates as DECIMAL(38,0) (the q_mannwhitney
+    HUGEINT discipline — (ca·m)² alone can pass 2⁶³); ONE double
+    division at the end, rounded 6.
+
+    Scale shape: the q_ks_test envelope — one hash aggregate keyed by
+    distinct metric value, one cumulative window over that frame
+    (quantize at 100 TB), one 1-row rollup."""
+    t = load_tables(spark, sf_dir)
+    both = t.events.filter(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))
+    per_value = both.groupBy("value").agg(
+        F.sum((F.col("event_type") == KS_TYPE_A).cast("bigint")).alias("na"),
+        F.sum((F.col("event_type") == KS_TYPE_B).cast("bigint")).alias("nb"),
+    )
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_value.select(
+        "na",
+        "nb",
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+    )
+    totals = per_value.agg(F.sum("na").alias("n_a"), F.sum("nb").alias("n_b"))
+    d38 = "decimal(38,0)"
+    diff = (F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")).cast(d38)
+    wterm = ((F.col("na") + F.col("nb")).cast(d38) * diff * diff)
+    agg = cum.crossJoin(F.broadcast(totals)).groupBy("n_a", "n_b").agg(
+        F.sum(wterm).alias("num")
+    )
+    na_d, nb_d = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    denom = na_d * nb_d * (na_d + nb_d) * (na_d + nb_d)
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("num").cast("double") / denom, 6).alias("cvm"),
+    )
+
+
+QUERIES["q_cramer_von_mises"] = q_cramer_von_mises
+
+ORACLES["q_cramer_von_mises"] = f"""
+    WITH per_value AS (
+        SELECT value,
+               CAST(sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM events
+        WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+        GROUP BY value
+    ), cum AS (
+        SELECT na, nb,
+               CAST(sum(na) OVER (ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ca,
+               CAST(sum(nb) OVER (ORDER BY value
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cb
+        FROM per_value
+    ), totals AS (
+        SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b
+        FROM per_value
+    ), agg AS (
+        SELECT t.n_a, t.n_b,
+               sum(CAST(c.na + c.nb AS DECIMAL(38,0))
+                   * CAST(c.ca * t.n_b - c.cb * t.n_a AS DECIMAL(38,0))
+                   * CAST(c.ca * t.n_b - c.cb * t.n_a AS DECIMAL(38,0))) AS num
+        FROM cum c CROSS JOIN totals t
+        GROUP BY t.n_a, t.n_b
+    )
+    SELECT n_a, n_b,
+           round(CAST(num AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                    * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                    * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 6) AS cvm
+    FROM agg
+"""
+
+
+def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Energy distance between the click and purchase `value`
+    distributions: D² = 2·E|X−Y| − E|X−X'| − E|Y−Y'| — the
+    characteristic-function shift metric (zero iff equal
+    distributions) that complements W₁/Hellinger/CvM with sensitivity
+    to ALL moments. Each double expectation is computed from the
+    sorted distinct-value frame via the prefix-sum identity
+    ΣΣ|a−b| = Σ_v n_v·(2v·C(v) − 2S(v) + S_tot − v·N), never a pairwise
+    join.
+
+    Exactness: values are quantized ONCE to exact integer cents
+    (floor(v·100 + 0.5) — deterministic in both engines; the fixture's
+    2-decimal prices make this lossless), so every prefix sum and every
+    pairwise-distance total is EXACT integer arithmetic in
+    DECIMAL(38,0); three double divisions and one sqrt at the end,
+    rounded 6. No float accumulates anywhere.
+
+    Scale shape: the q_ks_test envelope — one hash aggregate keyed by
+    distinct value, INTEGER cumulative windows over that frame
+    (quantize at 100 TB), one 1-row rollup."""
+    t = load_tables(spark, sf_dir)
+    both = t.events.filter(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("bigint")
+    per_value = both.groupBy(cents.alias("c")).agg(
+        F.sum((F.col("event_type") == KS_TYPE_A).cast("bigint")).alias("na"),
+        F.sum((F.col("event_type") == KS_TYPE_B).cast("bigint")).alias("nb"),
+    )
+    w = W.orderBy("c").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_value.select(
+        "c",
+        "na",
+        "nb",
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+        F.sum(F.col("na") * F.col("c")).over(w).alias("sa"),
+        F.sum(F.col("nb") * F.col("c")).over(w).alias("sb"),
+    )
+    totals = per_value.agg(
+        F.sum("na").alias("n_a"),
+        F.sum("nb").alias("n_b"),
+        F.sum(F.col("na") * F.col("c")).alias("sa_t"),
+        F.sum(F.col("nb") * F.col("c")).alias("sb_t"),
+    )
+    d38 = "decimal(38,0)"
+
+    def pair_sum(n_col, c_cum, s_cum, s_tot, n_tot):
+        return (
+            F.col(n_col).cast(d38)
+            * (
+                2 * F.col("c").cast(d38) * F.col(c_cum).cast(d38)
+                - 2 * F.col(s_cum).cast(d38)
+                + F.col(s_tot).cast(d38)
+                - F.col("c").cast(d38) * F.col(n_tot).cast(d38)
+            )
+        )
+
+    agg = cum.crossJoin(F.broadcast(totals)).groupBy("n_a", "n_b").agg(
+        F.sum(pair_sum("na", "cb", "sb", "sb_t", "n_b")).alias("s_ab"),
+        F.sum(pair_sum("na", "ca", "sa", "sa_t", "n_a")).alias("s_aa"),
+        F.sum(pair_sum("nb", "cb", "sb", "sb_t", "n_b")).alias("s_bb"),
+    )
+    na_d, nb_d = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    e2 = (
+        2.0 * F.col("s_ab").cast("double") / (na_d * nb_d)
+        - F.col("s_aa").cast("double") / (na_d * na_d)
+        - F.col("s_bb").cast("double") / (nb_d * nb_d)
+    ) / 100.0
+    return agg.select(
+        "n_a",
+        "n_b",
+        F.round(e2, 6).alias("e2"),
+        F.round(F.sqrt(F.greatest(F.lit(0.0), e2)), 6).alias("e_dist"),
+    )
+
+
+QUERIES["q_energy_distance"] = q_energy_distance
+
+ORACLES["q_energy_distance"] = f"""
+    WITH per_value AS (
+        SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c,
+               CAST(sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM events
+        WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+        GROUP BY 1
+    ), cum AS (
+        SELECT c, na, nb,
+               CAST(sum(na) OVER win AS BIGINT) AS ca,
+               CAST(sum(nb) OVER win AS BIGINT) AS cb,
+               CAST(sum(na * c) OVER win AS BIGINT) AS sa,
+               CAST(sum(nb * c) OVER win AS BIGINT) AS sb
+        FROM per_value
+        WINDOW win AS (ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), totals AS (
+        SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b,
+               CAST(sum(na * c) AS BIGINT) AS sa_t, CAST(sum(nb * c) AS BIGINT) AS sb_t
+        FROM per_value
+    ), agg AS (
+        SELECT t.n_a, t.n_b,
+               sum(CAST(u.na AS DECIMAL(38,0))
+                   * (2 * CAST(u.c AS DECIMAL(38,0)) * CAST(u.cb AS DECIMAL(38,0))
+                      - 2 * CAST(u.sb AS DECIMAL(38,0))
+                      + CAST(t.sb_t AS DECIMAL(38,0))
+                      - CAST(u.c AS DECIMAL(38,0)) * CAST(t.n_b AS DECIMAL(38,0)))) AS s_ab,
+               sum(CAST(u.na AS DECIMAL(38,0))
+                   * (2 * CAST(u.c AS DECIMAL(38,0)) * CAST(u.ca AS DECIMAL(38,0))
+                      - 2 * CAST(u.sa AS DECIMAL(38,0))
+                      + CAST(t.sa_t AS DECIMAL(38,0))
+                      - CAST(u.c AS DECIMAL(38,0)) * CAST(t.n_a AS DECIMAL(38,0)))) AS s_aa,
+               sum(CAST(u.nb AS DECIMAL(38,0))
+                   * (2 * CAST(u.c AS DECIMAL(38,0)) * CAST(u.cb AS DECIMAL(38,0))
+                      - 2 * CAST(u.sb AS DECIMAL(38,0))
+                      + CAST(t.sb_t AS DECIMAL(38,0))
+                      - CAST(u.c AS DECIMAL(38,0)) * CAST(t.n_b AS DECIMAL(38,0)))) AS s_bb
+        FROM cum u CROSS JOIN totals t
+        GROUP BY t.n_a, t.n_b
+    )
+    SELECT n_a, n_b,
+           round((2.0 * CAST(s_ab AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                  - CAST(s_aa AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
+                  - CAST(s_bb AS DOUBLE) / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                 / 100.0, 6) AS e2,
+           round(sqrt(greatest(0.0,
+                 (2.0 * CAST(s_ab AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+                  - CAST(s_aa AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
+                  - CAST(s_bb AS DOUBLE) / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                 / 100.0)), 6) AS e_dist
+    FROM agg
+"""

@@ -808,3 +808,92 @@ ORACLES["q_km_ci"] = f"""
     FROM expl
     ORDER BY t_s
 """
+
+
+def q_rmst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Restricted mean survival time to the last observed duration —
+    the single-number KM summary (area under the survival step curve,
+    E[min(T, τ)]) that stays defined under censoring where the plain
+    mean does not: RMST(τ) = Σ_k S(t_{k−1})·(t_k − t_{k−1}) with
+    t_0 = 0, S(t_0) = 1, τ = max duration in the risk table.
+
+    Exactness: ONE strictly-left-to-right fold over the sorted
+    (t, factor) array carrying [prev_t, S, acc] — acc accumulates
+    S_{k−1}·Δt BEFORE S multiplies in the step's KM factor, the same
+    op sequence in both engines (Spark F.aggregate / DuckDB
+    list_reduce over a 3-element DOUBLE-list accumulator — a struct
+    accumulator would hit DuckDB's same-literal field-rebinding
+    hazard). Durations are exact BIGINTs cast once to double.
+
+    Scale shape: kaplan_meier's envelope collapsed to one O(T) array
+    row + a single fold (T = distinct durations, value-compressed;
+    quantize t_s upstream at extreme cardinality)."""
+    km = _km_risk_table(spark, sf_dir)
+    nd, dd = F.col("n_risk").cast("double"), F.col("n_events").cast("double")
+    rows = km.select(
+        F.col("t_s").cast("double").alias("t"),
+        ((nd - dd) / nd).alias("factor"),
+    )
+    packed = rows.agg(
+        F.array_sort(F.collect_list(F.struct("t", "factor"))).alias("arr"),
+        F.count("*").alias("n_times"),
+        F.max("t").alias("tau"),
+    )
+    state = F.aggregate(
+        F.col("arr"),
+        F.array(F.lit(0.0), F.lit(1.0), F.lit(0.0)),  # [prev_t, S, acc]
+        lambda acc, r: F.array(
+            r["t"],
+            acc[1] * r["factor"],
+            acc[2] + acc[1] * (r["t"] - acc[0]),
+        ),
+    )
+    return packed.select(
+        F.col("n_times").cast("bigint").alias("n_times"),
+        F.col("tau").cast("bigint").alias("tau_s"),
+        F.round(state[2], 6).alias("rmst_s"),
+        F.round(state[1], 6).alias("s_tau"),
+    )
+
+
+QUERIES["q_rmst"] = q_rmst
+
+ORACLES["q_rmst"] = f"""
+    WITH {_KM_RISK_CTES},
+    per_t AS (
+        SELECT t_s,
+               CAST(sum(CASE WHEN event THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+               CAST(sum(CASE WHEN event THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+        FROM per_user GROUP BY t_s
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM per_user),
+    risk AS (
+        SELECT t_s, n_events,
+               CAST((SELECT n_total FROM tot)
+                    - coalesce(sum(n_events + n_censored)
+                               OVER (ORDER BY t_s
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                               0) AS BIGINT) AS n_risk
+        FROM per_t
+    ),
+    packed AS (
+        SELECT list([CAST(t_s AS DOUBLE),
+                     (CAST(n_risk AS DOUBLE) - CAST(n_events AS DOUBLE))
+                     / CAST(n_risk AS DOUBLE)] ORDER BY t_s) AS arr,
+               CAST(count(*) AS BIGINT) AS n_times,
+               CAST(max(t_s) AS BIGINT) AS tau_s
+        FROM risk
+    ),
+    folded AS (
+        SELECT n_times, tau_s,
+               list_reduce(list_prepend([0.0, 1.0, 0.0], arr),
+                           (acc, r) -> [r[1],
+                                        acc[2] * r[2],
+                                        acc[3] + acc[2] * (r[1] - acc[1])]) AS st
+        FROM packed
+    )
+    SELECT n_times, tau_s,
+           round(st[3], 6) AS rmst_s,
+           round(st[2], 6) AS s_tau
+    FROM folded
+"""

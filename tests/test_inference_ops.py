@@ -267,3 +267,29 @@ def test_km_ci_matches_python_recompute(spark):
         assert r.survival <= prev_surv + 1e-12
         prev_surv = r.survival
         n_risk -= d + c
+
+
+def test_rmst_matches_python_recompute(spark):
+    """RMST as the literal step integral of the KM curve, plus the
+    bound RMST ≤ τ and consistency with the q_km_ci survival values."""
+    from machinelearningalgomapreduce_spark.operators.inference import q_rmst
+
+    per_user = _survival_per_user(_events(spark))
+    per_t: dict[int, list[int]] = {}
+    for _, event, t_s in per_user:
+        d = per_t.setdefault(t_s, [0, 0])
+        d[0 if event else 1] += 1
+    n_risk = len(per_user)
+    surv, prev_t, rmst = 1.0, 0.0, 0.0
+    for t in sorted(per_t):
+        d, c = per_t[t]
+        rmst += surv * (t - prev_t)
+        surv *= (n_risk - d) / n_risk
+        prev_t = t
+        n_risk -= d + c
+    [r] = q_rmst(spark, SMOKE_SF_DIR).collect()
+    assert r.n_times == len(per_t)
+    assert r.tau_s == max(per_t)
+    assert abs(r.rmst_s - rmst) < 1e-4
+    assert abs(r.s_tau - surv) < 1e-6
+    assert 0.0 < r.rmst_s <= r.tau_s

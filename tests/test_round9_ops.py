@@ -110,3 +110,69 @@ def test_js_divergence_matches_textbook_recompute(spark):
         assert abs(gjs - js) < 1e-6, src
         assert 0.0 <= gjs <= math.log(2.0) + 1e-9, src
         assert abs(gdist - math.sqrt(js / math.log(2.0))) < 1e-6, src
+
+
+def test_cramer_von_mises_matches_textbook_recompute(spark):
+    """CvM via the literal pooled-sample definition: T = nm/(n+m)² ·
+    Σ over every pooled OBSERVATION z of (F_A(z) − F_B(z))²."""
+    from machinelearningalgomapreduce_spark.operators.evaluation import (
+        q_cramer_von_mises,
+    )
+
+    a, b = _ab_values(spark)
+    na, nb = len(a), len(b)
+    pooled = sorted(a + b)
+    sa, sb = sorted(a), sorted(b)
+    import bisect
+
+    t_sum = 0.0
+    for z in pooled:
+        fa = bisect.bisect_right(sa, z) / na
+        fb = bisect.bisect_right(sb, z) / nb
+        t_sum += (fa - fb) ** 2
+    cvm = na * nb / (na + nb) ** 2 * t_sum
+    [r] = q_cramer_von_mises(spark, SMOKE_SF_DIR).collect()
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert abs(r.cvm - cvm) < 1e-6
+    assert r.cvm > 0.0
+
+
+def test_energy_distance_matches_bruteforce_pairwise(spark):
+    """The prefix-sum identity vs the literal O(n·m) pairwise definition
+    on cent-quantized values — D² must also dominate (2·W1-ish) zero and
+    the distance must be positive for genuinely different cohorts."""
+    from machinelearningalgomapreduce_spark.operators.evaluation import (
+        q_energy_distance,
+    )
+
+    a, b = _ab_values(spark)
+    ca = [math.floor(v * 100.0 + 0.5) for v in a]
+    cb = [math.floor(v * 100.0 + 0.5) for v in b]
+    na, nb = len(ca), len(cb)
+
+    def pair_sum(xs, ys):
+        # O((n+m) log) via sorting ys once (still the literal definition)
+        ys_sorted = sorted(ys)
+        import bisect
+
+        pref = [0]
+        for y in ys_sorted:
+            pref.append(pref[-1] + y)
+        tot = pref[-1]
+        m = len(ys_sorted)
+        s = 0
+        for x in xs:
+            k = bisect.bisect_right(ys_sorted, x)
+            s += x * k - pref[k] + (tot - pref[k]) - x * (m - k)
+        return s
+
+    e2 = (
+        2.0 * pair_sum(ca, cb) / (na * nb)
+        - pair_sum(ca, ca) / (na * na)
+        - pair_sum(cb, cb) / (nb * nb)
+    ) / 100.0
+    [r] = q_energy_distance(spark, SMOKE_SF_DIR).collect()
+    assert (r.n_a, r.n_b) == (na, nb)
+    assert abs(r.e2 - e2) < 1e-6
+    assert abs(r.e_dist - math.sqrt(max(0.0, e2))) < 1e-6
+    assert r.e2 > 0.0

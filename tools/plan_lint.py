@@ -279,6 +279,23 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row sample-size totals onto the "
         "distinct-value frame (no window — fold only)",
     },
+    "q_cramer_von_mises": {
+        "BroadcastNestedLoopJoin": "1-row sample-size totals (q_ks_test posture)",
+        "SinglePartitionData": "ECDF window over distinct metric values "
+        "(value-compressed; quantize at 100 TB)",
+    },
+    "q_energy_distance": {
+        "BroadcastNestedLoopJoin": "1-row totals (counts + cent sums) onto "
+        "the distinct-value frame",
+        "SinglePartitionData": "integer prefix-sum windows over distinct "
+        "cent values (value-compressed; quantize at 100 TB)",
+    },
+    "q_rmst": {
+        "BroadcastNestedLoopJoin": "1-row at-risk total inherited from "
+        "kaplan_meier (q_survival_curve posture)",
+        "SinglePartitionData": "risk-table window + one O(T) fold over the "
+        "distinct-duration frame (q_nelson_aalen posture)",
+    },
     "q_js_divergence": {
         "BroadcastNestedLoopJoin": "1-row corpus token total (q_kl_divergence "
         "posture); per-source totals are an O(sources) broadcast",
