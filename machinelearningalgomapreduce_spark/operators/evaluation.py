@@ -2429,3 +2429,108 @@ ORACLES["q_energy_distance"] = f"""
                  / 100.0)), 6) AS e_dist
     FROM agg
 """
+
+
+def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Anderson-Darling statistic between the click and
+    purchase `value` distributions — CvM's tail-weighted sibling (the
+    1/(H(1−H)) weight makes it the sensitive choice when shift lives in
+    the tails, exactly where training-data drift hides):
+    A² = (1/N)·Σ_{pooled z, H(z)<1} (N·(ca·m − cb·n)/(n·m))²·w_z
+         / (k_z·(N−k_z)) ... algebraically reduced to
+    A² = Σ_v (na_v+nb_v)·(ca_v·n_b − cb_v·n_a)² / (k_v·(N−k_v))
+         / (n_a·n_b)   over distinct values with k_v < N
+    (the Pettitt two-sample form — E[A²] ≈ 1 under H₀, verified by
+    simulation; the all-mass last point drops out).
+
+    Exactness: each term's numerator (na+nb)·(ca·nb − cb·na)² is the
+    exact DECIMAL(38,0) integer of q_cramer_von_mises and its
+    denominator k·(N−k) an exact BIGINT product — ONE double division
+    per distinct value, then the cross-row sum folds in value order
+    seeded at 0.0 (the q_log_rank discipline); one final scale by
+    N/(n_a·n_b), rounded 6.
+
+    Scale shape: the q_ks_test envelope — one hash aggregate keyed by
+    distinct metric value, one cumulative window over that frame
+    (quantize at 100 TB), one fold + 1-row rollup."""
+    t = load_tables(spark, sf_dir)
+    both = t.events.filter(F.col("event_type").isin(KS_TYPE_A, KS_TYPE_B))
+    per_value = both.groupBy("value").agg(
+        F.sum((F.col("event_type") == KS_TYPE_A).cast("bigint")).alias("na"),
+        F.sum((F.col("event_type") == KS_TYPE_B).cast("bigint")).alias("nb"),
+    )
+    w = W.orderBy("value").rowsBetween(W.unboundedPreceding, 0)
+    cum = per_value.select(
+        "value",
+        "na",
+        "nb",
+        F.sum("na").over(w).alias("ca"),
+        F.sum("nb").over(w).alias("cb"),
+    )
+    totals = per_value.agg(F.sum("na").alias("n_a"), F.sum("nb").alias("n_b"))
+    d38 = "decimal(38,0)"
+    big_n = F.col("n_a") + F.col("n_b")
+    k = F.col("ca") + F.col("cb")
+    diff = (F.col("ca") * F.col("n_b") - F.col("cb") * F.col("n_a")).cast(d38)
+    num = (F.col("na") + F.col("nb")).cast(d38) * diff * diff
+    term = num.cast("double") / (k * (big_n - k)).cast("double")
+    terms = (
+        cum.crossJoin(F.broadcast(totals))
+        .filter(k < big_n)
+        .select("value", "n_a", "n_b", term.alias("term"))
+    )
+    folded = terms.groupBy("n_a", "n_b").agg(
+        F.aggregate(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("value", "term"))),
+                lambda s: s["term"],
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("s")
+    )
+    nad, nbd = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    return folded.select(
+        "n_a",
+        "n_b",
+        F.round(F.col("s") / (nad * nbd), 6).alias("ad_stat"),
+    )
+
+
+QUERIES["q_anderson_darling"] = q_anderson_darling
+
+ORACLES["q_anderson_darling"] = f"""
+    WITH per_value AS (
+        SELECT value,
+               CAST(sum(CASE WHEN event_type = '{KS_TYPE_A}' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+               CAST(sum(CASE WHEN event_type = '{KS_TYPE_B}' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        FROM events
+        WHERE event_type IN ('{KS_TYPE_A}', '{KS_TYPE_B}')
+        GROUP BY value
+    ), cum AS (
+        SELECT value, na, nb,
+               CAST(sum(na) OVER win AS BIGINT) AS ca,
+               CAST(sum(nb) OVER win AS BIGINT) AS cb
+        FROM per_value
+        WINDOW win AS (ORDER BY value ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ), totals AS (
+        SELECT CAST(sum(na) AS BIGINT) AS n_a, CAST(sum(nb) AS BIGINT) AS n_b
+        FROM per_value
+    ), terms AS (
+        SELECT c.value, t.n_a, t.n_b,
+               CAST(CAST(c.na + c.nb AS DECIMAL(38,0))
+                    * CAST(c.ca * t.n_b - c.cb * t.n_a AS DECIMAL(38,0))
+                    * CAST(c.ca * t.n_b - c.cb * t.n_a AS DECIMAL(38,0)) AS DOUBLE)
+               / CAST((c.ca + c.cb) * (t.n_a + t.n_b - c.ca - c.cb) AS DOUBLE) AS term
+        FROM cum c CROSS JOIN totals t
+        WHERE c.ca + c.cb < t.n_a + t.n_b
+    ), folded AS (
+        SELECT n_a, n_b,
+               list_reduce(list_prepend(0.0, list(term ORDER BY value)),
+                           (a, x) -> a + x) AS s
+        FROM terms GROUP BY n_a, n_b
+    )
+    SELECT n_a, n_b,
+           round(s / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ad_stat
+    FROM folded
+"""

@@ -279,6 +279,11 @@ ALLOW: dict[str, dict[str, str]] = {
         "BroadcastNestedLoopJoin": "1-row sample-size totals onto the "
         "distinct-value frame (no window — fold only)",
     },
+    "q_anderson_darling": {
+        "BroadcastNestedLoopJoin": "1-row sample-size totals (q_ks_test posture)",
+        "SinglePartitionData": "ECDF window + fold over distinct metric "
+        "values (value-compressed; quantize at 100 TB)",
+    },
     "q_cramer_von_mises": {
         "BroadcastNestedLoopJoin": "1-row sample-size totals (q_ks_test posture)",
         "SinglePartitionData": "ECDF window over distinct metric values "
