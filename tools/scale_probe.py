@@ -105,6 +105,13 @@ PROBE_QUERIES = [
     "q_nelson_aalen",
     "q_tukey_hsd",
     "q_g_test",
+    # round-9 session-2 additions: the two riskiest new shapes — km_ci's
+    # O(T²) prefix folds (T = distinct durations GROWS with users; the
+    # probe tells us where the quantize-t_s guidance becomes binding)
+    # and energy distance's integer prefix-sum windows over distinct
+    # cent values (bounded by the price domain — should stay ~flat).
+    "q_km_ci",
+    "q_energy_distance",
 ]
 
 
