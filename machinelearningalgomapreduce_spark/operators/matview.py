@@ -807,11 +807,15 @@ class SegmentedAggView:
         fanout: int = 4,
         n_buckets: int = 8,
         spec_extra: dict | None = None,
+        ledger_cap: int | None = None,
     ) -> None:
         if not keys:
             raise ValueError("SegmentedAggView needs at least one group key")
         if fanout < 2:
             raise ValueError(f"fanout must be >= 2, got {fanout}")
+        if ledger_cap is not None and ledger_cap < 1:
+            raise ValueError(f"ledger_cap must be >= 1 or None, got {ledger_cap}")
+        self.ledger_cap = ledger_cap
         for alias, (fn, _col) in aggs.items():
             if fn not in _PARTIAL:
                 raise ValueError(
@@ -956,9 +960,14 @@ class SegmentedAggView:
         if batch_id in applied:
             return False
         seg = self._write_segment(self._partial(delta))
-        self._commit(
-            [*self.segments(), {"dir": seg, "weight": 1}], [*applied, batch_id]
-        )
+        ledger = [*applied, batch_id]
+        if self.ledger_cap is not None:
+            # Same trade as the flat view's ledger_cap: O(cap) manifest
+            # I/O per refresh, replay protection only within the newest
+            # cap batch ids (safe when replays arrive within a bounded
+            # horizon, as Structured Streaming's do).
+            ledger = ledger[-self.ledger_cap:]
+        self._commit([*self.segments(), {"dir": seg, "weight": 1}], ledger)
         if compact:
             self.compact(spark)
         return True

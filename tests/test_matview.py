@@ -783,3 +783,34 @@ def test_star_rollup_left_join_surfaces_referential_gaps(spark, tmp_path):
     assert left_total == n_fact > inner_total
     orphan = [r for r in left_rows if r.c_mktsegment is None]
     assert len(orphan) == 1 and orphan[0].n_orders == n_fact - inner_total
+
+
+def test_segmented_view_ledger_cap(spark, tmp_path):
+    """ledger_cap bounds the manifest's replay ledger to the newest N
+    ids (recent replays still no-op; ancient ids age out — the flat
+    view's documented trade)."""
+    from machinelearningalgomapreduce_spark.operators.matview import SegmentedAggView
+
+    sv = SegmentedAggView(
+        str(tmp_path / "segl"),
+        keys=["l_returnflag"],
+        aggs={"n": ("count", "*")},
+        fanout=2,
+        ledger_cap=3,
+    )
+    batches = _li_batches(spark, 5)
+    for i, b in enumerate(batches):
+        sv.refresh(spark, b, batch_id=f"b{i}")
+    assert sv.applied_batches() == ["b2", "b3", "b4"]
+    before = _frame_dict_flag(sv.read(spark))
+    # recent replay no-ops; an aged-out id re-applies (the documented trade)
+    assert sv.refresh(spark, batches[4], batch_id="b4") is False
+    assert _frame_dict_flag(sv.read(spark)) == before
+    with pytest.raises(ValueError, match="ledger_cap"):
+        SegmentedAggView(
+            str(tmp_path / "x"), keys=["k"], aggs={"n": ("count", "*")}, ledger_cap=0
+        )
+
+
+def _frame_dict_flag(df):
+    return {r.l_returnflag: r.n for r in df.collect()}
