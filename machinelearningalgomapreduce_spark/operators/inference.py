@@ -252,7 +252,9 @@ def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         / 2.0
         * (1.0 / F.col("n_a").cast("double") + 1.0 / F.col("n_b").cast("double"))
     )
-    return pairs.select(
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    out = pairs.select(
         "ty_a",
         "ty_b",
         F.col("n_a").cast("bigint").alias("n_a"),
@@ -260,7 +262,10 @@ def q_tukey_hsd(spark: SparkSession, sf_dir: str) -> DataFrame:
         "df_w",
         F.round(diff, 6).alias("mean_diff"),
         F.round(F.abs(diff) / se, 6).alias("q_stat"),
-    ).orderBy("ty_a", "ty_b")
+    )
+    # O(k²) pairs of a bounded type domain: single-partition sort, never
+    # a range exchange (tiny_sorted rationale).
+    return tiny_sorted(out, "ty_a", "ty_b")
 
 
 def q_g_test(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -750,7 +755,9 @@ def q_km_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda a, x: a + x,
     )
     se = surv * F.sqrt(gsum)
-    return expl.select(
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    out = expl.select(
         "t_s",
         "n_risk",
         "n_events",
@@ -758,7 +765,10 @@ def q_km_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(se, 6).alias("se"),
         F.round(F.greatest(F.lit(0.0), surv - F.lit(Z95) * se), 6).alias("ci_lo"),
         F.round(F.least(F.lit(1.0), surv + F.lit(Z95) * se), 6).alias("ci_hi"),
-    ).orderBy("t_s")
+    )
+    # the exploded frame is already one partition (it came from a 1-row
+    # array); tiny_sorted keeps it that way instead of a range exchange
+    return tiny_sorted(out, "t_s")
 
 
 QUERIES["q_km_ci"] = q_km_ci

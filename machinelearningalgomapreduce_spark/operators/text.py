@@ -1586,18 +1586,18 @@ def q_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     js = 0.5 * F.col("s_in") + 0.5 * F.lit(LN2) * (
         1.0 - F.col("m_in").cast("double") / F.col("big_m").cast("double")
     )
-    return (
-        folded.crossJoin(F.broadcast(tot))
-        .select(
-            "source",
-            "n_tokens",
-            F.round(js, 6).alias("js"),
-            F.round(F.sqrt(F.greatest(F.lit(0.0), js / F.lit(LN2))), 6).alias(
-                "js_dist"
-            ),
-        )
-        .orderBy("source")
+    out = folded.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_tokens",
+        F.round(js, 6).alias("js"),
+        F.round(F.sqrt(F.greatest(F.lit(0.0), js / F.lit(LN2))), 6).alias(
+            "js_dist"
+        ),
     )
+    # O(sources) rows: single-partition sort, never a range exchange
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    return tiny_sorted(out, "source")
 
 
 QUERIES["q_js_divergence"] = q_js_divergence
