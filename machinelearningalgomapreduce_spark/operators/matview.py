@@ -1191,3 +1191,42 @@ class FactDimRollupView:
             for alias, (fn, _col) in self.aggs.items()
         ]
         return joined.groupBy(*self.dim_attrs).agg(*exprs)
+
+
+def export_view_snapshot(
+    spark: SparkSession, view, out_dir: str, version: int | None = None
+) -> dict:
+    """Publish one committed version of a materialized view as a
+    manifest-committed JSONL dataset (sources/custom.py::
+    ManifestJsonlSink) — the handoff from incremental maintenance to a
+    downstream consumer that requires two-phase-commit exports (a
+    training job reading feature rollups, a serving loader). Works for
+    any of this module's views via the shared read contract
+    (``read(spark, version)`` + ``current_version()``).
+
+    Idempotent by layout: each version exports into its own
+    ``out_dir/v{N}`` subdirectory, and a directory that already holds a
+    committed manifest is returned AS-IS (re-running an export job is a
+    no-op, and two versions can never interleave shards under one
+    manifest — the sink's append semantics extend manifests, which is
+    exactly wrong for snapshot republication). The committed manifest
+    (shards + row counts + order-insensitive checksums) is returned;
+    the paired ManifestJsonlSource reader re-verifies those checksums
+    on every scan.
+
+    100 TB shape: the export writes the O(groups) view STATE, never raw
+    history; shard parallelism = the state's partition count."""
+    from machinelearningalgomapreduce_spark.sources.custom import ManifestJsonlSink
+
+    v = view.current_version() if version is None else version
+    target = os.path.join(out_dir, f"v{v:08d}")
+    manifest_path = os.path.join(target, "manifest.json")
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            return json.load(fh)
+    spark.dataSource.register(ManifestJsonlSink)
+    view.read(spark, v).write.format("manifest_jsonl").option(
+        "path", target
+    ).mode("append").save()
+    with open(manifest_path) as fh:
+        return json.load(fh)

@@ -814,3 +814,53 @@ def test_segmented_view_ledger_cap(spark, tmp_path):
 
 def _frame_dict_flag(df):
     return {r.l_returnflag: r.n for r in df.collect()}
+
+
+def test_export_view_snapshot_round_trip_and_idempotence(spark, tmp_path):
+    """A committed view version published through the two-phase-commit
+    sink: the manifest accounts for every state row, the paired
+    checksum-verifying reader round-trips the data, re-export of the
+    same version is a no-op, and a later version lands in its own
+    directory without touching the first manifest."""
+    from machinelearningalgomapreduce_spark.operators.matview import (
+        export_view_snapshot,
+    )
+    from machinelearningalgomapreduce_spark.sources.custom import ManifestJsonlSource
+
+    t = load_tables(spark, SMOKE_SF_DIR)
+    mv = _mk_view(tmp_path / "mv")
+    b0, b1, _ = _batches(t.lineitem)
+    mv.refresh(spark, b0, batch_id="b0")
+    out = str(tmp_path / "export")
+    m1 = export_view_snapshot(spark, mv, out)
+    state_rows = mv.read(spark).count()
+    assert m1["total_rows"] == state_rows
+
+    # reader round-trip (schema inferred; avg_qty arrives as double)
+    spark.dataSource.register(ManifestJsonlSource)
+    back = (
+        spark.read.format("manifest_jsonl_read")
+        .option("path", os.path.join(out, "v00000001"))
+        .load()
+    )
+    got = {
+        (r.l_returnflag, r.l_linestatus): (r.n_rows, r.sum_qty)
+        for r in back.collect()
+    }
+    exp = {
+        (r.l_returnflag, r.l_linestatus): (r.n_rows, float(r.sum_qty))
+        for r in mv.read(spark).collect()
+    }
+    assert got == exp
+
+    # idempotent re-export: manifest returned verbatim, no new shards
+    m1b = export_view_snapshot(spark, mv, out, version=1)
+    assert m1b == m1
+
+    # a second version exports beside the first
+    mv.refresh(spark, b1, batch_id="b1")
+    m2 = export_view_snapshot(spark, mv, out)
+    assert m2["total_rows"] == mv.read(spark).count()
+    assert sorted(os.listdir(out)) == ["v00000001", "v00000002"]
+    with open(os.path.join(out, "v00000001", "manifest.json")) as fh:
+        assert json.load(fh) == m1
