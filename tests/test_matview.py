@@ -864,3 +864,39 @@ def test_export_view_snapshot_round_trip_and_idempotence(spark, tmp_path):
     assert sorted(os.listdir(out)) == ["v00000001", "v00000002"]
     with open(os.path.join(out, "v00000001", "manifest.json")) as fh:
         assert json.load(fh) == m1
+
+
+@pytest.mark.parametrize("n_batches,fanout", [(7, 2), (13, 3), (16, 4)])
+def test_segmented_view_tier_math_across_fanouts(spark, tmp_path, n_batches, fanout):
+    """Tier bookkeeping off-by-ones hide at awkward (N, fanout) combos:
+    for each, the view must equal the one-pass aggregate, keep the
+    <fanout-per-tier invariant, and conserve total weight."""
+    from machinelearningalgomapreduce_spark.operators.matview import SegmentedAggView
+
+    li = load_tables(spark, SMOKE_SF_DIR).lineitem
+    sv = SegmentedAggView(
+        str(tmp_path / f"seg{n_batches}_{fanout}"),
+        keys=["l_returnflag"],
+        aggs={"n": ("count", "*"), "sum_qty": ("sum", "l_quantity")},
+        fanout=fanout,
+    )
+    for i in range(n_batches):
+        sv.refresh(
+            spark,
+            li.filter(F.pmod("l_orderkey", F.lit(n_batches)) == i),
+            batch_id=f"b{i}",
+        )
+    segs = sv.segments()
+    assert sum(s["weight"] for s in segs) == n_batches
+    tiers: dict[int, int] = {}
+    for s in segs:
+        tiers[sv._tier(s["weight"])] = tiers.get(sv._tier(s["weight"]), 0) + 1
+    assert all(n < fanout for n in tiers.values()), (n_batches, fanout, segs)
+    got = {r.l_returnflag: (r.n, float(r.sum_qty)) for r in sv.read(spark).collect()}
+    exp = {
+        r.l_returnflag: (r.n, float(r.sum_qty))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("sum_qty"))
+        .collect()
+    }
+    assert got == exp
