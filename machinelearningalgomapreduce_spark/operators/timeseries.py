@@ -2006,3 +2006,156 @@ ORACLES["q_durbin_watson"] = f"""
     FROM folded
     ORDER BY event_type
 """
+
+
+def q_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Granger-causality screen for every ORDERED event-type pair
+    (target, source): does the source's PREVIOUS-day count improve a
+    one-lag autoregression of the target's daily count? F-test of
+    y_t = α + β₁·y_{t−1} (+ β₂·x_{t−1}): F = (RSS_r − RSS_u)·(n−3)/RSS_u
+    — the model-based upgrade of q_lead_lag's correlation screen, the
+    step between "moves first" and a q_diff_in_diff-style causal read.
+
+    Exactness: daily counts are exact BIGINTs, so ALL ten sufficient
+    statistics (n, Σy, Σa, Σb, Σy², Σa², Σb², Σya, Σyb, Σab with
+    a = y_{t−1}, b = x_{t−1}) accumulate exactly; the centered moments,
+    the closed-form 2×2 normal-equation solve, both RSS values and F
+    are ONE identical chain of double arithmetic in both engines —
+    no cross-row float sums anywhere, so no fold is needed. Degenerate
+    pairs (constant series → zero variance, collinear lags → det 0,
+    saturated fit → RSS_u 0) yield NULL via try_divide/nullif
+    identically in both engines.
+
+    Scale shape: events collapse ONCE to the bounded (type × day)
+    frame; the triple alignment join (y_t, y_{t−1}, x_{t−1}) and the
+    pair aggregate run on that frame — O(types² × days) worst case
+    with types a handful; raw events are never rescanned."""
+    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
+
+    t = load_tables(spark, sf_dir)
+    daily = t.events.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    cur = daily.select(
+        F.col("event_type").alias("type_tgt"),
+        F.col("day").alias("d"),
+        F.col("x").alias("y"),
+    )
+    ylag = daily.select(
+        F.col("event_type").alias("type_tgt2"),
+        F.date_add(F.col("day"), 1).alias("d2"),
+        F.col("x").alias("a"),
+    )
+    xlag = daily.select(
+        F.col("event_type").alias("type_src"),
+        F.date_add(F.col("day"), 1).alias("d3"),
+        F.col("x").alias("b"),
+    )
+    rows = (
+        cur.join(ylag, (F.col("d") == F.col("d2")) & (F.col("type_tgt") == F.col("type_tgt2")))
+        .join(
+            xlag,
+            (F.col("d") == F.col("d3")) & (F.col("type_tgt") != F.col("type_src")),
+        )
+        .select("type_tgt", "type_src", "y", "a", "b")
+    )
+    m = rows.groupBy("type_tgt", "type_src").agg(
+        F.count("*").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("a").alias("sa"),
+        F.sum("b").alias("sb"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("a") * F.col("a")).alias("saa"),
+        F.sum(F.col("b") * F.col("b")).alias("sbb"),
+        F.sum(F.col("y") * F.col("a")).alias("sya"),
+        F.sum(F.col("y") * F.col("b")).alias("syb"),
+        F.sum(F.col("a") * F.col("b")).alias("sab"),
+    )
+    nd = F.col("n").cast("double")
+    sy, sa, sb = (F.col(c).cast("double") for c in ("sy", "sa", "sb"))
+    syy, saa, sbb = (F.col(c).cast("double") for c in ("syy", "saa", "sbb"))
+    sya, syb, sab = (F.col(c).cast("double") for c in ("sya", "syb", "sab"))
+    cyy = syy - sy * sy / nd
+    caa = saa - sa * sa / nd
+    cbb = sbb - sb * sb / nd
+    cya = sya - sy * sa / nd
+    cyb = syb - sy * sb / nd
+    cab = sab - sa * sb / nd
+    rss_r = cyy - F.try_divide(cya * cya, caa)
+    det = caa * cbb - cab * cab
+    explained = F.try_divide(
+        cya * (cbb * cya - cab * cyb) + cyb * (caa * cyb - cab * cya), det
+    )
+    rss_u = cyy - explained
+    f_stat = F.try_divide((rss_r - rss_u) * (nd - 3.0), rss_u)
+    beta_x = F.try_divide(caa * cyb - cab * cya, det)
+    out = m.filter(F.col("n") > 3).select(
+        "type_tgt",
+        "type_src",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.round(beta_x, 6).alias("beta_x"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )
+    return tiny_sorted(out, "type_tgt", "type_src")
+
+
+QUERIES["q_granger"] = q_granger
+
+ORACLES["q_granger"] = """
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(count(*) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    rows_j AS (
+        SELECT c.event_type AS type_tgt, s.event_type AS type_src,
+               c.x AS y, yl.x AS a, s.x AS b
+        FROM daily c
+        JOIN daily yl ON yl.event_type = c.event_type
+                     AND c.day = yl.day + 1
+        JOIN daily s  ON s.event_type <> c.event_type
+                     AND c.day = s.day + 1
+    ),
+    m AS (
+        SELECT type_tgt, type_src,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(y) AS BIGINT) AS sy,
+               CAST(sum(a) AS BIGINT) AS sa,
+               CAST(sum(b) AS BIGINT) AS sb,
+               CAST(sum(y * y) AS BIGINT) AS syy,
+               CAST(sum(a * a) AS BIGINT) AS saa,
+               CAST(sum(b * b) AS BIGINT) AS sbb,
+               CAST(sum(y * a) AS BIGINT) AS sya,
+               CAST(sum(y * b) AS BIGINT) AS syb,
+               CAST(sum(a * b) AS BIGINT) AS sab
+        FROM rows_j GROUP BY 1, 2
+    ),
+    c AS (
+        SELECT type_tgt, type_src, n,
+               CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS cyy,
+               CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) AS caa,
+               CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(n AS DOUBLE) AS cbb,
+               CAST(sya AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sa AS DOUBLE) / CAST(n AS DOUBLE) AS cya,
+               CAST(syb AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(n AS DOUBLE) AS cyb,
+               CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE) / CAST(n AS DOUBLE) AS cab
+        FROM m
+    ),
+    solved AS (
+        SELECT type_tgt, type_src, n, cyy,
+               cyy - cya * cya / nullif(caa, 0.0) AS rss_r,
+               cyy - (cya * (cbb * cya - cab * cyb)
+                      + cyb * (caa * cyb - cab * cya))
+                     / nullif(caa * cbb - cab * cab, 0.0) AS rss_u,
+               (caa * cyb - cab * cya)
+                   / nullif(caa * cbb - cab * cab, 0.0) AS beta_x
+        FROM c
+    )
+    SELECT type_tgt, type_src,
+           CAST(n AS BIGINT) AS n_days,
+           round(beta_x, 6) AS beta_x,
+           round((rss_r - rss_u) * (CAST(n AS DOUBLE) - 3.0)
+                 / nullif(rss_u, 0.0), 6) AS f_stat
+    FROM solved
+    WHERE n > 3
+    ORDER BY type_tgt, type_src
+"""

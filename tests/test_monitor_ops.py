@@ -251,3 +251,47 @@ def test_monitor_tier_exchange_budgets(spark, sf_dir):
     q = queries()
     for name, budget in budgets.items():
         assert P.count_exchanges(q[name](spark, sf_dir)) <= budget, name
+
+
+def test_granger_matches_numpy_lstsq(spark):
+    """The closed-form exact-moment F equals an INDEPENDENT numpy
+    least-squares fit of the restricted/unrestricted models per pair —
+    a genuinely different solver (QR vs normal equations)."""
+    import numpy as np
+
+    from machinelearningalgomapreduce_spark.operators.timeseries import q_granger
+
+    series = _daily_counts(spark)
+    got = {
+        (r.type_tgt, r.type_src): (r.n_days, r.beta_x, r.f_stat)
+        for r in q_granger(spark, SMOKE_SF_DIR).collect()
+    }
+    types = sorted(series)
+    for tgt in types:
+        for src in types:
+            if tgt == src:
+                continue
+            days_t, days_s = series[tgt], series[src]
+            rows = []
+            for day in sorted(days_t):
+                prev = day - __import__("datetime").timedelta(days=1)
+                if prev in days_t and prev in days_s:
+                    rows.append((days_t[day], days_t[prev], days_s[prev]))
+            if len(rows) <= 3:
+                assert (tgt, src) not in got
+                continue
+            y = np.array([r[0] for r in rows], dtype=float)
+            a = np.array([r[1] for r in rows], dtype=float)
+            b = np.array([r[2] for r in rows], dtype=float)
+            one = np.ones_like(y)
+            rss_r = np.linalg.lstsq(np.column_stack([one, a]), y, rcond=None)[1][0]
+            xu = np.column_stack([one, a, b])
+            coef, res_u, *_ = np.linalg.lstsq(xu, y, rcond=None)
+            rss_u = res_u[0] if len(res_u) else float(((y - xu @ coef) ** 2).sum())
+            n = len(rows)
+            f = (rss_r - rss_u) * (n - 3) / rss_u
+            gn, gbeta, gf = got[(tgt, src)]
+            assert gn == n, (tgt, src)
+            assert abs(gbeta - coef[2]) < 1e-5, (tgt, src)
+            assert abs(gf - f) < 1e-4, (tgt, src)
+    assert len(got) == len(types) * (len(types) - 1)
