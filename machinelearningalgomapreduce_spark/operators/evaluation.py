@@ -2448,7 +2448,7 @@ def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
     denominator k·(N−k) an exact BIGINT product — ONE double division
     per distinct value, then the cross-row sum folds in value order
     seeded at 0.0 (the q_log_rank discipline); one final scale by
-    N/(n_a·n_b), rounded 6.
+    1/(n_a·n_b), rounded 6.
 
     Scale shape: the q_ks_test envelope — one hash aggregate keyed by
     distinct metric value, one cumulative window over that frame

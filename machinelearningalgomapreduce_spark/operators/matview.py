@@ -979,6 +979,9 @@ class SegmentedAggView:
         segment of combined weight (one union-re-aggregate job over
         just those segments — the rest of the state is untouched).
         Returns the number of merge rounds executed."""
+        # compaction RE-APPLIES the merge algebra and rewrites state, so
+        # a wrong-spec instance must fail loudly here, not corrupt disk
+        self._check_or_write_spec()
         rounds = 0
         while True:
             segs = self.segments()
@@ -1004,7 +1007,13 @@ class SegmentedAggView:
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
         """The rollup at ``version`` (default latest): union of that
-        manifest's segments, re-aggregated, derived columns appended."""
+        manifest's segments, re-aggregated, derived columns appended.
+
+        Unlike the flat view (whose read is a plain parquet scan), this
+        read RE-APPLIES the merge algebra — so the spec guard runs here
+        too: summing another spec's max partials would silently return
+        garbage instead of failing."""
+        self._check_or_write_spec()
         v = self.current_version() if version is None else version
         if v == 0:
             raise ValueError("view has no committed version yet")
@@ -1031,6 +1040,10 @@ class SegmentedAggView:
         keep_versions = set(range(max(1, cur - keep_last + 1), cur + 1))
         live: set[str] = set()
         for v in keep_versions:
+            # a version inside the keep window may already have been
+            # dropped by an earlier, stricter vacuum — skip, don't crash
+            if not os.path.exists(self._manifest_path(v)):
+                continue
             live.update(s["dir"] for s in self.segments(v))
         for name in sorted(os.listdir(self.path)):
             full = os.path.join(self.path, name)
@@ -1129,6 +1142,13 @@ class FactDimRollupView:
         applied = self.dim_applied_batches()
         if batch_id in applied:
             return False
+        # the fact side's _gc_orphans discipline: a crash between the
+        # v{N+1} parquet write and the pointer flip leaves an orphan dir
+        # the retried upsert would collide with (mode="error") forever
+        cur = self._dim_version()
+        for name in os.listdir(self._dim_dir):
+            if name.startswith("v") and name[1:].isdigit() and int(name[1:]) > cur:
+                shutil.rmtree(os.path.join(self._dim_dir, name))
         cols = [self.dim_key, *self.dim_attrs, self.dim_ts]
         latest = (
             updates.select(*cols)
@@ -1201,8 +1221,14 @@ def export_view_snapshot(
     ManifestJsonlSink) — the handoff from incremental maintenance to a
     downstream consumer that requires two-phase-commit exports (a
     training job reading feature rollups, a serving loader). Works for
-    any of this module's views via the shared read contract
-    (``read(spark, version)`` + ``current_version()``).
+    the views exposing the VERSIONED read contract — ``read(spark,
+    version)`` + ``current_version()``: IncrementalAggView,
+    SegmentedAggView, and the sketch views that delegate to them
+    (Frequency/DistinctCount/QuantileHistogram). FactDimRollupView
+    (read takes a join_type, not a version — export its `_fact` view
+    or a materialized `read()` instead) and DriftMonitorView (its
+    accessor is `bins`) do NOT fit; the guard below rejects them
+    loudly rather than mis-binding the version argument.
 
     Idempotent by layout: each version exports into its own
     ``out_dir/v{N}`` subdirectory, and a directory that already holds a
@@ -1218,6 +1244,21 @@ def export_view_snapshot(
     history; shard parallelism = the state's partition count."""
     from machinelearningalgomapreduce_spark.sources.custom import ManifestJsonlSink
 
+    import inspect as _inspect
+
+    if not hasattr(view, "current_version") or not hasattr(view, "read"):
+        raise TypeError(
+            f"{type(view).__name__} has no versioned read contract "
+            "(needs read(spark, version) + current_version()); export its "
+            "underlying versioned view instead"
+        )
+    params = list(_inspect.signature(view.read).parameters)
+    if "version" not in params:
+        raise TypeError(
+            f"{type(view).__name__}.read({', '.join(params)}) takes no "
+            "version — not a versioned view; export its underlying "
+            "versioned view instead"
+        )
     v = view.current_version() if version is None else version
     target = os.path.join(out_dir, f"v{v:08d}")
     manifest_path = os.path.join(target, "manifest.json")

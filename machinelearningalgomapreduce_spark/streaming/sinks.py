@@ -103,18 +103,47 @@ def _index_is_small(index_dir: str, cap_bytes: int = 64 << 20) -> bool:
     return total <= cap_bytes
 
 
-def _recover_index(index_dir: str) -> None:
-    """If a compaction crash left no live index but an `.old-` sibling
-    (the window between rename-aside and rename-in), restore the newest
-    sibling — otherwise the next ingest would see "no index" and re-admit
-    every already-ingested document."""
+def _recover_aside(path: str) -> None:
+    """Shared rename-aside recovery for the swap protocol users in this
+    module (the dedup index and the SCD2 dimension): if a crash left no
+    live directory but an `.old-` sibling exists (the window between
+    rename-aside and rename-in), restore the newest sibling — otherwise
+    the next job would see "nothing here" and silently start over
+    (re-admitting every already-ingested document / merging against an
+    empty dimension)."""
     import glob
 
-    if os.path.exists(index_dir):
+    if os.path.exists(path):
         return
-    siblings = sorted(glob.glob(index_dir + ".old-*"))
+    siblings = sorted(glob.glob(path + ".old-*"))
     if siblings:
-        os.rename(siblings[-1], index_dir)
+        os.rename(siblings[-1], path)
+
+
+def _clean_stale_siblings(path: str) -> list[str]:
+    """Remove crash debris the swap protocol can leave behind: any
+    `.staging-*` twin (a swap that died before rename-aside — the live
+    dir is still authoritative) and, when the live dir EXISTS, any
+    `.old-*` sibling (a swap that died between rename-in and the final
+    rmtree — the sibling is a stale full-size copy recovery will never
+    consume). Run AFTER _recover_aside, never instead of it."""
+    import glob
+    import shutil
+
+    removed = []
+    for d in glob.glob(path + ".staging-*"):
+        shutil.rmtree(d, ignore_errors=True)
+        removed.append(os.path.basename(d))
+    if os.path.exists(path):
+        for d in glob.glob(path + ".old-*"):
+            shutil.rmtree(d, ignore_errors=True)
+            removed.append(os.path.basename(d))
+    return removed
+
+
+def _recover_index(index_dir: str) -> None:
+    _recover_aside(index_dir)
+    _clean_stale_siblings(index_dir)
 
 
 def compact_dedup_index(spark: SparkSession, index_dir: str) -> dict:
@@ -256,16 +285,8 @@ def scd2_ingest_stream(
 
 
 def _recover_dim(dim_dir: str) -> None:
-    """If a crash left no live dimension but an `.old-` sibling exists
-    (the window between rename-aside and rename-in), restore the newest
-    sibling so the replayed batch merges against the pre-crash state."""
-    import glob
-
-    if os.path.exists(dim_dir):
-        return
-    siblings = sorted(glob.glob(dim_dir + ".old-*"))
-    if siblings:
-        os.rename(siblings[-1], dim_dir)
+    _recover_aside(dim_dir)
+    _clean_stale_siblings(dim_dir)
 
 
 def dedup_ingest_stream(

@@ -38,6 +38,20 @@ OUTPUT_SCHEMA = T.StructType(
 )
 
 
+def _ordered_values(pdfs: Iterable[pd.DataFrame]) -> pd.Series:
+    """Chronologically-ordered `value`s across ALL Arrow chunks of the
+    group. applyInPandasWithState splits a group that exceeds
+    spark.sql.execution.arrow.maxRecordsPerBatch into MULTIPLE pandas
+    chunks; sorting each chunk independently would fold out-of-order at
+    exactly the group sizes where sequential detectors matter most, so
+    every order-sensitive updater concatenates first and sorts once."""
+    chunks = [p for p in pdfs if len(p)]
+    if not chunks:
+        return pd.Series([], dtype=float)
+    allp = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+    return allp.sort_values(["us", "event_id"])["value"]
+
+
 def _update_profile(
     key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
 ) -> Iterable[pd.DataFrame]:
@@ -94,11 +108,10 @@ def _update_ema(
     # event-time order (same assumption q_ema's oracle makes explicit).
     (user_id,) = key
     n, ema = state.get if state.exists else (0, None)
-    for pdf in pdfs:
-        for x in pdf.sort_values(["us", "event_id"])["value"]:
-            x = float(x)
-            ema = x if ema is None else EMA_ALPHA * x + (1 - EMA_ALPHA) * ema
-            n += 1
+    for x in _ordered_values(pdfs):
+        x = float(x)
+        ema = x if ema is None else EMA_ALPHA * x + (1 - EMA_ALPHA) * ema
+        n += 1
     state.update((n, ema))
     yield pd.DataFrame({"user_id": [user_id], "n_events": [n], "ema_value": [ema]})
 
@@ -141,8 +154,9 @@ def _update_page_hinkley(
     # (Σx, n, m, min m) — at EVENT granularity: the monitor folds every
     # observation as it arrives, where the batch query folds the daily
     # rollup (same detector, finer clock). Events sort chronologically
-    # within the micro-batch; across batches arrival order stands in for
-    # event time (the user_ema assumption).
+    # across ALL Arrow chunks of the micro-batch (_ordered_values);
+    # across batches arrival order stands in for event time (the
+    # user_ema assumption).
     from machinelearningalgomapreduce_spark.operators.timeseries import (
         PH_DELTA,
         PH_LAMBDA,
@@ -150,17 +164,16 @@ def _update_page_hinkley(
 
     (event_type,) = key
     s, n, m, m_min = state.get if state.exists else (0.0, 0, None, None)
-    for pdf in pdfs:
-        for x in pdf.sort_values(["us", "event_id"])["value"]:
-            x = float(x)
-            s += x
-            n += 1
-            if m is None:
-                m = x - s / n - PH_DELTA
-                m_min = m
-            else:
-                m += x - s / n - PH_DELTA
-                m_min = min(m_min, m)
+    for x in _ordered_values(pdfs):
+        x = float(x)
+        s += x
+        n += 1
+        if m is None:
+            m = x - s / n - PH_DELTA
+            m_min = m
+        else:
+            m += x - s / n - PH_DELTA
+            m_min = min(m_min, m)
     state.update((s, n, m, m_min))
     ph = round(m - m_min, 6)
     yield pd.DataFrame(
@@ -218,8 +231,9 @@ def _update_ewma_control(
     # adaptive-SPC variant. State is O(1) per key: (n, mean, M2, z, p)
     # with p carrying (1−λ)^2t exactly as the batch fold does (no pow).
     # z seeds at the first observation; limits only engage from n ≥ 2,
-    # when σ̂ exists. Events sort chronologically within the micro-batch;
-    # across batches arrival order stands in for event time.
+    # when σ̂ exists. Events sort chronologically across ALL Arrow chunks
+    # of the micro-batch (_ordered_values); across batches arrival order
+    # stands in for event time.
     import math
 
     from machinelearningalgomapreduce_spark.operators.timeseries import (
@@ -235,22 +249,21 @@ def _update_ewma_control(
         state.get if state.exists else (0, 0.0, 0.0, 0.0, 1.0, 0)
     )
     alarm = 0
-    for pdf in pdfs:
-        for x in pdf.sort_values(["us", "event_id"])["value"]:
-            x = float(x)
-            n += 1
-            delta = x - mean
-            mean += delta / n
-            m2 += delta * (x - mean)
-            z = x if n == 1 else EWMA_LAMBDA * x + _EW_OM * z
-            p = p * _EW_OM2
-            alarm = 0
-            if n >= 2:
-                sd = math.sqrt(m2 / (n - 1))
-                thr = EWMA_L * sd * math.sqrt(_EW_FAC * (1.0 - p))
-                if abs(z - mean) > thr:
-                    alarm = 1
-                    n_alarms += 1
+    for x in _ordered_values(pdfs):
+        x = float(x)
+        n += 1
+        delta = x - mean
+        mean += delta / n
+        m2 += delta * (x - mean)
+        z = x if n == 1 else EWMA_LAMBDA * x + _EW_OM * z
+        p = p * _EW_OM2
+        alarm = 0
+        if n >= 2:
+            sd = math.sqrt(m2 / (n - 1))
+            thr = EWMA_L * sd * math.sqrt(_EW_FAC * (1.0 - p))
+            if abs(z - mean) > thr:
+                alarm = 1
+                n_alarms += 1
     state.update((n, mean, m2, z, p, n_alarms))
     yield pd.DataFrame(
         {
@@ -315,8 +328,9 @@ def _update_cusum(
     # cannot see μ/σ upfront, so center and scale are the running
     # Welford estimates (the type_ewma_control adaptive-SPC variant);
     # k and h re-derive from σ̂ at every step. Limits engage from n ≥ 2.
-    # State is O(1) per key; events sort chronologically within the
-    # micro-batch; across batches arrival order stands in for event time.
+    # State is O(1) per key; events sort chronologically across ALL Arrow
+    # chunks of the micro-batch (_ordered_values); across batches arrival
+    # order stands in for event time.
     import math
 
     (event_type,) = key
@@ -324,25 +338,24 @@ def _update_cusum(
         state.get if state.exists else (0, 0.0, 0.0, 0.0, 0.0, 0)
     )
     alarm = 0
-    for pdf in pdfs:
-        for x in pdf.sort_values(["us", "event_id"])["value"]:
-            x = float(x)
-            n += 1
-            delta = x - mean
-            mean += delta / n
-            m2 += delta * (x - mean)
-            alarm = 0
-            if n >= 2:
-                sd = math.sqrt(m2 / (n - 1))
-                k = CUSUM_K_SIGMA * sd
-                h = CUSUM_H_SIGMA * sd
-                s_pos = max(0.0, s_pos + (x - mean - k))
-                s_neg = max(0.0, s_neg + (mean - x - k))
-                if s_pos > h or s_neg > h:
-                    alarm = 1
-                    n_alarms += 1
-                    s_pos = 0.0
-                    s_neg = 0.0
+    for x in _ordered_values(pdfs):
+        x = float(x)
+        n += 1
+        delta = x - mean
+        mean += delta / n
+        m2 += delta * (x - mean)
+        alarm = 0
+        if n >= 2:
+            sd = math.sqrt(m2 / (n - 1))
+            k = CUSUM_K_SIGMA * sd
+            h = CUSUM_H_SIGMA * sd
+            s_pos = max(0.0, s_pos + (x - mean - k))
+            s_neg = max(0.0, s_neg + (mean - x - k))
+            if s_pos > h or s_neg > h:
+                alarm = 1
+                n_alarms += 1
+                s_pos = 0.0
+                s_neg = 0.0
     state.update((n, mean, m2, s_pos, s_neg, n_alarms))
     yield pd.DataFrame(
         {

@@ -900,3 +900,75 @@ def test_segmented_view_tier_math_across_fanouts(spark, tmp_path, n_batches, fan
         .collect()
     }
     assert got == exp
+
+
+def test_segmented_view_read_and_compact_enforce_spec(spark, tmp_path):
+    """Review fix: the segmented read/compact RE-APPLY the merge algebra,
+    so a wrong-spec instance must fail loudly there too (the flat view's
+    read is a plain scan and needs no guard)."""
+    from machinelearningalgomapreduce_spark.operators.matview import SegmentedAggView
+
+    li = load_tables(spark, SMOKE_SF_DIR).lineitem
+    path = str(tmp_path / "segspec")
+    good = SegmentedAggView(
+        path, keys=["l_returnflag"], aggs={"m": ("max", "l_quantity")}, fanout=2
+    )
+    good.refresh(spark, li, batch_id="b0")
+    evil = SegmentedAggView(
+        path, keys=["l_returnflag"], aggs={"m": ("sum", "l_quantity")}, fanout=2
+    )
+    with pytest.raises(ValueError, match="different spec"):
+        evil.read(spark)
+    with pytest.raises(ValueError, match="different spec"):
+        evil.compact(spark)
+
+
+def test_segmented_view_vacuum_survives_prior_stricter_vacuum(spark, tmp_path):
+    """Review fix: a keep window that includes manifests removed by an
+    earlier stricter vacuum must skip them, not crash."""
+    sv = _seg_view(tmp_path / "segv2", fanout=2)
+    for i, b in enumerate(_li_batches(spark, 5)):
+        sv.refresh(spark, b, batch_id=f"b{i}")
+    sv.vacuum(keep_last=1)
+    sv.refresh(spark, _li_batches(spark, 5)[0], batch_id="extra")
+    removed = sv.vacuum(keep_last=5)  # window spans already-removed manifests
+    assert isinstance(removed, list)
+    assert _frame_dict(sv.read(spark)) is not None
+
+
+def test_star_rollup_dim_orphan_recovery(spark, tmp_path):
+    """Review fix: a crash between the dim parquet write and the pointer
+    flip leaves an orphan v{N+1} dir; the retried upsert must GC it
+    instead of colliding with mode='error' forever."""
+    t = load_tables(spark, SMOKE_SF_DIR)
+    sv = _star_view(tmp_path / "starx")
+    dim0 = t.customer.select(
+        "c_custkey", "c_mktsegment", F.lit("2020-01-01").alias("ts")
+    )
+    sv.refresh_dim(spark, dim0, batch_id="d0")
+    # simulate the crash: orphan v2 above the committed pointer (v1)
+    orphan = os.path.join(sv._dim_dir, "v00000002")
+    os.makedirs(os.path.join(orphan, "data.parquet"))
+    assert sv._dim_version() == 1
+    upd = t.customer.limit(10).select(
+        "c_custkey", F.lit("MOVED").alias("c_mktsegment"), F.lit("2021-01-01").alias("ts")
+    )
+    assert sv.refresh_dim(spark, upd, batch_id="d1") is True
+    assert sv._dim_version() == 2
+    assert sv.dim(spark).filter("c_mktsegment = 'MOVED'").count() == 10
+
+
+def test_export_view_snapshot_rejects_unversioned_views(spark, tmp_path):
+    """Review fix: FactDimRollupView.read takes a join_type (not a
+    version) and DriftMonitorView has no read at all — export must
+    reject both loudly instead of mis-binding arguments."""
+    from machinelearningalgomapreduce_spark.operators.matview import (
+        export_view_snapshot,
+    )
+
+    star = _star_view(tmp_path / "stare")
+    with pytest.raises(TypeError, match="version"):
+        export_view_snapshot(spark, star, str(tmp_path / "oute"))
+    drift = _drift_view(tmp_path / "drifte")
+    with pytest.raises(TypeError, match="versioned read contract"):
+        export_view_snapshot(spark, drift, str(tmp_path / "outd"))

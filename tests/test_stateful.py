@@ -302,3 +302,20 @@ def test_stateful_cusum_matches_python_fold(spark, sf_dir):
         assert gsp == round(s_pos, 6), ty
         assert gsn == round(s_neg, 6), ty
         assert ga == n_alarms, ty
+
+
+def test_ordered_values_spans_arrow_chunks():
+    """Review fix: a group larger than arrow maxRecordsPerBatch arrives
+    as MULTIPLE pandas chunks; the fold must order across all of them,
+    not per chunk. Simulated directly with out-of-order chunks."""
+    import pandas as pd
+
+    from machinelearningalgomapreduce_spark.streaming.stateful import _ordered_values
+
+    chunk1 = pd.DataFrame({"us": [30, 10], "event_id": [3, 1], "value": [3.0, 1.0]})
+    chunk2 = pd.DataFrame({"us": [20, 5], "event_id": [2, 0], "value": [2.0, 0.5]})
+    got = list(_ordered_values(iter([chunk1, chunk2])))
+    assert got == [0.5, 1.0, 2.0, 3.0]
+    # chunk-local sorting would have produced [1.0, 3.0, 0.5, 2.0]
+    assert list(_ordered_values(iter([]))) == []
+    assert list(_ordered_values(iter([chunk1.iloc[0:0]]))) == []

@@ -282,3 +282,37 @@ def test_compact_dedup_index_crash_recovery(spark, sf_dir, tmp_path):
     assert stats == {
         "rows_before": 0, "rows_after": 0, "files_before": 0, "files_after": 0
     }
+
+
+def test_compact_dedup_index_cleans_crash_debris(spark, sf_dir, tmp_path):
+    """Review fix: .staging-*/.old-* directories left by compaction
+    crash windows must be removed by the next recovery pass, not
+    accumulate full-size index copies forever."""
+    import os as _os
+
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+    from machinelearningalgomapreduce_spark.streaming.sinks import (
+        _ingest_batch,
+        compact_dedup_index,
+    )
+
+    index_dir = str(tmp_path / "idx3")
+    out_dir = str(tmp_path / "out3")
+    docs = load_tables(spark, sf_dir).documents.filter(F.col("doc_id") < 80)
+    ingest = _ingest_batch(spark, index_dir, out_dir, "runE")
+    ingest(docs, 0)
+    # crash window A: staging written, swap never started
+    _os.makedirs(index_dir + ".staging-111")
+    # crash window B: swap finished but the old copy was never dropped
+    _os.makedirs(index_dir + ".old-222")
+    stats = compact_dedup_index(spark, index_dir)
+    assert stats["rows_after"] > 0
+    leftovers = [
+        n for n in _os.listdir(str(tmp_path))
+        if n.startswith("idx3.") and (".staging-" in n or ".old-" in n)
+    ]
+    assert leftovers == []
+    # ingest-side recovery cleans the same debris
+    _os.makedirs(index_dir + ".old-333")
+    ingest(docs, 1)
+    assert not _os.path.exists(index_dir + ".old-333")
