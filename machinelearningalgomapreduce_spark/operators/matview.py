@@ -1223,12 +1223,12 @@ def export_view_snapshot(
     training job reading feature rollups, a serving loader). Works for
     the views exposing the VERSIONED read contract — ``read(spark,
     version)`` + ``current_version()``: IncrementalAggView,
-    SegmentedAggView, and the sketch views that delegate to them
-    (Frequency/DistinctCount/QuantileHistogram). FactDimRollupView
-    (read takes a join_type, not a version — export its `_fact` view
-    or a materialized `read()` instead) and DriftMonitorView (its
-    accessor is `bins`) do NOT fit; the guard below rejects them
-    loudly rather than mis-binding the version argument.
+    SegmentedAggView, DistinctCountView. Views whose accessor is named
+    differently (FrequencySketchView.cells, QuantileHistogramView.bins,
+    DriftMonitorView.bins) or whose read takes no version
+    (FactDimRollupView's join_type read) do NOT fit — export their
+    underlying ``_mv`` / ``_fact`` view instead; the guard below
+    rejects them loudly rather than mis-binding the version argument.
 
     Idempotent by layout: each version exports into its own
     ``out_dir/v{N}`` subdirectory, and a directory that already holds a
