@@ -112,9 +112,12 @@ def q_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_a",
             "n_b",
             "d_num",
-            F.round(F.col("d_num") / (F.col("n_a") * F.col("n_b")).cast("double"), 6).alias(
-                "ks_d"
-            ),
+            F.round(
+                F.try_divide(
+                    F.col("d_num"), (F.col("n_a") * F.col("n_b")).cast("double")
+                ),
+                6,
+            ).alias("ks_d"),
         )
     )
 
@@ -168,7 +171,7 @@ def q_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     var_den = (nn_i * (nn_i - 1)) * 12
     var_u = var_num.cast("double") / var_den.cast("double")
-    z = F.round((u - mean_u) / F.sqrt(var_u), 6)
+    z = F.round(F.try_divide(u - mean_u, F.sqrt(var_u)), 6)
     return stats.select(
         "n_a",
         "n_b",
@@ -846,7 +849,8 @@ ORACLES = {
                max(t.n_b) AS n_b,
                max(abs(c.ca * t.n_b - c.cb * t.n_a)) AS d_num,
                round(max(abs(c.ca * t.n_b - c.cb * t.n_a))
-                     / CAST(max(t.n_a) * max(t.n_b) AS DOUBLE), 6) AS ks_d
+                     / nullif(CAST(max(t.n_a) * max(t.n_b) AS DOUBLE), 0.0), 6)
+                   AS ks_d
         FROM cum c CROSS JOIN totals t
     """,
     "q_outlier_mad": f"""
@@ -911,8 +915,8 @@ ORACLES = {
         SELECT n_a, n_b,
                round(u, 1) AS u_stat,
                round(mean_u, 1) AS mean_u,
-               round((u - mean_u) / sqrt(var_u), 6) AS z_score,
-               abs(round((u - mean_u) / sqrt(var_u), 6)) > {AB_Z_CRIT} AS significant
+               round((u - mean_u) / nullif(sqrt(var_u), 0.0), 6) AS z_score,
+               abs(round((u - mean_u) / nullif(sqrt(var_u), 0.0), 6)) > {AB_Z_CRIT} AS significant
         FROM derived
     """,
     "q_ab_test": f"""
@@ -2095,7 +2099,11 @@ def q_wasserstein(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_a",
         "n_b",
         F.round(
-            F.col("s") / (F.col("n_a").cast("double") * F.col("n_b").cast("double")), 6
+            F.try_divide(
+                F.col("s"),
+                F.col("n_a").cast("double") * F.col("n_b").cast("double"),
+            ),
+            6,
         ).alias("w1"),
     )
 
@@ -2130,7 +2138,8 @@ ORACLES["q_wasserstein"] = f"""
     SELECT n_a, n_b,
            round(list_reduce(list_prepend(0.0, list(term ORDER BY value)),
                              (a, x) -> a + x)
-                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS w1
+                 / nullif(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE), 0.0), 6)
+               AS w1
     FROM terms GROUP BY n_a, n_b
 """
 
@@ -2259,7 +2268,7 @@ def q_cramer_von_mises(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "n_a",
         "n_b",
-        F.round(F.col("num").cast("double") / denom, 6).alias("cvm"),
+        F.round(F.try_divide(F.col("num").cast("double"), denom), 6).alias("cvm"),
     )
 
 
@@ -2293,9 +2302,10 @@ ORACLES["q_cramer_von_mises"] = f"""
     )
     SELECT n_a, n_b,
            round(CAST(num AS DOUBLE)
-                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
-                    * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-                    * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))), 6) AS cvm
+                 / nullif(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)
+                          * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                          * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)), 0.0), 6)
+               AS cvm
     FROM agg
 """
 
@@ -2363,9 +2373,9 @@ def q_energy_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     na_d, nb_d = F.col("n_a").cast("double"), F.col("n_b").cast("double")
     e2 = (
-        2.0 * F.col("s_ab").cast("double") / (na_d * nb_d)
-        - F.col("s_aa").cast("double") / (na_d * na_d)
-        - F.col("s_bb").cast("double") / (nb_d * nb_d)
+        2.0 * F.try_divide(F.col("s_ab").cast("double"), na_d * nb_d)
+        - F.try_divide(F.col("s_aa").cast("double"), na_d * na_d)
+        - F.try_divide(F.col("s_bb").cast("double"), nb_d * nb_d)
     ) / 100.0
     return agg.select(
         "n_a",
@@ -2418,14 +2428,20 @@ ORACLES["q_energy_distance"] = f"""
         GROUP BY t.n_a, t.n_b
     )
     SELECT n_a, n_b,
-           round((2.0 * CAST(s_ab AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
-                  - CAST(s_aa AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
-                  - CAST(s_bb AS DOUBLE) / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)))
+           round((2.0 * CAST(s_ab AS DOUBLE)
+                      / nullif(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE), 0.0)
+                  - CAST(s_aa AS DOUBLE)
+                      / nullif(CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE), 0.0)
+                  - CAST(s_bb AS DOUBLE)
+                      / nullif(CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE), 0.0))
                  / 100.0, 6) AS e2,
            round(sqrt(greatest(0.0,
-                 (2.0 * CAST(s_ab AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
-                  - CAST(s_aa AS DOUBLE) / (CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE))
-                  - CAST(s_bb AS DOUBLE) / (CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE)))
+                 (2.0 * CAST(s_ab AS DOUBLE)
+                      / nullif(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE), 0.0)
+                  - CAST(s_aa AS DOUBLE)
+                      / nullif(CAST(n_a AS DOUBLE) * CAST(n_a AS DOUBLE), 0.0)
+                  - CAST(s_bb AS DOUBLE)
+                      / nullif(CAST(n_b AS DOUBLE) * CAST(n_b AS DOUBLE), 0.0))
                  / 100.0)), 6) AS e_dist
     FROM agg
 """
@@ -2493,7 +2509,7 @@ def q_anderson_darling(spark: SparkSession, sf_dir: str) -> DataFrame:
     return folded.select(
         "n_a",
         "n_b",
-        F.round(F.col("s") / (nad * nbd), 6).alias("ad_stat"),
+        F.round(F.try_divide(F.col("s"), nad * nbd), 6).alias("ad_stat"),
     )
 
 
@@ -2531,6 +2547,7 @@ ORACLES["q_anderson_darling"] = f"""
         FROM terms GROUP BY n_a, n_b
     )
     SELECT n_a, n_b,
-           round(s / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ad_stat
+           round(s / nullif(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE), 0.0), 6)
+               AS ad_stat
     FROM folded
 """

@@ -349,8 +349,8 @@ def q_cohens_d(spark: SparkSession, sf_dir: str) -> DataFrame:
     ssa = F.col("sxx_a").cast("double") - sxa * sxa / na
     ssb = F.col("sxx_b").cast("double") - sxb * sxb / nb
     mean_diff = sxa / na - sxb / nb
-    s_pooled = F.sqrt((ssa + ssb) / (na + nb - 2.0))
-    d = mean_diff / s_pooled
+    s_pooled = F.sqrt(F.try_divide(ssa + ssb, na + nb - 2.0))
+    d = F.try_divide(mean_diff, s_pooled)
     g = d * (1.0 - 3.0 / (4.0 * (na + nb) - 9.0))
     return stats.select(
         "n_a",
@@ -391,9 +391,12 @@ def q_cliffs_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     d38 = "decimal(38,0)"
     prod = F.col("n_a").cast(d38) * F.col("n_b").cast(d38)
-    delta = (F.col("u2").cast(d38) - prod).cast("double") / prod.cast("double")
+    delta = F.try_divide(
+        (F.col("u2").cast(d38) - prod).cast("double"), prod.cast("double")
+    )
     mag = (
-        F.when(F.abs(delta) < CLIFF_SMALL, "negligible")
+        F.when(delta.isNull(), F.lit(None).cast("string"))
+        .when(F.abs(delta) < CLIFF_SMALL, "negligible")
         .when(F.abs(delta) < CLIFF_MEDIUM, "small")
         .when(F.abs(delta) < CLIFF_LARGE, "medium")
         .otherwise("large")
@@ -615,23 +618,25 @@ ORACLES = {
                      - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE), 6) AS mean_diff,
                round((CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
                       - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-                     / sqrt(((CAST(sxx_a AS DOUBLE)
+                     / nullif(sqrt(((CAST(sxx_a AS DOUBLE)
                               - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE)
                                 / CAST(n_a AS DOUBLE))
                              + (CAST(sxx_b AS DOUBLE)
                                 - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE)
                                   / CAST(n_b AS DOUBLE)))
-                            / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0)), 6)
+                            / nullif(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                                     - 2.0, 0.0)), 0.0), 6)
                    AS cohens_d,
                round((CAST(sx_a AS DOUBLE) / CAST(n_a AS DOUBLE)
                       - CAST(sx_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-                     / sqrt(((CAST(sxx_a AS DOUBLE)
+                     / nullif(sqrt(((CAST(sxx_a AS DOUBLE)
                               - CAST(sx_a AS DOUBLE) * CAST(sx_a AS DOUBLE)
                                 / CAST(n_a AS DOUBLE))
                              + (CAST(sxx_b AS DOUBLE)
                                 - CAST(sx_b AS DOUBLE) * CAST(sx_b AS DOUBLE)
                                   / CAST(n_b AS DOUBLE)))
-                            / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 2.0))
+                            / nullif(CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                                     - 2.0, 0.0)), 0.0)
                      * (1.0 - 3.0 / (4.0 * (CAST(n_a AS DOUBLE)
                                             + CAST(n_b AS DOUBLE)) - 9.0)), 6)
                    AS hedges_g
@@ -665,26 +670,31 @@ ORACLES = {
                round(CAST(CAST(u2 AS DECIMAL(38,0))
                           - CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))
                           AS DOUBLE)
-                     / CAST(CAST(n_a AS DECIMAL(38,0)) * CAST(n_b AS DECIMAL(38,0))
-                            AS DOUBLE), 6) AS delta,
+                     / nullif(CAST(CAST(n_a AS DECIMAL(38,0))
+                                   * CAST(n_b AS DECIMAL(38,0)) AS DOUBLE),
+                              0.0), 6) AS delta,
                CASE
+                   WHEN n_a * n_b = 0 THEN NULL
                    WHEN abs(CAST(CAST(u2 AS DECIMAL(38,0))
                                  - CAST(n_a AS DECIMAL(38,0))
                                    * CAST(n_b AS DECIMAL(38,0)) AS DOUBLE)
-                            / CAST(CAST(n_a AS DECIMAL(38,0))
-                                   * CAST(n_b AS DECIMAL(38,0)) AS DOUBLE))
+                            / nullif(CAST(CAST(n_a AS DECIMAL(38,0))
+                                          * CAST(n_b AS DECIMAL(38,0))
+                                          AS DOUBLE), 0.0))
                         < {CLIFF_SMALL} THEN 'negligible'
                    WHEN abs(CAST(CAST(u2 AS DECIMAL(38,0))
                                  - CAST(n_a AS DECIMAL(38,0))
                                    * CAST(n_b AS DECIMAL(38,0)) AS DOUBLE)
-                            / CAST(CAST(n_a AS DECIMAL(38,0))
-                                   * CAST(n_b AS DECIMAL(38,0)) AS DOUBLE))
+                            / nullif(CAST(CAST(n_a AS DECIMAL(38,0))
+                                          * CAST(n_b AS DECIMAL(38,0))
+                                          AS DOUBLE), 0.0))
                         < {CLIFF_MEDIUM} THEN 'small'
                    WHEN abs(CAST(CAST(u2 AS DECIMAL(38,0))
                                  - CAST(n_a AS DECIMAL(38,0))
                                    * CAST(n_b AS DECIMAL(38,0)) AS DOUBLE)
-                            / CAST(CAST(n_a AS DECIMAL(38,0))
-                                   * CAST(n_b AS DECIMAL(38,0)) AS DOUBLE))
+                            / nullif(CAST(CAST(n_a AS DECIMAL(38,0))
+                                          * CAST(n_b AS DECIMAL(38,0))
+                                          AS DOUBLE), 0.0))
                         < {CLIFF_LARGE} THEN 'medium'
                    ELSE 'large'
                END AS magnitude

@@ -208,3 +208,57 @@ def test_anderson_darling_matches_textbook_recompute(spark):
     # positive by construction; at the smoke tier the click/purchase
     # shift is mild, so no claim against the H0 mean of ~1
     assert r.ad_stat > 0.0
+
+
+def test_two_sample_family_engine_parity_on_single_cohort(spark, tmp_path):
+    """ADVICE-r8 defect class, closed proactively for the new family: a
+    cohort with ZERO rows must not make the engines diverge (Spark
+    non-ANSI division → NULL vs DuckDB IEEE → inf). Every two-sample
+    query is run on a synthetic fixture containing ONLY clicks, on BOTH
+    engines, and the results must agree cell-for-cell (NULL == NULL)."""
+    import duckdb
+
+    from machinelearningalgomapreduce_spark import registry
+    from machinelearningalgomapreduce_spark.sources.catalog import TABLES, load_tables
+
+    src = load_tables(spark, SMOKE_SF_DIR)
+    out = tmp_path / "one_cohort"
+    out.mkdir()
+    for name in TABLES:
+        df = src[name]
+        if name == "events":
+            df = df.filter("event_type = 'click'")
+        else:
+            df = df.limit(0)
+        df.write.mode("overwrite").parquet(str(out / f"{name}.parquet"))
+
+    con = duckdb.connect()
+    for name in TABLES:
+        con.execute(
+            f"CREATE VIEW {name} AS SELECT * FROM "
+            f"read_parquet('{out}/{name}.parquet/*.parquet')"
+        )
+
+    queries = registry.queries()
+    oracles = registry.oracle_sql()
+    for qname in (
+        "q_wasserstein",
+        "q_hellinger",
+        "q_cramer_von_mises",
+        "q_anderson_darling",
+        "q_energy_distance",
+        "q_ks_test",
+        "q_mannwhitney",
+        "q_cliffs_delta",
+        "q_cohens_d",
+    ):
+        sdf = queries[qname](spark, str(out))
+        srows = sorted(
+            tuple(None if v is None else round(float(v), 6) if isinstance(v, float) else v for v in r)
+            for r in sdf.collect()
+        )
+        drows = sorted(
+            tuple(None if v is None else round(float(v), 6) if isinstance(v, float) else v for v in r)
+            for r in con.execute(oracles[qname]).fetchall()
+        )
+        assert srows == drows, (qname, srows, drows)
