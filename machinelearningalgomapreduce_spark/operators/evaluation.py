@@ -442,14 +442,16 @@ def q_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
     s_all, q_all = F.col("s_all").cast("double"), F.col("q_all").cast("double")
     ssb = sb_raw - s_all * s_all / n
     ssw = q_all - sb_raw
-    fstat = (ssb / (k - 1)) / (ssw / (n - k))
+    fstat = F.try_divide(
+        F.try_divide(ssb, k - 1), F.try_divide(ssw, n - k)
+    )
     return stats.select(
         "k",
         "n_total",
         F.round(ssb, 6).alias("ss_between"),
         F.round(ssw, 6).alias("ss_within"),
         F.round(fstat, 6).alias("f_stat"),
-        F.round(ssb / (ssb + ssw), 6).alias("eta_sq"),
+        F.round(F.try_divide(ssb, ssb + ssw), 6).alias("eta_sq"),
     )
 
 
@@ -791,14 +793,17 @@ ORACLES = {
                round(CAST(q_all AS DOUBLE) - CAST(sb_raw AS DOUBLE), 6) AS ss_within,
                round(((CAST(sb_raw AS DOUBLE)
                        - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n_total)
-                      / (k - 1.0))
-                     / ((CAST(q_all AS DOUBLE) - CAST(sb_raw AS DOUBLE))
-                        / (n_total - k)), 6) AS f_stat,
+                      / nullif(k - 1.0, 0.0))
+                     / nullif((CAST(q_all AS DOUBLE) - CAST(sb_raw AS DOUBLE))
+                              / nullif(CAST(n_total - k AS DOUBLE), 0.0),
+                              0.0), 6) AS f_stat,
                round((CAST(sb_raw AS DOUBLE)
                       - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n_total)
-                     / ((CAST(sb_raw AS DOUBLE)
-                         - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE) / n_total)
-                        + (CAST(q_all AS DOUBLE) - CAST(sb_raw AS DOUBLE))), 6)
+                     / nullif((CAST(sb_raw AS DOUBLE)
+                               - CAST(s_all AS DOUBLE) * CAST(s_all AS DOUBLE)
+                                 / n_total)
+                              + (CAST(q_all AS DOUBLE) - CAST(sb_raw AS DOUBLE)),
+                              0.0), 6)
                    AS eta_sq
         FROM stats
     """,

@@ -251,6 +251,7 @@ def test_two_sample_family_engine_parity_on_single_cohort(spark, tmp_path):
         "q_mannwhitney",
         "q_cliffs_delta",
         "q_cohens_d",
+        "q_anova",
     ):
         sdf = queries[qname](spark, str(out))
         srows = sorted(
