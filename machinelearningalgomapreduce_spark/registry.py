@@ -55,19 +55,7 @@ _MODULES = (
 # re-greens the stalest evidence (the r2 cohort predates the r4 keyed-cache
 # / tiny_sorted plan rewrites). Update per round from CORRECTNESS_r{N}.json.
 DRIVER_GREEN_ROUND = {
-    # latest green: round 3 (34)
-    "q_anomaly_zscore": 3, "q_apriori": 3, "q_autocorr": 3, "q_bm25": 3,
-    "q_cooccur_pmi": 3, "q_cov_matrix": 3, "q_customer_segments": 3,
-    "q_decontaminate": 3, "q_dedup_containment": 3, "q_dedup_keep_best": 3,
-    "q_degree_dist": 3, "q_ema": 3, "q_frame_sample": 3, "q_funnel": 3,
-    "q_gini": 3, "q_inverted_index": 3, "q_label_prop_step": 3,
-    "q_markov_chain": 3, "q_mode": 3, "q_multimodal": 3,
-    "q_multimodal_features": 3, "q_ngram_lm": 3, "q_pagerank": 3,
-    "q_pii_scrub": 3, "q_repetition_filter": 3, "q_resample": 3,
-    "q_retention": 3, "q_sample": 3, "q_sample_stratified": 3,
-    "q_skew_profile": 3, "q_source_jaccard": 3, "q_token_entropy": 3,
-    "q_triangle_count": 3, "q_window_range_frame": 3,
-    # latest green: round 4 (50)
+    # latest green: round 4 (48)
     "q_ab_test": 4, "q_attribution": 4, "q_bfs_levels": 4, "q_bpe_merge": 4,
     "q_canopy": 4, "q_chi2": 4, "q_cluster_confusion": 4,
     "q_common_neighbors": 4, "q_corr": 4, "q_cross_source_dups": 4,
@@ -80,9 +68,9 @@ DRIVER_GREEN_ROUND = {
     "q_outlier_iqr": 4, "q_outlier_mad": 4, "q_percentiles": 4, "q_profile": 4,
     "q_quantile_normalize": 4, "q_rolling_median": 4, "q_seasonal_profile": 4,
     "q_seq_pack": 4, "q_session_paths": 4, "q_shard_assign": 4,
-    "q_silhouette": 4, "q_sim_ann": 4, "q_sim_recall": 4, "q_sim_topk": 4,
-    "q_svm_step": 4, "q_topk_terms": 4, "q_tree_split": 4,
-    "q_vocab_coverage": 4, "q_winsorize": 4, "q_zipf_fit": 4,
+    "q_silhouette": 4, "q_sim_recall": 4, "q_svm_step": 4, "q_topk_terms": 4,
+    "q_tree_split": 4, "q_vocab_coverage": 4, "q_winsorize": 4,
+    "q_zipf_fit": 4,
     # latest green: round 5 (46)
     "q_adaboost_round": 5, "q_anova": 5, "q_assortativity": 5, "q_auc": 5,
     "q_bounce_rate": 5, "q_burstiness": 5, "q_calibration_bins": 5,
@@ -147,6 +135,22 @@ DRIVER_GREEN_ROUND = {
     "q_shipmode_priority": 8, "q_sprt": 8, "q_substring_dup": 8,
     "q_supplier_cnt": 8, "q_survival_curve": 8, "q_target_encode": 8,
     "q_woe_iv": 8,
+    # latest green: round 9 (50)
+    "q_anderson_darling": 9, "q_anomaly_zscore": 9, "q_apriori": 9,
+    "q_autocorr": 9, "q_bm25": 9, "q_cliffs_delta": 9, "q_cohens_d": 9,
+    "q_cooccur_pmi": 9, "q_cov_matrix": 9, "q_cramer_von_mises": 9,
+    "q_customer_segments": 9, "q_decontaminate": 9, "q_dedup_containment": 9,
+    "q_dedup_keep_best": 9, "q_degree_dist": 9, "q_ema": 9,
+    "q_energy_distance": 9, "q_frame_sample": 9, "q_funnel": 9, "q_g_test": 9,
+    "q_gini": 9, "q_granger": 9, "q_hellinger": 9, "q_inverted_index": 9,
+    "q_js_divergence": 9, "q_km_ci": 9, "q_label_prop_step": 9,
+    "q_log_rank": 9, "q_markov_chain": 9, "q_mode": 9, "q_multimodal": 9,
+    "q_multimodal_features": 9, "q_ngram_lm": 9, "q_pagerank": 9,
+    "q_pii_scrub": 9, "q_repetition_filter": 9, "q_resample": 9,
+    "q_retention": 9, "q_rmst": 9, "q_sample": 9, "q_sample_stratified": 9,
+    "q_sim_ann": 9, "q_sim_topk": 9, "q_skew_profile": 9,
+    "q_source_jaccard": 9, "q_token_entropy": 9, "q_triangle_count": 9,
+    "q_tukey_hsd": 9, "q_wasserstein": 9, "q_window_range_frame": 9,
 }
 
 # Queries with ANY green driver row (kept as a set: the window tests and
@@ -178,9 +182,7 @@ DEFERRED_NEXT_WINDOW: frozenset[str] = frozenset({
     # module in _MODULES, so within this tier they sort AFTER the 20
     # names above: the first takes window slot 50 and the rest rotate
     # in next round without displacing the never-driver-checked set).
-    "q_log_rank", "q_tukey_hsd", "q_g_test",
-    "q_cohens_d", "q_cliffs_delta",
-})
+    })
 _DEFER_KEY = 2.5
 
 
