@@ -52,6 +52,48 @@ def run_once(df) -> float:
     return time.perf_counter() - t0
 
 
+def duckdb_same_host(sf_dir: str, names: list[str]) -> dict[str, float]:
+    """Re-measure the DuckDB baseline for the headline queries on THIS host,
+    in THIS bench run (VERDICT r9 item 5): BASELINE.md's numbers were taken
+    2026-08-13 under that session's host weather, and identical Spark code
+    has been observed to drift ±45% round-over-round (BENCH_NOTES.md), so a
+    per-query ratio is only attributable (engine vs host) against an oracle
+    number from the same weather. Same methodology as BASELINE.md: DuckDB
+    views over the sf parquet, one warm-up, best-of-3 fetchall. The SQL is
+    the registry's own oracle text — the correctness gate already proves it
+    equivalent to the Spark plan, so the comparison is apples-to-apples.
+    Failures degrade to an empty dict (bench must still emit its JSON line).
+    """
+    try:
+        import duckdb
+
+        from machinelearningalgomapreduce_spark import registry
+
+        oracles = registry.oracle_sql()
+        con = duckdb.connect()
+        for t in ("region", "nation", "customer", "supplier", "part", "orders",
+                  "lineitem", "events", "documents", "embeddings"):
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        out: dict[str, float] = {}
+        for name in names:
+            sql = oracles.get(name)
+            if not sql:
+                continue
+            con.execute(sql).fetchall()  # warm-up (I/O cache + plan)
+            best = float("inf")
+            for _ in range(3):
+                t0 = time.perf_counter()
+                con.execute(sql).fetchall()
+                best = min(best, time.perf_counter() - t0)
+            out[name] = round(best, 4)
+        con.close()
+        return out
+    except Exception as exc:  # noqa: BLE001 — provenance is best-effort
+        log(f"bench: duckdb same-host baseline failed: {exc}")
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
@@ -158,6 +200,14 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — one bad query must not kill the run
             log(f"bench: {name} FAILED: {exc}")
 
+    # Same-host DuckDB re-measurement, interleaved with (immediately after)
+    # the Spark timings so both sides see the same host weather.
+    duck = duckdb_same_host(sf_dir, names)
+    for name, d in duck.items():
+        if name in adjusted and d > 0:
+            log(f"bench: {name} duckdb_same_host={d * 1e3:.1f}ms "
+                f"ratio_adj={adjusted[name] / d:.2f}x raw={times[name] / d:.2f}x")
+
     floors_sorted = sorted(floors)
     floor_med = floors_sorted[len(floors_sorted) // 2]
     result = {
@@ -182,6 +232,12 @@ def main() -> None:
         "floor_min_sec": round(floors_sorted[0], 4),
         "floor_max_sec": round(floors_sorted[-1], 4),
         "value_minus_overhead": round(sum(adjusted.values()), 4),
+        # Same-run DuckDB oracle timings (VERDICT r9 item 5): per-query
+        # baseline measured on THIS host in THIS run, so a ratio drift
+        # between rounds is attributable to engine vs host weather without
+        # an interleaved A/B session.
+        "duckdb_same_host": duck,
+        "duckdb_same_host_total": round(sum(duck.values()), 4) if duck else None,
     }
     print(json.dumps(result), flush=True)
 
