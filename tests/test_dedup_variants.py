@@ -181,3 +181,83 @@ def test_star_cc_high_diameter_path(spark):
     got = {(r.node, r.root) for r in connected_components_star(df, max_rounds=8).collect()}
     expected = {(i, 0) for i in range(16)} | {(n, 100) for n in (100, 101, 102)}
     assert got == expected
+
+
+def test_lsh_hot_bucket_candidates_stay_linear(spark):
+    """Adversarial degenerate corpus (VERDICT r9 item 3): 1,000 byte-identical
+    docs share every MinHash sig, so the uncollapsed band-bucket self-join
+    would build C(1000,2) = 499,500 candidate pairs. The exact-duplicate
+    collapse must keep rep-level LSH candidates O(distinct contents) while
+    the OUTPUT still contains every identical pair at Jaccard 1.0."""
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.operators.dedup import (
+        _exact_collapse,
+        _lsh_candidates,
+        _minhash_sigs,
+        _shingle_sets,
+        minhash_dedup_pairs,
+    )
+
+    hot = [(f"d{i:04d}", "the same boilerplate header text repeated verbatim")
+           for i in range(1000)]
+    近 = "a genuinely distinct document about spark shuffles and joins"
+    distinct = [("x0000", 近), ("x0001", 近 + " extra"), ("x0002", "another unrelated text entirely")]
+    docs = spark.createDataFrame(hot + distinct, ["doc_id", "text"])
+
+    reps, members = _exact_collapse(docs)
+    n_reps = reps.count()
+    assert n_reps == 4  # 1 hot content + 3 distinct
+    assert members.count() == 1003
+
+    # Candidate pairs among representatives: bounded by C(4,2)=6, nowhere
+    # near the 499,500 the uncollapsed plan would enumerate.
+    cand = _lsh_candidates(_minhash_sigs(_shingle_sets(reps))).count()
+    assert cand <= 6, f"rep-level candidates should be O(distinct), got {cand}"
+
+    pairs = minhash_dedup_pairs(docs)
+    hot_pairs = pairs.filter(F.col("doc_a").startswith("d") & F.col("doc_b").startswith("d"))
+    agg = hot_pairs.agg(
+        F.count("*").alias("n"),
+        F.min("jaccard").alias("jmin"),
+        F.max("jaccard").alias("jmax"),
+    ).collect()[0]
+    assert agg.n == 1000 * 999 // 2
+    assert agg.jmin == 1.0 and agg.jmax == 1.0
+
+
+def test_lsh_exact_collapse_matches_uncollapsed_plan(spark):
+    """Bit-parity of the collapsed pipeline vs the pre-r10 UNCOLLAPSED plan
+    (candidates over every doc, no rep expansion) on an adversarial frame:
+    empty strings (shingle set [""], Jaccard 1.0 pairs), exact copies,
+    near-dups, and unrelated docs. Same pairs, same rounded Jaccards."""
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        _exact_jaccard,
+        _lsh_candidates,
+        _minhash_sigs,
+        _shingle_sets,
+        minhash_dedup_pairs,
+    )
+
+    near = "spark shuffles hash partition the rows across executors today"
+    docs = spark.createDataFrame(
+        [("e0", ""), ("e1", ""), ("c0", "copy me twice"), ("c1", "copy me twice"),
+         ("c2", "copy me twice"), ("n0", near), ("n1", near + " quickly"),
+         ("u0", "something else entirely unrelated to all of the above docs")],
+        ["doc_id", "text"],
+    )
+
+    base = _shingle_sets(docs)
+    reference = {
+        (r.doc_a, r.doc_b, r.jaccard)
+        for r in _exact_jaccard(_lsh_candidates(_minhash_sigs(base)), base)
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .collect()
+    }
+    collapsed = {(r.doc_a, r.doc_b, r.jaccard) for r in minhash_dedup_pairs(docs).collect()}
+    assert ("e0", "e1", 1.0) in reference  # the frame exercises the empty case
+    assert ("c0", "c2", 1.0) in reference
+    assert collapsed == reference
