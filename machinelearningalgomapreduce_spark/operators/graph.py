@@ -77,13 +77,21 @@ def q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def pagerank_iterate(spark: SparkSession, sf_dir: str, n_iter: int = 10) -> DataFrame:
-    """Multi-iteration PageRank driver loop (library API).
+    """Multi-iteration PageRank driver loop over the cust→supp fixture
+    graph (library API) — delegates to the frame-level core below."""
+    return pagerank_frame(_edges(spark, sf_dir), n_iter)
+
+
+def pagerank_frame(edges: DataFrame, n_iter: int = 10) -> DataFrame:
+    """Frame-level damped PageRank power iteration over ANY (src, dst)
+    edge frame — the differential-testable core (VERDICT r9 item 4:
+    pytest-diffed against a pure-Python power iteration to convergence
+    on a toy graph; dangling mass dropped, matching q_pagerank).
 
     The edge/degree frame is cached once (loop-invariant); ranks are
     re-derived per pass and localCheckpoint'ed every few iterations to
     truncate lineage (SURVEY.md §3.2).
     """
-    edges = _edges(spark, sf_dir)
     nodes = edges.select(F.col("src").alias("node")).union(
         edges.select(F.col("dst").alias("node"))
     ).distinct()

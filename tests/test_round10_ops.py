@@ -1,0 +1,110 @@
+"""Round-10 library differentials (VERDICT r9 item 4): the last two §2C
+library helpers without dedicated tests — pagerank_frame's damped power
+iteration vs a pure-Python twin to convergence, and reachable_from's
+frontier BFS on a diamond + cycle + unreachable-island fixture."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def _python_pagerank(edges, n_iter, damping=0.85):
+    """Reference damped power iteration (dangling mass dropped — the same
+    simplification q_pagerank/pagerank_frame document)."""
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    n = len(nodes)
+    outdeg: dict[str, int] = {}
+    for u, _ in edges:
+        outdeg[u] = outdeg.get(u, 0) + 1
+    rank = {v: 1.0 / n for v in nodes}
+    for _ in range(n_iter):
+        in_sum = {v: 0.0 for v in nodes}
+        for u, v in edges:
+            in_sum[v] += rank[u] / outdeg[u]
+        rank = {v: (1 - damping) / n + damping * in_sum[v] for v in nodes}
+    return rank
+
+
+TOY_EDGES = [
+    # a hub, a 3-cycle, a dangling sink, and a 2-node tail
+    ("a", "b"), ("a", "c"), ("a", "d"),
+    ("b", "c"), ("c", "a"),            # cycle a→b→c→a (plus a→c chord)
+    ("d", "e"),                        # e is dangling (no out-edges)
+    ("f", "a"), ("g", "f"),            # tail g→f→a
+]
+
+
+@pytest.mark.parametrize("n_iter", [1, 5, 25])
+def test_pagerank_frame_matches_python_power_iteration(spark, n_iter):
+    from machinelearningalgomapreduce_spark.operators.graph import pagerank_frame
+
+    edges = spark.createDataFrame(TOY_EDGES, ["src", "dst"])
+    got = {r.node: r.rank for r in pagerank_frame(edges, n_iter=n_iter).collect()}
+    want = _python_pagerank(TOY_EDGES, n_iter)
+    assert set(got) == set(want)
+    for v in want:
+        assert got[v] == pytest.approx(want[v], abs=1e-12), (v, n_iter)
+
+
+def test_pagerank_frame_converges_to_fixpoint(spark):
+    """At 50 iterations the toy graph is converged (contraction is the
+    0.85 damping per pass, so the 25-iter residual ~1.3e-5 shrinks to
+    ~2e-7): one more pass moves no rank by more than 1e-6, and total
+    non-dangling mass behaves (sums to ≤ 1, > 0 — dangling leakage is the
+    documented simplification)."""
+    from machinelearningalgomapreduce_spark.operators.graph import pagerank_frame
+
+    edges = spark.createDataFrame(TOY_EDGES, ["src", "dst"])
+    r50 = {r.node: r.rank for r in pagerank_frame(edges, n_iter=50).collect()}
+    r51 = {r.node: r.rank for r in pagerank_frame(edges, n_iter=51).collect()}
+    assert max(abs(r50[v] - r51[v]) for v in r50) < 1e-6
+    total = sum(r50.values())
+    assert 0.0 < total <= 1.0 + 1e-9
+
+
+DIAMOND_CYCLE_ISLAND = [
+    # diamond s→{l,r}→t
+    ("s", "l"), ("s", "r"), ("l", "t"), ("r", "t"),
+    # cycle hanging off t: t→c1→c2→c3→t (re-entry must not loop forever)
+    ("t", "c1"), ("c1", "c2"), ("c2", "c3"), ("c3", "t"),
+    # edge INTO the seed side (must not make its source reachable)
+    ("x", "s"),
+    # unreachable island with its own cycle
+    ("i1", "i2"), ("i2", "i1"), ("i2", "i3"),
+]
+
+
+def test_reachable_from_diamond_cycle_island(spark):
+    from machinelearningalgomapreduce_spark.operators.graph import reachable_from
+
+    edges = spark.createDataFrame(DIAMOND_CYCLE_ISLAND, ["src", "dst"])
+    seeds = spark.createDataFrame([("s",)], "node string")
+    got = {r.node for r in reachable_from(edges, seeds).collect()}
+    # seed included; diamond + cycle closed over; x and the island excluded
+    assert got == {"s", "l", "r", "t", "c1", "c2", "c3"}
+
+    island = {r.node for r in reachable_from(
+        edges, spark.createDataFrame([("i1",)], "node string")).collect()}
+    assert island == {"i1", "i2", "i3"}
+
+
+def test_reachable_from_multi_seed_and_no_out_edges(spark):
+    from machinelearningalgomapreduce_spark.operators.graph import reachable_from
+
+    edges = spark.createDataFrame(DIAMOND_CYCLE_ISLAND, ["src", "dst"])
+    # multi-seed union; duplicate seed rows must not duplicate output
+    seeds = spark.createDataFrame([("x",), ("i3",), ("i3",)], "node string")
+    got = {r.node for r in reachable_from(edges, seeds).collect()}
+    assert got == {"x", "s", "l", "r", "t", "c1", "c2", "c3", "i3"}
+
+
+def test_reachable_from_raises_past_round_budget(spark):
+    """A 5-node path needs 5 rounds; max_rounds=2 must raise, not silently
+    truncate the closure (the non-convergence discipline)."""
+    from machinelearningalgomapreduce_spark.operators.graph import reachable_from
+
+    path = [(f"p{i}", f"p{i+1}") for i in range(5)]
+    edges = spark.createDataFrame(path, ["src", "dst"])
+    seeds = spark.createDataFrame([("p0",)], "node string")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        reachable_from(edges, seeds, max_rounds=2)
