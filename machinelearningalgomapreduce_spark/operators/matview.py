@@ -77,6 +77,19 @@ _PARTIAL = {
 _POINTER = "_CURRENT"
 
 
+def _snapshot_is_small(path: str, cap_bytes: int = 64 << 20) -> bool:
+    """Broadcast a committed snapshot only while its on-disk parquet
+    provably fits (the sinks._index_is_small discipline); past the cap the
+    caller keeps the join declarative and lets AQE plan the shuffle."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            total += os.path.getsize(os.path.join(root, f))
+            if total > cap_bytes:
+                return False
+    return total <= cap_bytes
+
+
 class IncrementalAggView:
     """A persistent keyed rollup maintained by merging delta partials.
 
@@ -1200,9 +1213,17 @@ class FactDimRollupView:
         ``join_type='left'`` keeps fks missing from the dim (attrs NULL)
         so referential gaps surface instead of silently dropping mass."""
         state = self._fact.read(spark)
+        v = self._dim_version()
         d = self.dim(spark)
+        # Broadcast only while the committed dim snapshot provably fits
+        # (on-disk parquet size, the sinks._index_is_small discipline);
+        # a large dimension would otherwise force a driver-side broadcast
+        # build and can OOM — past the cap the join stays declarative and
+        # AQE plans the shuffle.
+        if _snapshot_is_small(os.path.join(self._dim_vdir(v), "data.parquet")):
+            d = F.broadcast(d)
         joined = state.join(
-            F.broadcast(d),
+            d,
             state[self.fact_key] == d[self.dim_key],
             join_type,
         )
@@ -1265,6 +1286,13 @@ def export_view_snapshot(
     if os.path.exists(manifest_path):
         with open(manifest_path) as fh:
             return json.load(fh)
+    if os.path.isdir(target):
+        # No manifest ⇒ nothing was committed: any files here are orphan
+        # shards from an export that crashed between shard-task commits and
+        # the sink's manifest commit. The re-run's manifest would list only
+        # its own shards (correct), but the debris would inflate the export
+        # directory forever — clear the target before re-exporting.
+        shutil.rmtree(target)
     spark.dataSource.register(ManifestJsonlSink)
     view.read(spark, v).write.format("manifest_jsonl").option(
         "path", target

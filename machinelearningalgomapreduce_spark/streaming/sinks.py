@@ -46,7 +46,11 @@ def _ingest_batch(spark: SparkSession, index_dir: str, out_dir: str, run_key: st
 
     def ingest(batch: DataFrame, batch_id: int) -> None:
         _recover_index(index_dir)
-        epoch = f"{run_digest}/{batch_id}"
+        # Zero-padded batch id: the compaction's min_by orders epoch stamps
+        # LEXICOGRAPHICALLY, and an unpadded "x/10" sorts before "x/2" — so
+        # if multi-epoch rows for one hash ever arise (crash corners), the
+        # kept stamp would not be the earliest batch as documented.
+        epoch = f"{run_digest}/{batch_id:010d}"
         hashed = batch.withColumn("content_hash", F.md5("text"))
         # Within-batch survivor: min doc_id per hash (deterministic).
         survivors = (

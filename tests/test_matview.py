@@ -972,3 +972,49 @@ def test_export_view_snapshot_rejects_unversioned_views(spark, tmp_path):
     drift = _drift_view(tmp_path / "drifte")
     with pytest.raises(TypeError, match="versioned read contract"):
         export_view_snapshot(spark, drift, str(tmp_path / "outd"))
+
+
+def test_export_view_snapshot_cleans_orphan_shards(spark, tmp_path):
+    """ADVICE r9: a crash after some shard tasks commit but before the
+    manifest commit leaves orphan files in out_dir/vN. On re-entry with no
+    manifest present the export must clear the target first, so the
+    directory holds exactly the manifest's shards afterwards."""
+    from machinelearningalgomapreduce_spark.operators.matview import (
+        export_view_snapshot,
+    )
+
+    t = load_tables(spark, SMOKE_SF_DIR)
+    mv = _mk_view(tmp_path / "mvo")
+    b0, _, _ = _batches(t.lineitem)
+    mv.refresh(spark, b0, batch_id="b0")
+    out = tmp_path / "export_orphan"
+    target = out / "v00000001"
+    target.mkdir(parents=True)
+    (target / "part-orphan-deadbeef.jsonl").write_text('{"stale": true}\n')
+
+    m = export_view_snapshot(spark, mv, str(out))
+    files = {p.name for p in target.iterdir()}
+    assert "part-orphan-deadbeef.jsonl" not in files
+    listed = {s["path"] for s in m["shards"]}
+    assert files == listed | {"manifest.json"}, (files, listed)
+
+
+def test_star_rollup_read_identical_without_broadcast_gate(spark, tmp_path, monkeypatch):
+    """ADVICE r9: the star rollup's dim broadcast is size-gated. Past the
+    cap (forced here) the join stays declarative and the rollup result is
+    unchanged — the gate changes the physical strategy only."""
+    import machinelearningalgomapreduce_spark.operators.matview as mvmod
+
+    t = load_tables(spark, SMOKE_SF_DIR)
+    fact = t.orders.select(
+        "o_custkey", (F.col("o_totalprice") * 100).cast("long").alias("price_cents")
+    )
+    dim0 = t.customer.select("c_custkey", "c_mktsegment", F.lit("2020-01-01").alias("ts"))
+    sv = _star_view(tmp_path / "star_gate")
+    sv.refresh_dim(spark, dim0, batch_id="dim0")
+    sv.refresh_fact(spark, fact, batch_id="f0")
+
+    small = {tuple(r) for r in sv.read(spark).collect()}
+    monkeypatch.setattr(mvmod, "_snapshot_is_small", lambda *_a, **_k: False)
+    large = {tuple(r) for r in sv.read(spark).collect()}
+    assert small == large and small

@@ -316,3 +316,36 @@ def test_compact_dedup_index_cleans_crash_debris(spark, sf_dir, tmp_path):
     _os.makedirs(index_dir + ".old-333")
     ingest(docs, 1)
     assert not _os.path.exists(index_dir + ".old-333")
+
+
+def test_compact_dedup_index_keeps_numerically_earliest_epoch(spark, tmp_path):
+    """ADVICE r9: epoch stamps order LEXICOGRAPHICALLY in the compaction's
+    min_by, so batch ids must be zero-padded — with unpadded stamps,
+    'x/10' < 'x/2' and a multi-epoch hash (crash corners) would keep the
+    wrong batch. Synthetic multi-epoch index: batch 2 must win over 10."""
+    from machinelearningalgomapreduce_spark.streaming.sinks import (
+        _ingest_batch,
+        compact_dedup_index,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    # Stamp epochs through the real ingest path so the test pins the actual
+    # format — one doc at batch 2, a different doc at batch 10.
+    ingest = _ingest_batch(spark, index_dir, str(tmp_path / "outp"), run_key="k")
+    d1 = spark.createDataFrame([("a", "same text")], ["doc_id", "text"])
+    d2 = spark.createDataFrame([("b", "other text")], ["doc_id", "text"])
+    ingest(d1, 2)
+    ingest(d2, 10)
+    idx = spark.read.parquet(index_dir)
+    epochs = sorted(r.epoch for r in idx.select("epoch").distinct().collect())
+    assert all(e.split("/")[1].isdigit() and len(e.split("/")[1]) == 10 for e in epochs)
+
+    # Forge the crash corner: duplicate doc 'a' re-stamped at batch 10.
+    forged = idx.filter("doc_id = 'a'").withColumn(
+        "epoch", F.regexp_replace("epoch", "/0000000002$", "/0000000010")
+    )
+    forged.write.mode("append").parquet(index_dir)
+    compact_dedup_index(spark, index_dir)
+    kept = spark.read.parquet(index_dir).filter("doc_id = 'a'").collect()
+    assert len(kept) == 1
+    assert kept[0].epoch.endswith("/0000000002"), kept
