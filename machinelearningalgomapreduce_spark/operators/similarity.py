@@ -119,15 +119,30 @@ def q_sim_ann(spark: SparkSession, sf_dir: str, n_probe: int = ANN_NPROBE) -> Da
     (a window over queries × k centroid rows — sample-sized). Each
     candidate (query, neighbor) pair appears once because a neighbor has
     exactly one home cell; `cell` reports the probed cell the neighbor was
-    found in. q_sim_recall quantifies what each probe buys."""
+    found in. q_sim_recall quantifies what each probe buys.
+
+    The oracle-checked query keeps label-derived coarse cells (exact in
+    both engines); ivf_ann below is the same plan over ANY centroid
+    frame, and learned_ivf_ann feeds it kmeans_fit centroids — the
+    LEARNED coarse quantizer an IVF index actually trains at 100 TB."""
     t = load_tables(spark, sf_dir)
-    cells = assign_nearest(t.embeddings, label_centroids(t.embeddings), EMBEDDING_DIM).select(
+    return ivf_ann(spark, sf_dir, label_centroids(t.embeddings), n_probe)
+
+
+def ivf_ann(
+    spark: SparkSession, sf_dir: str, centroids: DataFrame, n_probe: int = ANN_NPROBE
+) -> DataFrame:
+    """q_sim_ann's plan over an arbitrary (label, centroid) coarse-cell
+    frame: corpus vectors in their top-1 cell, queries probing their
+    n_probe nearest cells."""
+    t = load_tables(spark, sf_dir)
+    cells = assign_nearest(t.embeddings, centroids, EMBEDDING_DIM).select(
         "vec_id", "cluster"
     )
     e = t.embeddings.join(cells, "vec_id").select(
         "vec_id", "embedding", "cluster", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm")
     )
-    cents = label_centroids(t.embeddings).select(F.col("label").alias("pcell"), "centroid")
+    cents = centroids.select(F.col("label").alias("pcell"), "centroid")
     wq = W.partitionBy("query_id").orderBy("dist2", "pcell")
     qprobe = (
         t.embeddings.filter(F.col("vec_id") % ANN_QUERY_STRIDE == 0)
@@ -170,17 +185,36 @@ def q_sim_ann(spark: SparkSession, sf_dir: str, n_probe: int = ANN_NPROBE) -> Da
     )
 
 
-def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@k audit of the IVF path: per query point, how many of the
-    EXACT brute-force top-k neighbors the cell-pruned q_sim_ann search
-    recovered — the number that decides whether single-cell probing is
-    good enough or nprobe must rise, measured continuously at scale on a
-    query sample (the q_dedup_minhash_est discipline applied to ANN).
+def learned_ivf_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    n_probe: int = ANN_NPROBE,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF ANN with a LEARNED coarse quantizer (VERDICT r9 item 6a): the
+    cells come from a kmeans_fit model instead of the fixture labels —
+    what an IVF index trains at scale, where no label column exists.
+    Centroids are rounded to 6 (the label_centroids determinism
+    discipline) and shipped as a k-row broadcast frame; everything
+    downstream is the identical ivf_ann plan, so the 100 TB shape is
+    unchanged. ann_recall_frame quantifies the swap: the pytest tier
+    asserts learned cells recall at least as well as label cells."""
+    from machinelearningalgomapreduce_spark.operators.ml import kmeans_fit
 
-    Scale shape: brute ground truth is queries × corpus (broadcastable
-    query side — linear in corpus, affordable for a sample); the IVF side
-    and the hit-join are model-sized. Ranking uses rounded cosine with id
-    tie-breaks in both engines, so top-k sets are engine-identical."""
+    model, _cost = kmeans_fit(spark, sf_dir, k=k, seed=seed)
+    rows = [
+        (int(i), [round(float(x), 6) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    cents = spark.createDataFrame(rows, "label bigint, centroid array<double>")
+    return ivf_ann(spark, sf_dir, cents, n_probe)
+
+
+def ann_recall_frame(spark: SparkSession, sf_dir: str, ann: DataFrame) -> DataFrame:
+    """Recall@k of ANY ANN result frame (query_id, neighbor_id) against the
+    exact brute-force top-k — q_sim_recall's harness, reusable for the
+    learned-quantizer variant."""
     t = load_tables(spark, sf_dir)
     e = t.embeddings.select(
         "vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm")
@@ -203,11 +237,9 @@ def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= ANN_K)
     )
-    ann = q_sim_ann(spark, sf_dir).select(
-        "query_id", "neighbor_id", F.lit(1).alias("hit")
-    )
+    hits = ann.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     return (
-        brute.join(ann, ["query_id", "neighbor_id"], "left")
+        brute.join(hits, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
         .select(
@@ -217,6 +249,20 @@ def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_hits") / float(ANN_K), 6).alias("recall"),
         )
     )
+
+
+def q_sim_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the IVF path: per query point, how many of the
+    EXACT brute-force top-k neighbors the cell-pruned q_sim_ann search
+    recovered — the number that decides whether single-cell probing is
+    good enough or nprobe must rise, measured continuously at scale on a
+    query sample (the q_dedup_minhash_est discipline applied to ANN).
+
+    Scale shape: brute ground truth is queries × corpus (broadcastable
+    query side — linear in corpus, affordable for a sample); the IVF side
+    and the hit-join are model-sized. Ranking uses rounded cosine with id
+    tie-breaks in both engines, so top-k sets are engine-identical."""
+    return ann_recall_frame(spark, sf_dir, q_sim_ann(spark, sf_dir))
 
 
 def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
