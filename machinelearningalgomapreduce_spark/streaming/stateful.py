@@ -221,19 +221,15 @@ EWC_OUTPUT_SCHEMA = T.StructType(
     ]
 )
 
+EWC_ZERO_STATE = (0, 0.0, 0.0, 0.0, 1.0, 0)
 
-def _update_ewma_control(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    # The q_ewma_control chart as an online monitor: a stream cannot see
-    # the series mean/σ upfront (the batch form is two-pass), so the
-    # center and scale are the RUNNING Welford estimates — the standard
-    # adaptive-SPC variant. State is O(1) per key: (n, mean, M2, z, p)
-    # with p carrying (1−λ)^2t exactly as the batch fold does (no pow).
-    # z seeds at the first observation; limits only engage from n ≥ 2,
-    # when σ̂ exists. Events sort chronologically across ALL Arrow chunks
-    # of the micro-batch (_ordered_values); across batches arrival order
-    # stands in for event time.
+
+def fold_ewma_control(st: tuple, xs) -> tuple[tuple, int]:
+    """Fold chronologically-ordered values into the EWMA-control state
+    (n, mean, M2, z, p, n_alarms); returns (new_state, last_point_alarm).
+    The ONE copy of the detector arithmetic, shared by the
+    applyInPandasWithState operator here and the transformWithState port
+    in stateful_v2.py."""
     import math
 
     from machinelearningalgomapreduce_spark.operators.timeseries import (
@@ -244,12 +240,9 @@ def _update_ewma_control(
         EWMA_LAMBDA,
     )
 
-    (event_type,) = key
-    n, mean, m2, z, p, n_alarms = (
-        state.get if state.exists else (0, 0.0, 0.0, 0.0, 1.0, 0)
-    )
+    n, mean, m2, z, p, n_alarms = st
     alarm = 0
-    for x in _ordered_values(pdfs):
+    for x in xs:
         x = float(x)
         n += 1
         delta = x - mean
@@ -264,7 +257,28 @@ def _update_ewma_control(
             if abs(z - mean) > thr:
                 alarm = 1
                 n_alarms += 1
-    state.update((n, mean, m2, z, p, n_alarms))
+    return (n, mean, m2, z, p, n_alarms), alarm
+
+
+def _update_ewma_control(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    # The q_ewma_control chart as an online monitor: a stream cannot see
+    # the series mean/σ upfront (the batch form is two-pass), so the
+    # center and scale are the RUNNING Welford estimates — the standard
+    # adaptive-SPC variant. State is O(1) per key: (n, mean, M2, z, p)
+    # with p carrying (1−λ)^2t exactly as the batch fold does (no pow).
+    # z seeds at the first observation; limits only engage from n ≥ 2,
+    # when σ̂ exists. Events sort chronologically across ALL Arrow chunks
+    # of the micro-batch (_ordered_values); across batches arrival order
+    # stands in for event time. The arithmetic lives in fold_ewma_control —
+    # ONE copy shared with the transformWithState port (stateful_v2.py).
+
+    (event_type,) = key
+    st = state.get if state.exists else EWC_ZERO_STATE
+    st, alarm = fold_ewma_control(st, _ordered_values(pdfs))
+    n, _mean, _m2, z, _p, n_alarms = st
+    state.update(st)
     yield pd.DataFrame(
         {
             "event_type": [event_type],
@@ -318,27 +332,20 @@ CUS_OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def _update_cusum(
-    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
-) -> Iterable[pd.DataFrame]:
-    # The ONLINE (tabular, two-sided) CUSUM — the sequential form of
-    # q_cusum's retrospective peak scan: S⁺ = max(0, S⁺ + (x − μ̂ − k)),
-    # S⁻ = max(0, S⁻ + (μ̂ − x − k)), alarm when either exceeds h, then
-    # RESET both sides (the restart-after-signal convention). A stream
-    # cannot see μ/σ upfront, so center and scale are the running
-    # Welford estimates (the type_ewma_control adaptive-SPC variant);
-    # k and h re-derive from σ̂ at every step. Limits engage from n ≥ 2.
-    # State is O(1) per key; events sort chronologically across ALL Arrow
-    # chunks of the micro-batch (_ordered_values); across batches arrival
-    # order stands in for event time.
+CUS_ZERO_STATE = (0, 0.0, 0.0, 0.0, 0.0, 0)
+
+
+def fold_cusum(st: tuple, xs) -> tuple[tuple, int]:
+    """Fold chronologically-ordered values into the two-sided tabular
+    CUSUM state (n, mean, M2, S⁺, S⁻, n_alarms); returns
+    (new_state, last_point_alarm). The ONE copy of the detector
+    arithmetic, shared by the applyInPandasWithState operator here and
+    the transformWithState port in stateful_v2.py."""
     import math
 
-    (event_type,) = key
-    n, mean, m2, s_pos, s_neg, n_alarms = (
-        state.get if state.exists else (0, 0.0, 0.0, 0.0, 0.0, 0)
-    )
+    n, mean, m2, s_pos, s_neg, n_alarms = st
     alarm = 0
-    for x in _ordered_values(pdfs):
+    for x in xs:
         x = float(x)
         n += 1
         delta = x - mean
@@ -356,7 +363,28 @@ def _update_cusum(
                 n_alarms += 1
                 s_pos = 0.0
                 s_neg = 0.0
-    state.update((n, mean, m2, s_pos, s_neg, n_alarms))
+    return (n, mean, m2, s_pos, s_neg, n_alarms), alarm
+
+
+def _update_cusum(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    # The ONLINE (tabular, two-sided) CUSUM — the sequential form of
+    # q_cusum's retrospective peak scan: S⁺ = max(0, S⁺ + (x − μ̂ − k)),
+    # S⁻ = max(0, S⁻ + (μ̂ − x − k)), alarm when either exceeds h, then
+    # RESET both sides (the restart-after-signal convention). A stream
+    # cannot see μ/σ upfront, so center and scale are the running
+    # Welford estimates (the type_ewma_control adaptive-SPC variant);
+    # k and h re-derive from σ̂ at every step. Limits engage from n ≥ 2.
+    # State is O(1) per key; events sort chronologically across ALL Arrow
+    # chunks of the micro-batch (_ordered_values); across batches arrival
+    # order stands in for event time. Arithmetic lives in fold_cusum —
+    # ONE copy shared with the transformWithState port (stateful_v2.py).
+    (event_type,) = key
+    st = state.get if state.exists else CUS_ZERO_STATE
+    st, alarm = fold_cusum(st, _ordered_values(pdfs))
+    n, _mean, _m2, s_pos, s_neg, n_alarms = st
+    state.update(st)
     yield pd.DataFrame(
         {
             "event_type": [event_type],

@@ -185,6 +185,136 @@ class SessionizerProcessor(StatefulProcessor):
         pass
 
 
+class _MonitorProcessor(StatefulProcessor):
+    """Shared transformWithState shell for the per-event-type SPC monitors
+    (VERDICT r9 item 6b): one ValueState tuple, the SAME fold function as
+    the applyInPandasWithState twin (one copy of detector arithmetic —
+    streaming/stateful.py), the same cross-chunk chronological ordering.
+    Subclasses bind (state name, zero state, fold, output row shape)."""
+
+    state_name: str
+    state_schema: T.StructType
+    zero_state: tuple
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._state = handle.getValueState(self.state_name, self.state_schema)
+
+    @staticmethod
+    def _fold(st: tuple, xs) -> tuple[tuple, int]:  # pragma: no cover
+        raise NotImplementedError
+
+    def _out_row(self, key, st: tuple, alarm: int) -> pd.DataFrame:
+        raise NotImplementedError
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        from machinelearningalgomapreduce_spark.streaming.stateful import (
+            _ordered_values,
+        )
+
+        st = self._state.get() if self._state.exists() else self.zero_state
+        st, alarm = self._fold(tuple(st), _ordered_values(rows))
+        self._state.update(st)
+        yield self._out_row(key, st, alarm)
+
+    def close(self) -> None:
+        pass
+
+
+class EwmaControlProcessor(_MonitorProcessor):
+    """transformWithState twin of stateful.type_ewma_control (adaptive
+    EWMA control chart, running Welford center/scale)."""
+
+    state_name = "ewc"
+
+    def __init__(self) -> None:
+        from machinelearningalgomapreduce_spark.streaming.stateful import (
+            EWC_STATE_SCHEMA,
+            EWC_ZERO_STATE,
+            fold_ewma_control,
+        )
+
+        self.state_schema = EWC_STATE_SCHEMA
+        self.zero_state = EWC_ZERO_STATE
+        self._fold = fold_ewma_control  # instance attr: no descriptor binding
+
+    def _out_row(self, key, st, alarm):
+        (event_type,) = key
+        n, _mean, _m2, z, _p, n_alarms = st
+        return pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "n": [n],
+                "z": [round(z, 6)],
+                "n_alarms": [n_alarms],
+                "alarm": [alarm],
+            }
+        )
+
+
+class CusumProcessor(_MonitorProcessor):
+    """transformWithState twin of stateful.type_cusum (two-sided tabular
+    CUSUM, running Welford center/scale, reset-on-alarm)."""
+
+    state_name = "cusum"
+
+    def __init__(self) -> None:
+        from machinelearningalgomapreduce_spark.streaming.stateful import (
+            CUS_STATE_SCHEMA,
+            CUS_ZERO_STATE,
+            fold_cusum,
+        )
+
+        self.state_schema = CUS_STATE_SCHEMA
+        self.zero_state = CUS_ZERO_STATE
+        self._fold = fold_cusum  # instance attr: no descriptor binding
+
+    def _out_row(self, key, st, alarm):
+        (event_type,) = key
+        n, _mean, _m2, s_pos, s_neg, n_alarms = st
+        return pd.DataFrame(
+            {
+                "event_type": [event_type],
+                "n": [n],
+                "s_pos": [round(s_pos, 6)],
+                "s_neg": [round(s_neg, 6)],
+                "n_alarms": [n_alarms],
+                "alarm": [alarm],
+            }
+        )
+
+
+def type_ewma_control_tws(events: DataFrame) -> DataFrame:
+    """Streaming EWMA control chart per event type on the Spark 4 API —
+    same contract as stateful.type_ewma_control. Input needs
+    (event_type, value, us, event_id)."""
+    from machinelearningalgomapreduce_spark.streaming.stateful import (
+        EWC_OUTPUT_SCHEMA,
+    )
+
+    return events.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=EwmaControlProcessor(),
+        outputStructType=EWC_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def type_cusum_tws(events: DataFrame) -> DataFrame:
+    """Streaming two-sided tabular CUSUM per event type on the Spark 4
+    API — same contract as stateful.type_cusum. Input needs
+    (event_type, value, us, event_id)."""
+    from machinelearningalgomapreduce_spark.streaming.stateful import (
+        CUS_OUTPUT_SCHEMA,
+    )
+
+    return events.groupBy("event_type").transformWithStateInPandas(
+        statefulProcessor=CusumProcessor(),
+        outputStructType=CUS_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def sessionize_tws(events: DataFrame, watermark_delay: str = "30 seconds") -> DataFrame:
     """Timer-closed sessionization stream. Input needs (user_id, ts); the
     event-time column feeds the watermark, `us` (epoch micros) the fold."""

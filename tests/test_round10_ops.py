@@ -155,3 +155,140 @@ def test_learned_ivf_output_contract_matches_q_sim_ann(spark, sf_dir):
     for q, ranks in by_q.items():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
         assert len(ranks) <= ANN_K
+
+
+class _FakeValueState:
+    def __init__(self) -> None:
+        self._v = None
+
+    def exists(self) -> bool:
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v) -> None:
+        self._v = v
+
+
+class _FakeHandle:
+    def __init__(self) -> None:
+        self.states: dict = {}
+
+    def getValueState(self, name, schema):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def _tws_monitor_differential(spark, sf_dir, v1_op, tws_op, proc_cls, table, cols):
+    """Shared dual-mode differential (the test_stateful discipline, never a
+    skip): expected = the v1 applyInPandasWithState engine run (itself
+    diffed against an independent Python fold in test_stateful.py); got =
+    the real TWS engine when google.protobuf exists, else the SAME
+    processor instance driven per key through a fake handle in CHUNKED
+    calls (state must persist across calls)."""
+    import importlib.util
+
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+    from machinelearningalgomapreduce_spark.streaming import windows as sw
+
+    stream = sw.stream_events(spark, sf_dir).select(
+        "event_type", "value", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    expected_df = sw.run_to_memory(v1_op(stream), f"v1_{table}", output_mode="update")
+    # later emissions overwrite earlier ones (n is monotone per key)
+    expected = {
+        r.event_type: tuple(r[c] for c in cols)
+        for r in expected_df.orderBy("n").collect()
+    }
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+
+    if has_protobuf:
+        out = sw.run_to_memory(tws_op(stream), f"v2_{table}", output_mode="update")
+        got = {
+            r.event_type: tuple(r[c] for c in cols)
+            for r in out.orderBy("n").collect()
+        }
+    else:
+        rows = (
+            load_tables(spark, sf_dir)
+            .events.select("event_type", "value", F.unix_micros("ts").alias("us"), "event_id")
+            .toPandas()
+        )
+        got = {}
+        for ty, pdf in rows.groupby("event_type"):
+            proc = proc_cls()
+            proc.init(_FakeHandle())
+            pdf = pdf.sort_values(["us", "event_id"]).reset_index(drop=True)
+            n_chunks, emitted = 3, None
+            # chronological micro-batches (contiguous slices), each split
+            # into two interleaved Arrow chunks to exercise the cross-chunk
+            # ordering inside ONE handleInputRows call
+            for i in range(n_chunks):
+                lo = len(pdf) * i // n_chunks
+                hi = len(pdf) * (i + 1) // n_chunks
+                batch = pdf.iloc[lo:hi]
+                if batch.empty:
+                    continue
+                chunks = [batch.iloc[1::2], batch.iloc[0::2]]
+                for out_pdf in proc.handleInputRows((ty,), chunks, None):
+                    emitted = out_pdf
+            got[ty] = tuple(emitted.iloc[0][c] for c in cols)
+    assert set(got) == set(expected)
+    for ty in expected:
+        assert got[ty] == expected[ty], ty
+
+
+def test_tws_cusum_matches_v1_operator(spark, sf_dir):
+    """VERDICT r9 item 6b: the transformWithState CUSUM port emits the
+    same final per-type state as the applyInPandasWithState twin."""
+    from machinelearningalgomapreduce_spark.streaming.stateful import type_cusum
+    from machinelearningalgomapreduce_spark.streaming.stateful_v2 import (
+        CusumProcessor,
+        type_cusum_tws,
+    )
+
+    _tws_monitor_differential(
+        spark, sf_dir, type_cusum, type_cusum_tws, CusumProcessor,
+        "cus10", ("n", "s_pos", "s_neg", "n_alarms"),
+    )
+
+
+def test_tws_ewma_control_matches_v1_operator(spark, sf_dir):
+    """VERDICT r9 item 6b: the transformWithState EWMA-control port emits
+    the same final per-type state as the applyInPandasWithState twin."""
+    from machinelearningalgomapreduce_spark.streaming.stateful import type_ewma_control
+    from machinelearningalgomapreduce_spark.streaming.stateful_v2 import (
+        EwmaControlProcessor,
+        type_ewma_control_tws,
+    )
+
+    _tws_monitor_differential(
+        spark, sf_dir, type_ewma_control, type_ewma_control_tws, EwmaControlProcessor,
+        "ewc10", ("n", "z", "n_alarms"),
+    )
+
+
+def test_tws_monitor_wiring_constructs(spark, sf_dir):
+    """The transformWithStateInPandas plans must ANALYZE regardless of
+    protobuf availability (the sessionize_tws wiring discipline)."""
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.streaming import windows as sw
+    from machinelearningalgomapreduce_spark.streaming.stateful_v2 import (
+        type_cusum_tws,
+        type_ewma_control_tws,
+    )
+
+    stream = sw.stream_events(spark, sf_dir).select(
+        "event_type", "value", F.unix_micros("ts").alias("us"), "event_id"
+    )
+    for op in (type_cusum_tws, type_ewma_control_tws):
+        out = op(stream)
+        assert out.isStreaming
+        assert "event_type" in out.columns and "n_alarms" in out.columns
