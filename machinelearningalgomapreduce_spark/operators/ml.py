@@ -405,6 +405,108 @@ def kmeans_pp_init(spark: SparkSession, sf_dir: str, k: int = 10) -> list[int]:
     return chosen
 
 
+def kmeans_parallel_init(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = 10,
+    rounds: int | None = None,
+    oversample: int | None = None,
+) -> list[int]:
+    """Deterministic k-means‖ seeding (Bahmani et al. oversampling — the
+    init MLlib itself uses): kmeans_pp_init pays k−1 FULL passes (one
+    TakeOrdered(1) per seed), which at 100 TB is k sequential scans; this
+    variant runs only O(log k) rounds, each OVERSAMPLING the top-ℓ
+    farthest points at once (deterministic stand-in for D² sampling:
+    TakeOrdered(ℓ) on (mind desc, vec_id)), then reduces the ~ℓ·log k
+    candidates to k on the DRIVER by weighted farthest-first, where the
+    weight is each candidate's attraction count (points nearest to it).
+
+    Per round: ONE broadcast join of the ℓ new candidates + a min-dist
+    aggregate (the only full-data pass), lineage truncated per round; the
+    candidate set and weights are O(k log k) driver-side floats. Rounds
+    default to ⌈log2 k⌉, ℓ to 2k — the paper's recommendation.
+
+    Deterministic end-to-end (rounded distances, min-id tie-breaks), so
+    it is pytest-comparable against kmeans_pp_init's k-center objective.
+    Returns the chosen seed vec_ids in selection order.
+    """
+    import math
+
+    t = load_tables(spark, sf_dir)
+    data = t.embeddings.select("vec_id", "embedding")
+    first = data.orderBy("vec_id").limit(1).collect()[0]
+    cand: dict[int, list[float]] = {first.vec_id: [float(x) for x in first.embedding]}
+    lit_first = F.array(*[F.lit(x) for x in cand[first.vec_id]])
+    state = data.withColumn(
+        "mind", F.round(sq_dist(F.col("embedding"), lit_first, EMBEDDING_DIM), 6)
+    )
+    n_rounds = rounds if rounds is not None else max(1, math.ceil(math.log2(k)))
+    ell = oversample if oversample is not None else 2 * k
+    for _ in range(n_rounds):
+        new_rows = [
+            r
+            for r in state.orderBy(F.desc("mind"), "vec_id").limit(ell).collect()
+            if r.vec_id not in cand and r.mind > 0.0
+        ]
+        if not new_rows:
+            break
+        for r in new_rows:
+            cand[r.vec_id] = [float(x) for x in r.embedding]
+        # One broadcast join + min aggregate folds ALL ℓ new candidates
+        # into the running min-dist column in a single pass.
+        new_df = spark.createDataFrame(
+            [(i, v) for i, v in ((r.vec_id, cand[r.vec_id]) for r in new_rows)],
+            "cid bigint, cvec array<double>",
+        )
+        mins = (
+            state.select("vec_id", "embedding")
+            .crossJoin(F.broadcast(new_df))
+            .select(
+                "vec_id",
+                F.round(sq_dist(F.col("embedding"), F.col("cvec"), EMBEDDING_DIM), 6).alias("d2"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("d2").alias("new_mind"))
+        )
+        state = (
+            state.join(mins, "vec_id")
+            .withColumn("mind", F.least(F.col("mind"), F.col("new_mind")))
+            .drop("new_mind")
+            .localCheckpoint()
+        )
+    # Attraction weights: points per nearest candidate (one assign pass).
+    cand_df = spark.createDataFrame(
+        sorted(cand.items()), "label bigint, centroid array<double>"
+    )
+    weights = {
+        r.cluster: r.cnt
+        for r in assign_nearest(data.join(t.embeddings.select("vec_id", "label"), "vec_id"), cand_df, EMBEDDING_DIM)
+        .groupBy("cluster")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    # Driver-side weighted farthest-first down to k over the O(k log k)
+    # candidate set: start at the heaviest candidate (min-id tie-break),
+    # then repeatedly take argmax weight·D²(nearest chosen) — the
+    # deterministic sibling of the paper's weighted k-means++ recluster.
+    ids = sorted(cand)
+    start = min(ids, key=lambda i: (-weights.get(i, 0), i))
+    chosen = [start]
+    mind = {
+        i: sum((a - b) ** 2 for a, b in zip(cand[i], cand[start])) for i in ids
+    }
+    while len(chosen) < min(k, len(ids)):
+        nxt = min(
+            (i for i in ids if i not in chosen),
+            key=lambda i: (-weights.get(i, 0) * mind[i], i),
+        )
+        chosen.append(nxt)
+        for i in ids:
+            d = sum((a - b) ** 2 for a, b in zip(cand[i], cand[nxt]))
+            mind[i] = min(mind[i], d)
+    return chosen
+
+
 # ------------------------------------------------------- MLlib-backed fits
 # Library API only (pytest-verified): sketch/optimizer internals are not
 # cross-engine hashable, so these stay out of the driver contract.
