@@ -1070,6 +1070,65 @@ class SegmentedAggView:
         return removed
 
 
+class LeveledAggView(SegmentedAggView):
+    """LEVELED compaction policy over the same segmented state machine —
+    the other classic LSM trade (RocksDB/LevelDB's default vs the parent's
+    size-tiered/Cassandra policy).
+
+    Policy (invariant-driven, same tier function tier(w) = ⌊log_fanout w⌋):
+      * tier 0 may hold up to fanout−1 fresh weight-1 segments; at fanout
+        members they merge into one;
+      * every tier ≥ 1 holds AT MOST ONE resident segment — an arriving
+        same-tier segment immediately merges WITH the resident (one
+        union-re-aggregate job), cascading upward when the combined
+        weight crosses the next tier boundary.
+
+    The trade vs size-tiered, for the same fanout f over n batches:
+      * read amplification: a read unions ≤ (f−1) + log_f(n) segments
+        (one per tier) — vs size-tiered's ≤ (f−1)·log_f(n);
+      * write amplification: a row is rewritten O(f·log_f n) times (the
+        tier resident absorbs ~f merges before promoting) — vs
+        size-tiered's O(log_f n).
+    Pick leveled when reads dominate (a frequently-queried rollup),
+    size-tiered when the ingest rate dominates. Storage layout, manifest
+    format, crash safety, replay ledger, time travel, and vacuum are all
+    inherited unchanged — only ``compact`` differs, and both policies'
+    reads re-apply the same merge algebra, so results are identical
+    (pytest: 10-batch leveled ≡ size-tiered ≡ flat ≡ one-pass).
+    """
+
+    def compact(self, spark: SparkSession) -> int:
+        self._check_or_write_spec()
+        rounds = 0
+        while True:
+            segs = self.segments()
+            tiers: dict[int, list[dict]] = {}
+            for s in segs:
+                tiers.setdefault(self._tier(s["weight"]), []).append(s)
+            victims: list[dict] | None = None
+            if len(tiers.get(0, [])) >= self.fanout:
+                victims = sorted(
+                    tiers[0], key=lambda s: (s["weight"], s["dir"])
+                )[: self.fanout]
+            else:
+                over = [t for t, m in tiers.items() if t >= 1 and len(m) >= 2]
+                if over:
+                    # merge the WHOLE offending tier (lowest first — the
+                    # result may land in a higher tier and cascade there)
+                    victims = tiers[min(over)]
+            if victims is None:
+                return rounds
+            merged = self._reagg(self._union_segments(spark, victims))
+            new_seg = self._write_segment(merged)
+            victim_dirs = {s["dir"] for s in victims}
+            survivors = [s for s in segs if s["dir"] not in victim_dirs]
+            survivors.append(
+                {"dir": new_seg, "weight": sum(s["weight"] for s in victims)}
+            )
+            self._commit(survivors, self.applied_batches())
+            rounds += 1
+
+
 class FactDimRollupView:
     """Incremental agg-over-join (star rollup) view:
 

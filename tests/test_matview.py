@@ -1018,3 +1018,88 @@ def test_star_rollup_read_identical_without_broadcast_gate(spark, tmp_path, monk
     monkeypatch.setattr(mvmod, "_snapshot_is_small", lambda *_a, **_k: False)
     large = {tuple(r) for r in sv.read(spark).collect()}
     assert small == large and small
+
+
+# ---- LeveledAggView (LSM leveled compaction policy, r10) -----------------
+
+
+def _lev_view(path, fanout=3):
+    from machinelearningalgomapreduce_spark.operators.matview import LeveledAggView
+
+    return LeveledAggView(
+        str(path),
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={
+            "n_rows": ("count", "*"),
+            "sum_qty": ("sum", "l_quantity"),
+            "max_ship": ("max", "l_shipdate"),
+        },
+        derive={"avg_qty": lambda s: s["sum_qty"] / s["n_rows"]},
+        fanout=fanout,
+    )
+
+
+def test_leveled_view_equals_size_tiered_and_one_pass(spark, tmp_path):
+    """10 deltas through the leveled policy ≡ the size-tiered twin ≡ a
+    one-pass aggregate — the policies differ only in WHICH segments merge
+    WHEN, never in the merge algebra."""
+    li = load_tables(spark, SMOKE_SF_DIR).lineitem
+    lev = _lev_view(tmp_path / "lev")
+    tiered = _seg_view(tmp_path / "tiered")
+    for i, b in enumerate(_li_batches(spark, 10)):
+        assert lev.refresh(spark, b, batch_id=f"b{i}")
+        tiered.refresh(spark, b, batch_id=f"b{i}")
+    direct = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("l_quantity").alias("sum_qty"),
+        F.max("l_shipdate").alias("max_ship"),
+    )
+    got = _frame_dict(lev.read(spark))
+    assert got == _frame_dict(direct)
+    assert got == _frame_dict(tiered.read(spark))
+
+
+def test_leveled_view_invariants_and_amplification_trade(spark, tmp_path):
+    """Leveled invariant after every refresh: < fanout segments at tier 0
+    and AT MOST ONE resident per tier ≥ 1. Over the same 9 batches the
+    leveled view must never expose MORE live segments than the
+    size-tiered twin (the read-amp win it exists for), and must write at
+    least as many segment files (the write-amp price)."""
+    lev = _lev_view(tmp_path / "levi", fanout=3)
+    tiered = _seg_view(tmp_path / "tieri", fanout=3)
+    for i, b in enumerate(_li_batches(spark, 9)):
+        lev.refresh(spark, b, batch_id=f"b{i}")
+        tiered.refresh(spark, b, batch_id=f"b{i}")
+        segs = lev.segments()
+        assert sum(s["weight"] for s in segs) == i + 1
+        tiers = {}
+        for s in segs:
+            tiers.setdefault(lev._tier(s["weight"]), []).append(s)
+        assert len(tiers.get(0, [])) < lev.fanout, (i, segs)
+        assert all(len(m) == 1 for t, m in tiers.items() if t >= 1), (i, segs)
+        assert len(segs) <= len(tiered.segments()), (i, segs)
+    # write-amp proxy: segment directories ever created (vacuum not run)
+    lev_written = lev._next_seg_id() - 1
+    tiered_written = tiered._next_seg_id() - 1
+    assert lev_written >= tiered_written
+
+
+def test_leveled_view_replay_time_travel_vacuum(spark, tmp_path):
+    """The inherited machinery holds under the new policy: replayed batch
+    ids are no-ops, old versions stay readable until vacuum frees them."""
+    import pytest as _pytest
+
+    lev = _lev_view(tmp_path / "levr", fanout=3)
+    batches = _li_batches(spark, 4)
+    for i, b in enumerate(batches):
+        assert lev.refresh(spark, b, batch_id=f"b{i}")
+    v_before = lev.current_version()
+    assert lev.refresh(spark, batches[0], batch_id="b0") is False  # replay
+    assert lev.current_version() == v_before
+    old = _frame_dict(lev.read(spark, version=v_before))
+    assert lev.refresh(spark, batches[0].limit(0), batch_id="b_empty")
+    assert _frame_dict(lev.read(spark, version=v_before)) == old  # time travel
+    removed = lev.vacuum(keep_last=1)
+    assert removed
+    with _pytest.raises(FileNotFoundError):
+        lev.read(spark, version=1)
