@@ -542,6 +542,7 @@ def mv_ingest_stream(
     source: DataFrame,
     view,  # anything with refresh(spark, delta, batch_id) -> bool
     checkpoint_dir: str,
+    compact_every: int | None = None,
 ):
     """Maintain a materialized view from a stream — any of this module's
     view classes (IncrementalAggView, SegmentedAggView, the sketch views,
@@ -556,10 +557,36 @@ def mv_ingest_stream(
     treated as a replay (for an aggregate-maintenance view that is the
     safe default; feed an event-time column through the aggregation if
     duplicate deltas must both count). Costs one extra aggregate over
-    the delta per batch."""
+    the delta per batch.
+
+    ``compact_every`` (segmented views only — refresh must accept
+    ``compact=``): the maintenance SCHEDULE knob. Per-batch compaction
+    (the default, None) keeps the segment invariant tight but puts the
+    merge job on the ingest latency path; ``compact_every=N`` defers it
+    — each refresh stays a pure O(delta) append and one compact() pass
+    runs every N applied batches (replays don't advance the counter).
+    Reads are correct under ANY deferral (the merge algebra needs no
+    invariant), so the only cost of a long schedule is read
+    amplification between maintenance passes; call ``view.compact``
+    once more in an off-peak window after the stream drains."""
+    if compact_every is not None:
+        if compact_every < 1:
+            raise ValueError(f"compact_every must be >= 1, got {compact_every}")
+        if not hasattr(view, "compact"):
+            raise TypeError(
+                f"{type(view).__name__} has no compact() — compact_every "
+                "only applies to segmented views"
+            )
+    applied_count = [0]
 
     def fold(batch: DataFrame, batch_id: int) -> None:
-        view.refresh(spark, batch, batch_id=_content_key(batch))
+        if compact_every is None:
+            view.refresh(spark, batch, batch_id=_content_key(batch))
+            return
+        if view.refresh(spark, batch, batch_id=_content_key(batch), compact=False):
+            applied_count[0] += 1
+            if applied_count[0] % compact_every == 0:
+                view.compact(spark)
 
     return (
         source.writeStream.foreachBatch(fold)

@@ -1103,3 +1103,61 @@ def test_leveled_view_replay_time_travel_vacuum(spark, tmp_path):
     assert removed
     with _pytest.raises(FileNotFoundError):
         lev.read(spark, version=1)
+
+
+def test_mv_ingest_stream_compact_every_schedule(spark, tmp_path):
+    """The compaction-schedule knob: refreshes stay pure O(delta) appends
+    and one compact() pass runs every N applied batches. Final state must
+    equal the one-pass aggregate; the deferred view may expose more live
+    segments than an always-compact twin but never a different result."""
+    from machinelearningalgomapreduce_spark.operators.matview import SegmentedAggView
+
+    t = load_tables(spark, SMOKE_SF_DIR)
+    src_dir = str(tmp_path / "src")
+    # repartition(6): six source files → six micro-batches under
+    # maxFilesPerTrigger=1
+    t.events.select("user_id", "event_type", "value").repartition(6).write.parquet(src_dir)
+
+    def mk(path):
+        return SegmentedAggView(
+            str(path), keys=["event_type"],
+            aggs={"n": ("count", "*"), "total_cents": ("sum", "amount_cents")},
+            fanout=3,
+        )
+
+    deferred, eager = mk(tmp_path / "mv_def"), mk(tmp_path / "mv_eag")
+    stream = (
+        spark.readStream.schema("user_id long, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+        .withColumn("amount_cents", F.round(F.col("value") * 100).cast("long"))
+    )
+    q = mv_ingest_stream(spark, stream, deferred, str(tmp_path / "ck_d"), compact_every=3)
+    q.awaitTermination(120)
+    q2 = mv_ingest_stream(spark, stream, eager, str(tmp_path / "ck_e"))
+    q2.awaitTermination(120)
+
+    expected = _canon(
+        spark.read.parquet(src_dir)
+        .withColumn("amount_cents", F.round(F.col("value") * 100).cast("long"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("amount_cents").alias("total_cents"))
+    )
+    assert _canon(deferred.read(spark)) == expected
+    assert _canon(eager.read(spark)) == expected
+    assert len(deferred.segments()) >= len(eager.segments())
+    # the off-peak maintenance call finishes the job
+    deferred.compact(spark)
+    assert _canon(deferred.read(spark)) == expected
+
+
+def test_mv_ingest_stream_compact_every_validation(spark, tmp_path):
+    from machinelearningalgomapreduce_spark.operators.matview import mv_ingest_stream
+
+    mv = _mk_view(tmp_path / "mvv")  # flat view: no compact()
+    (tmp_path / "empty_src").mkdir()
+    stream = spark.readStream.schema("user_id long").parquet(str(tmp_path / "empty_src"))
+    with pytest.raises(TypeError, match="no compact"):
+        mv_ingest_stream(spark, stream, mv, str(tmp_path / "ck"), compact_every=2)
+    with pytest.raises(ValueError, match="compact_every"):
+        mv_ingest_stream(spark, stream, mv, str(tmp_path / "ck"), compact_every=0)
