@@ -315,6 +315,80 @@ def type_cusum_tws(events: DataFrame) -> DataFrame:
     )
 
 
+TYPEMIX_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_types", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("top_type", T.StringType()),
+        T.StructField("top_count", T.LongType()),
+    ]
+)
+
+_TYPEMIX_KEY_SCHEMA = T.StructType([T.StructField("event_type", T.StringType())])
+_TYPEMIX_VALUE_SCHEMA = T.StructType([T.StructField("cnt", T.LongType())])
+
+
+class UserTypeMixProcessor(StatefulProcessor):
+    """Per-user event-type mix via MAP STATE — the transformWithState
+    state-variable family member the value-state processors above don't
+    exercise: state is a per-key map event_type → count (RocksDB-backed
+    point reads/writes on a real cluster — the whole map is never
+    serialized per update, which is exactly why MapState beats a dict in
+    a ValueState for high-cardinality per-key maps). Emits the updated
+    (distinct types, total events, modal type) per user per micro-batch;
+    modal tie-break = lexicographically smallest type (deterministic).
+    Batch twin: groupBy(user_id) countDistinct/count/max_by."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._counts = handle.getMapState(
+            "type_counts", _TYPEMIX_KEY_SCHEMA, _TYPEMIX_VALUE_SCHEMA
+        )
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        for pdf in rows:
+            for ty, cnt in pdf.groupby("event_type").size().items():
+                prev = (
+                    self._counts.getValue((ty,))
+                    if self._counts.containsKey((ty,))
+                    else None
+                )
+                base = int(prev[0]) if prev is not None else 0
+                self._counts.updateValue((ty,), (base + int(cnt),))
+        n_types, n_events, top = 0, 0, None
+        for (ty,), (cnt,) in self._counts.iterator():
+            n_types += 1
+            n_events += int(cnt)
+            item = (-int(cnt), ty)
+            if top is None or item < top:
+                top = item
+        (user_id,) = key
+        yield pd.DataFrame(
+            {
+                "user_id": [int(user_id)],
+                "n_types": [n_types],
+                "n_events": [n_events],
+                "top_type": [top[1] if top else None],
+                "top_count": [-top[0] if top else 0],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_type_mix_tws(events: DataFrame) -> DataFrame:
+    """Streaming per-user event-type mix via transformWithStateInPandas
+    MapState. Input needs (user_id, event_type); emits the updated mix
+    for every key seen in each micro-batch."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserTypeMixProcessor(),
+        outputStructType=TYPEMIX_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def sessionize_tws(events: DataFrame, watermark_delay: str = "30 seconds") -> DataFrame:
     """Timer-closed sessionization stream. Input needs (user_id, ts); the
     event-time column feeds the watermark, `us` (epoch micros) the fold."""

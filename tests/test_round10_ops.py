@@ -328,3 +328,122 @@ def test_kmeans_parallel_init_matches_pp_quality(spark, sf_dir):
 
     pp = kmeans_pp_init(spark, sf_dir, k=k)
     assert k_center_obj(par) <= 1.5 * k_center_obj(pp)
+
+
+class _FakeMapState:
+    def __init__(self) -> None:
+        self._m: dict = {}
+
+    def exists(self) -> bool:
+        return bool(self._m)
+
+    def containsKey(self, key) -> bool:
+        return tuple(key) in self._m
+
+    def getValue(self, key):
+        return self._m[tuple(key)]
+
+    def updateValue(self, key, value) -> None:
+        self._m[tuple(key)] = tuple(value)
+
+    def iterator(self):
+        return iter(sorted(self._m.items()))
+
+    def keys(self):
+        return iter(sorted(self._m))
+
+    def values(self):
+        return (self._m[k] for k in sorted(self._m))
+
+    def removeKey(self, key) -> None:
+        self._m.pop(tuple(key), None)
+
+    def clear(self) -> None:
+        self._m.clear()
+
+
+class _FakeMapHandle:
+    def __init__(self) -> None:
+        self.states: dict = {}
+
+    def getMapState(self, name, key_schema, value_schema, ttl_duration_ms=None):
+        return self.states.setdefault(name, _FakeMapState())
+
+
+def test_tws_user_type_mix_matches_batch(spark, sf_dir):
+    """MapState family member (the value-state/timer processors don't
+    exercise it): per-user event-type mix must equal the batch
+    countDistinct/count/modal-type aggregate. Dual mode, never a skip:
+    real engine when protobuf exists, else the processor driven per key
+    through a fake MapState handle in chunked micro-batches."""
+    import importlib.util
+
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+    from machinelearningalgomapreduce_spark.streaming import windows as sw
+    from machinelearningalgomapreduce_spark.streaming.stateful_v2 import (
+        UserTypeMixProcessor,
+        user_type_mix_tws,
+    )
+
+    events = load_tables(spark, sf_dir).events
+    # modal type: max count, lexicographically-smallest tie-break
+    per_ty = events.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt_ty"))
+    batch = per_ty.groupBy("user_id").agg(
+        F.count("*").alias("n_types"),
+        F.sum("cnt_ty").alias("n_events"),
+        F.min_by(
+            "event_type", F.struct((-F.col("cnt_ty")).alias("neg"), F.col("event_type"))
+        ).alias("top_type"),
+        F.max("cnt_ty").alias("top_count"),
+    )
+    expected = {
+        r.user_id: (r.n_types, r.n_events, r.top_type, r.top_count)
+        for r in batch.collect()
+    }
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+
+    if has_protobuf:
+        stream = sw.stream_events(spark, sf_dir).select("user_id", "event_type")
+        out = sw.run_to_memory(user_type_mix_tws(stream), "t_typemix", output_mode="update")
+        got = {
+            r.user_id: (r.n_types, r.n_events, r.top_type, r.top_count)
+            for r in out.orderBy("n_events").collect()
+        }
+    else:
+        rows = events.select("user_id", "event_type").toPandas()
+        got = {}
+        for uid, pdf in rows.groupby("user_id"):
+            proc = UserTypeMixProcessor()
+            proc.init(_FakeMapHandle())
+            emitted = None
+            n_chunks = 3
+            for i in range(n_chunks):
+                chunk = pdf.iloc[i::n_chunks]
+                if chunk.empty:
+                    continue
+                for out_pdf in proc.handleInputRows((uid,), [chunk], None):
+                    emitted = out_pdf
+            r = emitted.iloc[0]
+            got[uid] = (r.n_types, r.n_events, r.top_type, r.top_count)
+    assert set(got) == set(expected)
+    for uid in expected:
+        assert got[uid] == expected[uid], uid
+
+
+def test_tws_user_type_mix_wiring_constructs(spark, sf_dir):
+    from machinelearningalgomapreduce_spark.streaming import windows as sw
+    from machinelearningalgomapreduce_spark.streaming.stateful_v2 import (
+        user_type_mix_tws,
+    )
+
+    stream = sw.stream_events(spark, sf_dir).select("user_id", "event_type")
+    out = user_type_mix_tws(stream)
+    assert out.isStreaming and out.columns == [
+        "user_id", "n_types", "n_events", "top_type", "top_count",
+    ]
