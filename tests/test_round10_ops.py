@@ -447,3 +447,56 @@ def test_tws_user_type_mix_wiring_constructs(spark, sf_dir):
     assert out.isStreaming and out.columns == [
         "user_id", "n_types", "n_events", "top_type", "top_count",
     ]
+
+
+# ---- fold chunk-invariance (hypothesis) -----------------------------------
+# The property that makes BOTH stateful generations correct across arbitrary
+# micro-batch boundaries: folding a series in any chunking equals folding it
+# in one shot, for any values including constants, spikes, and negatives.
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_series = st.lists(
+    st.floats(min_value=-1e6, max_value=1e6, allow_nan=False, allow_infinity=False),
+    min_size=0,
+    max_size=40,
+)
+_cuts = st.lists(st.integers(min_value=0, max_value=40), max_size=4)
+
+
+def _chunked_fold(fold, zero, xs, cuts):
+    bounds = sorted({min(c, len(xs)) for c in cuts})
+    st_, alarm = zero, 0
+    prev = 0
+    for b in [*bounds, len(xs)]:
+        if b > prev:
+            st_, alarm = fold(st_, xs[prev:b])
+            prev = b
+    return st_, alarm
+
+
+@settings(max_examples=60, deadline=None)
+@given(xs=_series, cuts=_cuts)
+def test_fold_cusum_chunk_invariant(xs, cuts):
+    from machinelearningalgomapreduce_spark.streaming.stateful import (
+        CUS_ZERO_STATE,
+        fold_cusum,
+    )
+
+    whole = fold_cusum(CUS_ZERO_STATE, xs)
+    chunked = _chunked_fold(fold_cusum, CUS_ZERO_STATE, xs, cuts)
+    assert whole == chunked
+
+
+@settings(max_examples=60, deadline=None)
+@given(xs=_series, cuts=_cuts)
+def test_fold_ewma_control_chunk_invariant(xs, cuts):
+    from machinelearningalgomapreduce_spark.streaming.stateful import (
+        EWC_ZERO_STATE,
+        fold_ewma_control,
+    )
+
+    whole = fold_ewma_control(EWC_ZERO_STATE, xs)
+    chunked = _chunked_fold(fold_ewma_control, EWC_ZERO_STATE, xs, cuts)
+    assert whole == chunked
