@@ -1,12 +1,14 @@
-"""Write-amplification probe: flat IncrementalAggView vs SegmentedAggView.
+"""Write-amplification probe: flat IncrementalAggView vs the two
+segmented compaction policies (size-tiered SegmentedAggView, leveled
+LeveledAggView).
 
 Feeds the same N delta batches (lineitem split by orderkey residue,
-keyed by l_orderkey — a WIDE key domain, the regime the segmented view
-exists for) through both views and reports bytes written to disk per
-design. The flat view rewrites its full O(groups) state every refresh
-(expected total ≈ N/2 · state_size → quadratic in N); the segmented
-view writes O(delta) per refresh plus size-tiered compaction merges
-(expected total ≈ state_size · log_fanout(N)).
+keyed by l_orderkey — a WIDE key domain, the regime the segmented views
+exist for) through all three and reports bytes written to disk plus the
+read amplification (live segments a read must union). Expected order:
+flat write ≈ N/2 · state_size (quadratic in N) ≫ leveled ≈
+f·log_f(N) · state_size > size-tiered ≈ log_f(N) · state_size; read amp
+inverts — leveled unions the fewest segments.
 
 Usage: python tools/mv_write_amp.py [sf_dir] [n_batches] [fanout]
 Prints one JSON line; recorded in EVIDENCE.md.
@@ -40,6 +42,7 @@ def main() -> None:
 
     from machinelearningalgomapreduce_spark.operators.matview import (
         IncrementalAggView,
+        LeveledAggView,
         SegmentedAggView,
     )
     from machinelearningalgomapreduce_spark.session import ensure_query_conf, get_spark
@@ -58,35 +61,37 @@ def main() -> None:
     try:
         flat = IncrementalAggView(os.path.join(root, "flat"), **spec)
         seg = SegmentedAggView(os.path.join(root, "seg"), fanout=fanout, **spec)
-        flat_written = seg_written = 0
-        flat_prev = seg_prev = 0
+        lev = LeveledAggView(os.path.join(root, "lev"), fanout=fanout, **spec)
+        written = {"flat": 0, "seg": 0, "lev": 0}
+        prev = {"flat": 0, "seg": 0, "lev": 0}
+        views = {"flat": flat, "seg": seg, "lev": lev}
         for i, b in enumerate(batches):
-            flat.refresh(spark, b, batch_id=f"b{i}")
-            seg.refresh(spark, b, batch_id=f"b{i}")
-            # vacuum the flat chain so disk deltas isolate WRITE volume
-            # (bytes written = growth + bytes the vacuum freed)
-            flat_now_pre = _du(flat.path)
-            flat_written += flat_now_pre - flat_prev
-            flat.vacuum(keep_last=1)
-            flat_prev = _du(flat.path)
-            seg_now = _du(seg.path)
-            seg_written += seg_now - seg_prev
-            seg.vacuum(keep_last=1)
-            seg_prev = _du(seg.path)
+            for name, v in views.items():
+                v.refresh(spark, b, batch_id=f"b{i}")
+                # vacuum each chain so disk deltas isolate WRITE volume
+                # (bytes written = growth + bytes the vacuum freed)
+                written[name] += _du(v.path) - prev[name]
+                v.vacuum(keep_last=1)
+                prev[name] = _du(v.path)
         state_rows = flat.read(spark).count()
-        assert sorted(map(tuple, flat.read(spark).collect())) == sorted(
-            map(tuple, seg.read(spark).select("l_orderkey", "n_rows", "sum_qty").collect())
-        )
+        base = sorted(map(tuple, flat.read(spark).collect()))
+        for v in (seg, lev):
+            assert base == sorted(
+                map(tuple, v.read(spark).select("l_orderkey", "n_rows", "sum_qty").collect())
+            )
         print(json.dumps({
             "probe": "mv_write_amp",
             "sf_dir": sf_dir,
             "n_batches": n,
             "fanout": fanout,
             "state_rows": state_rows,
-            "flat_bytes_written": flat_written,
-            "segmented_bytes_written": seg_written,
-            "ratio": round(flat_written / max(seg_written, 1), 2),
-            "live_segments": len(seg.segments()),
+            "flat_bytes_written": written["flat"],
+            "segmented_bytes_written": written["seg"],
+            "leveled_bytes_written": written["lev"],
+            "ratio_flat_vs_seg": round(written["flat"] / max(written["seg"], 1), 2),
+            "ratio_lev_vs_seg": round(written["lev"] / max(written["seg"], 1), 2),
+            "live_segments_tiered": len(seg.segments()),
+            "live_segments_leveled": len(lev.segments()),
         }))
     finally:
         shutil.rmtree(root, ignore_errors=True)
