@@ -214,9 +214,19 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact Jaccard come from the same two joins — the expensive band-bucket
     candidate subtree appears exactly once in the plan (ADVICE r4: the old
     shape built it twice and relied on exchange reuse). At full scale the
-    audit runs on a candidate SAMPLE with identical plan shape."""
+    audit runs on a candidate SAMPLE with identical plan shape.
+
+    r10: the same exact-duplicate collapse as minhash_dedup_pairs (the
+    hot-bucket guard — byte-identical copies would make this audit's
+    bucket self-join quadratic, with an even heavier per-pair verify);
+    metrics compute at rep level and expand by id-only joins. Identical
+    pairs carry n_match=16 / est=1.0 / jaccard=1.0 / abs_err=0.0 — the
+    values the uncollapsed verify computes for identical sigs and sets —
+    or all-NULL when the shared shingle set is null, matching the
+    uncollapsed 0/0 arithmetic."""
     t = load_tables(spark, sf_dir)
-    base = _shingle_sets(t.documents)
+    reps, members = _exact_collapse(t.documents)
+    base = _shingle_sets(reps)
     sigs = base.select(
         "doc_id",
         "sh",
@@ -240,7 +250,7 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
     exact = F.round(inter.cast("double") / union, 6)
-    return (
+    rep_rows = (
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("n_match", n_match)
@@ -254,6 +264,39 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.abs(est - F.col("jaccard")), 6).alias("abs_err"),
         )
     )
+
+    # Within-group expansion: identical docs agree on every signature and
+    # share one shingle set, so the audit metrics are constants per group
+    # (NULL-propagating when the set is null — the uncollapsed result).
+    has_sh = F.col("sh").isNotNull()
+    rep_metrics = sigs.select(
+        F.col("doc_id").alias("rep_id"),
+        F.when(has_sh, F.lit(N_MINHASH)).cast("bigint").alias("n_match"),
+        F.round(F.when(has_sh, F.lit(1.0)).cast("double"), 6).alias("est_jaccard"),
+        F.round(F.when(has_sh, F.lit(1.0)).cast("double"), 6).alias("jaccard"),
+        F.round(F.when(has_sh, F.lit(0.0)).cast("double"), 6).alias("abs_err"),
+    )
+    m1 = members.select("rep_id", F.col("doc_id").alias("doc_a"))
+    m2 = members.select(F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("doc_b"))
+    within = (
+        m1.join(m2, (F.col("rep_id") == F.col("rep_b")) & (F.col("doc_a") < F.col("doc_b")))
+        .join(rep_metrics, "rep_id")
+        .select("doc_a", "doc_b", "n_match", "est_jaccard", "jaccard", "abs_err")
+    )
+    cross = (
+        rep_rows.withColumnRenamed("doc_a", "rep_a").withColumnRenamed("doc_b", "rep_b")
+        .join(members.select(F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("da")), "rep_a")
+        .join(members.select(F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("db")), "rep_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "n_match",
+            "est_jaccard",
+            "jaccard",
+            "abs_err",
+        )
+    )
+    return within.unionByName(cross)
 
 
 def _simhash_bit_vote(token_hash: Column, bit: int) -> Column:

@@ -77,17 +77,19 @@ _PARTIAL = {
 _POINTER = "_CURRENT"
 
 
-def _snapshot_is_small(path: str, cap_bytes: int = 64 << 20) -> bool:
+def _snapshot_is_small(path: str, cap_bytes: int | None = None) -> bool:
     """Broadcast a committed snapshot only while its on-disk parquet
-    provably fits (the sinks._index_is_small discipline); past the cap the
-    caller keeps the join declarative and lets AQE plan the shuffle."""
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for f in files:
-            total += os.path.getsize(os.path.join(root, f))
-            if total > cap_bytes:
-                return False
-    return total <= cap_bytes
+    provably fits — the shared functions/storage.py discipline; past the
+    cap the caller keeps the join declarative and lets AQE plan the
+    shuffle. (Kept as a module name so tests can monkeypatch the gate.)"""
+    from machinelearningalgomapreduce_spark.functions.storage import (
+        BROADCAST_CAP_BYTES,
+        dir_size_below,
+    )
+
+    return dir_size_below(
+        path, BROADCAST_CAP_BYTES if cap_bytes is None else cap_bytes
+    )
 
 
 class IncrementalAggView:
@@ -1299,14 +1301,21 @@ class FactDimRollupView:
         ``join_type='left'`` keeps fks missing from the dim (attrs NULL)
         so referential gaps surface instead of silently dropping mass."""
         state = self._fact.read(spark)
+        # Pin ONE dim version for both the size gate and the join —
+        # resolving the pointer twice would let a concurrent refresh_dim
+        # commit in between, making the gate inspect a different (smaller)
+        # snapshot than the one joined.
         v = self._dim_version()
-        d = self.dim(spark)
+        if v == 0:
+            raise ValueError("dim snapshot has no committed version yet")
+        dim_data = os.path.join(self._dim_vdir(v), "data.parquet")
+        d = spark.read.parquet(dim_data)
         # Broadcast only while the committed dim snapshot provably fits
         # (on-disk parquet size, the sinks._index_is_small discipline);
         # a large dimension would otherwise force a driver-side broadcast
         # build and can OOM — past the cap the join stays declarative and
         # AQE plans the shuffle.
-        if _snapshot_is_small(os.path.join(self._dim_vdir(v), "data.parquet")):
+        if _snapshot_is_small(dim_data):
             d = F.broadcast(d)
         joined = state.join(
             d,

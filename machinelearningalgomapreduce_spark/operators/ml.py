@@ -480,7 +480,7 @@ def kmeans_parallel_init(
     )
     weights = {
         r.cluster: r.cnt
-        for r in assign_nearest(data.join(t.embeddings.select("vec_id", "label"), "vec_id"), cand_df, EMBEDDING_DIM)
+        for r in assign_nearest(t.embeddings, cand_df, EMBEDDING_DIM)
         .groupBy("cluster")
         .agg(F.count("*").alias("cnt"))
         .collect()

@@ -64,9 +64,15 @@ def _ingest_batch(spark: SparkSession, index_dir: str, out_dir: str, run_key: st
             # the identical survivor set no matter where the previous
             # attempt crashed (determinism is what makes the overwrite
             # below safe).
+            # Exclusion matches BOTH stamp formats: rows written before the
+            # zero-padding change carry the unpadded 'digest/5' form — a
+            # replay crossing that upgrade must still see the pre-batch
+            # index state, not its own old-format survivors.
             seen = (
                 spark.read.parquet(index_dir)
-                .filter(F.col("epoch") != F.lit(epoch))
+                .filter(
+                    ~F.col("epoch").isin(epoch, f"{run_digest}/{batch_id}")
+                )
                 .select("content_hash")
             )
             survivors = survivors.join(
@@ -94,17 +100,19 @@ def _ingest_batch(spark: SparkSession, index_dir: str, out_dir: str, run_key: st
     return ingest
 
 
-def _index_is_small(index_dir: str, cap_bytes: int = 64 << 20) -> bool:
-    """Broadcast the seen-hash index only while it provably fits; past the
-    cap the anti-join falls back to a shuffled hash join (the 100 TB path —
-    at that point the index itself is the big side and AQE plans it)."""
-    total = 0
-    for root, _dirs, files in os.walk(index_dir):
-        for f in files:
-            total += os.path.getsize(os.path.join(root, f))
-            if total > cap_bytes:
-                return False
-    return total <= cap_bytes
+def _index_is_small(index_dir: str, cap_bytes: int | None = None) -> bool:
+    """Broadcast the seen-hash index only while it provably fits — the
+    shared functions/storage.py discipline; past the cap the anti-join
+    falls back to a shuffled hash join (the 100 TB path — at that point
+    the index itself is the big side and AQE plans it)."""
+    from machinelearningalgomapreduce_spark.functions.storage import (
+        BROADCAST_CAP_BYTES,
+        dir_size_below,
+    )
+
+    return dir_size_below(
+        index_dir, BROADCAST_CAP_BYTES if cap_bytes is None else cap_bytes
+    )
 
 
 def _recover_aside(path: str) -> None:
@@ -198,11 +206,17 @@ def compact_dedup_index(spark: SparkSession, index_dir: str) -> dict:
     idx = spark.read.parquet(index_dir)
     rows_before = idx.count()
     files_before = _count_files(index_dir)
+    # Order by the PARSED numeric batch id, not the raw stamp: padded and
+    # pre-upgrade unpadded stamps then sort identically, and the kept
+    # representative is genuinely the earliest batch (digest ties break on
+    # the raw stamp, then doc_id — deterministic).
+    batch_no = F.split(F.col("epoch"), "/").getItem(1).cast("long")
     compacted = (
         idx.groupBy("content_hash")
         .agg(
             F.min_by(
-                F.struct("doc_id", "epoch"), F.struct("epoch", "doc_id")
+                F.struct("doc_id", "epoch"),
+                F.struct(batch_no.alias("b"), F.col("epoch"), F.col("doc_id")),
             ).alias("r")
         )
         .select("content_hash", "r.doc_id", "r.epoch")

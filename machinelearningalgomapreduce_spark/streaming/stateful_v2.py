@@ -347,7 +347,10 @@ class UserTypeMixProcessor(StatefulProcessor):
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         for pdf in rows:
-            for ty, cnt in pdf.groupby("event_type").size().items():
+            # dropna=False: the batch twin's groupBy keeps the NULL type
+            # group; pandas would silently drop it by default
+            for ty, cnt in pdf.groupby("event_type", dropna=False).size().items():
+                ty = None if pd.isna(ty) else ty
                 prev = (
                     self._counts.getValue((ty,))
                     if self._counts.containsKey((ty,))

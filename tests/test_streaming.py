@@ -349,3 +349,52 @@ def test_compact_dedup_index_keeps_numerically_earliest_epoch(spark, tmp_path):
     kept = spark.read.parquet(index_dir).filter("doc_id = 'a'").collect()
     assert len(kept) == 1
     assert kept[0].epoch.endswith("/0000000002"), kept
+
+
+def test_dedup_ingest_excludes_pre_padding_epoch_stamps(spark, tmp_path):
+    """Format-migration corner (r10 review): index rows written BEFORE the
+    zero-padding change carry unpadded 'digest/5' stamps. A replay of that
+    batch after the upgrade must still exclude its own old-format rows
+    (else it anti-joins away its own survivors and writes a wrong set),
+    and compaction must order mixed-format stamps by the PARSED batch id."""
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.streaming.sinks import (
+        _ingest_batch,
+        compact_dedup_index,
+    )
+
+    index_dir = str(tmp_path / "idx")
+    out_dir = str(tmp_path / "outp")
+    ingest = _ingest_batch(spark, index_dir, out_dir, run_key="mig")
+    docs = spark.createDataFrame(
+        [("a", "alpha text"), ("b", "beta text")], ["doc_id", "text"]
+    )
+    ingest(docs, 5)
+    # Rewrite the whole index to the PRE-UPGRADE stamp format
+    old = spark.read.parquet(index_dir).withColumn(
+        "epoch", F.regexp_replace("epoch", "/0+(\\d)", "/$1")
+    ).collect()
+    import shutil as _sh
+    _sh.rmtree(index_dir)
+    spark.createDataFrame(old).write.parquet(index_dir)
+    assert all(r.epoch.endswith("/5") for r in spark.read.parquet(index_dir).collect())
+
+    # Replay batch 5: must see the PRE-batch state (empty), i.e. both docs
+    # survive again, not an empty survivor set.
+    ingest(docs, 5)
+    out = spark.read.parquet(f"{out_dir}/epoch=*")
+    assert out.count() == 2
+
+    # Mixed-format index now holds '/5' and '/0000000005' rows per hash;
+    # a forged later batch must LOSE to both under numeric ordering.
+    forged = (
+        spark.read.parquet(index_dir)
+        .limit(1)
+        .withColumn("epoch", F.regexp_replace("epoch", "/0*5$", "/0000000012"))
+    )
+    forged.write.mode("append").parquet(index_dir)
+    compact_dedup_index(spark, index_dir)
+    for r in spark.read.parquet(index_dir).collect():
+        # batch 5 wins in EITHER stamp format; the forged batch 12 never
+        assert int(r.epoch.split("/")[1]) == 5, r

@@ -1,10 +1,15 @@
 """One-off stage decomposition of q_join3_topk at the bench tier.
 
-Times, under the exact bench session conf:
+Times, under the exact bench session conf, interleaved round-robin so
+every variant samples the same host weather:
   A. the dims sub-plan alone (orders(date) left-semi customer(BUILDING))
   B. dims + an explicit broadcast build (what the probe stage waits on)
-  C. the full query (registry plan)
-  D. full query with dims pre-collected into a local-relation broadcast
+  C. the full query (registry plan: broadcast dims → fact probe → agg →
+     TakeOrdered)
+  D. pre-agg-then-probe: revenue per l_orderkey aggregated BEFORE the
+     dims join (zero-exchange on the co-partitioned cache)
+  E. single-job one-sided SHJ: dims shuffled onto the fact's existing
+     l_orderkey layout instead of broadcast (no driver collect)
 so C - B isolates the fact-probe+agg+topk stage and B - A the broadcast
 collect/build. Diagnostic tool, not part of the bench contract.
 """
