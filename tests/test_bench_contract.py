@@ -39,3 +39,8 @@ def test_bench_emits_single_json_line_with_contract_keys():
     # Every headline query must have produced a number (none silently failed).
     assert payload["n_queries"] == len(payload["queries"]) == 12
     assert all(v >= 0 for v in payload["queries"].values())
+    # Same-host DuckDB provenance (r10): every headline query carries a
+    # same-run oracle timing so per-query ratios are weather-attributable.
+    assert set(payload["duckdb_same_host"]) == set(payload["queries"])
+    assert all(v > 0 for v in payload["duckdb_same_host"].values())
+    assert payload["duckdb_same_host_total"] > 0
