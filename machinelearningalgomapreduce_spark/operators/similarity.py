@@ -8,10 +8,11 @@ Two paths, same semantics:
   tie-break, so the top-k set is engine-independent.
 - q_sim_ann — IVF-style cell-pruned search: vectors are bucketed to their
   nearest seeded centroid (the coarse quantizer; reuses the k-means
-  assignment), queries probe ONLY their own cell. At 100 TB the centroid
-  set is broadcast, the corpus is hash-partitioned by cell, and each probe
-  touches 1/k of the data — candidate generation is linear, never
-  all-pairs. (The same shape backs q_dedup_embedding at scale.)
+  assignment), queries probe their ANN_NPROBE nearest cells (default 2).
+  At 100 TB the centroid set is broadcast, the corpus is hash-partitioned
+  by cell, and each probe touches n_probe/k of the data — candidate
+  generation is linear, never all-pairs. (The same shape backs
+  q_dedup_embedding at scale.)
 
 Both are exact sql-oracle checks — the IVF pruning is deterministic
 because the quantizer (rounded centroids, rounded distances, id
@@ -38,6 +39,11 @@ TOPK_PAIRS = 20
 ANN_QUERY_STRIDE = 100
 ANN_K = 3
 ANN_NPROBE = 2
+# Perfect-order DCG denominator, derived from ANN_K so the oracle tracks a
+# k change instead of silently diverging (r10 review).
+_IDCG_SQL = " + ".join(
+    f"{ANN_K - p + 1}.0 / log2({p + 1}.0)" for p in range(1, ANN_K + 1)
+)
 # Above this tier the O(n²) brute pair scans REFUSE to run and route to the
 # cell-pruned plan instead (VERDICT r4 item 5: the scale path must be
 # enforced by code, not prose). Fixture tiers (≤ sf0.1) stay brute — the
@@ -213,31 +219,17 @@ def learned_ivf_ann(
 
 def ann_recall_frame(spark: SparkSession, sf_dir: str, ann: DataFrame) -> DataFrame:
     """Recall@k of ANY ANN result frame (query_id, neighbor_id) against the
-    exact brute-force top-k — q_sim_recall's harness, reusable for the
-    learned-quantizer variant."""
-    t = load_tables(spark, sf_dir)
-    e = t.embeddings.select(
-        "vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm")
+    exact brute-force top-k (_brute_topk — the shared ground-truth set of
+    the whole ranking-eval family) — q_sim_recall's harness, reusable for
+    the learned-quantizer variant. Duplicate (query_id, neighbor_id) rows
+    in the supplied frame (e.g. a multi-probe variant that keeps per-cell
+    rows) are deduplicated, never double-counted."""
+    brute = _brute_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        ann.select("query_id", "neighbor_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    q = e.filter(F.col("vec_id") % ANN_QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.col("vnorm").alias("qnorm"),
-    )
-    cos = F.round(
-        dot(F.col("qv"), F.col("embedding"), EMBEDDING_DIM)
-        / (F.col("qnorm") * F.col("vnorm")),
-        6,
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
-    brute = (
-        F.broadcast(q)
-        .join(e, F.col("query_id") != F.col("vec_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= ANN_K)
-    )
-    hits = ann.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
     return (
         brute.join(hits, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
@@ -279,32 +271,10 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to q_sim_recall — brute truth on the query
     sample only, model-sized joins after."""
-    t = load_tables(spark, sf_dir)
-    e = t.embeddings.select(
-        "vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm")
-    )
-    q = e.filter(F.col("vec_id") % ANN_QUERY_STRIDE == 0).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qv"),
-        F.col("vnorm").alias("qnorm"),
-    )
-    cos = F.round(
-        dot(F.col("qv"), F.col("embedding"), EMBEDDING_DIM)
-        / (F.col("qnorm") * F.col("vnorm")),
-        6,
-    )
-    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
-    brute = (
-        F.broadcast(q)
-        .join(e, F.col("query_id") != F.col("vec_id"))
-        .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
-        .withColumn("brute_rank", F.row_number().over(w))
-        .filter(F.col("brute_rank") <= ANN_K)
-        .select(
-            "query_id",
-            "neighbor_id",
-            (ANN_K - F.col("brute_rank") + 1).alias("rel"),
-        )
+    brute = _brute_topk(spark, sf_dir).select(
+        "query_id",
+        "neighbor_id",
+        (ANN_K - F.col("brute_rank") + 1).alias("rel"),
     )
     ann = q_sim_ann(spark, sf_dir).select("query_id", "neighbor_id", "rank")
     gain = F.coalesce(F.col("rel"), F.lit(0)).cast("double") / F.log2(
@@ -349,6 +319,8 @@ def brp_lsh_neighbors(
         inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
     ).fit(data)
     key = data.filter(F.col("vec_id") == key_id).first()
+    if key is None:
+        raise ValueError(f"vec_id {key_id} not present in the embeddings table")
     return lsh.approxNearestNeighbors(data, key.features, k + 1).filter(
         F.col("vec_id") != key_id
     )
@@ -597,7 +569,7 @@ ORACLES = {
         )
         SELECT qq.query_id,
                round(coalesce(d.dcg, 0.0)
-                     / (0.0 + 3.0 / log2(2.0) + 2.0 / log2(3.0) + 1.0 / log2(4.0)),
+                     / ({_IDCG_SQL}),
                      6) AS ndcg
         FROM (SELECT DISTINCT query_id FROM rel) qq
         LEFT JOIN dcg d USING (query_id)
@@ -823,7 +795,6 @@ def q_jl_project(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: a pure per-row projection the scan carries — no
     shuffle, no Python, O(in_dim·out_dim) literal multiplies per row."""
     from machinelearningalgomapreduce_spark.functions.vectors import random_project
-    from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
 
     t = load_tables(spark, sf_dir)
     proj = random_project(F.col("embedding"), JL_SEED, JL_OUT_DIM, EMBEDDING_DIM)
@@ -975,9 +946,6 @@ def q_calinski(spark: SparkSession, sf_dir: str) -> DataFrame:
     by labels × dims — and one per-row norm aggregate; the global sums
     fold from the PER-LABEL frame (O(k·d) rows), so the corpus is
     scanned once and shuffles only compact partials."""
-    from machinelearningalgomapreduce_spark.functions.vectors import sq_norm
-    from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
-
     t = load_tables(spark, sf_dir)
     dec6 = lambda c: F.round(c, 6).cast("decimal(18,6)")  # noqa: E731
     coord = (
@@ -1143,20 +1111,36 @@ def pq_fit(
         .localCheckpoint()
     )
     errors: list[float] = []
-    for i in range(n_iter):
-        assigned = pq_assign(data, cents)
-        errors.append(assigned.agg(F.sum("d2")).first()[0])
-        cents = (
-            assigned.join(data, ["vec_id", "sub"])
-            .select("sub", "code", F.posexplode("sv").alias("d", "x"))
-            .groupBy("sub", "code", "d")
-            .agg(F.round(F.avg("x"), 6).alias("c"))
-            .groupBy("sub", "code")
-            .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
-            .select("sub", "code", F.transform("dc", lambda s: s["c"]).alias("centroid"))
-            .localCheckpoint()
-        )
-    return cents, errors
+    try:
+        for i in range(n_iter):
+            # persist the assignment: the error read AND the centroid
+            # recompute both consume it — uncached it would run the
+            # broadcast-codebook job twice per iteration (r10 review)
+            assigned = pq_assign(data, cents).persist()
+            # DECIMAL(18,6) sum: order-free exact total, so the error
+            # trajectory is identical across partition layouts (the
+            # q_pq_codes discipline; d2 is already rounded to 6)
+            errors.append(
+                float(
+                    assigned.agg(
+                        F.sum(F.col("d2").cast("decimal(18,6)"))
+                    ).first()[0]
+                )
+            )
+            cents = (
+                assigned.join(data, ["vec_id", "sub"])
+                .select("sub", "code", F.posexplode("sv").alias("d", "x"))
+                .groupBy("sub", "code", "d")
+                .agg(F.round(F.avg("x"), 6).alias("c"))
+                .groupBy("sub", "code")
+                .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+                .select("sub", "code", F.transform("dc", lambda s: s["c"]).alias("centroid"))
+                .localCheckpoint()
+            )
+            assigned.unpersist()
+        return cents, errors
+    finally:
+        data.unpersist()
 
 
 def _brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1188,7 +1172,7 @@ def _brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
         .withColumn("brute_rank", F.row_number().over(w))
         .filter(F.col("brute_rank") <= ANN_K)
-        .select("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id", "brute_rank")
     )
 
 
