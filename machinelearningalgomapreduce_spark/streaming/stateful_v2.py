@@ -392,6 +392,79 @@ def user_type_mix_tws(events: DataFrame) -> DataFrame:
     )
 
 
+RECENT_N = 5
+
+_RECENT_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("us", T.LongType()),
+        T.StructField("event_id", T.LongType()),
+        T.StructField("cents", T.LongType()),
+    ]
+)
+
+RECENT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_recent", T.LongType()),
+        T.StructField("recent_cents", T.LongType()),
+        T.StructField("max_cents", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+    ]
+)
+
+
+class UserRecentWindowProcessor(StatefulProcessor):
+    """Per-user LAST-N rolling window via LIST STATE — the remaining
+    transformWithState state-variable type (value/map/timer ship above):
+    state is the newest RECENT_N (us, event_id, cents) rows per user,
+    kept sorted by (us, event_id) so late events within a batch or
+    across batches displace older rows deterministically. RocksDB-backed
+    list state appends without rewriting the whole value at scale; the
+    put() here rewrites ≤ N tuples — O(1) per key by the cap. Emits the
+    rolling (count, exact integer cents sum, max, last seen) per user
+    per micro-batch. Batch twin: row_number over (us desc, event_id
+    desc) ≤ N, then the same aggregate — exact integers both sides."""
+
+    def init(self, handle: StatefulProcessorHandle) -> None:
+        self._recent = handle.getListState("recent", _RECENT_STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
+        kept = [tuple(t) for t in self._recent.get()] if self._recent.exists() else []
+        for pdf in rows:
+            kept.extend(
+                (int(u), int(e), int(c))
+                for u, e, c in zip(pdf["us"], pdf["event_id"], pdf["cents"])
+            )
+        kept.sort()
+        kept = kept[-RECENT_N:]
+        self._recent.put(kept)
+        (user_id,) = key
+        yield pd.DataFrame(
+            {
+                "user_id": [int(user_id)],
+                "n_recent": [len(kept)],
+                "recent_cents": [sum(c for _u, _e, c in kept)],
+                "max_cents": [max(c for _u, _e, c in kept)],
+                "last_us": [kept[-1][0]],
+            }
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def user_recent_window_tws(events: DataFrame) -> DataFrame:
+    """Streaming per-user last-N window via transformWithStateInPandas
+    ListState. Input needs (user_id, us, event_id, cents); emits the
+    rolling window aggregate for every key seen in each micro-batch."""
+    return events.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=UserRecentWindowProcessor(),
+        outputStructType=RECENT_OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
 def sessionize_tws(events: DataFrame, watermark_delay: str = "30 seconds") -> DataFrame:
     """Timer-closed sessionization stream. Input needs (user_id, ts); the
     event-time column feeds the watermark, `us` (epoch micros) the fold."""

@@ -500,3 +500,142 @@ def test_fold_ewma_control_chunk_invariant(xs, cuts):
     whole = fold_ewma_control(EWC_ZERO_STATE, xs)
     chunked = _chunked_fold(fold_ewma_control, EWC_ZERO_STATE, xs, cuts)
     assert whole == chunked
+
+
+class _FakeListState:
+    def __init__(self) -> None:
+        self._l: list = []
+
+    def exists(self) -> bool:
+        return bool(self._l)
+
+    def get(self):
+        return iter(list(self._l))
+
+    def put(self, new_state) -> None:
+        self._l = [tuple(t) for t in new_state]
+
+    def appendValue(self, value) -> None:
+        self._l.append(tuple(value))
+
+    def appendList(self, values) -> None:
+        self._l.extend(tuple(v) for v in values)
+
+    def clear(self) -> None:
+        self._l.clear()
+
+
+class _FakeListHandle:
+    def __init__(self) -> None:
+        self.states: dict = {}
+
+    def getListState(self, name, schema, ttl_duration_ms=None):
+        return self.states.setdefault(name, _FakeListState())
+
+
+def test_tws_user_recent_window_matches_batch(spark, sf_dir):
+    """ListState family member (the last state-variable type): the
+    per-user last-N rolling window must equal the batch row_number-over-
+    (us desc, event_id desc) ≤ N aggregate — exact integers both sides.
+    Dual mode, never a skip."""
+    import importlib.util
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window as W
+
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+    from machinelearningalgomapreduce_spark.streaming import windows as sw
+    from machinelearningalgomapreduce_spark.streaming.stateful_v2 import (
+        RECENT_N,
+        UserRecentWindowProcessor,
+        user_recent_window_tws,
+    )
+
+    events = load_tables(spark, sf_dir).events.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.round(F.col("value") * 100).cast("long").alias("cents"),
+    )
+    w = W.partitionBy("user_id").orderBy(F.desc("us"), F.desc("event_id"))
+    batch = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= RECENT_N)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_recent"),
+            F.sum("cents").alias("recent_cents"),
+            F.max("cents").alias("max_cents"),
+            F.max("us").alias("last_us"),
+        )
+    )
+    expected = {
+        r.user_id: (r.n_recent, r.recent_cents, r.max_cents, r.last_us)
+        for r in batch.collect()
+    }
+
+    try:
+        has_protobuf = importlib.util.find_spec("google.protobuf") is not None
+    except ModuleNotFoundError:
+        has_protobuf = False
+
+    if has_protobuf:
+        stream = sw.stream_events(spark, sf_dir).select(
+            "user_id",
+            F.unix_micros("ts").alias("us"),
+            "event_id",
+            F.round(F.col("value") * 100).cast("long").alias("cents"),
+        )
+        out = sw.run_to_memory(
+            user_recent_window_tws(stream), "t_recent_tws", output_mode="update"
+        )
+        got = {
+            r.user_id: (r.n_recent, r.recent_cents, r.max_cents, r.last_us)
+            for r in out.orderBy("last_us").collect()
+        }
+    else:
+        rows = events.toPandas()
+        got = {}
+        for uid, pdf in rows.groupby("user_id"):
+            proc = UserRecentWindowProcessor()
+            proc.init(_FakeListHandle())
+            pdf = pdf.sort_values(["us", "event_id"]).reset_index(drop=True)
+            emitted = None
+            n_chunks = 3
+            for i in range(n_chunks):  # chronological micro-batches
+                lo = len(pdf) * i // n_chunks
+                hi = len(pdf) * (i + 1) // n_chunks
+                batch_pdf = pdf.iloc[lo:hi]
+                if batch_pdf.empty:
+                    continue
+                for out_pdf in proc.handleInputRows((uid,), [batch_pdf], None):
+                    emitted = out_pdf
+            r = emitted.iloc[0]
+            got[uid] = (r.n_recent, r.recent_cents, r.max_cents, r.last_us)
+    assert set(got) == set(expected)
+    for uid in expected:
+        assert got[uid] == expected[uid], uid
+
+
+def test_tws_user_recent_window_late_event_displacement(spark):
+    """A late (old) event arriving after newer ones must NOT displace a
+    newer row once the window is full — the sorted-cap semantics."""
+    import pandas as pd
+
+    from machinelearningalgomapreduce_spark.streaming.stateful_v2 import (
+        RECENT_N,
+        UserRecentWindowProcessor,
+    )
+
+    proc = UserRecentWindowProcessor()
+    proc.init(_FakeListHandle())
+    fresh = pd.DataFrame(
+        {"us": [10, 20, 30, 40, 50], "event_id": [1, 2, 3, 4, 5],
+         "cents": [100, 200, 300, 400, 500]}
+    )
+    [out1] = list(proc.handleInputRows((7,), [fresh], None))
+    assert out1.iloc[0].n_recent == RECENT_N and out1.iloc[0].recent_cents == 1500
+    late = pd.DataFrame({"us": [5], "event_id": [0], "cents": [9999]})
+    [out2] = list(proc.handleInputRows((7,), [late], None))
+    # the late event sorts below every kept row and is evicted immediately
+    assert out2.iloc[0].recent_cents == 1500 and out2.iloc[0].max_cents == 500
