@@ -1,0 +1,148 @@
+"""IVFIndexView: the persisted IVF index must equal the recomputed
+assignment/query path, survive replays and crashes, prune its scans to
+the probed cells, and keep old versions readable until vacuum."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from machinelearningalgomapreduce_spark.operators.ivf_index import IVFIndexView
+from machinelearningalgomapreduce_spark.operators.ml import label_centroids
+from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+from tests.conftest import SMOKE_SF_DIR
+
+DIM = 64
+
+
+def _centroids(spark):
+    t = load_tables(spark, SMOKE_SF_DIR)
+    return [
+        (r.label, list(r.centroid))
+        for r in label_centroids(t.embeddings).collect()
+    ]
+
+
+def _batches(spark, n=3):
+    e = load_tables(spark, SMOKE_SF_DIR).embeddings.select("vec_id", "embedding")
+    return e, [e.filter(F.pmod("vec_id", F.lit(n)) == i) for i in range(n)]
+
+
+def test_index_state_equals_recomputed_assignment(spark, tmp_path):
+    full, batches = _batches(spark)
+    idx = IVFIndexView(str(tmp_path / "ivf"), _centroids(spark), dim=DIM)
+    for i, b in enumerate(batches):
+        assert idx.refresh(spark, b, batch_id=f"b{i}") is True
+    got = {(r.vec_id, r.cell) for r in idx.read(spark).collect()}
+    want = {(r.vec_id, r.cell) for r in idx.assign_cells(spark, full).collect()}
+    assert got == want and len(got) == full.count()
+
+
+def test_replay_is_noop_and_compact_preserves_state(spark, tmp_path):
+    _, batches = _batches(spark)
+    idx = IVFIndexView(str(tmp_path / "ivf"), _centroids(spark), dim=DIM)
+    for i, b in enumerate(batches):
+        idx.refresh(spark, b, batch_id=f"b{i}")
+    v = idx.current_version()
+    assert idx.refresh(spark, batches[0], batch_id="b0") is False
+    assert idx.current_version() == v
+    before = {(r.vec_id, r.cell) for r in idx.read(spark).collect()}
+    assert idx.compact(spark) == 1
+    assert len(idx.segments()) == 1
+    assert {(r.vec_id, r.cell) for r in idx.read(spark).collect()} == before
+    assert idx.compact(spark) == 0  # single segment: no-op
+
+
+def test_query_matches_recomputed_ivf_search(spark, tmp_path):
+    """Index-backed search ≡ the same multi-probe IVF search recomputed
+    from scratch on the same centroids (the q_sim_ann-shaped expected
+    side, built from assign_cells + a brute per-probed-cell top-k)."""
+    full, batches = _batches(spark)
+    idx = IVFIndexView(str(tmp_path / "ivf"), _centroids(spark), dim=DIM, n_probe=2)
+    for i, b in enumerate(batches):
+        idx.refresh(spark, b, batch_id=f"b{i}")
+    queries = full.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r.query_id, r.rank): r.neighbor_id
+        for r in idx.query(spark, queries, k=3).collect()
+    }
+
+    # expected: per query, probe the 2 nearest centroids, rank candidates
+    # from the recomputed assignment by (rounded cosine desc, id)
+    import math
+
+    cents = _centroids(spark)
+    assign = {r.vec_id: r.cell for r in idx.assign_cells(spark, full).collect()}
+    vecs = {r.vec_id: list(r.embedding) for r in full.collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return round(d / (math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))), 6)
+
+    want = {}
+    for qid in [r.query_id for r in queries.collect()]:
+        qv = vecs[qid]
+        by_cell = sorted(
+            cents,
+            key=lambda c: (round(sum((x - y) ** 2 for x, y in zip(qv, c[1])), 6), c[0]),
+        )[:2]
+        probed = {c[0] for c in by_cell}
+        cands = [v for v in vecs if v != qid and assign[v] in probed]
+        ranked = sorted(cands, key=lambda v: (-cos(qv, vecs[v]), v))[:3]
+        for pos, nid in enumerate(ranked, start=1):
+            want[(qid, pos)] = nid
+    assert got == want
+
+
+def test_query_scan_is_partition_pruned(spark, tmp_path):
+    """The probed-cell filter must reach the segment scans as a PARTITION
+    filter — the executed plan reads only the probed cells' directories."""
+    full, batches = _batches(spark)
+    idx = IVFIndexView(str(tmp_path / "ivf"), _centroids(spark), dim=DIM, n_probe=2)
+    for i, b in enumerate(batches):
+        idx.refresh(spark, b, batch_id=f"b{i}")
+    queries = full.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = idx.query(spark, queries, k=3)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [cell" in plan.replace("#", " #").replace(
+        "cell #", "cell#"
+    ) or "PartitionFilters" in plan and "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_spec_guard_and_version_travel_and_vacuum(spark, tmp_path):
+    _, batches = _batches(spark)
+    cents = _centroids(spark)
+    idx = IVFIndexView(str(tmp_path / "ivf"), cents, dim=DIM)
+    idx.refresh(spark, batches[0], batch_id="b0")
+    v1 = {(r.vec_id, r.cell) for r in idx.read(spark, version=1).collect()}
+    idx.refresh(spark, batches[1], batch_id="b1")
+    assert {(r.vec_id, r.cell) for r in idx.read(spark, version=1).collect()} == v1
+    with pytest.raises(ValueError, match="not committed"):
+        idx.read(spark, version=9)
+
+    # a different quantizer at the same path must be rejected loudly
+    other = [(lbl, [x + 1.0 for x in vec]) for lbl, vec in cents]
+    with pytest.raises(ValueError, match="different"):
+        IVFIndexView(str(tmp_path / "ivf"), other, dim=DIM).refresh(
+            spark, batches[2], batch_id="b2"
+        )
+
+    idx.compact(spark)
+    removed = idx.vacuum(keep_last=1)
+    assert removed
+    with pytest.raises(FileNotFoundError):
+        idx.read(spark, version=1)
+
+
+def test_constructor_validation(spark):
+    with pytest.raises(ValueError, match="at least one centroid"):
+        IVFIndexView("/tmp/x", [], dim=DIM)
+    with pytest.raises(ValueError, match="n_probe"):
+        IVFIndexView("/tmp/x", [(0, [0.0] * DIM)], dim=DIM, n_probe=0)
+    with pytest.raises(ValueError, match="dim"):
+        IVFIndexView("/tmp/x", [(0, [0.0] * 3)], dim=DIM)
