@@ -146,3 +146,30 @@ def test_constructor_validation(spark):
         IVFIndexView("/tmp/x", [(0, [0.0] * DIM)], dim=DIM, n_probe=0)
     with pytest.raises(ValueError, match="dim"):
         IVFIndexView("/tmp/x", [(0, [0.0] * 3)], dim=DIM)
+
+
+def test_index_maintained_from_a_stream(spark, tmp_path):
+    """Composition with the streaming MV maintainer: embeddings streamed
+    through mv_ingest_stream land in the index exactly once (content-
+    keyed ledger), and a fresh-checkpoint full replay changes nothing."""
+    from machinelearningalgomapreduce_spark.operators.matview import mv_ingest_stream
+
+    full, _ = _batches(spark)
+    src = str(tmp_path / "src")
+    full.repartition(3).write.parquet(src)
+    idx = IVFIndexView(str(tmp_path / "ivf_s"), _centroids(spark), dim=DIM)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = mv_ingest_stream(spark, stream, idx, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    state = {(r.vec_id, r.cell) for r in idx.read(spark).collect()}
+    assert len(state) == full.count()
+    # fresh checkpoint → every epoch redelivered → ledger must no-op all
+    q2 = mv_ingest_stream(spark, stream, idx, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    assert {(r.vec_id, r.cell) for r in idx.read(spark).collect()} == state
+    want = {(r.vec_id, r.cell) for r in idx.assign_cells(spark, full).collect()}
+    assert state == want
