@@ -57,14 +57,24 @@ class IVFIndexView:
         centroids: list[tuple[int, list[float]]],
         dim: int,
         n_probe: int = 2,
+        compact_at: int = 8,
     ) -> None:
         if not centroids:
             raise ValueError("IVFIndexView needs at least one centroid")
         if n_probe < 1:
             raise ValueError(f"n_probe must be >= 1, got {n_probe}")
+        if compact_at < 2:
+            raise ValueError(f"compact_at must be >= 2, got {compact_at}")
+        labels = [label for label, _vec in centroids]
+        if len(set(labels)) != len(labels):
+            raise ValueError("duplicate centroid labels: cells must be unique")
         self.path = path
         self.dim = int(dim)
         self.n_probe = int(n_probe)
+        # refresh(compact=True) triggers a full-merge compaction only once
+        # this many segments are live — the index compact is a WHOLE-index
+        # rewrite, so running it per batch would be quadratic ingest
+        self.compact_at = int(compact_at)
         # rounded to 6 before pinning: the spec must be bit-stable across
         # writers (the label_centroids determinism discipline)
         self.centroids = [
@@ -153,55 +163,92 @@ class IVFIndexView:
         )
 
     def assign_cells(self, spark: SparkSession, vectors: DataFrame) -> DataFrame:
-        """(vec_id, cell, embedding): each vector's nearest pinned centroid
-        — rounded squared distance, cell-id tie-break (deterministic). One
-        k-row broadcast crossJoin + a min_by hash aggregate; the join back
-        re-attaches the embedding without shuffling the vectors."""
-        cents = F.broadcast(self._centroids_df(spark))
-        d2 = F.round(sq_dist(F.col("embedding"), F.col("centroid"), self.dim), 6)
-        best = (
-            vectors.select("vec_id", "embedding")
-            .crossJoin(cents)
-            .select("vec_id", "cell", d2.alias("d2"))
-            .groupBy("vec_id")
-            .agg(F.min_by("cell", F.struct("d2", "cell")).alias("cell"))
+        """(vec_id, embedding, cell): each vector's nearest pinned centroid
+        — ml.assign_nearest's measured argmin plan (rounded squared
+        distance, cell-id tie-break), with the label threading disabled
+        (keep=()); the join back re-attaches the embedding without
+        shuffling the vectors."""
+        from machinelearningalgomapreduce_spark.operators.ml import assign_nearest
+
+        cents = self._centroids_df(spark).select(
+            F.col("cell").alias("label"), "centroid"
         )
+        best = assign_nearest(
+            vectors.select("vec_id", "embedding"), cents, self.dim, keep=()
+        ).select("vec_id", F.col("cluster").alias("cell"))
         return vectors.select("vec_id", "embedding").join(best, "vec_id")
 
     # ---- maintenance -----------------------------------------------------
-    def refresh(self, spark: SparkSession, delta: DataFrame, batch_id: str) -> bool:
+    def refresh(
+        self, spark: SparkSession, delta: DataFrame, batch_id: str,
+        compact: bool = True,
+    ) -> bool:
         """Append one delta of vectors as a cell-partitioned segment
         (O(delta) — existing index state is never read or rewritten).
-        Returns False (no-op) for an already-applied batch_id."""
+        Returns False (no-op) for an already-applied batch_id.
+
+        A re-sent vec_id lands as a second row (upsert-at-compaction:
+        ``compact`` keeps the NEWEST row per vec_id; until then query()
+        resolves duplicates newest-wins within its probed cells, but a
+        vector that MOVED cells may still surface its stale row when
+        only the old cell is probed — compact promptly after updates).
+
+        An EMPTY delta advances only the ledger: a dynamic-partition
+        write of zero rows emits no parquet files, and committing such a
+        segment would break every later read's schema inference.
+
+        ``compact=True`` (the mv_ingest_stream contract) runs the
+        full-merge compaction only once ``compact_at`` segments are live;
+        ``compact=False`` defers entirely to an explicit maintenance
+        call (mv_ingest_stream's compact_every schedule)."""
         self._check_or_write_spec()
         applied = self.applied_batches()
         if batch_id in applied:
             return False
         name = f"seg-{self._next_seg_id():08d}"
+        seg_dir = os.path.join(self.path, name)
+        # deterministic within-batch dedup: a vec_id sent twice in ONE
+        # delta keeps the array-max embedding (arrays compare
+        # lexicographically), so the segment never depends on row order
+        delta = delta.groupBy("vec_id").agg(F.max("embedding").alias("embedding"))
         (
             self.assign_cells(spark, delta)
             .write.partitionBy("cell")
             .mode("error")
-            .parquet(os.path.join(self.path, name))
+            .parquet(seg_dir)
         )
-        self._commit([*self.segments(), name], [*applied, batch_id])
+        wrote_rows = any(
+            f.endswith(".parquet")
+            for _root, _dirs, files in os.walk(seg_dir)
+            for f in files
+        )
+        if wrote_rows:
+            self._commit([*self.segments(), name], [*applied, batch_id])
+        else:
+            shutil.rmtree(seg_dir)
+            self._commit(self.segments(), [*applied, batch_id])
+        if compact and len(self.segments()) >= self.compact_at:
+            self.compact(spark)
         return True
 
     def compact(self, spark: SparkSession) -> int:
-        """Merge ALL live segments into one cell-partitioned segment (a
-        row-level union rewrite — assignments are immutable facts, no
-        re-quantization). No-op below 2 segments. Old versions stay
-        time-travel-resolvable until vacuum."""
+        """Merge ALL live segments into one cell-partitioned segment,
+        resolving duplicate vec_ids to the NEWEST row (max manifest
+        position — the upsert-at-compaction promise). No-op below 2
+        segments. Old versions stay time-travel-resolvable until vacuum."""
         self._check_or_write_spec()
         segs = self.segments()
         if len(segs) < 2:
             return 0
         name = f"seg-{self._next_seg_id():08d}"
-        (
-            self._union_segments(spark, segs)
-            .write.partitionBy("cell")
-            .mode("error")
-            .parquet(os.path.join(self.path, name))
+        resolved = (
+            self._union_segments(spark, segs, with_order=True)
+            .groupBy("vec_id")
+            .agg(F.max_by(F.struct("embedding", "cell"), "_seg").alias("r"))
+            .select("vec_id", "r.embedding", "r.cell")
+        )
+        resolved.write.partitionBy("cell").mode("error").parquet(
+            os.path.join(self.path, name)
         )
         self._commit([name], self.applied_batches())
         return 1
@@ -230,17 +277,26 @@ class IVFIndexView:
         return removed
 
     # ---- reads -----------------------------------------------------------
-    def _union_segments(self, spark: SparkSession, segs: list[str]) -> DataFrame:
-        dfs = [
-            spark.read.parquet(os.path.join(self.path, s)) for s in segs
-        ]
+    def _union_segments(
+        self, spark: SparkSession, segs: list[str], with_order: bool = False
+    ) -> DataFrame:
+        """Union of segment scans; ``with_order`` adds ``_seg`` (the
+        manifest position — recency order) for newest-wins resolution."""
+        dfs = []
+        for i, s in enumerate(segs):
+            d = spark.read.parquet(os.path.join(self.path, s))
+            if with_order:
+                d = d.withColumn("_seg", F.lit(i))
+            dfs.append(d)
         out = dfs[0]
         for d in dfs[1:]:
             out = out.unionByName(d)
         return out
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
-        """The indexed corpus (vec_id, embedding, cell) at ``version``."""
+        """The indexed corpus (vec_id, embedding, cell) at ``version``.
+        Plain segment union: a vec_id re-ingested since the last compact
+        appears once per ingest (see refresh — upsert-at-compaction)."""
         self._check_or_write_spec()
         v = self.current_version() if version is None else version
         if v == 0:
@@ -249,17 +305,38 @@ class IVFIndexView:
             raise ValueError(
                 f"version {v} not committed (current={self.current_version()})"
             )
-        return self._union_segments(spark, self.segments(v))
+        segs = self.segments(v)
+        if not segs:  # only empty deltas applied so far
+            return spark.createDataFrame(
+                [], "vec_id long, embedding array<double>, cell bigint"
+            )
+        return self._union_segments(spark, segs)
 
     def query(
-        self, spark: SparkSession, queries: DataFrame, k: int = 3
+        self,
+        spark: SparkSession,
+        queries: DataFrame,
+        k: int = 3,
+        exclude_self: bool = True,
     ) -> DataFrame:
         """Top-k cosine neighbors per query row (query_id, embedding),
         searching only each query's ``n_probe`` nearest cells. The cell
         filter lands on the segment scans as a PARTITION filter, so the
         read touches ~n_probe/k of the index regardless of corpus size.
         Output: (query_id, neighbor_id, cell, cos_sim, rank) — the
-        q_sim_ann contract."""
+        q_sim_ann contract.
+
+        The probe set (query vectors × their probed cells — sample-sized
+        by the ANN audit envelope) is computed ONCE and shipped back as a
+        local relation: evaluating the caller's query lineage twice would
+        waste its plan and, for nondeterministic sources, let the
+        collected cell list disagree with a re-evaluated probe.
+        Duplicate index rows for one vec_id (re-ingested before the next
+        compact) resolve newest-wins here. ``exclude_self`` drops
+        candidates whose vec_id EQUALS the query_id — correct when query
+        ids live in the corpus id space (the q_sim_ann contract); pass
+        False for an external query id space, where a coincidental id
+        match would silently drop a legitimate neighbor."""
         cents = F.broadcast(self._centroids_df(spark))
         qd2 = F.round(sq_dist(F.col("qv"), F.col("centroid"), self.dim), 6)
         wq = W.partitionBy("query_id").orderBy("dist2", "cell")
@@ -268,37 +345,50 @@ class IVFIndexView:
             F.col("embedding").alias("qv"),
             norm(F.col("embedding"), self.dim).alias("qnorm"),
         )
-        probe = (
+        probe_plan = (
             q.crossJoin(cents)
             .select("query_id", "qv", "qnorm", "cell", qd2.alias("dist2"))
             .withColumn("rn", F.row_number().over(wq))
             .filter(F.col("rn") <= self.n_probe)
             .select("query_id", "qv", "qnorm", F.col("cell").alias("pcell"))
         )
-        probed_cells = [
-            r.pcell for r in probe.select("pcell").distinct().collect()
-        ]
+        probe_rows = probe_plan.collect()
+        # schema taken from the plan, not hardcoded — query_id keeps the
+        # caller's type (external id spaces may not be long)
+        probe = spark.createDataFrame(probe_rows, probe_plan.schema)
+        probed_cells = sorted({r.pcell for r in probe_rows})
+        segs = self.segments()
+        if not probe_rows or not segs:  # no queries, or an all-empty index
+            return spark.createDataFrame(
+                [],
+                "query_id long, neighbor_id long, cell bigint, "
+                "cos_sim double, rank int",
+            )
         # the isin literal list reaches every segment scan as a partition
         # filter — only the probed cells' directories are read
-        corpus = self.read(spark).filter(F.col("cell").isin(probed_cells))
-        corpus = corpus.select(
-            F.col("vec_id").alias("neighbor_id"),
-            "cell",
-            F.col("embedding").alias("nv"),
-            norm(F.col("embedding"), self.dim).alias("vnorm"),
+        corpus = (
+            self._union_segments(spark, segs, with_order=True)
+            .filter(F.col("cell").isin(probed_cells))
+            .groupBy("vec_id")
+            .agg(F.max_by(F.struct("embedding", "cell"), "_seg").alias("r"))
+            .select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("r.cell").alias("cell"),
+                F.col("r.embedding").alias("nv"),
+                norm(F.col("r.embedding"), self.dim).alias("vnorm"),
+            )
         )
         cos = F.round(
             dot(F.col("qv"), F.col("nv"), self.dim)
             / (F.col("qnorm") * F.col("vnorm")),
             6,
         )
+        cond = F.col("pcell") == F.col("cell")
+        if exclude_self:
+            cond = cond & (F.col("query_id") != F.col("neighbor_id"))
         w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
         return (
-            probe.join(
-                corpus,
-                (F.col("pcell") == F.col("cell"))
-                & (F.col("query_id") != F.col("neighbor_id")),
-            )
+            F.broadcast(probe).join(corpus, cond)
             .select("query_id", "neighbor_id", "cell", cos.alias("cos_sim"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

@@ -58,7 +58,10 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
 
 
 def assign_nearest(
-    embeddings: DataFrame, centroids: DataFrame, dim: int | None = None
+    embeddings: DataFrame,
+    centroids: DataFrame,
+    dim: int | None = None,
+    keep: tuple = ("label",),
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (squared L2, rounded;
     ties break on centroid id). centroids is broadcast — the
@@ -76,15 +79,21 @@ def assign_nearest(
 
     argmin as min_by over a (dist2, cluster) struct: a hash aggregate with
     map-side partials — cheaper than a per-key sort window, same rounded-
-    distance + cluster-id tie-break (verified identical)."""
+    distance + cluster-id tie-break (verified identical).
+
+    ``keep`` threads extra per-vector columns through the argmin
+    unchanged (default: the fixtures' label column). Pass ``keep=()``
+    for frames without one — the IVF index path (operators/ivf_index.py)
+    reuses this exact plan that way instead of re-implementing it."""
     dist2 = F.round(sq_dist(F.col("embedding"), F.col("centroid"), dim), 6)
+    keep = tuple(keep)
     scored = embeddings.crossJoin(
         F.broadcast(centroids.select(F.col("label").alias("cluster"), "centroid"))
-    ).select("vec_id", "label", "cluster", dist2.alias("dist2"))
+    ).select("vec_id", *keep, "cluster", dist2.alias("dist2"))
     return (
-        scored.groupBy("vec_id", "label")
+        scored.groupBy("vec_id", *keep)
         .agg(F.min_by(F.struct("cluster", "dist2"), F.struct("dist2", "cluster")).alias("m"))
-        .select("vec_id", "label", F.col("m.cluster").alias("cluster"), F.col("m.dist2").alias("dist2"))
+        .select("vec_id", *keep, F.col("m.cluster").alias("cluster"), F.col("m.dist2").alias("dist2"))
     )
 
 

@@ -173,3 +173,107 @@ def test_index_maintained_from_a_stream(spark, tmp_path):
     assert {(r.vec_id, r.cell) for r in idx.read(spark).collect()} == state
     want = {(r.vec_id, r.cell) for r in idx.assign_cells(spark, full).collect()}
     assert state == want
+
+
+def test_empty_delta_advances_ledger_without_bricking_reads(spark, tmp_path):
+    """A zero-row delta writes no parquet files (dynamic-partition write):
+    it must advance ONLY the ledger, never commit a schema-less segment —
+    and an index whose only batches were empty reads as an empty frame."""
+    full, batches = _batches(spark)
+    idx = IVFIndexView(str(tmp_path / "ivf_e"), _centroids(spark), dim=DIM)
+    empty = full.limit(0)
+    assert idx.refresh(spark, empty, batch_id="e0") is True
+    assert idx.applied_batches() == ["e0"]
+    assert idx.segments() == []
+    assert idx.read(spark).count() == 0
+    assert idx.query(
+        spark, full.limit(1).select(F.col("vec_id").alias("query_id"), "embedding")
+    ).count() == 0
+    # real data after the empty batch works normally
+    idx.refresh(spark, batches[0], batch_id="b0")
+    assert idx.read(spark).count() == batches[0].count()
+    # replaying the EMPTY batch id is also a no-op
+    assert idx.refresh(spark, empty, batch_id="e0") is False
+
+
+def test_reingested_vector_resolves_newest_wins(spark, tmp_path):
+    """Upsert-at-compaction: a vec_id re-sent with a MOVED embedding is
+    visible twice in read() until compact, but query() resolves to the
+    newest row, and compact() materializes exactly one (newest) row."""
+    full, _ = _batches(spark)
+    cents = _centroids(spark)
+    idx = IVFIndexView(str(tmp_path / "ivf_u"), cents, dim=DIM, n_probe=2)
+    first = full.filter(F.col("vec_id") < 100)
+    idx.refresh(spark, first, batch_id="b0")
+    # move vector 0 onto centroid 3 exactly
+    moved = spark.createDataFrame(
+        [(0, [float(x) for x in dict(cents)[3]])],
+        "vec_id long, embedding array<double>",
+    )
+    idx.refresh(spark, moved, batch_id="b1")
+    assert idx.read(spark).filter("vec_id = 0").count() == 2  # documented window
+    # a query AT centroid 3 must see the moved vector with cos 1.0
+    probe_q = spark.createDataFrame(
+        [(999, [float(x) for x in dict(cents)[3]])],
+        "query_id long, embedding array<double>",
+    )
+    got = {r.neighbor_id: r.cos_sim for r in idx.query(spark, probe_q, k=3).collect()}
+    assert got.get(0) == 1.0
+    idx.compact(spark)
+    rows = idx.read(spark).filter("vec_id = 0").collect()
+    assert len(rows) == 1 and rows[0].cell == 3
+
+
+def test_streaming_maintenance_with_compaction_schedule(spark, tmp_path):
+    """mv_ingest_stream(compact_every=2) drives the index: refreshes stay
+    deferred appends, compaction runs on schedule, state is exact."""
+    from machinelearningalgomapreduce_spark.operators.matview import mv_ingest_stream
+
+    full, _ = _batches(spark)
+    src = str(tmp_path / "src_ce")
+    full.repartition(4).write.parquet(src)
+    idx = IVFIndexView(str(tmp_path / "ivf_ce"), _centroids(spark), dim=DIM)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = mv_ingest_stream(spark, stream, idx, str(tmp_path / "ck_ce"), compact_every=2)
+    q.awaitTermination(120)
+    got = {(r.vec_id, r.cell) for r in idx.read(spark).collect()}
+    want = {(r.vec_id, r.cell) for r in idx.assign_cells(spark, full).collect()}
+    assert got == want
+    # 4 batches with a compact every 2 applied: at most 2 live segments
+    assert len(idx.segments()) <= 2
+
+
+def test_external_query_id_space_keeps_coincidental_ids(spark, tmp_path):
+    """exclude_self=False: a query whose external id collides with a
+    corpus vec_id must still retrieve that vector."""
+    full, batches = _batches(spark)
+    idx = IVFIndexView(str(tmp_path / "ivf_x"), _centroids(spark), dim=DIM, n_probe=2)
+    idx.refresh(spark, batches[0], batch_id="b0")
+    some = batches[0].orderBy("vec_id").first()
+    queries = spark.createDataFrame(
+        [(int(some.vec_id), list(some.embedding))],
+        "query_id long, embedding array<double>",
+    )
+    with_self = idx.query(spark, queries, k=3, exclude_self=False).collect()
+    assert any(r.neighbor_id == some.vec_id and r.cos_sim == 1.0 for r in with_self)
+    without = idx.query(spark, queries, k=3).collect()
+    assert all(r.neighbor_id != some.vec_id for r in without)
+
+
+def test_within_batch_duplicate_vec_ids_are_deterministic(spark, tmp_path):
+    """One delta containing the same vec_id twice keeps the array-max
+    embedding — never two rows, never a row-order-dependent pick."""
+    cents = _centroids(spark)
+    idx = IVFIndexView(str(tmp_path / "ivf_d"), cents, dim=DIM)
+    a = [0.0] * DIM
+    b = [1.0] + [0.0] * (DIM - 1)  # array-max of {a, b} is b
+    delta = spark.createDataFrame(
+        [(5, a), (5, b)], "vec_id long, embedding array<double>"
+    )
+    idx.refresh(spark, delta, batch_id="b0")
+    rows = idx.read(spark).collect()
+    assert len(rows) == 1 and list(rows[0].embedding) == b
