@@ -276,6 +276,40 @@ class IVFIndexView:
                 removed.append(name)
         return removed
 
+    def rebuild(
+        self,
+        spark: SparkSession,
+        centroids: list[tuple[int, list[float]]],
+        out_path: str,
+        n_probe: int | None = None,
+    ) -> "IVFIndexView":
+        """Retrain: a NEW index at ``out_path`` under a new quantizer,
+        seeded with this index's current corpus (duplicates resolved
+        newest-wins first) as one batch. The old index stays intact —
+        the serving swap is the caller's pointer flip, so a crashed
+        rebuild leaves no half-trained index in the serving path."""
+        if os.path.abspath(out_path) == os.path.abspath(self.path):
+            raise ValueError("rebuild requires a NEW path (quantizers must not mix)")
+        new = IVFIndexView(
+            out_path,
+            centroids,
+            dim=self.dim,
+            n_probe=self.n_probe if n_probe is None else n_probe,
+            compact_at=self.compact_at,
+        )
+        segs = self.segments()
+        corpus = (
+            self._union_segments(spark, segs, with_order=True)
+            .groupBy("vec_id")
+            .agg(F.max_by("embedding", "_seg").alias("embedding"))
+            if segs
+            else self.read(spark).select("vec_id", "embedding")
+        )
+        new.refresh(
+            spark, corpus, batch_id=f"rebuild-v{self.current_version():08d}"
+        )
+        return new
+
     # ---- reads -----------------------------------------------------------
     def _union_segments(
         self, spark: SparkSession, segs: list[str], with_order: bool = False

@@ -277,3 +277,35 @@ def test_within_batch_duplicate_vec_ids_are_deterministic(spark, tmp_path):
     idx.refresh(spark, delta, batch_id="b0")
     rows = idx.read(spark).collect()
     assert len(rows) == 1 and list(rows[0].embedding) == b
+
+
+def test_rebuild_retrains_under_learned_centroids(spark, tmp_path):
+    """rebuild(): a new index under a kmeans_fit quantizer, seeded from
+    the old index's resolved corpus — equal to an index built fresh from
+    the same vectors and centroids; the old index is untouched and the
+    same-path misuse is rejected."""
+    from machinelearningalgomapreduce_spark.operators.ml import kmeans_fit
+
+    full, batches = _batches(spark)
+    idx = IVFIndexView(str(tmp_path / "ivf_r"), _centroids(spark), dim=DIM)
+    for i, b in enumerate(batches):
+        idx.refresh(spark, b, batch_id=f"b{i}")
+    old_state = {(r.vec_id, r.cell) for r in idx.read(spark).collect()}
+
+    model, _ = kmeans_fit(spark, SMOKE_SF_DIR, k=10, seed=42)
+    learned = [
+        (i, [round(float(x), 6) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    with pytest.raises(ValueError, match="NEW path"):
+        idx.rebuild(spark, learned, str(tmp_path / "ivf_r"))
+
+    new = idx.rebuild(spark, learned, str(tmp_path / "ivf_r2"))
+    fresh = IVFIndexView(str(tmp_path / "ivf_r3"), learned, dim=DIM)
+    fresh.refresh(spark, full, batch_id="all")
+    assert {(r.vec_id, r.cell) for r in new.read(spark).collect()} == {
+        (r.vec_id, r.cell) for r in fresh.read(spark).collect()
+    }
+    # old index untouched, rebuild is ledgered on the new one
+    assert {(r.vec_id, r.cell) for r in idx.read(spark).collect()} == old_state
+    assert new.applied_batches() == [f"rebuild-v{idx.current_version():08d}"]
