@@ -77,6 +77,22 @@ _PARTIAL = {
 _POINTER = "_CURRENT"
 
 
+def _write_json_durable(path: str, obj) -> None:
+    """Write JSON with flush+fsync before the atomic rename: the pointer
+    flip is only a commit if what it points AT is durable first — on
+    delayed-allocation filesystems an unsynced manifest/ledger can be
+    lost in a power cut while the later rename survives, leaving a
+    committed pointer to torn metadata. (Parquet data files are written
+    by Spark's committers; their durability is the FileSystem's contract
+    — this helper covers the metadata this module writes itself.)"""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, path)
+
+
 def _snapshot_is_small(path: str, cap_bytes: int | None = None) -> bool:
     """Broadcast a committed snapshot only while its on-disk parquet
     provably fits — the shared functions/storage.py discipline; past the
@@ -206,10 +222,7 @@ class IncrementalAggView:
                     "use a new path (or rebuild) to change the spec"
                 )
             return
-        tmp = spec_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self._spec, f)
-        os.replace(tmp, spec_path)
+        _write_json_durable(spec_path, self._spec)
 
     # ---- public API -----------------------------------------------------
     def refresh(self, spark: SparkSession, delta: DataFrame, batch_id: str) -> bool:
@@ -244,8 +257,7 @@ class IncrementalAggView:
         ledger = [*applied, batch_id]
         if self.ledger_cap is not None:
             ledger = ledger[-self.ledger_cap:]
-        with open(os.path.join(nxt, "batches.json"), "w") as f:
-            json.dump(ledger, f)
+        _write_json_durable(os.path.join(nxt, "batches.json"), ledger)
         tmp = os.path.join(self.path, _POINTER + ".tmp")
         with open(tmp, "w") as f:
             f.write(str(v + 1))
@@ -258,7 +270,14 @@ class IncrementalAggView:
         """The rollup at ``version`` (default: latest committed), with
         derived columns appended. Version 0 / empty view → empty frame
         with the declared schema (keys as-is requires ≥1 refresh, so 0
-        raises instead of guessing key types)."""
+        raises instead of guessing key types).
+
+        Runs the spec guard: every sketch/monitor wrapper read delegates
+        here, and a wrapper constructed with a different width/depth/
+        n_bins would otherwise DERIVE silently wrong estimates from
+        existing state (reads re-apply constructor parameters just as
+        merges do)."""
+        self._check_or_write_spec()
         v = self.current_version() if version is None else version
         if v == 0:
             raise ValueError("view has no committed version yet")
@@ -501,7 +520,9 @@ class QuantileHistogramView:
         )
 
         return quantile_hist_estimate(
-            self.bins(spark, version), pcts or QHIST_PCTS, self.width,
+            self.bins(spark, version),
+            QHIST_PCTS if pcts is None else pcts,
+            self.width,
         )
 
     def current_version(self) -> int:
@@ -522,21 +543,41 @@ def _content_key(batch: DataFrame) -> str:
     fresh checkpoint renumbers from 0, so a backfilled file can steal
     epoch-0 from an already-applied batch and be silently dropped while
     the old batches double-count under new numbers)."""
-    h = (
-        F.conv(
-            F.substring(F.md5(F.to_json(F.struct(*batch.columns))), 1, 13), 16, 10
-        )
-        .cast("bigint")
+    def _slice_sum(salt: str, lo: int):
         # DECIMAL(38,0) accumulator: exact and order-free like BIGINT but
         # the sum of n 52-bit terms fits for any realistic n (BIGINT
         # overflows — ANSI-errors — past ~4k rows)
-        .cast("decimal(38,0)")
-    )
+        return F.coalesce(
+            F.sum(
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.lit(salt), F.to_json(F.struct(*batch.columns))
+                            )
+                        ),
+                        lo,
+                        13,
+                    ),
+                    16,
+                    10,
+                )
+                .cast("bigint")
+                .cast("decimal(38,0)")
+            ),
+            F.lit(0).cast("decimal(38,0)"),
+        )
+
+    # TWO independently-salted 52-bit sums: a single additive fingerprint
+    # admits multiset-sum collisions between genuinely distinct batches
+    # (~2^-52 per pair, compounding over a years-long ledger); requiring
+    # both sums AND the count to collide pushes that to ~2^-104.
     row = batch.agg(
         F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.sum(h), F.lit(0).cast("decimal(38,0)")).alias("s"),
+        _slice_sum("", 1).alias("s1"),
+        _slice_sum("cksalt:", 14).alias("s2"),
     ).collect()[0]
-    return f"content-{row['n']}-{row['s']}"
+    return f"content-{row['n']}-{row['s1']}-{row['s2']}"
 
 
 def mv_ingest_stream(
@@ -562,33 +603,34 @@ def mv_ingest_stream(
     the delta per batch.
 
     ``compact_every`` (segmented views only — refresh must accept
-    ``compact=``): the maintenance SCHEDULE knob. Per-batch compaction
-    (the default, None) keeps the segment invariant tight but puts the
-    merge job on the ingest latency path; ``compact_every=N`` defers it
-    — each refresh stays a pure O(delta) append and one compact() pass
-    runs every N applied batches (replays don't advance the counter).
-    Reads are correct under ANY deferral (the merge algebra needs no
-    invariant), so the only cost of a long schedule is read
-    amplification between maintenance passes; call ``view.compact``
-    once more in an off-peak window after the stream drains."""
+    ``compact=`` and expose ``segments()``): the maintenance SCHEDULE
+    knob. Per-batch compaction (the default, None) keeps the segment
+    invariant tight but puts the merge job on the ingest latency path;
+    ``compact_every=N`` defers it — each refresh stays a pure O(delta)
+    append and compact() runs whenever N or more segments are LIVE. The
+    trigger is derived from the view's own durable manifest, not an
+    in-memory counter: a stream that restarts (checkpoint resume) every
+    few batches would reset a closure counter and never compact, letting
+    read amplification grow unboundedly. Reads are correct under ANY
+    deferral (the merge algebra needs no invariant); call
+    ``view.compact`` once more in an off-peak window after the stream
+    drains."""
     if compact_every is not None:
         if compact_every < 1:
             raise ValueError(f"compact_every must be >= 1, got {compact_every}")
-        if not hasattr(view, "compact"):
+        if not hasattr(view, "compact") or not hasattr(view, "segments"):
             raise TypeError(
-                f"{type(view).__name__} has no compact() — compact_every "
-                "only applies to segmented views"
+                f"{type(view).__name__} has no compact()/segments() — "
+                "compact_every only applies to segmented views"
             )
-    applied_count = [0]
 
     def fold(batch: DataFrame, batch_id: int) -> None:
         if compact_every is None:
             view.refresh(spark, batch, batch_id=_content_key(batch))
             return
-        if view.refresh(spark, batch, batch_id=_content_key(batch), compact=False):
-            applied_count[0] += 1
-            if applied_count[0] % compact_every == 0:
-                view.compact(spark)
+        view.refresh(spark, batch, batch_id=_content_key(batch), compact=False)
+        if len(view.segments()) >= compact_every:
+            view.compact(spark)
 
     return (
         source.writeStream.foreachBatch(fold)
@@ -657,6 +699,11 @@ class DriftMonitorView:
             ),
             F.lit(self.n_bins - 1),
         ).cast("bigint")
+        # NULL feature values get their own bin −1: NULL would propagate
+        # through the arithmetic, and NULL-keyed state rows silently fall
+        # out of psi()'s grid join — making the classic upstream-breakage
+        # drift (values going NULL) invisible to the monitor.
+        b = F.coalesce(b, F.lit(-1).cast("bigint"))
         return (
             delta.select(F.col(self.group_col).alias("grp"), b.alias("bin"))
             .groupBy("grp", "bin")
@@ -688,9 +735,23 @@ class DriftMonitorView:
             os.replace(tmp, ref_dir)
         with open(os.path.join(self.path, "_REF.tmp"), "w") as fh:
             fh.write(f"{v}")
+            fh.flush()
+            os.fsync(fh.fileno())
         os.replace(
             os.path.join(self.path, "_REF.tmp"), os.path.join(self.path, "_REF")
         )
+        # reclaim superseded reference snapshots: without this every
+        # re-pin leaks an O(groups×bins) _ref-v* directory forever (the
+        # inner view's vacuum only manages bare v* state dirs). Single
+        # writer by design; a reader racing a re-pin re-resolves the
+        # pointer on its next call.
+        for name in sorted(os.listdir(self.path)):
+            if (
+                name.startswith("_ref-v")
+                and name[6:].isdigit()
+                and int(name[6:]) != v
+            ):
+                shutil.rmtree(os.path.join(self.path, name))
         return v
 
     def reference_version(self) -> int:
@@ -731,6 +792,10 @@ class DriftMonitorView:
             "grp", "bin", F.col("cnt").alias("cur_cnt")
         )
         both = cur.join(ref, ["grp", "bin"], "full")
+        # grid = the value bins 0..n_bins-1, PLUS the NULL bin (−1) for
+        # exactly the groups where either side actually has NULL counts —
+        # so NULL drift is measured when present, and groups without
+        # NULLs keep the standard n_bins smoothing denominator.
         grid = (
             both.select("grp").distinct()
             .select(
@@ -740,6 +805,9 @@ class DriftMonitorView:
                 ).alias("bin0"),
             )
             .select("grp", F.col("bin0").cast("bigint").alias("bin"))
+            .unionByName(
+                both.filter(F.col("bin") == -1).select("grp", "bin").distinct()
+            )
         )
         joined = (
             grid.join(both, ["grp", "bin"], "left")
@@ -929,10 +997,7 @@ class SegmentedAggView:
                     "use a new path (or rebuild) to change the spec"
                 )
             return
-        tmp = spec_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(self._spec, f)
-        os.replace(tmp, spec_path)
+        _write_json_durable(spec_path, self._spec)
 
     # ---- merge algebra (shared shapes with the flat view) ---------------
     def _partial(self, delta: DataFrame) -> DataFrame:
@@ -975,10 +1040,9 @@ class SegmentedAggView:
 
     def _commit(self, segments: list[dict], batches: list[str]) -> int:
         v = self.current_version() + 1
-        tmp = self._manifest_path(v) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"segments": segments, "batches": batches}, f)
-        os.replace(tmp, self._manifest_path(v))
+        _write_json_durable(
+            self._manifest_path(v), {"segments": segments, "batches": batches}
+        )
         ptmp = os.path.join(self.path, _POINTER + ".tmp")
         with open(ptmp, "w") as f:
             f.write(str(v))
@@ -998,7 +1062,9 @@ class SegmentedAggView:
         batch_id. ``compact=False`` defers compaction (e.g. to an
         off-peak maintenance call of ``compact()``)."""
         self._check_or_write_spec()
-        applied = self.applied_batches()
+        v = self.current_version()
+        manifest = self._manifest(v) if v else {"segments": [], "batches": []}
+        applied = manifest["batches"]
         if batch_id in applied:
             return False
         seg = self._write_segment(self._partial(delta))
@@ -1009,7 +1075,7 @@ class SegmentedAggView:
             # cap batch ids (safe when replays arrive within a bounded
             # horizon, as Structured Streaming's do).
             ledger = ledger[-self.ledger_cap:]
-        self._commit([*self.segments(), {"dir": seg, "weight": 1}], ledger)
+        self._commit([*manifest["segments"], {"dir": seg, "weight": 1}], ledger)
         if compact:
             self.compact(spark)
         return True
@@ -1017,7 +1083,8 @@ class SegmentedAggView:
     def compact(self, spark: SparkSession) -> int:
         """Run size-tiered compactions until no tier holds ``fanout``
         or more segments. Each round merges the smallest-weight
-        ``fanout`` members of the fullest eligible tier into ONE
+        ``fanout`` members of the LOWEST eligible tier (so merges cascade
+        upward naturally) into ONE
         segment of combined weight (one union-re-aggregate job over
         just those segments — the rest of the state is untouched).
         Returns the number of merge rounds executed."""
@@ -1254,7 +1321,15 @@ class FactDimRollupView:
         latest = (
             updates.select(*cols)
             .groupBy(self.dim_key)
-            .agg(F.max_by(F.struct(*cols), self.dim_ts).alias("r"))
+            # tie-break beyond ts: two same-key rows with EQUAL timestamps
+            # must pick the same winner on every run (struct comparison is
+            # field-order lexicographic), not whichever partition merges
+            # last — the ivf_index within-batch-dedup discipline
+            .agg(
+                F.max_by(
+                    F.struct(*cols), F.struct(self.dim_ts, *self.dim_attrs)
+                ).alias("r")
+            )
             .select("r.*")
         )
         v = self._dim_version()
@@ -1270,8 +1345,7 @@ class FactDimRollupView:
             )
         nxt = self._dim_vdir(v + 1)
         state.write.mode("error").parquet(os.path.join(nxt, "data.parquet"))
-        with open(os.path.join(nxt, "batches.json"), "w") as f:
-            json.dump([*applied, batch_id], f)
+        _write_json_durable(os.path.join(nxt, "batches.json"), [*applied, batch_id])
         tmp = os.path.join(self._dim_dir, _POINTER + ".tmp")
         with open(tmp, "w") as f:
             f.write(str(v + 1))

@@ -1161,3 +1161,85 @@ def test_mv_ingest_stream_compact_every_validation(spark, tmp_path):
         mv_ingest_stream(spark, stream, mv, str(tmp_path / "ck"), compact_every=2)
     with pytest.raises(ValueError, match="compact_every"):
         mv_ingest_stream(spark, stream, mv, str(tmp_path / "ck"), compact_every=0)
+
+
+def test_wrapper_reads_run_the_spec_guard(spark, tmp_path):
+    """r10 review: a sketch wrapper constructed with a different
+    width/depth must fail LOUDLY on its read path too — estimates derive
+    from constructor params, so a mismatched instance would otherwise
+    silently probe the wrong buckets."""
+    from machinelearningalgomapreduce_spark.operators.matview import (
+        FrequencySketchView,
+    )
+
+    t = load_tables(spark, SMOKE_SF_DIR)
+    ev = t.events.select("event_type")
+    fv = FrequencySketchView(str(tmp_path / "fs"), "event_type")
+    fv.refresh(spark, ev, batch_id="b0")
+    wrong = FrequencySketchView(str(tmp_path / "fs"), "event_type", width=64)
+    with pytest.raises(ValueError, match="different spec"):
+        wrong.cells(spark)
+
+
+def test_drift_monitor_sees_null_drift(spark, tmp_path):
+    """r10 review: serving data whose values go NULL post-pin is a classic
+    upstream breakage — the NULL bin (−1) must participate in PSI instead
+    of silently vanishing from the grid, and a no-null monitor's PSI is
+    unchanged by the feature's existence."""
+    from machinelearningalgomapreduce_spark.operators.matview import DriftMonitorView
+
+    mv = DriftMonitorView(str(tmp_path / "dm"), "grp", "v", lo=0.0, hi=10.0, n_bins=5)
+    ref = spark.createDataFrame(
+        [("a", float(i % 10)) for i in range(100)], ["grp", "v"]
+    )
+    mv.refresh(spark, ref, batch_id="ref")
+    mv.set_reference(spark)
+    # post-pin: half the values go NULL
+    broken = spark.createDataFrame(
+        [("a", float(i % 10) if i % 2 == 0 else None) for i in range(100)],
+        "grp string, v double",
+    )
+    mv.refresh(spark, broken, batch_id="serve")
+    row = mv.psi(spark).collect()[0]
+    assert row.band in ("drifting", "shifted"), row
+    # the null bin carries the drift: without it the same serving data's
+    # non-null half matches the reference shape exactly
+    assert row.psi_micro > 100000  # PSI > 0.1
+
+
+def test_set_reference_reclaims_superseded_snapshots(spark, tmp_path):
+    import os as _os
+
+    from machinelearningalgomapreduce_spark.operators.matview import DriftMonitorView
+
+    mv = DriftMonitorView(str(tmp_path / "dm2"), "grp", "v", lo=0.0, hi=10.0)
+    d = spark.createDataFrame([("a", 1.0), ("a", 2.0)], ["grp", "v"])
+    mv.refresh(spark, d, batch_id="b0")
+    mv.set_reference(spark)
+    mv.refresh(spark, d, batch_id="b1")
+    mv.set_reference(spark)
+    refs = [n for n in _os.listdir(str(tmp_path / "dm2")) if n.startswith("_ref-v")]
+    assert len(refs) == 1 and refs[0].endswith(f"{mv.reference_version():08d}")
+    mv.psi(spark)  # still resolvable after the cleanup
+
+
+def test_quantile_hist_estimate_empty_pcts_is_empty(spark, tmp_path):
+    from machinelearningalgomapreduce_spark.operators.matview import (
+        QuantileHistogramView,
+    )
+
+    t = load_tables(spark, SMOKE_SF_DIR)
+    qv = QuantileHistogramView(str(tmp_path / "qh"), "o_totalprice")
+    qv.refresh(spark, t.orders, batch_id="b0")
+    assert qv.estimate(spark, pcts=()).count() == 0  # explicit empty ≠ defaults
+    assert qv.estimate(spark).count() > 0
+
+
+def test_content_key_carries_two_independent_sums(spark):
+    from machinelearningalgomapreduce_spark.operators.matview import _content_key
+
+    d1 = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "s"])
+    d2 = spark.createDataFrame([(1, "a"), (2, "c")], ["k", "s"])
+    k1, k1b, k2 = _content_key(d1), _content_key(d1), _content_key(d2)
+    assert k1 == k1b and k1 != k2
+    assert len(k1.split("-")) == 4  # content, n, s1, s2
