@@ -40,10 +40,16 @@ EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
 BASE_TS_US = 1_704_067_200_000_000  # 2024-01-01T00:00:00Z in µs
 
 
+def _h_line(line: str) -> int:
+    """md5 → uint64 (the one copy; _h expresses the per-field stream
+    through it)."""
+    d = hashlib.md5(line.encode()).digest()
+    return int.from_bytes(d[:8], "big")
+
+
 def _h(i: int, field: str) -> int:
     """Deterministic 64-bit hash stream per (row, field)."""
-    d = hashlib.md5(f"{i}:{field}".encode()).digest()
-    return int.from_bytes(d[:8], "big")
+    return _h_line(f"{i}:{field}")
 
 
 class SyntheticEventsSource(DataSource):
@@ -78,11 +84,19 @@ class SyntheticEventsReader(DataSourceReader):
     def __init__(self, options):
         self.n_rows = int(options.get("n_rows", 1000))
         self.n_partitions = int(options.get("n_partitions", 4))
+        if self.n_rows < 0:
+            raise ValueError(f"n_rows must be >= 0, got {self.n_rows}")
+        if self.n_partitions < 1:
+            raise ValueError(
+                f"n_partitions must be >= 1, got {self.n_partitions}"
+            )
 
     def partitions(self):
-        per = max(1, self.n_rows // self.n_partitions)
+        # ceil division: floor produced UP TO n_rows single-row partitions
+        # past the requested count (n_rows=10, n_partitions=4 → 5 ranges)
+        per = max(1, -(-self.n_rows // self.n_partitions))
         bounds = list(range(0, self.n_rows, per)) + [self.n_rows]
-        return [_Range(a, b) for a, b in zip(bounds, bounds[1:])]
+        return [_Range(a, b) for a, b in zip(bounds, bounds[1:]) if b > a]
 
     def read(self, partition: _Range) -> Iterator[tuple]:
         for i in range(partition.start, partition.end):
@@ -110,6 +124,17 @@ class ManifestJsonlSink(DataSource):
     partial job (the shard files of a failed job are garbage without it,
     and ``abort()`` removes them best-effort).
 
+    APPEND-ONLY by contract: the manifest accumulates shards across jobs,
+    so ``mode("overwrite")`` is rejected loudly — replacement means a
+    fresh directory (the export_view_snapshot version-dir pattern), never
+    an in-place truncation a concurrent reader could half-observe.
+    Deployment constraint (stated, not enforced): driver and executors
+    must share the target filesystem — shard files are written where the
+    task runs and the manifest where the driver runs. Values outside the
+    JSON natives (timestamps, decimals) serialize via ``str`` and read
+    back as strings; export typed columns through the repo's integer
+    cents/micros conventions when the round-trip type matters.
+
     Usage:
         spark.dataSource.register(ManifestJsonlSink)
         df.write.format("manifest_jsonl").option("path", d).mode("append").save()
@@ -120,6 +145,11 @@ class ManifestJsonlSink(DataSource):
         return "manifest_jsonl"
 
     def writer(self, schema: StructType, overwrite: bool):
+        if overwrite:
+            raise ValueError(
+                "manifest_jsonl is append-only (the manifest accumulates "
+                "shards); write to a fresh directory instead of overwrite"
+            )
         return ManifestJsonlWriter(self.options, schema)
 
 
@@ -130,10 +160,17 @@ class _ShardCommit(WriterCommitMessage):
 
 class ManifestJsonlWriter(DataSourceWriter):
     def __init__(self, options, schema: StructType):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("manifest_jsonl requires .option('path', ...)")
         self.fields = [f.name for f in schema.fields]
+        # Job-unique shard token, generated driver-side and serialized to
+        # every task: partitionId/taskAttemptId are only unique within ONE
+        # SparkContext, so a second application appending to the same path
+        # would otherwise truncate the first app's same-named shards.
+        self.token = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _ShardCommit:
         import json
@@ -144,7 +181,8 @@ class ManifestJsonlWriter(DataSourceWriter):
         ctx = TaskContext.get()
         os.makedirs(self.path, exist_ok=True)
         shard = os.path.join(
-            self.path, f"shard-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.jsonl"
+            self.path,
+            f"shard-{self.token}-{ctx.partitionId():05d}-{ctx.taskAttemptId()}.jsonl",
         )
         n, checksum = 0, 0
         with open(shard, "w", encoding="utf-8") as fh:
@@ -168,23 +206,44 @@ class ManifestJsonlWriter(DataSourceWriter):
             for m in messages
         ]
         manifest_path = os.path.join(self.path, "manifest.json")
-        # Append semantics: a later job EXTENDS the manifest rather than
-        # silently dropping the earlier jobs' shards from it (a
-        # manifest-driven reader treats unlisted shards as garbage).
-        if os.path.exists(manifest_path):
-            with open(manifest_path) as fh:
-                shards = json.load(fh)["shards"] + shards
-        manifest = {
-            "shards": shards,
-            "total_rows": sum(s["n_rows"] for s in shards),
-            "total_checksum": sum(s["checksum"] for s in shards) % (1 << 64),
-        }
-        # Atomic publish: a crash mid-commit must never leave a truncated
-        # manifest visible (the manifest IS the commit marker).
-        tmp = manifest_path + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump(manifest, fh, indent=2, sort_keys=True)
-        os.rename(tmp, manifest_path)
+        # The manifest read-modify-write below is the one non-task-isolated
+        # step of the protocol: two jobs committing concurrently would each
+        # extend the manifest they read and the last rename would silently
+        # drop the other's shards. An O_EXCL lock turns that data loss into
+        # a loud failure (the single-writer rule every view in this repo
+        # already follows — the loser retries or serializes).
+        lock_path = manifest_path + ".lock"
+        try:
+            lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        except FileExistsError as exc:
+            raise RuntimeError(
+                f"concurrent manifest commit detected at {manifest_path} "
+                "(lock held); manifest_jsonl is single-writer per directory"
+            ) from exc
+        try:
+            # Append semantics: a later job EXTENDS the manifest rather than
+            # silently dropping the earlier jobs' shards from it (a
+            # manifest-driven reader treats unlisted shards as garbage).
+            if os.path.exists(manifest_path):
+                with open(manifest_path) as fh:
+                    shards = json.load(fh)["shards"] + shards
+            manifest = {
+                "shards": shards,
+                "total_rows": sum(s["n_rows"] for s in shards),
+                "total_checksum": sum(s["checksum"] for s in shards) % (1 << 64),
+            }
+            # Atomic + durable publish: fsync before the rename (a crash
+            # mid-commit must never leave a truncated manifest visible —
+            # the manifest IS the commit marker).
+            tmp = manifest_path + ".tmp"
+            with open(tmp, "w") as fh:
+                json.dump(manifest, fh, indent=2, sort_keys=True)
+                fh.flush()
+                os.fsync(fh.fileno())
+            os.rename(tmp, manifest_path)
+        finally:
+            os.close(lock_fd)
+            os.remove(lock_path)
 
     def abort(self, messages) -> None:
         import os
@@ -199,10 +258,6 @@ class ManifestJsonlWriter(DataSourceWriter):
             except OSError:
                 pass
 
-
-def _h_line(line: str) -> int:
-    d = hashlib.md5(line.encode()).digest()
-    return int.from_bytes(d[:8], "big")
 
 # --------------------------------------------------------------- reader side
 
@@ -223,8 +278,12 @@ class ManifestJsonlSource(DataSource):
     quietly different dataset.
 
     Schema: pass one explicitly (``spark.read.format(...).schema(...)``)
-    or let the source infer it from the first line of the first shard
-    (JSON scalars → long/double/string/boolean; absent keys → null).
+    or let the source infer it from a SAMPLE of the first non-empty
+    shard (up to 1,000 lines): keys union across the sample, types widen
+    bool → long → double, anything stringy → string, and a key that is
+    NULL in every sampled line falls back to string. Inference is a
+    convenience — pass the schema when a rare key or late-appearing type
+    could be missed by the sample.
 
     Usage:
         spark.dataSource.register(ManifestJsonlSource)
@@ -235,10 +294,20 @@ class ManifestJsonlSource(DataSource):
     def name(cls) -> str:
         return "manifest_jsonl_read"
 
+    _SCHEMA_SAMPLE_LINES = 1000
+
     def _manifest(self) -> dict:
         import json
         import os
 
+        # Parsed once per DataSource instance: Spark may call schema()
+        # several times during planning and reader() after — re-reading
+        # the manifest each time is repeated driver I/O AND lets a
+        # concurrent append make schema and shard list inconsistent
+        # within one load.
+        cached = getattr(self, "_m", None)
+        if cached is not None:
+            return cached
         path = self.options.get("path")
         if not path:
             raise ValueError("manifest_jsonl_read requires .option('path', ...)")
@@ -249,7 +318,8 @@ class ManifestJsonlSource(DataSource):
                 "commit (or the path is wrong); refusing to read orphan shards"
             )
         with open(mpath, encoding="utf-8") as fh:
-            return json.load(fh)
+            self._m = json.load(fh)
+        return self._m
 
     def schema(self) -> StructType:
         import json
@@ -261,22 +331,45 @@ class ManifestJsonlSource(DataSource):
         for shard in manifest["shards"]:
             if shard["n_rows"] == 0:
                 continue
+            # Sample many lines, not one: a null in line 1 is not a type,
+            # and a key absent from line 1 would silently vanish from
+            # every row. Types widen bool → long → double; strings win.
+            kinds: dict[str, str] = {}
             with open(os.path.join(self.options["path"], shard["path"]),
                       encoding="utf-8") as fh:
-                first = json.loads(fh.readline())
-            fields = []
-            for key in sorted(first):
-                v = first[key]
-                if isinstance(v, bool):
-                    typ = BooleanType()
-                elif isinstance(v, int):
-                    typ = LongType()
-                elif isinstance(v, float):
-                    typ = DoubleType()
-                else:
-                    typ = StringType()
-                fields.append(StructField(key, typ))
-            return StructType(fields)
+                for _ in range(self._SCHEMA_SAMPLE_LINES):
+                    line = fh.readline()
+                    if not line:
+                        break
+                    for key, v in json.loads(line).items():
+                        if v is None:
+                            k = "null"
+                        elif isinstance(v, bool):
+                            k = "bool"
+                        elif isinstance(v, int):
+                            k = "long"
+                        elif isinstance(v, float):
+                            k = "double"
+                        else:
+                            k = "string"
+                        prev = kinds.get(key, "null")
+                        if prev == "null":
+                            merged = k
+                        elif k in ("null", prev):
+                            merged = prev
+                        elif {prev, k} == {"long", "double"}:
+                            merged = "double"
+                        else:  # any other mix is not numeric-widenable
+                            merged = "string"
+                        kinds[key] = merged
+            by_kind = {
+                "bool": BooleanType(), "long": LongType(),
+                "double": DoubleType(), "string": StringType(),
+                "null": StringType(),  # all-null sample: string fallback
+            }
+            return StructType(
+                [StructField(key, by_kind[kinds[key]]) for key in sorted(kinds)]
+            )
         return StructType([])
 
     def reader(self, schema: StructType) -> "ManifestJsonlReader":

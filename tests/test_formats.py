@@ -175,3 +175,92 @@ def test_decoders_reject_unknown_containers():
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
     with pytest.raises(ValueError, match="audio library"):
         decode_audio(b"ID3\x04" + b"\x00" * 64)
+
+
+def test_manifest_sink_rejects_overwrite_and_tokens_are_job_unique(spark, tmp_path):
+    """r10 review: mode('overwrite') must fail loudly (the manifest is
+    append-only — replacement means a fresh directory), and shard names
+    carry a job-unique token so a SECOND application's task ids can never
+    truncate the first's same-named shards."""
+    import pytest as _pytest
+
+    from machinelearningalgomapreduce_spark.sources.custom import (
+        ManifestJsonlSink,
+        ManifestJsonlWriter,
+    )
+
+    spark.dataSource.register(ManifestJsonlSink)
+    d = str(tmp_path / "ovr")
+    df = spark.createDataFrame([(1, "a")], ["k", "s"])
+    with _pytest.raises(Exception, match="append-only"):
+        df.write.format("manifest_jsonl").option("path", d).mode("overwrite").save()
+
+    schema = df.schema
+    w1 = ManifestJsonlWriter({"path": d}, schema)
+    w2 = ManifestJsonlWriter({"path": d}, schema)
+    assert w1.token != w2.token  # distinct jobs → distinct shard names
+
+
+def test_manifest_reader_infers_schema_past_null_first_line(spark, tmp_path):
+    """r10 review: a null in line 1 is not a type, and a key absent from
+    line 1 must not vanish — inference samples many lines."""
+    import json as _json
+    import os as _os
+
+    from machinelearningalgomapreduce_spark.sources.custom import (
+        ManifestJsonlSink,
+        ManifestJsonlSource,
+    )
+
+    spark.dataSource.register(ManifestJsonlSink)
+    spark.dataSource.register(ManifestJsonlSource)
+    d = str(tmp_path / "nulls")
+    df = spark.createDataFrame(
+        [(None, None), (2, 1.5), (3, 2.5)], "k long, v double"
+    ).coalesce(1)
+    df.write.format("manifest_jsonl").option("path", d).mode("append").save()
+    back = spark.read.format("manifest_jsonl_read").option("path", d).load()
+    got = {f.name: f.dataType.simpleString() for f in back.schema.fields}
+    assert got == {"k": "bigint", "v": "double"}, got
+    assert back.count() == 3
+
+    # a key appearing only after line 1 (hand-forged extra shard)
+    extra = [{"k": 9, "v": 0.5}, {"k": 10, "v": 0.5, "late": "x"}]
+    lines = [_json.dumps(o, sort_keys=True) for o in extra]
+    from machinelearningalgomapreduce_spark.sources.custom import _h_line
+    shard = "shard-manual-99999-0.jsonl"
+    with open(_os.path.join(d, shard), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    m_path = _os.path.join(d, "manifest.json")
+    m = _json.load(open(m_path))
+    m["shards"].insert(0, {
+        "path": shard, "n_rows": 2,
+        "checksum": sum(_h_line(x) for x in lines) % (1 << 64),
+    })
+    _json.dump(m, open(m_path, "w"))
+    back2 = spark.read.format("manifest_jsonl_read").option("path", d).load()
+    assert "late" in back2.columns
+    assert back2.filter("late = 'x'").count() == 1
+
+
+def test_synthetic_source_partition_count_and_validation(spark):
+    from machinelearningalgomapreduce_spark.sources.custom import (
+        SyntheticEventsReader,
+        SyntheticEventsSource,
+    )
+
+    spark.dataSource.register(SyntheticEventsSource)
+    # ceil division: 10 rows / 4 partitions = exactly 4 ranges, not 5
+    r = SyntheticEventsReader({"n_rows": "10", "n_partitions": "4"})
+    parts = r.partitions()
+    assert len(parts) == 4
+    assert sum(p.end - p.start for p in parts) == 10
+    # degenerate options fail loudly, not with ZeroDivisionError
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="n_partitions"):
+        SyntheticEventsReader({"n_rows": "10", "n_partitions": "0"})
+    with _pytest.raises(ValueError, match="n_rows"):
+        SyntheticEventsReader({"n_rows": "-1"})
+    # more partitions than rows: exactly n_rows singleton ranges
+    assert len(SyntheticEventsReader(
+        {"n_rows": "3", "n_partitions": "8"}).partitions()) == 3
