@@ -31,6 +31,15 @@ def _ws_tokens(col: str = "text"):
     return F.split(F.col(col), " ")
 
 
+def _split_digit():
+    """First md5 hex digit of the salted doc id — THE split membership
+    expression; q_train_test_split assigns with it and q_srm_check audits
+    with it, so the two can never validate different splits."""
+    return F.substring(
+        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1
+    )
+
+
 def q_shard_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic shard assignment for training-data export: shard =
     first md5 hex digit of the doc id (16 shards), per-shard doc/token/char
@@ -111,6 +120,8 @@ def rendezvous_assign(df: DataFrame, key_col: str, nodes: list[str]) -> DataFram
     Scale shape: pure scan-side expression — an O(|nodes|) struct-array
     argmax per row, no shuffle, no UDF; |nodes| is cluster-sized (tens),
     not data-sized."""
+    if not nodes:
+        raise ValueError("rendezvous_assign needs at least one node")
     scored = F.array(
         *[
             F.struct(
@@ -127,6 +138,7 @@ def temperature_mix(
     documents: DataFrame,
     temperature: float = 2.0,
     source_col: str = "source",
+    text_col: str = "text",
 ) -> DataFrame:
     """Temperature-scaled source mixture (library API) — the sampling-rate
     schedule multilingual/multi-source training runs use: source weights
@@ -142,10 +154,15 @@ def temperature_mix(
     bounded by the source count. Pure double arithmetic off the oracle
     paths (pow is libm-dependent, so this stays library-tier).
     """
+    if not temperature > 0:
+        raise ValueError(
+            f"temperature must be > 0, got {temperature} (0 divides by "
+            "zero; negative values would invert the flattening)"
+        )
     per_source = (
         documents.select(
             F.col(source_col).alias("source"),
-            F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+            F.size(_ws_tokens(text_col)).cast("bigint").alias("n_tok"),
         )
         .groupBy("source")
         .agg(F.count("*").alias("n_docs"), F.sum("n_tok").alias("n_tokens"))
@@ -220,7 +237,7 @@ def chunk_token_streams(
     )
     exploded = toks.select(
         "doc_id", "toks", "n", F.explode(starts).alias("start")
-    ).filter((F.col("start") == 0) | (F.col("start") < F.col("n")))
+    )
     chunk = F.slice(F.col("toks"), F.col("start") + 1, chunk_tokens)
     return exploded.select(
         "doc_id",
@@ -595,8 +612,7 @@ def q_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     (source, split) domain; the within-source fraction comes from a
     window over that already-aggregated frame (≤ sources × 2 rows)."""
     t = load_tables(spark, sf_dir)
-    digit = F.substring(F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1)
-    split = F.when(digit.isin(*TRAIN_HEX), "train").otherwise("test")
+    split = F.when(_split_digit().isin(*TRAIN_HEX), "train").otherwise("test")
     per = (
         t.documents.select(
             "source",
@@ -637,10 +653,14 @@ def q_weighted_pick(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", F.col("n_chars").cast("bigint").alias("w")
     )
     totals = docs.groupBy("source").agg(F.sum("w").alias("total_w"))
-    # Threshold: first 8 md5 hex chars of the salted source name → 32-bit
-    # int (≫ any per-source weight total), reduced mod total weight.
+    # Threshold: first 15 md5 hex chars of the salted source name → 60-bit
+    # int, reduced mod total weight. 8 chars (32 bits) looked like enough
+    # but inverts at scale (r10 review): any source whose total character
+    # weight exceeds 2^32 — guaranteed at the 100 TB posture — would
+    # confine the pick to its first ~4.3 G characters and give every later
+    # document zero probability. 60 bits clears any bigint-weight corpus.
     thr = F.pmod(
-        F.conv(F.substring(F.md5(F.concat(F.lit("pick:"), F.col("source"))), 1, 8), 16, 10)
+        F.conv(F.substring(F.md5(F.concat(F.lit("pick:"), F.col("source"))), 1, 15), 16, 10)
         .cast("bigint"),
         F.col("total_w"),
     )
@@ -904,7 +924,7 @@ ORACLES["q_weighted_pick"] = """
     ),
     totals AS (
         SELECT source, CAST(sum(w) AS BIGINT) AS total_w,
-               ((instr('0123456789abcdef', substr(md5('pick:' || source), 1, 1)) - 1) * 268435456 + (instr('0123456789abcdef', substr(md5('pick:' || source), 2, 1)) - 1) * 16777216 + (instr('0123456789abcdef', substr(md5('pick:' || source), 3, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(md5('pick:' || source), 4, 1)) - 1) * 65536 + (instr('0123456789abcdef', substr(md5('pick:' || source), 5, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(md5('pick:' || source), 6, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(md5('pick:' || source), 7, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5('pick:' || source), 8, 1)) - 1) * 1) % CAST(sum(w) AS BIGINT) AS thr
+               ((instr('0123456789abcdef', substr(md5('pick:' || source), 1, 1)) - 1) * 72057594037927936 + (instr('0123456789abcdef', substr(md5('pick:' || source), 2, 1)) - 1) * 4503599627370496 + (instr('0123456789abcdef', substr(md5('pick:' || source), 3, 1)) - 1) * 281474976710656 + (instr('0123456789abcdef', substr(md5('pick:' || source), 4, 1)) - 1) * 17592186044416 + (instr('0123456789abcdef', substr(md5('pick:' || source), 5, 1)) - 1) * 1099511627776 + (instr('0123456789abcdef', substr(md5('pick:' || source), 6, 1)) - 1) * 68719476736 + (instr('0123456789abcdef', substr(md5('pick:' || source), 7, 1)) - 1) * 4294967296 + (instr('0123456789abcdef', substr(md5('pick:' || source), 8, 1)) - 1) * 268435456 + (instr('0123456789abcdef', substr(md5('pick:' || source), 9, 1)) - 1) * 16777216 + (instr('0123456789abcdef', substr(md5('pick:' || source), 10, 1)) - 1) * 1048576 + (instr('0123456789abcdef', substr(md5('pick:' || source), 11, 1)) - 1) * 65536 + (instr('0123456789abcdef', substr(md5('pick:' || source), 12, 1)) - 1) * 4096 + (instr('0123456789abcdef', substr(md5('pick:' || source), 13, 1)) - 1) * 256 + (instr('0123456789abcdef', substr(md5('pick:' || source), 14, 1)) - 1) * 16 + (instr('0123456789abcdef', substr(md5('pick:' || source), 15, 1)) - 1) * 1) % CAST(sum(w) AS BIGINT) AS thr
         FROM docs GROUP BY source
     ),
     cum AS (
@@ -1051,9 +1071,7 @@ def q_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one counting aggregate over the split column."""
     t = load_tables(spark, sf_dir)
-    digit = F.substring(
-        F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 1
-    )
+    digit = _split_digit()
     is_train = digit.isin(*TRAIN_HEX).cast("bigint")
     agg = t.documents.agg(
         F.count("*").alias("n"),
@@ -1120,15 +1138,17 @@ def bpe_encode(df: DataFrame, text_col: str, merges: list[tuple[str, str]]) -> D
     scan exactly (pytest-diffed), and concat(symbols) == word always
     (lossless round-trip).
 
-    Output: one row per (original row's token) with the encoded symbol
-    list serialized to a space-joined string and the symbol count —
-    the per-doc token-budget input a packing/export stage consumes.
+    Output: one row per (original row, token) carrying ALL input columns
+    (doc_id etc. — r10 review: without them the documented per-doc
+    token-budget consumer could not group by document) plus the encoded
+    symbol list serialized to a space-joined string and the symbol
+    count.
 
     Scale shape: pure per-row expression work — no shuffle, no Python;
     the merge table is O(n_merges) literals baked into the plan (the
     DistributedCache idiom)."""
     toks = F.explode(F.split(F.col(text_col), " ")).alias("word")
-    out = df.select(toks)
+    out = df.select("*", toks)
     symbols = F.split(F.col("word"), "")
     for a, b in merges:
         ab = a + b
@@ -1145,6 +1165,7 @@ def bpe_encode(df: DataFrame, text_col: str, merges: list[tuple[str, str]]) -> D
             ).otherwise(F.concat(acc, F.array(x))),
         )
     return out.select(
+        *[c for c in out.columns if c != "word"],
         "word",
         F.array_join(symbols, " ").alias("encoded"),
         F.size(symbols).alias("n_symbols"),
