@@ -232,7 +232,8 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sh",
         *[minhash_sig(F.col("sh"), s).alias(f"sig{s}") for s in range(N_MINHASH)],
     )
-    cand = _lsh_candidates(_minhash_sigs(base))
+    cand = _lsh_candidates(sigs)  # sigs already carries sig0..15; the
+    # extra sh column is ignored by the band-key projection
     sa = sigs.select(
         F.col("doc_id").alias("doc_a"),
         F.col("sh").alias("sh_a"),
@@ -243,8 +244,12 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sh").alias("sh_b"),
         *[F.col(f"sig{i}").alias(f"b{i}") for i in range(N_MINHASH)],
     )
+    # coalesce each equality to 0: the oracle's CASE WHEN sig=sig yields 0
+    # for NULL sigs (NULL-text docs), while a bare NULL==NULL cast would
+    # propagate NULL through the sum — engine divergence on NULL text
     n_match = sum(
-        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_MINHASH)
+        F.coalesce((F.col(f"a{i}") == F.col(f"b{i}")).cast("int"), F.lit(0))
+        for i in range(N_MINHASH)
     ).cast("bigint")
     est = F.round(F.col("n_match") / float(N_MINHASH), 6)
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
@@ -268,11 +273,13 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Within-group expansion: identical docs agree on every signature and
     # share one shingle set, so the audit metrics are constants per group
     # (NULL-propagating when the set is null — the uncollapsed result).
+    # NULL-sh reps (NULL text): n_match 0 / est 0.0 (the oracle's CASE
+    # yields 0 per NULL-sig term), jaccard/abs_err NULL (0/0 arithmetic)
     has_sh = F.col("sh").isNotNull()
     rep_metrics = sigs.select(
         F.col("doc_id").alias("rep_id"),
-        F.when(has_sh, F.lit(N_MINHASH)).cast("bigint").alias("n_match"),
-        F.round(F.when(has_sh, F.lit(1.0)).cast("double"), 6).alias("est_jaccard"),
+        F.when(has_sh, F.lit(N_MINHASH)).otherwise(F.lit(0)).cast("bigint").alias("n_match"),
+        F.round(F.when(has_sh, F.lit(1.0)).otherwise(F.lit(0.0)).cast("double"), 6).alias("est_jaccard"),
         F.round(F.when(has_sh, F.lit(1.0)).cast("double"), 6).alias("jaccard"),
         F.round(F.when(has_sh, F.lit(0.0)).cast("double"), 6).alias("abs_err"),
     )
@@ -386,7 +393,15 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     (block, band) key — no duplicate candidates, identical output to the
     unbanded form (the oracle keeps the simpler unbanded blocking for that
     reason). Pairs ≥2 bands apart can never reach the threshold and are
-    pruned before the Jaccard is even computed."""
+    pruned before the Jaccard is even computed.
+
+    One boundary caveat (r10 review): the emitted filter passes the
+    ROUNDED Jaccard ≥ 0.5 while the lossless proof covers TRUE J ≥ 0.5 —
+    a pair whose true J sits in [0.4999995, 0.5) rounds up and would pass
+    the unbanded filter but can sit 2 bands apart. That window requires
+    ~2^19+ distinct bigrams per doc (≈ half-million-word documents), far
+    outside the fixtures and any sane near-dup threshold use; noted, not
+    special-cased."""
     t = load_tables(spark, sf_dir)
     base = t.documents.select(
         "doc_id",
@@ -486,7 +501,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     Above BRUTE_MAX_SF the brute self-join REFUSES to run and routes to
     the cell path (VERDICT r4 item 5: enforce the switch in code, not
     prose) — at that scale the O(n²) form is not an option and the recall
-    trade-off is the price of admission, tracked by the recall tests."""
+    trade-off is the price of admission, tracked by the recall tests.
+    Directories whose basename does not parse as sfN get sf_of = inf and
+    deliberately take the CELL path too: an unknown layout is assumed big
+    (refusing brute is the safe default), so the exact sql-oracle check
+    only binds on the named sfN fixtures."""
     from machinelearningalgomapreduce_spark.functions.joins import sf_of
     from machinelearningalgomapreduce_spark.operators.similarity import BRUTE_MAX_SF
 
@@ -496,9 +515,15 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Per-vector norms precomputed; each candidate pair pays only the dot.
     e = t.embeddings.select("vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm"))
     a, b = e.alias("a"), e.alias("b")
+    # try_divide: a zero-norm embedding must yield NULL cosine (dropped by
+    # the threshold filter, matching the oracle's NaN-drop) — not an ANSI
+    # DIVIDE_BY_ZERO abort (the round-9 hardening class; q_dedup_edit
+    # already uses it for the analogous case)
     cos = F.round(
-        dot(F.col("a.embedding"), F.col("b.embedding"), EMBEDDING_DIM)
-        / (F.col("a.vnorm") * F.col("b.vnorm")),
+        F.try_divide(
+            dot(F.col("a.embedding"), F.col("b.embedding"), EMBEDDING_DIM),
+            F.col("a.vnorm") * F.col("b.vnorm"),
+        ),
         6,
     )
     return (
@@ -614,9 +639,15 @@ def dedup_embedding_cell(
     e = t.embeddings.select("vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm"))
     ea = e.join(cells, "vec_id").alias("a")
     eb = e.join(cells, "vec_id").alias("b")
+    # try_divide: a zero-norm embedding must yield NULL cosine (dropped by
+    # the threshold filter, matching the oracle's NaN-drop) — not an ANSI
+    # DIVIDE_BY_ZERO abort (the round-9 hardening class; q_dedup_edit
+    # already uses it for the analogous case)
     cos = F.round(
-        dot(F.col("a.embedding"), F.col("b.embedding"), EMBEDDING_DIM)
-        / (F.col("a.vnorm") * F.col("b.vnorm")),
+        F.try_divide(
+            dot(F.col("a.embedding"), F.col("b.embedding"), EMBEDDING_DIM),
+            F.col("a.vnorm") * F.col("b.vnorm"),
+        ),
         6,
     )
     return (
@@ -645,18 +676,43 @@ def minhash_lsh_candidates(spark: SparkSession, sf_dir: str, threshold: float = 
     from pyspark.ml.feature import CountVectorizer, MinHashLSH
 
     t = load_tables(spark, sf_dir)
-    base = _shingle_sets(t.documents)
+    # Same hot-bucket guard as the deterministic paths (r10): identical
+    # texts collide in every hash table, so the approx join over an
+    # uncollapsed corpus is quadratic in the copy count. LSH runs on the
+    # distinct-content representatives; pairs expand back by id joins
+    # (within-group pairs have Jaccard distance exactly 0).
+    reps, members = _exact_collapse(t.documents)
+    base = _shingle_sets(reps)
     cv = CountVectorizer(inputCol="sh", outputCol="features", binary=True).fit(base)
     feats = cv.transform(base)
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42).fit(
         feats
     )
     pairs = lsh.approxSimilarityJoin(feats, feats, threshold, distCol="jaccard_dist")
-    return pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id")).select(
-        F.col("datasetA.doc_id").alias("doc_a"),
-        F.col("datasetB.doc_id").alias("doc_b"),
+    rep_pairs = pairs.filter(
+        F.col("datasetA.doc_id") < F.col("datasetB.doc_id")
+    ).select(
+        F.col("datasetA.doc_id").alias("rep_a"),
+        F.col("datasetB.doc_id").alias("rep_b"),
         "jaccard_dist",
     )
+    m1 = members.select("rep_id", F.col("doc_id").alias("doc_a"))
+    m2 = members.select(F.col("rep_id").alias("rep_b_"), F.col("doc_id").alias("doc_b"))
+    within = (
+        m1.join(m2, (F.col("rep_id") == F.col("rep_b_")) & (F.col("doc_a") < F.col("doc_b")))
+        .select("doc_a", "doc_b", F.lit(0.0).alias("jaccard_dist"))
+    )
+    cross = (
+        rep_pairs
+        .join(members.select(F.col("rep_id").alias("rep_a"), F.col("doc_id").alias("da")), "rep_a")
+        .join(members.select(F.col("rep_id").alias("rep_b"), F.col("doc_id").alias("db")), "rep_b")
+        .select(
+            F.least("da", "db").alias("doc_a"),
+            F.greatest("da", "db").alias("doc_b"),
+            "jaccard_dist",
+        )
+    )
+    return within.unionByName(cross)
 
 
 QUERIES = {
@@ -897,8 +953,6 @@ def _snm_pairs(base: DataFrame, payload: str) -> DataFrame:
     as (doc_a, doc_b, <payload>_a, <payload>_b). One definition serves
     both verifiers (shingle Jaccard and Levenshtein) so the blocking can
     never silently diverge between them."""
-    from pyspark.sql.window import Window as W
-
     w = W.partitionBy("block").orderBy("skey", "doc_id")
     led = base.select(
         "doc_id",
@@ -931,8 +985,6 @@ def q_dedup_snm(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: the sort happens WITHIN hash-prefix blocks (the window
     runs per block, never a global single-partition sort), so partitions
     scale with the block domain; candidates are O(n·w)."""
-    from pyspark.sql.window import Window as W
-
     t = load_tables(spark, sf_dir)
     base = t.documents.select(
         "doc_id",
