@@ -51,7 +51,16 @@ def _ingest_batch(spark: SparkSession, index_dir: str, out_dir: str, run_key: st
         # if multi-epoch rows for one hash ever arise (crash corners), the
         # kept stamp would not be the earliest batch as documented.
         epoch = f"{run_digest}/{batch_id:010d}"
-        hashed = batch.withColumn("content_hash", F.md5("text"))
+        # NULL text hashes to a sentinel, not NULL: a NULL content_hash
+        # would group ALL null-text docs of a batch to one survivor yet
+        # never match the seen-set anti-join (NULL != NULL), re-admitting
+        # one per batch — dedup outcome would depend on batching. With
+        # the sentinel, all null-text docs are one content class,
+        # deterministically, within and across batches.
+        hashed = batch.withColumn(
+            "content_hash",
+            F.coalesce(F.md5("text"), F.lit("__NULL_TEXT__")),
+        )
         # Within-batch survivor: min doc_id per hash (deterministic).
         survivors = (
             hashed.groupBy("content_hash")
@@ -88,6 +97,14 @@ def _ingest_batch(spark: SparkSession, index_dir: str, out_dir: str, run_key: st
         # compactable offline.
         survivors.persist()
         try:
+            # A replay crossing the zero-padding upgrade must supersede the
+            # PRE-upgrade output directory too, not write a second copy of
+            # the batch under the padded name.
+            import shutil as _shutil
+
+            legacy = os.path.join(out_dir, f"epoch={run_digest}_{batch_id}")
+            if os.path.exists(legacy):
+                _shutil.rmtree(legacy)
             survivors.write.mode("overwrite").parquet(
                 os.path.join(out_dir, f"epoch={epoch.replace('/', '_')}")
             )
@@ -127,7 +144,11 @@ def _recover_aside(path: str) -> None:
 
     if os.path.exists(path):
         return
-    siblings = sorted(glob.glob(path + ".old-*"))
+    # glob.escape: a '[' or ']' in the path (pytest tmp dirs, bracketed
+    # data paths) would otherwise turn the pattern into a character class
+    # that matches nothing — recovery silently no-ops and the pipeline
+    # restarts from an empty index/dimension.
+    siblings = sorted(glob.glob(glob.escape(path) + ".old-*"))
     if siblings:
         os.rename(siblings[-1], path)
 
@@ -143,11 +164,11 @@ def _clean_stale_siblings(path: str) -> list[str]:
     import shutil
 
     removed = []
-    for d in glob.glob(path + ".staging-*"):
+    for d in glob.glob(glob.escape(path) + ".staging-*"):
         shutil.rmtree(d, ignore_errors=True)
         removed.append(os.path.basename(d))
     if os.path.exists(path):
-        for d in glob.glob(path + ".old-*"):
+        for d in glob.glob(glob.escape(path) + ".old-*"):
             shutil.rmtree(d, ignore_errors=True)
             removed.append(os.path.basename(d))
     return removed
@@ -180,10 +201,11 @@ def compact_dedup_index(spark: SparkSession, index_dir: str) -> dict:
     same rule as the views in operators/matview.py.
 
     100 TB shape: one hash aggregate over the index relation (map-side
-    combinable, never touches documents), written back partitioned by
-    content_hash prefix — the compacted layout also makes the ingest-side
-    anti-join's big-side scan cheaper (fewer, larger files; a single
-    column-pruned read).
+    combinable, never touches documents), written back hash-partitioned
+    on content_hash into a BOUNDED file count (~64 MB per file, sized
+    from the pre-compaction bytes) — the compacted layout also makes the
+    ingest-side anti-join's big-side scan cheaper (fewer, larger files;
+    a single column-pruned read).
 
     Returns {"rows_before", "rows_after", "files_before", "files_after"}.
     """
@@ -224,9 +246,19 @@ def compact_dedup_index(spark: SparkSession, index_dir: str) -> dict:
     stamp = int(time.time() * 1000)
     staging = index_dir + f".staging-{stamp}"
     old = index_dir + f".old-{stamp}"
-    compacted.repartition(F.col("content_hash")).write.mode("overwrite").parquet(
-        staging
+    # Hash-partitioned into a BOUNDED file count sized from the on-disk
+    # bytes (~64 MB per output file): repartition(col) alone would emit
+    # spark.sql.shuffle.partitions files — for a small index MORE files
+    # than before, the opposite of compaction's fewer-larger promise.
+    total_bytes = sum(
+        os.path.getsize(os.path.join(r, f))
+        for r, _d, files in os.walk(index_dir)
+        for f in files
     )
+    n_out = max(1, total_bytes // (64 << 20) + (1 if total_bytes % (64 << 20) else 0))
+    compacted.repartition(int(n_out), F.col("content_hash")).write.mode(
+        "overwrite"
+    ).parquet(staging)
     rows_after = spark.read.parquet(staging).count()
     os.rename(index_dir, old)
     os.rename(staging, index_dir)
@@ -267,11 +299,8 @@ def scd2_ingest_stream(
 
     from machinelearningalgomapreduce_spark.operators.incremental import scd2_apply
 
-    empty_schema = (
-        f"{key} string, "
-        + ", ".join(f"{c} string" for c in tracked)
-        + ", valid_from string, valid_to string"
-    )
+    if not tracked:
+        raise ValueError("scd2_ingest_stream needs at least one tracked column")
 
     def merge(batch: DataFrame, batch_id: int) -> None:
         _recover_dim(dim_dir)
@@ -283,10 +312,25 @@ def scd2_ingest_stream(
         if os.path.exists(dim_dir):
             dim = spark.read.parquet(dim_dir)
         else:
-            dim = spark.createDataFrame([], empty_schema)
+            # TYPED bootstrap derived from this batch's schema: an
+            # all-string empty frame would union-widen every tracked
+            # column and valid_from/valid_to to STRING permanently (set
+            # operations coerce string+T to string), and later ts
+            # comparisons would go through lossy double casts.
+            proto = latest.select(
+                F.col(key),
+                *[F.col(c) for c in tracked],
+                F.col(ts_col).alias("valid_from"),
+                F.col(ts_col).alias("valid_to"),
+            )
+            dim = spark.createDataFrame([], proto.schema)
         merged = scd2_apply(dim, latest, key, tracked, ts_col)
-        staging = dim_dir + f".staging-{batch_id}"
-        old = dim_dir + f".old-{batch_id}"
+        # zero-padded suffixes: _recover_aside picks the newest sibling
+        # LEXICOGRAPHICALLY, the same ordering hazard the epoch stamps pad
+        # against (a stale '.old-2' surviving an ignore_errors rmtree must
+        # never outsort a fresh '.old-10')
+        staging = dim_dir + f".staging-{batch_id:010d}"
+        old = dim_dir + f".old-{batch_id:010d}"
         merged.write.mode("overwrite").parquet(staging)
         if os.path.exists(dim_dir):
             os.rename(dim_dir, old)

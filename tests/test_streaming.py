@@ -398,3 +398,100 @@ def test_dedup_ingest_excludes_pre_padding_epoch_stamps(spark, tmp_path):
     for r in spark.read.parquet(index_dir).collect():
         # batch 5 wins in EITHER stamp format; the forged batch 12 never
         assert int(r.epoch.split("/")[1]) == 5, r
+
+
+def test_scd2_bootstrap_keeps_typed_schema_and_validates_tracked(spark, tmp_path):
+    """r10 review: the empty-dimension bootstrap must carry the UPDATE
+    batch's types — an all-string bootstrap union-widened every column to
+    string permanently (and epoch-nanos longs then compared through lossy
+    double casts). tracked=[] fails loudly."""
+    import shutil as _sh
+
+    import pytest as _pytest
+
+    from machinelearningalgomapreduce_spark.streaming.sinks import scd2_ingest_stream
+
+    dim_dir = str(tmp_path / "dim_t")
+    src = tmp_path / "upd_t"
+    src.mkdir()
+    u1 = spark.createDataFrame(
+        [(1, 100, 1_700_000_000_000_000_000), (2, 200, 1_700_000_000_000_000_000)],
+        "key long, price long, ts long",
+    )
+    u1.coalesce(1).write.parquet(str(tmp_path / "s1"))
+    part = next(p for p in (tmp_path / "s1").iterdir() if p.name.endswith(".parquet"))
+    _sh.copy(part, src / "b1.parquet")
+    stream = spark.readStream.schema("key long, price long, ts long").parquet(str(src))
+    with _pytest.raises(ValueError, match="tracked"):
+        scd2_ingest_stream(spark, stream, dim_dir, str(tmp_path / "ckx"), "key", [])
+    q = scd2_ingest_stream(spark, stream, dim_dir, str(tmp_path / "ck_t"), "key", ["price"])
+    q.awaitTermination(120)
+    dim = spark.read.parquet(dim_dir)
+    types = {f.name: f.dataType.simpleString() for f in dim.schema.fields}
+    assert types == {
+        "key": "bigint", "price": "bigint",
+        "valid_from": "bigint", "valid_to": "bigint",
+    }, types
+    # a nanos-later update (within double-collapse range of the first)
+    # must still be recognized as fresh under the typed comparison
+    u2 = spark.createDataFrame(
+        [(1, 150, 1_700_000_000_000_000_100)], "key long, price long, ts long"
+    )
+    u2.coalesce(1).write.parquet(str(tmp_path / "s2"))
+    part2 = next(p for p in (tmp_path / "s2").iterdir() if p.name.endswith(".parquet"))
+    _sh.copy(part2, src / "b2.parquet")
+    stream2 = spark.readStream.schema("key long, price long, ts long").parquet(str(src))
+    q2 = scd2_ingest_stream(spark, stream2, dim_dir, str(tmp_path / "ck_t2"), "key", ["price"])
+    q2.awaitTermination(120)
+    open_row = spark.read.parquet(dim_dir).filter(
+        "key = 1 and valid_to is null").collect()
+    assert len(open_row) == 1 and open_row[0].price == 150
+
+
+def test_dedup_ingest_null_text_is_one_content_class(spark, tmp_path):
+    """r10 review: NULL-text docs form ONE deterministic content class —
+    one survivor ever, independent of batching (a NULL hash would both
+    collapse whole batches and leak one doc per batch)."""
+    from machinelearningalgomapreduce_spark.streaming.sinks import _ingest_batch
+
+    ingest = _ingest_batch(spark, str(tmp_path / "idx"), str(tmp_path / "out"), "nt")
+    b1 = spark.createDataFrame(
+        [("a", None), ("b", None), ("c", "real text")],
+        "doc_id string, text string",
+    )
+    b2 = spark.createDataFrame([("d", None)], "doc_id string, text string")
+    ingest(b1, 0)
+    ingest(b2, 1)
+    out = spark.read.parquet(str(tmp_path / "out") + "/epoch=*")
+    rows = {r.doc_id for r in out.collect()}
+    assert rows == {"a", "c"}  # min-id null survivor once; d excluded
+
+
+def test_dedup_replay_supersedes_pre_padding_output_dir(spark, tmp_path):
+    """r10 review: a replay crossing the zero-padding upgrade must replace
+    the PRE-upgrade epoch directory, not leave a duplicate copy of the
+    batch in the landing zone."""
+    import os as _os
+
+    from machinelearningalgomapreduce_spark.streaming.sinks import _ingest_batch
+
+    out_dir = str(tmp_path / "out_m")
+    ingest = _ingest_batch(spark, str(tmp_path / "idx_m"), out_dir, "mig2")
+    docs = spark.createDataFrame([("a", "x text")], "doc_id string, text string")
+    ingest(docs, 7)
+    padded = next(d for d in _os.listdir(out_dir) if d.startswith("epoch="))
+    # forge the pre-upgrade layout: rename to the unpadded name
+    legacy = padded.replace("_0000000007", "_7")
+    _os.rename(_os.path.join(out_dir, padded), _os.path.join(out_dir, legacy))
+    # strip the index rows to the legacy stamp too
+    idx_dir = str(tmp_path / "idx_m")
+    from pyspark.sql import functions as F
+    old = spark.read.parquet(idx_dir).withColumn(
+        "epoch", F.regexp_replace("epoch", "/0000000007", "/7")).collect()
+    import shutil as _sh
+    _sh.rmtree(idx_dir)
+    spark.createDataFrame(old).write.parquet(idx_dir)
+
+    ingest(docs, 7)  # the replay, post-upgrade
+    dirs = [d for d in _os.listdir(out_dir) if d.startswith("epoch=")]
+    assert dirs == [padded], dirs  # exactly one copy, the padded dir
