@@ -40,7 +40,9 @@ ZIPF_TOP_TERMS = 200
 
 
 def _tokens(col: str = "text"):
-    return F.split(F.col(col), " ")
+    from machinelearningalgomapreduce_spark.functions.hashing import tokens
+
+    return tokens(F.col(col))  # ONE canonical tokenization (hashing.py)
 
 
 def q_wordcount(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -515,7 +517,12 @@ def q_cooccur_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ab",
             F.round(
                 F.log(
-                    F.col("n_ab") * F.col("n_docs") / (F.col("df_a") * F.col("df_b")).cast("double")
+                    # double BEFORE the product: n_ab·n_docs as BIGINT
+                    # overflows at corpus scale (the q_js_divergence
+                    # discipline); both engines compute the identical
+                    # double for any in-range fixture value
+                    F.col("n_ab").cast("double") * F.col("n_docs")
+                    / (F.col("df_a") * F.col("df_b")).cast("double")
                 ),
                 6,
             ).alias("pmi"),
@@ -637,12 +644,17 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sxy = F.col("sxy").cast("double")
     num = n * sxy - sx * sy
     den = n * sxx - sx * sx
-    slope = num / den
+    # try_divide: a degenerate corpus (one distinct token → den = 0, or
+    # all-equal counts → zero y-variance) yields NULL here like the
+    # oracle's double/0 does, instead of an ANSI DIVIDE_BY_ZERO abort
+    slope = F.try_divide(num, den)
     return sums.select(
         "n_terms",
         F.round(slope, 6).alias("slope"),
-        F.round((sy - slope * sx) / n, 6).alias("intercept"),
-        F.round(num * num / (den * (n * syy - sy * sy)), 6).alias("r2"),
+        F.round(F.try_divide(sy - slope * sx, n), 6).alias("intercept"),
+        F.round(
+            F.try_divide(num * num, den * (n * syy - sy * sy)), 6
+        ).alias("r2"),
     )
 
 
@@ -1108,7 +1120,7 @@ ORACLES = {
             HAVING count(*) >= {COOCCUR_MIN_PAIRS}
         )
         SELECT p.token_a, p.token_b, p.n_ab,
-               round(ln(p.n_ab * (SELECT count(*) FROM documents)
+               round(ln(CAST(p.n_ab AS DOUBLE) * (SELECT count(*) FROM documents)
                         / CAST(fa.df * fb.df AS DOUBLE)), 6) AS pmi
         FROM pairs p
         JOIN docfreq fa ON fa.token = p.token_a
@@ -1307,9 +1319,11 @@ def q_prefix_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
-    from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
-
-    return tiny_sorted(agg, F.desc("n_docs"), "prefix_hash")
+    # plain orderBy, NOT tiny_sorted: duplicate-prefix groups scale with
+    # the corpus (templated crawls → millions of groups), so the
+    # coalesce(1) single-task sort tiny_sorted is documented for bounded
+    # key domains would become the job's bottleneck (r10 review)
+    return agg.orderBy(F.desc("n_docs"), "prefix_hash")
 
 
 QUERIES["q_prefix_dup"] = q_prefix_dup
@@ -1489,7 +1503,11 @@ def q_substring_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_docs") >= 2)
         .select(
             "win_hash", "n_occurrences", "n_docs", "n_sources",
-            (F.col("first_key") / 1000000).cast("bigint").alias("exemplar_doc"),
+            # integer `div`, not `/`: double division truncates past 2^53
+            # (doc_id ≥ ~9e9 under the 1e6 position scale) while the
+            # oracle's `//` stays exact; the composite itself holds to
+            # doc_id ~9.2e12 (BIGINT), documented with the 1e6 guard above
+            F.expr("first_key div 1000000").cast("bigint").alias("exemplar_doc"),
             (F.col("first_key") % 1000000).cast("bigint").alias("exemplar_pos"),
         )
     )
