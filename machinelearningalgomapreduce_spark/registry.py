@@ -55,38 +55,22 @@ _MODULES = (
 # re-greens the stalest evidence (the r2 cohort predates the r4 keyed-cache
 # / tiny_sorted plan rewrites). Update per round from CORRECTNESS_r{N}.json.
 DRIVER_GREEN_ROUND = {
-    # latest green: round 4 (48)
-    "q_ab_test": 4, "q_attribution": 4, "q_bfs_levels": 4, "q_bpe_merge": 4,
-    "q_canopy": 4, "q_chi2": 4, "q_cluster_confusion": 4,
-    "q_common_neighbors": 4, "q_corr": 4, "q_cross_source_dups": 4,
-    "q_cusum": 4, "q_dedup_minhash_est": 4, "q_domain_mix": 4,
-    "q_feature_hash": 4, "q_fuzzy_join": 4, "q_group_sample": 4,
-    "q_histogram": 4, "q_holt": 4, "q_incremental_agg": 4,
-    "q_incremental_dedup": 4, "q_kcore_step": 4, "q_kmeans_assign": 4,
-    "q_kmeans_recompute": 4, "q_knn": 4, "q_ks_test": 4, "q_linreg": 4,
-    "q_logreg_step": 4, "q_mannwhitney": 4, "q_matmul": 4, "q_naive_bayes": 4,
-    "q_outlier_iqr": 4, "q_outlier_mad": 4, "q_percentiles": 4, "q_profile": 4,
-    "q_quantile_normalize": 4, "q_rolling_median": 4, "q_seasonal_profile": 4,
-    "q_seq_pack": 4, "q_session_paths": 4, "q_shard_assign": 4,
-    "q_silhouette": 4, "q_sim_recall": 4, "q_svm_step": 4, "q_topk_terms": 4,
-    "q_tree_split": 4, "q_vocab_coverage": 4, "q_winsorize": 4,
-    "q_zipf_fit": 4,
-    # latest green: round 5 (46)
+    # latest green: round 5 (44)
     "q_adaboost_round": 5, "q_anova": 5, "q_assortativity": 5, "q_auc": 5,
     "q_bounce_rate": 5, "q_burstiness": 5, "q_calibration_bins": 5,
-    "q_class_separation": 5, "q_clustering_coeff": 5, "q_confusion_binary": 5,
-    "q_custdist": 5, "q_dbscan_core": 5, "q_disjunctive_pred": 5,
-    "q_em_step": 5, "q_gap_histogram": 5, "q_hapax_rate": 5,
-    "q_idle_customers": 5, "q_item_cf": 5, "q_key_uniqueness": 5,
-    "q_large_orders": 5, "q_lift_deciles": 5, "q_market_share": 5,
-    "q_media_decode": 5, "q_mutual_info": 5, "q_ndcg": 5, "q_norm_profile": 5,
-    "q_percentile_audit": 5, "q_perceptron_step": 5, "q_perplexity_filter": 5,
-    "q_pr_threshold": 5, "q_promo_revenue": 5, "q_rating_baseline": 5,
-    "q_referential_integrity": 5, "q_returned_items": 5, "q_ridge_fit": 5,
-    "q_sma_crossover": 5, "q_small_qty_revenue": 5, "q_spearman": 5,
-    "q_sssp_step": 5, "q_time_to_convert": 5, "q_token_budget": 5,
-    "q_top_supplier": 5, "q_train_test_split": 5, "q_trend_fit": 5,
-    "q_volume_shipping": 5, "q_weighted_pick": 5,
+    "q_clustering_coeff": 5, "q_confusion_binary": 5, "q_custdist": 5,
+    "q_dbscan_core": 5, "q_disjunctive_pred": 5, "q_em_step": 5,
+    "q_gap_histogram": 5, "q_hapax_rate": 5, "q_idle_customers": 5,
+    "q_item_cf": 5, "q_key_uniqueness": 5, "q_large_orders": 5,
+    "q_lift_deciles": 5, "q_market_share": 5, "q_media_decode": 5,
+    "q_mutual_info": 5, "q_norm_profile": 5, "q_percentile_audit": 5,
+    "q_perceptron_step": 5, "q_perplexity_filter": 5, "q_pr_threshold": 5,
+    "q_promo_revenue": 5, "q_rating_baseline": 5, "q_referential_integrity": 5,
+    "q_returned_items": 5, "q_ridge_fit": 5, "q_sma_crossover": 5,
+    "q_small_qty_revenue": 5, "q_spearman": 5, "q_sssp_step": 5,
+    "q_time_to_convert": 5, "q_token_budget": 5, "q_top_supplier": 5,
+    "q_train_test_split": 5, "q_trend_fit": 5, "q_volume_shipping": 5,
+    "q_weighted_pick": 5,
     # latest green: round 6 (46)
     "q_cube": 6, "q_dedup_clusters": 6, "q_dedup_embedding": 6,
     "q_dedup_exact": 6, "q_dedup_minhash": 6, "q_dedup_ngram_jaccard": 6,
@@ -151,6 +135,23 @@ DRIVER_GREEN_ROUND = {
     "q_sim_ann": 9, "q_sim_topk": 9, "q_skew_profile": 9,
     "q_source_jaccard": 9, "q_token_entropy": 9, "q_triangle_count": 9,
     "q_tukey_hsd": 9, "q_wasserstein": 9, "q_window_range_frame": 9,
+    # latest green: round 10 (50)
+    "q_ab_test": 10, "q_attribution": 10, "q_bfs_levels": 10,
+    "q_bpe_merge": 10, "q_canopy": 10, "q_chi2": 10, "q_class_separation": 10,
+    "q_cluster_confusion": 10, "q_common_neighbors": 10, "q_corr": 10,
+    "q_cross_source_dups": 10, "q_cusum": 10, "q_dedup_minhash_est": 10,
+    "q_domain_mix": 10, "q_feature_hash": 10, "q_fuzzy_join": 10,
+    "q_group_sample": 10, "q_histogram": 10, "q_holt": 10,
+    "q_incremental_agg": 10, "q_incremental_dedup": 10, "q_kcore_step": 10,
+    "q_kmeans_assign": 10, "q_kmeans_recompute": 10, "q_knn": 10,
+    "q_ks_test": 10, "q_linreg": 10, "q_logreg_step": 10, "q_mannwhitney": 10,
+    "q_matmul": 10, "q_naive_bayes": 10, "q_ndcg": 10, "q_outlier_iqr": 10,
+    "q_outlier_mad": 10, "q_percentiles": 10, "q_profile": 10,
+    "q_quantile_normalize": 10, "q_rolling_median": 10,
+    "q_seasonal_profile": 10, "q_seq_pack": 10, "q_session_paths": 10,
+    "q_shard_assign": 10, "q_silhouette": 10, "q_sim_recall": 10,
+    "q_svm_step": 10, "q_topk_terms": 10, "q_tree_split": 10,
+    "q_vocab_coverage": 10, "q_winsorize": 10, "q_zipf_fit": 10,
 }
 
 # Queries with ANY green driver row (kept as a set: the window tests and

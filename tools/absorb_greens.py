@@ -58,7 +58,7 @@ def _apply(latest: dict[str, int], greened: list[str]) -> None:
         raise SystemExit("could not locate the DRIVER_GREEN_ROUND block")
     src = src[: m.start()] + _render_dict(latest) + src[m.end():]
     d = re.search(
-        r"^DEFERRED_NEXT_WINDOW: frozenset\[str\] = frozenset\(\{\n.*?^\}\)$",
+        r"^DEFERRED_NEXT_WINDOW: frozenset\[str\] = frozenset\(\{\n.*?^\s*\}\)$",
         src, re.M | re.S,
     )
     if not d:
