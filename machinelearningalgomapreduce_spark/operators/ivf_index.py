@@ -38,11 +38,21 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 from pyspark.sql.window import Window as W
 
 from machinelearningalgomapreduce_spark.functions.vectors import dot, norm, sq_dist
 
 _POINTER = "_CURRENT"
+
+# query() collects the probe set (query rows × n_probe cells) to the
+# driver only while it provably fits this many rows; past the cap the
+# probe stays a distributed plan and the candidate join shuffles on cell
+# (the FactDimRollupView._snapshot_is_small discipline, row-count form —
+# the probe is a caller plan, not an on-disk snapshot, so bytes aren't
+# knowable without evaluating it). Module-level so tests can monkeypatch
+# the gate both ways.
+PROBE_COLLECT_CAP_ROWS = 4096
 
 
 class IVFIndexView:
@@ -319,6 +329,11 @@ class IVFIndexView:
         dfs = []
         for i, s in enumerate(segs):
             d = spark.read.parquet(os.path.join(self.path, s))
+            # partition-column discovery type-infers `cell` from the
+            # directory names (int for small labels, long for big ones);
+            # pin it to bigint so the segment union, the empty-corner
+            # schema, and the read() contract never disagree
+            d = d.withColumn("cell", F.col("cell").cast("long"))
             if with_order:
                 d = d.withColumn("_seg", F.lit(i))
             dfs.append(d)
@@ -352,6 +367,7 @@ class IVFIndexView:
         queries: DataFrame,
         k: int = 3,
         exclude_self: bool = True,
+        probe_collect_cap: int | None = None,
     ) -> DataFrame:
         """Top-k cosine neighbors per query row (query_id, embedding),
         searching only each query's ``n_probe`` nearest cells. The cell
@@ -360,11 +376,21 @@ class IVFIndexView:
         Output: (query_id, neighbor_id, cell, cos_sim, rank) — the
         q_sim_ann contract.
 
-        The probe set (query vectors × their probed cells — sample-sized
-        by the ANN audit envelope) is computed ONCE and shipped back as a
-        local relation: evaluating the caller's query lineage twice would
-        waste its plan and, for nondeterministic sources, let the
-        collected cell list disagree with a re-evaluated probe.
+        The probe set (query vectors × their probed cells) is SIZE-GATED
+        (``probe_collect_cap``, default ``PROBE_COLLECT_CAP_ROWS``): while
+        it fits, it is computed ONCE and shipped back as a broadcast local
+        relation — single evaluation, so even a nondeterministic query
+        source yields a self-consistent probe. Past the cap (a batch
+        re-embedding job, a bulk kNN join) collecting would OOM the
+        driver, so the probe stays a distributed plan and the candidate
+        join shuffles on cell; only the DISTINCT probed cells (bounded by
+        the centroid count, never the query count) come back for segment
+        partition pruning. The distributed path evaluates the caller's
+        query lineage more than once — ``cache()`` nondeterministic
+        sources before calling.
+        Zero-norm vectors (query or indexed) take NULL cosine via
+        ``try_divide`` and sort out of the top-k window (NULLs last under
+        desc) instead of poisoning rank 1 with 0/0 = NaN.
         Duplicate index rows for one vec_id (re-ingested before the next
         compact) resolve newest-wins here. ``exclude_self`` drops
         candidates whose vec_id EQUALS the query_id — correct when query
@@ -386,17 +412,49 @@ class IVFIndexView:
             .filter(F.col("rn") <= self.n_probe)
             .select("query_id", "qv", "qnorm", F.col("cell").alias("pcell"))
         )
-        probe_rows = probe_plan.collect()
-        # schema taken from the plan, not hardcoded — query_id keeps the
-        # caller's type (external id spaces may not be long)
-        probe = spark.createDataFrame(probe_rows, probe_plan.schema)
-        probed_cells = sorted({r.pcell for r in probe_rows})
+        cap = (
+            PROBE_COLLECT_CAP_ROWS
+            if probe_collect_cap is None
+            else probe_collect_cap
+        )
+        # limit(cap+1) evaluates once: if ≤cap rows come back they ARE the
+        # complete probe set; cap+1 rows means the set overflows the gate
+        # and the collected sample is discarded in favor of the
+        # distributed plan.
+        probe_rows = probe_plan.limit(cap + 1).collect()
         segs = self.segments()
         if not probe_rows or not segs:  # no queries, or an all-empty index
+            # schema derived from the plan, not a hardcoded DDL string —
+            # query_id keeps the caller's type (external id spaces may
+            # not be long), so the empty corner unions/joins cleanly with
+            # the non-empty case
             return spark.createDataFrame(
                 [],
-                "query_id long, neighbor_id long, cell bigint, "
-                "cos_sim double, rank int",
+                T.StructType(
+                    [
+                        T.StructField(
+                            "query_id",
+                            probe_plan.schema["query_id"].dataType,
+                        ),
+                        T.StructField("neighbor_id", T.LongType()),
+                        T.StructField("cell", T.LongType()),
+                        T.StructField("cos_sim", T.DoubleType()),
+                        T.StructField("rank", T.IntegerType()),
+                    ]
+                ),
+            )
+        if len(probe_rows) <= cap:
+            # schema taken from the plan, not hardcoded — query_id keeps
+            # the caller's type (external id spaces may not be long)
+            probe = F.broadcast(
+                spark.createDataFrame(probe_rows, probe_plan.schema)
+            )
+            probed_cells = sorted({r.pcell for r in probe_rows})
+        else:
+            probe = probe_plan
+            probed_cells = sorted(
+                r.pcell
+                for r in probe_plan.select("pcell").distinct().collect()
             )
         # the isin literal list reaches every segment scan as a partition
         # filter — only the probed cells' directories are read
@@ -412,9 +470,17 @@ class IVFIndexView:
                 norm(F.col("r.embedding"), self.dim).alias("vnorm"),
             )
         )
+        # try_divide: a zero-norm vector (indexed or query) yields NULL
+        # cosine, which sorts LAST under desc and drops out of the top-k
+        # window — plain division would produce 0/0 = NaN, which sorts
+        # ABOVE all doubles and makes one degenerate vector the rank-1
+        # neighbor of every query probing its cell (the dedup.py
+        # q_dedup_embedding discipline, applied to the serving path).
         cos = F.round(
-            dot(F.col("qv"), F.col("nv"), self.dim)
-            / (F.col("qnorm") * F.col("vnorm")),
+            F.try_divide(
+                dot(F.col("qv"), F.col("nv"), self.dim),
+                F.col("qnorm") * F.col("vnorm"),
+            ),
             6,
         )
         cond = F.col("pcell") == F.col("cell")
@@ -422,7 +488,7 @@ class IVFIndexView:
             cond = cond & (F.col("query_id") != F.col("neighbor_id"))
         w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
         return (
-            F.broadcast(probe).join(corpus, cond)
+            probe.join(corpus, cond)
             .select("query_id", "neighbor_id", "cell", cos.alias("cos_sim"))
             .withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)

@@ -1460,7 +1460,25 @@ def export_view_snapshot(
         # shards from an export that crashed between shard-task commits and
         # the sink's manifest commit. The re-run's manifest would list only
         # its own shards (correct), but the debris would inflate the export
-        # directory forever — clear the target before re-exporting.
+        # directory forever — clear the target before re-exporting. Guard
+        # the delete: only known export debris (shard-*.jsonl, the sink's
+        # manifest tmp/lock) may be present; anything else means out_dir
+        # points at an unrelated directory and deleting it would destroy
+        # the caller's data — refuse instead.
+        stray = [
+            e
+            for e in os.listdir(target)
+            if not (
+                (e.startswith("shard-") and e.endswith(".jsonl"))
+                or e in ("manifest.json.tmp", "manifest.json.lock")
+            )
+        ]
+        if stray:
+            raise ValueError(
+                f"refusing to clear {target}: found non-export entries "
+                f"{sorted(stray)[:5]} — out_dir must be an export "
+                "directory (only shard-*.jsonl debris is cleaned up)"
+            )
         shutil.rmtree(target)
     spark.dataSource.register(ManifestJsonlSink)
     view.read(spark, v).write.format("manifest_jsonl").option(

@@ -159,6 +159,11 @@ class _ShardCommit(WriterCommitMessage):
 
 
 class ManifestJsonlWriter(DataSourceWriter):
+    # A live commit holds the manifest lock for one read-modify-write
+    # (milliseconds); a lock this old belongs to a dead driver and is
+    # safe to break (see commit()).
+    LOCK_STALE_SECONDS = 300.0
+
     def __init__(self, options, schema: StructType):
         import uuid
 
@@ -199,6 +204,8 @@ class ManifestJsonlWriter(DataSourceWriter):
     def commit(self, messages) -> None:
         import json
         import os
+        import socket as _socket
+        import time as _time
 
         shards = [
             {"path": os.path.basename(m.path), "n_rows": m.n_rows,
@@ -213,12 +220,40 @@ class ManifestJsonlWriter(DataSourceWriter):
         # a loud failure (the single-writer rule every view in this repo
         # already follows — the loser retries or serializes).
         lock_path = manifest_path + ".lock"
+        # Stale-lock recovery: a driver killed between acquiring the lock
+        # and the finally block would otherwise brick every later commit
+        # to this directory. The lock records its holder (pid@host, mtime
+        # carries the timestamp); a lock older than LOCK_STALE_SECONDS is
+        # broken — a live commit holds the lock only for one manifest
+        # read-modify-write, far under the timeout.
+        try:
+            if (
+                os.path.exists(lock_path)
+                and _time.time() - os.path.getmtime(lock_path)
+                > self.LOCK_STALE_SECONDS
+            ):
+                os.remove(lock_path)
+        except OSError:
+            pass  # raced with the holder's own cleanup — O_EXCL decides
         try:
             lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(
+                lock_fd,
+                f"{os.getpid()}@{_socket.gethostname()}".encode(),
+            )
         except FileExistsError as exc:
+            holder = ""
+            try:
+                with open(lock_path) as fh:
+                    holder = fh.read().strip()
+            except OSError:
+                pass
             raise RuntimeError(
                 f"concurrent manifest commit detected at {manifest_path} "
-                "(lock held); manifest_jsonl is single-writer per directory"
+                f"(lock held by {holder or 'unknown'}); manifest_jsonl is "
+                "single-writer per directory. If the holder is dead, the "
+                f"lock self-expires after {self.LOCK_STALE_SECONDS}s, or "
+                f"remove {lock_path} manually."
             ) from exc
         try:
             # Append semantics: a later job EXTENDS the manifest rather than

@@ -264,3 +264,43 @@ def test_synthetic_source_partition_count_and_validation(spark):
     # more partitions than rows: exactly n_rows singleton ranges
     assert len(SyntheticEventsReader(
         {"n_rows": "3", "n_partitions": "8"}).partitions()) == 3
+
+
+def test_manifest_lock_stale_recovery_and_holder_in_error(spark, tmp_path):
+    """ADVICE r10: a lock left by a dead driver must self-expire (commit
+    breaks locks older than LOCK_STALE_SECONDS and proceeds); a FRESH
+    lock still fails loudly, naming its holder and the remediation."""
+    import os
+    import time
+
+    import pytest as _pytest
+
+    from machinelearningalgomapreduce_spark.sources.custom import (
+        ManifestJsonlSink,
+        ManifestJsonlWriter,
+    )
+
+    spark.dataSource.register(ManifestJsonlSink)
+    d = str(tmp_path / "stale")
+    df = spark.createDataFrame([(1, "a"), (2, "b")], ["k", "s"])
+
+    # stale lock (mtime pushed past the timeout) → broken, commit succeeds
+    os.makedirs(d)
+    lock = os.path.join(d, "manifest.json.lock")
+    with open(lock, "w") as fh:
+        fh.write("99999@dead-host")
+    old = time.time() - ManifestJsonlWriter.LOCK_STALE_SECONDS - 60
+    os.utime(lock, (old, old))
+    df.write.format("manifest_jsonl").option("path", d).mode("append").save()
+    assert os.path.exists(os.path.join(d, "manifest.json"))
+    assert not os.path.exists(lock)  # broken and released
+
+    # fresh lock → loud single-writer failure, holder + lock path named
+    with open(lock, "w") as fh:
+        fh.write("12345@live-host")
+    writer = ManifestJsonlWriter({"path": d}, df.schema)
+    with _pytest.raises(RuntimeError) as ei:
+        writer.commit([])
+    msg = str(ei.value)
+    assert "12345@live-host" in msg and "manifest.json.lock" in msg
+    os.remove(lock)

@@ -309,3 +309,79 @@ def test_rebuild_retrains_under_learned_centroids(spark, tmp_path):
     # old index untouched, rebuild is ledgered on the new one
     assert {(r.vec_id, r.cell) for r in idx.read(spark).collect()} == old_state
     assert new.applied_batches() == [f"rebuild-v{idx.current_version():08d}"]
+
+
+def test_query_gate_parity_collected_vs_distributed(spark, tmp_path):
+    """The probe size gate must not change results: the same query frame
+    run below the cap (collected-broadcast probe) and above it (probe
+    kept distributed, shuffle join on cell) returns the identical
+    (query_id, rank) → (neighbor_id, cos_sim) map — the
+    FactDimRollupView gate-parity discipline applied to the index."""
+    full, batches = _batches(spark)
+    idx = IVFIndexView(str(tmp_path / "ivf_g"), _centroids(spark), dim=DIM, n_probe=2)
+    for i, b in enumerate(batches):
+        idx.refresh(spark, b, batch_id=f"b{i}")
+    queries = full.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    small = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in idx.query(spark, queries, k=3, probe_collect_cap=10**6).collect()
+    }
+    big = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in idx.query(spark, queries, k=3, probe_collect_cap=1).collect()
+    }
+    assert small and small == big
+
+
+def test_query_zero_norm_vectors_take_null_cosine_not_nan(spark, tmp_path):
+    """A zero-norm indexed vector must NOT become the rank-1 neighbor of
+    every query probing its cell (0/0 = NaN sorts above all doubles under
+    desc); with try_divide it takes NULL cosine and sorts last."""
+    cents = [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0, 0.0])]
+    idx = IVFIndexView(str(tmp_path / "ivf_z"), cents, dim=4, n_probe=2)
+    delta = spark.createDataFrame(
+        [
+            (2, [0.9, 0.1, 0.0, 0.0]),
+            (3, [0.0, 0.0, 0.0, 0.0]),  # zero-norm degenerate
+            (4, [0.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    idx.refresh(spark, delta, batch_id="b0")
+    queries = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    rows = sorted(idx.query(spark, queries, k=3).collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in rows] == [2, 4, 3]
+    assert rows[0].cos_sim == pytest.approx(0.993884)
+    assert rows[2].cos_sim is None  # NULL, never NaN
+    # a zero-norm QUERY vector likewise returns NULL cosines, id-ordered
+    zq = spark.createDataFrame(
+        [(9, [0.0, 0.0, 0.0, 0.0])], "query_id long, embedding array<double>"
+    )
+    zrows = sorted(idx.query(spark, zq, k=3).collect(), key=lambda r: r.rank)
+    assert [r.neighbor_id for r in zrows] == [2, 3, 4]
+    assert all(r.cos_sim is None for r in zrows)
+
+
+def test_query_empty_corner_schema_matches_nonempty(spark, tmp_path):
+    """Empty query frame (or empty index) must return the SAME schema as
+    the non-empty case — including a caller-typed query_id — so the
+    empty corner unions cleanly downstream."""
+    full, batches = _batches(spark)
+    idx = IVFIndexView(str(tmp_path / "ivf_e"), _centroids(spark), dim=DIM)
+    idx.refresh(spark, batches[0], batch_id="b0")
+    some = batches[0].orderBy("vec_id").first()
+    nonempty_q = spark.createDataFrame(
+        [(f"id-{some.vec_id}", list(some.embedding))],
+        "query_id string, embedding array<double>",
+    )
+    empty_q = nonempty_q.limit(0)
+    nonempty = idx.query(spark, nonempty_q, k=3, exclude_self=False)
+    empty = idx.query(spark, empty_q, k=3, exclude_self=False)
+    assert [(f.name, f.dataType) for f in empty.schema.fields] == [
+        (f.name, f.dataType) for f in nonempty.schema.fields
+    ]
+    assert nonempty.unionByName(empty).count() == nonempty.count()

@@ -990,13 +990,37 @@ def test_export_view_snapshot_cleans_orphan_shards(spark, tmp_path):
     out = tmp_path / "export_orphan"
     target = out / "v00000001"
     target.mkdir(parents=True)
-    (target / "part-orphan-deadbeef.jsonl").write_text('{"stale": true}\n')
+    # realistic orphan: the sink's own write() names shards shard-*.jsonl
+    (target / "shard-orphan-deadbeef.jsonl").write_text('{"stale": true}\n')
 
     m = export_view_snapshot(spark, mv, str(out))
     files = {p.name for p in target.iterdir()}
-    assert "part-orphan-deadbeef.jsonl" not in files
+    assert "shard-orphan-deadbeef.jsonl" not in files
     listed = {s["path"] for s in m["shards"]}
     assert files == listed | {"manifest.json"}, (files, listed)
+
+
+def test_export_view_snapshot_refuses_to_clear_foreign_directory(spark, tmp_path):
+    """ADVICE r10: the orphan cleanup must not rmtree a directory that
+    is NOT export debris — a mispointed out_dir (which necessarily lacks
+    a manifest) raises instead of silently deleting the caller's data."""
+    from machinelearningalgomapreduce_spark.operators.matview import (
+        export_view_snapshot,
+    )
+
+    t = load_tables(spark, SMOKE_SF_DIR)
+    mv = _mk_view(tmp_path / "mvf")
+    b0, _, _ = _batches(t.lineitem)
+    mv.refresh(spark, b0, batch_id="b0")
+    out = tmp_path / "not_an_export"
+    target = out / "v00000001"
+    target.mkdir(parents=True)
+    precious = target / "my_training_data.csv"
+    precious.write_text("a,b\n1,2\n")
+
+    with pytest.raises(ValueError, match="refusing to clear"):
+        export_view_snapshot(spark, mv, str(out))
+    assert precious.read_text() == "a,b\n1,2\n"  # untouched
 
 
 def test_star_rollup_read_identical_without_broadcast_gate(spark, tmp_path, monkeypatch):
