@@ -73,8 +73,12 @@ def duckdb_same_host(sf_dir: str, names: list[str]) -> dict[str, float]:
         con = duckdb.connect()
         for t in ("region", "nation", "customer", "supplier", "part", "orders",
                   "lineitem", "events", "documents", "embeddings"):
-            con.execute(
-                f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            p = f"{sf_dir}/{t}.parquet"
+            # the driver tiers are single files; tools/scale_* tiers are
+            # Spark-written DIRECTORIES of part files — glob those
+            if os.path.isdir(p):
+                p = f"{p}/*.parquet"
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
         out: dict[str, float] = {}
         for name in names:
             sql = oracles.get(name)
@@ -134,6 +138,16 @@ def main() -> None:
 
     qs = registry.queries()
     names = [n for n in HEADLINE if n in qs]
+    # Optional subset (tools/scale_bench_10x.py times just the queries
+    # under audit at the 10× tier); the driver's per-round run leaves this
+    # unset and times the full headline list.
+    subset = os.environ.get("SPARK_BENCH_QUERIES")
+    if subset:
+        want = [s.strip() for s in subset.split(",") if s.strip()]
+        unknown = [w for w in want if w not in qs]
+        if unknown:
+            raise SystemExit(f"SPARK_BENCH_QUERIES unknown: {unknown}")
+        names = [n for n in want]
     missing = [n for n in HEADLINE if n not in qs]
     if missing:
         log(f"bench: headline queries not yet implemented: {missing}")

@@ -261,3 +261,48 @@ def test_lsh_exact_collapse_matches_uncollapsed_plan(spark):
     assert ("e0", "e1", 1.0) in reference  # the frame exercises the empty case
     assert ("c0", "c2", 1.0) in reference
     assert collapsed == reference
+
+
+def test_embedding_dedup_blocked_full_recall_with_learned_cells(spark, sf_dir):
+    """VERDICT r10 item 3 (SemDeDup-style composed scale path): learned
+    k-means cells + multi-probe blocking + the brute query's exact verify
+    must recover EVERY brute near-dup pair on the fixture (recall 1.0 at
+    k=10/n_probe=3 — measured, see the operator docstring) and never
+    invent a pair (verify is the same predicate, so emitted ⊆ brute)."""
+    from machinelearningalgomapreduce_spark.operators.dedup import (
+        embedding_dedup_blocked,
+        q_dedup_embedding,
+    )
+
+    brute = {(r.id_a, r.id_b) for r in q_dedup_embedding(spark, sf_dir).collect()}
+    got = {(r.id_a, r.id_b) for r in embedding_dedup_blocked(spark, sf_dir).collect()}
+    assert brute, "fixture should contain embedding near-dup pairs"
+    assert got == brute, (
+        f"missed {sorted(brute - got)[:5]}, invented {sorted(got - brute)[:5]}"
+    )
+
+
+def test_embedding_dedup_blocked_candidates_stay_cell_bounded(spark, sf_dir):
+    """The blocked path must never regress to all-pairs, and its candidate
+    budget must obey the IVF scaling law (~n_probe²/k of all-pairs for
+    balanced cells): k is THE lever that keeps the per-cell quadratic
+    global-linear at 100 TB. On this 500-vector fixture k=10 is deliberately
+    tiny (n_probe=3 ⇒ bound ≈ 0.9·all-pairs), so the assertions check the
+    LAW, not a small constant: strictly under all-pairs at the recall-1.0
+    config; shrinking when k doubles; far under all-pairs at single-probe."""
+    from machinelearningalgomapreduce_spark.operators.dedup import (
+        embedding_dedup_blocked,
+    )
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    n = load_tables(spark, sf_dir).embeddings.count()
+    all_pairs = n * (n - 1) // 2
+    cands = embedding_dedup_blocked(spark, sf_dir, verify=False).count()
+    assert 0 < cands < all_pairs, (cands, all_pairs)
+    bigger_k = embedding_dedup_blocked(spark, sf_dir, k=20, verify=False).count()
+    assert bigger_k < cands, (bigger_k, cands)
+    one_probe = embedding_dedup_blocked(
+        spark, sf_dir, n_probe=1, verify=False
+    ).count()
+    # balanced bound at n_probe=1 is all_pairs/k = 10%; allow skew to 35%
+    assert one_probe < 0.35 * all_pairs, (one_probe, all_pairs)
