@@ -361,6 +361,84 @@ class IVFIndexView:
             )
         return self._union_segments(spark, segs)
 
+    def _probe_plan(self, spark: SparkSession, queries: DataFrame) -> DataFrame:
+        """(query_id, qv, qnorm, pcell): each query row replicated to its
+        top-``n_probe`` nearest cells — centroids broadcast, one window
+        per query. Shared by the full-vector and PQ query paths."""
+        cents = F.broadcast(self._centroids_df(spark))
+        qd2 = F.round(sq_dist(F.col("qv"), F.col("centroid"), self.dim), 6)
+        wq = W.partitionBy("query_id").orderBy("dist2", "cell")
+        q = queries.select(
+            F.col("query_id"),
+            F.col("embedding").alias("qv"),
+            norm(F.col("embedding"), self.dim).alias("qnorm"),
+        )
+        return (
+            q.crossJoin(cents)
+            .select("query_id", "qv", "qnorm", "cell", qd2.alias("dist2"))
+            .withColumn("rn", F.row_number().over(wq))
+            .filter(F.col("rn") <= self.n_probe)
+            .select("query_id", "qv", "qnorm", F.col("cell").alias("pcell"))
+        )
+
+    def _gated_probe(
+        self,
+        spark: SparkSession,
+        probe_plan: DataFrame,
+        probe_collect_cap: int | None,
+    ) -> tuple[DataFrame | None, list[int]]:
+        """Size-gated probe materialization: (probe frame, probed cells).
+        ``(None, [])`` means the query frame is empty. Below the cap the
+        probe collects ONCE and ships back broadcast (single evaluation —
+        self-consistent even for nondeterministic sources); above it the
+        probe stays a distributed plan and only the DISTINCT probed cells
+        (bounded by the centroid count) come back for partition pruning —
+        that path re-evaluates the caller's lineage, so cache()
+        nondeterministic sources."""
+        cap = (
+            PROBE_COLLECT_CAP_ROWS
+            if probe_collect_cap is None
+            else probe_collect_cap
+        )
+        # limit(cap+1) evaluates once: if ≤cap rows come back they ARE the
+        # complete probe set; cap+1 rows means the set overflows the gate
+        # and the collected sample is discarded in favor of the
+        # distributed plan.
+        probe_rows = probe_plan.limit(cap + 1).collect()
+        if not probe_rows:
+            return None, []
+        if len(probe_rows) <= cap:
+            # schema taken from the plan, not hardcoded — query_id keeps
+            # the caller's type (external id spaces may not be long)
+            probe = F.broadcast(
+                spark.createDataFrame(probe_rows, probe_plan.schema)
+            )
+            return probe, sorted({r.pcell for r in probe_rows})
+        return probe_plan, sorted(
+            r.pcell for r in probe_plan.select("pcell").distinct().collect()
+        )
+
+    def _empty_query_result(
+        self, spark: SparkSession, probe_plan: DataFrame
+    ) -> DataFrame:
+        """Empty result with the SAME schema as the non-empty case —
+        query_id's type derived from the probe plan (external id spaces
+        may not be long), so the empty corner unions cleanly."""
+        return spark.createDataFrame(
+            [],
+            T.StructType(
+                [
+                    T.StructField(
+                        "query_id", probe_plan.schema["query_id"].dataType
+                    ),
+                    T.StructField("neighbor_id", T.LongType()),
+                    T.StructField("cell", T.LongType()),
+                    T.StructField("cos_sim", T.DoubleType()),
+                    T.StructField("rank", T.IntegerType()),
+                ]
+            ),
+        )
+
     def query(
         self,
         spark: SparkSession,
@@ -397,65 +475,13 @@ class IVFIndexView:
         ids live in the corpus id space (the q_sim_ann contract); pass
         False for an external query id space, where a coincidental id
         match would silently drop a legitimate neighbor."""
-        cents = F.broadcast(self._centroids_df(spark))
-        qd2 = F.round(sq_dist(F.col("qv"), F.col("centroid"), self.dim), 6)
-        wq = W.partitionBy("query_id").orderBy("dist2", "cell")
-        q = queries.select(
-            F.col("query_id"),
-            F.col("embedding").alias("qv"),
-            norm(F.col("embedding"), self.dim).alias("qnorm"),
+        probe_plan = self._probe_plan(spark, queries)
+        probe, probed_cells = self._gated_probe(
+            spark, probe_plan, probe_collect_cap
         )
-        probe_plan = (
-            q.crossJoin(cents)
-            .select("query_id", "qv", "qnorm", "cell", qd2.alias("dist2"))
-            .withColumn("rn", F.row_number().over(wq))
-            .filter(F.col("rn") <= self.n_probe)
-            .select("query_id", "qv", "qnorm", F.col("cell").alias("pcell"))
-        )
-        cap = (
-            PROBE_COLLECT_CAP_ROWS
-            if probe_collect_cap is None
-            else probe_collect_cap
-        )
-        # limit(cap+1) evaluates once: if ≤cap rows come back they ARE the
-        # complete probe set; cap+1 rows means the set overflows the gate
-        # and the collected sample is discarded in favor of the
-        # distributed plan.
-        probe_rows = probe_plan.limit(cap + 1).collect()
         segs = self.segments()
-        if not probe_rows or not segs:  # no queries, or an all-empty index
-            # schema derived from the plan, not a hardcoded DDL string —
-            # query_id keeps the caller's type (external id spaces may
-            # not be long), so the empty corner unions/joins cleanly with
-            # the non-empty case
-            return spark.createDataFrame(
-                [],
-                T.StructType(
-                    [
-                        T.StructField(
-                            "query_id",
-                            probe_plan.schema["query_id"].dataType,
-                        ),
-                        T.StructField("neighbor_id", T.LongType()),
-                        T.StructField("cell", T.LongType()),
-                        T.StructField("cos_sim", T.DoubleType()),
-                        T.StructField("rank", T.IntegerType()),
-                    ]
-                ),
-            )
-        if len(probe_rows) <= cap:
-            # schema taken from the plan, not hardcoded — query_id keeps
-            # the caller's type (external id spaces may not be long)
-            probe = F.broadcast(
-                spark.createDataFrame(probe_rows, probe_plan.schema)
-            )
-            probed_cells = sorted({r.pcell for r in probe_rows})
-        else:
-            probe = probe_plan
-            probed_cells = sorted(
-                r.pcell
-                for r in probe_plan.select("pcell").distinct().collect()
-            )
+        if probe is None or not segs:  # no queries, or an all-empty index
+            return self._empty_query_result(spark, probe_plan)
         # the isin literal list reaches every segment scan as a partition
         # filter — only the probed cells' directories are read
         corpus = (
