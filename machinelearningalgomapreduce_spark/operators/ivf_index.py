@@ -146,11 +146,20 @@ class IVFIndexView:
         os.replace(tmp, spec_path)
 
     def _commit(self, segments: list[str], batches: list[str]) -> int:
+        from machinelearningalgomapreduce_spark.operators.matview import (
+            _write_json_durable,
+        )
+
         v = self.current_version() + 1
-        tmp = self._manifest_path(v) + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump({"segments": segments, "batches": batches}, f)
-        os.replace(tmp, self._manifest_path(v))
+        # exclusive manifest creation (the matview _commit discipline,
+        # VERDICT r10 item 6): a concurrent writer that already committed
+        # this version raises a loud version-collision error instead of
+        # silently dropping one batch from the ledger
+        _write_json_durable(
+            self._manifest_path(v),
+            {"segments": segments, "batches": batches},
+            exclusive=True,
+        )
         ptmp = os.path.join(self.path, _POINTER + ".tmp")
         with open(ptmp, "w") as f:
             f.write(str(v))

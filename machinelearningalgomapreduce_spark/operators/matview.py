@@ -77,20 +77,41 @@ _PARTIAL = {
 _POINTER = "_CURRENT"
 
 
-def _write_json_durable(path: str, obj) -> None:
+def _write_json_durable(path: str, obj, exclusive: bool = False) -> None:
     """Write JSON with flush+fsync before the atomic rename: the pointer
     flip is only a commit if what it points AT is durable first — on
     delayed-allocation filesystems an unsynced manifest/ledger can be
     lost in a power cut while the later rename survives, leaving a
     committed pointer to torn metadata. (Parquet data files are written
     by Spark's committers; their durability is the FileSystem's contract
-    — this helper covers the metadata this module writes itself.)"""
-    tmp = path + ".tmp"
+    — this helper covers the metadata this module writes itself.)
+
+    ``exclusive=True`` turns a silent last-writer-wins overwrite into a
+    LOUD version-collision error (VERDICT r10 item 6): the final name is
+    created via ``os.link`` — atomic, and FileExistsError if another
+    writer already committed this version. Used for per-version manifest
+    files, where two writers racing the version counter must not drop
+    one batch from the ledger silently. The pid-unique tmp keeps racing
+    writers from truncating each other's in-flight bytes."""
+    tmp = f"{path}.{os.getpid()}.tmp" if exclusive else path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(obj, f)
         f.flush()
         os.fsync(f.fileno())
-    os.replace(tmp, path)
+    if not exclusive:
+        os.replace(tmp, path)
+        return
+    try:
+        os.link(tmp, path)
+    except FileExistsError:
+        os.remove(tmp)
+        raise ValueError(
+            f"version collision at {path}: another writer committed this "
+            "version concurrently — refreshes are single-writer per view "
+            "(serialize them, e.g. via foreachBatch); this batch was NOT "
+            "committed and must be retried"
+        ) from None
+    os.remove(tmp)
 
 
 def _snapshot_is_small(path: str, cap_bytes: int | None = None) -> bool:
@@ -1040,8 +1061,13 @@ class SegmentedAggView:
 
     def _commit(self, segments: list[dict], batches: list[str]) -> int:
         v = self.current_version() + 1
+        # exclusive: a concurrent writer that already committed this
+        # version raises here instead of silently dropping one batch
+        # from the ledger via a last-pointer-flip-wins overwrite
         _write_json_durable(
-            self._manifest_path(v), {"segments": segments, "batches": batches}
+            self._manifest_path(v),
+            {"segments": segments, "batches": batches},
+            exclusive=True,
         )
         ptmp = os.path.join(self.path, _POINTER + ".tmp")
         with open(ptmp, "w") as f:

@@ -385,3 +385,24 @@ def test_query_empty_corner_schema_matches_nonempty(spark, tmp_path):
         (f.name, f.dataType) for f in nonempty.schema.fields
     ]
     assert nonempty.unionByName(empty).count() == nonempty.count()
+
+
+def test_concurrent_index_commit_raises_instead_of_silent_drop(
+    spark, tmp_path, monkeypatch
+):
+    """VERDICT r10 item 6 (index flavor): a second writer racing the
+    version counter raises a loud version-collision error; the winner's
+    ledger and state are untouched."""
+    _, batches = _batches(spark)
+    a = IVFIndexView(str(tmp_path / "ivf_race"), _centroids(spark), dim=DIM)
+    b = IVFIndexView(str(tmp_path / "ivf_race"), _centroids(spark), dim=DIM)
+    a.refresh(spark, batches[0], batch_id="b0")
+    stale = a.current_version()
+    a.refresh(spark, batches[1], batch_id="b1")  # A wins the next version
+    want = {(r.vec_id, r.cell) for r in a.read(spark).collect()}
+    monkeypatch.setattr(type(b), "current_version", lambda self: stale)
+    with pytest.raises(ValueError, match="version collision"):
+        b.refresh(spark, batches[2], batch_id="b2")
+    monkeypatch.undo()
+    assert b.applied_batches() == ["b0", "b1"]
+    assert {(r.vec_id, r.cell) for r in b.read(spark).collect()} == want
