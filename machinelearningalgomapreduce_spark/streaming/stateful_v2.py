@@ -52,10 +52,30 @@ PROFILE_OUTPUT_SCHEMA = T.StructType(
 class UserProfileProcessor(StatefulProcessor):
     """Running per-user profile (count, value sum, last-seen micros) as a
     single ValueState — the transformWithState twin of
-    stateful.user_profiles."""
+    stateful.user_profiles.
+
+    ``ttl_ms`` (VERDICT r10 item 7) is the unbounded-key-space operating
+    mode: with TTL set, a key idle past the duration has its state
+    expired BY THE STATE STORE (ttlDurationMs on getValueState —
+    processing-time based, so timeMode must be ProcessingTime; the
+    wrapper below enforces that pairing), and the next event for that key
+    starts a fresh profile. Without it, a stream whose key domain grows
+    forever (user ids, session tokens, document ids) grows RocksDB state
+    monotonically — at 100 TB/day the TTL knob is what keeps the state
+    store bounded by the ACTIVE key set instead of the historical one.
+    The trade is explicit: an expired key that returns is a NEW profile
+    (the same semantics as the batch aggregate restricted to the active
+    window)."""
+
+    def __init__(self, ttl_ms: int | None = None) -> None:
+        if ttl_ms is not None and ttl_ms <= 0:
+            raise ValueError(f"ttl_ms must be positive, got {ttl_ms}")
+        self._ttl_ms = ttl_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        self._state = handle.getValueState("profile", PROFILE_STATE_SCHEMA)
+        self._state = handle.getValueState(
+            "profile", PROFILE_STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         prev = self._state.get() if self._state.exists() else None
@@ -79,15 +99,20 @@ class UserProfileProcessor(StatefulProcessor):
         pass
 
 
-def user_profiles_tws(events: DataFrame) -> DataFrame:
+def user_profiles_tws(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Streaming per-user running profile via transformWithStateInPandas.
     Input needs (user_id, value, us — epoch micros); emits the updated
-    profile for every key seen in each micro-batch."""
+    profile for every key seen in each micro-batch.
+
+    ``ttl_ms`` bounds state for unbounded key domains (see
+    UserProfileProcessor). State TTL is processing-time based, so setting
+    it switches timeMode to ProcessingTime — the API pairing Spark
+    requires (TTL with timeMode=None is rejected engine-side)."""
     return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=UserProfileProcessor(),
+        statefulProcessor=UserProfileProcessor(ttl_ms=ttl_ms),
         outputStructType=PROFILE_OUTPUT_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        timeMode="None" if ttl_ms is None else "ProcessingTime",
     )
 
 

@@ -175,7 +175,7 @@ class _FakeHandle:
     def __init__(self) -> None:
         self.states: dict = {}
 
-    def getValueState(self, name, schema):
+    def getValueState(self, name, schema, ttlDurationMs=None):
         return self.states.setdefault(name, _FakeValueState())
 
 

@@ -56,7 +56,7 @@ class _FakeHandle:
     def __init__(self) -> None:
         self.states: dict[str, _FakeValueState] = {}
 
-    def getValueState(self, name, schema):
+    def getValueState(self, name, schema, ttlDurationMs=None):
         return self.states.setdefault(name, _FakeValueState())
 
 
@@ -319,3 +319,113 @@ def test_ordered_values_spans_arrow_chunks():
     # chunk-local sorting would have produced [1.0, 3.0, 0.5, 2.0]
     assert list(_ordered_values(iter([]))) == []
     assert list(_ordered_values(iter([chunk1.iloc[0:0]]))) == []
+
+
+class _TTLFakeValueState:
+    """TTL-honoring fake ValueState: expiry = no update for ttl ms on the
+    supplied (test-controlled) clock — the processing-time semantics of
+    getValueState(ttlDurationMs=...) without the engine."""
+
+    def __init__(self, ttl_ms, clock) -> None:
+        self._v = None
+        self._ttl = ttl_ms
+        self._clock = clock
+        self._updated_at = None
+
+    def _expired(self) -> bool:
+        return (
+            self._ttl is not None
+            and self._updated_at is not None
+            and self._clock() - self._updated_at >= self._ttl
+        )
+
+    def exists(self) -> bool:
+        return self._v is not None and not self._expired()
+
+    def get(self):
+        return self._v if self.exists() else None
+
+    def update(self, v) -> None:
+        self._v = v
+        self._updated_at = self._clock()
+
+
+class _TTLFakeHandle:
+    def __init__(self, clock) -> None:
+        self._clock = clock
+        self.ttls: dict[str, int | None] = {}
+        self.states: dict[str, _TTLFakeValueState] = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        self.ttls[name] = ttlDurationMs
+        return self.states.setdefault(
+            name, _TTLFakeValueState(ttlDurationMs, self._clock)
+        )
+
+
+def test_user_profile_state_ttl_expires_idle_keys():
+    """VERDICT r10 item 7 — the unbounded-key-space knob: with ttl_ms
+    set, a key idle past the TTL restarts from a FRESH profile (state
+    expired by the store); within the TTL it accumulates; without a TTL
+    it accumulates forever. Driven through the TTL-honoring fake handle
+    on a test-controlled clock (deterministic — the engine path's
+    processing-time expiry cannot be, and the wiring test below pins the
+    plumbing)."""
+    import pandas as pd
+
+    from machinelearningalgomapreduce_spark.streaming.stateful_v2 import (
+        UserProfileProcessor,
+    )
+
+    now = {"t": 0}
+    clock = lambda: now["t"]  # noqa: E731
+
+    def feed(proc, value, us):
+        (out,) = proc.handleInputRows(
+            (7,), [pd.DataFrame({"value": [value], "us": [us]})], None
+        )
+        r = out.iloc[0]
+        return int(r.n_events), float(r.sum_value), int(r.last_us)
+
+    proc = UserProfileProcessor(ttl_ms=1_000)
+    handle = _TTLFakeHandle(clock)
+    proc.init(handle)
+    assert handle.ttls == {"profile": 1_000}  # ttl reached the store
+
+    assert feed(proc, 10.0, 111) == (1, 10.0, 111)
+    now["t"] = 500  # inside the TTL: state persists
+    assert feed(proc, 5.0, 222) == (2, 15.0, 222)
+    now["t"] = 2_000  # 1500ms idle > ttl: state expired, fresh profile
+    assert feed(proc, 1.0, 333) == (1, 1.0, 333)
+
+    # no TTL: the same idle gap accumulates
+    now["t"] = 0
+    p2 = UserProfileProcessor()
+    h2 = _TTLFakeHandle(clock)
+    p2.init(h2)
+    assert h2.ttls == {"profile": None}
+    feed(p2, 10.0, 111)
+    now["t"] = 2_000
+    assert feed(p2, 1.0, 333) == (2, 11.0, 333)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="positive"):
+        UserProfileProcessor(ttl_ms=0)
+
+
+def test_user_profiles_tws_ttl_wiring_constructs_streaming_plan(spark, sf_dir):
+    """The TTL variant must ANALYZE everywhere too: ttl_ms flips
+    timeMode to ProcessingTime (Spark rejects TTL under timeMode=None)
+    and the output schema is unchanged."""
+    from machinelearningalgomapreduce_spark.streaming.stateful_v2 import (
+        PROFILE_OUTPUT_SCHEMA,
+        user_profiles_tws,
+    )
+
+    stream = sw.stream_events(spark, sf_dir).select(
+        "user_id", "value", F.unix_micros("ts").alias("us")
+    )
+    out = user_profiles_tws(stream, ttl_ms=3_600_000)
+    assert out.isStreaming
+    assert out.schema == PROFILE_OUTPUT_SCHEMA
