@@ -560,8 +560,14 @@ def min_label_clusters(pairs: DataFrame) -> DataFrame:
     """Frame-level core of q_dedup_clusters: min-label-propagation CC over
     ANY (doc_a, doc_b) pair frame (pipeline.py runs it on reduced-corpus
     pairs)."""
-    # Undirected edge list, both directions.
-    edges = pairs.union(
+    # Undirected edge list, both directions. unionByName, NOT positional
+    # union: a caller whose pair frame has the columns in (doc_b, doc_a)
+    # physical order — e.g. after a string-key join, which moves the join
+    # key first — would otherwise get its endpoints silently swapped in
+    # one branch and every cluster dissolved into self-rooted singletons
+    # (found by the pipeline semantic-dedup differential, r11).
+    pairs = pairs.select("doc_a", "doc_b")
+    edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).distinct()
     labels = edges.select(F.col("doc_a").alias("node")).distinct().select(

@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from machinelearningalgomapreduce_spark.functions.metrics import with_quality_counters
 from machinelearningalgomapreduce_spark.operators.dedup import (
+    embedding_dedup_blocked,
     keep_best_frame,
     min_label_clusters,
     minhash_dedup_pairs,
@@ -67,6 +68,7 @@ def training_pipeline(
     sf_dir: str,
     chunk_tokens: int = 64,
     overlap: int = 8,
+    semantic_dedup: bool = False,
 ) -> tuple[DataFrame, dict[str, int]]:
     """Run the full curation chain; returns (chunks, funnel).
 
@@ -74,12 +76,26 @@ def training_pipeline(
     materialized (the observe counters need one action; running it here
     makes the funnel complete on return).
     `funnel`: docs surviving each stage — raw → quality → deduped →
-    decontaminated — plus the final chunk count.
-    """
+    [semantic →] decontaminated — plus the final chunk count.
+
+    ``semantic_dedup=True`` inserts the SemDeDup-style stage between the
+    text near-dup pass and decontamination: embedding-cosine near-dup
+    pairs from dedup.embedding_dedup_blocked (learned IVF cells +
+    multi-probe blocking + exact verify — the 100 TB shape, never
+    all-pairs), restricted to the still-surviving docs, clustered by the
+    same CC fixpoint, with the same quality-aware survivorship. Text
+    dedup catches copies; the semantic stage catches paraphrases the
+    shingle space misses — the standard curation order (SemDeDup runs
+    AFTER exact/fuzzy text dedup, on the reduced corpus). Off by
+    default: it requires the embeddings table keyed by the document id
+    space (the fixture contract: vec_id ≡ doc_id)."""
     docs = load_tables(spark, sf_dir).documents
 
-    obs = {name: Observation() for name in
-           ("raw", "quality", "deduped", "decontaminated")}
+    names = ["raw", "quality", "deduped"]
+    if semantic_dedup:
+        names.append("semantic")
+    names.append("decontaminated")
+    obs = {name: Observation() for name in names}
     n = F.count(F.lit(1)).alias("n_rows")
 
     staged = docs.observe(obs["raw"], n)
@@ -104,6 +120,30 @@ def training_pipeline(
     # unclustered docs pass through untouched.
     losers = clusters.join(winners, "doc_id", "left_anti").select("doc_id")
     staged = staged.join(losers, "doc_id", "left_anti").observe(obs["deduped"], n)
+
+    if semantic_dedup:
+        # SemDeDup stage on the text-deduped survivors: pairs restricted
+        # to docs still staged (survivorship decided among survivors,
+        # the stage-2 discipline), clustered and pruned the same way.
+        ids = staged.select("doc_id")
+        sem_pairs = (
+            embedding_dedup_blocked(spark, sf_dir)
+            .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+            .join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
+            .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        )
+        sem_clusters = min_label_clusters(sem_pairs).select(
+            "doc_id", "cluster_root"
+        )
+        sem_winners = keep_best_frame(
+            sem_clusters, quality.select("doc_id", "quality_score")
+        ).select(F.col("best_doc").alias("doc_id"))
+        sem_losers = sem_clusters.join(
+            sem_winners, "doc_id", "left_anti"
+        ).select("doc_id")
+        staged = staged.join(sem_losers, "doc_id", "left_anti").observe(
+            obs["semantic"], n
+        )
 
     contaminated = (
         q_decontaminate(spark, sf_dir).filter("contaminated").select("doc_id")

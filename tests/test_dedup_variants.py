@@ -306,3 +306,28 @@ def test_embedding_dedup_blocked_candidates_stay_cell_bounded(spark, sf_dir):
     ).count()
     # balanced bound at n_probe=1 is all_pairs/k = 10%; allow skew to 35%
     assert one_probe < 0.35 * all_pairs, (one_probe, all_pairs)
+
+
+def test_min_label_clusters_is_column_order_insensitive(spark):
+    """r11 regression: a pair frame whose physical column order is
+    (doc_b, doc_a) — what a string-key join produces by moving the join
+    key first — must cluster identically to the canonical order. The old
+    positional union swapped endpoints in one branch and dissolved every
+    cluster into self-rooted singletons."""
+    from machinelearningalgomapreduce_spark.operators.dedup import (
+        min_label_clusters,
+    )
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 9)], "doc_a long, doc_b long"
+    )
+    want = {
+        (r.doc_id, r.cluster_root) for r in min_label_clusters(pairs).collect()
+    }
+    assert want == {(1, 1), (2, 1), (3, 1), (7, 7), (9, 7)}
+    reordered = pairs.select("doc_b", "doc_a")  # physical order flipped
+    got = {
+        (r.doc_id, r.cluster_root)
+        for r in min_label_clusters(reordered).collect()
+    }
+    assert got == want

@@ -89,3 +89,86 @@ def test_training_pipeline_funnel_and_invariants(spark, sf_dir):
     assert all(0 <= r.shard < N_SHARDS for r in rows)
     chunks2, _ = training_pipeline(spark, sf_dir, chunk_tokens=32, overlap=4)
     assert sorted(map(tuple, rows)) == sorted(map(tuple, chunks2.collect()))
+
+
+def test_training_pipeline_semantic_stage(spark, sf_dir):
+    """semantic_dedup=True inserts the SemDeDup stage: the funnel gains a
+    'semantic' counter between deduped and decontaminated, semantic
+    losers are exactly the non-best members of embedding near-dup
+    clusters among the text-dedup survivors, and disabling the flag
+    reproduces the original pipeline unchanged."""
+    from machinelearningalgomapreduce_spark.operators.dedup import (
+        embedding_dedup_blocked,
+    )
+
+    base_chunks, base_funnel = training_pipeline(
+        spark, sf_dir, chunk_tokens=32, overlap=4
+    )
+    chunks, funnel = training_pipeline(
+        spark, sf_dir, chunk_tokens=32, overlap=4, semantic_dedup=True
+    )
+    assert list(funnel) == [
+        "raw", "quality", "deduped", "semantic", "decontaminated", "chunks",
+    ]
+    assert funnel["deduped"] >= funnel["semantic"] >= funnel["decontaminated"] > 0
+    # stages before the insertion are identical to the baseline
+    for stage in ("raw", "quality", "deduped"):
+        assert funnel[stage] == base_funnel[stage]
+
+    # independent expectation: survivors after the text-dedup stage,
+    # minus non-best members of embedding clusters restricted to them
+    survivors = {r.doc_id for r in chunks.select("doc_id").distinct().collect()}
+    base_survivors = {
+        r.doc_id for r in base_chunks.select("doc_id").distinct().collect()
+    }
+    quality = {
+        r.doc_id: r.quality_score
+        for r in q_quality_score(spark, sf_dir).collect()
+    }
+    sem_pairs = [
+        (r.id_a, r.id_b)
+        for r in embedding_dedup_blocked(spark, sf_dir).collect()
+    ]
+    # replicate stages 1-2 exactly (the first test's reduced-corpus
+    # recipe) to get the TRUE membership of the semantic stage —
+    # decontamination happens later, so base_survivors alone undercounts
+    docs = load_tables(spark, sf_dir).documents
+    gate_pass = {
+        r.doc_id for r in q_quality_score(spark, sf_dir).filter("keep").collect()
+    }
+    staged1 = docs.filter(docs.doc_id.isin(list(gate_pass)))
+    t_pairs = minhash_dedup_pairs(staged1).select("doc_a", "doc_b")
+    t_clusters = min_label_clusters(t_pairs).select("doc_id", "cluster_root")
+    t_winners = {
+        r.best_doc
+        for r in keep_best_frame(
+            t_clusters,
+            q_quality_score(spark, sf_dir).select("doc_id", "quality_score"),
+        ).collect()
+    }
+    t_clustered = {r.doc_id for r in t_clusters.collect()}
+    present = gate_pass - (t_clustered - t_winners)  # text-dedup survivors
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    stage_members = set()
+    for a, b in sem_pairs:
+        if a in present and b in present:
+            stage_members |= {a, b}
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+    clusters: dict = {}
+    for d in stage_members:
+        clusters.setdefault(find(d), set()).add(d)
+    expected_losers = set()
+    for members in clusters.values():
+        best = max(members, key=lambda d: (quality[d], -d))
+        expected_losers |= members - {best}
+    assert survivors == base_survivors - expected_losers
