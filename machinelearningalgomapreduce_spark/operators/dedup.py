@@ -485,9 +485,11 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs. Brute-force pairwise at fixture
-    scale; at 100 TB use the cell-bucketed candidate path
-    (`dedup_embedding_cell` below / operators/similarity.py::q_sim_ann)
-    before the exact verify.
+    scale; at 100 TB use the composed SemDeDup-style path
+    (`embedding_dedup_blocked` below — learned cells + multi-probe
+    blocking + this query's exact verify; measured recall 1.0 vs brute
+    at both fixture scales) or the label-cell variant
+    (`dedup_embedding_cell`) for corpora with a trusted label column.
 
     Why the CHECKED query stays brute: cell-pruning was measured on the
     fixture (sf0.01, 2026-08-13) — IVF cells from label_centroids retain

@@ -244,3 +244,39 @@ def test_pq_query_empty_corners_and_gate_parity(spark, tmp_path):
     ]
     assert empty.schema["query_id"].dataType.simpleString() == "string"
     assert empty.count() == 0
+
+
+def test_pq_index_maintained_from_a_stream(spark, tmp_path):
+    """Composition with the streaming MV maintainer (the parent's
+    contract carries over): embeddings streamed through mv_ingest_stream
+    land as codes exactly once, a fresh-checkpoint full replay changes
+    nothing, and the streamed state equals a one-shot refresh."""
+    from machinelearningalgomapreduce_spark.operators.matview import (
+        mv_ingest_stream,
+    )
+
+    centers, rows = _clustered()
+    cents, cbs = _quantizers(centers, rows)
+    emb = _emb(spark, rows)
+    src = str(tmp_path / "src")
+    emb.repartition(3).write.parquet(src)
+    pq = IVFPQIndexView(str(tmp_path / "pq_s"), cents, cbs, dim=DIM)
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = mv_ingest_stream(spark, stream, pq, str(tmp_path / "ck1"))
+    q.awaitTermination(120)
+    state = {(r.vec_id, tuple(r.codes), r.cell) for r in pq.read(spark).collect()}
+    assert len(state) == len(rows)
+    q2 = mv_ingest_stream(spark, stream, pq, str(tmp_path / "ck2"))
+    q2.awaitTermination(120)
+    assert {
+        (r.vec_id, tuple(r.codes), r.cell) for r in pq.read(spark).collect()
+    } == state
+    oneshot = IVFPQIndexView(str(tmp_path / "pq_o"), cents, cbs, dim=DIM)
+    oneshot.refresh(spark, emb, batch_id="all")
+    assert {
+        (r.vec_id, tuple(r.codes), r.cell) for r in oneshot.read(spark).collect()
+    } == state
