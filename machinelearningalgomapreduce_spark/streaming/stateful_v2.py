@@ -363,11 +363,23 @@ class UserTypeMixProcessor(StatefulProcessor):
     a ValueState for high-cardinality per-key maps). Emits the updated
     (distinct types, total events, modal type) per user per micro-batch;
     modal tie-break = lexicographically smallest type (deterministic).
-    Batch twin: groupBy(user_id) countDistinct/count/max_by."""
+    Batch twin: groupBy(user_id) countDistinct/count/max_by.
+
+    ``ttl_ms``: the unbounded-key-space knob (see UserProfileProcessor) —
+    MapState TTL is PER MAP ENTRY, so a type not seen for the duration
+    expires out of the mix individually."""
+
+    def __init__(self, ttl_ms: int | None = None) -> None:
+        if ttl_ms is not None and ttl_ms <= 0:
+            raise ValueError(f"ttl_ms must be positive, got {ttl_ms}")
+        self._ttl_ms = ttl_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
         self._counts = handle.getMapState(
-            "type_counts", _TYPEMIX_KEY_SCHEMA, _TYPEMIX_VALUE_SCHEMA
+            "type_counts",
+            _TYPEMIX_KEY_SCHEMA,
+            _TYPEMIX_VALUE_SCHEMA,
+            ttlDurationMs=self._ttl_ms,
         )
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
@@ -405,15 +417,16 @@ class UserTypeMixProcessor(StatefulProcessor):
         pass
 
 
-def user_type_mix_tws(events: DataFrame) -> DataFrame:
+def user_type_mix_tws(events: DataFrame, ttl_ms: int | None = None) -> DataFrame:
     """Streaming per-user event-type mix via transformWithStateInPandas
     MapState. Input needs (user_id, event_type); emits the updated mix
-    for every key seen in each micro-batch."""
+    for every key seen in each micro-batch. ``ttl_ms``: per-entry state
+    TTL (timeMode flips to ProcessingTime, the pairing Spark requires)."""
     return events.groupBy("user_id").transformWithStateInPandas(
-        statefulProcessor=UserTypeMixProcessor(),
+        statefulProcessor=UserTypeMixProcessor(ttl_ms=ttl_ms),
         outputStructType=TYPEMIX_OUTPUT_SCHEMA,
         outputMode="Update",
-        timeMode="None",
+        timeMode="None" if ttl_ms is None else "ProcessingTime",
     )
 
 
@@ -448,10 +461,21 @@ class UserRecentWindowProcessor(StatefulProcessor):
     put() here rewrites ≤ N tuples — O(1) per key by the cap. Emits the
     rolling (count, exact integer cents sum, max, last seen) per user
     per micro-batch. Batch twin: row_number over (us desc, event_id
-    desc) ≤ N, then the same aggregate — exact integers both sides."""
+    desc) ≤ N, then the same aggregate — exact integers both sides.
+
+    ``ttl_ms``: the unbounded-key-space knob (see UserProfileProcessor) —
+    a user idle past the duration has the whole list expire, so the next
+    event starts a fresh window."""
+
+    def __init__(self, ttl_ms: int | None = None) -> None:
+        if ttl_ms is not None and ttl_ms <= 0:
+            raise ValueError(f"ttl_ms must be positive, got {ttl_ms}")
+        self._ttl_ms = ttl_ms
 
     def init(self, handle: StatefulProcessorHandle) -> None:
-        self._recent = handle.getListState("recent", _RECENT_STATE_SCHEMA)
+        self._recent = handle.getListState(
+            "recent", _RECENT_STATE_SCHEMA, ttlDurationMs=self._ttl_ms
+        )
 
     def handleInputRows(self, key, rows, timerValues) -> Iterator[pd.DataFrame]:
         kept = [tuple(t) for t in self._recent.get()] if self._recent.exists() else []

@@ -366,7 +366,7 @@ class _FakeMapHandle:
     def __init__(self) -> None:
         self.states: dict = {}
 
-    def getMapState(self, name, key_schema, value_schema, ttl_duration_ms=None):
+    def getMapState(self, name, key_schema, value_schema, ttlDurationMs=None):
         return self.states.setdefault(name, _FakeMapState())
 
 
@@ -529,7 +529,7 @@ class _FakeListHandle:
     def __init__(self) -> None:
         self.states: dict = {}
 
-    def getListState(self, name, schema, ttl_duration_ms=None):
+    def getListState(self, name, schema, ttlDurationMs=None):
         return self.states.setdefault(name, _FakeListState())
 
 

@@ -432,7 +432,7 @@ class _TimerFakeHandle:
         self.states = {}
         self.timers = set()
 
-    def getValueState(self, name, schema, ttl_duration_ms=None):
+    def getValueState(self, name, schema, ttlDurationMs=None):
         return self.states.setdefault(name, _TimerFakeValueState())
 
     def registerTimer(self, expiry_ms):
