@@ -375,7 +375,9 @@ def test_weighted_pick_is_exact_and_weight_consistent(spark, sf_dir):
     for src, ds in by_source.items():
         ds.sort()
         total = sum(w for _, w in ds)
-        thr = int(hashlib.md5(f"pick:{src}".encode()).hexdigest()[:8], 16) % total
+        # 15 hex chars = the 60-bit threshold (r10 review: 32 bits inverts
+        # once a source's weight exceeds 2^32) — must track the operator
+        thr = int(hashlib.md5(f"pick:{src}".encode()).hexdigest()[:15], 16) % total
         cum = 0
         for doc_id, w in ds:
             if cum <= thr < cum + w:
