@@ -616,31 +616,30 @@ def min_label_clusters(pairs: DataFrame) -> DataFrame:
 
 
 def _cell_blocked_embedding_pairs(
-    spark: SparkSession,
-    sf_dir: str,
+    embeddings: DataFrame,
     cents: DataFrame,
     n_probe: int,
     verify: bool = True,
 ) -> DataFrame:
     """Shared candidate-generate + exact-verify core of the cell-blocked
-    embedding dedup family: assign every vector to its ``n_probe``
-    nearest cells from ``cents`` (cell, centroid) — IVF multi-probe —
-    generate pairs only WITHIN a cell, then run the SAME rounded-cosine
-    verify as brute q_dedup_embedding. O(corpus × n_probe) candidate rows
-    sharded by cell, never all-pairs; the centroid frame is O(k·d) and
-    broadcast. ``verify=False`` returns the UNFILTERED candidate pairs
-    (cos_sim included) — the knob the containment tests use to assert the
+    embedding dedup family: assign every vector of the supplied
+    (vec_id, embedding) frame to its ``n_probe`` nearest cells from
+    ``cents`` (cell, centroid) — IVF multi-probe — generate pairs only
+    WITHIN a cell, then run the SAME rounded-cosine verify as brute
+    q_dedup_embedding. O(corpus × n_probe) candidate rows sharded by
+    cell, never all-pairs; the centroid frame is O(k·d) and broadcast.
+    ``verify=False`` returns the UNFILTERED candidate pairs (cos_sim
+    included) — the knob the containment tests use to assert the
     candidate set stays O(Σ cell²), far under all-pairs."""
-    t = load_tables(spark, sf_dir)
     w = W.partitionBy("vec_id").orderBy("dist2", "cell")
     cells = (
-        t.embeddings.crossJoin(F.broadcast(cents))
+        embeddings.crossJoin(F.broadcast(cents))
         .select("vec_id", "cell", F.round(sq_dist(F.col("embedding"), F.col("centroid"), EMBEDDING_DIM), 6).alias("dist2"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= n_probe)
         .select("vec_id", "cell")
     )
-    e = t.embeddings.select("vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm"))
+    e = embeddings.select("vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm"))
     ea = e.join(cells, "vec_id").alias("a")
     eb = e.join(cells, "vec_id").alias("b")
     # try_divide: a zero-norm embedding must yield NULL cosine (dropped by
@@ -689,7 +688,9 @@ def dedup_embedding_cell(
     cents = label_centroids(t.embeddings).select(
         F.col("label").alias("cell"), "centroid"
     )
-    return _cell_blocked_embedding_pairs(spark, sf_dir, cents, n_probe)
+    return _cell_blocked_embedding_pairs(
+        t.embeddings.select("vec_id", "embedding"), cents, n_probe
+    )
 
 
 def embedding_dedup_blocked(
@@ -729,15 +730,40 @@ def embedding_dedup_blocked(
     need the third probe on this geometry. At a real corpus, recall vs
     n_probe is re-measured with ann_recall_frame's harness before
     committing a probe budget."""
-    from machinelearningalgomapreduce_spark.operators.ml import kmeans_fit
+    return embedding_dedup_blocked_frame(
+        spark,
+        load_tables(spark, sf_dir).embeddings.select("vec_id", "embedding"),
+        k=k,
+        n_probe=n_probe,
+        seed=seed,
+        verify=verify,
+    )
 
-    model, _cost = kmeans_fit(spark, sf_dir, k=k, seed=seed)
+
+def embedding_dedup_blocked_frame(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    k: int = 10,
+    n_probe: int = 3,
+    seed: int = 42,
+    verify: bool = True,
+) -> DataFrame:
+    """Frame-parameterized form of ``embedding_dedup_blocked`` (r11
+    review): quantizer training AND candidate blocking run over exactly
+    the supplied (vec_id, embedding) frame — the pipeline's semantic
+    stage passes its curation SURVIVORS, so docs already dropped by the
+    quality gate or text dedup never pay the kmeans/blocking/verify cost
+    (at 100 TB the blocking pass dominates; filtering result pairs after
+    the fact would waste it)."""
+    from machinelearningalgomapreduce_spark.operators.ml import kmeans_fit_frame
+
+    model, _cost = kmeans_fit_frame(embeddings, k=k, seed=seed)
     rows = [
         (int(i), [round(float(x), 6) for x in c])
         for i, c in enumerate(model.clusterCenters())
     ]
     cents = spark.createDataFrame(rows, "cell bigint, centroid array<double>")
-    return _cell_blocked_embedding_pairs(spark, sf_dir, cents, n_probe, verify)
+    return _cell_blocked_embedding_pairs(embeddings, cents, n_probe, verify)
 
 
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str, threshold: float = 0.35):

@@ -270,11 +270,12 @@ class IVFPQIndexView(IVFIndexView):
         self,
         spark: SparkSession,
         queries: DataFrame,
-        full_vectors: DataFrame,
         k: int = 3,
-        rerank_mult: int = 3,
         exclude_self: bool = True,
         probe_collect_cap: int | None = None,
+        *,
+        full_vectors: DataFrame,
+        rerank_mult: int = 3,
     ) -> DataFrame:
         """Two-stage IVF-PQ search: asymmetric-distance candidate ranking
         on the stored codes, exact cosine re-rank of the top
@@ -283,7 +284,13 @@ class IVFPQIndexView(IVFIndexView):
         any superset; survivors missing from it are dropped, which
         surfaces a stale corpus loudly as shrunken result sets).
         Output: (query_id, neighbor_id, cell, cos_sim, rank) — the
-        parent's q_sim_ann contract, so callers can swap index kinds.
+        parent's q_sim_ann contract. ``full_vectors`` and
+        ``rerank_mult`` are KEYWORD-ONLY and the shared positional
+        prefix (spark, queries, k, exclude_self, probe_collect_cap)
+        matches the parent exactly, so code written against the parent's
+        call shape keeps working on a PQ index once it supplies
+        full_vectors= (r11 review — a positional corpus arg would have
+        silently bound the parent's positional k).
 
         Probe gating, empty-corner schema, NULL-cosine (try_divide) and
         newest-wins duplicate resolution all inherit the parent's

@@ -76,6 +76,11 @@ _PARTIAL = {
 
 _POINTER = "_CURRENT"
 
+# An above-pointer manifest this old is a crashed commit's orphan (a live
+# writer flips its pointer within milliseconds of linking the manifest);
+# younger collisions are treated as real concurrent writers and raise.
+MANIFEST_ORPHAN_SECONDS = 300.0
+
 
 def _write_json_durable(path: str, obj, exclusive: bool = False) -> None:
     """Write JSON with flush+fsync before the atomic rename: the pointer
@@ -92,7 +97,18 @@ def _write_json_durable(path: str, obj, exclusive: bool = False) -> None:
     writer already committed this version. Used for per-version manifest
     files, where two writers racing the version counter must not drop
     one batch from the ledger silently. The pid-unique tmp keeps racing
-    writers from truncating each other's in-flight bytes."""
+    writers from truncating each other's in-flight bytes.
+
+    Orphan self-healing (r11 review): the commit marker is the POINTER
+    flip, so a writer that crashed between linking its manifest and
+    flipping the pointer leaves an above-pointer orphan manifest —
+    without recovery every later commit of the same version would
+    collide forever (the pre-exclusive os.replace self-healed by
+    overwriting). An existing manifest OLDER than
+    ``MANIFEST_ORPHAN_SECONDS`` is such an orphan (a live concurrent
+    writer flips its pointer within milliseconds of linking) and is
+    renamed aside (atomic — one reclaimer wins) before one retry; a
+    FRESH collision is a real concurrent writer and raises."""
     tmp = f"{path}.{os.getpid()}.tmp" if exclusive else path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(obj, f)
@@ -101,17 +117,41 @@ def _write_json_durable(path: str, obj, exclusive: bool = False) -> None:
     if not exclusive:
         os.replace(tmp, path)
         return
-    try:
-        os.link(tmp, path)
-    except FileExistsError:
-        os.remove(tmp)
-        raise ValueError(
-            f"version collision at {path}: another writer committed this "
-            "version concurrently — refreshes are single-writer per view "
-            "(serialize them, e.g. via foreachBatch); this batch was NOT "
-            "committed and must be retried"
-        ) from None
-    os.remove(tmp)
+    for attempt in (0, 1):
+        try:
+            os.link(tmp, path)
+            os.remove(tmp)
+            return
+        except FileExistsError:
+            import time as _time
+
+            try:
+                stale = (
+                    _time.time() - os.path.getmtime(path)
+                    > MANIFEST_ORPHAN_SECONDS
+                )
+            except OSError:
+                stale = False  # vanished — retry the link
+                if attempt == 0:
+                    continue
+            if attempt == 0 and stale:
+                try:
+                    aside = f"{path}.orphan.{os.getpid()}"
+                    os.rename(path, aside)
+                    os.remove(aside)
+                    continue  # reclaimed the crashed commit's version
+                except OSError:
+                    pass  # lost the reclaim race — fall through to raise
+            os.remove(tmp)
+            raise ValueError(
+                f"version collision at {path}: another writer committed "
+                "this version concurrently — refreshes are single-writer "
+                "per view (serialize them, e.g. via foreachBatch); this "
+                "batch was NOT committed and must be retried. If this "
+                "collision is an orphan from a crashed commit (pointer "
+                "never flipped), it self-expires after "
+                f"{MANIFEST_ORPHAN_SECONDS}s, or run vacuum()."
+            ) from None
 
 
 def _snapshot_is_small(path: str, cap_bytes: int | None = None) -> bool:

@@ -522,11 +522,18 @@ def kmeans_parallel_init(
 
 def kmeans_fit(spark: SparkSession, sf_dir: str, k: int = 10, seed: int = 42):
     """Full k-means fit via MLlib on the embeddings. Returns (model, cost)."""
+    return kmeans_fit_frame(load_tables(spark, sf_dir).embeddings, k=k, seed=seed)
+
+
+def kmeans_fit_frame(embeddings: DataFrame, k: int = 10, seed: int = 42):
+    """Frame-parameterized k-means fit (the table-bound form above binds
+    sf_dir): callers training a quantizer on a RESTRICTED corpus — e.g.
+    the pipeline's semantic-dedup stage over curation survivors — pass
+    their (vec_id, embedding) frame directly. Returns (model, cost)."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
-    t = load_tables(spark, sf_dir)
-    data = t.embeddings.select(
+    data = embeddings.select(
         "vec_id", array_to_vector(as_double(F.col("embedding"))).alias("features")
     )
     model = KMeans(k=k, seed=seed, maxIter=20).fit(data)

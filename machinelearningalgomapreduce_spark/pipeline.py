@@ -48,7 +48,7 @@ from pyspark.sql import functions as F
 
 from machinelearningalgomapreduce_spark.functions.metrics import with_quality_counters
 from machinelearningalgomapreduce_spark.operators.dedup import (
-    embedding_dedup_blocked,
+    embedding_dedup_blocked_frame,
     keep_best_frame,
     min_label_clusters,
     minhash_dedup_pairs,
@@ -122,15 +122,22 @@ def training_pipeline(
     staged = staged.join(losers, "doc_id", "left_anti").observe(obs["deduped"], n)
 
     if semantic_dedup:
-        # SemDeDup stage on the text-deduped survivors: pairs restricted
-        # to docs still staged (survivorship decided among survivors,
-        # the stage-2 discipline), clustered and pruned the same way.
-        ids = staged.select("doc_id")
-        sem_pairs = (
-            embedding_dedup_blocked(spark, sf_dir)
-            .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
-            .join(ids.withColumnRenamed("doc_id", "doc_a"), "doc_a", "left_semi")
-            .join(ids.withColumnRenamed("doc_id", "doc_b"), "doc_b", "left_semi")
+        # SemDeDup stage on the text-deduped survivors: the quantizer is
+        # trained and the blocking pass run over ONLY the surviving docs'
+        # embeddings (r11 review — filtering result pairs after a
+        # full-corpus blocking pass would waste the dominant cost), so
+        # survivorship is decided among survivors by construction.
+        survivors_emb = (
+            load_tables(spark, sf_dir)
+            .embeddings.select("vec_id", "embedding")
+            .join(
+                staged.select(F.col("doc_id").alias("vec_id")),
+                "vec_id",
+                "left_semi",
+            )
+        )
+        sem_pairs = embedding_dedup_blocked_frame(spark, survivors_emb).select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
         )
         sem_clusters = min_label_clusters(sem_pairs).select(
             "doc_id", "cluster_root"

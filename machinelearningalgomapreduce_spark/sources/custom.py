@@ -225,16 +225,23 @@ class ManifestJsonlWriter(DataSourceWriter):
         # to this directory. The lock records its holder (pid@host, mtime
         # carries the timestamp); a lock older than LOCK_STALE_SECONDS is
         # broken — a live commit holds the lock only for one manifest
-        # read-modify-write, far under the timeout.
+        # read-modify-write, far under the timeout. Break via RENAME, not
+        # remove: two concurrent breakers both statting the same stale
+        # lock would otherwise each run os.remove — the second deleting
+        # the FIRST breaker's fresh lock and letting both into the
+        # critical section (the r11 review's TOCTOU). rename is atomic
+        # and fails for the loser, so exactly one breaker proceeds.
         try:
             if (
                 os.path.exists(lock_path)
                 and _time.time() - os.path.getmtime(lock_path)
                 > self.LOCK_STALE_SECONDS
             ):
-                os.remove(lock_path)
+                broken = f"{lock_path}.broken.{os.getpid()}"
+                os.rename(lock_path, broken)
+                os.remove(broken)
         except OSError:
-            pass  # raced with the holder's own cleanup — O_EXCL decides
+            pass  # lost the break race (or holder cleaned up) — O_EXCL decides
         try:
             lock_fd = os.open(lock_path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
             os.write(

@@ -115,12 +115,12 @@ def test_pq_rerank_stage_is_exact_and_equals_full_ivf_at_full_budget(
     # budget ≥ max probed-cell candidate count (2 probes × ~200/cell)
     got = {
         (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
-        for r in pq.query(spark, queries, emb, k=3, rerank_mult=200).collect()
+        for r in pq.query(spark, queries, k=3, full_vectors=emb, rerank_mult=200).collect()
     }
     assert got == want and got
 
     vecs = {i: v for i, v in rows}
-    tight = pq.query(spark, queries, emb, k=3, rerank_mult=2).collect()
+    tight = pq.query(spark, queries, k=3, full_vectors=emb, rerank_mult=2).collect()
     by_q: dict = {}
     for r in sorted(tight, key=lambda r: (r.query_id, r.rank)):
         by_q.setdefault(r.query_id, []).append(r)
@@ -170,9 +170,9 @@ def test_pq_recall_at_least_full_ivf_on_clustered_set(spark, tmp_path):
     # measured budget sweep (2026-08-15): rerank_mult 10 → 0.77,
     # 20 → 0.97, 40 → 1.0 — the standard recall-vs-budget knob, same
     # shape as ann_projected_rerank's documented 3/10/20·k sweep
-    r_pq20 = recall(pq.query(spark, queries, emb, k=3, rerank_mult=20).collect())
+    r_pq20 = recall(pq.query(spark, queries, k=3, full_vectors=emb, rerank_mult=20).collect())
     assert r_pq20 >= 0.9  # clustered data: the composed path must be good
-    r_pq40 = recall(pq.query(spark, queries, emb, k=3, rerank_mult=40).collect())
+    r_pq40 = recall(pq.query(spark, queries, k=3, full_vectors=emb, rerank_mult=40).collect())
     assert r_pq40 >= r_full, (r_pq40, r_full)
 
 
@@ -226,19 +226,19 @@ def test_pq_query_empty_corners_and_gate_parity(spark, tmp_path):
     small = {
         (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
         for r in pq.query(
-            spark, queries, emb, k=3, probe_collect_cap=10**6
+            spark, queries, k=3, probe_collect_cap=10**6, full_vectors=emb
         ).collect()
     }
     big = {
         (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
-        for r in pq.query(spark, queries, emb, k=3, probe_collect_cap=1).collect()
+        for r in pq.query(spark, queries, k=3, probe_collect_cap=1, full_vectors=emb).collect()
     }
     assert small and small == big
 
     sq = spark.createDataFrame(
         [], "query_id string, embedding array<double>"
     )
-    empty = pq.query(spark, sq, emb, k=3)
+    empty = pq.query(spark, sq, k=3, full_vectors=emb)
     assert [f.name for f in empty.schema.fields] == [
         "query_id", "neighbor_id", "cell", "cos_sim", "rank",
     ]

@@ -1296,3 +1296,35 @@ def test_concurrent_version_commit_raises_instead_of_silent_drop(
     assert b.current_version() == 2  # pointer untouched by the loser
     assert b.applied_batches() == ["b0", "b1"]  # A's ledger, nothing lost
     assert {tuple(r) for r in b.read(spark).collect()} == want
+
+
+def test_crashed_commit_orphan_manifest_self_heals(spark, tmp_path, monkeypatch):
+    """r11 review: a writer that crashed BETWEEN linking its manifest and
+    flipping the pointer must not brick the view forever. An
+    above-pointer manifest older than MANIFEST_ORPHAN_SECONDS is
+    reclaimed (renamed aside) and the commit retries; a FRESH collision
+    still raises (real concurrent writer)."""
+    import os
+    import time
+
+    t = load_tables(spark, SMOKE_SF_DIR)
+    b0, b1, b2 = _batches(t.lineitem)
+    sv = _seg_view(tmp_path / "orph", fanout=99)
+    sv.refresh(spark, b0, batch_id="b0")  # v1 committed
+    # crashed commit: m2 exists, pointer still 1, mtime pushed stale
+    orphan = sv._manifest_path(2)
+    with open(orphan, "w") as f:
+        f.write('{"segments": [], "batches": ["ghost"]}')
+    old = time.time() - 3600
+    os.utime(orphan, (old, old))
+    assert sv.current_version() == 1
+    assert sv.refresh(spark, b1, batch_id="b1") is True  # reclaims v2
+    assert sv.current_version() == 2
+    assert sv.applied_batches() == ["b0", "b1"]  # ghost ledger discarded
+
+    # fresh above-pointer manifest = live concurrent writer → loud error
+    with open(sv._manifest_path(3), "w") as f:
+        f.write('{"segments": [], "batches": ["live"]}')
+    with pytest.raises(ValueError, match="version collision"):
+        sv.refresh(spark, b2, batch_id="b2")
+    os.remove(sv._manifest_path(3))

@@ -97,8 +97,10 @@ def test_training_pipeline_semantic_stage(spark, sf_dir):
     losers are exactly the non-best members of embedding near-dup
     clusters among the text-dedup survivors, and disabling the flag
     reproduces the original pipeline unchanged."""
+    from pyspark.sql import functions as F
+
     from machinelearningalgomapreduce_spark.operators.dedup import (
-        embedding_dedup_blocked,
+        embedding_dedup_blocked_frame,
     )
 
     base_chunks, base_funnel = training_pipeline(
@@ -125,10 +127,6 @@ def test_training_pipeline_semantic_stage(spark, sf_dir):
         r.doc_id: r.quality_score
         for r in q_quality_score(spark, sf_dir).collect()
     }
-    sem_pairs = [
-        (r.id_a, r.id_b)
-        for r in embedding_dedup_blocked(spark, sf_dir).collect()
-    ]
     # replicate stages 1-2 exactly (the first test's reduced-corpus
     # recipe) to get the TRUE membership of the semantic stage —
     # decontamination happens later, so base_survivors alone undercounts
@@ -148,6 +146,15 @@ def test_training_pipeline_semantic_stage(spark, sf_dir):
     }
     t_clustered = {r.doc_id for r in t_clusters.collect()}
     present = gate_pass - (t_clustered - t_winners)  # text-dedup survivors
+    # pairs from the SAME restricted frame the pipeline blocks over (the
+    # quantizer is trained on survivors only — r11 review), so every
+    # endpoint is a stage member by construction
+    emb = load_tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    restricted = emb.filter(F.col("vec_id").isin([int(d) for d in present]))
+    sem_pairs = [
+        (r.id_a, r.id_b)
+        for r in embedding_dedup_blocked_frame(spark, restricted).collect()
+    ]
     parent: dict = {}
 
     def find(x):
@@ -159,11 +166,11 @@ def test_training_pipeline_semantic_stage(spark, sf_dir):
 
     stage_members = set()
     for a, b in sem_pairs:
-        if a in present and b in present:
-            stage_members |= {a, b}
-            ra, rb = find(a), find(b)
-            if ra != rb:
-                parent[max(ra, rb)] = min(ra, rb)
+        assert a in present and b in present  # restricted by construction
+        stage_members |= {a, b}
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
     clusters: dict = {}
     for d in stage_members:
         clusters.setdefault(find(d), set()).add(d)

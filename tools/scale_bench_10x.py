@@ -67,8 +67,12 @@ def main() -> None:
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = tier_dir
     env["SPARK_BENCH_QUERIES"] = ",".join(WEAK)
-    # 10× the bench tier → 10× the bench tier's 4 shuffle partitions is
-    # the like-for-like scaling; env wins if the caller set it.
+    # Deliberately 16, not a naive 10×-of-4=40: partitions should track
+    # CORE count more than data size at these (still sub-GB) tiers, and
+    # the recorded runs measured 32 partitions WORSE on the small-output
+    # shapes (q_dedup_exact 3.4×→11× — scheduling overhead on a 500k-row
+    # job; see BENCH_NOTES "Five-query same-host scale audit"). Env wins
+    # if the caller wants a different point.
     env.setdefault("SPARK_BENCH_PARTITIONS", "16")
     # bench.py runs in a fresh interpreter so its session conf is exactly
     # the per-round driver run's, just pointed at the tier.
