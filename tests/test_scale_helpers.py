@@ -259,7 +259,7 @@ def test_sim_topk_routes_to_cell_plan_above_brute_bound(spark, sf_dir, tmp_path)
 
 def test_dedup_embedding_routes_to_cell_plan_above_brute_bound(spark, sf_dir, tmp_path):
     from machinelearningalgomapreduce_spark.operators.dedup import (
-        dedup_embedding_cell,
+        embedding_dedup_blocked,
         q_dedup_embedding,
     )
     from machinelearningalgomapreduce_spark.plans import inspect as P
@@ -270,9 +270,11 @@ def test_dedup_embedding_routes_to_cell_plan_above_brute_bound(spark, sf_dir, tm
     big_dir = _linked_fixture_dir(tmp_path, "sf100")
     routed = q_dedup_embedding(spark, big_dir)
     assert "cell" in P.formatted_plan(routed)
-    # Routed result IS the cell path's result (same rows at this fixture).
+    # Routed result IS the learned-cell blocked path's result (r11: the
+    # SemDeDup-style composition — recall 1.0 vs brute on the fixtures —
+    # replaced the label-cell variant as the big-tier route).
     got = {tuple(r) for r in routed.collect()}
-    want = {tuple(r) for r in dedup_embedding_cell(spark, big_dir).collect()}
+    want = {tuple(r) for r in embedding_dedup_blocked(spark, big_dir).collect()}
     assert got == want
 
 
