@@ -762,6 +762,14 @@ def embedding_dedup_blocked_frame(
     the fact would waste it)."""
     from machinelearningalgomapreduce_spark.operators.ml import kmeans_fit_frame
 
+    # Empty-corpus guard: MLlib KMeans crashes on zero rows (a fewer-
+    # than-k corpus is fine — it returns min(n, k) centers). An empty
+    # corpus has no pairs by definition; return the empty contract frame
+    # so the empty-tables sweep and empty curation stages stay green.
+    if embeddings.isEmpty():
+        return embeddings.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos_sim double"
+        )
     model, _cost = kmeans_fit_frame(embeddings, k=k, seed=seed)
     rows = [
         (int(i), [round(float(x), 6) for x in c])
