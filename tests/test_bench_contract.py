@@ -44,3 +44,32 @@ def test_bench_emits_single_json_line_with_contract_keys():
     assert set(payload["duckdb_same_host"]) == set(payload["queries"])
     assert all(v > 0 for v in payload["duckdb_same_host"].values())
     assert payload["duckdb_same_host_total"] > 0
+
+
+def test_bench_query_subset_env_knob():
+    """SPARK_BENCH_QUERIES (r11, the scale-audit tool's hook) restricts
+    the timed set; unknown names exit loudly instead of silently timing
+    the wrong thing."""
+    env = dict(
+        os.environ,
+        SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+        SPARK_GRAFT_CPUS="8",
+        SPARK_BENCH_TIMED_RUNS="1",
+        SPARK_BENCH_WARMUPS="0",
+        SPARK_BENCH_CACHE_PARTITIONS="4",
+        SPARK_BENCH_QUERIES="q_filter_agg,q_wordcount",
+    )
+    proc = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, env=env, timeout=600, check=True,
+    )
+    payload = json.loads(proc.stdout.strip().splitlines()[-1])
+    assert set(payload["queries"]) == {"q_filter_agg", "q_wordcount"}
+
+    env["SPARK_BENCH_QUERIES"] = "q_definitely_not_a_query"
+    bad = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, env=env, timeout=600,
+    )
+    assert bad.returncode != 0
+    assert "q_definitely_not_a_query" in bad.stderr + bad.stdout
