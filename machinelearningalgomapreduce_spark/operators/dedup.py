@@ -698,10 +698,18 @@ def dedup_embedding_cell(
     )
 
 
+# Auto-k target cell size for embedding_dedup_blocked: total candidate
+# cost is Σ_cells C(cell·n_probe, 2) ≈ n_probe²·n²/(2k), so holding the
+# CELL size fixed (k = n / target) keeps the total LINEAR in n — a fixed
+# k would re-grow the quadratic the blocking exists to kill (found by the
+# r11 10×-tier scale probe: k=10 over 50k vectors ≈ 10⁹ candidates).
+EMBED_DEDUP_CELL_TARGET = 512
+
+
 def embedding_dedup_blocked(
     spark: SparkSession,
     sf_dir: str,
-    k: int = 10,
+    k: int | None = None,
     n_probe: int = 3,
     seed: int = 42,
     verify: bool = True,
@@ -748,7 +756,7 @@ def embedding_dedup_blocked(
 def embedding_dedup_blocked_frame(
     spark: SparkSession,
     embeddings: DataFrame,
-    k: int = 10,
+    k: int | None = None,
     n_probe: int = 3,
     seed: int = 42,
     verify: bool = True,
@@ -762,14 +770,21 @@ def embedding_dedup_blocked_frame(
     the fact would waste it)."""
     from machinelearningalgomapreduce_spark.operators.ml import kmeans_fit_frame
 
-    # Empty-corpus guard: MLlib KMeans crashes on zero rows (a fewer-
-    # than-k corpus is fine — it returns min(n, k) centers). An empty
-    # corpus has no pairs by definition; return the empty contract frame
-    # so the empty-tables sweep and empty curation stages stay green.
-    if embeddings.isEmpty():
+    # One count pays for both the empty-corpus guard (MLlib KMeans
+    # crashes on zero rows; a fewer-than-k corpus is fine — min(n, k)
+    # centers) and the auto-k sizing. An empty corpus has no pairs by
+    # definition; return the empty contract frame so the empty-tables
+    # sweep and empty curation stages stay green.
+    n = embeddings.count()
+    if n == 0:
         return embeddings.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cos_sim double"
         )
+    if k is None:
+        # fixed TARGET CELL SIZE, so candidate volume stays linear in n
+        # (see EMBED_DEDUP_CELL_TARGET); floor of 10 keeps the fixture
+        # behavior (and its measured recall-1.0 point) unchanged
+        k = max(10, -(-n // EMBED_DEDUP_CELL_TARGET))
     model, _cost = kmeans_fit_frame(embeddings, k=k, seed=seed)
     rows = [
         (int(i), [round(float(x), 6) for x in c])

@@ -112,6 +112,12 @@ PROBE_QUERIES = [
     # cent values (bounded by the price domain — should stay ~flat).
     "q_km_ci",
     "q_energy_distance",
+    # round-11 addition: q_dedup_embedding's big-tier route is now the
+    # learned-cell blocked composition (embedding_dedup_blocked) — the
+    # small tier measures the brute baseline, the sf1.0 tier the routed
+    # kmeans+blocking+verify path, so the SemDeDup-style curve is probed
+    # for real (candidates O(Σ cell²), never all-pairs).
+    "q_dedup_embedding",
 ]
 
 
