@@ -280,3 +280,22 @@ def test_pq_index_maintained_from_a_stream(spark, tmp_path):
     assert {
         (r.vec_id, tuple(r.codes), r.cell) for r in oneshot.read(spark).collect()
     } == state
+
+
+def test_pq_query_scan_is_partition_pruned(spark, tmp_path):
+    """The probed-cell filter must reach the PQ segment scans as a
+    PARTITION filter too — the codes read touches only the probed cells'
+    directories (the parent's pruning contract carries over)."""
+    centers, rows = _clustered()
+    cents, cbs = _quantizers(centers, rows)
+    emb = _emb(spark, rows)
+    pq = IVFPQIndexView(str(tmp_path / "pq_p"), cents, cbs, dim=DIM, n_probe=2)
+    pq.refresh(spark, emb, batch_id="b0")
+    queries = emb.filter(F.col("vec_id") == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = pq.query(spark, queries, k=3, full_vectors=emb)
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
