@@ -369,3 +369,119 @@ def dedup_ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _semantic_ingest_batch(
+    spark: SparkSession,
+    index,
+    out_dir: str,
+    run_key: str,
+    threshold: float,
+):
+    """Per-batch admission function over a persisted IVF index
+    (operators/ivf_index.py::IVFIndexView) — the SEMANTIC twin of
+    _ingest_batch's exact-hash admission: a new vector is admitted only
+    if the index holds no neighbor with rounded cosine ≥ ``threshold``.
+
+    Exactly-once protocol (simpler than the hash path's epoch-stamp
+    exclusion, because the index carries its own replay ledger):
+
+    1. ledger short-circuit — if this epoch is already in
+       ``index.applied_batches()``, BOTH writes below completed (output
+       is written before the index refresh), so the whole batch no-ops;
+    2. within-batch collapse — blocked near-dup pairs over the batch
+       (dedup.embedding_dedup_blocked_frame) → CC clusters → min-vec_id
+       survivor per cluster (deterministic);
+    3. cross-batch admission — survivors query the index
+       (k=1, exclude_self on vec_id); a top-1 cosine ≥ threshold means a
+       near-dup is already indexed → dropped;
+    4. accepted rows overwrite the epoch-keyed output directory;
+    5. ``index.refresh(accepted, epoch)`` appends ONE cell-partitioned
+       segment and commits the epoch to the ledger — the commit point.
+
+    A crash anywhere before 5 replays into an UNCHANGED index state, so
+    steps 2-4 recompute bit-identically (deterministic plans, rounded
+    cosines, id tie-breaks) and the output overwrite is idempotent.
+
+    100 TB shape: admission cost per batch is one blocked self-join over
+    the BATCH (cells auto-sized) + one index probe reading ~n_probe/k of
+    the index via partition pruning; the index grows O(accepted)."""
+    from machinelearningalgomapreduce_spark.operators.dedup import (
+        embedding_dedup_blocked_frame,
+        min_label_clusters,
+    )
+
+    run_digest = hashlib.md5(run_key.encode()).hexdigest()[:8]
+
+    def ingest(batch: DataFrame, batch_id: int) -> None:
+        epoch = f"{run_digest}/{batch_id:010d}"
+        if epoch in index.applied_batches():
+            return  # replay of a fully-committed epoch — both writes done
+        batch = batch.select("vec_id", "embedding").localCheckpoint()
+        # within-batch near-dup collapse (min vec_id per CC cluster)
+        pairs = embedding_dedup_blocked_frame(spark, batch).select(
+            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        )
+        if pairs.isEmpty():
+            survivors = batch
+        else:
+            losers = (
+                min_label_clusters(pairs)
+                .filter(~F.col("keep"))
+                .select(F.col("doc_id").alias("vec_id"))
+            )
+            survivors = batch.join(losers, "vec_id", "left_anti")
+        # cross-batch: drop survivors whose indexed top-1 ≥ threshold
+        if index.current_version() and index.segments():
+            hits = (
+                index.query(
+                    spark,
+                    survivors.select(
+                        F.col("vec_id").alias("query_id"), "embedding"
+                    ),
+                    k=1,
+                )
+                .filter(F.col("cos_sim") >= threshold)
+                .select(F.col("query_id").alias("vec_id"))
+            )
+            accepted = survivors.join(hits, "vec_id", "left_anti")
+        else:
+            accepted = survivors
+        accepted = accepted.localCheckpoint()  # pin ONE evaluation for both writes
+        accepted.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"batch={run_digest}-{batch_id:010d}")
+        )
+        index.refresh(spark, accepted, batch_id=epoch)  # THE commit
+
+    return ingest
+
+
+def semantic_dedup_ingest_stream(
+    spark: SparkSession,
+    sf_dir: str,
+    index,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float | None = None,
+):
+    """Streaming semantic-dedup ingestion: drain the embeddings source
+    with trigger(availableNow), admitting only vectors with no near-dup
+    (rounded cosine ≥ threshold) already in the persisted IVF ``index``
+    (operators/ivf_index.py::IVFIndexView), and indexing the admitted
+    ones. Returns the StreamingQuery (caller awaits termination)."""
+    from machinelearningalgomapreduce_spark.operators.dedup import (
+        EMBEDDING_COSINE_THRESHOLD,
+    )
+    from machinelearningalgomapreduce_spark.streaming.windows import stream_table
+
+    thr = EMBEDDING_COSINE_THRESHOLD if threshold is None else threshold
+    run_key = os.path.abspath(checkpoint_dir)
+    vecs = stream_table(spark, sf_dir, "embeddings.parquet")
+    return (
+        vecs.writeStream.foreachBatch(
+            _semantic_ingest_batch(spark, index, out_dir, run_key, thr)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

