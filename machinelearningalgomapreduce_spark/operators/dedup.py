@@ -770,6 +770,15 @@ def embedding_dedup_blocked_frame(
     the fact would waste it)."""
     from machinelearningalgomapreduce_spark.operators.ml import kmeans_fit_frame
 
+    # Evaluation-count note (r11 review): the frame is read by the count
+    # below, the k-means fit (which PERSISTS its input internally for
+    # its ~20 iterations — MLlib's handlePersistence), and the blocking
+    # pass. A table-backed frame pays two cheap columnar rescans; a
+    # JOIN-HEAVY caller lineage should be localCheckpoint'd by the
+    # caller first (the pipeline's semantic stage and the streaming sink
+    # both do) — checkpointing unconditionally here would materialize a
+    # full corpus copy at 100 TB for callers whose input is already a
+    # plain scan.
     # One count pays for both the empty-corpus guard (MLlib KMeans
     # crashes on zero rows; a fewer-than-k corpus is fine — min(n, k)
     # centers) and the auto-k sizing. An empty corpus has no pairs by

@@ -127,6 +127,11 @@ def training_pipeline(
         # embeddings (r11 review — filtering result pairs after a
         # full-corpus blocking pass would waste the dominant cost), so
         # survivorship is decided among survivors by construction.
+        # localCheckpoint pins ONE evaluation of this join-heavy lineage:
+        # the blocked-dedup helper reads it for its sizing count, the
+        # k-means fit, and the blocking pass (r11 review), and the
+        # checkpoint scan also keeps the observed `staged` subtree out of
+        # the sem_pairs plan (the text-stage `losers` discipline above).
         survivors_emb = (
             load_tables(spark, sf_dir)
             .embeddings.select("vec_id", "embedding")
@@ -135,6 +140,7 @@ def training_pipeline(
                 "vec_id",
                 "left_semi",
             )
+            .localCheckpoint()
         )
         sem_pairs = embedding_dedup_blocked_frame(spark, survivors_emb).select(
             F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")

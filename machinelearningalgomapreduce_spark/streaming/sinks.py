@@ -381,7 +381,11 @@ def _semantic_ingest_batch(
     """Per-batch admission function over a persisted IVF index
     (operators/ivf_index.py::IVFIndexView) — the SEMANTIC twin of
     _ingest_batch's exact-hash admission: a new vector is admitted only
-    if the index holds no neighbor with rounded cosine ≥ ``threshold``.
+    if the index holds no neighbor with rounded cosine ≥ ``threshold``
+    AMONG ITS PROBED CELLS — admission recall is the index's multi-probe
+    recall (approximate by IVF construction, unlike the hash twin's
+    exact seen-set; size n_probe to the corpus geometry, measured via
+    similarity.ann_recall_frame).
 
     Exactly-once protocol (simpler than the hash path's epoch-stamp
     exclusion, because the index carries its own replay ledger):
@@ -398,6 +402,16 @@ def _semantic_ingest_batch(
     4. accepted rows overwrite the epoch-keyed output directory;
     5. ``index.refresh(accepted, epoch)`` appends ONE cell-partitioned
        segment and commits the epoch to the ledger — the commit point.
+
+    OUTPUT CONTRACT (r11 review): ``out_dir`` is a per-epoch admission
+    LOG — each ``batch=…`` directory is exactly that epoch's admitted
+    rows, and a vec_id re-sent in a later epoch with a changed (non-
+    near-dup) embedding is admitted AGAIN (an upsert), so a flat read of
+    out_dir can hold several rows per vec_id across runs. The current
+    deduplicated corpus SNAPSHOT is the index (``index.read``, one row
+    per vec_id after compaction, newest-wins) — epoch directories cannot
+    be ordered across runs (run digests are not monotonic), so the index
+    manifest is the only authority on which upsert won.
 
     A crash anywhere before 5 replays into an UNCHANGED index state, so
     steps 2-4 recompute bit-identically (deterministic plans, rounded
@@ -418,19 +432,28 @@ def _semantic_ingest_batch(
         if epoch in index.applied_batches():
             return  # replay of a fully-committed epoch — both writes done
         batch = batch.select("vec_id", "embedding").localCheckpoint()
-        # within-batch near-dup collapse (min vec_id per CC cluster)
-        pairs = embedding_dedup_blocked_frame(spark, batch).select(
-            F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b")
+        # Within-batch near-dup collapse (min vec_id per CC cluster) at
+        # the CALLER's threshold: verify=False returns unfiltered
+        # candidates so a non-default threshold governs BOTH stages —
+        # filtering at the operator's baked-in constant would admit
+        # same-batch pairs in [threshold, 0.45) and over-drop above it
+        # (r11 review). Checkpoint the pair plan: the CC loop re-walks
+        # its edge lineage every iteration, and the kmeans-assignment
+        # self-join is far too heavy to recompute per iteration.
+        pairs = (
+            embedding_dedup_blocked_frame(spark, batch, verify=False)
+            .filter(F.col("cos_sim") >= threshold)
+            .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
+            .localCheckpoint()
         )
-        if pairs.isEmpty():
-            survivors = batch
-        else:
-            losers = (
-                min_label_clusters(pairs)
-                .filter(~F.col("keep"))
-                .select(F.col("doc_id").alias("vec_id"))
-            )
-            survivors = batch.join(losers, "vec_id", "left_anti")
+        # empty pair frame short-circuits inside the CC fixpoint (empty
+        # labels converge on the first read) — no branch needed
+        losers = (
+            min_label_clusters(pairs)
+            .filter(~F.col("keep"))
+            .select(F.col("doc_id").alias("vec_id"))
+        )
+        survivors = batch.join(losers, "vec_id", "left_anti")
         # cross-batch: drop survivors whose indexed top-1 ≥ threshold
         if index.current_version() and index.segments():
             hits = (

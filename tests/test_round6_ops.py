@@ -1295,3 +1295,53 @@ def test_streaming_semantic_dedup_ingest(spark, sf_dir, tmp_path):
     idx.compact(spark)
     state = idx.read(spark).collect()
     assert len(state) == len({r.vec_id for r in state})
+
+
+def test_semantic_ingest_nondefault_threshold_governs_both_stages(
+    spark, sf_dir, tmp_path
+):
+    """r11 review: a caller-supplied threshold must bind the WITHIN-BATCH
+    collapse too, not only the index probe. The fixture drains in ONE
+    batch, so both runs train the same quantizer on the same frame and
+    see the SAME candidate pairs — at 0.30 every ≥0.45 edge is still an
+    edge plus the [0.30, 0.45) band (non-empty, asserted), so clusters
+    only merge and min-id survivorship gives admitted(0.30) a STRICT
+    subset of admitted(0.45). (Admission recall across independently
+    trained blockings is approximate by IVF construction — the operator
+    docstrings own that — so the test pins the threshold plumbing via
+    this same-candidates subset relation, not a global no-pair claim.)"""
+    from machinelearningalgomapreduce_spark.operators.dedup import (
+        embedding_dedup_blocked_frame,
+    )
+    from machinelearningalgomapreduce_spark.operators.ivf_index import IVFIndexView
+    from machinelearningalgomapreduce_spark.operators.ml import label_centroids
+    from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
+    from machinelearningalgomapreduce_spark.streaming.sinks import (
+        semantic_dedup_ingest_stream,
+    )
+
+    t = load_tables(spark, sf_dir)
+    band = embedding_dedup_blocked_frame(
+        spark, t.embeddings.select("vec_id", "embedding"), verify=False
+    ).filter((F.col("cos_sim") >= 0.30) & (F.col("cos_sim") < 0.45))
+    assert not band.isEmpty(), "fixture should exercise the [0.30, 0.45) band"
+
+    cents = [
+        (r.label, list(r.centroid)) for r in label_centroids(t.embeddings).collect()
+    ]
+
+    def run(tag, threshold):
+        idx = IVFIndexView(
+            str(tmp_path / f"ivf_{tag}"), cents, dim=EMBEDDING_DIM, n_probe=2
+        )
+        out = str(tmp_path / f"out_{tag}")
+        q = semantic_dedup_ingest_stream(
+            spark, sf_dir, idx, out, str(tmp_path / f"ck_{tag}"),
+            threshold=threshold,
+        )
+        q.awaitTermination(120)
+        return {r.vec_id for r in spark.read.parquet(out).collect()}
+
+    loose = run("l", 0.45)
+    tight = run("t", 0.30)
+    assert tight < loose  # strict subset: the band edges merged clusters
