@@ -26,7 +26,11 @@ BFS_SEED_MOD = 500  # p_partkey % 500 == 0 → seed node
 
 
 def _undirected(edges: DataFrame) -> DataFrame:
-    return edges.union(
+    # unionByName discipline (the min_label_clusters r11 lesson): a
+    # caller frame in (v, u) physical order — what a string-key join
+    # produces — would positionally swap endpoints in one branch.
+    edges = edges.select("u", "v")
+    return edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
     )
 
