@@ -704,6 +704,15 @@ def dedup_embedding_cell(
 # k would re-grow the quadratic the blocking exists to kill (found by the
 # r11 10×-tier scale probe: k=10 over 50k vectors ≈ 10⁹ candidates).
 EMBED_DEDUP_CELL_TARGET = 512
+# Quantizer-training sample cap: k-means assignment is O(train_n · k)
+# per iteration and k itself grows with n, so training on the FULL
+# corpus would be O(n²/512) — quadratic again, just in the trainer (the
+# r11 30×-probe finding). Training on a deterministic hash-sample capped
+# here makes it O(cap · k) = linear in n; the full corpus is still
+# ASSIGNED to cells exactly (assignment is one linear pass). The public
+# FAISS practice (train on max(10k, tens·k) points) — cells from a
+# representative sample are statistically the same partition.
+EMBED_DEDUP_TRAIN_CAP = 65_536
 
 
 def embedding_dedup_blocked(
@@ -799,7 +808,17 @@ def embedding_dedup_blocked_frame(
         # (see EMBED_DEDUP_CELL_TARGET); floor of 10 keeps the fixture
         # behavior (and its measured recall-1.0 point) unchanged
         k = max(10, -(-n // EMBED_DEDUP_CELL_TARGET))
-    model, _cost = kmeans_fit_frame(embeddings, k=k, seed=seed)
+    # deterministic hash-sample for training (EMBED_DEDUP_TRAIN_CAP):
+    # pmod on vec_id is partition-layout-independent, so the trained
+    # cells are stable run-to-run; below the cap the sample IS the
+    # corpus and nothing changes (the fixtures, in particular)
+    stride = max(1, n // EMBED_DEDUP_TRAIN_CAP)
+    train = (
+        embeddings
+        if stride == 1
+        else embeddings.filter(F.pmod("vec_id", F.lit(stride)) == 0)
+    )
+    model, _cost = kmeans_fit_frame(train, k=k, seed=seed)
     rows = [
         (int(i), [round(float(x), 6) for x in c])
         for i, c in enumerate(model.clusterCenters())
