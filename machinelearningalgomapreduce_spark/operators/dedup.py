@@ -685,7 +685,11 @@ def dedup_embedding_cell(
     honestly low (labels barely correlate with geometry — see
     q_dedup_embedding's docstring) and pytest-tracked. The learned-
     quantizer form below (``embedding_dedup_blocked``) is the variant a
-    100 TB corpus without labels actually runs.
+    100 TB corpus without labels actually runs — and the variant whose
+    CELL COUNT scales: label cells are a FIXED partition, so per-cell
+    all-pairs cost here grows n²/|labels| (fine for fine-grained label
+    domains, quadratic for coarse ones; the auto-k form holds cell size
+    constant instead).
     """
     from machinelearningalgomapreduce_spark.operators.ml import label_centroids
 
