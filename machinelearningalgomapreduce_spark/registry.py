@@ -55,37 +55,20 @@ _MODULES = (
 # re-greens the stalest evidence (the r2 cohort predates the r4 keyed-cache
 # / tiny_sorted plan rewrites). Update per round from CORRECTNESS_r{N}.json.
 DRIVER_GREEN_ROUND = {
-    # latest green: round 5 (44)
-    "q_adaboost_round": 5, "q_anova": 5, "q_assortativity": 5, "q_auc": 5,
-    "q_bounce_rate": 5, "q_burstiness": 5, "q_calibration_bins": 5,
-    "q_clustering_coeff": 5, "q_confusion_binary": 5, "q_custdist": 5,
-    "q_dbscan_core": 5, "q_disjunctive_pred": 5, "q_em_step": 5,
-    "q_gap_histogram": 5, "q_hapax_rate": 5, "q_idle_customers": 5,
-    "q_item_cf": 5, "q_key_uniqueness": 5, "q_large_orders": 5,
-    "q_lift_deciles": 5, "q_market_share": 5, "q_media_decode": 5,
-    "q_mutual_info": 5, "q_norm_profile": 5, "q_percentile_audit": 5,
-    "q_perceptron_step": 5, "q_perplexity_filter": 5, "q_pr_threshold": 5,
-    "q_promo_revenue": 5, "q_rating_baseline": 5, "q_referential_integrity": 5,
-    "q_returned_items": 5, "q_ridge_fit": 5, "q_sma_crossover": 5,
-    "q_small_qty_revenue": 5, "q_spearman": 5, "q_sssp_step": 5,
-    "q_time_to_convert": 5, "q_token_budget": 5, "q_top_supplier": 5,
-    "q_train_test_split": 5, "q_trend_fit": 5, "q_volume_shipping": 5,
-    "q_weighted_pick": 5,
-    # latest green: round 6 (46)
+    # latest green: round 6 (40)
     "q_cube": 6, "q_dedup_clusters": 6, "q_dedup_embedding": 6,
     "q_dedup_exact": 6, "q_dedup_minhash": 6, "q_dedup_ngram_jaccard": 6,
     "q_dedup_simhash": 6, "q_distinct_users": 6, "q_distinct_users_approx": 6,
     "q_doc_fingerprint": 6, "q_events_sliding": 6, "q_events_tumbling": 6,
-    "q_filter_agg": 6, "q_filter_pred": 6, "q_grep": 6, "q_grouping_sets": 6,
+    "q_filter_agg": 6, "q_filter_pred": 6, "q_grouping_sets": 6,
     "q_join3_topk": 6, "q_join5_region": 6, "q_join_anti": 6, "q_join_asof": 6,
     "q_join_broadcast": 6, "q_join_full": 6, "q_join_inner": 6,
-    "q_join_left": 6, "q_join_salted": 6, "q_join_semi": 6, "q_lang_id": 6,
-    "q_late_data": 6, "q_pivot": 6, "q_pricing_summary": 6,
-    "q_quality_score": 6, "q_range_join": 6, "q_scan_project": 6,
-    "q_session_stats": 6, "q_sessionize": 6, "q_set_ops": 6, "q_sort_limit": 6,
-    "q_sql_exists": 6, "q_text_stats": 6, "q_tfidf": 6, "q_token_count": 6,
+    "q_join_left": 6, "q_join_salted": 6, "q_join_semi": 6, "q_late_data": 6,
+    "q_pivot": 6, "q_pricing_summary": 6, "q_quality_score": 6,
+    "q_range_join": 6, "q_scan_project": 6, "q_session_stats": 6,
+    "q_sessionize": 6, "q_set_ops": 6, "q_sort_limit": 6, "q_sql_exists": 6,
     "q_unpivot": 6, "q_window_analytic": 6, "q_window_dist": 6,
-    "q_window_rank": 6, "q_wordcount": 6,
+    "q_window_rank": 6,
     # latest green: round 7 (50)
     "q_acf": 7, "q_array_ops": 7, "q_attribution_linear": 7,
     "q_audio_features": 7, "q_benford": 7, "q_bollinger": 7,
@@ -152,6 +135,24 @@ DRIVER_GREEN_ROUND = {
     "q_shard_assign": 10, "q_silhouette": 10, "q_sim_recall": 10,
     "q_svm_step": 10, "q_topk_terms": 10, "q_tree_split": 10,
     "q_vocab_coverage": 10, "q_winsorize": 10, "q_zipf_fit": 10,
+    # latest green: round 11 (50)
+    "q_adaboost_round": 11, "q_anova": 11, "q_assortativity": 11, "q_auc": 11,
+    "q_bounce_rate": 11, "q_burstiness": 11, "q_calibration_bins": 11,
+    "q_clustering_coeff": 11, "q_confusion_binary": 11, "q_custdist": 11,
+    "q_dbscan_core": 11, "q_disjunctive_pred": 11, "q_em_step": 11,
+    "q_gap_histogram": 11, "q_grep": 11, "q_hapax_rate": 11,
+    "q_idle_customers": 11, "q_item_cf": 11, "q_key_uniqueness": 11,
+    "q_lang_id": 11, "q_large_orders": 11, "q_lift_deciles": 11,
+    "q_market_share": 11, "q_media_decode": 11, "q_mutual_info": 11,
+    "q_norm_profile": 11, "q_percentile_audit": 11, "q_perceptron_step": 11,
+    "q_perplexity_filter": 11, "q_pr_threshold": 11, "q_promo_revenue": 11,
+    "q_rating_baseline": 11, "q_referential_integrity": 11,
+    "q_returned_items": 11, "q_ridge_fit": 11, "q_sma_crossover": 11,
+    "q_small_qty_revenue": 11, "q_spearman": 11, "q_sssp_step": 11,
+    "q_text_stats": 11, "q_tfidf": 11, "q_time_to_convert": 11,
+    "q_token_budget": 11, "q_token_count": 11, "q_top_supplier": 11,
+    "q_train_test_split": 11, "q_trend_fit": 11, "q_volume_shipping": 11,
+    "q_weighted_pick": 11, "q_wordcount": 11,
 }
 
 # Queries with ANY green driver row (kept as a set: the window tests and
