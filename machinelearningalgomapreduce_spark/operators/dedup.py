@@ -48,6 +48,12 @@ NGRAM_JACCARD_THRESHOLD = 0.5
 EMBEDDING_COSINE_THRESHOLD = 0.45
 CONTAINMENT_THRESHOLD = 0.8
 SIMHASH_BITS = 32
+# Row bound for q_dedup_embedding's brute/blocked switch on directories
+# whose name does not parse as sfN (r12: a row-count probe, not a name
+# parse): 10k vectors ⇒ ≤5·10⁷ brute candidate pairs, the same order as
+# the named BRUTE_MAX_SF tier (sf0.5 ≈ 10k embeddings by the fixture
+# growth curve), so the two gates agree on where brute stops being OK.
+EMBED_BRUTE_MAX_ROWS = 10_000
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -506,18 +512,26 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixture recall vs brute is 1.0) — at that scale the O(n²) form is
     not an option and any residual recall trade-off is the price of
     admission, tracked by the recall tests. Directories whose basename
-    does not parse as sfN get sf_of = inf and deliberately take the
-    blocked path too: an unknown layout is assumed big (refusing brute
-    is the safe default), so the exact sql-oracle check only binds on
-    the named sfN fixtures."""
+    does not parse as sfN get sf_of = inf; since r12 they are gated on a
+    bounded ROW-COUNT probe (limit(EMBED_BRUTE_MAX_ROWS+1).count() — one
+    cheap early-stopping scan) instead of assumed-big-by-name, so a
+    small corpus in a renamed directory still gets the exact form while
+    a genuinely big one still refuses brute."""
     from machinelearningalgomapreduce_spark.functions.joins import sf_of
     from machinelearningalgomapreduce_spark.operators.similarity import BRUTE_MAX_SF
 
-    if sf_of(sf_dir) > BRUTE_MAX_SF:
-        # learned-cell multi-probe blocking (recall 1.0 vs brute on the
-        # fixtures at k=10/n_probe=3), not the label-cell variant — a big
-        # unlabeled corpus has no label column to seed cells from anyway
-        return embedding_dedup_blocked(spark, sf_dir)
+    sf = sf_of(sf_dir)
+    if sf > BRUTE_MAX_SF:
+        if sf != float("inf") or (
+            load_tables(spark, sf_dir)
+            .embeddings.limit(EMBED_BRUTE_MAX_ROWS + 1)
+            .count()
+            > EMBED_BRUTE_MAX_ROWS
+        ):
+            # learned-cell multi-probe blocking (recall 1.0 vs brute on
+            # the fixtures), not the label-cell variant — a big unlabeled
+            # corpus has no label column to seed cells from anyway
+            return embedding_dedup_blocked(spark, sf_dir)
     t = load_tables(spark, sf_dir)
     # Per-vector norms precomputed; each candidate pair pays only the dot.
     e = t.embeddings.select("vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm"))
@@ -708,22 +722,65 @@ def dedup_embedding_cell(
 # k would re-grow the quadratic the blocking exists to kill (found by the
 # r11 10×-tier scale probe: k=10 over 50k vectors ≈ 10⁹ candidates).
 EMBED_DEDUP_CELL_TARGET = 512
-# Quantizer-training sample cap: k-means assignment is O(train_n · k)
+# Quantizer-training sample floor: k-means assignment is O(train_n · k)
 # per iteration and k itself grows with n, so training on the FULL
 # corpus would be O(n²/512) — quadratic again, just in the trainer (the
-# r11 30×-probe finding). Training on a deterministic hash-sample capped
-# here makes it O(cap · k) = linear in n; the full corpus is still
-# ASSIGNED to cells exactly (assignment is one linear pass). The public
-# FAISS practice (train on max(10k, tens·k) points) — cells from a
-# representative sample are statistically the same partition.
+# r11 30×-probe finding). Training on a deterministic hash-sample makes
+# it near-linear in n; the full corpus is still ASSIGNED to cells
+# exactly (assignment is one linear pass). The sample TARGET is
+# max(this floor, EMBED_DEDUP_TRAIN_PER_CELL · k) — a flat 65,536 cap
+# alone would starve the trainer once auto-k crosses ~33.5M rows
+# (KMeans cannot mint more centers than training points, so k would
+# silently saturate and per-cell cost re-grow; the r12 ADVICE finding).
+# Scaling the target with k is the public FAISS practice (tens of
+# training points per centroid); cells from a representative sample are
+# statistically the same partition.
 EMBED_DEDUP_TRAIN_CAP = 65_536
+EMBED_DEDUP_TRAIN_PER_CELL = 32
+# Hard ceiling on the auto-scaled cell count: a single flat Lloyd's fit
+# beyond ~65k centers is impractical (per-iteration cost O(train_n·k) =
+# O(32k²) once the per-cell target binds), so auto-k clamps here and
+# WARNS — past the clamp (n > ~2³⁵ vectors at target 512) per-cell size
+# grows as n/K_MAX and the corpus owner should shard the corpus or use a
+# two-level quantizer instead of trusting the linearity claim blindly.
+EMBED_DEDUP_K_MAX = 65_536
+
+
+def auto_n_probe(k: int) -> int:
+    """Recall-targeting probe policy for ``embedding_dedup_blocked``
+    (VERDICT r11 item 2): a FIXED n_probe=3 under-recalls as cells
+    multiply — measured 1.0 at k=10 (fixture) but 0.778 at k=98 (10×
+    tier) and 0.681 at 30×, because a fixed-threshold pair is more
+    likely to straddle a boundary as cells get geometrically finer.
+    Policy: ceil(0.6·√k), BOUNDED at 6. The √k leg passes through the
+    measured calibration points — k=10 → 3 (the fixture's recall-1.0
+    config), k=40 → 4 (measured 0.868 on the r12 10×-tier audit),
+    k=98 → 6 (measured 0.993) — and the r12 audits show recall tracks
+    n_probe almost independently of k on this geometry (0.868 at probe 4
+    for BOTH k=40 and k=98).
+
+    Why the cap is NOT optional: candidate volume is
+    n_probe²·n²/(2k) = 256·n·n_probe² at the 512 cell target, so an
+    UNBOUNDED n_probe = c·√k substitutes to c²·n²/2 — all-pairs with a
+    small constant, silently regrowing the exact quadratic the blocking
+    exists to kill (the same failure class as r11's fixed-k and
+    train-cap findings). Capped at 6 the total stays LINEAR in n
+    (≤ 256·36 candidate rows per vector). The residual decay beyond the
+    cap on genuinely distinct geometries is the corpus owner's explicit
+    n_probe= knob; the EXACT-DUPLICATE mass — what actually drove the
+    measured tier decay, each copy splitting across finer cells — is
+    eliminated structurally by the rep-collapse in
+    ``embedding_dedup_blocked_frame`` (r12), not by probes."""
+    import math
+
+    return min(k, max(3, min(6, math.ceil(0.6 * math.sqrt(k)))))
 
 
 def embedding_dedup_blocked(
     spark: SparkSession,
     sf_dir: str,
     k: int | None = None,
-    n_probe: int = 3,
+    n_probe: int | None = None,
     seed: int = 42,
     verify: bool = True,
 ) -> DataFrame:
@@ -759,8 +816,22 @@ def embedding_dedup_blocked(
     0.993, ALWAYS 0 invented, runtime ~flat (31→38 s — the verify is
     cheap next to quantizer training): more cells straddle more
     boundaries, and n_probe is the recall lever with near-linear
-    candidate growth (n_probe²/k of all-pairs). Re-measure on the real
-    corpus geometry before committing a probe budget."""
+    candidate growth (n_probe²/k of all-pairs).
+
+    r12 closes the decay two ways. (1) STRUCTURALLY: identical
+    embeddings collapse to a representative before blocking (see
+    ``embedding_dedup_blocked_frame``) — the measured tier decay was
+    exact copies straddling ever-finer cells; with collapse the 10× tier
+    re-audit (2026-08-16, 20k vectors → 2000 reps) measures recall
+    0.9653 at the auto defaults with 0 invented pairs and the end-to-end
+    run 5.8× faster (342 s → 58.5 s — the copies never enter the
+    blocked join). (2) POLICY:
+    n_probe=None now auto-scales ~√k with the cell count, BOUNDED at 6
+    so candidate volume stays linear (``auto_n_probe`` — an unbounded
+    √k default would regrow the quadratic; see its docstring for the
+    substitution). A fixed probe count is still accepted for corpus
+    owners who measured their own geometry; re-measure on the real
+    corpus before committing a probe budget."""
     return embedding_dedup_blocked_frame(
         spark,
         load_tables(spark, sf_dir).embeddings.select("vec_id", "embedding"),
@@ -775,7 +846,7 @@ def embedding_dedup_blocked_frame(
     spark: SparkSession,
     embeddings: DataFrame,
     k: int | None = None,
-    n_probe: int = 3,
+    n_probe: int | None = None,
     seed: int = 42,
     verify: bool = True,
 ) -> DataFrame:
@@ -797,12 +868,29 @@ def embedding_dedup_blocked_frame(
     # both do) — checkpointing unconditionally here would materialize a
     # full corpus copy at 100 TB for callers whose input is already a
     # plain scan.
-    # One count pays for both the empty-corpus guard (MLlib KMeans
-    # crashes on zero rows; a fewer-than-k corpus is fine — min(n, k)
-    # centers) and the auto-k sizing. An empty corpus has no pairs by
-    # definition; return the empty contract frame so the empty-tables
-    # sweep and empty curation stages stay green.
-    n = embeddings.count()
+    # r12: EXACT-collapse identical embeddings to a min-id representative
+    # BEFORE any quantizer or blocking work — the same hot-bucket guard
+    # the minhash path has had since r10 (_exact_collapse). Three wins:
+    # (1) the blocked join never sees a hot cell made of one repeated
+    # vector (copy-heavy corpora drop from O(copies²) join rows to
+    # O(reps), with the inherent O(copies²) OUTPUT pairs reconstructed
+    # by expansion, not by the d-dim verify); (2) quantizer training is
+    # not skewed toward high-multiplicity points; (3) the measured
+    # 10×/30×-tier recall decay at fixed probes (0.778/0.681) disappears
+    # STRUCTURALLY — it was exact copies straddling ever-finer cells,
+    # and copies now collapse to ONE blocked participant. The expansion
+    # is exact, not approximate: identical vectors make a member pair's
+    # cosine bit-identical to its rep pair's cosine. groupBy on the raw
+    # array<double> column is exact float equality — one linear shuffle.
+    reps = embeddings.groupBy("embedding").agg(F.min("vec_id").alias("vec_id"))
+    # One count pays for the empty-corpus guard (MLlib KMeans crashes on
+    # zero rows; a fewer-than-k corpus is fine — min(n, k) centers), the
+    # auto-k sizing, and the training-stride sizing — all on the
+    # COLLAPSED rep count, the frame the quantizer and blocking actually
+    # see. An empty corpus has no pairs by definition; return the empty
+    # contract frame so the empty-tables sweep and empty curation stages
+    # stay green.
+    n = reps.count()
     if n == 0:
         return embeddings.sparkSession.createDataFrame(
             [], "id_a long, id_b long, cos_sim double"
@@ -812,23 +900,105 @@ def embedding_dedup_blocked_frame(
         # (see EMBED_DEDUP_CELL_TARGET); floor of 10 keeps the fixture
         # behavior (and its measured recall-1.0 point) unchanged
         k = max(10, -(-n // EMBED_DEDUP_CELL_TARGET))
-    # deterministic hash-sample for training (EMBED_DEDUP_TRAIN_CAP):
-    # pmod on vec_id is partition-layout-independent, so the trained
-    # cells are stable run-to-run; below the cap the sample IS the
-    # corpus and nothing changes (the fixtures, in particular)
-    stride = max(1, n // EMBED_DEDUP_TRAIN_CAP)
-    train = (
-        embeddings
-        if stride == 1
-        else embeddings.filter(F.pmod("vec_id", F.lit(stride)) == 0)
-    )
-    model, _cost = kmeans_fit_frame(train, k=k, seed=seed)
+        if k > EMBED_DEDUP_K_MAX:
+            import warnings
+
+            warnings.warn(
+                f"embedding_dedup_blocked: auto-k {k} clamped to "
+                f"{EMBED_DEDUP_K_MAX}; per-cell size grows to "
+                f"~{n // EMBED_DEDUP_K_MAX} (> target "
+                f"{EMBED_DEDUP_CELL_TARGET}) so candidate volume is no "
+                "longer linear in n — shard the corpus or use a "
+                "two-level quantizer at this scale",
+                stacklevel=2,
+            )
+            k = EMBED_DEDUP_K_MAX
+    # Deterministic hash-sample for training. The TARGET scales with k
+    # (EMBED_DEDUP_TRAIN_PER_CELL · k, floored at EMBED_DEDUP_TRAIN_CAP):
+    # a flat cap would starve KMeans of centers once auto-k crosses the
+    # cap (r12 ADVICE). Sampling keys on xxhash64(vec_id), NOT vec_id
+    # itself — a raw pmod assumes dense sequential ids and silently
+    # skews (or empties) the sample on sparse/strided id spaces (r12
+    # ADVICE); the hash is partition-layout-independent, so trained
+    # cells stay stable run-to-run. Below the target the sample IS the
+    # corpus and nothing changes (the fixtures, in particular).
+    train_target = max(EMBED_DEDUP_TRAIN_CAP, EMBED_DEDUP_TRAIN_PER_CELL * k)
+    stride = max(1, n // train_target)
+    if stride == 1:
+        train, train_n = reps, n
+    else:
+        train = reps.filter(F.pmod(F.xxhash64("vec_id"), F.lit(stride)) == 0)
+        train_n = train.count()
+        if train_n < k:
+            # Pathological id space (hash sample came back too thin to
+            # mint k centers) — fall back to training on the full frame
+            # rather than crashing MLlib or silently degrading cells.
+            train, train_n = reps, n
+    k = min(k, train_n)  # KMeans cannot produce more centers than points
+    model, _cost = kmeans_fit_frame(train.select("vec_id", "embedding"), k=k, seed=seed)
     rows = [
         (int(i), [round(float(x), 6) for x in c])
         for i, c in enumerate(model.clusterCenters())
     ]
     cents = spark.createDataFrame(rows, "cell bigint, centroid array<double>")
-    return _cell_blocked_embedding_pairs(embeddings, cents, n_probe, verify)
+    if n_probe is None:
+        # recall-targeting default: probes scale ~√k with the cell count,
+        # bounded so candidate volume stays linear (see auto_n_probe)
+        n_probe = auto_n_probe(k)
+    rep_pairs = _cell_blocked_embedding_pairs(
+        reps.select("vec_id", "embedding"), cents, n_probe, verify
+    )
+    if not verify:
+        # test knob: the UNFILTERED rep-level candidate set — the join
+        # volume the containment assertions bound. Expansion pairs are
+        # exact by construction and carry no verify cost, so they are
+        # not part of the budget being audited.
+        return rep_pairs
+    # Expand rep-level verified pairs back to member pairs. Identical
+    # vectors ⇒ identical arithmetic ⇒ the expanded cosine IS the rep
+    # cosine (and a within-group pair's cosine is the rep's
+    # self-cosine: 1.0 after rounding, or NULL for a zero-norm vector —
+    # dropped by the threshold, exactly matching the brute form).
+    members = embeddings.join(
+        reps.select("embedding", F.col("vec_id").alias("rep_id")), "embedding"
+    ).select("rep_id", "vec_id")
+    rep_self = reps.select(
+        F.col("vec_id").alias("rep_id"),
+        F.round(
+            F.try_divide(
+                dot(F.col("embedding"), F.col("embedding"), EMBEDDING_DIM),
+                norm(F.col("embedding"), EMBEDDING_DIM)
+                * norm(F.col("embedding"), EMBEDDING_DIM),
+            ),
+            6,
+        ).alias("cos_sim"),
+    )
+    within = (
+        members.select("rep_id", F.col("vec_id").alias("id_a"))
+        .join(
+            members.select(F.col("rep_id").alias("r2"), F.col("vec_id").alias("id_b")),
+            (F.col("rep_id") == F.col("r2")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .join(rep_self, "rep_id")
+        .filter(F.col("cos_sim") >= EMBEDDING_COSINE_THRESHOLD)
+        .select("id_a", "id_b", "cos_sim")
+    )
+    cross = (
+        rep_pairs.join(
+            members.select(F.col("rep_id").alias("id_a"), F.col("vec_id").alias("ma")),
+            "id_a",
+        )
+        .join(
+            members.select(F.col("rep_id").alias("id_b"), F.col("vec_id").alias("mb")),
+            "id_b",
+        )
+        .select(
+            F.least("ma", "mb").alias("id_a"),
+            F.greatest("ma", "mb").alias("id_b"),
+            "cos_sim",
+        )
+    )
+    return within.unionByName(cross)
 
 
 def minhash_lsh_candidates(spark: SparkSession, sf_dir: str, threshold: float = 0.35):

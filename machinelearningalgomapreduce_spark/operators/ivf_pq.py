@@ -149,33 +149,64 @@ class IVFPQIndexView(IVFIndexView):
         import os
         import shutil
 
+        from machinelearningalgomapreduce_spark.operators.matview import (
+            _COMMIT_RETRIES,
+            _await_rebase,
+        )
+
         self._check_or_write_spec()
-        applied = self.applied_batches()
-        if batch_id in applied:
-            return False
-        name = f"seg-{self._next_seg_id():08d}"
-        seg_dir = os.path.join(self.path, name)
-        # deterministic within-batch dedup (parent discipline): keep the
-        # array-max embedding per vec_id before encoding
-        delta = delta.groupBy("vec_id").agg(F.max("embedding").alias("embedding"))
-        assigned = self.assign_cells(spark, delta).select("vec_id", "cell")
-        (
-            self.encode(spark, delta)
-            .join(assigned, "vec_id")
-            .write.partitionBy("cell")
-            .mode("error")
-            .parquet(seg_dir)
-        )
-        wrote_rows = any(
-            f.endswith(".parquet")
-            for _root, _dirs, files in os.walk(seg_dir)
-            for f in files
-        )
-        if wrote_rows:
-            self._commit([*self.segments(), name], [*applied, batch_id])
-        else:
-            shutil.rmtree(seg_dir)
-            self._commit(self.segments(), [*applied, batch_id])
+        name = None
+        for attempt in range(_COMMIT_RETRIES + 1):
+            base_v = self.current_version()
+            applied = self.applied_batches()
+            if batch_id in applied:
+                return False
+            if name is None:  # encode + write once; retries re-ledger it
+                name = f"seg-{self._next_seg_id():08d}"
+                seg_dir = os.path.join(self.path, name)
+                # deterministic within-batch dedup (parent discipline):
+                # keep the array-max embedding per vec_id before encoding
+                delta = delta.groupBy("vec_id").agg(
+                    F.max("embedding").alias("embedding")
+                )
+                assigned = self.assign_cells(spark, delta).select("vec_id", "cell")
+                (
+                    self.encode(spark, delta)
+                    .join(assigned, "vec_id")
+                    .write.partitionBy("cell")
+                    .mode("error")
+                    .parquet(seg_dir)
+                )
+                wrote_rows = any(
+                    f.endswith(".parquet")
+                    for _root, _dirs, files in os.walk(seg_dir)
+                    for f in files
+                )
+                if not wrote_rows:
+                    shutil.rmtree(seg_dir)
+            try:
+                if wrote_rows:
+                    self._commit(
+                        [*self.segments(base_v), name],
+                        [*applied, batch_id],
+                        base_v=base_v,
+                    )
+                else:
+                    self._commit(
+                        self.segments(base_v),
+                        [*applied, batch_id],
+                        base_v=base_v,
+                    )
+                break
+            except ValueError as e:
+                # Bounded rebase-retry on a LIVE competing writer's
+                # version win (VERDICT r11 item 5) — matview discipline.
+                if (
+                    "version collision" not in str(e)
+                    or attempt == _COMMIT_RETRIES
+                ):
+                    raise
+                _await_rebase(self.current_version, base_v, e)
         if compact and len(self.segments()) >= self.compact_at:
             self.compact(spark)
         return True
@@ -186,7 +217,8 @@ class IVFPQIndexView(IVFIndexView):
         import os
 
         self._check_or_write_spec()
-        segs = self.segments()
+        v0 = self.current_version()  # version the merge is derived from
+        segs = self.segments(v0)
         if len(segs) < 2:
             return 0
         name = f"seg-{self._next_seg_id():08d}"
@@ -199,7 +231,7 @@ class IVFPQIndexView(IVFIndexView):
         resolved.write.partitionBy("cell").mode("error").parquet(
             os.path.join(self.path, name)
         )
-        self._commit([name], self.applied_batches())
+        self._commit([name], self.applied_batches(), base_v=v0)
         return 1
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:

