@@ -2,15 +2,18 @@
 
 Model: media lives in an opaque ``binary`` column with a typed metadata
 struct beside it; text and vectors are first-class columns joined by id.
-The decode kernels are REAL pure-Python header parsers for the two
-container formats that need no library (BMP images, RIFF/WAV audio) —
-q_media_decode synthesizes deterministic payloads, round-trips them
-through encode→decode inside mapInPandas, and the oracle checks the
-decoded fields against their closed forms, so a wrong writer OR parser
-fails the hash. Compressed formats (JPEG/PNG/MP3/…) raise a clear
-ValueError naming the missing library; everything Spark-side — schema,
-Arrow batch shape, mapInPandas plumbing, partitioning — is identical for
-them.
+The decode kernels are REAL pure-Python parsers for the container
+formats that need no third-party library: BMP images and RIFF/WAV audio
+(header parses), and — since r12 — 8-bit non-interlaced PNG (FULL
+decode via stdlib zlib: chunk CRCs, IDAT inflate, all five unfilter
+types; encode_png/decode_png_pixels round-trip pixel-exactly under
+pytest). q_media_decode synthesizes deterministic payloads, round-trips
+them through encode→decode inside mapInPandas, and the oracle checks
+the decoded fields against their closed forms, so a wrong writer OR
+parser fails the hash. Remaining compressed formats (JPEG/MP3/…) raise
+a clear ValueError naming the missing library; everything Spark-side —
+schema, Arrow batch shape, mapInPandas plumbing, partitioning — is
+identical for them.
 
 Scale notes: feature extraction is mapInPandas over Arrow batches — no
 shuffle, linear scan, Python cost amortized per-batch (not per-row). The
@@ -70,17 +73,180 @@ def encode_bmp(width: int, height: int, seed: int) -> bytes:
     return header + pixels
 
 
-def decode_image(payload: bytes) -> dict:
-    """Pure-Python BMP header decode: (width, height, bpp, n_bytes).
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# PNG color type -> channel count (spec, public)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
 
-    Only the uncompressed BMP container is parseable without an imaging
-    library; other magics raise ValueError naming what is needed."""
+
+def _png_chunk(tag: bytes, body: bytes) -> bytes:
+    import struct
+    import zlib
+
+    return (
+        struct.pack(">I", len(body))
+        + tag
+        + body
+        + struct.pack(">I", zlib.crc32(tag + body))
+    )
+
+
+def encode_png(width: int, height: int, seed: int) -> bytes:
+    """Minimal but REAL 8-bit RGB PNG (zlib stdlib, no imaging library):
+    IHDR + one zlib-compressed IDAT + IEND with correct CRCs. Row filters
+    CYCLE through all five spec types (none/sub/up/average/paeth) so a
+    decoder round-trip exercises every unfilter branch, not just the
+    trivial one. Deterministic pixel bytes — the fixture adapter for
+    decode_png_pixels."""
+    import struct
+    import zlib
+
+    stride = 3 * width
+    raw = bytearray()
+    for y in range(height):
+        row = bytes((seed * 7 + y * stride + x) % 256 for x in range(stride))
+        ft = y % 5
+        raw.append(ft)
+        prev = (
+            bytes((seed * 7 + (y - 1) * stride + x) % 256 for x in range(stride))
+            if y
+            else bytes(stride)
+        )
+        if ft == 0:
+            raw.extend(row)
+        elif ft == 1:  # sub
+            raw.extend(
+                (row[i] - (row[i - 3] if i >= 3 else 0)) % 256
+                for i in range(stride)
+            )
+        elif ft == 2:  # up
+            raw.extend((row[i] - prev[i]) % 256 for i in range(stride))
+        elif ft == 3:  # average
+            raw.extend(
+                (row[i] - ((row[i - 3] if i >= 3 else 0) + prev[i]) // 2) % 256
+                for i in range(stride)
+            )
+        else:  # paeth
+            raw.extend(
+                (row[i] - _paeth(row[i - 3] if i >= 3 else 0, prev[i],
+                                 prev[i - 3] if i >= 3 else 0)) % 256
+                for i in range(stride)
+            )
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_MAGIC
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """The PNG Paeth predictor (spec, public): nearest of left/up/up-left
+    to the linear estimate a + b − c, ties broken left, up, up-left."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png_pixels(payload: bytes) -> tuple[dict, bytes]:
+    """FULL pure-Python PNG decode via stdlib zlib (r12 — closes the
+    'PNG needs PIL' gap for the common case): chunk walk with CRC
+    verification, IHDR parse, IDAT inflate, and per-row UNFILTERING of
+    all five spec filter types. Returns (header dict, reconstructed raw
+    pixel bytes — height·width·channels). Supports 8-bit depth,
+    non-interlaced, non-palette color types (gray/RGB/gray+alpha/RGBA —
+    palette and interlace raise naming the gap; JPEG still needs PIL).
+
+    Per-row byte loops are Python, but the call sits under mapInPandas'
+    Arrow batching like every decode kernel here — per-batch, not
+    per-row, plumbing cost; swap in PIL for production pixel rates."""
+    import struct
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        tag = payload[pos + 4:pos + 8]
+        body = payload[pos + 8:pos + 8 + length]
+        if len(body) != length:
+            raise ValueError("truncated PNG chunk")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != zlib.crc32(tag + body):
+            raise ValueError(f"PNG chunk {tag!r} failed CRC")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif tag == b"IDAT":
+            idat.extend(body)
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace or color not in _PNG_CHANNELS:
+        raise ValueError(
+            "unsupported PNG variant (8-bit non-interlaced gray/RGB/"
+            "gray+alpha/RGBA decode here; palette/16-bit/interlaced "
+            "need PIL or equivalent)"
+        )
+    ch = _PNG_CHANNELS[color]
+    stride = width * ch
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data size mismatch")
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        ft = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ft == 1:  # sub
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) % 256
+        elif ft == 2:  # up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) % 256
+        elif ft == 3:  # average
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (a + prev[i]) // 2) % 256
+        elif ft == 4:  # paeth
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                c = prev[i - ch] if i >= ch else 0
+                line[i] = (line[i] + _paeth(a, prev[i], c)) % 256
+        elif ft != 0:
+            raise ValueError(f"invalid PNG filter type {ft}")
+        out.extend(line)
+        prev = bytes(line)
+    header = {
+        "format": "png",
+        "width": width,
+        "height": height,
+        "bpp": 8 * ch,
+        "n_bytes": len(payload),
+    }
+    return header, bytes(out)
+
+
+def decode_image(payload: bytes) -> dict:
+    """Pure-Python image decode: (width, height, bpp, n_bytes) for the
+    containers parseable without an imaging library — uncompressed BMP
+    (header parse) and, since r12, 8-bit non-interlaced PNG (FULL decode
+    incl. CRC + unfiltering, via decode_png_pixels). Other magics raise
+    ValueError naming what is needed."""
     import struct
 
+    if len(payload) >= 8 and payload[:8] == _PNG_MAGIC:
+        header, _pixels = decode_png_pixels(payload)
+        return header
     if len(payload) < 54 or payload[:2] != b"BM":
         raise ValueError(
-            "unsupported image container (only BMP decodes without an "
-            "imaging library; JPEG/PNG need PIL or equivalent)"
+            "unsupported image container (BMP and 8-bit PNG decode "
+            "without an imaging library; JPEG needs PIL or equivalent)"
         )
     width, height = struct.unpack_from("<ii", payload, 18)
     (bpp,) = struct.unpack_from("<H", payload, 28)

@@ -304,3 +304,88 @@ def test_manifest_lock_stale_recovery_and_holder_in_error(spark, tmp_path):
     msg = str(ei.value)
     assert "12345@live-host" in msg and "manifest.json.lock" in msg
     os.remove(lock)
+
+
+# ---- PNG (r12: full decode via stdlib zlib) ------------------------------
+
+
+def test_png_round_trip_all_filter_types():
+    """encode_png cycles row filters through all five spec types, so one
+    round-trip pins every unfilter branch: the reconstructed raw pixel
+    stream must equal the pre-filter pixel bytes exactly."""
+    from machinelearningalgomapreduce_spark.multimodal.pipeline import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    w, h, seed = 17, 11, 42  # odd width exercises non-aligned strides
+    payload = encode_png(w, h, seed)
+    header, pixels = decode_png_pixels(payload)
+    assert header == {
+        "format": "png", "width": w, "height": h, "bpp": 24,
+        "n_bytes": len(payload),
+    }
+    want = bytes((seed * 7 + y * 3 * w + x) % 256 for y in range(h) for x in range(3 * w))
+    assert pixels == want
+
+
+def test_png_decode_image_dispatch_and_corruption():
+    """decode_image dispatches PNG by magic with the same field contract
+    as BMP; a flipped IDAT byte fails the chunk CRC loudly; JPEG magic
+    still raises naming the missing library."""
+    import pytest
+
+    from machinelearningalgomapreduce_spark.multimodal.pipeline import (
+        decode_image,
+        encode_png,
+    )
+
+    payload = encode_png(8, 4, 7)
+    meta = decode_image(payload)
+    assert (meta["format"], meta["width"], meta["height"], meta["bpp"]) == (
+        "png", 8, 4, 24
+    )
+    corrupt = bytearray(payload)
+    corrupt[len(payload) // 2] ^= 0xFF  # inside IDAT
+    with pytest.raises(ValueError, match="CRC"):
+        decode_image(bytes(corrupt))
+    with pytest.raises(ValueError, match="JPEG needs PIL"):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
+
+
+def test_png_decode_under_arrow_batches(spark, sf_dir):
+    """The Spark-side plumbing: synthesize a PNG per doc inside
+    mapInPandas (Arrow-batched), decode it in the same batch, and check
+    the decoded fields against their closed forms — the q_media_decode
+    discipline applied to the new container."""
+    import pandas as pd
+
+    from machinelearningalgomapreduce_spark.multimodal.pipeline import (
+        decode_png_pixels,
+        encode_png,
+    )
+
+    docs = load_tables(spark, sf_dir).documents.select("doc_id").limit(64)
+
+    def batches(it):
+        for pdf in it:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                w, h = 4 + int(doc_id) % 5, 3 + int(doc_id) % 3
+                header, pixels = decode_png_pixels(encode_png(w, h, int(doc_id)))
+                rows.append(
+                    (int(doc_id), header["width"], header["height"],
+                     header["bpp"], len(pixels))
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "bpp", "n_pixel_bytes"]
+            )
+
+    out = docs.mapInPandas(
+        batches,
+        "doc_id long, width long, height long, bpp long, n_pixel_bytes long",
+    ).collect()
+    assert len(out) == 64
+    for r in out:
+        assert (r.width, r.height) == (4 + r.doc_id % 5, 3 + r.doc_id % 3)
+        assert r.bpp == 24 and r.n_pixel_bytes == 3 * r.width * r.height
