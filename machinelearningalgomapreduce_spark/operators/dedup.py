@@ -639,6 +639,7 @@ def _cell_blocked_embedding_pairs(
     cents: DataFrame,
     n_probe: int,
     verify: bool = True,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Shared candidate-generate + exact-verify core of the cell-blocked
     embedding dedup family: assign every vector of the supplied
@@ -685,7 +686,10 @@ def _cell_blocked_embedding_pairs(
         .distinct()  # multi-probe pairs can share >1 cell
     )
     if verify:
-        pairs = pairs.filter(F.col("cos_sim") >= EMBEDDING_COSINE_THRESHOLD)
+        pairs = pairs.filter(
+            F.col("cos_sim")
+            >= (EMBEDDING_COSINE_THRESHOLD if threshold is None else threshold)
+        )
     return pairs
 
 
@@ -849,6 +853,7 @@ def embedding_dedup_blocked_frame(
     n_probe: int | None = None,
     seed: int = 42,
     verify: bool = True,
+    threshold: float | None = None,
 ) -> DataFrame:
     """Frame-parameterized form of ``embedding_dedup_blocked`` (r11
     review): quantizer training AND candidate blocking run over exactly
@@ -856,7 +861,23 @@ def embedding_dedup_blocked_frame(
     stage passes its curation SURVIVORS, so docs already dropped by the
     quality gate or text dedup never pay the kmeans/blocking/verify cost
     (at 100 TB the blocking pass dominates; filtering result pairs after
-    the fact would waste it)."""
+    the fact would waste it).
+
+    ``threshold`` (r12, verify=True only): caller-supplied cosine cutoff
+    replacing EMBEDDING_COSINE_THRESHOLD — applied at the REP level
+    (sound: a member pair's cosine is bit-identical to its rep pair's),
+    so only TRUE pairs pay the expansion joins. This replaced the
+    streaming sink's old verify=False-then-filter pattern, which after
+    the rep-collapse would have missed EXACT-duplicate pairs entirely
+    (rep-level candidates carry no within-group pairs — the r12
+    regression caught by review, pinned by
+    test_blocked_frame_threshold_recovers_exact_dups).
+
+    ``verify=False`` returns the UNFILTERED REP-LEVEL candidate set —
+    strictly a budget-audit knob now (the containment tests bound the
+    blocked join's volume with it); it deliberately does NOT expand,
+    because expanding unverified candidates multiplies by the duplicate
+    mass squared."""
     from machinelearningalgomapreduce_spark.operators.ml import kmeans_fit_frame
 
     # Evaluation-count note (r11 review): the frame is read by the count
@@ -946,14 +967,15 @@ def embedding_dedup_blocked_frame(
         # bounded so candidate volume stays linear (see auto_n_probe)
         n_probe = auto_n_probe(k)
     rep_pairs = _cell_blocked_embedding_pairs(
-        reps.select("vec_id", "embedding"), cents, n_probe, verify
+        reps.select("vec_id", "embedding"), cents, n_probe, verify, threshold
     )
     if not verify:
-        # test knob: the UNFILTERED rep-level candidate set — the join
-        # volume the containment assertions bound. Expansion pairs are
-        # exact by construction and carry no verify cost, so they are
-        # not part of the budget being audited.
+        # budget-audit knob: the UNFILTERED rep-level candidate set — the
+        # join volume the containment assertions bound. No expansion:
+        # unverified candidates × duplicate-mass² would be quadratic in
+        # the copy count, and the budget being audited is the join's.
         return rep_pairs
+    thr = EMBEDDING_COSINE_THRESHOLD if threshold is None else threshold
     # Expand rep-level verified pairs back to member pairs. Identical
     # vectors ⇒ identical arithmetic ⇒ the expanded cosine IS the rep
     # cosine (and a within-group pair's cosine is the rep's
@@ -980,7 +1002,7 @@ def embedding_dedup_blocked_frame(
             (F.col("rep_id") == F.col("r2")) & (F.col("id_a") < F.col("id_b")),
         )
         .join(rep_self, "rep_id")
-        .filter(F.col("cos_sim") >= EMBEDDING_COSINE_THRESHOLD)
+        .filter(F.col("cos_sim") >= thr)
         .select("id_a", "id_b", "cos_sim")
     )
     cross = (

@@ -437,16 +437,18 @@ def _semantic_ingest_batch(
             return  # replay of a fully-committed epoch — both writes done
         batch = batch.select("vec_id", "embedding").localCheckpoint()
         # Within-batch near-dup collapse (min vec_id per CC cluster) at
-        # the CALLER's threshold: verify=False returns unfiltered
-        # candidates so a non-default threshold governs BOTH stages —
-        # filtering at the operator's baked-in constant would admit
-        # same-batch pairs in [threshold, 0.45) and over-drop above it
-        # (r11 review). Checkpoint the pair plan: the CC loop re-walks
-        # its edge lineage every iteration, and the kmeans-assignment
-        # self-join is far too heavy to recompute per iteration.
+        # the CALLER's threshold, passed INTO the operator (r12): the
+        # old verify=False-then-filter pattern read rep-level candidates
+        # only, which after the rep-collapse carried no within-group
+        # pairs — two EXACT-duplicate vectors in one batch would both
+        # have been admitted. threshold= filters at the rep level and
+        # expands member pairs (incl. exact-dup pairs at cos 1.0), so a
+        # non-default threshold still governs BOTH stages (r11 review).
+        # Checkpoint the pair plan: the CC loop re-walks its edge
+        # lineage every iteration, and the kmeans-assignment self-join
+        # is far too heavy to recompute per iteration.
         pairs = (
-            embedding_dedup_blocked_frame(spark, batch, verify=False)
-            .filter(F.col("cos_sim") >= threshold)
+            embedding_dedup_blocked_frame(spark, batch, threshold=threshold)
             .select(F.col("id_a").alias("doc_a"), F.col("id_b").alias("doc_b"))
             .localCheckpoint()
         )

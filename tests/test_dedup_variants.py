@@ -461,3 +461,50 @@ def test_dedup_embedding_unknown_dir_gated_on_rows_not_name(spark, tmp_path, mon
     monkeypatch.setattr(dedup, "EMBED_BRUTE_MAX_ROWS", 100)  # corpus now "big"
     blocked = dedup.q_dedup_embedding(spark, str(renamed))
     assert "cell" in P.formatted_plan(blocked)
+
+
+def test_blocked_frame_threshold_recovers_exact_dups(spark, sf_dir):
+    """r12 regression (caught in review): after the rep-collapse, the
+    verify=False candidate set is REP-level and carries no within-group
+    pairs — a caller filtering it by threshold (the streaming sink's old
+    pattern) would silently miss EXACT-duplicate vectors. The threshold=
+    parameter must return member-level pairs including the exact-dup
+    pair at cos 1.0, at both the default and a tighter cutoff."""
+    from machinelearningalgomapreduce_spark.operators import dedup
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+    from pyspark.sql import functions as F
+
+    base = load_tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    # duplicate ONE vector under a fresh id: the pair (min_id, 900000)
+    # is an exact dup that only within-group expansion can emit
+    dup = base.orderBy("vec_id").limit(1).select(
+        F.lit(900_000).cast("long").alias("vec_id"), "embedding"
+    )
+    first_id = base.agg(F.min("vec_id")).first()[0]
+    corpus = base.unionByName(dup)
+
+    got = {
+        (r.id_a, r.id_b, r.cos_sim)
+        for r in dedup.embedding_dedup_blocked_frame(
+            spark, corpus, threshold=0.45
+        ).collect()
+    }
+    assert (first_id, 900_000, 1.0) in got
+    # rep-level candidates (the old pattern) genuinely lack the pair —
+    # the hole this test guards against
+    cands = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_dedup_blocked_frame(
+            spark, corpus, verify=False
+        ).collect()
+    }
+    assert (first_id, 900_000) not in cands
+    # a tighter threshold keeps the exact pair and only adds pairs
+    loose = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_dedup_blocked_frame(
+            spark, corpus, threshold=0.60
+        ).collect()
+    }
+    assert (first_id, 900_000) in loose
+    assert loose <= {(a, b) for a, b, _c in got}
