@@ -744,7 +744,7 @@ EMBED_DEDUP_TRAIN_PER_CELL = 32
 # Hard ceiling on the auto-scaled cell count: a single flat Lloyd's fit
 # beyond ~65k centers is impractical (per-iteration cost O(train_n·k) =
 # O(32k²) once the per-cell target binds), so auto-k clamps here and
-# WARNS — past the clamp (n > ~2³⁵ vectors at target 512) per-cell size
+# WARNS — past the clamp (n > K_MAX·512 ≈ 33.5M reps) per-cell size
 # grows as n/K_MAX and the corpus owner should shard the corpus or use a
 # two-level quantizer instead of trusting the linearity claim blindly.
 EMBED_DEDUP_K_MAX = 65_536
