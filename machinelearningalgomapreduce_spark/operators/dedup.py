@@ -634,6 +634,21 @@ def min_label_clusters(pairs: DataFrame) -> DataFrame:
     )
 
 
+def _multi_probe_cells(
+    embeddings: DataFrame, cents: DataFrame, n_probe: int
+) -> DataFrame:
+    """(vec_id, cell): each vector's ``n_probe`` nearest cells from the
+    flat broadcast ``cents`` (cell, centroid) — O(n·k) distance work."""
+    w = W.partitionBy("vec_id").orderBy("dist2", "cell")
+    return (
+        embeddings.crossJoin(F.broadcast(cents))
+        .select("vec_id", "cell", F.round(sq_dist(F.col("embedding"), F.col("centroid"), EMBEDDING_DIM), 6).alias("dist2"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= n_probe)
+        .select("vec_id", "cell")
+    )
+
+
 def _cell_blocked_embedding_pairs(
     embeddings: DataFrame,
     cents: DataFrame,
@@ -651,14 +666,20 @@ def _cell_blocked_embedding_pairs(
     ``verify=False`` returns the UNFILTERED candidate pairs (cos_sim
     included) — the knob the containment tests use to assert the
     candidate set stays O(Σ cell²), far under all-pairs."""
-    w = W.partitionBy("vec_id").orderBy("dist2", "cell")
-    cells = (
-        embeddings.crossJoin(F.broadcast(cents))
-        .select("vec_id", "cell", F.round(sq_dist(F.col("embedding"), F.col("centroid"), EMBEDDING_DIM), 6).alias("dist2"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= n_probe)
-        .select("vec_id", "cell")
+    return _pairs_within_cells(
+        embeddings, _multi_probe_cells(embeddings, cents, n_probe), verify, threshold
     )
+
+
+def _pairs_within_cells(
+    embeddings: DataFrame,
+    cells: DataFrame,
+    verify: bool = True,
+    threshold: float | None = None,
+) -> DataFrame:
+    """Pair-generate + exact-verify over a precomputed (vec_id, cell)
+    assignment — factored out (r12) so the flat and TWO-LEVEL quantizer
+    paths share one verify/distinct/threshold implementation."""
     e = embeddings.select("vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm"))
     ea = e.join(cells, "vec_id").alias("a")
     eb = e.join(cells, "vec_id").alias("b")
@@ -691,6 +712,129 @@ def _cell_blocked_embedding_pairs(
             >= (EMBEDDING_COSINE_THRESHOLD if threshold is None else threshold)
         )
     return pairs
+
+
+def _keyed_kmeans(
+    data: DataFrame, key: str, k: int, n_iter: int = 5
+) -> DataFrame:
+    """Lloyd's k-means run for EVERY key group simultaneously as one
+    keyed job per iteration (the pq_fit per-subspace discipline, applied
+    per coarse cell): data is (key, vec_id, embedding); returns
+    (key, sub, centroid) with up to ``k`` sub-centroids per key.
+
+    Deterministic end to end: init = each group's k smallest vec_ids'
+    vectors; assignment minimizes the (rounded d², sub) struct;
+    recomputed coordinates round to 6; empty sub-cells simply drop.
+    Scale shape: per iteration ONE join of data against its group's ≤k
+    centroids (shuffle on key, k·d values per key) and ONE
+    (key, sub, dim) average — both map-side combinable; no driver state
+    beyond the loop counter."""
+    wi = W.partitionBy(key).orderBy("vec_id")
+    cents = (
+        data.withColumn("rn", F.row_number().over(wi))
+        .filter(F.col("rn") <= k)
+        .select(key, (F.col("rn") - 1).cast("bigint").alias("sub"),
+                F.col("embedding").alias("centroid"))
+        .localCheckpoint()
+    )
+    for _ in range(n_iter):
+        assigned = (
+            data.join(cents, key)
+            .select(
+                key, "vec_id",
+                F.struct(
+                    F.round(sq_dist(F.col("embedding"), F.col("centroid"), EMBEDDING_DIM), 6).alias("d2"),
+                    F.col("sub").alias("sub"),
+                ).alias("cand"),
+            )
+            .groupBy(key, "vec_id")
+            .agg(F.min("cand")["sub"].alias("sub"))
+        )
+        cents = (
+            assigned.join(data, [key, "vec_id"])
+            .select(key, "sub", F.posexplode("embedding").alias("d", "x"))
+            .groupBy(key, "sub", "d")
+            .agg(F.round(F.avg("x"), 6).alias("c"))
+            .groupBy(key, "sub")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "c"))).alias("dc"))
+            .select(key, "sub", F.transform("dc", lambda s: s["c"]).alias("centroid"))
+            .localCheckpoint()
+        )
+    return cents
+
+
+def _two_level_probe_cells(
+    spark: SparkSession,
+    embeddings: DataFrame,
+    train: DataFrame,
+    k: int,
+    n_probe: int,
+    seed: int,
+) -> DataFrame:
+    """(vec_id, cell) via a TWO-LEVEL (IMI-style, public FAISS/Babenko
+    2012 design) quantizer — the route past EMBED_DEDUP_K_MAX where a
+    single flat Lloyd's fit with k ≈ n/512 centers stops being practical
+    (r12; previously the code clamped k and WARNED that per-cell cost
+    regrows).
+
+    Level 1: k1 = ⌈√k⌉ coarse centroids (kmeans_fit_frame on the capped
+    training sample). Level 2: every training point keyed by its nearest
+    coarse cell, then ONE keyed-kmeans trains k2 = ⌈k/k1⌉ sub-centroids
+    per coarse cell simultaneously. Flat cell id = coarse·k2 + sub.
+
+    Assignment is two-stage multi-probe: top-n_probe coarse cells per
+    vector (O(n·k1)), then distances only to those cells' sub-centroids
+    (O(n·n_probe·k2)) and a global top-n_probe over (d2, cell) — total
+    O(n·√k·n_probe) distance work instead of the flat path's O(n·k),
+    which is what makes k ≈ n/512 affordable past the clamp."""
+    import math
+
+    from machinelearningalgomapreduce_spark.operators.ml import kmeans_fit_frame
+
+    k1 = max(2, math.isqrt(k - 1) + 1)  # ceil(sqrt(k))
+    k2 = -(-k // k1)
+    model, _cost = kmeans_fit_frame(train.select("vec_id", "embedding"), k=k1, seed=seed)
+    coarse = spark.createDataFrame(
+        [
+            (int(i), [round(float(x), 6) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "coarse bigint, centroid array<double>",
+    )
+    keyed = train.select(
+        "vec_id", "embedding"
+    ).join(
+        _multi_probe_cells(
+            train.select("vec_id", "embedding"),
+            coarse.select(F.col("coarse").alias("cell"), "centroid"),
+            n_probe=1,
+        ).select("vec_id", F.col("cell").alias("coarse")),
+        "vec_id",
+    )
+    sub = _keyed_kmeans(keyed, "coarse", k2).localCheckpoint()
+    # stage 1: top-n_probe coarse cells per corpus vector
+    probed = _multi_probe_cells(
+        embeddings,
+        coarse.select(F.col("coarse").alias("cell"), "centroid"),
+        n_probe,
+    ).select("vec_id", F.col("cell").alias("coarse"))
+    # stage 2: distances only to the probed cells' sub-centroids; global
+    # top-n_probe flat cells per vector. The sub frame is O(k·d) rows but
+    # the join is keyed on coarse (shuffle), NOT a broadcast crossJoin —
+    # at k ≈ n/512 the flat centroid table may exceed broadcast budget.
+    wv = W.partitionBy("vec_id").orderBy("dist2", "cell")
+    return (
+        embeddings.join(probed, "vec_id")
+        .join(sub, "coarse")
+        .select(
+            "vec_id",
+            (F.col("coarse") * k2 + F.col("sub")).alias("cell"),
+            F.round(sq_dist(F.col("embedding"), F.col("centroid"), EMBEDDING_DIM), 6).alias("dist2"),
+        )
+        .withColumn("rn", F.row_number().over(wv))
+        .filter(F.col("rn") <= n_probe)
+        .select("vec_id", "cell")
+    )
 
 
 def dedup_embedding_cell(
@@ -741,12 +885,14 @@ EMBED_DEDUP_CELL_TARGET = 512
 # statistically the same partition.
 EMBED_DEDUP_TRAIN_CAP = 65_536
 EMBED_DEDUP_TRAIN_PER_CELL = 32
-# Hard ceiling on the auto-scaled cell count: a single flat Lloyd's fit
+# Ceiling on the FLAT quantizer's cell count: a single flat Lloyd's fit
 # beyond ~65k centers is impractical (per-iteration cost O(train_n·k) =
-# O(32k²) once the per-cell target binds), so auto-k clamps here and
-# WARNS — past the clamp (n > K_MAX·512 ≈ 33.5M reps) per-cell size
-# grows as n/K_MAX and the corpus owner should shard the corpus or use a
-# two-level quantizer instead of trusting the linearity claim blindly.
+# O(32k²) once the per-cell target binds) — and assignment is O(n·k).
+# Past it (n > K_MAX·512 ≈ 33.5M reps) the quantizer goes TWO-LEVEL
+# (r12, _two_level_probe_cells): √k coarse cells + keyed k-means
+# sub-cells, O(n·√k) assignment — the 512-target cell size (and the
+# linear candidate budget it guarantees) holds at any n instead of
+# silently regrowing per-cell cost at a clamped k.
 EMBED_DEDUP_K_MAX = 65_536
 
 
@@ -807,9 +953,12 @@ def embedding_dedup_blocked(
     k×d centroids, one agg per iteration); assignment is one broadcast
     crossJoin + per-vector top-n_probe; the pair join shuffles on cell
     with per-cell work O(cell²) — cells are data-sized/k, so the
-    all-pairs O(n²) never materializes. Recall vs the brute baseline and
-    candidate-count containment are pytest-asserted
-    (tests/test_dedup_variants.py).
+    all-pairs O(n²) never materializes. Past EMBED_DEDUP_K_MAX (r12,
+    > ~33.5M distinct reps) the quantizer goes TWO-LEVEL
+    (_two_level_probe_cells: √k coarse + keyed-kmeans sub-cells, O(n·√k)
+    assignment) so the 512-target cell size holds at any n. Recall vs
+    the brute baseline and candidate-count containment are
+    pytest-asserted (tests/test_dedup_variants.py).
 
     Defaults measured on the fixtures (2026-08-15, sf0.001 + sf0.01):
     k=10/n_probe=3 recovers ALL brute pairs (recall 1.0, 0 invented) at
@@ -921,19 +1070,6 @@ def embedding_dedup_blocked_frame(
         # (see EMBED_DEDUP_CELL_TARGET); floor of 10 keeps the fixture
         # behavior (and its measured recall-1.0 point) unchanged
         k = max(10, -(-n // EMBED_DEDUP_CELL_TARGET))
-        if k > EMBED_DEDUP_K_MAX:
-            import warnings
-
-            warnings.warn(
-                f"embedding_dedup_blocked: auto-k {k} clamped to "
-                f"{EMBED_DEDUP_K_MAX}; per-cell size grows to "
-                f"~{n // EMBED_DEDUP_K_MAX} (> target "
-                f"{EMBED_DEDUP_CELL_TARGET}) so candidate volume is no "
-                "longer linear in n — shard the corpus or use a "
-                "two-level quantizer at this scale",
-                stacklevel=2,
-            )
-            k = EMBED_DEDUP_K_MAX
     # Deterministic hash-sample for training. The TARGET scales with k
     # (EMBED_DEDUP_TRAIN_PER_CELL · k, floored at EMBED_DEDUP_TRAIN_CAP):
     # a flat cap would starve KMeans of centers once auto-k crosses the
@@ -956,19 +1092,32 @@ def embedding_dedup_blocked_frame(
             # rather than crashing MLlib or silently degrading cells.
             train, train_n = reps, n
     k = min(k, train_n)  # KMeans cannot produce more centers than points
-    model, _cost = kmeans_fit_frame(train.select("vec_id", "embedding"), k=k, seed=seed)
-    rows = [
-        (int(i), [round(float(x), 6) for x in c])
-        for i, c in enumerate(model.clusterCenters())
-    ]
-    cents = spark.createDataFrame(rows, "cell bigint, centroid array<double>")
     if n_probe is None:
         # recall-targeting default: probes scale ~√k with the cell count,
         # bounded so candidate volume stays linear (see auto_n_probe)
         n_probe = auto_n_probe(k)
-    rep_pairs = _cell_blocked_embedding_pairs(
-        reps.select("vec_id", "embedding"), cents, n_probe, verify, threshold
-    )
+    rep_frame = reps.select("vec_id", "embedding")
+    if k > EMBED_DEDUP_K_MAX:
+        # Past the flat-Lloyd's practicality ceiling (> ~33.5M reps at
+        # the 512 target) the quantizer goes TWO-LEVEL (r12): √k coarse
+        # cells, then keyed k-means for √k sub-cells per coarse cell,
+        # two-stage multi-probe assignment — O(n·√k) distance work keeps
+        # k ≈ n/512 (and with it the linear candidate budget) affordable
+        # where the old code clamped k and let per-cell cost regrow.
+        cells = _two_level_probe_cells(spark, rep_frame, train, k, n_probe, seed)
+        rep_pairs = _pairs_within_cells(rep_frame, cells, verify, threshold)
+    else:
+        model, _cost = kmeans_fit_frame(
+            train.select("vec_id", "embedding"), k=k, seed=seed
+        )
+        rows = [
+            (int(i), [round(float(x), 6) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ]
+        cents = spark.createDataFrame(rows, "cell bigint, centroid array<double>")
+        rep_pairs = _cell_blocked_embedding_pairs(
+            rep_frame, cents, n_probe, verify, threshold
+        )
     if not verify:
         # budget-audit knob: the UNFILTERED rep-level candidate set — the
         # join volume the containment assertions bound. No expansion:

@@ -369,23 +369,62 @@ def test_blocked_dedup_survives_sparse_id_space(spark, sf_dir, monkeypatch):
     assert all(r.cos_sim >= dedup.EMBEDDING_COSINE_THRESHOLD for r in rows)
 
 
-def test_blocked_dedup_auto_k_clamps_and_warns(spark, sf_dir, monkeypatch):
-    """r12: past EMBED_DEDUP_K_MAX the auto-k clamps (KMeans can't mint
-    unbounded centers) and WARNS that per-cell cost is no longer linear,
-    instead of silently saturating (the ADVICE finding)."""
-    import warnings
-
+def test_blocked_dedup_routes_two_level_past_k_max(spark, sf_dir, monkeypatch):
+    """r12: past EMBED_DEDUP_K_MAX the quantizer goes TWO-LEVEL (√k
+    coarse cells + keyed-kmeans sub-cells, O(n·√k) assignment) instead of
+    clamping k and letting per-cell cost regrow (the ADVICE finding's
+    final resolution). Contract pinned: emitted pairs remain a SUBSET of
+    brute (the verify is exact either way), recall stays useful on the
+    fixture geometry, and the candidate budget stays under all-pairs."""
     from machinelearningalgomapreduce_spark.operators import dedup
     from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
     monkeypatch.setattr(dedup, "EMBED_DEDUP_CELL_TARGET", 20)
     monkeypatch.setattr(dedup, "EMBED_DEDUP_K_MAX", 12)
     e = load_tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
-    with warnings.catch_warnings(record=True) as w:
-        warnings.simplefilter("always")
-        out = dedup.embedding_dedup_blocked_frame(spark, e)
-        assert out.count() > 0
-    assert any("clamped" in str(x.message) for x in w), [str(x.message) for x in w]
+    brute = {
+        (r.id_a, r.id_b) for r in dedup.q_dedup_embedding(spark, sf_dir).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_dedup_blocked_frame(spark, e).collect()
+    }
+    assert got <= brute, f"invented pairs: {sorted(got - brute)[:5]}"
+    # 25 cells of ~20 vectors over 500 points is a deliberately brutal
+    # blocking; the two-level probe must still recover a solid majority
+    assert len(got) >= 0.5 * len(brute), (len(got), len(brute))
+    n = e.count()
+    cands = dedup.embedding_dedup_blocked_frame(spark, e, verify=False).count()
+    assert 0 < cands < n * (n - 1) // 2
+
+
+def test_keyed_kmeans_groups_train_independently(spark):
+    """_keyed_kmeans unit: every group gets ≤k sub-centroids trained only
+    on ITS rows — two well-separated groups must keep their centroids in
+    their own value ranges, deterministically."""
+    from machinelearningalgomapreduce_spark.operators import dedup
+    from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
+
+    rows = []
+    for i in range(40):
+        base = 0.0 if i % 2 == 0 else 100.0  # group 0 near 0, group 1 near 100
+        rows.append(
+            (i % 2, i, [base + (i % 7) * 0.1] * EMBEDDING_DIM)
+        )
+    data = spark.createDataFrame(
+        rows, "coarse bigint, vec_id long, embedding array<double>"
+    )
+    cents = dedup._keyed_kmeans(data, "coarse", k=3).collect()
+    assert {r.coarse for r in cents} == {0, 1}
+    for r in cents:
+        lo, hi = (0.0, 1.0) if r.coarse == 0 else (100.0, 101.0)
+        assert all(lo <= x <= hi for x in r.centroid), (r.coarse, r.centroid[:2])
+        assert len(r.centroid) == EMBEDDING_DIM
+    # determinism: a second run returns the identical centroid set
+    again = dedup._keyed_kmeans(data, "coarse", k=3).collect()
+    assert {(r.coarse, r.sub, tuple(r.centroid)) for r in cents} == {
+        (r.coarse, r.sub, tuple(r.centroid)) for r in again
+    }
 
 
 def test_blocked_dedup_collapse_recovers_exact_copies(spark, sf_dir):
