@@ -171,8 +171,13 @@ def test_decoders_reject_unknown_containers():
         decode_image,
     )
 
-    with pytest.raises(ValueError, match="imaging library"):
+    # r12: PNG is SUPPORTED now (stdlib-zlib codec) — garbage under the
+    # PNG magic fails with a decode-specific error (CRC), while JPEG is
+    # the remaining image container that names the missing library
+    with pytest.raises(ValueError, match="CRC"):
         decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="imaging library"):
+        decode_image(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
     with pytest.raises(ValueError, match="audio library"):
         decode_audio(b"ID3\x04" + b"\x00" * 64)
 
