@@ -170,10 +170,13 @@ def decode_png_pixels(payload: bytes) -> tuple[dict, bytes]:
     pos, ihdr, idat = 8, None, bytearray()
     while pos + 8 <= len(payload):
         (length,) = struct.unpack_from(">I", payload, pos)
+        # bound check covers the CRC field too — a payload truncated
+        # inside the 4-byte CRC must raise the contract ValueError, not
+        # leak struct.error to mapInPandas callers (r12 review)
+        if pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk")
         tag = payload[pos + 4:pos + 8]
         body = payload[pos + 8:pos + 8 + length]
-        if len(body) != length:
-            raise ValueError("truncated PNG chunk")
         (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
         if crc != zlib.crc32(tag + body):
             raise ValueError(f"PNG chunk {tag!r} failed CRC")
@@ -195,7 +198,12 @@ def decode_png_pixels(payload: bytes) -> tuple[dict, bytes]:
         )
     ch = _PNG_CHANNELS[color]
     stride = width * ch
-    raw = zlib.decompress(bytes(idat))
+    if not idat:
+        raise ValueError("PNG missing IDAT")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:  # keep the module's ValueError contract
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from None
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG pixel data size mismatch")
     out = bytearray()

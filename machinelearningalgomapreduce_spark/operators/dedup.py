@@ -811,7 +811,18 @@ def _two_level_probe_cells(
         ).select("vec_id", F.col("cell").alias("coarse")),
         "vec_id",
     )
-    sub = _keyed_kmeans(keyed, "coarse", k2).localCheckpoint()
+    sub = _keyed_kmeans(keyed, "coarse", k2)
+    # Every coarse cell must own ≥1 sub-centroid, else a corpus vector
+    # whose probed coarse cells are all sub-less would vanish at the
+    # keyed join below — silently excluded from blocking entirely (r12
+    # review). MLlib can retain empty clusters and _keyed_kmeans only
+    # trains cells that won a training point, so backfill each sub-less
+    # coarse cell with ITS OWN centroid as sub 0.
+    backfill = (
+        coarse.join(sub.select("coarse").distinct(), "coarse", "left_anti")
+        .select("coarse", F.lit(0).cast("bigint").alias("sub"), "centroid")
+    )
+    sub = sub.unionByName(backfill).localCheckpoint()
     # stage 1: top-n_probe coarse cells per corpus vector
     probed = _multi_probe_cells(
         embeddings,

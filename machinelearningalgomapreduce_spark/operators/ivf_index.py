@@ -247,6 +247,11 @@ class IVFIndexView:
             base_v = self.current_version()
             applied = self.applied_batches()
             if batch_id in applied:
+                if name is not None and wrote_rows:
+                    # a rebase found a competitor already committed THIS
+                    # batch id (concurrent replay) — our segment is
+                    # referenced by no manifest; reclaim it (r12 review)
+                    shutil.rmtree(seg_dir, ignore_errors=True)
                 return False
             if name is None:  # the delta is written once; retries re-ledger it
                 name = f"seg-{self._next_seg_id():08d}"

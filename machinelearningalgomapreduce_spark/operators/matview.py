@@ -1217,6 +1217,12 @@ class SegmentedAggView:
             manifest = self._manifest(v) if v else {"segments": [], "batches": []}
             applied = manifest["batches"]
             if batch_id in applied:
+                if seg is not None:
+                    # a rebase found a competitor already committed THIS
+                    # batch id (concurrent replay) — our written segment
+                    # is referenced by no manifest; reclaim it instead of
+                    # leaking it until vacuum (r12 review)
+                    shutil.rmtree(os.path.join(self.path, seg), ignore_errors=True)
                 return False
             if seg is None:  # the delta is written once; retries re-ledger it
                 seg = self._write_segment(self._partial(delta))

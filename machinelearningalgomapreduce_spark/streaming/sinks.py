@@ -377,6 +377,7 @@ def _semantic_ingest_batch(
     out_dir: str,
     run_key: str,
     threshold: float,
+    full_vectors=None,
 ):
     """Per-batch admission function over a persisted IVF index
     (operators/ivf_index.py::IVFIndexView) — the SEMANTIC twin of
@@ -465,21 +466,45 @@ def _semantic_ingest_batch(
             qframe = survivors.select(
                 F.col("vec_id").alias("query_id"), "embedding"
             )
-            if getattr(index, "pq_m", None):
+            if getattr(index, "pq_m", None) and full_vectors is not None:
+                matches = index.query(
+                    spark, qframe, k=1, full_vectors=full_vectors
+                )
+            elif getattr(index, "pq_m", None):
                 # PQ-backed admission (VERDICT r11 item 3): an
                 # IVFPQIndexView stores codes only, so its exact re-rank
                 # stage needs a full-vector frame. The admission LOG is
-                # that corpus — every indexed vector was written to
-                # out_dir BEFORE its index commit, so the log is always a
-                # superset of the index. An upserted vec_id can hold
-                # several log rows; resolve newest-wins within this run
-                # (the zero-padded `batch` partition column sorts
-                # lexicographically = numerically), deterministic-but-
-                # arbitrary across runs — the same authority caveat the
-                # OUTPUT CONTRACT above already owns. At 100 TB this is
-                # the index option that fits the storage budget: the hot
-                # cell-partitioned index holds M ints/vector; the re-rank
-                # touches ≤ rerank_mult rows per query from the cold log.
+                # that corpus — every vector THIS SINK indexed was
+                # written to out_dir BEFORE its index commit, so the log
+                # covers the index. An index populated OUTSIDE the sink
+                # has no log coverage: its vectors would silently drop
+                # from the re-rank inner join and their near-dups be
+                # admitted — refuse loudly and point at the
+                # full_vectors= escape hatch (r12 review). An upserted
+                # vec_id can hold several log rows; resolve newest-wins
+                # within this run (the zero-padded `batch` partition
+                # column sorts lexicographically = numerically),
+                # deterministic-but-arbitrary across runs — the same
+                # authority caveat the OUTPUT CONTRACT above owns. The
+                # CURRENT epoch's own directory is excluded: a crash
+                # between the output write and the index refresh must
+                # replay bit-identically, and reading the crashed
+                # attempt's rows back would let an upserted embedding
+                # flip near-threshold admissions (r12 review). At 100 TB
+                # this is the index option that fits the storage budget:
+                # the hot cell-partitioned index holds M ints/vector;
+                # the re-rank touches ≤ rerank_mult rows per query from
+                # the cold log.
+                if not os.path.isdir(out_dir):
+                    raise ValueError(
+                        "PQ-backed semantic dedup: the index already has "
+                        f"segments but the admission log {out_dir} does "
+                        "not exist, so the exact re-rank has no "
+                        "full-vector corpus for the indexed vectors. "
+                        "Either let THIS sink build the index from "
+                        "scratch, or pass full_vectors= covering every "
+                        "indexed vec_id."
+                    )
                 pref = F.struct(
                     F.col("batch")
                     .startswith(run_digest + "-")
@@ -489,6 +514,7 @@ def _semantic_ingest_batch(
                 )
                 fv = (
                     spark.read.parquet(out_dir)
+                    .filter(F.col("batch") != f"{run_digest}-{batch_id:010d}")
                     .select("vec_id", "embedding", pref.alias("o"))
                     .groupBy("vec_id")
                     .agg(F.max_by("embedding", "o").alias("embedding"))
@@ -518,6 +544,7 @@ def semantic_dedup_ingest_stream(
     out_dir: str,
     checkpoint_dir: str,
     threshold: float | None = None,
+    full_vectors=None,
 ):
     """Streaming semantic-dedup ingestion: drain the embeddings source
     with trigger(availableNow), admitting only vectors with no near-dup
@@ -534,7 +561,9 @@ def semantic_dedup_ingest_stream(
     vecs = stream_table(spark, sf_dir, "embeddings.parquet")
     return (
         vecs.writeStream.foreachBatch(
-            _semantic_ingest_batch(spark, index, out_dir, run_key, thr)
+            _semantic_ingest_batch(
+                spark, index, out_dir, run_key, thr, full_vectors
+            )
         )
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)

@@ -547,3 +547,24 @@ def test_blocked_frame_threshold_recovers_exact_dups(spark, sf_dir):
     }
     assert (first_id, 900_000) in loose
     assert loose <= {(a, b) for a, b, _c in got}
+
+
+def test_two_level_assignment_covers_every_vector(spark, sf_dir, monkeypatch):
+    """r12 review: a vector whose probed coarse cells all lack trained
+    sub-centroids must NOT vanish from blocking — sub-less coarse cells
+    are backfilled with their own centroid, so the two-level assignment
+    covers every input vec_id."""
+    from machinelearningalgomapreduce_spark.operators import dedup
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+    from pyspark.sql import functions as F
+
+    e = load_tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    # tiny training sample (monkeypatched caps) makes sub-less coarse
+    # cells likely; the invariant must hold regardless
+    monkeypatch.setattr(dedup, "EMBED_DEDUP_TRAIN_CAP", 32)
+    monkeypatch.setattr(dedup, "EMBED_DEDUP_TRAIN_PER_CELL", 1)
+    train = e.filter(F.pmod(F.xxhash64("vec_id"), F.lit(15)) == 0)
+    cells = dedup._two_level_probe_cells(spark, e, train, k=25, n_probe=3, seed=42)
+    assigned = {r.vec_id for r in cells.select("vec_id").distinct().collect()}
+    everyone = {r.vec_id for r in e.select("vec_id").collect()}
+    assert assigned == everyone, f"dropped: {sorted(everyone - assigned)[:5]}"

@@ -394,3 +394,26 @@ def test_png_decode_under_arrow_batches(spark, sf_dir):
     for r in out:
         assert (r.width, r.height) == (4 + r.doc_id % 5, 3 + r.doc_id % 3)
         assert r.bpp == 24 and r.n_pixel_bytes == 3 * r.width * r.height
+
+
+def test_png_error_contract_truncation_and_missing_idat():
+    """r12 review: every malformed-PNG path must raise the module's
+    ValueError contract — truncation inside a chunk's CRC field must not
+    leak struct.error, and a CRC-valid payload with no IDAT must not
+    leak zlib.error."""
+    import pytest
+
+    from machinelearningalgomapreduce_spark.multimodal.pipeline import (
+        _PNG_MAGIC,
+        _png_chunk,
+        decode_png_pixels,
+        encode_png,
+    )
+    import struct
+
+    with pytest.raises(ValueError, match="truncated PNG chunk"):
+        decode_png_pixels(encode_png(4, 4, 1)[:-2])  # cut inside IEND CRC
+    ihdr = struct.pack(">IIBBBBB", 4, 4, 8, 2, 0, 0, 0)
+    no_idat = _PNG_MAGIC + _png_chunk(b"IHDR", ihdr) + _png_chunk(b"IEND", b"")
+    with pytest.raises(ValueError, match="missing IDAT"):
+        decode_png_pixels(no_idat)

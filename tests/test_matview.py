@@ -1401,3 +1401,34 @@ def test_reclaimed_manifest_fails_post_commit_verification(spark, tmp_path):
             sv.refresh(spark, li, batch_id="b1")
     finally:
         M._write_json_durable = M_orig
+
+
+def test_concurrent_replay_of_same_batch_reclaims_loser_segment(
+    spark, tmp_path, monkeypatch
+):
+    """r12 review: when the rebase discovers a competitor already
+    committed the SAME batch id (concurrent replay), the loser's written
+    segment is referenced by no manifest — it must be reclaimed on the
+    early return, not leaked until vacuum."""
+    import os
+
+    li = load_tables(spark, SMOKE_SF_DIR).lineitem
+    a, b = _seg_view(tmp_path / "replay"), _seg_view(tmp_path / "replay")
+    orig = type(b)._write_segment
+    fired = {"done": False}
+
+    def interleave(self, df):
+        name = orig(self, df)
+        if not fired["done"]:
+            fired["done"] = True
+            a.refresh(spark, li, batch_id="dup-batch")  # competitor wins
+        return name
+
+    monkeypatch.setattr(type(b), "_write_segment", interleave)
+    assert b.refresh(spark, li, batch_id="dup-batch") is False  # replay no-op
+    monkeypatch.undo()
+
+    assert b.applied_batches() == ["dup-batch"]
+    live = {s["dir"] for s in b.segments()}
+    on_disk = {n for n in os.listdir(str(tmp_path / "replay")) if n.startswith("seg-")}
+    assert on_disk == live, f"leaked segments: {sorted(on_disk - live)}"

@@ -1453,3 +1453,51 @@ def test_sessionizer_state_bounded_by_timer_cleanup():
     assert not proc._state.exists()  # idle key holds NOTHING
     # a second expiry (spurious timer) emits nothing — exactly-once
     assert not list(proc.handleExpiredTimer((1,), None, None))
+
+
+def test_pq_sink_refuses_uncovered_index(spark, sf_dir, tmp_path):
+    """r12 review: a PQ index populated OUTSIDE the sink has no admission
+    log to re-rank against — its vectors would silently drop from the
+    re-rank join and their near-dups be admitted. The sink must refuse
+    loudly and name the full_vectors= escape hatch; supplying
+    full_vectors= makes the same setup work."""
+    import pytest
+
+    from machinelearningalgomapreduce_spark.operators.ivf_pq import IVFPQIndexView
+    from machinelearningalgomapreduce_spark.operators.ml import label_centroids
+    from machinelearningalgomapreduce_spark.operators.similarity import pq_fit
+    from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
+    from machinelearningalgomapreduce_spark.streaming.sinks import (
+        semantic_dedup_ingest_stream,
+    )
+
+    t = load_tables(spark, sf_dir)
+    emb = t.embeddings.select("vec_id", "embedding")
+    cents = [
+        (r.label, list(r.centroid)) for r in label_centroids(t.embeddings).collect()
+    ]
+    books, _err = pq_fit(spark, sf_dir, k=8, n_iter=2)
+    cbs = [(r.sub, r.code, list(r.centroid)) for r in books.collect()]
+    idx = IVFPQIndexView(
+        str(tmp_path / "extpq"), cents, cbs, dim=EMBEDDING_DIM, n_probe=2
+    )
+    idx.refresh(spark, emb, batch_id="external-bootstrap")  # outside the sink
+
+    q = semantic_dedup_ingest_stream(
+        spark, sf_dir, idx, str(tmp_path / "extout"), str(tmp_path / "extck")
+    )
+    with pytest.raises(Exception, match="admission log"):
+        q.awaitTermination(120)
+
+    q2 = semantic_dedup_ingest_stream(
+        spark, sf_dir, idx, str(tmp_path / "extout2"), str(tmp_path / "extck2"),
+        full_vectors=emb,
+    )
+    q2.awaitTermination(120)
+    # every re-delivered vector has an indexed near-dup (itself is
+    # excluded, but exact copies aren't present) — isolated ones re-admit
+    # as upserts; the invariant is simply that the run completes and the
+    # compacted index holds one row per vec_id
+    idx.compact(spark)
+    state = idx.read(spark).collect()
+    assert len(state) == len({r.vec_id for r in state})
