@@ -937,6 +937,34 @@ def auto_n_probe(k: int) -> int:
     return min(k, max(3, min(6, math.ceil(0.6 * math.sqrt(k)))))
 
 
+# Measured probe→recall calibration (10×-tier audit geometry, k=98 —
+# the WORST measured case: fine cells over self-similar data; fixture
+# k=10 measured 1.0 at probe 3). Powers n_probe_for_recall.
+PROBE_RECALL_CURVE = ((3, 0.778), (4, 0.868), (5, 0.944), (6, 0.993))
+
+
+def n_probe_for_recall(target_recall: float) -> int:
+    """The explicit target_recall lane of the r12 probe policy: smallest
+    probe budget whose MEASURED audit-tier recall meets the target
+    (conservative — the curve was measured on the worst geometry probed
+    so far, and exact-dup mass is handled structurally by the
+    rep-collapse, not by probes). A target above the measured ceiling
+    (0.993 at probe 6) raises: no probe budget was MEASURED to deliver
+    it — use the brute form or re-measure the curve on the real corpus
+    geometry before promising a number."""
+    if not 0.0 < target_recall <= 1.0:
+        raise ValueError(f"target_recall must be in (0, 1], got {target_recall}")
+    for n_probe, recall in PROBE_RECALL_CURVE:
+        if recall >= target_recall:
+            return n_probe
+    raise ValueError(
+        f"no measured probe budget delivers recall {target_recall} "
+        f"(curve ceiling {PROBE_RECALL_CURVE[-1][1]} at n_probe "
+        f"{PROBE_RECALL_CURVE[-1][0]}); use the brute q_dedup_embedding "
+        "form or re-measure PROBE_RECALL_CURVE on your corpus"
+    )
+
+
 def embedding_dedup_blocked(
     spark: SparkSession,
     sf_dir: str,
@@ -944,6 +972,7 @@ def embedding_dedup_blocked(
     n_probe: int | None = None,
     seed: int = 42,
     verify: bool = True,
+    target_recall: float | None = None,
 ) -> DataFrame:
     """SemDeDup-style blocked embedding dedup (VERDICT r10 item 3): the
     composed 100 TB scale path for q_dedup_embedding, assembled from the
@@ -1003,6 +1032,7 @@ def embedding_dedup_blocked(
         n_probe=n_probe,
         seed=seed,
         verify=verify,
+        target_recall=target_recall,
     )
 
 
@@ -1014,6 +1044,7 @@ def embedding_dedup_blocked_frame(
     seed: int = 42,
     verify: bool = True,
     threshold: float | None = None,
+    target_recall: float | None = None,
 ) -> DataFrame:
     """Frame-parameterized form of ``embedding_dedup_blocked`` (r11
     review): quantizer training AND candidate blocking run over exactly
@@ -1103,7 +1134,13 @@ def embedding_dedup_blocked_frame(
             # rather than crashing MLlib or silently degrading cells.
             train, train_n = reps, n
     k = min(k, train_n)  # KMeans cannot produce more centers than points
-    if n_probe is None:
+    if target_recall is not None:
+        if n_probe is not None:
+            raise ValueError("pass n_probe OR target_recall, not both")
+        # explicit lane: the smallest MEASURED probe budget meeting the
+        # target on the audit curve (raises above the measured ceiling)
+        n_probe = min(k, n_probe_for_recall(target_recall))
+    elif n_probe is None:
         # recall-targeting default: probes scale ~√k with the cell count,
         # bounded so candidate volume stays linear (see auto_n_probe)
         n_probe = auto_n_probe(k)

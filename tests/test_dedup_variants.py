@@ -568,3 +568,34 @@ def test_two_level_assignment_covers_every_vector(spark, sf_dir, monkeypatch):
     assigned = {r.vec_id for r in cells.select("vec_id").distinct().collect()}
     everyone = {r.vec_id for r in e.select("vec_id").collect()}
     assert assigned == everyone, f"dropped: {sorted(everyone - assigned)[:5]}"
+
+
+def test_target_recall_lane_maps_curve_and_refuses_above_ceiling(spark, sf_dir):
+    """r12: target_recall= maps to the smallest MEASURED probe budget on
+    the audit curve; above the measured ceiling it refuses instead of
+    promising an unmeasured number; mutually exclusive with n_probe."""
+    import pytest
+
+    from machinelearningalgomapreduce_spark.operators import dedup
+
+    assert dedup.n_probe_for_recall(0.75) == 3
+    assert dedup.n_probe_for_recall(0.868) == 4
+    assert dedup.n_probe_for_recall(0.95) == 6
+    with pytest.raises(ValueError, match="no measured probe budget"):
+        dedup.n_probe_for_recall(0.999)
+    with pytest.raises(ValueError, match="not both"):
+        dedup.embedding_dedup_blocked(
+            spark, sf_dir, n_probe=3, target_recall=0.9
+        )
+    # the lane runs end-to-end and, being a superset probe budget of the
+    # fixture's recall-1.0 config, still recovers every brute pair
+    brute = {
+        (r.id_a, r.id_b) for r in dedup.q_dedup_embedding(spark, sf_dir).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in dedup.embedding_dedup_blocked(
+            spark, sf_dir, target_recall=0.95
+        ).collect()
+    }
+    assert got == brute
