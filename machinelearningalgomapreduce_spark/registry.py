@@ -55,36 +55,20 @@ _MODULES = (
 # re-greens the stalest evidence (the r2 cohort predates the r4 keyed-cache
 # / tiny_sorted plan rewrites). Update per round from CORRECTNESS_r{N}.json.
 DRIVER_GREEN_ROUND = {
-    # latest green: round 6 (40)
-    "q_cube": 6, "q_dedup_clusters": 6, "q_dedup_embedding": 6,
-    "q_dedup_exact": 6, "q_dedup_minhash": 6, "q_dedup_ngram_jaccard": 6,
-    "q_dedup_simhash": 6, "q_distinct_users": 6, "q_distinct_users_approx": 6,
-    "q_doc_fingerprint": 6, "q_events_sliding": 6, "q_events_tumbling": 6,
-    "q_filter_agg": 6, "q_filter_pred": 6, "q_grouping_sets": 6,
-    "q_join3_topk": 6, "q_join5_region": 6, "q_join_anti": 6, "q_join_asof": 6,
-    "q_join_broadcast": 6, "q_join_full": 6, "q_join_inner": 6,
-    "q_join_left": 6, "q_join_salted": 6, "q_join_semi": 6, "q_late_data": 6,
-    "q_pivot": 6, "q_pricing_summary": 6, "q_quality_score": 6,
-    "q_range_join": 6, "q_scan_project": 6, "q_session_stats": 6,
-    "q_sessionize": 6, "q_set_ops": 6, "q_sort_limit": 6, "q_sql_exists": 6,
-    "q_unpivot": 6, "q_window_analytic": 6, "q_window_dist": 6,
-    "q_window_rank": 6,
-    # latest green: round 7 (50)
+    # latest green: round 7 (40)
     "q_acf": 7, "q_array_ops": 7, "q_attribution_linear": 7,
-    "q_audio_features": 7, "q_benford": 7, "q_bollinger": 7,
-    "q_bootstrap_ci": 7, "q_calinski": 7, "q_cohens_kappa": 7,
-    "q_cramers_v": 7, "q_decompose": 7, "q_dedup_edit": 7, "q_dedup_snm": 7,
-    "q_event_rate_change": 7, "q_gap_fill": 7, "q_gbt_stump": 7,
-    "q_gopher_rules": 7, "q_grubbs": 7, "q_hhi": 7, "q_hits_step": 7,
-    "q_jarque_bera": 7, "q_jl_project": 7, "q_json_extract": 7,
-    "q_kendall_tau": 7, "q_kl_divergence": 7, "q_kruskal_wallis": 7,
-    "q_levene": 7, "q_louvain_move": 7, "q_max_drawdown": 7, "q_mk_trend": 7,
-    "q_modularity": 7, "q_order_gap_median": 7, "q_power_iter": 7,
-    "q_ppr_step": 7, "q_pq_codes": 7, "q_prefix_dup": 7, "q_rendezvous": 7,
+    "q_audio_features": 7, "q_bollinger": 7, "q_bootstrap_ci": 7,
+    "q_cohens_kappa": 7, "q_cramers_v": 7, "q_decompose": 7, "q_dedup_edit": 7,
+    "q_dedup_snm": 7, "q_event_rate_change": 7, "q_gap_fill": 7,
+    "q_gbt_stump": 7, "q_gopher_rules": 7, "q_grubbs": 7, "q_hits_step": 7,
+    "q_jarque_bera": 7, "q_json_extract": 7, "q_kendall_tau": 7,
+    "q_kl_divergence": 7, "q_kruskal_wallis": 7, "q_levene": 7,
+    "q_max_drawdown": 7, "q_mk_trend": 7, "q_order_gap_median": 7,
+    "q_power_iter": 7, "q_prefix_dup": 7, "q_rendezvous": 7,
     "q_rolling_p90": 7, "q_running_share": 7, "q_runs_test": 7,
-    "q_scalar_funcs": 7, "q_scc_pivot": 7, "q_skyline": 7, "q_srm_check": 7,
-    "q_temperature_mix": 7, "q_theil_index": 7, "q_theil_sen": 7,
-    "q_type_token_ratio": 7, "q_vocab_drift": 7, "q_wilson_ctr": 7,
+    "q_scalar_funcs": 7, "q_skyline": 7, "q_srm_check": 7,
+    "q_temperature_mix": 7, "q_theil_sen": 7, "q_type_token_ratio": 7,
+    "q_vocab_drift": 7, "q_wilson_ctr": 7,
     # latest green: round 8 (50)
     "q_active_days": 8, "q_audience_overlap": 8, "q_bloom_audit": 8,
     "q_bloom_bits": 8, "q_brier": 8, "q_changepoint": 8, "q_churn_rate": 8,
@@ -153,6 +137,24 @@ DRIVER_GREEN_ROUND = {
     "q_token_budget": 11, "q_token_count": 11, "q_top_supplier": 11,
     "q_train_test_split": 11, "q_trend_fit": 11, "q_volume_shipping": 11,
     "q_weighted_pick": 11, "q_wordcount": 11,
+    # latest green: round 12 (50)
+    "q_benford": 12, "q_calinski": 12, "q_cube": 12, "q_dedup_clusters": 12,
+    "q_dedup_embedding": 12, "q_dedup_exact": 12, "q_dedup_minhash": 12,
+    "q_dedup_ngram_jaccard": 12, "q_dedup_simhash": 12, "q_distinct_users": 12,
+    "q_distinct_users_approx": 12, "q_doc_fingerprint": 12,
+    "q_events_sliding": 12, "q_events_tumbling": 12, "q_filter_agg": 12,
+    "q_filter_pred": 12, "q_grouping_sets": 12, "q_hhi": 12,
+    "q_jl_project": 12, "q_join3_topk": 12, "q_join5_region": 12,
+    "q_join_anti": 12, "q_join_asof": 12, "q_join_broadcast": 12,
+    "q_join_full": 12, "q_join_inner": 12, "q_join_left": 12,
+    "q_join_salted": 12, "q_join_semi": 12, "q_late_data": 12,
+    "q_louvain_move": 12, "q_modularity": 12, "q_pivot": 12, "q_ppr_step": 12,
+    "q_pq_codes": 12, "q_pricing_summary": 12, "q_quality_score": 12,
+    "q_range_join": 12, "q_scan_project": 12, "q_scc_pivot": 12,
+    "q_session_stats": 12, "q_sessionize": 12, "q_set_ops": 12,
+    "q_sort_limit": 12, "q_sql_exists": 12, "q_theil_index": 12,
+    "q_unpivot": 12, "q_window_analytic": 12, "q_window_dist": 12,
+    "q_window_rank": 12,
 }
 
 # Queries with ANY green driver row (kept as a set: the window tests and
