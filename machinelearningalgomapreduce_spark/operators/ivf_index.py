@@ -161,8 +161,14 @@ class IVFIndexView:
         # VERDICT r10 item 6): a concurrent writer that already committed
         # this version raises a loud version-collision error instead of
         # silently dropping one batch from the ledger
+        # above_pointer_fn (matview discipline): a colliding manifest
+        # at/below the committed pointer is COMMITTED, never an
+        # age-based orphan — raise the collision instead of reclaiming.
         wrote = {"segments": segments, "batches": batches}
-        _write_json_durable(self._manifest_path(v), wrote, exclusive=True)
+        _write_json_durable(
+            self._manifest_path(v), wrote, exclusive=True,
+            above_pointer_fn=lambda: self.current_version() < v,
+        )
         ptmp = os.path.join(self.path, _POINTER + ".tmp")
         with open(ptmp, "w") as f:
             f.write(str(v))
@@ -185,11 +191,24 @@ class IVFIndexView:
         return v
 
     def _next_seg_id(self) -> int:
+        from machinelearningalgomapreduce_spark.operators.matview import _seg_id_of
+
         mx = 0
         for name in os.listdir(self.path):
-            if name.startswith("seg-") and name[4:].isdigit():
-                mx = max(mx, int(name[4:]))
+            sid = _seg_id_of(name)
+            if sid is not None:
+                mx = max(mx, sid)
         return mx + 1
+
+    def _new_seg_name(self) -> str:
+        # writer-unique (matview discipline): racing OS processes can
+        # both read the same max id; the pid+token suffix keeps their
+        # mode("error") parquet writes from colliding on one directory
+        from machinelearningalgomapreduce_spark.operators.matview import (
+            _new_seg_name,
+        )
+
+        return _new_seg_name(self._next_seg_id())
 
     # ---- quantizer -------------------------------------------------------
     def _centroids_df(self, spark: SparkSession) -> DataFrame:
@@ -254,7 +273,7 @@ class IVFIndexView:
                     shutil.rmtree(seg_dir, ignore_errors=True)
                 return False
             if name is None:  # the delta is written once; retries re-ledger it
-                name = f"seg-{self._next_seg_id():08d}"
+                name = self._new_seg_name()
                 seg_dir = os.path.join(self.path, name)
                 # deterministic within-batch dedup: a vec_id sent twice in
                 # ONE delta keeps the array-max embedding (arrays compare
@@ -313,7 +332,7 @@ class IVFIndexView:
         segs = self.segments(v0)
         if len(segs) < 2:
             return 0
-        name = f"seg-{self._next_seg_id():08d}"
+        name = self._new_seg_name()
         resolved = (
             self._union_segments(spark, segs, with_order=True)
             .groupBy("vec_id")

@@ -167,7 +167,7 @@ class IVFPQIndexView(IVFIndexView):
                     shutil.rmtree(seg_dir, ignore_errors=True)
                 return False
             if name is None:  # encode + write once; retries re-ledger it
-                name = f"seg-{self._next_seg_id():08d}"
+                name = self._new_seg_name()
                 seg_dir = os.path.join(self.path, name)
                 # deterministic within-batch dedup (parent discipline):
                 # keep the array-max embedding per vec_id before encoding
@@ -226,7 +226,7 @@ class IVFPQIndexView(IVFIndexView):
         segs = self.segments(v0)
         if len(segs) < 2:
             return 0
-        name = f"seg-{self._next_seg_id():08d}"
+        name = self._new_seg_name()
         resolved = (
             self._union_segments(spark, segs, with_order=True)
             .groupBy("vec_id")

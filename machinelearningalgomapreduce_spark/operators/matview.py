@@ -138,7 +138,9 @@ def _link_or_excl_create(tmp: str, path: str) -> None:
             raise
 
 
-def _write_json_durable(path: str, obj, exclusive: bool = False) -> None:
+def _write_json_durable(
+    path: str, obj, exclusive: bool = False, above_pointer_fn=None
+) -> None:
     """Write JSON with flush+fsync before the atomic rename: the pointer
     flip is only a commit if what it points AT is durable first — on
     delayed-allocation filesystems an unsynced manifest/ledger can be
@@ -164,7 +166,22 @@ def _write_json_durable(path: str, obj, exclusive: bool = False) -> None:
     ``MANIFEST_ORPHAN_SECONDS`` is such an orphan (a live concurrent
     writer flips its pointer within milliseconds of linking) and is
     renamed aside (atomic — one reclaimer wins) before one retry; a
-    FRESH collision is a real concurrent writer and raises."""
+    FRESH collision is a real concurrent writer and raises.
+
+    ``above_pointer_fn`` (r12 ADVICE, medium): age alone cannot prove
+    orphanhood — a competitor whose manifest has been COMMITTED (pointer
+    at or past it) for >300s while THIS writer spent those minutes
+    inside its own read-to-commit window (a realistic segment-write
+    duration at scale) is not an orphan, and reclaiming it would drop an
+    already-acknowledged batch from the ledger and, if later versions
+    exist, flip the pointer backwards. Callers pass a zero-arg callable
+    that re-reads the committed pointer AT RECLAIM TIME and returns True
+    only while the colliding version is strictly ABOVE it; when it
+    returns False the collision is with committed state and raises so
+    the rebase-retry path can serialize behind it. The residual race
+    (competitor's flip lands between this check and the rename-aside) is
+    caught by the competitor's own post-commit verification, which runs
+    after its flip and before it acknowledges the batch."""
     tmp = f"{path}.{os.getpid()}.tmp" if exclusive else path + ".tmp"
     with open(tmp, "w") as f:
         json.dump(obj, f)
@@ -199,7 +216,11 @@ def _write_json_durable(path: str, obj, exclusive: bool = False) -> None:
             stale = False  # vanished — retry the link
             if attempt == 0:
                 continue
-        if attempt == 0 and stale:
+        if (
+            attempt == 0
+            and stale
+            and (above_pointer_fn is None or above_pointer_fn())
+        ):
             try:
                 aside = f"{path}.orphan.{os.getpid()}"
                 os.rename(path, aside)
@@ -217,6 +238,29 @@ def _write_json_durable(path: str, obj, exclusive: bool = False) -> None:
             "never flipped), it self-expires after "
             f"{MANIFEST_ORPHAN_SECONDS}s, or run vacuum()."
         ) from None
+
+
+def _new_seg_name(next_id: int) -> str:
+    """Writer-unique segment directory name. The numeric prefix is a
+    readability/ordering hint only — uniqueness comes from the
+    pid+random suffix, because two OS processes racing refresh() on one
+    view directory can both read the same max segment id from the
+    directory scan, and a shared name would make the second writer's
+    mode("error") parquet write explode on the first writer's directory
+    (found by the two-process race test; the manifest, not the name,
+    defines recency order)."""
+    import secrets
+
+    return f"seg-{next_id:08d}-{os.getpid()}-{secrets.token_hex(4)}"
+
+
+def _seg_id_of(name: str) -> int | None:
+    """Leading numeric id of a segment dir name (old plain ``seg-N`` and
+    new suffixed ``seg-N-pid-token`` forms), or None for non-segments."""
+    if not name.startswith("seg-"):
+        return None
+    head = name[4:].split("-", 1)[0]
+    return int(head) if head.isdigit() else None
 
 
 def _snapshot_is_small(path: str, cap_bytes: int | None = None) -> bool:
@@ -1153,12 +1197,13 @@ class SegmentedAggView:
     def _next_seg_id(self) -> int:
         mx = 0
         for name in os.listdir(self.path):
-            if name.startswith("seg-") and name[4:].isdigit():
-                mx = max(mx, int(name[4:]))
+            sid = _seg_id_of(name)
+            if sid is not None:
+                mx = max(mx, sid)
         return mx + 1
 
     def _write_segment(self, df: DataFrame) -> str:
-        name = f"seg-{self._next_seg_id():08d}"
+        name = _new_seg_name(self._next_seg_id())
         df.repartition(self.n_buckets, *self.keys).write.mode("error").parquet(
             os.path.join(self.path, name, "data.parquet")
         )
@@ -1175,9 +1220,15 @@ class SegmentedAggView:
         v = base_v + 1
         # exclusive: a concurrent writer that already committed this
         # version raises here instead of silently dropping one batch
-        # from the ledger via a last-pointer-flip-wins overwrite
+        # from the ledger via a last-pointer-flip-wins overwrite.
+        # above_pointer_fn: a colliding manifest at/below the committed
+        # pointer is COMMITTED state, never an age-based orphan — raise
+        # the collision so the rebase-retry serializes behind it.
         wrote = {"segments": segments, "batches": batches}
-        _write_json_durable(self._manifest_path(v), wrote, exclusive=True)
+        _write_json_durable(
+            self._manifest_path(v), wrote, exclusive=True,
+            above_pointer_fn=lambda: self.current_version() < v,
+        )
         ptmp = os.path.join(self.path, _POINTER + ".tmp")
         with open(ptmp, "w") as f:
             f.write(str(v))

