@@ -25,6 +25,8 @@ near-dup clusters sit at Jaccard ≥ 0.7 with a clean gap below (measured
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
@@ -54,6 +56,11 @@ SIMHASH_BITS = 32
 # the named BRUTE_MAX_SF tier (sf0.5 ≈ 10k embeddings by the fixture
 # growth curve), so the two gates agree on where brute stops being OK.
 EMBED_BRUTE_MAX_ROWS = 10_000
+# Memoized row-count-probe verdicts for unnamed directories, keyed like
+# load_tables' Catalog cache — the probe is one bounded count job, but
+# q_dedup_embedding can be invoked many times per session (bench loops)
+# and the verdict for a fixed directory cannot change mid-application.
+_EMBED_PROBE_CACHE: dict = {}
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -516,23 +523,52 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded ROW-COUNT probe (limit(EMBED_BRUTE_MAX_ROWS+1).count() — one
     cheap early-stopping scan) instead of assumed-big-by-name, so a
     small corpus in a renamed directory still gets the exact form while
-    a genuinely big one still refuses brute."""
+    a genuinely big one still refuses brute. The probe verdict is
+    memoized per (application, dir) — load_tables already memoizes the
+    Catalog, so repeat invocations pay neither the load nor the count
+    job (r12 ADVICE) — and routing an UNNAMED directory to the
+    approximate path emits a warning: the caller asked for the exact
+    query and is getting blocked-candidate semantics (recall 1.0 on the
+    fixtures, but approximate by construction), which must be
+    observable, not silent (r12 ADVICE)."""
     from machinelearningalgomapreduce_spark.functions.joins import sf_of
     from machinelearningalgomapreduce_spark.operators.similarity import BRUTE_MAX_SF
 
+    t = load_tables(spark, sf_dir)
     sf = sf_of(sf_dir)
     if sf > BRUTE_MAX_SF:
-        if sf != float("inf") or (
-            load_tables(spark, sf_dir)
-            .embeddings.limit(EMBED_BRUTE_MAX_ROWS + 1)
-            .count()
-            > EMBED_BRUTE_MAX_ROWS
-        ):
+        route_blocked = True
+        if sf == float("inf"):
+            # the bound is part of the key: the verdict is only valid
+            # for the bound it was probed against
+            key = (
+                spark.sparkContext.applicationId,
+                os.path.abspath(sf_dir),
+                EMBED_BRUTE_MAX_ROWS,
+            )
+            route_blocked = _EMBED_PROBE_CACHE.get(key)
+            if route_blocked is None:
+                route_blocked = (
+                    t.embeddings.limit(EMBED_BRUTE_MAX_ROWS + 1).count()
+                    > EMBED_BRUTE_MAX_ROWS
+                )
+                _EMBED_PROBE_CACHE[key] = route_blocked
+            if route_blocked:
+                import warnings
+
+                warnings.warn(
+                    f"q_dedup_embedding: {sf_dir} holds more than "
+                    f"{EMBED_BRUTE_MAX_ROWS} embeddings — routing to the "
+                    "approximate blocked path (embedding_dedup_blocked); "
+                    "results are candidate-verified near-dup pairs, not "
+                    "the exhaustive O(n²) enumeration",
+                    stacklevel=2,
+                )
+        if route_blocked:
             # learned-cell multi-probe blocking (recall 1.0 vs brute on
             # the fixtures), not the label-cell variant — a big unlabeled
             # corpus has no label column to seed cells from anyway
             return embedding_dedup_blocked(spark, sf_dir)
-    t = load_tables(spark, sf_dir)
     # Per-vector norms precomputed; each candidate pair pays only the dot.
     e = t.embeddings.select("vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm"))
     a, b = e.alias("a"), e.alias("b")
@@ -1068,8 +1104,27 @@ def embedding_dedup_blocked_frame(
     strictly a budget-audit knob now (the containment tests bound the
     blocked join's volume with it); it deliberately does NOT expand,
     because expanding unverified candidates multiplies by the duplicate
-    mass squared."""
+    mass squared. Because this meaning CHANGED in r12 (it used to return
+    doc-level candidates, and the old verify=False-then-filter pattern
+    now silently loses every exact-duplicate pair), the call emits a
+    loud UserWarning naming the break and the threshold= lane — the
+    regression mode is silent missed duplicates, so the knob cannot stay
+    quiet (r12 ADVICE)."""
     from machinelearningalgomapreduce_spark.operators.ml import kmeans_fit_frame
+
+    if not verify:
+        import warnings
+
+        warnings.warn(
+            "embedding_dedup_blocked_frame(verify=False) returns "
+            "REP-LEVEL candidates (identical embeddings collapse to one "
+            "representative since r12): filtering them by cosine does "
+            "NOT reproduce verify=True — exact-duplicate pairs are "
+            "absent. Pass threshold= for a caller-supplied cutoff with "
+            "exact member expansion; verify=False is a blocking-budget "
+            "audit knob only.",
+            stacklevel=2,
+        )
 
     # Evaluation-count note (r11 review): the frame is read by the count
     # below, the k-means fit (which PERSISTS its input internally for

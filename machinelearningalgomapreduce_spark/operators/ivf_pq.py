@@ -319,7 +319,11 @@ class IVFPQIndexView(IVFIndexView):
         ``rerank_mult·k`` survivors against ``full_vectors``
         (vec_id, embedding) — the corpus the index was built from (or
         any superset; survivors missing from it are dropped, which
-        surfaces a stale corpus loudly as shrunken result sets).
+        surfaces a stale corpus loudly as shrunken result sets). A
+        CALLABLE full_vectors receives the distinct candidate vec_ids
+        and returns such a frame covering them — the pruned-corpus form
+        for callers whose full-vector store is too big to aggregate
+        eagerly per call.
         Output: (query_id, neighbor_id, cell, cos_sim, rank) — the
         parent's q_sim_ann contract. ``full_vectors`` and
         ``rerank_mult`` are KEYWORD-ONLY and the shared positional
@@ -394,6 +398,22 @@ class IVFPQIndexView(IVFIndexView):
         # fetched by id equi-join; same rounded try_divide cosine and
         # ordering as the parent, so the final order is exact over the
         # candidate set.
+        #
+        # full_vectors may be a CALLABLE (r12 ADVICE): the caller cannot
+        # prune its corpus to the re-rank's needs without knowing the
+        # ADC survivors, which only exist here — so a callable receives
+        # the distinct candidate vec_ids (batch-bounded: ≤ rerank_mult·k
+        # per query) and returns a frame covering exactly them. The
+        # streaming sink uses this to semi-join its admission log BEFORE
+        # the newest-wins aggregate, turning an O(total corpus) shuffle
+        # per micro-batch into O(candidates). survivors is checkpointed
+        # first so deriving the id set does not re-run the probe.
+        if callable(full_vectors):
+            survivors = survivors.localCheckpoint()
+            cand_ids = survivors.select(
+                F.col("neighbor_id").alias("vec_id")
+            ).distinct()
+            full_vectors = full_vectors(cand_ids)
         fv = full_vectors.select(
             F.col("vec_id").alias("neighbor_id"),
             F.col("embedding").alias("nv"),

@@ -512,14 +512,66 @@ def _semantic_ingest_batch(
                     .alias("cur"),
                     F.col("batch").alias("b"),
                 )
-                fv = (
-                    spark.read.parquet(out_dir)
-                    .filter(F.col("batch") != f"{run_digest}-{batch_id:010d}")
-                    .select("vec_id", "embedding", pref.alias("o"))
-                    .groupBy("vec_id")
-                    .agg(F.max_by("embedding", "o").alias("embedding"))
-                )
-                matches = index.query(spark, qframe, k=1, full_vectors=fv)
+
+                # Pruned-log re-rank corpus (r12 ADVICE): the old eager
+                # form groupBy-aggregated the ENTIRE admission log every
+                # micro-batch — O(total corpus) shuffle per batch at the
+                # 100 TB target. As a callable it receives exactly the
+                # ADC candidates the re-rank touches and semi-joins the
+                # log on them BEFORE the newest-wins aggregate (the
+                # candidate set is batch-bounded, so it broadcasts).
+                # Coverage is cross-checked loudly: a candidate the
+                # INDEX surfaced but the LOG cannot re-rank means log
+                # epochs were deleted out from under the index — the
+                # silent failure mode is near-dups getting ADMITTED, so
+                # refuse instead (the full_vectors= escape hatch covers
+                # externally-populated indexes).
+                def fv_for(cand_ids):
+                    cand_ids = cand_ids.localCheckpoint()
+
+                    def refuse(n_missing):
+                        raise ValueError(
+                            "PQ-backed semantic dedup: the admission log "
+                            f"{out_dir} has no full vectors for "
+                            f"{n_missing} indexed candidate(s) — log "
+                            "epochs were deleted or the index was "
+                            "populated outside this sink; re-ranking "
+                            "without them would silently admit their "
+                            "near-duplicates. Restore the log or pass "
+                            "full_vectors= covering every indexed vec_id."
+                        )
+
+                    cur = f"batch={run_digest}-{batch_id:010d}"
+                    if not any(
+                        d.startswith("batch=") and d != cur
+                        for d in os.listdir(out_dir)
+                    ):
+                        # every prior epoch is gone — the index surfaced
+                        # candidates but the log can re-rank none of them
+                        # (an empty candidate set is fine: nothing probed)
+                        n = cand_ids.count()
+                        if n:
+                            refuse(n)
+                        return spark.createDataFrame(
+                            [], "vec_id long, embedding array<double>"
+                        )
+                    fv = (
+                        spark.read.parquet(out_dir)
+                        .filter(
+                            F.col("batch") != f"{run_digest}-{batch_id:010d}"
+                        )
+                        .join(F.broadcast(cand_ids), "vec_id", "semi")
+                        .select("vec_id", "embedding", pref.alias("o"))
+                        .groupBy("vec_id")
+                        .agg(F.max_by("embedding", "o").alias("embedding"))
+                        .localCheckpoint()
+                    )
+                    n_missing = cand_ids.join(fv, "vec_id", "left_anti").count()
+                    if n_missing:
+                        refuse(n_missing)
+                    return fv
+
+                matches = index.query(spark, qframe, k=1, full_vectors=fv_for)
             else:
                 matches = index.query(spark, qframe, k=1)
             hits = matches.filter(F.col("cos_sim") >= threshold).select(

@@ -483,6 +483,8 @@ def test_dedup_embedding_unknown_dir_gated_on_rows_not_name(spark, tmp_path, mon
     run), a corpus over EMBED_BRUTE_MAX_ROWS still refuses brute."""
     import os
 
+    import pytest
+
     from machinelearningalgomapreduce_spark.operators import dedup
     from machinelearningalgomapreduce_spark.plans import inspect as P
     from tests.conftest import SMOKE_SF_DIR
@@ -498,7 +500,10 @@ def test_dedup_embedding_unknown_dir_gated_on_rows_not_name(spark, tmp_path, mon
     assert {tuple(r) for r in routed.collect()} == want
 
     monkeypatch.setattr(dedup, "EMBED_BRUTE_MAX_ROWS", 100)  # corpus now "big"
-    blocked = dedup.q_dedup_embedding(spark, str(renamed))
+    # the routing flip to approximate semantics must be OBSERVABLE, not
+    # silent (r12 ADVICE): the caller asked for the exact query
+    with pytest.warns(UserWarning, match="approximate blocked path"):
+        blocked = dedup.q_dedup_embedding(spark, str(renamed))
     assert "cell" in P.formatted_plan(blocked)
 
 

@@ -299,3 +299,41 @@ def test_pq_query_scan_is_partition_pruned(spark, tmp_path):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "cell" in plan.split("PartitionFilters", 1)[1][:200]
+
+
+def test_pq_query_callable_full_vectors_matches_eager(spark, tmp_path):
+    """r12 ADVICE: a CALLABLE full_vectors receives the distinct ADC
+    candidate vec_ids and returns a frame covering them — results must
+    be identical to the eager-DataFrame form, and the callable must see
+    only a batch-bounded id set (≤ rerank_mult·k per query), which is
+    what lets the streaming sink prune its admission-log read."""
+    centers, rows = _clustered()
+    cents, cbs = _quantizers(centers, rows)
+    emb = _emb(spark, rows)
+    pq = IVFPQIndexView(str(tmp_path / "pqc"), cents, cbs, dim=DIM, n_probe=2)
+    pq.refresh(spark, emb, batch_id="b0")
+    queries = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in pq.query(
+            spark, queries, k=3, full_vectors=emb, rerank_mult=3
+        ).collect()
+    }
+    seen = {}
+
+    def fv_for(cand_ids):
+        ids = {r.vec_id for r in cand_ids.collect()}
+        seen["n"] = len(ids)
+        return emb.join(cand_ids, "vec_id", "semi")
+
+    got = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in pq.query(
+            spark, queries, k=3, full_vectors=fv_for, rerank_mult=3
+        ).collect()
+    }
+    assert got == want and got
+    n_queries = queries.count()
+    assert 0 < seen["n"] <= 3 * 3 * n_queries  # rerank_mult·k per query

@@ -1501,3 +1501,49 @@ def test_pq_sink_refuses_uncovered_index(spark, sf_dir, tmp_path):
     idx.compact(spark)
     state = idx.read(spark).collect()
     assert len(state) == len({r.vec_id for r in state})
+
+
+def test_pq_sink_refuses_on_deleted_log_epoch(spark, sf_dir, tmp_path):
+    """r12 ADVICE: the pruned-log re-rank must fail LOUDLY when admission
+    log epochs were deleted out from under the index — the silent
+    failure mode is near-duplicates of the uncovered vectors getting
+    admitted. First run builds index+log; we delete the log epoch and
+    re-deliver: candidates the index surfaces now have no full vectors
+    in the log, and the batch must raise instead of under-covering."""
+    import os
+    import shutil
+
+    import pytest
+
+    from machinelearningalgomapreduce_spark.operators.ivf_pq import IVFPQIndexView
+    from machinelearningalgomapreduce_spark.operators.ml import label_centroids
+    from machinelearningalgomapreduce_spark.operators.similarity import pq_fit
+    from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
+    from machinelearningalgomapreduce_spark.streaming.sinks import (
+        semantic_dedup_ingest_stream,
+    )
+
+    t = load_tables(spark, sf_dir)
+    cents = [
+        (r.label, list(r.centroid)) for r in label_centroids(t.embeddings).collect()
+    ]
+    books, _err = pq_fit(spark, sf_dir, k=8, n_iter=2)
+    cbs = [(r.sub, r.code, list(r.centroid)) for r in books.collect()]
+    idx = IVFPQIndexView(
+        str(tmp_path / "gap_pq"), cents, cbs, dim=EMBEDDING_DIM, n_probe=2
+    )
+    out = str(tmp_path / "gap_out")
+    q = semantic_dedup_ingest_stream(
+        spark, sf_dir, idx, out, str(tmp_path / "gap_ck1")
+    )
+    q.awaitTermination(120)
+    epochs = [d for d in os.listdir(out) if d.startswith("batch=")]
+    assert epochs  # the first run admitted something
+    for d in epochs:
+        shutil.rmtree(os.path.join(out, d))
+
+    q2 = semantic_dedup_ingest_stream(
+        spark, sf_dir, idx, out, str(tmp_path / "gap_ck2")
+    )
+    with pytest.raises(Exception, match="no full vectors for"):
+        q2.awaitTermination(120)
