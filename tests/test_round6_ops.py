@@ -1547,3 +1547,135 @@ def test_pq_sink_refuses_on_deleted_log_epoch(spark, sf_dir, tmp_path):
     )
     with pytest.raises(Exception, match="no full vectors for"):
         q2.awaitTermination(120)
+
+
+def test_hash_sink_crash_between_output_and_index_replays_identically(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r12 item 5 (kill-point, hash sink): crash INSIDE the
+    two-write window — after the epoch output lands, before the index
+    append — then restart on the same checkpoint. The replayed epoch
+    must converge bit-identically to a clean one-shot run: no document
+    admitted twice, no document lost, one index row per content hash."""
+    import os
+
+    import pyspark.sql.readwriter as RW
+    import pytest
+
+    from machinelearningalgomapreduce_spark.streaming.sinks import (
+        dedup_ingest_stream,
+    )
+
+    idx_dir = str(tmp_path / "cidx")
+    out = str(tmp_path / "cout")
+    fired = {"done": False}
+    orig = RW.DataFrameWriter.parquet
+
+    def boom(self, path, *a, **kw):
+        if path == idx_dir and not fired["done"]:
+            fired["done"] = True
+            raise RuntimeError("injected crash before index append")
+        return orig(self, path, *a, **kw)
+
+    monkeypatch.setattr(RW.DataFrameWriter, "parquet", boom)
+    q = dedup_ingest_stream(spark, sf_dir, idx_dir, out, str(tmp_path / "cck"))
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    monkeypatch.undo()
+    assert fired["done"]  # the kill-point actually fired
+    # the crash window state: output epoch dir written, index absent
+    assert any(d.startswith("epoch=") for d in os.listdir(out))
+    assert not os.path.exists(idx_dir)
+
+    # restart on the SAME checkpoint: Structured Streaming replays epoch 0
+    q2 = dedup_ingest_stream(spark, sf_dir, idx_dir, out, str(tmp_path / "cck"))
+    q2.awaitTermination(120)
+
+    # clean one-shot twin for the bit-identical comparison
+    q3 = dedup_ingest_stream(
+        spark, sf_dir, str(tmp_path / "tidx"), str(tmp_path / "tout"),
+        str(tmp_path / "tck"),
+    )
+    q3.awaitTermination(120)
+
+    got = spark.read.parquet(out).select("doc_id", "text").collect()
+    want = spark.read.parquet(str(tmp_path / "tout")).select(
+        "doc_id", "text"
+    ).collect()
+    assert {tuple(r) for r in got} == {tuple(r) for r in want}
+    assert len(got) == len({r.doc_id for r in got})  # no dup admission
+    idx = spark.read.parquet(idx_dir).select("content_hash", "doc_id").collect()
+    tidx = spark.read.parquet(str(tmp_path / "tidx")).select(
+        "content_hash", "doc_id"
+    ).collect()
+    assert {tuple(r) for r in idx} == {tuple(r) for r in tidx}
+    assert len(idx) == len({r.content_hash for r in idx})  # one row per hash
+
+
+def test_semantic_sink_crash_between_output_and_refresh_replays_identically(
+    spark, sf_dir, tmp_path, monkeypatch
+):
+    """VERDICT r12 item 5 (kill-point, semantic sink): crash between the
+    epoch output write and the index refresh commit, restart on the same
+    checkpoint, and assert the replay converges to a clean run's state —
+    same admitted vec_ids in the log, same index membership, the epoch
+    committed exactly once to the ledger."""
+    import os
+
+    import pytest
+
+    from machinelearningalgomapreduce_spark.operators.ivf_index import IVFIndexView
+    from machinelearningalgomapreduce_spark.operators.ml import label_centroids
+    from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
+    from machinelearningalgomapreduce_spark.streaming.sinks import (
+        semantic_dedup_ingest_stream,
+    )
+
+    t = load_tables(spark, sf_dir)
+    cents = [
+        (r.label, list(r.centroid)) for r in label_centroids(t.embeddings).collect()
+    ]
+    idx = IVFIndexView(str(tmp_path / "sidx"), cents, dim=EMBEDDING_DIM, n_probe=2)
+    out = str(tmp_path / "sout")
+    orig_refresh = idx.refresh
+    fired = {"done": False}
+
+    def boom(*a, **kw):
+        fired["done"] = True
+        raise RuntimeError("injected crash before index refresh")
+
+    monkeypatch.setattr(idx, "refresh", boom)
+    q = semantic_dedup_ingest_stream(
+        spark, sf_dir, idx, out, str(tmp_path / "sck")
+    )
+    with pytest.raises(Exception, match="injected crash"):
+        q.awaitTermination(120)
+    monkeypatch.undo()
+    assert fired["done"]
+    # crash window: the epoch output landed, the index never committed
+    assert any(d.startswith("batch=") for d in os.listdir(out))
+    assert idx.current_version() == 0
+
+    q2 = semantic_dedup_ingest_stream(
+        spark, sf_dir, idx, out, str(tmp_path / "sck")
+    )
+    q2.awaitTermination(120)
+
+    idx2 = IVFIndexView(str(tmp_path / "tidx"), cents, dim=EMBEDDING_DIM, n_probe=2)
+    q3 = semantic_dedup_ingest_stream(
+        spark, sf_dir, idx2, str(tmp_path / "tout"), str(tmp_path / "tck")
+    )
+    q3.awaitTermination(120)
+
+    got = spark.read.parquet(out).select("vec_id", "embedding").collect()
+    want = spark.read.parquet(str(tmp_path / "tout")).select(
+        "vec_id", "embedding"
+    ).collect()
+    assert {(r.vec_id, tuple(r.embedding)) for r in got} == {
+        (r.vec_id, tuple(r.embedding)) for r in want
+    }
+    assert len(got) == len({r.vec_id for r in got})  # no dup admission
+    assert {r.vec_id for r in idx.read(spark).collect()} == {
+        r.vec_id for r in idx2.read(spark).collect()
+    }
+    assert len(idx.applied_batches()) == 1  # the epoch committed ONCE
