@@ -1,0 +1,162 @@
+"""ANN-twin wall-clock record for q_knn (VERDICT r12 item 3).
+
+The headline carries brute q_knn — deliberately, because the oracle needs
+an exact SQL-expressible form — but a user sizing 100 TB runs the ANN
+twin (operators/ml.py::knn_ann — IVF cell-pruned candidates, identical
+vote plan and output schema). This tool records the number that user
+needs: at each tier, the twin's wall-time in BOTH shapes (cold-start =
+quantizer training included; serving = pre-trained centroids, the
+persisted-IVFIndexView amortized shape), its speedup vs brute q_knn on
+the same tier in the same process, recall@KNN_K vs the brute truth, and
+the prediction agreement rate.
+
+Methodology matches tools/scale_probe.time_query: noop-write warm-up,
+best-of-N timing, one SparkSession per tier. Output: one JSON line per
+tier on stdout plus a markdown table on stderr for BENCH_NOTES.
+
+Usage: python tools/ann_twin_bench.py [tier_dir ...]
+       (default tiers: /root/testdata/sf0.1 and /tmp/sf1.0 — the 10×
+        tier is built via tools/scale_bench_10x.ensure_tier if absent)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+
+def _timed(df_fn, runs: int = 3) -> float:
+    df_fn().write.format("noop").mode("overwrite").save()  # warm
+    best = float("inf")
+    for _ in range(runs):
+        t0 = time.perf_counter()
+        df_fn().write.format("noop").mode("overwrite").save()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def run_tier(tier: str) -> dict:
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.operators.ml import (
+        KNN_K,
+        KNN_QUERY_STRIDE,
+        kmeans_fit,
+        knn_ann,
+        q_knn,
+    )
+    from machinelearningalgomapreduce_spark.operators.similarity import (
+        ann_recall_frame,
+        learned_ivf_ann,
+    )
+    from machinelearningalgomapreduce_spark.session import (
+        ensure_query_conf,
+        get_spark,
+    )
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    from machinelearningalgomapreduce_spark.operators.dedup import (
+        EMBED_DEDUP_CELL_TARGET,
+        auto_n_probe,
+    )
+
+    spark = get_spark(
+        app_name=f"ann-twin-{os.path.basename(tier)}",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=int(os.environ.get("SPARK_BENCH_PARTITIONS", "16")),
+    )
+    ensure_query_conf(spark)
+    n_vectors = load_tables(spark, tier).embeddings.count()
+    k_cells = max(10, -(-n_vectors // EMBED_DEDUP_CELL_TARGET))  # knn_ann's auto
+    probes = sorted({auto_n_probe(k_cells), 6})
+
+    brute_s = _timed(lambda: q_knn(spark, tier))
+    brute_pred = {r.query_id: r.pred_label for r in q_knn(spark, tier).collect()}
+
+    # serving shape: quantizer trained ONCE (what a persisted IVF index
+    # pins at construction); the timed part is candidate scoring + vote
+    model, _cost = kmeans_fit(spark, tier, k=k_cells, seed=42)
+    cents = spark.createDataFrame(
+        [
+            (int(i), [round(float(x), 6) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "label bigint, centroid array<double>",
+    )
+
+    rows = []
+    for np_ in probes:
+        cold_s = _timed(lambda: knn_ann(spark, tier, k_cells, np_))
+        serve_s = _timed(
+            lambda: knn_ann(spark, tier, k_cells, np_, centroids=cents)
+        )
+        nn = learned_ivf_ann(
+            spark, tier, k=k_cells, n_probe=np_,
+            stride=KNN_QUERY_STRIDE, topk=KNN_K,
+        )
+        rec = ann_recall_frame(
+            spark, tier, nn, stride=KNN_QUERY_STRIDE, k=KNN_K
+        ).agg(F.avg("recall")).first()[0]
+        twin_rows = knn_ann(spark, tier, k_cells, np_).collect()
+        agree = sum(
+            1 for r in twin_rows if brute_pred.get(r.query_id) == r.pred_label
+        )
+        rows.append({
+            "tier": tier,
+            "n_vectors": n_vectors,
+            "n_queries": len(brute_pred),
+            "k": KNN_K,
+            "k_cells": k_cells,
+            "n_probe": np_,
+            "auto": np_ == probes[0],
+            "brute_s": round(brute_s, 3),
+            "ann_cold_s": round(cold_s, 3),
+            "ann_serving_s": round(serve_s, 3),
+            "speedup_cold": round(brute_s / cold_s, 2),
+            "speedup_serving": round(brute_s / serve_s, 2),
+            "recall_at_k": round(float(rec), 4),
+            "agreement": f"{agree}/{len(twin_rows)}",
+        })
+
+    spark.stop()
+    return rows
+
+
+def main() -> None:
+    tiers = sys.argv[1:] or ["/root/testdata/sf0.1", "/tmp/sf1.0"]
+    if "/tmp/sf1.0" in tiers and not os.path.exists("/tmp/sf1.0/_BUILT.json"):
+        from tools.scale_bench_10x import ensure_tier
+
+        ensure_tier(10, "/tmp/sf1.0")
+    results = [row for t in tiers for row in run_tier(t)]
+    for r in results:
+        print(json.dumps(r))
+    print(
+        "\n| tier | vectors | cells | probe | brute q_knn (s) | "
+        "ann cold (s) | ann serving (s) | speedup (serving) | recall@10 "
+        "| agreement |",
+        file=sys.stderr,
+    )
+    print(
+        "| --- | --- | --- | --- | --- | --- | --- | --- | --- | --- |",
+        file=sys.stderr,
+    )
+    for r in results:
+        probe = f"{r['n_probe']}{' (auto)' if r['auto'] else ''}"
+        print(
+            f"| {os.path.basename(r['tier'])} | {r['n_vectors']} | "
+            f"{r['k_cells']} | {probe} | {r['brute_s']} | "
+            f"{r['ann_cold_s']} | {r['ann_serving_s']} | "
+            f"**{r['speedup_serving']}×** | {r['recall_at_k']} | "
+            f"{r['agreement']} |",
+            file=sys.stderr,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Build an embeddings-heavy tier for the ANN crossover record.
+
+The 10× tier (10 key-offset copies of everything) caps embeddings at
+20k vectors — too small for brute q_knn's n²/50 cost to dominate its
+fixed overhead, so the ANN twin's win is invisible there (see
+BENCH_NOTES round-13). This builds a tier with N_COPIES of the sf0.1
+EMBEDDINGS (vec_ids offset; vectors PERTURBED per copy so they stay
+distinct and the geometry keeps near-dup structure instead of exact
+degeneracy) while symlinking every other table from sf0.1 — q_knn and
+knn_ann only read embeddings, so the rest of the catalog just needs to
+exist.
+
+Usage: python tools/build_emb_tier.py [n_copies] [out_dir]
+       (defaults: 50 copies → /tmp/emb50x, ~100k distinct vectors)
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+OFF = 10_000_000
+
+
+def main() -> None:
+    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 50
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/emb50x"
+
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.session import (
+        ensure_query_conf,
+        get_spark,
+    )
+    from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
+
+    if os.path.exists(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir)
+    for name in os.listdir(SRC):
+        if name != "embeddings.parquet":
+            os.symlink(os.path.join(SRC, name), os.path.join(out_dir, name))
+
+    spark = get_spark(app_name="emb-tier-build")
+    ensure_query_conf(spark)
+    base = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
+    copies = []
+    for i in range(n_copies):
+        # deterministic per-(copy, vec, dim) perturbation, small enough
+        # to keep cluster structure, large enough that no two copies of
+        # a vector are exact duplicates (so the rep-collapse and the
+        # quantizer both see the full tier)
+        jitter = [
+            F.round(
+                F.element_at("embedding", d + 1)
+                + (
+                    F.pmod(
+                        F.xxhash64(F.lit(i * 1_000_003 + d), F.col("vec_id")),
+                        F.lit(2000),
+                    )
+                    / 1000.0
+                    - 1.0
+                )
+                * 0.01,
+                6,
+            )
+            for d in range(EMBEDDING_DIM)
+        ]
+        copies.append(
+            base.select(
+                (F.col("vec_id") + F.lit(i * OFF)).alias("vec_id"),
+                F.array(*jitter).alias("embedding"),
+                "label",
+            )
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(
+        os.path.join(out_dir, "embeddings.parquet")
+    )
+    print(f"built {out_dir}: {n_copies} perturbed embedding copies")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
