@@ -156,6 +156,83 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def knn_ann(
+    spark: SparkSession,
+    sf_dir: str,
+    k_cells: int | None = None,
+    n_probe: int | None = None,
+    seed: int = 42,
+    centroids: DataFrame | None = None,
+) -> DataFrame:
+    """q_knn's ANN twin (VERDICT r12 item 3): the SAME task — majority
+    label among the KNN_K nearest neighbors for every KNN_QUERY_STRIDE-th
+    vector, same output schema and vote tie-breaks — answered by the IVF
+    cell-pruned search instead of the brute queries×corpus join. This is
+    the 100 TB serving form of q_knn: candidate scoring touches
+    ~n_probe/k_cells of the corpus via the cell equi-join, not all of it;
+    recall@KNN_K vs the brute truth is measured by ann_recall_frame with
+    stride=KNN_QUERY_STRIDE, k=KNN_K (the tools/ann_twin_bench.py record
+    in BENCH_NOTES carries the wall-clock and recall at each tier).
+
+    ``centroids=``: a pre-trained (label, centroid) frame — e.g. a
+    persisted IVFIndexView's pinned quantizer — the serving shape where
+    training is amortized across queries; ``None`` trains kmeans_fit
+    here (the cold-start shape, quantizer cost included).
+
+    ``k_cells=None`` auto-scales with the corpus exactly like the
+    blocked-dedup tier (cells targeted at EMBED_DEDUP_CELL_TARGET rows,
+    so candidate volume stays ~n·n_probe·512, linear in n); a FIXED cell
+    count regrows toward all-pairs as the corpus grows (measured: fixed
+    k=10 at 2000 vectors scanned 40% of the corpus per query for 0.72
+    recall). ``n_probe=None`` follows the same measured ceil(0.6·√k)
+    policy bounded at 6 (dedup.auto_n_probe)."""
+    from machinelearningalgomapreduce_spark.operators.dedup import (
+        EMBED_DEDUP_CELL_TARGET,
+        auto_n_probe,
+    )
+    from machinelearningalgomapreduce_spark.operators.similarity import (
+        ivf_ann,
+        learned_ivf_ann,
+    )
+
+    if k_cells is None:
+        n = load_tables(spark, sf_dir).embeddings.count()
+        k_cells = max(10, -(-n // EMBED_DEDUP_CELL_TARGET))
+    np_ = auto_n_probe(k_cells) if n_probe is None else n_probe
+    if centroids is None:
+        nn = learned_ivf_ann(
+            spark, sf_dir, k=k_cells, n_probe=np_, seed=seed,
+            stride=KNN_QUERY_STRIDE, topk=KNN_K,
+        )
+    else:
+        nn = ivf_ann(
+            spark, sf_dir, centroids, np_,
+            stride=KNN_QUERY_STRIDE, topk=KNN_K,
+        )
+    labels = load_tables(spark, sf_dir).embeddings.select("vec_id", "label")
+    neighbors = nn.join(
+        labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
+    ).join(
+        labels.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+        ),
+        "query_id",
+    )
+    # identical vote plan to q_knn: count per label, min-label tie-break
+    vote_w = W.partitionBy("query_id").orderBy(F.desc("n_votes"), "label")
+    return (
+        neighbors.groupBy("query_id", "query_label", "label")
+        .agg(F.count("*").alias("n_votes"))
+        .withColumn("vr", F.row_number().over(vote_w))
+        .filter(F.col("vr") == 1)
+        .select(
+            "query_id", "query_label",
+            F.col("label").alias("pred_label"), "n_votes",
+        )
+    )
+
+
 def q_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multinomial Naive Bayes model over documents (class = source):
     log-priors and Laplace-smoothed per-token log-likelihoods — the

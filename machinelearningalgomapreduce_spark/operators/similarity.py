@@ -136,11 +136,20 @@ def q_sim_ann(spark: SparkSession, sf_dir: str, n_probe: int = ANN_NPROBE) -> Da
 
 
 def ivf_ann(
-    spark: SparkSession, sf_dir: str, centroids: DataFrame, n_probe: int = ANN_NPROBE
+    spark: SparkSession,
+    sf_dir: str,
+    centroids: DataFrame,
+    n_probe: int = ANN_NPROBE,
+    *,
+    stride: int = ANN_QUERY_STRIDE,
+    topk: int = ANN_K,
 ) -> DataFrame:
     """q_sim_ann's plan over an arbitrary (label, centroid) coarse-cell
     frame: corpus vectors in their top-1 cell, queries probing their
-    n_probe nearest cells."""
+    n_probe nearest cells. ``stride``/``topk`` re-aim the same plan at a
+    different query sample and neighbor budget (keyword-only; q_knn's
+    ANN twin uses stride=KNN_QUERY_STRIDE, topk=KNN_K) — the defaults
+    keep the oracle-checked q_sim_ann shape bit-identical."""
     t = load_tables(spark, sf_dir)
     cells = assign_nearest(t.embeddings, centroids, EMBEDDING_DIM).select(
         "vec_id", "cluster"
@@ -151,7 +160,7 @@ def ivf_ann(
     cents = centroids.select(F.col("label").alias("pcell"), "centroid")
     wq = W.partitionBy("query_id").orderBy("dist2", "pcell")
     qprobe = (
-        t.embeddings.filter(F.col("vec_id") % ANN_QUERY_STRIDE == 0)
+        t.embeddings.filter(F.col("vec_id") % stride == 0)
         .select(F.col("vec_id").alias("query_id"), "embedding")
         .crossJoin(F.broadcast(cents))
         .select(
@@ -164,7 +173,7 @@ def ivf_ann(
         .select("query_id", "pcell")
     )
     q = (
-        e.filter(F.col("vec_id") % ANN_QUERY_STRIDE == 0)
+        e.filter(F.col("vec_id") % stride == 0)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
@@ -187,7 +196,7 @@ def ivf_ann(
             cos.alias("cos_sim"),
         )
         .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= ANN_K)
+        .filter(F.col("rank") <= topk)
     )
 
 
@@ -197,6 +206,9 @@ def learned_ivf_ann(
     k: int = 10,
     n_probe: int = ANN_NPROBE,
     seed: int = 42,
+    *,
+    stride: int = ANN_QUERY_STRIDE,
+    topk: int = ANN_K,
 ) -> DataFrame:
     """IVF ANN with a LEARNED coarse quantizer (VERDICT r9 item 6a): the
     cells come from a kmeans_fit model instead of the fixture labels —
@@ -214,17 +226,28 @@ def learned_ivf_ann(
         for i, c in enumerate(model.clusterCenters())
     ]
     cents = spark.createDataFrame(rows, "label bigint, centroid array<double>")
-    return ivf_ann(spark, sf_dir, cents, n_probe)
+    return ivf_ann(spark, sf_dir, cents, n_probe, stride=stride, topk=topk)
 
 
-def ann_recall_frame(spark: SparkSession, sf_dir: str, ann: DataFrame) -> DataFrame:
+def ann_recall_frame(
+    spark: SparkSession,
+    sf_dir: str,
+    ann: DataFrame,
+    *,
+    stride: int = ANN_QUERY_STRIDE,
+    k: int = ANN_K,
+) -> DataFrame:
     """Recall@k of ANY ANN result frame (query_id, neighbor_id) against the
     exact brute-force top-k (_brute_topk — the shared ground-truth set of
     the whole ranking-eval family) — q_sim_recall's harness, reusable for
     the learned-quantizer variant. Duplicate (query_id, neighbor_id) rows
     in the supplied frame (e.g. a multi-probe variant that keeps per-cell
-    rows) are deduplicated, never double-counted."""
-    brute = _brute_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    rows) are deduplicated, never double-counted. ``stride``/``k``
+    follow _brute_topk's knobs — pass the SAME values the audited ANN
+    frame was built with, or recall is against the wrong truth set."""
+    brute = _brute_topk(spark, sf_dir, stride=stride, k=k).select(
+        "query_id", "neighbor_id"
+    )
     hits = (
         ann.select("query_id", "neighbor_id")
         .distinct()
@@ -236,9 +259,9 @@ def ann_recall_frame(spark: SparkSession, sf_dir: str, ann: DataFrame) -> DataFr
         .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hits"))
         .select(
             "query_id",
-            F.lit(ANN_K).alias("k"),
+            F.lit(k).alias("k"),
             "n_hits",
-            F.round(F.col("n_hits") / float(ANN_K), 6).alias("recall"),
+            F.round(F.col("n_hits") / float(k), 6).alias("recall"),
         )
     )
 
@@ -1143,10 +1166,18 @@ def pq_fit(
         data.unpersist()
 
 
-def _brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _brute_topk(
+    spark: SparkSession,
+    sf_dir: str,
+    *,
+    stride: int = ANN_QUERY_STRIDE,
+    k: int = ANN_K,
+) -> DataFrame:
     """Exact brute-force top-k (query_id, neighbor_id, brute_rank) over the
     ANN query sample — the shared ground-truth relevance set of the
     ranking-eval family (q_sim_recall / q_ndcg / q_mrr / q_map).
+    ``stride``/``k`` re-aim it at another sample/budget (the q_knn-twin
+    recall audit uses stride=KNN_QUERY_STRIDE, k=KNN_K).
 
     Scale shape: query side is a 1/STRIDE sample and broadcast; the join
     is linear in the corpus — the continuously-affordable audit envelope
@@ -1155,7 +1186,7 @@ def _brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t.embeddings.select(
         "vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm")
     )
-    q = e.filter(F.col("vec_id") % ANN_QUERY_STRIDE == 0).select(
+    q = e.filter(F.col("vec_id") % stride == 0).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qv"),
         F.col("vnorm").alias("qnorm"),
@@ -1171,7 +1202,7 @@ def _brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e, F.col("query_id") != F.col("vec_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
         .withColumn("brute_rank", F.row_number().over(w))
-        .filter(F.col("brute_rank") <= ANN_K)
+        .filter(F.col("brute_rank") <= k)
         .select("query_id", "neighbor_id", "brute_rank")
     )
 

@@ -26,12 +26,17 @@ _SCHEMA_CACHE: dict[str, "object"] = {}
 
 
 def stream_table(spark: SparkSession, sf_dir: str, filename: str) -> DataFrame:
-    """readStream over one fixture parquet file with the cached-schema
+    """readStream over one fixture parquet table with the cached-schema
     discipline: FileStreamSource needs an explicit schema, taken from a
-    one-file batch read (cached per path — ADVICE r4). The fixture is a
-    single file and FileStreamSource requires a DIRECTORY, so the parent
-    dir is streamed filtered to just that file. Shared by stream_events
-    and sinks.stream_documents so the caching/glob idiom lives once."""
+    one-file batch read (cached per path — ADVICE r4). Two layouts
+    (r13): a real corpus table is a parquet DIRECTORY (Spark-written
+    part files) and streams directly; the driver fixture is a single
+    FILE, and since FileStreamSource requires a directory, its parent
+    dir is streamed filtered to just that file — the old glob idiom,
+    which silently matched NOTHING for the directory layout (the
+    pathGlobFilter applies to leaf file names, and part-*.parquet never
+    equals the table name). Shared by stream_events and
+    sinks.stream_documents so the caching/layout idiom lives once."""
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -40,12 +45,10 @@ def stream_table(spark: SparkSession, sf_dir: str, filename: str) -> DataFrame:
     if raw_schema is None:
         raw_schema = spark.read.parquet(path).schema
         _SCHEMA_CACHE[path] = raw_schema
-    return (
-        spark.readStream.schema(raw_schema)
-        .format("parquet")
-        .option("pathGlobFilter", filename)
-        .load(sf_dir)
-    )
+    reader = spark.readStream.schema(raw_schema).format("parquet")
+    if os.path.isdir(path):
+        return reader.load(path)
+    return reader.option("pathGlobFilter", filename).load(sf_dir)
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -639,3 +639,70 @@ def test_tws_user_recent_window_late_event_displacement(spark):
     [out2] = list(proc.handleInputRows((7,), [late], None))
     # the late event sorts below every kept row and is evicted immediately
     assert out2.iloc[0].recent_cents == 1500 and out2.iloc[0].max_cents == 500
+
+
+def test_knn_ann_twin_matches_brute_task_contract(spark, sf_dir):
+    """r13 (VERDICT r12 item 3): knn_ann is q_knn's ANN twin — same
+    output schema, one prediction per query point, same vote tie-break
+    discipline — over IVF cell-pruned candidates. At a generous probe
+    budget on the fixture it must agree with brute on a solid majority
+    of predictions and recall most true neighbors (the bench-tier
+    numbers live in BENCH_NOTES via tools/ann_twin_bench.py)."""
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.operators.ml import (
+        KNN_K,
+        KNN_QUERY_STRIDE,
+        knn_ann,
+        q_knn,
+    )
+    from machinelearningalgomapreduce_spark.operators.similarity import (
+        ann_recall_frame,
+        learned_ivf_ann,
+    )
+
+    brute = q_knn(spark, sf_dir)
+    twin = knn_ann(spark, sf_dir, n_probe=6)
+    assert twin.columns == brute.columns
+    brute_pred = {r.query_id: r.pred_label for r in brute.collect()}
+    twin_rows = twin.collect()
+    assert {r.query_id for r in twin_rows} == set(brute_pred)  # one per query
+    agree = sum(1 for r in twin_rows if brute_pred[r.query_id] == r.pred_label)
+    assert agree >= 0.6 * len(twin_rows), (agree, len(twin_rows))
+
+    rec = (
+        ann_recall_frame(
+            spark, sf_dir,
+            learned_ivf_ann(
+                spark, sf_dir, k=10, n_probe=6,
+                stride=KNN_QUERY_STRIDE, topk=KNN_K,
+            ),
+            stride=KNN_QUERY_STRIDE, k=KNN_K,
+        )
+        .agg(F.avg("recall")).first()[0]
+    )
+    assert rec >= 0.6, rec
+
+
+def test_knn_ann_serving_lane_equals_cold_lane_on_same_centroids(
+    spark, sf_dir
+):
+    """The centroids= serving lane (pre-trained quantizer — the
+    persisted-IVFIndexView shape) must produce EXACTLY the cold lane's
+    predictions when handed the same centroids the cold lane trains."""
+    from machinelearningalgomapreduce_spark.operators.ml import kmeans_fit, knn_ann
+
+    model, _cost = kmeans_fit(spark, sf_dir, k=10, seed=42)
+    cents = spark.createDataFrame(
+        [
+            (int(i), [round(float(x), 6) for x in c])
+            for i, c in enumerate(model.clusterCenters())
+        ],
+        "label bigint, centroid array<double>",
+    )
+    cold = {tuple(r) for r in knn_ann(spark, sf_dir, 10, 4, seed=42).collect()}
+    served = {
+        tuple(r)
+        for r in knn_ann(spark, sf_dir, 10, 4, centroids=cents).collect()
+    }
+    assert cold == served and cold
