@@ -55,35 +55,18 @@ _MODULES = (
 # re-greens the stalest evidence (the r2 cohort predates the r4 keyed-cache
 # / tiny_sorted plan rewrites). Update per round from CORRECTNESS_r{N}.json.
 DRIVER_GREEN_ROUND = {
-    # latest green: round 7 (40)
-    "q_acf": 7, "q_array_ops": 7, "q_attribution_linear": 7,
-    "q_audio_features": 7, "q_bollinger": 7, "q_bootstrap_ci": 7,
-    "q_cohens_kappa": 7, "q_cramers_v": 7, "q_decompose": 7, "q_dedup_edit": 7,
-    "q_dedup_snm": 7, "q_event_rate_change": 7, "q_gap_fill": 7,
-    "q_gbt_stump": 7, "q_gopher_rules": 7, "q_grubbs": 7, "q_hits_step": 7,
-    "q_jarque_bera": 7, "q_json_extract": 7, "q_kendall_tau": 7,
-    "q_kl_divergence": 7, "q_kruskal_wallis": 7, "q_levene": 7,
-    "q_max_drawdown": 7, "q_mk_trend": 7, "q_order_gap_median": 7,
-    "q_power_iter": 7, "q_prefix_dup": 7, "q_rendezvous": 7,
-    "q_rolling_p90": 7, "q_running_share": 7, "q_runs_test": 7,
-    "q_scalar_funcs": 7, "q_skyline": 7, "q_srm_check": 7,
-    "q_temperature_mix": 7, "q_theil_sen": 7, "q_type_token_ratio": 7,
-    "q_vocab_drift": 7, "q_wilson_ctr": 7,
-    # latest green: round 8 (50)
+    # latest green: round 8 (40)
     "q_active_days": 8, "q_audience_overlap": 8, "q_bloom_audit": 8,
-    "q_bloom_bits": 8, "q_brier": 8, "q_changepoint": 8, "q_churn_rate": 8,
-    "q_cm_cells": 8, "q_cm_heavy": 8, "q_cochran_q": 8, "q_cohort_ltv": 8,
-    "q_cuped": 8, "q_dau_wau": 8, "q_density_ratio": 8, "q_diff_in_diff": 8,
-    "q_dominant_suppliers": 8, "q_durbin_watson": 8, "q_edge_support": 8,
-    "q_embedding_drift": 8, "q_ewma_control": 8, "q_friedman": 8,
-    "q_hll_estimate": 8, "q_hll_registers": 8, "q_hmm_score": 8,
-    "q_holt_winters": 8, "q_important_parts": 8, "q_isotonic_bins": 8,
-    "q_kmv_distinct": 8, "q_late_shippers": 8, "q_lead_lag": 8,
-    "q_ljung_box": 8, "q_map": 8, "q_mcc": 8, "q_mcnemar": 8,
-    "q_min_cost_supplier": 8, "q_mrr": 8, "q_nelson_aalen": 8,
-    "q_page_hinkley": 8, "q_profit_by_nation": 8, "q_psi": 8,
-    "q_quantile_hist": 8, "q_rfm_segments": 8, "q_session_entropy": 8,
-    "q_shipmode_priority": 8, "q_sprt": 8, "q_substring_dup": 8,
+    "q_bloom_bits": 8, "q_brier": 8, "q_churn_rate": 8, "q_cm_cells": 8,
+    "q_cm_heavy": 8, "q_cochran_q": 8, "q_cohort_ltv": 8, "q_dau_wau": 8,
+    "q_density_ratio": 8, "q_dominant_suppliers": 8, "q_durbin_watson": 8,
+    "q_ewma_control": 8, "q_hll_estimate": 8, "q_hll_registers": 8,
+    "q_hmm_score": 8, "q_holt_winters": 8, "q_important_parts": 8,
+    "q_isotonic_bins": 8, "q_kmv_distinct": 8, "q_late_shippers": 8,
+    "q_lead_lag": 8, "q_ljung_box": 8, "q_mcc": 8, "q_mcnemar": 8,
+    "q_min_cost_supplier": 8, "q_nelson_aalen": 8, "q_page_hinkley": 8,
+    "q_profit_by_nation": 8, "q_psi": 8, "q_quantile_hist": 8,
+    "q_rfm_segments": 8, "q_session_entropy": 8, "q_shipmode_priority": 8,
     "q_supplier_cnt": 8, "q_survival_curve": 8, "q_target_encode": 8,
     "q_woe_iv": 8,
     # latest green: round 9 (50)
@@ -155,6 +138,23 @@ DRIVER_GREEN_ROUND = {
     "q_sort_limit": 12, "q_sql_exists": 12, "q_theil_index": 12,
     "q_unpivot": 12, "q_window_analytic": 12, "q_window_dist": 12,
     "q_window_rank": 12,
+    # latest green: round 13 (50)
+    "q_acf": 13, "q_array_ops": 13, "q_attribution_linear": 13,
+    "q_audio_features": 13, "q_bollinger": 13, "q_bootstrap_ci": 13,
+    "q_changepoint": 13, "q_cohens_kappa": 13, "q_cramers_v": 13,
+    "q_cuped": 13, "q_decompose": 13, "q_dedup_edit": 13, "q_dedup_snm": 13,
+    "q_diff_in_diff": 13, "q_edge_support": 13, "q_embedding_drift": 13,
+    "q_event_rate_change": 13, "q_friedman": 13, "q_gap_fill": 13,
+    "q_gbt_stump": 13, "q_gopher_rules": 13, "q_grubbs": 13, "q_hits_step": 13,
+    "q_jarque_bera": 13, "q_json_extract": 13, "q_kendall_tau": 13,
+    "q_kl_divergence": 13, "q_kruskal_wallis": 13, "q_levene": 13, "q_map": 13,
+    "q_max_drawdown": 13, "q_mk_trend": 13, "q_mrr": 13,
+    "q_order_gap_median": 13, "q_power_iter": 13, "q_prefix_dup": 13,
+    "q_rendezvous": 13, "q_rolling_p90": 13, "q_running_share": 13,
+    "q_runs_test": 13, "q_scalar_funcs": 13, "q_skyline": 13, "q_sprt": 13,
+    "q_srm_check": 13, "q_substring_dup": 13, "q_temperature_mix": 13,
+    "q_theil_sen": 13, "q_type_token_ratio": 13, "q_vocab_drift": 13,
+    "q_wilson_ctr": 13,
 }
 
 # Queries with ANY green driver row (kept as a set: the window tests and
