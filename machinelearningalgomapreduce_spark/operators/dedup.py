@@ -60,7 +60,20 @@ EMBED_BRUTE_MAX_ROWS = 10_000
 # load_tables' Catalog cache — the probe is one bounded count job, but
 # q_dedup_embedding can be invoked many times per session (bench loops)
 # and the verdict for a fixed directory cannot change mid-application.
+# STATIC-DIRECTORY ASSUMPTION (r13 ADVICE): the cache never invalidates —
+# a directory that GROWS past EMBED_BRUTE_MAX_ROWS mid-application (a
+# sink writing into it between invocations) keeps its 'small' verdict and
+# stays brute. This is the same contract load_tables' Catalog cache
+# already imposes on every query (a grown table serves stale frames long
+# before the probe verdict matters); callers ingesting into a live
+# directory must route explicitly (embedding_dedup_blocked) instead of
+# relying on the probe. Documented in q_dedup_embedding's docstring.
 _EMBED_PROBE_CACHE: dict = {}
+
+# One-shot flag for embedding_dedup_blocked_frame's verify=False semantic
+# -break warning (r13 ADVICE: warn once per process, not per bench-loop
+# call).
+_VERIFY_FALSE_WARNED = False
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,7 +539,11 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     a genuinely big one still refuses brute. The probe verdict is
     memoized per (application, dir) — load_tables already memoizes the
     Catalog, so repeat invocations pay neither the load nor the count
-    job (r12 ADVICE) — and routing an UNNAMED directory to the
+    job (r12 ADVICE); the memo assumes a STATIC directory (a corpus that
+    grows past the bound mid-application keeps its cached brute verdict
+    — same staleness contract as the Catalog cache; live-ingest callers
+    must route to embedding_dedup_blocked explicitly, r13 ADVICE) — and
+    routing an UNNAMED directory to the
     approximate path emits a warning: the caller asked for the exact
     query and is getting blocked-candidate semantics (recall 1.0 on the
     fixtures, but approximate by construction), which must be
@@ -1109,12 +1126,17 @@ def embedding_dedup_blocked_frame(
     now silently loses every exact-duplicate pair), the call emits a
     loud UserWarning naming the break and the threshold= lane — the
     regression mode is silent missed duplicates, so the knob cannot stay
-    quiet (r12 ADVICE)."""
+    quiet (r12 ADVICE). The warning fires ONCE PER PROCESS (r13 ADVICE):
+    the endorsed budget-audit callers run verify=False in bench loops,
+    and per-call repetition of an already-acknowledged semantic note is
+    noise, not signal — first use warns, the rest stay quiet."""
     from machinelearningalgomapreduce_spark.operators.ml import kmeans_fit_frame
 
-    if not verify:
+    global _VERIFY_FALSE_WARNED
+    if not verify and not _VERIFY_FALSE_WARNED:
         import warnings
 
+        _VERIFY_FALSE_WARNED = True
         warnings.warn(
             "embedding_dedup_blocked_frame(verify=False) returns "
             "REP-LEVEL candidates (identical embeddings collapse to one "

@@ -35,6 +35,13 @@ from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
 KNN_K = 10
 KNN_QUERY_STRIDE = 50  # vec_id % stride == 0 → query point
 
+# Memoized corpus row counts for knn_ann's auto-k probe, keyed like
+# dedup._EMBED_PROBE_CACHE — the count is one bounded job, but a serving
+# loop invokes knn_ann many times per session and the corpus size for a
+# fixed directory cannot change mid-application (the same static-directory
+# assumption load_tables' Catalog cache already makes).
+_KNN_AUTOK_CACHE: dict = {}
+
 
 def label_centroids(embeddings: DataFrame) -> DataFrame:
     """Seeded centroids: per-label dimension means (label = seed cluster),
@@ -163,6 +170,8 @@ def knn_ann(
     n_probe: int | None = None,
     seed: int = 42,
     centroids: DataFrame | None = None,
+    index=None,
+    rerank_mult: int | None = None,
 ) -> DataFrame:
     """q_knn's ANN twin (VERDICT r12 item 3): the SAME task — majority
     label among the KNN_K nearest neighbors for every KNN_QUERY_STRIDE-th
@@ -185,7 +194,31 @@ def knn_ann(
     count regrows toward all-pairs as the corpus grows (measured: fixed
     k=10 at 2000 vectors scanned 40% of the corpus per query for 0.72
     recall). ``n_probe=None`` follows the same measured ceil(0.6·√k)
-    policy bounded at 6 (dedup.auto_n_probe)."""
+    policy bounded at 6 (dedup.auto_n_probe). With ``centroids=`` the
+    auto-k comes from the SUPPLIED quantizer's own cell count (r13
+    ADVICE: sizing the probe budget against the corpus-derived k when
+    the quantizer has a different one silently mis-probes — the k that
+    matters for recall is the one the cells were actually built with);
+    the corpus-sized auto-k runs only in the cold-start path, and its
+    ``.count()`` probe is memoized per (application, dir) like
+    q_dedup_embedding's routing probe.
+
+    ``index=``: a persisted ``IVFIndexView`` or ``IVFPQIndexView``
+    (VERDICT r13 item 2) — the fully-amortized serving shape where both
+    the quantizer AND the cell assignments are prebuilt: the twin
+    answers straight off ``index.query()`` (partition-pruned segment
+    scans, the view's own pinned n_probe), so nothing about the corpus
+    is retrained or reassigned per call. For a PQ index the exact
+    re-rank fetches full vectors via the callable semi-join form —
+    only ADC survivors' vectors are read, never the whole corpus.
+    Mutually exclusive with ``centroids=``/``k_cells``/``n_probe`` —
+    those knobs describe a quantizer this lane already gets from the
+    index spec, so accepting them would silently ignore them.
+    ``rerank_mult=`` (PQ index only) widens the ADC candidate cut fed
+    to the exact re-rank: the recall/latency dial when code resolution
+    is coarse relative to the vote margin — at a budget covering every
+    probed candidate the lane is exact over the probe set (pytest-pinned
+    against brute q_knn at full probes)."""
     from machinelearningalgomapreduce_spark.operators.dedup import (
         EMBED_DEDUP_CELL_TARGET,
         auto_n_probe,
@@ -195,21 +228,71 @@ def knn_ann(
         learned_ivf_ann,
     )
 
-    if k_cells is None:
-        n = load_tables(spark, sf_dir).embeddings.count()
-        k_cells = max(10, -(-n // EMBED_DEDUP_CELL_TARGET))
-    np_ = auto_n_probe(k_cells) if n_probe is None else n_probe
-    if centroids is None:
-        nn = learned_ivf_ann(
-            spark, sf_dir, k=k_cells, n_probe=np_, seed=seed,
-            stride=KNN_QUERY_STRIDE, topk=KNN_K,
-        )
+    t = load_tables(spark, sf_dir)
+    if index is not None:
+        if centroids is not None or k_cells is not None or n_probe is not None:
+            raise ValueError(
+                "knn_ann: index= is mutually exclusive with "
+                "centroids=/k_cells=/n_probe= — the index spec pins the "
+                "quantizer and probe budget"
+            )
+        queries = t.embeddings.filter(
+            F.col("vec_id") % KNN_QUERY_STRIDE == 0
+        ).select(F.col("vec_id").alias("query_id"), "embedding")
+        if hasattr(index, "codebooks"):  # IVFPQIndexView: two-stage search
+            corpus = t.embeddings.select("vec_id", "embedding")
+            pq_kwargs = {} if rerank_mult is None else {"rerank_mult": rerank_mult}
+            nn = index.query(
+                spark,
+                queries,
+                k=KNN_K,
+                exclude_self=True,
+                full_vectors=lambda cand_ids: corpus.join(
+                    cand_ids, "vec_id", "left_semi"
+                ),
+                **pq_kwargs,
+            )
+        else:
+            if rerank_mult is not None:
+                raise ValueError(
+                    "knn_ann: rerank_mult= applies only to a PQ index — "
+                    "the full-vector lane has no candidate cut to widen"
+                )
+            nn = index.query(spark, queries, k=KNN_K, exclude_self=True)
     else:
-        nn = ivf_ann(
-            spark, sf_dir, centroids, np_,
-            stride=KNN_QUERY_STRIDE, topk=KNN_K,
-        )
-    labels = load_tables(spark, sf_dir).embeddings.select("vec_id", "label")
+        if rerank_mult is not None:
+            raise ValueError(
+                "knn_ann: rerank_mult= applies only to the index= lane"
+            )
+        if k_cells is None:
+            if centroids is not None:
+                # the probe budget must be sized against the quantizer
+                # actually in play — a k-row count, not a corpus scan
+                k_cells = centroids.count()
+            else:
+                import os as _os
+
+                key = (
+                    spark.sparkContext.applicationId,
+                    _os.path.abspath(sf_dir),
+                )
+                n = _KNN_AUTOK_CACHE.get(key)
+                if n is None:
+                    n = t.embeddings.count()
+                    _KNN_AUTOK_CACHE[key] = n
+                k_cells = max(10, -(-n // EMBED_DEDUP_CELL_TARGET))
+        np_ = auto_n_probe(k_cells) if n_probe is None else n_probe
+        if centroids is None:
+            nn = learned_ivf_ann(
+                spark, sf_dir, k=k_cells, n_probe=np_, seed=seed,
+                stride=KNN_QUERY_STRIDE, topk=KNN_K,
+            )
+        else:
+            nn = ivf_ann(
+                spark, sf_dir, centroids, np_,
+                stride=KNN_QUERY_STRIDE, topk=KNN_K,
+            )
+    labels = t.embeddings.select("vec_id", "label")
     neighbors = nn.join(
         labels.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id"
     ).join(

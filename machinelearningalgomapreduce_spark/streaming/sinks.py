@@ -541,14 +541,18 @@ def _semantic_ingest_batch(
                             "full_vectors= covering every indexed vec_id."
                         )
 
-                    cur = f"batch={run_digest}-{batch_id:010d}"
-                    if not any(
-                        d.startswith("batch=") and d != cur
-                        for d in os.listdir(out_dir)
-                    ):
-                        # every prior epoch is gone — the index surfaced
-                        # candidates but the log can re-rank none of them
-                        # (an empty candidate set is fine: nothing probed)
+                    # No epoch pre-check (r13 ADVICE): a log with every
+                    # prior epoch gone reads as an empty frame and the
+                    # n_missing count below issues the same refusal (and
+                    # the same empty result when nothing was probed) —
+                    # one uniform coverage path, no driver-side listing
+                    # that hard-codes the local-fs `batch=` layout. The
+                    # one corner the listing caught — a log directory
+                    # holding ZERO epochs, where parquet schema inference
+                    # itself fails — routes to the identical refusal.
+                    try:
+                        log = spark.read.parquet(out_dir)
+                    except Exception:
                         n = cand_ids.count()
                         if n:
                             refuse(n)
@@ -556,7 +560,7 @@ def _semantic_ingest_batch(
                             [], "vec_id long, embedding array<double>"
                         )
                     fv = (
-                        spark.read.parquet(out_dir)
+                        log
                         .filter(
                             F.col("batch") != f"{run_digest}-{batch_id:010d}"
                         )

@@ -706,3 +706,105 @@ def test_knn_ann_serving_lane_equals_cold_lane_on_same_centroids(
         for r in knn_ann(spark, sf_dir, 10, 4, centroids=cents).collect()
     }
     assert cold == served and cold
+
+
+def test_knn_ann_index_lane_full_probe_equals_brute(spark, sf_dir, tmp_path):
+    """r14 (VERDICT r13 item 2): knn_ann(index=IVFIndexView) — the
+    fully-amortized serving shape — must produce EXACTLY brute q_knn's
+    predictions when the index probes every cell (full probe budget ⇒
+    the cell prune drops nothing, and the twin shares q_knn's rounding,
+    top-k and vote tie-break discipline bit-for-bit)."""
+    from machinelearningalgomapreduce_spark.operators.ivf_index import IVFIndexView
+    from machinelearningalgomapreduce_spark.operators.ml import (
+        kmeans_fit,
+        knn_ann,
+        q_knn,
+    )
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+    from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
+
+    model, _cost = kmeans_fit(spark, sf_dir, k=10, seed=42)
+    cents = [
+        (int(i), [round(float(x), 6) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    idx = IVFIndexView(
+        str(tmp_path / "knn_ivf"), cents, dim=EMBEDDING_DIM, n_probe=len(cents)
+    )
+    emb = load_tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    idx.refresh(spark, emb, batch_id="b0")
+
+    brute = {tuple(r) for r in q_knn(spark, sf_dir).collect()}
+    served = {tuple(r) for r in knn_ann(spark, sf_dir, index=idx).collect()}
+    assert served == brute and served
+
+    # the quantizer knobs describe what the index spec already pins —
+    # accepting them alongside index= would silently ignore them
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        knn_ann(spark, sf_dir, k_cells=10, index=idx)
+
+
+def test_knn_ann_pq_index_lane_agreement(spark, sf_dir, tmp_path):
+    """r14 (VERDICT r13 item 2): knn_ann(index=IVFPQIndexView) serves the
+    KNN task end-to-end off the COMPRESSED index — full vectors touched
+    only through the callable semi-join re-rank. At a rerank budget that
+    covers every probed candidate the ADC cut drops nothing and the lane
+    must equal brute q_knn BIT-EXACTLY (the re-rank is the same rounded
+    cosine + tie-breaks); at the default budget the contract shape holds
+    (same schema, one prediction per query point). Prediction agreement
+    at the default budget is NOT pinned: the fixture's vectors are near-
+    random, so brute's own vote margins are 2–3/10 and any candidate cut
+    scrambles them — the recall/latency dial is ``rerank_mult``."""
+    from machinelearningalgomapreduce_spark.operators.ivf_pq import IVFPQIndexView
+    from machinelearningalgomapreduce_spark.operators.ml import (
+        kmeans_fit,
+        knn_ann,
+        q_knn,
+    )
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+    from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
+
+    emb = load_tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
+    model, _cost = kmeans_fit(spark, sf_dir, k=10, seed=42)
+    cents = [
+        (int(i), [round(float(x), 6) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    # deterministic codebooks: subvectors of the first 25 corpus vectors
+    # (the test_ivf_pq recipe — enough codewords to rank within a cell)
+    pq_m, pq_k = 16, 25
+    sub = EMBEDDING_DIM // pq_m
+    first = [
+        r.embedding
+        for r in emb.orderBy("vec_id").limit(pq_k).collect()
+    ]
+    cbs = [
+        (m, c, [round(float(x), 6) for x in first[c][m * sub:(m + 1) * sub]])
+        for m in range(pq_m)
+        for c in range(pq_k)
+    ]
+    idx = IVFPQIndexView(
+        str(tmp_path / "knn_pq"), cents, cbs, dim=EMBEDDING_DIM,
+        n_probe=len(cents),
+    )
+    idx.refresh(spark, emb, batch_id="b0")
+
+    brute = q_knn(spark, sf_dir)
+    n_corpus = emb.count()
+    # full budget: rerank_mult·k ≥ every probed candidate ⇒ exact
+    full = knn_ann(
+        spark, sf_dir, index=idx, rerank_mult=-(-n_corpus // 10),
+    )
+    assert {tuple(r) for r in full.collect()} == {
+        tuple(r) for r in brute.collect()
+    }
+
+    served = knn_ann(spark, sf_dir, index=idx)  # default ADC budget
+    assert served.columns == brute.columns
+    rows = served.collect()
+    assert {r.query_id for r in rows} == {
+        r.query_id for r in brute.collect()
+    }
+
+    with pytest.raises(ValueError, match="rerank_mult"):
+        knn_ann(spark, sf_dir, rerank_mult=5)
