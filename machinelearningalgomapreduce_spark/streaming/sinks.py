@@ -357,18 +357,40 @@ def dedup_ingest_stream(
     index_dir: str,
     out_dir: str,
     checkpoint_dir: str,
+    *,
+    processing_time: str | None = None,
+    max_files_per_trigger: int | None = None,
 ):
-    """Run the incremental-dedup ingestion over the documents stream with
-    trigger(availableNow) — drains everything currently in the source and
-    stops. Returns the StreamingQuery (caller awaits termination)."""
+    """Run the incremental-dedup ingestion over the documents stream.
+    Default trigger is availableNow — drain everything currently in the
+    source and stop. ``processing_time=`` switches to a LIVE
+    trigger(processingTime=...) that keeps polling the source (r14: the
+    sustained micro-batch serving shape; the caller stops the query);
+    ``max_files_per_trigger`` bounds each micro-batch's file intake so a
+    directory-layout source arrives as a stream of batches instead of
+    one drain. The ADMITTED CONTENT-HASH SET is batch-partitioning-
+    independent (the seen-set is the index; exactly one survivor per
+    hash under any split — only which doc_id represents a hash can
+    shift when its copies straddle a boundary); at equal
+    max_files_per_trigger the live-trigger run is row-identical to the
+    availableNow run (soak-test-pinned). Returns the StreamingQuery
+    (caller awaits termination or stops it)."""
+    from machinelearningalgomapreduce_spark.streaming.windows import stream_table
+
     run_key = os.path.abspath(checkpoint_dir)
-    docs = stream_documents(spark, sf_dir)
-    return (
+    docs = stream_table(
+        spark, sf_dir, "documents.parquet",
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    w = (
         docs.writeStream.foreachBatch(_ingest_batch(spark, index_dir, out_dir, run_key))
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
     )
+    if processing_time is None:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()
 
 
 def _semantic_ingest_batch(
@@ -601,12 +623,23 @@ def semantic_dedup_ingest_stream(
     checkpoint_dir: str,
     threshold: float | None = None,
     full_vectors=None,
+    *,
+    processing_time: str | None = None,
+    max_files_per_trigger: int | None = None,
 ):
-    """Streaming semantic-dedup ingestion: drain the embeddings source
-    with trigger(availableNow), admitting only vectors with no near-dup
-    (rounded cosine ≥ threshold) already in the persisted IVF ``index``
+    """Streaming semantic-dedup ingestion: drain the embeddings source,
+    admitting only vectors with no near-dup (rounded cosine ≥ threshold)
+    already in the persisted IVF ``index``
     (operators/ivf_index.py::IVFIndexView), and indexing the admitted
-    ones. Returns the StreamingQuery (caller awaits termination)."""
+    ones. Default trigger is availableNow (drain and stop);
+    ``processing_time=``/``max_files_per_trigger=`` follow
+    dedup_ingest_stream's live-trigger lane. Admission depends on BATCH
+    PARTITIONING (a near-dup pair arriving together collapses to the
+    min-vec_id survivor; arriving apart, first-arrival wins) but NOT on
+    trigger mode: at equal max_files_per_trigger the live-trigger run
+    admits exactly the availableNow run's set (soak-test-pinned).
+    Returns the StreamingQuery (caller awaits termination or stops
+    it)."""
     from machinelearningalgomapreduce_spark.operators.dedup import (
         EMBEDDING_COSINE_THRESHOLD,
     )
@@ -614,14 +647,20 @@ def semantic_dedup_ingest_stream(
 
     thr = EMBEDDING_COSINE_THRESHOLD if threshold is None else threshold
     run_key = os.path.abspath(checkpoint_dir)
-    vecs = stream_table(spark, sf_dir, "embeddings.parquet")
-    return (
+    vecs = stream_table(
+        spark, sf_dir, "embeddings.parquet",
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    w = (
         vecs.writeStream.foreachBatch(
             _semantic_ingest_batch(
                 spark, index, out_dir, run_key, thr, full_vectors
             )
         )
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
     )
+    if processing_time is None:
+        w = w.trigger(availableNow=True)
+    else:
+        w = w.trigger(processingTime=processing_time)
+    return w.start()

@@ -25,7 +25,12 @@ from pyspark.sql import functions as F
 _SCHEMA_CACHE: dict[str, "object"] = {}
 
 
-def stream_table(spark: SparkSession, sf_dir: str, filename: str) -> DataFrame:
+def stream_table(
+    spark: SparkSession,
+    sf_dir: str,
+    filename: str,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
     """readStream over one fixture parquet table with the cached-schema
     discipline: FileStreamSource needs an explicit schema, taken from a
     one-file batch read (cached per path — ADVICE r4). Two layouts
@@ -36,7 +41,13 @@ def stream_table(spark: SparkSession, sf_dir: str, filename: str) -> DataFrame:
     which silently matched NOTHING for the directory layout (the
     pathGlobFilter applies to leaf file names, and part-*.parquet never
     equals the table name). Shared by stream_events and
-    sinks.stream_documents so the caching/layout idiom lives once."""
+    sinks.stream_documents so the caching/layout idiom lives once.
+
+    ``max_files_per_trigger`` bounds each micro-batch to N source files
+    (r14: the live-trigger soak lane — a directory table plus
+    maxFilesPerTrigger turns one drain into a sustained multi-batch
+    ingest under trigger(processingTime); availableNow honors it too,
+    splitting the drain into multiple batches)."""
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -46,6 +57,8 @@ def stream_table(spark: SparkSession, sf_dir: str, filename: str) -> DataFrame:
         raw_schema = spark.read.parquet(path).schema
         _SCHEMA_CACHE[path] = raw_schema
     reader = spark.readStream.schema(raw_schema).format("parquet")
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", int(max_files_per_trigger))
     if os.path.isdir(path):
         return reader.load(path)
     return reader.option("pathGlobFilter", filename).load(sf_dir)

@@ -127,7 +127,147 @@ def run_tier(tier: str) -> dict:
     return rows
 
 
+def run_index_tier(tier: str) -> list[dict]:
+    """r14 (VERDICT r13 item 2): the PERSISTED-index serving lanes —
+    knn_ann(index=IVFIndexView) and knn_ann(index=IVFPQIndexView) — at a
+    tier, against brute q_knn in the same process. This is the number a
+    100 TB user actually serves at: quantizer AND cell assignments
+    prebuilt, per-query cost = partition-pruned probes + vote."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from machinelearningalgomapreduce_spark.operators.dedup import (
+        EMBED_DEDUP_CELL_TARGET,
+        auto_n_probe,
+    )
+    from machinelearningalgomapreduce_spark.operators.ivf_index import IVFIndexView
+    from machinelearningalgomapreduce_spark.operators.ivf_pq import IVFPQIndexView
+    from machinelearningalgomapreduce_spark.operators.ml import (
+        KNN_K,
+        KNN_QUERY_STRIDE,
+        kmeans_fit,
+        knn_ann,
+        q_knn,
+    )
+    from machinelearningalgomapreduce_spark.operators.similarity import (
+        ann_recall_frame,
+        pq_fit,
+    )
+    from machinelearningalgomapreduce_spark.session import (
+        ensure_query_conf,
+        get_spark,
+    )
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+    from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
+
+    spark = get_spark(
+        app_name=f"ann-index-{os.path.basename(tier)}",
+        master=f"local[{os.environ.get('SPARK_GRAFT_CPUS', '32')}]",
+        shuffle_partitions=int(os.environ.get("SPARK_BENCH_PARTITIONS", "16")),
+    )
+    ensure_query_conf(spark)
+    emb = load_tables(spark, tier).embeddings.select("vec_id", "embedding")
+    n_vectors = emb.count()
+    k_cells = max(10, -(-n_vectors // EMBED_DEDUP_CELL_TARGET))
+    np_ = auto_n_probe(k_cells)
+
+    brute_s = _timed(lambda: q_knn(spark, tier))
+    brute_pred = {r.query_id: r.pred_label for r in q_knn(spark, tier).collect()}
+
+    model, _cost = kmeans_fit(spark, tier, k=k_cells, seed=42)
+    cents = [
+        (int(i), [round(float(x), 6) for x in c])
+        for i, c in enumerate(model.clusterCenters())
+    ]
+    work = tempfile.mkdtemp(prefix="ann_index_bench_")
+    rows = []
+    try:
+        indexes = [
+            (
+                "ivf-index",
+                IVFIndexView(
+                    os.path.join(work, "ivf"), cents,
+                    dim=EMBEDDING_DIM, n_probe=np_,
+                ),
+            )
+        ]
+        books, _err = pq_fit(spark, tier, k=8, n_iter=2)
+        cbs = [(r.sub, r.code, list(r.centroid)) for r in books.collect()]
+        indexes.append(
+            (
+                "pq-index",
+                IVFPQIndexView(
+                    os.path.join(work, "pq"), cents, cbs,
+                    dim=EMBEDDING_DIM, n_probe=np_,
+                ),
+            )
+        )
+        for kind, idx in indexes:
+            t0 = time.perf_counter()
+            idx.refresh(spark, emb, batch_id="b0")
+            build_s = time.perf_counter() - t0
+            serve_s = _timed(lambda: knn_ann(spark, tier, index=idx))
+            queries = emb.filter(
+                F.col("vec_id") % KNN_QUERY_STRIDE == 0
+            ).select(F.col("vec_id").alias("query_id"), "embedding")
+            if kind == "pq-index":
+                nn = idx.query(
+                    spark, queries, k=KNN_K,
+                    full_vectors=lambda ids: emb.join(ids, "vec_id", "left_semi"),
+                )
+            else:
+                nn = idx.query(spark, queries, k=KNN_K)
+            rec = ann_recall_frame(
+                spark, tier, nn, stride=KNN_QUERY_STRIDE, k=KNN_K
+            ).agg(F.avg("recall")).first()[0]
+            preds = knn_ann(spark, tier, index=idx).collect()
+            agree = sum(
+                1 for r in preds if brute_pred.get(r.query_id) == r.pred_label
+            )
+            rows.append({
+                "kind": kind,
+                "tier": tier,
+                "n_vectors": n_vectors,
+                "n_queries": len(brute_pred),
+                "k_cells": k_cells,
+                "n_probe": np_,
+                "brute_s": round(brute_s, 3),
+                "index_build_s": round(build_s, 3),
+                "serving_s": round(serve_s, 3),
+                "speedup_serving": round(brute_s / serve_s, 2),
+                "recall_at_k": round(float(rec), 4),
+                "agreement": f"{agree}/{len(preds)}",
+            })
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    spark.stop()
+    return rows
+
+
 def main() -> None:
+    if "--index" in sys.argv:
+        tiers = [a for a in sys.argv[1:] if a != "--index"] or ["/tmp/sf1.0"]
+        results = [row for t in tiers for row in run_index_tier(t)]
+        for r in results:
+            print(json.dumps(r))
+        print(
+            "\n| kind | tier | vectors | cells | probe | brute (s) | "
+            "build (s) | serving (s) | speedup | recall@10 | agreement |",
+            file=sys.stderr,
+        )
+        print("| " + " | ".join(["---"] * 11) + " |", file=sys.stderr)
+        for r in results:
+            print(
+                f"| {r['kind']} | {os.path.basename(r['tier'])} | "
+                f"{r['n_vectors']} | {r['k_cells']} | {r['n_probe']} | "
+                f"{r['brute_s']} | {r['index_build_s']} | {r['serving_s']} | "
+                f"**{r['speedup_serving']}×** | {r['recall_at_k']} | "
+                f"{r['agreement']} |",
+                file=sys.stderr,
+            )
+        return
     tiers = sys.argv[1:] or ["/root/testdata/sf0.1", "/tmp/sf1.0"]
     if "/tmp/sf1.0" in tiers and not os.path.exists("/tmp/sf1.0/_BUILT.json"):
         from tools.scale_bench_10x import ensure_tier

@@ -69,7 +69,12 @@ def main():
     spark = get_spark(app_name="check")
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # directory-layout tables (real corpora: <t>.parquet/ holding
+        # part files) need the recursive glob — DuckDB's bare-path form
+        # only reads single files (r14 reader audit)
+        p = f"{sf_dir}/{t}.parquet"
+        src = f"{p}/**/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
 
     qs, oracles = E.queries(), E.oracle_sql()
     failures = []
