@@ -48,39 +48,47 @@ def main() -> None:
     spark = get_spark(app_name="emb-tier-build")
     ensure_query_conf(spark)
     base = spark.read.parquet(os.path.join(SRC, "embeddings.parquet"))
-    copies = []
-    for i in range(n_copies):
-        # deterministic per-(copy, vec, dim) perturbation, small enough
-        # to keep cluster structure, large enough that no two copies of
-        # a vector are exact duplicates (so the rep-collapse and the
-        # quantizer both see the full tier)
-        jitter = [
-            F.round(
-                F.element_at("embedding", d + 1)
-                + (
-                    F.pmod(
-                        F.xxhash64(F.lit(i * 1_000_003 + d), F.col("vec_id")),
-                        F.lit(2000),
-                    )
-                    / 1000.0
-                    - 1.0
+    # ONE plan for every copy (r14): the copy index is a COLUMN from a
+    # crossJoin against range(n_copies), so the jitter tree is 64
+    # expressions total regardless of n_copies — the old per-copy-select
+    # union built n_copies·64 Column objects through py4j and ground for
+    # >10 min at 250 copies before the analyzer even saw the plan.
+    # Deterministic per-(copy, vec, dim) perturbation, small enough to
+    # keep cluster structure, large enough that no two copies of a
+    # vector are exact duplicates (so the rep-collapse and the quantizer
+    # both see the full tier).
+    jitter = [
+        F.round(
+            F.element_at("embedding", d + 1)
+            + (
+                F.pmod(
+                    F.xxhash64(
+                        F.lit(d), F.col("copy") * 1_000_003, F.col("vec_id")
+                    ),
+                    F.lit(2000),
                 )
-                * 0.01,
-                6,
+                / 1000.0
+                - 1.0
             )
-            for d in range(EMBEDDING_DIM)
-        ]
-        copies.append(
-            base.select(
-                (F.col("vec_id") + F.lit(i * OFF)).alias("vec_id"),
-                F.array(*jitter).alias("embedding"),
-                "label",
+            * 0.01,
+            6,
+        )
+        for d in range(EMBEDDING_DIM)
+    ]
+    tier = (
+        base.crossJoin(
+            F.broadcast(
+                spark.range(n_copies).select(F.col("id").alias("copy"))
             )
         )
-    out = copies[0]
-    for c in copies[1:]:
-        out = out.unionByName(c)
-    out.write.mode("overwrite").parquet(
+        .select(
+            (F.col("vec_id") + F.col("copy") * OFF).alias("vec_id"),
+            F.array(*jitter).alias("embedding"),
+            "label",
+        )
+        .repartition(32)
+    )
+    tier.write.mode("overwrite").parquet(
         os.path.join(out_dir, "embeddings.parquet")
     )
     print(f"built {out_dir}: {n_copies} perturbed embedding copies")

@@ -102,8 +102,15 @@ def run_lane(spark, corpus, k_max: int, label: str) -> dict:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 262_144
-    k_max_low = int(sys.argv[2]) if len(sys.argv) > 2 else 128
+    argv = list(sys.argv[1:])
+    # r14: one-lane modes for the big tiers — at 0.5M+ vectors each lane
+    # is tens of minutes, so the two lanes are run (and recorded) as
+    # separate invocations rather than one 2× wall block.
+    auto_only = "--auto-only" in argv
+    two_level_only = "--two-level-only" in argv
+    argv = [a for a in argv if not a.startswith("--")]
+    n = int(argv[0]) if argv else 262_144
+    k_max_low = int(argv[1]) if len(argv) > 1 else 128
 
     from machinelearningalgomapreduce_spark.operators import dedup
     from machinelearningalgomapreduce_spark.session import (
@@ -122,6 +129,27 @@ def main() -> None:
     assert auto_k <= dedup.EMBED_DEDUP_K_MAX, "flat lane must stay flat"
     assert auto_k > k_max_low, "two-level lane must actually trigger"
     planted = n // CLUSTER_M * (CLUSTER_M * (CLUSTER_M - 1) // 2)
+
+    if auto_only or two_level_only:
+        lane = (
+            run_lane(spark, corpus, dedup.EMBED_DEDUP_K_MAX, "flat")
+            if auto_only
+            else run_lane(spark, corpus, k_max_low, "two-level")
+        )
+        out = {
+            "n_vectors": n,
+            "auto_k": auto_k,
+            "n_probe": N_PROBE,
+            "threshold": THRESHOLD,
+            "planted_pairs": planted,
+            lane["lane"].replace("-", "_"): {
+                k: v for k, v in lane.items() if k != "pair_set"
+            },
+            "recall_of_planted": round(len(lane["pair_set"]) / planted, 4),
+        }
+        print(json.dumps(out))
+        spark.stop()
+        return
 
     flat = run_lane(spark, corpus, dedup.EMBED_DEDUP_K_MAX, "flat")
     imi = run_lane(spark, corpus, k_max_low, "two-level")
