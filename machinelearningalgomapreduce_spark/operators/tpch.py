@@ -375,7 +375,19 @@ def q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation names, and the orders → order-year relation each collapse to a
     compact keyed relation and broadcast below the size gate; lineitem
     probes three hash tables in one stage and aggregates on the tiny
-    (nation × year) key domain. Money sums round to 2 (module policy).
+    (nation × year) key domain.
+
+    Money math is EXACT fixed-point (r14, caught by the 10×-tier parity
+    sweep): per-row profit = price_cents·(100−disc_pct) −
+    60·retail_cents·qty in 10⁻⁴-dollar BIGINTs (every fixture money
+    column sits on the 2dp grid and quantities are integral — probed),
+    so the group sum is order-free and integer-exact; the 2dp result is
+    the half-away-from-zero floor((2N+D)/(2D)) identity in BOTH engines.
+    The old round(sum(double), 2) diverged at the 10× tier when one
+    nation-year sum landed on the …728.405 half boundary — the
+    q_rating_baseline boundary class, same cure. Operands stay < 2⁵³
+    through the 100× tier, so the one double division is correctly
+    rounded in both engines.
     """
     t = load_tables(spark, sf_dir)
     widget_parts = (
@@ -392,14 +404,23 @@ def q_profit_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     widget_parts = broadcast_if_small(widget_parts, sf_dir, fits_until_sf=1.0)
     supp_nat = broadcast_if_small(supp_nat, sf_dir, fits_until_sf=1.0)
     order_year = broadcast_if_small(order_year, sf_dir, fits_until_sf=1.0)
-    profit = _rev() - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity")
+    price_c = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    disc_pct = F.round(F.col("l_discount") * 100).cast("bigint")
+    retail_c = F.round(F.col("p_retailprice") * 100).cast("bigint")
+    qty = F.round(F.col("l_quantity")).cast("bigint")
+    profit_4dp = price_c * (F.lit(100) - disc_pct) - F.lit(60) * retail_c * qty
+    s = F.sum(profit_4dp)
+    cents = (
+        F.signum(s).cast("bigint")
+        * F.floor((F.lit(2) * F.abs(s) + F.lit(100)) / F.lit(200)).cast("bigint")
+    )
     agg = (
         t.lineitem
         .join(widget_parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(supp_nat, F.col("l_suppkey") == F.col("s_suppkey"))
         .join(order_year, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("nation", "o_year")
-        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .agg((cents.cast("double") / 100).alias("sum_profit"))
     )
     return tiny_sorted(agg, "nation", F.desc("o_year"))
 
@@ -419,6 +440,13 @@ def q_late_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_supp ≥ 2 AND n_at_max = 1 with no self-join of the fact table.
     Timestamps and counts are exact, so the winner set is deterministic.
     TakeOrdered caps at 10 (count desc, name asc).
+
+    Supplier identity is s_name, exactly as TPC-H Q21's GROUP BY s_name
+    has it (r14, caught by the 10×-tier parity sweep: the old form
+    counted per s_suppkey and only carried the name along, which is
+    identical while names are key-unique — every driver SF — but
+    diverges on any corpus where two keys share a name, e.g. the
+    key-offset scale tiers where each copy clones the name column).
     """
     t = load_tables(spark, sf_dir)
     per_supp = t.lineitem.groupBy("l_orderkey", "l_suppkey").agg(
@@ -439,10 +467,11 @@ def q_late_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_at_max") == 1)
     )
     return (
-        blockers.groupBy("suppkey")
+        blockers.join(
+            F.broadcast(t.supplier), F.col("suppkey") == F.col("s_suppkey")
+        )
+        .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
-        .join(F.broadcast(t.supplier), F.col("suppkey") == F.col("s_suppkey"))
-        .select("s_name", "numwait")
         .orderBy(F.desc("numwait"), "s_name")
         .limit(10)
     )
@@ -796,17 +825,27 @@ ORACLES = {
         ORDER BY n_name
     """,
     "q_profit_by_nation": """
-        SELECT n_name AS nation,
-               CAST(year(o_orderdate) AS INTEGER) AS o_year,
-               round(sum(l_extendedprice * (1 - l_discount)
-                         - 0.6 * p_retailprice * l_quantity), 2) AS sum_profit
-        FROM lineitem
-        JOIN part ON p_partkey = l_partkey
-        JOIN supplier ON s_suppkey = l_suppkey
-        JOIN nation ON s_nationkey = n_nationkey
-        JOIN orders ON o_orderkey = l_orderkey
-        WHERE p_name LIKE '%widget%'
-        GROUP BY 1, 2
+        WITH s4 AS (
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS INTEGER) AS o_year,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                              * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                            - 60 * CAST(round(p_retailprice * 100) AS BIGINT)
+                              * CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS s
+            FROM lineitem
+            JOIN part ON p_partkey = l_partkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN orders ON o_orderkey = l_orderkey
+            WHERE p_name LIKE '%widget%'
+            GROUP BY 1, 2
+        )
+        SELECT nation, o_year,
+               CAST(CASE WHEN s >= 0
+                         THEN CAST(floor((2 * s + 100) / 200) AS BIGINT)
+                         ELSE -CAST(floor((2 * (-s) + 100) / 200) AS BIGINT)
+                    END AS DOUBLE) / 100 AS sum_profit
+        FROM s4
         ORDER BY 1, 2 DESC
     """,
     "q_late_shippers": """
