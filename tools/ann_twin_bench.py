@@ -127,12 +127,27 @@ def run_tier(tier: str) -> dict:
     return rows
 
 
+BRUTE_FULL_CAP = 150_000  # above this, full-stride brute q_knn (n²/50
+# pairs) is hours of wall — truth and agreement come from the sparse
+# SAMPLE_STRIDE query subset instead (brute cost n·n/SAMPLE_STRIDE)
+SAMPLE_STRIDE = 5_000
+
+
 def run_index_tier(tier: str) -> list[dict]:
     """r14 (VERDICT r13 item 2): the PERSISTED-index serving lanes —
     knn_ann(index=IVFIndexView) and knn_ann(index=IVFPQIndexView) — at a
     tier, against brute q_knn in the same process. This is the number a
     100 TB user actually serves at: quantizer AND cell assignments
-    prebuilt, per-query cost = partition-pruned probes + vote."""
+    prebuilt, per-query cost = partition-pruned probes + vote.
+
+    Above BRUTE_FULL_CAP vectors the brute reference is computed on the
+    SAMPLE_STRIDE query subset only (recall@k and agreement are exact on
+    that subset; the serving wall still covers ALL stride-50 queries) and
+    the full-stride brute wall is reported as the subset wall scaled by
+    the query-count ratio — brute cost is linear in query count at fixed
+    corpus, so the scaling is exact up to scheduling constants; the row
+    carries brute_s_estimated=True so nobody mistakes it for a measured
+    full run."""
     import shutil
     import tempfile
 
@@ -168,13 +183,68 @@ def run_index_tier(tier: str) -> list[dict]:
         shuffle_partitions=int(os.environ.get("SPARK_BENCH_PARTITIONS", "16")),
     )
     ensure_query_conf(spark)
-    emb = load_tables(spark, tier).embeddings.select("vec_id", "embedding")
+    from machinelearningalgomapreduce_spark.functions.vectors import dot, norm
+    from machinelearningalgomapreduce_spark.sources.schemas import (
+        EMBEDDING_DIM as _DIM,
+    )
+    from pyspark.sql.window import Window as W
+
+    t = load_tables(spark, tier)
+    emb = t.embeddings.select("vec_id", "embedding")
     n_vectors = emb.count()
     k_cells = max(10, -(-n_vectors // EMBED_DEDUP_CELL_TARGET))
     np_ = auto_n_probe(k_cells)
 
-    brute_s = _timed(lambda: q_knn(spark, tier))
-    brute_pred = {r.query_id: r.pred_label for r in q_knn(spark, tier).collect()}
+    def brute_votes(stride):
+        # q_knn's exact plan re-aimed at a coarser query stride
+        e = t.embeddings.withColumn("vnorm", norm(F.col("embedding"), _DIM))
+        q = e.filter(F.col("vec_id") % stride == 0).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("query_label"),
+            F.col("embedding").alias("qv"),
+            F.col("vnorm").alias("qnorm"),
+        )
+        cos = F.round(
+            dot(F.col("qv"), F.col("embedding"), _DIM)
+            / (F.col("qnorm") * F.col("vnorm")),
+            6,
+        )
+        w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+        neighbors = (
+            q.join(e, F.col("query_id") != F.col("vec_id"))
+            .select("query_id", "query_label", "vec_id", "label", cos.alias("cos_sim"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= KNN_K)
+        )
+        vote_w = W.partitionBy("query_id").orderBy(F.desc("n_votes"), "label")
+        return (
+            neighbors.groupBy("query_id", "query_label", "label")
+            .agg(F.count("*").alias("n_votes"))
+            .withColumn("vr", F.row_number().over(vote_w))
+            .filter(F.col("vr") == 1)
+            .select("query_id", F.col("label").alias("pred_label"))
+        )
+
+    brute_estimated = n_vectors > BRUTE_FULL_CAP
+    if brute_estimated:
+        n_q_full = emb.filter(F.col("vec_id") % KNN_QUERY_STRIDE == 0).count()
+        n_q_sub = emb.filter(F.col("vec_id") % SAMPLE_STRIDE == 0).count()
+        # ONE timed pass, predictions collected from it (r14 lesson: at
+        # 500k the subset brute is ~20 min per pass through the top-k
+        # window — a warm-up pass plus a separate prediction pass
+        # tripled the reference cost for zero methodology gain; the
+        # single-cold-pass wall is the HONEST brute number anyway, since
+        # a user running brute once gets no warm cache either)
+        t0 = time.perf_counter()
+        rows_sub = brute_votes(SAMPLE_STRIDE).collect()
+        sub_s = time.perf_counter() - t0
+        brute_s = sub_s * (n_q_full / max(1, n_q_sub))
+        brute_pred = {r.query_id: r.pred_label for r in rows_sub}
+    else:
+        brute_s = _timed(lambda: q_knn(spark, tier))
+        brute_pred = {
+            r.query_id: r.pred_label for r in q_knn(spark, tier).collect()
+        }
 
     model, _cost = kmeans_fit(spark, tier, k=k_cells, seed=42)
     cents = [
@@ -219,26 +289,34 @@ def run_index_tier(tier: str) -> list[dict]:
                 )
             else:
                 nn = idx.query(spark, queries, k=KNN_K)
+            # recall truth at the affordable stride: full stride below
+            # the cap, the sparse sample above it (the sampled queries
+            # are a subset of the served ones, so the join inside
+            # ann_recall_frame scores exactly them)
+            rec_stride = SAMPLE_STRIDE if brute_estimated else KNN_QUERY_STRIDE
             rec = ann_recall_frame(
-                spark, tier, nn, stride=KNN_QUERY_STRIDE, k=KNN_K
+                spark, tier, nn, stride=rec_stride, k=KNN_K
             ).agg(F.avg("recall")).first()[0]
             preds = knn_ann(spark, tier, index=idx).collect()
+            scored = [r for r in preds if r.query_id in brute_pred]
             agree = sum(
-                1 for r in preds if brute_pred.get(r.query_id) == r.pred_label
+                1 for r in scored if brute_pred[r.query_id] == r.pred_label
             )
             rows.append({
                 "kind": kind,
                 "tier": tier,
                 "n_vectors": n_vectors,
-                "n_queries": len(brute_pred),
+                "n_queries_served": len(preds),
+                "n_queries_scored": len(scored),
                 "k_cells": k_cells,
                 "n_probe": np_,
                 "brute_s": round(brute_s, 3),
+                "brute_s_estimated": brute_estimated,
                 "index_build_s": round(build_s, 3),
                 "serving_s": round(serve_s, 3),
                 "speedup_serving": round(brute_s / serve_s, 2),
                 "recall_at_k": round(float(rec), 4),
-                "agreement": f"{agree}/{len(preds)}",
+                "agreement": f"{agree}/{len(scored)}",
             })
     finally:
         shutil.rmtree(work, ignore_errors=True)
