@@ -55,34 +55,17 @@ _MODULES = (
 # re-greens the stalest evidence (the r2 cohort predates the r4 keyed-cache
 # / tiny_sorted plan rewrites). Update per round from CORRECTNESS_r{N}.json.
 DRIVER_GREEN_ROUND = {
-    # latest green: round 8 (40)
-    "q_active_days": 8, "q_audience_overlap": 8, "q_bloom_audit": 8,
-    "q_bloom_bits": 8, "q_brier": 8, "q_churn_rate": 8, "q_cm_cells": 8,
-    "q_cm_heavy": 8, "q_cochran_q": 8, "q_cohort_ltv": 8, "q_dau_wau": 8,
-    "q_density_ratio": 8, "q_dominant_suppliers": 8, "q_durbin_watson": 8,
-    "q_ewma_control": 8, "q_hll_estimate": 8, "q_hll_registers": 8,
-    "q_hmm_score": 8, "q_holt_winters": 8, "q_important_parts": 8,
-    "q_isotonic_bins": 8, "q_kmv_distinct": 8, "q_late_shippers": 8,
-    "q_lead_lag": 8, "q_ljung_box": 8, "q_mcc": 8, "q_mcnemar": 8,
-    "q_min_cost_supplier": 8, "q_nelson_aalen": 8, "q_page_hinkley": 8,
-    "q_profit_by_nation": 8, "q_psi": 8, "q_quantile_hist": 8,
-    "q_rfm_segments": 8, "q_session_entropy": 8, "q_shipmode_priority": 8,
-    "q_supplier_cnt": 8, "q_survival_curve": 8, "q_target_encode": 8,
-    "q_woe_iv": 8,
-    # latest green: round 9 (50)
+    # latest green: round 9 (40)
     "q_anderson_darling": 9, "q_anomaly_zscore": 9, "q_apriori": 9,
     "q_autocorr": 9, "q_bm25": 9, "q_cliffs_delta": 9, "q_cohens_d": 9,
-    "q_cooccur_pmi": 9, "q_cov_matrix": 9, "q_cramer_von_mises": 9,
-    "q_customer_segments": 9, "q_decontaminate": 9, "q_dedup_containment": 9,
-    "q_dedup_keep_best": 9, "q_degree_dist": 9, "q_ema": 9,
-    "q_energy_distance": 9, "q_frame_sample": 9, "q_funnel": 9, "q_g_test": 9,
-    "q_gini": 9, "q_granger": 9, "q_hellinger": 9, "q_inverted_index": 9,
+    "q_cooccur_pmi": 9, "q_cramer_von_mises": 9, "q_decontaminate": 9,
+    "q_dedup_containment": 9, "q_dedup_keep_best": 9, "q_degree_dist": 9,
+    "q_ema": 9, "q_energy_distance": 9, "q_frame_sample": 9, "q_funnel": 9,
+    "q_g_test": 9, "q_granger": 9, "q_hellinger": 9, "q_inverted_index": 9,
     "q_js_divergence": 9, "q_km_ci": 9, "q_label_prop_step": 9,
-    "q_log_rank": 9, "q_markov_chain": 9, "q_mode": 9, "q_multimodal": 9,
+    "q_log_rank": 9, "q_markov_chain": 9, "q_multimodal": 9,
     "q_multimodal_features": 9, "q_ngram_lm": 9, "q_pagerank": 9,
-    "q_pii_scrub": 9, "q_repetition_filter": 9, "q_resample": 9,
-    "q_retention": 9, "q_rmst": 9, "q_sample": 9, "q_sample_stratified": 9,
-    "q_sim_ann": 9, "q_sim_topk": 9, "q_skew_profile": 9,
+    "q_pii_scrub": 9, "q_repetition_filter": 9, "q_retention": 9, "q_rmst": 9,
     "q_source_jaccard": 9, "q_token_entropy": 9, "q_triangle_count": 9,
     "q_tukey_hsd": 9, "q_wasserstein": 9, "q_window_range_frame": 9,
     # latest green: round 10 (50)
@@ -155,6 +138,23 @@ DRIVER_GREEN_ROUND = {
     "q_srm_check": 13, "q_substring_dup": 13, "q_temperature_mix": 13,
     "q_theil_sen": 13, "q_type_token_ratio": 13, "q_vocab_drift": 13,
     "q_wilson_ctr": 13,
+    # latest green: round 14 (50)
+    "q_active_days": 14, "q_audience_overlap": 14, "q_bloom_audit": 14,
+    "q_bloom_bits": 14, "q_brier": 14, "q_churn_rate": 14, "q_cm_cells": 14,
+    "q_cm_heavy": 14, "q_cochran_q": 14, "q_cohort_ltv": 14,
+    "q_cov_matrix": 14, "q_customer_segments": 14, "q_dau_wau": 14,
+    "q_density_ratio": 14, "q_dominant_suppliers": 14, "q_durbin_watson": 14,
+    "q_ewma_control": 14, "q_gini": 14, "q_hll_estimate": 14,
+    "q_hll_registers": 14, "q_hmm_score": 14, "q_holt_winters": 14,
+    "q_important_parts": 14, "q_isotonic_bins": 14, "q_kmv_distinct": 14,
+    "q_late_shippers": 14, "q_lead_lag": 14, "q_ljung_box": 14, "q_mcc": 14,
+    "q_mcnemar": 14, "q_min_cost_supplier": 14, "q_mode": 14,
+    "q_nelson_aalen": 14, "q_page_hinkley": 14, "q_profit_by_nation": 14,
+    "q_psi": 14, "q_quantile_hist": 14, "q_resample": 14, "q_rfm_segments": 14,
+    "q_sample": 14, "q_sample_stratified": 14, "q_session_entropy": 14,
+    "q_shipmode_priority": 14, "q_sim_ann": 14, "q_sim_topk": 14,
+    "q_skew_profile": 14, "q_supplier_cnt": 14, "q_survival_curve": 14,
+    "q_target_encode": 14, "q_woe_iv": 14,
 }
 
 # Queries with ANY green driver row (kept as a set: the window tests and
