@@ -1,0 +1,174 @@
+"""Exact fixed-point money aggregation — closes the ``round(sum(double), k)``
+half-boundary class fleet-wide (r15; the q_profit_by_nation r14 recipe,
+generalized and centralized).
+
+Why the class is real: every fixture money column sits ON the 2dp grid
+(probed at sf0.01 and the 10x tier, r15 — ``events.value``,
+``l_extendedprice``, ``l_discount``, ``l_tax``, ``c_acctbal``,
+``o_totalprice``, ``p_retailprice``; ``l_quantity`` integral), so TRUE group
+sums land exactly on decimal half-boundaries with high probability (the
+…728.405 case the 10x parity sweep caught on q_profit_by_nation).
+``round(sum(<double>), 2)`` then resolves the boundary by the ±1-ulp
+accumulated error of an ORDER-DEPENDENT double sum — Spark and DuckDB can
+disagree, and Spark can even disagree with itself across partitionings.
+
+The cure: sum exact integer fixed-point units (BIGINT per row — the double
+→ units conversion ``round(col · per_dollar)`` is exact because the double
+is within 1 ulp of the grid point), then round the INTEGER sum with the
+half-away-from-zero identity ``sign(s) · floor((2|s| + d) / (2d))``.
+Order-free, partitioning-free, engine-free.
+
+Two division regimes:
+- ``functions/fixedpoint.half_up`` uses double division — correct only for
+  operands ≤ 2^53 (fine for its per-row callers).
+- Aggregate sums here exceed 2^53 at the 10x tier (q_pricing_summary's
+  charge sum is ~5.7e16 in 1e-6-dollar units), so :func:`_floor_div` uses
+  the pmod identity on DECIMAL(38,0): ``(n − n mod d) / d`` divides
+  exactly, and a decimal division whose quotient is an integer is exact at
+  any scale (probed at 1.14e17 in both engines, r15).
+
+Overflow posture: per-site sums are BIGINT by default (fastest; every
+call site documents its bound — all hold through the 100x tier with ≥1.6x
+headroom). Sites whose 100 TB-scale bound breaks BIGINT pass ``wide=True``
+to sum in DECIMAL(38,0) (Spark) — the DuckDB twin always sums to HUGEINT,
+so only the Spark side needs the flag.
+
+Residual (documented, not closed here): ``round()`` of a genuinely
+continuous-valued double (bm25 scores, chi2 terms, ratio-of-sums) can in
+principle differ across engines when the value sits within ~1 ulp of a
+half-boundary — but a continuous true value is almost surely OFF every
+boundary, unlike grid sums which land ON them; those sites document the
+argument instead (see q_bm25 / q_chi2 docstrings).
+"""
+
+from __future__ import annotations
+
+from typing import Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+ColumnOrName = Union[Column, str]
+
+
+def units(col: ColumnOrName, per_dollar: int = 100) -> Column:
+    """2dp-grid double dollars → exact integer fixed-point BIGINT units.
+
+    ``round(col · per_dollar)`` is exact for grid values: the stored double
+    is the nearest double to the grid point, the product is within 1 ulp of
+    the integer, and round snaps it. Same guarantee in DuckDB
+    (:func:`sql_units` is the literal twin).
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.round(c * per_dollar).cast("bigint")
+
+
+def _floor_div(num: Column, den: Column) -> Column:
+    """Exact ``floor(num / den)`` for non-negative integer-valued columns.
+
+    pmod form: ``(num − num mod den) / den`` — the numerator divides
+    exactly, so the decimal division returns the integer quotient
+    untouched, exact far beyond 2^53 (probed at 1.14e17, r15).
+    """
+    n = num.cast("decimal(38,0)")
+    return ((n - F.pmod(n, den)) / den).cast("decimal(38,0)")
+
+
+def round_half_away(num: Column, den) -> Column:
+    """``round-half-away-from-zero(num / den)`` as an exact integer column.
+
+    num: integer-valued (BIGINT or DECIMAL); den: positive int or integer
+    Column. The identity ``sign(num) · floor((2|num| + den) / (2·den))``
+    — the q_profit_by_nation r14 form, now 2^53-safe via :func:`_floor_div`.
+    """
+    d = F.lit(den) if isinstance(den, int) else den
+    sg = F.when(num < 0, F.lit(-1)).otherwise(F.lit(1)).cast("decimal(38,0)")
+    return sg * _floor_div(F.lit(2) * F.abs(num) + d, F.lit(2) * d)
+
+
+def money_sum_2dp(units_col: Column, d: int = 1, wide: bool = False) -> Column:
+    """Exact ``Σ units`` → dollars (double) on the 2dp grid.
+
+    units_col: per-row integer fixed-point column (see :func:`units`);
+    d: units-per-cent of the summand (1 for cents summands, 100 for
+    1e-4-dollar products like price·discount, 10000 for 1e-6-dollar
+    double products, 7 for the Q17 ``/7.0`` divisor on a cents summand, …)
+    — the result is ``round_half_away(Σ / d)`` cents, cast to double and
+    divided by 100 (exact: cents < 2^53 through the 100x tier at every
+    call site, and the final division is correctly rounded in both
+    engines). ``wide=True`` sums in DECIMAL(38,0) for sites whose unit sum
+    can exceed BIGINT at 100 TB scale. DuckDB twin:
+    :func:`sql_money_sum_2dp` (HUGEINT sum + ``//`` — always wide).
+
+    Empty/all-null input yields NULL (sum semantics) so existing
+    ``coalesce(…, 0.0)`` wrappers keep working.
+    """
+    s = F.sum(units_col.cast("decimal(38,0)") if wide else units_col)
+    cents = s if d == 1 else round_half_away(s, d)
+    return cents.cast("double") / 100
+
+
+def exact_avg(units_col: Column, per_unit: int = 100, dp: int = 6) -> Column:
+    """``round-half-away(avg(col), dp)`` computed exactly from grid units.
+
+    value = Σu / (per_unit · n); at dp digits that is
+    ``round_half_away(Σu · 10^dp, per_unit · n) / 10^dp`` — both the sum
+    and the rounding are integer-exact, so the avg is order-free even when
+    n makes the true value land on a dp half-boundary (possible for grid
+    data: cents-sum/100n is rational with a small denominator). Sum runs
+    in DECIMAL(38,0) (Σu·10^6 reaches ~6e18 at the 10x tier). DuckDB twin:
+    :func:`sql_exact_avg`.
+    """
+    s = F.sum(units_col.cast("decimal(38,0)"))
+    n = F.count(F.lit(1))
+    scale = 10 ** dp
+    q = round_half_away(s * F.lit(scale), F.lit(per_unit) * n)
+    return q.cast("double") / scale
+
+
+def exact_ratio(num_units: Column, den_units: Column, dp: int = 6,
+                scale: float = 1.0) -> Column:
+    """``round(Σnum · scale / Σden, dp)`` with both sums exact integers.
+
+    The sums are order-free BIGINTs; casting each to double is correctly
+    rounded (identically in both engines, even past 2^53), so both engines
+    round the SAME double. Residual: a continuous-valued ratio almost
+    surely sits off every dp half-boundary (module docstring), unlike the
+    grid-sum class this module closes. DuckDB twin: :func:`sql_exact_ratio`.
+    """
+    n = F.sum(num_units).cast("double")
+    d = F.sum(den_units).cast("double")
+    return F.round(n * scale / d, dp)
+
+
+# --------------------------------------------------------------- SQL twins
+# Literal DuckDB fragments for the oracle strings, kept beside the Spark
+# builders so the two sides cannot drift. DuckDB sums integers to HUGEINT
+# (never overflows here) and ``//`` is exact integer division on HUGEINT.
+
+def sql_units(expr: str, per_dollar: int = 100) -> str:
+    return f"CAST(round(({expr}) * {per_dollar}) AS BIGINT)"
+
+
+def _sql_half_away(num: str, den: str) -> str:
+    return (f"(CASE WHEN {num} < 0 THEN -((2 * (-({num})) + {den}) // (2 * {den})) "
+            f"ELSE ((2 * ({num}) + {den}) // (2 * {den})) END)")
+
+
+def sql_money_sum_2dp(units_expr: str, d: int = 1) -> str:
+    s = f"sum({units_expr})"
+    cents = s if d == 1 else _sql_half_away(s, str(d))
+    return f"CAST({cents} AS DOUBLE) / 100"
+
+
+def sql_exact_avg(units_expr: str, per_unit: int = 100, dp: int = 6) -> str:
+    scale = 10 ** dp
+    num = f"(sum({units_expr}) * {scale})"
+    den = f"({per_unit} * count(*))"
+    return f"CAST({_sql_half_away(num, den)} AS DOUBLE) / {scale}"
+
+
+def sql_exact_ratio(num_units: str, den_units: str, dp: int = 6,
+                    scale: str = "1.0") -> str:
+    return (f"round(CAST(sum({num_units}) AS DOUBLE) * {scale} "
+            f"/ CAST(sum({den_units}) AS DOUBLE), {dp})")

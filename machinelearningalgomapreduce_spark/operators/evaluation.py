@@ -50,7 +50,14 @@ def q_chi2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Cell/marginal counts are exact integers; only the final statistic is a
     double (rounded 6). Expected counts use the exact integer products
-    rt·ct before one double division, so per-cell terms are engine-equal."""
+    rt·ct before one double division, so per-cell terms are engine-equal.
+
+    round(sum(term), 6) audit (r15, the half-boundary class): the summand
+    is a continuous-valued rational ((n−e)²/e with a large composite
+    denominator rt·ct·nn), so the true statistic is a.s. off every 6dp
+    half-boundary; the sum runs over O(types × bands) ≈ 20 engine-equal
+    terms — documented double sum, not the grid-money class
+    (functions/money.py)."""
     t = load_tables(spark, sf_dir)
     cells = t.events.groupBy(
         "event_type", (F.hour("ts") / HOUR_BAND_WIDTH).cast("int").alias("band")

@@ -17,6 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from machinelearningalgomapreduce_spark.functions import money
 from machinelearningalgomapreduce_spark.functions.joins import pre_partition_small_tier
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
@@ -33,8 +34,12 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrite Expands every row ×2 before the first shuffle; pre-aggregating
     per (window, type, user) shuffles narrower rows and measures ~17%
     faster — identical results (n_users = count of per-user groups,
-    n_events/sum_value = exact partial sums, rounding absorbs float
-    regrouping per SURVEY §5.2.3). Small tiers pre-partition on the outer
+    n_events/sum_value = exact partial sums). sum_value is EXACT
+    fixed-point (r15, the half-boundary class): BIGINT cents per row,
+    integer partial sums at both levels, /100 at the end — order-free, no
+    round() of a double sum in the hashed output (functions/money.py;
+    cents sum ≤ ~6e13 at the 10x tier, BIGINT holds through 10^5x).
+    Small tiers pre-partition on the outer
     (window, type) keys so both levels share ONE exchange
     (functions/joins.py::pre_partition_small_tier)."""
     t = load_tables(spark, sf_dir)
@@ -42,12 +47,12 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = pre_partition_small_tier(ev, sf_dir, ["window_start", "event_type"])
     per_user = (
         ev.groupBy("window_start", "event_type", "user_id")
-        .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+        .agg(F.count("*").alias("n"), F.sum(money.units("value")).alias("v_c"))
     )
     return per_user.groupBy("window_start", "event_type").agg(
         F.sum("n").alias("n_events"),
         F.count("*").alias("n_users"),
-        F.round(F.sum("v"), 2).alias("sum_value"),
+        money.money_sum_2dp(F.col("v_c")).alias("sum_value"),
     )
 
 
@@ -65,7 +70,8 @@ def q_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t.events.select(F.explode(starts).alias("window_start"), "event_type", "value")
         .groupBy("window_start", "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"),
+             money.money_sum_2dp(money.units("value")).alias("sum_value"))
     )
 
 
@@ -109,7 +115,7 @@ def q_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_events"),
             (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))).alias("duration_us"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            money.money_sum_2dp(money.units("value")).alias("sum_value"),
         )
     )
 
@@ -776,16 +782,16 @@ ORACLES = {
         )
         WHERE rn = 1
     """,
-    "q_events_tumbling": """
+    "q_events_tumbling": f"""
         SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start,
                event_type,
                count(*) AS n_events,
                count(DISTINCT user_id) AS n_users,
-               round(sum(value), 2) AS sum_value
+               {money.sql_money_sum_2dp(money.sql_units("value"))} AS sum_value
         FROM events
         GROUP BY 1, 2
     """,
-    "q_events_sliding": """
+    "q_events_sliding": f"""
         WITH expanded AS (
             SELECT CAST(date_trunc('minute', ts)
                         - to_minutes(CAST(minute(ts) % 15 AS BIGINT))
@@ -795,7 +801,7 @@ ORACLES = {
         )
         SELECT window_start, event_type,
                count(*) AS n_events,
-               round(sum(value), 2) AS sum_value
+               {money.sql_money_sum_2dp(money.sql_units("value"))} AS sum_value
         FROM expanded
         GROUP BY 1, 2
     """,
@@ -814,7 +820,7 @@ ORACLES = {
                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) + 1 AS BIGINT) AS session_seq
         FROM flagged
     """,
-    "q_session_stats": """
+    "q_session_stats": f"""
         WITH flagged AS (
             SELECT user_id, ts, event_id, value,
                    CASE WHEN epoch_us(ts)
@@ -831,7 +837,7 @@ ORACLES = {
         SELECT user_id, session_seq,
                count(*) AS n_events,
                max(epoch_us(ts)) - min(epoch_us(ts)) AS duration_us,
-               round(sum(value), 2) AS sum_value
+               {money.sql_money_sum_2dp(money.sql_units("value"))} AS sum_value
         FROM sessions
         GROUP BY user_id, session_seq
     """,

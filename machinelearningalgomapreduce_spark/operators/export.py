@@ -255,7 +255,10 @@ def q_seq_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
     Per (source, window): docs, tokens, fill ratio.
 
     All window arithmetic is exact integers (cumulative token offsets,
-    `div` floor); only the fill ratio is a rounded double.
+    `div` floor); only the fill ratio is a rounded double — and its
+    round(sum(n_tok)/CTX_LEN, 6) is NOT the half-boundary class (r15
+    audit): sum(n_tok) is an exact BIGINT sum, the division by a constant
+    is one correctly-rounded double op, identical in both engines.
 
     Scale shape: one cumulative window per source partition (the same
     shuffle a sessionize pays), then an O(windows) aggregate. Sources

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from machinelearningalgomapreduce_spark.functions import money
 from machinelearningalgomapreduce_spark.functions.vectors import as_double, dot, norm, sq_dist
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
@@ -218,7 +219,19 @@ def knn_ann(
     to the exact re-rank: the recall/latency dial when code resolution
     is coarse relative to the vote margin — at a budget covering every
     probed candidate the lane is exact over the probe set (pytest-pinned
-    against brute q_knn at full probes)."""
+    against brute q_knn at full probes).
+
+    Corpus-coverage contract of the ``index=`` lane — IVF and PQ alike
+    (r14 ADVICE): the index is trusted to index THIS ``sf_dir``'s
+    embeddings. Neighbor ids returned by a stale or foreign index that
+    are absent from ``sf_dir`` drop out of the label inner join below —
+    shifting votes, or dropping a query entirely when all its neighbors
+    are foreign — rather than failing loudly (the analogous sink-side
+    gap REFUSES: streaming/sinks.py's semantic dedup). Per-query
+    coverage assertion would cost a second aggregate over the result on
+    every serve, so the check stays on the caller; tools/ann_twin_bench
+    builds its indexes from the tier it scores, and the soak tests pin
+    index↔corpus pairing."""
     from machinelearningalgomapreduce_spark.operators.dedup import (
         EMBED_DEDUP_CELL_TARGET,
         auto_n_probe,
@@ -426,12 +439,17 @@ def q_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("p_retailprice").alias("vb"),
         )
         .groupBy("k", "j")
-        .agg(F.round(F.sum("vb"), 2).alias("vb"))
+        # exact cents (r15, functions/money.py): the B cells sum retail
+        # prices (2dp grid) as BIGINT cents; C cells then sum
+        # va · vb_cents — all-integer, order-free; /100 at the end is the
+        # only float op. Bound: Σ|va·vb_c| ≤ ~5e15 at the 10x tier.
+        .agg(F.sum(money.units("vb")).alias("vb_c"))
     )
     return (
         a.join(b, "k")
         .groupBy("i", "j")
-        .agg(F.round(F.sum(F.col("va") * F.col("vb")), 2).alias("c_val"))
+        .agg(money.money_sum_2dp(F.col("va").cast("bigint") * F.col("vb_c"))
+             .alias("c_val"))
     )
 
 
@@ -1230,15 +1248,18 @@ ORACLES = {
                       * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cv[i] AS DOUBLE)))), 6)
               <= {CANOPY_T1}
     """,
-    "q_matmul": """
+    "q_matmul": f"""
         WITH a AS (
-            SELECT l_orderkey % 50 AS i, l_partkey % 20 AS k, sum(l_quantity) AS va
+            SELECT l_orderkey % 50 AS i, l_partkey % 20 AS k,
+                   CAST(sum(l_quantity) AS BIGINT) AS va
             FROM lineitem GROUP BY 1, 2
         ), b AS (
-            SELECT p_partkey % 20 AS k, p_size % 10 AS j, round(sum(p_retailprice), 2) AS vb
+            SELECT p_partkey % 20 AS k, p_size % 10 AS j,
+                   sum({money.sql_units("p_retailprice")}) AS vb_c
             FROM part GROUP BY 1, 2
         )
-        SELECT a.i, b.j, round(sum(a.va * b.vb), 2) AS c_val
+        SELECT a.i, b.j,
+               {money.sql_money_sum_2dp("(a.va * b.vb_c)")} AS c_val
         FROM a JOIN b USING (k)
         GROUP BY a.i, b.j
     """,

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from machinelearningalgomapreduce_spark.functions import money
 from machinelearningalgomapreduce_spark.functions.joins import (
     broadcast_if_small,
     pre_partition_small_tier,
@@ -82,7 +83,11 @@ def q_filter_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             & F.col("l_discount").between(0.05, 0.07)
             & (F.col("l_quantity") < 24)
         )
-        .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
+        .agg(money.money_sum_2dp(
+            # exact 1e-4-dollar units: price_cents · disc_pct (r15,
+            # functions/money.py — the half-boundary class)
+            money.units("l_extendedprice") * money.units("l_discount"),
+            d=100).alias("revenue"))
     )
 
 
@@ -91,21 +96,32 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Catalyst plans this as partial+final HashAggregate — the reference's
     hand-written Combiner for free (SURVEY.md §2A).
+
+    Every money/avg output is EXACT fixed-point (r15, the half-boundary
+    class — functions/money.py): BIGINT units per row (cents /
+    1e-4-dollars / 1e-6-dollars for price / disc_price / charge), integer
+    sums, half-away-from-zero identity rounding. sum_charge sums in
+    DECIMAL(38,0) (wide=True: its 1e-6-unit sum is ~5.7e16 at the 10x
+    tier — BIGINT would still hold to 100x, decimal removes the cliff);
+    the avgs use the same identity at 6dp, closing the order-dependent
+    round(avg(double), 6) variant of the class too.
     """
     t = load_tables(spark, sf_dir)
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    price_u = money.units("l_extendedprice")
+    disc_pct = money.units("l_discount")
+    disc_price_u = price_u * (F.lit(100) - disc_pct)
+    charge_u = disc_price_u * (F.lit(100) + money.units("l_tax"))
     agg = (
         t.lineitem.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),  # integral doubles: exact
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
-            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            money.money_sum_2dp(price_u).alias("sum_base_price"),
+            money.money_sum_2dp(disc_price_u, d=100).alias("sum_disc_price"),
+            money.money_sum_2dp(charge_u, d=10000, wide=True).alias("sum_charge"),
+            money.exact_avg(money.units("l_quantity", 1), per_unit=1).alias("avg_qty"),
+            money.exact_avg(price_u).alias("avg_price"),
+            money.exact_avg(disc_pct).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -122,7 +138,7 @@ def q_join_inner(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_custkey", "c_name")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_spent"),
+            money.money_sum_2dp(money.units("o_totalprice")).alias("total_spent"),
         )
     )
 
@@ -415,7 +431,7 @@ def q_join_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("c_mktsegment")
         .agg(
             F.count("*").alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money.money_sum_2dp(money.units("o_totalprice")).alias("total_price"),
         )
     )
 
@@ -1074,7 +1090,7 @@ ORACLES = {
           AND (o_totalprice BETWEEN 1000.0 AND 200000.0 OR o_custkey < 10)
     """,
     "q_filter_agg": """
-        SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+        SELECT CAST((CASE WHEN sum((CAST(round((l_extendedprice) * 100) AS BIGINT) * CAST(round((l_discount) * 100) AS BIGINT))) < 0 THEN -((2 * (-(sum((CAST(round((l_extendedprice) * 100) AS BIGINT) * CAST(round((l_discount) * 100) AS BIGINT))))) + 100) // (2 * 100)) ELSE ((2 * (sum((CAST(round((l_extendedprice) * 100) AS BIGINT) * CAST(round((l_discount) * 100) AS BIGINT)))) + 100) // (2 * 100)) END) AS DOUBLE) / 100 AS revenue
         FROM lineitem
         WHERE l_shipdate >= TIMESTAMP '1996-01-01'
           AND l_shipdate <  TIMESTAMP '1997-01-01'
@@ -1084,12 +1100,12 @@ ORACLES = {
     "q_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                sum(l_quantity) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               round(avg(l_quantity), 6) AS avg_qty,
-               round(avg(l_extendedprice), 6) AS avg_price,
-               round(avg(l_discount), 6) AS avg_disc,
+               CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_base_price,
+               CAST((CASE WHEN sum((CAST(round((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(round((l_discount) * 100) AS BIGINT)))) < 0 THEN -((2 * (-(sum((CAST(round((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(round((l_discount) * 100) AS BIGINT)))))) + 100) // (2 * 100)) ELSE ((2 * (sum((CAST(round((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(round((l_discount) * 100) AS BIGINT))))) + 100) // (2 * 100)) END) AS DOUBLE) / 100 AS sum_disc_price,
+               CAST((CASE WHEN sum(((CAST(round((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(round((l_discount) * 100) AS BIGINT))) * (100 + CAST(round((l_tax) * 100) AS BIGINT)))) < 0 THEN -((2 * (-(sum(((CAST(round((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(round((l_discount) * 100) AS BIGINT))) * (100 + CAST(round((l_tax) * 100) AS BIGINT)))))) + 10000) // (2 * 10000)) ELSE ((2 * (sum(((CAST(round((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(round((l_discount) * 100) AS BIGINT))) * (100 + CAST(round((l_tax) * 100) AS BIGINT))))) + 10000) // (2 * 10000)) END) AS DOUBLE) / 100 AS sum_charge,
+               CAST((CASE WHEN (sum(CAST(round((l_quantity) * 1) AS BIGINT)) * 1000000) < 0 THEN -((2 * (-((sum(CAST(round((l_quantity) * 1) AS BIGINT)) * 1000000))) + (1 * count(*))) // (2 * (1 * count(*)))) ELSE ((2 * ((sum(CAST(round((l_quantity) * 1) AS BIGINT)) * 1000000)) + (1 * count(*))) // (2 * (1 * count(*)))) END) AS DOUBLE) / 1000000 AS avg_qty,
+               CAST((CASE WHEN (sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) * 1000000) < 0 THEN -((2 * (-((sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) * 1000000))) + (100 * count(*))) // (2 * (100 * count(*)))) ELSE ((2 * ((sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) * 1000000)) + (100 * count(*))) // (2 * (100 * count(*)))) END) AS DOUBLE) / 1000000 AS avg_price,
+               CAST((CASE WHEN (sum(CAST(round((l_discount) * 100) AS BIGINT)) * 1000000) < 0 THEN -((2 * (-((sum(CAST(round((l_discount) * 100) AS BIGINT)) * 1000000))) + (100 * count(*))) // (2 * (100 * count(*)))) ELSE ((2 * ((sum(CAST(round((l_discount) * 100) AS BIGINT)) * 1000000)) + (100 * count(*))) // (2 * (100 * count(*)))) END) AS DOUBLE) / 1000000 AS avg_disc,
                count(*) AS count_order
         FROM lineitem
         WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -1099,7 +1115,7 @@ ORACLES = {
     "q_join_inner": """
         SELECT c_custkey, c_name,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS total_spent
+               CAST(sum(CAST(round((o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_spent
         FROM customer JOIN orders ON c_custkey = o_custkey
         GROUP BY c_custkey, c_name
     """,
@@ -1183,7 +1199,7 @@ ORACLES = {
     "q_join_salted": """
         SELECT c.c_mktsegment,
                count(*) AS n_orders,
-               round(sum(o.o_totalprice), 2) AS total_price
+               CAST(sum(CAST(round((o.o_totalprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS total_price
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         GROUP BY c.c_mktsegment
     """,

@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
+from machinelearningalgomapreduce_spark.functions import money
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
 HIST_BINS = 10
@@ -175,7 +176,8 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(
             F.count("*").alias("n_sampled"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sampled_price"),
+            # exact cents sum (r15, functions/money.py — half-boundary class)
+            money.money_sum_2dp(money.units("l_extendedprice")).alias("sampled_price"),
         )
     )
 
@@ -228,7 +230,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sampled.groupBy("event_type").agg(
         F.count("*").alias("n_sampled"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        money.money_sum_2dp(money.units("value")).alias("sum_value"),
     )
 
 
@@ -313,6 +315,9 @@ def q_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return seg.groupBy("segment").agg(
         F.count("*").alias("n_customers"),
         F.sum("n_orders").alias("n_orders"),
+        # ltv is an exact DECIMAL(18,2) sum, so these round() calls sit on
+        # values already ON the 2dp grid — identity, order-free (r15 audit:
+        # not the round(sum(double)) half-boundary class).
         F.round(F.min("ltv").cast("double"), 2).alias("min_ltv"),
         F.round(F.max("ltv").cast("double"), 2).alias("max_ltv"),
         F.round(F.sum("ltv").cast("double"), 2).alias("sum_ltv"),
@@ -697,12 +702,12 @@ ORACLES = {
         )
         SELECT l_returnflag,
                count(*) AS n_sampled,
-               round(sum(l_extendedprice), 2) AS sampled_price
+               CAST(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sampled_price
         FROM keyed
         WHERE bucket < {256 * SAMPLE_PCT // 100}
         GROUP BY l_returnflag
     """,
-    "q_sample_stratified": """
+    "q_sample_stratified": f"""
         WITH target AS (
             SELECT min(n) AS target
             FROM (SELECT count(*) AS n FROM events GROUP BY event_type)
@@ -714,7 +719,7 @@ ORACLES = {
         )
         SELECT event_type,
                count(*) AS n_sampled,
-               round(sum(value), 2) AS sum_value
+               CAST(sum(CAST(round((value) * 100) AS BIGINT)) AS DOUBLE) / 100 AS sum_value
         FROM ranked, target
         WHERE rk <= target
         GROUP BY event_type

@@ -296,6 +296,14 @@ def q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
     idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)  (the Lucene-positive form).
 
+    round(sum(part), 6) audit (r15, the half-boundary class): the
+    summand is a CONTINUOUS-valued score (log idf × a tf ratio), so the
+    true per-doc sum is almost surely OFF every 6dp half-boundary — the
+    double-sum's ±few-ulp order dependence only matters within ~1e-10 of a
+    boundary, jointly negligible. Unlike the grid-money sums (converted to
+    exact fixed-point in functions/money.py), there is no exact integer
+    representation to sum, so this stays a documented double sum.
+
     Plan shape: per-doc tf for the 3 query terms (scan-side filter before
     the aggregate), df/N/avgdl are 1-row or per-term broadcast aggregates —
     exactly the inverted-index + doc-stats reuse a real index would give;

@@ -59,12 +59,28 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from machinelearningalgomapreduce_spark.functions import money
 from machinelearningalgomapreduce_spark.functions.joins import broadcast_if_small
 from machinelearningalgomapreduce_spark.operators.relational import tiny_sorted
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
 def _rev() -> F.Column:
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+def _rev_u() -> F.Column:
+    """_rev() as exact 1e-4-dollar BIGINT units (functions/money.py, r15 —
+    the half-boundary class): price_cents · (100 − disc_pct). Per-row
+    ≤ ~5e9, revenue group sums ≤ ~3e16 at the 10x tier — BIGINT holds
+    through the 100x tier with ~30x headroom; DuckDB twin sums to HUGEINT
+    (_REV_U_SQL)."""
+    return money.units("l_extendedprice") * (F.lit(100) - money.units("l_discount"))
+
+
+_REV_U_SQL = (
+    f"({money.sql_units('l_extendedprice')}"
+    f" * (100 - {money.sql_units('l_discount')}))"
+)
 
 
 def q_custdist(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -142,8 +158,10 @@ def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         fact.join(F.broadcast(thresholds), fact.l_partkey == F.col("t_partkey"))
         .filter(F.col("l_quantity") < F.col("qty_bar"))
-        .agg(F.coalesce(F.round(F.sum("l_extendedprice") / 7.0, 2), F.lit(0.0))
-             .alias("avg_yearly"))
+        .agg(F.coalesce(
+            # exact cents sum, half-away ÷7 at 2dp (functions/money.py, r15)
+            money.money_sum_2dp(money.units("l_extendedprice"), d=7),
+            F.lit(0.0)).alias("avg_yearly"))
     )
 
 
@@ -154,9 +172,10 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast against the same view — the revenue relation is computed
     once per branch off a shared aggregate, |suppliers| rows at most, and
     the max side is a single row, so the "self-join against a scalar" is
-    two tiny stages after one fact-table aggregate. Revenue is rounded to
-    2 before the max comparison so engine summation order cannot flip the
-    argmax.
+    two tiny stages after one fact-table aggregate. Revenue is EXACT
+    fixed-point at 2dp (functions/money.py, r15 — the half-boundary
+    class), so the max comparison and the winner set are deterministic by
+    construction, not by rounding luck.
     """
     t = load_tables(spark, sf_dir)
     rev = (
@@ -165,7 +184,7 @@ def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
         )
         .groupBy("l_suppkey")
-        .agg(F.round(F.sum(_rev()), 2).alias("total_revenue"))
+        .agg(money.money_sum_2dp(_rev_u(), d=100).alias("total_revenue"))
     )
     max_rev = rev.agg(F.max("total_revenue").alias("max_revenue"))
     out = (
@@ -204,7 +223,7 @@ def q_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.lineitem.filter(F.col("l_returnflag") == "R")
         .join(dims, F.col("l_orderkey") == dims.o_orderkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(money.money_sum_2dp(_rev_u(), d=100).alias("revenue"))
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(20)
     )
@@ -215,17 +234,20 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     part is broadcast into the month-filtered lineitem scan; the
     conditional and unconditional sums ride the same single aggregate
-    (one pass, no join of two aggregates). Ratio rounds to 6.
+    (one pass, no join of two aggregates). Both sums are exact integer
+    fixed-point (functions/money.py, r15), so the rounded-to-6 ratio is a
+    round() of the SAME double in both engines.
     """
     t = load_tables(spark, sf_dir)
-    promo = F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0.0))
+    promo_u = F.when(F.col("p_type") == "PROMO", _rev_u()).otherwise(F.lit(0))
     return (
         t.lineitem.filter(
             (F.col("l_shipdate") >= F.lit("1996-09-01").cast("timestamp"))
             & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
         )
         .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
-        .agg(F.round(F.sum(promo) * 100.0 / F.sum(_rev()), 6).alias("promo_share"))
+        .agg(money.exact_ratio(promo_u, _rev_u(), dp=6, scale=100.0)
+             .alias("promo_share"))
     )
 
 
@@ -251,7 +273,8 @@ def q_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
             | block("Brand#23", 10, 10, 20)
             | block("Brand#24", 15, 20, 30)
         )
-        .agg(F.coalesce(F.round(F.sum(_rev()), 2), F.lit(0.0)).alias("revenue"))
+        .agg(F.coalesce(money.money_sum_2dp(_rev_u(), d=100), F.lit(0.0))
+             .alias("revenue"))
     )
 
 
@@ -289,7 +312,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").cast("int").alias("l_year"))
-        .agg(F.round(F.sum(_rev()), 2).alias("revenue"))
+        .agg(money.money_sum_2dp(_rev_u(), d=100).alias("revenue"))
     )
     return tiny_sorted(agg, "supp_nation", "cust_nation", "l_year")
 
@@ -322,14 +345,14 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     econ_parts = broadcast_if_small(econ_parts, sf_dir, fits_until_sf=1.0)
     asia_orders = broadcast_if_small(asia_orders, sf_dir, fits_until_sf=1.0)
     supp_nat = broadcast_if_small(supp_nat, sf_dir, fits_until_sf=1.0)
-    target = F.when(F.col("supp_nation") == "NATION_5", _rev()).otherwise(F.lit(0.0))
+    target_u = F.when(F.col("supp_nation") == "NATION_5", _rev_u()).otherwise(F.lit(0))
     agg = (
         t.lineitem
         .join(econ_parts, F.col("l_partkey") == F.col("p_partkey"))
         .join(asia_orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(supp_nat, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("o_year")
-        .agg(F.round(F.sum(target) / F.sum(_rev()), 6).alias("mkt_share"))
+        .agg(money.exact_ratio(target_u, _rev_u(), dp=6).alias("mkt_share"))
     )
     return tiny_sorted(agg, "o_year")
 
@@ -360,7 +383,7 @@ def q_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t.nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(F.count("*").alias("numcust"),
-             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"))
+             money.money_sum_2dp(money.units("c_acctbal")).alias("totacctbal"))
     )
     return tiny_sorted(agg, "n_name")
 
@@ -722,7 +745,7 @@ ORACLES = {
         LIMIT 100
     """,
     "q_small_qty_revenue": """
-        SELECT coalesce(round(sum(l_extendedprice) / 7.0, 2), 0.0) AS avg_yearly
+        SELECT coalesce(CAST((CASE WHEN sum(CAST(round((l_extendedprice) * 100) AS BIGINT)) < 0 THEN -((2 * (-(sum(CAST(round((l_extendedprice) * 100) AS BIGINT)))) + 7) // (2 * 7)) ELSE ((2 * (sum(CAST(round((l_extendedprice) * 100) AS BIGINT))) + 7) // (2 * 7)) END) AS DOUBLE) / 100, 0.0) AS avg_yearly
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE p_brand = 'Brand#23'
           AND l_quantity < (SELECT 0.2 * avg(l_quantity)
@@ -730,7 +753,7 @@ ORACLES = {
     """,
     "q_top_supplier": """
         WITH rev AS (
-            SELECT l_suppkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+            SELECT l_suppkey, CAST((CASE WHEN sum((CAST(round((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(round((l_discount) * 100) AS BIGINT)))) < 0 THEN -((2 * (-(sum((CAST(round((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(round((l_discount) * 100) AS BIGINT)))))) + 100) // (2 * 100)) ELSE ((2 * (sum((CAST(round((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(round((l_discount) * 100) AS BIGINT))))) + 100) // (2 * 100)) END) AS DOUBLE) / 100 AS total_revenue
             FROM lineitem
             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
               AND l_shipdate < TIMESTAMP '1996-04-01'
@@ -742,7 +765,7 @@ ORACLES = {
     """,
     "q_returned_items": """
         SELECT c_custkey, c_name, c_acctbal, n_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               CAST((CASE WHEN sum((CAST(round((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(round((l_discount) * 100) AS BIGINT)))) < 0 THEN -((2 * (-(sum((CAST(round((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(round((l_discount) * 100) AS BIGINT)))))) + 100) // (2 * 100)) ELSE ((2 * (sum((CAST(round((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(round((l_discount) * 100) AS BIGINT))))) + 100) // (2 * 100)) END) AS DOUBLE) / 100 AS revenue
         FROM customer
         JOIN orders ON c_custkey = o_custkey
         JOIN lineitem ON l_orderkey = o_orderkey
@@ -755,16 +778,13 @@ ORACLES = {
         LIMIT 20
     """,
     "q_promo_revenue": """
-        SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                      THEN l_extendedprice * (1 - l_discount)
-                                      ELSE 0.0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_share
+        SELECT round(CAST(sum((CASE WHEN p_type = 'PROMO' THEN (CAST(round((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(round((l_discount) * 100) AS BIGINT))) ELSE 0 END)) AS DOUBLE) * 100.0 / CAST(sum((CAST(round((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(round((l_discount) * 100) AS BIGINT)))) AS DOUBLE), 6) AS promo_share
         FROM lineitem JOIN part ON l_partkey = p_partkey
         WHERE l_shipdate >= TIMESTAMP '1996-09-01'
           AND l_shipdate < TIMESTAMP '1996-10-01'
     """,
     "q_disjunctive_pred": """
-        SELECT coalesce(round(sum(l_extendedprice * (1 - l_discount)), 2), 0.0) AS revenue
+        SELECT coalesce(CAST((CASE WHEN sum((CAST(round((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(round((l_discount) * 100) AS BIGINT)))) < 0 THEN -((2 * (-(sum((CAST(round((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(round((l_discount) * 100) AS BIGINT)))))) + 100) // (2 * 100)) ELSE ((2 * (sum((CAST(round((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(round((l_discount) * 100) AS BIGINT))))) + 100) // (2 * 100)) END) AS DOUBLE) / 100, 0.0) AS revenue
         FROM lineitem JOIN part ON p_partkey = l_partkey
         WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
                AND l_quantity BETWEEN 1 AND 11)
@@ -774,10 +794,10 @@ ORACLES = {
                AND l_quantity BETWEEN 20 AND 30)
     """,
     "q_volume_shipping": """
-        SELECT supp_nation, cust_nation, l_year, round(sum(volume), 2) AS revenue
+        SELECT supp_nation, cust_nation, l_year, CAST((CASE WHEN sum(volume_u) < 0 THEN -((2 * (-(sum(volume_u))) + 100) // (2 * 100)) ELSE ((2 * (sum(volume_u)) + 100) // (2 * 100)) END) AS DOUBLE) / 100 AS revenue
         FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
                      CAST(year(l_shipdate) AS INTEGER) AS l_year,
-                     l_extendedprice * (1 - l_discount) AS volume
+                     (CAST(round((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(round((l_discount) * 100) AS BIGINT))) AS volume_u
               FROM supplier
               JOIN lineitem ON s_suppkey = l_suppkey
               JOIN orders ON o_orderkey = l_orderkey
@@ -794,10 +814,9 @@ ORACLES = {
     """,
     "q_market_share": """
         SELECT o_year,
-               round(sum(CASE WHEN nation = 'NATION_5' THEN volume ELSE 0.0 END)
-                     / sum(volume), 6) AS mkt_share
+               round(CAST(sum((CASE WHEN nation = 'NATION_5' THEN volume_u ELSE 0 END)) AS DOUBLE) * 1.0 / CAST(sum(volume_u) AS DOUBLE), 6) AS mkt_share
         FROM (SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
-                     l_extendedprice * (1 - l_discount) AS volume,
+                     (CAST(round((l_extendedprice) * 100) AS BIGINT) * (100 - CAST(round((l_discount) * 100) AS BIGINT))) AS volume_u,
                      n2.n_name AS nation
               FROM lineitem
               JOIN part ON p_partkey = l_partkey
@@ -815,7 +834,7 @@ ORACLES = {
         ORDER BY o_year
     """,
     "q_idle_customers": """
-        SELECT n_name, count(*) AS numcust, round(sum(c_acctbal), 2) AS totacctbal
+        SELECT n_name, count(*) AS numcust, CAST(sum(CAST(round((c_acctbal) * 100) AS BIGINT)) AS DOUBLE) / 100 AS totacctbal
         FROM customer JOIN nation ON c_nationkey = n_nationkey
         WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
           AND NOT EXISTS (SELECT 1 FROM orders

@@ -19,6 +19,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from machinelearningalgomapreduce_spark.functions import money
+
 # Per-path inferred-schema cache (ADVICE r4): the eager batch read exists
 # only to discover which timestamp ENCODING this fixture generation used;
 # one driver-side footer read per sf_dir per process is enough.
@@ -84,7 +86,9 @@ def tumbling_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
         .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
         .agg(
             F.count("*").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact fixed-point cents, matching the batch twin (r15 —
+            # functions/money.py); batch≡stream diffs stay bit-identical
+            money.money_sum_2dp(money.units("value")).alias("sum_value"),
         )
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
@@ -95,7 +99,7 @@ def sliding_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
     return (
         events.withWatermark("ts", watermark)
         .groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), money.money_sum_2dp(money.units("value")).alias("sum_value"))
         .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "sum_value")
     )
 
@@ -106,7 +110,7 @@ def session_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
     return (
         events.withWatermark("ts", "1 hour")
         .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
-        .agg(F.count("*").alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .agg(F.count("*").alias("n_events"), money.money_sum_2dp(money.units("value")).alias("sum_value"))
         .select(
             F.col("w.start").alias("session_start"),
             F.col("w.end").alias("session_end"),
