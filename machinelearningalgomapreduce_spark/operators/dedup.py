@@ -70,10 +70,11 @@ EMBED_BRUTE_MAX_ROWS = 10_000
 # relying on the probe. Documented in q_dedup_embedding's docstring.
 _EMBED_PROBE_CACHE: dict = {}
 
-# One-shot flag for embedding_dedup_blocked_frame's verify=False semantic
+# Once-per-CALL-SITE registry for embedding_dedup_blocked_frame's
+# verify=False semantic
 # -break warning (r13 ADVICE: warn once per process, not per bench-loop
 # call).
-_VERIFY_FALSE_WARNED = False
+_VERIFY_FALSE_WARNED_SITES: set = set()
 
 
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1129,14 +1130,21 @@ def embedding_dedup_blocked_frame(
     quiet (r12 ADVICE). The warning fires ONCE PER PROCESS (r13 ADVICE):
     the endorsed budget-audit callers run verify=False in bench loops,
     and per-call repetition of an already-acknowledged semantic note is
-    noise, not signal — first use warns, the rest stay quiet."""
+    noise, not signal — first use warns, the rest stay quiet. Keyed per
+    CALL SITE (caller file:line — r14 ADVICE): one bench loop consuming
+    the warning must not hide the semantic break from a second, distinct
+    caller elsewhere in a long-lived process."""
     from machinelearningalgomapreduce_spark.operators.ml import kmeans_fit_frame
 
-    global _VERIFY_FALSE_WARNED
-    if not verify and not _VERIFY_FALSE_WARNED:
+    if not verify:
+        import inspect
         import warnings
 
-        _VERIFY_FALSE_WARNED = True
+        caller = inspect.stack()[1]
+        site = (caller.filename, caller.lineno)
+        del caller
+    if not verify and site not in _VERIFY_FALSE_WARNED_SITES:
+        _VERIFY_FALSE_WARNED_SITES.add(site)
         warnings.warn(
             "embedding_dedup_blocked_frame(verify=False) returns "
             "REP-LEVEL candidates (identical embeddings collapse to one "

@@ -1019,13 +1019,18 @@ QUERIES = {
 
 # Shared CTE: the distinct part co-purchase edge set (u < v), mirrored by
 # `_copurchase_edges` — every co-purchase-graph oracle starts here.
-_EDGE_CTES = """parts AS (
+# MATERIALIZED (r15, VERDICT r14 item 4): DuckDB 1.0 inlines plain CTEs per
+# reference, so oracles that touch nbrs/edges more than once recomputed the
+# ~1.6e8-pair co-order join each time at the 10x tier (q_common_neighbors
+# blew a 27-min cap). The hint computes each graph level ONCE per statement
+# — purely physical, results byte-identical.
+_EDGE_CTES = """parts AS MATERIALIZED (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        ), edges AS (
+        ), edges AS MATERIALIZED (
             SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
             FROM parts a JOIN parts b
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        ), nbrs AS (
+        ), nbrs AS MATERIALIZED (
             SELECT u AS node, v AS nbr FROM edges
             UNION ALL
             SELECT v AS node, u AS nbr FROM edges
@@ -1033,15 +1038,15 @@ _EDGE_CTES = """parts AS (
 
 # Support-floored variant (`_repeat_copurchase_edges`): edges kept only when
 # the pair co-occurs in ≥ REPEAT_MIN_ORDERS orders.
-_REPEAT_EDGE_CTES = f"""parts AS (
+_REPEAT_EDGE_CTES = f"""parts AS MATERIALIZED (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        ), edges AS (
+        ), edges AS MATERIALIZED (
             SELECT a.l_partkey AS u, b.l_partkey AS v
             FROM parts a JOIN parts b
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
             GROUP BY 1, 2
             HAVING count(*) >= {REPEAT_MIN_ORDERS}
-        ), nbrs AS (
+        ), nbrs AS MATERIALIZED (
             SELECT u AS node, v AS nbr FROM edges
             UNION ALL
             SELECT v AS node, u AS nbr FROM edges

@@ -177,35 +177,45 @@ def q_sssp_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 QUERIES = {"q_bfs_levels": q_bfs_levels, "q_sssp_step": q_sssp_step}
 
-_EDGE_CTES = """parts AS (
+_EDGE_CTES = """parts AS MATERIALIZED (
             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-        ), dir_edges AS (
+        ), dir_edges AS MATERIALIZED (
             SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
             FROM parts a JOIN parts b
               ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        ), edges AS (
+        ), edges AS MATERIALIZED (
             SELECT u, v FROM dir_edges
             UNION ALL
             SELECT v AS u, u AS v FROM dir_edges
         )"""
+# MATERIALIZED (r15, VERDICT r14 item 4): DuckDB 1.0 inlines plain CTEs per
+# reference, so the ~1.6e8-pair co-order join was recomputed for every l1/l2
+# frontier reference at the 10x tier and the oracle blew a 27-min cap. The
+# hint computes the pair graph ONCE per statement — the single-statement
+# analog of "pre-materialize the pair graph as a temp table". Purely
+# physical: results are byte-identical, and the sf0.01 driver gate keeps
+# passing (re-checked r15). The frontier NOT INs are NOT EXISTS (hash
+# anti-joins) for the same reason; node is non-null so semantics match.
+# NB: oracle SQL must never contain `--` comments — the harness collapses
+# the string to one line, and a comment swallows the rest of the query.
 
 ORACLES = {
     "q_bfs_levels": f"""
         WITH {_EDGE_CTES},
-        nodes AS (
+        nodes AS MATERIALIZED (
             SELECT DISTINCT u AS node FROM edges
-        ), l0 AS (
+        ), l0 AS MATERIALIZED (
             SELECT node FROM nodes WHERE node % {BFS_SEED_MOD} = 0
-        ), l1 AS (
+        ), l1 AS MATERIALIZED (
             SELECT DISTINCT e.v AS node
             FROM edges e JOIN l0 ON e.u = l0.node
-            WHERE e.v NOT IN (SELECT node FROM l0)
-        ), l2 AS (
+            WHERE NOT EXISTS (SELECT 1 FROM l0 x WHERE x.node = e.v)
+        ), l2 AS MATERIALIZED (
             SELECT DISTINCT e.v AS node
             FROM edges e JOIN l1 ON e.u = l1.node
-            WHERE e.v NOT IN (SELECT node FROM l0)
-              AND e.v NOT IN (SELECT node FROM l1)
-        ), reached AS (
+            WHERE NOT EXISTS (SELECT 1 FROM l0 x WHERE x.node = e.v)
+              AND NOT EXISTS (SELECT 1 FROM l1 y WHERE y.node = e.v)
+        ), reached AS MATERIALIZED (
             SELECT node, 0 AS dist FROM l0
             UNION ALL SELECT node, 1 FROM l1
             UNION ALL SELECT node, 2 FROM l2
@@ -213,7 +223,7 @@ ORACLES = {
             SELECT r.node, r.dist FROM reached r
             UNION ALL
             SELECT n.node, -1 AS dist FROM nodes n
-            WHERE n.node NOT IN (SELECT node FROM reached)
+            WHERE NOT EXISTS (SELECT 1 FROM reached x WHERE x.node = n.node)
         )
         SELECT dist, count(*) AS n_nodes FROM allnodes GROUP BY dist
     """,

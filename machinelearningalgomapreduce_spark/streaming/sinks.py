@@ -572,9 +572,16 @@ def _semantic_ingest_batch(
                     # one corner the listing caught — a log directory
                     # holding ZERO epochs, where parquet schema inference
                     # itself fails — routes to the identical refusal.
+                    # Only THAT failure is expected here (AnalysisException:
+                    # path missing / unable to infer schema); anything else
+                    # — corrupt epoch file, permissions, transient FS —
+                    # must propagate, not masquerade as the coverage
+                    # refusal (r14 ADVICE).
+                    from pyspark.errors import AnalysisException
+
                     try:
                         log = spark.read.parquet(out_dir)
-                    except Exception:
+                    except AnalysisException:
                         n = cand_ids.count()
                         if n:
                             refuse(n)

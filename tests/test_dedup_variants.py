@@ -646,25 +646,27 @@ def test_two_level_tier_differential_vs_flat(spark, monkeypatch):
     # would re-run the full blocking pass for no new contract
 
 
-def test_verify_false_semantic_warning_fires_once_per_process(spark, sf_dir):
-    """r14 (r13 ADVICE): the verify=False semantic-break UserWarning is
-    once-per-process — the endorsed budget-audit callers run it in bench
-    loops, and repeating an acknowledged note per call is noise. First
-    call (with the flag reset) warns; the second stays silent."""
+def test_verify_false_semantic_warning_fires_once_per_call_site(spark, sf_dir):
+    """r15 (r14 ADVICE): the verify=False semantic-break UserWarning is
+    once-per-CALL-SITE — a bench loop consuming it must not hide the
+    semantic break from a second, distinct caller in the same process.
+    A loop (one site) warns exactly once; a separate call line (a new
+    site) warns again."""
     import warnings
 
     from machinelearningalgomapreduce_spark.operators import dedup
     from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
     emb = load_tables(spark, sf_dir).embeddings.select("vec_id", "embedding")
-    dedup._VERIFY_FALSE_WARNED = False
+    dedup._VERIFY_FALSE_WARNED_SITES.clear()
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
-        dedup.embedding_dedup_blocked_frame(spark, emb, verify=False).count()
+        for _ in range(3):  # one call site, looped — the bench-loop shape
+            dedup.embedding_dedup_blocked_frame(spark, emb, verify=False).count()
         first = [x for x in w if "REP-LEVEL" in str(x.message)]
     assert len(first) == 1, [str(x.message) for x in w]
     with warnings.catch_warnings(record=True) as w:
         warnings.simplefilter("always")
         dedup.embedding_dedup_blocked_frame(spark, emb, verify=False).count()
         second = [x for x in w if "REP-LEVEL" in str(x.message)]
-    assert not second
+    assert len(second) == 1, "a distinct call site must get its own warning"

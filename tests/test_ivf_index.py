@@ -12,6 +12,8 @@ from machinelearningalgomapreduce_spark.operators.ml import label_centroids
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 from tests.conftest import SMOKE_SF_DIR
 
+from tests.conftest import drain
+
 DIM = 64
 
 
@@ -164,12 +166,12 @@ def test_index_maintained_from_a_stream(spark, tmp_path):
         .parquet(src)
     )
     q = mv_ingest_stream(spark, stream, idx, str(tmp_path / "ck1"))
-    q.awaitTermination(120)
+    drain(q, 420)
     state = {(r.vec_id, r.cell) for r in idx.read(spark).collect()}
     assert len(state) == full.count()
     # fresh checkpoint → every epoch redelivered → ledger must no-op all
     q2 = mv_ingest_stream(spark, stream, idx, str(tmp_path / "ck2"))
-    q2.awaitTermination(120)
+    drain(q2, 420)
     assert {(r.vec_id, r.cell) for r in idx.read(spark).collect()} == state
     want = {(r.vec_id, r.cell) for r in idx.assign_cells(spark, full).collect()}
     assert state == want
@@ -239,7 +241,7 @@ def test_streaming_maintenance_with_compaction_schedule(spark, tmp_path):
         .parquet(src)
     )
     q = mv_ingest_stream(spark, stream, idx, str(tmp_path / "ck_ce"), compact_every=2)
-    q.awaitTermination(120)
+    drain(q, 420)
     got = {(r.vec_id, r.cell) for r in idx.read(spark).collect()}
     want = {(r.vec_id, r.cell) for r in idx.assign_cells(spark, full).collect()}
     assert got == want

@@ -15,6 +15,8 @@ from pyspark.sql import functions as F
 from machinelearningalgomapreduce_spark.operators.ivf_index import IVFIndexView
 from machinelearningalgomapreduce_spark.operators.ivf_pq import IVFPQIndexView
 
+from tests.conftest import drain
+
 DIM, N, N_CLUSTERS, PQ_M, PQ_K = 64, 500, 5, 16, 25
 SUB = DIM // PQ_M
 
@@ -267,11 +269,11 @@ def test_pq_index_maintained_from_a_stream(spark, tmp_path):
         .parquet(src)
     )
     q = mv_ingest_stream(spark, stream, pq, str(tmp_path / "ck1"))
-    q.awaitTermination(120)
+    drain(q, 420)
     state = {(r.vec_id, tuple(r.codes), r.cell) for r in pq.read(spark).collect()}
     assert len(state) == len(rows)
     q2 = mv_ingest_stream(spark, stream, pq, str(tmp_path / "ck2"))
-    q2.awaitTermination(120)
+    drain(q2, 420)
     assert {
         (r.vec_id, tuple(r.codes), r.cell) for r in pq.read(spark).collect()
     } == state

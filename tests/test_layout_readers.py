@@ -33,6 +33,8 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
+from tests.conftest import drain
+
 
 def _dir_layout_copy(spark, sf_dir, tmp_path, tables):
     """Rewrite fixture tables as Spark-written DIRECTORY tables (the real
@@ -86,7 +88,7 @@ def test_stream_table_reads_both_layouts(spark, sf_dir, tmp_path, table):
             )
             .start()
         )
-        q.awaitTermination(120)
+        drain(q, 420)
         got = spark.sql(f"select * from layout_{table}_{i}").first()
         assert got is not None and got["count"] == batch_n, (src, got)
 
@@ -109,6 +111,6 @@ def test_stream_documents_directory_layout(spark, sf_dir, tmp_path):
         .option("checkpointLocation", str(tmp_path / "ck_docs"))
         .start()
     )
-    q.awaitTermination(120)
+    drain(q, 420)
     got = spark.sql("select * from layout_docs_sink").first()
     assert got is not None and got["n"] == n

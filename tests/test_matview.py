@@ -17,6 +17,8 @@ from machinelearningalgomapreduce_spark.operators.matview import (
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 from tests.conftest import SMOKE_SF_DIR
 
+from tests.conftest import drain
+
 
 def _mk_view(path):
     return IncrementalAggView(
@@ -158,12 +160,12 @@ def test_stream_epochs_fold_exactly_once(spark, tmp_path):
         .withColumn("amount_cents", F.round(F.col("value") * 100).cast("long"))
     )
     q = mv_ingest_stream(spark, stream, mv, str(tmp_path / "ck1"))
-    q.awaitTermination(120)
+    drain(q, 420)
     after_first = _canon(mv.read(spark))
     assert mv.current_version() >= 1
     # second run: new checkpoint → Spark re-delivers every epoch
     q2 = mv_ingest_stream(spark, stream, mv, str(tmp_path / "ck2"))
-    q2.awaitTermination(120)
+    drain(q2, 420)
     assert _canon(mv.read(spark)) == after_first
     expected = _canon(
         spark.read.parquet(src_dir)
@@ -657,7 +659,7 @@ def test_segmented_view_composes_with_stream_ingest(spark, tmp_path):
         .withColumn("amount_cents", F.round(F.col("value") * 100).cast("long"))
     )
     q = mv_ingest_stream(spark, stream, sv, str(tmp_path / "ck1"))
-    q.awaitTermination(120)
+    drain(q, 420)
     after_first = _canon(sv.read(spark))
     expected = _canon(
         spark.read.parquet(src_dir)
@@ -668,7 +670,7 @@ def test_segmented_view_composes_with_stream_ingest(spark, tmp_path):
     assert after_first == expected
     # fresh checkpoint → every epoch redelivered → ledger no-ops all
     q2 = mv_ingest_stream(spark, stream, sv, str(tmp_path / "ck2"))
-    q2.awaitTermination(120)
+    drain(q2, 420)
     assert _canon(sv.read(spark)) == after_first
 
 
@@ -1157,9 +1159,9 @@ def test_mv_ingest_stream_compact_every_schedule(spark, tmp_path):
         .withColumn("amount_cents", F.round(F.col("value") * 100).cast("long"))
     )
     q = mv_ingest_stream(spark, stream, deferred, str(tmp_path / "ck_d"), compact_every=3)
-    q.awaitTermination(120)
+    drain(q, 420)
     q2 = mv_ingest_stream(spark, stream, eager, str(tmp_path / "ck_e"))
-    q2.awaitTermination(120)
+    drain(q2, 420)
 
     expected = _canon(
         spark.read.parquet(src_dir)

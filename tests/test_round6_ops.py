@@ -19,6 +19,8 @@ from machinelearningalgomapreduce_spark.operators.graph import (
 from machinelearningalgomapreduce_spark.operators.incremental import scd2_apply
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
+from tests.conftest import drain
+
 
 # ------------------------------------------------------------------ HMM
 
@@ -509,7 +511,7 @@ def test_sessionizer_timers_match_batch_fold(spark, sf_dir, tmp_path):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(180)
+        drain(q, 600)
         got = spark.sql("SELECT * FROM t_sessions_tws").collect()
     else:
         import pandas as pd
@@ -1183,7 +1185,7 @@ def test_scd2_ingest_stream_merges_batches(spark, tmp_path):
     q = scd2_ingest_stream(
         spark, stream, dim_dir, str(tmp_path / "ck1"), "key", ["city"]
     )
-    q.awaitTermination(120)
+    drain(q, 420)
 
     u2 = spark.createDataFrame(
         [("k1", "CPH", "2022-02-01"), ("k3", "DUB", "2022-02-01")],
@@ -1199,7 +1201,7 @@ def test_scd2_ingest_stream_merges_batches(spark, tmp_path):
     q2 = scd2_ingest_stream(
         spark, stream2, dim_dir, str(tmp_path / "ck2"), "key", ["city"]
     )
-    q2.awaitTermination(120)
+    drain(q2, 420)
 
     rows = sorted(map(tuple, spark.read.parquet(dim_dir).collect()))
     assert rows == sorted(
@@ -1221,7 +1223,7 @@ def test_streaming_dedup_ingest(spark, sf_dir, tmp_path):
     q = dedup_ingest_stream(
         spark, sf_dir, index_dir, out_dir, str(tmp_path / "ck1")
     )
-    q.awaitTermination(120)
+    drain(q, 420)
     first = spark.read.parquet(out_dir)
     n_distinct = (
         load_tables(spark, sf_dir)
@@ -1234,7 +1236,7 @@ def test_streaming_dedup_ingest(spark, sf_dir, tmp_path):
     q2 = dedup_ingest_stream(
         spark, sf_dir, index_dir, out_dir, str(tmp_path / "ck2")
     )
-    q2.awaitTermination(120)
+    drain(q2, 420)
     again = spark.read.parquet(out_dir)
     assert again.count() == n_distinct
 
@@ -1266,7 +1268,7 @@ def test_streaming_semantic_dedup_ingest(spark, sf_dir, tmp_path):
     q = semantic_dedup_ingest_stream(
         spark, sf_dir, idx, out_dir, str(tmp_path / "sck1")
     )
-    q.awaitTermination(120)
+    drain(q, 420)
     admitted = spark.read.parquet(out_dir).select("vec_id", "embedding")
     n_admitted = admitted.count()
     assert 0 < n_admitted <= t.embeddings.count()
@@ -1291,7 +1293,7 @@ def test_streaming_semantic_dedup_ingest(spark, sf_dir, tmp_path):
     q2 = semantic_dedup_ingest_stream(
         spark, sf_dir, idx, out_dir, str(tmp_path / "sck2")
     )
-    q2.awaitTermination(120)
+    drain(q2, 420)
     idx.compact(spark)
     state = idx.read(spark).collect()
     assert len(state) == len({r.vec_id for r in state})
@@ -1339,7 +1341,7 @@ def test_semantic_ingest_nondefault_threshold_governs_both_stages(
             spark, sf_dir, idx, out, str(tmp_path / f"ck_{tag}"),
             threshold=threshold,
         )
-        q.awaitTermination(120)
+        drain(q, 420)
         return {r.vec_id for r in spark.read.parquet(out).collect()}
 
     loose = run("l", 0.45)
@@ -1380,7 +1382,7 @@ def test_streaming_semantic_dedup_ingest_pq_backed(spark, sf_dir, tmp_path):
     q = semantic_dedup_ingest_stream(
         spark, sf_dir, idx, out, str(tmp_path / "pqck1")
     )
-    q.awaitTermination(120)
+    drain(q, 420)
     admitted = spark.read.parquet(out).select("vec_id", "embedding")
     assert 0 < admitted.count() <= t.embeddings.count()
     # admitted set == index state (the two writes commit together)
@@ -1398,7 +1400,7 @@ def test_streaming_semantic_dedup_ingest_pq_backed(spark, sf_dir, tmp_path):
     q2 = semantic_dedup_ingest_stream(
         spark, sf_dir, idx, out, str(tmp_path / "pqck2")
     )
-    q2.awaitTermination(120)
+    drain(q2, 420)
     idx.compact(spark)
     state = idx.read(spark).collect()
     assert len(state) == len({r.vec_id for r in state})
@@ -1487,13 +1489,13 @@ def test_pq_sink_refuses_uncovered_index(spark, sf_dir, tmp_path):
         spark, sf_dir, idx, str(tmp_path / "extout"), str(tmp_path / "extck")
     )
     with pytest.raises(Exception, match="admission log"):
-        q.awaitTermination(120)
+        drain(q, 420)
 
     q2 = semantic_dedup_ingest_stream(
         spark, sf_dir, idx, str(tmp_path / "extout2"), str(tmp_path / "extck2"),
         full_vectors=emb,
     )
-    q2.awaitTermination(120)
+    drain(q2, 420)
     # every re-delivered vector has an indexed near-dup (itself is
     # excluded, but exact copies aren't present) — isolated ones re-admit
     # as upserts; the invariant is simply that the run completes and the
@@ -1536,7 +1538,7 @@ def test_pq_sink_refuses_on_deleted_log_epoch(spark, sf_dir, tmp_path):
     q = semantic_dedup_ingest_stream(
         spark, sf_dir, idx, out, str(tmp_path / "gap_ck1")
     )
-    q.awaitTermination(120)
+    drain(q, 420)
     epochs = [d for d in os.listdir(out) if d.startswith("batch=")]
     assert epochs  # the first run admitted something
     for d in epochs:
@@ -1546,7 +1548,7 @@ def test_pq_sink_refuses_on_deleted_log_epoch(spark, sf_dir, tmp_path):
         spark, sf_dir, idx, out, str(tmp_path / "gap_ck2")
     )
     with pytest.raises(Exception, match="no full vectors for"):
-        q2.awaitTermination(120)
+        drain(q2, 420)
 
 
 def test_hash_sink_crash_between_output_and_index_replays_identically(
@@ -1580,7 +1582,7 @@ def test_hash_sink_crash_between_output_and_index_replays_identically(
     monkeypatch.setattr(RW.DataFrameWriter, "parquet", boom)
     q = dedup_ingest_stream(spark, sf_dir, idx_dir, out, str(tmp_path / "cck"))
     with pytest.raises(Exception, match="injected crash"):
-        q.awaitTermination(120)
+        drain(q, 420)
     monkeypatch.undo()
     assert fired["done"]  # the kill-point actually fired
     # the crash window state: output epoch dir written, index absent
@@ -1589,14 +1591,14 @@ def test_hash_sink_crash_between_output_and_index_replays_identically(
 
     # restart on the SAME checkpoint: Structured Streaming replays epoch 0
     q2 = dedup_ingest_stream(spark, sf_dir, idx_dir, out, str(tmp_path / "cck"))
-    q2.awaitTermination(120)
+    drain(q2, 420)
 
     # clean one-shot twin for the bit-identical comparison
     q3 = dedup_ingest_stream(
         spark, sf_dir, str(tmp_path / "tidx"), str(tmp_path / "tout"),
         str(tmp_path / "tck"),
     )
-    q3.awaitTermination(120)
+    drain(q3, 420)
 
     got = spark.read.parquet(out).select("doc_id", "text").collect()
     want = spark.read.parquet(str(tmp_path / "tout")).select(
@@ -1649,7 +1651,7 @@ def test_semantic_sink_crash_between_output_and_refresh_replays_identically(
         spark, sf_dir, idx, out, str(tmp_path / "sck")
     )
     with pytest.raises(Exception, match="injected crash"):
-        q.awaitTermination(120)
+        drain(q, 420)
     monkeypatch.undo()
     assert fired["done"]
     # crash window: the epoch output landed, the index never committed
@@ -1659,13 +1661,13 @@ def test_semantic_sink_crash_between_output_and_refresh_replays_identically(
     q2 = semantic_dedup_ingest_stream(
         spark, sf_dir, idx, out, str(tmp_path / "sck")
     )
-    q2.awaitTermination(120)
+    drain(q2, 420)
 
     idx2 = IVFIndexView(str(tmp_path / "tidx"), cents, dim=EMBEDDING_DIM, n_probe=2)
     q3 = semantic_dedup_ingest_stream(
         spark, sf_dir, idx2, str(tmp_path / "tout"), str(tmp_path / "tck")
     )
-    q3.awaitTermination(120)
+    drain(q3, 420)
 
     got = spark.read.parquet(out).select("vec_id", "embedding").collect()
     want = spark.read.parquet(str(tmp_path / "tout")).select(

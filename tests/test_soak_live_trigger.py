@@ -24,6 +24,8 @@ from pyspark.sql import functions as F
 
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
+from tests.conftest import drain
+
 N_FILES = 6
 
 
@@ -59,7 +61,7 @@ def _drain_live(q, done, timeout=240):
 
     batches = sum(1 for p in q.recentProgress if p and _rows(p) > 0)
     q.stop()
-    q.awaitTermination(60)
+    drain(q, 300)
     return batches
 
 
@@ -81,7 +83,7 @@ def test_live_trigger_soak_exact_dedup_sink(spark, sf_dir, tmp_path):
         spark, src, str(tmp_path / "idx_a"), str(tmp_path / "out_a"),
         str(tmp_path / "ck_a"), max_files_per_trigger=1,
     )
-    q.awaitTermination(240)
+    drain(q, 700)
 
     def _rows_of(path):
         # drop the epoch stamp: it embeds the run digest (checkpoint-path
@@ -143,7 +145,7 @@ def test_live_trigger_soak_semantic_dedup_sink(spark, sf_dir, tmp_path):
         spark, src, idx_a, str(tmp_path / "sout_a"), str(tmp_path / "sck_a"),
         max_files_per_trigger=1,
     )
-    q.awaitTermination(360)
+    drain(q, 900)
     base = sorted(
         map(
             tuple,

@@ -8,6 +8,8 @@ from pyspark.sql import functions as F
 from machinelearningalgomapreduce_spark.operators.events import q_events_tumbling
 from machinelearningalgomapreduce_spark.streaming import windows as sw
 
+from tests.conftest import drain
+
 
 def test_tumbling_stream_matches_batch(spark, sf_dir):
     stream = sw.tumbling_counts(sw.stream_events(spark, sf_dir))
@@ -425,7 +427,7 @@ def test_scd2_bootstrap_keeps_typed_schema_and_validates_tracked(spark, tmp_path
     with _pytest.raises(ValueError, match="tracked"):
         scd2_ingest_stream(spark, stream, dim_dir, str(tmp_path / "ckx"), "key", [])
     q = scd2_ingest_stream(spark, stream, dim_dir, str(tmp_path / "ck_t"), "key", ["price"])
-    q.awaitTermination(120)
+    drain(q, 420)
     dim = spark.read.parquet(dim_dir)
     types = {f.name: f.dataType.simpleString() for f in dim.schema.fields}
     assert types == {
@@ -442,7 +444,7 @@ def test_scd2_bootstrap_keeps_typed_schema_and_validates_tracked(spark, tmp_path
     _sh.copy(part2, src / "b2.parquet")
     stream2 = spark.readStream.schema("key long, price long, ts long").parquet(str(src))
     q2 = scd2_ingest_stream(spark, stream2, dim_dir, str(tmp_path / "ck_t2"), "key", ["price"])
-    q2.awaitTermination(120)
+    drain(q2, 420)
     open_row = spark.read.parquet(dim_dir).filter(
         "key = 1 and valid_to is null").collect()
     assert len(open_row) == 1 and open_row[0].price == 150

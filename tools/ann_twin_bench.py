@@ -133,6 +133,39 @@ BRUTE_FULL_CAP = 150_000  # above this, full-stride brute q_knn (n²/50
 SAMPLE_STRIDE = 5_000
 
 
+def _check_tier_format(tier: str) -> None:
+    """Warn when a tier's _BUILT.json format_version differs from the
+    current builder's (r15, r14 ADVICE): a tier regenerated under a
+    different jitter keying contains DIFFERENT vectors than the tiers
+    earlier rounds measured — numbers across formats are not comparable.
+    A missing stamp (pre-r15 tier or the sf0.1 source) stays silent:
+    the known pre-stamp tiers (/tmp/emb250x) were built with the current
+    keying and are stamped retroactively by the builder docs."""
+    import json as _json
+
+    marker = os.path.join(tier, "_BUILT.json")
+    if not os.path.exists(marker):
+        return
+    try:
+        with open(marker) as fh:
+            meta = _json.load(fh)
+    except (OSError, ValueError):
+        return
+    ver = meta.get("format_version")
+    if ver is None:
+        return
+    from tools.build_emb_tier import TIER_FORMAT_VERSION
+
+    if ver != TIER_FORMAT_VERSION:
+        print(
+            f"WARNING: {tier} is tier-format v{ver}, builder is "
+            f"v{TIER_FORMAT_VERSION} — its vectors differ from tiers built "
+            "by the current jitter keying; do NOT compare these numbers "
+            "against other-format rounds.",
+            file=sys.stderr,
+        )
+
+
 def run_index_tier(tier: str) -> list[dict]:
     """r14 (VERDICT r13 item 2): the PERSISTED-index serving lanes —
     knn_ann(index=IVFIndexView) and knn_ann(index=IVFPQIndexView) — at a
@@ -148,6 +181,7 @@ def run_index_tier(tier: str) -> list[dict]:
     corpus, so the scaling is exact up to scheduling constants; the row
     carries brute_s_estimated=True so nobody mistakes it for a measured
     full run."""
+    _check_tier_format(tier)
     import shutil
     import tempfile
 
@@ -337,11 +371,12 @@ def main() -> None:
         )
         print("| " + " | ".join(["---"] * 11) + " |", file=sys.stderr)
         for r in results:
+            est = " (est)" if r.get("brute_s_estimated") else ""
             print(
                 f"| {r['kind']} | {os.path.basename(r['tier'])} | "
                 f"{r['n_vectors']} | {r['k_cells']} | {r['n_probe']} | "
-                f"{r['brute_s']} | {r['index_build_s']} | {r['serving_s']} | "
-                f"**{r['speedup_serving']}×** | {r['recall_at_k']} | "
+                f"{r['brute_s']}{est} | {r['index_build_s']} | {r['serving_s']} | "
+                f"**{r['speedup_serving']}×{est}** | {r['recall_at_k']} | "
                 f"{r['agreement']} |",
                 file=sys.stderr,
             )

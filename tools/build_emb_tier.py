@@ -16,6 +16,7 @@ Usage: python tools/build_emb_tier.py [n_copies] [out_dir]
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import sys
@@ -24,6 +25,14 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SRC = "/root/testdata/sf0.1"
 OFF = 10_000_000
+# Tier-format version, stamped into the tier's _BUILT.json (r15, r14
+# ADVICE): v2 = the r14 jitter keying xxhash64(lit(d), copy*1_000_003,
+# vec_id); v1 = the pre-r14 keying xxhash64(lit(i*1_000_003+d), vec_id).
+# A regenerated tier under a DIFFERENT version contains different vectors
+# than the tiers earlier rounds measured — consumers (ann_twin_bench)
+# warn on mismatch so cross-round bench/parity numbers are never silently
+# compared across formats.
+TIER_FORMAT_VERSION = 2
 
 
 def main() -> None:
@@ -91,7 +100,20 @@ def main() -> None:
     tier.write.mode("overwrite").parquet(
         os.path.join(out_dir, "embeddings.parquet")
     )
-    print(f"built {out_dir}: {n_copies} perturbed embedding copies")
+    with open(os.path.join(out_dir, "_BUILT.json"), "w") as fh:
+        json.dump(
+            {
+                "format_version": TIER_FORMAT_VERSION,
+                "n_copies": n_copies,
+                "src": SRC,
+                "jitter": "xxhash64(lit(d), copy*1_000_003, vec_id)",
+            },
+            fh,
+        )
+    print(
+        f"built {out_dir}: {n_copies} perturbed embedding copies "
+        f"(format v{TIER_FORMAT_VERSION})"
+    )
     spark.stop()
 
 
