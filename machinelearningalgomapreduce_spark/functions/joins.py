@@ -48,6 +48,31 @@ def broadcast_if_small(df: DataFrame, sf_dir: str, fits_until_sf: float) -> Data
     return F.broadcast(df) if sf_of(sf_dir) <= fits_until_sf else df
 
 
+def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Spread a compute-heavy NARROW stage across the session's cores (r15,
+    guide §2.5 "input skew: one huge unsplittable file → repartition right
+    after the read").
+
+    A single-file parquet scan plans as ONE partition, so every per-row
+    kernel above it (pairwise vector loops, per-row md5 sketch hashing,
+    bootstrap replicate weights) runs SERIALLY until the first exchange —
+    at fixture tiers that is the entire map stage (measured: the brute
+    embedding-pair kernels ran 1-core, 50-80 s, while 31 cores idled).
+    Round-robin repartition to defaultParallelism·factor, applied ONLY
+    when the plan's current partitioning is narrower — at 100 TB the scan
+    already carries ≥ cores partitions and this helper is a no-op, so the
+    extra exchange is never paid where the data is genuinely wide.
+    Row-identical: repartitioning feeds per-row maps / keyed aggregations
+    whose results are partitioning-free (and Spark's sort-before-
+    repartition keeps the assignment retry-deterministic).
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

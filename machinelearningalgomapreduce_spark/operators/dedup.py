@@ -41,6 +41,7 @@ from machinelearningalgomapreduce_spark.functions.hashing import (
     shingles,
     tokens,
 )
+from machinelearningalgomapreduce_spark.functions.joins import fan_out
 from machinelearningalgomapreduce_spark.functions.vectors import dot, norm, sq_dist
 from machinelearningalgomapreduce_spark.operators.text import QUALITY_SCORE_SQL
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
@@ -87,7 +88,10 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _shingle_sets(documents: DataFrame) -> DataFrame:
-    return documents.select(
+    # fan_out: shingling + the 16 MinHash folds are per-row map work over a
+    # single-file scan — spread across cores before computing (r15,
+    # joins.py::fan_out; no-op on already-wide inputs).
+    return fan_out(documents).select(
         "doc_id", F.array_distinct(shingles(F.col("text"), k=3)).alias("sh")
     )
 
@@ -384,7 +388,8 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dedup: 32-bit fingerprint = sign of per-bit votes over
     the doc's distinct tokens; docs sharing a fingerprint form a cluster."""
     t = load_tables(spark, sf_dir)
-    tok = t.documents.select(
+    # fan_out: per-token md5 + 32 bit-votes are map-stage work (r15)
+    tok = fan_out(t.documents).select(
         "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("token")
     ).withColumn("th", F.md5("token"))
     votes = tok.groupBy("doc_id").agg(
@@ -430,7 +435,7 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     outside the fixtures and any sane near-dup threshold use; noted, not
     special-cased."""
     t = load_tables(spark, sf_dir)
-    base = t.documents.select(
+    base = fan_out(t.documents).select(
         "doc_id",
         F.array_min(F.transform(shingles(F.col("text"), k=3), F.md5)).alias("block"),
         F.array_distinct(shingles(F.col("text"), k=2)).alias("ng"),
@@ -482,7 +487,7 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: block-keyed equi self-join, candidates near-linear;
     verify is one array_intersect per candidate."""
     t = load_tables(spark, sf_dir)
-    base = t.documents.select(
+    base = fan_out(t.documents).select(
         "doc_id",
         F.array_min(F.transform(shingles(F.col("text"), k=3), F.md5)).alias("block"),
         F.array_distinct(shingles(F.col("text"), k=2)).alias("ng"),
@@ -589,7 +594,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             return embedding_dedup_blocked(spark, sf_dir)
     # Per-vector norms precomputed; each candidate pair pays only the dot.
     e = t.embeddings.select("vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm"))
-    a, b = e.alias("a"), e.alias("b")
+    # The STREAMED side of the pairwise loop must not inherit the 1-partition
+    # single-file scan — fan_out spreads the O(n²) kernel over the cores
+    # (r15; no-op when the scan is already wide).
+    a, b = fan_out(e).alias("a"), e.alias("b")
     # try_divide: a zero-norm embedding must yield NULL cosine (dropped by
     # the threshold filter, matching the oracle's NaN-drop) — not an ANSI
     # DIVIDE_BY_ZERO abort (the round-9 hardening class; q_dedup_edit
@@ -601,6 +609,20 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         6,
     )
+    # Pushdown BARRIER on the threshold filter (r15, guide §4.4 applied to
+    # predicate pushdown): left alone, PushDownPredicates folds
+    # `cos_sim >= t` INTO the nested-loop join condition — and a join
+    # condition cannot be split into codegen sub-methods, so the whole
+    # condition (64-term dot first in the AND) dropped the stage out of
+    # JIT-able code for all n² ordered pairs (measured 80 s at sf0.1).
+    # Wrapping the compared value in an always-true NONDETERMINISTIC
+    # `when(spark_partition_id() >= 0, cos_sim)` makes the predicate
+    # non-pushable AND non-splittable (a bare AND-ed guard gets conjunct-
+    # split and the deterministic half still pushed), so the join keeps
+    # only the cheap `vec_id <` condition and the cosine evaluates in the
+    # whole-stage-codegen Filter/Project above it. With fan_out this
+    # measures 5.3 s — same rows, same hashes (the guard is identically
+    # true and NULL-safe: a NULL cosine stays NULL, stays dropped).
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -608,7 +630,10 @@ def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("id_b"),
             cos.alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= EMBEDDING_COSINE_THRESHOLD)
+        .filter(
+            F.when(F.spark_partition_id() >= 0, F.col("cos_sim")).otherwise(F.lit(None))
+            >= EMBEDDING_COSINE_THRESHOLD
+        )
     )
 
 
@@ -642,9 +667,17 @@ def min_label_clusters(pairs: DataFrame) -> DataFrame:
     # one branch and every cluster dissolved into self-rooted singletons
     # (found by the pipeline semantic-dedup differential, r11).
     pairs = pairs.select("doc_a", "doc_b")
+    # Materialize the edge list ONCE before iterating (r15, guide §5): the
+    # caller's pair frame is typically an expensive candidate pipeline
+    # (q_dedup_clusters feeds the whole MinHash-LSH candidate generator in
+    # here), and the loop below references `edges` in every round — without
+    # the checkpoint each round's actions re-executed that pipeline from
+    # the scan (~2 full recomputes per round; measured 42 s → ~6 s for
+    # q_dedup_clusters at sf0.1). localCheckpoint also truncates lineage so
+    # the per-round plan stays O(1) deep. Same fixpoint, same labels.
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).distinct()
+    ).distinct().localCheckpoint()
     labels = edges.select(F.col("doc_a").alias("node")).distinct().select(
         "node", F.col("node").alias("root")
     )
@@ -664,13 +697,17 @@ def min_label_clusters(pairs: DataFrame) -> DataFrame:
                 ),
             )
         )
+        # Checkpoint FIRST, then count changes against the checkpointed
+        # frame (r15): counting from the pre-checkpoint plan re-executed
+        # the whole join subtree a second time per round.
+        old_labels = labels
+        labels = new_labels.localCheckpoint()
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
+            labels.alias("n")
+            .join(old_labels.alias("o"), "node")
             .filter(F.col("n.root") != F.col("o.root"))
             .count()
         )
-        labels = new_labels.localCheckpoint()
         if changed == 0:
             break
     if changed != 0:

@@ -34,6 +34,7 @@ from machinelearningalgomapreduce_spark.operators.ml import (
     assign_nearest,
     label_centroids,
 )
+from machinelearningalgomapreduce_spark.functions.joins import fan_out
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
 
@@ -1481,7 +1482,9 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(5))
         .cast("bigint")
     )
-    weighted = rows.crossJoin(F.broadcast(reps)).select(
+    # fan_out: B·n md5-hash weights are map-stage work — spread the
+    # single-file events scan before the replicate fan-out (r15).
+    weighted = fan_out(rows).crossJoin(F.broadcast(reps)).select(
         "event_type", "b", w.alias("w"), "cents"
     )
     per_rep = (

@@ -1378,10 +1378,22 @@ def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(e3, (F.col("x") == F.col("e3.u")) & (F.col("z") == F.col("e3.v")))
         .select("x", "y", "z")
     )
+    # Charge each triangle's three edges with ONE generator pass over the
+    # triangle relation instead of a 3-way unionAll of projections — the
+    # union form re-executed the whole wedge-closure join per branch
+    # (exchange reuse dedupes the shuffles, not the join compute above
+    # them). Same (u, v) multiset, bit-identical histogram; measured
+    # 20 s → 7.4 s at sf0.1 (r15; a localCheckpoint of the edges was
+    # tried and REVERTED — materialization drops the edge relation's
+    # partitioning, so every consumer re-shuffles what ReusedExchange
+    # had shared for free).
     charged = (
-        tri.select(F.col("x").alias("u"), F.col("y").alias("v"))
-        .unionAll(tri.select(F.col("x").alias("u"), F.col("z").alias("v")))
-        .unionAll(tri.select(F.col("y").alias("u"), F.col("z").alias("v")))
+        tri.select(F.explode(F.array(
+            F.struct(F.col("x").alias("u"), F.col("y").alias("v")),
+            F.struct(F.col("x").alias("u"), F.col("z").alias("v")),
+            F.struct(F.col("y").alias("u"), F.col("z").alias("v")),
+        )).alias("e"))
+        .select("e.u", "e.v")
         .groupBy("u", "v")
         .agg(F.count("*").alias("support"))
     )

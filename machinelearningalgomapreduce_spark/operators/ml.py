@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
 from machinelearningalgomapreduce_spark.functions import money
+from machinelearningalgomapreduce_spark.functions.joins import fan_out
 from machinelearningalgomapreduce_spark.functions.vectors import as_double, dot, norm, sq_dist
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 from machinelearningalgomapreduce_spark.sources.schemas import EMBEDDING_DIM
@@ -95,7 +96,10 @@ def assign_nearest(
     reuses this exact plan that way instead of re-implementing it."""
     dist2 = F.round(sq_dist(F.col("embedding"), F.col("centroid"), dim), 6)
     keep = tuple(keep)
-    scored = embeddings.crossJoin(
+    # fan_out: the assignment kernel is O(n·k) distance math in the map
+    # stage — a 1-partition single-file scan would run it on one core
+    # (r15, joins.py::fan_out; no-op when the input is already wide).
+    scored = fan_out(embeddings).crossJoin(
         F.broadcast(centroids.select(F.col("label").alias("cluster"), "centroid"))
     ).select("vec_id", *keep, "cluster", dist2.alias("dist2"))
     return (
@@ -148,8 +152,10 @@ def q_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         6,
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "vec_id")
+    # fan_out: the streamed query side of the pairwise loop must not
+    # inherit the 1-partition single-file scan (r15, joins.py::fan_out).
     neighbors = (
-        q.join(e, F.col("query_id") != F.col("vec_id"))
+        fan_out(q).join(e, F.col("query_id") != F.col("vec_id"))
         .select("query_id", "query_label", "vec_id", "label", cos.alias("cos_sim"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= KNN_K)

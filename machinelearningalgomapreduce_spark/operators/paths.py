@@ -39,7 +39,7 @@ def bfs_levels(spark: SparkSession, sf_dir: str, n_rounds: int = 2) -> DataFrame
     """Per-node BFS distance (≤ n_rounds) from the seed set over the
     undirected co-purchase graph; returns (node, dist). Library API — the
     general loop; the fixed 2-round form is the oracle-checked query."""
-    edges = _undirected(_copurchase_edges(spark, sf_dir)).cache()
+    edges = _undirected(_copurchase_edges(spark, sf_dir)).localCheckpoint()
     nodes = edges.select(F.col("u").alias("node")).distinct()
     visited = nodes.filter(F.col("node") % BFS_SEED_MOD == 0).select(
         "node", F.lit(0).alias("dist")
@@ -61,7 +61,11 @@ def q_bfs_levels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two BFS rounds from the seed parts, rolled up per distance —
     dist 0 (seeds), 1, 2, and -1 for nodes unreached within two rounds.
     Exact integer set algebra end to end (joins + anti-joins + counts)."""
-    edges = _undirected(_copurchase_edges(spark, sf_dir)).cache()
+    # localCheckpoint instead of lazy cache (r15): eager one-shot
+    # materialization + lineage truncation — every level join, anti-join
+    # and the unreached pass re-read the materialized blocks instead of
+    # racing the lazy cache fill inside one action.
+    edges = _undirected(_copurchase_edges(spark, sf_dir)).localCheckpoint()
     nodes = edges.select(F.col("u").alias("node")).distinct()
     l0 = nodes.filter(F.col("node") % BFS_SEED_MOD == 0)
     l1 = (

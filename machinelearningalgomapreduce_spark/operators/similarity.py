@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window as W
 
-from machinelearningalgomapreduce_spark.functions.joins import sf_of
+from machinelearningalgomapreduce_spark.functions.joins import fan_out, sf_of
 from machinelearningalgomapreduce_spark.functions.vectors import dot, norm, sq_dist, sq_norm
 from machinelearningalgomapreduce_spark.operators.ml import (
     _ASSIGN_CTES,
@@ -102,7 +102,9 @@ def q_sim_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     # Norms precomputed per vector; the pairwise loop pays only the dot.
     e = t.embeddings.select("vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm"))
-    a, b = e.alias("a"), e.alias("b")
+    # fan_out: the streamed side of the O(n^2) loop must not inherit the
+    # 1-partition single-file scan (r15, functions/joins.py::fan_out).
+    a, b = fan_out(e).alias("a"), e.alias("b")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
@@ -1199,7 +1201,7 @@ def _brute_topk(
     w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), "neighbor_id")
     return (
         F.broadcast(q)
-        .join(e, F.col("query_id") != F.col("vec_id"))
+        .join(fan_out(e), F.col("query_id") != F.col("vec_id"))
         .select("query_id", F.col("vec_id").alias("neighbor_id"), cos.alias("cos_sim"))
         .withColumn("brute_rank", F.row_number().over(w))
         .filter(F.col("brute_rank") <= k)
