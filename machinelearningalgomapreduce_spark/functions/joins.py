@@ -65,9 +65,20 @@ def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
     Row-identical: repartitioning feeds per-row maps / keyed aggregations
     whose results are partitioning-free (and Spark's sort-before-
     repartition keeps the assignment retry-deterministic).
+
+    The target width is cores·factor CAPPED by the session's configured
+    shuffle width: a tier that deliberately runs narrow (bench.py sets 4
+    partitions at the 18 MB tier because task launch dominates there)
+    keeps its sizing — fan_out only rescues stages that are narrower than
+    what the session itself considers right.
     """
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism * factor
+    spark = df.sparkSession
+    try:
+        conf_width = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        conf_width = spark.sparkContext.defaultParallelism
+    target = min(spark.sparkContext.defaultParallelism * factor,
+                 max(conf_width, 1))
     if df.rdd.getNumPartitions() >= target:
         return df
     return df.repartition(target)

@@ -36,18 +36,27 @@ def _indices(a: Column, dim: int | None) -> Column:
     return F.sequence(F.lit(0), F.lit(dim - 1) if dim else F.size(a) - 1)
 
 
+# Unroll bound (r15, measured both ways): a literal-dim fold unrolled into
+# a left-associated Add chain is the exact IEEE op sequence of the fold
+# (pinned bitwise in tests/test_r15_opt.py) and for SMALL dims it runs as
+# compact whole-stage-codegen arithmetic — the PQ sub-vector kernels
+# (dim 8) win outright. For LARGE dims the chain is a pessimization: 64
+# terms emit ~128 GetArrayItem calls in one codegen consume() whose
+# per-pair cost measured 4x WORSE than the interpreted sequential fold on
+# the cached bench tier (0.83 s vs 0.20 s on the kNN scoring stage), and
+# past ~8000 bytecodes the JIT refuses the method outright. The fold
+# stays the large-dim form.
+_UNROLL_MAX_DIM = 16
+
+
 def dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Pairwise product sum, one pass, no intermediate cast/zip arrays.
 
-    With a literal ``dim`` the fold is UNROLLED into a left-associated
-    Add chain ``((0.0 + a0·b0) + a1·b1) + …`` — the exact IEEE operation
-    sequence of the sequential fold (verified bitwise on the fixture
-    embeddings, r15), but as a plain expression tree it runs inside
-    whole-stage codegen instead of the interpreted HigherOrderFunction
-    evaluator (~25% off the kNN pairwise-scoring stage at the bench
-    tier). Unknown-length arrays keep the fold. Results stay
-    bit-identical to the DuckDB `list_sum(list_transform(...))` oracles."""
-    if dim:
+    Literal ``dim`` ≤ _UNROLL_MAX_DIM unrolls (same IEEE op sequence —
+    bit-identical, see the bound's comment); larger/unknown dims keep the
+    sequential fold, bit-identical to the DuckDB
+    `list_sum(list_transform(...))` oracles."""
+    if dim and dim <= _UNROLL_MAX_DIM:
         acc: Column = F.lit(0.0)
         for i in range(dim):
             acc = acc + a[i].cast("double") * b[i].cast("double")
@@ -60,7 +69,7 @@ def dot(a: Column, b: Column, dim: int | None = None) -> Column:
 
 
 def sq_norm(a: Column, dim: int | None = None) -> Column:
-    if dim:
+    if dim and dim <= _UNROLL_MAX_DIM:
         acc: Column = F.lit(0.0)
         for i in range(dim):
             acc = acc + a[i].cast("double") * a[i].cast("double")
@@ -81,7 +90,7 @@ def cosine(a: Column, b: Column, dim: int | None = None) -> Column:
 
 
 def sq_dist(a: Column, b: Column, dim: int | None = None) -> Column:
-    if dim:
+    if dim and dim <= _UNROLL_MAX_DIM:
         acc: Column = F.lit(0.0)
         for i in range(dim):
             d = a[i].cast("double") - b[i].cast("double")
