@@ -165,7 +165,10 @@ def q_sssp_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     sssp_iterate), rolled up as (dist, n_nodes) with unreached = −1.
     All-integer arithmetic end to end; the weighted sibling of
     q_bfs_levels."""
-    edges = _weighted_edges(spark, sf_dir).cache()
+    # localCheckpoint, not lazy cache (r15 — the q_bfs_levels finding):
+    # eager one-shot materialization of the weighted edge list that the
+    # two relax rounds + node/unreached passes then re-read.
+    edges = _weighted_edges(spark, sf_dir).localCheckpoint()
     nodes = edges.select(F.col("u").alias("node")).distinct()
     dist = nodes.filter(F.col("node") % BFS_SEED_MOD == 0).select(
         "node", F.lit(0).cast("bigint").alias("dist")

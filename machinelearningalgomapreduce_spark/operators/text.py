@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from machinelearningalgomapreduce_spark.functions.hashing import shingles
-from machinelearningalgomapreduce_spark.functions.joins import pre_partition_small_tier
+from machinelearningalgomapreduce_spark.functions.joins import fan_out, pre_partition_small_tier
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
 # Tiny function-word lexicon for the language-ID heuristic. The fixture
@@ -408,11 +408,14 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     fits, exactly like q_decontaminate's probe side). The per-doc rollup
     shuffles (doc_id, lp) scalars. No O(n²) anywhere."""
     t = load_tables(spark, sf_dir)
-    db = t.documents.select(
+    # fan_out: the bigram/token explodes run twice each (model build +
+    # probe) over the single-file scan — spread before exploding (r15).
+    docs = fan_out(t.documents)
+    db = docs.select(
         "doc_id", F.explode(shingles(F.col("text"), k=2)).alias("bigram")
     )
     c2 = db.groupBy("bigram").agg(F.count("*").alias("c2"))
-    tok = t.documents.select(F.explode(_tokens()).alias("token"))
+    tok = docs.select(F.explode(_tokens()).alias("token"))
     c1 = tok.groupBy("token").agg(F.count("*").alias("c1"))
     vocab = tok.agg(F.countDistinct("token").alias("v"))
     lp = F.round(

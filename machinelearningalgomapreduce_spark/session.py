@@ -38,21 +38,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
-        # Whole-stage codegen emits ONE consume() method per stage; vector
-        # kernels (64-term dot/sq_dist chains over array columns) push that
-        # method past HotSpot's HugeMethodLimit (8000 bytecodes), and WSCG
-        # cannot split expressions that read stage-local variables — so the
-        # stage silently runs in the BYTECODE INTERPRETER. Letting the JIT
-        # compile huge methods is the documented remedy and is scale-free
-        # (it is about generated-code size, not data size): q_dedup_embedding
-        # 41.6 s → 6.8 s, q_sim_topk/q_knn same kernel (r15, guide §1/§4 —
-        # measured at the bench tier, plan unchanged). Applied to executors
-        # too for non-local deployments; code-cache headroom raised so the
-        # extra compiled code never evicts hot methods.
-        .config("spark.driver.extraJavaOptions",
-                "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m")
-        .config("spark.executor.extraJavaOptions",
-                "-XX:-DontCompileHugeMethods -XX:ReservedCodeCacheSize=512m")
+        # r15 note (negative result, kept for the record): the JVM flag
+        # -XX:-DontCompileHugeMethods was measured a 6× win while the 64-dim
+        # vector kernels were UNROLLED (one >8000-bytecode codegen consume()
+        # the JIT refused, leaving the stage in the bytecode interpreter) —
+        # and measured NOISE-TO-SLIGHTLY-NEGATIVE once the sequential folds
+        # were restored as the large-dim form (vectors.py), which keeps every
+        # generated method small. The flag was therefore REMOVED again; if a
+        # future operator ships a provably-huge generated method, re-measure
+        # before reaching for it.
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -261,7 +261,15 @@ def test_headline_exchange_budget_snapshot(spark, sf_dir, queries):
     the MEASURED counts of the round-5 plans (bench tier: the two-level
     aggregations collapse to one exchange via pre_partition_small_tier;
     q_kmeans_assign's 3 are inside the k-row centroid aggregate, not on
-    the embeddings side)."""
+    the embeddings side).
+
+    r15: q_knn/q_kmeans_assign gained ONE RoundRobin exchange each — the
+    DELIBERATE joins.py::fan_out rescue of the 1-partition single-file
+    scan feeding their pairwise kernels (this uncached pytest session
+    triggers it; the bench's 16-partition cached inputs do not, so the
+    bench-tier plans keep the old counts). A rescue repartition of the
+    narrow streamed side is not a stage-barrier regression; any OTHER
+    new exchange still trips this snapshot."""
     budget = {
         "q_pricing_summary": 1,
         "q_join3_topk": 1,
@@ -273,8 +281,8 @@ def test_headline_exchange_budget_snapshot(spark, sf_dir, queries):
         "q_wordcount": 1,
         "q_dedup_exact": 1,
         "q_sessionize": 1,
-        "q_knn": 1,
-        "q_kmeans_assign": 3,
+        "q_knn": 2,
+        "q_kmeans_assign": 4,
     }
     over = {}
     for name, allowed in budget.items():
