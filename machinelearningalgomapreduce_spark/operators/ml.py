@@ -523,10 +523,19 @@ def q_canopy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("canopy_id"), F.col("embedding").alias("cv")
     )
     dist2 = F.round(sq_dist(F.col("embedding"), F.col("cv"), EMBEDDING_DIM), 6)
+    # fan_out + pushdown barrier (r15 — the q_dedup_embedding pair of fixes):
+    # the point side must not inherit the 1-partition single-file scan, and
+    # the T1 filter must stay OUT of the nested-loop join condition (where
+    # the 64-dim distance fold would evaluate interpreted per pair); the
+    # when()-wrapped nondeterministic guard is identically true, so the
+    # admitted (vec_id, canopy_id, dist2) set is unchanged.
     return (
-        t.embeddings.crossJoin(F.broadcast(centers))
+        fan_out(t.embeddings).crossJoin(F.broadcast(centers))
         .select("vec_id", "canopy_id", dist2.alias("dist2"))
-        .filter(F.col("dist2") <= CANOPY_T1)
+        .filter(
+            F.when(F.spark_partition_id() >= 0, F.col("dist2")).otherwise(F.lit(None))
+            <= CANOPY_T1
+        )
     )
 
 
