@@ -22,9 +22,45 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from machinelearningalgomapreduce_spark.functions.joins import sf_of
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
 DAMPING = 0.85
+# Triangle enumeration (q_triangle_count / q_edge_support): below this tier
+# the ORDERED ADJACENCY table (node → sorted out-neighbor array; ~15k rows
+# × avg-82 longs ≈ 15 MB at sf0.1) provably fits a broadcast, so triangles
+# come from per-EDGE sorted-array intersection — 1.2M edge rows, each
+# intersecting two ≤deg arrays — instead of materializing the 49M-row
+# wedge relation and closure-joining it (r16, guide §1.1 first-principles:
+# the wedge multiset is 26× larger than the triangle set at sf0.1, 1.88M
+# triangles; measured 6.1 → 2.2 s count / 6.7 → 3.3 s support). Identical
+# output: with id-oriented edges u<v, triangle x<y<z is found exactly once
+# (z ∈ N+(x) ∩ N+(y)), and the 3-way edge charge multiset is the same.
+# Above the bound the proven O(m^{3/2}) wedge-closure join stands (at
+# 100 TB adjacency arrays cannot broadcast and a hot node's array would
+# break a row; the at-scale wedge reducer is degree orientation — see
+# q_triangle_count's docstring).
+TRIANGLE_BCAST_MAX_SF = 0.2
+
+
+def _oriented_adj(edges: DataFrame) -> DataFrame:
+    """(u → sorted array of out-neighbors v) of an id-oriented edge frame."""
+    return edges.groupBy("u").agg(F.array_sort(F.collect_list("v")).alias("nbrs"))
+
+
+def _adj_intersect_edges(edges: DataFrame) -> DataFrame:
+    """Each edge (u, v) with both endpoints' broadcast out-adjacency
+    arrays attached — the shared scaffold of the small-tier triangle
+    paths. Inner joins: an endpoint with no out-neighbors contributes no
+    triangles, exactly like the wedge form."""
+    adj = _oriented_adj(edges)
+    au = F.broadcast(adj.select(F.col("u").alias("au"), F.col("nbrs").alias("nbrs_u")))
+    av = F.broadcast(adj.select(F.col("u").alias("av"), F.col("nbrs").alias("nbrs_v")))
+    return (
+        edges.join(au, F.col("u") == F.col("au"))
+        .join(av, F.col("v") == F.col("av"))
+        .select("u", "v", F.array_intersect("nbrs_u", "nbrs_v").alias("common"))
+    )
 MIN_SUPPORT = 5
 MIN_COMMON = 2  # link-prediction candidate floor (common neighbors)
 KCORE_K = 3
@@ -166,9 +202,26 @@ def q_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part co-purchase edges: distinct part pairs co-occurring in an
     order, directed low→high id (each undirected edge exactly once).
-    The pair generator is a self-join co-partitioned on l_orderkey."""
+    The pair generator is a self-join co-partitioned on l_orderkey.
+
+    One shared exchange (r16, guide §2.4): the (l_orderkey, l_partkey)
+    projection is hash-partitioned on l_orderkey BEFORE the distinct —
+    HashPartitioning(l_orderkey) satisfies the distinct's clustering
+    requirement (a subset of its keys) AND the self-join's, so the dedup
+    and both join sides run off ONE exchange instead of three, and the
+    dedup's aggregate runs post-exchange on all cores instead of as a
+    serial partial over the single-file scan. Scale note: this trades
+    map-side combine away, but (l_orderkey, l_partkey) duplicates only
+    occur when one order holds the same part on several lines (~0% on
+    TPC-H-shaped data at any scale), and the join needs the l_orderkey
+    shuffle regardless — the raw-row exchange moves the same bytes the
+    combine-first plan would. Measured 1.53 → 0.69 s at sf0.1."""
     t = load_tables(spark, sf_dir)
-    parts = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    parts = (
+        t.lineitem.select("l_orderkey", "l_partkey")
+        .repartition(F.col("l_orderkey"))
+        .dropDuplicates()
+    )
     a, b = parts.alias("a"), parts.alias("b")
     return (
         a.join(
@@ -196,13 +249,21 @@ def q_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     nodes — same plan shape, one extra degree join to build the orientation.
     """
     edges = _copurchase_edges(spark, sf_dir)
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
-        F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
-    )
-    triangles = wedges.join(
-        e3, (F.col("x") == F.col("e3.u")) & (F.col("z") == F.col("e3.v"))
-    ).agg(F.count("*").alias("n_triangles"))
+    if sf_of(sf_dir) <= TRIANGLE_BCAST_MAX_SF:
+        # Small tiers: per-edge adjacency intersection (see
+        # TRIANGLE_BCAST_MAX_SF) — Σ|N+(u) ∩ N+(v)| over edges is exactly
+        # the ordered-triangle count; no 49M-row wedge relation exists.
+        triangles = _adj_intersect_edges(edges).agg(
+            F.coalesce(F.sum(F.size("common")), F.lit(0)).cast("bigint").alias("n_triangles")
+        )
+    else:
+        e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+        wedges = e1.join(e2, F.col("e1.v") == F.col("e2.u")).select(
+            F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+        )
+        triangles = wedges.join(
+            e3, (F.col("x") == F.col("e3.u")) & (F.col("z") == F.col("e3.v"))
+        ).agg(F.count("*").alias("n_triangles"))
     n_nodes = (
         edges.select(F.col("u").alias("p"))
         .union(edges.select(F.col("v").alias("p")))
@@ -272,7 +333,12 @@ def copurchase_pair_counts(
     item-item CF (classicml.q_item_cf), kept in one place so the support
     semantics can't drift."""
     t = load_tables(spark, sf_dir)
-    parts = t.lineitem.select("l_orderkey", "l_partkey").distinct()
+    # Same one-shared-exchange shape as _copurchase_edges (r16, guide §2.4).
+    parts = (
+        t.lineitem.select("l_orderkey", "l_partkey")
+        .repartition(F.col("l_orderkey"))
+        .dropDuplicates()
+    )
     a, b = parts.alias("a"), parts.alias("b")
     return (
         a.join(
@@ -1370,14 +1436,25 @@ def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiny. The full per-edge support relation never reaches the driver.
     """
     edges = _copurchase_edges(spark, sf_dir)
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
-        .select(F.col("e1.u").alias("x"), F.col("e1.v").alias("y"),
-                F.col("e2.v").alias("z"))
-        .join(e3, (F.col("x") == F.col("e3.u")) & (F.col("z") == F.col("e3.v")))
-        .select("x", "y", "z")
-    )
+    if sf_of(sf_dir) <= TRIANGLE_BCAST_MAX_SF:
+        # Small tiers: ordered triangles by per-edge adjacency intersection
+        # (see TRIANGLE_BCAST_MAX_SF) — explode the common-neighbor array
+        # to one row per TRIANGLE (1.88M at sf0.1), never one per wedge
+        # (49M). Same (x, y, z) set as the wedge-closure join.
+        tri = _adj_intersect_edges(edges).select(
+            F.col("u").alias("x"),
+            F.col("v").alias("y"),
+            F.explode("common").alias("z"),
+        )
+    else:
+        e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+        tri = (
+            e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+            .select(F.col("e1.u").alias("x"), F.col("e1.v").alias("y"),
+                    F.col("e2.v").alias("z"))
+            .join(e3, (F.col("x") == F.col("e3.u")) & (F.col("z") == F.col("e3.v")))
+            .select("x", "y", "z")
+        )
     # Charge each triangle's three edges with ONE generator pass over the
     # triangle relation instead of a 3-way unionAll of projections — the
     # union form re-executed the whole wedge-closure join per branch
@@ -1397,6 +1474,11 @@ def q_edge_support(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("u", "v")
         .agg(F.count("*").alias("support"))
     )
+    # (r16 negative result: replacing this left join with an arithmetic
+    # 0-row — hist(charged) + (0, |edges|−|charged|), valid because every
+    # charged pair is an edge — measured statistically indistinguishable
+    # at sf0.1 (3.4–4.7 s bands overlap both ways), so the simpler join
+    # restore stays.)
     per_edge = (
         edges.join(charged, ["u", "v"], "left")
         .select(F.coalesce(F.col("support"), F.lit(0)).alias("support"))

@@ -100,10 +100,13 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Every money/avg output is EXACT fixed-point (r15, the half-boundary
     class — functions/money.py): BIGINT units per row (cents /
     1e-4-dollars / 1e-6-dollars for price / disc_price / charge), integer
-    sums, half-away-from-zero identity rounding. sum_charge sums in
-    DECIMAL(38,0) (wide=True: its 1e-6-unit sum is ~5.7e16 at the 10x
-    tier — BIGINT would still hold to 100x, decimal removes the cliff);
-    the avgs use the same identity at 6dp, closing the order-dependent
+    sums, half-away-from-zero identity rounding. sum_charge uses the r15
+    SPLIT-SUM wide path (wide=True, functions/money.py): two codegen'd
+    BIGINT sums of (u >> 20) and (u & 0xFFFFF) recombined in DECIMAL(38,0)
+    once per group — exact past the BIGINT cliff (its 1e-6-unit sum is
+    ~5.7e16 at the 10x tier; BIGINT would still hold to 100x, the split
+    removes the cliff without per-row Decimal128 accumulation); the avgs
+    use the same identity at 6dp, closing the order-dependent
     round(avg(double), 6) variant of the class too.
     """
     t = load_tables(spark, sf_dir)

@@ -31,6 +31,12 @@ def get_spark(
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Pinned, not assumed (r16, ADVICE r15): money.py's narrowed BIGINT
+        # accumulations (exact_avg sum, the wide hi/lo split-sum) rely on
+        # ANSI making a 2^63 overflow LOUD, not silent. PySpark 4.x defaults
+        # ANSI on, but a default is not a contract — pin it here and
+        # re-assert in ensure_query_conf for driver-provided sessions.
+        .config("spark.sql.ansi.enabled", "true")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -67,6 +73,10 @@ def ensure_query_conf(spark: SparkSession) -> None:
     """
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # ANSI must hold on driver-provided sessions too (r16, ADVICE r15): the
+    # fixed-point money sums are only overflow-SAFE because a 2^63 breach
+    # aborts loudly; with ANSI off it would wrap silently into wrong money.
+    spark.conf.set("spark.sql.ansi.enabled", "true")
     # A driver-provided session at Spark's 200-partition default would run
     # every small-SF shuffle as 200 near-empty tasks; right-size it for
     # local fixtures. Only overrides the untouched default — a deliberate
