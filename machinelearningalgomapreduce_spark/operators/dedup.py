@@ -185,7 +185,17 @@ def minhash_dedup_pairs(docs: DataFrame) -> DataFrame:
         member-level one because members' shingle sets equal their rep's.
     """
     reps, members = _exact_collapse(docs)
-    base = _shingle_sets(reps)
+    # localCheckpoint: the shingle-set frame is referenced FIVE times in
+    # this plan (signatures → band melt self-join, both exact-verify
+    # sides, the within-group rep_j) and the shingling + array_distinct
+    # compute sits ABOVE its exchange, so every reference re-ran it
+    # (ReusedExchange dedupes shuffles, not the map work above them).
+    # Materialize once: measured 3.15 → 1.79 s on this subtree at sf0.1
+    # (r16, guide §5; ck of members measured neutral, ck of candidates
+    # measured worse — both left lazy). At 100 TB the same decision holds
+    # (compute the shingle pass once, not five times) with a durable
+    # checkpoint instead of local blocks.
+    base = _shingle_sets(reps).localCheckpoint()
     cand = _lsh_candidates(_minhash_sigs(base))
     rep_pairs = _exact_jaccard(cand, base).filter(
         F.col("jaccard") >= JACCARD_THRESHOLD
@@ -258,11 +268,15 @@ def q_dedup_minhash_est(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     reps, members = _exact_collapse(t.documents)
     base = _shingle_sets(reps)
+    # localCheckpoint: sigs (shingle set + 16 MinHash folds) is referenced
+    # four times below (band melt, both audit sides, rep_metrics) and its
+    # per-row compute would re-run per reference — same reasoning and
+    # measurement class as minhash_dedup_pairs' base checkpoint (r16).
     sigs = base.select(
         "doc_id",
         "sh",
         *[minhash_sig(F.col("sh"), s).alias(f"sig{s}") for s in range(N_MINHASH)],
-    )
+    ).localCheckpoint()
     cand = _lsh_candidates(sigs)  # sigs already carries sig0..15; the
     # extra sh column is ignored by the band-key projection
     sa = sigs.select(
@@ -435,11 +449,16 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     outside the fixtures and any sane near-dup threshold use; noted, not
     special-cased."""
     t = load_tables(spark, sf_dir)
+    # localCheckpoint: both self-join sides reference this frame and its
+    # shingling + md5-min + array_distinct compute sits above the fan_out
+    # exchange — without materialization each side re-ran the full shingle
+    # pass (the sides differ by the band explode, so no exchange is
+    # shared). Measured 3.5–4.0 → 0.6–0.75 s at sf0.1 (r16, guide §5).
     base = fan_out(t.documents).select(
         "doc_id",
         F.array_min(F.transform(shingles(F.col("text"), k=3), F.md5)).alias("block"),
         F.array_distinct(shingles(F.col("text"), k=2)).alias("ng"),
-    )
+    ).localCheckpoint()
     banded = base.withColumn("band", F.floor(F.log2(F.size("ng"))).cast("int"))
     a = banded.alias("a")
     b = banded.select(
@@ -487,11 +506,13 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: block-keyed equi self-join, candidates near-linear;
     verify is one array_intersect per candidate."""
     t = load_tables(spark, sf_dir)
+    # localCheckpoint: both self-join sides re-ran the shingle pass (same
+    # class as q_dedup_ngram_jaccard); measured 2.2 → 0.7 s at sf0.1 (r16).
     base = fan_out(t.documents).select(
         "doc_id",
         F.array_min(F.transform(shingles(F.col("text"), k=3), F.md5)).alias("block"),
         F.array_distinct(shingles(F.col("text"), k=2)).alias("ng"),
-    )
+    ).localCheckpoint()
     a, b = base.alias("a"), base.alias("b")
     inter = F.size(F.array_intersect("a.ng", "b.ng"))
     c_ab = F.round(inter / F.size("a.ng").cast("double"), 6)
@@ -675,9 +696,25 @@ def min_label_clusters(pairs: DataFrame) -> DataFrame:
     # the scan (~2 full recomputes per round; measured 42 s → ~6 s for
     # q_dedup_clusters at sf0.1). localCheckpoint also truncates lineage so
     # the per-round plan stays O(1) deep. Same fixpoint, same labels.
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).distinct().localCheckpoint()
+    # Symmetrize with ONE generator pass, not a 2-branch union (r16 — the
+    # q_edge_support r15 lesson): each union branch re-executed the whole
+    # candidate pipeline's joins above its exchanges. Same (doc_a, doc_b)
+    # multiset, struct fields keep the endpoint order explicit.
+    edges = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(F.col("doc_a"), F.col("doc_b")),
+                    F.struct(
+                        F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.doc_a", "e.doc_b")
+        .distinct()
+        .localCheckpoint()
+    )
     labels = edges.select(F.col("doc_a").alias("node")).distinct().select(
         "node", F.col("node").alias("root")
     )
@@ -1637,6 +1674,13 @@ def _snm_pairs(base: DataFrame, payload: str) -> DataFrame:
         *[F.lead("doc_id", i).over(w).alias(f"nid{i}") for i in range(1, SNM_WINDOW + 1)],
         *[F.lead(payload, i).over(w).alias(f"np{i}") for i in range(1, SNM_WINDOW + 1)],
     )
+    # (r16 negative result: replacing this union with one explode-of-
+    # structs generator pass — the q_edge_support trick — measured WORSE
+    # (1.6/1.7 → 2.2/3.4 s on snm/edit at sf0.1): unlike edge_support,
+    # the branches here share the block exchange, so only the cheap
+    # window re-sort repeats per branch, while the explode materializes
+    # SNM_WINDOW copies of the payload ARRAY per row before the null
+    # filter. The union stays.)
     pairs = None
     for i in range(1, SNM_WINDOW + 1):
         p = led.filter(F.col(f"nid{i}").isNotNull()).select(

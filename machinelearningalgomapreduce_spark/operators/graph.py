@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from machinelearningalgomapreduce_spark.functions.joins import sf_of
+from machinelearningalgomapreduce_spark.functions.joins import fan_out, sf_of
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
 DAMPING = 0.85
@@ -68,15 +68,28 @@ REPEAT_MIN_ORDERS = 2  # repeat-co-purchase edge support
 
 
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Bipartite customer→supplier edges from the order/lineitem graph."""
+    """Bipartite customer→supplier edges from the order/lineitem graph.
+
+    r16 shape: project the two INT keys before the join (guide §2.3),
+    dedup on the int pair, and build the prefixed node strings once per
+    DISTINCT pair instead of once per lineitem row. Same edge set — the
+    c:/s: prefixes are injective on ints, so int-pair distinct ≡
+    string-pair distinct. (fan_out of the lineitem side was measured a
+    ~0.2 s pessimization here: the join's own exchange already spreads
+    the probe, so the round-robin pass is pure overhead.)"""
     t = load_tables(spark, sf_dir)
-    return (
-        t.orders.join(t.lineitem, t.orders.o_orderkey == t.lineitem.l_orderkey)
-        .select(
-            F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
-            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
+    pairs = (
+        t.lineitem.select("l_orderkey", "l_suppkey")
+        .join(
+            t.orders.select("o_orderkey", "o_custkey"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
         )
+        .select("o_custkey", "l_suppkey")
         .distinct()
+    )
+    return pairs.select(
+        F.concat(F.lit("c:"), F.col("o_custkey")).alias("src"),
+        F.concat(F.lit("s:"), F.col("l_suppkey")).alias("dst"),
     )
 
 

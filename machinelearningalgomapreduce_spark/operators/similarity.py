@@ -156,9 +156,16 @@ def ivf_ann(
     cells = assign_nearest(t.embeddings, centroids, EMBEDDING_DIM).select(
         "vec_id", "cluster"
     )
-    e = t.embeddings.join(cells, "vec_id").select(
-        "vec_id", "embedding", "cluster", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm")
+    # The O(n·k) assign_nearest join feeds ONLY the corpus side (r16): the
+    # query side never reads `cluster`, so deriving it from the bare
+    # embeddings scan instead of `e` halves the assignment work the old
+    # double-reference paid. Row-identical: every vector has exactly one
+    # home cell when centroids exist, and with an empty centroid frame
+    # both forms end empty through the qprobe/cells inner joins.
+    base = t.embeddings.select(
+        "vec_id", "embedding", norm(F.col("embedding"), EMBEDDING_DIM).alias("vnorm")
     )
+    e = base.join(cells, "vec_id").select("vec_id", "embedding", "cluster", "vnorm")
     cents = centroids.select(F.col("label").alias("pcell"), "centroid")
     wq = W.partitionBy("query_id").orderBy("dist2", "pcell")
     qprobe = (
@@ -175,7 +182,7 @@ def ivf_ann(
         .select("query_id", "pcell")
     )
     q = (
-        e.filter(F.col("vec_id") % stride == 0)
+        base.filter(F.col("vec_id") % stride == 0)
         .select(
             F.col("vec_id").alias("query_id"),
             F.col("embedding").alias("qv"),
@@ -296,6 +303,12 @@ def q_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to q_sim_recall — brute truth on the query
     sample only, model-sized joins after."""
+    # (r16 negative result: localCheckpoint of brute — referenced twice,
+    # here and as the query universe — measured NEUTRAL-to-worse across
+    # q_ndcg/q_mrr/q_map: both references share the window's query_id
+    # exchange, so ReusedExchange already dedupes the O(n·q) scoring pass,
+    # and the eager checkpoint only added stage latency. Left as the lazy
+    # shared frame.)
     brute = _brute_topk(spark, sf_dir).select(
         "query_id",
         "neighbor_id",
@@ -1223,6 +1236,8 @@ def q_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to q_sim_recall — brute truth on the query
     sample only, model-sized joins after."""
+    # (ReusedExchange already dedupes the double-referenced brute subtree —
+    # see q_ndcg's r16 note; a localCheckpoint measured neutral-to-worse.)
     brute = _brute_topk(spark, sf_dir)
     ann = q_sim_ann(spark, sf_dir).select("query_id", "neighbor_id", "rank")
     first_hit = (
@@ -1255,6 +1270,8 @@ def q_map(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: identical to q_sim_recall — brute truth on the query
     sample only, model-sized joins after."""
+    # (ReusedExchange already dedupes the double-referenced brute subtree —
+    # see q_ndcg's r16 note; a localCheckpoint measured neutral-to-worse.)
     brute = _brute_topk(spark, sf_dir)
     ann = q_sim_ann(spark, sf_dir).select("query_id", "neighbor_id", "rank")
     hits = ann.join(brute, ["query_id", "neighbor_id"]).select("query_id", "rank")

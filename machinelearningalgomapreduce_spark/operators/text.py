@@ -265,7 +265,12 @@ def q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side partials; shuffled bytes are bounded by distinct bigrams, not
     corpus size."""
     t = load_tables(spark, sf_dir)
-    bg = t.documents.select("doc_id", F.explode(shingles(F.col("text"), k=2)).alias("bg"))
+    # fan_out: the bigram explode is per-row map work over a single-file
+    # scan — spread across cores before computing (r16; no-op on wide
+    # inputs, same as the other shingling sites).
+    bg = fan_out(t.documents).select(
+        "doc_id", F.explode(shingles(F.col("text"), k=2)).alias("bg")
+    )
     counts = bg.groupBy("doc_id", "bg").agg(F.count("*").alias("n"))
     per_doc = counts.groupBy("doc_id").agg(
         F.sum("n").alias("n_bigrams"),
@@ -360,16 +365,23 @@ def q_ngram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocabulary, not corpus size. Output restricted to bigrams seen ≥ 3
     times (the model head a downstream scorer would load)."""
     t = load_tables(spark, sf_dir)
-    bg = t.documents.select(F.explode(shingles(F.col("text"), k=2)).alias("bigram"))
+    # fan_out: shingling is per-row map work over the single-file scan (r16).
+    bg = fan_out(t.documents).select(F.explode(shingles(F.col("text"), k=2)).alias("bigram"))
     c2 = (
         bg.groupBy("bigram")
         .agg(F.count("*").alias("c2"))
         .filter(F.col("c2") >= NGRAM_LM_MIN_COUNT)
         .withColumn("w1", F.split(F.col("bigram"), " ")[0])
     )
-    tok = t.documents.select(F.explode(_tokens()).alias("token"))
+    tok = fan_out(t.documents).select(F.explode(_tokens()).alias("token"))
     c1 = tok.groupBy("token").agg(F.count("*").alias("c1"))
-    vocab = tok.agg(F.countDistinct("token").alias("v"))
+    # V = |distinct tokens| = the row count of c1 (which already paid the
+    # token explode + distinct shuffle): counting c1's non-null keys is
+    # value-identical to countDistinct(token) over tok — explode never
+    # emits NULL tokens, and count(col) skips them anyway — and removes a
+    # second full token-explode pass (r16, guide §2.4 "don't compute
+    # things twice").
+    vocab = c1.agg(F.count("token").alias("v"))
     return (
         c2.join(c1, c2.w1 == c1.token)
         .crossJoin(F.broadcast(vocab))
@@ -417,7 +429,9 @@ def q_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = db.groupBy("bigram").agg(F.count("*").alias("c2"))
     tok = docs.select(F.explode(_tokens()).alias("token"))
     c1 = tok.groupBy("token").agg(F.count("*").alias("c1"))
-    vocab = tok.agg(F.countDistinct("token").alias("v"))
+    # V from c1's row count — identical to countDistinct(token) over tok
+    # and one token-explode pass cheaper (r16; see q_ngram_lm's note).
+    vocab = c1.agg(F.count("token").alias("v"))
     lp = F.round(
         F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v")).cast("double")), 6
     )
