@@ -21,6 +21,10 @@ from pyspark.sql import functions as F
 
 SALT_COL = "__salt"
 
+# (applicationId, analyzed-plan semanticHash, scan conf) -> static source
+# width, so fan_out's no-op decision is ~free on repeated builds (r16).
+_FAN_OUT_WIDTH_CACHE: dict = {}
+
 
 def sf_of(sf_dir: str) -> float:
     """Scale factor encoded in a fixture dir name (`.../sf0.1` → 0.1)."""
@@ -71,6 +75,18 @@ def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
     partitions at the 18 MB tier because task launch dominates there)
     keeps its sizing — fan_out only rescues stages that are narrower than
     what the session itself considers right.
+
+    Width-check cost (r16, ADVICE r15): deciding the no-op used to force
+    a full physical plan + RDD conversion per CALL (~50 ms on the bench
+    host; the real action then re-plans). The check now (a) uses the
+    internal ``toRdd`` (skips the Python-deserializer wrapping, ~35 ms)
+    and (b) memoizes the width per (application, analyzed-plan
+    semanticHash, scan conf) — ~1 ms on every repeated build of the same
+    query shape (bench best-of-N, repeated invocations). Sound within an
+    application: a plan's pre-AQE source width is a function of the plan
+    and the scan confs in the key; localCheckpoint/cache create fresh
+    leaf nodes (fresh hashes), and the fixture dirs are static (the same
+    assumption load_tables' catalog cache already makes).
     """
     spark = df.sparkSession
     try:
@@ -79,7 +95,26 @@ def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
         conf_width = spark.sparkContext.defaultParallelism
     target = min(spark.sparkContext.defaultParallelism * factor,
                  max(conf_width, 1))
-    if df.rdd.getNumPartitions() >= target:
+    width = None
+    try:
+        try:
+            scan_conf = spark.conf.get("spark.sql.files.maxPartitionBytes")
+        except Exception:  # noqa: BLE001 — unset/typed-default lookups vary
+            scan_conf = "default"
+        key = (
+            spark.sparkContext.applicationId,
+            df._jdf.queryExecution().analyzed().semanticHash(),
+            scan_conf,
+        )
+        width = _FAN_OUT_WIDTH_CACHE.get(key)
+        if width is None:
+            width = df._jdf.queryExecution().toRdd().getNumPartitions()
+            if len(_FAN_OUT_WIDTH_CACHE) > 4096:  # unbounded-session guard
+                _FAN_OUT_WIDTH_CACHE.clear()
+            _FAN_OUT_WIDTH_CACHE[key] = width
+    except Exception:  # noqa: BLE001 — private-API fallback must be total
+        width = df.rdd.getNumPartitions()
+    if width >= target:
         return df
     return df.repartition(target)
 

@@ -30,8 +30,40 @@ Two division regimes:
 Overflow posture: per-site sums are BIGINT by default (fastest; every
 call site documents its bound — all hold through the 100x tier with ≥1.6x
 headroom). Sites whose 100 TB-scale bound breaks BIGINT pass ``wide=True``
-to sum in DECIMAL(38,0) (Spark) — the DuckDB twin always sums to HUGEINT,
-so only the Spark side needs the flag.
+to sum via the exact hi/lo split (two BIGINT legs recombined in
+DECIMAL(38,0)) — the DuckDB twin always sums to HUGEINT, so only the
+Spark side needs the flag.
+
+r16 site audit (VERDICT r15 item 8): max per-GROUP Σ|u| measured at
+sf0.1 and extrapolated ×1e7 (≈ true 100 TB / the 17.6 MB tier), flip
+threshold = extrapolated Σ > 1e18 (≲9× headroom under 2^63):
+
+===========================================  =========  ========== =====
+site (units)                                 Σ@sf0.1    ×1e7       wide?
+===========================================  =========  ========== =====
+q_pricing_summary sum_disc_price (1e-4$)     2.7e13     2.7e20     YES
+q_pricing_summary sum_charge (1e-6$)         (r15)      ~e22       YES
+q_pricing_summary sum_base_price (cents)     2.9e11     2.9e18     YES
+q_pricing_summary avg_price row-sum (cents)  2.9e11     2.9e18     YES
+q_disjunctive_pred rev (global, filtered)    ≤1.6e13    ≤1.6e20    YES
+q_volume_shipping rev (≤1250 fixed groups)   data-prop  breach     YES
+q_promo_revenue ratio sums (global)          1.6e13     1.6e20     YES
+q_market_share ratio sums (≤7 year groups)   data-prop  breach     YES
+q_sample sampled_price (3 fixed groups)      pct-prop   ~e17–e18   YES
+q_matmul c_val (200 fixed cells, va·vb_c)    data²-prop breach     YES
+events windows sum_value (cents/window·type) 3.5e5      3.5e12     no
+customer total_spent (cents/customer)        7.4e8      7.4e15     no
+q_top_supplier rev (per supplier, quarter)   const/grp  ~e12       no
+q_returned_items rev (per customer)          const/grp  ~e12       no
+q_small_qty cents (global, ~1% filter)       ~1.7e10    1.7e17     no*
+q_global_sales_rank totacctbal (per cntry)   const-ish  ~e15       no
+===========================================  =========  ========== =====
+(*54x headroom; revisit if the filter selectivity assumption moves.)
+Groups that scale WITH the data (per-customer, per-supplier, per-window)
+keep constant Σ per group and stay BIGINT; fixed-cardinality groups
+(returnflag, nation pairs, years, matmul cells) absorb the whole growth
+and are flipped. Flips are value-identical by construction (pinned in
+tests/test_r15_opt.py / test_r16_opt.py); DuckDB twins were always wide.
 
 Residual (documented, not closed here): ``round()`` of a genuinely
 continuous-valued double (bm25 scores, chi2 terms, ratio-of-sums) can in
@@ -86,6 +118,19 @@ def round_half_away(num: Column, den) -> Column:
     return sg * _floor_div(F.lit(2) * F.abs(num) + d, F.lit(2) * d)
 
 
+def _split_sum(units_col: Column) -> Column:
+    """Exact ``Σ units`` past the BIGINT cliff (r15): for any long,
+    ``u == (u >> 20)·2^20 + (u & 0xFFFFF)`` (two's complement, exact for
+    negatives — arithmetic shift is floor division), so two codegen'd
+    BIGINT sums recombine in DECIMAL(38,0) once per group. Bounds: lo ∈
+    [0, 2^20) ⇒ Σlo holds to 8.8e12 rows; Σhi holds to Σ|u| < 9.7e24.
+    NULL-only input stays NULL (both legs NULL)."""
+    mask = (1 << 20) - 1
+    hi = F.sum(F.shiftright(units_col, 20))
+    lo = F.sum(units_col.bitwiseAND(F.lit(mask)))
+    return hi.cast("decimal(38,0)") * F.lit(1 << 20) + lo.cast("decimal(38,0)")
+
+
 def money_sum_2dp(units_col: Column, d: int = 1, wide: bool = False) -> Column:
     """Exact ``Σ units`` → dollars (double) on the 2dp grid.
 
@@ -115,19 +160,13 @@ def money_sum_2dp(units_col: Column, d: int = 1, wide: bool = False) -> Column:
     Empty/all-null input yields NULL (sum semantics) so existing
     ``coalesce(…, 0.0)`` wrappers keep working.
     """
-    if wide:
-        mask = (1 << 20) - 1
-        hi = F.sum(F.shiftright(units_col, 20))
-        lo = F.sum(units_col.bitwiseAND(F.lit(mask)))
-        s = (hi.cast("decimal(38,0)") * F.lit(1 << 20)
-             + lo.cast("decimal(38,0)"))
-    else:
-        s = F.sum(units_col)
+    s = _split_sum(units_col) if wide else F.sum(units_col)
     cents = s if d == 1 else round_half_away(s, d)
     return cents.cast("double") / 100
 
 
-def exact_avg(units_col: Column, per_unit: int = 100, dp: int = 6) -> Column:
+def exact_avg(units_col: Column, per_unit: int = 100, dp: int = 6,
+              wide: bool = False) -> Column:
     """``round-half-away(avg(col), dp)`` computed exactly from grid units.
 
     value = Σu / (per_unit · n); at dp digits that is
@@ -145,9 +184,12 @@ def exact_avg(units_col: Column, per_unit: int = 100, dp: int = 6) -> Column:
     BIGINT vs DECIMAL accumulation of identical integers is value-equal —
     but the per-row decimal cast + Decimal128 adds are gone (r15:
     q_pricing_summary carried 3 of these; measured on the aggregate
-    stage). DuckDB twin: :func:`sql_exact_avg` (HUGEINT, unchanged).
+    stage). ``wide=True`` (r16) swaps the row sum for the exact hi/lo
+    split (:func:`_split_sum`) for sites whose Σu itself approaches 2^63
+    at 100 TB scale (see the module audit table) — value-identical.
+    DuckDB twin: :func:`sql_exact_avg` (HUGEINT, unchanged).
     """
-    s = F.sum(units_col).cast("decimal(38,0)")
+    s = _split_sum(units_col) if wide else F.sum(units_col).cast("decimal(38,0)")
     n = F.count(F.lit(1))
     scale = 10 ** dp
     q = round_half_away(s * F.lit(scale), F.lit(per_unit) * n)
@@ -155,17 +197,24 @@ def exact_avg(units_col: Column, per_unit: int = 100, dp: int = 6) -> Column:
 
 
 def exact_ratio(num_units: Column, den_units: Column, dp: int = 6,
-                scale: float = 1.0) -> Column:
+                scale: float = 1.0, wide: bool = False) -> Column:
     """``round(Σnum · scale / Σden, dp)`` with both sums exact integers.
 
     The sums are order-free BIGINTs; casting each to double is correctly
     rounded (identically in both engines, even past 2^53), so both engines
-    round the SAME double. Residual: a continuous-valued ratio almost
-    surely sits off every dp half-boundary (module docstring), unlike the
+    round the SAME double. ``wide=True`` (r16) swaps both sums for the
+    exact hi/lo split (:func:`_split_sum`; decimal→double cast is also
+    correctly rounded) for sites whose Σ breaches 2^63 at 100 TB scale —
+    value-identical. Residual: a continuous-valued ratio almost surely
+    sits off every dp half-boundary (module docstring), unlike the
     grid-sum class this module closes. DuckDB twin: :func:`sql_exact_ratio`.
     """
-    n = F.sum(num_units).cast("double")
-    d = F.sum(den_units).cast("double")
+    if wide:
+        n = _split_sum(num_units).cast("double")
+        d = _split_sum(den_units).cast("double")
+    else:
+        n = F.sum(num_units).cast("double")
+        d = F.sum(den_units).cast("double")
     return F.round(n * scale / d, dp)
 
 

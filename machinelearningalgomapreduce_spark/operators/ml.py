@@ -454,7 +454,7 @@ def q_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         a.join(b, "k")
         .groupBy("i", "j")
-        .agg(money.money_sum_2dp(F.col("va").cast("bigint") * F.col("vb_c"))
+        .agg(money.money_sum_2dp(F.col("va").cast("bigint") * F.col("vb_c"), wide=True)
              .alias("c_val"))
     )
 

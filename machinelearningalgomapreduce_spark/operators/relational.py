@@ -119,11 +119,15 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.sum("l_quantity").alias("sum_qty"),  # integral doubles: exact
-            money.money_sum_2dp(price_u).alias("sum_base_price"),
-            money.money_sum_2dp(disc_price_u, d=100).alias("sum_disc_price"),
+            # wide=True on base/disc/avg_price too (r16 bounds audit,
+            # functions/money.py table): the returnflag x linestatus group
+            # domain is FIXED (6), so these per-group sums absorb all data
+            # growth - extrapolated 2.9e18 / 2.7e20 at a true 100 TB.
+            money.money_sum_2dp(price_u, wide=True).alias("sum_base_price"),
+            money.money_sum_2dp(disc_price_u, d=100, wide=True).alias("sum_disc_price"),
             money.money_sum_2dp(charge_u, d=10000, wide=True).alias("sum_charge"),
             money.exact_avg(money.units("l_quantity", 1), per_unit=1).alias("avg_qty"),
-            money.exact_avg(price_u).alias("avg_price"),
+            money.exact_avg(price_u, wide=True).alias("avg_price"),
             money.exact_avg(disc_pct).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )

@@ -177,7 +177,7 @@ def q_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("*").alias("n_sampled"),
             # exact cents sum (r15, functions/money.py — half-boundary class)
-            money.money_sum_2dp(money.units("l_extendedprice")).alias("sampled_price"),
+            money.money_sum_2dp(money.units("l_extendedprice"), wide=True).alias("sampled_price"),
         )
     )
 

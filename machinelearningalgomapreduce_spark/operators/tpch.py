@@ -246,7 +246,7 @@ def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_shipdate") < F.lit("1996-10-01").cast("timestamp"))
         )
         .join(F.broadcast(t.part), F.col("l_partkey") == F.col("p_partkey"))
-        .agg(money.exact_ratio(promo_u, _rev_u(), dp=6, scale=100.0)
+        .agg(money.exact_ratio(promo_u, _rev_u(), dp=6, scale=100.0, wide=True)
              .alias("promo_share"))
     )
 
@@ -273,7 +273,7 @@ def q_disjunctive_pred(spark: SparkSession, sf_dir: str) -> DataFrame:
             | block("Brand#23", 10, 10, 20)
             | block("Brand#24", 15, 20, 30)
         )
-        .agg(F.coalesce(money.money_sum_2dp(_rev_u(), d=100), F.lit(0.0))
+        .agg(F.coalesce(money.money_sum_2dp(_rev_u(), d=100, wide=True), F.lit(0.0))
              .alias("revenue"))
     )
 
@@ -312,7 +312,7 @@ def q_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("supp_nation") != F.col("cust_nation"))
         .groupBy("supp_nation", "cust_nation",
                  F.year("l_shipdate").cast("int").alias("l_year"))
-        .agg(money.money_sum_2dp(_rev_u(), d=100).alias("revenue"))
+        .agg(money.money_sum_2dp(_rev_u(), d=100, wide=True).alias("revenue"))
     )
     return tiny_sorted(agg, "supp_nation", "cust_nation", "l_year")
 
@@ -352,7 +352,7 @@ def q_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(asia_orders, F.col("l_orderkey") == F.col("o_orderkey"))
         .join(supp_nat, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("o_year")
-        .agg(money.exact_ratio(target_u, _rev_u(), dp=6).alias("mkt_share"))
+        .agg(money.exact_ratio(target_u, _rev_u(), dp=6, wide=True).alias("mkt_share"))
     )
     return tiny_sorted(agg, "o_year")
 

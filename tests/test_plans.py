@@ -359,3 +359,35 @@ def test_isotonic_bins_bounded_frame_joins(spark, sf_dir, queries):
     # plan must be a broadcast, never a shuffled join of raw rows.
     plan = P.formatted_plan(queries["q_isotonic_bins"](spark, sf_dir))
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
+def _join_conditions(plan: str) -> list[str]:
+    return [
+        line.strip() for line in plan.splitlines()
+        if line.strip().startswith("Join condition:")
+    ]
+
+
+def test_dedup_embedding_pushdown_barrier_holds(spark, sf_dir, queries):
+    """ADVICE r15: the when(spark_partition_id() >= 0, cos) barrier keeps
+    the cosine threshold OUT of the nested-loop join condition (a join
+    condition cannot codegen-split, so the O(n²) loop would run
+    interpreted — the 80 s r15 regression). Pin the plan shape so a
+    Catalyst change that re-folds the predicate fails loudly here."""
+    plan = P.formatted_plan(queries["q_dedup_embedding"](spark, sf_dir))
+    conds = _join_conditions(plan)
+    assert conds, "expected a join in the q_dedup_embedding plan"
+    for c in conds:
+        # The join may keep only the cheap id ordering; the 64-term dot
+        # fold (aggregate lambda) must never appear inside a condition.
+        assert "aggregate(" not in c, f"heavy predicate folded into join: {c[:200]}"
+    # The threshold must survive as a standalone Filter above the join.
+    assert "Filter" in plan
+
+
+def test_canopy_pushdown_barrier_holds(spark, sf_dir, queries):
+    """Same pin for q_canopy's T1 distance filter (ml.py barrier)."""
+    plan = P.formatted_plan(queries["q_canopy"](spark, sf_dir))
+    for c in _join_conditions(plan):
+        assert "aggregate(" not in c, f"heavy predicate folded into join: {c[:200]}"
+    assert "Filter" in plan

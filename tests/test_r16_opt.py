@@ -41,6 +41,75 @@ def test_bigint_sum_past_2_63_aborts_not_wraps(spark):
         df.agg(F.sum("u").alias("s")).collect()
 
 
+def test_fan_out_memoized_width_and_behavior(spark, sf_dir):
+    # r16 (ADVICE r15): fan_out's no-op decision is memoized per analyzed
+    # plan — same widening behavior as the per-call RDD check, and the
+    # cache actually populates (a broken key would silently fall back to
+    # the expensive path forever).
+    from pyspark.sql import functions as F  # noqa: F811
+
+    from machinelearningalgomapreduce_spark.functions import joins as J
+    from machinelearningalgomapreduce_spark.sources.catalog import load_tables
+
+    t = load_tables(spark, sf_dir)
+    J._FAN_OUT_WIDTH_CACHE.clear()
+    narrow = t.embeddings.select("vec_id").filter(F.col("vec_id") >= 0)
+    widened = J.fan_out(narrow)
+    assert len(J._FAN_OUT_WIDTH_CACHE) == 1, "width memo did not populate"
+    target = min(
+        spark.sparkContext.defaultParallelism,
+        int(spark.conf.get("spark.sql.shuffle.partitions")),
+    )
+    assert widened.rdd.getNumPartitions() == target
+    # Second build of the SAME shape: decision comes from the memo and
+    # still widens (frames are fresh objects, key is the analyzed plan).
+    again = J.fan_out(t.embeddings.select("vec_id").filter(F.col("vec_id") >= 0))
+    assert again.rdd.getNumPartitions() == target
+    assert len(J._FAN_OUT_WIDTH_CACHE) == 1
+    # Already-wide input stays untouched (identity no-op).
+    wide = narrow.repartition(target)
+    assert J.fan_out(wide) is wide
+
+
+def test_exact_avg_wide_equals_narrow(spark):
+    # r16 bounds-audit flips: exact_avg(wide=True) must be bitwise equal
+    # to the BIGINT form on grid data incl. negatives and half-boundaries.
+    import struct
+
+    def bits(x):
+        return None if x is None else struct.pack("<d", x).hex()
+
+    from pyspark.sql import functions as F  # noqa: F811 - local clarity
+
+    df = spark.createDataFrame(
+        [(37,), (64,), (12345,), (-9999,), (0,), ((1 << 54) + 1,)], "u long"
+    )
+    for per_unit, dp in ((100, 6), (1, 6), (100, 2)):
+        got = df.agg(money.exact_avg(F.col("u"), per_unit, dp, wide=True).alias("x")).collect()[0].x
+        want = df.agg(money.exact_avg(F.col("u"), per_unit, dp).alias("x")).collect()[0].x
+        assert bits(got) == bits(want), f"per_unit={per_unit} dp={dp}"
+
+
+def test_exact_ratio_wide_equals_narrow(spark):
+    import struct
+
+    def bits(x):
+        return None if x is None else struct.pack("<d", x).hex()
+
+    df = spark.createDataFrame(
+        [(37, 11), (64, -3), (12345, 99), (-9999, 7), (0, 1), ((1 << 54) + 1, 5)],
+        "n long, d long",
+    )
+    for scale in (1.0, 100.0):
+        got = df.agg(
+            money.exact_ratio(F.col("n"), F.col("d"), dp=6, scale=scale, wide=True).alias("x")
+        ).collect()[0].x
+        want = df.agg(
+            money.exact_ratio(F.col("n"), F.col("d"), dp=6, scale=scale).alias("x")
+        ).collect()[0].x
+        assert bits(got) == bits(want), f"scale={scale}"
+
+
 def test_wide_split_sum_hi_leg_overflow_aborts(spark):
     # The wide split-sum's hi leg is Σ(u >> 20): per-row values up to
     # 2^42 for u ≈ 2^62, so ~2^21 such rows breach 2^63 in the LEG sum
