@@ -725,6 +725,10 @@ def min_label_clusters(pairs: DataFrame) -> DataFrame:
             .groupBy(F.col("doc_a").alias("node2"))
             .agg(F.min("root").alias("neigh_root"))
         )
+        # Carry the OLD root through the checkpoint (r16): the convergence
+        # count is then a filter over the checkpointed blocks — no
+        # new-vs-old join, no per-round exchange pair (measured ~0.5 s per
+        # q_dedup_clusters invocation at sf0.1; labels verified identical).
         new_labels = (
             labels.join(neigh_min, labels.node == F.col("node2"), "left")
             .select(
@@ -732,19 +736,15 @@ def min_label_clusters(pairs: DataFrame) -> DataFrame:
                 F.least(F.col("root"), F.coalesce(F.col("neigh_root"), F.col("root"))).alias(
                     "root"
                 ),
+                F.col("root").alias("old_root"),
             )
         )
         # Checkpoint FIRST, then count changes against the checkpointed
         # frame (r15): counting from the pre-checkpoint plan re-executed
         # the whole join subtree a second time per round.
-        old_labels = labels
-        labels = new_labels.localCheckpoint()
-        changed = (
-            labels.alias("n")
-            .join(old_labels.alias("o"), "node")
-            .filter(F.col("n.root") != F.col("o.root"))
-            .count()
-        )
+        ck = new_labels.localCheckpoint()
+        changed = ck.filter(F.col("root") != F.col("old_root")).count()
+        labels = ck.select("node", "root")
         if changed == 0:
             break
     if changed != 0:
