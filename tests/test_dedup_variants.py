@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 
 def test_mllib_minhash_recalls_true_pairs(spark, sf_dir):
     from machinelearningalgomapreduce_spark.operators.dedup import (
@@ -606,6 +608,7 @@ def test_target_recall_lane_maps_curve_and_refuses_above_ceiling(spark, sf_dir):
     assert got == brute
 
 
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_two_level_tier_differential_vs_flat(spark, monkeypatch):
     """r13 (VERDICT r12 item 2 pin): on a synthetic DISTINCT-vector tier
     with planted near-dup clusters (tools/imi_scale_probe.synth_corpus —

@@ -17,6 +17,10 @@ from machinelearningalgomapreduce_spark.operators.ivf_pq import IVFPQIndexView
 
 from tests.conftest import drain
 
+# Heavy PQ-index integration lane (~13 min total): slow-marked, run with -m slow
+# (pytest.ini r16 — the driver-default battery must fit the verify window).
+pytestmark = pytest.mark.slow
+
 DIM, N, N_CLUSTERS, PQ_M, PQ_K = 64, 500, 5, 16, 25
 SUB = DIM // PQ_M
 

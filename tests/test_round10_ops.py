@@ -46,6 +46,7 @@ def test_pagerank_frame_matches_python_power_iteration(spark, n_iter):
         assert got[v] == pytest.approx(want[v], abs=1e-12), (v, n_iter)
 
 
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_pagerank_frame_converges_to_fixpoint(spark):
     """At 50 iterations the toy graph is converged (contraction is the
     0.85 damping per pass, so the 25-iter residual ~1.3e-5 shrinks to
@@ -744,6 +745,7 @@ def test_knn_ann_index_lane_full_probe_equals_brute(spark, sf_dir, tmp_path):
         knn_ann(spark, sf_dir, k_cells=10, index=idx)
 
 
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_knn_ann_pq_index_lane_agreement(spark, sf_dir, tmp_path):
     """r14 (VERDICT r13 item 2): knn_ann(index=IVFPQIndexView) serves the
     KNN task end-to-end off the COMPRESSED index — full vectors touched

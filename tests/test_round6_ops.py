@@ -203,6 +203,7 @@ def test_louvain_finds_cliques(spark):
     assert len(a_comms) == 1 and len(b_comms) == 1 and a_comms != b_comms
 
 
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_louvain_improves_modularity(spark):
     e = _two_cliques(spark)
     identity = e.select(F.col("u").alias("node")).union(
@@ -766,6 +767,7 @@ _batches = st.lists(
 @given(batches=_batches)
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_scd2_matches_model_under_random_batches(spark, batches):
     """Applying arbitrary update batches in sequence keeps SCD2 exactly
     equal to a plain-Python dimension model: identical full history,
@@ -1241,6 +1243,7 @@ def test_streaming_dedup_ingest(spark, sf_dir, tmp_path):
     assert again.count() == n_distinct
 
 
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_streaming_semantic_dedup_ingest(spark, sf_dir, tmp_path):
     """r11: streaming SEMANTIC dedup ingestion over a persisted IVF
     index — admitted set has no within-run near-dup pair; a second run
@@ -1299,6 +1302,7 @@ def test_streaming_semantic_dedup_ingest(spark, sf_dir, tmp_path):
     assert len(state) == len({r.vec_id for r in state})
 
 
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_semantic_ingest_nondefault_threshold_governs_both_stages(
     spark, sf_dir, tmp_path
 ):
@@ -1349,6 +1353,7 @@ def test_semantic_ingest_nondefault_threshold_governs_both_stages(
     assert tight < loose  # strict subset: the band edges merged clusters
 
 
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_streaming_semantic_dedup_ingest_pq_backed(spark, sf_dir, tmp_path):
     """VERDICT r11 item 3: the semantic sink runs over an IVFPQIndexView —
     the index that fits the 100 TB storage budget (codes-only segments) —
@@ -1457,6 +1462,7 @@ def test_sessionizer_state_bounded_by_timer_cleanup():
     assert not list(proc.handleExpiredTimer((1,), None, None))
 
 
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_pq_sink_refuses_uncovered_index(spark, sf_dir, tmp_path):
     """r12 review: a PQ index populated OUTSIDE the sink has no admission
     log to re-rank against — its vectors would silently drop from the
@@ -1505,6 +1511,7 @@ def test_pq_sink_refuses_uncovered_index(spark, sf_dir, tmp_path):
     assert len(state) == len({r.vec_id for r in state})
 
 
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_pq_sink_refuses_on_deleted_log_epoch(spark, sf_dir, tmp_path):
     """r12 ADVICE: the pruned-log re-rank must fail LOUDLY when admission
     log epochs were deleted out from under the index — the silent
@@ -1614,6 +1621,7 @@ def test_hash_sink_crash_between_output_and_index_replays_identically(
     assert len(idx) == len({r.content_hash for r in idx})  # one row per hash
 
 
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_semantic_sink_crash_between_output_and_refresh_replays_identically(
     spark, sf_dir, tmp_path, monkeypatch
 ):

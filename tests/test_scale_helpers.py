@@ -3,6 +3,8 @@ approx-percentile twin, canopy coverage."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -336,6 +338,7 @@ def test_pre_partition_small_tier_inert_above_bound(spark, sf_dir):
     assert small is not ev
 
 
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_blocked_dedup_recall_holds_at_10x_tier(spark, tmp_path_factory):
     """VERDICT r11 item 2 done-criteria: at the 10× tier
     (tools/scale_probe.build_tier over sf0.1) the blocked embedding dedup

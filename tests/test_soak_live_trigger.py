@@ -18,6 +18,11 @@ the query stopped after the source is exhausted. The pins:
 from __future__ import annotations
 
 import os
+
+import pytest
+
+# Soak lane: slow-marked, run with -m slow (pytest.ini r16).
+pytestmark = pytest.mark.slow
 import time
 
 from pyspark.sql import functions as F
