@@ -3,12 +3,15 @@
 
 from __future__ import annotations
 
+import pytest
+
 from machinelearningalgomapreduce_spark.operators import behavior as B
 from machinelearningalgomapreduce_spark.operators.events import sessionize
 from machinelearningalgomapreduce_spark.plans import inspect as P
 from machinelearningalgomapreduce_spark.sources.catalog import load_tables
 
 
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_bounce_rate_accounts_for_every_session(spark, sf_dir):
     rows = B.q_bounce_rate(spark, sf_dir).collect()
     t = load_tables(spark, sf_dir)

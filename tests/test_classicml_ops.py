@@ -506,6 +506,7 @@ def _kruskal_py(edges):
     return forest
 
 
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_boruvka_mst_matches_kruskal(spark, sf_dir):
     eps = 0.1
     py_edges = _eps_graph_py(spark, sf_dir, eps)
@@ -534,6 +535,7 @@ def test_boruvka_mst_matches_kruskal(spark, sf_dir):
     assert got == want
 
 
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_single_linkage_equals_threshold_components(spark, sf_dir):
     # Cutting the MST at t yields exactly the connected components of the
     # t-threshold graph — verify the whole pipeline against brute CC.

@@ -371,6 +371,7 @@ def test_blocked_dedup_survives_sparse_id_space(spark, sf_dir, monkeypatch):
     assert all(r.cos_sim >= dedup.EMBEDDING_COSINE_THRESHOLD for r in rows)
 
 
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_blocked_dedup_routes_two_level_past_k_max(spark, sf_dir, monkeypatch):
     """r12: past EMBED_DEDUP_K_MAX the quantizer goes TWO-LEVEL (√k
     coarse cells + keyed-kmeans sub-cells, O(n·√k) assignment) instead of
@@ -509,6 +510,7 @@ def test_dedup_embedding_unknown_dir_gated_on_rows_not_name(spark, tmp_path, mon
     assert "cell" in P.formatted_plan(blocked)
 
 
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_blocked_frame_threshold_recovers_exact_dups(spark, sf_dir):
     """r12 regression (caught in review): after the rep-collapse, the
     verify=False candidate set is REP-level and carries no within-group
@@ -577,6 +579,7 @@ def test_two_level_assignment_covers_every_vector(spark, sf_dir, monkeypatch):
     assert assigned == everyone, f"dropped: {sorted(everyone - assigned)[:5]}"
 
 
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_target_recall_lane_maps_curve_and_refuses_above_ceiling(spark, sf_dir):
     """r12: target_recall= maps to the smallest MEASURED probe budget on
     the audit curve; above the measured ceiling it refuses instead of
@@ -649,6 +652,7 @@ def test_two_level_tier_differential_vs_flat(spark, monkeypatch):
     # would re-run the full blocking pass for no new contract
 
 
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_verify_false_semantic_warning_fires_once_per_call_site(spark, sf_dir):
     """r15 (r14 ADVICE): the verify=False semantic-break UserWarning is
     once-per-CALL-SITE — a bench loop consuming it must not hide the

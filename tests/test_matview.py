@@ -1466,6 +1466,7 @@ sys.exit(0 if ok else 4)
 """
 
 
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_two_os_process_commit_race_serializes(spark, tmp_path):
     """VERDICT r12 item 4: the r12 two-writer test interleaves within one
     process; this one races two real OS processes (separate JVMs, real

@@ -451,6 +451,7 @@ def _round6(x: float) -> float:
     )
 )
 @settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_chi2_contingency_matches_python(spark, counts):
     """q_chi2's broadcast-marginal pipeline on a random contingency table
     equals the textbook chi-squared computed independently in Python

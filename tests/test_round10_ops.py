@@ -35,6 +35,7 @@ TOY_EDGES = [
 
 
 @pytest.mark.parametrize("n_iter", [1, 5, 25])
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_pagerank_frame_matches_python_power_iteration(spark, n_iter):
     from machinelearningalgomapreduce_spark.operators.graph import pagerank_frame
 

@@ -150,6 +150,7 @@ def _toy_edges(spark):
     )
 
 
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_ppr_probability_vector(spark):
     ranks = personalized_pagerank(_toy_edges(spark), seeds=["a"], n_iter=20)
     rows = {r["node"]: r["rank"] for r in ranks.collect()}
@@ -159,6 +160,7 @@ def test_ppr_probability_vector(spark):
     assert all(v > 0 for v in rows.values())
 
 
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_ppr_localizes_to_seed_component(spark):
     """Two disconnected triangles; seeding one leaves the other at 0."""
     e = spark.createDataFrame(
@@ -192,6 +194,7 @@ def _two_cliques(spark):
     return spark.createDataFrame(edges, "u string, v string")
 
 
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_louvain_finds_cliques(spark):
     e = _two_cliques(spark)
     comm = louvain_move_step(e)
@@ -806,6 +809,7 @@ def test_scd2_matches_model_under_random_batches(spark, batches):
 @given(vals=st.lists(st.integers(min_value=0, max_value=30), min_size=2, max_size=60))
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
+@pytest.mark.slow  # heavy lane, run with -m slow (pytest.ini r16)
 def test_count_min_bounds_hold_on_random_multisets(spark, vals):
     """CM guarantees on arbitrary multisets: estimate ≥ exact for every
     value, and a random split merges to exactly the whole-set sketch."""
