@@ -5,6 +5,9 @@ the probed cells, and keep old versions readable until vacuum."""
 from __future__ import annotations
 
 import pytest
+
+# IVF index integration lane (~minutes): slow-marked, run with -m slow (pytest.ini r16).
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from machinelearningalgomapreduce_spark.operators.ivf_index import IVFIndexView

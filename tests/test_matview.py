@@ -8,6 +8,9 @@ import json
 import os
 
 import pytest
+
+# Materialized-view maintenance integration lane (~minutes): slow-marked, run with -m slow (pytest.ini r16).
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from machinelearningalgomapreduce_spark.operators.matview import (

@@ -5,6 +5,9 @@ from __future__ import annotations
 
 import pytest
 
+# Scale-probe lane (~minutes): slow-marked, run with -m slow (pytest.ini r16).
+pytestmark = pytest.mark.slow
+
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
